@@ -1,0 +1,23 @@
+"""grip_spark — a PySpark-native property-graph query engine.
+
+A from-scratch implementation of the GripQL query surface (reference:
+bmeg/grip, ``gripql/gripql.proto:25-67``) compiled to Spark DataFrame
+plans.  A graph is two DataFrames (vertices, edges); a query is a
+statement list compiled into ONE declarative DataFrame plan which
+Catalyst optimizes and executes — the architectural template is the
+reference's whole-query Mongo pushdown (``mongo/compile.go:57-951``),
+not its channel-pipeline core engine.
+
+Quick start::
+
+    from grip_spark import GripGraph
+    G = GripGraph.from_jsonl(spark, "swapi.vertices", "swapi.edges")
+    G.query().V().hasLabel("Character").out("homeworld").count().execute()
+"""
+
+from grip_spark.graph import GripGraph
+from grip_spark.traversal import Traversal
+from grip_spark import ops
+
+__all__ = ["GripGraph", "Traversal", "ops"]
+__version__ = "0.1.0"

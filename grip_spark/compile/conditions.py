@@ -1,0 +1,132 @@
+"""HasExpression tree → Spark Column translation.
+
+Reference semantics: ``engine/logic/match.go:14-255``.  GRIP uses
+two-valued logic — every condition evaluates to plain true/false (a
+failed lookup or cast yields *false*, not NULL), and ``not`` negates
+that.  So every leaf compiles to a **non-nullable** boolean (wrapped in
+``coalesce(…, false)`` where Spark would yield NULL) and the
+combinators are plain ``&``/``|``/``~``.  This deliberately differs
+from SQL three-valued logic: ``not(gt(x, 5))`` *keeps* rows where x is
+a non-numeric string, exactly as the reference does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+from pyspark.sql.types import ArrayType, NullType
+
+from grip_spark.compile.fieldpath import as_double, resolve
+
+
+def _lit(value) -> Column:
+    if isinstance(value, (list, tuple)):
+        return F.array(*[_lit(v) for v in value])
+    return F.lit(value)
+
+
+def _to_num(value):
+    try:
+        return float(value)
+    except (TypeError, ValueError):
+        return None
+
+
+def _false() -> Column:
+    return F.lit(False)
+
+
+def _nn(col: Column) -> Column:
+    """Force two-valued logic: NULL → false."""
+    return F.coalesce(col, F.lit(False))
+
+
+def compile_condition(view_lookup, cond: dict) -> Column:
+    """One leaf condition dict ``{key, value, condition}``."""
+    key, value, op = cond["key"], cond.get("value"), cond["condition"]
+    col, dtype = resolve(view_lookup, key)
+
+    if op == "EQ":
+        if value is None:
+            return col.isNull()
+        if isinstance(dtype, NullType):
+            return _false()
+        return _nn(col == _lit(value))
+    if op == "NEQ":
+        if value is None:
+            return col.isNotNull()
+        if isinstance(dtype, NullType):
+            return F.lit(True)  # nil != value (deep-equal false → NEQ true)
+        return ~_nn(col == _lit(value))
+
+    if op in ("GT", "GTE", "LT", "LTE"):
+        v = _to_num(value)
+        if v is None or isinstance(dtype, NullType):
+            return _false()
+        c = as_double(col, dtype)
+        cmpc = {"GT": c > v, "GTE": c >= v, "LT": c < v, "LTE": c <= v}[op]
+        return _nn(cmpc)
+
+    if op in ("INSIDE", "OUTSIDE", "BETWEEN"):
+        if not isinstance(value, (list, tuple)) or len(value) != 2:
+            return _false()
+        lo, hi = _to_num(value[0]), _to_num(value[1])
+        if lo is None or hi is None or isinstance(dtype, NullType):
+            return _false()
+        c = as_double(col, dtype)
+        if op == "INSIDE":
+            return _nn((c > lo) & (c < hi))
+        if op == "OUTSIDE":
+            return _nn((c < lo) | (c > hi))
+        return _nn((c >= lo) & (c < hi))
+
+    if op == "WITHIN":
+        if not isinstance(value, (list, tuple)):
+            value = [value]
+        if isinstance(dtype, NullType):
+            return F.lit(None in value)
+        non_null = [v for v in value if v is not None]
+        out = _nn(col.isin(non_null)) if non_null else _false()
+        if None in value:
+            out = out | col.isNull()
+        return out
+
+    if op == "WITHOUT":
+        # null lookup → found=false → kept (match.go:171-189)
+        if not isinstance(value, (list, tuple)):
+            value = [value]
+        if isinstance(dtype, NullType):
+            return F.lit(None not in value)
+        non_null = [v for v in value if v is not None]
+        out = _nn(col.isin(non_null)) if non_null else _false()
+        if None in value:
+            out = out | col.isNull()
+        return ~out
+
+    if op == "CONTAINS":
+        if not isinstance(dtype, ArrayType):
+            return _false()
+        return _nn(F.array_contains(col, _lit(value)))
+
+    raise ValueError(f"unknown condition: {op}")
+
+
+def compile_has(view_lookup, expr: dict) -> Column:
+    """Full expression tree: and/or/not/condition
+    (``gripql/gripql.proto:128-145``; ``match.go:215-255``)."""
+    if "condition" in expr:
+        return compile_condition(view_lookup, expr["condition"])
+    if "and" in expr:
+        subs = [compile_has(view_lookup, e) for e in expr["and"]["expressions"]]
+        out = subs[0]
+        for s in subs[1:]:
+            out = out & s
+        return out
+    if "or" in expr:
+        subs = [compile_has(view_lookup, e) for e in expr["or"]["expressions"]]
+        out = subs[0]
+        for s in subs[1:]:
+            out = out | s
+        return out
+    if "not" in expr:
+        return ~compile_has(view_lookup, expr["not"])
+    raise ValueError(f"unknown has expression: {expr!r}")

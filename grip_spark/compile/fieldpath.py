@@ -1,0 +1,210 @@
+"""GripQL field-reference ("jsonpath dialect") → Spark Column resolver.
+
+Semantics ported from the reference (``jsonpath/jsonpath.go:21-60`` and
+``website/content/docs/queries/jsonpath.md``):
+
+- ``name`` → current element's ``data.name``
+- ``_gid``/``_label``/``_from``/``_to``/``_data`` → system fields
+  (mapped here to ``gid``/``label``/``src``/``dst``/``data``)
+- ``$mark.name`` → same resolution against the element stored under a
+  mark instead of the current element
+- array access: ``arr[0].x``, ``arr[:].x`` (the ``[:]`` wildcard maps
+  the remaining path over the array via ``F.transform``)
+
+Resolution is **schema-aware**: a path that does not exist in the
+element's struct schema compiles to ``lit(NULL)``, matching
+``TravelerPathLookup`` returning nil for unknown fields
+(``jsonpath/jsonpath.go:138-142``).  This keeps GRIP's dynamic-typing
+behavior inside Spark's typed engine with zero runtime cost.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DataType,
+    NullType,
+    NumericType,
+    StringType,
+    StructType,
+)
+
+CURRENT_NS = "__current__"
+
+# _gid/_label/_from/_to/_data → traveler field (gripql/util.go:143)
+RESERVED = {"_gid": "gid", "_label": "label", "_from": "src", "_to": "dst", "_data": "data"}
+
+_SEG_RE = re.compile(r"^([^\[\]]*)((?:\[[^\]]*\])*)$")
+_IDX_RE = re.compile(r"\[([^\]]*)\]")
+
+
+@dataclass
+class Segment:
+    name: str  # may be "" for pure indexer segments
+    indexers: list  # ints or ":" wildcards
+
+
+def split_namespace(path: str) -> tuple[str, str]:
+    """``"$a.name"`` → ``("a", "name")``; ``"name"`` → (CURRENT, "name").
+    Port of GetNamespace/GetJSONPath head-stripping
+    (``jsonpath/jsonpath.go:21-45``)."""
+    parts = path.split(".")
+    if parts[0].startswith("$"):
+        ns = parts[0][1:] or CURRENT_NS
+        return ns, ".".join(parts[1:])
+    return CURRENT_NS, path
+
+
+def parse_segments(rel_path: str) -> list[Segment]:
+    """Parse a dotted path (after namespace strip) into segments.
+
+    The head is mapped through the reserved-field table; a non-reserved
+    head gets an implicit ``data.`` prefix (``jsonpath/jsonpath.go:46-59``).
+    """
+    if rel_path == "":
+        return []
+    raw = rel_path.split(".")
+    segs: list[Segment] = []
+    for tok in raw:
+        m = _SEG_RE.match(tok)
+        if not m:
+            raise ValueError(f"bad field path segment: {tok!r}")
+        name, idx_part = m.group(1), m.group(2)
+        idxs = []
+        for im in _IDX_RE.finditer(idx_part):
+            body = im.group(1).strip()
+            if body in (":", ""):
+                idxs.append(":")
+            else:
+                idxs.append(int(body))
+        segs.append(Segment(name, idxs))
+    head = segs[0].name
+    if head in RESERVED:
+        segs[0].name = RESERVED[head]
+    elif head == "":
+        pass
+    else:
+        segs.insert(0, Segment("data", []))
+    return segs
+
+
+class ElementView:
+    """Accessor for one element (current or a mark): maps the five
+    system fields to (Column, DataType) pairs."""
+
+    def __init__(self, fields: dict):
+        self.fields = fields  # name -> (Column, DataType)
+
+    @classmethod
+    def from_flat(cls, schema: StructType, colmap: dict | None = None) -> "ElementView":
+        """Current element stored as top-level traveler columns."""
+        colmap = colmap or {}
+        fields = {}
+        for name in ("gid", "label", "src", "dst", "data"):
+            src = colmap.get(name, name)
+            if src in schema.names:
+                fields[name] = (F.col(src), schema[src].dataType)
+        return cls(fields)
+
+    @classmethod
+    def from_struct(cls, col: Column, dtype: StructType) -> "ElementView":
+        """Mark element stored as one struct column."""
+        fields = {}
+        for f in dtype.fields:
+            if f.name in ("gid", "label", "src", "dst", "data"):
+                fields[f.name] = (col.getField(f.name), f.dataType)
+        return cls(fields)
+
+    def get(self, name: str) -> tuple[Column, DataType]:
+        if name in self.fields:
+            return self.fields[name]
+        return F.lit(None), NullType()
+
+
+def _step(col: Column, dtype: DataType, seg: Segment, wild: bool) -> tuple[Column, DataType, bool]:
+    """Apply one path segment to (col, dtype).  ``wild`` means col is an
+    array being mapped over (after a ``[:]``)."""
+    if seg.name:
+        col, dtype, wild = _get_field(col, dtype, seg.name, wild)
+    for idx in seg.indexers:
+        if isinstance(dtype, NullType):
+            return col, dtype, wild
+        if idx == ":":
+            if isinstance(dtype, ArrayType) and not wild:
+                wild = True
+                dtype = dtype.elementType
+            # nested [:][:] not supported — treat as identity
+        else:
+            if wild:
+                # indexing inside a mapped array: per-element getItem
+                col = F.transform(col, lambda x: x.getItem(idx))
+            elif isinstance(dtype, ArrayType):
+                col = col.getItem(idx)
+                dtype = dtype.elementType
+            else:
+                return F.lit(None), NullType(), False
+    return col, dtype, wild
+
+
+def _get_field(col: Column, dtype: DataType, name: str, wild: bool):
+    if wild:
+        if isinstance(dtype, StructType) and name in dtype.names:
+            inner = dtype[name].dataType
+            return F.transform(col, lambda x: x.getField(name)), inner, True
+        return F.lit(None), NullType(), False
+    if isinstance(dtype, StructType):
+        if name in dtype.names:
+            return col.getField(name), dtype[name].dataType, False
+        return F.lit(None), NullType(), False
+    return F.lit(None), NullType(), False
+
+
+def resolve(view_lookup, path: str) -> tuple[Column, DataType]:
+    """Resolve a GripQL field reference to (Column, DataType).
+
+    ``view_lookup(namespace) -> ElementView`` is provided by the planner
+    (knows current + mark layout).  Unknown namespace or missing field
+    → ``lit(NULL)``.
+    """
+    ns, rel = split_namespace(path)
+    view = view_lookup(ns)
+    if view is None:
+        return F.lit(None), NullType()
+    segs = parse_segments(rel)
+    if not segs:
+        return F.lit(None), NullType()
+    col, dtype = view.get(segs[0].name)
+    if isinstance(dtype, NullType):
+        return F.lit(None), NullType()
+    wild = False
+    # apply indexers of head segment, then the rest
+    head = Segment("", segs[0].indexers)
+    col, dtype, wild = _step(col, dtype, head, wild)
+    for seg in segs[1:]:
+        if isinstance(dtype, NullType):
+            return F.lit(None), NullType()
+        col, dtype, wild = _step(col, dtype, seg, wild)
+    if wild:
+        dtype = ArrayType(dtype)
+    return col, dtype
+
+
+def as_double(col: Column, dtype: DataType) -> Column:
+    """Numeric coercion matching spf13/cast.ToFloat64E (used by the
+    reference's ordered comparisons, ``engine/logic/match.go:28-69``):
+    numbers pass through, numeric strings parse, bools → 0/1,
+    arrays/structs/null → NULL (comparison then fails → row dropped).
+
+    ``try_cast`` (not ``cast``): Spark 4 ANSI mode throws on malformed
+    string→number casts, while GRIP's cast failure just fails the
+    condition (``match.go:28-36``)."""
+    if isinstance(dtype, NumericType):
+        return col.cast("double")
+    if isinstance(dtype, (StringType, BooleanType)):
+        return col.try_cast("double")
+    return F.lit(None).cast("double")

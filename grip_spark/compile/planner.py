@@ -1,0 +1,728 @@
+"""Statement list → single Spark DataFrame plan.
+
+This is the heart of the engine: the analog of the reference's
+whole-query Mongo translation (``mongo/compile.go:57-951``), replacing
+its channel-pipeline executor (``engine/core/processors.go``).  Each
+GripQL statement maps to declarative DataFrame transformations on a
+**traveler DataFrame**; Catalyst then does join planning, predicate
+pushdown and nested-column pruning (the reference's hand-written
+IndexStartOptimize / load-masking passes, ``engine/core/optimize.go``,
+``engine/inspect/inspect.go:80-172``, fall out for free).
+
+Traveler DataFrame layout (flat current element — keeps column pruning
+trivial and join keys top-level):
+
+- ``gid``, ``label``: current element identity
+- ``src``, ``dst``: present only while current is an edge
+- ``data``: current element's property struct
+- ``_path``: array<struct<vertex,edge>> — materialized **only** when the
+  query contains ``path()`` (the reference's inspect pass is a one-line
+  pre-scan here)
+- ``_mark_<name>``: struct snapshot created by ``as_`` — only for marks
+  the query declares
+
+Type-state machine: the compiler tracks whether current is a vertex or
+an edge (reference ``engine/core/compile.go:93-365`` validation) to
+pick join keys and output shape.
+
+Scale notes: every adjacency step is an equi-join on gid keys (hash
+join; broadcast when one side is small — left to AQE), ``both`` is a
+union of two equi-joins rather than an OR-join (which would degenerate
+to a nested-loop join), filters stay JVM-side Column expressions, and
+no step ever collects to the driver except the ``mark``/``jump`` loop
+(BFS-style driver iteration, like any Pregel on Spark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DataType,
+    MapType,
+    NullType,
+    NumericType,
+    StringType,
+    StructType,
+)
+
+from grip_spark.compile import fieldpath
+from grip_spark.compile.conditions import compile_has
+from grip_spark.compile.fieldpath import CURRENT_NS, ElementView, as_double, resolve
+
+VERTEX = "vertex"
+EDGE = "edge"
+
+# statements that move the traveler → append one path entry each
+# (engine/inspect/inspect.go:42-47)
+_POSITION_STMTS = {
+    "v", "e", "out", "in", "both", "outE", "inE", "bothE",
+    "outNull", "inNull", "outENull", "inENull", "select",
+}
+
+MAX_JUMP_ITERATIONS = 100
+
+
+class CompileError(ValueError):
+    pass
+
+
+class Planner:
+    """Compiles one statement list against one graph."""
+
+    def __init__(self, graph):
+        self.graph = graph
+        self.elem_type: str | None = None
+        self.marks: dict[str, str] = {}  # name -> elem type
+        self.track_path = False
+        self.result_kind = "vertex"
+        self.final_marks: list[str] = []
+        self.agg_key_types: dict[str, DataType] = {}
+
+    # ------------------------------------------------------------------
+    def plan(self, stmts: list[dict]) -> DataFrame:
+        if not stmts:
+            raise CompileError("empty query")
+        first = _stmt_key(stmts[0])
+        if first not in ("v", "e"):
+            raise CompileError("first statement must be V() or E()")
+        self.track_path = any(_stmt_key(s) == "path" for s in stmts)
+
+        if any(_stmt_key(s) == "mark" for s in stmts):
+            return self._plan_with_jump(stmts)
+        return self._plan_linear(stmts)
+
+    def _plan_linear(self, stmts: list[dict]) -> DataFrame:
+        df: DataFrame | None = None
+        for i, stmt in enumerate(stmts):
+            df = self._apply(df, stmt, is_first=(i == 0))
+        return df
+
+    # -- statement dispatch --------------------------------------------
+    def _apply(self, df: DataFrame | None, stmt: dict, is_first: bool = False) -> DataFrame:
+        key = _stmt_key(stmt)
+        arg = stmt[key]
+        if key in ("v", "e") and not is_first:
+            raise CompileError(f"{key}() only valid as first statement")
+        h = getattr(self, f"_st_{key}", None)
+        if h is None:
+            raise CompileError(f"unknown statement: {key}")
+        return h(df, arg)
+
+    # -- views for field resolution ------------------------------------
+    def _viewer(self, df: DataFrame):
+        schema = df.schema
+
+        def look(ns: str):
+            if ns == CURRENT_NS:
+                return ElementView.from_flat(schema)
+            mcol = f"_mark_{ns}"
+            if mcol in schema.names:
+                return ElementView.from_struct(F.col(mcol), schema[mcol].dataType)
+            return None
+
+        return look
+
+    def _resolve(self, df: DataFrame, path: str):
+        return resolve(self._viewer(df), path)
+
+    # -- carried (non-element) columns ---------------------------------
+    def _carry(self, df: DataFrame) -> list[Column]:
+        return [F.col(c) for c in df.columns if c.startswith("_mark_") or c == "_path"]
+
+    def _path_append(self, entry_gid: Column, kind: str) -> Column:
+        e = F.struct(
+            (entry_gid if kind == VERTEX else F.lit(None).cast("string")).alias("vertex"),
+            (entry_gid if kind == EDGE else F.lit(None).cast("string")).alias("edge"),
+        )
+        return F.concat(F.col("_path"), F.array(e)).alias("_path")
+
+    # -- sources -------------------------------------------------------
+    def _st_v(self, df, ids: list[str]) -> DataFrame:
+        out = self.graph.vertices
+        if ids:
+            out = out.filter(F.col("gid").isin(ids))
+        cols = [F.col("gid"), F.col("label"), F.col("data")]
+        if self.track_path:
+            cols.append(
+                F.array(
+                    F.struct(F.col("gid").alias("vertex"), F.lit(None).cast("string").alias("edge"))
+                ).alias("_path")
+            )
+        self.elem_type = VERTEX
+        return out.select(*cols)
+
+    def _st_e(self, df, ids: list[str]) -> DataFrame:
+        out = self.graph.edges
+        if ids:
+            out = out.filter(F.col("gid").isin(ids))
+        cols = [F.col("gid"), F.col("label"), F.col("src"), F.col("dst"), F.col("data")]
+        if self.track_path:
+            cols.append(
+                F.array(
+                    F.struct(F.lit(None).cast("string").alias("vertex"), F.col("gid").alias("edge"))
+                ).alias("_path")
+            )
+        self.elem_type = EDGE
+        return out.select(*cols)
+
+    # -- adjacency -----------------------------------------------------
+    def _edges(self, labels: list[str]) -> DataFrame:
+        e = self.graph.edges
+        if labels:
+            e = e.filter(F.col("label").isin(labels))
+        return e
+
+    def _hop_v2v(self, df: DataFrame, labels, forward: bool, null_ok: bool) -> DataFrame:
+        """V→V hop: 2 equi-joins (edges, then vertices).
+
+        ``forward`` = out() (follow src→dst); otherwise in().
+        Reference: ``engine/core/processors.go:160-197,241-276``; KV walk
+        ``kvgraph/graph.go:352-427``.
+        """
+        here, there = ("src", "dst") if forward else ("dst", "src")
+        e = self._edges(labels).select(
+            F.col(here).alias("_h_here"), F.col(there).alias("_h_there")
+        )
+        how = "left" if null_ok else "inner"
+        j = df.join(e, df["gid"] == e["_h_here"], how)
+        v = self.graph.vertices.select(
+            F.col("gid").alias("_h_vg"), F.col("label").alias("_h_vl"), F.col("data").alias("_h_vd")
+        )
+        j = j.join(v, F.col("_h_there") == v["_h_vg"], how)
+        cols = [
+            F.col("_h_vg").alias("gid"),
+            F.col("_h_vl").alias("label"),
+            F.col("_h_vd").alias("data"),
+        ]
+        cols += [F.col(c) for c in df.columns if c.startswith("_mark_")]
+        if self.track_path:
+            cols.append(self._path_append(F.col("_h_vg"), VERTEX))
+        self.elem_type = VERTEX
+        return j.select(*cols)
+
+    def _hop_v2e(self, df: DataFrame, labels, forward: bool, null_ok: bool) -> DataFrame:
+        """V→E hop (outE/inE): 1 equi-join.
+        Reference: ``processors.go:320-391``."""
+        here = "src" if forward else "dst"
+        e = self._edges(labels).select(
+            F.col("gid").alias("_h_eg"),
+            F.col("label").alias("_h_el"),
+            F.col("src").alias("_h_es"),
+            F.col("dst").alias("_h_ed"),
+            F.col("data").alias("_h_edata"),
+        )
+        how = "left" if null_ok else "inner"
+        j = df.join(e, df["gid"] == e["_h_e" + ("s" if forward else "d")], how)
+        cols = [
+            F.col("_h_eg").alias("gid"),
+            F.col("_h_el").alias("label"),
+            F.col("_h_es").alias("src"),
+            F.col("_h_ed").alias("dst"),
+            F.col("_h_edata").alias("data"),
+        ]
+        cols += [F.col(c) for c in df.columns if c.startswith("_mark_")]
+        if self.track_path:
+            cols.append(self._path_append(F.col("_h_eg"), EDGE))
+        self.elem_type = EDGE
+        return j.select(*cols)
+
+    def _hop_e2v(self, df: DataFrame, endpoint: str) -> DataFrame:
+        """E→V: from an edge position, out() goes to the ``dst`` vertex
+        and in() to ``src`` (``processors.go:202-236,281-315``)."""
+        v = self.graph.vertices.select(
+            F.col("gid").alias("_h_vg"), F.col("label").alias("_h_vl"), F.col("data").alias("_h_vd")
+        )
+        j = df.join(v, df[endpoint] == v["_h_vg"], "inner")
+        cols = [
+            F.col("_h_vg").alias("gid"),
+            F.col("_h_vl").alias("label"),
+            F.col("_h_vd").alias("data"),
+        ]
+        cols += [F.col(c) for c in df.columns if c.startswith("_mark_")]
+        if self.track_path:
+            cols.append(self._path_append(F.col("_h_vg"), VERTEX))
+        self.elem_type = VERTEX
+        return j.select(*cols)
+
+    def _st_out(self, df, labels):
+        if self.elem_type == EDGE:
+            return self._hop_e2v(df, "dst")
+        return self._hop_v2v(df, labels, forward=True, null_ok=False)
+
+    def _st_in(self, df, labels):
+        if self.elem_type == EDGE:
+            return self._hop_e2v(df, "src")
+        return self._hop_v2v(df, labels, forward=False, null_ok=False)
+
+    def _st_outNull(self, df, labels):
+        if self.elem_type == EDGE:
+            return self._hop_e2v(df, "dst")
+        return self._hop_v2v(df, labels, forward=True, null_ok=True)
+
+    def _st_inNull(self, df, labels):
+        if self.elem_type == EDGE:
+            return self._hop_e2v(df, "src")
+        return self._hop_v2v(df, labels, forward=False, null_ok=True)
+
+    def _st_both(self, df, labels):
+        """Union of two hash-joinable equi-joins — not an OR-join
+        (``processors.go:880-940``)."""
+        saved = self.elem_type
+        a = self._st_out(df, labels)
+        self.elem_type = saved
+        b = self._st_in(df, labels)
+        return a.unionByName(b)
+
+    def _st_outE(self, df, labels):
+        return self._hop_v2e(df, labels, forward=True, null_ok=False)
+
+    def _st_inE(self, df, labels):
+        return self._hop_v2e(df, labels, forward=False, null_ok=False)
+
+    def _st_outENull(self, df, labels):
+        return self._hop_v2e(df, labels, forward=True, null_ok=True)
+
+    def _st_inENull(self, df, labels):
+        return self._hop_v2e(df, labels, forward=False, null_ok=True)
+
+    def _st_bothE(self, df, labels):
+        saved = self.elem_type
+        a = self._st_outE(df, labels)
+        self.elem_type = saved
+        b = self._st_inE(df, labels)
+        return a.unionByName(b)
+
+    # -- filters -------------------------------------------------------
+    def _st_hasLabel(self, df, labels):
+        return df.filter(F.col("label").isin(labels))
+
+    def _st_hasId(self, df, ids):
+        return df.filter(F.col("gid").isin(ids))
+
+    def _st_hasKey(self, df, keys):
+        cond = F.lit(True)
+        for k in keys:
+            col, dtype = self._resolve(df, k)
+            cond = cond & (F.lit(False) if isinstance(dtype, NullType) else col.isNotNull())
+        return df.filter(cond)
+
+    def _st_has(self, df, expr):
+        return df.filter(compile_has(self._viewer(df), expr))
+
+    # -- pagination / dedup / count ------------------------------------
+    def _st_limit(self, df, n):
+        return df.limit(int(n))
+
+    def _st_skip(self, df, n):
+        return df.offset(int(n))
+
+    def _st_range(self, df, arg):
+        start, stop = int(arg.get("start", 0)), int(arg.get("stop", -1))
+        out = df.offset(start)
+        if stop != -1:
+            out = out.limit(stop - start)
+        return out
+
+    def _st_count(self, df, _):
+        self.result_kind = "count"
+        return df.agg(F.count(F.lit(1)).alias("count"))
+
+    def _st_distinct(self, df, props):
+        # default key is the element gid (engine/core/compile.go:261-269)
+        props = props or ["_gid"]
+        keys, keep = [], F.lit(True)
+        out = df
+        for i, p in enumerate(props):
+            col, dtype = self._resolve(df, p)
+            kc = f"_dk{i}"
+            out = out.withColumn(kc, col)
+            keys.append(kc)
+            # rows missing any key are dropped (processors.go:737-752)
+            keep = keep & (F.lit(False) if isinstance(dtype, NullType) else F.col(kc).isNotNull())
+        return out.filter(keep).dropDuplicates(keys).drop(*keys)
+
+    # -- marks ---------------------------------------------------------
+    def _cur_struct(self) -> Column:
+        if self.elem_type == EDGE:
+            return F.struct("gid", "label", "src", "dst", "data")
+        return F.struct("gid", "label", "data")
+
+    def _st_as(self, df, name):
+        if name.startswith("_"):
+            raise CompileError(f"invalid mark name: {name}")
+        self.marks[name] = self.elem_type
+        return df.withColumn(f"_mark_{name}", self._cur_struct())
+
+    def _st_select(self, df, arg):
+        marks = arg["marks"] if isinstance(arg, dict) else list(arg)
+        missing = [m for m in marks if f"_mark_{m}" not in df.columns]
+        if missing:
+            raise CompileError(f"select references unknown mark(s): {missing}")
+        if len(marks) == 1:
+            # move current back to the marked element (processors.go:858-876)
+            m = marks[0]
+            mtype = self.marks[m]
+            mc = F.col(f"_mark_{m}")
+            cols = [mc.getField("gid").alias("gid"), mc.getField("label").alias("label")]
+            if mtype == EDGE:
+                cols += [mc.getField("src").alias("src"), mc.getField("dst").alias("dst")]
+            cols.append(mc.getField("data").alias("data"))
+            cols += [F.col(c) for c in df.columns if c.startswith("_mark_")]
+            if self.track_path:
+                cols.append(self._path_append(mc.getField("gid"), mtype))
+            self.elem_type = mtype
+            return df.select(*cols)
+        # terminal row output {mark: element} (processors.go:783-808)
+        self.result_kind = "select"
+        self.final_marks = marks
+        return df.select(*[F.col(f"_mark_{m}").alias(m) for m in marks])
+
+    # -- projection / transforms ---------------------------------------
+    def _st_fields(self, df, paths):
+        """Include/exclude projection of current.data
+        (``processors.go:396-414``, ``jsonpath/jsonpath.go:193-355``).
+        ``-`` prefix = exclude.  gid/label always survive."""
+        if not paths:
+            return df
+        data_t = df.schema["data"].dataType
+        if not isinstance(data_t, StructType):
+            return df
+        excludes = [p[1:] for p in paths if p.startswith("-")]
+        includes = [p for p in paths if not p.startswith("-")]
+
+        def relpath(p):
+            segs = fieldpath.parse_segments(p)
+            if segs and segs[0].name == "data":
+                segs = segs[1:]
+            return [s.name for s in segs]
+
+        if includes:
+            keep_heads = []
+            for p in includes:
+                rp = relpath(p)
+                if rp and rp[0] in data_t.names:
+                    keep_heads.append(rp[0])
+            new_data = F.struct(
+                *[F.col("data").getField(n).alias(n) for n in data_t.names if n in keep_heads]
+            )
+        else:
+            new_data = F.col("data")
+            for p in excludes:
+                rp = relpath(p)
+                if len(rp) == 1 and rp[0] in data_t.names:
+                    new_data = new_data.dropFields(rp[0])
+        return df.withColumn("data", new_data)
+
+    def _st_render(self, df, template):
+        self.result_kind = "render"
+        return df.select(self._render_col(df, template).alias("render"))
+
+    def _render_col(self, df: DataFrame, template) -> Column:
+        """Template → Column: strings are field refs, lists/dicts build
+        arrays/structs (``Render``, ``jsonpath/jsonpath.go:169-190``)."""
+        if isinstance(template, str):
+            col, _ = self._resolve(df, template)
+            return col
+        if isinstance(template, (list, tuple)):
+            return F.array(*[self._render_col(df, t) for t in template])
+        if isinstance(template, dict):
+            return F.struct(*[self._render_col(df, v).alias(k) for k, v in template.items()])
+        return F.lit(template)
+
+    def _st_path(self, df, _):
+        self.result_kind = "path"
+        return df.select(F.col("_path").alias("path"))
+
+    def _st_unwind(self, df, path):
+        """Replicate per array element, substituting the element at the
+        field position in place (``processors.go:464-503``)."""
+        col, dtype = self._resolve(df, path)
+        if not isinstance(dtype, ArrayType):
+            return self._set_path(df, path, F.lit(None))
+        out = df.withColumn("_uw", F.explode_outer(col))
+        out = self._set_path(out, path, F.col("_uw"))
+        return out.drop("_uw")
+
+    # -- traveler state mutation ---------------------------------------
+    def _set_path(self, df: DataFrame, path: str, value: Column) -> DataFrame:
+        """Set a value at a field path on current (or a mark) —
+        ``ValueSet`` (``processors.go:812-830``)."""
+        ns, rel = fieldpath.split_namespace(path)
+        segs = fieldpath.parse_segments(rel)
+        names = [s.name for s in segs]
+        if ns == CURRENT_NS:
+            if names[0] != "data":
+                if len(names) == 1 and names[0] in ("gid", "label", "src", "dst"):
+                    return df.withColumn(names[0], value.cast("string"))
+                raise CompileError(f"cannot set {path}")
+            if len(names) == 1:
+                raise CompileError("cannot replace whole data")
+            new_data = _with_nested_field(F.col("data"), names[1:], value)
+            return df.withColumn("data", new_data)
+        mcol = f"_mark_{ns}"
+        if mcol not in df.columns:
+            raise CompileError(f"unknown mark: {ns}")
+        if names[0] != "data":
+            raise CompileError(f"cannot set {path}")
+        new_mark = _with_nested_field(
+            F.col(mcol), ["data"] + names[1:], value
+        )
+        return df.withColumn(mcol, new_mark)
+
+    def _st_set(self, df, arg):
+        return self._set_path(df, arg["key"], F.lit(arg["value"]))
+
+    def _st_increment(self, df, arg):
+        col, dtype = self._resolve(df, arg["key"])
+        base = as_double(col, dtype)
+        newv = F.coalesce(base, F.lit(0.0)) + F.lit(float(arg.get("value", 1)))
+        return self._set_path(df, arg["key"], newv)
+
+    # -- aggregation ----------------------------------------------------
+    def _st_aggregate(self, df, arg):
+        aggs = arg["aggregations"] if isinstance(arg, dict) else list(arg)
+        self.result_kind = "aggregation"
+        if len(aggs) > 1:
+            df = df.persist()
+        plans = [self._one_agg(df, a) for a in aggs]
+        out = plans[0]
+        for p in plans[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _one_agg(self, df: DataFrame, agg: dict) -> DataFrame:
+        name = agg["name"]
+        if "term" in agg:
+            return self._agg_term(df, name, agg["term"])
+        if "histogram" in agg:
+            return self._agg_histogram(df, name, agg["histogram"])
+        if "percentile" in agg:
+            return self._agg_percentile(df, name, agg["percentile"])
+        if "field" in agg:
+            return self._agg_field(df, name, agg["field"])
+        if "type" in agg:
+            return self._agg_type(df, name, agg["type"])
+        if "count" in agg:
+            self.agg_key_types[name] = StringType()
+            return df.agg(
+                F.lit(name).alias("name"),
+                F.lit("count").alias("key"),
+                F.count(F.lit(1)).cast("double").alias("value"),
+            )
+        raise CompileError(f"unknown aggregation: {agg}")
+
+    def _agg_term(self, df, name, spec):
+        """Value→count; arrays/maps/nulls skipped; ``size`` caps terms
+        by descending count (``processors.go:980-1019``; the Mongo
+        translation sorts desc before limiting, ``mongo/compile.go:793-815``)."""
+        col, dtype = self._resolve(df, spec["field"])
+        self.agg_key_types[name] = dtype
+        if isinstance(dtype, (ArrayType, MapType, StructType, NullType)):
+            return _empty_agg(df, name)
+        out = (
+            df.select(col.alias("_k"))
+            .filter(F.col("_k").isNotNull())
+            .groupBy("_k")
+            .agg(F.count(F.lit(1)).cast("double").alias("value"))
+            .select(
+                F.lit(name).alias("name"),
+                F.col("_k").cast("string").alias("key"),
+                F.col("value"),
+            )
+        )
+        size = spec.get("size")
+        if size:
+            out = out.orderBy(F.col("value").desc()).limit(int(size))
+        return out
+
+    def _agg_histogram(self, df, name, spec):
+        """floor(x/i)*i buckets including empty ones from the floored min
+        to the max (``processors.go:1021-1065``).  Bucket range generated
+        with ``sequence`` — no driver round-trip."""
+        interval = spec["interval"]
+        col, dtype = self._resolve(df, spec["field"])
+        self.agg_key_types[name] = NumericType()
+        v = as_double(col, dtype)
+        src = df.select(v.alias("_v")).filter(F.col("_v").isNotNull())
+        bucket = (F.floor(F.col("_v") / interval) * interval).cast("long")
+        counts = src.groupBy(bucket.alias("_b")).agg(F.count(F.lit(1)).cast("double").alias("value"))
+        rng = src.agg(
+            (F.floor(F.min("_v") / interval) * interval).cast("long").alias("_lo"),
+            F.floor(F.max("_v")).cast("long").alias("_hi"),
+        )
+        buckets = rng.select(
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"), F.lit(int(interval)))).alias("_b")
+        )
+        return (
+            buckets.join(counts, "_b", "left")
+            .select(
+                F.lit(name).alias("name"),
+                F.col("_b").cast("string").alias("key"),
+                F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+            )
+        )
+
+    def _agg_percentile(self, df, name, spec):
+        """Approximate percentiles — ``percentile_approx`` stands in for
+        the reference's t-digest (``processors.go:1067-1091``;
+        conformance tolerance is ±15%, ``ot_aggregations.py:110-118``)."""
+        percents = list(spec.get("percents", [1, 5, 25, 50, 75, 95, 99]))
+        col, dtype = self._resolve(df, spec["field"])
+        self.agg_key_types[name] = NumericType()
+        v = as_double(col, dtype)
+        agg = df.select(v.alias("_v")).filter(F.col("_v").isNotNull()).agg(
+            F.percentile_approx("_v", [p / 100.0 for p in percents]).alias("_q")
+        )
+        pairs = F.arrays_zip(
+            F.array(*[F.lit(float(p)) for p in percents]).alias("p"),
+            F.col("_q").alias("q"),
+        )
+        return agg.select(F.explode(pairs).alias("_pq")).select(
+            F.lit(name).alias("name"),
+            F.col("_pq.p").cast("string").alias("key"),
+            F.col("_pq.q").cast("double").alias("value"),
+        )
+
+    def _agg_field(self, df, name, spec):
+        """Count occurrences of each property key at a path
+        (``processors.go:1093-1109``) — one explode pass, no per-field
+        scans."""
+        col, dtype = self._resolve(df, spec["field"])
+        self.agg_key_types[name] = StringType()
+        if isinstance(dtype, StructType):
+            kv = F.array(
+                *[F.when(col.getField(f.name).isNotNull(), F.lit(f.name)) for f in dtype.fields]
+            )
+        elif isinstance(dtype, MapType):
+            kv = F.map_keys(col)
+        else:
+            return _empty_agg(df, name)
+        return (
+            df.select(F.explode(kv).alias("_k"))
+            .filter(F.col("_k").isNotNull())
+            .groupBy("_k")
+            .agg(F.count(F.lit(1)).cast("double").alias("value"))
+            .select(F.lit(name).alias("name"), F.col("_k").alias("key"), F.col("value"))
+        )
+
+    def _agg_type(self, df, name, spec):
+        """Count runtime type names at a path (``processors.go:1111-1124``,
+        type sniff ``gripql/schema.go:25-38``)."""
+        col, dtype = self._resolve(df, spec["field"])
+        self.agg_key_types[name] = StringType()
+        tname = _grip_type_col(col, dtype)
+        return (
+            df.select(tname.alias("_k"))
+            .filter(F.col("_k").isNotNull())
+            .groupBy("_k")
+            .agg(F.count(F.lit(1)).cast("double").alias("value"))
+            .select(F.lit(name).alias("name"), F.col("_k").alias("key"), F.col("value"))
+        )
+
+    # -- control flow (mark/jump): driver-side BFS loop -----------------
+    def _plan_with_jump(self, stmts: list[dict]) -> DataFrame:
+        """``mark``/``jump`` cyclic dataflow → driver iteration
+        (``engine/logic/jump.go:14-191`` → BFS/Pregel pattern).
+
+        Splits the pipeline at the mark and its jump; iterates the body
+        until no traveler satisfies the jump condition, checkpointing per
+        iteration to cut lineage.  Emit semantics: when ``emit`` is set a
+        copy continues downstream on every jump evaluation; travelers
+        failing the condition always continue downstream.
+        """
+        mark_idx = next(i for i, s in enumerate(stmts) if _stmt_key(s) == "mark")
+        mark_name = stmts[mark_idx]["mark"]
+        jump_idx = next(
+            i
+            for i, s in enumerate(stmts)
+            if _stmt_key(s) == "jump" and s["jump"]["mark"] == mark_name
+        )
+        if jump_idx < mark_idx:
+            raise CompileError("jump before its mark is not supported")
+        pre, body = stmts[:mark_idx], stmts[mark_idx + 1 : jump_idx]
+        jump = stmts[jump_idx]["jump"]
+        post = stmts[jump_idx + 1 :]
+        cond_expr, emit = jump.get("expression"), bool(jump.get("emit"))
+
+        frontier = self._plan_linear(pre) if pre else None
+        if frontier is None:
+            raise CompileError("mark/jump requires a source before the mark")
+
+        limit_n = _downstream_limit(post)
+        emitted: DataFrame | None = None
+        emitted_rows = 0
+        for _ in range(MAX_JUMP_ITERATIONS):
+            out = frontier
+            for s in body:
+                out = self._apply(out, s)
+            out = out.localCheckpoint(eager=True)
+            if cond_expr is None:
+                loop_c = F.lit(True)
+            else:
+                loop_c = compile_has(self._viewer(out), cond_expr)
+            down = out.filter(~loop_c) if cond_expr is not None else out.limit(0)
+            if emit:
+                down = out  # copy of everything continues downstream
+            emitted = down if emitted is None else emitted.unionByName(down)
+            if limit_n is not None:
+                emitted_rows += down.count()
+                if emitted_rows >= limit_n:
+                    break
+            frontier = out.filter(loop_c)
+            if frontier.isEmpty():
+                break
+        else:
+            if limit_n is None:
+                raise CompileError(
+                    f"jump loop exceeded {MAX_JUMP_ITERATIONS} iterations without terminating"
+                )
+        df = emitted
+        for s in post:
+            df = self._apply(df, s)
+        return df
+
+
+def _downstream_limit(post: list[dict]) -> int | None:
+    for s in post:
+        if _stmt_key(s) == "limit":
+            return int(s["limit"])
+    return None
+
+
+def _empty_agg(df: DataFrame, name: str) -> DataFrame:
+    return df.limit(0).select(
+        F.lit(name).alias("name"), F.lit("").alias("key"), F.lit(0.0).alias("value")
+    )
+
+
+def _grip_type_col(col: Column, dtype: DataType) -> Column:
+    """GRIP runtime type enum of a value (``gripql/schema.go:25-38``)."""
+    if isinstance(dtype, NullType):
+        return F.lit(None).cast("string")
+    if isinstance(dtype, NumericType):
+        return F.when(col.isNotNull(), F.lit("NUMERIC"))
+    if isinstance(dtype, BooleanType):
+        return F.when(col.isNotNull(), F.lit("BOOL"))
+    if isinstance(dtype, StringType):
+        # a string column may hold JSON-numeric originals only when the
+        # source schema was ragged; treat parseable numbers as NUMERIC
+        return F.when(
+            col.isNotNull(),
+            F.when(col.try_cast("double").isNotNull(), F.lit("NUMERIC")).otherwise(F.lit("STRING")),
+        )
+    return F.when(col.isNotNull(), F.lit("UNKNOWN"))
+
+
+def _with_nested_field(base: Column, names: list[str], value: Column) -> Column:
+    """withField through a dotted path: data.a.b = value."""
+    if len(names) == 1:
+        return base.withField(names[0], value)
+    inner = base.getField(names[0])
+    return base.withField(names[0], _with_nested_field(inner, names[1:], value))
+
+
+def _stmt_key(stmt: dict) -> str:
+    (k,) = stmt.keys()
+    return k

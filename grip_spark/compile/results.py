@@ -1,0 +1,101 @@
+"""DataFrame rows → GRIP result shapes.
+
+Mirrors the reference's traveler→protobuf conversion
+(``engine/pipeline/pipes.go:118-243``): vertex/edge rows become
+``{gid, label, data}`` dicts (edges add ``from``/``to``), count →
+``{"count": n}``, aggregations → ``{"name", "key", "value"}`` buckets,
+select → ``{mark: element}``, render → the rendered value, path → the
+path list.
+
+``data`` structs drop NULL-valued fields on conversion: our typed
+union schema materializes every observed field for every row, while the
+reference's schemaless documents simply omit absent fields.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+
+def _clean(value: Any) -> Any:
+    """Recursively drop None-valued struct fields (absent in GRIP docs)."""
+    if isinstance(value, dict):
+        return {k: _clean(v) for k, v in value.items() if v is not None}
+    if isinstance(value, list):
+        return [_clean(v) for v in value]
+    return value
+
+
+def element_dict(row_or_struct) -> dict | None:
+    if row_or_struct is None:
+        return None
+    d = row_or_struct.asDict(recursive=True)
+    out = {"gid": d.get("gid"), "label": d.get("label")}
+    if out["gid"] is None and out["label"] is None:
+        # null traveler from outNull/inNull (gdbi/traveler.go:199-224)
+        return {"gid": "", "label": "", "data": {}}
+    if d.get("src") is not None or d.get("dst") is not None or "src" in d:
+        if "src" in d:
+            out["from"] = d.get("src")
+            out["to"] = d.get("dst")
+    out["data"] = _clean(d.get("data") or {})
+    return out
+
+
+def _agg_key(key: str, dtype) -> Any:
+    from pyspark.sql.types import BooleanType, NumericType
+
+    if key is None:
+        return key
+    if isinstance(dtype, NumericType):
+        try:
+            f = float(key)
+            return int(f) if f.is_integer() else f
+        except ValueError:
+            return key
+    if isinstance(dtype, BooleanType):
+        return key == "true"
+    return key
+
+
+def convert_rows(rows, kind: str, final_marks=None, agg_key_types=None) -> list:
+    if kind == "count":
+        return [{"count": rows[0]["count"] if rows else 0}]
+    if kind == "aggregation":
+        agg_key_types = agg_key_types or {}
+        out = []
+        for r in rows:
+            dtype = agg_key_types.get(r["name"])
+            out.append({"name": r["name"], "key": _agg_key(r["key"], dtype), "value": r["value"]})
+        return out
+    if kind == "select":
+        out = []
+        for r in rows:
+            d = {}
+            for m in final_marks or []:
+                d[m] = element_dict(r[m])
+            out.append(d)
+        return out
+    if kind == "render":
+        return [_to_py(r["render"]) for r in rows]
+    if kind == "path":
+        out = []
+        for r in rows:
+            path = []
+            for entry in r["path"] or []:
+                e = entry.asDict()
+                path.append({"vertex": e["vertex"]} if e.get("vertex") is not None else {"edge": e["edge"]})
+            out.append(path)
+        return out
+    # vertex / edge rows
+    return [element_dict(r) for r in rows]
+
+
+def _to_py(v):
+    try:
+        d = v.asDict(recursive=True)
+        return _clean(d)
+    except AttributeError:
+        if isinstance(v, list):
+            return [_to_py(x) for x in v]
+        return v

@@ -1,0 +1,205 @@
+"""GripGraph — a property graph as two DataFrames.
+
+Data model (reference: ``gripql/gripql.proto:194-206``, relational
+projection ``psql/graphdb.go:93,107``):
+
+- ``vertices(gid string, label string, data struct<...>)``
+- ``edges(gid string, label string, src string, dst string, data struct<...>)``
+
+``src``/``dst`` are the reference's ``from``/``to`` (renamed — ``from``
+is a SQL keyword).  ``data`` is a typed nested struct inferred at load
+(union of observed fields) so Catalyst can prune/push down nested
+fields; the reference's schemaless protobuf ``Struct`` has no Spark-
+native equivalent that preserves pruning.
+
+Scale notes (100 TB design): vertices and edges are plain DataFrames —
+back them with parquet partitioned/bucketed by ``label`` (label
+predicate → partition pruning, the analog of the reference's label
+index ``kvgraph/index.go``) and bucketed by ``src`` for co-located
+adjacency joins (the analog of the ``s|``/``d|`` adjacency indexes,
+``kvgraph/keys.go:33-134``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StringType, StructType
+
+from grip_spark.traversal import Traversal
+
+VERTEX_COLS = ("gid", "label", "data")
+EDGE_COLS = ("gid", "label", "src", "dst", "data")
+
+
+def _empty_struct_col():
+    return F.struct().alias("data")
+
+
+class GripGraph:
+    """A named property graph over a pair of DataFrames."""
+
+    def __init__(self, vertices: DataFrame, edges: DataFrame, name: str = "graph"):
+        self.name = name
+        self.vertices = _normalize_vertices(vertices)
+        self.edges = _normalize_edges(edges)
+
+    # -- constructors --------------------------------------------------
+
+    @classmethod
+    def from_jsonl(
+        cls,
+        spark: SparkSession,
+        vertex_path: str,
+        edge_path: str,
+        name: str = "graph",
+    ) -> "GripGraph":
+        """Load the reference's bulk-load JSONL format
+        (``conformance/graphs/swapi.vertices`` style: one JSON object per
+        line with gid/label/from/to/data)."""
+        v = spark.read.json(vertex_path)
+        e = spark.read.json(edge_path)
+        e = _rename_endpoints(e)
+        return cls(v, e, name=name)
+
+    @classmethod
+    def from_parquet(
+        cls,
+        spark: SparkSession,
+        vertex_path: str,
+        edge_path: str,
+        name: str = "graph",
+    ) -> "GripGraph":
+        v = spark.read.parquet(vertex_path)
+        e = _rename_endpoints(spark.read.parquet(edge_path))
+        return cls(v, e, name=name)
+
+    # -- query ---------------------------------------------------------
+
+    def query(self) -> Traversal:
+        return Traversal(self)
+
+    def V(self, id=None) -> Traversal:
+        return self.query().V(id)
+
+    def E(self, id=None) -> Traversal:
+        return self.query().E(id)
+
+    # -- admin surface (thin counterparts of gripql.proto:425-503) -----
+
+    def listLabels(self) -> dict:
+        """Vertex + edge label inventory (``gripql.proto:476-481``)."""
+        v = [r[0] for r in self.vertices.select("label").distinct().collect()]
+        e = [r[0] for r in self.edges.select("label").distinct().collect()]
+        return {"vertex_labels": sorted(v), "edge_labels": sorted(e)}
+
+    def getVertex(self, gid: str) -> dict | None:
+        from grip_spark.compile.results import element_dict
+
+        rows = self.vertices.filter(F.col("gid") == gid).limit(1).collect()
+        return element_dict(rows[0]) if rows else None
+
+    def getEdge(self, gid: str) -> dict | None:
+        from grip_spark.compile.results import element_dict
+
+        rows = self.edges.filter(F.col("gid") == gid).limit(1).collect()
+        return element_dict(rows[0]) if rows else None
+
+    def addVertices(self, df: DataFrame) -> "GripGraph":
+        """Upsert vertices (last-wins by gid — ``kvgraph/graph.go``
+        AddVertex semantics).  Returns a new graph; DataFrames are
+        immutable."""
+        new = _normalize_vertices(df)
+        merged = _upsert(self.vertices, new)
+        return GripGraph(merged, self.edges, name=self.name)
+
+    def addEdges(self, df: DataFrame) -> "GripGraph":
+        new = _normalize_edges(_rename_endpoints(df))
+        merged = _upsert(self.edges, new)
+        return GripGraph(self.vertices, merged, name=self.name)
+
+    def deleteVertices(self, gids: list[str]) -> "GripGraph":
+        """Delete vertices and their incident edges (reference
+        ``kvgraph/graph.go`` DelVertex removes adjacency rows too)."""
+        v = self.vertices.filter(~F.col("gid").isin(gids))
+        e = self.edges.filter(~F.col("src").isin(gids) & ~F.col("dst").isin(gids))
+        return GripGraph(v, e, name=self.name)
+
+    def deleteEdges(self, gids: list[str]) -> "GripGraph":
+        return GripGraph(
+            self.vertices, self.edges.filter(~F.col("gid").isin(gids)), name=self.name
+        )
+
+    def sampleSchema(self, sample_n: int = 50) -> "GripGraph":
+        """Schema graph: one vertex per label with a merged sample of
+        properties; one edge per observed (fromLabel, label, toLabel)
+        triple.  Port of ``gdbi/schema/scanner.go:14-82`` expressed as
+        two aggregations instead of sampled traversals."""
+        v = (
+            self.vertices.groupBy("label")
+            .agg(F.first("data").alias("data"))
+            .select(F.col("label").alias("gid"), "label", "data")
+        )
+        vl = self.vertices.select("gid", F.col("label").alias("_vl"))
+        e = (
+            self.edges.alias("e")
+            .join(vl.alias("s"), F.col("e.src") == F.col("s.gid"))
+            .join(vl.alias("d"), F.col("e.dst") == F.col("d.gid"))
+            .select(
+                F.col("s._vl").alias("src"),
+                F.col("e.label").alias("label"),
+                F.col("d._vl").alias("dst"),
+            )
+            .distinct()
+            .withColumn("gid", F.concat_ws("--", "src", "label", "dst"))
+            .withColumn("data", F.struct())
+            .select("gid", "label", "src", "dst", "data")
+        )
+        return GripGraph(v, e, name=f"{self.name}__schema")
+
+    def cache(self) -> "GripGraph":
+        self.vertices.cache()
+        self.edges.cache()
+        return self
+
+
+def _rename_endpoints(e: DataFrame) -> DataFrame:
+    cols = set(e.columns)
+    if "from" in cols:
+        e = e.withColumnRenamed("from", "src")
+    if "to" in cols:
+        e = e.withColumnRenamed("to", "dst")
+    return e
+
+
+def _normalize_vertices(v: DataFrame) -> DataFrame:
+    return _normalize(v, VERTEX_COLS)
+
+
+def _normalize_edges(e: DataFrame) -> DataFrame:
+    return _normalize(e, EDGE_COLS)
+
+
+def _normalize(df: DataFrame, want: tuple) -> DataFrame:
+    cols = set(df.columns)
+    out = []
+    for c in want:
+        if c in cols:
+            if c == "data" and not isinstance(df.schema[c].dataType, StructType):
+                # tolerate data as map/json-string by leaving it as-is;
+                # struct is the fast path (nested pruning)
+                out.append(F.col(c))
+            else:
+                out.append(F.col(c))
+        elif c == "data":
+            out.append(_empty_struct_col())
+        else:
+            out.append(F.lit(None).cast(StringType()).alias(c))
+    return df.select(*out)
+
+
+def _upsert(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Last-wins merge by gid: keep old rows whose gid is absent in new.
+    Anti-join instead of window-dedup — no global sort, one shuffle."""
+    return old.join(new.select("gid"), on="gid", how="left_anti").unionByName(
+        new, allowMissingColumns=False
+    )

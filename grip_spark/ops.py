@@ -1,0 +1,112 @@
+"""Condition / aggregation helper builders (the GripQL client surface).
+
+Same wire dicts as the reference Python client
+(``gripql/python/gripql/operators.py`` and ``aggregations.py``), generated
+here rather than hand-written per function.  A condition is a dict
+``{"condition": {"key", "value", "condition": <ENUM>}}``; a boolean
+combinator wraps a list of expressions (``gripql/gripql.proto:128-161``).
+"""
+
+from __future__ import annotations
+
+
+def _cond(op: str, key: str, value) -> dict:
+    return {"condition": {"key": key, "value": value, "condition": op}}
+
+
+def and_(*expressions) -> dict:
+    return {"and": {"expressions": list(expressions)}}
+
+
+def or_(*expressions) -> dict:
+    return {"or": {"expressions": list(expressions)}}
+
+
+def not_(expression) -> dict:
+    return {"not": expression}
+
+
+def eq(key, value):
+    return _cond("EQ", key, value)
+
+
+def neq(key, value):
+    return _cond("NEQ", key, value)
+
+
+def gt(key, value):
+    return _cond("GT", key, value)
+
+
+def gte(key, value):
+    return _cond("GTE", key, value)
+
+
+def lt(key, value):
+    return _cond("LT", key, value)
+
+
+def lte(key, value):
+    return _cond("LTE", key, value)
+
+
+def inside(key, lower, upper):
+    return _cond("INSIDE", key, [lower, upper])
+
+
+def outside(key, lower, upper):
+    return _cond("OUTSIDE", key, [lower, upper])
+
+
+def between(key, lower, upper):
+    return _cond("BETWEEN", key, [lower, upper])
+
+
+def within(key, values):
+    if not isinstance(values, (list, dict)):
+        values = [values]
+    return _cond("WITHIN", key, values)
+
+
+def without(key, values):
+    if not isinstance(values, (list, dict)):
+        values = [values]
+    return _cond("WITHOUT", key, values)
+
+
+def contains(key, value):
+    return _cond("CONTAINS", key, value)
+
+
+# -- aggregation builders (reference: gripql/python/gripql/aggregations.py) --
+
+
+def term(name: str, field: str, size: int | None = None) -> dict:
+    t = {"field": field}
+    if size:
+        t["size"] = size
+    return {"name": name, "term": t}
+
+
+def histogram(name: str, field: str, interval) -> dict:
+    return {"name": name, "histogram": {"field": field, "interval": interval}}
+
+
+def percentile(name: str, field: str, percents=(1, 5, 25, 50, 75, 95, 99)) -> dict:
+    return {"name": name, "percentile": {"field": field, "percents": list(percents)}}
+
+
+def field(name: str, field_: str) -> dict:
+    return {"name": name, "field": {"field": field_}}
+
+
+def type_(name: str, field_: str | None = None) -> dict:
+    return {"name": name, "type": {"field": field_ if field_ is not None else name}}
+
+
+# alias matching the reference client (shadows builtin)
+type = type_  # noqa: A001
+
+
+def count(name: str) -> dict:
+    return {"name": name, "count": {}}

@@ -1,0 +1,190 @@
+"""Immutable GripQL traversal builder.
+
+Mirrors the method surface of the reference Python client
+(``gripql/python/gripql/query.py:53-333``) but instead of POSTing the
+statement list to a server, ``to_df()`` compiles it to a Spark
+DataFrame plan via :mod:`grip_spark.compile.planner` and ``execute()``
+converts rows to GRIP result dicts (``engine/pipeline/pipes.go:118-243``
+shapes).
+
+The statement-list dict format is kept wire-compatible with the
+reference so its conformance tests translate 1:1.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import TYPE_CHECKING, Iterator
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame
+
+    from grip_spark.graph import GripGraph
+
+
+def _strlist(value) -> list[str]:
+    """Normalize an optional str-or-list arg (client ``_wrap_value``)."""
+    if value is None:
+        return []
+    if isinstance(value, str):
+        return [value]
+    if isinstance(value, (list, tuple)):
+        bad = [v for v in value if not isinstance(v, str)]
+        if bad:
+            raise TypeError(f"expected strings, got {bad!r}")
+        return list(value)
+    raise TypeError(f"expected str or list of str, got {type(value)}")
+
+
+class Traversal:
+    """A chain of GripQL statements bound to a :class:`GripGraph`."""
+
+    def __init__(self, graph: "GripGraph", stmts: list[dict] | None = None):
+        self.graph = graph
+        self.stmts: list[dict] = stmts or []
+
+    def _push(self, stmt: dict) -> "Traversal":
+        return Traversal(self.graph, self.stmts + [stmt])
+
+    # -- sources ------------------------------------------------------
+    def V(self, id=None) -> "Traversal":
+        """Start at all vertices, or the given gid(s)."""
+        return self._push({"v": _strlist(id)})
+
+    def E(self, id=None) -> "Traversal":
+        """Start at all edges, or the given gid(s)."""
+        return self._push({"e": _strlist(id)})
+
+    # -- adjacency ----------------------------------------------------
+    def out(self, label=None) -> "Traversal":
+        return self._push({"out": _strlist(label)})
+
+    def in_(self, label=None) -> "Traversal":
+        return self._push({"in": _strlist(label)})
+
+    def both(self, label=None) -> "Traversal":
+        return self._push({"both": _strlist(label)})
+
+    def outE(self, label=None) -> "Traversal":
+        return self._push({"outE": _strlist(label)})
+
+    def inE(self, label=None) -> "Traversal":
+        return self._push({"inE": _strlist(label)})
+
+    def bothE(self, label=None) -> "Traversal":
+        return self._push({"bothE": _strlist(label)})
+
+    def outNull(self, label=None) -> "Traversal":
+        return self._push({"outNull": _strlist(label)})
+
+    def inNull(self, label=None) -> "Traversal":
+        return self._push({"inNull": _strlist(label)})
+
+    def outENull(self, label=None) -> "Traversal":
+        return self._push({"outENull": _strlist(label)})
+
+    def inENull(self, label=None) -> "Traversal":
+        return self._push({"inENull": _strlist(label)})
+
+    # aliases kept for client parity
+    outV = out
+    inV = in_
+    bothV = both
+
+    # -- filters ------------------------------------------------------
+    def has(self, expression: dict) -> "Traversal":
+        return self._push({"has": expression})
+
+    def hasLabel(self, label) -> "Traversal":
+        return self._push({"hasLabel": _strlist(label)})
+
+    def hasId(self, id) -> "Traversal":
+        return self._push({"hasId": _strlist(id)})
+
+    def hasKey(self, key) -> "Traversal":
+        return self._push({"hasKey": _strlist(key)})
+
+    # -- pagination / dedup / count -----------------------------------
+    def limit(self, n: int) -> "Traversal":
+        return self._push({"limit": n})
+
+    def skip(self, n: int) -> "Traversal":
+        return self._push({"skip": n})
+
+    def range(self, start: int, stop: int) -> "Traversal":
+        return self._push({"range": {"start": start, "stop": stop}})
+
+    def count(self) -> "Traversal":
+        return self._push({"count": ""})
+
+    def distinct(self, props=None) -> "Traversal":
+        return self._push({"distinct": _strlist(props)})
+
+    # -- marks / projection -------------------------------------------
+    def as_(self, name: str) -> "Traversal":
+        return self._push({"as": name})
+
+    def select(self, marks) -> "Traversal":
+        return self._push({"select": {"marks": _strlist(marks)}})
+
+    def fields(self, field=None) -> "Traversal":
+        return self._push({"fields": _strlist(field)})
+
+    def render(self, template) -> "Traversal":
+        return self._push({"render": template})
+
+    def path(self) -> "Traversal":
+        return self._push({"path": []})
+
+    def unwind(self, field: str) -> "Traversal":
+        return self._push({"unwind": field})
+
+    # -- mutation of traveler state -----------------------------------
+    def set(self, key: str, value) -> "Traversal":
+        return self._push({"set": {"key": key, "value": value}})
+
+    def increment(self, key: str, value=1) -> "Traversal":
+        return self._push({"increment": {"key": key, "value": value}})
+
+    # -- control flow --------------------------------------------------
+    def mark(self, name: str) -> "Traversal":
+        return self._push({"mark": name})
+
+    def jump(self, mark: str, expression=None, emit: bool = False) -> "Traversal":
+        return self._push({"jump": {"mark": mark, "expression": expression, "emit": emit}})
+
+    # -- aggregation ---------------------------------------------------
+    def aggregate(self, aggregations) -> "Traversal":
+        if isinstance(aggregations, dict):
+            aggregations = [aggregations]
+        return self._push({"aggregate": {"aggregations": list(aggregations)}})
+
+    # -- execution -----------------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps({"query": self.stmts})
+
+    def to_df(self) -> "DataFrame":
+        """Compile to a single lazy DataFrame plan (Catalyst executes)."""
+        from grip_spark.compile.planner import Planner
+
+        return Planner(self.graph).plan(self.stmts)
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.to_df().explain(mode)
+
+    def execute(self) -> list:
+        """Run and convert rows to GRIP result shapes (list of dicts)."""
+        from grip_spark.compile.planner import Planner
+        from grip_spark.compile.results import convert_rows
+
+        planner = Planner(self.graph)
+        df = planner.plan(self.stmts)
+        return convert_rows(
+            df.collect(), planner.result_kind, planner.final_marks, planner.agg_key_types
+        )
+
+    def __iter__(self) -> Iterator:
+        return iter(self.execute())
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Traversal({json.dumps(self.stmts)})"

@@ -1,0 +1,35 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SWAPI_V = "/root/reference/conformance/graphs/swapi.vertices"
+SWAPI_E = "/root/reference/conformance/graphs/swapi.edges"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("grip_spark-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def swapi(spark):
+    from grip_spark import GripGraph
+
+    g = GripGraph.from_jsonl(spark, SWAPI_V, SWAPI_E, name="swapi")
+    g.cache()
+    return g

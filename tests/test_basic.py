@@ -1,0 +1,114 @@
+"""Port of conformance ot_basic.py / ot_count.py goldens (SWAPI graph).
+
+Reference: /root/reference/conformance/tests/ot_basic.py — golden
+counts are hard-coded there against the 39-vertex / 144-edge fixture.
+"""
+
+
+def gids(results):
+    return [r["gid"] for r in results]
+
+
+def test_get_vertex(swapi):
+    v = swapi.getVertex("Character:1")
+    assert v["gid"] == "Character:1"
+    assert v["label"] == "Character"
+    assert v["data"]["name"] == "Luke Skywalker"
+    assert v["data"]["height"] == 172
+    assert v["data"]["system"]["created"] == "2014-12-09T13:50:51.644000Z"
+    assert swapi.getVertex("i-dont-exist") is None
+
+
+def test_get_edge(swapi):
+    e = swapi.getEdge("Film:1-characters-Character:1")
+    assert e["label"] == "characters"
+    assert e["from"] == "Film:1"
+    assert e["to"] == "Character:1"
+    assert e["data"] == {}
+
+
+def test_V(swapi):
+    assert len(swapi.query().V().execute()) == 39
+    res = swapi.query().V("Character:1").execute()
+    assert gids(res) == ["Character:1"]
+
+
+def test_E(swapi):
+    assert len(swapi.query().E().execute()) == 144
+    res = swapi.query().E("Film:1-characters-Character:1").execute()
+    assert gids(res) == ["Film:1-characters-Character:1"]
+
+
+def test_outgoing(swapi):
+    res = gids(swapi.query().V("Starship:12").out().execute())
+    assert len(res) == 5
+    assert set(res) <= {"Character:1", "Character:18", "Character:19", "Character:9", "Film:1"}
+
+    res = gids(swapi.query().V("Starship:12").out("pilots").execute())
+    assert len(res) == 4
+
+    res = gids(swapi.query().E("Film:1-characters-Character:1").out().execute())
+    assert res == ["Character:1"]
+
+
+def test_incoming(swapi):
+    assert len(swapi.query().V("Starship:12").in_().execute()) == 5
+    assert len(swapi.query().V("Starship:12").in_("starships").execute()) == 5
+    assert len(swapi.query().V("Starship:12").in_("pilots").execute()) == 0
+    res = gids(swapi.query().E("Film:1-characters-Character:1").in_().execute())
+    assert res == ["Film:1"]
+
+
+def test_outgoing_edge(swapi):
+    assert swapi.query().V("Character:1").outE().count().execute()[0]["count"] == 4
+    for e in swapi.query().V("Character:1").outE().execute():
+        assert e["gid"].startswith("Character:1")
+    for v in swapi.query().V("Character:1").outE().out().execute():
+        assert v["gid"] in ["Film:1", "Planet:1", "Species:1", "Starship:12"]
+    assert swapi.query().V("Character:1").outE("homeworld").count().execute()[0]["count"] == 1
+
+
+def test_incoming_edge(swapi):
+    assert swapi.query().V("Character:1").inE().count().execute()[0]["count"] == 4
+    for e in swapi.query().V("Character:1").inE().execute():
+        assert e["gid"].endswith("Character:1")
+    assert swapi.query().V("Character:1").inE("residents").count().execute()[0]["count"] == 1
+
+
+def test_in_out_equal(swapi):
+    n_out = len(swapi.query().V().out().execute())
+    n_in = len(swapi.query().V().in_().execute())
+    assert n_out == n_in == 144
+
+
+def test_both(swapi):
+    assert len(swapi.query().V("Starship:12").both().execute()) == 10
+    assert len(swapi.query().V("Starship:12").both(["pilots", "starships"]).execute()) == 9
+
+
+def test_count(swapi):
+    assert swapi.query().V().count().execute()[0]["count"] == 39
+    assert swapi.query().E().count().execute()[0]["count"] == 144
+    assert swapi.query().V().hasLabel("Character").count().execute()[0]["count"] == 18
+
+
+def test_limit_skip_range(swapi):
+    assert len(swapi.query().V().limit(5).execute()) == 5
+    assert len(swapi.query().V().skip(5).execute()) == 34
+    assert len(swapi.query().V().range(5, 10).execute()) == 5
+    assert len(swapi.query().V().range(35, -1).execute()) == 4
+
+
+def test_render_edge_identity(swapi):
+    for row in (
+        swapi.query()
+        .V()
+        .as_("a")
+        .outE()
+        .as_("b")
+        .render(["$a._gid", "$b._from", "$b._to", "$b._gid"])
+        .execute()
+    ):
+        assert row[0] == row[1]
+        assert row[1] != row[2]
+        assert row[3].startswith(row[0])
