@@ -88,15 +88,74 @@ class Planner:
         if first not in ("v", "e"):
             raise CompileError("first statement must be V() or E()")
         self.track_path = any(_stmt_key(s) == "path" for s in stmts)
+        return self._plan_seq(None, stmts, at_start=True)
 
-        if any(_stmt_key(s) == "mark" for s in stmts):
-            return self._plan_with_jump(stmts)
-        return self._plan_linear(stmts)
+    def _plan_seq(self, df: DataFrame | None, stmts: list[dict], at_start: bool = False) -> DataFrame:
+        """Process a statement sequence, handling ``mark``/``jump``
+        control flow (``engine/logic/jump.go:14-191``, wiring
+        ``engine/pipeline/pipes.go:27-45``):
 
-    def _plan_linear(self, stmts: list[dict]) -> DataFrame:
-        df: DataFrame | None = None
-        for i, stmt in enumerate(stmts):
-            df = self._apply(df, stmt, is_first=(i == 0))
+        - ``mark`` with a *later* jump targeting it → driver-side loop
+          (cyclic dataflow on an acyclic engine — BFS/Pregel pattern).
+        - ``mark`` with no later jump → pass-through (it may be the
+          target of an earlier forward jump, or unmatched — JumpMark
+          with no jump inputs forwards travelers unchanged).
+        - ``jump`` whose mark is *later* → forward bypass: travelers
+          matching the condition skip straight to the mark; if ``emit``
+          a copy of every traveler also continues through the
+          intervening statements (conformance ``ot_repeat.test_forward``).
+        """
+        i = 0
+        while i < len(stmts):
+            stmt = stmts[i]
+            key = _stmt_key(stmt)
+            if key == "mark":
+                name = stmt["mark"]
+                jidx = _find_jump(stmts, i + 1, name)
+                if jidx is None:
+                    i += 1
+                    continue
+                if _find_jump(stmts, jidx + 1, name) is not None:
+                    raise CompileError(
+                        f"multiple jumps target mark {name!r}; only one supported"
+                    )
+                if df is None:
+                    raise CompileError("mark/jump requires a source before the mark")
+                body = stmts[i + 1 : jidx]
+                df = self._loop(df, body, stmts[jidx]["jump"], stmts[jidx + 1 :])
+                i = jidx + 1
+                continue
+            if key == "jump":
+                name = stmt["jump"]["mark"]
+                midx = next(
+                    (
+                        j
+                        for j in range(i + 1, len(stmts))
+                        if _stmt_key(stmts[j]) == "mark" and stmts[j]["mark"] == name
+                    ),
+                    None,
+                )
+                if midx is None:
+                    raise CompileError(f"jump targets unknown mark: {name!r}")
+                cond_expr = stmt["jump"].get("expression")
+                emit = bool(stmt["jump"].get("emit"))
+                bypass = (
+                    df.filter(compile_has(self._viewer(df), cond_expr))
+                    if cond_expr is not None
+                    else df
+                )
+                cont = df if emit else df.limit(0)
+                saved_type = self.elem_type
+                cont = self._plan_seq(cont, stmts[i + 1 : midx])
+                if self.elem_type != saved_type:
+                    raise CompileError(
+                        "forward jump requires matching element types at the mark"
+                    )
+                df = cont.unionByName(bypass)
+                i = midx + 1
+                continue
+            df = self._apply(df, stmt, is_first=(at_start and i == 0))
+            i += 1
         return df
 
     # -- statement dispatch --------------------------------------------
@@ -622,73 +681,70 @@ class Planner:
         )
 
     # -- control flow (mark/jump): driver-side BFS loop -----------------
-    def _plan_with_jump(self, stmts: list[dict]) -> DataFrame:
-        """``mark``/``jump`` cyclic dataflow → driver iteration
-        (``engine/logic/jump.go:14-191`` → BFS/Pregel pattern).
+    def _loop(self, frontier: DataFrame, body: list[dict], jump: dict, post: list[dict]) -> DataFrame:
+        """Backward jump → driver iteration (``engine/logic/jump.go:137-191``
+        → BFS/Pregel pattern).
 
-        Splits the pipeline at the mark and its jump; iterates the body
-        until no traveler satisfies the jump condition, checkpointing per
-        iteration to cut lineage.  Emit semantics: when ``emit`` is set a
-        copy continues downstream on every jump evaluation; travelers
-        failing the condition always continue downstream.
+        Per ``Jump.Process``: a traveler matching the condition (or
+        condition ``None``) is sent back to the mark; **only** when
+        ``emit`` is set does a copy continue downstream — non-matching
+        travelers without ``emit`` are dropped.
+
+        Per iteration: one checkpoint action (reliable ``checkpoint()``
+        when a checkpoint dir is configured — survives executor loss at
+        scale — else ``localCheckpoint``) plus one aggregate action
+        computing continue/total counts in a single pass.  The emitted
+        stream accumulates as a union of checkpointed iterations.
         """
-        mark_idx = next(i for i, s in enumerate(stmts) if _stmt_key(s) == "mark")
-        mark_name = stmts[mark_idx]["mark"]
-        jump_idx = next(
-            i
-            for i, s in enumerate(stmts)
-            if _stmt_key(s) == "jump" and s["jump"]["mark"] == mark_name
-        )
-        if jump_idx < mark_idx:
-            raise CompileError("jump before its mark is not supported")
-        pre, body = stmts[:mark_idx], stmts[mark_idx + 1 : jump_idx]
-        jump = stmts[jump_idx]["jump"]
-        post = stmts[jump_idx + 1 :]
         cond_expr, emit = jump.get("expression"), bool(jump.get("emit"))
+        limit_n = None
+        if post and _stmt_key(post[0]) == "limit":
+            # early exit only when limit() directly follows the jump —
+            # an intervening filter could still reject rows (so raw
+            # emitted counts would overestimate; ADVICE r1).
+            limit_n = int(post[0]["limit"])
 
-        frontier = self._plan_linear(pre) if pre else None
-        if frontier is None:
-            raise CompileError("mark/jump requires a source before the mark")
-
-        limit_n = _downstream_limit(post)
+        use_reliable = frontier.sparkSession.sparkContext.getCheckpointDir() is not None
         emitted: DataFrame | None = None
         emitted_rows = 0
         for _ in range(MAX_JUMP_ITERATIONS):
-            out = frontier
-            for s in body:
-                out = self._apply(out, s)
-            out = out.localCheckpoint(eager=True)
+            out = self._plan_seq(frontier, body)
+            out = out.checkpoint(eager=True) if use_reliable else out.localCheckpoint(eager=True)
             if cond_expr is None:
                 loop_c = F.lit(True)
             else:
                 loop_c = compile_has(self._viewer(out), cond_expr)
-            down = out.filter(~loop_c) if cond_expr is not None else out.limit(0)
-            if emit:
-                down = out  # copy of everything continues downstream
+            down = out if emit else out.limit(0)
             emitted = down if emitted is None else emitted.unionByName(down)
-            if limit_n is not None:
-                emitted_rows += down.count()
+            stats = out.select(
+                F.sum(F.when(loop_c, 1).otherwise(0)).alias("cont"),
+                F.count(F.lit(1)).alias("total"),
+            ).first()
+            n_cont = stats["cont"] or 0
+            if emit and limit_n is not None:
+                emitted_rows += stats["total"]
                 if emitted_rows >= limit_n:
                     break
-            frontier = out.filter(loop_c)
-            if frontier.isEmpty():
+            if n_cont == 0:
                 break
+            frontier = out.filter(loop_c)
         else:
             if limit_n is None:
                 raise CompileError(
                     f"jump loop exceeded {MAX_JUMP_ITERATIONS} iterations without terminating"
                 )
-        df = emitted
-        for s in post:
-            df = self._apply(df, s)
-        return df
+        return emitted
 
 
-def _downstream_limit(post: list[dict]) -> int | None:
-    for s in post:
-        if _stmt_key(s) == "limit":
-            return int(s["limit"])
-    return None
+def _find_jump(stmts: list[dict], start: int, mark_name: str) -> int | None:
+    return next(
+        (
+            j
+            for j in range(start, len(stmts))
+            if _stmt_key(stmts[j]) == "jump" and stmts[j]["jump"]["mark"] == mark_name
+        ),
+        None,
+    )
 
 
 def _empty_agg(df: DataFrame, name: str) -> DataFrame:

@@ -1,0 +1,115 @@
+"""Port of conformance ot_repeat.py (mark/jump loops + forward jump).
+
+Reference: /root/reference/conformance/tests/ot_repeat.py — goldens
+4 / 11786 (cycles), 18 / 52 (forward jump), 100 (infinite+limit).
+"""
+
+from grip_spark import ops
+
+
+def test_repeat(swapi):
+    q = (
+        swapi.query()
+        .V("Character:1")
+        .set("count", 0)
+        .as_("start")
+        .mark("a")
+        .out()
+        .increment("$start.count")
+        .has(ops.lt("$start.count", 2))
+        .jump("a", None, True)
+    )
+    assert len(q.execute()) == 4
+
+
+def test_repeat_deep(swapi):
+    q = (
+        swapi.query()
+        .V()
+        .set("count", 0)
+        .as_("start")
+        .mark("a")
+        .increment("$start.count")
+        .has(ops.lt("$start.count", 4))
+        .out()
+        .jump("a", None, True)
+    )
+    assert len(q.execute()) == 11786
+
+
+def test_forward(swapi):
+    q = (
+        swapi.query()
+        .V()
+        .jump("skip", ops.eq("_label", "Character"), True)
+        .out()
+        .has(ops.eq("_label", "Character"))
+        .mark("skip")
+        .path()
+    )
+    count1 = count2 = 0
+    for row in q:
+        assert row[-1]["vertex"].startswith("Character:")
+        if len(row) == 1:
+            count1 += 1
+        if len(row) == 2:
+            count2 += 1
+    assert count1 == 18
+    assert count2 == 52
+
+
+def test_infinite(swapi):
+    q = swapi.query().V("Character:1").mark("a").out().jump("a", None, True).limit(100)
+    assert len(q.execute()) == 100
+
+
+def test_set(swapi):
+    q = swapi.query().V("Character:1").set("count", 0).as_("start").render("$start._data")
+    for row in q:
+        assert row["count"] == 0
+
+    q = (
+        swapi.query()
+        .V("Character:1")
+        .set("count", 0)
+        .as_("start")
+        .out()
+        .increment("$start.count")
+        .render("$start._data")
+    )
+    for row in q:
+        assert row["count"] == 1
+
+    q = (
+        swapi.query()
+        .V("Character:1")
+        .set("count", 0)
+        .as_("start")
+        .out()
+        .increment("$start.count")
+        .increment("$start.count")
+        .has(ops.gt("$start.count", 1.0))
+        .render("$start._data")
+    )
+    rows = list(q)
+    assert len(rows) == 4
+    for row in rows:
+        assert row["count"] == 2
+
+    q = (
+        swapi.query()
+        .V("Character:1")
+        .set("count", 0)
+        .increment("count", 2)
+        .as_("start")
+        .out()
+        .increment("$start.count")
+        .render("$start._data")
+    )
+    for row in q:
+        assert row["count"] == 3
+
+
+def test_unmatched_mark(swapi):
+    # a mark with no jump is a pass-through (JumpMark with no inputs)
+    assert len(swapi.query().V().mark("solo").execute()) == 39
