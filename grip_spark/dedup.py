@@ -1,0 +1,279 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Designed for 100 TB corpora:
+
+- **No all-pairs comparison anywhere.**  Near-dup candidate generation
+  is banded LSH (MinHash bands / SimHash chunks): the self-join key is
+  a band hash, so the shuffle is an equi-join on a high-cardinality key
+  and only near-identical documents ever meet.  An all-pairs cartesian
+  at 100 TB is ~10^18 comparisons; banding is linear in corpus size.
+- **Signatures are single-pass, shuffle-free column expressions** —
+  char-shingle → per-seed xxhash64 → array_min, all inside whole-stage
+  codegen.  No Python UDFs, no ML-pipeline fitting step.
+- Exact dedup is a hash-aggregate on the dedup key (one shuffle,
+  map-side partial aggregation).
+
+``ngram_jaccard_pairs`` is the *exact* verifier (explode + equi-join on
+shingles) — quadratic only within identical-shingle groups; use it to
+verify LSH candidates or as the small-scale oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def char_shingles(text: Column | str, n: int = 5) -> Column:
+    """Distinct character n-grams of a text column (shuffle-free)."""
+    c = F.col(text) if isinstance(text, str) else text
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, n)))
+
+
+def word_shingles(text: Column | str, n: int = 2) -> Column:
+    """Distinct word n-grams (space-joined) of a text column."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep one row per distinct ``cols`` tuple — the one with the
+    minimum ``id_col`` (deterministic winner).
+
+    One hash-aggregate shuffle (map-side combine) + a semi-join back to
+    recover full rows; no global sort, no window.
+    """
+    winners = df.groupBy(*cols).agg(F.min(id_col).alias(id_col))
+    return df.join(winners, on=[*cols, id_col], how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    text: Column | str, num_hashes: int = 64, shingle_n: int = 5
+) -> Column:
+    """MinHash signature (array<long>, length ``num_hashes``) of a text
+    column, computed in one pass with zero shuffles.
+
+    Hash family: ``xxhash64(seed_i, shingle)`` — Spark's built-in
+    64-bit xxHash seeded per-row with the family index (Broder 1997
+    min-wise permutation approximation).
+    """
+    sh = char_shingles(text, shingle_n)
+
+    def hasher(i: int):
+        # NB: closure, not a default-arg lambda — PySpark treats a
+        # 2-parameter callable passed to transform() as the
+        # (element, index) form, which would silently replace the
+        # family seed with the array index.
+        return lambda s: F.xxhash64(F.lit(i), s)
+
+    return F.array(
+        *[F.array_min(F.transform(sh, hasher(i))) for i in range(num_hashes)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    ``num_hashes`` is split into ``bands`` bands of ``num_hashes//bands``
+    rows; documents sharing any band hash become candidates (standard
+    S-curve: P(candidate) = 1-(1-j^r)^b).  With ``verify=True``
+    candidates are confirmed by exact shingle Jaccard >= threshold, so
+    the result has no false positives (only LSH recall loss).
+
+    Returns (a_id, b_id) with a_id < b_id, distinct.
+    """
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(text_col, num_hashes, shingle_n).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.lit(b), *[F.col("_sig")[b * r + j] for j in range(r)]).alias(
+                            "bh"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_b.band", "_b.bh")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("a_id"), F.col("r._id").alias("b_id"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    sh = df.select(
+        F.col(id_col).alias("_id"), char_shingles(text_col, shingle_n).alias("_sh")
+    )
+    a = sh.select(F.col("_id").alias("a_id"), F.col("_sh").alias("_sha"))
+    b = sh.select(F.col("_id").alias("b_id"), F.col("_sh").alias("_shb"))
+    joined = cand.join(a, "a_id").join(b, "b_id")
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size("_sha") + F.size("_shb") - inter
+    return (
+        joined.filter((inter / union) >= threshold)
+        .select("a_id", "b_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: Column | str, bits: int = 64) -> Column:
+    """SimHash (Charikar 2002) of the token set as a signed long.
+
+    Per-bit majority vote over token hashes, computed as ``bits``
+    aggregate-over-array expressions — shuffle-free, codegen-friendly.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.array_distinct(F.split(F.lower(F.trim(c)), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def voter(b: int):
+        # closure, not default-arg lambda (see minhash_signature)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(hashes, F.lit(0), voter(b))
+        out = out + F.when(
+            vote > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 64,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= ``max_hamming``.
+
+    Candidate generation by the pigeonhole trick: split the ``bits``-bit
+    hash into ``chunks`` chunks; any pair within hamming distance
+    ``chunks-1`` shares at least one exact chunk, so an equi-join per
+    chunk finds all such pairs without an all-pairs scan
+    (Manku et al., WWW 2007).  Requires ``max_hamming < chunks`` for
+    full recall; verified exactly with bit_count(xor).
+    """
+    if max_hamming >= chunks:
+        raise ValueError("need max_hamming < chunks for exact recall")
+    w = bits // chunks
+    sig = df.select(F.col(id_col).alias("_id"), simhash(text_col, bits).alias("_sim"))
+    banded = sig.select(
+        "_id",
+        "_sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("chunk"),
+                        F.shiftright(F.col("_sim"), k * w)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("ck"),
+                    )
+                    for k in range(chunks)
+                ]
+            )
+        ).alias("_c"),
+    ).select("_id", "_sim", "_c.chunk", "_c.ck")
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.ck") == F.col("r.ck"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("a_id"),
+            F.col("r._id").alias("b_id"),
+            F.bit_count(F.col("l._sim").bitwiseXOR(F.col("r._sim"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (oracle / verifier)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact character-n-gram Jaccard similarity pairs >= threshold.
+
+    Explode distinct shingles → equi-join on shingle → count
+    intersections → Jaccard.  Quadratic only within a shingle's
+    posting list — fine as a verifier / small-scale oracle; use
+    minhash_lsh_pairs as the scale path.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(char_shingles(text_col, n)).alias("g")
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    l, r = sh.alias("l"), sh.alias("r")
+    inter = (
+        l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l._id") < F.col("r._id")))
+        .groupBy(F.col("l._id").alias("a_id"), F.col("r._id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("_id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("_id").alias("b_id"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .filter((F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))) >= threshold)
+        .select("a_id", "b_id")
+    )

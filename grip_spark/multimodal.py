@@ -1,0 +1,127 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images / audio / video ride through the engine as ``binary`` columns
+with a typed metadata struct alongside — the payload is never parsed by
+Catalyst, so scans prune it unless a stage actually touches the bytes.
+
+Heavy per-item work (decode, resize, feature-extract, frame-sample)
+runs as Arrow-batched ``mapInPandas`` stages: the plumbing — schema
+contract, batch shape, partition behavior — is real and tested here;
+the actual codec calls are STUBBED because image/audio libraries are
+not in this container (each stub raises ``NotImplementedError`` unless
+the optional library imports, and ``*_meta`` variants compute real,
+deterministic byte-level features so the pipeline shape is testable).
+
+Scale notes: mapInPandas streams Arrow batches (no per-row pickling);
+binary payloads stay in the executor; repartition before decode to
+spread skewed payload sizes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+META_FIELDS = "byte_len bigint, sha1 string, magic string"
+
+
+def attach_binary(df: DataFrame, text_col: str = "text", bin_col: str = "payload") -> DataFrame:
+    """Deterministic fake payload for tests: the utf-8 bytes of a text
+    column.  Real pipelines read binary columns from parquet directly."""
+    return df.withColumn(bin_col, F.encode(F.col(text_col), "UTF-8"))
+
+
+def extract_meta(df: DataFrame, bin_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """Byte-level metadata via an Arrow-batched mapInPandas stage:
+    payload length, sha1, and the first-4-bytes magic (hex).
+
+    This is the real plumbing a decode stage uses — schema declared up
+    front, batch-wise pandas transform, id passthrough — with a
+    computation that needs no external codec.
+    """
+    import hashlib
+
+    schema = f"{id_col} bigint, {META_FIELDS}"
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payload = pdf[bin_col]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "byte_len": payload.map(lambda b: len(b) if b is not None else 0),
+                    "sha1": payload.map(
+                        lambda b: hashlib.sha1(bytes(b)).hexdigest() if b is not None else None
+                    ),
+                    "magic": payload.map(
+                        lambda b: bytes(b)[:4].hex() if b is not None else None
+                    ),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(_batches, schema=schema)
+
+
+def decode_image(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    target_size: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Decode (and optionally resize) images to (width, height, mode,
+    pixels).  STUB: requires Pillow, which is not in this container —
+    the mapInPandas wiring below is the production shape.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - no Pillow in container
+        raise NotImplementedError(
+            "decode_image needs Pillow; container has no image codecs. "
+            "The Spark-side plumbing (schema/batching) is extract_meta's."
+        ) from exc
+
+    import io
+
+    schema = f"{id_col} bigint, width int, height int, mode string"
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+        for pdf in it:
+            rows = []
+            for i, b in zip(pdf[id_col], pdf[bin_col]):
+                img = Image.open(io.BytesIO(bytes(b)))
+                if target_size:
+                    img = img.resize(target_size)
+                rows.append((i, img.width, img.height, img.mode))
+            yield pd.DataFrame(rows, columns=[id_col, "width", "height", "mode"])
+
+    return df.select(id_col, bin_col).mapInPandas(_batches, schema=schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    every_n: int = 30,
+) -> DataFrame:
+    """Sample every-nth video frame.  STUB: needs a video codec (none in
+    container).  Deterministic fake: emits one row per ``every_n``-byte
+    block boundary so batch-explosion plumbing (1 input row → N output
+    rows) is exercised for real."""
+    schema = f"{id_col} bigint, frame_idx int, frame_sha1 string"
+
+    import hashlib
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, out_idx, out_sha = [], [], []
+            for i, b in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(b) if b is not None else b""
+                for k, off in enumerate(range(0, len(raw), every_n)):
+                    out_ids.append(i)
+                    out_idx.append(k)
+                    out_sha.append(hashlib.sha1(raw[off : off + every_n]).hexdigest())
+            yield pd.DataFrame({id_col: out_ids, "frame_idx": out_idx, "frame_sha1": out_sha})
+
+    return df.select(id_col, bin_col).mapInPandas(_batches, schema=schema)

@@ -1,0 +1,180 @@
+"""Embedding similarity search: exact top-k + LSH-bucketed ANN.
+
+Scale design (100 TB / billions of vectors):
+
+- ``cosine_topk`` is the exact baseline: one narrow projection (dot
+  product via ``zip_with``+``aggregate`` — JVM-side, no Python) and a
+  ``TakeOrdered`` top-k (per-partition heaps + driver merge of k rows;
+  never a global sort).
+- ``ann_lsh_topk`` is the scale path: random-hyperplane LSH (Charikar
+  2002) assigns each vector a ``planes``-bit bucket; a query probes its
+  own bucket plus all hamming-1 neighbors (multi-probe), ranking only
+  the candidate partition — the scan is pruned by a pushed-down bucket
+  filter.  ``ann_index`` materializes the bucket column so a parquet
+  layout partitioned by bucket gives partition pruning on probe.
+- ``cosine_self_join_topk`` (all-vs-all k-NN) buckets both sides with
+  the same LSH so the join is an equi-join on bucket, not a cartesian.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _vec_lit(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<numeric> columns (JVM fold, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force cosine top-k against one query vector.
+
+    orderBy+limit compiles to TakeOrdered (per-partition top-k heaps,
+    no global sort/shuffle of the full table).
+    """
+    q = _vec_lit(query_vec)
+    return (
+        df.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH ANN
+# ---------------------------------------------------------------------------
+
+
+def _planes(dim: int, planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = sign-bit signature against the hyperplanes (int)."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        bucket = bucket + F.when(dot(vec_col, _vec_lit(p)) >= 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return bucket
+
+
+def ann_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    planes: int = 12,
+    seed: int = 7,
+    dim: int | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Attach the LSH bucket column.  At scale, write this out
+    partitioned by ``bucket`` so probes prune partitions."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    hp = _planes(dim, planes, seed)
+    return df.withColumn(bucket_col, lsh_bucket(F.col(vec_col), hp))
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    planes: int = 12,
+    seed: int = 7,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket (+ hamming-``h``
+    neighbor buckets), then exact-rank the candidates.
+
+    The bucket filter is an ``isin`` on a materializable column —
+    pushed down to the scan; candidate set is ~(1+planes)/2^planes of
+    the corpus instead of all of it.
+    """
+    dim = len(query_vec)
+    hp = _planes(dim, planes, seed)
+    qsig = 0
+    for i, p in enumerate(hp):
+        if sum(x * y for x, y in zip(query_vec, p)) >= 0:
+            qsig |= 1 << i
+    probe = {qsig}
+    frontier = {qsig}
+    for _ in range(multiprobe_hamming):
+        frontier = {s ^ (1 << i) for s in frontier for i in range(planes)}
+        probe |= frontier
+    q = _vec_lit(query_vec)
+    cand = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), hp)).filter(
+        F.col("_bucket").isin(list(probe))
+    )
+    return (
+        cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_self_join_topk(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    planes: int = 8,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """All-vs-all approximate k-NN: equi-join on LSH bucket (never a
+    cartesian), exact cosine within buckets, per-vector top-k via a
+    bucket-local window.  Embedding-cosine near-dup detection is this
+    with a similarity threshold filter on the result."""
+    from pyspark.sql.window import Window
+
+    b = ann_index(df, vec_col, planes=planes, seed=seed, dim=dim, bucket_col="_bucket")
+    l = b.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"), F.col("_bucket")
+    )
+    r = b.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"), F.col("_bucket")
+    )
+    pairs = l.join(r, ["_bucket"]).filter(F.col("a_id") != F.col("b_id"))
+    scored = pairs.select(
+        "a_id", "b_id", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim")
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("cos_sim").desc(), F.col("b_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

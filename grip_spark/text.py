@@ -1,0 +1,112 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure built-in-function column pipelines (JVM-side,
+whole-stage codegen) — no Python UDFs anywhere.  They compose as
+DataFrame transforms over a text column, the shape a 100 TB document
+corpus needs: narrow per-row transforms with no shuffle at all.
+
+The reference engine has no scalar-function surface (SURVEY §2.8);
+these extend the engine for the LLM-data-pipeline pillar of the brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny built-in stopword lists for the language-ID heuristic.  The
+# n-gram/stopword-hit approach follows the classic langid heuristics
+# (Cavnar & Trenkle 1994 n-gram categorization) in degenerate
+# word-unigram form; lists are deliberately tiny and public.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+    "de": ["der", "die", "und", "das", "von", "den", "ein", "mit", "ist", "im"],
+}
+
+ENGLISH_STOPWORDS = STOPWORDS["en"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of lower-cased, trimmed text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """Sub-word-ish tokens: word / number / punctuation runs (a
+    BPE-flavored regex pre-tokenizer, GPT-2 style)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"), 0)
+
+
+def token_count(df: DataFrame, text_col: str = "text", out_col: str = "n_tokens") -> DataFrame:
+    """Whitespace token count per row."""
+    return df.withColumn(out_col, F.size(tokens(text_col)))
+
+
+def char_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row character-class counts: total / alpha / upper / digit /
+    punct / whitespace."""
+    c = F.col(text_col)
+
+    def n_of(pattern: str) -> Column:
+        return F.length(F.regexp_replace(c, pattern, ""))
+
+    total = F.length(c)
+    return (
+        df.withColumn("n_chars_total", total)
+        .withColumn("n_alpha", total - n_of("[a-zA-Z]"))
+        .withColumn("n_upper", total - n_of("[A-Z]"))
+        .withColumn("n_digit", total - n_of("[0-9]"))
+        .withColumn("n_space", total - n_of(r"\s"))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", out_col: str = "quality") -> DataFrame:
+    """Heuristic document quality in [0,1]: blends alpha-character
+    ratio, mean word length sanity, and English stopword ratio
+    (Gopher/C4-style filter features, expressed as one column op)."""
+    c = F.col(text_col)
+    total = F.greatest(F.length(c), F.lit(1))
+    alpha_ratio = (F.length(c) - F.length(F.regexp_replace(c, "[a-zA-Z]", ""))) / total
+    toks = tokens(text_col)
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    mean_wl = F.length(F.regexp_replace(F.trim(c), r"\s+", "")) / n_toks
+    wl_sane = F.when((mean_wl >= 2) & (mean_wl <= 12), F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = F.array([F.lit(w) for w in ENGLISH_STOPWORDS])
+    sw_ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / n_toks
+    score = F.round(
+        alpha_ratio * 0.5 + wl_sane * 0.25 + F.least(sw_ratio * F.lit(5.0), F.lit(1.0)) * 0.25, 6
+    )
+    return df.withColumn(out_col, score)
+
+
+def stopword_hits(text_col: str, lang: str) -> Column:
+    """Count of tokens that are stopwords of ``lang`` (with duplicates)."""
+    sw = F.array([F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(text_col), lambda t: F.array_contains(sw, t)))
+
+
+def detect_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_guess") -> DataFrame:
+    """Stopword-hit language ID over {en,es,fr,de}; 'und' when no list
+    scores a hit.  Ties break by fixed language order (en,es,fr,de)."""
+    hits = {lang: stopword_hits(text_col, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    guess = F.when(best <= 0, F.lit("und"))
+    for lang in STOPWORDS:  # fixed iteration order = deterministic ties
+        guess = guess.when(hits[lang] == best, F.lit(lang))
+    return df.withColumn(out_col, guess)
+
+
+def normalize(text: Column | str) -> Column:
+    """Canonical text form for fingerprinting: lower, trim, collapse
+    runs of whitespace to single spaces."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    (Content-defined dedup key; pair with dedup.dedup_exact.)"""
+    return df.withColumn(out_col, F.md5(normalize(text_col).cast("binary")))

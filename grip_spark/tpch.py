@@ -1,0 +1,243 @@
+"""TPC-H-ish testdata → GripGraph property-graph mapping.
+
+Models the driver's synthetic star schema (TESTDATA.md) as a graph:
+
+Vertices (gid prefix → label):
+  ``r:`` Region, ``n:`` Nation, ``c:`` Customer, ``s:`` Supplier,
+  ``p:`` Part, ``o:`` Order — data struct carries the table's columns
+  (plus ``p_type_words``, the split p_type, for array-op coverage).
+
+Edges:
+  ``placed``      Customer → Order   (one per order)
+  ``contains``    Order → Part      (one per lineitem; data = l_* cols)
+  ``supplied``    Part → Supplier   (distinct (partkey, suppkey) pairs)
+  ``in_nation``   Customer|Supplier → Nation
+  ``in_region``   Nation → Region
+
+All vertex rows share one union ``data`` struct (absent fields are
+typed nulls) — the Spark rendering of GRIP's schemaless JSON ``data``
+(SURVEY §1.2): nested-field pruning still works, and ``hasKey`` has
+real absent-field semantics across labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from grip_spark.graph import GripGraph
+
+_CACHE: dict[tuple[int, str], GripGraph] = {}
+
+
+def _pack(df: DataFrame, gid, label: str, fields: dict, all_fields: dict) -> DataFrame:
+    """Project to (gid, label, data) with the union data-struct schema."""
+    cols = []
+    for name, dtype in all_fields.items():
+        if name in fields:
+            cols.append(fields[name].cast(dtype).alias(name))
+        else:
+            cols.append(F.lit(None).cast(dtype).alias(name))
+    return df.select(
+        gid.alias("gid"), F.lit(label).alias("label"), F.struct(*cols).alias("data")
+    )
+
+
+def _g(prefix: str, key) -> F.Column:
+    return F.concat(F.lit(prefix), key.cast("string"))
+
+
+def tpch_graph(spark: SparkSession, sf_dir: str) -> GripGraph:
+    """Build (and cache per sf_dir) the graph over the testdata tables."""
+    ck = (id(spark), sf_dir)
+    if ck in _CACHE:
+        return _CACHE[ck]
+
+    t = {
+        name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for name in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+    }
+
+    # -- vertices ------------------------------------------------------
+    vspecs = [
+        (t["region"], "Region", _g("r:", F.col("r_regionkey")), {"r_name": F.col("r_name")}),
+        (t["nation"], "Nation", _g("n:", F.col("n_nationkey")), {"n_name": F.col("n_name")}),
+        (
+            t["customer"],
+            "Customer",
+            _g("c:", F.col("c_custkey")),
+            {
+                "c_name": F.col("c_name"),
+                "c_acctbal": F.col("c_acctbal"),
+                "c_mktsegment": F.col("c_mktsegment"),
+            },
+        ),
+        (
+            t["supplier"],
+            "Supplier",
+            _g("s:", F.col("s_suppkey")),
+            {"s_name": F.col("s_name"), "s_acctbal": F.col("s_acctbal")},
+        ),
+        (
+            t["part"],
+            "Part",
+            _g("p:", F.col("p_partkey")),
+            {
+                "p_name": F.col("p_name"),
+                "p_brand": F.col("p_brand"),
+                "p_type": F.col("p_type"),
+                "p_size": F.col("p_size"),
+                "p_retailprice": F.col("p_retailprice"),
+                "p_type_words": F.split(F.col("p_type"), " "),
+            },
+        ),
+        (
+            t["orders"],
+            "Order",
+            _g("o:", F.col("o_orderkey")),
+            {
+                "o_orderstatus": F.col("o_orderstatus"),
+                "o_totalprice": F.col("o_totalprice"),
+                "o_orderpriority": F.col("o_orderpriority"),
+            },
+        ),
+    ]
+    vfields: dict[str, str] = {
+        "r_name": "string",
+        "n_name": "string",
+        "c_name": "string",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+        "s_name": "string",
+        "s_acctbal": "double",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int",
+        "p_retailprice": "double",
+        "p_type_words": "array<string>",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderpriority": "string",
+    }
+    vertices = None
+    for df, label, gid, fields in vspecs:
+        part = _pack(df, gid, label, fields, vfields)
+        vertices = part if vertices is None else vertices.unionByName(part)
+
+    # -- edges ---------------------------------------------------------
+    efields: dict[str, str] = {
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_returnflag": "string",
+        "l_linestatus": "string",
+    }
+
+    def epack(df, gid, label, src, dst, fields) -> DataFrame:
+        cols = []
+        for name, dtype in efields.items():
+            if name in fields:
+                cols.append(fields[name].cast(dtype).alias(name))
+            else:
+                cols.append(F.lit(None).cast(dtype).alias(name))
+        return df.select(
+            gid.alias("gid"),
+            F.lit(label).alias("label"),
+            src.alias("src"),
+            dst.alias("dst"),
+            F.struct(*cols).alias("data"),
+        )
+
+    li = t["lineitem"]
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    edges = (
+        epack(
+            t["orders"],
+            _g("pl:", F.col("o_orderkey")),
+            "placed",
+            _g("c:", F.col("o_custkey")),
+            _g("o:", F.col("o_orderkey")),
+            {},
+        )
+        .unionByName(
+            epack(
+                li,
+                F.concat(
+                    F.lit("li:"),
+                    F.col("l_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("l_linenumber").cast("string"),
+                ),
+                "contains",
+                _g("o:", F.col("l_orderkey")),
+                _g("p:", F.col("l_partkey")),
+                {k: F.col(k) for k in efields},
+            )
+        )
+        .unionByName(
+            epack(
+                ps,
+                F.concat(
+                    F.lit("ps:"),
+                    F.col("l_partkey").cast("string"),
+                    F.lit(":"),
+                    F.col("l_suppkey").cast("string"),
+                ),
+                "supplied",
+                _g("p:", F.col("l_partkey")),
+                _g("s:", F.col("l_suppkey")),
+                {},
+            )
+        )
+        .unionByName(
+            epack(
+                t["customer"],
+                _g("cn:", F.col("c_custkey")),
+                "in_nation",
+                _g("c:", F.col("c_custkey")),
+                _g("n:", F.col("c_nationkey")),
+                {},
+            )
+        )
+        .unionByName(
+            epack(
+                t["supplier"],
+                _g("sn:", F.col("s_suppkey")),
+                "in_nation",
+                _g("s:", F.col("s_suppkey")),
+                _g("n:", F.col("s_nationkey")),
+                {},
+            )
+        )
+        .unionByName(
+            epack(
+                t["nation"],
+                _g("nr:", F.col("n_nationkey")),
+                "in_region",
+                _g("n:", F.col("n_nationkey")),
+                _g("r:", F.col("n_regionkey")),
+                {},
+            )
+        )
+    )
+
+    g = GripGraph(vertices, edges, name=f"tpch:{sf_dir}")
+    g.cache()
+    _CACHE[ck] = g
+    return g
+
+
+# The same mapping in DuckDB SQL, for oracle queries that need the
+# graph's union-vertex view rather than a raw table.
+ORACLE_V_COUNT = (
+    "(SELECT count(*) FROM region) + (SELECT count(*) FROM nation) + "
+    "(SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) + "
+    "(SELECT count(*) FROM part) + (SELECT count(*) FROM orders)"
+)
+
+ORACLE_E_COUNT = (
+    "(SELECT count(*) FROM orders) + (SELECT count(*) FROM lineitem) + "
+    "(SELECT count(*) FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)) + "
+    "(SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) + "
+    "(SELECT count(*) FROM nation)"
+)

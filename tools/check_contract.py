@@ -1,0 +1,103 @@
+"""Local stand-in for the driver's correctness gate: run every
+__spark_entry__ query at sf0.01 and compare against its DuckDB oracle
+(row count + order-insensitive value comparison over name-sorted
+columns).  Usage: python tools/check_contract.py [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+            vals.append(repr(v))
+        out.append("|".join(vals))
+    return sorted(out)
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("contract-check")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = set(sys.argv[1:])
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ROWS {name}: {len(rows)} rows (no oracle) [{dt:.1f}s]")
+            n_rowsonly += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if sorted(cols) != sorted(ocols):
+            print(f"FAIL {name}: columns {sorted(cols)} != oracle {sorted(ocols)}")
+            n_fail += 1
+            continue
+        a, b = norm_rows(cols, rows), norm_rows(ocols, orows)
+        if len(a) != len(b):
+            print(f"FAIL {name}: rowcount {len(a)} != oracle {len(b)} [{dt:.1f}s]")
+            n_fail += 1
+        elif a != b:
+            diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            print(f"FAIL {name}: value mismatch, e.g. {diff} [{dt:.1f}s]")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(a)} rows [{dt:.1f}s]")
+            n_pass += 1
+    print(f"\n== {n_pass} pass / {n_fail} fail / {n_rowsonly} rows-only ==")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
