@@ -1,0 +1,144 @@
+"""Headline benchmark: BASELINE.md measurement plan over $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "total_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Queries cover the engine's hot shapes (scan, filtered scan, 1-hop,
+2-hop + multi-agg, distinct, histogram, bounded repeat) and the
+LLM-pipeline operators (minhash near-dup, cosine top-k, exact dedup,
+windowed events).  Run: python bench.py  (env: SPARK_GRAFT_SF_DIR,
+SPARK_GRAFT_CPUS).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main():
+    from pyspark.sql import SparkSession, functions as F
+
+    from grip_spark import dedup, ops, similarity, text
+    from grip_spark.tpch import tpch_graph
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("grip_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    g = tpch_graph(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+    def run_count(df):
+        return df.count()
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    queries = {
+        "v_scan_count": lambda: run_count(g.query().V().to_df()),
+        "label_filter_count": lambda: run_count(
+            g.query().V().hasLabel("Order").has(ops.gt("o_totalprice", 300000)).to_df()
+        ),
+        "hop1_count": lambda: run_count(
+            g.query().V().hasLabel("Customer").out("placed").to_df()
+        ),
+        "hop2_multi_agg": lambda: g.query()
+        .V()
+        .hasLabel("Customer")
+        .out("placed")
+        .outE("contains")
+        .aggregate(
+            [
+                ops.term("rf", "l_returnflag"),
+                ops.histogram("qty", "l_quantity", 10),
+                ops.count("n"),
+            ]
+        )
+        .to_df()
+        .collect(),
+        "distinct_count": lambda: run_count(
+            g.query().V().hasLabel("Customer").distinct("c_mktsegment").to_df()
+        ),
+        "histogram_agg": lambda: g.query()
+        .V()
+        .hasLabel("Order")
+        .aggregate([ops.histogram("tp", "o_totalprice", 50000)])
+        .to_df()
+        .collect(),
+        "repeat3_bfs": lambda: run_count(
+            g.query()
+            .V()
+            .hasLabel("Nation")
+            .set("i", 0)
+            .as_("s")
+            .mark("a")
+            .increment("$s.i")
+            .has(ops.lt("$s.i", 4))
+            .out("in_region")
+            .in_("in_region")
+            .jump("a", None, True)
+            .to_df()
+        ),
+        "minhash_pairs": lambda: run_count(
+            dedup.minhash_lsh_pairs(docs, "doc_id", threshold=0.8)
+        ),
+        "dedup_exact": lambda: run_count(dedup.dedup_exact(docs, ["text"], "doc_id")),
+        "text_quality_lang": lambda: run_count(
+            text.detect_language(text.quality_score(docs)).filter(
+                (F.col("quality") > 0.5) & (F.col("lang_guess") == "en")
+            )
+        ),
+        "cosine_topk": lambda: similarity.cosine_topk(
+            emb, "embedding", qvec, k=10
+        ).collect(),
+        "events_window": lambda: run_count(
+            events.groupBy(
+                F.expr("(ts DIV 3600000000000) * 3600").alias("h"), "event_type"
+            ).agg(F.count(F.lit(1)).alias("n"))
+        ),
+    }
+
+    times = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
