@@ -13,7 +13,13 @@ a non-numeric string, exactly as the reference does.
 from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
-from pyspark.sql.types import ArrayType, NullType
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    NullType,
+    NumericType,
+    StringType,
+)
 
 from grip_spark.compile.fieldpath import as_double, resolve
 
@@ -22,6 +28,37 @@ def _lit(value) -> Column:
     if isinstance(value, (list, tuple)):
         return F.array(*[_lit(v) for v in value])
     return F.lit(value)
+
+
+def _typed_eq(col: Column, dtype, value) -> Column:
+    """GRIP deep-equality (``reflect.DeepEqual``) of a column against a
+    Python literal: values of different JSON types are simply *unequal*
+    — never a cast (Spark 4 ANSI mode would throw on e.g. comparing a
+    string column to an int literal via implicit coercion)."""
+    if value is None:
+        return col.isNull()
+    if isinstance(dtype, NullType):
+        return _false()
+    if isinstance(value, bool):
+        if isinstance(dtype, BooleanType):
+            return _nn(col == F.lit(value))
+        return _false()
+    if isinstance(value, (int, float)):
+        if isinstance(dtype, NumericType):
+            return _nn(col.cast("double") == F.lit(float(value)))
+        return _false()
+    if isinstance(value, str):
+        if isinstance(dtype, StringType):
+            return _nn(col == F.lit(value))
+        return _false()
+    if isinstance(value, (list, tuple)):
+        if isinstance(dtype, ArrayType):
+            try:
+                return _nn(col.eqNullSafe(_lit(list(value))) & col.isNotNull())
+            except Exception:
+                return _false()
+        return _false()
+    return _false()
 
 
 def _to_num(value):
@@ -46,17 +83,9 @@ def compile_condition(view_lookup, cond: dict) -> Column:
     col, dtype = resolve(view_lookup, key)
 
     if op == "EQ":
-        if value is None:
-            return col.isNull()
-        if isinstance(dtype, NullType):
-            return _false()
-        return _nn(col == _lit(value))
+        return _typed_eq(col, dtype, value)
     if op == "NEQ":
-        if value is None:
-            return col.isNotNull()
-        if isinstance(dtype, NullType):
-            return F.lit(True)  # nil != value (deep-equal false → NEQ true)
-        return ~_nn(col == _lit(value))
+        return ~_typed_eq(col, dtype, value)
 
     if op in ("GT", "GTE", "LT", "LTE"):
         v = _to_num(value)
@@ -79,31 +108,29 @@ def compile_condition(view_lookup, cond: dict) -> Column:
             return _nn((c < lo) | (c > hi))
         return _nn((c >= lo) & (c < hi))
 
-    if op == "WITHIN":
+    if op in ("WITHIN", "WITHOUT"):
         if not isinstance(value, (list, tuple)):
             value = [value]
         if isinstance(dtype, NullType):
-            return F.lit(None in value)
-        non_null = [v for v in value if v is not None]
-        out = _nn(col.isin(non_null)) if non_null else _false()
-        if None in value:
-            out = out | col.isNull()
-        return out
-
-    if op == "WITHOUT":
-        # null lookup → found=false → kept (match.go:171-189)
-        if not isinstance(value, (list, tuple)):
-            value = [value]
-        if isinstance(dtype, NullType):
-            return F.lit(None not in value)
-        non_null = [v for v in value if v is not None]
-        out = _nn(col.isin(non_null)) if non_null else _false()
-        if None in value:
-            out = out | col.isNull()
-        return ~out
+            found = F.lit(None in value)
+        else:
+            found = _false()
+            for v in value:  # small lists; deep-equal per element
+                found = found | _typed_eq(col, dtype, v)
+        # WITHOUT: null lookup → found=false → kept (match.go:171-189)
+        return found if op == "WITHIN" else ~found
 
     if op == "CONTAINS":
         if not isinstance(dtype, ArrayType):
+            return _false()
+        elem = dtype.elementType
+        if isinstance(value, (int, float)) and not isinstance(value, bool):
+            if not isinstance(elem, NumericType):
+                return _false()
+            return _nn(F.array_contains(col.cast("array<double>"), F.lit(float(value))))
+        if isinstance(value, str) and not isinstance(elem, StringType):
+            return _false()
+        if isinstance(value, bool) and not isinstance(elem, BooleanType):
             return _false()
         return _nn(F.array_contains(col, _lit(value)))
 

@@ -36,6 +36,13 @@ from pyspark.sql.types import (
 
 CURRENT_NS = "__current__"
 
+# Reserved data-struct field carrying the element's original JSON key
+# list (load-time presence tracking).  GRIP distinguishes a key that is
+# present-with-null from an absent key (``TravelerPathExists``,
+# ``jsonpath/jsonpath.go``); a typed union struct alone cannot, so
+# loaders record the key set here.  Stripped from all result output.
+KEYS_FIELD = "__keys"
+
 # _gid/_label/_from/_to/_data → traveler field (gripql/util.go:143)
 RESERVED = {"_gid": "gid", "_label": "label", "_from": "src", "_to": "dst", "_data": "data"}
 
@@ -192,6 +199,51 @@ def resolve(view_lookup, path: str) -> tuple[Column, DataType]:
     if wild:
         dtype = ArrayType(dtype)
     return col, dtype
+
+
+def presence(view_lookup, path: str) -> Column:
+    """Does the key at ``path`` *exist* (``TravelerPathExists`` analog)?
+
+    With load-time presence tracking (``data.__keys``) a top-level data
+    key that is present-with-null is distinguishable from an absent
+    key; otherwise this degrades to value-is-not-null.  Used by
+    ``distinct`` (rows with missing keys are dropped but null values
+    form a group, ``processors.go:737-752``) and ``hasKey``.
+    """
+    ns, rel = split_namespace(path)
+    view = view_lookup(ns)
+    if view is None:
+        return F.lit(False)
+    segs = parse_segments(rel)
+    if not segs:
+        return F.lit(False)
+    head = segs[0].name
+    if head in ("gid", "label", "src", "dst"):
+        col, dtype = view.get(head)
+        return F.lit(False) if isinstance(dtype, NullType) else col.isNotNull()
+    # head == "data"
+    dcol, ddtype = view.get("data")
+    if (
+        isinstance(ddtype, StructType)
+        and KEYS_FIELD in ddtype.names
+        and len(segs) >= 2
+        and not segs[0].indexers
+    ):
+        key = segs[1].name
+        in_keys = F.coalesce(
+            F.array_contains(dcol.getField(KEYS_FIELD), key), F.lit(False)
+        )
+        if len(segs) == 2 and not segs[1].indexers:
+            return in_keys
+        vcol, vdtype = resolve(view_lookup, path)
+        deeper = F.lit(False) if isinstance(vdtype, NullType) else vcol.isNotNull()
+        return in_keys & deeper
+    vcol, vdtype = resolve(view_lookup, path)
+    if isinstance(vdtype, NullType):
+        return F.lit(False)
+    if len(segs) == 1:  # "_data" → exists when data itself exists
+        return F.lit(True)
+    return vcol.isNotNull()
 
 
 def as_double(col: Column, dtype: DataType) -> Column:

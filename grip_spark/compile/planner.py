@@ -79,6 +79,7 @@ class Planner:
         self.result_kind = "vertex"
         self.final_marks: list[str] = []
         self.agg_key_types: dict[str, DataType] = {}
+        self.render_template = None
 
     # ------------------------------------------------------------------
     def plan(self, stmts: list[dict]) -> DataFrame:
@@ -361,10 +362,12 @@ class Planner:
         return df.filter(F.col("gid").isin(ids))
 
     def _st_hasKey(self, df, keys):
+        """Keep travelers whose listed property paths *exist* —
+        presence semantics via ``data.__keys`` when the loader recorded
+        them (``mongo/compile.go:560-571`` uses ``$exists``)."""
         cond = F.lit(True)
         for k in keys:
-            col, dtype = self._resolve(df, k)
-            cond = cond & (F.lit(False) if isinstance(dtype, NullType) else col.isNotNull())
+            cond = cond & fieldpath.presence(self._viewer(df), k)
         return df.filter(cond)
 
     def _st_has(self, df, expr):
@@ -394,12 +397,14 @@ class Planner:
         keys, keep = [], F.lit(True)
         out = df
         for i, p in enumerate(props):
-            col, dtype = self._resolve(df, p)
+            col, _ = self._resolve(df, p)
             kc = f"_dk{i}"
             out = out.withColumn(kc, col)
             keys.append(kc)
-            # rows missing any key are dropped (processors.go:737-752)
-            keep = keep & (F.lit(False) if isinstance(dtype, NullType) else F.col(kc).isNotNull())
+            # rows whose key is *absent* are dropped, but a key present
+            # with a null value forms its own group
+            # (TravelerPathExists, processors.go:737-752)
+            keep = keep & fieldpath.presence(self._viewer(df), p)
         return out.filter(keep).dropDuplicates(keys).drop(*keys)
 
     # -- marks ---------------------------------------------------------
@@ -457,25 +462,47 @@ class Planner:
                 segs = segs[1:]
             return [s.name for s in segs]
 
+        has_keys = fieldpath.KEYS_FIELD in data_t.names
         if includes:
             keep_heads = []
             for p in includes:
                 rp = relpath(p)
                 if rp and rp[0] in data_t.names:
                     keep_heads.append(rp[0])
-            new_data = F.struct(
-                *[F.col("data").getField(n).alias(n) for n in data_t.names if n in keep_heads]
-            )
+            cols = [
+                F.col("data").getField(n).alias(n) for n in data_t.names
+                if n in keep_heads
+            ]
+            if has_keys:
+                cols.append(
+                    F.array_intersect(
+                        F.col("data").getField(fieldpath.KEYS_FIELD),
+                        F.array(*[F.lit(h) for h in keep_heads]) if keep_heads
+                        else F.array().cast("array<string>"),
+                    ).alias(fieldpath.KEYS_FIELD)
+                )
+            new_data = F.struct(*cols)
         else:
             new_data = F.col("data")
+            dropped = []
             for p in excludes:
                 rp = relpath(p)
                 if len(rp) == 1 and rp[0] in data_t.names:
                     new_data = new_data.dropFields(rp[0])
+                    dropped.append(rp[0])
+            if has_keys and dropped:
+                new_data = new_data.withField(
+                    fieldpath.KEYS_FIELD,
+                    F.array_except(
+                        F.col("data").getField(fieldpath.KEYS_FIELD),
+                        F.array(*[F.lit(d) for d in dropped]),
+                    ),
+                )
         return df.withColumn("data", new_data)
 
     def _st_render(self, df, template):
         self.result_kind = "render"
+        self.render_template = template
         return df.select(self._render_col(df, template).alias("render"))
 
     def _render_col(self, df: DataFrame, template) -> Column:
@@ -519,6 +546,7 @@ class Planner:
             if len(names) == 1:
                 raise CompileError("cannot replace whole data")
             new_data = _with_nested_field(F.col("data"), names[1:], value)
+            new_data = _track_key(new_data, df.schema["data"].dataType, names[1])
             return df.withColumn("data", new_data)
         mcol = f"_mark_{ns}"
         if mcol not in df.columns:
@@ -528,6 +556,12 @@ class Planner:
         new_mark = _with_nested_field(
             F.col(mcol), ["data"] + names[1:], value
         )
+        mark_t = df.schema[mcol].dataType
+        if "data" in mark_t.names:
+            new_mark = new_mark.withField(
+                "data",
+                _track_key(new_mark.getField("data"), mark_t["data"].dataType, names[1]),
+            )
         return df.withColumn(mcol, new_mark)
 
     def _st_set(self, df, arg):
@@ -650,9 +684,16 @@ class Planner:
         scans."""
         col, dtype = self._resolve(df, spec["field"])
         self.agg_key_types[name] = StringType()
-        if isinstance(dtype, StructType):
+        if isinstance(dtype, StructType) and fieldpath.KEYS_FIELD in dtype.names:
+            # loader-recorded key set: exact presence incl. null values
+            kv = col.getField(fieldpath.KEYS_FIELD)
+        elif isinstance(dtype, StructType):
             kv = F.array(
-                *[F.when(col.getField(f.name).isNotNull(), F.lit(f.name)) for f in dtype.fields]
+                *[
+                    F.when(col.getField(f.name).isNotNull(), F.lit(f.name))
+                    for f in dtype.fields
+                    if f.name != fieldpath.KEYS_FIELD
+                ]
             )
         elif isinstance(dtype, MapType):
             kv = F.map_keys(col)
@@ -668,13 +709,13 @@ class Planner:
 
     def _agg_type(self, df, name, spec):
         """Count runtime type names at a path (``processors.go:1111-1124``,
-        type sniff ``gripql/schema.go:25-38``)."""
+        type sniff ``gripql/schema.go:25-38``).  Null/missing values
+        count as UNKNOWN — the reference runs GetFieldType(nil)."""
         col, dtype = self._resolve(df, spec["field"])
         self.agg_key_types[name] = StringType()
         tname = _grip_type_col(col, dtype)
         return (
             df.select(tname.alias("_k"))
-            .filter(F.col("_k").isNotNull())
             .groupBy("_k")
             .agg(F.count(F.lit(1)).cast("double").alias("value"))
             .select(F.lit(name).alias("name"), F.col("_k").alias("key"), F.col("value"))
@@ -754,21 +795,39 @@ def _empty_agg(df: DataFrame, name: str) -> DataFrame:
 
 
 def _grip_type_col(col: Column, dtype: DataType) -> Column:
-    """GRIP runtime type enum of a value (``gripql/schema.go:25-38``)."""
+    """GRIP runtime type enum of a value (``gripql/schema.go:25-38``).
+    GetFieldType(nil) → UNKNOWN, so nulls map to UNKNOWN."""
+    unknown = F.lit("UNKNOWN")
     if isinstance(dtype, NullType):
-        return F.lit(None).cast("string")
+        return unknown
     if isinstance(dtype, NumericType):
-        return F.when(col.isNotNull(), F.lit("NUMERIC"))
+        return F.when(col.isNotNull(), F.lit("NUMERIC")).otherwise(unknown)
     if isinstance(dtype, BooleanType):
-        return F.when(col.isNotNull(), F.lit("BOOL"))
+        return F.when(col.isNotNull(), F.lit("BOOL")).otherwise(unknown)
     if isinstance(dtype, StringType):
         # a string column may hold JSON-numeric originals only when the
         # source schema was ragged; treat parseable numbers as NUMERIC
         return F.when(
             col.isNotNull(),
             F.when(col.try_cast("double").isNotNull(), F.lit("NUMERIC")).otherwise(F.lit("STRING")),
-        )
-    return F.when(col.isNotNull(), F.lit("UNKNOWN"))
+        ).otherwise(unknown)
+    return F.when(col.isNotNull(), unknown).otherwise(unknown)
+
+
+def _track_key(data_col: Column, data_t: DataType, head: str) -> Column:
+    """After set/increment creates ``data.<head>``, record the key in
+    the presence list (reference ValueSet creates map keys)."""
+    if not isinstance(data_t, StructType) or fieldpath.KEYS_FIELD not in data_t.names:
+        return data_col
+    return data_col.withField(
+        fieldpath.KEYS_FIELD,
+        F.array_union(
+            F.coalesce(
+                data_col.getField(fieldpath.KEYS_FIELD), F.array().cast("array<string>")
+            ),
+            F.array(F.lit(head)),
+        ),
+    )
 
 
 def _with_nested_field(base: Column, names: list[str], value: Column) -> Column:

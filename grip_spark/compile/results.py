@@ -18,9 +18,10 @@ from typing import Any
 
 
 def _clean(value: Any) -> Any:
-    """Recursively drop None-valued struct fields (absent in GRIP docs)."""
+    """Recursively drop None-valued struct fields (absent in GRIP docs)
+    and the internal ``__keys`` presence list."""
     if isinstance(value, dict):
-        return {k: _clean(v) for k, v in value.items() if v is not None}
+        return {k: _clean(v) for k, v in value.items() if v is not None and k != "__keys"}
     if isinstance(value, list):
         return [_clean(v) for v in value]
     return value
@@ -58,7 +59,24 @@ def _agg_key(key: str, dtype) -> Any:
     return key
 
 
-def convert_rows(rows, kind: str, final_marks=None, agg_key_types=None) -> list:
+def _render_value(template, value):
+    """Template-aware render conversion: dict-template keys are kept
+    even when the referenced path resolved to null (``ot_render.py``),
+    while *referenced documents* still drop null fields."""
+    if isinstance(template, dict):
+        return {
+            k: _render_value(t, value[k] if value is not None else None)
+            for k, t in template.items()
+        }
+    if isinstance(template, (list, tuple)):
+        return [
+            _render_value(t, value[i] if value is not None else None)
+            for i, t in enumerate(template)
+        ]
+    return _to_py(value)
+
+
+def convert_rows(rows, kind: str, final_marks=None, agg_key_types=None, render_template=None) -> list:
     if kind == "count":
         return [{"count": rows[0]["count"] if rows else 0}]
     if kind == "aggregation":
@@ -77,6 +95,8 @@ def convert_rows(rows, kind: str, final_marks=None, agg_key_types=None) -> list:
             out.append(d)
         return out
     if kind == "render":
+        if render_template is not None:
+            return [_render_value(render_template, r["render"]) for r in rows]
         return [_to_py(r["render"]) for r in rows]
     if kind == "path":
         out = []

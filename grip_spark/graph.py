@@ -55,10 +55,16 @@ class GripGraph:
     ) -> "GripGraph":
         """Load the reference's bulk-load JSONL format
         (``conformance/graphs/swapi.vertices`` style: one JSON object per
-        line with gid/label/from/to/data)."""
-        v = spark.read.json(vertex_path)
-        e = spark.read.json(edge_path)
-        e = _rename_endpoints(e)
+        line with gid/label/from/to/data).
+
+        Alongside the inferred union struct, each element's original
+        JSON key list is recorded in ``data.__keys`` so key-*presence*
+        semantics (hasKey / distinct / field aggregation,
+        ``jsonpath TravelerPathExists``) survive the typed-struct
+        encoding of schemaless documents.
+        """
+        v = _read_jsonl_with_keys(spark, vertex_path)
+        e = _rename_endpoints(_read_jsonl_with_keys(spark, edge_path))
         return cls(v, e, name=name)
 
     @classmethod
@@ -160,6 +166,24 @@ class GripGraph:
         self.vertices.cache()
         self.edges.cache()
         return self
+
+
+def _read_jsonl_with_keys(spark: SparkSession, path: str) -> DataFrame:
+    """Parse JSONL with the inferred schema plus a ``data.__keys``
+    presence array (original JSON key set of the data object)."""
+    schema = spark.read.json(path).schema
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.from_json("value", schema).alias("j"),
+        F.coalesce(
+            F.json_object_keys(F.get_json_object("value", "$.data")),
+            F.array().cast("array<string>"),
+        ).alias("_pk"),
+    )
+    df = parsed.select(*[F.col(f"j.{c}").alias(c) for c in schema.names], "_pk")
+    if "data" in schema.names and isinstance(schema["data"].dataType, StructType):
+        df = df.withColumn("data", F.col("data").withField("__keys", F.col("_pk")))
+    return df.drop("_pk")
 
 
 def _rename_endpoints(e: DataFrame) -> DataFrame:

@@ -180,7 +180,11 @@ class Traversal:
         planner = Planner(self.graph)
         df = planner.plan(self.stmts)
         return convert_rows(
-            df.collect(), planner.result_kind, planner.final_marks, planner.agg_key_types
+            df.collect(),
+            planner.result_kind,
+            planner.final_marks,
+            planner.agg_key_types,
+            planner.render_template,
         )
 
     def __iter__(self) -> Iterator:

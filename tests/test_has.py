@@ -1,0 +1,151 @@
+"""Port of conformance ot_has.py (SWAPI goldens).
+
+Reference: /root/reference/conformance/tests/ot_has.py
+"""
+
+from grip_spark import ops
+
+
+def run(q):
+    return q.execute()
+
+
+def gids(rs):
+    return [r["gid"] for r in rs]
+
+
+def test_hasLabel(swapi):
+    rs = run(swapi.query().V().hasLabel("Vehicle"))
+    assert len(rs) == 4 and all(g.startswith("Vehicle:") for g in gids(rs))
+    rs = run(swapi.query().V().hasLabel("Starship"))
+    assert all(g.startswith("Starship:") for g in gids(rs))
+    rs = run(swapi.query().V().hasLabel(["Vehicle", "Starship"]))
+    assert len(rs) == 12
+    assert all("name" in r["data"] for r in rs)
+
+
+def test_hasKey(swapi):
+    rs = run(swapi.query().V().hasKey("manufacturer"))
+    assert len(rs) == 12
+    assert all(g.startswith(("Vehicle:", "Starship:")) for g in gids(rs))
+    rs = run(swapi.query().V().hasKey(["hyperdrive_rating", "manufacturer"]))
+    assert len(rs) == 8
+    assert all(g.startswith("Starship:") for g in gids(rs))
+
+
+def test_hasId(swapi):
+    rs = run(swapi.query().V().hasId("Character:1"))
+    assert gids(rs) == ["Character:1"]
+    rs = run(swapi.query().V().hasId(["Character:1", "Character:2"]))
+    assert len(rs) == 2
+    assert set(gids(rs)) == {"Character:1", "Character:2"}
+
+
+def test_has_eq(swapi):
+    assert gids(run(swapi.query().V().has(ops.eq("_gid", "Character:3")))) == ["Character:3"]
+    rs = run(swapi.query().V().has(ops.eq("_label", "Character")))
+    assert len(rs) == 18 and all(r["label"] == "Character" for r in rs)
+    rs = run(swapi.query().V().has(ops.eq("eye_color", "brown")))
+    assert len(rs) == 4
+    assert set(gids(rs)) <= {"Character:14", "Character:5", "Character:81", "Character:9"}
+
+
+def test_has_neq(swapi):
+    assert len(run(swapi.query().V().has(ops.neq("_gid", "Character:1")))) == 38
+    assert len(run(swapi.query().V().has(ops.neq("_label", "Character")))) == 21
+    rs = run(swapi.query().V().hasLabel("Character").has(ops.neq("eye_color", "brown")))
+    assert len(rs) == 14
+
+
+def test_has_gt_lt(swapi):
+    assert gids(run(swapi.query().V().has(ops.gt("height", 202)))) == ["Character:13"]
+    rs = run(swapi.query().V().has(ops.gte("height", 202)))
+    assert len(rs) == 2 and set(gids(rs)) == {"Character:4", "Character:13"}
+    assert gids(run(swapi.query().V().has(ops.lt("height", 97)))) == ["Character:3"]
+    rs = run(swapi.query().V().has(ops.lte("height", 97)))
+    assert len(rs) == 2 and set(gids(rs)) == {"Character:3", "Character:8"}
+
+
+def test_has_inside_outside_between(swapi):
+    rs = run(swapi.query().V().has(ops.inside("height", 100, 200)))
+    assert len(rs) == 14
+    assert not set(gids(rs)) & {"Character:3", "Character:4", "Character:8", "Character:13"}
+    rs = run(swapi.query().V().has(ops.outside("height", 100, 200)))
+    assert len(rs) == 4
+    assert set(gids(rs)) == {"Character:3", "Character:4", "Character:8", "Character:13"}
+    rs = run(swapi.query().V().has(ops.between("height", 180, 200)))
+    assert len(rs) == 6
+    assert set(gids(rs)) == {
+        "Character:10", "Character:12", "Character:14",
+        "Character:19", "Character:81", "Character:9",
+    }
+
+
+def test_has_within_without(swapi):
+    rs = run(swapi.query().V().has(ops.within("eye_color", ["brown", "hazel"])))
+    assert len(rs) == 5
+    assert set(gids(rs)) == {
+        "Character:14", "Character:18", "Character:5", "Character:81", "Character:9",
+    }
+    assert len(run(swapi.query().V().has(ops.within("eye_color", 0)))) == 0
+    # without: null condVal rows are KEPT (match.go:171-189)
+    rs = run(swapi.query().V().has(ops.without("eye_color", ["brown"])))
+    assert len(rs) == 35
+    assert not set(gids(rs)) & {"Character:5", "Character:9", "Character:14", "Character:81"}
+    assert len(run(swapi.query().V().has(ops.without("occupation", 0)))) == 39
+
+
+def test_has_contains(swapi):
+    assert gids(run(swapi.query().V().has(ops.contains("terrain", "jungle")))) == ["Planet:3"]
+
+
+def test_has_and_or_not(swapi):
+    rs = run(
+        swapi.query().V().has(
+            ops.and_(ops.eq("_label", "Character"), ops.eq("eye_color", "blue"))
+        )
+    )
+    assert len(rs) == 6
+    rs = run(
+        swapi.query().V().has(
+            ops.or_(ops.eq("eye_color", "blue"), ops.eq("eye_color", "hazel"))
+        )
+    )
+    assert len(rs) == 7
+    assert len(run(swapi.query().V().has(ops.not_(ops.eq("_label", "Character"))))) == 21
+    assert len(run(swapi.query().V().has(ops.not_(ops.neq("_label", "Character"))))) == 18
+
+
+def test_has_complex(swapi):
+    q = swapi.query().V().has(
+        ops.and_(
+            ops.eq("_label", "Character"),
+            ops.not_(ops.or_(ops.eq("eye_color", "brown"), ops.eq("eye_color", "hazel"))),
+        )
+    )
+    assert len(run(q)) == 13
+
+    q = swapi.query().V().has(
+        ops.not_(ops.or_(ops.eq("_label", "Character"), ops.eq("name", "Human")))
+    )
+    assert len(run(q)) == 20
+
+    q = swapi.query().V().has(
+        ops.not_(
+            ops.or_(
+                ops.eq("_label", "Character"),
+                ops.or_(ops.eq("name", "Human"), ops.contains("terrain", "jungle")),
+            )
+        )
+    )
+    assert len(run(q)) == 19
+
+    q = swapi.query().V().has(
+        ops.not_(
+            ops.and_(
+                ops.eq("_label", "Planet"),
+                ops.or_(ops.eq("surface_water", 1), ops.contains("terrain", "jungle")),
+            )
+        )
+    )
+    assert len(run(q)) == 37
