@@ -15,9 +15,9 @@ Quick start::
     G.query().V().hasLabel("Character").out("homeworld").count().execute()
 """
 
-from grip_spark.graph import GripGraph
+from grip_spark.graph import GraphBuilder, GripGraph
 from grip_spark.traversal import Traversal
 from grip_spark import ops
 
-__all__ = ["GripGraph", "Traversal", "ops"]
+__all__ = ["GraphBuilder", "GripGraph", "Traversal", "ops"]
 __version__ = "0.1.0"

@@ -80,6 +80,7 @@ class Planner:
         self.final_marks: list[str] = []
         self.agg_key_types: dict[str, DataType] = {}
         self.render_template = None
+        self.persisted: list[DataFrame] = []
 
     # ------------------------------------------------------------------
     def plan(self, stmts: list[dict]) -> DataFrame:
@@ -422,7 +423,7 @@ class Planner:
     def _st_select(self, df, arg):
         marks = arg["marks"] if isinstance(arg, dict) else list(arg)
         missing = [m for m in marks if f"_mark_{m}" not in df.columns]
-        if missing:
+        if missing and len(marks) == 1:
             raise CompileError(f"select references unknown mark(s): {missing}")
         if len(marks) == 1:
             # move current back to the marked element (processors.go:858-876)
@@ -438,10 +439,19 @@ class Planner:
                 cols.append(self._path_append(mc.getField("gid"), mtype))
             self.elem_type = mtype
             return df.select(*cols)
-        # terminal row output {mark: element} (processors.go:783-808)
+        # terminal row output {mark: element}; a missing mark emits an
+        # empty element rather than erroring (processors.go:799-801)
         self.result_kind = "select"
         self.final_marks = marks
-        return df.select(*[F.col(f"_mark_{m}").alias(m) for m in marks])
+        empty = F.struct(
+            F.lit("").alias("gid"), F.lit("").alias("label"), F.struct().alias("data")
+        )
+        return df.select(
+            *[
+                (F.col(f"_mark_{m}") if f"_mark_{m}" in df.columns else empty).alias(m)
+                for m in marks
+            ]
+        )
 
     # -- projection / transforms ---------------------------------------
     def _st_fields(self, df, paths):
@@ -579,6 +589,7 @@ class Planner:
         self.result_kind = "aggregation"
         if len(aggs) > 1:
             df = df.persist()
+            self.persisted.append(df)  # unpersisted after execute()
         plans = [self._one_agg(df, a) for a in aggs]
         out = plans[0]
         for p in plans[1:]:

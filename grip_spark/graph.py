@@ -42,6 +42,7 @@ class GripGraph:
         self.name = name
         self.vertices = _normalize_vertices(vertices)
         self.edges = _normalize_edges(edges)
+        self._indices: list[dict] = []
 
     # -- constructors --------------------------------------------------
 
@@ -96,7 +97,20 @@ class GripGraph:
         """Vertex + edge label inventory (``gripql.proto:476-481``)."""
         v = [r[0] for r in self.vertices.select("label").distinct().collect()]
         e = [r[0] for r in self.edges.select("label").distinct().collect()]
-        return {"vertex_labels": sorted(v), "edge_labels": sorted(e)}
+        return {"vertexLabels": sorted(v), "edgeLabels": sorted(e)}
+
+    # -- index shims ---------------------------------------------------
+    # The reference maintains explicit KV label/field indexes
+    # (kvgraph/index.go, AddIndex/DeleteIndex RPCs).  On Spark the
+    # equivalents are partition pruning + predicate pushdown, so these
+    # only record intent for API parity.
+
+    def addIndex(self, label: str, field: str) -> "GripGraph":
+        self._indices.append({"graph": self.name, "label": label, "field": field})
+        return self
+
+    def listIndices(self) -> list[dict]:
+        return list(self._indices)
 
     def getVertex(self, gid: str) -> dict | None:
         from grip_spark.compile.results import element_dict
@@ -113,15 +127,18 @@ class GripGraph:
     def addVertices(self, df: DataFrame) -> "GripGraph":
         """Upsert vertices (last-wins by gid — ``kvgraph/graph.go``
         AddVertex semantics).  Returns a new graph; DataFrames are
-        immutable."""
+        immutable.  Batches whose ``data`` struct schema differs from
+        the graph's are reconciled field-by-field (missing nested
+        fields become typed NULLs on both sides) — the reference
+        accepts arbitrary data per element."""
         new = _normalize_vertices(df)
-        merged = _upsert(self.vertices, new)
-        return GripGraph(merged, self.edges, name=self.name)
+        old, new = _reconcile_data(self.vertices, new)
+        return GripGraph(_upsert(old, new), self.edges, name=self.name)
 
     def addEdges(self, df: DataFrame) -> "GripGraph":
         new = _normalize_edges(_rename_endpoints(df))
-        merged = _upsert(self.edges, new)
-        return GripGraph(self.vertices, merged, name=self.name)
+        old, new = _reconcile_data(self.edges, new)
+        return GripGraph(self.vertices, _upsert(old, new), name=self.name)
 
     def deleteVertices(self, gids: list[str]) -> "GripGraph":
         """Delete vertices and their incident edges (reference
@@ -139,12 +156,36 @@ class GripGraph:
         """Schema graph: one vertex per label with a merged sample of
         properties; one edge per observed (fromLabel, label, toLabel)
         triple.  Port of ``gdbi/schema/scanner.go:14-82`` expressed as
-        two aggregations instead of sampled traversals."""
-        v = (
-            self.vertices.groupBy("label")
-            .agg(F.first("data").alias("data"))
-            .select(F.col("label").alias("gid"), "label", "data")
-        )
+        two aggregations instead of sampled traversals.  The property
+        sample *merges* across rows (first non-null per field over a
+        per-label sample of ``sample_n``), matching the reference's
+        merged samples rather than one arbitrary row."""
+        from pyspark.sql.window import Window
+
+        data_t = self.vertices.schema["data"].dataType
+        if isinstance(data_t, StructType) and data_t.fields:
+            sample = (
+                self.vertices.withColumn(
+                    "_rn",
+                    F.row_number().over(Window.partitionBy("label").orderBy("gid")),
+                )
+                .filter(F.col("_rn") <= sample_n)
+            )
+            merged = F.struct(
+                *[
+                    F.first(F.col("data").getField(f.name), ignorenulls=True).alias(f.name)
+                    for f in data_t.fields
+                ]
+            ).alias("data")
+            v = sample.groupBy("label").agg(merged).select(
+                F.col("label").alias("gid"), "label", "data"
+            )
+        else:
+            v = (
+                self.vertices.groupBy("label")
+                .agg(F.first("data").alias("data"))
+                .select(F.col("label").alias("gid"), "label", "data")
+            )
         vl = self.vertices.select("gid", F.col("label").alias("_vl"))
         e = (
             self.edges.alias("e")
@@ -172,7 +213,10 @@ def _read_jsonl_with_keys(spark: SparkSession, path: str) -> DataFrame:
     """Parse JSONL with the inferred schema plus a ``data.__keys``
     presence array (original JSON key set of the data object)."""
     schema = spark.read.json(path).schema
-    raw = spark.read.text(path)
+    return _parse_json_lines(spark.read.text(path), schema)
+
+
+def _parse_json_lines(raw: DataFrame, schema: StructType) -> DataFrame:
     parsed = raw.select(
         F.from_json("value", schema).alias("j"),
         F.coalesce(
@@ -184,6 +228,104 @@ def _read_jsonl_with_keys(spark: SparkSession, path: str) -> DataFrame:
     if "data" in schema.names and isinstance(schema["data"].dataType, StructType):
         df = df.withColumn("data", F.col("data").withField("__keys", F.col("_pk")))
     return df.drop("_pk")
+
+
+class GraphBuilder:
+    """Incremental write API (reference ``AddVertex``/``AddEdge`` RPC
+    surface, last-wins upsert per gid, cascade delete).
+
+    Adds buffer driver-side and materialize to a :class:`GripGraph` on
+    first query — the shape of the reference's conformance ``writeTest``
+    fixture.  Bulk writes should use DataFrames (``GripGraph.addVertices``)
+    instead; this is the small-interactive-session path.
+    """
+
+    def __init__(self, spark: SparkSession, name: str = "graph"):
+        self.spark = spark
+        self.name = name
+        self._v: dict[str, dict] = {}
+        self._e: dict[str, dict] = {}
+        self._auto = 0
+        self._graph: GripGraph | None = None
+        self._indices: list[dict] = []
+
+    # -- mutation ------------------------------------------------------
+    def addVertex(self, gid: str, label: str, data: dict | None = None) -> "GraphBuilder":
+        self._v[gid] = {"gid": gid, "label": label, "data": data or {}}
+        self._graph = None
+        return self
+
+    def addEdge(
+        self, src: str, dst: str, label: str, data: dict | None = None, gid: str | None = None
+    ) -> "GraphBuilder":
+        if gid is None:
+            self._auto += 1
+            gid = f"_e{self._auto}"
+        self._e[gid] = {"gid": gid, "label": label, "from": src, "to": dst, "data": data or {}}
+        self._graph = None
+        return self
+
+    def deleteVertex(self, gid: str) -> "GraphBuilder":
+        self._v.pop(gid, None)
+        self._e = {
+            k: e for k, e in self._e.items() if e["from"] != gid and e["to"] != gid
+        }
+        self._graph = None
+        return self
+
+    def deleteEdge(self, gid: str) -> "GraphBuilder":
+        self._e.pop(gid, None)
+        self._graph = None
+        return self
+
+    def addIndex(self, label: str, field: str) -> "GraphBuilder":
+        self._indices.append({"graph": self.name, "label": label, "field": field})
+        return self
+
+    def listIndices(self) -> list[dict]:
+        return list(self._indices)
+
+    # -- materialize + query -------------------------------------------
+    def graph(self) -> GripGraph:
+        if self._graph is None:
+            import json as _json
+
+            self._graph = GripGraph(
+                self._jsonl_df(list(self._v.values()), _json),
+                _rename_endpoints(self._jsonl_df(list(self._e.values()), _json)),
+                name=self.name,
+            )
+        return self._graph
+
+    def _jsonl_df(self, rows: list[dict], _json) -> DataFrame:
+        lines = [(_json.dumps(r),) for r in rows] or [("{}",)]
+        raw = self.spark.createDataFrame(lines, ["value"])
+        schema = self.spark.read.json(raw.rdd.map(lambda r: r.value)).schema
+        df = _parse_json_lines(raw, schema)
+        if not rows:
+            df = df.limit(0)
+        return df
+
+    def query(self):
+        return self.graph().query()
+
+    def V(self, id=None):
+        return self.graph().V(id)
+
+    def E(self, id=None):
+        return self.graph().E(id)
+
+    def getVertex(self, gid: str):
+        return self.graph().getVertex(gid)
+
+    def getEdge(self, gid: str):
+        return self.graph().getEdge(gid)
+
+    def listLabels(self) -> dict:
+        return self.graph().listLabels()
+
+    def sampleSchema(self, sample_n: int = 50) -> GripGraph:
+        return self.graph().sampleSchema(sample_n)
 
 
 def _rename_endpoints(e: DataFrame) -> DataFrame:
@@ -219,6 +361,61 @@ def _normalize(df: DataFrame, want: tuple) -> DataFrame:
         else:
             out.append(F.lit(None).cast(StringType()).alias(c))
     return df.select(*out)
+
+
+def _merge_struct_types(a: StructType, b: StructType) -> StructType:
+    """Union of two struct schemas; nested structs merge recursively.
+    On scalar type conflict: numeric pair widens to double, anything
+    else falls back to ``a``'s type."""
+    from pyspark.sql.types import DoubleType, NumericType, StructField
+
+    fields = []
+    bnames = {f.name: f for f in b.fields}
+    for f in a.fields:
+        if f.name in bnames and bnames[f.name].dataType != f.dataType:
+            bt = bnames[f.name].dataType
+            if isinstance(f.dataType, StructType) and isinstance(bt, StructType):
+                fields.append(StructField(f.name, _merge_struct_types(f.dataType, bt)))
+            elif isinstance(f.dataType, NumericType) and isinstance(bt, NumericType):
+                fields.append(StructField(f.name, DoubleType()))
+            else:
+                fields.append(f)
+        else:
+            fields.append(f)
+    have = {f.name for f in fields}
+    fields += [f for f in b.fields if f.name not in have]
+    return StructType(fields)
+
+
+def _conform_struct(col: F.Column, from_t: StructType, to_t: StructType) -> F.Column:
+    """Rebuild ``col`` (typed ``from_t``) under the union schema
+    ``to_t`` — absent fields become typed NULLs; null structs stay null."""
+    parts = []
+    for f in to_t.fields:
+        if f.name in from_t.names:
+            src = col.getField(f.name)
+            ft = from_t[f.name].dataType
+            if isinstance(f.dataType, StructType) and isinstance(ft, StructType):
+                parts.append(_conform_struct(src, ft, f.dataType).alias(f.name))
+            elif ft != f.dataType:
+                parts.append(src.try_cast(f.dataType).alias(f.name))
+            else:
+                parts.append(src.alias(f.name))
+        else:
+            parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return F.when(col.isNotNull(), F.struct(*parts))
+
+
+def _reconcile_data(old: DataFrame, new: DataFrame) -> tuple[DataFrame, DataFrame]:
+    ot = old.schema["data"].dataType
+    nt = new.schema["data"].dataType
+    if not (isinstance(ot, StructType) and isinstance(nt, StructType)) or ot == nt:
+        return old, new
+    merged = _merge_struct_types(ot, nt)
+    return (
+        old.withColumn("data", _conform_struct(F.col("data"), ot, merged)),
+        new.withColumn("data", _conform_struct(F.col("data"), nt, merged)),
+    )
 
 
 def _upsert(old: DataFrame, new: DataFrame) -> DataFrame:

@@ -179,8 +179,13 @@ class Traversal:
 
         planner = Planner(self.graph)
         df = planner.plan(self.stmts)
+        try:
+            rows = df.collect()
+        finally:
+            for p in planner.persisted:
+                p.unpersist()
         return convert_rows(
-            df.collect(),
+            rows,
             planner.result_kind,
             planner.final_marks,
             planner.agg_key_types,

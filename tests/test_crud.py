@@ -1,0 +1,198 @@
+"""Port of write-surface conformance modules (GraphBuilder fixture).
+
+References: /root/reference/conformance/tests/ ot_update.py,
+ot_struct.py, ot_index.py, ot_keycheck.py, ot_schema.py, ot_labels.py,
+ot_bulk.py (bulk load is GripGraph.from_jsonl, covered by the swapi
+fixture itself).
+"""
+
+import pytest
+
+from grip_spark import GraphBuilder
+
+
+@pytest.fixture()
+def writeg(spark):
+    return GraphBuilder(spark, name="writeTest")
+
+
+# -- ot_update.py -----------------------------------------------------------
+
+
+def _dup_graph(g):
+    g.addVertex("vertex1", "person", {"somedata": 1})
+    g.addVertex("vertex1", "person")
+    g.addVertex("vertex1", "clone", {"otherdata": "foo"})
+    g.addVertex("vertex2", "person")
+    g.addVertex("vertex2", "clone")
+    g.addEdge("vertex1", "vertex2", "friend", data={"field": 1}, gid="edge1")
+    g.addEdge("vertex1", "vertex2", "friend", gid="edge1")
+    g.addEdge("vertex1", "vertex2", "friend", data={"weight": 5}, gid="edge1")
+    return g
+
+
+def test_duplicate(writeg):
+    g = _dup_graph(writeg)
+    assert g.query().V().count().execute()[0]["count"] == 2
+    assert g.query().E().count().execute()[0]["count"] == 1
+
+
+def test_replace(writeg):
+    g = _dup_graph(writeg)
+    assert g.getVertex("vertex1")["label"] == "clone"
+    assert g.getVertex("vertex1")["data"] == {"otherdata": "foo"}
+    assert g.getEdge("edge1")["data"] == {"weight": 5}
+
+
+def test_delete(writeg):
+    g = writeg
+    g.addVertex("vertex1", "person", {"field1": "value1", "field2": "value2"})
+    g.addVertex("vertex2", "person")
+    g.addVertex("vertex3", "person", {"field1": "value3", "field2": "value4"})
+    g.addVertex("vertex4", "person")
+    g.addEdge("vertex1", "vertex2", "friend", gid="edge1")
+    g.addEdge("vertex2", "vertex3", "friend", gid="edge2")
+    g.addEdge("vertex2", "vertex4", "parent", gid="edge3")
+
+    assert len(g.query().V().execute()) == 4
+    assert len(g.query().E().execute()) == 3
+    g.deleteVertex("vertex1")
+    assert len(g.query().V().execute()) == 3
+    assert len(g.query().E().execute()) == 2
+    g.deleteEdge("edge2")
+    assert len(g.query().E().execute()) == 1
+
+
+def test_delete_edge_cascade(writeg):
+    g = writeg
+    g.addVertex("vertex1", "person", {"field1": "value1", "field2": "value2"})
+    g.addVertex("vertex2", "person")
+    g.addVertex("vertex3", "person", {"field1": "value3", "field2": "value4"})
+    g.addEdge("vertex1", "vertex2", "friend", gid="edge1")
+    g.addEdge("vertex2", "vertex3", "friend", gid="edge2")
+
+    assert len(g.query().V().execute()) == 3
+    assert len(g.query().E().execute()) == 2
+    g.deleteVertex("vertex2")
+    assert len(g.query().V("vertex1").outE().execute()) == 0
+    assert len(g.query().V("vertex3").inE().execute()) == 0
+
+
+# -- ot_struct.py -----------------------------------------------------------
+
+
+def test_vertex_struct(writeg):
+    g = writeg
+    g.addVertex("vertex1", "person", {"field1": {"test": 1, "value": False}})
+    rows = g.query().V().execute()
+    assert len(rows) == 1
+    p = rows[0]["data"]["field1"]
+    assert isinstance(p, dict)
+    assert p["test"] == 1 and p["value"] is False
+
+
+def test_edge_struct(writeg):
+    g = writeg
+    g.addVertex("vertex1", "person", {"field1": {"test": 1, "value": False}})
+    g.addVertex("vertex2", "person", {"field1": {"test": 2, "value": True}})
+    g.addEdge("vertex1", "vertex2", "friend", {"edgevals": {"weight": 3.14, "count": 15}})
+    for e in g.query().V("vertex1").outE().execute():
+        assert e["data"]["edgevals"]["weight"] == 3.14
+    for e in g.query().V("vertex2").inE().execute():
+        assert e["data"]["edgevals"]["weight"] == 3.14
+
+
+def test_nested_struct(writeg):
+    g = writeg
+    data = {"field1": {"nested": {"test": 1, "array": [{"value": {"entry": 1}}]}}}
+    g.addVertex("vertex1", "person", data)
+    rows = g.query().V().execute()
+    assert len(rows) == 1
+    assert rows[0]["data"]["field1"]["nested"]["array"][0]["value"]["entry"] == 1
+
+
+# -- ot_index.py ------------------------------------------------------------
+
+
+def test_index(writeg):
+    g = writeg
+    g.addIndex("Person", "name")
+    g.addVertex("1", "Person", {"name": "marko", "age": "29"})
+    g.addVertex("3", "Software", {"name": "lop", "lang": "java"})
+    g.addEdge("1", "3", "created", {"weight": 0.4})
+    assert any(
+        i["field"] == "name" and i["label"] == "Person" for i in g.listIndices()
+    )
+
+
+# -- ot_keycheck.py ---------------------------------------------------------
+
+
+def test_subkey(writeg):
+    g = writeg
+    g.addVertex("Work", "Thing", {})
+    g.addVertex("Workflow", "Thing", {})
+    g.addVertex("Other", "Thing", {})
+    g.addVertex("OtherGuy", "Thing", {})
+    g.addEdge("Work", "Other", "edge")
+    g.addEdge("Workflow", "OtherGuy", "edge")
+
+    assert len(g.query().V("Work").out().execute()) == 1
+    assert len(g.query().V("Work").outE().execute()) == 1
+    assert len(g.query().V("Other").inE().execute()) == 1
+
+
+# -- ot_labels.py / ot_schema.py -------------------------------------------
+
+
+def test_list_labels(swapi):
+    resp = swapi.listLabels()
+    assert resp["vertexLabels"] == [
+        "Character", "Film", "Planet", "Species", "Starship", "Vehicle",
+    ]
+    assert resp["edgeLabels"] == [
+        "characters", "films", "homeworld", "people", "pilots",
+        "planets", "residents", "species", "starships", "vehicles",
+    ]
+
+
+def test_sample_schema(swapi):
+    s = swapi.sampleSchema()
+    v_labels = sorted(r["gid"] for r in s.vertices.collect())
+    assert v_labels == ["Character", "Film", "Planet", "Species", "Starship", "Vehicle"]
+    e_labels = sorted({r["label"] for r in s.edges.collect()})
+    assert e_labels == [
+        "characters", "films", "homeworld", "people", "pilots",
+        "planets", "residents", "species", "starships", "vehicles",
+    ]
+
+
+# -- schema-reconciled bulk upsert (ADVICE r1: addVertices with new fields) --
+
+
+def test_add_vertices_new_schema(spark, writeg):
+    g = writeg
+    g.addVertex("a", "person", {"name": "alice", "age": 30})
+    base = g.graph()
+    import json
+
+    lines = [(json.dumps({"gid": "b", "label": "person",
+                          "data": {"name": "bob", "city": "pdx"}}),)]
+    new = spark.read.json(spark.createDataFrame(lines, ["value"]).rdd.map(lambda r: r.value))
+    merged = base.addVertices(new)
+    assert merged.vertices.count() == 2
+    b = merged.getVertex("b")
+    assert b["data"]["city"] == "pdx"
+    a = merged.getVertex("a")
+    assert a["data"]["age"] == 30 and "city" not in a["data"]
+
+
+def test_sample_schema_merged(writeg):
+    # fields spread across rows of one label must merge into one sample
+    g = writeg
+    g.addVertex("x", "thing", {"alpha": 1})
+    g.addVertex("y", "thing", {"beta": "two"})
+    s = g.sampleSchema()
+    rows = {r["gid"]: r for r in s.vertices.collect()}
+    d = rows["thing"]["data"].asDict()
+    assert d.get("alpha") == 1 and d.get("beta") == "two"
