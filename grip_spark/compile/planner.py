@@ -229,8 +229,13 @@ class Planner:
         return out.select(*cols)
 
     # -- adjacency -----------------------------------------------------
-    def _edges(self, labels: list[str]) -> DataFrame:
+    def _edges(self, labels: list[str], forward: bool = True) -> DataFrame:
+        # reverse hops prefer the dst-bucketed edge copy when the graph
+        # has one (GripGraph.from_tables) — both directions then join
+        # without a shuffle
         e = self.graph.edges
+        if not forward and getattr(self.graph, "edges_rev", None) is not None:
+            e = self.graph.edges_rev
         if labels:
             e = e.filter(F.col("label").isin(labels))
         return e
@@ -243,7 +248,7 @@ class Planner:
         ``kvgraph/graph.go:352-427``.
         """
         here, there = ("src", "dst") if forward else ("dst", "src")
-        e = self._edges(labels).select(
+        e = self._edges(labels, forward).select(
             F.col(here).alias("_h_here"), F.col(there).alias("_h_there")
         )
         how = "left" if null_ok else "inner"
@@ -267,7 +272,7 @@ class Planner:
         """V→E hop (outE/inE): 1 equi-join.
         Reference: ``processors.go:320-391``."""
         here = "src" if forward else "dst"
-        e = self._edges(labels).select(
+        e = self._edges(labels, forward).select(
             F.col("gid").alias("_h_eg"),
             F.col("label").alias("_h_el"),
             F.col("src").alias("_h_es"),
@@ -455,9 +460,10 @@ class Planner:
 
     # -- projection / transforms ---------------------------------------
     def _st_fields(self, df, paths):
-        """Include/exclude projection of current.data
+        """Include/exclude projection of current.data, depth-aware
         (``processors.go:396-414``, ``jsonpath/jsonpath.go:193-355``).
-        ``-`` prefix = exclude.  gid/label always survive."""
+        ``-`` prefix = exclude; ``a.b`` keeps/drops only ``b`` inside
+        ``a``.  gid/label always survive."""
         if not paths:
             return df
         data_t = df.schema["data"].dataType
@@ -474,38 +480,48 @@ class Planner:
 
         has_keys = fieldpath.KEYS_FIELD in data_t.names
         if includes:
-            keep_heads = []
+            # build an include tree: name -> subtree dict | True (whole)
+            tree: dict = {}
             for p in includes:
                 rp = relpath(p)
-                if rp and rp[0] in data_t.names:
-                    keep_heads.append(rp[0])
-            cols = [
-                F.col("data").getField(n).alias(n) for n in data_t.names
-                if n in keep_heads
-            ]
+                if not rp:
+                    continue
+                node = tree
+                for seg in rp[:-1]:
+                    nxt = node.get(seg)
+                    if nxt is True:
+                        break  # whole parent already kept
+                    node = node.setdefault(seg, {})
+                else:
+                    node[rp[-1]] = True
+            new_data = _include_struct(F.col("data"), data_t, tree)
             if has_keys:
-                cols.append(
+                heads = [h for h in tree if h in data_t.names]
+                new_data = new_data.withField(
+                    fieldpath.KEYS_FIELD,
                     F.array_intersect(
                         F.col("data").getField(fieldpath.KEYS_FIELD),
-                        F.array(*[F.lit(h) for h in keep_heads]) if keep_heads
+                        F.array(*[F.lit(h) for h in heads])
+                        if heads
                         else F.array().cast("array<string>"),
-                    ).alias(fieldpath.KEYS_FIELD)
+                    ),
                 )
-            new_data = F.struct(*cols)
         else:
             new_data = F.col("data")
-            dropped = []
+            dropped_heads = []
             for p in excludes:
                 rp = relpath(p)
+                if not rp:
+                    continue
+                new_data = _drop_nested(new_data, data_t, rp)
                 if len(rp) == 1 and rp[0] in data_t.names:
-                    new_data = new_data.dropFields(rp[0])
-                    dropped.append(rp[0])
-            if has_keys and dropped:
+                    dropped_heads.append(rp[0])
+            if has_keys and dropped_heads:
                 new_data = new_data.withField(
                     fieldpath.KEYS_FIELD,
                     F.array_except(
                         F.col("data").getField(fieldpath.KEYS_FIELD),
-                        F.array(*[F.lit(d) for d in dropped]),
+                        F.array(*[F.lit(d) for d in dropped_heads]),
                     ),
                 )
         return df.withColumn("data", new_data)
@@ -644,26 +660,35 @@ class Planner:
     def _agg_histogram(self, df, name, spec):
         """floor(x/i)*i buckets including empty ones from the floored min
         to the max (``processors.go:1021-1065``).  Bucket range generated
-        with ``sequence`` — no driver round-trip."""
-        interval = spec["interval"]
+        with ``sequence`` over integer bucket *indexes* — no driver
+        round-trip, and float intervals work (``sequence`` itself only
+        steps integrally)."""
+        interval = float(spec["interval"])
+        if interval <= 0:
+            raise CompileError(f"histogram interval must be positive: {interval}")
+        integral = interval == int(interval)
         col, dtype = self._resolve(df, spec["field"])
         self.agg_key_types[name] = NumericType()
         v = as_double(col, dtype)
         src = df.select(v.alias("_v")).filter(F.col("_v").isNotNull())
-        bucket = (F.floor(F.col("_v") / interval) * interval).cast("long")
-        counts = src.groupBy(bucket.alias("_b")).agg(F.count(F.lit(1)).cast("double").alias("value"))
+        idx = F.floor(F.col("_v") / interval).cast("long")
+        counts = src.groupBy(idx.alias("_i")).agg(
+            F.count(F.lit(1)).cast("double").alias("value")
+        )
         rng = src.agg(
-            (F.floor(F.min("_v") / interval) * interval).cast("long").alias("_lo"),
-            F.floor(F.max("_v")).cast("long").alias("_hi"),
+            F.floor(F.min("_v") / interval).cast("long").alias("_lo"),
+            F.floor(F.max("_v") / interval).cast("long").alias("_hi"),
         )
         buckets = rng.select(
-            F.explode(F.sequence(F.col("_lo"), F.col("_hi"), F.lit(int(interval)))).alias("_b")
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_i")
         )
+        key = F.col("_i") * F.lit(interval)
+        key = key.cast("long") if integral else key.cast("double")
         return (
-            buckets.join(counts, "_b", "left")
+            buckets.join(counts, "_i", "left")
             .select(
                 F.lit(name).alias("name"),
-                F.col("_b").cast("string").alias("key"),
+                key.cast("string").alias("key"),
                 F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
             )
         )
@@ -823,6 +848,36 @@ def _grip_type_col(col: Column, dtype: DataType) -> Column:
             F.when(col.try_cast("double").isNotNull(), F.lit("NUMERIC")).otherwise(F.lit("STRING")),
         ).otherwise(unknown)
     return F.when(col.isNotNull(), unknown).otherwise(unknown)
+
+
+def _include_struct(col: Column, dtype: StructType, tree: dict) -> Column:
+    """Rebuild a struct keeping only the include-tree paths (depth-aware
+    fields() projection, ``jsonpath/jsonpath.go:193-280``)."""
+    parts = []
+    for f in dtype.fields:
+        if f.name == fieldpath.KEYS_FIELD:
+            continue
+        sub = tree.get(f.name)
+        if sub is True:
+            parts.append(col.getField(f.name).alias(f.name))
+        elif isinstance(sub, dict) and isinstance(f.dataType, StructType):
+            parts.append(_include_struct(col.getField(f.name), f.dataType, sub).alias(f.name))
+        # absent from tree (or non-struct with subtree) → dropped
+    return F.struct(*parts) if parts else F.struct()
+
+
+def _drop_nested(col: Column, dtype: StructType, rp: list[str]) -> Column:
+    """Drop the field at a multi-segment path (depth-aware exclude,
+    ``jsonpath/jsonpath.go:282-355``); unknown paths are no-ops."""
+    head = rp[0]
+    if head not in dtype.names:
+        return col
+    if len(rp) == 1:
+        return col.dropFields(head)
+    inner_t = dtype[head].dataType
+    if not isinstance(inner_t, StructType):
+        return col
+    return col.withField(head, _drop_nested(col.getField(head), inner_t, rp[1:]))
 
 
 def _track_key(data_col: Column, data_t: DataType, head: str) -> Column:

@@ -42,6 +42,10 @@ class GripGraph:
         self.name = name
         self.vertices = _normalize_vertices(vertices)
         self.edges = _normalize_edges(edges)
+        # optional dst-bucketed copy of the edges (set by from_tables);
+        # reverse hops prefer it so both adjacency directions join
+        # shuffle-free
+        self.edges_rev: DataFrame | None = None
         self._indices: list[dict] = []
 
     # -- constructors --------------------------------------------------
@@ -207,6 +211,55 @@ class GripGraph:
         self.vertices.cache()
         self.edges.cache()
         return self
+
+    # -- storage layout (the analog of kvgraph's label index + s|/d|
+    # adjacency indexes, kvgraph/keys.go:33-134) ----------------------
+
+    def save(self, path: str, mode: str = "overwrite") -> None:
+        """Label-partitioned parquet: ``hasLabel`` becomes partition
+        pruning at the scan (the reference's label index)."""
+        self.vertices.write.mode(mode).partitionBy("label").parquet(f"{path}/vertices")
+        self.edges.write.mode(mode).partitionBy("label").parquet(f"{path}/edges")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, name: str = "graph") -> "GripGraph":
+        return cls(
+            spark.read.parquet(f"{path}/vertices"),
+            spark.read.parquet(f"{path}/edges"),
+            name=name,
+        )
+
+    def save_tables(self, prefix: str, buckets: int = 32, mode: str = "overwrite") -> None:
+        """Bucketed catalog tables for shuffle-free adjacency joins:
+        vertices bucketed by ``gid``; edges stored twice, bucketed by
+        ``src`` and by ``dst`` (the two adjacency directions — the
+        analog of the reference's ``s|``/``d|`` KV index pair).  A hop
+        join on co-bucketed keys needs no Exchange at any scale."""
+        (
+            self.vertices.write.mode(mode)
+            .bucketBy(buckets, "gid").sortBy("gid")
+            .format("parquet").saveAsTable(f"{prefix}_v")
+        )
+        (
+            self.edges.write.mode(mode)
+            .bucketBy(buckets, "src").sortBy("src")
+            .format("parquet").saveAsTable(f"{prefix}_e_src")
+        )
+        (
+            self.edges.write.mode(mode)
+            .bucketBy(buckets, "dst").sortBy("dst")
+            .format("parquet").saveAsTable(f"{prefix}_e_dst")
+        )
+
+    @classmethod
+    def from_tables(cls, spark: SparkSession, prefix: str, name: str | None = None) -> "GripGraph":
+        g = cls(
+            spark.table(f"{prefix}_v"),
+            spark.table(f"{prefix}_e_src"),
+            name=name or prefix,
+        )
+        g.edges_rev = _normalize_edges(spark.table(f"{prefix}_e_dst"))
+        return g
 
 
 def _read_jsonl_with_keys(spark: SparkSession, path: str) -> DataFrame:

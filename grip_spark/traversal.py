@@ -192,6 +192,30 @@ class Traversal:
             planner.render_template,
         )
 
+    def iterate(self) -> Iterator:
+        """Stream results without materializing them on the driver
+        (``toLocalIterator`` — the scale path for large result sets;
+        ``execute()`` collects)."""
+        from grip_spark.compile.planner import Planner
+        from grip_spark.compile.results import convert_rows
+
+        planner = Planner(self.graph)
+        df = planner.plan(self.stmts)
+        for row in df.toLocalIterator():
+            yield convert_rows(
+                [row],
+                planner.result_kind,
+                planner.final_marks,
+                planner.agg_key_types,
+                planner.render_template,
+            )[0]
+
+    def write(self, path: str, format: str = "parquet", mode: str = "overwrite") -> None:
+        """Execute and write the result DataFrame to a sink — results
+        never touch the driver (the Jobs-API-style materialization
+        path, ``jobstorage/storage.go:28-41``)."""
+        self.to_df().write.mode(mode).format(format).save(path)
+
     def __iter__(self) -> Iterator:
         return iter(self.execute())
 

@@ -1,0 +1,47 @@
+"""Depth-aware fields() projection + float-interval histogram
+(VERDICT r1 wrong-list items 4 and missing-list 6)."""
+
+from grip_spark import GraphBuilder, ops
+
+
+def test_nested_include(spark):
+    g = GraphBuilder(spark)
+    g.addVertex("v1", "thing", {"a": {"b": 1, "c": 2}, "d": 3})
+    rows = g.query().V().fields(["a.b"]).execute()
+    assert rows[0]["data"] == {"a": {"b": 1}}
+
+
+def test_nested_exclude(spark):
+    g = GraphBuilder(spark)
+    g.addVertex("v1", "thing", {"a": {"b": 1, "c": 2}, "d": 3})
+    rows = g.query().V().fields(["-a.b"]).execute()
+    assert rows[0]["data"] == {"a": {"c": 2}, "d": 3}
+
+
+def test_include_whole_and_nested(spark):
+    g = GraphBuilder(spark)
+    g.addVertex("v1", "thing", {"a": {"b": 1, "c": 2}, "d": 3, "e": 4})
+    rows = g.query().V().fields(["a", "d"]).execute()
+    assert rows[0]["data"] == {"a": {"b": 1, "c": 2}, "d": 3}
+
+
+def test_top_level_fields_still_work(swapi):
+    resp = swapi.query().V("Character:1").fields(["name"]).execute()
+    assert resp[0]["data"] == {"name": "Luke Skywalker"}
+
+
+def test_float_interval_histogram(spark):
+    g = GraphBuilder(spark)
+    for i, v in enumerate([0.2, 0.4, 0.6, 1.4, 2.1]):
+        g.addVertex(f"v{i}", "n", {"x": v})
+    rows = g.query().V().aggregate([ops.histogram("h", "x", 0.5)]).execute()
+    got = {r["key"]: r["value"] for r in rows}
+    # floor(x/0.5)*0.5: 0.0->2, 0.5->1, 1.0->1, 1.5->0, 2.0->1
+    assert got == {0: 2.0, 0.5: 1.0, 1: 1.0, 1.5: 0.0, 2: 1.0}
+
+
+def test_int_histogram_still_golden(swapi):
+    golden = {75: 2, 100: 0, 125: 0, 150: 6, 175: 8, 200: 1, 225: 1}
+    q = swapi.query().V("Film:1").out().hasLabel("Character")
+    rows = q.aggregate([ops.histogram("h", "height", 25)]).execute()
+    assert {r["key"]: r["value"] for r in rows} == golden
