@@ -1,0 +1,158 @@
+"""Async-job analog: spool query results, resume with a stored prefix.
+
+Reference: the Jobs API (``gripql/gripql.proto:376-423``) — ``Submit``
+runs a pipeline and spools the traveler stream to disk
+(``jobstorage/storage.go:28-41``), recording a per-step query checksum
+(``jobstorage/query_checksum.go``); ``ResumeJob`` finds the stored job
+matching the longest prefix of a new query and continues the remaining
+statements from the spooled stream
+(``engine/pipeline/pipes.go:98-115``, ``gdbi/pipeline.go:19-23``).
+
+Spark rendering: the spooled stream is the traveler DataFrame written
+as parquet; resume loads it and hands it to the planner as the
+pipeline-extension start state.  Parquet keeps the spool
+distributed — a 100 TB traveler stream never touches the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import SparkSession
+
+from grip_spark.traversal import Traversal
+
+
+def step_checksums(stmts: list[dict]) -> list[str]:
+    """Cumulative per-step checksums (query_checksum.go: a prefix of a
+    query shares the checksum chain of any query that starts with it)."""
+    out = []
+    h = hashlib.sha256()
+    for s in stmts:
+        h.update(json.dumps(s, sort_keys=True).encode())
+        out.append(h.hexdigest())
+    return out
+
+
+class JobStore:
+    """Filesystem job spool (layout analog of ``storage.go:47-80``)."""
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+
+    # -- submit --------------------------------------------------------
+    def submit(self, traversal: Traversal) -> str:
+        """Run the traversal and spool its traveler DataFrame + plan
+        metadata.  Only position-kind results (vertex/edge traveler
+        streams) are resumable; terminal shapes (count/aggregate/...)
+        are stored view-only."""
+        from grip_spark.compile.planner import Planner
+
+        planner = Planner(traversal.graph)
+        df = planner.plan(traversal.stmts)
+        job_id = uuid.uuid4().hex[:12]
+        jdir = os.path.join(self.base, traversal.graph.name, job_id)
+        df.write.mode("overwrite").parquet(os.path.join(jdir, "spool.parquet"))
+        meta = {
+            "id": job_id,
+            "graph": traversal.graph.name,
+            "query": traversal.stmts,
+            "checksums": step_checksums(traversal.stmts),
+            "elem_type": planner.elem_type,
+            "result_kind": planner.result_kind,
+            "marks": planner.marks,
+            "track_path": planner.track_path,
+            "final_marks": planner.final_marks,
+            "timestamp": time.time(),
+            "state": "COMPLETE",
+        }
+        with open(os.path.join(jdir, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        return job_id
+
+    # -- inspect -------------------------------------------------------
+    def _meta_path(self, graph: str, job_id: str) -> str:
+        return os.path.join(self.base, graph, job_id, "meta.json")
+
+    def get(self, graph: str, job_id: str) -> dict:
+        with open(self._meta_path(graph, job_id)) as f:
+            return json.load(f)
+
+    def list_jobs(self, graph: str) -> list[dict]:
+        gdir = os.path.join(self.base, graph)
+        if not os.path.isdir(gdir):
+            return []
+        return [self.get(graph, j) for j in sorted(os.listdir(gdir))]
+
+    def delete(self, graph: str, job_id: str) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.base, graph, job_id), ignore_errors=True)
+
+    def _spool_df(self, graph: str, job_id: str):
+        return self.spark.read.parquet(
+            os.path.join(self.base, graph, job_id, "spool.parquet")
+        )
+
+    def view(self, graph: str, job_id: str) -> list:
+        """Stored results in GRIP result shapes (ViewJob)."""
+        from grip_spark.compile.results import convert_rows
+
+        meta = self.get(graph, job_id)
+        rows = self._spool_df(graph, job_id).collect()
+        return convert_rows(rows, meta["result_kind"], meta.get("final_marks"))
+
+    # -- resume --------------------------------------------------------
+    def find_prefix(self, traversal: Traversal) -> dict | None:
+        """Longest stored job whose full statement list is a prefix of
+        the new query (checksum chain match) and whose spool is a
+        resumable traveler stream."""
+        want = step_checksums(traversal.stmts)
+        best = None
+        for meta in self.list_jobs(traversal.graph.name):
+            cs = meta["checksums"]
+            if meta["result_kind"] not in ("vertex", "edge"):
+                continue
+            if len(cs) <= len(want) and want[len(cs) - 1] == cs[-1]:
+                if best is None or len(cs) > len(best["checksums"]):
+                    best = meta
+        return best
+
+    def resume(self, traversal: Traversal) -> list:
+        """ResumeJob: continue the new query from the longest stored
+        prefix; falls back to full execution when nothing matches or
+        the remaining statements need state the spool lacks."""
+        meta = self.find_prefix(traversal)
+        if meta is None:
+            return traversal.execute()
+        remaining = traversal.stmts[len(meta["checksums"]) :]
+        df = self._spool_df(traversal.graph.name, meta["id"])
+        needs_path = any(next(iter(s)) == "path" for s in remaining)
+        if needs_path and "_path" not in df.columns:
+            return traversal.execute()
+        from grip_spark.compile.planner import Planner
+        from grip_spark.compile.results import convert_rows
+
+        planner = Planner(traversal.graph)
+        planner.elem_type = meta["elem_type"]
+        planner.marks = dict(meta.get("marks") or {})
+        planner.track_path = "_path" in df.columns
+        out = planner._plan_seq(df, remaining)
+        try:
+            rows = out.collect()
+        finally:
+            for p in planner.persisted:
+                p.unpersist()
+        return convert_rows(
+            rows,
+            planner.result_kind,
+            planner.final_marks,
+            planner.agg_key_types,
+            planner.render_template,
+        )

@@ -1,0 +1,183 @@
+"""Structured Streaming operators for event streams.
+
+The reference has no streaming surface (SURVEY §2.8) — its closest
+notion is the async Jobs API.  This module extends the engine with the
+stream processing a large-scale data pipeline needs, expressed as
+Structured Streaming plans: ``readStream`` sources → the same
+DataFrame transformations the batch engine uses → windowed/stateful
+aggregation with watermarks for late data.
+
+Every transform here works identically on batch DataFrames (pass a
+batch DF to the same function) — that's the micro-batch model's
+contract, and it's how the tests pin streaming semantics to batch
+goldens.
+
+Scale notes: watermarks bound state; per-key state in sessionize() is
+an Arrow-batched applyInPandasWithState operator (the custom-stateful
+escape hatch); shuffle partitions size the state store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, schema: str = EVENTS_SCHEMA, fmt: str = "json"
+) -> DataFrame:
+    """File-source stream of events (new files under ``path`` become
+    micro-batches)."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling-window count + value stats per key with a late-data
+    watermark.  Works on both streaming and batch inputs."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .select(
+            F.col("w").getField("start").alias("window_start"),
+            F.col(key_col),
+            "n",
+            "vmin",
+            "vmax",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "2 hours",
+):
+    """Session windows per key: events closer than ``gap_seconds``
+    chain into one session.
+
+    Streaming input → ``applyInPandasWithState`` (the custom stateful
+    operator path: per-key state holds the open session, a timeout
+    flushes it).  Batch input → the classic gap/window composition
+    (lag + cumulative sum), which is also the correctness oracle for
+    the streaming path.
+    """
+    out_schema = (
+        f"{key_col} bigint, session_start timestamp, session_end timestamp, n_events bigint"
+    )
+    if not events.isStreaming:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(key_col).orderBy(ts_col)
+        gap = (
+            F.col(ts_col).cast("double")
+            - F.lag(F.col(ts_col).cast("double")).over(w)
+        )
+        marked = events.withColumn(
+            "_new", F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+        ).withColumn("_sid", F.sum("_new").over(w))
+        return (
+            marked.groupBy(key_col, "_sid")
+            .agg(
+                F.min(ts_col).alias("session_start"),
+                F.max(ts_col).alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .drop("_sid")
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    state_schema = "start double, end double, n bigint"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (start, end, n) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "session_start": [pd.Timestamp(start, unit="s")],
+                    "session_end": [pd.Timestamp(end, unit="s")],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts = pd.concat([pdf[ts_col] for pdf in pdfs]).sort_values()
+        secs = ts.astype("int64") / 1e9
+        if state.exists:
+            (start, end, n) = state.get
+        else:
+            start = end = None
+            n = 0
+        out = []
+        for t in secs:
+            if start is None:
+                start = end = t
+                n = 1
+            elif t - end <= gap_seconds:
+                end = t
+                n += 1
+            else:
+                out.append((key[0], start, end, n))
+                start = end = t
+                n = 1
+        state.update((float(start), float(end), int(n)))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        if out:
+            yield pd.DataFrame(
+                {
+                    key_col: [o[0] for o in out],
+                    "session_start": [pd.Timestamp(o[1], unit="s") for o in out],
+                    "session_end": [pd.Timestamp(o[2], unit="s") for o in out],
+                    "n_events": [o[3] for o in out],
+                }
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def stream_to_memory(df: DataFrame, name: str, once: bool = True):
+    """Run a streaming query into an in-memory sink (tests/demos);
+    returns the StreamingQuery."""
+    writer = df.writeStream.format("memory").queryName(name).outputMode(
+        "complete" if _has_agg_complete(df) else "append"
+    )
+    if once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _has_agg_complete(df: DataFrame) -> bool:
+    # windowed_counts without watermark-expired append support in a
+    # finite test run is simplest in complete mode
+    return any("Aggregate" in str(p) for p in [df._jdf.queryExecution().analyzed().toString()])

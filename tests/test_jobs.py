@@ -1,0 +1,62 @@
+"""Jobs API analog: spool + checksum-prefix resume (jobstorage port)."""
+
+import pytest
+
+from grip_spark.jobs import JobStore, step_checksums
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return JobStore(spark, str(tmp_path / "jobs"))
+
+
+def test_checksum_prefix_property(swapi):
+    a = swapi.query().V().hasLabel("Character").stmts
+    b = swapi.query().V().hasLabel("Character").out().count().stmts
+    ca, cb = step_checksums(a), step_checksums(b)
+    assert cb[: len(ca)] == ca
+    assert step_checksums(swapi.query().V().hasLabel("Film").stmts)[-1] != ca[-1]
+
+
+def test_submit_view(store, swapi):
+    jid = store.submit(swapi.query().V().hasLabel("Character"))
+    meta = store.get("swapi", jid)
+    assert meta["state"] == "COMPLETE" and meta["result_kind"] == "vertex"
+    rows = store.view("swapi", jid)
+    assert len(rows) == 18
+    assert all(r["label"] == "Character" for r in rows)
+
+
+def test_resume_continues_prefix(store, swapi):
+    store.submit(swapi.query().V().hasLabel("Character"))
+    q = swapi.query().V().hasLabel("Character").out("homeworld").count()
+    want = q.execute()
+    got = store.resume(q)
+    assert got == want
+
+
+def test_resume_longest_prefix_wins(store, swapi):
+    store.submit(swapi.query().V().hasLabel("Character"))
+    store.submit(swapi.query().V().hasLabel("Character").out("homeworld"))
+    q = swapi.query().V().hasLabel("Character").out("homeworld").count()
+    meta = store.find_prefix(q)
+    assert len(meta["checksums"]) == 3
+    assert store.resume(q) == q.execute()
+
+
+def test_resume_falls_back_without_match(store, swapi):
+    q = swapi.query().V().hasLabel("Film").count()
+    assert store.resume(q) == q.execute()
+
+
+def test_resume_with_marks(store, swapi):
+    store.submit(swapi.query().V().hasLabel("Character").as_("a").out())
+    q = swapi.query().V().hasLabel("Character").as_("a").out().select("a")
+    assert len(store.resume(q)) == len(q.execute()) == 52
+
+
+def test_list_delete(store, swapi):
+    jid = store.submit(swapi.query().V())
+    assert any(m["id"] == jid for m in store.list_jobs("swapi"))
+    store.delete("swapi", jid)
+    assert not any(m["id"] == jid for m in store.list_jobs("swapi"))

@@ -1,0 +1,108 @@
+"""Structured Streaming operators: streaming results must match the
+batch computation of the same transform (micro-batch contract)."""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def event_files(spark, tmp_path_factory):
+    """A small event log as JSON files (streamable source) + batch DF."""
+    d = tmp_path_factory.mktemp("events")
+    rows = []
+    base = 1_700_000_000
+    for uid in range(3):
+        # two sessions per user: a burst, a 2h gap, another burst
+        for k in range(4):
+            rows.append((uid * 100 + k, base + uid * 7 + k * 60, uid, "click", 1.0 * k))
+        for k in range(3):
+            rows.append((uid * 100 + 50 + k, base + 7200 + uid * 7 + k * 60, uid, "view", 2.0 * k))
+    for i, chunk in enumerate([rows[: len(rows) // 2], rows[len(rows) // 2 :]]):
+        with open(d / f"part{i}.json", "w") as f:
+            for r in chunk:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": r[0],
+                            "ts": time.strftime(
+                                "%Y-%m-%dT%H:%M:%S", time.gmtime(r[1])
+                            ),
+                            "user_id": r[2],
+                            "event_type": r[3],
+                            "value": r[4],
+                        }
+                    )
+                    + "\n"
+                )
+    return str(d)
+
+
+def _batch(spark, path):
+    from grip_spark.streaming import EVENTS_SCHEMA
+
+    return spark.read.schema(EVENTS_SCHEMA).json(path)
+
+
+def test_windowed_counts_stream_matches_batch(spark, event_files):
+    from grip_spark import streaming
+
+    batch = streaming.windowed_counts(_batch(spark, event_files))
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["vmin"], r["vmax"])
+        for r in batch.collect()
+    }
+    assert want
+
+    stream = streaming.read_event_stream(spark, event_files)
+    q = streaming.stream_to_memory(streaming.windowed_counts(stream), "wc_test")
+    q.awaitTermination(60)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["vmin"], r["vmax"])
+        for r in spark.table("wc_test").collect()
+    }
+    assert got == want
+
+
+def test_sessionize_batch(spark, event_files):
+    from grip_spark import streaming
+
+    sessions = streaming.sessionize(_batch(spark, event_files), gap_seconds=1800)
+    rows = sessions.collect()
+    # 3 users x 2 sessions (2h gap splits)
+    assert len(rows) == 6
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r)
+    for uid, ss in per_user.items():
+        assert len(ss) == 2
+        assert sorted(s["n_events"] for s in ss) == [3, 4]
+
+
+def test_sessionize_stream_matches_batch(spark, event_files):
+    from grip_spark import streaming
+
+    batch = streaming.sessionize(_batch(spark, event_files), gap_seconds=1800)
+    want_counts = sorted(
+        (r["user_id"], r["n_events"]) for r in batch.collect()
+    )
+
+    stream = streaming.read_event_stream(spark, event_files)
+    sess = streaming.sessionize(stream, gap_seconds=1800)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.table("sess_test").collect()
+    # availableNow run flushes only *closed* sessions (open sessions
+    # wait on the processing-time timeout) — the closed ones must match
+    got_counts = sorted((r["user_id"], r["n_events"]) for r in got)
+    assert set(got_counts) <= set(want_counts)
+    # with the 2h gap between bursts, each user's first session closes
+    assert len(got_counts) >= 3
