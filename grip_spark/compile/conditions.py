@@ -41,15 +41,15 @@ def _typed_eq(col: Column, dtype, value) -> Column:
         return _false()
     if isinstance(value, bool):
         if isinstance(dtype, BooleanType):
-            return _nn(col == F.lit(value))
+            return _guarded(col, col == F.lit(value))
         return _false()
     if isinstance(value, (int, float)):
         if isinstance(dtype, NumericType):
-            return _nn(col.cast("double") == F.lit(float(value)))
+            return _guarded(col, col.cast("double") == F.lit(float(value)))
         return _false()
     if isinstance(value, str):
         if isinstance(dtype, StringType):
-            return _nn(col == F.lit(value))
+            return _guarded(col, col == F.lit(value))
         return _false()
     if isinstance(value, (list, tuple)):
         if isinstance(dtype, ArrayType):
@@ -77,6 +77,16 @@ def _nn(col: Column) -> Column:
     return F.coalesce(col, F.lit(False))
 
 
+def _guarded(col: Column, cmp: Column) -> Column:
+    """Two-valued comparison: ``isnotnull(col) AND cmp``.
+
+    Equivalent to ``coalesce(cmp, false)`` when ``cmp`` is only null
+    because ``col`` is (false AND null = false), but unlike coalesce
+    both conjuncts are *pushable* parquet filters — coalesce around a
+    comparison blocks row-group pruning at the scan entirely."""
+    return col.isNotNull() & cmp
+
+
 def compile_condition(view_lookup, cond: dict) -> Column:
     """One leaf condition dict ``{key, value, condition}``."""
     key, value, op = cond["key"], cond.get("value"), cond["condition"]
@@ -93,7 +103,7 @@ def compile_condition(view_lookup, cond: dict) -> Column:
             return _false()
         c = as_double(col, dtype)
         cmpc = {"GT": c > v, "GTE": c >= v, "LT": c < v, "LTE": c <= v}[op]
-        return _nn(cmpc)
+        return _guarded(c, cmpc)
 
     if op in ("INSIDE", "OUTSIDE", "BETWEEN"):
         if not isinstance(value, (list, tuple)) or len(value) != 2:
@@ -103,10 +113,10 @@ def compile_condition(view_lookup, cond: dict) -> Column:
             return _false()
         c = as_double(col, dtype)
         if op == "INSIDE":
-            return _nn((c > lo) & (c < hi))
+            return _guarded(c, (c > lo) & (c < hi))
         if op == "OUTSIDE":
-            return _nn((c < lo) | (c > hi))
-        return _nn((c >= lo) & (c < hi))
+            return _guarded(c, (c < lo) | (c > hi))
+        return _guarded(c, (c >= lo) & (c < hi))
 
     if op in ("WITHIN", "WITHOUT"):
         if not isinstance(value, (list, tuple)):
