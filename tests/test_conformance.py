@@ -314,3 +314,37 @@ def test_path_out_out_select(swapi):
     for r in rows:
         assert len(r) == 4
         assert r[0] == r[3]
+
+
+# -- ot_error.py ------------------------------------------------------------
+
+
+def test_error_bad_start(swapi):
+    import pytest
+
+    from grip_spark.compile.planner import CompileError
+
+    with pytest.raises(CompileError):
+        swapi.query().out().execute()
+    with pytest.raises(CompileError):
+        swapi.query().V().V().execute()
+
+
+# -- ot_path_optimize.py ----------------------------------------------------
+
+
+def test_path_optimize_1(swapi):
+    assert len(swapi.query().V("Film:1").out().out().out().execute()) == 1814
+    assert len(swapi.query().V("Film:1").in_().in_().in_().execute()) == 1814
+    rows = swapi.query().V("Film:1").out().out().outE().execute()
+    assert len(rows) == 1814
+    valid = {
+        "vehicles", "species", "planets", "characters", "enemy", "starships",
+        "films", "homeworld", "people", "pilots", "residents",
+    }
+    assert all(r["label"] in valid for r in rows)
+    assert len(swapi.query().V("Film:1").out().out().outE().out().execute()) == 1814
+
+
+def test_path_optimize_2(swapi):
+    assert len(swapi.query().V().out().hasLabel("Starship").out().out().execute()) == 666
