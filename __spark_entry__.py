@@ -440,6 +440,30 @@ def q_events_window(spark, sf_dir):
     )
 
 
+def q_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min) over the event stream — the
+    batch form of grip_spark.streaming.sessionize, on integer seconds
+    so the DuckDB oracle is exact."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.expr("ts DIV 1000000000").alias("secs")
+    )
+    w = Window.partitionBy("user_id").orderBy("secs")
+    gap = F.col("secs") - F.lag("secs").over(w)
+    marked = ev.withColumn("new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sid = F.sum("new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        marked.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("secs").alias("session_start_s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("sid")
+    )
+
+
 def q_events_json_props(spark, sf_dir):
     return (
         _events(spark, sf_dir)
@@ -504,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_stats": q_events_type_stats,
         "events_window": q_events_window,
         "events_json_props": q_events_json_props,
+        "sessions": q_sessions,
     }
 
 
@@ -715,5 +740,16 @@ def oracle_sql() -> dict[str, str]:
         "events_json_props": (
             "SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n "
             "FROM events GROUP BY 1"
+        ),
+        "sessions": (
+            "WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS secs FROM events), "
+            "m AS (SELECT user_id, secs, CASE WHEN "
+            "lag(secs) OVER (PARTITION BY user_id ORDER BY secs) IS NULL OR "
+            "secs - lag(secs) OVER (PARTITION BY user_id ORDER BY secs) > 1800 "
+            "THEN 1 ELSE 0 END AS new FROM e), "
+            "s AS (SELECT user_id, secs, sum(new) OVER (PARTITION BY user_id ORDER BY secs "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM m) "
+            "SELECT user_id, min(secs) AS session_start_s, count(*) AS n_events "
+            "FROM s GROUP BY user_id, sid"
         ),
     }
