@@ -1,0 +1,187 @@
+"""Property-based conformance: random condition trees vs an
+independent Python oracle implementing the reference's match semantics
+(``engine/logic/match.go:14-255``): deep equality, float64 coercion
+with drop-on-uncastable, WITHOUT's null-keep, two-valued NOT.
+"""
+
+import json
+import random
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from grip_spark import GraphBuilder, ops
+
+# -- fixture graph: consistent-typed fields, randomly absent/null ----------
+
+FIELDS = {
+    "num": lambda r: round(r.uniform(-50, 50), 2),
+    "count": lambda r: r.randint(0, 10),
+    "name": lambda r: r.choice(["ada", "bob", "cyd", "dee", "12", "7.5"]),
+    "flag": lambda r: r.choice([True, False]),
+    "tags": lambda r: r.sample(["x", "y", "z", "w"], r.randint(0, 3)),
+}
+
+
+def _rows(n=60, seed=7):
+    r = random.Random(seed)
+    rows = []
+    for i in range(n):
+        data = {}
+        for f, gen in FIELDS.items():
+            roll = r.random()
+            if roll < 0.2:
+                continue  # absent
+            if roll < 0.3:
+                data[f] = None  # present-null
+            else:
+                data[f] = gen(r)
+        rows.append({"gid": f"v{i}", "label": r.choice(["A", "B"]), "data": data})
+    return rows
+
+
+@pytest.fixture(scope="module")
+def prop_graph(spark):
+    rows = _rows()
+    g = GraphBuilder(spark, name="prop")
+    for row in rows:
+        g.addVertex(row["gid"], row["label"], row["data"])
+    graph = g.graph()
+    graph.vertices.cache().count()
+    return graph, {r["gid"]: r for r in rows}
+
+
+# -- the independent oracle (match.go port) --------------------------------
+
+
+def _lookup(row, key):
+    """TravelerPathLookup: returns (value, exists)."""
+    if key == "_gid":
+        return row["gid"], True
+    if key == "_label":
+        return row["label"], True
+    d = row["data"]
+    if key in d:
+        return d[key], True
+    return None, False
+
+
+def _to_f64(v):
+    # spf13/cast.ToFloat64E
+    if isinstance(v, bool):
+        return 1.0 if v else 0.0
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, str):
+        try:
+            return float(v)
+        except ValueError:
+            return None
+    return None
+
+
+def _deep_eq(a, b):
+    # reflect.DeepEqual over JSON values: types must match (bool is not
+    # a number; int/float both arrive as float64 in Go)
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)) and not isinstance(a, bool):
+        return float(a) == float(b)
+    return a == b
+
+
+def oracle_cond(row, cond):
+    key, value, op = cond["key"], cond.get("value"), cond["condition"]
+    v, _ = _lookup(row, key)
+    if op == "EQ":
+        return _deep_eq(v, value)
+    if op == "NEQ":
+        return not _deep_eq(v, value)
+    if op in ("GT", "GTE", "LT", "LTE"):
+        a, b = _to_f64(v), _to_f64(value)
+        if a is None or b is None or v is None:
+            return False
+        return {"GT": a > b, "GTE": a >= b, "LT": a < b, "LTE": a <= b}[op]
+    if op in ("INSIDE", "OUTSIDE", "BETWEEN"):
+        a = _to_f64(v) if v is not None else None
+        lo, hi = _to_f64(value[0]), _to_f64(value[1])
+        if a is None or lo is None or hi is None:
+            return False
+        if op == "INSIDE":
+            return lo < a < hi
+        if op == "OUTSIDE":
+            return a < lo or a > hi
+        return lo <= a < hi
+    if op == "WITHIN":
+        return any(_deep_eq(v, x) for x in value)
+    if op == "WITHOUT":
+        return not any(_deep_eq(v, x) for x in value)
+    if op == "CONTAINS":
+        return isinstance(v, list) and any(_deep_eq(e, value) for e in v)
+    raise ValueError(op)
+
+
+def oracle(row, expr):
+    if "condition" in expr:
+        return oracle_cond(row, expr["condition"])
+    if "and" in expr:
+        return all(oracle(row, e) for e in expr["and"]["expressions"])
+    if "or" in expr:
+        return any(oracle(row, e) for e in expr["or"]["expressions"])
+    if "not" in expr:
+        return not oracle(row, expr["not"])
+    raise ValueError(expr)
+
+
+# -- hypothesis strategies --------------------------------------------------
+
+_keys = st.sampled_from(["num", "count", "name", "flag", "tags", "nope", "_label", "_gid"])
+_scalars = st.one_of(
+    st.integers(-60, 60),
+    st.floats(-60, 60, allow_nan=False).map(lambda x: round(x, 2)),
+    st.sampled_from(["ada", "bob", "12", "x", "A", "v3"]),
+    st.booleans(),
+    st.none(),
+)
+
+
+def _conditions():
+    simple = st.one_of(
+        st.builds(lambda k, v: ops.eq(k, v), _keys, _scalars),
+        st.builds(lambda k, v: ops.neq(k, v), _keys, _scalars),
+        st.builds(lambda k, v: ops.gt(k, v), _keys, _scalars.filter(lambda v: v is not None)),
+        st.builds(lambda k, v: ops.lte(k, v), _keys, _scalars.filter(lambda v: v is not None)),
+        st.builds(
+            lambda k, lo, hi: ops.between(k, lo, hi),
+            _keys,
+            st.integers(-60, 0),
+            st.integers(1, 60),
+        ),
+        st.builds(
+            lambda k, lo, hi: ops.outside(k, lo, hi),
+            _keys,
+            st.integers(-60, 0),
+            st.integers(1, 60),
+        ),
+        st.builds(lambda k, vs: ops.within(k, vs), _keys, st.lists(_scalars, max_size=4)),
+        st.builds(lambda k, vs: ops.without(k, vs), _keys, st.lists(_scalars, max_size=4)),
+        st.builds(lambda k, v: ops.contains(k, v), _keys, _scalars.filter(lambda v: v is not None)),
+    )
+    return st.recursive(
+        simple,
+        lambda sub: st.one_of(
+            st.builds(lambda a, b: ops.and_(a, b), sub, sub),
+            st.builds(lambda a, b: ops.or_(a, b), sub, sub),
+            st.builds(lambda a: ops.not_(a), sub),
+        ),
+        max_leaves=4,
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(expr=_conditions())
+def test_condition_compiler_matches_oracle(prop_graph, expr):
+    graph, rows = prop_graph
+    got = {r["gid"] for r in graph.query().V().has(expr).execute()}
+    want = {gid for gid, row in rows.items() if oracle(row, expr)}
+    assert got == want, f"expr={json.dumps(expr)}\nonly_engine={got-want}\nonly_oracle={want-got}"
