@@ -702,7 +702,9 @@ class Planner:
         self.agg_key_types[name] = NumericType()
         v = as_double(col, dtype)
         agg = df.select(v.alias("_v")).filter(F.col("_v").isNotNull()).agg(
-            F.percentile_approx("_v", [p / 100.0 for p in percents]).alias("_q")
+            F.percentile_approx(
+                "_v", [p / 100.0 for p in percents], F.lit(50000)
+            ).alias("_q")
         )
         pairs = F.arrays_zip(
             F.array(*[F.lit(float(p)) for p in percents]).alias("p"),

@@ -1,0 +1,150 @@
+"""Declarative existing-table → graph mapping (the analog of the
+reference's existing-SQL backend and gripper plugins).
+
+The reference can expose pre-existing relational tables as a graph
+without copying them: ``existing-sql/`` declares which tables are
+vertices and how foreign-key columns form edges
+(``existing-sql/graph.go``); ``gripper`` does the same for external
+document collections via a mapping graph (``gripper/gripper.proto:44-62``,
+``gripper/README.md``).
+
+Spark rendering: a :class:`GraphMapping` of vertex/edge table specs
+compiles to the two union DataFrames of a :class:`GripGraph` — lazily,
+so Catalyst still prunes unused tables (a ``hasLabel`` query folds the
+other vertex branches to empty scans) and pushes filters into each
+source scan.  ``grip_spark.tpch`` is one instance of this pattern.
+
+Example::
+
+    m = GraphMapping()
+    m.vertex("customer", label="Customer", gid=("c:", "c_custkey"),
+             data=["c_name", "c_acctbal"])
+    m.vertex("orders", label="Order", gid=("o:", "o_orderkey"))
+    m.edge("orders", label="placed",
+           src=("c:", "o_custkey"), dst=("o:", "o_orderkey"))
+    g = m.build(spark, lambda name: spark.read.parquet(f"{d}/{name}.parquet"))
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from grip_spark.graph import GripGraph
+
+
+def _gid(prefix: str, key_col: str) -> Column:
+    return F.concat(F.lit(prefix), F.col(key_col).cast("string"))
+
+
+@dataclass
+class VertexSpec:
+    table: str
+    label: str
+    gid: tuple[str, str]  # (prefix, key column)
+    data: list[str] = field(default_factory=list)
+
+
+@dataclass
+class EdgeSpec:
+    table: str
+    label: str
+    src: tuple[str, str]
+    dst: tuple[str, str]
+    gid: tuple[str, str] | None = None  # default: src/dst-derived
+    data: list[str] = field(default_factory=list)
+    distinct: bool = False  # collapse duplicate (src, dst) link rows
+
+
+class GraphMapping:
+    """Collects vertex/edge table specs; ``build`` compiles the graph."""
+
+    def __init__(self):
+        self.vertices: list[VertexSpec] = []
+        self.edges: list[EdgeSpec] = []
+
+    def vertex(self, table: str, label: str, gid: tuple[str, str], data=None) -> "GraphMapping":
+        self.vertices.append(VertexSpec(table, label, gid, list(data or [])))
+        return self
+
+    def edge(
+        self, table: str, label: str, src, dst, gid=None, data=None, distinct: bool = False
+    ) -> "GraphMapping":
+        self.edges.append(EdgeSpec(table, label, src, dst, gid, list(data or []), distinct))
+        return self
+
+    # -----------------------------------------------------------------
+    def build(self, spark: SparkSession, reader, name: str = "mapped") -> GripGraph:
+        """``reader(table_name) -> DataFrame`` supplies each source
+        (catalog table, parquet path, JDBC — anything)."""
+        tables: dict[str, DataFrame] = {}
+
+        def t(nm: str) -> DataFrame:
+            if nm not in tables:
+                tables[nm] = reader(nm)
+            return tables[nm]
+
+        # union data schema across vertex specs (typed NULL for absent)
+        vfields: dict[str, str] = {}
+        for vs in self.vertices:
+            df = t(vs.table)
+            for c in vs.data:
+                vfields.setdefault(c, dict(df.dtypes)[c])
+        vparts = []
+        for vs in self.vertices:
+            df = t(vs.table)
+            present = set(vs.data)
+            cols = [
+                (F.col(c) if c in present else F.lit(None)).cast(dt).alias(c)
+                for c, dt in vfields.items()
+            ]
+            vparts.append(
+                df.select(
+                    _gid(*vs.gid).alias("gid"),
+                    F.lit(vs.label).alias("label"),
+                    F.struct(*cols).alias("data"),
+                )
+            )
+        vertices = vparts[0]
+        for p in vparts[1:]:
+            vertices = vertices.unionByName(p)
+
+        efields: dict[str, str] = {}
+        for es in self.edges:
+            df = t(es.table)
+            for c in es.data:
+                efields.setdefault(c, dict(df.dtypes)[c])
+        eparts = []
+        for i, es in enumerate(self.edges):
+            df = t(es.table)
+            if es.distinct:
+                keep = list({es.src[1], es.dst[1], *es.data})
+                df = df.select(*keep).distinct()
+            present = set(es.data)
+            cols = [
+                (F.col(c) if c in present else F.lit(None)).cast(dt).alias(c)
+                for c, dt in efields.items()
+            ]
+            if es.gid is not None:
+                gid = _gid(*es.gid)
+            else:
+                gid = F.concat(
+                    F.lit(f"{es.label}:"),
+                    F.col(es.src[1]).cast("string"),
+                    F.lit(":"),
+                    F.col(es.dst[1]).cast("string"),
+                )
+            eparts.append(
+                df.select(
+                    gid.alias("gid"),
+                    F.lit(es.label).alias("label"),
+                    _gid(*es.src).alias("src"),
+                    _gid(*es.dst).alias("dst"),
+                    F.struct(*cols).alias("data") if cols else F.struct().alias("data"),
+                )
+            )
+        edges = eparts[0]
+        for p in eparts[1:]:
+            edges = edges.unionByName(p)
+        return GripGraph(vertices, edges, name=name)

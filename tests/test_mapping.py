@@ -1,0 +1,49 @@
+"""GraphMapping: existing tables as a graph (existing-sql / gripper
+analog), verified against direct relational answers."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def mapped(spark):
+    from grip_spark.mapping import GraphMapping
+
+    d = "/root/testdata/sf0.001"
+    m = GraphMapping()
+    m.vertex("customer", label="Customer", gid=("c:", "c_custkey"),
+             data=["c_name", "c_acctbal", "c_mktsegment"])
+    m.vertex("orders", label="Order", gid=("o:", "o_orderkey"),
+             data=["o_orderstatus", "o_totalprice"])
+    m.vertex("part", label="Part", gid=("p:", "p_partkey"), data=["p_name", "p_size"])
+    m.edge("orders", label="placed", src=("c:", "o_custkey"), dst=("o:", "o_orderkey"))
+    m.edge("lineitem", label="contains", src=("o:", "l_orderkey"), dst=("p:", "l_partkey"),
+           data=["l_quantity"])
+    g = m.build(spark, lambda name: spark.read.parquet(f"{d}/{name}.parquet"), name="mapped")
+    return g, d
+
+
+def test_mapped_counts(mapped, spark):
+    g, d = mapped
+    n_c = spark.read.parquet(f"{d}/customer.parquet").count()
+    n_o = spark.read.parquet(f"{d}/orders.parquet").count()
+    n_p = spark.read.parquet(f"{d}/part.parquet").count()
+    n_l = spark.read.parquet(f"{d}/lineitem.parquet").count()
+    assert g.query().V().count().execute()[0]["count"] == n_c + n_o + n_p
+    assert g.query().E().count().execute()[0]["count"] == n_o + n_l
+    assert g.query().V().hasLabel("Customer").count().execute()[0]["count"] == n_c
+
+
+def test_mapped_traversal(mapped, spark):
+    g, d = mapped
+    n_o = spark.read.parquet(f"{d}/orders.parquet").count()
+    assert g.query().V().hasLabel("Customer").out("placed").count().execute()[0]["count"] == n_o
+    rows = g.query().V(["c:1"]).out("placed").outE("contains").execute()
+    assert all("l_quantity" in r["data"] for r in rows)
+
+
+def test_mapped_prunes_unused_tables(mapped):
+    g, _ = mapped
+    plan = g.query().V().hasLabel("Part").to_df()._jdf.queryExecution().executedPlan().toString()
+    assert "part.parquet" in plan
+    assert "customer.parquet" not in plan  # branch folded away
+    assert "orders.parquet" not in plan
