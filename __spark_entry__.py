@@ -366,7 +366,7 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     # LSH candidates verified by exact 5-gram jaccard; oracle is the
     # exact 5-gram pair set (recall gap would surface as missing rows)
     return dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), "doc_id", threshold=0.8, num_hashes=64, bands=16, shingle_n=5
+        _docs(spark, sf_dir), "doc_id", threshold=0.8, num_hashes=64, shingle_n=5
     )
 
 

@@ -114,26 +114,48 @@ def minhash_signatures_df(
     )
 
 
+def tune_bands(num_hashes: int, threshold: float) -> int:
+    """Pick the band count whose S-curve midpoint (1/b)^(1/r) sits
+    closest below the threshold — a mis-tuned banding (e.g. 16 bands of
+    4 rows for t=0.8, midpoint 0.5) floods the verifier with
+    mid-similarity candidates on corpora with heavy similarity mass."""
+    best, best_mid = None, -1.0
+    b = 1
+    while b <= num_hashes:
+        r = num_hashes // b
+        if b * r == num_hashes and r >= 1:
+            mid = (1.0 / b) ** (1.0 / r)
+            if mid <= threshold and mid > best_mid:
+                best, best_mid = b, mid
+        b *= 2
+    return best or num_hashes  # fall back to r=1 (recall over precision)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     threshold: float = 0.8,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int | None = None,
     shingle_n: int = 5,
     verify: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
     ``num_hashes`` is split into ``bands`` bands of ``num_hashes//bands``
-    rows; documents sharing any band hash become candidates (standard
+    rows (default: tuned to the threshold via :func:`tune_bands`);
+    documents sharing any band hash become candidates (standard
     S-curve: P(candidate) = 1-(1-j^r)^b).  With ``verify=True``
-    candidates are confirmed by exact shingle Jaccard >= threshold, so
-    the result has no false positives (only LSH recall loss).
+    candidates are first pruned by the signature-estimated Jaccard
+    (fraction of equal minhash entries — 64 long compares, no text
+    access) and then confirmed by exact shingle Jaccard >= threshold,
+    so the result has no false positives (only LSH recall loss).
 
     Returns (a_id, b_id) with a_id < b_id, distinct.
     """
+    if bands is None:
+        bands = tune_bands(num_hashes, threshold)
     r = num_hashes // bands
     # Persist the (tiny: id + 64 longs) signature table before banding:
     # it is consumed by both sides of the candidate self-join, and
@@ -168,6 +190,23 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
+    # stage 1: estimated Jaccard from the signatures themselves (cheap
+    # — compares the 64 longs already in memory, never touches text);
+    # the 0.1 margin keeps estimator variance from costing recall
+    sa = sig.select(F.col("_id").alias("a_id"), F.col("_sig").alias("_siga"))
+    sb = sig.select(F.col("_id").alias("b_id"), F.col("_sig").alias("_sigb"))
+    est = F.aggregate(
+        F.zip_with("_siga", "_sigb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(num_hashes))
+    cand = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .filter(est >= threshold - 0.1)
+        .select("a_id", "b_id")
+    )
+    # stage 2: exact shingle Jaccard on the survivors
     sh = df.select(
         F.col(id_col).alias("_id"), char_shingles(text_col, shingle_n).alias("_sh")
     )

@@ -32,9 +32,7 @@ def test_exact_vs_minhash_recall(docs):
     exact = pairs(dedup.ngram_jaccard_pairs(docs, "doc_id", n=5, threshold=0.8))
     assert exact, "fixture should contain planted near-dup pairs"
     lsh = pairs(
-        dedup.minhash_lsh_pairs(
-            docs, "doc_id", threshold=0.8, num_hashes=64, bands=16, shingle_n=5
-        )
+        dedup.minhash_lsh_pairs(docs, "doc_id", threshold=0.8, num_hashes=64, shingle_n=5)
     )
     # verify=True → no false positives; banding at j>=0.8 → recall ~1
     assert lsh <= exact
