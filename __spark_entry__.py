@@ -404,6 +404,11 @@ def q_sim_ann(spark, sf_dir):
     )
 
 
+def q_knn_exact(spark, sf_dir):
+    # exact nearest neighbor per vector (embedding near-dup oracle)
+    return similarity.cosine_knn_exact(_emb(spark, sf_dir), k=1).select("a_id", "b_id")
+
+
 def q_multimodal_meta(spark, sf_dir):
     withbin = multimodal.attach_binary(_docs(spark, sf_dir))
     meta = multimodal.extract_meta(withbin)
@@ -523,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "sim_topk": q_sim_topk,
         "sim_ann": q_sim_ann,
+        "knn_exact": q_knn_exact,
         "multimodal_meta": q_multimodal_meta,
         "frame_sample": q_frame_sample,
         "events_type_stats": q_events_type_stats,
@@ -720,6 +726,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id != 0 "
             "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
             "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 5"
+        ),
+        "knn_exact": (
+            "SELECT a_id, b_id FROM ("
+            "SELECT a.vec_id AS a_id, b.vec_id AS b_id, ROW_NUMBER() OVER ("
+            "PARTITION BY a.vec_id ORDER BY list_cosine_similarity("
+            "CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id"
+            ") AS rk FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id"
+            ") WHERE rk = 1"
         ),
         "multimodal_meta": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, "

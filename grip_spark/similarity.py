@@ -146,6 +146,95 @@ def ann_lsh_topk(
     )
 
 
+def ivf_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int | None = None,
+    seed: int = 11,
+    cluster_col: str = "ivf_list",
+):
+    """IVF (inverted-file) index: k-means partitions the corpus into
+    ``n_lists`` cells; each vector is assigned to its nearest centroid.
+    Returns (indexed_df, centroids) where centroids is a list of
+    (list_id, center vector).  At scale, write the indexed table
+    partitioned by ``ivf_list`` so probes prune partitions.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    if n_lists is None:
+        n_lists = max(2, int(df.count() ** 0.5 / 2))
+    feat = df.withColumn("_feat", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="_feat", predictionCol=cluster_col).fit(
+        feat
+    )
+    indexed = model.transform(feat).drop("_feat")
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return indexed, centroids
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    centroids: list,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "ivf_list",
+) -> DataFrame:
+    """Approximate top-k: rank only the ``nprobe`` cells whose
+    centroids are closest to the query (driver-side centroid scan —
+    centroid count is ~sqrt(corpus), always tiny)."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    probe = [
+        cid
+        for cid, _ in sorted(centroids, key=lambda c: -cos(query_vec, c[1]))[:nprobe]
+    ]
+    q = _vec_lit(query_vec)
+    cand = indexed.filter(F.col(cluster_col).isin(probe))
+    return (
+        cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_knn_exact(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 1,
+) -> DataFrame:
+    """Exact all-pairs k-NN (cross join + per-id top-k window).
+
+    Quadratic — the small-scale oracle for :func:`cosine_self_join_topk`
+    and for embedding-cosine near-dup thresholds; use the LSH-bucketed
+    variant at corpus scale."""
+    from pyspark.sql.window import Window
+
+    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"))
+    pairs = a.crossJoin(b).filter(F.col("a_id") != F.col("b_id"))
+    scored = pairs.select(
+        "a_id", "b_id", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim")
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("cos_sim").desc(), F.col("b_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def cosine_self_join_topk(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -159,3 +159,30 @@ def test_text_ops(docs):
         F.md5(normalize(F.concat(F.lit("  "), F.col("text"))).cast("binary")).alias("f2")
     ).first()["f2"]
     assert a == b
+
+
+def test_ivf_recall(emb):
+    from grip_spark import similarity
+    from pyspark.sql import functions as F
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 5).first()["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 5)
+    exact = [r["vec_id"] for r in similarity.cosine_topk(rest, "embedding", qvec, k=10).collect()]
+    indexed, cents = similarity.ivf_index(rest, n_lists=8)
+    approx = [
+        r["vec_id"] for r in similarity.ivf_topk(indexed, cents, qvec, k=10, nprobe=3).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"IVF recall@10 = {recall}"
+
+
+def test_knn_exact_agrees_with_topk(emb):
+    from grip_spark import similarity
+    from pyspark.sql import functions as F
+
+    nn = {r["a_id"]: r["b_id"] for r in similarity.cosine_knn_exact(emb, k=1).collect()}
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    top = similarity.cosine_topk(
+        emb.filter(F.col("vec_id") != 0), "embedding", qvec, k=1
+    ).first()
+    assert nn[0] == top["vec_id"]
