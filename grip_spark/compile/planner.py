@@ -533,12 +533,17 @@ class Planner:
 
     def _render_col(self, df: DataFrame, template) -> Column:
         """Template → Column: strings are field refs, lists/dicts build
-        arrays/structs (``Render``, ``jsonpath/jsonpath.go:169-190``)."""
+        structs (``Render``, ``jsonpath/jsonpath.go:169-190``).  List
+        templates compile to *positional structs*, not arrays — GRIP
+        lists are heterogeneous JSON; the template-aware result
+        conversion turns them back into Python lists."""
         if isinstance(template, str):
             col, _ = self._resolve(df, template)
             return col
         if isinstance(template, (list, tuple)):
-            return F.array(*[self._render_col(df, t) for t in template])
+            return F.struct(
+                *[self._render_col(df, t).alias(f"_{i}") for i, t in enumerate(template)]
+            )
         if isinstance(template, dict):
             return F.struct(*[self._render_col(df, v).alias(k) for k, v in template.items()])
         return F.lit(template)

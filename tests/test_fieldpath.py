@@ -1,0 +1,84 @@
+"""Port of jsonpath/jsonpath_test.go golden semantics: namespace
+resolution, array indexing, mark-scoped lookups, render shapes — plus
+the empty-graph count edge case (ot_count.test_count_when_no_data)."""
+
+import pytest
+
+from grip_spark import GraphBuilder
+
+
+@pytest.fixture(scope="module")
+def jp_graph(spark):
+    g = GraphBuilder(spark, name="jsonpath")
+    g.addVertex(
+        "vertex1",
+        "foo",
+        {
+            "a": "hello",
+            "b": 1,
+            "c": True,
+            "d": [1, 2, 3],
+            "e": [{"nested": "field1"}, {"nested": "field2"}],
+            "f": None,
+        },
+    )
+    g.addVertex("vertex2", "bar", {"a": "world", "b": 2, "c": False, "d": [4, 5, 6]})
+    g.addEdge("vertex1", "vertex2", "link", gid="edge1")
+    return g.graph()
+
+
+def _render_one(graph, start, template):
+    rows = graph.query().V(start).render(template).execute()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_render_scalar(jp_graph):
+    assert _render_one(jp_graph, "vertex1", "a") == "hello"
+    assert _render_one(jp_graph, "vertex1", "_gid") == "vertex1"
+    assert _render_one(jp_graph, "vertex1", "_label") == "foo"
+    assert _render_one(jp_graph, "vertex1", "_data.a") == "hello"
+
+
+def test_render_array_index(jp_graph):
+    assert _render_one(jp_graph, "vertex1", "d[0]") == 1
+    assert _render_one(jp_graph, "vertex1", "d[2]") == 3
+    assert _render_one(jp_graph, "vertex1", "e[1].nested") == "field2"
+    assert _render_one(jp_graph, "vertex1", "e[:].nested") == ["field1", "field2"]
+
+
+def test_render_list_and_dict(jp_graph):
+    assert _render_one(jp_graph, "vertex1", ["a", "b", "c"]) == ["hello", 1, True]
+    got = _render_one(jp_graph, "vertex1", {"x": "a", "y": "d[1]", "z": "non-existent"})
+    assert got == {"x": "hello", "y": 2, "z": None}
+
+
+def test_render_mark_scoped(jp_graph):
+    q = (
+        jp_graph.query()
+        .V("vertex2")
+        .as_("testMark")
+        .in_("link")
+        .render(["$testMark.a", "$testMark._gid", "a", "_gid"])
+    )
+    rows = q.execute()
+    assert rows == [["world", "vertex2", "hello", "vertex1"]]
+
+
+def test_path_exists_semantics(jp_graph):
+    # hasKey is TravelerPathExists: 'f' is present-with-null → exists
+    gids = {r["gid"] for r in jp_graph.query().V().hasKey("f").execute()}
+    assert gids == {"vertex1"}
+    assert jp_graph.query().V().hasKey("non-existent").execute() == []
+    assert {r["gid"] for r in jp_graph.query().V().hasKey("a").execute()} == {
+        "vertex1",
+        "vertex2",
+    }
+
+
+def test_count_when_no_data(spark):
+    g = GraphBuilder(spark, name="emptyTest")
+    assert g.query().V().count().execute()[0]["count"] == 0
+    assert g.query().V("non-existent").count().execute()[0]["count"] == 0
+    assert g.query().E().count().execute()[0]["count"] == 0
+    assert g.query().E("non-existent").count().execute()[0]["count"] == 0
