@@ -1,0 +1,85 @@
+"""Plan-shape goldens (the spirit of mongo/compile_test.go +
+optimizer_test.go): assert the physical plans keep the properties the
+100 TB design depends on — column pruning, filter pushdown, union
+branch pruning, equi-joins (never nested-loop), codegen."""
+
+import re
+
+import pytest
+
+from grip_spark import ops
+
+
+@pytest.fixture(scope="module")
+def raw_tpch(spark):
+    # uncached graph: scan behavior is visible (the cached fixture
+    # would hide pushdown behind InMemoryTableScan)
+    import grip_spark.tpch as tpch
+
+    saved = dict(tpch._CACHE)
+    tpch._CACHE.clear()
+    orig = tpch.GripGraph.cache
+    tpch.GripGraph.cache = lambda self: self
+    try:
+        g = tpch.tpch_graph(spark, "/root/testdata/sf0.001")
+    finally:
+        tpch.GripGraph.cache = orig
+        tpch._CACHE.clear()
+        tpch._CACHE.update(saved)
+    return g
+
+
+def plan_of(q):
+    return q.to_df()._jdf.queryExecution().executedPlan().toString()
+
+
+def read_schemas(plan):
+    return [m.group(1) for m in re.finditer(r"ReadSchema: (\S+)", plan)]
+
+
+def test_count_hop_prunes_data(raw_tpch):
+    plan = plan_of(raw_tpch.query().V().hasLabel("Customer").out("placed").count())
+    for rs in read_schemas(plan):
+        assert "c_name" not in rs and "o_totalprice" not in rs, rs
+    # customer side reads only its key
+    assert any(rs == "struct<c_custkey:bigint>" for rs in read_schemas(plan))
+
+
+def test_haslabel_folds_union_branches(raw_tpch):
+    plan = plan_of(raw_tpch.query().V().hasLabel("Part"))
+    assert "part.parquet" in plan
+    for other in ("customer", "orders", "region", "nation", "supplier"):
+        assert f"{other}.parquet" not in plan
+
+
+def test_comparison_reaches_pushed_filters(raw_tpch):
+    plan = plan_of(raw_tpch.query().V().hasLabel("Customer").has(ops.gt("c_acctbal", 5000)))
+    pushed = re.findall(r"PushedFilters: \[([^\]]+)\]", plan)
+    assert any("GreaterThan(c_acctbal,5000.0)" in p for p in pushed), plan
+
+
+def test_both_is_union_of_equi_joins(raw_tpch):
+    plan = plan_of(raw_tpch.query().V(["o:1"]).both())
+    assert "Union" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hops_are_equi_joins(raw_tpch):
+    plan = plan_of(raw_tpch.query().V().hasLabel("Customer").out("placed").out("contains"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_whole_stage_codegen_everywhere(raw_tpch):
+    plan = plan_of(raw_tpch.query().V().hasLabel("Customer").has(ops.gt("c_acctbal", 5000)))
+    # Spark renders codegen stages as "*(n)"
+    assert re.search(r"\*\(\d+\)", plan)
+
+
+def test_edge_label_filter_below_join(raw_tpch):
+    # out('placed') must filter edges by label before the join; with
+    # literal labels the union folds to the single edge source
+    plan = plan_of(raw_tpch.query().V(["c:1"]).out("placed"))
+    assert "lineitem.parquet" not in plan  # contains-edges branch folded away
