@@ -302,7 +302,8 @@ def q_agg_field(spark, sf_dir):
 
 
 def q_agg_percentile(spark, sf_dir):
-    # approximate (percentile_approx vs t-digest) → no SQL oracle
+    # percentile_approx at accuracy 50k is rank-exact at this scale →
+    # oracled against quantile_disc
     return (
         _gq(spark, sf_dir)
         .V()
@@ -385,8 +386,9 @@ def q_sim_topk(spark, sf_dir):
 
 
 def q_sim_ann(spark, sf_dir):
-    # seeded random-hyperplane LSH — not SQL-expressible → rows-only;
-    # recall vs exact covered in tests/test_llm_ops.py
+    # seeded random-hyperplane LSH; the plane family is deterministic
+    # (seed=7), so the oracle replicates the bucket math with plane
+    # literals in SQL
     df = _emb(spark, sf_dir)
     qvec = [float(x) for x in df.filter(F.col("vec_id") == 0).first()["embedding"]]
     return (
@@ -401,6 +403,31 @@ def q_sim_ann(spark, sf_dir):
             multiprobe_hamming=2,
         )
         .select("vec_id")
+    )
+
+
+def _ann_oracle_sql() -> str:
+    """DuckDB rendering of q_sim_ann: same hyperplanes (seed=7), same
+    bucket bits, probe = hamming<=2, exact cosine rank, top 5."""
+    from grip_spark.similarity import _planes
+
+    hp = _planes(64, 6, 7)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), "
+        f"CAST({list(p)} AS DOUBLE[])) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(hp)
+    )
+    qbits = bits.replace("e.embedding", "q.embedding")
+    return (
+        "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0), "
+        f"b AS (SELECT e.vec_id, ({bits}) AS sig, "
+        "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(q.embedding AS DOUBLE[])) AS cs "
+        "FROM embeddings e, q WHERE e.vec_id != 0), "
+        f"qb AS (SELECT ({qbits}) AS qsig FROM q) "
+        "SELECT vec_id FROM b, qb "
+        "WHERE bit_count(CAST(xor(sig, qsig) AS BIGINT)) <= 2 "
+        "ORDER BY cs DESC, vec_id LIMIT 5"
     )
 
 
@@ -680,6 +707,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'f' AS name, 'n_name' AS key, CAST(count(n_name) AS DOUBLE) AS value "
             "FROM nation"
         ),
+        "agg_percentile": (
+            "SELECT 'pct' AS name, '25.0' AS key, quantile_disc(o_totalprice, 0.25) AS value "
+            "FROM orders UNION ALL "
+            "SELECT 'pct', '50.0', quantile_disc(o_totalprice, 0.50) FROM orders UNION ALL "
+            "SELECT 'pct', '75.0', quantile_disc(o_totalprice, 0.75) FROM orders"
+        ),
         "mark_jump": (
             "SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS gid FROM nation WHERE n_regionkey = 0"
         ),
@@ -727,6 +760,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
             "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 5"
         ),
+        "sim_ann": _ann_oracle_sql(),
         "knn_exact": (
             "SELECT a_id, b_id FROM ("
             "SELECT a.vec_id AS a_id, b.vec_id AS b_id, ROW_NUMBER() OVER ("
