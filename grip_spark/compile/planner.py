@@ -812,6 +812,11 @@ class Planner:
             if n_cont == 0:
                 break
             frontier = out.filter(loop_c)
+            if n_cont < 10000:
+                # small frontier: shrink to a few partitions (narrow
+                # coalesce on the checkpointed data, no shuffle) so the
+                # next iteration isn't dominated by task scheduling
+                frontier = frontier.coalesce(4)
         else:
             if limit_n is None:
                 raise CompileError(
