@@ -217,9 +217,14 @@ class GripGraph:
 
     def save(self, path: str, mode: str = "overwrite") -> None:
         """Label-partitioned parquet: ``hasLabel`` becomes partition
-        pruning at the scan (the reference's label index)."""
-        self.vertices.write.mode(mode).partitionBy("label").parquet(f"{path}/vertices")
-        self.edges.write.mode(mode).partitionBy("label").parquet(f"{path}/edges")
+        pruning at the scan (the reference's label index).  Empty
+        DataFrames write unpartitioned (a zero-row partitioned write
+        leaves no schema footer to load)."""
+        for df, sub in ((self.vertices, "vertices"), (self.edges, "edges")):
+            w = _writable(df).write.mode(mode)
+            if not df.isEmpty():
+                w = w.partitionBy("label")
+            w.parquet(f"{path}/{sub}")
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, name: str = "graph") -> "GripGraph":
@@ -414,6 +419,15 @@ def _normalize(df: DataFrame, want: tuple) -> DataFrame:
         else:
             out.append(F.lit(None).cast(StringType()).alias(c))
     return df.select(*out)
+
+
+def _writable(df: DataFrame) -> DataFrame:
+    """Parquet rejects field-less structs; drop an empty ``data``
+    struct before writing (the load normalizer re-adds it)."""
+    dt = df.schema["data"].dataType
+    if isinstance(dt, StructType) and not dt.fields:
+        return df.drop("data")
+    return df
 
 
 def _merge_struct_types(a: StructType, b: StructType) -> StructType:

@@ -1,0 +1,65 @@
+"""Multi-graph admin surface (``gripql.proto:425-503``: AddGraph,
+DeleteGraph, ListGraphs, plus graph resolution for queries).
+
+The reference server hosts many named graphs per backend; here a
+:class:`GraphManager` maps names to :class:`GripGraph` instances with
+optional parquet persistence under a base directory (label-partitioned
+via ``GripGraph.save`` — the scan-pruning layout).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+from grip_spark.graph import GraphBuilder, GripGraph
+
+
+class GraphManager:
+    def __init__(self, spark: SparkSession, base_dir: str | None = None):
+        self.spark = spark
+        self.base = base_dir
+        self._graphs: dict[str, GripGraph] = {}
+        if base_dir:
+            os.makedirs(base_dir, exist_ok=True)
+            for name in os.listdir(base_dir):
+                if os.path.isdir(os.path.join(base_dir, name, "vertices")):
+                    self._graphs[name] = GripGraph.load(
+                        spark, os.path.join(base_dir, name), name=name
+                    )
+
+    def listGraphs(self) -> list[str]:
+        return sorted(self._graphs)
+
+    def addGraph(self, name: str, graph: GripGraph | None = None) -> GripGraph | GraphBuilder:
+        """Register a graph; with no DataFrames yet, returns a
+        GraphBuilder for incremental writes."""
+        if graph is None:
+            b = GraphBuilder(self.spark, name=name)
+            self._graphs[name] = b  # materialized lazily via .graph()
+            return b
+        self._graphs[name] = graph
+        return graph
+
+    def getGraph(self, name: str) -> GripGraph:
+        g = self._graphs[name]
+        if isinstance(g, GraphBuilder):
+            return g.graph()
+        return g
+
+    def deleteGraph(self, name: str) -> None:
+        self._graphs.pop(name, None)
+        if self.base:
+            shutil.rmtree(os.path.join(self.base, name), ignore_errors=True)
+
+    def persist(self, name: str) -> None:
+        """Write the graph to the manager's base dir (label-partitioned
+        parquet); it will be auto-loaded by future managers."""
+        if not self.base:
+            raise ValueError("GraphManager has no base_dir")
+        self.getGraph(name).save(os.path.join(self.base, name))
+
+    def query(self, name: str):
+        return self.getGraph(name).query()

@@ -196,3 +196,27 @@ def test_sample_schema_merged(writeg):
     rows = {r["gid"]: r for r in s.vertices.collect()}
     d = rows["thing"]["data"].asDict()
     assert d.get("alpha") == 1 and d.get("beta") == "two"
+
+
+# -- graph admin surface (gripql.proto:425-503) -----------------------------
+
+
+def test_graph_manager(spark, tmp_path, swapi):
+    from grip_spark.manager import GraphManager
+
+    m = GraphManager(spark, str(tmp_path / "graphs"))
+    assert m.listGraphs() == []
+    m.addGraph("swapi", swapi)
+    b = m.addGraph("scratch")
+    b.addVertex("v1", "thing", {"x": 1})
+    assert m.listGraphs() == ["scratch", "swapi"]
+    assert m.query("swapi").V().count().execute()[0]["count"] == 39
+    assert m.query("scratch").V().count().execute()[0]["count"] == 1
+
+    m.persist("scratch")
+    m2 = GraphManager(spark, str(tmp_path / "graphs"))
+    assert "scratch" in m2.listGraphs()
+    assert m2.query("scratch").V().count().execute()[0]["count"] == 1
+
+    m.deleteGraph("scratch")
+    assert m.listGraphs() == ["swapi"]
