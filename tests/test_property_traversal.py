@@ -1,0 +1,152 @@
+"""Property-based traversal conformance: random statement chains vs a
+pure-Python multiset oracle over the SWAPI fixture.
+
+Covers the join semantics the conformance goldens only sample: hop
+composition (out/in/both/outE/inE, E→V), label filters, has trees and
+distinct — always comparing gid *multisets* (duplicate travelers are
+required semantics, SURVEY §7 hard-list item 4).
+"""
+
+import collections
+import json
+import random
+
+import pytest
+
+from grip_spark import ops
+
+SWAPI_V = "/root/reference/conformance/graphs/swapi.vertices"
+SWAPI_E = "/root/reference/conformance/graphs/swapi.edges"
+
+
+@pytest.fixture(scope="module")
+def pygraph():
+    verts, edges = {}, []
+    with open(SWAPI_V) as f:
+        for line in f:
+            v = json.loads(line)
+            verts[v["gid"]] = v
+    with open(SWAPI_E) as f:
+        for line in f:
+            e = json.loads(line)
+            e.setdefault("gid", f'{e["from"]}-{e["label"]}-{e["to"]}')
+            edges.append(e)
+    return verts, edges
+
+
+# -- oracle: multiset of traveler positions --------------------------------
+
+
+def _hop(travelers, verts, edges, kind, labels):
+    out = []
+    for kindx, gid in travelers:
+        for e in edges:
+            if labels and e["label"] not in labels:
+                continue
+            if kindx == "v":
+                if kind in ("out", "both") and e["from"] == gid and e["to"] in verts:
+                    out.append(("v", e["to"]))
+                if kind in ("in", "both") and e["to"] == gid and e["from"] in verts:
+                    out.append(("v", e["from"]))
+                if kind == "outE" and e["from"] == gid:
+                    out.append(("e", e["gid"]))
+                if kind == "inE" and e["to"] == gid:
+                    out.append(("e", e["gid"]))
+    return out
+
+
+def _edge_to_v(travelers, verts, edges, endpoint):
+    emap = {e["gid"]: e for e in edges}
+    out = []
+    for kindx, gid in travelers:
+        if kindx == "e":
+            tgt = emap[gid]["to" if endpoint == "out" else "from"]
+            if tgt in verts:
+                out.append(("v", tgt))
+    return out
+
+
+def oracle_run(verts, edges, stmts):
+    travelers = None
+    for s in stmts:
+        (k, arg), = s.items()
+        if k == "v":
+            travelers = [("v", g) for g in sorted(verts)]
+        elif k in ("out", "in", "both", "outE", "inE"):
+            if travelers and travelers[0][0] == "e" and k in ("out", "in"):
+                travelers = _edge_to_v(travelers, verts, edges, k)
+            else:
+                travelers = _hop(travelers, verts, edges, k, arg)
+        elif k == "hasLabel":
+            def lbl(t):
+                if t[0] == "v":
+                    return verts[t[1]]["label"]
+                return next(e["label"] for e in edges if e["gid"] == t[1])
+            travelers = [t for t in travelers if lbl(t) in arg]
+        elif k == "has":
+            def data_of(t):
+                if t[0] == "v":
+                    v = verts[t[1]]
+                    return {"gid": v["gid"], "label": v["label"], "data": v.get("data") or {}}
+                e = next(x for x in edges if x["gid"] == t[1])
+                return {"gid": e["gid"], "label": e["label"], "data": e.get("data") or {}}
+            from test_property import oracle as cond_oracle
+
+            travelers = [t for t in travelers if cond_oracle(data_of(t), arg)]
+        elif k == "distinct":
+            seen, out = set(), []
+            for t in travelers:
+                if t[1] not in seen:
+                    seen.add(t[1])
+                    out.append(t)
+            travelers = out
+        else:
+            raise ValueError(k)
+    return collections.Counter(g for _, g in travelers)
+
+
+# -- random chain generation -----------------------------------------------
+
+V_LABELS = ["Character", "Film", "Planet", "Species", "Starship", "Vehicle"]
+E_LABELS = ["characters", "films", "homeworld", "pilots", "residents", "species", "starships"]
+
+
+def random_chain(r):
+    stmts = [{"v": []}]
+    cur = "v"
+    for _ in range(r.randint(1, 4)):
+        roll = r.random()
+        if cur == "e":
+            stmts.append({r.choice(["out", "in"]): []})
+            cur = "v"
+        elif roll < 0.45:
+            labels = [r.choice(E_LABELS)] if r.random() < 0.5 else []
+            stmts.append({r.choice(["out", "in", "both"]): labels})
+        elif roll < 0.6:
+            stmts.append({r.choice(["outE", "inE"]): []})
+            cur = "e"
+        elif roll < 0.75:
+            stmts.append({"hasLabel": [r.choice(V_LABELS)]})
+        elif roll < 0.9:
+            field = r.choice(["eye_color", "height", "_label", "name"])
+            if r.random() < 0.5:
+                stmts.append({"has": ops.eq(field, r.choice(["brown", "Character", "Human", 172]))})
+            else:
+                stmts.append({"has": ops.gt(field, r.randint(90, 210))})
+        else:
+            stmts.append({"distinct": []})
+    return stmts
+
+
+def test_random_traversals_match_oracle(swapi, pygraph):
+    verts, edges = pygraph
+    r = random.Random(1234)
+    from grip_spark.traversal import Traversal
+
+    for trial in range(25):
+        stmts = random_chain(r)
+        want = oracle_run(verts, edges, stmts)
+        got = collections.Counter(
+            row["gid"] for row in Traversal(swapi, stmts).execute()
+        )
+        assert got == want, f"trial {trial}: {json.dumps(stmts)}"
