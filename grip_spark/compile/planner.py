@@ -609,26 +609,52 @@ class Planner:
         aggs = arg["aggregations"] if isinstance(arg, dict) else list(arg)
         self.result_kind = "aggregation"
         if len(aggs) > 1:
+            # resolve every aggregated field FIRST and persist only
+            # those columns — column pruning cannot reach through an
+            # InMemoryRelation, so persisting the raw traveler DF would
+            # materialize the whole data struct for a 2-field agg
+            resolved = []
+            cols = []
+            for i, a in enumerate(aggs):
+                spec = next((a[k] for k in ("term", "histogram", "percentile", "field", "type") if k in a), None)
+                if spec is None:
+                    resolved.append(None)
+                    continue
+                col, dtype = self._resolve(df, spec["field"])
+                alias = f"_agg_f{i}"
+                cols.append(col.alias(alias))
+                resolved.append((F.col(alias), dtype))
+            df = df.select(*cols) if cols else df.select(F.lit(1).alias("_one"))
             df = df.persist()
             self.persisted.append(df)  # unpersisted after execute()
-        plans = [self._one_agg(df, a) for a in aggs]
+            plans = [
+                self._one_agg(df, a, resolved[i]) for i, a in enumerate(aggs)
+            ]
+        else:
+            plans = [self._one_agg(df, aggs[0], None)]
         out = plans[0]
         for p in plans[1:]:
             out = out.unionByName(p)
         return out
 
-    def _one_agg(self, df: DataFrame, agg: dict) -> DataFrame:
+    def _one_agg(self, df: DataFrame, agg: dict, pre=None) -> DataFrame:
+        """``pre``: optionally a pre-resolved (Column, DataType) for the
+        aggregated field (multi-agg prunes + persists those columns)."""
         name = agg["name"]
+
+        def rv(spec):
+            return pre if pre is not None else self._resolve(df, spec["field"])
+
         if "term" in agg:
-            return self._agg_term(df, name, agg["term"])
+            return self._agg_term(df, name, agg["term"], rv(agg["term"]))
         if "histogram" in agg:
-            return self._agg_histogram(df, name, agg["histogram"])
+            return self._agg_histogram(df, name, agg["histogram"], rv(agg["histogram"]))
         if "percentile" in agg:
-            return self._agg_percentile(df, name, agg["percentile"])
+            return self._agg_percentile(df, name, agg["percentile"], rv(agg["percentile"]))
         if "field" in agg:
-            return self._agg_field(df, name, agg["field"])
+            return self._agg_field(df, name, agg["field"], rv(agg["field"]))
         if "type" in agg:
-            return self._agg_type(df, name, agg["type"])
+            return self._agg_type(df, name, agg["type"], rv(agg["type"]))
         if "count" in agg:
             self.agg_key_types[name] = StringType()
             return df.agg(
@@ -638,11 +664,11 @@ class Planner:
             )
         raise CompileError(f"unknown aggregation: {agg}")
 
-    def _agg_term(self, df, name, spec):
+    def _agg_term(self, df, name, spec, cv):
         """Value→count; arrays/maps/nulls skipped; ``size`` caps terms
         by descending count (``processors.go:980-1019``; the Mongo
         translation sorts desc before limiting, ``mongo/compile.go:793-815``)."""
-        col, dtype = self._resolve(df, spec["field"])
+        col, dtype = cv
         self.agg_key_types[name] = dtype
         if isinstance(dtype, (ArrayType, MapType, StructType, NullType)):
             return _empty_agg(df, name)
@@ -662,7 +688,7 @@ class Planner:
             out = out.orderBy(F.col("value").desc()).limit(int(size))
         return out
 
-    def _agg_histogram(self, df, name, spec):
+    def _agg_histogram(self, df, name, spec, cv):
         """floor(x/i)*i buckets including empty ones from the floored min
         to the max (``processors.go:1021-1065``).  Bucket range generated
         with ``sequence`` over integer bucket *indexes* — no driver
@@ -672,7 +698,7 @@ class Planner:
         if interval <= 0:
             raise CompileError(f"histogram interval must be positive: {interval}")
         integral = interval == int(interval)
-        col, dtype = self._resolve(df, spec["field"])
+        col, dtype = cv
         self.agg_key_types[name] = NumericType()
         v = as_double(col, dtype)
         src = df.select(v.alias("_v")).filter(F.col("_v").isNotNull())
@@ -698,12 +724,12 @@ class Planner:
             )
         )
 
-    def _agg_percentile(self, df, name, spec):
+    def _agg_percentile(self, df, name, spec, cv):
         """Approximate percentiles — ``percentile_approx`` stands in for
         the reference's t-digest (``processors.go:1067-1091``;
         conformance tolerance is ±15%, ``ot_aggregations.py:110-118``)."""
         percents = list(spec.get("percents", [1, 5, 25, 50, 75, 95, 99]))
-        col, dtype = self._resolve(df, spec["field"])
+        col, dtype = cv
         self.agg_key_types[name] = NumericType()
         v = as_double(col, dtype)
         agg = df.select(v.alias("_v")).filter(F.col("_v").isNotNull()).agg(
@@ -721,11 +747,11 @@ class Planner:
             F.col("_pq.q").cast("double").alias("value"),
         )
 
-    def _agg_field(self, df, name, spec):
+    def _agg_field(self, df, name, spec, cv):
         """Count occurrences of each property key at a path
         (``processors.go:1093-1109``) — one explode pass, no per-field
         scans."""
-        col, dtype = self._resolve(df, spec["field"])
+        col, dtype = cv
         self.agg_key_types[name] = StringType()
         if isinstance(dtype, StructType) and fieldpath.KEYS_FIELD in dtype.names:
             # loader-recorded key set: exact presence incl. null values
@@ -750,11 +776,11 @@ class Planner:
             .select(F.lit(name).alias("name"), F.col("_k").alias("key"), F.col("value"))
         )
 
-    def _agg_type(self, df, name, spec):
+    def _agg_type(self, df, name, spec, cv):
         """Count runtime type names at a path (``processors.go:1111-1124``,
         type sniff ``gripql/schema.go:25-38``).  Null/missing values
         count as UNKNOWN — the reference runs GetFieldType(nil)."""
-        col, dtype = self._resolve(df, spec["field"])
+        col, dtype = cv
         self.agg_key_types[name] = StringType()
         tname = _grip_type_col(col, dtype)
         return (
