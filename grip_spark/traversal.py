@@ -163,6 +163,15 @@ class Traversal:
     def to_json(self) -> str:
         return json.dumps({"query": self.stmts})
 
+    @classmethod
+    def from_json(cls, graph: "GripGraph", payload: str | dict) -> "Traversal":
+        """Rebuild a traversal from the GripQL wire format — the same
+        ``{"query": [...]}`` JSON the reference server accepts
+        (``gripql/python/gripql/query.py:370-376``)."""
+        if isinstance(payload, str):
+            payload = json.loads(payload)
+        return cls(graph, list(payload["query"]))
+
     def to_df(self) -> "DataFrame":
         """Compile to a single lazy DataFrame plan (Catalyst executes)."""
         from grip_spark.compile.planner import Planner

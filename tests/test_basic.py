@@ -112,3 +112,18 @@ def test_render_edge_identity(swapi):
         assert row[0] == row[1]
         assert row[1] != row[2]
         assert row[3].startswith(row[0])
+
+
+def test_bothE(swapi):
+    # bothE = union of outE and inE multisets
+    n_out = len(swapi.query().V("Starship:12").outE().execute())
+    n_in = len(swapi.query().V("Starship:12").inE().execute())
+    assert len(swapi.query().V("Starship:12").bothE().execute()) == n_out + n_in
+
+
+def test_wire_round_trip(swapi):
+    from grip_spark.traversal import Traversal
+
+    q = swapi.query().V().hasLabel("Character").out("homeworld").count()
+    q2 = Traversal.from_json(swapi, q.to_json())
+    assert q2.execute() == q.execute()
