@@ -343,6 +343,11 @@ class GraphBuilder:
     def listIndices(self) -> list[dict]:
         return list(self._indices)
 
+    def bulkAdd(self) -> "BulkAdder":
+        """Validating batch writer (BulkAdd streaming RPC analog,
+        ``gripql/gripql.proto:440-444``)."""
+        return BulkAdder(self)
+
     # -- materialize + query -------------------------------------------
     def graph(self) -> GripGraph:
         if self._graph is None:
@@ -384,6 +389,49 @@ class GraphBuilder:
 
     def sampleSchema(self, sample_n: int = 50) -> GripGraph:
         return self.graph().sampleSchema(sample_n)
+
+
+class BulkAdder:
+    """Buffered, validating bulk writer: elements failing the
+    reference's validation (non-empty gid/label, edges additionally
+    from+to — ``gripql/util.go:111-131``) are counted, the rest
+    commit on ``execute()``."""
+
+    def __init__(self, builder: GraphBuilder):
+        self._b = builder
+        self._v: list[tuple] = []
+        self._e: list[tuple] = []
+        self.error_count = 0
+
+    @staticmethod
+    def _ok(*vals) -> bool:
+        return all(isinstance(v, str) and v for v in vals)
+
+    def addVertex(self, gid, label, data=None) -> "BulkAdder":
+        if not self._ok(gid, label):
+            self.error_count += 1
+        else:
+            self._v.append((gid, label, data))
+        return self
+
+    def addEdge(self, src, dst, label, data=None, gid=None) -> "BulkAdder":
+        if not self._ok(src, dst, label):
+            self.error_count += 1
+        else:
+            self._e.append((src, dst, label, data, gid))
+        return self
+
+    def execute(self) -> dict:
+        for gid, label, data in self._v:
+            self._b.addVertex(gid, label, data)
+        for src, dst, label, data, gid in self._e:
+            self._b.addEdge(src, dst, label, data, gid)
+        out = {
+            "errorCount": self.error_count,
+            "insertCount": len(self._v) + len(self._e),
+        }
+        self._v, self._e, self.error_count = [], [], 0
+        return out
 
 
 def _rename_endpoints(e: DataFrame) -> DataFrame:

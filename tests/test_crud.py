@@ -220,3 +220,38 @@ def test_graph_manager(spark, tmp_path, swapi):
 
     m.deleteGraph("scratch")
     assert m.listGraphs() == ["swapi"]
+
+
+# -- ot_bulk.py -------------------------------------------------------------
+
+
+def _bulk_fixture(bulk, bad=False):
+    bulk.addVertex("1", "Person", {"name": "marko", "age": "29"})
+    bulk.addVertex("2", "Person", {"name": "vadas", "age": "27"})
+    bulk.addVertex("3", "Software", {"name": "lop", "lang": "java"})
+    bulk.addVertex("4", "Person", {"name": "josh", "age": "32"})
+    bulk.addVertex("5", "Software", {"name": "ripple", "lang": "java"})
+    bulk.addVertex("6", "Person", {"name": "peter", "age": "35"})
+    bulk.addEdge("1", None if bad else "3", "created", {"weight": 0.4})
+    bulk.addEdge("1", "2", "knows", {"weight": 0.5})
+    bulk.addEdge("1", "4", "knows", {"weight": 1.0})
+    bulk.addEdge("4", "3", "created", {"weight": 0.4})
+    bulk.addEdge("6", "3", "created", {"weight": 0.2})
+    bulk.addEdge("4", "5", None if bad else "created", {"weight": 1.0})
+
+
+def test_bulkload(writeg):
+    bulk = writeg.bulkAdd()
+    _bulk_fixture(bulk)
+    err = bulk.execute()
+    assert err["errorCount"] == 0
+    assert writeg.query().V().count().execute()[0]["count"] == 6
+    assert writeg.query().E().count().execute()[0]["count"] == 6
+
+
+def test_bulkload_validate(writeg):
+    bulk = writeg.bulkAdd()
+    _bulk_fixture(bulk, bad=True)
+    err = bulk.execute()
+    assert err["errorCount"] == 2
+    assert writeg.query().E().count().execute()[0]["count"] == 4
