@@ -117,15 +117,24 @@ class Planner:
                 if jidx is None:
                     i += 1
                     continue
-                if _find_jump(stmts, jidx + 1, name) is not None:
-                    raise CompileError(
-                        f"multiple jumps target mark {name!r}; only one supported"
-                    )
                 if df is None:
                     raise CompileError("mark/jump requires a source before the mark")
-                body = stmts[i + 1 : jidx]
-                df = self._loop(df, body, stmts[jidx]["jump"], stmts[jidx + 1 :])
-                i = jidx + 1
+                # N jumps may target one mark (the reference wires every
+                # Jump's feedback channel into the one JumpMark,
+                # ``engine/pipeline/pipes.go:27-45``,
+                # ``engine/logic/jump.go:127-134``): split the statements
+                # into per-jump segments; each iteration unions all
+                # jump-back frontiers.
+                jidxs = [jidx]
+                while (nxt := _find_jump(stmts, jidxs[-1] + 1, name)) is not None:
+                    jidxs.append(nxt)
+                segments = []
+                prev = i
+                for j in jidxs:
+                    segments.append((stmts[prev + 1 : j], stmts[j]["jump"]))
+                    prev = j
+                df = self._loop(df, segments, stmts[jidxs[-1] + 1 :])
+                i = jidxs[-1] + 1
                 continue
             if key == "jump":
                 name = stmt["jump"]["mark"]
@@ -153,7 +162,11 @@ class Planner:
                     raise CompileError(
                         "forward jump requires matching element types at the mark"
                     )
-                df = cont.unionByName(bypass)
+                # bypassing travelers never saw marks declared in the
+                # skipped segment → their mark columns are null (the
+                # reference traveler simply lacks the mark; select
+                # renders it as an empty element)
+                df = cont.unionByName(bypass, allowMissingColumns=True)
                 i = midx + 1
                 continue
             df = self._apply(df, stmt, is_first=(at_start and i == 0))
@@ -427,9 +440,13 @@ class Planner:
 
     def _st_select(self, df, arg):
         marks = arg["marks"] if isinstance(arg, dict) else list(arg)
-        missing = [m for m in marks if f"_mark_{m}" not in df.columns]
-        if missing and len(marks) == 1:
-            raise CompileError(f"select references unknown mark(s): {missing}")
+        # a mark name never declared by as_ is a compile error (not a
+        # raw KeyError); marks *declared* but null at runtime (traveler
+        # bypassed the as_ via a forward jump) render as empty elements
+        # (``processors.go:799-801``)
+        unknown = [m for m in marks if m not in self.marks or f"_mark_{m}" not in df.columns]
+        if unknown:
+            raise CompileError(f"select references unknown mark(s): {unknown}")
         if len(marks) == 1:
             # move current back to the marked element (processors.go:858-876)
             m = marks[0]
@@ -444,19 +461,29 @@ class Planner:
                 cols.append(self._path_append(mc.getField("gid"), mtype))
             self.elem_type = mtype
             return df.select(*cols)
-        # terminal row output {mark: element}; a missing mark emits an
-        # empty element rather than erroring (processors.go:799-801)
+        # terminal row output {mark: element}; a null mark (declared
+        # but bypassed at runtime) emits an empty element *typed to the
+        # mark's schema*, so downstream unions stay well-typed
         self.result_kind = "select"
         self.final_marks = marks
-        empty = F.struct(
-            F.lit("").alias("gid"), F.lit("").alias("label"), F.struct().alias("data")
-        )
-        return df.select(
-            *[
-                (F.col(f"_mark_{m}") if f"_mark_{m}" in df.columns else empty).alias(m)
-                for m in marks
-            ]
-        )
+        out_cols = []
+        for m in marks:
+            mcol = f"_mark_{m}"
+            mtype = df.schema[mcol].dataType
+            empty = F.struct(
+                *[
+                    (
+                        F.lit("").alias(f.name)
+                        if f.name in ("gid", "label", "src", "dst")
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                    )
+                    for f in mtype.fields
+                ]
+            )
+            out_cols.append(
+                F.when(F.col(mcol).isNotNull(), F.col(mcol)).otherwise(empty).alias(m)
+            )
+        return df.select(*out_cols)
 
     # -- projection / transforms ---------------------------------------
     def _st_fields(self, df, paths):
@@ -624,18 +651,26 @@ class Planner:
                 alias = f"_agg_f{i}"
                 cols.append(col.alias(alias))
                 resolved.append((F.col(alias), dtype))
-            df = df.select(*cols) if cols else df.select(F.lit(1).alias("_one"))
-            df = df.persist()
-            self.persisted.append(df)  # unpersisted after execute()
-            plans = [
-                self._one_agg(df, a, resolved[i]) for i, a in enumerate(aggs)
-            ]
-        else:
-            plans = [self._one_agg(df, aggs[0], None)]
-        out = plans[0]
-        for p in plans[1:]:
-            out = out.unionByName(p)
-        return out
+            src = df.select(*cols) if cols else df.select(F.lit(1).alias("_one"))
+            src = src.persist()
+            try:
+                plans = [self._one_agg(src, a, resolved[i]) for i, a in enumerate(aggs)]
+                out = plans[0]
+                for p in plans[1:]:
+                    out = out.unionByName(p)
+                # Aggregation output is tiny (a handful of name/key/value
+                # rows); compute it eagerly while the pruned input is
+                # cached, then drop the cache immediately.  A lazy plan
+                # would either leak the persist for the session lifetime
+                # (the driver contract collects via to_df(), which never
+                # ran Traversal.execute's unpersist) or recompute the
+                # input once per aggregation branch.
+                rows = out.collect()
+                return df.sparkSession.createDataFrame(rows, out.schema)
+            finally:
+                src.unpersist()
+        plans = [self._one_agg(df, aggs[0], None)]
+        return plans[0]
 
     def _one_agg(self, df: DataFrame, agg: dict, pre=None) -> DataFrame:
         """``pre``: optionally a pre-resolved (Column, DataType) for the
@@ -664,14 +699,35 @@ class Planner:
             )
         raise CompileError(f"unknown aggregation: {agg}")
 
+    MAX_TERMS = 100000
+
     def _agg_term(self, df, name, spec, cv):
         """Value→count; arrays/maps/nulls skipped; ``size`` caps terms
         by descending count (``processors.go:980-1019``; the Mongo
-        translation sorts desc before limiting, ``mongo/compile.go:793-815``)."""
+        translation sorts desc before limiting, ``mongo/compile.go:793-815``).
+
+        Like the reference (``processors.go:984-1007`` ``maxTerms``
+        guard) the aggregation errors out beyond 100k distinct terms —
+        enforced lazily with a runtime assert over the post-shuffle term
+        counts (an unpartitioned window over at most ~100k tiny rows,
+        not a second scan of the source)."""
         col, dtype = cv
         self.agg_key_types[name] = dtype
         if isinstance(dtype, (ArrayType, MapType, StructType, NullType)):
             return _empty_agg(df, name)
+        from pyspark.sql.window import Window
+
+        n_terms = F.count(F.lit(1)).over(Window.partitionBy())
+        # guard folded into the value column (a dropped side-column
+        # would be pruned by Catalyst and never evaluated)
+        guarded = F.when(n_terms <= F.lit(self.MAX_TERMS), F.col("value")).otherwise(
+            F.raise_error(
+                F.lit(
+                    "term aggregation: collected more unique terms than "
+                    f"allowed ({self.MAX_TERMS})"
+                )
+            )
+        )
         out = (
             df.select(col.alias("_k"))
             .filter(F.col("_k").isNotNull())
@@ -680,7 +736,7 @@ class Planner:
             .select(
                 F.lit(name).alias("name"),
                 F.col("_k").cast("string").alias("key"),
-                F.col("value"),
+                guarded.alias("value"),
             )
         )
         size = spec.get("size")
@@ -706,21 +762,32 @@ class Planner:
         counts = src.groupBy(idx.alias("_i")).agg(
             F.count(F.lit(1)).cast("double").alias("value")
         )
-        rng = src.agg(
-            F.floor(F.min("_v") / interval).cast("long").alias("_lo"),
-            F.floor(F.max("_v") / interval).cast("long").alias("_hi"),
-        )
-        buckets = rng.select(
-            F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_i")
+        # Single pass over the source: the bucket range [floor(min/i),
+        # floor(max/i)] is derivable from the bucket counts themselves
+        # (every non-null value lands in a bucket), so min/max + counts
+        # collapse into one scan + one shuffle; the final fold over the
+        # (tiny: one row per non-empty bucket) counts builds a
+        # bucket→count map and explodes the full range including empty
+        # buckets.  Previously this scanned the filtered source twice.
+        one = counts.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_i"), F.col("value")))
+            ).alias("_m"),
+            F.min("_i").alias("_lo"),
+            F.max("_i").alias("_hi"),
         )
         key = F.col("_i") * F.lit(interval)
         key = key.cast("long") if integral else key.cast("double")
         return (
-            buckets.join(counts, "_i", "left")
+            one.filter(F.col("_lo").isNotNull())
+            .select(
+                F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_i"),
+                F.col("_m"),
+            )
             .select(
                 F.lit(name).alias("name"),
                 key.cast("string").alias("key"),
-                F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+                F.coalesce(F.try_element_at("_m", F.col("_i")), F.lit(0.0)).alias("value"),
             )
         )
 
@@ -791,60 +858,104 @@ class Planner:
         )
 
     # -- control flow (mark/jump): driver-side BFS loop -----------------
-    def _loop(self, frontier: DataFrame, body: list[dict], jump: dict, post: list[dict]) -> DataFrame:
-        """Backward jump → driver iteration (``engine/logic/jump.go:137-191``
-        → BFS/Pregel pattern).
+    def _loop(
+        self,
+        frontier: DataFrame,
+        segments: list[tuple[list[dict], dict]],
+        post: list[dict],
+    ) -> DataFrame:
+        """Backward jump(s) → driver iteration (``engine/logic/jump.go:137-191``
+        → BFS/Pregel pattern).  ``segments`` is one (body, jump) pair per
+        jump statement targeting the mark, in statement order — the
+        reference wires every jump's feedback channel into the one
+        JumpMark (``pipes.go:27-45``, ``jump.go:127-134``); here the
+        next iteration's frontier is the union of all jump-back streams.
 
         Per ``Jump.Process``: a traveler matching the condition (or
         condition ``None``) is sent back to the mark; **only** when
-        ``emit`` is set does a copy continue downstream — non-matching
-        travelers without ``emit`` are dropped.
+        ``emit`` is set does a copy (of every traveler, matching or not)
+        continue downstream — non-emitting jumps drop the downstream
+        stream entirely.
 
-        Per iteration: one checkpoint action (reliable ``checkpoint()``
-        when a checkpoint dir is configured — survives executor loss at
-        scale — else ``localCheckpoint``) plus one aggregate action
-        computing continue/total counts in a single pass.  The emitted
-        stream accumulates as a union of checkpointed iterations.
+        Per iteration and segment: one checkpoint action (reliable
+        ``checkpoint()`` when a checkpoint dir is configured — survives
+        executor loss at scale — else ``localCheckpoint``) plus one
+        aggregate action computing jump-back/total counts in a single
+        pass.  The emitted stream accumulates as a union of
+        checkpointed iterations.
         """
-        cond_expr, emit = jump.get("expression"), bool(jump.get("emit"))
+        last_jump = segments[-1][1]
+        emit_last = bool(last_jump.get("emit"))
         limit_n = None
         if post and _stmt_key(post[0]) == "limit":
-            # early exit only when limit() directly follows the jump —
-            # an intervening filter could still reject rows (so raw
-            # emitted counts would overestimate; ADVICE r1).
+            # early exit only when limit() directly follows the last
+            # jump — an intervening filter could still reject rows (so
+            # raw emitted counts would overestimate; ADVICE r1).
             limit_n = int(post[0]["limit"])
 
         use_reliable = frontier.sparkSession.sparkContext.getCheckpointDir() is not None
+        mark_type = self.elem_type
         emitted: DataFrame | None = None
         emitted_rows = 0
         for _ in range(MAX_JUMP_ITERATIONS):
-            out = self._plan_seq(frontier, body)
-            out = out.checkpoint(eager=True) if use_reliable else out.localCheckpoint(eager=True)
-            if cond_expr is None:
-                loop_c = F.lit(True)
-            else:
-                loop_c = compile_has(self._viewer(out), cond_expr)
-            down = out if emit else out.limit(0)
-            emitted = down if emitted is None else emitted.unionByName(down)
-            stats = out.select(
-                F.sum(F.when(loop_c, 1).otherwise(0)).alias("cont"),
-                F.count(F.lit(1)).alias("total"),
-            ).first()
-            n_cont = stats["cont"] or 0
-            if emit and limit_n is not None:
-                emitted_rows += stats["total"]
+            seg_in = frontier
+            backs: list[DataFrame] = []
+            n_back = 0
+            last_total = 0
+            for body, jump in segments:
+                out = self._plan_seq(seg_in, body)
+                if self.elem_type != mark_type:
+                    raise CompileError(
+                        "jump requires matching element types at the mark"
+                    )
+                out = (
+                    out.checkpoint(eager=True)
+                    if use_reliable
+                    else out.localCheckpoint(eager=True)
+                )
+                cond_expr = jump.get("expression")
+                loop_c = (
+                    F.lit(True)
+                    if cond_expr is None
+                    else compile_has(self._viewer(out), cond_expr)
+                )
+                stats = out.select(
+                    F.sum(F.when(loop_c, 1).otherwise(0)).alias("cont"),
+                    F.count(F.lit(1)).alias("total"),
+                ).first()
+                if (stats["cont"] or 0) > 0:
+                    n_back += stats["cont"]
+                    backs.append(out.filter(loop_c))
+                last_total = stats["total"]
+                seg_in = out if jump.get("emit") else out.limit(0)
+            down = seg_in
+            emitted = (
+                down
+                if emitted is None
+                else emitted.unionByName(down, allowMissingColumns=True)
+            )
+            if emit_last and limit_n is not None:
+                emitted_rows += last_total
                 if emitted_rows >= limit_n:
                     break
-            if n_cont == 0:
+            if n_back == 0:
                 break
-            frontier = out.filter(loop_c)
-            if n_cont < 10000:
+            frontier = backs[0]
+            for b in backs[1:]:
+                # travelers jumping back from an earlier segment never
+                # saw marks declared in later segments → null columns
+                frontier = frontier.unionByName(b, allowMissingColumns=True)
+            if n_back < 10000:
                 # small frontier: shrink to a few partitions (narrow
                 # coalesce on the checkpointed data, no shuffle) so the
                 # next iteration isn't dominated by task scheduling
                 frontier = frontier.coalesce(4)
         else:
-            if limit_n is None:
+            if not (emit_last and limit_n is not None):
+                # raise on iteration exhaustion unless the limit()
+                # early-exit path could actually have triggered
+                # (ADVICE r2: with emit=False the emitted count never
+                # grows, so a bare limit() must not suppress the error)
                 raise CompileError(
                     f"jump loop exceeded {MAX_JUMP_ITERATIONS} iterations without terminating"
                 )

@@ -31,10 +31,17 @@ def char_shingles(text: Column | str, n: int = 5) -> Column:
 
 
 def word_shingles(text: Column | str, n: int = 2) -> Column:
-    """Distinct word n-grams (space-joined) of a text column."""
+    """Distinct word n-grams (space-joined) of a text column.
+
+    Texts with fewer than ``n`` tokens yield an empty array — the index
+    sequence must be guarded: ``sequence(0, -1)`` is the *descending*
+    array ``[0, -1]`` and ``slice(toks, 0, n)`` raises at runtime, so
+    one short document would fail the whole job (ADVICE r2)."""
     c = F.col(text) if isinstance(text, str) else text
     toks = F.split(F.lower(F.trim(c)), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
@@ -49,11 +56,21 @@ def dedup_exact(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Keep one row per distinct ``cols`` tuple — the one with the
     minimum ``id_col`` (deterministic winner).
 
-    One hash-aggregate shuffle (map-side combine) + a semi-join back to
-    recover full rows; no global sort, no window.
+    The group/join key is a pair of independently-seeded ``xxhash64``
+    digests of the dedup columns (128 bits total), NOT the raw values —
+    at corpus scale the shuffle then carries 16 bytes per row instead of
+    the full document text, twice.  A false merge requires both 64-bit
+    hashes to collide simultaneously (~2^-128 per pair — negligible at
+    any corpus size).  One hash-aggregate shuffle (map-side combine) +
+    a semi-join back to recover full rows; no global sort, no window.
     """
-    winners = df.groupBy(*cols).agg(F.min(id_col).alias(id_col))
-    return df.join(winners, on=[*cols, id_col], how="left_semi")
+    h1 = F.xxhash64(*cols)
+    h2 = F.xxhash64(F.lit(1), *cols)
+    keyed = df.withColumn("_dk1", h1).withColumn("_dk2", h2)
+    winners = keyed.groupBy("_dk1", "_dk2").agg(F.min(id_col).alias(id_col))
+    return keyed.join(winners, on=["_dk1", "_dk2", id_col], how="left_semi").drop(
+        "_dk1", "_dk2"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -308,7 +308,19 @@ class GraphBuilder:
         self._indices: list[dict] = []
 
     # -- mutation ------------------------------------------------------
+    @staticmethod
+    def _check_data(data: dict | None) -> None:
+        # reference AddVertex/AddEdge RPCs reject bad field names
+        # server-side (``gripql/util.go:102-131`` Validate →
+        # ValidateFieldName); surfacing it at write time beats a
+        # confusing struct error at query time
+        for k in data or {}:
+            err = validate_field_name(k)
+            if err:
+                raise ValueError(err)
+
     def addVertex(self, gid: str, label: str, data: dict | None = None) -> "GraphBuilder":
+        self._check_data(data)
         self._v[gid] = {"gid": gid, "label": label, "data": data or {}}
         self._graph = None
         return self
@@ -316,6 +328,7 @@ class GraphBuilder:
     def addEdge(
         self, src: str, dst: str, label: str, data: dict | None = None, gid: str | None = None
     ) -> "GraphBuilder":
+        self._check_data(data)
         if gid is None:
             self._auto += 1
             gid = f"_e{self._auto}"
@@ -391,11 +404,31 @@ class GraphBuilder:
         return self.graph().sampleSchema(sample_n)
 
 
+RESERVED_FIELDS = ("_gid", "_label", "_to", "_from", "_data")
+_FIELD_FORBIDDEN = set('!@#$%^&*()+={}[] :;"\',.<>?/\\|~')
+
+
+def validate_field_name(k) -> str | None:
+    """Reference data-field-name rules (``gripql/util.go:146-166``):
+    no reserved names, no punctuation, no leading ``_``/``-``.
+    Returns an error string, or None if valid."""
+    if k in RESERVED_FIELDS:
+        return f"data field '{k}' uses a reserved name"
+    if not isinstance(k, str):
+        return f"invalid data field {k!r}; not a string"
+    if any(ch in _FIELD_FORBIDDEN for ch in k):
+        return f"invalid data field '{k}'; cannot contain punctuation"
+    if k.startswith("_") or k.startswith("-"):
+        return f"invalid data field '{k}'; cannot start with _-"
+    return None
+
+
 class BulkAdder:
     """Buffered, validating bulk writer: elements failing the
     reference's validation (non-empty gid/label, edges additionally
-    from+to — ``gripql/util.go:111-131``) are counted, the rest
-    commit on ``execute()``."""
+    from+to — ``gripql/util.go:111-131``; data field names passing
+    ``ValidateFieldName``, ``gripql/util.go:146-166``) are counted,
+    the rest commit on ``execute()``."""
 
     def __init__(self, builder: GraphBuilder):
         self._b = builder
@@ -407,15 +440,19 @@ class BulkAdder:
     def _ok(*vals) -> bool:
         return all(isinstance(v, str) and v for v in vals)
 
+    @staticmethod
+    def _data_ok(data) -> bool:
+        return not data or all(validate_field_name(k) is None for k in data)
+
     def addVertex(self, gid, label, data=None) -> "BulkAdder":
-        if not self._ok(gid, label):
+        if not self._ok(gid, label) or not self._data_ok(data):
             self.error_count += 1
         else:
             self._v.append((gid, label, data))
         return self
 
     def addEdge(self, src, dst, label, data=None, gid=None) -> "BulkAdder":
-        if not self._ok(src, dst, label):
+        if not self._ok(src, dst, label) or not self._data_ok(data):
             self.error_count += 1
         else:
             self._e.append((src, dst, label, data, gid))

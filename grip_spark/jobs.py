@@ -27,6 +27,24 @@ from pyspark.sql import SparkSession
 from grip_spark.traversal import Traversal
 
 
+def _ser_key_type(dtype) -> str:
+    """Serializable key-type tag for meta.json — ``view()`` only needs
+    enough to re-typed aggregation keys (``results._agg_key``)."""
+    from pyspark.sql.types import BooleanType, NumericType
+
+    if isinstance(dtype, NumericType):
+        return "numeric"
+    if isinstance(dtype, BooleanType):
+        return "boolean"
+    return "string"
+
+
+def _deser_key_type(tag: str):
+    from pyspark.sql.types import BooleanType, DoubleType, StringType
+
+    return {"numeric": DoubleType(), "boolean": BooleanType()}.get(tag, StringType())
+
+
 def step_checksums(stmts: list[dict]) -> list[str]:
     """Cumulative per-step checksums (query_checksum.go: a prefix of a
     query shares the checksum chain of any query that starts with it)."""
@@ -69,6 +87,13 @@ class JobStore:
             "marks": planner.marks,
             "track_path": planner.track_path,
             "final_marks": planner.final_marks,
+            # view() of a spooled render job must reshape the internal
+            # positional-struct encoding back into Python lists, exactly
+            # as execute() does (ADVICE r2)
+            "render_template": planner.render_template,
+            "agg_key_types": {
+                k: _ser_key_type(v) for k, v in planner.agg_key_types.items()
+            },
             "timestamp": time.time(),
             "state": "COMPLETE",
         }
@@ -106,7 +131,13 @@ class JobStore:
 
         meta = self.get(graph, job_id)
         rows = self._spool_df(graph, job_id).collect()
-        return convert_rows(rows, meta["result_kind"], meta.get("final_marks"))
+        return convert_rows(
+            rows,
+            meta["result_kind"],
+            meta.get("final_marks"),
+            {k: _deser_key_type(v) for k, v in (meta.get("agg_key_types") or {}).items()},
+            meta.get("render_template"),
+        )
 
     # -- resume --------------------------------------------------------
     def find_prefix(self, traversal: Traversal) -> dict | None:

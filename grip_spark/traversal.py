@@ -210,14 +210,20 @@ class Traversal:
 
         planner = Planner(self.graph)
         df = planner.plan(self.stmts)
-        for row in df.toLocalIterator():
-            yield convert_rows(
-                [row],
-                planner.result_kind,
-                planner.final_marks,
-                planner.agg_key_types,
-                planner.render_template,
-            )[0]
+        try:
+            for row in df.toLocalIterator():
+                yield convert_rows(
+                    [row],
+                    planner.result_kind,
+                    planner.final_marks,
+                    planner.agg_key_types,
+                    planner.render_template,
+                )[0]
+        finally:
+            # mirror execute(): drop any plan-time persists even when
+            # the consumer abandons the generator early (ADVICE r2)
+            for p in planner.persisted:
+                p.unpersist()
 
     def write(self, path: str, format: str = "parquet", mode: str = "overwrite") -> None:
         """Execute and write the result DataFrame to a sink — results

@@ -139,6 +139,85 @@ def test_two_sequential_loops(swapi):
     assert len(q.execute()) == 2
 
 
+def test_two_jumps_one_mark(swapi):
+    """Two jump statements feeding one mark (engine/pipeline/pipes.go:27-45
+    wires every jump's feedback channel into the one JumpMark).  The
+    loop-counter trace makes both feedback paths observable: jump1
+    returns the c==1 traveler, jump2 returns the c==2 traveler, so the
+    emitted stream is exactly c=1,2,3 — a single-feedback engine would
+    emit only c=1,2."""
+    q = (
+        swapi.query()
+        .V("Character:1")
+        .set("c", 0)
+        .as_("s")
+        .mark("a")
+        .increment("$s.c")
+        .jump("a", ops.eq("$s.c", 1), True)
+        .jump("a", ops.eq("$s.c", 2), True)
+        .render("$s.c")
+    )
+    rows = sorted(q.execute())
+    assert rows == [1.0, 2.0, 3.0]
+
+
+def test_two_jumps_traversal_counts(swapi):
+    """Multi-jump with a traversal body: emitted total must equal the
+    1-, 2- and 3-hop neighborhood sizes computed by plain out() chains."""
+    n1 = len(swapi.query().V("Character:1").out().execute())
+    n2 = len(swapi.query().V("Character:1").out().out().execute())
+    n3 = len(swapi.query().V("Character:1").out().out().out().execute())
+    q = (
+        swapi.query()
+        .V("Character:1")
+        .set("c", 0)
+        .as_("s")
+        .mark("a")
+        .increment("$s.c")
+        .out()
+        .jump("a", ops.lt("$s.c", 2), True)
+        .jump("a", ops.between("$s.c", 2, 3), True)
+    )
+    assert len(q.execute()) == n1 + n2 + n3
+
+
+def test_exhaustion_raises_without_emit(swapi, monkeypatch):
+    """ADVICE r2: with emit=False the emitted count never grows, so a
+    bare limit() after the jump must not suppress the non-termination
+    error."""
+    import pytest
+
+    from grip_spark.compile import planner as planner_mod
+    from grip_spark.compile.planner import CompileError
+
+    monkeypatch.setattr(planner_mod, "MAX_JUMP_ITERATIONS", 5)
+    # frontier stays a single traveler (body only increments), so the
+    # loop spins without growing until the iteration cap trips
+    q = (
+        swapi.query()
+        .V("Character:1")
+        .set("c", 0)
+        .mark("a")
+        .increment("c")
+        .jump("a", None, False)
+        .limit(5)
+    )
+    with pytest.raises(CompileError, match="iterations"):
+        q.execute()
+
+    # with emit=True the limit() early-exit is reachable → no error
+    q2 = (
+        swapi.query()
+        .V("Character:1")
+        .set("c", 0)
+        .mark("a")
+        .increment("c")
+        .jump("a", None, True)
+        .limit(3)
+    )
+    assert len(q2.execute()) == 3
+
+
 def test_nested_loops(swapi):
     # inner pair nested inside the outer loop body
     q = (

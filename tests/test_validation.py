@@ -1,0 +1,131 @@
+"""Round-3 validation / error-shape tests (VERDICT r2 items 4, 7, 10 +
+ADVICE r2): select unknown-mark CompileError, typed empty select
+elements, term-agg >100k guard, write-path field-name validation,
+word_shingles short-document guard, multi-agg persist-leak regression.
+
+Reference error shapes: ``engine/core/compile.go`` (compile
+validation), ``engine/core/processors.go:984-1007`` (maxTerms),
+``gripql/util.go:146-166`` (ValidateFieldName).
+"""
+
+import pytest
+
+from grip_spark import ops
+from grip_spark.compile.planner import CompileError
+
+
+def test_select_unknown_mark_single(swapi):
+    q = swapi.query().V().as_("a").out().select("nope")
+    with pytest.raises(CompileError, match="unknown mark"):
+        q.to_df()
+
+
+def test_select_unknown_mark_multi(swapi):
+    q = swapi.query().V().as_("a").out().select(["a", "nope"])
+    with pytest.raises(CompileError, match="unknown mark"):
+        q.to_df()
+
+
+def test_select_bypassed_mark_is_empty_element(swapi):
+    """A mark declared inside a forward-jump's skipped segment is null
+    for bypassing travelers; multi-select renders it as an empty
+    element typed to the mark's schema (processors.go:799-801)."""
+    q = (
+        swapi.query()
+        .V()
+        .hasLabel("Character")
+        .as_("c")
+        .jump("sk", ops.eq("_label", "Character"), False)
+        .out()
+        .as_("o")
+        .mark("sk")
+        .select(["c", "o"])
+    )
+    rows = q.execute()
+    # every Character bypasses (cond matches all), so 'o' was never set
+    assert len(rows) == 18
+    for r in rows:
+        assert r["c"]["gid"].startswith("Character:")
+        assert r["o"] == {"gid": "", "label": "", "data": {}}
+
+
+def test_term_agg_guard(swapi, monkeypatch):
+    from grip_spark.compile.planner import Planner
+
+    monkeypatch.setattr(Planner, "MAX_TERMS", 3)
+    q = swapi.query().V().aggregate([ops.term("t", "_gid")])
+    with pytest.raises(Exception, match="unique terms"):
+        q.execute()
+    # under the cap (1 distinct value ≤ 3): no error
+    q2 = swapi.query().V().hasLabel("Planet").aggregate([ops.term("t", "_label")])
+    out = q2.execute()
+    assert len(out) == 1 and out[0]["key"] == "Planet" and out[0]["value"] > 0
+
+
+def test_field_name_validation_builder(spark):
+    from grip_spark.graph import GraphBuilder
+
+    b = GraphBuilder(spark, "w")
+    with pytest.raises(ValueError, match="reserved"):
+        b.addVertex("v1", "L", {"_gid": "x"})
+    with pytest.raises(ValueError, match="cannot contain"):
+        b.addVertex("v1", "L", {"bad key": 1})
+    with pytest.raises(ValueError, match="cannot start"):
+        b.addEdge("v1", "v2", "L", {"-neg": 1})
+    b.addVertex("v1", "L", {"fine": 1})  # no raise
+
+
+def test_field_name_validation_bulk(spark):
+    from grip_spark.graph import GraphBuilder
+
+    b = GraphBuilder(spark, "w2")
+    bulk = b.bulkAdd()
+    bulk.addVertex("v1", "L", {"ok": 1})
+    bulk.addVertex("v2", "L", {"_data": 1})  # reserved → counted
+    bulk.addVertex("v3", "L", {"a.b": 1})  # punctuation → counted
+    bulk.addEdge("v1", "v3", "L", {"-x": 1})  # leading dash → counted
+    out = bulk.execute()
+    assert out["errorCount"] == 3
+    assert out["insertCount"] == 1
+
+
+def test_word_shingles_short_docs(spark):
+    """ADVICE r2: texts with fewer than n tokens must yield an empty
+    array, not crash slice() with a descending index sequence."""
+    from pyspark.sql import functions as F
+
+    from grip_spark.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [("", ), ("one", ), ("one two", ), ("one two three", )], ["text"]
+    )
+    rows = df.select(word_shingles("text", 3).alias("sh")).collect()
+    assert rows[0]["sh"] == []
+    assert rows[1]["sh"] == []
+    assert rows[2]["sh"] == []
+    assert rows[3]["sh"] == ["one two three"]
+
+
+def test_multi_agg_no_persist_leak(swapi):
+    """VERDICT r2 item 4: repeated to_df().collect() of a multi-agg
+    query must leave no cached RDDs behind."""
+    spark = swapi.vertices.sparkSession
+    n_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    q = swapi.query().V().aggregate(
+        [ops.term("l", "_label"), ops.count("n")]
+    )
+    for _ in range(2):
+        q.to_df().collect()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == n_before
+
+
+def test_job_render_template_view(spark, tmp_path, swapi):
+    """ADVICE r2: view() of a spooled render job with a list template
+    must return Python lists, exactly like execute()."""
+    from grip_spark.jobs import JobStore
+
+    store = JobStore(spark, str(tmp_path / "jobs"))
+    q = swapi.query().V("Character:1").render(["_gid", "_label"])
+    direct = q.execute()
+    jid = store.submit(q)
+    assert store.view("swapi", jid) == direct
