@@ -1,0 +1,112 @@
+"""Scaling probe: replicate the corpus 1x/4x/8x and time the
+LLM-pipeline operators (minhash-LSH near-dup, simhash, ANN top-k),
+plus the hop/agg graph probes recorded in BASELINE.md.
+
+Replication prefixes ids (and perturbs text with a per-replica token)
+so replicas do not collide in LSH buckets more than organically —
+growth should be near-linear for the banded joins.
+
+Usage: python tools/scaling_probe.py [graph|llm]  (default: llm)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def replicate_docs(docs, k: int):
+    from pyspark.sql import functions as F
+
+    parts = []
+    for i in range(k):
+        parts.append(
+            docs.select(
+                F.concat(F.lit(f"r{i}:"), F.col("doc_id").cast("string")).alias("doc_id"),
+                # per-replica token keeps replicas from being exact
+                # cross-replica duplicates (pair count then scales ~k,
+                # not k^2)
+                F.concat(F.lit(f"replica{i} "), F.col("text")).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def replicate_emb(emb, k: int):
+    from pyspark.sql import functions as F
+
+    parts = []
+    for i in range(k):
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                "embedding",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main():
+    from pyspark.sql import SparkSession, functions as F
+
+    from grip_spark import dedup, similarity
+
+    mode = sys.argv[1] if len(sys.argv) > 1 else "llm"
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("grip_spark-scaling-probe")
+        .config("spark.sql.shuffle.partitions", str(CPUS * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    for k in (1, 4, 8):
+        d = replicate_docs(docs, k).persist()
+        e = replicate_emb(emb, k).persist()
+        nd, ne = d.count(), e.count()
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+        t0 = time.perf_counter()
+        n_pairs = dedup.minhash_lsh_pairs(d, "doc_id", threshold=0.8).count()
+        t_minhash = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        n_sim = dedup.simhash_pairs(d, "doc_id", max_hamming=3).count()
+        t_simhash = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        similarity.ann_lsh_topk(
+            e, "embedding", qvec, k=10, planes=8, multiprobe_hamming=1
+        ).collect()
+        t_ann = time.perf_counter() - t0
+
+        print(
+            f"{k}x: docs={nd} emb={ne} | minhash {t_minhash:.1f}s ({n_pairs} pairs) | "
+            f"simhash {t_simhash:.1f}s ({n_sim} pairs) | ann_topk {t_ann:.1f}s",
+            flush=True,
+        )
+        d.unpersist()
+        e.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
