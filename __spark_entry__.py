@@ -299,12 +299,13 @@ def q_doc_text_profile(spark, sf_dir):
 # -- graph operator queries (r2-green) --------------------------------------
 
 
-def q_v_count(spark, sf_dir):
-    return _gq(spark, sf_dir).V().count().to_df()
-
-
-def q_e_count(spark, sf_dir):
-    return _gq(spark, sf_dir).E().count().to_df()
+def q_scan_counts(spark, sf_dir):
+    """V() and E() full scans as labeled rows (one slot, two sources)."""
+    v = _gq(spark, sf_dir).V().count().to_df()
+    e = _gq(spark, sf_dir).E().count().to_df()
+    return v.select(F.lit("v").alias("kind"), "count").unionByName(
+        e.select(F.lit("e").alias("kind"), "count")
+    )
 
 
 def q_v_ids(spark, sf_dir):
@@ -492,6 +493,23 @@ def q_dedup_ngram_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", n=3, threshold=0.8)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs → connected components → canonical flag, per doc.
+
+    The pair set here is the *exact* 5-gram Jaccard verifier so the
+    oracle (recursive closure in SQL) checks the clustering step in
+    isolation; the 100 TB path is identical with
+    ``minhash_lsh_pairs`` as input (pytest
+    test_dedup_canonical_end_to_end runs that composition)."""
+    docs = _docs(spark, sf_dir)
+    near = dedup.ngram_jaccard_pairs(docs, "doc_id", n=5, threshold=0.8)
+    return (
+        dedup.attach_components(docs, "doc_id", near)
+        .withColumn("canonical", F.col("component") == F.col("doc_id"))
+        .select("doc_id", "component", "canonical")
+    )
+
+
 def q_dedup_minhash_pairs(spark, sf_dir):
     # LSH candidates verified by exact 5-gram jaccard; oracle is the
     # exact 5-gram pair set (recall gap would surface as missing rows)
@@ -556,10 +574,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination": q_pagination,
         "two_jump": q_two_jump,
         "knn_lsh": q_knn_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "doc_text_profile": q_doc_text_profile,
         # r2-green operator queries
-        "v_count": q_v_count,
-        "e_count": q_e_count,
+        "scan_counts": q_scan_counts,
         "v_ids": q_v_ids,
         "v_haslabel_count": q_v_haslabel_count,
         "haskey_count": q_haskey_count,
@@ -621,6 +639,36 @@ inter AS (
 SELECT a_id, b_id
 FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+"""
+
+
+_CLUSTERS_SQL = """
+WITH RECURSIVE tri AS (
+  SELECT DISTINCT doc_id,
+         unnest([substr(text, CAST(i AS INT), 5) FOR i IN generate_series(1, length(text)-4)]) AS g
+  FROM documents
+), sizes AS (SELECT doc_id, count(*) n FROM tri GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+  FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a_id, b_id
+  FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+),
+und AS (SELECT a_id AS s, b_id AS t FROM pairs UNION SELECT b_id AS s, a_id AS t FROM pairs),
+reach AS (
+  SELECT s, t FROM und
+  UNION
+  SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s
+),
+comp AS (SELECT s AS doc_id, least(s, min(t)) AS component FROM reach GROUP BY s)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS component,
+       COALESCE(c.component, d.doc_id) = d.doc_id AS canonical
+FROM documents d LEFT JOIN comp c USING (doc_id)
 """
 
 
@@ -800,8 +848,10 @@ def oracle_sql() -> dict[str, str]:
             f"{_lang_hits('fr')} fr, {_lang_hits('de')} de FROM documents)"
         ),
         # -- r2-green ------------------------------------------------------
-        "v_count": f"SELECT {ORACLE_V_COUNT} AS count",
-        "e_count": f"SELECT {ORACLE_E_COUNT} AS count",
+        "scan_counts": (
+            f"SELECT 'v' AS kind, {ORACLE_V_COUNT} AS count "
+            f"UNION ALL SELECT 'e' AS kind, {ORACLE_E_COUNT} AS count"
+        ),
         "v_ids": (
             "SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS gid, 'Customer' AS label "
             "FROM customer WHERE c_custkey IN (1, 2, 7)"
@@ -903,6 +953,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "dedup_ngram_pairs": _JACCARD_PAIRS.format(n=3, n1=2),
         "dedup_minhash_pairs": _JACCARD_PAIRS.format(n=5, n1=4),
+        "dedup_clusters": _CLUSTERS_SQL,
         "sim_topk": (
             "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
             "SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id != 0 "

@@ -326,6 +326,128 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate clustering (connected components) + canonical selection
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair list → ``(id,
+    component)`` where ``component`` is the minimum id in the node's
+    component (Pregel-style hash-min label propagation).
+
+    This is the step that turns near-dup *pairs* (minhash/simhash/
+    ngram) into dedup *groups*: duplicate relations are not transitive
+    pair-wise, so a corpus dedup must cluster before it can pick one
+    representative per group.
+
+    Scale shape: per iteration, one equi-join (labels × edges, both
+    sides keyed by the 8-byte id) and one min-aggregate with map-side
+    partial aggregation — no all-pairs, no driver-side adjacency.  The
+    edge list is persisted once; each iteration's label table is
+    checkpointed (reliable when a checkpoint dir is set, else local)
+    to cut lineage, the same Pregel pattern as the jump-loop BFS
+    (compile/planner.py).  Iteration count is O(max component
+    diameter) — near-dup clusters are shallow (dozens of docs sharing
+    a template), so this converges in a handful of rounds; for
+    adversarially long chains the large-star/small-star alternation
+    (Kiveris et al., SoCC 2014) drops it to O(log d) and slots into
+    the same loop.
+
+    Convergence is detected exactly: an id-equi-join of consecutive
+    label tables counting changed labels (both sides are materialized
+    checkpoints, so this costs one small shuffle on the already-tiny
+    label table).
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    ).persist()
+    use_reliable = (
+        pairs.sparkSession.sparkContext.getCheckpointDir() is not None
+    )
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint(eager=True)
+            if use_reliable
+            else df.localCheckpoint(eager=True)
+        )
+
+    try:
+        labels = _ckpt(
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("component", F.col("id"))
+        )
+        for _ in range(max_iterations):
+            msgs = labels.join(
+                edges, labels["id"] == edges["src"]
+            ).select(F.col("dst").alias("id"), "component")
+            new = _ckpt(
+                labels.unionByName(msgs)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+            )
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (component diameter exceeds the cap; raise "
+            "max_iterations or switch to large-star/small-star)"
+        )
+    finally:
+        edges.unpersist()
+
+
+def attach_components(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """``df`` + a ``component`` column: the min id of the row's
+    near-dup cluster (rows in no pair are their own singleton
+    component).  One left equi-join against the (small) label table."""
+    comp = connected_components(pairs, a_col, b_col).withColumnRenamed(
+        "id", id_col
+    )
+    return df.join(comp, id_col, "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    )
+
+
+def dedup_canonical(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """End-to-end near-dedup: keep exactly one row per near-dup
+    cluster — the minimum-id member (deterministic winner, same
+    convention as :func:`dedup_exact`).  Singletons pass through."""
+    return (
+        attach_components(df, id_col, pairs, a_col, b_col)
+        .filter(F.col("component") == F.col(id_col))
+        .drop("component")
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram Jaccard (oracle / verifier)
 # ---------------------------------------------------------------------------
 

@@ -186,3 +186,62 @@ def test_knn_exact_agrees_with_topk(emb):
         emb.filter(F.col("vec_id") != 0), "embedding", qvec, k=1
     ).first()
     assert nn[0] == top["vec_id"]
+
+
+def test_connected_components_union_find_oracle(spark):
+    from grip_spark import dedup
+
+    # chain 1-2-3, triangle 10-11-12 (+cross edge), pair (20,21); node
+    # 30 appears only via attach_components' singleton path
+    edge_list = [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)]
+    pairs_df = spark.createDataFrame(edge_list, ["a_id", "b_id"])
+
+    # python union-find oracle
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs_df).collect()
+    }
+    assert got == want
+
+
+def test_connected_components_long_chain(spark):
+    from grip_spark import dedup
+
+    # diameter 12 — forces several propagation iterations
+    chain = [(i, i + 1) for i in range(12)]
+    got = dedup.connected_components(spark.createDataFrame(chain, ["a_id", "b_id"]))
+    rows = got.collect()
+    assert len(rows) == 13
+    assert {r["component"] for r in rows} == {0}
+
+
+def test_dedup_canonical_end_to_end(docs):
+    from grip_spark import dedup
+
+    near = dedup.minhash_lsh_pairs(docs, "doc_id", threshold=0.8)
+    kept = dedup.dedup_canonical(docs, "doc_id", near)
+    total = docs.count()
+    pair_rows = near.collect()
+    dropped = {max(r["a_id"], r["b_id"]) for r in pair_rows}  # upper bound set
+    assert kept.count() <= total - 0 and kept.count() < total or not pair_rows
+    # canonical = min id per cluster: no kept doc may be the larger
+    # member of a pair whose smaller member is also kept transitively;
+    # check via components directly
+    comp = dedup.attach_components(docs, "doc_id", near)
+    assert comp.count() == total
+    assert kept.count() == comp.select("component").distinct().count()
