@@ -636,6 +636,9 @@ class Planner:
         aggs = arg["aggregations"] if isinstance(arg, dict) else list(arg)
         self.result_kind = "aggregation"
         if len(aggs) > 1:
+            fused = self._multi_agg_grouping_sets(df, aggs)
+            if fused is not None:
+                return fused
             # resolve every aggregated field FIRST and persist only
             # those columns — column pruning cannot reach through an
             # InMemoryRelation, so persisting the raw traveler DF would
@@ -671,6 +674,123 @@ class Planner:
                 src.unpersist()
         plans = [self._one_agg(df, aggs[0], None)]
         return plans[0]
+
+    def _multi_agg_grouping_sets(self, df, aggs):
+        """Fused multi-aggregation: when every aggregation is term /
+        histogram / count over a scalar field, compute ALL of them in a
+        single pass with GROUPING SETS — one scan of the traveler
+        stream, one shuffle, no materialization of the aggregation
+        input.  (The reference streams all aggregations over one input
+        pass too: ``processors.go:944-1150``.)
+
+        The grouped output (one row per distinct term / bucket / the
+        grand-total row, tagged by ``grouping()`` flags) is tiny —
+        *that* is what gets persisted for the per-aggregation shaping,
+        so cache size is independent of corpus size, unlike the
+        fallback path which persists the pruned traveler columns.
+        Returns None when any aggregation needs a different input shape
+        (percentile/field/type, or a non-scalar term field) — those
+        fall back to the pruned-persist fan-out.
+        """
+        kinds = []
+        for a in aggs:
+            kinds.append(
+                next(
+                    (
+                        k
+                        for k in ("term", "histogram", "percentile", "field", "type", "count")
+                        if k in a
+                    ),
+                    None,
+                )
+            )
+        if any(k not in ("term", "histogram", "count") for k in kinds):
+            return None
+        keyed = []  # (agg_index, kind, key Column alias, dtype, extras)
+        key_cols = []
+        for i, (a, kind) in enumerate(zip(aggs, kinds)):
+            if kind == "count":
+                continue
+            spec = a[kind]
+            col, dtype = self._resolve(df, spec["field"])
+            if kind == "term":
+                if isinstance(dtype, (ArrayType, MapType, StructType, NullType)):
+                    return None
+                key = col
+            else:
+                interval = float(spec["interval"])
+                if interval <= 0:
+                    raise CompileError(
+                        f"histogram interval must be positive: {interval}"
+                    )
+                key = F.floor(as_double(col, dtype) / interval).cast("long")
+            alias = f"_k{i}"
+            keyed.append((i, kind, alias, dtype))
+            key_cols.append(key.alias(alias))
+        if not keyed:
+            return None
+        src = df.select(*key_cols)
+        sets = [[F.col(alias)] for (_, _, alias, _) in keyed]
+        if any(k == "count" for k in kinds):
+            sets.append([])
+        gs = (
+            src.groupingSets(sets, *[F.col(alias) for (_, _, alias, _) in keyed])
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("value"),
+                *[
+                    F.grouping(alias).alias(f"_g{i}")
+                    for (i, _, alias, _) in keyed
+                ],
+            )
+            .persist()
+        )
+
+        def belongs(idx: int | None):
+            # idx None → the grand-total (empty) grouping set
+            cond = F.lit(True)
+            for (j, _, _, _) in keyed:
+                flag = F.col(f"_g{j}") == (0 if j == idx else 1)
+                cond = cond & flag
+            return cond
+
+        try:
+            plans = []
+            for i, (a, kind) in enumerate(zip(aggs, kinds)):
+                name = a["name"]
+                if kind == "count":
+                    self.agg_key_types[name] = StringType()
+                    plans.append(
+                        gs.filter(belongs(None)).select(
+                            F.lit(name).alias("name"),
+                            F.lit("count").alias("key"),
+                            F.col("value"),
+                        )
+                    )
+                    continue
+                alias = next(al for (j, _, al, _) in keyed if j == i)
+                dtype = next(dt for (j, _, _, dt) in keyed if j == i)
+                part = gs.filter(belongs(i) & F.col(alias).isNotNull())
+                if kind == "term":
+                    self.agg_key_types[name] = dtype
+                    counts = part.select(F.col(alias).alias("_k"), "value")
+                    plans.append(self._term_shape(counts, name, a["term"]))
+                else:
+                    self.agg_key_types[name] = NumericType()
+                    counts = part.select(F.col(alias).alias("_i"), "value")
+                    plans.append(
+                        self._histogram_shape(
+                            counts, name, float(a["histogram"]["interval"])
+                        )
+                    )
+            out = plans[0]
+            for p in plans[1:]:
+                out = out.unionByName(p)
+            # tiny result; compute eagerly while the grouped table is
+            # cached (same no-leak contract as the fallback path)
+            rows = out.collect()
+            return df.sparkSession.createDataFrame(rows, out.schema)
+        finally:
+            gs.unpersist()
 
     def _one_agg(self, df: DataFrame, agg: dict, pre=None) -> DataFrame:
         """``pre``: optionally a pre-resolved (Column, DataType) for the
@@ -715,6 +835,17 @@ class Planner:
         self.agg_key_types[name] = dtype
         if isinstance(dtype, (ArrayType, MapType, StructType, NullType)):
             return _empty_agg(df, name)
+        counts = (
+            df.select(col.alias("_k"))
+            .filter(F.col("_k").isNotNull())
+            .groupBy("_k")
+            .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        )
+        return self._term_shape(counts, name, spec)
+
+    def _term_shape(self, counts, name, spec):
+        """(_k, value) per-term counts → (name, key, value) rows with
+        the >MAX_TERMS runtime guard and the desc-count size cap."""
         from pyspark.sql.window import Window
 
         n_terms = F.count(F.lit(1)).over(Window.partitionBy())
@@ -728,16 +859,10 @@ class Planner:
                 )
             )
         )
-        out = (
-            df.select(col.alias("_k"))
-            .filter(F.col("_k").isNotNull())
-            .groupBy("_k")
-            .agg(F.count(F.lit(1)).cast("double").alias("value"))
-            .select(
-                F.lit(name).alias("name"),
-                F.col("_k").cast("string").alias("key"),
-                guarded.alias("value"),
-            )
+        out = counts.select(
+            F.lit(name).alias("name"),
+            F.col("_k").cast("string").alias("key"),
+            guarded.alias("value"),
         )
         size = spec.get("size")
         if size:
@@ -753,7 +878,6 @@ class Planner:
         interval = float(spec["interval"])
         if interval <= 0:
             raise CompileError(f"histogram interval must be positive: {interval}")
-        integral = interval == int(interval)
         col, dtype = cv
         self.agg_key_types[name] = NumericType()
         v = as_double(col, dtype)
@@ -762,13 +886,18 @@ class Planner:
         counts = src.groupBy(idx.alias("_i")).agg(
             F.count(F.lit(1)).cast("double").alias("value")
         )
-        # Single pass over the source: the bucket range [floor(min/i),
-        # floor(max/i)] is derivable from the bucket counts themselves
-        # (every non-null value lands in a bucket), so min/max + counts
-        # collapse into one scan + one shuffle; the final fold over the
-        # (tiny: one row per non-empty bucket) counts builds a
-        # bucket→count map and explodes the full range including empty
-        # buckets.  Previously this scanned the filtered source twice.
+        return self._histogram_shape(counts, name, interval)
+
+    def _histogram_shape(self, counts, name, interval):
+        """(_i bucket index, value count) → (name, key, value) rows
+        including empty buckets.  Single pass over the source: the
+        bucket range [floor(min/i), floor(max/i)] is derivable from the
+        bucket counts themselves (every non-null value lands in a
+        bucket), so min/max + counts collapse into one scan + one
+        shuffle; the final fold over the (tiny: one row per non-empty
+        bucket) counts builds a bucket→count map and explodes the full
+        range including empty buckets."""
+        integral = interval == int(interval)
         one = counts.agg(
             F.map_from_entries(
                 F.collect_list(F.struct(F.col("_i"), F.col("value")))

@@ -102,6 +102,19 @@ def minhash_signature(
     )
 
 
+# Carter-Wegman permutation family for minhash: h_i(x) = (a_i*x + b_i)
+# mod p over the 32-bit shingle digest.  p is the smallest prime above
+# 2^32; a_i < 2^30 keeps a_i*x + b_i < 2^63 (no ANSI overflow).  Fixed
+# seed → the family (and every signature) is deterministic.
+_MINHASH_P = 4294967311
+import random as _random
+
+_rng = _random.Random(982451653)
+_MINHASH_COEFFS = [
+    (_rng.randrange(1, 1 << 30) | 1, _rng.randrange(_MINHASH_P)) for _ in range(256)
+]
+
+
 def minhash_signatures_df(
     df: DataFrame,
     id_col: str,
@@ -116,16 +129,30 @@ def minhash_signatures_df(
     text size.  ~20× faster than per-row higher-order-function arrays
     (which Spark evaluates interpreted, per element, per seed).
 
+    The per-seed permutation is the multiply-mod family over the
+    one-time 32-bit shingle digest (Broder 1997's min-wise
+    approximation with universal hashing) — 3 arithmetic ops per seed
+    instead of a fresh ``xxhash64`` per (shingle, seed), which at
+    corpus scale is the difference between #shingles×64 multiply-adds
+    and #shingles×64 full hash evaluations in the hot aggregate.
+
     MinHash is duplicate-insensitive (min over a multiset equals min
     over its set), so shingles are exploded without dedup.
     """
+    if num_hashes > len(_MINHASH_COEFFS):
+        raise ValueError(f"num_hashes capped at {len(_MINHASH_COEFFS)}")
     c = F.col(text_col)
     idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (shingle_n - 1), F.lit(0)))
     exploded = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.transform(idx, lambda i: F.substring(c, i, shingle_n))).alias("_s"),
-    ).select("_id", F.xxhash64("_s").alias("_h"))
-    aggs = [F.min(F.xxhash64(F.lit(i), "_h")).alias(f"_mh{i}") for i in range(num_hashes)]
+    ).select("_id", F.xxhash64("_s").bitwiseAND(F.lit(0xFFFFFFFF)).alias("_h"))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_MINHASH_P))).alias(
+            f"_mh{i}"
+        )
+        for i, (a, b) in enumerate(_MINHASH_COEFFS[:num_hashes])
+    ]
     return exploded.groupBy("_id").agg(*aggs).select(
         "_id", F.array(*[F.col(f"_mh{i}") for i in range(num_hashes)]).alias("_sig")
     )

@@ -91,10 +91,44 @@ def stopword_hits(text_col: str, lang: str) -> Column:
     return F.regexp_count(normalize(text_col), F.lit(pat))
 
 
+def stopword_hits_all(text_col: str) -> Column:
+    """Per-language stopword hit counts as one array<int> (language
+    order = STOPWORDS iteration order), from a SINGLE regex pass.
+
+    One ``regexp_extract_all`` with the union alternation of every
+    language's stopwords scans the text once; per-language attribution
+    then runs over the (short) matches array.  The per-language
+    ``regexp_count`` formulation scans the full text once per language
+    — 4 full-corpus regex passes instead of 1, which at 100 TB is the
+    whole cost of the operator.  Counts are identical: the boundary
+    lookarounds make each match exactly one whole token, so a token
+    matches the union pattern iff it is in some list, and is then
+    counted for every language containing it (e.g. "de" is both es
+    and fr)."""
+    all_words = sorted({w for ws in STOPWORDS.values() for w in ws})
+    pat = r"(?<![^ ])(?:" + "|".join(all_words) + r")(?![^ ])"
+    matches = F.regexp_extract_all(normalize(text_col), F.lit(pat), 0)
+    zero = F.array(*[F.lit(0) for _ in STOPWORDS]).cast("array<int>")
+
+    def _step(acc, x):
+        return F.array(
+            *[
+                acc[i] + F.when(x.isin(STOPWORDS[lang]), 1).otherwise(0)
+                for i, lang in enumerate(STOPWORDS)
+            ]
+        )
+
+    return F.aggregate(matches, zero, _step)
+
+
 def detect_language(df: DataFrame, text_col: str = "text", out_col: str = "lang_guess") -> DataFrame:
     """Stopword-hit language ID over {en,es,fr,de}; 'und' when no list
-    scores a hit.  Ties break by fixed language order (en,es,fr,de)."""
-    hits = {lang: stopword_hits(text_col, lang) for lang in STOPWORDS}
+    scores a hit.  Ties break by fixed language order (en,es,fr,de).
+
+    Single-pass: all four languages' hit counts come from one
+    ``stopword_hits_all`` array (one regex scan of the text)."""
+    hits_arr = stopword_hits_all(text_col)
+    hits = {lang: hits_arr[i] for i, lang in enumerate(STOPWORDS)}
     best = F.greatest(*hits.values())
     guess = F.when(best <= 0, F.lit("und"))
     for lang in STOPWORDS:  # fixed iteration order = deterministic ties
@@ -113,3 +147,62 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> D
     """Deterministic document fingerprint: md5 of the normalized text.
     (Content-defined dedup key; pair with dedup.dedup_exact.)"""
     return df.withColumn(out_col, F.md5(normalize(text_col).cast("binary")))
+
+
+def rolling_hashes(text: Column | str, k: int = 8) -> Column:
+    """Rolling k-gram hash sequence of the normalized text
+    (array<long>, one entry per character k-gram, in order).  Built-in
+    ``xxhash64`` per gram — content-equivalent to a Rabin-Karp rolling
+    hash (same k-gram → same value) and stays inside whole-stage
+    codegen; texts shorter than ``k`` yield an empty array."""
+    c = normalize(text)
+    ng = F.length(c) - (k - 1)
+    idx = F.when(ng >= 1, F.sequence(F.lit(1), ng)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.xxhash64(F.substring(c, i, k)))
+
+
+def winnow_fingerprints(
+    text: Column | str, k: int = 8, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): the distinct set of per-window minima over the
+    rolling k-gram hash sequence.
+
+    Guarantees: any shared substring of length >= k + window - 1
+    contributes at least one common fingerprint to both documents
+    (the winnowing guarantee), and expected density is 2/(window+1) —
+    a tunable, position-robust signature for substring-level overlap
+    detection, where whole-document minhash only sees set-level
+    similarity.  Shuffle-free column expression; texts with fewer
+    k-grams than a window degrade to a single global-min fingerprint.
+    """
+    c = normalize(text)
+    ng = F.length(c) - (k - 1)
+    hashes = rolling_hashes(text, k)
+    nw = ng - (window - 1)
+    starts = (
+        F.when(nw >= 1, F.sequence(F.lit(1), nw))
+        .when(ng >= 1, F.array(F.lit(1)))
+        .otherwise(F.array().cast("array<int>"))
+    )
+    wlen = F.least(F.lit(window), ng)
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.array_min(F.slice(hashes, i, wlen)))
+    )
+
+
+def winnow(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "fingerprints",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """``df`` + a ``fingerprints`` array column (winnowing signature).
+    Pair with an explode + equi-join on the fingerprint to find
+    substring-level overlap candidates (same posting-list shape as
+    ``dedup.ngram_jaccard_pairs``, but over winnowed grams — ~2/(w+1)
+    of the postings)."""
+    return df.withColumn(out_col, winnow_fingerprints(text_col, k, window))

@@ -245,3 +245,44 @@ def test_dedup_canonical_end_to_end(docs):
     comp = dedup.attach_components(docs, "doc_id", near)
     assert comp.count() == total
     assert kept.count() == comp.select("component").distinct().count()
+
+
+def test_winnow_fingerprints_python_oracle(docs, spark):
+    from grip_spark import text as T
+
+    k, w = 8, 4
+    got_df = docs.limit(20).select(
+        "doc_id",
+        T.rolling_hashes("text", k).alias("rh"),
+        T.winnow_fingerprints("text", k, w).alias("fp"),
+    )
+    for r in got_df.collect():
+        rh = r["rh"]
+        if len(rh) == 0:
+            want = []
+        elif len(rh) < w:
+            want = [min(rh)]
+        else:
+            want = [min(rh[i : i + w]) for i in range(len(rh) - w + 1)]
+        # array_distinct keeps first-seen order
+        seen, dedup_want = set(), []
+        for v in want:
+            if v not in seen:
+                seen.add(v)
+                dedup_want.append(v)
+        assert list(r["fp"]) == dedup_want, f"doc {r['doc_id']}"
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    from grip_spark import text as T
+
+    k, w = 8, 4
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, "AAAA xyz " + shared + " 111"), (2, "BBBB qrs " + shared + " 222")],
+        ["doc_id", "text"],
+    )
+    rows = df.select(T.winnow_fingerprints("text", k, w).alias("fp")).collect()
+    a, b = set(rows[0]["fp"]), set(rows[1]["fp"])
+    # shared substring len >= k + w - 1 -> at least one common fingerprint
+    assert a & b

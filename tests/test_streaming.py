@@ -106,3 +106,35 @@ def test_sessionize_stream_matches_batch(spark, event_files):
     assert set(got_counts) <= set(want_counts)
     # with the 2h gap between bursts, each user's first session closes
     assert len(got_counts) >= 3
+
+
+def test_dedup_stream_matches_batch(spark, tmp_path_factory):
+    from grip_spark import streaming
+    from grip_spark.streaming import EVENTS_SCHEMA
+
+    d = tmp_path_factory.mktemp("dup_events")
+    base = 1_700_000_000
+    rows = [
+        {
+            "event_id": i % 7,  # 20 rows, 7 distinct ids
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime(base + i * 60)),
+            "user_id": i % 3,
+            "event_type": "click",
+            "value": float(i),
+        }
+        for i in range(20)
+    ]
+    for part, chunk in enumerate([rows[:10], rows[10:]]):
+        with open(d / f"p{part}.json", "w") as f:
+            for r in chunk:
+                f.write(json.dumps(r) + "\n")
+
+    batch = streaming.dedup_stream(spark.read.schema(EVENTS_SCHEMA).json(str(d)))
+    assert batch.count() == 7
+
+    stream = streaming.read_event_stream(spark, str(d))
+    q = streaming.stream_to_memory(streaming.dedup_stream(stream), "dedup_test")
+    q.awaitTermination(60)
+    got = spark.table("dedup_test")
+    assert got.count() == 7
+    assert {r["event_id"] for r in got.collect()} == set(range(7))

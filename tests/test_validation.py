@@ -129,3 +129,30 @@ def test_job_render_template_view(spark, tmp_path, swapi):
     direct = q.execute()
     jid = store.submit(q)
     assert store.view("swapi", jid) == direct
+
+
+def test_multi_agg_fused_matches_singles(swapi):
+    """The GROUPING SETS fused multi-agg must return exactly what the
+    three aggregations produce when each runs alone (single-agg path)."""
+    aggs = [
+        ops.term("ec", "eye_color"),
+        ops.histogram("h", "height", 25),
+        ops.count("n"),
+    ]
+    fused = swapi.query().V().hasLabel("Character").aggregate(aggs).execute()
+    singles = []
+    for a in aggs:
+        singles.extend(
+            swapi.query().V().hasLabel("Character").aggregate([a]).execute()
+        )
+    key = lambda r: (r["name"], str(r["key"]))
+    assert sorted(fused, key=key) == sorted(singles, key=key)
+
+
+def test_multi_agg_fused_term_guard(swapi, monkeypatch):
+    from grip_spark.compile.planner import Planner
+
+    monkeypatch.setattr(Planner, "MAX_TERMS", 3)
+    q = swapi.query().V().aggregate([ops.term("t", "_gid"), ops.count("n")])
+    with pytest.raises(Exception, match="unique terms"):
+        q.execute()
