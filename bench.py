@@ -49,8 +49,12 @@ def main():
     g.vertices.count()
     g.edges.count()
     load_sec = round(time.perf_counter() - t_load, 3)
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # the sf0.1 tables are single parquet files → one input partition;
+    # a real corpus read arrives with thousands.  Model that (and stop
+    # narrow text/signature stages from pinning to one core) by
+    # spreading the small tables across the local cores once.
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(CPUS)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
 

@@ -657,17 +657,20 @@ class Planner:
             src = df.select(*cols) if cols else df.select(F.lit(1).alias("_one"))
             src = src.persist()
             try:
+                # materialize the cache before the branch fan-out: the
+                # N aggregation branches all scan it within one collect
+                # action, and an unmaterialized cache is raced by
+                # concurrent branch tasks (each recomputing the
+                # upstream pipeline)
+                src.count()
                 plans = [self._one_agg(src, a, resolved[i]) for i, a in enumerate(aggs)]
                 out = plans[0]
                 for p in plans[1:]:
                     out = out.unionByName(p)
-                # Aggregation output is tiny (a handful of name/key/value
-                # rows); compute it eagerly while the pruned input is
-                # cached, then drop the cache immediately.  A lazy plan
-                # would either leak the persist for the session lifetime
-                # (the driver contract collects via to_df(), which never
-                # ran Traversal.execute's unpersist) or recompute the
-                # input once per aggregation branch.
+                # Aggregation output is tiny (a handful of
+                # name/key/value rows); computed eagerly so the driver
+                # contract's to_df().collect() path sees a plain local
+                # relation and the cache never leaks.
                 rows = out.collect()
                 return df.sparkSession.createDataFrame(rows, out.schema)
             finally:
@@ -733,17 +736,17 @@ class Planner:
         sets = [[F.col(alias)] for (_, _, alias, _) in keyed]
         if any(k == "count" for k in kinds):
             sets.append([])
-        gs = (
-            src.groupingSets(sets, *[F.col(alias) for (_, _, alias, _) in keyed])
-            .agg(
-                F.count(F.lit(1)).cast("double").alias("value"),
-                *[
-                    F.grouping(alias).alias(f"_g{i}")
-                    for (i, _, alias, _) in keyed
-                ],
-            )
-            .persist()
-        )
+        gs = src.groupingSets(
+            sets, *[F.col(alias) for (_, _, alias, _) in keyed]
+        ).agg(
+            F.count(F.lit(1)).cast("double").alias("value"),
+            *[F.grouping(alias).alias(f"_g{i}") for (i, _, alias, _) in keyed],
+        ).persist()
+        # materialize the cache NOW, before the branch plans fan out:
+        # the branches all scan this table within ONE collect action,
+        # and an unmaterialized cache is raced — each branch would
+        # recompute the full scan+expand+shuffle concurrently
+        gs.count()
 
         def belongs(idx: int | None):
             # idx None → the grand-total (empty) grouping set
@@ -785,8 +788,11 @@ class Planner:
             out = plans[0]
             for p in plans[1:]:
                 out = out.unionByName(p)
-            # tiny result; compute eagerly while the grouped table is
-            # cached (same no-leak contract as the fallback path)
+            # the cached grouped table is tiny, so the union of the
+            # shaped branches is cheap; computed eagerly so downstream
+            # callers get a plain local-relation DataFrame and the
+            # cache can be dropped before returning (no leak on the
+            # to_df() path)
             rows = out.collect()
             return df.sparkSession.createDataFrame(rows, out.schema)
         finally:

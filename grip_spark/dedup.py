@@ -23,6 +23,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def _rebalance(df: DataFrame) -> DataFrame:
+    """Spread an under-partitioned input across the cluster before a
+    CPU-heavy narrow stage (shingle explode / signature aggregation).
+
+    A corpus read from a real multi-TB store arrives with thousands of
+    partitions and passes through untouched; a single small file (the
+    local-test artifact) arrives as ONE partition and would pin the
+    whole signature computation to one core.  The repartition only
+    fires in the latter case, and on a small input its shuffle is
+    negligible."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def char_shingles(text: Column | str, n: int = 5) -> Column:
     """Distinct character n-grams of a text column (shuffle-free)."""
     c = F.col(text) if isinstance(text, str) else text
@@ -141,6 +158,7 @@ def minhash_signatures_df(
     """
     if num_hashes > len(_MINHASH_COEFFS):
         raise ValueError(f"num_hashes capped at {len(_MINHASH_COEFFS)}")
+    df = _rebalance(df)
     c = F.col(text_col)
     idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (shingle_n - 1), F.lit(0)))
     exploded = df.select(
@@ -201,11 +219,15 @@ def minhash_lsh_pairs(
     if bands is None:
         bands = tune_bands(num_hashes, threshold)
     r = num_hashes // bands
-    # Persist the (tiny: id + 64 longs) signature table before banding:
-    # it is consumed by both sides of the candidate self-join, and
-    # without a materialization barrier Catalyst would inline the
-    # signature computation into every consumer.
-    sig = minhash_signatures_df(df, id_col, text_col, num_hashes, shingle_n).persist()
+    # Materialize the (tiny: id + 64 longs) signature table before
+    # banding with an EAGER localCheckpoint: it is consumed by both
+    # sides of the candidate self-join within one action, and a merely
+    # lazy persist() is raced by the join's two scans — each side
+    # recomputes the full explode+aggregate signature job before the
+    # cache exists.  Eager checkpoint computes signatures exactly once.
+    sig = minhash_signatures_df(
+        df, id_col, text_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=True)
     banded = sig.select(
         "_id",
         F.explode(
@@ -249,10 +271,23 @@ def minhash_lsh_pairs(
         .join(sb, "b_id")
         .filter(est >= threshold - 0.1)
         .select("a_id", "b_id")
+    ).localCheckpoint(eager=True)
+    # stage 2: exact shingle Jaccard on the survivors.  Shingles are
+    # computed only for documents that appear in a surviving candidate
+    # pair (left-semi prune) — at corpus scale that is ~2×|candidates|
+    # docs, not the corpus — and checkpointed once because both join
+    # sides consume the same table within one action.
+    ids = (
+        cand.select(F.col("a_id").alias("_cid"))
+        .unionByName(cand.select(F.col("b_id").alias("_cid")))
+        .distinct()
     )
-    # stage 2: exact shingle Jaccard on the survivors
-    sh = df.select(
-        F.col(id_col).alias("_id"), char_shingles(text_col, shingle_n).alias("_sh")
+    sh = (
+        df.join(ids, F.col(id_col) == F.col("_cid"), "left_semi")
+        .select(
+            F.col(id_col).alias("_id"), char_shingles(text_col, shingle_n).alias("_sh")
+        )
+        .localCheckpoint(eager=True)
     )
     a = sh.select(F.col("_id").alias("a_id"), F.col("_sh").alias("_sha"))
     b = sh.select(F.col("_id").alias("b_id"), F.col("_sh").alias("_shb"))
@@ -315,8 +350,12 @@ def simhash_pairs(
     if max_hamming >= chunks:
         raise ValueError("need max_hamming < chunks for exact recall")
     w = bits // chunks
-    # persist: same projection-collapse recompute hazard as minhash
-    sig = df.select(F.col(id_col).alias("_id"), simhash(text_col, bits).alias("_sim")).persist()
+    # eager checkpoint: same two-sided self-join recompute hazard as
+    # minhash (a lazy persist is raced by both join sides)
+    df = _rebalance(df)
+    sig = df.select(
+        F.col(id_col).alias("_id"), simhash(text_col, bits).alias("_sim")
+    ).localCheckpoint(eager=True)
     banded = sig.select(
         "_id",
         "_sim",

@@ -255,3 +255,50 @@ def test_bulkload_validate(writeg):
     err = bulk.execute()
     assert err["errorCount"] == 2
     assert writeg.query().E().count().execute()[0]["count"] == 4
+
+
+def test_from_ntriples(spark, tmp_path):
+    from grip_spark.graph import GripGraph
+
+    nt = tmp_path / "g.nt"
+    nt.write_text(
+        "\n".join(
+            [
+                '<http://ex.org/alice> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/Person> .',
+                '<http://ex.org/alice> <http://ex.org/name> "Alice \\"A\\"" .',
+                '<http://ex.org/alice> <http://ex.org/age> "33" .',
+                '<http://ex.org/alice> <http://ex.org/knows> <http://ex.org/bob> .',
+                '<http://ex.org/bob> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://ex.org/Person> .',
+                '<http://ex.org/bob> <http://ex.org/name> "Bob" .',
+                # label-less subject: properties only -> dropped (main.go:192)
+                '<http://ex.org/ghost> <http://ex.org/name> "Ghost" .',
+                '<http://ex.org/alice> <http://ex.org/likes> <http://ex.org/ghost> .',
+            ]
+        )
+        + "\n"
+    )
+    g = GripGraph.from_ntriples(
+        spark, str(nt), uri_map={"http://ex.org/": "ex_"}
+    )
+    vs = {r["gid"]: r for r in g.vertices.collect()}
+    assert set(vs) == {"ex_alice", "ex_bob"}  # ghost dropped
+    assert vs["ex_alice"]["label"] == "ex_Person"
+    assert vs["ex_alice"]["data"]["ex_name"] == 'Alice "A"'
+    assert vs["ex_alice"]["data"]["ex_age"] == "33"
+    assert sorted(vs["ex_alice"]["data"]["__keys"]) == ["ex_age", "ex_name"]
+    assert vs["ex_bob"]["data"]["ex_age"] is None
+    es = {(r["src"], r["label"], r["dst"]) for r in g.edges.collect()}
+    assert es == {
+        ("ex_alice", "ex_knows", "ex_bob"),
+        ("ex_alice", "ex_likes", "ex_ghost"),
+    }
+    # loaded graph is queryable end-to-end
+    n = (
+        g.query()
+        .V(["ex_alice"])
+        .out("ex_knows")
+        .count()
+        .to_df()
+        .collect()[0][0]
+    )
+    assert n == 1
