@@ -736,17 +736,19 @@ class Planner:
         sets = [[F.col(alias)] for (_, _, alias, _) in keyed]
         if any(k == "count" for k in kinds):
             sets.append([])
-        gs = src.groupingSets(
+        gs_plan = src.groupingSets(
             sets, *[F.col(alias) for (_, _, alias, _) in keyed]
         ).agg(
             F.count(F.lit(1)).cast("double").alias("value"),
             *[F.grouping(alias).alias(f"_g{i}") for (i, _, alias, _) in keyed],
-        ).persist()
-        # materialize the cache NOW, before the branch plans fan out:
-        # the branches all scan this table within ONE collect action,
-        # and an unmaterialized cache is raced — each branch would
-        # recompute the full scan+expand+shuffle concurrently
-        gs.count()
+        )
+        # ONE heavy job: the grouped output is bounded (terms are
+        # hard-capped at MAX_TERMS, buckets by the value range), so it
+        # is collected once and the per-aggregation shaping runs over a
+        # local relation — no cache to race or leak, and the Spark cast
+        # semantics of the shaping (key→string etc.) are unchanged.
+        grows = gs_plan.collect()
+        gs = df.sparkSession.createDataFrame(grows, gs_plan.schema)
 
         def belongs(idx: int | None):
             # idx None → the grand-total (empty) grouping set
@@ -756,47 +758,51 @@ class Planner:
                 cond = cond & flag
             return cond
 
-        try:
-            plans = []
-            for i, (a, kind) in enumerate(zip(aggs, kinds)):
-                name = a["name"]
-                if kind == "count":
-                    self.agg_key_types[name] = StringType()
-                    plans.append(
-                        gs.filter(belongs(None)).select(
-                            F.lit(name).alias("name"),
-                            F.lit("count").alias("key"),
-                            F.col("value"),
-                        )
+        plans = []
+        for i, (a, kind) in enumerate(zip(aggs, kinds)):
+            name = a["name"]
+            if kind == "count":
+                self.agg_key_types[name] = StringType()
+                # grand-total row straight from the collected rows; an
+                # empty traveler stream produces NO grouping-set rows,
+                # but count() must still report 0 (reference and the
+                # single-agg path both do)
+                total = next(
+                    (
+                        float(r["value"])
+                        for r in grows
+                        if all(r[f"_g{j}"] == 1 for (j, _, _, _) in keyed)
+                    ),
+                    0.0,
+                )
+                plans.append(
+                    df.sparkSession.createDataFrame(
+                        [(name, "count", total)], "name string, key string, value double"
                     )
-                    continue
-                alias = next(al for (j, _, al, _) in keyed if j == i)
-                dtype = next(dt for (j, _, _, dt) in keyed if j == i)
-                part = gs.filter(belongs(i) & F.col(alias).isNotNull())
-                if kind == "term":
-                    self.agg_key_types[name] = dtype
-                    counts = part.select(F.col(alias).alias("_k"), "value")
-                    plans.append(self._term_shape(counts, name, a["term"]))
-                else:
-                    self.agg_key_types[name] = NumericType()
-                    counts = part.select(F.col(alias).alias("_i"), "value")
-                    plans.append(
-                        self._histogram_shape(
-                            counts, name, float(a["histogram"]["interval"])
-                        )
+                )
+                continue
+            alias = next(al for (j, _, al, _) in keyed if j == i)
+            dtype = next(dt for (j, _, _, dt) in keyed if j == i)
+            part = gs.filter(belongs(i) & F.col(alias).isNotNull())
+            if kind == "term":
+                self.agg_key_types[name] = dtype
+                counts = part.select(F.col(alias).alias("_k"), "value")
+                plans.append(self._term_shape(counts, name, a["term"]))
+            else:
+                self.agg_key_types[name] = NumericType()
+                counts = part.select(F.col(alias).alias("_i"), "value")
+                plans.append(
+                    self._histogram_shape(
+                        counts, name, float(a["histogram"]["interval"])
                     )
-            out = plans[0]
-            for p in plans[1:]:
-                out = out.unionByName(p)
-            # the cached grouped table is tiny, so the union of the
-            # shaped branches is cheap; computed eagerly so downstream
-            # callers get a plain local-relation DataFrame and the
-            # cache can be dropped before returning (no leak on the
-            # to_df() path)
-            rows = out.collect()
-            return df.sparkSession.createDataFrame(rows, out.schema)
-        finally:
-            gs.unpersist()
+                )
+        out = plans[0]
+        for p in plans[1:]:
+            out = out.unionByName(p)
+        # shaping runs over the local relation — cheap; computed
+        # eagerly so downstream callers get a plain local relation
+        rows = out.collect()
+        return df.sparkSession.createDataFrame(rows, out.schema)
 
     def _one_agg(self, df: DataFrame, agg: dict, pre=None) -> DataFrame:
         """``pre``: optionally a pre-resolved (Column, DataType) for the
