@@ -193,17 +193,25 @@ def q_has_conditions(spark, sf_dir):
     return out
 
 
-def q_hasid_count(spark, sf_dir):
-    return _gq(spark, sf_dir).V().hasId(["c:1", "c:5", "c:9"]).count().to_df()
-
-
-def q_bothe_count(spark, sf_dir):
-    return _gq(spark, sf_dir).V(["o:1"]).bothE().count().to_df()
-
-
-def q_edge_in_count(spark, sf_dir):
-    # E→V via the edge's src endpoint (in() from an edge position)
-    return _gq(spark, sf_dir).E().hasLabel("contains").in_().count().to_df()
+def q_adjacency_ops(spark, sf_dir):
+    """hasId / bothE / in-from-edge as labeled count rows (one slot,
+    three operators — same matrix shape as null_traversals)."""
+    specs = [
+        ("hasid", lambda q: q.V().hasId(["c:1", "c:5", "c:9"])),
+        ("bothe", lambda q: q.V(["o:1"]).bothE()),
+        # E→V via the edge's src endpoint (in() from an edge position)
+        ("edge_in", lambda q: q.E().hasLabel("contains").in_()),
+    ]
+    out = None
+    for name, build in specs:
+        one = (
+            build(_gq(spark, sf_dir))
+            .count()
+            .to_df()
+            .select(F.lit(name).alias("op"), F.col("count"))
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
 
 
 def q_null_traversals(spark, sf_dir):
@@ -262,6 +270,60 @@ def q_two_jump(spark, sf_dir):
         .jump("a", ops.between("$s.c", 2, 3), True)
     )
     return q.to_df().select("gid")
+
+
+def q_embedding_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (the 5th dedup family member):
+    LSH bucket equi-join + exact cosine >= 0.35 (the fixture has no planted
+    near-identical embeddings; max pairwise cosine is ~0.51, so the
+    threshold sits where a stable pair set exists).  Seeded planes are
+    replicated literally in the DuckDB oracle, so LSH recall itself is
+    verified, not just precision."""
+    return similarity.embedding_cosine_pairs(
+        _emb(spark, sf_dir), "embedding", "vec_id", threshold=0.35, planes=6,
+        seed=7, dim=64,
+    )
+
+
+def _embedding_pairs_oracle_sql() -> str:
+    from grip_spark.similarity import _planes
+
+    hp = _planes(64, 6, 7)
+    bits = _bits_sql(hp, "embedding")
+    return (
+        f"WITH b AS (SELECT vec_id, embedding, ({bits}) AS sig FROM embeddings) "
+        "SELECT x.vec_id AS a_id, y.vec_id AS b_id FROM b x JOIN b y "
+        "ON x.sig = y.sig AND x.vec_id < y.vec_id "
+        "WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), "
+        "CAST(y.embedding AS DOUBLE[])) >= 0.35"
+    )
+
+
+def q_mapped_graph_hop(spark, sf_dir):
+    """Declarative table→graph mapping (grip_spark/mapping.py — the
+    existing-sql/gripper analog) built over supplier/nation directly,
+    then a filtered 1-hop with a term aggregation: exercises the
+    mapping compile path end-to-end under an oracle."""
+    from grip_spark.mapping import GraphMapping
+
+    m = GraphMapping()
+    m.vertex("supplier", label="Supplier", gid=("s:", "s_suppkey"),
+             data=["s_name", "s_acctbal"])
+    m.vertex("nation", label="Nation", gid=("n:", "n_nationkey"),
+             data=["n_name"])
+    m.edge("supplier", label="based_in",
+           src=("s:", "s_suppkey"), dst=("n:", "s_nationkey"))
+    g = m.build(spark, lambda name: spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    return (
+        g.query()
+        .V()
+        .hasLabel("Supplier")
+        .has(ops.gt("s_acctbal", 0))
+        .out("based_in")
+        .aggregate([ops.term("nation", "n_name")])
+        .to_df()
+        .select("key", "value")
+    )
 
 
 def q_knn_lsh(spark, sf_dir):
@@ -567,9 +629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": q_sessions,
         "multimodal_pipeline": q_multimodal_pipeline,
         "has_conditions": q_has_conditions,
-        "hasid_count": q_hasid_count,
-        "bothe_count": q_bothe_count,
-        "edge_in_count": q_edge_in_count,
+        "adjacency_ops": q_adjacency_ops,
+        "embedding_pairs": q_embedding_pairs,
+        "mapped_graph_hop": q_mapped_graph_hop,
         "null_traversals": q_null_traversals,
         "pagination": q_pagination,
         "two_jump": q_two_jump,
@@ -789,14 +851,20 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'without', count(*) FROM customer "
             f"WHERE NOT coalesce(c_mktsegment IN ({_SEG_SQL}), false)"
         ),
-        "hasid_count": (
-            "SELECT count(*) AS count FROM customer WHERE c_custkey IN (1, 5, 9)"
+        "adjacency_ops": (
+            "SELECT 'hasid' AS op, count(*) AS count FROM customer "
+            "WHERE c_custkey IN (1, 5, 9) "
+            "UNION ALL SELECT 'bothe', "
+            "(SELECT count(*) FROM lineitem WHERE l_orderkey = 1) + "
+            "(SELECT count(*) FROM orders WHERE o_orderkey = 1) "
+            "UNION ALL SELECT 'edge_in', count(*) FROM lineitem"
         ),
-        "bothe_count": (
-            "SELECT (SELECT count(*) FROM lineitem WHERE l_orderkey = 1) + "
-            "(SELECT count(*) FROM orders WHERE o_orderkey = 1) AS count"
+        "embedding_pairs": _embedding_pairs_oracle_sql(),
+        "mapped_graph_hop": (
+            "SELECT n_name AS key, CAST(count(*) AS DOUBLE) AS value "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE s_acctbal > 0 GROUP BY n_name"
         ),
-        "edge_in_count": "SELECT count(*) AS count FROM lineitem",
         "null_traversals": (
             "SELECT 'innull_part' AS op, "
             "(SELECT count(*) FROM lineitem) + "

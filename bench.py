@@ -120,6 +120,19 @@ def main():
         "cosine_topk": lambda: similarity.cosine_topk(
             emb, "embedding", qvec, k=10
         ).collect(),
+        "dedup_clusters": lambda: run_count(
+            dedup.attach_components(
+                docs, "doc_id", dedup.minhash_lsh_pairs(docs, "doc_id", threshold=0.8)
+            )
+        ),
+        "knn_lsh": lambda: run_count(
+            similarity.cosine_self_join_topk(
+                emb, "embedding", "vec_id", k=1, planes=6, dim=64
+            )
+        ),
+        "winnow_fp": lambda: run_count(
+            text.winnow(docs).select(F.explode("fingerprints"))
+        ),
         "events_window": lambda: run_count(
             events.groupBy(
                 F.expr("(ts DIV 3600000000000) * 3600").alias("h"), "event_type"

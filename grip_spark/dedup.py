@@ -310,10 +310,14 @@ def simhash(text: Column | str, bits: int = 64) -> Column:
 
     Per-bit majority vote over token hashes, computed as ``bits``
     aggregate-over-array expressions — shuffle-free, codegen-friendly.
+    The token-hash array is let-bound (``text._let``): Spark performs
+    no CSE inside higher-order functions, so without the binding the
+    tokenize+hash pipeline would re-run once per output bit (64×).
     """
+    from grip_spark.text import _let
+
     c = F.col(text) if isinstance(text, str) else text
     toks = F.array_distinct(F.split(F.lower(F.trim(c)), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
 
     def voter(b: int):
         # closure, not default-arg lambda (see minhash_signature)
@@ -321,13 +325,16 @@ def simhash(text: Column | str, bits: int = 64) -> Column:
             F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        vote = F.aggregate(hashes, F.lit(0), voter(b))
-        out = out + F.when(
-            vote > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-    return out
+    def _body(hashes):
+        out = F.lit(0).cast("long")
+        for b in range(bits):
+            vote = F.aggregate(hashes, F.lit(0), voter(b))
+            out = out + F.when(
+                vote > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        return out
+
+    return _let(F.transform(toks, lambda t: F.xxhash64(t)), _body)
 
 
 def simhash_pairs(

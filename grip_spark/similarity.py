@@ -250,7 +250,12 @@ def cosine_self_join_topk(
     with a similarity threshold filter on the result."""
     from pyspark.sql.window import Window
 
-    b = ann_index(df, vec_col, planes=planes, seed=seed, dim=dim, bucket_col="_bucket")
+    # eager checkpoint: both self-join sides consume the bucketed table
+    # within one action — a lazy cache would be raced, recomputing the
+    # bucket signatures (planes × dim dot products) twice
+    b = ann_index(
+        df, vec_col, planes=planes, seed=seed, dim=dim, bucket_col="_bucket"
+    ).localCheckpoint(eager=True)
     l = b.select(
         F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"), F.col("_bucket")
     )
@@ -266,4 +271,47 @@ def cosine_self_join_topk(
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
         .drop("_rk")
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    planes: int = 8,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ``(a_id, b_id)`` with
+    ``cosine >= threshold`` and ``a_id < b_id`` — the embedding member
+    of the dedup family (exact / minhash / simhash / ngram / embedding).
+
+    Candidate generation is the hyperplane-LSH bucket equi-join (each
+    vector has exactly ONE bucket, so every candidate pair appears at
+    most once — no distinct pass); survivors are verified with the
+    exact JVM-side cosine.  Near-parallel vectors agree on every
+    sign-bit with high probability, so high thresholds lose little
+    recall; buckets shrink the join from all-pairs to ~n²/2^planes.
+    The plane family is seeded, which is what lets a SQL oracle
+    replicate the bucket math literal-for-literal (see the driver
+    contract) — recall itself is thereby pinned, not just precision.
+    Feed the result to :func:`grip_spark.dedup.attach_components` /
+    ``dedup_canonical`` for end-to-end embedding dedup.
+    """
+    b = ann_index(
+        df, vec_col, planes=planes, seed=seed, dim=dim, bucket_col="_bucket"
+    ).localCheckpoint(eager=True)
+    l = b.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("_va"), F.col("_bucket")
+    )
+    r = b.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("_vb"), F.col("_bucket")
+    )
+    return (
+        l.join(r, ["_bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("a_id", "b_id")
     )

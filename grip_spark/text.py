@@ -149,18 +149,39 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> D
     return df.withColumn(out_col, F.md5(normalize(text_col).cast("binary")))
 
 
+def _let(bound: Column, body) -> Column:
+    """Single-evaluation let-binding for column expressions.
+
+    Spark performs NO common-subexpression elimination inside
+    higher-order-function lambdas: a column expression referenced in a
+    lambda body is re-evaluated once per array element.  A HOF's
+    *input argument*, however, is evaluated exactly once per row — so
+    wrapping the expensive expression as the single element of an
+    array and passing the lambda variable into ``body`` gives let
+    semantics.  (Without this, winnowing was accidentally quadratic:
+    the normalize() regex ran once per k-gram and the full rolling-hash
+    array once per window start.)
+    """
+    return F.transform(F.array(bound), body)[0]
+
+
 def rolling_hashes(text: Column | str, k: int = 8) -> Column:
     """Rolling k-gram hash sequence of the normalized text
     (array<long>, one entry per character k-gram, in order).  Built-in
     ``xxhash64`` per gram — content-equivalent to a Rabin-Karp rolling
     hash (same k-gram → same value) and stays inside whole-stage
-    codegen; texts shorter than ``k`` yield an empty array."""
-    c = normalize(text)
-    ng = F.length(c) - (k - 1)
-    idx = F.when(ng >= 1, F.sequence(F.lit(1), ng)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(idx, lambda i: F.xxhash64(F.substring(c, i, k)))
+    codegen; texts shorter than ``k`` yield an empty array.  The
+    normalized string is let-bound so the regex runs once per row, not
+    once per gram."""
+
+    def _body(s):
+        ng = F.length(s) - (k - 1)
+        idx = F.when(ng >= 1, F.sequence(F.lit(1), ng)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(idx, lambda i: F.xxhash64(F.substring(s, i, k)))
+
+    return _let(normalize(text), _body)
 
 
 def winnow_fingerprints(
@@ -177,20 +198,24 @@ def winnow_fingerprints(
     detection, where whole-document minhash only sees set-level
     similarity.  Shuffle-free column expression; texts with fewer
     k-grams than a window degrade to a single global-min fingerprint.
+    The hash array is let-bound (see :func:`_let`) so it is computed
+    once per row, not once per window start.
     """
-    c = normalize(text)
-    ng = F.length(c) - (k - 1)
-    hashes = rolling_hashes(text, k)
-    nw = ng - (window - 1)
-    starts = (
-        F.when(nw >= 1, F.sequence(F.lit(1), nw))
-        .when(ng >= 1, F.array(F.lit(1)))
-        .otherwise(F.array().cast("array<int>"))
-    )
-    wlen = F.least(F.lit(window), ng)
-    return F.array_distinct(
-        F.transform(starts, lambda i: F.array_min(F.slice(hashes, i, wlen)))
-    )
+
+    def _body(hashes):
+        ng = F.size(hashes)
+        nw = ng - (window - 1)
+        starts = (
+            F.when(nw >= 1, F.sequence(F.lit(1), nw))
+            .when(ng >= 1, F.array(F.lit(1)))
+            .otherwise(F.array().cast("array<int>"))
+        )
+        wlen = F.least(F.lit(window), ng)
+        return F.array_distinct(
+            F.transform(starts, lambda i: F.array_min(F.slice(hashes, i, wlen)))
+        )
+
+    return _let(rolling_hashes(text, k), _body)
 
 
 def winnow(
