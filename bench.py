@@ -24,6 +24,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def sf_tag(sf_dir: str):
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return "x"
+
+
 def main():
     from pyspark.sql import SparkSession, functions as F
 
@@ -61,6 +68,20 @@ def main():
     def run_count(df):
         return df.count()
 
+    # Bucketed-catalog copy of the graph (zero-Exchange adjacency
+    # joins — the scale layout).  Written once into spark-warehouse/
+    # and reused by every later bench run, so steady-state runs time
+    # only the query.
+    from grip_spark.graph import GripGraph
+
+    bname = f"bench_{str(sf_tag(SF_DIR)).replace('.', '_')}"
+    try:
+        gb = GripGraph.from_tables(spark, bname)
+        gb.vertices.first()
+    except Exception:
+        g.save_tables(bname, buckets=CPUS)
+        gb = GripGraph.from_tables(spark, bname)
+
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
 
     queries = {
@@ -70,6 +91,9 @@ def main():
         ),
         "hop1_count": lambda: run_count(
             g.query().V().hasLabel("Customer").out("placed").to_df()
+        ),
+        "hop1_bucketed": lambda: run_count(
+            gb.query().V().hasLabel("Customer").out("placed").to_df()
         ),
         "hop2_multi_agg": lambda: g.query()
         .V()

@@ -436,10 +436,14 @@ def connected_components(
     checkpoints, so this costs one small shuffle on the already-tiny
     label table).
     """
-    edges = pairs.select(
+    # materialize the pair list once BEFORE the symmetric union: its
+    # two branches would otherwise each evaluate the (potentially
+    # expensive — e.g. a full minhash-LSH run) upstream pipeline
+    p = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).unionByName(
-        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    ).localCheckpoint(eager=True)
+    edges = p.unionByName(
+        p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
     use_reliable = (
         pairs.sparkSession.sparkContext.getCheckpointDir() is not None

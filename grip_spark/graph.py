@@ -22,6 +22,9 @@ adjacency joins (the analog of the ``s|``/``d|`` adjacency indexes,
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StringType, StructType
 
@@ -36,6 +39,19 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 def _empty_struct_col():
     return F.struct().alias("data")
+
+
+def _warehouse_dir(spark: SparkSession) -> str:
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    return wh[len("file:"):] if wh.startswith("file:") else wh
+
+
+def _schema_ddl(schema: StructType) -> str:
+    """``name type, …`` DDL for external-table registration (simpleString
+    is valid DDL for the nested struct/array types the graph uses)."""
+    return ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
 
 
 class GripGraph:
@@ -336,25 +352,67 @@ class GripGraph:
         vertices bucketed by ``gid``; edges stored twice, bucketed by
         ``src`` and by ``dst`` (the two adjacency directions — the
         analog of the reference's ``s|``/``d|`` KV index pair).  A hop
-        join on co-bucketed keys needs no Exchange at any scale."""
-        (
-            self.vertices.write.mode(mode)
-            .bucketBy(buckets, "gid").sortBy("gid")
-            .format("parquet").saveAsTable(f"{prefix}_v")
+        join on co-bucketed keys needs no Exchange at any scale.
+
+        Also writes a ``{prefix}_meta.json`` manifest next to the
+        table dirs so a LATER SparkSession can re-attach the layout
+        without rewriting data (the default in-memory catalog forgets
+        ``saveAsTable`` registrations at JVM exit; a production
+        deployment would use a persistent metastore — the manifest is
+        the self-contained stand-in)."""
+        specs = (
+            (self.vertices, f"{prefix}_v", "gid"),
+            (self.edges, f"{prefix}_e_src", "src"),
+            (self.edges, f"{prefix}_e_dst", "dst"),
         )
-        (
-            self.edges.write.mode(mode)
-            .bucketBy(buckets, "src").sortBy("src")
-            .format("parquet").saveAsTable(f"{prefix}_e_src")
-        )
-        (
-            self.edges.write.mode(mode)
-            .bucketBy(buckets, "dst").sortBy("dst")
-            .format("parquet").saveAsTable(f"{prefix}_e_dst")
-        )
+        wh = _warehouse_dir(self.vertices.sparkSession)
+        for df, tbl, key in specs:
+            # external tables (explicit path): dropping the catalog
+            # entry — or losing the in-memory catalog at JVM exit —
+            # never deletes the data files
+            (
+                df.write.mode(mode)
+                .option("path", os.path.join(wh, tbl))
+                .bucketBy(buckets, key).sortBy(key)
+                .format("parquet").saveAsTable(tbl)
+            )
+        manifest = {
+            "buckets": buckets,
+            "tables": {
+                tbl: {"key": key, "schema": _schema_ddl(df.schema)}
+                for df, tbl, key in specs
+            },
+        }
+        with open(os.path.join(wh, f"{prefix}_meta.json"), "w") as fh:
+            json.dump(manifest, fh)
+
+    @classmethod
+    def register_tables(cls, spark: SparkSession, prefix: str) -> bool:
+        """Re-attach a previously saved bucketed layout in a fresh
+        session: issue external-table DDL (``CREATE TABLE … CLUSTERED
+        BY … LOCATION``) over the existing parquet bucket files from
+        the saved manifest.  No data movement.  Returns False when no
+        manifest exists."""
+        wh = _warehouse_dir(spark)
+        meta_path = os.path.join(wh, f"{prefix}_meta.json")
+        if not os.path.exists(meta_path):
+            return False
+        with open(meta_path) as fh:
+            manifest = json.load(fh)
+        for tbl, spec in manifest["tables"].items():
+            loc = os.path.join(wh, tbl)
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {tbl} ({spec['schema']}) "
+                f"USING parquet CLUSTERED BY ({spec['key']}) "
+                f"SORTED BY ({spec['key']}) INTO {manifest['buckets']} BUCKETS "
+                f"LOCATION '{loc}'"
+            )
+        return True
 
     @classmethod
     def from_tables(cls, spark: SparkSession, prefix: str, name: str | None = None) -> "GripGraph":
+        if f"{prefix}_v" not in [t.name for t in spark.catalog.listTables()]:
+            cls.register_tables(spark, prefix)
         g = cls(
             spark.table(f"{prefix}_v"),
             spark.table(f"{prefix}_e_src"),

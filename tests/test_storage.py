@@ -49,6 +49,40 @@ def test_reverse_hop_uses_dst_bucketing(warehouse_graph, spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_register_tables_reattaches_without_rewrite(warehouse_graph, spark):
+    """The default in-memory catalog forgets saveAsTable registrations at
+    JVM exit; from_tables must re-attach the existing bucket files via
+    the manifest (external-table DDL, no data rewrite) and keep the
+    zero-Exchange hop plan."""
+    import os
+
+    from grip_spark import GripGraph
+    from grip_spark.graph import _warehouse_dir
+
+    for t in ("swtest_v", "swtest_e_src", "swtest_e_dst"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    wrote_before = os.path.getmtime(
+        os.path.join(_warehouse_dir(spark), "swtest_v")
+    )
+    g = GripGraph.from_tables(spark, "swtest")
+    assert g.query().V().count().execute()[0]["count"] == 39
+    assert (
+        os.path.getmtime(os.path.join(_warehouse_dir(spark), "swtest_v"))
+        == wrote_before
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            g.query().V().outE().to_df()
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_label_partition_pruning(swapi, tmp_path, spark):
     from grip_spark import GripGraph
 
