@@ -164,11 +164,22 @@ def main():
         ),
     }
 
+    # Best-of-2 per query (the scaling-probe pattern): the host VM has
+    # 10-20x noisy-neighbor episodes, and a single-shot run records one
+    # bad descheduling as an engine regression.  Each invocation is a
+    # full re-execution (nothing result-caches across calls — the only
+    # persisted state is the graph cache, which load_sec already paid
+    # for), so min-of-2 measures the engine, not the neighbors.
     times = {}
+    raw = {}
     for name, fn in queries.items():
-        t0 = time.perf_counter()
-        fn()
-        times[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(round(time.perf_counter() - t0, 3))
+        raw[name] = samples
+        times[name] = min(samples)
 
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
@@ -183,6 +194,7 @@ def main():
                 "queries": times,
                 "sf": sf,
                 "load_sec": load_sec,
+                "samples": raw,
             }
         )
     )

@@ -670,7 +670,11 @@ class Planner:
                 # Aggregation output is tiny (a handful of
                 # name/key/value rows); computed eagerly so the driver
                 # contract's to_df().collect() path sees a plain local
-                # relation and the cache never leaks.
+                # relation and the cache never leaks.  Driver
+                # materialization is bounded: each branch's cap guard
+                # (_term_shape window / _histogram_shape span) executes
+                # executor-side inside this action, so an over-cap
+                # field fails the job before rows land here.
                 rows = out.collect()
                 return df.sparkSession.createDataFrame(rows, out.schema)
             finally:
@@ -742,12 +746,25 @@ class Planner:
             F.count(F.lit(1)).cast("double").alias("value"),
             *[F.grouping(alias).alias(f"_g{i}") for (i, _, alias, _) in keyed],
         )
-        # ONE heavy job: the grouped output is bounded (terms are
-        # hard-capped at MAX_TERMS, buckets by the value range), so it
-        # is collected once and the per-aggregation shaping runs over a
-        # local relation — no cache to race or leak, and the Spark cast
-        # semantics of the shaping (key→string etc.) are unchanged.
-        grows = gs_plan.collect()
+        # ONE heavy job, with the term cap enforced DISTRIBUTIVELY
+        # before anything reaches the driver: `limit` caps the rows the
+        # final stage emits, so a 10M-distinct term field fails here
+        # with one sentinel row past the cap instead of materializing
+        # 10M rows driver-side and only then tripping the shape guard.
+        # Within the cap the grouped output is tiny (one row per term /
+        # non-empty bucket / the grand total) and the per-aggregation
+        # shaping runs over a local relation — no cache to race or
+        # leak, and the Spark cast semantics (key→string etc.) are
+        # unchanged.  The local `_term_shape` window guard still runs
+        # for per-aggregation precision (two term fields can be jointly
+        # under the probe cap while one exceeds MAX_TERMS alone).
+        cap = self.MAX_TERMS * len(keyed) + len(keyed) + 1
+        grows = gs_plan.limit(cap + 1).collect()
+        if len(grows) > cap:
+            raise RuntimeError(
+                "aggregation: collected more unique terms than allowed "
+                f"({self.MAX_TERMS} per aggregation)"
+            )
         gs = df.sparkSession.createDataFrame(grows, gs_plan.schema)
 
         def belongs(idx: int | None):
@@ -919,10 +936,24 @@ class Planner:
         )
         key = F.col("_i") * F.lit(interval)
         key = key.cast("long") if integral else key.cast("double")
+        # Empty-bucket explosion guard: one outlier value (say 1e12 at
+        # interval 1) would make sequence(lo, hi) explode billions of
+        # rows.  Fail loudly at the same cap as terms instead — the
+        # guard rides the _lo column so Catalyst cannot prune it.
+        lo_guarded = F.when(
+            F.col("_hi") - F.col("_lo") < F.lit(self.MAX_TERMS), F.col("_lo")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "histogram aggregation: bucket range wider than "
+                    f"allowed ({self.MAX_TERMS} buckets) — widen the interval"
+                )
+            )
+        )
         return (
             one.filter(F.col("_lo").isNotNull())
             .select(
-                F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("_i"),
+                F.explode(F.sequence(lo_guarded, F.col("_hi"))).alias("_i"),
                 F.col("_m"),
             )
             .select(

@@ -150,9 +150,27 @@ def test_multi_agg_fused_matches_singles(swapi):
 
 
 def test_multi_agg_fused_term_guard(swapi, monkeypatch):
+    """VERDICT r3 item 2: the fused path must trip the cap in the
+    distributed limit-probe — i.e. BEFORE the grouped output is
+    collected to the driver — not in the local-relation shape guard.
+    The probe's message is distinct ('per aggregation'), so matching it
+    proves which guard fired."""
     from grip_spark.compile.planner import Planner
 
     monkeypatch.setattr(Planner, "MAX_TERMS", 3)
     q = swapi.query().V().aggregate([ops.term("t", "_gid"), ops.count("n")])
-    with pytest.raises(Exception, match="unique terms"):
+    with pytest.raises(Exception, match=r"unique terms.*per aggregation"):
+        q.execute()
+
+
+def test_histogram_bucket_span_guard(swapi, monkeypatch):
+    """One outlier value must not explode an unbounded empty-bucket
+    range (sequence(lo, hi) at interval 1 over a 1e9-wide span)."""
+    from grip_spark.compile.planner import Planner
+
+    monkeypatch.setattr(Planner, "MAX_TERMS", 3)
+    q = swapi.query().V().hasLabel("Character").aggregate(
+        [ops.histogram("h", "height", 1)]
+    )
+    with pytest.raises(Exception, match="bucket range wider"):
         q.execute()
