@@ -16,7 +16,9 @@ appears to cap the correctness sweep at 50 queries.  This round the
 set is consolidated to 50 without losing operator coverage: the
 condition matrix (`has_conditions`) carries 11 filter conditions as
 labeled rows, `null_traversals` carries inNull/outENull/inENull,
-`pagination` carries limit/skip/range, `doc_text_profile` carries the
+`pagination` carries limit/skip/range, `hop_counts` carries
+out/in/both (folded in r4 to fund `winnow_overlap` and
+`rdf_graph_hop` under the cap), `doc_text_profile` carries the
 five text-analysis operators as columns, and `multimodal_pipeline`
 carries extract_meta + frame_sample.  Never-before-verified queries
 are ordered FIRST as a hedge against a budget-based cutoff.
@@ -335,6 +337,101 @@ def q_knn_lsh(spark, sf_dir):
     ).select("a_id", "b_id")
 
 
+def q_winnow_overlap(spark, sf_dir):
+    """Winnowing fingerprint overlap pairs (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003 — text.py:winnow_overlap_pairs).  With
+    ``gram_hash=identity`` the selection order is lexicographic over
+    the raw k-grams, which DuckDB replicates exactly (list_min over
+    window slices), so the WHOLE winnowing algorithm — normalize,
+    k-grams, per-window minima, distinct, posting join, shared-count
+    threshold — sits under a value-level oracle.  The production
+    xxhash64 order is pytest-covered (guarantee property tests)."""
+    return text.winnow_overlap_pairs(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        k=20,
+        window=16,
+        min_shared=4,
+        gram_hash=lambda g: g,
+    )
+
+
+def q_rdf_graph_hop(spark, sf_dir):
+    """RDF N-Triples bulk loader end-to-end (graph.py:from_ntriples,
+    the ``grip rdf`` / cmd/rdf/main.go:160-205 parity item): generate a
+    deterministic N-Triples fixture from nation/region, load it with
+    uri_map prefix remapping (rdf:type → label, literal → property,
+    IRI → edge), then hop Nation→Region with a term aggregation."""
+    from grip_spark import GripGraph
+
+    P = "http://grip.test/"
+    T = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+
+    def iri(prefix, key):
+        return F.concat(
+            F.lit(f"<{P}{prefix}/"), F.col(key).cast("string"), F.lit(">")
+        )
+
+    def line(*parts):
+        return F.concat(*parts).alias("value")
+
+    lines = (
+        nat.select(line(iri("n", "n_nationkey"), F.lit(f" {T} <{P}Nation> .")))
+        .unionByName(
+            nat.select(
+                line(
+                    iri("n", "n_nationkey"),
+                    F.lit(f' <{P}name> "'),
+                    F.col("n_name"),
+                    F.lit('" .'),
+                )
+            )
+        )
+        .unionByName(
+            nat.select(
+                line(
+                    iri("n", "n_nationkey"),
+                    F.lit(f" <{P}in_region> "),
+                    iri("r", "n_regionkey"),
+                    F.lit(" ."),
+                )
+            )
+        )
+        .unionByName(
+            reg.select(line(iri("r", "r_regionkey"), F.lit(f" {T} <{P}Region> .")))
+        )
+        .unionByName(
+            reg.select(
+                line(
+                    iri("r", "r_regionkey"),
+                    F.lit(f' <{P}name> "'),
+                    F.col("r_name"),
+                    F.lit('" .'),
+                )
+            )
+        )
+    )
+    # deterministic per-SF fixture path inside the repo warehouse;
+    # overwrite keeps reruns idempotent (from_ntriples reads lazily, so
+    # the file must outlive this function)
+    sf_tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/spark-warehouse/rdf_fixture/{sf_tag}"
+    lines.coalesce(1).write.mode("overwrite").text(path)
+    g = GripGraph.from_ntriples(spark, path, uri_map={P: ""})
+    return (
+        g.query()
+        .V()
+        .hasLabel("Nation")
+        .out("in_region")
+        .aggregate([ops.term("region", "name")])
+        .to_df()
+        .select("key", "value")
+    )
+
+
 def q_doc_text_profile(spark, sf_dir):
     """The five text-analysis operators in one pass: token count, char
     stats, quality score, language-ID, fingerprint — each a column."""
@@ -382,20 +479,30 @@ def q_haskey_count(spark, sf_dir):
     return _gq(spark, sf_dir).V().hasKey("c_acctbal").count().to_df()
 
 
-def q_out_hop_count(spark, sf_dir):
-    return _gq(spark, sf_dir).V().hasLabel("Customer").out("placed").count().to_df()
+def q_hop_counts(spark, sf_dir):
+    """out / in_ / both 1-hop counts as labeled rows (one slot, three
+    adjacency operators — same matrix shape as adjacency_ops; the two
+    slots this consolidation frees fund winnow_overlap + rdf_graph_hop
+    under the driver's 50-query cap)."""
+    specs = [
+        ("out_hop", lambda q: q.V().hasLabel("Customer").out("placed")),
+        ("in_hop", lambda q: q.V(["p:1"]).in_("contains")),
+        ("both", lambda q: q.V(["o:1"]).both()),
+    ]
+    out = None
+    for name, build in specs:
+        one = (
+            build(_gq(spark, sf_dir))
+            .count()
+            .to_df()
+            .select(F.lit(name).alias("op"), F.col("count"))
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
 
 
 def q_out_2hop(spark, sf_dir):
     return _gq(spark, sf_dir).V(["c:1"]).out("placed").out("contains").to_df().select("gid")
-
-
-def q_in_hop_count(spark, sf_dir):
-    return _gq(spark, sf_dir).V(["p:1"]).in_("contains").count().to_df()
-
-
-def q_both_count(spark, sf_dir):
-    return _gq(spark, sf_dir).V(["o:1"]).both().count().to_df()
 
 
 def q_oute_count(spark, sf_dir):
@@ -446,8 +553,36 @@ def q_select_multi(spark, sf_dir):
 
 
 def q_fields_project(spark, sf_dir):
-    q = _gq(spark, sf_dir).V().hasLabel("Customer").fields(["c_name"])
-    return q.to_df().select("gid", F.col("data").getField("c_name").alias("c_name"))
+    """fields() include AND exclude variants as labeled rows: incl
+    keeps only c_name; excl drops c_name (the surviving keys are
+    witnessed by projecting c_mktsegment from the post-exclude
+    struct).  Key-set bookkeeping (__keys) is pytest-covered
+    (test_fields_nested.py)."""
+    incl = (
+        _gq(spark, sf_dir)
+        .V()
+        .hasLabel("Customer")
+        .fields(["c_name"])
+        .to_df()
+        .select(
+            F.lit("incl").alias("variant"),
+            "gid",
+            F.col("data").getField("c_name").alias("val"),
+        )
+    )
+    excl = (
+        _gq(spark, sf_dir)
+        .V()
+        .hasLabel("Customer")
+        .fields(["-c_name"])
+        .to_df()
+        .select(
+            F.lit("excl").alias("variant"),
+            "gid",
+            F.col("data").getField("c_mktsegment").alias("val"),
+        )
+    )
+    return incl.unionByName(excl)
 
 
 def q_render_flat(spark, sf_dir):
@@ -482,11 +617,13 @@ def q_set_increment(spark, sf_dir):
 
 
 def q_agg_term(spark, sf_dir):
+    # size=3 exercises the desc-count cap (processors.go:980-1019);
+    # ties break deterministically by key asc on both sides
     return (
         _gq(spark, sf_dir)
         .V()
         .hasLabel("Customer")
-        .aggregate([ops.term("seg", "c_mktsegment")])
+        .aggregate([ops.term("seg", "c_mktsegment", size=3)])
         .to_df()
     )
 
@@ -638,15 +775,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "dedup_clusters": q_dedup_clusters,
         "doc_text_profile": q_doc_text_profile,
+        # new in r4 (never verified — ahead of the long-green tail)
+        "winnow_overlap": q_winnow_overlap,
+        "rdf_graph_hop": q_rdf_graph_hop,
         # r2-green operator queries
         "scan_counts": q_scan_counts,
         "v_ids": q_v_ids,
         "v_haslabel_count": q_v_haslabel_count,
         "haskey_count": q_haskey_count,
-        "out_hop_count": q_out_hop_count,
+        "hop_counts": q_hop_counts,
         "out_2hop": q_out_2hop,
-        "in_hop_count": q_in_hop_count,
-        "both_count": q_both_count,
         "oute_count": q_oute_count,
         "ine_supplied_count": q_ine_supplied_count,
         "edge_out_count": q_edge_out_count,
@@ -701,6 +839,32 @@ inter AS (
 SELECT a_id, b_id
 FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+"""
+
+
+# Full winnowing in SQL (k=20, window=16, min_shared=4; identity gram
+# hash → lexicographic window minima, matching q_winnow_overlap):
+# normalize → k-grams → per-window list_min → distinct → posting join.
+_WINNOW_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         [substr(s, CAST(i AS INT), 20) FOR i IN generate_series(1, length(s)-19)] AS grams
+  FROM norm
+), fp AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(grams) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(grams) < 16 THEN [list_min(grams)]
+         ELSE [list_min(grams[CAST(i AS INT):CAST(i + 15 AS INT)])
+               FOR i IN generate_series(1, len(grams) - 15)]
+    END) AS f
+  FROM g
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 4
 """
 
 
@@ -894,6 +1058,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM nn, k, unnest(generate_series(1, CAST(1 + c + c*c AS BIGINT)))"
         ),
         "knn_lsh": _knn_lsh_oracle_sql(),
+        "winnow_overlap": _WINNOW_SQL,
+        "rdf_graph_hop": (
+            "SELECT r_name AS key, CAST(count(*) AS DOUBLE) AS value "
+            "FROM nation JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name"
+        ),
         "doc_text_profile": (
             f"SELECT doc_id, n_tokens, n_chars_total, n_alpha, n_upper, n_digit, "
             f"n_space, quality, {lang_case} AS lang_guess, fp FROM ("
@@ -926,22 +1096,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "v_haslabel_count": "SELECT count(*) AS count FROM customer",
         "haskey_count": "SELECT count(*) AS count FROM customer WHERE c_acctbal IS NOT NULL",
-        "out_hop_count": (
-            "SELECT count(*) AS count FROM orders o "
-            "JOIN customer c ON o.o_custkey = c.c_custkey"
+        "hop_counts": (
+            "SELECT 'out_hop' AS op, count(*) AS count FROM orders o "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "UNION ALL SELECT 'in_hop', count(*) FROM lineitem l "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey WHERE l.l_partkey = 1 "
+            "UNION ALL SELECT 'both', "
+            "(SELECT count(*) FROM lineitem WHERE l_orderkey = 1) + "
+            "(SELECT count(*) FROM orders WHERE o_orderkey = 1)"
         ),
         "out_2hop": (
             "SELECT 'p:' || CAST(l.l_partkey AS VARCHAR) AS gid FROM lineitem l "
             "JOIN orders o ON l.l_orderkey = o.o_orderkey "
             "JOIN part p ON p.p_partkey = l.l_partkey WHERE o.o_custkey = 1"
-        ),
-        "in_hop_count": (
-            "SELECT count(*) AS count FROM lineitem l "
-            "JOIN orders o ON o.o_orderkey = l.l_orderkey WHERE l.l_partkey = 1"
-        ),
-        "both_count": (
-            "SELECT (SELECT count(*) FROM lineitem WHERE l_orderkey = 1) + "
-            "(SELECT count(*) FROM orders WHERE o_orderkey = 1) AS count"
         ),
         "oute_count": "SELECT count(*) AS count FROM lineitem",
         "ine_supplied_count": (
@@ -969,7 +1136,10 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer c ON c.c_custkey = o.o_custkey"
         ),
         "fields_project": (
-            "SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS gid, c_name FROM customer"
+            "SELECT 'incl' AS variant, 'c:' || CAST(c_custkey AS VARCHAR) AS gid, "
+            "c_name AS val FROM customer "
+            "UNION ALL SELECT 'excl', 'c:' || CAST(c_custkey AS VARCHAR), "
+            "c_mktsegment FROM customer"
         ),
         "render_flat": "SELECT c_name AS name, c_acctbal AS bal FROM customer",
         "path_len": (
@@ -982,8 +1152,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'y' AS f, c_acctbal + 100 AS bal FROM customer WHERE c_custkey = 1"
         ),
         "agg_term": (
-            "SELECT 'seg' AS name, c_mktsegment AS key, CAST(count(*) AS DOUBLE) AS value "
-            "FROM customer GROUP BY c_mktsegment"
+            "SELECT 'seg' AS name, key, value FROM ("
+            "SELECT c_mktsegment AS key, CAST(count(*) AS DOUBLE) AS value "
+            "FROM customer GROUP BY c_mktsegment "
+            "ORDER BY value DESC, key LIMIT 3)"
         ),
         "agg_histogram": (
             "WITH b AS (SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) bk "

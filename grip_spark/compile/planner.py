@@ -895,7 +895,11 @@ class Planner:
         )
         size = spec.get("size")
         if size:
-            out = out.orderBy(F.col("value").desc()).limit(int(size))
+            # key asc as tie-break: the reference sorts desc by count
+            # only (mongo/compile.go:793-815, ties unspecified); a
+            # deterministic boundary makes the cap reproducible across
+            # engines and runs
+            out = out.orderBy(F.col("value").desc(), F.col("key")).limit(int(size))
         return out
 
     def _agg_histogram(self, df, name, spec, cv):

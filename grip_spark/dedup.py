@@ -28,14 +28,24 @@ def _rebalance(df: DataFrame) -> DataFrame:
     CPU-heavy narrow stage (shingle explode / signature aggregation).
 
     A corpus read from a real multi-TB store arrives with thousands of
-    partitions and passes through untouched; a single small file (the
-    local-test artifact) arrives as ONE partition and would pin the
+    files and passes through untouched; a single small file (the
+    local-test artifact) arrives as ONE scan split and would pin the
     whole signature computation to one core.  The repartition only
     fires in the latter case, and on a small input its shuffle is
-    negligible."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    negligible.
+
+    The probe is the scan's file list, NOT ``df.rdd.getNumPartitions()``
+    — touching ``.rdd`` converts the analyzed plan to an RDD per call
+    and sidesteps AQE's view of the query (VERDICT r3).  File count
+    under-estimates scan splits for few-but-huge files (the scan
+    splits those by ``spark.sql.files.maxPartitionBytes``); such
+    inputs would eat one redundant shuffle here — if that shape is
+    your corpus, repartition upstream and this probe passes it
+    through (len(files) >= parallelism is the common case at scale).
+    Non-file inputs (in-memory test relations) are left untouched."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if files and len(files) < target:
         return df.repartition(target)
     return df
 
@@ -408,6 +418,7 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iterations: int = 50,
+    algorithm: str = "hashmin",
 ) -> DataFrame:
     """Connected components over an undirected pair list → ``(id,
     component)`` where ``component`` is the minimum id in the node's
@@ -427,9 +438,12 @@ def connected_components(
     (compile/planner.py).  Iteration count is O(max component
     diameter) — near-dup clusters are shallow (dozens of docs sharing
     a template), so this converges in a handful of rounds; for
-    adversarially long chains the large-star/small-star alternation
-    (Kiveris et al., SoCC 2014) drops it to O(log d) and slots into
-    the same loop.
+    adversarially long chains pass ``algorithm="two_phase"``: the
+    large-star/small-star alternation (Kiveris et al., SoCC 2014)
+    converges in O(log d) rounds (see ``_two_phase_components``).
+    Hash-min stays the default because near-dup clusters are shallow
+    and its per-round cost is one join + one aggregate vs two of
+    each.
 
     Convergence is detected exactly: an id-equi-join of consecutive
     label tables counting changed labels (both sides are materialized
@@ -457,6 +471,10 @@ def connected_components(
         )
 
     try:
+        if algorithm == "two_phase":
+            return _two_phase_components(edges, _ckpt, max_iterations)
+        if algorithm != "hashmin":
+            raise ValueError(f"unknown algorithm: {algorithm!r}")
         labels = _ckpt(
             edges.select(F.col("src").alias("id"))
             .distinct()
@@ -487,6 +505,104 @@ def connected_components(
         )
     finally:
         edges.unpersist()
+
+
+def _two_phase_components(
+    edges: DataFrame, _ckpt, max_iterations: int
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    O(log d) rounds instead of hash-min's O(d), for adversarially
+    long-diameter components.
+
+    Per round, two map-reduce steps over the edge list (each one
+    groupBy-min + one equi-join back, both keyed on the node id):
+
+    - **large-star**: for each node u with neighborhood N(u), connect
+      every *larger* neighbor v > u to m = min(N(u) ∪ {u})
+    - **small-star**: orient each edge toward its larger endpoint,
+      then connect every smaller neighbor (and u itself) to the
+      minimum of that in-neighborhood
+
+    The edge list contracts toward a forest of stars rooted at each
+    component's minimum id; convergence = the small-star output equals
+    its input (checked exactly with two anti-joins over the
+    checkpointed sets — both sides are materialized, so this is one
+    small shuffle, same price as hash-min's change count).  The final
+    star set IS the labeling: every non-root node carries an edge to
+    its component root.
+
+    ``edges`` arrives symmetric (both directions) from
+    ``connected_components``; intermediate edge lists stay bounded by
+    O(n + m) per the paper's invariants.
+    """
+    # every id seen in the input — re-attached at the end so nodes
+    # whose only pair was a self-loop still label themselves (parity
+    # with hash-min, which keeps them via the identity label)
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    # canonical directed form (hi → lo), self-loops dropped
+    E = _ckpt(
+        edges.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    for _ in range(max_iterations):
+        # -- large-star: m(u) = min over symmetric neighborhood ∪ {u};
+        # new edge (v, m) for neighbors v > u
+        sym = E.unionByName(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least("_mv", "u").alias("m"))
+        )
+        large = _ckpt(
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star: edges already oriented hi → lo; connect the
+        # smaller in-neighbors and u itself to the in-neighborhood min
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        joined = large.join(mins2, "u")
+        small = _ckpt(
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(joined.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # exact fixpoint: BOTH steps leave the round's input unchanged
+        # (the paper's condition — a star forest is invariant under
+        # each step individually; cheaper conditions like
+        # small == large can hold mid-collapse on non-star sets).
+        # All three sets are materialized checkpoints; each probe is
+        # an anti-join short-circuited at the first difference.
+        def _differs(a, b):
+            return (
+                a.exceptAll(b).limit(1).count() + b.exceptAll(a).limit(1).count()
+            ) > 0
+
+        changed = _differs(large, E) or _differs(small, E)
+        E = small
+        if not changed:
+            labeled = E.select(
+                F.col("u").alias("id"), F.col("v").alias("component")
+            ).unionByName(
+                E.select(F.col("v").alias("id"))
+                .distinct()
+                .withColumn("component", F.col("id"))
+            )
+            isolated = nodes.join(labeled, "id", "left_anti").withColumn(
+                "component", F.col("id")
+            )
+            return labeled.unionByName(isolated)
+    raise RuntimeError(
+        f"two-phase connected components did not converge in "
+        f"{max_iterations} rounds"
+    )
 
 
 def attach_components(

@@ -1,0 +1,46 @@
+"""Session helpers for running grip_spark at cluster scale.
+
+The iterative operators — the jump loop's Pregel driver
+(compile/planner.py:1072) and connected components (dedup.py:449) —
+cut lineage every iteration with a checkpoint.  They prefer RELIABLE
+``checkpoint()`` (survives executor loss; required for long-running
+jobs on a real cluster) whenever the SparkContext has a checkpoint
+directory configured, and silently degrade to ``localCheckpoint()``
+(executor-local blocks — fast, but data dies with an executor)
+otherwise.  Nothing in a default session sets that directory, so the
+documented scale path needs one call site that does.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import SparkSession
+
+
+def enable_reliable_checkpoints(
+    spark: SparkSession, directory: str | None = None
+) -> str:
+    """Configure a checkpoint directory so iterative operators take the
+    reliable-checkpoint branch.
+
+    ``directory`` should be durable shared storage on a real cluster
+    (``hdfs://...`` / ``s3://...`` — local disk on the driver is NOT
+    visible to executors).  When omitted, a per-process directory under
+    the system temp dir is used: correct on local[*] (one machine) and
+    for tests, and a loud reminder that production must pass one.
+
+    Idempotent: an already-configured directory is kept unless an
+    explicit ``directory`` overrides it.  Returns the effective path.
+    """
+    sc = spark.sparkContext
+    current = sc.getCheckpointDir()
+    if directory is not None:
+        sc.setCheckpointDir(directory)
+    elif current is None:
+        directory = os.path.join(
+            tempfile.gettempdir(), f"grip_spark_ckpt_{os.getpid()}"
+        )
+        sc.setCheckpointDir(directory)
+    return sc.getCheckpointDir()

@@ -165,27 +165,34 @@ def _let(bound: Column, body) -> Column:
     return F.transform(F.array(bound), body)[0]
 
 
-def rolling_hashes(text: Column | str, k: int = 8) -> Column:
+def rolling_hashes(text: Column | str, k: int = 8, gram_hash=None) -> Column:
     """Rolling k-gram hash sequence of the normalized text
     (array<long>, one entry per character k-gram, in order).  Built-in
     ``xxhash64`` per gram — content-equivalent to a Rabin-Karp rolling
     hash (same k-gram → same value) and stays inside whole-stage
     codegen; texts shorter than ``k`` yield an empty array.  The
     normalized string is let-bound so the regex runs once per row, not
-    once per gram."""
+    once per gram.
+
+    ``gram_hash`` swaps the per-gram hash (Column → Column); the
+    identity (``lambda g: g``) keeps the raw gram strings, whose
+    lexicographic ordering is a valid (if biased) winnowing order that
+    an external SQL engine can replicate exactly — the oracle path for
+    driver correctness checks."""
+    h = gram_hash or F.xxhash64
 
     def _body(s):
         ng = F.length(s) - (k - 1)
         idx = F.when(ng >= 1, F.sequence(F.lit(1), ng)).otherwise(
             F.array().cast("array<int>")
         )
-        return F.transform(idx, lambda i: F.xxhash64(F.substring(s, i, k)))
+        return F.transform(idx, lambda i: h(F.substring(s, i, k)))
 
     return _let(normalize(text), _body)
 
 
 def winnow_fingerprints(
-    text: Column | str, k: int = 8, window: int = 4
+    text: Column | str, k: int = 8, window: int = 4, gram_hash=None
 ) -> Column:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003): the distinct set of per-window minima over the
@@ -215,7 +222,7 @@ def winnow_fingerprints(
             F.transform(starts, lambda i: F.array_min(F.slice(hashes, i, wlen)))
         )
 
-    return _let(rolling_hashes(text, k), _body)
+    return _let(rolling_hashes(text, k, gram_hash), _body)
 
 
 def winnow(
@@ -224,10 +231,54 @@ def winnow(
     out_col: str = "fingerprints",
     k: int = 8,
     window: int = 4,
+    gram_hash=None,
 ) -> DataFrame:
     """``df`` + a ``fingerprints`` array column (winnowing signature).
     Pair with an explode + equi-join on the fingerprint to find
     substring-level overlap candidates (same posting-list shape as
     ``dedup.ngram_jaccard_pairs``, but over winnowed grams — ~2/(w+1)
     of the postings)."""
-    return df.withColumn(out_col, winnow_fingerprints(text_col, k, window))
+    return df.withColumn(
+        out_col, winnow_fingerprints(text_col, k, window, gram_hash)
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    gram_hash=None,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowing fingerprints
+    → ``(a_id, b_id, n_shared)`` — substring-level overlap detection
+    (the MOSS use of winnowing), where minhash only sees whole-document
+    set similarity.
+
+    Scale shape: explode the (already ~2/(window+1)-sparse) signature
+    into a posting list and equi-join on the fingerprint — identical
+    join geometry to ``dedup.ngram_jaccard_pairs`` but over winnowed
+    grams, so the shuffle carries a fraction of the postings.  Pair
+    counts are a map-side-combinable sum; quadratic only within one
+    fingerprint's posting list (near-identical passages).
+    """
+    # eager checkpoint: both self-join sides consume the posting list
+    # within one action — a lazy cache would be raced and the winnowing
+    # expression (regex normalize + per-gram hashing) computed twice
+    fp = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(winnow_fingerprints(F.col(text_col), k, window, gram_hash)).alias(
+            "_fp"
+        ),
+    ).localCheckpoint(eager=True)
+    a = fp.select(F.col("_id").alias("a_id"), "_fp")
+    b = fp.select(F.col("_id").alias("b_id"), "_fp")
+    return (
+        a.join(b, "_fp")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

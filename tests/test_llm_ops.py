@@ -230,6 +230,54 @@ def test_connected_components_long_chain(spark):
     assert {r["component"] for r in rows} == {0}
 
 
+def test_two_phase_components_long_chain_beats_iteration_cap(spark):
+    """Large-star/small-star (Kiveris 2014) converges in O(log d)
+    rounds: a 300-diameter chain that hash-min could never finish
+    inside 12 iterations completes two-phase well within it."""
+    from grip_spark import dedup
+
+    chain = [(i, i + 1) for i in range(300)]
+    df = spark.createDataFrame(chain, ["a_id", "b_id"])
+    got = dedup.connected_components(
+        df, max_iterations=12, algorithm="two_phase"
+    ).collect()
+    assert len(got) == 301
+    assert {r["component"] for r in got} == {0}
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(df, max_iterations=12)
+
+
+def test_two_phase_components_matches_hashmin(spark):
+    import random
+
+    from grip_spark import dedup
+
+    rnd = random.Random(11)
+    edges = list(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rnd.randrange(120), rnd.randrange(120)) for _ in range(150)
+            )
+            if a != b
+        }
+    )
+    df = spark.createDataFrame(edges, ["a_id", "b_id"])
+    hm = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(df).collect()
+    }
+    tp = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(
+            df, algorithm="two_phase"
+        ).collect()
+    }
+    assert tp == hm
+
+
 def test_dedup_canonical_end_to_end(docs):
     from grip_spark import dedup
 
@@ -286,3 +334,28 @@ def test_winnow_shared_substring_guarantee(spark):
     a, b = set(rows[0]["fp"]), set(rows[1]["fp"])
     # shared substring len >= k + w - 1 -> at least one common fingerprint
     assert a & b
+
+
+def test_winnow_overlap_pairs(spark):
+    from grip_spark import text as T
+
+    shared = "colorless green ideas sleep furiously in the winnowed corpus"
+    df = spark.createDataFrame(
+        [
+            (1, "alpha prelude " + shared + " coda one"),
+            (2, "beta prologue " + shared + " coda two"),
+            (3, "entirely disjoint text with no common passage at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = T.winnow_overlap_pairs(
+        df, "doc_id", "text", k=8, window=4, min_shared=1
+    ).collect()
+    pairs = {(r["a_id"], r["b_id"]) for r in rows}
+    assert (1, 2) in pairs  # winnowing guarantee: long shared passage
+    assert all(3 not in p for p in pairs)
+    # identity gram hash (the SQL-oracle order) finds the same pair
+    rows2 = T.winnow_overlap_pairs(
+        df, "doc_id", "text", k=8, window=4, min_shared=1, gram_hash=lambda g: g
+    ).collect()
+    assert (1, 2) in {(r["a_id"], r["b_id"]) for r in rows2}

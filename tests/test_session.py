@@ -1,0 +1,73 @@
+"""Session-scale helpers: reliable checkpointing for iterative ops.
+
+VERDICT r3 item 6: the jump loop (compile/planner.py) and connected
+components (dedup.py) prefer reliable ``checkpoint()`` when the
+SparkContext has a checkpoint dir, else degrade to
+``localCheckpoint()`` — but nothing set a dir, so the reliable branch
+was dead code in every real session.  ``enable_reliable_checkpoints``
+is the call site that makes the documented scale path real; these
+tests pin that the branch is actually taken (checkpoint RDD files
+appear under the configured directory).
+
+NOTE: a SparkContext checkpoint dir cannot be unset, so these tests
+run in the shared session and every later iterative test keeps using
+reliable checkpoints — benign (tiny fixture tables), and itself a
+re-assertion that the reliable path stays green for the rest of the
+suite.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from grip_spark import dedup
+from grip_spark.session import enable_reliable_checkpoints
+
+
+def _tree_size(path):
+    return sum(len(files) for _, _, files in os.walk(path))
+
+
+def test_enable_reliable_checkpoints_idempotent(spark, tmp_path):
+    d = str(tmp_path / "ckpt")
+    got = enable_reliable_checkpoints(spark, d)
+    assert d.lstrip("/") in got
+    # no-arg call keeps the configured dir
+    again = enable_reliable_checkpoints(spark)
+    assert again == got
+
+
+def test_connected_components_takes_reliable_branch(spark):
+    ckpt_dir = enable_reliable_checkpoints(spark)
+    local = ckpt_dir.replace("file:", "")
+    before = _tree_size(local)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["a_id", "b_id"]
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # reliable checkpoints materialized under the configured dir
+    assert _tree_size(local) > before
+
+
+def test_jump_loop_takes_reliable_branch(spark, swapi):
+    ckpt_dir = enable_reliable_checkpoints(spark)
+    local = ckpt_dir.replace("file:", "")
+    before = _tree_size(local)
+    # body dies out after two waves (planets have no outgoing
+    # "planets" edges), so the unconditional jump-back terminates
+    n = (
+        swapi.query()
+        .V(["Film:1"])
+        .mark("a")
+        .out("planets")
+        .jump("a", None, True)
+        .count()
+        .to_df()
+        .collect()[0]["count"]
+    )
+    assert n > 0
+    assert _tree_size(local) > before
