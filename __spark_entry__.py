@@ -23,10 +23,12 @@ five text-analysis operators as columns, and `multimodal_pipeline`
 carries extract_meta + frame_sample.  Never-before-verified queries
 are ordered FIRST as a hedge against a budget-based cutoff.
 
-Queries that are not SQL-expressible (seeded-hash simhash family)
-have no oracle entry → driver records a rows-only check; their
-correctness is covered by pytest recall tests against the exact
-operators (tests/test_llm_ops.py).
+As of r4 every one of the 50 queries carries a value-level DuckDB
+oracle — including the seeded-hash families: simhash and winnowing
+contract rows use a cross-engine hash order (md5-prefix integers /
+lexicographic gram minima) that DuckDB replicates bit-for-bit, while
+the production ``xxhash64`` paths stay pytest-covered
+(tests/test_llm_ops.py recall + property tests).
 """
 
 from __future__ import annotations
@@ -718,8 +720,21 @@ def q_dedup_minhash_pairs(spark, sf_dir):
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
-    # seeded-xxhash simhash family — not SQL-expressible → rows-only
-    return dedup.simhash_pairs(_docs(spark, sf_dir), "doc_id", max_hamming=3)
+    """SimHash near-dup pairs (Charikar 2002; Manku WWW 2007
+    pigeonhole chunks).  The md5-prefix token hash
+    (dedup.md5_prefix_hash) computes bit-identical values in DuckDB,
+    so the FULL simhash family — token hashing, per-bit majority
+    vote, chunked candidate equi-join, exact hamming verify — sits
+    under a value oracle (rows-only through r3; the production
+    xxhash64 family is pytest-covered)."""
+    return dedup.simhash_pairs(
+        _docs(spark, sf_dir),
+        "doc_id",
+        max_hamming=3,
+        bits=60,
+        chunks=4,
+        token_hash=dedup.md5_prefix_hash,
+    )
 
 
 def q_sim_topk(spark, sf_dir):
@@ -811,7 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "knn_exact": q_knn_exact,
         "sim_ann": q_sim_ann,
-        # rows-only (no oracle) last: loses nothing if cut off
+        # oracled in r4 (md5-prefix hash family) — last slot
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
     }
 
@@ -932,6 +947,35 @@ def _ann_oracle_sql() -> str:
         "WHERE bit_count(CAST(xor(sig, qsig) AS BIGINT)) <= 2 "
         "ORDER BY cs DESC, vec_id LIMIT 5"
     )
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB rendering of q_dedup_simhash_pairs: md5-prefix 60-bit
+    token hashes, per-bit majority vote (2·ones > n), 4×15-bit
+    pigeonhole chunks, hamming <= 3 via bit_count(xor)."""
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hv, h -> (h >> {b}) & 1 = 1)) > len(hv) "
+        f"THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(60)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS ts
+  FROM documents
+), hs AS (
+  SELECT doc_id, [CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) FOR t IN ts] AS hv
+  FROM toks
+), sig AS (
+  SELECT doc_id, ({bit_terms}) AS sim FROM hs
+), banded AS (
+  SELECT doc_id, sim, k, (sim >> (k * 15)) & 32767 AS ck
+  FROM sig, generate_series(0, 3) g(k)
+)
+SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+       CAST(bit_count(CAST(xor(l.sim, r.sim) AS BIGINT)) AS INT) AS hamming
+FROM banded l JOIN banded r ON l.k = r.k AND l.ck = r.ck AND l.doc_id < r.doc_id
+WHERE bit_count(CAST(xor(l.sim, r.sim) AS BIGINT)) <= 3
+"""
 
 
 def _knn_lsh_oracle_sql() -> str:
@@ -1209,4 +1253,5 @@ def oracle_sql() -> dict[str, str]:
             ") AS rk FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id"
             ") WHERE rk = 1"
         ),
+        "dedup_simhash_pairs": _simhash_oracle_sql(),
     }

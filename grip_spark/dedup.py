@@ -315,7 +315,17 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash(text: Column | str, bits: int = 64) -> Column:
+def md5_prefix_hash(c: Column) -> Column:
+    """60-bit integer hash from the first 15 hex chars of md5 — the
+    cross-engine token hash: DuckDB computes the identical value as
+    ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)``, which lets
+    seeded-hash operators (simhash) run under a value-level SQL
+    oracle.  Production paths keep ``xxhash64`` (one JVM op vs an md5
+    digest + string slice + base conversion)."""
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def simhash(text: Column | str, bits: int = 64, token_hash=None) -> Column:
     """SimHash (Charikar 2002) of the token set as a signed long.
 
     Per-bit majority vote over token hashes, computed as ``bits``
@@ -323,6 +333,10 @@ def simhash(text: Column | str, bits: int = 64) -> Column:
     The token-hash array is let-bound (``text._let``): Spark performs
     no CSE inside higher-order functions, so without the binding the
     tokenize+hash pipeline would re-run once per output bit (64×).
+
+    ``token_hash`` swaps the per-token hash (default ``xxhash64``);
+    pair :func:`md5_prefix_hash` with ``bits=60`` for the
+    SQL-replicable family.
     """
     from grip_spark.text import _let
 
@@ -344,7 +358,8 @@ def simhash(text: Column | str, bits: int = 64) -> Column:
             ).otherwise(F.lit(0).cast("long"))
         return out
 
-    return _let(F.transform(toks, lambda t: F.xxhash64(t)), _body)
+    h = token_hash or F.xxhash64
+    return _let(F.transform(toks, lambda t: h(t)), _body)
 
 
 def simhash_pairs(
@@ -354,6 +369,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bits: int = 64,
     chunks: int = 4,
+    token_hash=None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= ``max_hamming``.
 
@@ -371,7 +387,8 @@ def simhash_pairs(
     # minhash (a lazy persist is raced by both join sides)
     df = _rebalance(df)
     sig = df.select(
-        F.col(id_col).alias("_id"), simhash(text_col, bits).alias("_sim")
+        F.col(id_col).alias("_id"),
+        simhash(text_col, bits, token_hash).alias("_sim"),
     ).localCheckpoint(eager=True)
     banded = sig.select(
         "_id",
