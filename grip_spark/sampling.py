@@ -1,0 +1,158 @@
+"""Deterministic corpus sampling: hash-uniform, stratified-rate, fixed-n.
+
+Training-data pipelines sample constantly — downsampling an over-
+represented language, upweighting a high-quality source, carving
+train/validation splits — and at 100 TB the sample must be (a) a
+single narrow scan, (b) reproducible run-over-run, and (c) stable
+under re-partitioning.  ``rand()`` fails (b) and (c): Spark seeds it
+per-partition, so the kept set changes whenever the input splits
+differently.  Everything here keys off a cryptographic hash of a row
+identity instead — the decision for a row is a pure function of
+(salt, id), independent of partitioning, executor count, or engine.
+
+Cross-engine contract: the uniform key is the md5-prefix integer
+(``dedup.md5_prefix_hash``) divided by 2^60, which DuckDB reproduces
+bit-identically (``CAST(('0x' || substr(md5(x),1,15)) AS BIGINT) /
+1152921504606846976.0``) — so every sampler here sits under a
+value-level SQL oracle.
+
+Scale notes per operator:
+
+- ``hash_sample`` / ``stratified_sample``: shuffle-free narrow
+  filters; the predicate lives next to the scan, and column pruning
+  keeps the md5 input to (salt, id) only.
+- ``stratified_fixed_n``: exact per-stratum top-n needs a per-stratum
+  ordering — a window partitioned by stratum (one shuffle on the
+  stratum key).  Strata counts are usually few-and-large, so the
+  window sort dominates; for corpus-scale "give me ~n per stratum"
+  prefer ``stratified_sample`` with rate = n / count(stratum)
+  (shuffle-free, approximate n).  A skewed stratum (one language is
+  90% of the corpus) makes one window partition huge; AQE cannot
+  split a window partition, so exact fixed-n over a dominant stratum
+  is inherently serial in its sort — the rate-based path is the
+  100 TB answer.
+
+Reference basis: the reference has no sampler statement (SURVEY
+§2.8); this module is part of the Phase-7 LLM-pipeline extension
+surface (SURVEY §7), alongside dedup/similarity/text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .dedup import md5_prefix_hash
+
+# 2^60: md5_prefix_hash yields 60 bits, so key/2^60 is uniform [0, 1).
+_HASH_SPAN = float(1 << 60)
+
+
+def uniform_key(id_col: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform [0, 1) double from a row identity.
+
+    ``salt`` derives independent samples from the same ids (different
+    salt => independent draw), e.g. train/val splits that must not
+    correlate with a quality downsample done earlier.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return md5_prefix_hash(F.concat(F.lit(salt), c.cast("string"))) / F.lit(_HASH_SPAN)
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    rate: float,
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row with probability ``rate``, deterministically.
+
+    Unlike ``df.sample()`` the kept set is a pure function of
+    (salt, id): stable across runs, partitionings, and engines.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(uniform_key(id_col, salt) < F.lit(rate))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    salt: str = "",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic rates (e.g. keep 100% 'en', 25% 'de').
+
+    A stratum absent from ``rates`` falls back to ``default_rate``
+    (0.0 = drop — the allowlist shape a language-filtered training
+    mix wants).  NULL strata take ``default_rate`` too.  One narrow
+    filter; no shuffle, no per-stratum pass.
+    """
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")
+    rate = F.lit(float(default_rate))
+    for s, r in rates.items():
+        rate = F.when(F.col(strata_col) == F.lit(s), F.lit(float(r))).otherwise(rate)
+    return df.filter(uniform_key(id_col, salt) < rate)
+
+
+def stratified_fixed_n(
+    df: DataFrame,
+    strata_col: str,
+    n: int,
+    id_col: str,
+    salt: str = "",
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, hash-ordered.
+
+    Ordering by (uniform_key, id) makes the selection a deterministic
+    simple random sample without replacement per stratum.  Pass
+    ``rank_col`` to keep the 1-based rank in the output (e.g. to
+    split the same draw into nested subsets later).  See module
+    docstring for why rate-based sampling beats this at scale when a
+    stratum dominates the corpus.
+    """
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    w = Window.partitionBy(strata_col).orderBy(
+        uniform_key(id_col, salt).asc(), F.col(id_col).asc()
+    )
+    rk = rank_col or "__rk"
+    out = df.withColumn(rk, F.row_number().over(w)).filter(F.col(rk) <= F.lit(n))
+    return out if rank_col else out.drop(rk)
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split (train/val/test).
+
+    ``weights`` need not sum to 1 — they are normalized.  The
+    assignment is the interval the row's uniform key falls into, so
+    it is deterministic, disjoint, and exhaustive; growing one split
+    later (0.9/0.1 -> 0.95/0.05) keeps earlier members in place for
+    prefix-stable splits as long as the name order is kept.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to > 0")
+    key = uniform_key(id_col, salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = key < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)

@@ -362,3 +362,85 @@ def embedding_cosine_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("a_id", "b_id")
     )
+
+
+def ivf_index_seeded(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 8,
+    salt: str = "ivf",
+    cluster_col: str = "ivf_list",
+):
+    """IVF coarse quantizer from hash-sampled corpus points (no Lloyd
+    iterations): the ``n_lists`` vectors whose ids hash lowest become
+    the cell centroids, and every vector joins the centroid it is most
+    cosine-similar to (ties -> lower cell id).
+
+    Why this exists next to :func:`ivf_index` (k-means): sampled-point
+    quantizers are standard IVF practice when centroids just need to
+    carve the space (recall comes from ``nprobe``, not centroid
+    optimality) — and unlike k-means the whole structure is a pure
+    function of (salt, corpus), so the index is reproducible across
+    runs/engines and the assignment sits under a value-level SQL
+    oracle (md5-prefix seed selection is bit-identical in DuckDB).
+
+    Scale shape: seed selection is a top-``n_lists`` by hash (driver
+    collect of ~sqrt(corpus) rows — the same driver-side centroid
+    scan ``ivf_topk`` documents); assignment is one narrow projection
+    with ``n_lists`` literal-centroid dot products, argmax via a
+    sorted struct array — no shuffle, no Python.  The per-vector norm
+    cancels in the argmax, so each cell costs one dot product by the
+    centroid's precomputed reciprocal norm.
+    """
+    from .dedup import md5_prefix_hash
+
+    if n_lists <= 0:
+        raise ValueError(f"n_lists must be > 0, got {n_lists}")
+    idc = F.col(id_col)
+    seeds = (
+        df.select(idc, F.col(vec_col))
+        .orderBy(
+            md5_prefix_hash(F.concat(F.lit(salt), idc.cast("string"))).asc(),
+            idc.asc(),
+        )
+        .limit(n_lists)
+        .collect()
+    )
+    centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)]
+    for cid, c in centroids:
+        if _py_norm(c) == 0.0:
+            raise ValueError(f"seed centroid {cid} has zero norm")
+    scored = F.array(
+        *[
+            F.struct(
+                (-(dot(F.col(vec_col), _vec_lit(c)) / F.lit(_py_norm(c)))).alias(
+                    "negsim"
+                ),
+                F.lit(cid).alias("cell"),
+            )
+            for cid, c in centroids
+        ]
+    )
+    indexed = df.withColumn(cluster_col, F.array_sort(scored)[0]["cell"])
+    return indexed, centroids
+
+
+def ivf_probe_cells(
+    centroids: list,
+    query_vec: list[float],
+    nprobe: int = 2,
+) -> list[int]:
+    """The ``nprobe`` cell ids a query would scan, by centroid cosine
+    (desc, cell-id tie-break) — driver-side over the tiny centroid
+    list, mirroring ``ivf_topk``'s probe selection."""
+    import math as _math
+
+    def _cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = _math.sqrt(sum(x * x for x in a))
+        nb = _math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(centroids, key=lambda c: (-_cos(query_vec, c[1]), c[0]))
+    return [cid for cid, _ in ranked[:nprobe]]

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .dedup import md5_prefix_hash
+
 # Tiny built-in stopword lists for the language-ID heuristic.  The
 # n-gram/stopword-hit approach follows the classic langid heuristics
 # (Cavnar & Trenkle 1994 n-gram categorization) in degenerate
@@ -281,4 +283,125 @@ def winnow_overlap_pairs(
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 128,
+    stride: int | None = None,
+    chunk_col: str = "chunk_idx",
+) -> DataFrame:
+    """Split each document into (optionally overlapping) token windows
+    → one row per chunk with ``(chunk_idx, n_chunk_tokens, chunk_fp)``.
+
+    The context-window chunker every embedding/pretraining pipeline
+    runs before encoding: windows of ``size`` whitespace tokens every
+    ``stride`` tokens (``stride < size`` => overlap; default
+    ``stride = size`` => disjoint).  A document with T tokens yields
+    ``1 + ceil(max(T - size, 0) / stride)`` chunks; T = 0 yields none.
+
+    Scale shape: tokenize once per row (let-bound — no CSE inside the
+    explode's HOF lambdas, see ``_let``), then ``explode`` — a narrow
+    per-row expansion, no shuffle, no Python.  The chunk body travels
+    as an md5 fingerprint, not the text copy: downstream chunk-level
+    dedup joins on the 32-byte digest instead of shuffling ~size
+    tokens per chunk (re-slice from the source when the text of a
+    surviving chunk is needed).
+    """
+    if size <= 0:
+        raise ValueError(f"size must be > 0, got {size}")
+    stride = size if stride is None else stride
+    if stride <= 0:
+        raise ValueError(f"stride must be > 0, got {stride}")
+
+    def _chunks(toks: Column) -> Column:
+        n = F.size(toks)
+        last = F.ceil((n - F.lit(size)) / F.lit(stride)).cast("int")
+        n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+            F.lit(1) + F.greatest(last, F.lit(0))
+        )
+        idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda ci: F.struct(
+                ci.alias("ci"),
+                F.slice(toks, ci * stride + 1, size).alias("toks"),
+            ),
+        )
+
+    chunk = F.explode(_let(tokens(text_col), _chunks)).alias("_chunk")
+    return df.select(F.col(id_col), chunk).select(
+        id_col,
+        F.col("_chunk.ci").alias(chunk_col),
+        F.size("_chunk.toks").alias("n_chunk_tokens"),
+        F.md5(F.array_join("_chunk.toks", " ").cast("binary")).alias("chunk_fp"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 2048,
+    num_groups: int = 32,
+    salt: str = "pack",
+    group_col: str = "grp",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Concat-and-split sequence packing: assign each document to a
+    training sequence of ~``capacity`` tokens → ``(grp, seq,
+    n_tokens, tok_start)`` per document.
+
+    The standard pretraining batcher: documents are concatenated in a
+    fixed order and the stream is cut every ``capacity`` tokens; a
+    document belongs to the sequence its first token lands in
+    (``seq = floor(tokens_before / capacity)``).
+
+    Scale shape: a single global concatenation order would serialize
+    the cumulative sum through one partition, so the corpus is first
+    sharded into ``num_groups`` independent streams by a deterministic
+    hash of the document id (the same move real pipelines make —
+    pack within output shards).  The running total is then a window
+    sum partitioned by group: ``num_groups`` parallel cumsums, one
+    shuffle on the group key.  Size ``num_groups`` to the cluster
+    (e.g. executors × cores); the hash keeps groups balanced to
+    ~corpus/num_groups tokens regardless of input order or skew in
+    document length distribution across files.
+
+    Determinism contract: (group, order, seq) are pure functions of
+    (salt, id, text) — reruns, repartitions, and the DuckDB oracle
+    agree bit-for-bit (hash = md5-prefix, ``dedup.md5_prefix_hash``).
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be > 0, got {capacity}")
+    if num_groups <= 0:
+        raise ValueError(f"num_groups must be > 0, got {num_groups}")
+    from pyspark.sql import Window
+
+    idc = F.col(id_col)
+    grp = F.pmod(
+        md5_prefix_hash(F.concat(F.lit(salt), idc.cast("string"))), F.lit(num_groups)
+    ).cast("int")
+    with_grp = df.select(
+        idc,
+        grp.alias(group_col),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(idc.asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return with_grp.select(
+        id_col,
+        group_col,
+        "n_tokens",
+        start.alias("tok_start"),
+        F.floor(start / F.lit(capacity)).cast("long").alias(seq_col),
     )

@@ -1,0 +1,251 @@
+"""Sampling / chunking / packing / seeded-IVF operator tests.
+
+These ops are value-oracled by the driver against DuckDB (every
+decision keys off the cross-engine md5-prefix hash); the tests here
+pin the *semantic* properties the oracle can't see: determinism under
+repartitioning, rate accuracy, split disjointness, chunk coverage,
+packing capacity invariants, and IVF probe behavior.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="session")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# -- sampling ---------------------------------------------------------------
+
+
+def test_hash_sample_deterministic_and_partition_invariant(docs):
+    from grip_spark import sampling
+
+    kept1 = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 0.3, "s").collect()}
+    kept2 = {
+        r.doc_id
+        for r in sampling.hash_sample(docs.repartition(13), "doc_id", 0.3, "s").collect()
+    }
+    assert kept1 == kept2
+    n = docs.count()
+    # md5-uniform: expect ~rate*n within 5 sigma of binomial
+    assert abs(len(kept1) - 0.3 * n) < 5 * (0.3 * 0.7 * n) ** 0.5
+
+
+def test_hash_sample_salt_independence(docs):
+    from grip_spark import sampling
+
+    a = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 0.5, "a").collect()}
+    b = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 0.5, "b").collect()}
+    n = docs.count()
+    inter = len(a & b)
+    # independent draws overlap ~0.25*n, not ~0.5*n (same-salt would)
+    assert abs(inter - 0.25 * n) < 5 * (0.25 * 0.75 * n) ** 0.5
+    assert a != b
+
+
+def test_stratified_sample_rates_and_allowlist(docs):
+    from grip_spark import sampling
+
+    out = sampling.stratified_sample(
+        docs, "lang", {"en": 1.0, "de": 0.0}, "doc_id", default_rate=0.0
+    )
+    got = out.groupBy("lang").count().collect()
+    langs = {r.lang for r in got}
+    assert langs <= {"en"}  # de sampled at 0, others defaulted to 0
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert sum(r["count"] for r in got) == n_en  # rate 1.0 keeps all
+
+
+def test_stratified_fixed_n_exact_counts(docs):
+    from grip_spark import sampling
+
+    out = sampling.stratified_fixed_n(docs, "lang", 5, "doc_id")
+    counts = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    totals = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    assert counts == {k: min(5, v) for k, v in totals.items()}
+    # rank_col exposes the draw order for nested subsets
+    ranked = sampling.stratified_fixed_n(docs, "lang", 5, "doc_id", rank_col="rk")
+    assert {r.rk for r in ranked.select("rk").distinct().collect()} <= {1, 2, 3, 4, 5}
+
+
+def test_split_assign_disjoint_exhaustive_prefix_stable(docs):
+    from grip_spark import sampling
+
+    n = docs.count()
+    out = sampling.split_assign(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == n  # exhaustive, one split per row
+    assert abs(counts.get("train", 0) - 0.8 * n) < 5 * (0.8 * 0.2 * n) ** 0.5
+    # growing train keeps prior train members (prefix-stable intervals)
+    train1 = {
+        r.doc_id for r in out.filter(F.col("split") == "train").select("doc_id").collect()
+    }
+    out2 = sampling.split_assign(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    train2 = {
+        r.doc_id
+        for r in out2.filter(F.col("split") == "train").select("doc_id").collect()
+    }
+    assert train1 <= train2
+
+
+def test_sampling_validation():
+    from grip_spark import sampling
+
+    with pytest.raises(ValueError):
+        sampling.hash_sample(None, "id", 1.5)
+    with pytest.raises(ValueError):
+        sampling.stratified_sample(None, "s", {"x": -0.1}, "id")
+    with pytest.raises(ValueError):
+        sampling.split_assign(None, "id", {})
+
+
+# -- chunking / packing -----------------------------------------------------
+
+
+def test_chunk_documents_covers_all_tokens(docs, spark):
+    from grip_spark import text
+
+    # disjoint chunks partition the token stream exactly
+    ch = text.chunk_documents(docs, size=32)  # stride defaults to size
+    per_doc = ch.groupBy("doc_id").agg(
+        F.sum("n_chunk_tokens").alias("tot"), F.count("*").alias("nch")
+    )
+    toks = docs.select("doc_id", F.size(text.tokens("text")).alias("n"))
+    joined = per_doc.join(toks, "doc_id")
+    assert joined.filter(F.col("tot") != F.col("n")).count() == 0
+    bad = joined.filter(
+        F.col("nch") != F.ceil(F.col("n") / F.lit(32)).cast("long")
+    )
+    assert bad.count() == 0
+
+
+def test_chunk_documents_overlap_and_empty(spark):
+    from grip_spark import text
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, ""), (3, "x")], ["doc_id", "text"]
+    )
+    ch = text.chunk_documents(df, size=3, stride=2).collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_chunk_tokens))
+    # doc 1: 5 tokens, size 3 stride 2 -> chunks at 0,2 -> [3, 3]... last
+    # chunk [c d e]; 1 + ceil((5-3)/2) = 2 chunks
+    assert by_doc[1] == [(0, 3), (1, 3)]
+    # "" splits to [""] in Spark AND DuckDB: one empty token, one chunk
+    assert by_doc.get(2) == [(0, 1)]
+    assert by_doc.get(3) == [(0, 1)]
+
+
+def test_chunk_empty_string_token_semantics(spark):
+    from grip_spark import text
+
+    # split("", "\\s+") in Spark yields [""] (1 token) — pin whatever
+    # tokens() does so the chunker agrees with token_count
+    df = spark.createDataFrame([(2, "")], ["doc_id", "text"])
+    n = df.select(F.size(text.tokens("text")).alias("n")).first()["n"]
+    ch = text.chunk_documents(df, size=3, stride=2).count()
+    assert (n == 0 and ch == 0) or (n > 0 and ch > 0)
+
+
+def test_pack_sequences_capacity_invariants(docs):
+    from grip_spark import text
+
+    cap = 512
+    pk = text.pack_sequences(docs, capacity=cap, num_groups=4)
+    # a document starts in the sequence its first token lands in
+    bad = pk.filter(F.col("seq") != F.floor(F.col("tok_start") / cap)).count()
+    assert bad == 0
+    # within a group, tok_start is the running sum in doc_id order
+    rows = sorted(
+        pk.collect(), key=lambda r: (r.grp, r.doc_id)
+    )
+    acc = {}
+    for r in rows:
+        exp = acc.get(r.grp, 0)
+        assert r.tok_start == exp, (r.doc_id, r.grp, r.tok_start, exp)
+        acc[r.grp] = exp + r.n_tokens
+    # groups are hash-balanced: no group holds > 2x its fair share
+    tot = sum(r.n_tokens for r in rows)
+    per = {}
+    for r in rows:
+        per[r.grp] = per.get(r.grp, 0) + r.n_tokens
+    assert max(per.values()) < 2 * tot / 4
+
+
+def test_pack_sequences_partition_invariant(docs):
+    from grip_spark import text
+
+    a = sorted(
+        (r.doc_id, r.grp, r.seq) for r in text.pack_sequences(docs, capacity=256).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.grp, r.seq)
+        for r in text.pack_sequences(docs.repartition(17), capacity=256).collect()
+    )
+    assert a == b
+
+
+# -- seeded IVF -------------------------------------------------------------
+
+
+def test_ivf_seeded_assignment_is_nearest_centroid(emb):
+    import math
+
+    from grip_spark import similarity
+
+    idx, cents = similarity.ivf_index_seeded(emb, n_lists=4, salt="t")
+    rows = idx.select("vec_id", "embedding", "ivf_list").collect()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    for r in rows[:50]:
+        v = [float(x) for x in r.embedding]
+        best = max(cents, key=lambda c: (cos(v, c[1]), -c[0]))[0]
+        assert r.ivf_list == best, r.vec_id
+
+
+def test_ivf_seeded_deterministic(emb):
+    from grip_spark import similarity
+
+    a, ca = similarity.ivf_index_seeded(emb, n_lists=8)
+    b, cb = similarity.ivf_index_seeded(emb.repartition(9), n_lists=8)
+    assert [c for c, _ in ca] == [c for c, _ in cb]
+    assert ca == cb
+    ga = sorted((r.vec_id, r.ivf_list) for r in a.select("vec_id", "ivf_list").collect())
+    gb = sorted((r.vec_id, r.ivf_list) for r in b.select("vec_id", "ivf_list").collect())
+    assert ga == gb
+
+
+def test_ivf_seeded_probe_recall(emb):
+    """Probing ~half the cells finds most of the true top-k (random
+    64-dim embeddings are a worst case for any space partitioner, so
+    the bar is recall >> k/n_lists-chance, not near-1)."""
+    from grip_spark import similarity
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    idx, cents = similarity.ivf_index_seeded(corpus, n_lists=4, salt="t")
+    probe = similarity.ivf_probe_cells(cents, qvec, nprobe=2)
+    assert len(probe) == 2 and len(set(probe)) == 2
+    cand = idx.filter(F.col("ivf_list").isin(probe))
+    got = {
+        r.vec_id
+        for r in similarity.cosine_topk(cand, "embedding", qvec, k=10).collect()
+    }
+    true = {
+        r.vec_id
+        for r in similarity.cosine_topk(corpus, "embedding", qvec, k=10).collect()
+    }
+    assert len(got & true) >= 4  # 2/4 cells at random would give ~5
