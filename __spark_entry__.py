@@ -37,7 +37,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from grip_spark import dedup, multimodal, ops, similarity, text
+from grip_spark import dedup, multimodal, ops, sampling, similarity, text
 from grip_spark.tpch import ORACLE_E_COUNT, ORACLE_V_COUNT, tpch_graph
 
 SEGMENTS = ["BUILDING", "AUTOMOBILE"]
@@ -198,13 +198,17 @@ def q_has_conditions(spark, sf_dir):
 
 
 def q_adjacency_ops(spark, sf_dir):
-    """hasId / bothE / in-from-edge as labeled count rows (one slot,
-    three operators — same matrix shape as null_traversals)."""
+    """hasId / bothE / edge-endpoint hops / outE / inE as labeled count
+    rows (one slot, six operators — absorbs the r3 `oute_count`,
+    `ine_supplied_count`, `edge_out_count` slots)."""
     specs = [
         ("hasid", lambda q: q.V().hasId(["c:1", "c:5", "c:9"])),
         ("bothe", lambda q: q.V(["o:1"]).bothE()),
         # E→V via the edge's src endpoint (in() from an edge position)
         ("edge_in", lambda q: q.E().hasLabel("contains").in_()),
+        ("oute", lambda q: q.V().hasLabel("Order").outE("contains")),
+        ("ine_supplied", lambda q: q.V(["s:1"]).inE("supplied")),
+        ("edge_out", lambda q: q.E().hasLabel("placed").out()),
     ]
     out = None
     for name, build in specs:
@@ -219,13 +223,15 @@ def q_adjacency_ops(spark, sf_dir):
 
 
 def q_null_traversals(spark, sf_dir):
-    """inNull / outENull / inENull as labeled count rows (left-join
-    null-traveler semantics; outNull is its own query below)."""
+    """outNull / inNull / outENull / inENull as labeled count rows
+    (left-join null-traveler semantics; absorbs the r3
+    `outnull_count` slot)."""
     specs = [
         ("innull_part", lambda q: q.V().hasLabel("Part").inNull("contains")),
         ("innull_region", lambda q: q.V().hasLabel("Region").inNull("in_nation")),
         ("outenull", lambda q: q.V().hasLabel("Customer").outENull("placed")),
         ("inenull_supplier", lambda q: q.V().hasLabel("Supplier").inENull("supplied")),
+        ("outnull_customer", lambda q: q.V().hasLabel("Customer").outNull("placed")),
     ]
     out = None
     for name, build in specs:
@@ -434,6 +440,96 @@ def q_rdf_graph_hop(spark, sf_dir):
     )
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Token-window chunking with overlap (text.chunk_documents): the
+    context-window splitter embedding/pretraining pipelines run before
+    encoding.  size=32 stride=24 exercises the overlap path; chunk
+    bodies travel as md5 fingerprints, which DuckDB reproduces from
+    the same slice math."""
+    return text.chunk_documents(_docs(spark, sf_dir), size=32, stride=24)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-split sequence packing (text.pack_sequences): the
+    hash-group shard, per-group running token sum, and sequence
+    assignment are all pure functions of (salt, doc_id, text), so the
+    whole packer sits under a window-function SQL oracle."""
+    return text.pack_sequences(
+        _docs(spark, sf_dir), capacity=512, num_groups=8, salt="pack"
+    )
+
+
+def q_stratified_split(spark, sf_dir):
+    """Deterministic per-language downsampling (sampling.
+    stratified_sample) composed with train/val/test assignment
+    (sampling.split_assign) — both keyed off the cross-engine
+    md5-prefix uniform, so kept-set AND split labels value-match."""
+    d = sampling.stratified_sample(
+        _docs(spark, sf_dir),
+        "lang",
+        {"en": 1.0, "de": 0.5, "fr": 0.25},
+        "doc_id",
+        salt="strat",
+        default_rate=0.1,
+    )
+    return sampling.split_assign(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "lang", "split")
+
+
+def q_ivf_cells(spark, sf_dir):
+    """Seeded IVF (similarity.ivf_index_seeded): hash-sampled coarse
+    quantizer, literal-centroid argmax assignment, and the probe path
+    — vectors in the 2 cells nearest the query (vec 0) carry their
+    exact-cosine rank if in the top-10, else NULL.  Cells, probe set,
+    and ranks are all replicated in SQL (centroids are rows of the
+    embeddings table itself)."""
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    idx, cents = similarity.ivf_index_seeded(corpus, n_lists=8, salt="ivf")
+    probe = similarity.ivf_probe_cells(cents, qvec, nprobe=2)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        similarity.cosine(
+            F.col("embedding"), F.array(*[F.lit(x) for x in qvec])
+        ).desc(),
+        F.col("vec_id").asc(),
+    )
+    probed = (
+        idx.filter(F.col("ivf_list").isin(probe))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 10)
+        .select("vec_id", F.col("_rk").alias("probe_rank"))
+    )
+    return (
+        idx.join(probed, "vec_id", "left")
+        .select("vec_id", F.col("ivf_list").alias("cell"), "probe_rank")
+    )
+
+
+def q_corpus_pipeline(spark, sf_dir):
+    """The end-to-end training-corpus build, every stage an operator
+    from this repo: quality filter (text.quality_score) → language
+    allowlist → exact-dedup canonicalization (min doc_id per
+    normalized-text fingerprint) → deterministic 80% sample
+    (sampling.hash_sample) → sequence packing (text.pack_sequences)
+    → per-sequence stats.  One declarative plan end to end — the
+    flagship composition a real 100 TB corpus run would execute."""
+    d = text.quality_score(_docs(spark, sf_dir))
+    d = d.filter((F.col("quality") >= 0.45) & (F.col("lang") == "en"))
+    d = text.fingerprint(d)  # md5 of whitespace-normalized text
+    canon = d.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = d.join(canon, ["fp", "doc_id"]).select("doc_id", "text")
+    sampled = sampling.hash_sample(kept, "doc_id", 0.8, salt="corpus")
+    packed = text.pack_sequences(sampled, capacity=1024, num_groups=4, salt="pack")
+    return packed.groupBy("grp", "seq").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+    )
+
+
 def q_doc_text_profile(spark, sf_dir):
     """The five text-analysis operators in one pass: token count, char
     stats, quality score, language-ID, fingerprint — each a column."""
@@ -461,24 +557,29 @@ def q_doc_text_profile(spark, sf_dir):
 
 
 def q_scan_counts(spark, sf_dir):
-    """V() and E() full scans as labeled rows (one slot, two sources)."""
-    v = _gq(spark, sf_dir).V().count().to_df()
-    e = _gq(spark, sf_dir).E().count().to_df()
-    return v.select(F.lit("v").alias("kind"), "count").unionByName(
-        e.select(F.lit("e").alias("kind"), "count")
-    )
+    """V()/E() full scans + hasLabel + hasKey as labeled rows (one
+    slot, four operators — absorbs the r3 `v_haslabel_count` and
+    `haskey_count` slots to fund the r4 pipeline queries)."""
+    specs = [
+        ("v", lambda q: q.V()),
+        ("e", lambda q: q.E()),
+        ("v_haslabel", lambda q: q.V().hasLabel("Customer")),
+        ("haskey", lambda q: q.V().hasKey("c_acctbal")),
+    ]
+    out = None
+    for name, build in specs:
+        one = (
+            build(_gq(spark, sf_dir))
+            .count()
+            .to_df()
+            .select(F.lit(name).alias("kind"), F.col("count"))
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
 
 
 def q_v_ids(spark, sf_dir):
     return _gq(spark, sf_dir).V(["c:1", "c:2", "c:7"]).to_df().select("gid", "label")
-
-
-def q_v_haslabel_count(spark, sf_dir):
-    return _gq(spark, sf_dir).V().hasLabel("Customer").count().to_df()
-
-
-def q_haskey_count(spark, sf_dir):
-    return _gq(spark, sf_dir).V().hasKey("c_acctbal").count().to_df()
 
 
 def q_hop_counts(spark, sf_dir):
@@ -505,22 +606,6 @@ def q_hop_counts(spark, sf_dir):
 
 def q_out_2hop(spark, sf_dir):
     return _gq(spark, sf_dir).V(["c:1"]).out("placed").out("contains").to_df().select("gid")
-
-
-def q_oute_count(spark, sf_dir):
-    return _gq(spark, sf_dir).V().hasLabel("Order").outE("contains").count().to_df()
-
-
-def q_ine_supplied_count(spark, sf_dir):
-    return _gq(spark, sf_dir).V(["s:1"]).inE("supplied").count().to_df()
-
-
-def q_edge_out_count(spark, sf_dir):
-    return _gq(spark, sf_dir).E().hasLabel("placed").out().count().to_df()
-
-
-def q_outnull_count(spark, sf_dir):
-    return _gq(spark, sf_dir).V().hasLabel("Customer").outNull("placed").count().to_df()
 
 
 def q_distinct_count(spark, sf_dir):
@@ -793,17 +878,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r4 (never verified — ahead of the long-green tail)
         "winnow_overlap": q_winnow_overlap,
         "rdf_graph_hop": q_rdf_graph_hop,
-        # r2-green operator queries
+        "doc_chunks": q_doc_chunks,
+        "pack_sequences": q_pack_sequences,
+        "stratified_split": q_stratified_split,
+        "ivf_cells": q_ivf_cells,
+        "corpus_pipeline": q_corpus_pipeline,
+        # r2-green operator queries (hasLabel/hasKey now ride in
+        # scan_counts; outE/inE/edge-out in adjacency_ops; outNull in
+        # null_traversals — see those matrices)
         "scan_counts": q_scan_counts,
         "v_ids": q_v_ids,
-        "v_haslabel_count": q_v_haslabel_count,
-        "haskey_count": q_haskey_count,
         "hop_counts": q_hop_counts,
         "out_2hop": q_out_2hop,
-        "oute_count": q_oute_count,
-        "ine_supplied_count": q_ine_supplied_count,
-        "edge_out_count": q_edge_out_count,
-        "outnull_count": q_outnull_count,
         "distinct_count": q_distinct_count,
         "distinct_mark_count": q_distinct_mark_count,
         "select_single": q_select_single,
@@ -839,6 +925,18 @@ _SEG_SQL = ", ".join(f"'{s}'" for s in SEGMENTS)
 
 _TOKENS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
 _EN_SQL = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
+
+# text.quality_score as SQL (same expression doc_text_profile inlines)
+_QUALITY_SQL = (
+    "round("
+    "((length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) * 1.0 "
+    " / greatest(length(text), 1)) * 0.5 + "
+    "(CASE WHEN length(regexp_replace(trim(text), '\\s+', '', 'g')) * 1.0 "
+    f"   / greatest(len({_TOKENS}), 1) BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END) * 0.25 + "
+    f"least(len(list_filter({_TOKENS}, x -> list_contains([{_EN_SQL}], x))) * 5.0 "
+    f"   / greatest(len({_TOKENS}), 1), 1.0) * 0.25"
+    ", 6)"
+)
 
 _JACCARD_PAIRS = """
 WITH tri AS (
@@ -997,6 +1095,99 @@ def _knn_lsh_oracle_sql() -> str:
     )
 
 
+def _md5_u01_sql(expr: str) -> str:
+    """DuckDB rendering of sampling.uniform_key: md5-prefix 60-bit int
+    scaled to [0,1) — bit-identical to the Spark column."""
+    return (
+        f"(CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT) "
+        "/ 1152921504606846976.0)"
+    )
+
+
+def _md5_hash_sql(expr: str) -> str:
+    """DuckDB rendering of dedup.md5_prefix_hash over a VARCHAR expr."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _split_case_sql(id_expr: str, weights: dict[str, float], salt: str) -> str:
+    """CASE expression replicating sampling.split_assign — cumulative
+    thresholds accumulated in Python float so the SQL literals are the
+    exact doubles the Spark plan compares against (0.8 + 0.1 is
+    0.9000000000000001, not 0.9)."""
+    u = _md5_u01_sql(f"'{salt}' || {id_expr}")
+    total = float(sum(weights.values()))
+    names = list(weights)
+    acc = 0.0
+    parts = ["CASE"]
+    for name in names[:-1]:
+        acc += weights[name] / total
+        parts.append(f"WHEN {u} < {acc!r} THEN '{name}'")
+    parts.append(f"ELSE '{names[-1]}' END")
+    return " ".join(parts)
+
+
+_CHUNKS_SQL = (
+    "WITH t AS (SELECT doc_id, {tok} AS toks FROM documents), "
+    "n AS (SELECT doc_id, toks, len(toks) AS n FROM t), "
+    "c AS (SELECT doc_id, toks, CASE WHEN n <= 0 THEN 0 ELSE "
+    "1 + greatest(CAST(ceil((n - {size}) / {stride}.0) AS INT), 0) END AS n_chunks "
+    "FROM n) "
+    "SELECT doc_id, CAST(ci AS INT) AS chunk_idx, "
+    "CAST(len(ctoks) AS INT) AS n_chunk_tokens, "
+    "md5(array_to_string(ctoks, ' ')) AS chunk_fp "
+    "FROM (SELECT doc_id, unnest(range(n_chunks)) AS ci, toks FROM c) x, "
+    "LATERAL (SELECT toks[ci*{stride}+1 : ci*{stride}+{size}] AS ctoks) s"
+)
+
+
+def _pack_sql(
+    source: str, capacity: int, num_groups: int, salt: str, tok: str
+) -> str:
+    """DuckDB rendering of text.pack_sequences over ``source`` (a table
+    name or CTE exposing doc_id + text)."""
+    h = _md5_hash_sql(f"'{salt}' || CAST(doc_id AS VARCHAR)")
+    return (
+        f"SELECT doc_id, CAST(grp AS INT) AS grp, n_tokens, tok_start, "
+        f"tok_start // {capacity} AS seq FROM ("
+        f"SELECT doc_id, grp, n_tokens, "
+        f"CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start "
+        f"FROM (SELECT doc_id, {h} % {num_groups} AS grp, "
+        f"CAST(len({tok}) AS BIGINT) AS n_tokens FROM {source}))"
+    )
+
+
+def _ivf_cells_oracle_sql() -> str:
+    """DuckDB rendering of q_ivf_cells: seed selection by md5 hash,
+    argmax-cosine cell assignment, 2-cell probe for query vec 0, and
+    exact-cosine top-10 rank within the probed cells."""
+    hs = _md5_hash_sql("'ivf' || CAST(vec_id AS VARCHAR)")
+    cos = "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    return (
+        "WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id != 0), "
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+        "seeds AS (SELECT embedding AS cvec, "
+        f"row_number() OVER (ORDER BY {hs}, vec_id) - 1 AS cell "
+        "FROM corpus QUALIFY cell < 8), "
+        "assign AS (SELECT vec_id, cell FROM ("
+        "SELECT c.vec_id, s.cell, row_number() OVER (PARTITION BY c.vec_id ORDER BY "
+        + cos.format(a="c.embedding", b="s.cvec")
+        + " DESC, s.cell) AS rk FROM corpus c CROSS JOIN seeds s) WHERE rk = 1), "
+        "probe AS (SELECT cell FROM seeds, q ORDER BY "
+        + cos.format(a="cvec", b="qv")
+        + " DESC, cell LIMIT 2), "
+        "ranked AS (SELECT a.vec_id, row_number() OVER (ORDER BY "
+        + cos.format(a="c.embedding", b="q.qv")
+        + " DESC, a.vec_id) AS rk "
+        "FROM assign a JOIN corpus c USING (vec_id), q "
+        "WHERE a.cell IN (SELECT cell FROM probe)) "
+        "SELECT a.vec_id, CAST(a.cell AS INT) AS cell, "
+        "CAST(r.rk AS INT) AS probe_rank "
+        "FROM assign a LEFT JOIN (SELECT * FROM ranked WHERE rk <= 10) r "
+        "ON a.vec_id = r.vec_id"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     lang_case = (
         "CASE WHEN greatest(en, es, fr, de) <= 0 THEN 'und' "
@@ -1065,7 +1256,11 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'bothe', "
             "(SELECT count(*) FROM lineitem WHERE l_orderkey = 1) + "
             "(SELECT count(*) FROM orders WHERE o_orderkey = 1) "
-            "UNION ALL SELECT 'edge_in', count(*) FROM lineitem"
+            "UNION ALL SELECT 'edge_in', count(*) FROM lineitem "
+            "UNION ALL SELECT 'oute', count(*) FROM lineitem "
+            "UNION ALL SELECT 'ine_supplied', count(*) FROM "
+            "(SELECT DISTINCT l_partkey, l_suppkey FROM lineitem WHERE l_suppkey = 1) "
+            "UNION ALL SELECT 'edge_out', count(*) FROM orders"
         ),
         "embedding_pairs": _embedding_pairs_oracle_sql(),
         "mapped_graph_hop": (
@@ -1086,7 +1281,11 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'inenull_supplier', "
             "(SELECT count(*) FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)) + "
             "(SELECT count(*) FROM supplier s WHERE NOT EXISTS "
-            "(SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey))"
+            "(SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)) "
+            "UNION ALL SELECT 'outnull_customer', "
+            "(SELECT count(*) FROM orders) + "
+            "(SELECT count(*) FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))"
         ),
         "pagination": (
             "SELECT 'limit' AS op, CAST(100 AS BIGINT) AS count "
@@ -1107,6 +1306,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT r_name AS key, CAST(count(*) AS DOUBLE) AS value "
             "FROM nation JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY r_name"
+        ),
+        "doc_chunks": _CHUNKS_SQL.format(tok=_TOKENS, size=32, stride=24),
+        "pack_sequences": _pack_sql("documents", 512, 8, "pack", _TOKENS),
+        "stratified_split": (
+            f"SELECT doc_id, lang, "
+            f"{_split_case_sql('CAST(doc_id AS VARCHAR)', {'train': 0.8, 'val': 0.1, 'test': 0.1}, 'split')} AS split "
+            f"FROM documents WHERE "
+            f"{_md5_u01_sql(chr(39) + 'strat' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} < "
+            "CASE WHEN lang = 'en' THEN 1.0 WHEN lang = 'de' THEN 0.5 "
+            "WHEN lang = 'fr' THEN 0.25 ELSE 0.1 END"
+        ),
+        "ivf_cells": _ivf_cells_oracle_sql(),
+        "corpus_pipeline": (
+            f"WITH ql AS (SELECT doc_id, text, {_QUALITY_SQL} AS quality "
+            "FROM documents WHERE lang = 'en'), "
+            "f AS (SELECT doc_id, text, "
+            "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp "
+            "FROM ql WHERE quality >= 0.45), "
+            "c AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp), "
+            "k AS (SELECT f.doc_id, f.text FROM f "
+            "JOIN c ON f.fp = c.fp AND f.doc_id = c.doc_id), "
+            "s AS (SELECT doc_id, text FROM k WHERE "
+            f"{_md5_u01_sql(chr(39) + 'corpus' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} < 0.8), "
+            f"p AS ({_pack_sql('s', 1024, 4, 'pack', _TOKENS)}) "
+            "SELECT grp, seq, count(*) AS n_docs, "
+            "CAST(sum(n_tokens) AS BIGINT) AS seq_tokens "
+            "FROM p GROUP BY grp, seq"
         ),
         "doc_text_profile": (
             f"SELECT doc_id, n_tokens, n_chars_total, n_alpha, n_upper, n_digit, "
@@ -1132,14 +1358,15 @@ def oracle_sql() -> dict[str, str]:
         # -- r2-green ------------------------------------------------------
         "scan_counts": (
             f"SELECT 'v' AS kind, {ORACLE_V_COUNT} AS count "
-            f"UNION ALL SELECT 'e' AS kind, {ORACLE_E_COUNT} AS count"
+            f"UNION ALL SELECT 'e' AS kind, {ORACLE_E_COUNT} AS count "
+            "UNION ALL SELECT 'v_haslabel', count(*) FROM customer "
+            "UNION ALL SELECT 'haskey', count(*) FROM customer "
+            "WHERE c_acctbal IS NOT NULL"
         ),
         "v_ids": (
             "SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS gid, 'Customer' AS label "
             "FROM customer WHERE c_custkey IN (1, 2, 7)"
         ),
-        "v_haslabel_count": "SELECT count(*) AS count FROM customer",
-        "haskey_count": "SELECT count(*) AS count FROM customer WHERE c_acctbal IS NOT NULL",
         "hop_counts": (
             "SELECT 'out_hop' AS op, count(*) AS count FROM orders o "
             "JOIN customer c ON o.o_custkey = c.c_custkey "
@@ -1153,17 +1380,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 'p:' || CAST(l.l_partkey AS VARCHAR) AS gid FROM lineitem l "
             "JOIN orders o ON l.l_orderkey = o.o_orderkey "
             "JOIN part p ON p.p_partkey = l.l_partkey WHERE o.o_custkey = 1"
-        ),
-        "oute_count": "SELECT count(*) AS count FROM lineitem",
-        "ine_supplied_count": (
-            "SELECT count(*) AS count FROM "
-            "(SELECT DISTINCT l_partkey, l_suppkey FROM lineitem WHERE l_suppkey = 1)"
-        ),
-        "edge_out_count": "SELECT count(*) AS count FROM orders",
-        "outnull_count": (
-            "SELECT (SELECT count(*) FROM orders) + "
-            "(SELECT count(*) FROM customer c WHERE NOT EXISTS "
-            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS count"
         ),
         "distinct_count": "SELECT count(DISTINCT c_mktsegment) AS count FROM customer",
         "distinct_mark_count": (
