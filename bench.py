@@ -34,7 +34,7 @@ def sf_tag(sf_dir: str):
 def main():
     from pyspark.sql import SparkSession, functions as F
 
-    from grip_spark import dedup, ops, similarity, text
+    from grip_spark import dedup, ops, sampling, similarity, text
     from grip_spark.tpch import tpch_graph
 
     spark = (
@@ -161,6 +161,21 @@ def main():
             events.groupBy(
                 F.expr("(ts DIV 3600000000000) * 3600").alias("h"), "event_type"
             ).agg(F.count(F.lit(1)).alias("n"))
+        ),
+        "doc_chunks": lambda: run_count(
+            text.chunk_documents(docs, size=32, stride=24)
+        ),
+        "corpus_pack": lambda: run_count(
+            text.pack_sequences(
+                sampling.hash_sample(
+                    text.quality_score(docs).filter(F.col("quality") > 0.4),
+                    "doc_id",
+                    0.8,
+                    salt="corpus",
+                ),
+                capacity=1024,
+                num_groups=CPUS,
+            )
         ),
     }
 

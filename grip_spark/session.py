@@ -44,3 +44,45 @@ def enable_reliable_checkpoints(
         )
         sc.setCheckpointDir(directory)
     return sc.getCheckpointDir()
+
+
+def tune_for_scale(spark: SparkSession, shuffle_partitions: int | None = None) -> dict:
+    """Set the runtime confs a large-cluster grip_spark job wants.
+
+    Property graphs are power-law graphs: a handful of supernodes
+    (a celebrity vertex, a hub entity) carry orders of magnitude more
+    edges than the median vertex, so the hop equi-join
+    (compile/planner.py:_hop_v2v) is exactly the shape AQE's skew-join
+    split exists for — one join key whose shuffle partition dwarfs the
+    rest gets split into parallel sub-tasks instead of serializing one
+    straggler.  All of these are runtime-settable (no restart):
+
+    - ``spark.sql.adaptive.enabled`` — runtime re-planning from real
+      stage statistics (also coalesces over-partitioned shuffles).
+    - ``spark.sql.adaptive.skewJoin.enabled`` — split skewed shuffle
+      partitions of sort-merge joins (the supernode hop case).
+    - ``spark.sql.adaptive.coalescePartitions.enabled`` — merge tiny
+      post-shuffle partitions (filter-heavy traversals leave many).
+    - ``spark.sql.shuffle.partitions`` — when given, sized by the
+      caller to ~2-3× total executor cores.
+
+    Interplay with the bucketed layout (``GripGraph.save_tables``):
+    bucketed hops join with ZERO Exchange, so there is no shuffle for
+    AQE to split — a supernode inflates its bucket's single task.  On
+    supernode-heavy graphs either raise the bucket count so the hot
+    bucket shrinks, or keep the hot labels in the plain (non-bucketed)
+    layout and let skew-join handle them; both layouts can coexist
+    (`from_tables` vs plain readers).
+
+    Returns the conf values actually in effect.
+    """
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    }
+    if shuffle_partitions is not None:
+        confs["spark.sql.shuffle.partitions"] = str(int(shuffle_partitions))
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    return {k: spark.conf.get(k) for k in confs}

@@ -1,0 +1,96 @@
+"""Supernode (power-law degree skew) correctness tests.
+
+Real property graphs concentrate edges on a few hub vertices; the hop
+equi-join must stay correct (exact multiset semantics — every edge
+contributes one traveler) when one vertex carries ~all edges and the
+shuffle partition for its key dwarfs the others.  Wall-clock behavior
+at scale is AQE skew-join's job (session.tune_for_scale); these tests
+pin the semantics that must survive whatever physical plan AQE picks.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+HUB_DEGREE = 20_000
+SPOKES = 50
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    from grip_spark import GripGraph
+    from grip_spark.session import tune_for_scale
+
+    tune_for_scale(spark)
+    # hub:0 -> item:i for i in [0, HUB_DEGREE); spoke:j -> item:j
+    # (every item has in-degree 2 from {hub, spoke} for j < SPOKES)
+    items = spark.range(HUB_DEGREE).select(
+        F.concat(F.lit("item:"), F.col("id")).alias("gid"),
+        F.lit("Item").alias("label"),
+        F.struct(F.col("id").alias("rank")).alias("data"),
+    )
+    hubs = spark.createDataFrame(
+        [("hub:0", "Hub"), *[(f"spoke:{j}", "Spoke") for j in range(SPOKES)]],
+        ["gid", "label"],
+    ).withColumn("data", F.struct(F.lit(0).cast("long").alias("rank")))
+    hub_edges = spark.range(HUB_DEGREE).select(
+        F.concat(F.lit("he:"), F.col("id")).alias("gid"),
+        F.lit("links").alias("label"),
+        F.lit("hub:0").alias("src"),
+        F.concat(F.lit("item:"), F.col("id")).alias("dst"),
+    )
+    spoke_edges = spark.range(SPOKES).select(
+        F.concat(F.lit("se:"), F.col("id")).alias("gid"),
+        F.lit("links").alias("label"),
+        F.concat(F.lit("spoke:"), F.col("id")).alias("src"),
+        F.concat(F.lit("item:"), F.col("id")).alias("dst"),
+    )
+    edges = hub_edges.unionByName(spoke_edges).withColumn(
+        "data", F.struct(F.lit(1).cast("long").alias("w"))
+    )
+    return GripGraph(items.unionByName(hubs), edges, name="skewed")
+
+
+def test_supernode_out_multiset(skewed):
+    # the hub alone emits HUB_DEGREE travelers; each spoke emits 1
+    n = skewed.query().V().out("links").count().to_df().first()["count"]
+    assert n == HUB_DEGREE + SPOKES
+
+
+def test_supernode_in_converges_on_hub(skewed):
+    # reverse hop: every item flows back; items < SPOKES twice
+    n = skewed.query().V().hasLabel("Item").in_("links").count().to_df().first()["count"]
+    assert n == HUB_DEGREE + SPOKES
+
+
+def test_supernode_hop_then_agg(skewed):
+    # 2-hop through the hub fan-out with an aggregation on top — the
+    # skewed key survives a second shuffle stage
+    out = (
+        skewed.query()
+        .V(["hub:0"])
+        .out("links")
+        .in_("links")
+        .aggregate([__import__("grip_spark").ops.term("l", "_label")])
+        .to_df()
+        .collect()
+    )
+    got = {r["key"]: r["value"] for r in out}
+    # hub reaches all items; each item returns to hub (HUB_DEGREE) and
+    # items < SPOKES also to their spoke (SPOKES)
+    assert got == {"Hub": float(HUB_DEGREE), "Spoke": float(SPOKES)}
+
+
+def test_supernode_dedup_distinct(skewed):
+    # distinct collapses the supernode's traveler flood to unique gids
+    n = (
+        skewed.query()
+        .V(["hub:0"])
+        .out("links")
+        .in_("links")
+        .distinct("_gid")
+        .count()
+        .to_df()
+        .first()["count"]
+    )
+    assert n == 1 + SPOKES  # hub + spokes
