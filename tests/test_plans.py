@@ -83,3 +83,62 @@ def test_edge_label_filter_below_join(raw_tpch):
     # literal labels the union folds to the single edge source
     plan = plan_of(raw_tpch.query().V(["c:1"]).out("placed"))
     assert "lineitem.parquet" not in plan  # contains-edges branch folded away
+
+
+# -- pipeline-operator plan shapes ------------------------------------------
+
+
+def df_plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def n_exchanges(plan):
+    return len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+
+
+@pytest.fixture(scope="module")
+def raw_docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_sampling_is_shuffle_free_and_prunes(raw_docs):
+    from grip_spark import sampling
+
+    df = sampling.stratified_sample(
+        raw_docs, "lang", {"en": 1.0, "de": 0.5}, "doc_id"
+    ).select("doc_id")
+    plan = df_plan(df)
+    assert n_exchanges(plan) == 0, plan
+    # projection pruning reaches the scan: only the filter inputs +
+    # output column are read, never `text`
+    for rs in re.findall(r"ReadSchema: (\S+)", plan):
+        assert "text" not in rs, rs
+
+
+def test_chunker_is_shuffle_free(raw_docs):
+    from grip_spark import text
+
+    plan = df_plan(text.chunk_documents(raw_docs, size=32, stride=24))
+    assert n_exchanges(plan) == 0, plan
+    assert "Generate explode" in plan  # narrow per-row expansion
+
+
+def test_pack_sequences_single_shuffle_on_group(raw_docs):
+    from grip_spark import text
+
+    plan = df_plan(text.pack_sequences(raw_docs, capacity=512, num_groups=8))
+    # exactly ONE shuffle — the hash-group repartition the window
+    # needs; the cumsum itself adds no further Exchange
+    assert n_exchanges(plan) == 1, plan
+    assert "Window" in plan
+
+
+def test_ivf_assignment_is_shuffle_free(spark):
+    from grip_spark import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx, _ = similarity.ivf_index_seeded(emb, n_lists=4)
+    plan = df_plan(idx.select("vec_id", "ivf_list"))
+    # literal-centroid argmax: a projection, not a join — no Exchange,
+    # and the embedding column itself is never shuffled anywhere
+    assert n_exchanges(plan) == 0, plan

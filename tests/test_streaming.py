@@ -138,3 +138,54 @@ def test_dedup_stream_matches_batch(spark, tmp_path_factory):
     got = spark.table("dedup_test")
     assert got.count() == 7
     assert {r["event_id"] for r in got.collect()} == set(range(7))
+
+
+def test_quality_filter_sample_stream_matches_batch(spark, tmp_path_factory):
+    """The corpus-filter stages (quality score, language allowlist,
+    deterministic hash sampling, split assignment) are stateless
+    column transforms, so the same code runs unchanged on a stream —
+    the streaming leg of the corpus_pipeline contract query.  (The
+    window-based stages — fixed-n sampling, sequence packing — are
+    deliberately NOT streamable; they need per-group ordering.)"""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from grip_spark import sampling, text
+
+    d = tmp_path_factory.mktemp("docstream")
+    rows = [
+        {"doc_id": i, "text": f"the quick brown fox {i} jumps over it for a while", "lang": l}
+        for i, l in enumerate(["en", "de", "fr", "en"] * 25)
+    ]
+    for part in range(4):
+        with open(d / f"p{part}.json", "w") as f:
+            for r in rows[part * 25 : (part + 1) * 25]:
+                f.write(_json.dumps(r) + "\n")
+
+    schema = "doc_id long, text string, lang string"
+
+    def transform(df):
+        out = text.quality_score(df)
+        out = sampling.stratified_sample(
+            out, "lang", {"en": 1.0, "de": 0.5}, "doc_id", salt="st"
+        )
+        out = sampling.split_assign(out, "doc_id", {"train": 0.9, "val": 0.1})
+        return out.select("doc_id", "lang", "quality", "split")
+
+    batch = transform(spark.read.schema(schema).json(str(d)))
+    want = {(r.doc_id, r.lang, r.quality, r.split) for r in batch.collect()}
+    assert want and {r.lang for r in batch.collect()} <= {"en", "de"}
+
+    from grip_spark import streaming
+
+    stream = transform(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(d))
+    )
+    q = streaming.stream_to_memory(stream, "qs_test")
+    q.awaitTermination(60)
+    got = {
+        (r.doc_id, r.lang, r.quality, r.split)
+        for r in spark.table("qs_test").collect()
+    }
+    assert got == want
