@@ -530,6 +530,16 @@ def q_corpus_pipeline(spark, sf_dir):
     )
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Within-document repetition signals (Gopher-style quality
+    filters, text.repetition_stats): most-frequent-token share via a
+    sorted-array longest-run fold (shuffle-free — no explode, no
+    per-doc groupBy) and duplicate token-3-gram fraction."""
+    return text.repetition_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "top_token_frac", "dup_3gram_frac"
+    )
+
+
 def q_doc_text_profile(spark, sf_dir):
     """The five text-analysis operators in one pass: token count, char
     stats, quality score, language-ID, fingerprint — each a column."""
@@ -883,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split": q_stratified_split,
         "ivf_cells": q_ivf_cells,
         "corpus_pipeline": q_corpus_pipeline,
+        "doc_repetition": q_doc_repetition,
         # r2-green operator queries (hasLabel/hasKey now ride in
         # scan_counts; outE/inE/edge-out in adjacency_ops; outNull in
         # null_traversals — see those matrices)
@@ -1318,6 +1329,21 @@ def oracle_sql() -> dict[str, str]:
             "WHEN lang = 'fr' THEN 0.25 ELSE 0.1 END"
         ),
         "ivf_cells": _ivf_cells_oracle_sql(),
+        "doc_repetition": (
+            f"WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents), "
+            "u AS (SELECT doc_id, unnest(toks) AS tok FROM t), "
+            "c AS (SELECT doc_id, count(*) AS c FROM u GROUP BY doc_id, tok), "
+            "m AS (SELECT doc_id, max(c) AS mx FROM c GROUP BY doc_id), "
+            "g AS (SELECT doc_id, toks, len(toks) AS n, "
+            "CASE WHEN len(toks) >= 3 THEN "
+            "[array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks)-2)] "
+            "ELSE [] END AS grams FROM t) "
+            "SELECT g.doc_id, round(m.mx / greatest(g.n, 1), 6) AS top_token_frac, "
+            "CASE WHEN len(grams) > 0 THEN "
+            "round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6) "
+            "ELSE 0.0 END AS dup_3gram_frac "
+            "FROM g JOIN m ON g.doc_id = m.doc_id"
+        ),
         "corpus_pipeline": (
             f"WITH ql AS (SELECT doc_id, text, {_QUALITY_SQL} AS quality "
             "FROM documents WHERE lang = 'en'), "

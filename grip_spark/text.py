@@ -405,3 +405,78 @@ def pack_sequences(
         start.alias("tok_start"),
         F.floor(start / F.lit(capacity)).cast("long").alias(seq_col),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_col: str = "top_token_frac",
+    dup_col: str = "dup_3gram_frac",
+) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality
+    filters): ``top_token_frac`` — the most frequent token's share of
+    all tokens — and ``dup_3gram_frac`` — the fraction of token
+    3-grams that are duplicates (1 - distinct/total; 0.0 when the
+    document has fewer than 3 tokens).  Both rounded to 6dp.
+
+    Scale shape: shuffle-free column expressions.  The top-token
+    share needs a per-document mode, computed as the longest run in
+    the SORTED token array via one ``aggregate`` fold (struct
+    accumulator: previous token, current run, best run) — no
+    explode, no per-document groupBy, stays inside codegen.  Token
+    arrays are let-bound (``_let``): no CSE inside HOF lambdas.
+    """
+
+    def _stats(toks: Column) -> Column:
+        n = F.size(toks)
+        srt = F.array_sort(toks)
+        zero = F.lit(0).cast("int")
+        best = F.aggregate(
+            srt,
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                zero.alias("run"),
+                zero.alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(
+                    acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1
+                )
+                .otherwise(F.lit(1))
+                .cast("int")
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(
+                        acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1
+                    )
+                    .otherwise(F.lit(1))
+                    .cast("int"),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+        n_grams = F.greatest(n - 2, F.lit(0))
+        grams = F.when(
+            n >= 3,
+            F.transform(
+                F.sequence(F.lit(0), n - 3),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i + 1, 3)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        dup = F.when(
+            n_grams > 0,
+            F.round(
+                1.0 - F.size(F.array_distinct(grams)) / n_grams.cast("double"), 6
+            ),
+        ).otherwise(F.lit(0.0))
+        top = F.round(best / F.greatest(n, F.lit(1)).cast("double"), 6)
+        return F.struct(top.alias("top"), dup.alias("dup"))
+
+    stats = _let(tokens(text_col), _stats)
+    return df.withColumn("_rep", stats).withColumns(
+        {top_col: F.col("_rep.top"), dup_col: F.col("_rep.dup")}
+    ).drop("_rep")

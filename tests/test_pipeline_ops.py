@@ -249,3 +249,42 @@ def test_ivf_seeded_probe_recall(emb):
         for r in similarity.cosine_topk(corpus, "embedding", qvec, k=10).collect()
     }
     assert len(got & true) >= 4  # 2/4 cells at random would give ~5
+
+
+# -- repetition stats -------------------------------------------------------
+
+
+def test_repetition_stats_known_values(spark):
+    from grip_spark import text
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # top=1.0; grams: "a a a"x2 -> dup 0.5
+            (2, "a b c d"),          # top=0.25; grams distinct -> dup 0.0
+            (3, "x y"),              # < 3 tokens -> dup 0.0, top 0.5
+            (4, "w w w"),            # top=1.0; 1 gram -> dup 0.0
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.top_token_frac, r.dup_3gram_frac)
+        for r in text.repetition_stats(df).collect()
+    }
+    assert got[1] == (1.0, 0.5)
+    assert got[2] == (0.25, 0.0)
+    assert got[3] == (0.5, 0.0)
+    assert got[4] == (1.0, 0.0)
+
+
+def test_repetition_stats_shuffle_free(docs):
+    from grip_spark import text
+
+    plan = (
+        text.repetition_stats(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re as _re
+
+    assert not _re.search(r"Exchange (?:hash|range)partitioning", plan), plan
