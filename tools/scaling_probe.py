@@ -90,6 +90,11 @@ def main():
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
+    if mode == "pipeline":
+        _pipeline_probe(spark, docs)
+        spark.stop()
+        return
+
     for k in (1, 4, 8):
         d = replicate_docs(docs, k).persist()
         e = replicate_emb(emb, k).persist()
@@ -131,6 +136,68 @@ def main():
         d.unpersist()
         e.unpersist()
     spark.stop()
+
+
+def _pipeline_probe(spark, docs):
+    """Scaling of the training-pipeline operators (chunker, packer,
+    sampler+split, repetition stats): replicate the corpus 1x/4x/16x
+    (keeping the lang stratum) and time each op.  All four are narrow
+    or single-shuffle by design, so wall-clock should grow ~linearly
+    and the packer's one group-window shuffle must not super-scale."""
+    from pyspark.sql import functions as F
+
+    from grip_spark import sampling, text
+
+    def repl(k):
+        parts = [
+            docs.select(
+                F.concat(F.lit(f"r{i}:"), F.col("doc_id").cast("string")).alias(
+                    "doc_id"
+                ),
+                "text",
+                "lang",
+            )
+            for i in range(k)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def best_of(fn, reps: int = 2):
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    for k in (1, 4, 16):
+        d = repl(k).repartition(CPUS).persist()
+        nd = d.count()
+        t_chunk = best_of(
+            lambda: text.chunk_documents(d, size=32, stride=24).count()
+        )
+        t_pack = best_of(
+            lambda: text.pack_sequences(d, capacity=1024, num_groups=CPUS).count()
+        )
+        t_sample = best_of(
+            lambda: sampling.split_assign(
+                sampling.stratified_sample(
+                    d, "lang", {"en": 1.0, "de": 0.5, "fr": 0.25}, "doc_id"
+                ),
+                "doc_id",
+                {"train": 0.9, "val": 0.1},
+            ).count()
+        )
+        t_rep = best_of(lambda: text.repetition_stats(d).count())
+        print(
+            f"{k}x: docs={nd} | chunk {t_chunk:.1f}s | pack {t_pack:.1f}s | "
+            f"sample+split {t_sample:.1f}s | repetition {t_rep:.1f}s",
+            flush=True,
+        )
+        d.unpersist()
 
 
 if __name__ == "__main__":
