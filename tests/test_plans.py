@@ -98,7 +98,11 @@ def n_exchanges(plan):
 
 @pytest.fixture(scope="module")
 def raw_docs(spark):
-    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # sf0.01, NOT sf0.001: other modules session-cache the sf0.001
+    # read, and Spark's cache substitution (plan canonicalization)
+    # would swap the cached all-column relation into these plans —
+    # hiding the scan whose pruning behavior is under test
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
 
 
 def test_sampling_is_shuffle_free_and_prunes(raw_docs):
@@ -136,7 +140,8 @@ def test_pack_sequences_single_shuffle_on_group(raw_docs):
 def test_ivf_assignment_is_shuffle_free(spark):
     from grip_spark import similarity
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # sf0.01 for the same cache-substitution reason as raw_docs
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     idx, _ = similarity.ivf_index_seeded(emb, n_lists=4)
     plan = df_plan(idx.select("vec_id", "ivf_list"))
     # literal-centroid argmax: a projection, not a join — no Exchange,
