@@ -42,10 +42,17 @@ def _rebalance(df: DataFrame) -> DataFrame:
     inputs would eat one redundant shuffle here — if that shape is
     your corpus, repartition upstream and this probe passes it
     through (len(files) >= parallelism is the common case at scale).
+    An explicit upstream ``repartition()`` is honored even over a
+    single small file (the analyzed plan carries the Repartition
+    node): the caller has already spread the data, and a second
+    full-corpus shuffle here would double the text movement.
     Non-file inputs (in-memory test relations) are left untouched."""
     target = df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
     if files and len(files) < target:
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        if "Repartition" in analyzed:
+            return df
         return df.repartition(target)
     return df
 

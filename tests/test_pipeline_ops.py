@@ -288,3 +288,24 @@ def test_repetition_stats_shuffle_free(docs):
     import re as _re
 
     assert not _re.search(r"Exchange (?:hash|range)partitioning", plan), plan
+
+
+# -- _rebalance probe --------------------------------------------------------
+
+
+def test_rebalance_honors_upstream_repartition(spark):
+    import re as _re
+
+    from grip_spark.dedup import _rebalance
+
+    raw = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+    def exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return len(_re.findall(r"Exchange (?:hash|RoundRobin|range)", plan))
+
+    # raw single-file scan: rebalance adds its one spreading shuffle
+    assert exchanges(_rebalance(raw)) == 1
+    # caller already repartitioned: pass through, NO second shuffle
+    pre = raw.repartition(8)
+    assert exchanges(_rebalance(pre)) == exchanges(pre) == 1
