@@ -147,3 +147,20 @@ def test_ivf_assignment_is_shuffle_free(spark):
     # literal-centroid argmax: a projection, not a join — no Exchange,
     # and the embedding column itself is never shuffled anywhere
     assert n_exchanges(plan) == 0, plan
+
+
+def test_corpus_pipeline_prunes_and_bounds_shuffles(spark):
+    """The end-to-end corpus build (contract query corpus_pipeline)
+    must read only the columns it uses (doc_id, text, lang — never
+    source/n_chars) and shuffle exactly three times: dedup groupBy,
+    dedup semi-join back, pack group-window (+ the final stats agg
+    reuses the window's partitioning or adds one more)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.q_corpus_pipeline(spark, "/root/testdata/sf0.01")
+    plan = df_plan(df)
+    for rs in re.findall(r"ReadSchema: (\S+)", plan):
+        assert "source" not in rs and "n_chars" not in rs, rs
+    n = n_exchanges(plan)
+    assert 1 <= n <= 4, f"{n} exchanges:\n{plan}"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
