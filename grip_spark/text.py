@@ -334,7 +334,11 @@ def chunk_documents(
             ),
         )
 
-    chunk = F.explode(_let(tokens(text_col), _chunks)).alias("_chunk")
+    # NULL text -> empty token array -> zero chunks (without the
+    # coalesce, size(NULL) is NULL and the when-branches fall through
+    # to emit one bogus all-NULL chunk row)
+    safe_toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
+    chunk = F.explode(_let(safe_toks, _chunks)).alias("_chunk")
     return df.select(F.col(id_col), chunk).select(
         id_col,
         F.col("_chunk.ci").alias(chunk_col),
@@ -390,7 +394,9 @@ def pack_sequences(
     with_grp = df.select(
         idc,
         grp.alias(group_col),
-        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        # NULL text counts as 0 tokens (a NULL would poison this doc's
+        # seq assignment while the window sum silently skipped it)
+        F.coalesce(F.size(tokens(text_col)), F.lit(0)).cast("long").alias("n_tokens"),
     )
     w = (
         Window.partitionBy(group_col)

@@ -309,3 +309,26 @@ def test_rebalance_honors_upstream_repartition(spark):
     # caller already repartitioned: pass through, NO second shuffle
     pre = raw.repartition(8)
     assert exchanges(_rebalance(pre)) == exchanges(pre) == 1
+
+
+def test_null_text_rows(spark):
+    """Real corpora carry NULL text rows; the chunker emits no chunk,
+    the packer counts 0 tokens (doc keeps a valid seq assignment), and
+    a NULL id is deterministically dropped by the hash sampler."""
+    from grip_spark import sampling, text
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "d e")],
+        "doc_id long, text string",
+    )
+    ch = text.chunk_documents(df, size=2, stride=2).collect()
+    assert {r.doc_id for r in ch} == {1, 3}
+    assert all(r.chunk_fp is not None for r in ch)
+
+    pk = {r.doc_id: (r.n_tokens, r.seq) for r in text.pack_sequences(df, capacity=4).collect()}
+    assert pk[2][0] == 0 and pk[2][1] is not None
+    assert all(seq is not None for _, seq in pk.values())
+
+    ids = spark.createDataFrame([("x",), (None,)], "id string")
+    kept = sampling.hash_sample(ids, "id", 1.0).collect()
+    assert [r.id for r in kept] == ["x"]  # NULL id -> NULL key -> dropped
