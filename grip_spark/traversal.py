@@ -65,6 +65,17 @@ class Traversal:
     def both(self, label=None) -> "Traversal":
         return self._push({"both": _strlist(label)})
 
+    # gripql client aliases (gripql/python/gripql/query.py: outV/inV/
+    # bothV delegate verbatim to out/in_/both)
+    def outV(self, label=None) -> "Traversal":
+        return self.out(label)
+
+    def inV(self, label=None) -> "Traversal":
+        return self.in_(label)
+
+    def bothV(self, label=None) -> "Traversal":
+        return self.both(label)
+
     def outE(self, label=None) -> "Traversal":
         return self._push({"outE": _strlist(label)})
 
@@ -162,6 +173,25 @@ class Traversal:
     # -- execution -----------------------------------------------------
     def to_json(self) -> str:
         return json.dumps({"query": self.stmts})
+
+    def to_dict(self) -> dict:
+        """The query as a dict — the GripQL wire shape
+        (``gripql/python/gripql/query.py:to_dict``)."""
+        return {"query": self.stmts}
+
+    def submit(self, store) -> str:
+        """Post the traversal as an asynchronous job (client-sugar for
+        ``jobs.JobStore.submit``; the reference posts to the server's
+        Jobs API, ``gripql/python/gripql/query.py:submit`` — here the
+        spool location is explicit).  Returns the job id."""
+        return store.submit(self)
+
+    def searchJobs(self, store) -> list[dict]:
+        """Jobs whose stored step-checksum chain shares a prefix with
+        this query (``query.py:searchJobs`` semantics: find jobs this
+        traversal could resume from)."""
+        hit = store.find_prefix(self)
+        return [hit] if hit else []
 
     @classmethod
     def from_json(cls, graph: "GripGraph", payload: str | dict) -> "Traversal":

@@ -60,3 +60,24 @@ def test_list_delete(store, swapi):
     assert any(m["id"] == jid for m in store.list_jobs("swapi"))
     store.delete("swapi", jid)
     assert not any(m["id"] == jid for m in store.list_jobs("swapi"))
+
+
+def test_traversal_client_sugar(spark, tmp_path, swapi):
+    """outV/inV/bothV aliases, to_dict wire shape, and the
+    submit/searchJobs client-sugar over JobStore."""
+    from grip_spark.jobs import JobStore
+
+    q = swapi.query().V().hasLabel("Character")
+    assert q.to_dict() == {"query": q.stmts}
+    a = swapi.query().V(["Starship:12"]).outV().to_df().count()
+    b = swapi.query().V(["Starship:12"]).out().to_df().count()
+    assert a == b == 5
+    assert swapi.query().V(["Starship:12"]).bothV().to_df().count() == 10
+    assert swapi.query().V(["Planet:1"]).inV().to_df().count() == \
+        swapi.query().V(["Planet:1"]).in_().to_df().count()
+
+    store = JobStore(spark, str(tmp_path / "jobs"))
+    jid = q.submit(store)
+    assert jid
+    hits = q.searchJobs(store)
+    assert hits and hits[0]["id"] == jid
