@@ -332,3 +332,80 @@ def test_null_text_rows(spark):
     ids = spark.createDataFrame([("x",), (None,)], "id string")
     kept = sampling.hash_sample(ids, "id", 1.0).collect()
     assert [r.id for r in kept] == ["x"]  # NULL id -> NULL key -> dropped
+
+
+# -- property-based: chunker / packer vs pure-Python oracle ------------------
+
+
+def _py_tokens(s):
+    import re as _re
+
+    if s is None:
+        return []
+    return _re.split(r"\s+", s.strip().lower())
+
+
+def _py_chunks(toks, size, stride):
+    import math as _math
+
+    n = len(toks)
+    if n <= 0:
+        return []
+    n_chunks = 1 + max(_math.ceil((n - size) / stride), 0)
+    return [toks[ci * stride : ci * stride + size] for ci in range(n_chunks)]
+
+
+@pytest.mark.parametrize("size,stride", [(1, 1), (3, 2), (4, 4), (5, 7), (2, 1)])
+def test_chunker_matches_python_oracle(spark, size, stride):
+    import random as _random
+
+    from grip_spark import text
+
+    r = _random.Random(size * 100 + stride)
+    toks_pool = ["a", "bb", "ccc", "xy", "z"]
+    rows = [
+        (i, " ".join(r.choice(toks_pool) for _ in range(r.randint(1, 15))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for row in text.chunk_documents(df, size=size, stride=stride).collect():
+        got.setdefault(row.doc_id, {})[row.chunk_idx] = row.n_chunk_tokens
+    for i, t in rows:
+        want = _py_chunks(_py_tokens(t), size, stride)
+        assert len(got.get(i, {})) == len(want), (i, t)
+        for ci, chunk in enumerate(want):
+            assert got[i][ci] == len(chunk), (i, t, ci)
+
+
+def test_packer_matches_python_oracle(spark):
+    import hashlib
+    import random as _random
+
+    from grip_spark import text
+
+    r = _random.Random(11)
+    rows = [
+        (i, " ".join("tok" for _ in range(r.randint(0, 30)))) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cap, groups, salt = 64, 4, "pk"
+    got = {
+        row.doc_id: (row.grp, row.n_tokens, row.tok_start, row.seq)
+        for row in text.pack_sequences(
+            df, capacity=cap, num_groups=groups, salt=salt
+        ).collect()
+    }
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    acc = {}
+    for i, t in sorted(rows):  # doc_id order within group
+        grp = h(f"{salt}{i}") % groups
+        # "" -> [""] -> 1 token (cross-engine tokenizer semantics);
+        # None -> 0 (NULL-text hardening)
+        n = len(_py_tokens(t)) if t is not None else 0
+        start = acc.get(grp, 0)
+        assert got[i] == (grp, n, start, start // cap), (i, t, got[i])
+        acc[grp] = start + n
