@@ -1,0 +1,179 @@
+"""Benchmark decontamination: remove training documents that overlap a
+held-out evaluation set.
+
+The standard contamination rule (popularized by the GPT-3 appendix and
+PaLM training reports) flags a training document if it shares any
+n-token gram (n ≈ 13) with any benchmark document.  This module
+implements that rule as a pure DataFrame pipeline:
+
+  benchmark side:  tokenize → n-gram hash → distinct   (small: eval
+                   sets are MBs, so the distinct gram set broadcasts)
+  corpus side:     tokenize → n-gram hash → explode →
+                   BROADCAST left-semi join against the benchmark grams
+
+At 100 TB the corpus side is a narrow scan + explode with a broadcast
+hash-join probe — the corpus itself is never shuffled; the only
+shuffles move (a) the benchmark gram set (eval-set-sized) and (b) the
+matched document ids (contamination is rare by construction).
+
+The reference engine has no such operator (SURVEY §2.8 — no scalar
+functions at all); this extends the LLM-data-pipeline pillar alongside
+`grip_spark.dedup` and `grip_spark.text`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import _let, tokens
+
+
+def token_ngram_hashes(
+    text: Column | str, n: int = 13, gram_hash=None
+) -> Column:
+    """Hashes of the n-token grams of ``text`` (array<long>, one entry
+    per window position, in order — duplicates kept; wrap in
+    ``array_distinct`` for set semantics).
+
+    Tokens are the whitespace tokens of the lower-cased text (the
+    decontamination canon: case- and whitespace-insensitive matching);
+    grams are the space-joined token windows, hashed with built-in
+    ``xxhash64`` by default.  ``gram_hash`` swaps the hash (Column →
+    Column); ``dedup.md5_prefix_hash`` is the cross-engine family a SQL
+    oracle can replicate bit-for-bit.  Texts with fewer than ``n``
+    tokens (or NULL text) yield an empty array.  The token array is
+    let-bound (see ``text._let``) so tokenization runs once per row,
+    not once per window.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be > 0, got {n}")
+    h = gram_hash or F.xxhash64
+
+    def _body(toks: Column) -> Column:
+        ng = F.size(toks) - (n - 1)
+        idx = F.when(ng >= 1, F.sequence(F.lit(1), ng)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(idx, lambda i: h(F.array_join(F.slice(toks, i, n), " ")))
+
+    safe = F.coalesce(tokens(text), F.array().cast("array<string>"))
+    return _let(safe, _body)
+
+
+def benchmark_grams(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 13,
+    gram_hash=None,
+) -> DataFrame:
+    """The distinct n-gram hash set of an evaluation corpus, as a
+    single-column ``(_g long)`` DataFrame.  Compute once, reuse across
+    every training shard (callers doing repeated scans should persist
+    or ``localCheckpoint`` the result)."""
+    return (
+        benchmark.select(
+            F.explode(token_ngram_hashes(F.col(text_col), n, gram_hash)).alias("_g")
+        )
+        .distinct()
+    )
+
+
+def contamination_stats(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 13,
+    gram_hash=None,
+) -> DataFrame:
+    """Per-document contamination counts against a benchmark set:
+    ``(id_col, n_grams, n_hit)`` where ``n_grams`` is the document's
+    distinct n-gram count and ``n_hit`` how many of those grams appear
+    anywhere in the benchmark.  Every corpus row appears (documents
+    with < n tokens get ``n_grams = 0``).
+
+    Scale shape: ``explode_outer`` of the per-row distinct gram hashes,
+    broadcast left join against the benchmark gram set, then one
+    groupBy(id).  Exploded gram rows of a document stay in its input
+    partition, so the map-side partial aggregation collapses them to
+    one row per (partition, doc) before the shuffle — the shuffle
+    carries ~|corpus| rows of three numeric columns, not the grams.
+    """
+    bench = benchmark_grams(
+        benchmark, bench_text_col or text_col, n, gram_hash
+    ).withColumn("_hit", F.lit(1))
+    grams = corpus.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(token_ngram_hashes(F.col(text_col), n, gram_hash))
+        ).alias("_g"),
+    )
+    return (
+        grams.join(F.broadcast(bench), "_g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("_g").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hit"),
+        )
+    )
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 13,
+    min_hits: int = 1,
+    gram_hash=None,
+) -> DataFrame:
+    """Ids of corpus documents sharing >= ``min_hits`` distinct n-token
+    grams with the benchmark (``min_hits=1`` is the GPT-3 rule; raising
+    it trades recall for robustness against incidental collisions on
+    boilerplate grams).
+
+    With ``min_hits=1`` this is a broadcast left-SEMI join on the
+    exploded grams (no counting, early-out per document on first
+    match); otherwise it counts via :func:`contamination_stats`.
+    """
+    if min_hits > 1:
+        stats = contamination_stats(
+            corpus, benchmark, id_col, text_col, bench_text_col, n, gram_hash
+        )
+        return stats.filter(F.col("n_hit") >= min_hits).select(id_col)
+    bench = benchmark_grams(benchmark, bench_text_col or text_col, n, gram_hash)
+    grams = corpus.select(
+        F.col(id_col),
+        F.explode(token_ngram_hashes(F.col(text_col), n, gram_hash)).alias("_g"),
+    )
+    return (
+        grams.join(F.broadcast(bench), "_g", "left_semi").select(id_col).distinct()
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 13,
+    min_hits: int = 1,
+    gram_hash=None,
+) -> DataFrame:
+    """The corpus minus contaminated documents (all columns kept).
+
+    The matched-id set is broadcast into a left-anti join: eval-set
+    contamination is rare relative to corpus size, so the corpus again
+    avoids a shuffle.  (If a corpus is pathologically contaminated —
+    say a scrape containing the benchmark itself many times over — the
+    broadcast can exceed the driver; drop to a plain anti-join by
+    pre-computing :func:`contaminated_ids` and joining without the
+    broadcast hint.)
+    """
+    hits = contaminated_ids(
+        corpus, benchmark, id_col, text_col, bench_text_col, n, min_hits, gram_hash
+    )
+    return corpus.join(F.broadcast(hits), id_col, "left_anti")

@@ -210,6 +210,26 @@ def tune_bands(num_hashes: int, threshold: float) -> int:
     return best or num_hashes  # fall back to r=1 (recall over precision)
 
 
+def _band_explode(sig: DataFrame, bands: int, r: int) -> DataFrame:
+    """(_id, band, bh): one row per (document, band) with the band's
+    hash — the LSH bucket key.  Shared by the self-join and
+    two-corpus variants so both bucket identically."""
+    return sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.lit(b), F.slice("_sig", b * r + 1, r)).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_b.band", "_b.bh")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -245,20 +265,7 @@ def minhash_lsh_pairs(
     sig = minhash_signatures_df(
         df, id_col, text_col, num_hashes, shingle_n
     ).localCheckpoint(eager=True)
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(F.lit(b), F.slice("_sig", b * r + 1, r)).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_b"),
-    ).select("_id", "_b.band", "_b.bh")
+    banded = _band_explode(sig, bands, r)
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -315,6 +322,92 @@ def minhash_lsh_pairs(
         joined.filter((inter / union) >= threshold)
         .select("a_id", "b_id")
     )
+
+
+def minhash_lsh_pairs_between(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int | None = None,
+    shingle_n: int = 5,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN two corpora: ``(a_id, b_id)`` where
+    ``a_id`` is from ``df_a`` and ``b_id`` from ``df_b`` and exact
+    shingle Jaccard >= ``threshold``.
+
+    The incremental-ingest shape: dedup a new batch against an existing
+    corpus (or a training corpus against a held-out set) without paying
+    the existing corpus's self-join.  Both sides use the SAME seeded
+    signature family and band hashing (:func:`_band_explode`), so a
+    document equal across corpora collides with probability 1; the
+    candidate join is banded-A × banded-B on (band, band-hash) — an
+    equi-join, never a cartesian, and at scale the smaller side's
+    banded table broadcasts when it fits.
+
+    Ids need not be disjoint across corpora (no ``a < b`` constraint is
+    applied; a document paired with itself across corpora comes back as
+    ``(x, x)``, the signal an ingest pipeline wants).
+    """
+    if bands is None:
+        bands = tune_bands(num_hashes, threshold)
+    r = num_hashes // bands
+    sig_a = minhash_signatures_df(
+        df_a, id_col, text_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=True)
+    sig_b = minhash_signatures_df(
+        df_b, id_col, text_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=True)
+    ba = _band_explode(sig_a, bands, r).alias("l")
+    bb = _band_explode(sig_b, bands, r).alias("r")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh")),
+        )
+        .select(F.col("l._id").alias("a_id"), F.col("r._id").alias("b_id"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    # stage 1: signature-estimated Jaccard prune (64 long compares, no
+    # text access), same margin policy as the self-join variant
+    sa = sig_a.select(F.col("_id").alias("a_id"), F.col("_sig").alias("_siga"))
+    sb = sig_b.select(F.col("_id").alias("b_id"), F.col("_sig").alias("_sigb"))
+    est = F.aggregate(
+        F.zip_with("_siga", "_sigb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(num_hashes))
+    cand = (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .filter(est >= threshold - 0.1)
+        .select("a_id", "b_id")
+    ).localCheckpoint(eager=True)
+    # stage 2: exact shingle Jaccard, shingling only the candidate docs
+    # of each side (left-semi prune per corpus)
+    sha = (
+        df_a.join(cand.select("a_id"), F.col(id_col) == F.col("a_id"), "left_semi")
+        .select(
+            F.col(id_col).alias("a_id"), char_shingles(text_col, shingle_n).alias("_sha")
+        )
+        .localCheckpoint(eager=True)
+    )
+    shb = (
+        df_b.join(cand.select("b_id"), F.col(id_col) == F.col("b_id"), "left_semi")
+        .select(
+            F.col(id_col).alias("b_id"), char_shingles(text_col, shingle_n).alias("_shb")
+        )
+        .localCheckpoint(eager=True)
+    )
+    joined = cand.join(sha, "a_id").join(shb, "b_id")
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size("_sha") + F.size("_shb") - inter
+    return joined.filter((inter / union) >= threshold).select("a_id", "b_id")
 
 
 # ---------------------------------------------------------------------------

@@ -486,3 +486,134 @@ def repetition_stats(
     return df.withColumn("_rep", stats).withColumns(
         {top_col: F.col("_rep.top"), dup_col: F.col("_rep.dup")}
     ).drop("_rep")
+
+
+# ---------------------------------------------------------------------------
+# unigram language-model scoring (perplexity-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+def unigram_model(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 1 << 16,
+) -> DataFrame:
+    """Corpus unigram LM: the ``vocab_size`` most frequent whitespace
+    tokens with their log-probabilities → ``(token, n, logp,
+    oov_logp)``.  ``oov_logp`` (constant across rows) is the
+    floor assigned to out-of-vocabulary tokens: log(0.5 / total) —
+    half a count, the classic smoothing-floor convention.
+
+    Ties at the frequency cut break on token order (count desc, token
+    asc), so the vocabulary is deterministic.  Scale shape: one
+    explode + hash-aggregate over the corpus (map-side combine —
+    the shuffle carries ~|vocab observed per partition| rows, Zipf
+    makes that tiny relative to tokens), one vocab-sized sort-limit.
+    The full count table also feeds the exact total before the limit:
+    both aggregates reuse the SAME grouped relation (localCheckpoint)
+    so the corpus is tokenized once.
+    """
+    if vocab_size <= 0:
+        raise ValueError(f"vocab_size must be > 0, got {vocab_size}")
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    vocab = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(vocab_size)
+    return vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        "n",
+        F.log(F.col("n") / F.col("_total")).alias("logp"),
+        F.log(F.lit(0.5) / F.col("_total")).alias("oov_logp"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "mean_logprob",
+) -> DataFrame:
+    """Per-document mean token log-probability under a unigram model
+    (:func:`unigram_model`) → ``(id_col, n_tokens, out_col)``.
+
+    The cheap end of the perplexity-filter family (CCNet-style: score
+    documents under a reference LM, drop the tail): a document of
+    gibberish/rare tokens scores near the OOV floor, natural text
+    near the corpus mean.  Documents with no tokens get NULL.
+
+    Scale shape: explode tokens → BROADCAST left join against the
+    (vocab-sized) model → groupBy(id).  Exploded token rows of a
+    document stay in its input partition, so map-side partial
+    aggregation collapses the shuffle to ~|corpus| rows of two
+    numeric columns.  The corpus is scored in one pass; training the
+    model (one prior pass) is the only other corpus touch.
+    """
+    oov = model.agg(F.first("oov_logp").alias("_floor"))
+    # empty tokens are filtered INSIDE the array (not post-explode) so a
+    # document with no real tokens still emits its explode_outer NULL
+    # row and appears in the output with n_tokens=0 / NULL score
+    nonempty = F.filter(tokens(text_col), lambda t: t != "")
+    toks = df.select(F.col(id_col), F.explode_outer(nonempty).alias("token"))
+    scored = toks.join(
+        F.broadcast(model.select("token", "logp")), "token", "left"
+    ).crossJoin(F.broadcast(oov))
+    lp = F.when(
+        F.col("token").isNotNull(), F.coalesce(F.col("logp"), F.col("_floor"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("token").alias("n_tokens"),
+        F.round(F.avg(lp), 6).alias(out_col),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Deliberately conservative public patterns (the C4/Dolma-style scrub
+# pass: emails, phone-looking digit runs, IPv4, US-SSN shapes).  Order
+# matters: emails are redacted before phones so a digit-bearing local
+# part is not half-eaten by the phone pattern.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("phone", r"(?<![\d.\-])\+?\d(?:[\d\-. ()]{6,14}\d)(?![\d.\-])"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_redacted",
+    patterns: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Redact PII-shaped spans → ``out_col`` with each match replaced
+    by ``<CLASS>`` (e.g. ``<EMAIL>``), plus one ``n_<class>`` count
+    column per pattern (counted BEFORE redaction, on the original
+    text).
+
+    Scale shape: k regex passes over the text column (k = 4 by
+    default), all inside whole-stage codegen — no shuffle, no Python.
+    Counting uses the same compiled pattern as replacement, so counts
+    and redactions cannot disagree.  NULL text passes through as NULL
+    with zero counts.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    c = F.col(text_col)
+    out = df
+    for name, pat in pats:
+        out = out.withColumn(
+            f"n_{name}",
+            F.coalesce(F.regexp_count(c, F.lit(pat)), F.lit(0)),
+        )
+    red = c
+    for name, pat in pats:
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return out.withColumn(out_col, red)

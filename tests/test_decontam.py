@@ -1,0 +1,139 @@
+"""Decontamination (benchmark n-gram overlap removal) vs a pure-Python
+oracle, plus plan-shape guarantees (broadcast probe, no corpus
+shuffle)."""
+
+import random
+
+import pytest
+
+from grip_spark import decontam
+
+
+def _py_ngrams(text, n):
+    toks = text.lower().split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _mk_corpus(rng, n_docs, vocab, doc_len):
+    return [
+        (i, " ".join(rng.choice(vocab) for _ in range(doc_len)))
+        for i in range(n_docs)
+    ]
+
+
+@pytest.fixture(scope="module")
+def corpus_bench(spark):
+    rng = random.Random(20260813)
+    vocab = [f"w{i}" for i in range(50)]
+    corpus = _mk_corpus(rng, 120, vocab, 40)
+    # benchmark: 8 fresh docs + verbatim slices of 10 corpus docs
+    # (planted contamination with known answers)
+    bench = [(1000 + i, " ".join(rng.choice(vocab) for _ in range(30))) for i in range(8)]
+    planted = set()
+    for j, (doc_id, text) in enumerate(corpus[:10]):
+        toks = text.split()
+        bench.append((2000 + j, " ".join(toks[5:25])))  # 20-token slice
+        planted.add(doc_id)
+    cdf = spark.createDataFrame(corpus, ["doc_id", "text"])
+    bdf = spark.createDataFrame(bench, ["doc_id", "text"])
+    return cdf, bdf, corpus, bench, planted
+
+
+def _py_contaminated(corpus, bench, n):
+    bench_grams = set()
+    for _, t in bench:
+        bench_grams |= _py_ngrams(t, n)
+    return {
+        i for i, t in corpus if _py_ngrams(t, n) & bench_grams
+    }
+
+
+def test_contaminated_ids_matches_python_oracle(corpus_bench):
+    cdf, bdf, corpus, bench, planted = corpus_bench
+    for n in (5, 13):
+        got = {
+            r["doc_id"]
+            for r in decontam.contaminated_ids(cdf, bdf, n=n).collect()
+        }
+        want = _py_contaminated(corpus, bench, n)
+        assert got == want
+        assert planted <= got  # every planted slice is >= 20 tokens
+
+
+def test_contamination_stats_matches_python_oracle(corpus_bench):
+    cdf, bdf, corpus, bench, _ = corpus_bench
+    n = 7
+    bench_grams = set()
+    for _, t in bench:
+        bench_grams |= _py_ngrams(t, n)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"])
+        for r in decontam.contamination_stats(cdf, bdf, n=n).collect()
+    }
+    assert set(got) == {i for i, _ in corpus}  # every doc has a row
+    for i, t in corpus:
+        grams = _py_ngrams(t, n)
+        assert got[i] == (len(grams), len(grams & bench_grams))
+
+
+def test_decontaminate_removes_exactly_the_hits(corpus_bench):
+    cdf, bdf, corpus, bench, _ = corpus_bench
+    clean = decontam.decontaminate(cdf, bdf, n=9)
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    want = {i for i, _ in corpus} - _py_contaminated(corpus, bench, 9)
+    assert kept == want
+    assert clean.columns == cdf.columns  # all columns survive
+
+
+def test_min_hits_threshold(corpus_bench):
+    cdf, bdf, corpus, bench, _ = corpus_bench
+    n = 7
+    bench_grams = set()
+    for _, t in bench:
+        bench_grams |= _py_ngrams(t, n)
+    got = {
+        r["doc_id"]
+        for r in decontam.contaminated_ids(cdf, bdf, n=n, min_hits=5).collect()
+    }
+    want = {i for i, t in corpus if len(_py_ngrams(t, n) & bench_grams) >= 5}
+    assert got == want
+
+
+def test_short_and_null_text(spark):
+    cdf = spark.createDataFrame(
+        [(1, "only three tokens"), (2, None), (3, "a b c d e f g h i j k l m")],
+        ["doc_id", "text"],
+    )
+    bdf = spark.createDataFrame([(9, "a b c d e f g h i j k l m")], ["doc_id", "text"])
+    hits = {r["doc_id"] for r in decontam.contaminated_ids(cdf, bdf, n=13).collect()}
+    assert hits == {3}  # doc 1 has < 13 tokens, doc 2 is NULL
+    stats = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"])
+        for r in decontam.contamination_stats(cdf, bdf, n=13).collect()
+    }
+    assert stats[1] == (0, 0) and stats[2] == (0, 0) and stats[3] == (1, 1)
+
+
+def test_plan_broadcasts_benchmark_and_never_shuffles_corpus(corpus_bench):
+    cdf, bdf, *_ = corpus_bench
+    plan = decontam.contaminated_ids(cdf, bdf, n=13)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the corpus side of the semi-join must not sit under an Exchange:
+    # the only exchanges allowed are the benchmark-side distinct, the
+    # broadcast itself, and the final distinct over matched ids
+    import re
+
+    semi = plan.split("BroadcastHashJoin")[1]
+    corpus_branch = [
+        ln for ln in semi.splitlines() if "Scan" in ln or "Exchange" in ln
+    ]
+    # benchmark branch hangs under BroadcastExchange; any plain
+    # (hashpartitioning) Exchange between the semi-join and the corpus
+    # scan would mean we shuffled the corpus
+    seen_bcast = False
+    for ln in corpus_branch:
+        if "BroadcastExchange" in ln:
+            seen_bcast = True
+        elif "Exchange" in ln and not seen_bcast:
+            raise AssertionError(f"corpus shuffled before semi-join:\n{plan}")
+    assert seen_bcast

@@ -1,0 +1,94 @@
+"""Two-corpus (incremental-ingest) MinHash-LSH vs the exact cross
+Jaccard oracle."""
+
+import random
+
+import pytest
+
+from grip_spark import dedup
+
+
+def _py_shingles(text, n=5):
+    return {text[i : i + n] for i in range(len(text) - n + 1)}
+
+
+def _jaccard(a, b):
+    i = len(a & b)
+    return i / (len(a) + len(b) - i) if (a or b) else 0.0
+
+
+@pytest.fixture(scope="module")
+def two_corpora(spark):
+    rng = random.Random(4242)
+    words = [f"tok{i}" for i in range(200)]
+    base = [
+        (i, " ".join(rng.choice(words) for _ in range(60))) for i in range(60)
+    ]
+    # corpus B: 15 near-copies of A docs (light perturbation), 1 exact
+    # copy (same id even), plus 20 fresh docs
+    b = []
+    for j, (i, t) in enumerate(base[:15]):
+        toks = t.split()
+        k = rng.randrange(len(toks))
+        toks[k] = rng.choice(words)
+        b.append((1000 + j, " ".join(toks)))
+    b.append(base[20])  # verbatim, identical id
+    for j in range(20):
+        b.append((2000 + j, " ".join(rng.choice(words) for _ in range(60))))
+    return (
+        spark.createDataFrame(base, ["doc_id", "text"]),
+        spark.createDataFrame(b, ["doc_id", "text"]),
+        base,
+        b,
+    )
+
+
+def test_between_pairs_no_false_positives_and_high_recall(two_corpora):
+    dfa, dfb, base, b = two_corpora
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.minhash_lsh_pairs_between(
+            dfa, dfb, "doc_id", threshold=0.8
+        ).collect()
+    }
+    truth = set()
+    for ai, at in base:
+        sa = _py_shingles(at.lower())
+        for bi, bt in b:
+            if _jaccard(sa, _py_shingles(bt.lower())) >= 0.8:
+                truth.add((ai, bi))
+    # verify=True guarantees zero false positives
+    assert got <= truth
+    # banded LSH at threshold 0.8 over >=0.9-similar planted pairs:
+    # expect near-total recall on this corpus size
+    assert len(got) >= 0.9 * len(truth)
+    # the verbatim copy always collides (identical signature)
+    assert (20, 20) in got
+
+
+def test_between_is_cross_only(two_corpora):
+    dfa, dfb, *_ = two_corpora
+    pairs = dedup.minhash_lsh_pairs_between(
+        dfa, dfb, "doc_id", threshold=0.8
+    ).collect()
+    a_ids = {r[0] for r in dfa.select("doc_id").collect()}
+    b_ids = {r[0] for r in dfb.select("doc_id").collect()}
+    for r in pairs:
+        assert r["a_id"] in a_ids and r["b_id"] in b_ids
+
+
+def test_self_join_variant_unchanged_by_refactor(two_corpora):
+    # the _band_explode factoring must not change the self-join output:
+    # pin a couple of invariants (no false positives vs exact oracle)
+    dfa, _, base, _ = two_corpora
+    got = {
+        tuple(sorted((r["a_id"], r["b_id"])))
+        for r in dedup.minhash_lsh_pairs(dfa, "doc_id", threshold=0.8).collect()
+    }
+    truth = set()
+    sh = {i: _py_shingles(t.lower()) for i, t in base}
+    for i in sh:
+        for j in sh:
+            if i < j and _jaccard(sh[i], sh[j]) >= 0.8:
+                truth.add((i, j))
+    assert got <= truth

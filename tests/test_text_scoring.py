@@ -1,0 +1,112 @@
+"""Unigram-LM scoring and PII redaction vs pure-Python oracles."""
+
+import math
+import random
+from collections import Counter
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from grip_spark import text
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(77)
+    # Zipf-ish vocabulary: token w_i with weight 1/(i+1)
+    vocab = [f"w{i}" for i in range(80)]
+    weights = [1.0 / (i + 1) for i in range(80)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, weights)[0] for _ in range(50)))
+        for i in range(100)
+    ]
+    rows += [(100, None), (101, ""), (102, "zzz qqq xxx")]  # OOV-ish doc
+    return spark.createDataFrame(rows, ["doc_id", "text"]), rows
+
+
+def test_unigram_model_matches_python(corpus):
+    df, rows = corpus
+    model = {r["token"]: (r["n"], r["logp"], r["oov_logp"])
+             for r in text.unigram_model(df, vocab_size=40).collect()}
+    cnt = Counter()
+    for _, t in rows:
+        if t:
+            cnt.update(t.lower().split())
+    total = sum(cnt.values())
+    want_vocab = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:40]
+    assert set(model) == {tok for tok, _ in want_vocab}
+    for tok, n in want_vocab:
+        gn, glogp, goov = model[tok]
+        assert gn == n
+        assert abs(glogp - math.log(n / total)) < 1e-9
+        assert abs(goov - math.log(0.5 / total)) < 1e-9
+
+
+def test_unigram_logprob_matches_python(corpus):
+    df, rows = corpus
+    model_df = text.unigram_model(df, vocab_size=40).localCheckpoint(eager=True)
+    model = {r["token"]: r["logp"] for r in model_df.collect()}
+    floor = model_df.collect()[0]["oov_logp"]
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_logprob"])
+        for r in text.unigram_logprob(df, model_df).collect()
+    }
+    assert set(got) == {i for i, _ in rows}  # every doc has a row
+    for i, t in rows:
+        toks = t.lower().split() if t else []
+        if not toks:
+            assert got[i] == (0, None)
+        else:
+            want = sum(model.get(tok, floor) for tok in toks) / len(toks)
+            assert got[i][0] == len(toks)
+            assert abs(got[i][1] - want) < 1e-5
+    # the all-OOV doc scores exactly the floor
+    assert abs(got[102][1] - floor) < 1e-5
+
+
+def test_redact_pii(spark):
+    rows = [
+        (1, "mail me at jane.doe+x@example.co.uk or bob@corp.io today"),
+        (2, "server at 192.168.1.254 port 8080"),
+        (3, "ssn 123-45-6789 leaked"),
+        (4, "call +1 (415) 555-0100 or 020-7946-0958 now"),
+        (5, "nothing sensitive here, just 42 and 3.14"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in text.redact_pii(df).collect()}
+    assert got[1]["n_email"] == 2 and "<EMAIL>" in got[1]["text_redacted"]
+    assert "@" not in got[1]["text_redacted"]
+    assert got[2]["n_ipv4"] == 1 and "<IPV4>" in got[2]["text_redacted"]
+    assert got[3]["n_ssn"] == 1 and "<SSN>" in got[3]["text_redacted"]
+    assert got[4]["n_phone"] == 2
+    assert got[4]["text_redacted"].count("<PHONE>") == 2
+    assert got[5] == {
+        "doc_id": 5,
+        "text": rows[4][1],
+        "n_email": 0,
+        "n_ssn": 0,
+        "n_ipv4": 0,
+        "n_phone": 0,
+        "text_redacted": rows[4][1],
+    }
+    assert got[6]["text_redacted"] is None and got[6]["n_email"] == 0
+
+
+def test_unigram_logprob_plan_shape(corpus):
+    # scoring pass: model join must be a broadcast, and the only
+    # hash-partitioning exchange is the final per-doc aggregate
+    df, _ = corpus
+    model_df = text.unigram_model(df, vocab_size=40).localCheckpoint(eager=True)
+    plan = (
+        text.unigram_logprob(df, model_df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    import re
+
+    shuffles = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert all("doc_id" in s for s in shuffles), shuffles
