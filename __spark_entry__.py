@@ -37,7 +37,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from grip_spark import dedup, multimodal, ops, sampling, similarity, text
+from grip_spark import decontam, dedup, multimodal, ops, sampling, similarity, text
 from grip_spark.tpch import ORACLE_E_COUNT, ORACLE_V_COUNT, tpch_graph
 
 SEGMENTS = ["BUILDING", "AUTOMOBILE"]
@@ -74,10 +74,23 @@ def _docs(spark, sf_dir):
 
 
 def _events(spark, sf_dir):
-    # the events table stores TIMESTAMP(NANOS) which Spark's parquet
-    # reader rejects; read it as raw nanos-since-epoch longs
+    # the events table stores TIMESTAMP(NANOS); depending on the Spark
+    # build it arrives as a raw nanos-since-epoch long (legacy
+    # nanosAsLong flag honored) or as timestamp_ntz (Spark 4.1+ native
+    # read).  Normalize to the nanos-long shape the queries expect —
+    # timestampdiff on two NTZ values is pure wall-clock arithmetic,
+    # so the conversion is timezone-independent (matches DuckDB's
+    # epoch_ns over the same file).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if not df.schema["ts"].dataType.typeName().startswith("long"):
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"
+            ),
+        )
+    return df
 
 
 def _emb(spark, sf_dir):
@@ -540,6 +553,76 @@ def q_doc_repetition(spark, sf_dir):
     )
 
 
+def q_decontam_stats(spark, sf_dir):
+    """Benchmark decontamination (decontam.contamination_stats): split
+    documents into a held-out "benchmark" (doc_id % 10 == 0) and a
+    training corpus (the rest); per corpus doc, count its distinct
+    13-token grams and how many also occur anywhere in the benchmark
+    (the GPT-3 13-gram contamination rule).  The corpus's near-dup
+    families straddle the split, so hits are non-trivial.  Gram
+    hashing is xxhash64 (production path); the oracle compares gram
+    STRINGS — identical results unless a 64-bit collision lands
+    inside one document's gram set."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corp = docs.filter(F.col("doc_id") % 10 != 0)
+    return decontam.contamination_stats(corp, bench, n=13)
+
+
+def q_minhash_between(spark, sf_dir):
+    """Cross-corpus near-dup pairs (dedup.minhash_lsh_pairs_between):
+    banded MinHash-LSH between the doc_id % 10 == 0 subset and the
+    rest — the incremental-ingest shape (new batch vs existing corpus,
+    no self-join on the big side).  Oracle is the exact 5-gram
+    Jaccard >= 0.8 pair set between the two subsets, so LSH recall is
+    verified, not assumed."""
+    docs = _docs(spark, sf_dir)
+    a = docs.filter(F.col("doc_id") % 10 == 0)
+    b = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup.minhash_lsh_pairs_between(a, b, "doc_id", threshold=0.8)
+
+
+def q_doc_unigram_lp(spark, sf_dir):
+    """Unigram-LM document scoring (text.unigram_model +
+    unigram_logprob — the CCNet perplexity-filter shape): train a
+    20-token-vocabulary model on the corpus (vocab cut exercises the
+    count-desc/token-asc deterministic tie-break; ~8.7k corpus tokens
+    fall to the OOV floor), then score every document's mean token
+    log-probability under it."""
+    docs = _docs(spark, sf_dir)
+    model = text.unigram_model(docs, vocab_size=20)
+    return text.unigram_logprob(docs, model)
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (text.redact_pii): the synthetic corpus contains
+    no PII, so the query injects a deterministic email + IPv4 + SSN
+    per document (same expression in the SQL oracle) and verifies
+    per-class counts plus the tail of the redacted text.  The phone
+    pattern needs Java-regex lookarounds DuckDB's RE2 lacks — it is
+    pytest-covered (test_text_scoring.py) and excluded here."""
+    pats = [p for p in text.PII_PATTERNS if p[0] in ("email", "ssn", "ipv4")]
+    injected = _docs(spark, sf_dir).withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 ssn 123-45-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    return text.redact_pii(injected, "text2", patterns=pats).select(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_ipv4",
+        F.substring("text_redacted", -60, 60).alias("red_tail"),
+    )
+
+
 def q_doc_text_profile(spark, sf_dir):
     """The five text-analysis operators in one pass: token count, char
     stats, quality score, language-ID, fingerprint — each a column."""
@@ -618,12 +701,20 @@ def q_out_2hop(spark, sf_dir):
     return _gq(spark, sf_dir).V(["c:1"]).out("placed").out("contains").to_df().select("gid")
 
 
-def q_distinct_count(spark, sf_dir):
-    return _gq(spark, sf_dir).V().hasLabel("Customer").distinct("c_mktsegment").count().to_df()
-
-
-def q_distinct_mark_count(spark, sf_dir):
-    return (
+def q_distinct_ops(spark, sf_dir):
+    """distinct() on a current-element field and on a mark-scoped
+    field ($c.…) as labeled rows (one slot, both distinct shapes —
+    the slot freed funds the r4 pipeline operators)."""
+    plain = (
+        _gq(spark, sf_dir)
+        .V()
+        .hasLabel("Customer")
+        .distinct("c_mktsegment")
+        .count()
+        .to_df()
+        .select(F.lit("plain").alias("op"), F.col("count"))
+    )
+    marked = (
         _gq(spark, sf_dir)
         .V()
         .hasLabel("Customer")
@@ -632,7 +723,9 @@ def q_distinct_mark_count(spark, sf_dir):
         .distinct("$c.c_mktsegment")
         .count()
         .to_df()
+        .select(F.lit("mark").alias("op"), F.col("count"))
     )
+    return plain.unionByName(marked)
 
 
 def q_select_single(spark, sf_dir):
@@ -713,16 +806,45 @@ def q_set_increment(spark, sf_dir):
     )
 
 
-def q_agg_term(spark, sf_dir):
-    # size=3 exercises the desc-count cap (processors.go:980-1019);
-    # ties break deterministically by key asc on both sides
-    return (
+def q_agg_matrix(spark, sf_dir):
+    """Five of the six aggregation kinds in one slot (histogram keeps
+    its own — empty-bucket emission deserves an isolated signal):
+
+    - Orders: count + type + percentile fused in ONE aggregate()
+      statement → single GROUPING SETS pass (the multi-agg path,
+      processors.go:944-1150 parity)
+    - Customer: term with size=3 (desc-count cap, deterministic
+      key-asc tie-break — processors.go:980-1019)
+    - Nation: field (map-key counting, processors.go:1093-1109)
+
+    All aggregate() results share the (name, key, value) shape, so
+    the three traversals union into one labeled relation.  Percentile
+    uses percentile_approx at accuracy 50k — rank-exact at this
+    scale, oracled against quantile_disc."""
+    orders = (
+        _gq(spark, sf_dir)
+        .V()
+        .hasLabel("Order")
+        .aggregate(
+            [
+                ops.count("n"),
+                ops.type_("ty", "o_totalprice"),
+                ops.percentile("pct", "o_totalprice", [25, 50, 75]),
+            ]
+        )
+        .to_df()
+    )
+    term = (
         _gq(spark, sf_dir)
         .V()
         .hasLabel("Customer")
         .aggregate([ops.term("seg", "c_mktsegment", size=3)])
         .to_df()
     )
+    field = (
+        _gq(spark, sf_dir).V().hasLabel("Nation").aggregate([ops.field("f", "_data")]).to_df()
+    )
+    return orders.unionByName(term).unionByName(field)
 
 
 def q_agg_histogram(spark, sf_dir):
@@ -731,32 +853,6 @@ def q_agg_histogram(spark, sf_dir):
         .V()
         .hasLabel("Order")
         .aggregate([ops.histogram("tp", "o_totalprice", 50000)])
-        .to_df()
-    )
-
-
-def q_agg_multi(spark, sf_dir):
-    return (
-        _gq(spark, sf_dir)
-        .V()
-        .hasLabel("Order")
-        .aggregate([ops.count("n"), ops.type_("ty", "o_totalprice")])
-        .to_df()
-    )
-
-
-def q_agg_field(spark, sf_dir):
-    return _gq(spark, sf_dir).V().hasLabel("Nation").aggregate([ops.field("f", "_data")]).to_df()
-
-
-def q_agg_percentile(spark, sf_dir):
-    # percentile_approx at accuracy 50k is rank-exact at this scale →
-    # oracled against quantile_disc
-    return (
-        _gq(spark, sf_dir)
-        .V()
-        .hasLabel("Order")
-        .aggregate([ops.percentile("pct", "o_totalprice", [25, 50, 75])])
         .to_df()
     )
 
@@ -894,6 +990,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cells": q_ivf_cells,
         "corpus_pipeline": q_corpus_pipeline,
         "doc_repetition": q_doc_repetition,
+        # new late-r4 pipeline operators (slots funded by the agg and
+        # distinct matrix consolidations below)
+        "decontam_stats": q_decontam_stats,
+        "minhash_between": q_minhash_between,
+        "doc_unigram_lp": q_doc_unigram_lp,
+        "pii_redact": q_pii_redact,
         # r2-green operator queries (hasLabel/hasKey now ride in
         # scan_counts; outE/inE/edge-out in adjacency_ops; outNull in
         # null_traversals — see those matrices)
@@ -901,8 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_ids": q_v_ids,
         "hop_counts": q_hop_counts,
         "out_2hop": q_out_2hop,
-        "distinct_count": q_distinct_count,
-        "distinct_mark_count": q_distinct_mark_count,
+        "distinct_ops": q_distinct_ops,
         "select_single": q_select_single,
         "select_multi": q_select_multi,
         "fields_project": q_fields_project,
@@ -910,11 +1011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_len": q_path_len,
         "unwind_words": q_unwind_words,
         "set_increment": q_set_increment,
-        "agg_term": q_agg_term,
+        "agg_matrix": q_agg_matrix,
         "agg_histogram": q_agg_histogram,
-        "agg_multi": q_agg_multi,
-        "agg_field": q_agg_field,
-        "agg_percentile": q_agg_percentile,
         "mark_jump": q_mark_jump,
         "forward_jump": q_forward_jump,
         "dedup_exact": q_dedup_exact,
@@ -1360,6 +1458,92 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_tokens) AS BIGINT) AS seq_tokens "
             "FROM p GROUP BY grp, seq"
         ),
+        # -- late-r4 pipeline operators -----------------------------------
+        "decontam_stats": (
+            # gram STRINGS here vs xxhash64 in the engine — identical
+            # results unless a 64-bit collision lands inside one doc
+            r"WITH toks AS ("
+            r"  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk "
+            r"  FROM documents"
+            r"), grams AS ("
+            r"  SELECT DISTINCT doc_id,"
+            r"         unnest(CASE WHEN len(tk) >= 13"
+            r"                THEN [array_to_string(tk[CAST(i AS INT):CAST(i + 12 AS INT)], ' ')"
+            r"                      FOR i IN generate_series(1, len(tk) - 12)]"
+            r"                ELSE CAST([] AS VARCHAR[]) END) AS g"
+            r"  FROM toks"
+            r"), bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),"
+            r"corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 != 0) "
+            r"SELECT d.doc_id, count(c.g) AS n_grams,"
+            r"       coalesce(sum(CASE WHEN b.g IS NOT NULL THEN 1 END), 0) AS n_hit "
+            r"FROM (SELECT doc_id FROM documents WHERE doc_id % 10 != 0) d "
+            r"LEFT JOIN corpus c ON c.doc_id = d.doc_id "
+            r"LEFT JOIN bench b ON b.g = c.g "
+            r"GROUP BY d.doc_id"
+        ),
+        "minhash_between": (
+            # exact 5-gram Jaccard pair set BETWEEN the two subsets
+            # (a: doc_id%10==0, b: rest) — LSH recall verified, not assumed
+            "WITH tri AS ("
+            "  SELECT DISTINCT doc_id,"
+            "         unnest([substr(text, CAST(i AS INT), 5) "
+            "FOR i IN generate_series(1, length(text)-4)]) AS g"
+            "  FROM documents"
+            "), sizes AS (SELECT doc_id, count(*) n FROM tri GROUP BY doc_id),"
+            "inter AS ("
+            "  SELECT a.doc_id a_id, b.doc_id b_id, count(*) c"
+            "  FROM tri a JOIN tri b ON a.g = b.g"
+            "  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0"
+            "  GROUP BY 1, 2"
+            ") "
+            "SELECT a_id, b_id "
+            "FROM inter JOIN sizes sa ON sa.doc_id = a_id "
+            "JOIN sizes sb ON sb.doc_id = b_id "
+            "WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8"
+        ),
+        "doc_unigram_lp": (
+            r"WITH toks AS ("
+            r"  SELECT doc_id, unnest(list_filter("
+            r"string_split_regex(lower(trim(text)), '\s+'), x -> x != '')) AS token"
+            r"  FROM documents"
+            r"), counts AS (SELECT token, count(*) n FROM toks GROUP BY token),"
+            r"tot AS (SELECT sum(n) t FROM counts),"
+            r"vocab AS (SELECT token, ln(n * 1.0 / (SELECT t FROM tot)) logp "
+            r"FROM counts ORDER BY n DESC, token LIMIT 20),"
+            r"floorv AS (SELECT ln(0.5 / (SELECT t FROM tot)) f),"
+            r"alltok AS (SELECT d.doc_id, t.token FROM documents d "
+            r"LEFT JOIN toks t ON t.doc_id = d.doc_id) "
+            r"SELECT a.doc_id, count(a.token) AS n_tokens,"
+            r"       round(avg(CASE WHEN a.token IS NULL THEN NULL"
+            r"                 ELSE coalesce(v.logp, (SELECT f FROM floorv)) END), 6)"
+            r" AS mean_logprob "
+            r"FROM alltok a LEFT JOIN vocab v ON v.token = a.token "
+            r"GROUP BY a.doc_id"
+        ),
+        "pii_redact": (
+            r"WITH inj AS ("
+            r"  SELECT doc_id,"
+            r"         text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+            r"'@example.com at 10.0.' ||"
+            r"         CAST(doc_id % 256 AS VARCHAR) || '.1 ssn 123-45-' ||"
+            r"         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t"
+            r"  FROM documents"
+            r") "
+            r"SELECT doc_id,"
+            r"  len(regexp_extract_all(t, "
+            r"'[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_email,"
+            r"  len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,"
+            r"  len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,"
+            r"  substr("
+            r"    regexp_replace("
+            r"      regexp_replace("
+            r"        regexp_replace(t, "
+            r"'[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),"
+            r"        '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),"
+            r"      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g'),"
+            r"    -60, 60) AS red_tail "
+            r"FROM inj"
+        ),
         "doc_text_profile": (
             f"SELECT doc_id, n_tokens, n_chars_total, n_alpha, n_upper, n_digit, "
             f"n_space, quality, {lang_case} AS lang_guess, fp FROM ("
@@ -1407,9 +1591,9 @@ def oracle_sql() -> dict[str, str]:
             "JOIN orders o ON l.l_orderkey = o.o_orderkey "
             "JOIN part p ON p.p_partkey = l.l_partkey WHERE o.o_custkey = 1"
         ),
-        "distinct_count": "SELECT count(DISTINCT c_mktsegment) AS count FROM customer",
-        "distinct_mark_count": (
-            "SELECT count(DISTINCT c.c_mktsegment) AS count FROM customer c "
+        "distinct_ops": (
+            "SELECT 'plain' AS op, count(DISTINCT c_mktsegment) AS count FROM customer "
+            "UNION ALL SELECT 'mark', count(DISTINCT c.c_mktsegment) FROM customer c "
             "JOIN orders o ON o.o_custkey = c.c_custkey"
         ),
         "select_single": (
@@ -1437,11 +1621,20 @@ def oracle_sql() -> dict[str, str]:
         "set_increment": (
             "SELECT 'y' AS f, c_acctbal + 100 AS bal FROM customer WHERE c_custkey = 1"
         ),
-        "agg_term": (
-            "SELECT 'seg' AS name, key, value FROM ("
+        "agg_matrix": (
+            # Orders: count + type + percentile (fused multi-agg)
+            "SELECT 'n' AS name, 'count' AS key, CAST(count(*) AS DOUBLE) AS value FROM orders "
+            "UNION ALL SELECT 'ty', 'NUMERIC', CAST(count(*) AS DOUBLE) FROM orders "
+            "WHERE o_totalprice IS NOT NULL "
+            "UNION ALL SELECT 'pct', '25.0', quantile_disc(o_totalprice, 0.25) FROM orders "
+            "UNION ALL SELECT 'pct', '50.0', quantile_disc(o_totalprice, 0.50) FROM orders "
+            "UNION ALL SELECT 'pct', '75.0', quantile_disc(o_totalprice, 0.75) FROM orders "
+            # Customer: term with size=3 (desc-count cap, key-asc tie-break)
+            "UNION ALL SELECT 'seg', key, value FROM ("
             "SELECT c_mktsegment AS key, CAST(count(*) AS DOUBLE) AS value "
-            "FROM customer GROUP BY c_mktsegment "
-            "ORDER BY value DESC, key LIMIT 3)"
+            "FROM customer GROUP BY c_mktsegment ORDER BY value DESC, key LIMIT 3) "
+            # Nation: field (map-key counting)
+            "UNION ALL SELECT 'f', 'n_name', CAST(count(n_name) AS DOUBLE) FROM nation"
         ),
         "agg_histogram": (
             "WITH b AS (SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) bk "
@@ -1452,21 +1645,6 @@ def oracle_sql() -> dict[str, str]:
             "cnt AS (SELECT bk, CAST(count(*) AS DOUBLE) v FROM b GROUP BY bk) "
             "SELECT 'tp' AS name, CAST(buckets.bk AS VARCHAR) AS key, "
             "coalesce(cnt.v, 0.0) AS value FROM buckets LEFT JOIN cnt ON buckets.bk = cnt.bk"
-        ),
-        "agg_multi": (
-            "SELECT 'n' AS name, 'count' AS key, CAST(count(*) AS DOUBLE) AS value FROM orders "
-            "UNION ALL SELECT 'ty', 'NUMERIC', CAST(count(*) AS DOUBLE) FROM orders "
-            "WHERE o_totalprice IS NOT NULL"
-        ),
-        "agg_field": (
-            "SELECT 'f' AS name, 'n_name' AS key, CAST(count(n_name) AS DOUBLE) AS value "
-            "FROM nation"
-        ),
-        "agg_percentile": (
-            "SELECT 'pct' AS name, '25.0' AS key, quantile_disc(o_totalprice, 0.25) AS value "
-            "FROM orders UNION ALL "
-            "SELECT 'pct', '50.0', quantile_disc(o_totalprice, 0.50) FROM orders UNION ALL "
-            "SELECT 'pct', '75.0', quantile_disc(o_totalprice, 0.75) FROM orders"
         ),
         "mark_jump": (
             "SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS gid FROM nation WHERE n_regionkey = 0"

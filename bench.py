@@ -62,8 +62,18 @@ def main():
     # spreading the small tables across the local cores once.
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(CPUS)
+    # TIMESTAMP(NANOS) events: legacy builds honor nanosAsLong (raw
+    # long), Spark 4.1+ reads timestamp_ntz — normalize to nanos-long
+    # (timezone-independent; see __spark_entry__._events)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    if not events.schema["ts"].dataType.typeName().startswith("long"):
+        events = events.withColumn(
+            "ts",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"
+            ),
+        )
 
     def run_count(df):
         return df.count()

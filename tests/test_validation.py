@@ -110,10 +110,14 @@ def test_multi_agg_no_persist_leak(swapi):
     """VERDICT r2 item 4: repeated to_df().collect() of a multi-agg
     query must leave no cached RDDs behind."""
     spark = swapi.vertices.sparkSession
-    n_before = spark.sparkContext._jsc.getPersistentRDDs().size()
     q = swapi.query().V().aggregate(
         [ops.term("l", "_label"), ops.count("n")]
     )
+    # warm-up collect: materializes the session-scoped fixture's own
+    # graph cache (whose RDD registers lazily, on first action over
+    # the cached plan) so the baseline below counts only *our* state
+    q.to_df().collect()
+    n_before = spark.sparkContext._jsc.getPersistentRDDs().size()
     for _ in range(2):
         q.to_df().collect()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == n_before
