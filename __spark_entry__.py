@@ -928,22 +928,19 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     )
 
 
-def q_sim_topk(spark, sf_dir):
+def q_sim_topk_ops(spark, sf_dir):
+    """Query-vector top-k, brute-force AND hyperplane-LSH, as labeled
+    rows (one slot, both search paths — the slot freed funds
+    `dup_spans`).  The LSH plane family is deterministic (seed=7), so
+    the oracle replicates the bucket math with plane literals in
+    SQL."""
     df = _emb(spark, sf_dir)
     qvec = [float(x) for x in df.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return (
+    brute = (
         similarity.cosine_topk(df.filter(F.col("vec_id") != 0), "embedding", qvec, k=5)
-        .select("vec_id")
+        .select(F.lit("brute").alias("method"), F.col("vec_id"))
     )
-
-
-def q_sim_ann(spark, sf_dir):
-    # seeded random-hyperplane LSH; the plane family is deterministic
-    # (seed=7), so the oracle replicates the bucket math with plane
-    # literals in SQL
-    df = _emb(spark, sf_dir)
-    qvec = [float(x) for x in df.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return (
+    ann = (
         similarity.ann_lsh_topk(
             df.filter(F.col("vec_id") != 0),
             "embedding",
@@ -954,7 +951,24 @@ def q_sim_ann(spark, sf_dir):
             planes=6,
             multiprobe_hamming=2,
         )
-        .select("vec_id")
+        .select(F.lit("ann").alias("method"), F.col("vec_id"))
+    )
+    return brute.unionByName(ann)
+
+
+def q_dup_spans(spark, sf_dir):
+    """Exact duplicate-substring spans (dedup.duplicate_ngram_spans —
+    the Lee et al. 2022 exact-substring dedup shape): maximal token
+    spans covered by 13-token grams occurring >= 2 times corpus-wide.
+    Production hashing is xxhash64; the oracle compares gram STRINGS —
+    identical unless a 64-bit collision lands inside the corpus."""
+    return dedup.duplicate_ngram_spans(
+        _docs(spark, sf_dir), "doc_id", "text", n=13
+    ).select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "n_grams",
     )
 
 
@@ -1018,9 +1032,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_pairs": q_dedup_ngram_pairs,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
-        "sim_topk": q_sim_topk,
+        "sim_topk_ops": q_sim_topk_ops,
         "knn_exact": q_knn_exact,
-        "sim_ann": q_sim_ann,
+        "dup_spans": q_dup_spans,
         # oracled in r4 (md5-prefix hash family) — last slot
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
     }
@@ -1658,13 +1672,43 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_pairs": _JACCARD_PAIRS.format(n=3, n1=2),
         "dedup_minhash_pairs": _JACCARD_PAIRS.format(n=5, n1=4),
         "dedup_clusters": _CLUSTERS_SQL,
-        "sim_topk": (
+        "sim_topk_ops": (
+            "SELECT 'brute' AS method, vec_id FROM ("
             "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
             "SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id != 0 "
             "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
-            "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 5"
+            "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 5) "
+            f"UNION ALL SELECT 'ann', vec_id FROM ({_ann_oracle_sql()})"
         ),
-        "sim_ann": _ann_oracle_sql(),
+        "dup_spans": (
+            # gram STRINGS here vs xxhash64 in the engine (same deal as
+            # decontam_stats); window chain-merge replicated exactly
+            r"WITH toks AS ("
+            r"  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk "
+            r"  FROM documents"
+            r"), posts AS ("
+            r"  SELECT doc_id, s.pos AS pos, s.g AS g FROM ("
+            r"    SELECT doc_id, unnest(CASE WHEN len(tk) >= 13 THEN"
+            r"      [{'pos': i - 1, 'g': array_to_string("
+            r"tk[CAST(i AS INT):CAST(i + 12 AS INT)], ' ')}"
+            r"       FOR i IN generate_series(1, len(tk) - 12)]"
+            r"      ELSE CAST([] AS STRUCT(pos BIGINT, g VARCHAR)[]) END) AS s"
+            r"    FROM toks)"
+            r"), dup AS (SELECT g FROM posts GROUP BY g HAVING count(*) >= 2),"
+            r"hits AS (SELECT p.doc_id, p.pos FROM posts p JOIN dup d USING (g)),"
+            r"marked AS ("
+            r"  SELECT doc_id, pos,"
+            r"         CASE WHEN lag(pos) OVER w IS NULL"
+            r"              OR pos - lag(pos) OVER w > 13 THEN 1 ELSE 0 END AS nw"
+            r"  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)"
+            r"), sp AS ("
+            r"  SELECT doc_id, pos,"
+            r"         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS sid"
+            r"  FROM marked) "
+            r"SELECT doc_id, min(pos) AS span_start, max(pos) + 13 AS span_end,"
+            r"       count(*) AS n_grams "
+            r"FROM sp GROUP BY doc_id, sid"
+        ),
         "knn_exact": (
             "SELECT a_id, b_id FROM ("
             "SELECT a.vec_id AS a_id, b.vec_id AS b_id, ROW_NUMBER() OVER ("

@@ -167,6 +167,9 @@ def main():
         "winnow_fp": lambda: run_count(
             text.winnow(docs).select(F.explode("fingerprints"))
         ),
+        "dup_spans": lambda: run_count(
+            dedup.duplicate_ngram_spans(docs, "doc_id", "text", n=13)
+        ),
         "events_window": lambda: run_count(
             events.groupBy(
                 F.expr("(ts DIV 3600000000000) * 3600").alias("h"), "event_type"

@@ -794,3 +794,95 @@ def ngram_jaccard_pairs(
         .filter((F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))) >= threshold)
         .select("a_id", "b_id")
     )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_count: int = 2,
+    gram_hash=None,
+) -> DataFrame:
+    """Exact duplicate-substring spans — the sixth dedup family member
+    (exact / MinHash / SimHash / n-gram Jaccard / embedding-cosine /
+    **substring**).  Finds, per document, the maximal token spans
+    covered by ``n``-token grams occurring at least ``min_count``
+    times corpus-wide: the distributed-join formulation of exact
+    substring deduplication (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL 2022 — their suffix-array
+    single-machine pass, re-expressed as Spark joins).
+
+    Returns ``(id_col, span_start, span_end, n_grams)``: token-index
+    half-open span ``[span_start, span_end)`` and how many duplicated
+    grams it merged.  Documents with no duplicated gram emit no row.
+
+    Pipeline (all equi-joins — never a pair self-join):
+
+    1. posting list: ``posexplode`` of the per-position gram hashes
+       (``decontam.token_ngram_hashes`` — order-preserving, duplicates
+       kept), narrow over the corpus scan.
+    2. duplicated grams: ``groupBy(gram)`` count with map-side partial
+       aggregation, keep ``count >= min_count``.  One shuffle on a
+       high-cardinality uniform key (the 64-bit gram hash).
+    3. semi-join the postings back against the duplicated-gram set
+       (equi-join on the hash; no row explosion — the right side is
+       distinct grams).
+    4. per-document interval merge: window by ``(doc, pos)``; a new
+       span starts when the gap to the previous duplicated position
+       exceeds ``n`` (equal-length intervals ⇒ the chain rule is
+       exact); span id = running flag sum; one groupBy emits
+       (start, end, n_grams).
+
+    100 TB notes: the step-2 shuffle carries one (hash, id, pos) row
+    per corpus token — the honest cost of exact substring matching
+    (cf. the suffix array, which is also token-linear but serial).
+    Boilerplate grams repeated 10^9 times skew neither the count (map-
+    side combine collapses them per partition) nor the join (building
+    the distinct-gram hash table, probed by postings).  The window in
+    step 4 shuffles only duplicated positions, partitioned by doc.
+    ``gram_hash`` defaults to ``xxhash64`` (JVM, codegen); pass
+    ``md5_prefix_hash`` for the cross-engine oracle family.  A 64-bit
+    hash collision can weld two unrelated grams — at Lee et al.'s
+    scale (~10^11 grams) expect ~0.3 spurious gram matches corpus-wide
+    (birthday bound), which min_count already absorbs statistically.
+    """
+    from pyspark.sql.window import Window
+
+    # runtime import: decontam imports text which imports this module —
+    # a top-level import here would close the cycle
+    from .decontam import token_ngram_hashes
+
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    posts = _rebalance(df).select(
+        F.col(id_col),
+        F.posexplode(token_ngram_hashes(F.col(text_col), n, gram_hash)).alias(
+            "_pos", "_g"
+        ),
+    )
+    dup = (
+        posts.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_g")
+    )
+    hits = posts.join(dup, "_g").select(id_col, "_pos")
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    gap = F.col("_pos") - F.lag("_pos").over(w)
+    marked = hits.withColumn(
+        "_new", F.when(gap.isNull() | (gap > n), 1).otherwise(0)
+    )
+    sid = F.sum("_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        marked.withColumn("_sid", sid)
+        .groupBy(id_col, "_sid")
+        .agg(
+            F.min("_pos").alias("span_start"),
+            (F.max("_pos") + n).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .drop("_sid")
+    )

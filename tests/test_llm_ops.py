@@ -359,3 +359,53 @@ def test_winnow_overlap_pairs(spark):
         df, "doc_id", "text", k=8, window=4, min_shared=1, gram_hash=lambda g: g
     ).collect()
     assert (1, 2) in {(r["a_id"], r["b_id"]) for r in rows2}
+
+
+def test_duplicate_ngram_spans_hand_oracle(spark):
+    """Exact-substring spans on a hand-computed corpus: cross-doc dup,
+    within-doc repetition, gap splitting, and a clean doc."""
+    from grip_spark.dedup import duplicate_ngram_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "q a b c d r"),
+            (3, "zz ww yy xx"),
+            (4, "p p p p p p"),
+            (5, "a b c 1 2 3 4 5 b c d"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = duplicate_ngram_spans(df, "doc_id", "text", n=3).collect()
+    spans = {(r["doc_id"], r["span_start"], r["span_end"], r["n_grams"]) for r in rows}
+    assert spans == {
+        # "a b c"+"b c d" in docs 1/2/5 (and d5's trailing "b c d")
+        (1, 0, 4, 2),
+        (2, 1, 5, 2),
+        # within-doc repetition: all four "p p p" grams merge
+        (4, 0, 6, 4),
+        # gap > n splits doc 5 into two spans
+        (5, 0, 3, 1),
+        (5, 8, 11, 1),
+    }
+    # doc 3 (no duplicated gram) emits nothing
+    assert all(r["doc_id"] != 3 for r in rows)
+
+
+def test_duplicate_ngram_spans_min_count(spark):
+    from grip_spark.dedup import duplicate_ngram_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "a b c f")],
+        ["doc_id", "text"],
+    )
+    # "a b c" occurs 3x -> survives min_count=3; the pairwise-only
+    # grams do not
+    rows = duplicate_ngram_spans(df, "doc_id", "text", n=3, min_count=3).collect()
+    assert {(r["doc_id"], r["span_start"], r["span_end"]) for r in rows} == {
+        (1, 0, 3),
+        (2, 0, 3),
+        (3, 0, 3),
+    }
+    with pytest.raises(ValueError):
+        duplicate_ngram_spans(df, "doc_id", "text", n=3, min_count=1)
