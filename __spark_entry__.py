@@ -929,16 +929,19 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 
 
 def q_sim_topk_ops(spark, sf_dir):
-    """Query-vector top-k, brute-force AND hyperplane-LSH, as labeled
-    rows (one slot, both search paths — the slot freed funds
-    `dup_spans`).  The LSH plane family is deterministic (seed=7), so
-    the oracle replicates the bucket math with plane literals in
-    SQL."""
+    """Similarity-search matrix: query-vector top-k brute-force AND
+    hyperplane-LSH, plus the exact all-pairs 1-NN (labeled rows — the
+    knn_exact fold frees the slot that funds `semantic_dedup`).  The
+    LSH plane family is deterministic (seed=7), so the oracle
+    replicates the bucket math with plane literals in SQL; for the
+    `knn1` rows vec_id is the source vector and nn_id its exact
+    nearest neighbor (NULL for the top-k rows)."""
     df = _emb(spark, sf_dir)
     qvec = [float(x) for x in df.filter(F.col("vec_id") == 0).first()["embedding"]]
+    nn = F.lit(None).cast("long")
     brute = (
         similarity.cosine_topk(df.filter(F.col("vec_id") != 0), "embedding", qvec, k=5)
-        .select(F.lit("brute").alias("method"), F.col("vec_id"))
+        .select(F.lit("brute").alias("method"), F.col("vec_id"), nn.alias("nn_id"))
     )
     ann = (
         similarity.ann_lsh_topk(
@@ -951,9 +954,14 @@ def q_sim_topk_ops(spark, sf_dir):
             planes=6,
             multiprobe_hamming=2,
         )
-        .select(F.lit("ann").alias("method"), F.col("vec_id"))
+        .select(F.lit("ann").alias("method"), F.col("vec_id"), nn.alias("nn_id"))
     )
-    return brute.unionByName(ann)
+    knn = similarity.cosine_knn_exact(df, k=1).select(
+        F.lit("knn1").alias("method"),
+        F.col("a_id").alias("vec_id"),
+        F.col("b_id").alias("nn_id"),
+    )
+    return brute.unionByName(ann).unionByName(knn)
 
 
 def q_dup_spans(spark, sf_dir):
@@ -972,9 +980,19 @@ def q_dup_spans(spark, sf_dir):
     )
 
 
-def q_knn_exact(spark, sf_dir):
-    # exact nearest neighbor per vector (embedding near-dup oracle)
-    return similarity.cosine_knn_exact(_emb(spark, sf_dir), k=1).select("a_id", "b_id")
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (similarity.semantic_dedup, Abbas et al. 2023): seeded
+    coarse-quantizer cells, within-cell cosine pairs >= 0.38, drop the
+    pair member with the higher centroid cosine (keep the least
+    prototypical; id tie-break).  The fixture's within-cell sims top
+    out at 0.4666 with no value within 1e-4 of the threshold, so the
+    cross-engine comparison is stable.  Output: every vector's cell
+    and kept flag — recall AND the keep rule sit under the oracle."""
+    return similarity.semantic_dedup(
+        _emb(spark, sf_dir), "embedding", "vec_id", n_lists=8,
+        salt="semdedup", threshold=0.38,
+    ).select("vec_id", F.col("sem_cell").cast("int").alias("cell"),
+             F.col("sem_keep").cast("int").alias("keep"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1033,7 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_pairs": q_dedup_ngram_pairs,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "sim_topk_ops": q_sim_topk_ops,
-        "knn_exact": q_knn_exact,
+        "semantic_dedup": q_semantic_dedup,
         "dup_spans": q_dup_spans,
         # oracled in r4 (md5-prefix hash family) — last slot
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1308,6 +1326,33 @@ def _ivf_cells_oracle_sql() -> str:
         "CAST(r.rk AS INT) AS probe_rank "
         "FROM assign a LEFT JOIN (SELECT * FROM ranked WHERE rk <= 10) r "
         "ON a.vec_id = r.vec_id"
+    )
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    """DuckDB rendering of q_semantic_dedup: seeded-hash cell seeds,
+    argmax-cosine assignment (carrying the winning centroid cosine),
+    within-cell duplicate pairs >= 0.38, drop the member whose
+    (centroid_cosine, vec_id) sorts higher."""
+    hs = _md5_hash_sql("'semdedup' || CAST(vec_id AS VARCHAR)")
+    cos = "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    return (
+        "WITH seeds AS (SELECT embedding AS cvec, "
+        f"row_number() OVER (ORDER BY {hs}, vec_id) - 1 AS cell "
+        "FROM embeddings QUALIFY cell < 8), "
+        "assign AS (SELECT vec_id, embedding, cell, cs FROM ("
+        "SELECT e.vec_id, e.embedding, s.cell, "
+        + cos.format(a="e.embedding", b="s.cvec")
+        + " AS cs, row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+        + cos.format(a="e.embedding", b="s.cvec")
+        + " DESC, s.cell) AS rk FROM embeddings e CROSS JOIN seeds s) WHERE rk = 1), "
+        "drops AS (SELECT DISTINCT a.vec_id FROM assign a JOIN assign b "
+        "ON a.cell = b.cell AND a.vec_id != b.vec_id "
+        "AND (b.cs, b.vec_id) < (a.cs, a.vec_id) "
+        "WHERE " + cos.format(a="a.embedding", b="b.embedding") + " >= 0.38) "
+        "SELECT a.vec_id, CAST(a.cell AS INT) AS cell, "
+        "CAST(a.vec_id NOT IN (SELECT vec_id FROM drops) AS INT) AS keep "
+        "FROM assign a"
     )
 
 
@@ -1673,12 +1718,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_pairs": _JACCARD_PAIRS.format(n=5, n1=4),
         "dedup_clusters": _CLUSTERS_SQL,
         "sim_topk_ops": (
-            "SELECT 'brute' AS method, vec_id FROM ("
+            "SELECT 'brute' AS method, vec_id, CAST(NULL AS BIGINT) AS nn_id FROM ("
             "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
             "SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id != 0 "
             "ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
             "CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 5) "
-            f"UNION ALL SELECT 'ann', vec_id FROM ({_ann_oracle_sql()})"
+            f"UNION ALL SELECT 'ann', vec_id, NULL FROM ({_ann_oracle_sql()}) "
+            "UNION ALL SELECT 'knn1', a_id, b_id FROM ("
+            "SELECT a.vec_id AS a_id, b.vec_id AS b_id, ROW_NUMBER() OVER ("
+            "PARTITION BY a.vec_id ORDER BY list_cosine_similarity("
+            "CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id"
+            ") AS rk FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id"
+            ") WHERE rk = 1"
         ),
         "dup_spans": (
             # gram STRINGS here vs xxhash64 in the engine (same deal as
@@ -1709,13 +1760,6 @@ def oracle_sql() -> dict[str, str]:
             r"       count(*) AS n_grams "
             r"FROM sp GROUP BY doc_id, sid"
         ),
-        "knn_exact": (
-            "SELECT a_id, b_id FROM ("
-            "SELECT a.vec_id AS a_id, b.vec_id AS b_id, ROW_NUMBER() OVER ("
-            "PARTITION BY a.vec_id ORDER BY list_cosine_similarity("
-            "CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id"
-            ") AS rk FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id"
-            ") WHERE rk = 1"
-        ),
+        "semantic_dedup": _semantic_dedup_oracle_sql(),
         "dedup_simhash_pairs": _simhash_oracle_sql(),
     }

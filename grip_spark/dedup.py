@@ -425,6 +425,14 @@ def md5_prefix_hash(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
 
+def md5_prefix_py(s: str) -> int:
+    """Driver/test-side replica of :func:`md5_prefix_hash` (same 60-bit
+    value for the same string)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
 def simhash(text: Column | str, bits: int = 64, token_hash=None) -> Column:
     """SimHash (Charikar 2002) of the token set as a signed long.
 

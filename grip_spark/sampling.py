@@ -156,3 +156,56 @@ def split_assign(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shard",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Assign every row a stable shard id in ``[0, n_shards)``.
+
+    The sink-side primitive for reproducible corpus exports: write
+    with ``.partitionBy(out_col)`` (or repartition on it) and the
+    shard membership of every document is a pure function of
+    (salt, id) — re-running the export, changing executor counts, or
+    re-partitioning upstream reproduces byte-identical shard contents.
+    Narrow projection, no shuffle of its own."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be > 0, got {n_shards}")
+    c = F.col(id_col)
+    return df.withColumn(
+        out_col,
+        F.pmod(md5_prefix_hash(F.concat(F.lit(salt), c.cast("string"))), F.lit(n_shards)).cast(
+            "int"
+        ),
+    )
+
+
+def shuffle_order(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "shuffle",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle: a reproducible random ORDER over
+    the corpus (training-example order matters; rerunning the job must
+    produce the same order).
+
+    Rows are range-partitioned and sorted by the (salt, id) hash key —
+    Spark's ``orderBy`` compiles to a sampled range-exchange + local
+    sort, so the "shuffle" costs one range shuffle, never a single-
+    node sort.  The id tie-break makes the order total even under
+    60-bit key collisions (expected at ~2^30 rows).  Downstream
+    sequential consumers (sequence packing, shard writers) see the
+    same order on every run, partitioning, and cluster size; a
+    different ``salt`` is an independent epoch permutation (the
+    standard per-epoch reshuffle).
+    """
+    key = md5_prefix_hash(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    out = df.repartitionByRange(
+        *([partitions] if partitions else []), key.asc(), F.col(id_col).asc()
+    ).sortWithinPartitions(key.asc(), F.col(id_col).asc())
+    return out

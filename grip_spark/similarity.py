@@ -371,6 +371,7 @@ def ivf_index_seeded(
     n_lists: int = 8,
     salt: str = "ivf",
     cluster_col: str = "ivf_list",
+    score_col: str | None = None,
 ):
     """IVF coarse quantizer from hash-sampled corpus points (no Lloyd
     iterations): the ``n_lists`` vectors whose ids hash lowest become
@@ -422,8 +423,16 @@ def ivf_index_seeded(
             for cid, c in centroids
         ]
     )
-    indexed = df.withColumn(cluster_col, F.array_sort(scored)[0]["cell"])
-    return indexed, centroids
+    indexed = df.withColumn("_ivf_best", F.array_sort(scored)[0]).withColumn(
+        cluster_col, F.col("_ivf_best")["cell"]
+    )
+    if score_col is not None:
+        # the winning centroid's norm-free score dot(v, c)/|c|; divide
+        # by the vector's own norm (computed once elsewhere) to get the
+        # true centroid cosine — kept norm-free here so the argmax path
+        # pays nothing extra when the score isn't requested
+        indexed = indexed.withColumn(score_col, -F.col("_ivf_best")["negsim"])
+    return indexed.drop("_ivf_best"), centroids
 
 
 def ivf_probe_cells(
@@ -444,3 +453,92 @@ def ivf_probe_cells(
 
     ranked = sorted(centroids, key=lambda c: (-_cos(query_vec, c[1]), c[0]))
     return [cid for cid, _ in ranked[:nprobe]]
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 8,
+    salt: str = "semdedup",
+    threshold: float = 0.95,
+    cell_col: str = "sem_cell",
+    keep_col: str = "sem_keep",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning over an embedding column — the seventh
+    member of the dedup family (exact / minhash / simhash / ngram /
+    embedding-LSH / exact-substring / semantic).
+
+    Shape follows the paper: (1) a coarse quantizer carves the corpus
+    into ``n_lists`` cells (here the seeded hash-sample quantizer,
+    :func:`ivf_index_seeded`, so the whole structure is a pure function
+    of ``(salt, corpus)`` and SQL-replicable); (2) within each cell,
+    pairs with cosine >= ``threshold`` are semantic duplicates; (3) of
+    any duplicate pair the member with the LOWER centroid cosine is
+    kept (the paper's keep-low-centroid-similarity rule — retains the
+    least prototypical example; ties break to the lower id).  A row is
+    dropped iff some same-cell neighbor above threshold precedes it in
+    ``(centroid_cosine, id)`` keep order, so each duplicate
+    neighborhood keeps exactly its local keep-order minima — no
+    connected-components pass, and two far-apart members of a chain
+    both survive (they are not near-dups of each other).
+
+    Scale: pair generation is an equi-join on the cell id — never a
+    cartesian.  Cost is sum(cell_size^2) per cell pairs, the paper's
+    own regime; size ``n_lists ~ corpus_rows / 10^4`` so cells hold
+    ~10^4 vectors, and AQE skew-join splits hot cells.  Norms and
+    centroid scores are computed once per VECTOR before the join
+    (eager-checkpointed against the two-sided recompute race), so the
+    join stage evaluates one dot product per candidate pair.  Returns
+    ``df`` + cell/keep columns; zero-norm vectors never enter a pair
+    (null cosine -> filtered) and are kept.
+    """
+    indexed, _cents = ivf_index_seeded(
+        df,
+        vec_col,
+        id_col,
+        n_lists=n_lists,
+        salt=salt,
+        cluster_col=cell_col,
+        score_col="_cscore",
+    )
+    b = (
+        indexed.withColumn("_norm", norm(F.col(vec_col)))
+        .withColumn("_csim", F.col("_cscore") / F.col("_norm"))
+        .localCheckpoint(eager=True)
+    )
+    l = b.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("_va"),
+        F.col(cell_col).alias("_cell"),
+        F.col("_norm").alias("_na"),
+        F.col("_csim").alias("_ca"),
+    )
+    r = b.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("_vb"),
+        F.col(cell_col).alias("_cell"),
+        F.col("_norm").alias("_nb"),
+        F.col("_csim").alias("_cb"),
+    )
+    drops = (
+        l.join(r, ["_cell"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        # b precedes a in keep order -> a is the dropped member
+        .filter(
+            F.struct(F.col("_cb").alias("c"), F.col("b_id").alias("i"))
+            < F.struct(F.col("_ca").alias("c"), F.col("a_id").alias("i"))
+        )
+        .filter(
+            (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+            >= F.lit(threshold)
+        )
+        .select(F.col("a_id").alias(id_col))
+        .distinct()
+    )
+    return (
+        b.drop("_norm", "_csim", "_cscore")
+        .join(drops.withColumn(keep_col, F.lit(False)), [id_col], "left")
+        .fillna({keep_col: True})
+    )

@@ -409,3 +409,86 @@ def test_duplicate_ngram_spans_min_count(spark):
     }
     with pytest.raises(ValueError):
         duplicate_ngram_spans(df, "doc_id", "text", n=3, min_count=1)
+
+
+def test_semantic_dedup_python_oracle(spark):
+    """semantic_dedup vs a brute-force pure-Python SemDeDup on a
+    planted fixture: groups of near-identical vectors (plus noise
+    singletons) must keep exactly the per-neighborhood keep-order
+    minima (lowest centroid cosine, id tie-break)."""
+    import math
+    import random
+
+    from grip_spark import similarity
+
+    rng = random.Random(5)
+    dim = 16
+    rows = []
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(6)]
+    vid = 0
+    for b in base:
+        # a clump of 4 near-copies of each base vector
+        for _ in range(4):
+            rows.append((vid, [x + rng.gauss(0, 0.01) for x in b]))
+            vid += 1
+    for _ in range(30):  # noise singletons
+        rows.append((vid, [rng.gauss(0, 1) for _ in range(dim)]))
+        vid += 1
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], "vec_id long, embedding array<float>"
+    )
+    out = similarity.semantic_dedup(
+        df, "embedding", "vec_id", n_lists=4, salt="t", threshold=0.95
+    )
+    got = {r["vec_id"]: (r["sem_cell"], r["sem_keep"]) for r in out.collect()}
+
+    # ---- pure-Python replica (float32-rounded vectors, like parquet) --
+    import struct
+
+    def f32(v):
+        return [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+
+    vecs = {i: f32(v) for i, v in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    from grip_spark.dedup import md5_prefix_py
+
+    seeds = sorted(vecs, key=lambda i: (md5_prefix_py(f"t{i}"), i))[:4]
+    cents = {c: vecs[s] for c, s in enumerate(seeds)}
+    cell = {
+        i: min(cents, key=lambda c: (-cos(vecs[i], cents[c]), c)) for i in vecs
+    }
+    csim = {i: cos(vecs[i], cents[cell[i]]) for i in vecs}
+    keep = {}
+    for i in vecs:
+        keep[i] = not any(
+            j != i
+            and cell[j] == cell[i]
+            and (csim[j], j) < (csim[i], i)
+            and cos(vecs[i], vecs[j]) >= 0.95
+            for j in vecs
+        )
+    assert {i: got[i][1] for i in vecs} == keep
+    assert {i: got[i][0] for i in vecs} == cell
+    # every clump lost at least one member, and kept at least one
+    for g in range(6):
+        members = list(range(g * 4, g * 4 + 4))
+        kept = [i for i in members if keep[i]]
+        assert 1 <= len(kept) < 4
+
+
+def test_semantic_dedup_plan_no_cartesian(spark):
+    """The within-cell pair stage must be an equi-join on the cell id,
+    never a cartesian/broadcast-nested-loop product."""
+    from grip_spark import similarity
+
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = similarity.semantic_dedup(df, n_lists=4, salt="p", threshold=0.9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

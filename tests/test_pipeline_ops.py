@@ -409,3 +409,60 @@ def test_packer_matches_python_oracle(spark):
         start = acc.get(grp, 0)
         assert got[i] == (grp, n, start, start // cap), (i, t, got[i])
         acc[grp] = start + n
+
+
+def test_shard_assign_stable_and_balanced(docs):
+    from grip_spark import sampling
+
+    a = sampling.shard_assign(docs, "doc_id", 8, salt="s")
+    b = sampling.shard_assign(docs.repartition(13), "doc_id", 8, salt="s")
+    ra = {r["doc_id"]: r["shard"] for r in a.select("doc_id", "shard").collect()}
+    rb = {r["doc_id"]: r["shard"] for r in b.select("doc_id", "shard").collect()}
+    assert ra == rb  # partition-invariant
+    sizes = a.groupBy("shard").count().collect()
+    assert len(sizes) == 8
+    n = sum(r["count"] for r in sizes)
+    # md5-uniform: every shard within 3 sigma of n/8
+    import math
+
+    sigma = math.sqrt(n * (1 / 8) * (7 / 8))
+    assert all(abs(r["count"] - n / 8) < 3.5 * sigma for r in sizes)
+    # python replica agrees
+    from grip_spark.dedup import md5_prefix_py
+
+    assert all(md5_prefix_py(f"s{d}") % 8 == s for d, s in list(ra.items())[:50])
+
+
+def test_shuffle_order_reproducible_total_order(docs):
+    from grip_spark import sampling
+    from grip_spark.dedup import md5_prefix_py
+
+    out = sampling.shuffle_order(docs.select("doc_id"), "doc_id", salt="ep0")
+    got = [r["doc_id"] for r in out.collect()]
+    want = sorted(got, key=lambda d: (md5_prefix_py(f"ep0{d}"), d))
+    assert got == want  # collect() preserves partition order -> global order
+    # partition-invariant: same order from a different input layout
+    again = [
+        r["doc_id"]
+        for r in sampling.shuffle_order(
+            docs.select("doc_id").repartition(17), "doc_id", salt="ep0"
+        ).collect()
+    ]
+    assert again == got
+    # a different salt is a genuinely different permutation
+    other = [
+        r["doc_id"]
+        for r in sampling.shuffle_order(docs.select("doc_id"), "doc_id", salt="ep1").collect()
+    ]
+    assert other != got and sorted(other) == sorted(got)
+
+
+def test_shuffle_order_is_range_exchange(docs):
+    """The global order must come from a range exchange (parallel
+    sort), never a single-partition global sort."""
+    from grip_spark import sampling
+
+    out = sampling.shuffle_order(docs, "doc_id", partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
