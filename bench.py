@@ -164,6 +164,13 @@ def main():
                 emb, "embedding", "vec_id", k=1, planes=6, dim=64
             )
         ),
+        "semantic_dedup": lambda: run_count(
+            # 8 cells over 2k vectors (~250/cell) mirrors the paper's
+            # cell-size regime scaled down; within-cell pairs only
+            similarity.semantic_dedup(
+                emb, "embedding", "vec_id", n_lists=8, threshold=0.38
+            ).filter(~F.col("sem_keep"))
+        ),
         "winnow_fp": lambda: run_count(
             text.winnow(docs).select(F.explode("fingerprints"))
         ),

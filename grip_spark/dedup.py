@@ -894,3 +894,69 @@ def duplicate_ngram_spans(
         )
         .drop("_sid")
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    out_col: str = "text_deduped",
+    normalize_lines: bool = True,
+) -> DataFrame:
+    """Corpus-wide duplicated-line removal — the boilerplate scrub
+    stage (C4 removed repeated three-sentence spans; RefinedWeb /
+    MassiveWeb remove lines repeated across documents: headers,
+    footers, cookie banners, nav text).
+
+    Every occurrence of a line whose (whitespace-normalized, when
+    ``normalize_lines``) form appears ``>= min_count`` times in the
+    CORPUS is removed from every document; remaining lines keep their
+    original order and text.  Complements
+    :func:`duplicate_ngram_spans` (within-line token grams) at the
+    line granularity.
+
+    Scale shape: lines shuffle as dual-seeded 128-bit xxhash64 keys
+    (never line text — same key discipline as :func:`dedup_exact`);
+    one hash-aggregate produces the duplicate-key set, which is
+    typically tiny (boilerplate) and broadcast into the anti-join.
+    Reassembly is one groupBy on the doc id carrying (pos, line)
+    structs.  NULL-text documents pass through with NULL output.
+    """
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    from .text import normalize as _normalize
+
+    c = F.col(text_col)
+    lines = (
+        df.select(F.col(id_col), F.posexplode(F.split(c, "\n")).alias("_pos", "_line"))
+    )
+    keysrc = _normalize(F.col("_line")) if normalize_lines else F.col("_line")
+    keyed = lines.withColumn("_lk1", F.xxhash64(keysrc)).withColumn(
+        "_lk2", F.xxhash64(F.lit(1), keysrc)
+    )
+    dup_keys = (
+        keyed.groupBy("_lk1", "_lk2")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("_lk1", "_lk2")
+    )
+    kept = keyed.join(dup_keys, ["_lk1", "_lk2"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias(out_col)
+    )
+    out = df.join(rebuilt, [id_col], "left")
+    # docs whose every line was boilerplate (or empty docs) rebuild to
+    # NULL via the left join — distinguish them from NULL input
+    return out.withColumn(
+        out_col,
+        F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+            F.coalesce(F.col(out_col), F.lit(""))
+        ),
+    )

@@ -617,3 +617,68 @@ def redact_pii(
     for name, pat in pats:
         red = F.regexp_replace(red, pat, f"<{name.upper()}>")
     return out.withColumn(out_col, red)
+
+
+# ---------------------------------------------------------------------------
+# Line-level cleaning (C4 / RefinedWeb line rules)
+# ---------------------------------------------------------------------------
+
+
+def line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_clean",
+    min_words: int = 3,
+    require_terminal_punct: bool = False,
+    blacklist: tuple[str, ...] = ("lorem ipsum",),
+    drop_brace_lines: bool = True,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2): split
+    the document on newlines, drop lines that fail the rules,
+    reassemble with ``\\n``.  Rules (each toggleable):
+
+    - fewer than ``min_words`` whitespace words;
+    - (off by default) no terminal punctuation ``.!?"'``;
+    - containing a ``blacklist`` phrase, case-insensitive (C4 used
+      "lorem ipsum" and a bad-words list);
+    - containing ``{`` or ``}`` (C4's code-noise rule).
+
+    Scale shape: one ``split`` + one array ``filter`` + ``array_join``
+    — array HOFs inside whole-stage codegen; no explode, no shuffle,
+    no Python.  The lowered line is let-bound (``_let``) so the
+    blacklist probes don't re-lower per phrase.  NULL text stays NULL.
+    Adds ``n_lines_kept`` / ``n_lines_dropped`` alongside.
+    """
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+
+    def keep(l: Column) -> Column:
+        wc = F.when(F.trim(l) == "", F.lit(0)).otherwise(
+            F.size(F.split(F.trim(l), r"\s+"))
+        )
+        cond = wc >= F.lit(min_words)
+        if require_terminal_punct:
+            cond = cond & l.rlike(r"""[.!?"']\s*$""")
+        if drop_brace_lines:
+            cond = cond & ~l.contains("{") & ~l.contains("}")
+        if blacklist:
+            def probes(low: Column) -> Column:
+                ok = F.lit(True)
+                for phrase in blacklist:
+                    ok = ok & ~low.contains(phrase.lower())
+                return ok
+
+            cond = cond & _let(F.lower(l), probes)
+        return cond
+
+    kept = F.filter(lines, keep)
+    return (
+        df.withColumn("_kept", kept)
+        .withColumn(out_col, F.array_join(F.col("_kept"), "\n"))
+        .withColumn("n_lines_kept", F.coalesce(F.size("_kept"), F.lit(0)))
+        .withColumn(
+            "n_lines_dropped",
+            F.coalesce(F.size(lines) - F.size("_kept"), F.lit(0)),
+        )
+        .drop("_kept")
+    )

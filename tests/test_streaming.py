@@ -155,7 +155,11 @@ def test_quality_filter_sample_stream_matches_batch(spark, tmp_path_factory):
 
     d = tmp_path_factory.mktemp("docstream")
     rows = [
-        {"doc_id": i, "text": f"the quick brown fox {i} jumps over it for a while", "lang": l}
+        {
+            "doc_id": i,
+            "text": f"the quick brown fox {i} jumps over it for a while\nno\n{{menu}}",
+            "lang": l,
+        }
         for i, l in enumerate(["en", "de", "fr", "en"] * 25)
     ]
     for part in range(4):
@@ -166,16 +170,18 @@ def test_quality_filter_sample_stream_matches_batch(spark, tmp_path_factory):
     schema = "doc_id long, text string, lang string"
 
     def transform(df):
-        out = text.quality_score(df)
+        out = text.line_filter(df, min_words=3)  # line rules stream too
+        out = text.quality_score(out)
         out = sampling.stratified_sample(
             out, "lang", {"en": 1.0, "de": 0.5}, "doc_id", salt="st"
         )
         out = sampling.split_assign(out, "doc_id", {"train": 0.9, "val": 0.1})
-        return out.select("doc_id", "lang", "quality", "split")
+        return out.select("doc_id", "lang", "quality", "split", "text_clean")
 
     batch = transform(spark.read.schema(schema).json(str(d)))
-    want = {(r.doc_id, r.lang, r.quality, r.split) for r in batch.collect()}
+    want = {(r.doc_id, r.lang, r.quality, r.split, r.text_clean) for r in batch.collect()}
     assert want and {r.lang for r in batch.collect()} <= {"en", "de"}
+    assert all(t.endswith("for a while") for (_, _, _, _, t) in want)  # lines scrubbed
 
     from grip_spark import streaming
 
@@ -185,7 +191,7 @@ def test_quality_filter_sample_stream_matches_batch(spark, tmp_path_factory):
     q = streaming.stream_to_memory(stream, "qs_test")
     q.awaitTermination(60)
     got = {
-        (r.doc_id, r.lang, r.quality, r.split)
+        (r.doc_id, r.lang, r.quality, r.split, r.text_clean)
         for r in spark.table("qs_test").collect()
     }
     assert got == want

@@ -110,3 +110,89 @@ def test_unigram_logprob_plan_shape(corpus):
 
     shuffles = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
     assert all("doc_id" in s for s in shuffles), shuffles
+
+
+# ---------------------------------------------------------------------------
+# Line-level cleaning
+# ---------------------------------------------------------------------------
+
+
+def test_line_filter_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "this is a good line\nno\nanother decent line here\n{ json noise }"),
+            (2, "Lorem Ipsum dolor sit amet\nreal content stays right here"),
+            (3, None),
+            (4, "one two"),  # below min_words -> empty doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_lines_kept"], r["n_lines_dropped"])
+        for r in text.line_filter(docs, min_words=3, blacklist=("lorem ipsum",)).collect()
+    }
+    assert out[1] == ("this is a good line\nanother decent line here", 2, 2)
+    assert out[2] == ("real content stays right here", 1, 1)  # blacklist is case-insensitive
+    assert out[3] == (None, 0, 0)  # NULL text passes through
+    assert out[4] == ("", 0, 1)
+
+
+def test_line_filter_terminal_punct(spark):
+    docs = spark.createDataFrame(
+        [(1, 'sentence that properly ends.\nheader without punctuation\nquoted line it is "')],
+        "doc_id long, text string",
+    )
+    out = text.line_filter(docs, min_words=3, require_terminal_punct=True).first()
+    assert out["text_clean"] == 'sentence that properly ends.\nquoted line it is "'
+
+
+def test_dedup_lines_removes_corpus_boilerplate(spark):
+    from grip_spark import dedup
+
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler}\nunique first doc line\ncommon middle\nlast line one"),
+            (2, f"unique second doc line\n{boiler}\ncommon middle"),
+            (3, f"third doc only line\n{boiler.upper()} "),  # normalized match
+            (4, boiler),  # doc that is ONLY boilerplate -> empty string
+            (5, None),
+            (6, "totally unique document"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text_deduped"]
+        for r in dedup.dedup_lines(docs, "doc_id", "text", min_count=2).collect()
+    }
+    # boilerplate (3 occurrences incl. case/space variant) and
+    # "common middle" (2 occurrences) removed everywhere; order kept
+    assert out[1] == "unique first doc line\nlast line one"
+    assert out[2] == "unique second doc line"
+    assert out[3] == "third doc only line"
+    assert out[4] == ""
+    assert out[5] is None
+    assert out[6] == "totally unique document"
+
+
+def test_dedup_lines_min_count_and_no_normalize(spark):
+    from grip_spark import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "dup line\nkeep"), (2, "dup line"), (3, "DUP LINE")],
+        "doc_id long, text string",
+    )
+    # min_count=3: the 2 exact + 1 case-variant occurrences only merge
+    # when normalizing; without normalization nothing reaches 3
+    norm = {
+        r["doc_id"]: r["text_deduped"]
+        for r in dedup.dedup_lines(docs, min_count=3).collect()
+    }
+    assert norm == {1: "keep", 2: "", 3: ""}
+    raw = {
+        r["doc_id"]: r["text_deduped"]
+        for r in dedup.dedup_lines(docs, min_count=3, normalize_lines=False).collect()
+    }
+    assert raw == {1: "dup line\nkeep", 2: "dup line", 3: "DUP LINE"}
+    with pytest.raises(ValueError):
+        dedup.dedup_lines(docs, min_count=1)
