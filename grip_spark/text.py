@@ -682,3 +682,68 @@ def line_filter(
         )
         .drop("_kept")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear classifier scoring (fastText-style quality filter)
+# ---------------------------------------------------------------------------
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: list[float],
+    text_col: str = "text",
+    out_col: str = "clf_score",
+    bias: float = 0.0,
+    token_hash=None,
+) -> DataFrame:
+    """Hashed bag-of-words linear classifier inference — the
+    fastText-style quality-classifier shape the GPT-3 / LLaMA / CCNet
+    corpus filters use (a trained model scores every document; the
+    pipeline keeps high scorers or importance-samples on the score).
+
+    ``score = sigmoid(bias + mean_t W[h(token_t) mod D])`` with ``D =
+    len(weights)``.  Training happens offline (any library); this op
+    is the corpus-scale INFERENCE pass, expressed as one shuffle-free
+    column expression: tokenize → per-token hash → weight lookup in a
+    constant-folded literal array → mean → sigmoid.  No Python, no
+    join, no shuffle; at 100 TB it runs at scan speed next to the
+    other quality signals.
+
+    The weight table is embedded in the plan as a literal, the right
+    call up to ~10^5 weights (hashed fastText quality filters
+    routinely use 10^4-10^5 buckets).  For million-bucket models,
+    explode tokens and broadcast-join a (bucket, weight) table
+    instead — one extra per-doc re-aggregation shuffle.
+
+    ``token_hash`` swaps the per-token hash (default ``xxhash64``;
+    pass ``dedup.md5_prefix_hash`` for the cross-engine family a SQL
+    oracle or pure-Python replica can reproduce).  Empty text scores
+    ``sigmoid(bias)``; NULL text stays NULL.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    h = token_hash or F.xxhash64
+    d = len(weights)
+    w = F.array(*[F.lit(float(x)) for x in weights])
+    # empty text splits to [""] — drop empty tokens so it takes the
+    # bias-only path instead of scoring a phantom "" token
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+
+    def _body(ts):
+        n = F.size(ts)
+        s = F.aggregate(
+            F.transform(
+                ts, lambda t: F.element_at(w, F.pmod(h(t), F.lit(d)).cast("int") + 1)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        z = F.lit(float(bias)) + F.when(n > 0, s / n).otherwise(F.lit(0.0))
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return df.withColumn(
+        out_col,
+        F.when(c.isNull(), F.lit(None).cast("double")).otherwise(_let(toks, _body)),
+    )

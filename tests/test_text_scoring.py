@@ -196,3 +196,76 @@ def test_dedup_lines_min_count_and_no_normalize(spark):
     assert raw == {1: "dup line\nkeep", 2: "dup line", 3: "DUP LINE"}
     with pytest.raises(ValueError):
         dedup.dedup_lines(docs, min_count=1)
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear classifier scoring
+# ---------------------------------------------------------------------------
+
+
+def test_hashed_linear_score_python_oracle(spark):
+    """hashed_linear_score with the md5 token-hash family must match a
+    pure-Python replica exactly (same bucket, same mean, same sigmoid)."""
+    import random as _random
+
+    from grip_spark.dedup import md5_prefix_hash, md5_prefix_py
+
+    rng = _random.Random(13)
+    D = 64
+    weights = [rng.uniform(-2, 2) for _ in range(D)]
+    docs = spark.createDataFrame(
+        [
+            (1, "Good Documents Have  Informative tokens"),
+            (2, "spam spam spam"),
+            (3, ""),
+            (4, None),
+            (5, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["clf_score"]
+        for r in text.hashed_linear_score(
+            docs, weights, bias=0.5, token_hash=md5_prefix_hash
+        ).collect()
+    }
+
+    def py_score(t):
+        if t is None:
+            return None
+        toks = t.strip().lower().split()
+        toks = [x for x in toks if x != ""] if t.strip() else []
+        if toks:
+            z = 0.5 + sum(weights[md5_prefix_py(x) % D] for x in toks) / len(toks)
+        else:
+            z = 0.5
+        return 1.0 / (1.0 + math.exp(-z))
+
+    for i, t in [(1, "Good Documents Have  Informative tokens"), (2, "spam spam spam"),
+                 (3, ""), (5, "x")]:
+        assert out[i] == pytest.approx(py_score(t), abs=1e-12), i
+    assert out[4] is None
+    with pytest.raises(ValueError):
+        text.hashed_linear_score(docs, [])
+
+
+def test_hashed_linear_score_separates_planted_classes(spark):
+    """A weight table trained-by-construction (positive weights on
+    'good' buckets, negative on 'bad') must rank planted docs."""
+    from grip_spark.dedup import md5_prefix_hash, md5_prefix_py
+
+    D = 32
+    weights = [0.0] * D
+    for tok in ("informative", "prose", "article"):
+        weights[md5_prefix_py(tok) % D] += 3.0
+    for tok in ("click", "buy", "winner"):
+        weights[md5_prefix_py(tok) % D] -= 3.0
+    docs = spark.createDataFrame(
+        [(1, "an informative prose article"), (2, "click buy winner now")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["clf_score"]
+        for r in text.hashed_linear_score(docs, weights, token_hash=md5_prefix_hash).collect()
+    }
+    assert out[1] > 0.8 > 0.5 > out[2]

@@ -58,10 +58,26 @@ def replicate_emb(emb, k: int):
 
     parts = []
     for i in range(k):
+        # rotate each replica's vector by 7*i positions: rotation
+        # preserves the norm and coordinate distribution but
+        # decorrelates replicas (random 64-dim vectors land near
+        # cosine 0 after rotation), so pair-producing probes measure
+        # in-replica scaling, not a k^2 cross-replica clique of
+        # identical copies — the same contamination discipline as
+        # replicate_docs' vowel rotation.
+        r = (7 * i) % 64
+        vec = (
+            F.col("embedding")
+            if r == 0
+            else F.concat(
+                F.slice(F.col("embedding"), r + 1, 64 - r),
+                F.slice(F.col("embedding"), 1, r),
+            )
+        )
         parts.append(
             emb.select(
                 (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
-                "embedding",
+                vec.alias("embedding"),
             )
         )
     out = parts[0]
@@ -127,10 +143,20 @@ def main():
                 e, "embedding", qvec, k=10, planes=8, multiprobe_hamming=1
             ).collect()
         )
+        # n_lists scales with the corpus so cell size stays constant —
+        # the documented SemDeDup scaling knob (cost is sum(cell^2))
+        t_sem, n_drop = best_of(
+            lambda: similarity.semantic_dedup(
+                e, "embedding", "vec_id", n_lists=8 * k, threshold=0.38
+            )
+            .filter(~F.col("sem_keep"))
+            .count()
+        )
 
         print(
             f"{k}x: docs={nd} emb={ne} | minhash {t_minhash:.1f}s ({n_pairs} pairs) | "
-            f"simhash {t_simhash:.1f}s ({n_sim} pairs) | ann_topk {t_ann:.1f}s",
+            f"simhash {t_simhash:.1f}s ({n_sim} pairs) | ann_topk {t_ann:.1f}s | "
+            f"semdedup {t_sem:.1f}s ({n_drop} dropped)",
             flush=True,
         )
         d.unpersist()
