@@ -164,3 +164,57 @@ def test_corpus_pipeline_prunes_and_bounds_shuffles(spark):
     n = n_exchanges(plan)
     assert 1 <= n <= 4, f"{n} exchanges:\n{plan}"
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_line_filter_is_shuffle_free(raw_docs):
+    from grip_spark import text
+
+    plan = df_plan(text.line_filter(raw_docs, min_words=3))
+    assert n_exchanges(plan) == 0, plan
+    assert "Generate explode" not in plan  # array HOFs, not explode
+
+
+def test_hashed_linear_score_is_shuffle_free(raw_docs):
+    from grip_spark import text
+
+    plan = df_plan(
+        text.hashed_linear_score(raw_docs, [0.1] * 64).select("doc_id", "clf_score")
+    )
+    assert n_exchanges(plan) == 0, plan
+
+
+def test_shard_assign_is_shuffle_free_and_prunes(raw_docs):
+    from grip_spark import sampling
+
+    plan = df_plan(
+        sampling.shard_assign(raw_docs, "doc_id", 64).select("doc_id", "shard")
+    )
+    assert n_exchanges(plan) == 0, plan
+    # the shard decision reads only the id — never text
+    for rs in re.findall(r"ReadSchema: (\S+)", plan):
+        assert "text" not in rs, rs
+
+
+def test_dedup_lines_shuffle_inventory(raw_docs):
+    from grip_spark import dedup
+
+    plan = df_plan(dedup.dedup_lines(raw_docs, "doc_id", "text"))
+    # 2 hash shuffles at this scale: duplicate-key agg + per-doc
+    # rebuild group — the anti-join broadcasts its boilerplate-sized
+    # side and (only at test scale) the final join broadcasts the
+    # rebuilt docs; at corpus scale that join shuffles both sides,
+    # bounding the op at 4 exchanges
+    assert 2 <= n_exchanges(plan) <= 4, plan
+    assert "LeftAnti" in plan
+    # lines travel as 128-bit hash keys into the counting aggregate
+    assert "xxhash64" in plan
+
+
+def test_semantic_dedup_pair_stage_no_vector_shuffle(spark):
+    from grip_spark import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = similarity.semantic_dedup(emb, n_lists=4, salt="plan", threshold=0.9)
+    plan = df_plan(out.select("vec_id", "sem_keep"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
