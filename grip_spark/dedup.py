@@ -910,9 +910,13 @@ def dedup_lines(
     footers, cookie banners, nav text).
 
     Every occurrence of a line whose (whitespace-normalized, when
-    ``normalize_lines``) form appears ``>= min_count`` times in the
-    CORPUS is removed from every document; remaining lines keep their
-    original order and text.  Complements
+    ``normalize_lines``) form appears in ``>= min_count`` DISTINCT
+    documents is removed from every document; remaining lines keep
+    their original order and text.  Distinct-document counting means
+    a refrain repeated inside one document is NOT boilerplate (the
+    across-document semantics of the cited filters), and blank /
+    whitespace-only lines are never removed — they are paragraph
+    structure, not boilerplate.  Complements
     :func:`duplicate_ngram_spans` (within-line token grams) at the
     line granularity.
 
@@ -936,8 +940,12 @@ def dedup_lines(
         "_lk2", F.xxhash64(F.lit(1), keysrc)
     )
     dup_keys = (
-        keyed.groupBy("_lk1", "_lk2")
-        .agg(F.count(F.lit(1)).alias("_n"))
+        # blank lines excluded from the key set entirely (always kept);
+        # count DISTINCT docs, not occurrences — the distinct runs over
+        # (key, doc) pairs, still hash-sized rows
+        keyed.filter(F.trim(F.col("_line")) != "")
+        .groupBy("_lk1", "_lk2")
+        .agg(F.count_distinct(F.col(id_col)).alias("_n"))
         .filter(F.col("_n") >= min_count)
         .select("_lk1", "_lk2")
     )

@@ -28,6 +28,17 @@ def _vec_lit(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+def _fresh_name(base: str, taken) -> str:
+    """An internal column name guaranteed not to collide with the
+    caller's columns (ops here return the full input df, so a silent
+    clobber of a user column would be observable data loss)."""
+    name = base
+    taken = set(taken)
+    while name in taken:
+        name = "_" + name
+    return name
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<numeric> columns (JVM fold, no UDF)."""
     return F.aggregate(
@@ -400,7 +411,16 @@ def ivf_index_seeded(
         raise ValueError(f"n_lists must be > 0, got {n_lists}")
     idc = F.col(id_col)
     seeds = (
+        # zero-norm vectors (empty-content embeddings) cannot serve as
+        # cosine centroids — exclude them from the seed sample rather
+        # than crash when one happens to hash low.  They still get a
+        # cell assigned below (their score against every centroid is
+        # 0 -> lowest cell id wins the tie) and semantic_dedup keeps
+        # them (null centroid-cosine never enters a pair).  The norm
+        # filter is a no-op on corpora without zero vectors, which is
+        # what the SQL oracles assume.
         df.select(idc, F.col(vec_col))
+        .filter(norm(F.col(vec_col)) > 0)
         .orderBy(
             md5_prefix_hash(F.concat(F.lit(salt), idc.cast("string"))).asc(),
             idc.asc(),
@@ -408,10 +428,9 @@ def ivf_index_seeded(
         .limit(n_lists)
         .collect()
     )
+    if not seeds:
+        raise ValueError("no non-zero vectors to seed the quantizer")
     centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)]
-    for cid, c in centroids:
-        if _py_norm(c) == 0.0:
-            raise ValueError(f"seed centroid {cid} has zero norm")
     scored = F.array(
         *[
             F.struct(
@@ -423,16 +442,17 @@ def ivf_index_seeded(
             for cid, c in centroids
         ]
     )
-    indexed = df.withColumn("_ivf_best", F.array_sort(scored)[0]).withColumn(
-        cluster_col, F.col("_ivf_best")["cell"]
+    best = _fresh_name("_ivf_best", df.columns)
+    indexed = df.withColumn(best, F.array_sort(scored)[0]).withColumn(
+        cluster_col, F.col(best)["cell"]
     )
     if score_col is not None:
         # the winning centroid's norm-free score dot(v, c)/|c|; divide
         # by the vector's own norm (computed once elsewhere) to get the
         # true centroid cosine — kept norm-free here so the argmax path
         # pays nothing extra when the score isn't requested
-        indexed = indexed.withColumn(score_col, -F.col("_ivf_best")["negsim"])
-    return indexed.drop("_ivf_best"), centroids
+        indexed = indexed.withColumn(score_col, -F.col(best)["negsim"])
+    return indexed.drop(best), centroids
 
 
 def ivf_probe_cells(
@@ -494,6 +514,9 @@ def semantic_dedup(
     ``df`` + cell/keep columns; zero-norm vectors never enter a pair
     (null cosine -> filtered) and are kept.
     """
+    c_score = _fresh_name("_cscore", df.columns)
+    c_norm = _fresh_name("_norm", df.columns)
+    c_sim = _fresh_name("_csim", df.columns)
     indexed, _cents = ivf_index_seeded(
         df,
         vec_col,
@@ -501,26 +524,28 @@ def semantic_dedup(
         n_lists=n_lists,
         salt=salt,
         cluster_col=cell_col,
-        score_col="_cscore",
+        score_col=c_score,
     )
     b = (
-        indexed.withColumn("_norm", norm(F.col(vec_col)))
-        .withColumn("_csim", F.col("_cscore") / F.col("_norm"))
+        indexed.withColumn(c_norm, norm(F.col(vec_col)))
+        # try_divide: ANSI mode throws on /0 — a zero-norm vector's
+        # centroid cosine is NULL (degenerate; it never enters a pair)
+        .withColumn(c_sim, F.try_divide(F.col(c_score), F.col(c_norm)))
         .localCheckpoint(eager=True)
     )
     l = b.select(
         F.col(id_col).alias("a_id"),
         F.col(vec_col).alias("_va"),
         F.col(cell_col).alias("_cell"),
-        F.col("_norm").alias("_na"),
-        F.col("_csim").alias("_ca"),
+        F.col(c_norm).alias("_na"),
+        F.col(c_sim).alias("_ca"),
     )
     r = b.select(
         F.col(id_col).alias("b_id"),
         F.col(vec_col).alias("_vb"),
         F.col(cell_col).alias("_cell"),
-        F.col("_norm").alias("_nb"),
-        F.col("_csim").alias("_cb"),
+        F.col(c_norm).alias("_nb"),
+        F.col(c_sim).alias("_cb"),
     )
     drops = (
         l.join(r, ["_cell"])
@@ -531,14 +556,14 @@ def semantic_dedup(
             < F.struct(F.col("_ca").alias("c"), F.col("a_id").alias("i"))
         )
         .filter(
-            (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+            F.try_divide(dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb"))
             >= F.lit(threshold)
         )
         .select(F.col("a_id").alias(id_col))
         .distinct()
     )
     return (
-        b.drop("_norm", "_csim", "_cscore")
+        b.drop(c_norm, c_sim, c_score)
         .join(drops.withColumn(keep_col, F.lit(False)), [id_col], "left")
         .fillna({keep_col: True})
     )

@@ -672,15 +672,18 @@ def line_filter(
         return cond
 
     kept = F.filter(lines, keep)
+    from .similarity import _fresh_name
+
+    kc = _fresh_name("_kept", df.columns)
     return (
-        df.withColumn("_kept", kept)
-        .withColumn(out_col, F.array_join(F.col("_kept"), "\n"))
-        .withColumn("n_lines_kept", F.coalesce(F.size("_kept"), F.lit(0)))
+        df.withColumn(kc, kept)
+        .withColumn(out_col, F.array_join(F.col(kc), "\n"))
+        .withColumn("n_lines_kept", F.coalesce(F.size(kc), F.lit(0)))
         .withColumn(
             "n_lines_dropped",
-            F.coalesce(F.size(lines) - F.size("_kept"), F.lit(0)),
+            F.coalesce(F.size(lines) - F.size(kc), F.lit(0)),
         )
-        .drop("_kept")
+        .drop(kc)
     )
 
 

@@ -379,7 +379,6 @@ def test_chunker_matches_python_oracle(spark, size, stride):
 
 
 def test_packer_matches_python_oracle(spark):
-    import hashlib
     import random as _random
 
     from grip_spark import text
@@ -397,8 +396,7 @@ def test_packer_matches_python_oracle(spark):
         ).collect()
     }
 
-    def h(s):
-        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    from grip_spark.dedup import md5_prefix_py as h
 
     acc = {}
     for i, t in sorted(rows):  # doc_id order within group

@@ -269,3 +269,69 @@ def test_hashed_linear_score_separates_planted_classes(spark):
         for r in text.hashed_linear_score(docs, weights, token_hash=md5_prefix_hash).collect()
     }
     assert out[1] > 0.8 > 0.5 > out[2]
+
+
+def test_dedup_lines_preserves_blank_lines_and_within_doc_refrains(spark):
+    """Code-review regressions: blank separator lines are paragraph
+    structure (never boilerplate), and a refrain repeated inside ONE
+    document is not corpus boilerplate — min_count counts distinct
+    documents."""
+    from grip_spark import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "first paragraph here\n\nsecond paragraph here"),
+            (2, "other first para\n\nother second para"),
+            (3, "chorus line repeats\nsome verse content\nchorus line repeats"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text_deduped"]
+        for r in dedup.dedup_lines(docs, min_count=2).collect()
+    }
+    assert out[1] == "first paragraph here\n\nsecond paragraph here"
+    assert out[2] == "other first para\n\nother second para"
+    assert out[3] == "chorus line repeats\nsome verse content\nchorus line repeats"
+
+
+def test_semantic_dedup_and_line_filter_no_user_column_clobber(spark):
+    """Ops that return the full input df must not eat user columns that
+    happen to share internal working names."""
+    from grip_spark import similarity, text
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], f"keep{i}", float(i)) for i in range(6)],
+        "vec_id long, embedding array<float>, _norm string, _csim double",
+    )
+    out = similarity.semantic_dedup(emb, n_lists=2, salt="cc", threshold=0.99)
+    assert {"_norm", "_csim"} <= set(out.columns)
+    got = {r["vec_id"]: r["_norm"] for r in out.collect()}
+    assert got == {i: f"keep{i}" for i in range(6)}
+
+    docs = spark.createDataFrame(
+        [(1, "a good line of text", "mine")], "doc_id long, text string, _kept string"
+    )
+    res = text.line_filter(docs, min_words=3).first()
+    assert res["_kept"] == "mine"
+
+
+def test_ivf_seeded_zero_norm_vector_never_seeds_and_is_kept(spark):
+    """A zero-norm embedding whose id hashes low must not crash the
+    quantizer; it lands in cell 0 (all-zero scores, lowest-cell tie)
+    and semantic_dedup keeps it."""
+    from grip_spark import similarity
+
+    rows = [(i, [float(i + 1), 2.0]) for i in range(8)] + [(99, [0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # every salt must work, including ones that rank 99 into the seeds
+    for salt in ("semdedup", "a", "b", "c"):
+        idx, cents = similarity.ivf_index_seeded(
+            emb, n_lists=6, salt=salt, cluster_col="cell"
+        )
+        assert all(sum(x * x for x in c) > 0 for _, c in cents)
+        out = similarity.semantic_dedup(
+            emb, n_lists=6, salt=salt, threshold=0.9
+        )
+        zero = [r for r in out.collect() if r["vec_id"] == 99][0]
+        assert zero["sem_keep"] is True
