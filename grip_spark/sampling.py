@@ -209,3 +209,28 @@ def shuffle_order(
         *([partitions] if partitions else []), key.asc(), F.col(id_col).asc()
     ).sortWithinPartitions(key.asc(), F.col(id_col).asc())
     return out
+
+
+def score_sample(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    salt: str = "score",
+    scale: float = 1.0,
+) -> DataFrame:
+    """Keep each row with probability ``clamp(scale * score, 0, 1)`` —
+    deterministically (same (salt, id) => same decision).
+
+    The quality-weighted inclusion stage (GPT-3-style: documents are
+    kept with probability proportional to a classifier score, so
+    borderline docs survive at reduced rate instead of a hard
+    threshold cliff).  Same scale shape as :func:`hash_sample`: a
+    narrow shuffle-free filter; the score column is typically
+    :func:`grip_spark.text.hashed_linear_score` output computed in
+    the same scan.  NULL scores drop the row (an unscorable document
+    has no inclusion probability).
+    """
+    rate = F.least(
+        F.greatest(F.col(score_col) * F.lit(float(scale)), F.lit(0.0)), F.lit(1.0)
+    )
+    return df.filter(uniform_key(id_col, salt) < rate)

@@ -699,6 +699,7 @@ def hashed_linear_score(
     out_col: str = "clf_score",
     bias: float = 0.0,
     token_hash=None,
+    word_ngrams: int = 1,
 ) -> DataFrame:
     """Hashed bag-of-words linear classifier inference — the
     fastText-style quality-classifier shape the GPT-3 / LLaMA / CCNet
@@ -723,15 +724,41 @@ def hashed_linear_score(
     pass ``dedup.md5_prefix_hash`` for the cross-engine family a SQL
     oracle or pure-Python replica can reproduce).  Empty text scores
     ``sigmoid(bias)``; NULL text stays NULL.
+
+    ``word_ngrams=2`` adds fastText's word-bigram features: every
+    space-joined adjacent token pair hashes into the same bucket
+    space and enters the same mean — still one shuffle-free
+    expression (the bigram array is built with ``zip_with`` against
+    the shifted token array; no explode).
     """
     if not weights:
         raise ValueError("weights must be non-empty")
+    if word_ngrams not in (1, 2):
+        raise ValueError(f"word_ngrams must be 1 or 2, got {word_ngrams}")
     h = token_hash or F.xxhash64
     d = len(weights)
     w = F.array(*[F.lit(float(x)) for x in weights])
     # empty text splits to [""] — drop empty tokens so it takes the
     # bias-only path instead of scoring a phantom "" token
     toks = F.filter(tokens(text_col), lambda t: t != "")
+    if word_ngrams == 2:
+        toks = _let(
+            toks,
+            # zip_with pads the shorter side with null, so trim the
+            # zipped array to n-1 real bigrams before concatenating
+            lambda ts: F.concat(
+                ts,
+                F.slice(
+                    F.zip_with(
+                        ts,
+                        F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))),
+                        lambda a, b: F.concat_ws(" ", a, b),
+                    ),
+                    1,
+                    F.greatest(F.size(ts) - 1, F.lit(0)),
+                ),
+            ),
+        )
 
     def _body(ts):
         n = F.size(ts)

@@ -464,3 +464,62 @@ def test_shuffle_order_is_range_exchange(docs):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
     assert "SinglePartition" not in plan
+
+
+def test_score_sample_python_oracle_and_determinism(spark):
+    from grip_spark import sampling
+    from grip_spark.dedup import md5_prefix_py
+
+    rows = [(i, [0.0, 0.25, 0.5, 0.75, 1.0, 1.5, -0.2, None][i % 8]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    kept = {r["doc_id"] for r in sampling.score_sample(df, "score", "doc_id", salt="q").collect()}
+    # pure-python replica: clamp(score,0,1) vs md5-uniform
+    span = float(1 << 60)
+    want = {
+        i
+        for i, s in rows
+        if s is not None and (md5_prefix_py(f"q{i}") / span) < min(max(s, 0.0), 1.0)
+    }
+    assert kept == want
+    # scale=0 keeps nothing; score 1.0 keeps everything at scale 1
+    assert sampling.score_sample(df, "score", "doc_id", scale=0.0).count() == 0
+    ones = df.filter(F.col("score") == 1.0)
+    assert sampling.score_sample(ones, "score", "doc_id").count() == ones.count()
+    # partition-invariant
+    again = {
+        r["doc_id"]
+        for r in sampling.score_sample(df.repartition(7), "score", "doc_id", salt="q").collect()
+    }
+    assert again == kept
+
+
+def test_classifier_scored_corpus_build_end_to_end(docs):
+    """Corpus build v2: line-of-sight from raw docs to packed
+    sequences with the classifier in the loop — quality score,
+    hashed-classifier score, score-proportional inclusion, dedup
+    canonicalization, packing.  Asserts the composition stays a
+    single declarative plan with bounded shuffles and deterministic
+    membership."""
+    import re as _re
+
+    from grip_spark import dedup, sampling, text
+
+    weights = [0.4] * 64  # uniform-positive: score ~ sigmoid(0.4)
+    d = text.quality_score(docs)
+    d = text.hashed_linear_score(d, weights, out_col="clf")
+    d = sampling.score_sample(d, "clf", "doc_id", salt="cb2", scale=1.2)
+    d = dedup.dedup_exact(d, ["text"], "doc_id")
+    packed = text.pack_sequences(d, capacity=512, num_groups=4, salt="cb2")
+    rows = packed.collect()
+    assert rows
+    # deterministic: same membership under a different input layout
+    d2 = text.quality_score(docs.repartition(11))
+    d2 = text.hashed_linear_score(d2, weights, out_col="clf")
+    d2 = sampling.score_sample(d2, "clf", "doc_id", salt="cb2", scale=1.2)
+    d2 = dedup.dedup_exact(d2, ["text"], "doc_id")
+    assert {r.doc_id for r in rows} == {r["doc_id"] for r in d2.select("doc_id").collect()}
+    # plan: classifier + sampling add no exchanges beyond dedup's
+    # agg/semi-join and packing's group window
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    n_ex = len(_re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    assert n_ex <= 4, plan

@@ -335,3 +335,38 @@ def test_ivf_seeded_zero_norm_vector_never_seeds_and_is_kept(spark):
         )
         zero = [r for r in out.collect() if r["vec_id"] == 99][0]
         assert zero["sem_keep"] is True
+
+
+def test_hashed_linear_score_bigrams_python_oracle(spark):
+    """word_ngrams=2 must score unigrams + adjacent bigrams exactly as
+    the pure-Python fastText-style replica does."""
+    import random as _random
+
+    from grip_spark.dedup import md5_prefix_hash, md5_prefix_py
+
+    rng = _random.Random(29)
+    D = 48
+    weights = [rng.uniform(-1, 1) for _ in range(D)]
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "solo"), (3, ""), (4, "x  y")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["clf_score"]
+        for r in text.hashed_linear_score(
+            docs, weights, bias=-0.2, token_hash=md5_prefix_hash, word_ngrams=2
+        ).collect()
+    }
+
+    def py(t):
+        toks = [x for x in t.strip().lower().split() if x]
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        z = -0.2 + (
+            sum(weights[md5_prefix_py(f) % D] for f in feats) / len(feats) if feats else 0.0
+        )
+        return 1.0 / (1.0 + math.exp(-z))
+
+    for i, t in [(1, "alpha beta gamma"), (2, "solo"), (3, ""), (4, "x  y")]:
+        assert out[i] == pytest.approx(py(t), abs=1e-12), i
+    with pytest.raises(ValueError):
+        text.hashed_linear_score(docs, weights, word_ngrams=3)
