@@ -777,3 +777,36 @@ def hashed_linear_score(
         out_col,
         F.when(c.isNull(), F.lit(None).cast("double")).otherwise(_let(toks, _body)),
     )
+
+
+def corpus_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    by: tuple[str, ...] = ("source", "lang"),
+) -> DataFrame:
+    """Corpus composition report — the first artifact every training
+    run needs: per-``by``-group and overall document counts, token
+    counts, mean quality, and mean length, in ONE aggregation pass.
+
+    GROUPING SETS (the detailed grouping plus the grand total) reuses
+    the engine's fused multi-agg machinery: one scan, one partial-agg
+    shuffle, every rollup level computed map-side together.  Group
+    columns are NULL on the grand-total row.  At 100 TB this is a
+    single cheap pass; running it before AND after a pipeline stage
+    turns "the filter dropped 37% of German tokens" into a one-join
+    diff of two small tables.
+    """
+    feats = quality_score(df, text_col)
+    feats = feats.withColumn(
+        "_nt", F.size(F.filter(tokens(text_col), lambda t: t != ""))
+    )
+    cols = [F.col(c) for c in by]
+    return (
+        feats.groupingSets([list(cols), []], *cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(F.avg(F.length(F.col(text_col))), 3).alias("avg_chars"),
+        )
+    )

@@ -370,3 +370,31 @@ def test_hashed_linear_score_bigrams_python_oracle(spark):
         assert out[i] == pytest.approx(py(t), abs=1e-12), i
     with pytest.raises(ValueError):
         text.hashed_linear_score(docs, weights, word_ngrams=3)
+
+
+def test_corpus_stats_grouping_sets(spark):
+    """corpus_stats: per-(source,lang) rows plus ONE grand-total row
+    with NULL group columns, token counts exact, single-pass plan."""
+    import re as _re
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "s1", "en"),
+            (2, "delta epsilon", "s1", "en"),
+            (3, "zeta", "s1", "de"),
+            (4, "", "s2", "en"),
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    out = text.corpus_stats(docs)
+    # inspect before executing: a finalized AdaptiveSparkPlan prints
+    # Final AND Initial plans, double-counting every Exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(_re.findall(r"Exchange (?:hash|range)partitioning", plan)) == 1
+    assert "Expand" in plan  # grouping sets, one pass
+    rows = {(r["source"], r["lang"]): (r["n_docs"], r["n_tokens"]) for r in out.collect()}
+    assert rows[("s1", "en")] == (2, 5)
+    assert rows[("s1", "de")] == (1, 1)
+    assert rows[("s2", "en")] == (1, 0)  # empty text -> 0 tokens
+    assert rows[(None, None)] == (4, 6)  # grand total
+    assert len(rows) == 4
