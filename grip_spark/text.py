@@ -810,3 +810,92 @@ def corpus_stats(
             F.round(F.avg(F.length(F.col(text_col))), 3).alias("avg_chars"),
         )
     )
+
+
+def hashed_linear_score_joined(
+    df: DataFrame,
+    weights_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "clf_score",
+    bias: float = 0.0,
+    n_buckets: int | None = None,
+    token_hash=None,
+    word_ngrams: int = 1,
+) -> DataFrame:
+    """:func:`hashed_linear_score` for models too big to ride the plan
+    as a literal (millions of buckets): ``weights_df`` is a
+    ``(bucket int, weight double)`` table, broadcast into an equi-join
+    against the exploded token stream, then re-aggregated per doc.
+
+    Identical math to the literal path (same hash, same mean, same
+    sigmoid — the tests pin the two paths to each other); the cost is
+    one broadcast (model-sized, shipped once per executor like any
+    served model) and one per-doc re-aggregation shuffle carrying
+    ``(id, partial sum, count)`` — never text.  Missing buckets weigh
+    0 (a sparse model is the common case at 10^6 buckets).
+    ``n_buckets`` defaults to the weight-table row count, which is
+    only correct for DENSE tables — pass it explicitly for sparse
+    models.
+    """
+    if word_ngrams not in (1, 2):
+        raise ValueError(f"word_ngrams must be 1 or 2, got {word_ngrams}")
+    h = token_hash or F.xxhash64
+    if n_buckets is None:
+        n_buckets = weights_df.count()
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be > 0")
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    if word_ngrams == 2:
+        toks = _let(
+            toks,
+            lambda ts: F.concat(
+                ts,
+                F.slice(
+                    F.zip_with(
+                        ts,
+                        F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))),
+                        lambda a, b: F.concat_ws(" ", a, b),
+                    ),
+                    1,
+                    F.greatest(F.size(ts) - 1, F.lit(0)),
+                ),
+            ),
+        )
+    feats = df.select(
+        F.col(id_col), F.explode(toks).alias("_tok")
+    ).withColumn("_bucket", F.pmod(h(F.col("_tok")), F.lit(n_buckets)).cast("int"))
+    w = F.broadcast(
+        weights_df.select(F.col("bucket").alias("_bucket"), F.col("weight").alias("_w"))
+    )
+    per_doc = (
+        feats.join(w, ["_bucket"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("_w"), F.lit(0.0))).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            F.col(id_col),
+            (
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(-(F.lit(float(bias)) + F.col("_s") / F.col("_n")))
+                )
+            ).alias(out_col),
+        )
+    )
+    # docs with no tokens (empty text) have no exploded rows — restore
+    # them at the bias-only score; NULL text stays NULL
+    c = F.col(text_col)
+    zero_score = 1.0 / (1.0 + __import__("math").exp(-float(bias)))
+    return (
+        df.join(per_doc, [id_col], "left")
+        .withColumn(
+            out_col,
+            F.when(c.isNull(), F.lit(None).cast("double")).otherwise(
+                F.coalesce(F.col(out_col), F.lit(zero_score))
+            ),
+        )
+    )

@@ -398,3 +398,43 @@ def test_corpus_stats_grouping_sets(spark):
     assert rows[("s2", "en")] == (1, 0)  # empty text -> 0 tokens
     assert rows[(None, None)] == (4, 6)  # grand total
     assert len(rows) == 4
+
+
+def test_hashed_linear_score_joined_matches_literal_path(spark):
+    """The broadcast-join variant must produce exactly the literal
+    path's scores (same hash, mean, sigmoid), including empty/NULL
+    text and bigram mode, and its plan must broadcast the model."""
+    import random as _random
+
+    rng = _random.Random(41)
+    D = 96
+    weights = [rng.uniform(-1.5, 1.5) for _ in range(D)]
+    wdf = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "bucket int, weight double"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "several plain tokens to score here"),
+            (2, "one"),
+            (3, ""),
+            (4, None),
+            (5, "alpha beta alpha beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    for ng in (1, 2):
+        lit = {
+            r["doc_id"]: r["clf_score"]
+            for r in text.hashed_linear_score(
+                docs, weights, bias=0.3, word_ngrams=ng
+            ).collect()
+        }
+        joined_df = text.hashed_linear_score_joined(
+            docs, wdf, bias=0.3, n_buckets=D, word_ngrams=ng
+        )
+        joined = {r["doc_id"]: r["clf_score"] for r in joined_df.collect()}
+        assert joined[4] is None
+        for i in (1, 2, 3, 5):
+            assert joined[i] == pytest.approx(lit[i], abs=1e-12), (ng, i)
+    plan = joined_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
