@@ -656,6 +656,11 @@ class Planner:
                 resolved.append((F.col(alias), dtype))
             src = df.select(*cols) if cols else df.select(F.lit(1).alias("_one"))
             src = src.persist()
+            # registered so callers' finally blocks (execute/iterate/
+            # resume) can release it even if this frame never reaches
+            # its own finally (driver interrupt mid-collect); the
+            # local unpersist below makes the double release a no-op
+            self.persisted.append(src)
             try:
                 # materialize the cache before the branch fan-out: the
                 # N aggregation branches all scan it within one collect

@@ -113,7 +113,15 @@ class JobStore:
         gdir = os.path.join(self.base, graph)
         if not os.path.isdir(gdir):
             return []
-        return [self.get(graph, j) for j in sorted(os.listdir(gdir))]
+        out = []
+        for j in sorted(os.listdir(gdir)):
+            # skip partially-written jobs (spool written, crash before
+            # meta.json) and stray files — one bad entry must not take
+            # down list/find_prefix/resume for the whole graph forever
+            if not os.path.isfile(self._meta_path(graph, j)):
+                continue
+            out.append(self.get(graph, j))
+        return out
 
     def delete(self, graph: str, job_id: str) -> None:
         import shutil
@@ -166,6 +174,13 @@ class JobStore:
         df = self._spool_df(traversal.graph.name, meta["id"])
         needs_path = any(next(iter(s)) == "path" for s in remaining)
         if needs_path and "_path" not in df.columns:
+            return traversal.execute()
+        # a jump whose mark target lives inside the stored prefix
+        # cannot replan from the spool (the loop head is gone) —
+        # fall back to full execution as documented
+        remaining_marks = {s["mark"] for s in remaining if next(iter(s)) == "mark"}
+        jump_targets = {s["jump"]["mark"] for s in remaining if next(iter(s)) == "jump"}
+        if jump_targets - remaining_marks:
             return traversal.execute()
         from grip_spark.compile.planner import Planner
         from grip_spark.compile.results import convert_rows

@@ -22,16 +22,19 @@ class GraphManager:
         self.spark = spark
         self.base = base_dir
         self._graphs: dict[str, GripGraph] = {}
+        # record what's on disk, load lazily in getGraph: each load is
+        # two driver-blocking parquet schema reads, so eager-loading a
+        # large catalog makes construction scale with catalog size
+        # instead of usage
+        self._on_disk: set[str] = set()
         if base_dir:
             os.makedirs(base_dir, exist_ok=True)
             for name in os.listdir(base_dir):
                 if os.path.isdir(os.path.join(base_dir, name, "vertices")):
-                    self._graphs[name] = GripGraph.load(
-                        spark, os.path.join(base_dir, name), name=name
-                    )
+                    self._on_disk.add(name)
 
     def listGraphs(self) -> list[str]:
-        return sorted(self._graphs)
+        return sorted(set(self._graphs) | self._on_disk)
 
     def addGraph(self, name: str, graph: GripGraph | None = None) -> GripGraph | GraphBuilder:
         """Register a graph; with no DataFrames yet, returns a
@@ -44,6 +47,10 @@ class GraphManager:
         return graph
 
     def getGraph(self, name: str) -> GripGraph:
+        if name not in self._graphs and name in self._on_disk:
+            self._graphs[name] = GripGraph.load(
+                self.spark, os.path.join(self.base, name), name=name
+            )
         g = self._graphs[name]
         if isinstance(g, GraphBuilder):
             return g.graph()
@@ -51,15 +58,31 @@ class GraphManager:
 
     def deleteGraph(self, name: str) -> None:
         self._graphs.pop(name, None)
+        self._on_disk.discard(name)
         if self.base:
             shutil.rmtree(os.path.join(self.base, name), ignore_errors=True)
 
     def persist(self, name: str) -> None:
         """Write the graph to the manager's base dir (label-partitioned
-        parquet); it will be auto-loaded by future managers."""
+        parquet); it will be auto-loaded by future managers.
+
+        Writes to a temp sibling and swaps: a graph loaded from (or
+        derived from one loaded from) this very directory is still
+        lazily READING it — an in-place ``mode("overwrite")`` write
+        would either fail Spark's overwrite-a-read-path check or
+        delete the source files before the lazy scan runs.  After the
+        swap the manager re-points at the persisted copy so no cached
+        plan references the replaced files."""
         if not self.base:
             raise ValueError("GraphManager has no base_dir")
-        self.getGraph(name).save(os.path.join(self.base, name))
+        target = os.path.join(self.base, name)
+        tmp = target + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self.getGraph(name).save(tmp)
+        shutil.rmtree(target, ignore_errors=True)
+        os.replace(tmp, target)
+        self._on_disk.add(name)
+        self._graphs[name] = GripGraph.load(self.spark, target, name=name)
 
     def query(self, name: str):
         return self.getGraph(name).query()

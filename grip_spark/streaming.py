@@ -80,8 +80,11 @@ def sessionize(
     (lag + cumulative sum), which is also the correctness oracle for
     the streaming path.
     """
+    # key column keeps its true type (hardcoding bigint broke string
+    # keys on the streaming path while the batch path accepted them)
+    ktype = events.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} bigint, session_start timestamp, session_end timestamp, n_events bigint"
+        f"{key_col} {ktype}, session_start timestamp, session_end timestamp, n_events bigint"
     )
     if not events.isStreaming:
         from pyspark.sql.window import Window
@@ -124,32 +127,47 @@ def sessionize(
             return
         ts = pd.concat([pdf[ts_col] for pdf in pdfs]).sort_values()
         secs = ts.astype("int64") / 1e9
-        if state.exists:
-            (start, end, n) = state.get
-        else:
-            start = end = None
-            n = 0
-        out = []
+        # interval-merge, not a single forward chain: an admissible
+        # late event (inside the watermark but before the open
+        # session's end) must EXTEND the session toward the past, and
+        # an even-earlier straggler forms its own earlier session —
+        # the old `end = t` update moved session_end backward and
+        # then mis-split on the next event (batch-oracle divergence).
+        ivs = []  # (start, end, n), built from the sorted batch
         for t in secs:
-            if start is None:
-                start = end = t
-                n = 1
-            elif t - end <= gap_seconds:
-                end = t
-                n += 1
+            if ivs and t - ivs[-1][1] <= gap_seconds:
+                s0, e0, n0 = ivs[-1]
+                ivs[-1] = (min(s0, t), max(e0, t), n0 + 1)
             else:
-                out.append((key[0], start, end, n))
-                start = end = t
-                n = 1
+                ivs.append((t, t, 1))
+        if state.exists:
+            ivs.append(tuple(state.get))
+            ivs.sort(key=lambda iv: iv[0])
+            merged = [ivs[0]]
+            for s, e, n in ivs[1:]:
+                s0, e0, n0 = merged[-1]
+                if s - e0 <= gap_seconds:
+                    merged[-1] = (s0, max(e0, e), n0 + n)
+                else:
+                    merged.append((s, e, n))
+            ivs = merged
+        *closed, (start, end, n) = ivs
         state.update((float(start), float(end), int(n)))
-        state.setTimeoutDuration(gap_seconds * 1000)
-        if out:
+        # event-time timeout at end + gap: admission and flush use the
+        # SAME clock — once the watermark passes end+gap, any event
+        # that could still merge is below the watermark and is dropped
+        # by the operator, so a flushed session can never be reopened
+        # (ProcessingTimeTimeout flushed on wall-clock and an
+        # admissible late event then re-opened an already-emitted
+        # session).
+        state.setTimeoutTimestamp(int((end + gap_seconds) * 1000))
+        if closed:
             yield pd.DataFrame(
                 {
-                    key_col: [o[0] for o in out],
-                    "session_start": [pd.Timestamp(o[1], unit="s") for o in out],
-                    "session_end": [pd.Timestamp(o[2], unit="s") for o in out],
-                    "n_events": [o[3] for o in out],
+                    key_col: [key[0] for _ in closed],
+                    "session_start": [pd.Timestamp(s, unit="s") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="s") for _, e, _ in closed],
+                    "n_events": [n for _, _, n in closed],
                 }
             )
 
@@ -161,7 +179,7 @@ def sessionize(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -204,5 +222,7 @@ def stream_to_memory(df: DataFrame, name: str, once: bool = True):
 
 def _has_agg_complete(df: DataFrame) -> bool:
     # windowed_counts without watermark-expired append support in a
-    # finite test run is simplest in complete mode
-    return any("Aggregate" in str(p) for p in [df._jdf.queryExecution().analyzed().toString()])
+    # finite test run is simplest in complete mode.  Plain substring
+    # probe of the analyzed plan; stateful flatMapGroupsWithState
+    # (sessionize) plans contain no Aggregate node and stay append.
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()

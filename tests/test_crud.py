@@ -302,3 +302,46 @@ def test_from_ntriples(spark, tmp_path):
         .collect()[0][0]
     )
     assert n == 1
+
+
+def test_graph_manager_load_modify_persist_cycle(spark, tmp_path, swapi):
+    """Review regression: persisting a graph that was LOADED from the
+    manager's own base dir (so its DataFrames lazily read that very
+    path) must not fail Spark's overwrite-a-read-path check or lose
+    data — persist writes to a temp sibling and swaps."""
+    from grip_spark.manager import GraphManager
+
+    base = str(tmp_path / "graphs")
+    m = GraphManager(spark, base)
+    m.addGraph("g", swapi)
+    m.persist("g")
+
+    m2 = GraphManager(spark, base)
+    g = m2.getGraph("g")  # lazily reads base/g
+    g2 = g.addVertices(
+        spark.createDataFrame(
+            [("New:1", "Thing", None)], g.vertices.schema
+        )
+    )
+    m2.addGraph("g", g2)
+    m2.persist("g")  # previously: overwrite of an active read path
+    assert m2.query("g").V().count().execute()[0]["count"] == 40
+
+    m3 = GraphManager(spark, base)
+    assert m3.query("g").V().count().execute()[0]["count"] == 40
+
+
+def test_graph_manager_lazy_load_and_partial_listing(spark, tmp_path, swapi):
+    """Construction records names without loading; getGraph loads on
+    first touch."""
+    from grip_spark.manager import GraphManager
+
+    base = str(tmp_path / "graphs")
+    m = GraphManager(spark, base)
+    m.addGraph("g", swapi)
+    m.persist("g")
+    m2 = GraphManager(spark, base)
+    assert m2.listGraphs() == ["g"]
+    assert not m2._graphs  # nothing loaded yet
+    assert m2.getGraph("g").vertices.count() == 39
+    assert "g" in m2._graphs

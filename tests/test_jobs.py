@@ -81,3 +81,43 @@ def test_traversal_client_sugar(spark, tmp_path, swapi):
     assert jid
     hits = q.searchJobs(store)
     assert hits and hits[0]["id"] == jid
+
+
+def test_list_jobs_skips_partial_and_stray_entries(store, swapi, tmp_path):
+    """Review regression: a crash between spool write and meta.json
+    write (or a stray file in the graph dir) must not break
+    list_jobs/find_prefix/resume forever."""
+    import os
+
+    q = swapi.query().V().hasLabel("Character")
+    jid = store.submit(q)
+    gdir = os.path.join(store.base, "swapi")
+    os.makedirs(os.path.join(gdir, "partial-job"))  # no meta.json
+    with open(os.path.join(gdir, "stray.txt"), "w") as f:
+        f.write("junk")
+    jobs = store.list_jobs("swapi")
+    assert [j["id"] for j in jobs] == [jid]
+    # resume still works end-to-end
+    got = store.resume(swapi.query().V().hasLabel("Character").count())
+    assert got[0]["count"] == 18
+
+
+def test_resume_jump_into_stored_prefix_falls_back(store, swapi):
+    """Review regression: a jump whose mark target lives inside the
+    stored prefix cannot replan from the spool — resume must fall back
+    to full execution, not raise CompileError."""
+    from grip_spark import ops
+
+    prefix = swapi.query().V().set("i", 0).mark("a")
+    store.submit(prefix)
+    full = (
+        swapi.query()
+        .V()
+        .set("i", 0)
+        .mark("a")
+        .increment("$.i")
+        .jump("a", ops.lt("$.i", 2), True)
+        .count()
+    )
+    direct = full.execute()
+    assert store.resume(full) == direct

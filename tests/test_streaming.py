@@ -101,7 +101,8 @@ def test_sessionize_stream_matches_batch(spark, event_files):
     q.awaitTermination(60)
     got = spark.table("sess_test").collect()
     # availableNow run flushes only *closed* sessions (open sessions
-    # wait on the processing-time timeout) — the closed ones must match
+    # wait on the event-time timeout at end + gap, which the final
+    # watermark of a finite run may not pass) — closed ones must match
     got_counts = sorted((r["user_id"], r["n_events"]) for r in got)
     assert set(got_counts) <= set(want_counts)
     # with the 2h gap between bursts, each user's first session closes
@@ -195,3 +196,78 @@ def test_quality_filter_sample_stream_matches_batch(spark, tmp_path_factory):
         for r in spark.table("qs_test").collect()
     }
     assert got == want
+
+
+def test_sessionize_stream_late_event_extends_session_backward(
+    spark, tmp_path_factory
+):
+    """Review regression: a late event landing in a LATER micro-batch
+    (inside the watermark, before the open session's end) must extend
+    the session toward the past — the old state update set end = t,
+    moving session_end backward and then mis-splitting the session.
+    Oracle (batch on all events sorted): ONE session [0s, 1850s] n=4,
+    closed by the far event at 10000s."""
+    import os
+
+    from grip_spark import streaming
+    from grip_spark.streaming import EVENTS_SCHEMA
+
+    d = tmp_path_factory.mktemp("late_events")
+    base = 1_700_000_000
+
+    def write(fname, offsets):
+        with open(d / fname, "w") as f:
+            for i, off in enumerate(offsets):
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": hash((fname, i)) % 10**6,
+                            "ts": time.strftime(
+                                "%Y-%m-%dT%H:%M:%S", time.gmtime(base + off)
+                            ),
+                            "user_id": 7,
+                            "event_type": "click",
+                            "value": 1.0,
+                        }
+                    )
+                    + "\n"
+                )
+
+    write("b0.json", [0, 60])
+    write("b1.json", [30, 1850, 10000])  # 30 is LATE (before end=60)
+    # file source orders micro-batches by modification time
+    now = time.time()
+    os.utime(d / "b0.json", (now - 100, now - 100))
+    os.utime(d / "b1.json", (now, now))
+
+    stream = (
+        spark.readStream.format("json")
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    sess = streaming.sessionize(stream, gap_seconds=1800)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("late_sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = [
+        (r["session_start"].timestamp(), r["session_end"].timestamp(), r["n_events"])
+        for r in spark.table("late_sess_test").collect()
+    ]
+    assert got == [(float(base), float(base + 1850), 4)]
+
+    # batch oracle agrees
+    batch_rows = streaming.sessionize(
+        _batch(spark, str(d)), gap_seconds=1800
+    ).collect()
+    closed = [
+        (r["session_start"].timestamp(), r["session_end"].timestamp(), r["n_events"])
+        for r in batch_rows
+        if r["n_events"] == 4
+    ]
+    assert closed == got
