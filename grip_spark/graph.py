@@ -46,11 +46,29 @@ def _warehouse_dir(spark: SparkSession) -> str:
     return wh[len("file:"):] if wh.startswith("file:") else wh
 
 
+def _quoted_type_ddl(dt) -> str:
+    """DDL type string with EVERY nested struct field name backticked —
+    ``simpleString`` leaves nested names unquoted, so a data field
+    named after a predicate URI (from_ntriples) produced unparseable
+    DDL and the manifest could never be re-attached."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    if isinstance(dt, StructType):
+        inner = ", ".join(
+            f"`{f.name}`: {_quoted_type_ddl(f.dataType)}" for f in dt.fields
+        )
+        return f"struct<{inner}>"
+    if isinstance(dt, ArrayType):
+        return f"array<{_quoted_type_ddl(dt.elementType)}>"
+    if isinstance(dt, MapType):
+        return f"map<{_quoted_type_ddl(dt.keyType)}, {_quoted_type_ddl(dt.valueType)}>"
+    return dt.simpleString()
+
+
 def _schema_ddl(schema: StructType) -> str:
-    """``name type, …`` DDL for external-table registration (simpleString
-    is valid DDL for the nested struct/array types the graph uses)."""
+    """``name type, …`` DDL for external-table registration."""
     return ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        f"`{f.name}` {_quoted_type_ddl(f.dataType)}" for f in schema.fields
     )
 
 
@@ -138,9 +156,14 @@ class GripGraph:
         strip = lambda c: F.regexp_replace(c, r"^<|>$", "")
         is_lit = F.col("_o").startswith('"')
         lit_val = F.regexp_extract("_o", r'^"((?:[^"\\]|\\.)*)"', 1)
+        # decode escaped backslashes FIRST (to a sentinel) so that a
+        # literal like "C:\\node" does not have its second backslash
+        # consumed by the \n rule (which would corrupt it to C:\<LF>ode)
+        lit_val = F.replace(lit_val, F.lit("\\\\"), F.lit("\x00"))
         for esc, rep in ((r"\\n", "\n"), (r"\\t", "\t")):
             lit_val = F.regexp_replace(lit_val, esc, rep)
         lit_val = F.regexp_replace(lit_val, r"\\(.)", "$1")
+        lit_val = F.replace(lit_val, F.lit("\x00"), F.lit("\\"))
         trip = raw.select(
             remap(strip(F.col("_s"))).alias("s"),
             remap(F.col("_p")).alias("p"),
@@ -154,7 +177,15 @@ class GripGraph:
             .agg(F.max("o").alias("label"))
         )
         props = (
+            # dedupe (subject, predicate) BEFORE map_from_entries: a
+            # duplicate key raises under Spark's default
+            # mapKeyDedupPolicy=EXCEPTION, and multi-valued predicates
+            # are ubiquitous in real RDF.  The kept value is max(o) —
+            # deterministic under a parallel scan, where "last in
+            # file" is not a defined order
             trip.filter("is_lit")
+            .groupBy("s", "p")
+            .agg(F.max("o").alias("o"))
             .groupBy("s")
             .agg(F.map_from_entries(F.collect_list(F.struct("p", "o"))).alias("_m"))
         )
@@ -241,6 +272,20 @@ class GripGraph:
         rows = self.edges.filter(F.col("gid") == gid).limit(1).collect()
         return element_dict(rows[0]) if rows else None
 
+    def _derive(
+        self, vertices: DataFrame, edges: DataFrame, edges_changed: bool
+    ) -> "GripGraph":
+        """New graph carrying this graph's registered indices; the
+        dst-bucketed reverse-edge copy survives only vertex-side
+        mutations (an edge mutation makes it stale — reverse hops then
+        fall back to the plain edge table until re-bucketed via
+        save_tables/from_tables)."""
+        g = GripGraph(vertices, edges, name=self.name)
+        g._indices = list(self._indices)
+        if not edges_changed:
+            g.edges_rev = self.edges_rev
+        return g
+
     def addVertices(self, df: DataFrame) -> "GripGraph":
         """Upsert vertices (last-wins by gid — ``kvgraph/graph.go``
         AddVertex semantics).  Returns a new graph; DataFrames are
@@ -250,23 +295,25 @@ class GripGraph:
         accepts arbitrary data per element."""
         new = _normalize_vertices(df)
         old, new = _reconcile_data(self.vertices, new)
-        return GripGraph(_upsert(old, new), self.edges, name=self.name)
+        return self._derive(_upsert(old, new), self.edges, edges_changed=False)
 
     def addEdges(self, df: DataFrame) -> "GripGraph":
         new = _normalize_edges(_rename_endpoints(df))
         old, new = _reconcile_data(self.edges, new)
-        return GripGraph(self.vertices, _upsert(old, new), name=self.name)
+        return self._derive(self.vertices, _upsert(old, new), edges_changed=True)
 
     def deleteVertices(self, gids: list[str]) -> "GripGraph":
         """Delete vertices and their incident edges (reference
         ``kvgraph/graph.go`` DelVertex removes adjacency rows too)."""
         v = self.vertices.filter(~F.col("gid").isin(gids))
         e = self.edges.filter(~F.col("src").isin(gids) & ~F.col("dst").isin(gids))
-        return GripGraph(v, e, name=self.name)
+        return self._derive(v, e, edges_changed=True)
 
     def deleteEdges(self, gids: list[str]) -> "GripGraph":
-        return GripGraph(
-            self.vertices, self.edges.filter(~F.col("gid").isin(gids)), name=self.name
+        return self._derive(
+            self.vertices,
+            self.edges.filter(~F.col("gid").isin(gids)),
+            edges_changed=True,
         )
 
     def sampleSchema(self, sample_n: int = 50) -> "GripGraph":
@@ -648,12 +695,10 @@ def _normalize(df: DataFrame, want: tuple) -> DataFrame:
     out = []
     for c in want:
         if c in cols:
-            if c == "data" and not isinstance(df.schema[c].dataType, StructType):
-                # tolerate data as map/json-string by leaving it as-is;
-                # struct is the fast path (nested pruning)
-                out.append(F.col(c))
-            else:
-                out.append(F.col(c))
+            # data passes through as-is whatever its type: struct is
+            # the fast path (nested pruning); map/json-string degrade
+            # gracefully at the fieldpath layer
+            out.append(F.col(c))
         elif c == "data":
             out.append(_empty_struct_col())
         else:

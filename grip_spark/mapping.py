@@ -34,6 +34,23 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from grip_spark.graph import GripGraph
 
 
+_NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def _merge_dtype(a: str, b: str) -> str:
+    """Widen two simple dtype strings for the union data schema: equal
+    stays, numeric pair -> double, anything else -> string."""
+    if a == b:
+        return a
+
+    def num(x):
+        return x in _NUMERIC or x.startswith("decimal")
+
+    if num(a) and num(b):
+        return "double"
+    return "string"
+
+
 def _gid(prefix: str, key_col: str) -> Column:
     return F.concat(F.lit(prefix), F.col(key_col).cast("string"))
 
@@ -85,12 +102,16 @@ class GraphMapping:
                 tables[nm] = reader(nm)
             return tables[nm]
 
-        # union data schema across vertex specs (typed NULL for absent)
+        # union data schema across vertex specs (typed NULL for absent);
+        # conflicting dtypes WIDEN (numeric pair -> double, else
+        # string) instead of first-wins hard casts that silently null
+        # the other spec's values
         vfields: dict[str, str] = {}
         for vs in self.vertices:
             df = t(vs.table)
             for c in vs.data:
-                vfields.setdefault(c, dict(df.dtypes)[c])
+                dt = dict(df.dtypes)[c]
+                vfields[c] = dt if c not in vfields else _merge_dtype(vfields[c], dt)
         vparts = []
         for vs in self.vertices:
             df = t(vs.table)
@@ -106,20 +127,30 @@ class GraphMapping:
                     F.struct(*cols).alias("data"),
                 )
             )
-        vertices = vparts[0]
-        for p in vparts[1:]:
-            vertices = vertices.unionByName(p)
+        if vparts:
+            vertices = vparts[0]
+            for p in vparts[1:]:
+                vertices = vertices.unionByName(p)
+        else:
+            # vertex-less (or edge-less below) mappings are legitimate
+            # incremental states — empty typed sides, not IndexError
+            vertices = spark.createDataFrame([], "gid string, label string")
 
         efields: dict[str, str] = {}
         for es in self.edges:
             df = t(es.table)
             for c in es.data:
-                efields.setdefault(c, dict(df.dtypes)[c])
+                dt = dict(df.dtypes)[c]
+                efields[c] = dt if c not in efields else _merge_dtype(efields[c], dt)
         eparts = []
         for i, es in enumerate(self.edges):
             df = t(es.table)
             if es.distinct:
-                keep = list({es.src[1], es.dst[1], *es.data})
+                # the gid key column must survive the projection too
+                keep = list(
+                    {es.src[1], es.dst[1], *es.data}
+                    | ({es.gid[1]} if es.gid is not None else set())
+                )
                 df = df.select(*keep).distinct()
             present = set(es.data)
             cols = [
@@ -144,7 +175,12 @@ class GraphMapping:
                     F.struct(*cols).alias("data") if cols else F.struct().alias("data"),
                 )
             )
-        edges = eparts[0]
-        for p in eparts[1:]:
-            edges = edges.unionByName(p)
+        if eparts:
+            edges = eparts[0]
+            for p in eparts[1:]:
+                edges = edges.unionByName(p)
+        else:
+            edges = spark.createDataFrame(
+                [], "gid string, label string, src string, dst string"
+            )
         return GripGraph(vertices, edges, name=name)

@@ -43,7 +43,9 @@ def extract_meta(df: DataFrame, bin_col: str = "payload", id_col: str = "doc_id"
     """
     import hashlib
 
-    schema = f"{id_col} bigint, {META_FIELDS}"
+    # id keeps its true type — hardcoding bigint broke string/uuid ids
+    idt = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {idt}, {META_FIELDS}"
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -84,7 +86,8 @@ def decode_image(
 
     import io
 
-    schema = f"{id_col} bigint, width int, height int, mode string"
+    idt = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {idt}, width int, height int, mode string"
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
         for pdf in it:
@@ -109,7 +112,10 @@ def frame_sample(
     container).  Deterministic fake: emits one row per ``every_n``-byte
     block boundary so batch-explosion plumbing (1 input row → N output
     rows) is exercised for real."""
-    schema = f"{id_col} bigint, frame_idx int, frame_sha1 string"
+    if every_n <= 0:
+        raise ValueError(f"every_n must be > 0, got {every_n}")
+    idt = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {idt}, frame_idx int, frame_sha1 string"
 
     import hashlib
 

@@ -7,8 +7,10 @@ fixture itself).
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from grip_spark import GraphBuilder
+from grip_spark.graph import GripGraph
 
 
 @pytest.fixture()
@@ -345,3 +347,65 @@ def test_graph_manager_lazy_load_and_partial_listing(spark, tmp_path, swapi):
     assert not m2._graphs  # nothing loaded yet
     assert m2.getGraph("g").vertices.count() == 39
     assert "g" in m2._graphs
+
+
+def test_from_ntriples_duplicate_predicates_and_backslash(spark, tmp_path):
+    """Review regressions: (a) a subject with TWO values for the same
+    literal predicate must not trip mapKeyDedupPolicy=EXCEPTION (the
+    deterministic max(o) wins); (b) an escaped backslash followed by
+    'n' must decode to backslash+n, not backslash+newline."""
+    from grip_spark.graph import GripGraph
+
+    nt = tmp_path / "dup.nt"
+    nt.write_text(
+        "\n".join(
+            [
+                '<http://x/s> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://x/T> .',
+                '<http://x/s> <http://x/label> "alpha" .',
+                '<http://x/s> <http://x/label> "beta" .',
+                '<http://x/s> <http://x/path> "C:\\\\node" .',
+                '<http://x/s> <http://x/multi> "line1\\nline2" .',
+            ]
+        )
+        + "\n"
+    )
+    g = GripGraph.from_ntriples(spark, str(nt), uri_map={"http://x/": "x_"})
+    v = {r["gid"]: r for r in g.vertices.collect()}["x_s"]
+    assert v["data"]["x_label"] == "beta"  # max of {alpha, beta}
+    assert v["data"]["x_path"] == "C:\\node"
+    assert v["data"]["x_multi"] == "line1\nline2"
+
+
+def test_schema_ddl_quotes_nested_uri_fields(spark):
+    """Review regression: nested struct field names with URI characters
+    must round-trip through the DDL used by register_tables."""
+    from grip_spark.graph import _schema_ddl
+
+    df = spark.range(1).select(
+        F.col("id").alias("gid"),
+        F.struct(
+            F.lit("x").alias("http://xmlns.com/foaf/0.1/name"),
+            F.array(F.lit(1)).alias("plain"),
+        ).alias("data"),
+    )
+    ddl = _schema_ddl(df.schema)
+    # the DDL parses back to the same structure (nullability flags
+    # differ between range() output and a DDL-declared schema)
+    assert spark.createDataFrame([], ddl).schema.simpleString() == df.schema.simpleString()
+
+
+def test_mutations_preserve_indices_and_rev_edges(spark, swapi):
+    """Review regression: derived graphs keep registered indices;
+    the dst-bucketed reverse-edge copy survives vertex-side mutations
+    only (edge mutations make it stale)."""
+    g = GripGraph(swapi.vertices, swapi.edges, name="m")
+    g.addIndex("Character", "name")
+    g.edges_rev = g.edges  # stand-in for a from_tables rev copy
+    g2 = g.addVertices(
+        spark.createDataFrame([("Z:1", "Thing", None)], g.vertices.schema)
+    )
+    assert g2.listIndices() == g.listIndices()
+    assert g2.edges_rev is not None
+    g3 = g2.deleteEdges(["nope"])
+    assert g3.listIndices() == g.listIndices()
+    assert g3.edges_rev is None  # stale copy dropped on edge mutation

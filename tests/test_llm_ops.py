@@ -492,3 +492,25 @@ def test_semantic_dedup_plan_no_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multimodal_string_ids_and_every_n_validation(spark):
+    """Review regressions: id columns keep their true type through the
+    mapInPandas schema (string/uuid ids work), and every_n=0 fails at
+    the driver with a clear error, not inside an executor task."""
+    from grip_spark import multimodal
+
+    df = multimodal.attach_binary(
+        spark.createDataFrame(
+            [("doc-a", "hello world"), ("doc-b", "bytes here")],
+            "doc_id string, text string",
+        )
+    )
+    meta = {r["doc_id"]: r["byte_len"] for r in multimodal.extract_meta(df).collect()}
+    assert meta == {"doc-a": 11, "doc-b": 10}
+    frames = multimodal.frame_sample(df, every_n=4).collect()
+    assert {r["doc_id"] for r in frames} == {"doc-a", "doc-b"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.frame_sample(df, every_n=0)

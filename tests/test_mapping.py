@@ -47,3 +47,58 @@ def test_mapped_prunes_unused_tables(mapped):
     assert "part.parquet" in plan
     assert "customer.parquet" not in plan  # branch folded away
     assert "orders.parquet" not in plan
+
+
+def test_mapping_distinct_with_explicit_gid(spark):
+    """Review regression: distinct=True must keep the gid key column
+    through its projection."""
+    from grip_spark.mapping import GraphMapping
+
+    d = "/root/testdata/sf0.001"
+    m = GraphMapping()
+    m.vertex("orders", label="Order", gid=("o:", "o_orderkey"))
+    m.vertex("part", label="Part", gid=("p:", "p_partkey"))
+    m.edge(
+        "lineitem",
+        label="contains",
+        src=("o:", "l_orderkey"),
+        dst=("p:", "l_partkey"),
+        gid=("li:", "l_linenumber"),
+        distinct=True,
+    )
+    g = m.build(spark, lambda n: spark.read.parquet(f"{d}/{n}.parquet"))
+    assert g.edges.filter("gid IS NULL").count() == 0
+    assert g.edges.first()["gid"].startswith("li:")
+
+
+def test_mapping_vertex_only_and_empty(spark):
+    """Review regression: vertex-only (and empty) mappings build empty
+    typed sides instead of IndexError."""
+    from grip_spark.mapping import GraphMapping
+
+    d = "/root/testdata/sf0.001"
+    m = GraphMapping()
+    m.vertex("region", label="Region", gid=("r:", "r_regionkey"), data=["r_name"])
+    g = m.build(spark, lambda n: spark.read.parquet(f"{d}/{n}.parquet"))
+    assert g.vertices.count() == 5
+    assert g.edges.count() == 0
+    assert g.query().V().count().execute()[0]["count"] == 5
+
+    empty = GraphMapping().build(spark, lambda n: None)
+    assert empty.vertices.count() == 0 and empty.edges.count() == 0
+
+
+def test_mapping_conflicting_dtypes_widen(spark):
+    """Review regression: a data field typed int in one spec and
+    string in another widens to string (no silent nulling)."""
+    from grip_spark.mapping import GraphMapping
+
+    a = spark.createDataFrame([(1, "ab1")], "k long, code string")
+    b = spark.createDataFrame([(2, 7)], "k long, code int")
+    tables = {"a": a, "b": b}
+    m = GraphMapping()
+    m.vertex("a", label="A", gid=("a:", "k"), data=["code"])
+    m.vertex("b", label="B", gid=("b:", "k"), data=["code"])
+    g = m.build(spark, tables.__getitem__)
+    got = {r["gid"]: r["data"]["code"] for r in g.vertices.collect()}
+    assert got == {"a:1": "ab1", "b:2": "7"}  # nothing nulled
