@@ -53,8 +53,32 @@ def _typed_eq(col: Column, dtype, value) -> Column:
         return _false()
     if isinstance(value, (list, tuple)):
         if isinstance(dtype, ArrayType):
+            # element-type check mirrors the scalar branches: GRIP's
+            # reflect.DeepEqual never equates [1,2] with ["1","2"], but
+            # Catalyst's implicit array coercion would (or would throw
+            # at action time for uncastable element types, past the
+            # reach of this try/except around *construction*)
+            et = dtype.elementType
+            vals = list(value)
+            if all(isinstance(v, bool) for v in vals):
+                ok = isinstance(et, BooleanType)
+            elif all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals):
+                ok = isinstance(et, NumericType)
+                if ok:
+                    return _nn(
+                        col.cast("array<double>").eqNullSafe(
+                            _lit([float(v) for v in vals])
+                        )
+                        & col.isNotNull()
+                    )
+            elif all(isinstance(v, str) for v in vals):
+                ok = isinstance(et, StringType)
+            else:
+                ok = not vals  # [] == [] only against an empty array
+            if not ok and vals:
+                return _false()
             try:
-                return _nn(col.eqNullSafe(_lit(list(value))) & col.isNotNull())
+                return _nn(col.eqNullSafe(_lit(vals)) & col.isNotNull())
             except Exception:
                 return _false()
         return _false()
@@ -154,12 +178,16 @@ def compile_has(view_lookup, expr: dict) -> Column:
         return compile_condition(view_lookup, expr["condition"])
     if "and" in expr:
         subs = [compile_has(view_lookup, e) for e in expr["and"]["expressions"]]
+        if not subs:
+            raise ValueError("empty 'and' expression list")
         out = subs[0]
         for s in subs[1:]:
             out = out & s
         return out
     if "or" in expr:
         subs = [compile_has(view_lookup, e) for e in expr["or"]["expressions"]]
+        if not subs:
+            raise ValueError("empty 'or' expression list")
         out = subs[0]
         for s in subs[1:]:
             out = out | s

@@ -148,8 +148,16 @@ def _step(col: Column, dtype: DataType, seg: Segment, wild: bool) -> tuple[Colum
             # nested [:][:] not supported — treat as identity
         else:
             if wild:
-                # indexing inside a mapped array: per-element getItem
-                col = F.transform(col, lambda x: x.getItem(idx))
+                # indexing inside a mapped array: per-element getItem —
+                # the tracked dtype is the ELEMENT type, so it must be
+                # an array itself and steps down to its element type
+                # (leaving it unchanged made resolve() report a wrongly
+                # nested ArrayType and mis-dispatch conditions)
+                if isinstance(dtype, ArrayType):
+                    col = F.transform(col, lambda x: x.getItem(idx))
+                    dtype = dtype.elementType
+                else:
+                    return F.lit(None), NullType(), False
             elif isinstance(dtype, ArrayType):
                 col = col.getItem(idx)
                 dtype = dtype.elementType

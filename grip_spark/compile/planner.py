@@ -54,13 +54,6 @@ from grip_spark.compile.fieldpath import CURRENT_NS, ElementView, as_double, res
 VERTEX = "vertex"
 EDGE = "edge"
 
-# statements that move the traveler → append one path entry each
-# (engine/inspect/inspect.go:42-47)
-_POSITION_STMTS = {
-    "v", "e", "out", "in", "both", "outE", "inE", "bothE",
-    "outNull", "inNull", "outENull", "inENull", "select",
-}
-
 MAX_JUMP_ITERATIONS = 100
 
 
@@ -167,7 +160,12 @@ class Planner:
                 # reference traveler simply lacks the mark; select
                 # renders it as an empty element)
                 df = cont.unionByName(bypass, allowMissingColumns=True)
-                i = midx + 1
+                # resume AT the mark, not past it: the reference wires
+                # every jump (earlier or later) into the one JumpMark,
+                # so a later backward jump may target this same mark —
+                # the mark handler either starts that loop with the
+                # merged stream or passes through unchanged
+                i = midx
                 continue
             df = self._apply(df, stmt, is_first=(at_start and i == 0))
             i += 1
@@ -200,10 +198,6 @@ class Planner:
 
     def _resolve(self, df: DataFrame, path: str):
         return resolve(self._viewer(df), path)
-
-    # -- carried (non-element) columns ---------------------------------
-    def _carry(self, df: DataFrame) -> list[Column]:
-        return [F.col(c) for c in df.columns if c.startswith("_mark_") or c == "_path"]
 
     def _path_append(self, entry_gid: Column, kind: str) -> Column:
         e = F.struct(
@@ -506,11 +500,24 @@ class Planner:
             return [s.name for s in segs]
 
         has_keys = fieldpath.KEYS_FIELD in data_t.names
-        if includes:
+        include_rps = [relpath(p) for p in includes]
+        exclude_rps = [relpath(p) for p in excludes]
+        # `_data` (rp == []) refers to the whole document: including it
+        # keeps all of data (run only the exclude pass); excluding it
+        # drops data entirely
+        include_whole = any(not rp for rp in include_rps)
+        exclude_whole = any(not rp for rp in exclude_rps)
+        exclude_rps = [rp for rp in exclude_rps if rp]
+        if exclude_whole:
+            new_data = F.struct()
+            if has_keys:
+                new_data = F.struct(
+                    F.array().cast("array<string>").alias(fieldpath.KEYS_FIELD)
+                )
+        elif includes and not include_whole:
             # build an include tree: name -> subtree dict | True (whole)
             tree: dict = {}
-            for p in includes:
-                rp = relpath(p)
+            for rp in include_rps:
                 if not rp:
                     continue
                 node = tree
@@ -521,6 +528,12 @@ class Planner:
                     node = node.setdefault(seg, {})
                 else:
                     node[rp[-1]] = True
+            # excludes compose with includes (the reference applies
+            # both lists): prune the exclude paths out of the include
+            # tree, expanding kept-whole subtrees by their struct type
+            # where an exclude reaches inside one
+            for rp in exclude_rps:
+                tree = _prune_tree(tree, data_t, rp) or {}
             new_data = _include_struct(F.col("data"), data_t, tree)
             if has_keys:
                 heads = [h for h in tree if h in data_t.names]
@@ -536,10 +549,7 @@ class Planner:
         else:
             new_data = F.col("data")
             dropped_heads = []
-            for p in excludes:
-                rp = relpath(p)
-                if not rp:
-                    continue
+            for rp in exclude_rps:
                 new_data = _drop_nested(new_data, data_t, rp)
                 if len(rp) == 1 and rp[0] in data_t.names:
                     dropped_heads.append(rp[0])
@@ -595,6 +605,11 @@ class Planner:
         ``ValueSet`` (``processors.go:812-830``)."""
         ns, rel = fieldpath.split_namespace(path)
         segs = fieldpath.parse_segments(rel)
+        if any(s.indexers for s in segs):
+            # writing THROUGH an array index/wildcard is not supported —
+            # refuse loudly rather than silently replacing the whole
+            # field (the names-only rewrite below would)
+            raise CompileError(f"cannot set indexed path: {path!r}")
         names = [s.name for s in segs]
         if ns == CURRENT_NS:
             if names[0] != "data":
@@ -634,6 +649,8 @@ class Planner:
     # -- aggregation ----------------------------------------------------
     def _st_aggregate(self, df, arg):
         aggs = arg["aggregations"] if isinstance(arg, dict) else list(arg)
+        if not aggs:
+            raise CompileError("aggregate requires at least one aggregation")
         self.result_kind = "aggregation"
         if len(aggs) > 1:
             fused = self._multi_agg_grouping_sets(df, aggs)
@@ -1194,6 +1211,37 @@ def _include_struct(col: Column, dtype: StructType, tree: dict) -> Column:
             parts.append(_include_struct(col.getField(f.name), f.dataType, sub).alias(f.name))
         # absent from tree (or non-struct with subtree) → dropped
     return F.struct(*parts) if parts else F.struct()
+
+
+def _prune_tree(node, dtype, rp: list[str]):
+    """Remove the path ``rp`` from an include tree (dict | True).
+    Returns the pruned node, or None when the node is deleted
+    entirely.  A ``True`` (kept-whole) subtree that an exclude reaches
+    into is expanded to an explicit per-field dict from its struct
+    type; excludes that miss the tree (or descend into non-structs)
+    are no-ops, matching ``_drop_nested``."""
+    if not rp:
+        return None
+    head, rest = rp[0], rp[1:]
+    if node is True:
+        if not isinstance(dtype, StructType) or head not in dtype.names:
+            return True
+        node = {
+            f.name: True for f in dtype.fields if f.name != fieldpath.KEYS_FIELD
+        }
+    if not isinstance(node, dict) or head not in node:
+        return node
+    sub_t = (
+        dtype[head].dataType
+        if isinstance(dtype, StructType) and head in dtype.names
+        else None
+    )
+    pruned = _prune_tree(node[head], sub_t, rest) if rest else None
+    if pruned is None:
+        node = {k: v for k, v in node.items() if k != head}
+    else:
+        node = {**node, head: pruned}
+    return node
 
 
 def _drop_nested(col: Column, dtype: StructType, rp: list[str]) -> Column:

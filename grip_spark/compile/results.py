@@ -35,10 +35,9 @@ def element_dict(row_or_struct) -> dict | None:
     if out["gid"] is None and out["label"] is None:
         # null traveler from outNull/inNull (gdbi/traveler.go:199-224)
         return {"gid": "", "label": "", "data": {}}
-    if d.get("src") is not None or d.get("dst") is not None or "src" in d:
-        if "src" in d:
-            out["from"] = d.get("src")
-            out["to"] = d.get("dst")
+    if "src" in d:
+        out["from"] = d.get("src")
+        out["to"] = d.get("dst")
     out["data"] = _clean(d.get("data") or {})
     return out
 
@@ -104,7 +103,13 @@ def convert_rows(rows, kind: str, final_marks=None, agg_key_types=None, render_t
             path = []
             for entry in r["path"] or []:
                 e = entry.asDict()
-                path.append({"vertex": e["vertex"]} if e.get("vertex") is not None else {"edge": e["edge"]})
+                if e.get("vertex") is not None or e.get("edge") is None:
+                    # both-null = a null traveler's hop (outNull under
+                    # path()) — render vertex-shaped, not a phantom
+                    # {'edge': None}
+                    path.append({"vertex": e["vertex"]})
+                else:
+                    path.append({"edge": e["edge"]})
             out.append(path)
         return out
     # vertex / edge rows

@@ -1,6 +1,8 @@
 """Depth-aware fields() projection + float-interval histogram
 (VERDICT r1 wrong-list items 4 and missing-list 6)."""
 
+import pytest
+
 from grip_spark import GraphBuilder, ops
 
 
@@ -45,3 +47,36 @@ def test_int_histogram_still_golden(swapi):
     q = swapi.query().V("Film:1").out().hasLabel("Character")
     rows = q.aggregate([ops.histogram("h", "height", 25)]).execute()
     assert {r["key"]: r["value"] for r in rows} == golden
+
+
+def test_fields_include_and_exclude_compose(spark):
+    """Review regression: fields(['a', '-a.b']) must keep a but drop
+    a.b — excludes were silently ignored whenever includes existed."""
+    g = GraphBuilder(spark)
+    g.addVertex("v1", "n", {"a": {"b": 1, "c": 2}, "d": 3})
+    rows = g.query().V().fields(["a", "-a.b"]).execute()
+    assert rows[0]["data"] == {"a": {"c": 2}}
+
+
+def test_fields_data_reserved_head(spark):
+    """Review regression: fields(['_data']) keeps all of data;
+    fields(['-_data']) drops it entirely."""
+    g = GraphBuilder(spark)
+    g.addVertex("v1", "n", {"a": 1, "b": 2})
+    keep = g.query().V().fields(["_data"]).execute()
+    assert keep[0]["data"] == {"a": 1, "b": 2}
+    drop = g.query().V().fields(["-_data"]).execute()
+    assert drop[0]["data"] == {}
+
+
+def test_set_indexed_path_rejected(spark):
+    """Review regression: set/increment/unwind through an array index
+    raise CompileError instead of silently replacing the whole field."""
+    from grip_spark.compile.planner import CompileError
+
+    g = GraphBuilder(spark)
+    g.addVertex("v1", "n", {"a": [1, 2, 3]})
+    with pytest.raises(CompileError):
+        g.query().V().set("a[0]", 9).execute()
+    with pytest.raises(CompileError):
+        g.query().V().increment("a[1]", 1).execute()

@@ -241,3 +241,22 @@ def test_nested_loops(swapi):
     # o=2 -> has fails after inner -> inner emits still pass i-filter
     rows = q.execute()
     assert len(rows) > 0  # structural: nested pairs compile + terminate
+
+
+def test_forward_then_backward_jump_same_mark(swapi):
+    """Review regression: a mark targeted by BOTH an earlier forward
+    jump and a later backward jump is one JumpMark in the reference —
+    previously the forward handler consumed the mark and the backward
+    jump raised CompileError."""
+    q = (
+        swapi.query()
+        .V()
+        .set("i", 0)
+        .jump("a", ops.eq("_label", "Character"), True)
+        .mark("a")
+        .increment("$.i")
+        .jump("a", ops.lt("$.i", 2), True)
+        .count()
+    )
+    got = q.execute()[0]["count"]
+    assert got > 0
