@@ -211,6 +211,90 @@ def shuffle_order(
     return out
 
 
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    total: float | None = None,
+    size_col: str | None = None,
+    salt: str = "mix",
+    max_repeat: int = 10,
+    epoch_col: str = "mix_epoch",
+) -> DataFrame:
+    """Resample the corpus to a target domain MIXTURE — the
+    LLaMA-/Pile-style "data mixture" stage: given per-domain target
+    shares (``weights``, normalized; e.g. web 0.67, code 0.15, books
+    0.045 ...), emit a corpus whose per-domain mass matches those
+    shares in expectation, downsampling over-represented domains and
+    *repeating* under-represented ones (the standard ">1 epoch" knob
+    for high-value sources).
+
+    Mass is document count, or ``sum(size_col)`` when given (token
+    budgets are what mixtures are really specified in).  ``total`` is
+    the target output mass; default = current mass of the weighted
+    domains (rebalance in place).  Per-domain rate = ``share *
+    total / mass``; a row in domain *d* with rate *r* is emitted
+    ``floor(r)`` times plus one more with probability ``frac(r)``,
+    deterministically (the extra-copy draw is the (salt, id) md5
+    uniform, so reruns and repartitionings agree; the expected output
+    mass per domain is exactly ``share * total``).  Copies carry
+    ``epoch_col`` = 0..k-1 so a downstream per-epoch shuffle
+    (:func:`shuffle_order` salted with the epoch) can decorrelate
+    repeats.  Domains absent from ``weights`` are dropped (allowlist
+    semantics, like :func:`stratified_sample`); NULL domains too.
+
+    Rates above ``max_repeat`` are clamped (with the standard
+    repeated-epochs cap — unbounded repetition of a tiny domain is
+    never what a mixture means); pass a larger cap to allow more.
+
+    Scale shape: one small aggregation (|domains| rows collected —
+    mixtures have tens of domains, never millions) to learn current
+    masses, then one narrow explode pass; no join, no shuffle of the
+    corpus itself.  The whole decision is SQL-replicable
+    (``unnest(generate_series(...))`` + the md5 uniform), so it can
+    sit under a value-level oracle.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    wtotal = float(sum(weights.values()))
+    if wtotal <= 0:
+        raise ValueError("weights must sum to > 0")
+    if max_repeat < 1:
+        raise ValueError(f"max_repeat must be >= 1, got {max_repeat}")
+    shares = {d: w / wtotal for d, w in weights.items()}
+    mass_expr = F.sum(F.col(size_col)) if size_col else F.count(F.lit(1))
+    masses = {
+        r["d"]: float(r["m"] or 0.0)
+        for r in df.filter(F.col(domain_col).isin(list(weights)))
+        .groupBy(F.col(domain_col).alias("d"))
+        .agg(mass_expr.alias("m"))
+        .collect()
+    }
+    if total is None:
+        total = sum(masses.values())
+    rates = {}
+    for d, share in shares.items():
+        m = masses.get(d, 0.0)
+        if m <= 0:
+            continue  # nothing to repeat — the domain is absent
+        rates[d] = min(share * float(total) / m, float(max_repeat))
+    if not rates:
+        return df.filter(F.lit(False)).withColumn(epoch_col, F.lit(0))
+    rate = F.lit(0.0)
+    for d, r in rates.items():
+        rate = F.when(F.col(domain_col) == F.lit(d), F.lit(r)).otherwise(rate)
+    whole = F.floor(rate).cast("int")
+    extra = (uniform_key(id_col, salt) < (rate - F.floor(rate))).cast("int")
+    ncopies = (whole + extra).alias("__nc")
+    return (
+        df.withColumn("__nc", ncopies)
+        .filter(F.col("__nc") > 0)
+        .withColumn(epoch_col, F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)))
+        .drop("__nc")
+    )
+
+
 def score_sample(
     df: DataFrame,
     score_col: str,

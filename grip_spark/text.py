@@ -692,6 +692,29 @@ def line_filter(
 # ---------------------------------------------------------------------------
 
 
+def _with_word_bigrams(toks: Column) -> Column:
+    """Append fastText-style word-bigram features (space-joined
+    adjacent token pairs) to a token array — one shuffle-free
+    expression; ``zip_with`` against the shifted array, no explode.
+    ``zip_with`` pads the shorter side with null, so the zipped array
+    is trimmed to n-1 real bigrams before concatenating."""
+    return _let(
+        toks,
+        lambda ts: F.concat(
+            ts,
+            F.slice(
+                F.zip_with(
+                    ts,
+                    F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+                1,
+                F.greatest(F.size(ts) - 1, F.lit(0)),
+            ),
+        ),
+    )
+
+
 def hashed_linear_score(
     df: DataFrame,
     weights: list[float],
@@ -742,23 +765,7 @@ def hashed_linear_score(
     # bias-only path instead of scoring a phantom "" token
     toks = F.filter(tokens(text_col), lambda t: t != "")
     if word_ngrams == 2:
-        toks = _let(
-            toks,
-            # zip_with pads the shorter side with null, so trim the
-            # zipped array to n-1 real bigrams before concatenating
-            lambda ts: F.concat(
-                ts,
-                F.slice(
-                    F.zip_with(
-                        ts,
-                        F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))),
-                        lambda a, b: F.concat_ws(" ", a, b),
-                    ),
-                    1,
-                    F.greatest(F.size(ts) - 1, F.lit(0)),
-                ),
-            ),
-        )
+        toks = _with_word_bigrams(toks)
 
     def _body(ts):
         n = F.size(ts)
@@ -847,21 +854,7 @@ def hashed_linear_score_joined(
         raise ValueError("n_buckets must be > 0")
     toks = F.filter(tokens(text_col), lambda t: t != "")
     if word_ngrams == 2:
-        toks = _let(
-            toks,
-            lambda ts: F.concat(
-                ts,
-                F.slice(
-                    F.zip_with(
-                        ts,
-                        F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))),
-                        lambda a, b: F.concat_ws(" ", a, b),
-                    ),
-                    1,
-                    F.greatest(F.size(ts) - 1, F.lit(0)),
-                ),
-            ),
-        )
+        toks = _with_word_bigrams(toks)
     feats = df.select(
         F.col(id_col), F.explode(toks).alias("_tok")
     ).withColumn("_bucket", F.pmod(h(F.col("_tok")), F.lit(n_buckets)).cast("int"))
@@ -899,3 +892,151 @@ def hashed_linear_score_joined(
             ),
         )
     )
+
+
+def train_linear_classifier(
+    df: DataFrame,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    epochs: int = 10,
+    lr: float = 1.0,
+    l2: float = 0.0,
+    token_hash=None,
+    word_ngrams: int = 1,
+    fit_bias: bool = True,
+) -> dict:
+    """Train the hashed bag-of-words logistic classifier ON the
+    cluster — full-batch gradient descent over the same feature map
+    :func:`hashed_linear_score` serves, closing the CCNet/GPT-3
+    quality-filter loop (label a seed set, train here, score the
+    corpus with the returned weights: ``hashed_linear_score(corpus,
+    **{k: fit[k] for k in ("weights", "bias")})``).
+
+    Model: ``p = sigmoid(bias + sum_b x_b * W[b])`` where ``x_b`` is
+    the document's hashed token-count share (``count(bucket)/
+    n_tokens`` — exactly the mean-of-weights feature the inference
+    pass computes).  Labels are doubles in [0, 1] (soft labels
+    allowed); NULL label or empty/NULL text rows are excluded.
+
+    Distribution shape (the part that must survive 100 TB seed sets):
+    the sparse feature table — one row per (doc, bucket), ≈ corpus
+    token count — is built ONCE (explode → count shuffle), hash-
+    partitioned by doc id, and persisted; each epoch then costs (a)
+    one partial-agg pass producing per-doc margins (no exchange — the
+    cache is already partitioned on the grouping key), (b) a model-
+    sized per-bucket gradient aggregation (map-side combined, ≤
+    ``n_buckets`` rows collected), and (c) a driver-side O(D) weight
+    update.  The corpus text itself is read once, total.  Weights
+    ride each epoch's plan as a constant-folded literal array — the
+    right call to ~10^5 buckets, same bound as the inference path
+    (million-bucket models: train on a hashed-feature subsample, or
+    swap the lookup for the broadcast-join of
+    :func:`hashed_linear_score_joined`).
+
+    Returns ``{"weights": list[float], "bias": float, "loss":
+    [per-epoch mean log-loss], "n_docs": int}``.  Deterministic up to
+    float summation order (distributed sums are order-free only in
+    exact arithmetic; reruns agree to ~1e-12 relative).
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be > 0, got {n_buckets}")
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    if word_ngrams not in (1, 2):
+        raise ValueError(f"word_ngrams must be 1 or 2, got {word_ngrams}")
+    h = token_hash or F.xxhash64
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    if word_ngrams == 2:
+        toks = _with_word_bigrams(toks)
+    base = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(label_col).cast("double").alias("__y"),
+            toks.alias("__ts"),
+        )
+        .filter(F.col("__y").isNotNull() & (F.size("__ts") > 0))
+        .withColumn("__n", F.size("__ts"))
+    )
+    feats = (
+        base.select("__id", "__y", "__n", F.explode("__ts").alias("__t"))
+        .groupBy(
+            "__id",
+            "__y",
+            "__n",
+            F.pmod(h(F.col("__t")), F.lit(n_buckets)).cast("int").alias("__b"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select(
+            "__id",
+            "__y",
+            "__b",
+            (F.col("__c") / F.col("__n")).alias("__x"),
+        )
+        .repartition(F.col("__id"))
+        .persist()
+    )
+    try:
+        stats = feats.agg(
+            F.countDistinct("__id").alias("n"),
+            F.min("__y").alias("lo"),
+            F.max("__y").alias("hi"),
+        ).first()
+        n_docs = int(stats["n"] or 0)
+        if n_docs == 0:
+            raise ValueError("no trainable rows (all labels NULL or text empty)")
+        if stats["lo"] < 0.0 or stats["hi"] > 1.0:
+            raise ValueError(
+                f"labels must be in [0, 1], got range [{stats['lo']}, {stats['hi']}]"
+            )
+        w = [0.0] * n_buckets
+        b = 0.0
+        losses = []
+        eps = 1e-12
+        for _ in range(epochs):
+            warr = F.array(*[F.lit(float(v)) for v in w])
+            margins = feats.groupBy("__id").agg(
+                F.first("__y").alias("__y"),
+                F.sum(
+                    F.col("__x") * F.element_at(warr, F.col("__b") + 1)
+                ).alias("__z"),
+            )
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(b) + F.col("__z"))))
+            resid = margins.select(
+                "__id",
+                F.col("__y"),
+                (p - F.col("__y")).alias("__r"),
+                (
+                    -(
+                        F.col("__y") * F.log(F.greatest(p, F.lit(eps)))
+                        + (F.lit(1.0) - F.col("__y"))
+                        * F.log(F.greatest(F.lit(1.0) - p, F.lit(eps)))
+                    )
+                ).alias("__ll"),
+            ).persist()
+            try:
+                grad_rows = (
+                    feats.join(resid.select("__id", "__r"), ["__id"])
+                    .groupBy("__b")
+                    .agg(F.sum(F.col("__r") * F.col("__x")).alias("__g"))
+                    .collect()
+                )
+                tot = resid.agg(
+                    F.sum("__r").alias("rb"), F.sum("__ll").alias("ll")
+                ).first()
+            finally:
+                resid.unpersist()
+            losses.append(float(tot["ll"]) / n_docs)
+            if l2:
+                # decay applies to EVERY weight, including buckets with
+                # no data gradient this epoch
+                w = [v * (1.0 - lr * l2) for v in w]
+            for row in grad_rows:
+                bk = row["__b"]
+                w[bk] -= lr * float(row["__g"]) / n_docs
+            if fit_bias:
+                b -= lr * float(tot["rb"]) / n_docs
+    finally:
+        feats.unpersist()
+    return {"weights": w, "bias": b, "loss": losses, "n_docs": n_docs}

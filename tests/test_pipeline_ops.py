@@ -8,6 +8,8 @@ packing capacity invariants, and IVF probe behavior.
 """
 
 import pytest
+from collections import Counter
+
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
@@ -523,3 +525,91 @@ def test_classifier_scored_corpus_build_end_to_end(docs):
     plan = packed._jdf.queryExecution().executedPlan().toString()
     n_ex = len(_re.findall(r"Exchange (?:hash|range)partitioning", plan))
     assert n_ex <= 4, plan
+
+
+def test_mixture_sample_python_oracle(spark):
+    """Copy counts per id match the md5-uniform replica exactly, and
+    unweighted/NULL domains are dropped."""
+    from grip_spark import sampling
+    from grip_spark.dedup import md5_prefix_py
+
+    rows = (
+        [(i, "a") for i in range(60)]
+        + [(100 + i, "b") for i in range(30)]
+        + [(200 + i, "c") for i in range(10)]
+        + [(300 + i, "d") for i in range(5)]
+        + [(400, None)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "dom"])
+    weights = {"a": 0.25, "b": 0.5, "c": 0.25}
+    out = sampling.mixture_sample(df, "dom", weights, "doc_id", salt="mx")
+    got = {(r["doc_id"], r["mix_epoch"]) for r in out.collect()}
+
+    total = 100.0  # default target = current mass of weighted domains
+    masses = {"a": 60.0, "b": 30.0, "c": 10.0}
+    span = float(1 << 60)
+    want = set()
+    for i, d in rows:
+        if d not in weights:
+            continue
+        rate = weights[d] / sum(weights.values()) * total / masses[d]
+        k = int(rate)
+        frac = rate - k
+        u = md5_prefix_py(f"mx{i}") / span
+        n = k + (1 if u < frac else 0)
+        for e in range(n):
+            want.add((i, e))
+    assert got == want
+    assert not any(i >= 300 for i, _ in got)
+    # expected per-domain mass ≈ share * total (within binomial noise)
+    from collections import Counter as _C
+
+    by_dom = _C(d for (i, _e) in got for d in ["abc"[i // 100]])
+    assert abs(by_dom["b"] - 50) <= 12  # 3 sigma-ish of 30 bernoulli draws
+
+
+def test_mixture_sample_token_budget_and_clamp(spark):
+    """size_col mass + explicit total; a tiny over-weighted domain is
+    clamped at max_repeat full copies (no fractional draw at the cap)."""
+    from grip_spark import sampling
+    from grip_spark.dedup import md5_prefix_py
+
+    rows = [(i, "big", 100) for i in range(50)] + [(900 + i, "tiny", 10) for i in range(2)]
+    df = spark.createDataFrame(rows, ["doc_id", "dom", "n_tok"])
+    out = sampling.mixture_sample(
+        df, "dom", {"big": 0.5, "tiny": 0.5}, "doc_id",
+        total=5020.0, size_col="n_tok", salt="tb", max_repeat=4,
+    )
+    got = Counter(r["doc_id"] for r in out.collect())
+    # tiny: rate = 0.5*5020/20 = 125.5 -> clamped to 4: every tiny row 4 copies
+    assert got[900] == 4 and got[901] == 4
+    # big: rate = 0.5*5020/5000 = 0.502 -> 0 or 1 copies by the uniform
+    span = float(1 << 60)
+    for i in range(50):
+        expect = 1 if md5_prefix_py(f"tb{i}") / span < 0.502 else 0
+        assert got.get(i, 0) == expect
+
+
+def test_mixture_sample_determinism_and_validation(spark):
+    from grip_spark import sampling
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(90)], ["doc_id", "dom"]
+    )
+    w = {"a": 0.3, "b": 0.7}
+    a = sorted(
+        (r["doc_id"], r["mix_epoch"])
+        for r in sampling.mixture_sample(df, "dom", w, "doc_id").collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["mix_epoch"])
+        for r in sampling.mixture_sample(df.repartition(7), "dom", w, "doc_id").collect()
+    )
+    assert a == b and a  # stable under repartition, non-empty
+    with pytest.raises(ValueError, match="non-empty"):
+        sampling.mixture_sample(df, "dom", {}, "doc_id")
+    with pytest.raises(ValueError, match="max_repeat"):
+        sampling.mixture_sample(df, "dom", w, "doc_id", max_repeat=0)
+    # no weighted domain present in the data -> empty frame, schema kept
+    none = sampling.mixture_sample(df, "dom", {"zz": 1.0}, "doc_id")
+    assert none.count() == 0 and "mix_epoch" in none.columns

@@ -438,3 +438,105 @@ def test_hashed_linear_score_joined_matches_literal_path(spark):
             assert joined[i] == pytest.approx(lit[i], abs=1e-12), (ng, i)
     plan = joined_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_train_linear_classifier_python_oracle(spark):
+    """Full-batch GD on the cluster == the same GD in pure Python over
+    the same hashed features (md5 token-hash family), epoch by epoch."""
+    import random as _random
+
+    from grip_spark.dedup import md5_prefix_hash, md5_prefix_py
+
+    rng = _random.Random(5)
+    pos_vocab = ["good", "clean", "prose", "clear"]
+    neg_vocab = ["spam", "junk", "click", "xx"]
+    shared = ["the", "a", "and"]
+    rows = []
+    for i in range(40):
+        v = pos_vocab if i % 2 == 0 else neg_vocab
+        toks = [rng.choice(v + shared) for _ in range(12)]
+        rows.append((i, " ".join(toks), float(i % 2 == 0)))
+    rows += [(100, None, 1.0), (101, "   ", 0.0), (102, "abc def", None)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+    D, E, LR, L2 = 64, 5, 2.0, 0.01
+    fit = text.train_linear_classifier(
+        df, "label", n_buckets=D, epochs=E, lr=LR, l2=L2,
+        token_hash=md5_prefix_hash,
+    )
+
+    feats = []
+    for _i, t, y in rows:
+        if t is None or y is None:
+            continue
+        toks = t.strip().lower().split()
+        if not toks:
+            continue
+        n = len(toks)
+        cnt = Counter(md5_prefix_py(tk) % D for tk in toks)
+        feats.append((y, {b: c / n for b, c in cnt.items()}))
+    w = [0.0] * D
+    b = 0.0
+    losses = []
+    n_docs = len(feats)
+    for _ in range(E):
+        g = [0.0] * D
+        gb = 0.0
+        ll = 0.0
+        for y, x in feats:
+            z = b + sum(v * w[k] for k, v in x.items())
+            p = 1.0 / (1.0 + math.exp(-z))
+            r = p - y
+            ll += -(y * math.log(max(p, 1e-12))
+                    + (1 - y) * math.log(max(1 - p, 1e-12)))
+            for k, v in x.items():
+                g[k] += r * v
+            gb += r
+        losses.append(ll / n_docs)
+        w = [v * (1.0 - LR * L2) for v in w]
+        for k in range(D):
+            w[k] -= LR * g[k] / n_docs
+        b -= LR * gb / n_docs
+
+    assert fit["n_docs"] == n_docs
+    assert len(fit["loss"]) == E
+    assert all(abs(a - e) < 1e-8 for a, e in zip(fit["loss"], losses))
+    assert all(abs(a - e) < 1e-8 for a, e in zip(fit["weights"], w))
+    assert abs(fit["bias"] - b) < 1e-8
+    assert fit["loss"][-1] < fit["loss"][0]
+
+
+def test_train_linear_classifier_separates_and_plugs_into_scorer(spark):
+    """Trained weights feed straight into hashed_linear_score and
+    rank every planted positive above every planted negative."""
+    import random as _random
+
+    rng = _random.Random(11)
+    rows = []
+    for i in range(60):
+        good = i % 2 == 0
+        v = ["quality", "article", "research"] if good else ["buy", "pills", "casino"]
+        rows.append((i, " ".join(rng.choice(v + ["the"]) for _ in range(15)),
+                     1.0 if good else 0.0))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+    fit = text.train_linear_classifier(df, "label", n_buckets=128, epochs=8, lr=4.0)
+    assert fit["loss"][-1] < fit["loss"][0] * 0.7
+    scored = {
+        r["doc_id"]: r["clf_score"]
+        for r in text.hashed_linear_score(
+            df, fit["weights"], bias=fit["bias"]
+        ).collect()
+    }
+    pos = [scored[i] for i in range(60) if i % 2 == 0]
+    neg = [scored[i] for i in range(60) if i % 2 == 1]
+    assert min(pos) > max(neg)
+
+
+def test_train_linear_classifier_validation(spark):
+    df = spark.createDataFrame(
+        [(0, "a b", 2.0)], ["doc_id", "text", "label"]
+    )
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        text.train_linear_classifier(df, "label", n_buckets=8, epochs=1)
+    empty = spark.createDataFrame([(0, None, 1.0)], "doc_id long, text string, label double")
+    with pytest.raises(ValueError, match="no trainable rows"):
+        text.train_linear_classifier(empty, "label", n_buckets=8, epochs=1)
