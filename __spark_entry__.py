@@ -490,6 +490,27 @@ def q_stratified_split(spark, sf_dir):
     ).select("doc_id", "lang", "split")
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Domain-mixture resampling (sampling.mixture_sample): resample
+    three sources to 0.5/0.3/0.2 target shares of their combined
+    character mass — src0 upsamples past 1 epoch (mix_epoch 0 and 1
+    copies), src1/src2 downsample.  The per-domain rates derive from
+    data-dependent masses; n_chars masses are integer-valued so the
+    driver-side total is order-free exact, and the SQL oracle
+    recomputes the identical IEEE expression, so copy decisions
+    value-match bit-for-bit via the md5-prefix uniform."""
+    out = sampling.mixture_sample(
+        _docs(spark, sf_dir),
+        "source",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        "doc_id",
+        size_col="n_chars",
+        salt="mx",
+        max_repeat=10,
+    )
+    return out.select("doc_id", "source", "mix_epoch")
+
+
 def q_ivf_cells(spark, sf_dir):
     """Seeded IVF (similarity.ivf_index_seeded): hash-sampled coarse
     quantizer, literal-centroid argmax assignment, and the probe path
@@ -650,9 +671,10 @@ def q_doc_text_profile(spark, sf_dir):
 
 
 def q_scan_counts(spark, sf_dir):
-    """V()/E() full scans + hasLabel + hasKey as labeled rows (one
-    slot, four operators — absorbs the r3 `v_haslabel_count` and
-    `haskey_count` slots to fund the r4 pipeline queries)."""
+    """V()/E() full scans + hasLabel + hasKey + V(ids...) as labeled
+    string rows (one slot, five operators — absorbed the r3
+    `v_haslabel_count`/`haskey_count` slots in r4, and the `v_ids`
+    slot late-r4 to fund `mixture_sample`)."""
     specs = [
         ("v", lambda q: q.V()),
         ("e", lambda q: q.E()),
@@ -665,14 +687,21 @@ def q_scan_counts(spark, sf_dir):
             build(_gq(spark, sf_dir))
             .count()
             .to_df()
-            .select(F.lit(name).alias("kind"), F.col("count"))
+            .select(
+                F.lit(name).alias("kind"), F.col("count").cast("string").alias("val")
+            )
         )
         out = one if out is None else out.unionByName(one)
-    return out
-
-
-def q_v_ids(spark, sf_dir):
-    return _gq(spark, sf_dir).V(["c:1", "c:2", "c:7"]).to_df().select("gid", "label")
+    vids = (
+        _gq(spark, sf_dir)
+        .V(["c:1", "c:2", "c:7"])
+        .to_df()
+        .select(
+            F.concat(F.lit("vid_"), F.col("gid")).alias("kind"),
+            F.col("label").alias("val"),
+        )
+    )
+    return out.unionByName(vids)
 
 
 def q_hop_counts(spark, sf_dir):
@@ -1031,8 +1060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r2-green operator queries (hasLabel/hasKey now ride in
         # scan_counts; outE/inE/edge-out in adjacency_ops; outNull in
         # null_traversals — see those matrices)
-        "scan_counts": q_scan_counts,
-        "v_ids": q_v_ids,
+        "scan_counts": q_scan_counts,  # v_ids rides here since late r4
+        "mixture_sample": q_mixture_sample,
         "hop_counts": q_hop_counts,
         "out_2hop": q_out_2hop,
         "distinct_ops": q_distinct_ops,
@@ -1626,15 +1655,33 @@ def oracle_sql() -> dict[str, str]:
         ),
         # -- r2-green ------------------------------------------------------
         "scan_counts": (
-            f"SELECT 'v' AS kind, {ORACLE_V_COUNT} AS count "
-            f"UNION ALL SELECT 'e' AS kind, {ORACLE_E_COUNT} AS count "
-            "UNION ALL SELECT 'v_haslabel', count(*) FROM customer "
-            "UNION ALL SELECT 'haskey', count(*) FROM customer "
-            "WHERE c_acctbal IS NOT NULL"
-        ),
-        "v_ids": (
-            "SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS gid, 'Customer' AS label "
+            f"SELECT 'v' AS kind, CAST({ORACLE_V_COUNT} AS VARCHAR) AS val "
+            f"UNION ALL SELECT 'e', CAST({ORACLE_E_COUNT} AS VARCHAR) "
+            "UNION ALL SELECT 'v_haslabel', CAST(count(*) AS VARCHAR) FROM customer "
+            "UNION ALL SELECT 'haskey', CAST(count(*) AS VARCHAR) FROM customer "
+            "WHERE c_acctbal IS NOT NULL "
+            "UNION ALL SELECT 'vid_c:' || CAST(c_custkey AS VARCHAR), 'Customer' "
             "FROM customer WHERE c_custkey IN (1, 2, 7)"
+        ),
+        "mixture_sample": (
+            # mirrors sampling.mixture_sample exactly: integer-valued
+            # masses (order-free exact total), share = w / ((0.5+0.3)+0.2),
+            # rate = (share * total) / mass clamped at 10, copies =
+            # floor(rate) + (md5-uniform < frac)
+            "WITH m AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS mass "
+            "  FROM documents WHERE source IN ('src0','src1','src2') GROUP BY source), "
+            "t AS (SELECT sum(mass) AS tot FROM m), "
+            "r AS (SELECT source, least("
+            "  (CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3 ELSE 0.2 END "
+            "   / ((0.5 + 0.3) + 0.2)) * (SELECT tot FROM t) / mass, 10.0) AS rate "
+            "  FROM m), "
+            "d AS (SELECT doc_id, dd.source, "
+            "  CAST(floor(rate) AS INT) + CASE WHEN "
+            "    CAST(('0x' || substr(md5('mx' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
+            "    / 1152921504606846976.0 < rate - floor(rate) THEN 1 ELSE 0 END AS nc "
+            "  FROM documents dd JOIN r ON dd.source = r.source) "
+            "SELECT doc_id, source, "
+            "CAST(unnest(generate_series(0, nc - 1)) AS INT) AS mix_epoch FROM d"
         ),
         "hop_counts": (
             "SELECT 'out_hop' AS op, count(*) AS count FROM orders o "

@@ -1040,3 +1040,169 @@ def train_linear_classifier(
     finally:
         feats.unpersist()
     return {"weights": w, "bias": b, "loss": losses, "n_docs": n_docs}
+
+
+def learn_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 100,
+    end_of_word: str = "</w>",
+    min_pair_count: int = 2,
+    checkpoint_every: int = 8,
+) -> dict:
+    """Learn a byte-pair-encoding vocabulary ON the cluster — the
+    classic BPE induction (Sennrich et al. 2016): start from
+    characters, repeatedly merge the most frequent adjacent symbol
+    pair.  This is the tokenizer-TRAINING stage of a data pipeline
+    (the inference stage is :func:`bpe_segment`).
+
+    Distribution shape: BPE never needs the corpus after the first
+    pass — the working set is the (unique word, frequency) table, built
+    with ONE corpus-wide explode+count and persisted.  Each merge
+    iteration then runs two vocab-sized steps: (a) count adjacent
+    symbol pairs (explode of per-word pair positions weighted by word
+    frequency, map-side combined, top-1 via a 1-row collect) and (b)
+    apply the merge to every word's symbol array (a narrow greedy
+    left-to-right fold — no shuffle).  Lineage is cut with an eager
+    ``localCheckpoint`` every ``checkpoint_every`` merges so the plan
+    never deepens past a few folds.  At 100 TB the corpus is read
+    once; iterations touch only the vocabulary (~10^7-10^8 rows),
+    which is the same separation the single-node reference
+    implementations use, distributed.
+
+    Ties break deterministically (count desc, then pair
+    lexicographic) — a documented refinement of the reference
+    implementation's arbitrary ``max()`` tie.  Stops early when no
+    pair reaches ``min_pair_count``.  Words are whitespace tokens of
+    the normalized text with ``end_of_word`` appended as an atomic
+    final symbol (the classic word-boundary marker).
+
+    Returns ``{"merges": [(a, b), ...] in merge order,
+    "segments": DataFrame(word, n, symbols)}`` — the segments table
+    IS the trained tokenizer's memo: :func:`bpe_segment` joins corpus
+    words against it.
+    """
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    if checkpoint_every < 1:
+        raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    words = (
+        df.select(F.explode(F.filter(tokens(text_col), lambda t: t != "")).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    cur = words.withColumn(
+        "__s", F.concat(F.split(F.col("__w"), ""), F.array(F.lit(end_of_word)))
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    since_ckpt = 0
+    for _ in range(n_merges):
+        pair_structs = F.zip_with(
+            F.col("__s"),
+            F.slice(F.col("__s"), 2, F.greatest(F.size("__s") - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+        top = (
+            cur.select(F.col("__n"), F.explode(pair_structs).alias("__p"))
+            .filter(F.col("__p.b").isNotNull())
+            .groupBy("__p")
+            .agg(F.sum("__n").alias("__cnt"))
+            .orderBy(F.col("__cnt").desc(), F.col("__p.a").asc(), F.col("__p.b").asc())
+            .first()
+        )
+        if top is None or top["__cnt"] < min_pair_count:
+            break
+        a, b = top["__p"]["a"], top["__p"]["b"]
+        merges.append((a, b))
+        merged = a + b
+        cur = cur.withColumn(
+            "__s",
+            F.aggregate(
+                F.col("__s"),
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.try_element_at(acc, F.lit(-1)) == F.lit(a)) & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ),
+        )
+        since_ckpt += 1
+        if since_ckpt >= checkpoint_every:
+            cur = cur.localCheckpoint(eager=True)
+            since_ckpt = 0
+    if since_ckpt:
+        cur = cur.localCheckpoint(eager=True)
+    segments = cur.select(
+        F.col("__w").alias("word"), F.col("__n").alias("n"), F.col("__s").alias("symbols")
+    )
+    return {"merges": merges, "segments": segments}
+
+
+def bpe_segment(
+    df: DataFrame,
+    segments: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    end_of_word: str = "</w>",
+    broadcast_segments: bool = False,
+) -> DataFrame:
+    """Tokenize a corpus with a trained BPE vocabulary — the inference
+    half of :func:`learn_bpe`.
+
+    BPE segmentation of a word depends only on the word, so corpus
+    tokenization is a JOIN against the trained ``segments`` memo table
+    (exactly the word-level memoization fast single-node tokenizers
+    use): explode the corpus's whitespace tokens with their position,
+    equi-join on the word, re-assemble per document in position order.
+    Out-of-vocabulary words (unseen at training time) fall back to
+    character symbols + the ``end_of_word`` marker — the exact merge
+    replay for OOV tails is deliberately not done per-row (it would be
+    a per-row iterative loop; at corpus scale OOV mass is the long
+    tail that character fallback is for).
+
+    Cost: one explode, one equi-join (pass
+    ``broadcast_segments=True`` when the vocab fits an executor —
+    ~10^6 words — making the join shuffle-free), one per-doc
+    re-aggregation.  Documents whose text is NULL get a NULL token
+    array; empty/whitespace text gets an empty array.
+    """
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode_outer(toks).alias("__pos", "__w"),
+    )
+    seg = segments.select(F.col("word").alias("__w"), F.col("symbols").alias("__sym"))
+    if broadcast_segments:
+        seg = F.broadcast(seg)
+    fallback = F.concat(F.split(F.col("__w"), ""), F.array(F.lit(end_of_word)))
+    joined = ex.join(seg, ["__w"], "left").select(
+        "__id",
+        "__pos",
+        F.when(F.col("__w").isNull(), F.lit(None).cast("array<string>"))
+        .otherwise(F.coalesce(F.col("__sym"), fallback))
+        .alias("__sym"),
+    )
+    per_doc = joined.groupBy("__id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__sym")))
+                ),
+                lambda s: s["__sym"],
+            )
+        ).alias(out_col)
+    )
+    # NULL text explodes to a single (pos=null, w=null) row whose
+    # symbol list is NULL -> flatten yields NULL, preserving NULL-in ->
+    # NULL-out; empty text explodes to nothing and the left join below
+    # restores the doc with an empty array
+    out = df.join(per_doc.withColumnRenamed("__id", id_col), [id_col], "left")
+    return out.withColumn(
+        out_col,
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("array<string>")).otherwise(
+            F.coalesce(F.col(out_col), F.array().cast("array<string>"))
+        ),
+    )

@@ -540,3 +540,87 @@ def test_train_linear_classifier_validation(spark):
     empty = spark.createDataFrame([(0, None, 1.0)], "doc_id long, text string, label double")
     with pytest.raises(ValueError, match="no trainable rows"):
         text.train_linear_classifier(empty, "label", n_buckets=8, epochs=1)
+
+
+def _py_bpe(word_counts, n_merges, eow="</w>", min_count=2):
+    """Classic single-node BPE (Sennrich 2016) with the engine's
+    deterministic tie-break (count desc, pair lexicographic)."""
+    vocab = {w: list(w) + [eow] for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, n in word_counts.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if cnt < min_count:
+            break
+        merges.append((a, b))
+        for w, s in vocab.items():
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_learn_bpe_python_oracle(spark):
+    rows = [
+        (0, "low low low lower lower newest newest newest newest"),
+        (1, "new new newer newer wider wide lowest"),
+        (2, None),
+        (3, "   "),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    wc = Counter(
+        w for _i, t in rows if t for w in t.strip().lower().split() if w
+    )
+    want_merges, want_vocab = _py_bpe(wc, 12)
+    fit = text.learn_bpe(df, n_merges=12, min_pair_count=2, checkpoint_every=3)
+    assert fit["merges"] == want_merges
+    segs = {r["word"]: (r["n"], list(r["symbols"])) for r in fit["segments"].collect()}
+    assert set(segs) == set(wc)
+    for w, n in wc.items():
+        assert segs[w] == (n, want_vocab[w])
+
+
+def test_bpe_segment_known_oov_null_empty(spark):
+    train_rows = [(0, "the the the them theme other other")]
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    fit = text.learn_bpe(train, n_merges=6, min_pair_count=2)
+    wc = Counter(train_rows[0][1].split())
+    _merges, vocab = _py_bpe(wc, 6)
+
+    apply_rows = [
+        (10, "the other theme"),     # all in-vocab
+        (11, "the zzz"),             # zzz is OOV -> char fallback
+        (12, None),                  # NULL in -> NULL out
+        (13, ""),                    # empty -> empty token array
+    ]
+    adf = spark.createDataFrame(apply_rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in text.bpe_segment(
+            adf, fit["segments"], broadcast_segments=True
+        ).collect()
+    }
+    assert out[10] == vocab["the"] + vocab["other"] + vocab["theme"]
+    assert out[11] == vocab["the"] + ["z", "z", "z", "</w>"]
+    assert out[12] is None
+    assert out[13] == []
+
+
+def test_learn_bpe_min_pair_count_stops_early(spark):
+    # every word unique, all pair counts == 1 -> no merge at the
+    # default min_pair_count=2
+    df = spark.createDataFrame([(0, "abc defg hij")], ["doc_id", "text"])
+    fit = text.learn_bpe(df, n_merges=5)
+    assert fit["merges"] == []
+    segs = {r["word"]: list(r["symbols"]) for r in fit["segments"].collect()}
+    assert segs["abc"] == ["a", "b", "c", "</w>"]
