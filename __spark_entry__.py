@@ -177,7 +177,8 @@ def q_multimodal_pipeline(spark, sf_dir):
 
 def q_has_conditions(spark, sf_dir):
     """All 11 remaining filter conditions as labeled count rows —
-    EQ/WITHIN appear via other queries (v_ids, forward/two_jump)."""
+    EQ/WITHIN appear via other queries (scan_counts' vid rows,
+    forward/two_jump)."""
     specs = [
         ("gt", "Customer", ops.gt("c_acctbal", 5000)),
         ("not_gt", "Customer", ops.not_(ops.gt("c_acctbal", 5000))),

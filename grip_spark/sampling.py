@@ -272,7 +272,12 @@ def mixture_sample(
         .collect()
     }
     if total is None:
-        total = sum(masses.values())
+        # sum in sorted-domain order: collect() row order varies with
+        # partitioning, and float summation is order-sensitive — the
+        # rerun/repartition determinism contract requires a fixed order
+        total = sum(masses[d] for d in sorted(masses))
+    elif not total > 0:
+        raise ValueError(f"total must be > 0, got {total}")
     rates = {}
     for d, share in shares.items():
         m = masses.get(d, 0.0)

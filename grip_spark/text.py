@@ -894,6 +894,31 @@ def hashed_linear_score_joined(
     )
 
 
+def _clf_features(base: DataFrame, token_hash, n_buckets: int) -> DataFrame:
+    """Sparse hashed-BoW feature build for the trainer: one row per
+    (doc, bucket) with the token-count share.  Exactly 2 exchanges —
+    the (id, bucket) count aggregation and the hash repartition on doc
+    id that lets every later per-doc aggregation run exchange-free
+    (plan-asserted in tests/test_plans.py)."""
+    return (
+        base.select("__id", "__y", "__n", F.explode("__ts").alias("__t"))
+        .groupBy(
+            "__id",
+            "__y",
+            "__n",
+            F.pmod(token_hash(F.col("__t")), F.lit(n_buckets)).cast("int").alias("__b"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select(
+            "__id",
+            "__y",
+            "__b",
+            (F.col("__c") / F.col("__n")).alias("__x"),
+        )
+        .repartition(F.col("__id"))
+    )
+
+
 def train_linear_classifier(
     df: DataFrame,
     label_col: str,
@@ -911,8 +936,11 @@ def train_linear_classifier(
     cluster — full-batch gradient descent over the same feature map
     :func:`hashed_linear_score` serves, closing the CCNet/GPT-3
     quality-filter loop (label a seed set, train here, score the
-    corpus with the returned weights: ``hashed_linear_score(corpus,
-    **{k: fit[k] for k in ("weights", "bias")})``).
+    corpus with the returned model: ``hashed_linear_score(corpus,
+    fit["weights"], bias=fit["bias"], word_ngrams=fit["word_ngrams"],
+    token_hash=fit["token_hash"])`` — the fit dict carries the full
+    feature config so scorer and trainer cannot disagree on the
+    feature map).
 
     Model: ``p = sigmoid(bias + sum_b x_b * W[b])`` where ``x_b`` is
     the document's hashed token-count share (``count(bucket)/
@@ -959,24 +987,7 @@ def train_linear_classifier(
         .filter(F.col("__y").isNotNull() & (F.size("__ts") > 0))
         .withColumn("__n", F.size("__ts"))
     )
-    feats = (
-        base.select("__id", "__y", "__n", F.explode("__ts").alias("__t"))
-        .groupBy(
-            "__id",
-            "__y",
-            "__n",
-            F.pmod(h(F.col("__t")), F.lit(n_buckets)).cast("int").alias("__b"),
-        )
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .select(
-            "__id",
-            "__y",
-            "__b",
-            (F.col("__c") / F.col("__n")).alias("__x"),
-        )
-        .repartition(F.col("__id"))
-        .persist()
-    )
+    feats = _clf_features(base, h, n_buckets).persist()
     try:
         stats = feats.agg(
             F.countDistinct("__id").alias("n"),
@@ -986,7 +997,18 @@ def train_linear_classifier(
         n_docs = int(stats["n"] or 0)
         if n_docs == 0:
             raise ValueError("no trainable rows (all labels NULL or text empty)")
-        if stats["lo"] < 0.0 or stats["hi"] > 1.0:
+        import math as _math
+
+        if (
+            _math.isnan(stats["lo"])
+            or _math.isnan(stats["hi"])
+            or stats["lo"] < 0.0
+            or stats["hi"] > 1.0
+        ):
+            # NaN needs an explicit check: Spark max() sorts NaN above
+            # every double, and `nan > 1.0` is False in Python, so NaN
+            # labels would pass the range test and silently poison
+            # every gradient sum
             raise ValueError(
                 f"labels must be in [0, 1], got range [{stats['lo']}, {stats['hi']}]"
             )
@@ -1039,7 +1061,17 @@ def train_linear_classifier(
                 b -= lr * float(tot["rb"]) / n_docs
     finally:
         feats.unpersist()
-    return {"weights": w, "bias": b, "loss": losses, "n_docs": n_docs}
+    return {
+        "weights": w,
+        "bias": b,
+        "loss": losses,
+        "n_docs": n_docs,
+        # feature config rides along so the scoring round-trip cannot
+        # silently mismatch (a model trained with bigrams or a
+        # different token hash scores garbage under the defaults)
+        "word_ngrams": word_ngrams,
+        "token_hash": token_hash,
+    }
 
 
 def learn_bpe(

@@ -218,3 +218,76 @@ def test_semantic_dedup_pair_stage_no_vector_shuffle(spark):
     plan = df_plan(out.select("vec_id", "sem_keep"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mixture_sample_no_corpus_shuffle(raw_docs):
+    from grip_spark import sampling
+
+    out = sampling.mixture_sample(
+        raw_docs, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}, "doc_id"
+    )
+    plan = df_plan(out)
+    # the per-domain mass agg ran eagerly at call time (tens of rows);
+    # the resample plan itself is a narrow filter + sequence-explode —
+    # the corpus is never shuffled or joined
+    assert n_exchanges(plan) == 0, plan
+    assert "Generate explode" in plan
+
+
+def test_clf_feature_build_exchanges_and_epoch_agg_reuses_partitioning(raw_docs):
+    from pyspark.sql import functions as F
+
+    from grip_spark import text
+
+    base = (
+        raw_docs.select(
+            F.col("doc_id").alias("__id"),
+            F.lit(1.0).alias("__y"),
+            F.filter(text.tokens("text"), lambda t: t != "").alias("__ts"),
+        )
+        .withColumn("__n", F.size("__ts"))
+        .filter(F.col("__n") > 0)
+    )
+    feats = text._clf_features(base, F.xxhash64, 64)
+    # exactly 2: the (id,bucket) count agg + the doc-id repartition
+    assert n_exchanges(df_plan(feats)) == 2, df_plan(feats)
+    cached = feats.persist()
+    try:
+        cached.count()
+        margin = cached.groupBy("__id").agg(F.sum("__x").alias("__z"))
+        plan = df_plan(margin)
+        # the per-epoch margin aggregation adds NO new exchange — the
+        # cache is already hash-partitioned on the grouping key.  The
+        # printed plan embeds the cached build plan (with its own 2
+        # exchanges) below InMemoryRelation, so count only above it.
+        above_cache = plan.split("InMemoryRelation", 1)[0]
+        assert "InMemoryTableScan" in plan, plan
+        assert n_exchanges(above_cache) == 0, plan
+    finally:
+        cached.unpersist()
+
+
+def test_learn_bpe_iterations_never_rederive_corpus(spark):
+    from grip_spark import text
+
+    df = spark.createDataFrame([(0, "aa aa ab")], ["doc_id", "text"])
+    fit = text.learn_bpe(df, n_merges=1, min_pair_count=1)
+    plan = df_plan(fit["segments"])
+    # lineage is cut at the vocab checkpoint: the segments plan is a
+    # scan of checkpointed rows, with no exchange and no corpus scan
+    assert n_exchanges(plan) == 0, plan
+    assert "parquet" not in plan.lower()
+
+
+def test_bpe_segment_broadcast_join_shape(spark, raw_docs):
+    from grip_spark import text
+
+    train = spark.createDataFrame([(0, "the the them other")], ["doc_id", "text"])
+    fit = text.learn_bpe(train, n_merges=2, min_pair_count=1)
+    out = text.bpe_segment(raw_docs, fit["segments"], broadcast_segments=True)
+    plan = df_plan(out.select("doc_id", "bpe_tokens"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # word->symbols join is broadcast (shuffle-free); the remaining
+    # exchanges are the per-doc re-agg + the join back onto the corpus
+    assert n_exchanges(plan) <= 3, plan

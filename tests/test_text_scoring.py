@@ -624,3 +624,15 @@ def test_learn_bpe_min_pair_count_stops_early(spark):
     assert fit["merges"] == []
     segs = {r["word"]: list(r["symbols"]) for r in fit["segments"].collect()}
     assert segs["abc"] == ["a", "b", "c", "</w>"]
+
+
+def test_train_linear_classifier_rejects_nan_labels(spark):
+    # Spark max() sorts NaN above every double and `nan > 1.0` is
+    # False in Python — without the explicit isnan check a single NaN
+    # label would pass validation and poison every gradient sum
+    df = spark.createDataFrame(
+        [(0, "a b c", 1.0), (1, "d e f", float("nan"))],
+        "doc_id long, text string, label double",
+    )
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        text.train_linear_classifier(df, "label", n_buckets=8, epochs=1)
