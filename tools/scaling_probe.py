@@ -110,6 +110,10 @@ def main():
         _pipeline_probe(spark, docs)
         spark.stop()
         return
+    if mode == "tokenizer":
+        _tokenizer_probe(spark, docs)
+        spark.stop()
+        return
 
     for k in (1, 4, 8):
         d = replicate_docs(docs, k).persist()
@@ -221,6 +225,69 @@ def _pipeline_probe(spark, docs):
         print(
             f"{k}x: docs={nd} | chunk {t_chunk:.1f}s | pack {t_pack:.1f}s | "
             f"sample+split {t_sample:.1f}s | repetition {t_rep:.1f}s",
+            flush=True,
+        )
+        d.unpersist()
+
+
+def _tokenizer_probe(spark, docs):
+    """Scaling of the tokenizer/classifier TRAINING operators.
+
+    Replication duplicates word content, so the BPE working set (the
+    unique-word vocab table) stays CONSTANT while the corpus grows —
+    the probe separates the one corpus-sized pass (vocab build,
+    n_merges=0) from the vocab-sized merge iterations (n_merges=8
+    minus that), which should stay flat with corpus scale.  The
+    classifier trainer's per-epoch cost tracks token count (the
+    sparse feature table) while the driver traffic stays model-sized;
+    labels derive from a hash of the id so every replica trains on
+    the same distribution."""
+    from pyspark.sql import functions as F
+
+    from grip_spark import text
+
+    def repl(k):
+        parts = [
+            docs.select(
+                F.concat(F.lit(f"r{i}:"), F.col("doc_id").cast("string")).alias(
+                    "doc_id"
+                ),
+                "text",
+            )
+            for i in range(k)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def best_of(fn, reps: int = 2):
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    for k in (1, 4, 16):
+        d = repl(k).repartition(CPUS).persist()
+        nd = d.count()
+        t_vocab = best_of(lambda: text.learn_bpe(d, n_merges=0)["segments"].count())
+        t_bpe = best_of(lambda: text.learn_bpe(d, n_merges=8)["segments"].count())
+        labeled = d.withColumn(
+            "label", (F.xxhash64("doc_id") % 2 == 0).cast("double")
+        )
+        t_train = best_of(
+            lambda: text.train_linear_classifier(
+                labeled, "label", n_buckets=1024, epochs=2, lr=1.0
+            ),
+            reps=1,
+        )
+        print(
+            f"{k}x: docs={nd} | bpe vocab-build {t_vocab:.1f}s | "
+            f"bpe 8 merges {t_bpe:.1f}s (merge-only ~{t_bpe - t_vocab:.1f}s) | "
+            f"clf 2-epoch train {t_train:.1f}s",
             flush=True,
         )
         d.unpersist()
