@@ -255,6 +255,29 @@ def mixture_sample(
     (``unnest(generate_series(...))`` + the md5 uniform), so it can
     sit under a value-level oracle.
     """
+    rates = mixture_rates(
+        df, domain_col, weights, total=total, size_col=size_col, max_repeat=max_repeat
+    )
+    return apply_mixture(
+        df, domain_col, rates, id_col, salt=salt, epoch_col=epoch_col
+    )
+
+
+def mixture_rates(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    total: float | None = None,
+    size_col: str | None = None,
+    max_repeat: int = 10,
+) -> dict[str, float]:
+    """The PLANNING half of :func:`mixture_sample`: learn current
+    per-domain masses (one small aggregation) and return the emission
+    rate per domain.  Split out so the rates can be computed once on a
+    reference corpus and then applied — via :func:`apply_mixture`,
+    which is a narrow row-local transform — to a different snapshot,
+    an incremental batch, or a STREAMING DataFrame (where this
+    batch-side aggregation cannot run)."""
     if not weights:
         raise ValueError("weights must be non-empty")
     wtotal = float(sum(weights.values()))
@@ -284,11 +307,32 @@ def mixture_sample(
         if m <= 0:
             continue  # nothing to repeat — the domain is absent
         rates[d] = min(share * float(total) / m, float(max_repeat))
+    return rates
+
+
+def apply_mixture(
+    df: DataFrame,
+    domain_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    salt: str = "mix",
+    epoch_col: str = "mix_epoch",
+) -> DataFrame:
+    """The APPLY half of :func:`mixture_sample`: emit ``floor(rate)``
+    copies of each row plus a deterministic md5-uniform fractional
+    copy, with ``epoch_col`` numbering the repeats.  Pure row-local
+    filter + sequence-explode (no aggregation, no shuffle, no join) —
+    runs unchanged on a streaming DataFrame, so a fixed mixture plan
+    from :func:`mixture_rates` applies to an ingest stream the way
+    the other stateless corpus-filter stages do."""
+    for d, r in rates.items():
+        if r < 0:
+            raise ValueError(f"rate for domain {d!r} must be >= 0, got {r}")
     if not rates:
         return df.filter(F.lit(False)).withColumn(epoch_col, F.lit(0))
     rate = F.lit(0.0)
     for d, r in rates.items():
-        rate = F.when(F.col(domain_col) == F.lit(d), F.lit(r)).otherwise(rate)
+        rate = F.when(F.col(domain_col) == F.lit(d), F.lit(float(r))).otherwise(rate)
     whole = F.floor(rate).cast("int")
     extra = (uniform_key(id_col, salt) < (rate - F.floor(rate))).cast("int")
     ncopies = (whole + extra).alias("__nc")

@@ -271,3 +271,48 @@ def test_sessionize_stream_late_event_extends_session_backward(
         if r["n_events"] == 4
     ]
     assert closed == got
+
+
+def test_apply_mixture_stream_matches_batch(spark, tmp_path_factory):
+    """mixture_rates (batch planning agg on a reference corpus) +
+    apply_mixture (pure row-local filter + sequence-explode) split:
+    the apply half runs unchanged on a stream and reproduces the
+    batch decision set copy-for-copy."""
+    import json as _json
+
+    from grip_spark import sampling, streaming
+
+    d = tmp_path_factory.mktemp("mixstream")
+    rows = [
+        {"doc_id": i, "dom": ["web", "web", "web", "code", "books"][i % 5]}
+        for i in range(100)
+    ]
+    for part in range(4):
+        with open(d / f"p{part}.json", "w") as f:
+            for r in rows[part * 25 : (part + 1) * 25]:
+                f.write(_json.dumps(r) + "\n")
+    schema = "doc_id long, dom string"
+
+    batch = spark.read.schema(schema).json(str(d))
+    rates = sampling.mixture_rates(
+        batch, "dom", {"web": 0.4, "code": 0.3, "books": 0.3}
+    )
+    assert rates["code"] > 1.0 and rates["web"] < 1.0  # up- and down-paths
+    want = {
+        (r.doc_id, r.mix_epoch)
+        for r in sampling.apply_mixture(batch, "dom", rates, "doc_id").collect()
+    }
+    assert want
+
+    stream = sampling.apply_mixture(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(d)),
+        "dom",
+        rates,
+        "doc_id",
+    )
+    q = streaming.stream_to_memory(stream, "mix_stream_test")
+    q.awaitTermination(60)
+    got = {
+        (r.doc_id, r.mix_epoch) for r in spark.table("mix_stream_test").collect()
+    }
+    assert got == want
