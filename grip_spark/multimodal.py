@@ -5,12 +5,15 @@ with a typed metadata struct alongside — the payload is never parsed by
 Catalyst, so scans prune it unless a stage actually touches the bytes.
 
 Heavy per-item work (decode, resize, feature-extract, frame-sample)
-runs as Arrow-batched ``mapInPandas`` stages: the plumbing — schema
-contract, batch shape, partition behavior — is real and tested here;
-the actual codec calls are STUBBED because image/audio libraries are
-not in this container (each stub raises ``NotImplementedError`` unless
-the optional library imports, and ``*_meta`` variants compute real,
-deterministic byte-level features so the pipeline shape is testable).
+runs as Arrow-batched ``mapInPandas`` stages.  PNG image decode is
+REAL (``png_decode``: pure-stdlib zlib inflate + scanline
+unfiltering, all five filters, CRC-verified — no codec library
+needed); formats that require external codecs (JPEG/WebP, audio,
+video) surface per-row ``err`` tags instead (``decode_image``) or
+compute deterministic byte-level stand-ins (``frame_sample``), since
+those libraries are not in this container — the schema contract,
+batch shape, and partition behavior are the production shape either
+way.
 
 Scale notes: mapInPandas streams Arrow batches (no per-row pickling);
 binary payloads stay in the executor; repartition before decode to
@@ -66,38 +69,208 @@ def extract_meta(df: DataFrame, bin_col: str = "payload", id_col: str = "doc_id"
     return df.select(id_col, bin_col).mapInPandas(_batches, schema=schema)
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# PNG color type -> (samples per pixel, mode name)
+_PNG_CTYPES = {0: (1, "L"), 2: (3, "RGB"), 3: (1, "P"), 4: (2, "LA"), 6: (4, "RGBA")}
+
+
+def png_decode(raw: bytes) -> tuple[int, int, int, str, bytes]:
+    """Pure-stdlib PNG decoder: (width, height, channels, mode,
+    pixel bytes row-major).  Supports 8-bit depth, all five standard
+    color types (palette images expand to RGB), all five scanline
+    filters (None/Sub/Up/Average/Paeth), non-interlaced, CRC-verified.
+    Raises ``ValueError`` on anything else — the caller decides
+    whether that is fatal (single image) or a row-level error tag
+    (corpus decode).
+
+    Spec: the public PNG specification (RFC 2083 / W3C PNG);
+    implemented here because this container ships no image codec
+    libraries, and ``zlib`` (the only dependency) is stdlib.
+    """
+    import zlib
+
+    if not raw.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(PNG_MAGIC)
+    hdr = plte = None
+    idat = b""
+    while pos + 12 <= len(raw):
+        ln = int.from_bytes(raw[pos : pos + 4], "big")
+        typ = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated chunk")
+        crc = int.from_bytes(raw[pos + 8 + ln : pos + 12 + ln], "big")
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {typ!r} chunk")
+        if typ == b"IHDR":
+            hdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if hdr is None or len(hdr) < 13 or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w = int.from_bytes(hdr[0:4], "big")
+    h = int.from_bytes(hdr[4:8], "big")
+    depth, ctype, comp, filt, inter = hdr[8], hdr[9], hdr[10], hdr[11], hdr[12]
+    if depth != 8:
+        raise ValueError(f"unsupported bit depth {depth} (only 8)")
+    if inter != 0:
+        raise ValueError("interlaced PNG unsupported")
+    if comp != 0 or filt != 0:
+        raise ValueError("bad compression/filter method")
+    if ctype not in _PNG_CTYPES:
+        raise ValueError(f"unsupported color type {ctype}")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad dimensions {w}x{h}")
+    nch, mode = _PNG_CTYPES[ctype]
+    data = zlib.decompress(idat)
+    stride = w * nch
+    if len(data) != h * (stride + 1):
+        raise ValueError("pixel data size mismatch")
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    for y in range(h):
+        f = data[y * (stride + 1)]
+        row = bytearray(data[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for i in range(nch, stride):
+                row[i] = (row[i] + row[i - nch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = row[i - nch] if i >= nch else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad scanline filter {f}")
+        out[y * stride : (y + 1) * stride] = row
+        prev = row
+    if ctype == 3:  # palette -> RGB expansion
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        rgb = bytearray(h * w * 3)
+        for j, idx in enumerate(out):
+            if idx * 3 + 3 > len(plte):
+                raise ValueError("palette index out of range")
+            rgb[j * 3 : j * 3 + 3] = plte[idx * 3 : idx * 3 + 3]
+        return w, h, 3, "RGB", bytes(rgb)
+    return w, h, nch, mode, bytes(out)
+
+
+def nn_resize(
+    pix: bytes, w: int, h: int, nch: int, tw: int, th: int
+) -> bytes:
+    """Nearest-neighbor resize of row-major interleaved pixel bytes
+    (the deterministic resize a feature-extract stage wants — no
+    resampling kernel, bit-identical across platforms)."""
+    if tw <= 0 or th <= 0:
+        raise ValueError(f"target size must be positive, got {tw}x{th}")
+    out = bytearray(tw * th * nch)
+    for y in range(th):
+        sy = (y * h) // th
+        for x in range(tw):
+            si = (sy * w + (x * w) // tw) * nch
+            di = (y * tw + x) * nch
+            out[di : di + nch] = pix[si : si + nch]
+    return bytes(out)
+
+
 def decode_image(
     df: DataFrame,
     bin_col: str = "payload",
     id_col: str = "doc_id",
     target_size: tuple[int, int] | None = None,
 ) -> DataFrame:
-    """Decode (and optionally resize) images to (width, height, mode,
-    pixels).  STUB: requires Pillow, which is not in this container —
-    the mapInPandas wiring below is the production shape.
-    """
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - no Pillow in container
-        raise NotImplementedError(
-            "decode_image needs Pillow; container has no image codecs. "
-            "The Spark-side plumbing (schema/batching) is extract_meta's."
-        ) from exc
+    """Decode (and optionally nearest-neighbor resize) images to
+    typed features: dimensions, mode, per-channel means, and a pixel
+    sha1 — an Arrow-batched ``mapInPandas`` stage over the binary
+    payload column.
 
-    import io
+    PNG decodes FOR REAL via :func:`png_decode` (pure stdlib — 8-bit
+    gray/LA/RGB/RGBA/palette, all five scanline filters,
+    CRC-verified).  Other formats (JPEG/WebP/...) need codec
+    libraries this container does not ship; those rows — like
+    corrupt payloads — come back with NULL features and the reason in
+    the ``err`` column rather than failing the stage: at corpus
+    scale a decode job must never die on one bad image.  A
+    production deployment with Pillow/turbojpeg available would swap
+    the per-row decode call and keep this exact schema and batch
+    shape.
+
+    ``channel_means`` are exact (integer pixel sums, one division) —
+    deterministic across partitionings; ``pixel_sha1`` hashes the
+    decoded (post-resize) pixel bytes, giving an exact-dup key on
+    DECODED content (byte-identical re-encodes dedup even when the
+    compressed payloads differ).
+    """
+    import hashlib
 
     idt = df.schema[id_col].dataType.simpleString()
-    schema = f"{id_col} {idt}, width int, height int, mode string"
+    schema = (
+        f"{id_col} {idt}, width int, height int, channels int, mode string, "
+        "channel_means array<double>, pixel_sha1 string, err string"
+    )
 
-    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+    def _one(b):
+        if b is None:
+            return (None, None, None, None, None, None, "null payload")
+        raw = bytes(b)
+        if not raw.startswith(PNG_MAGIC):
+            return (
+                None,
+                None,
+                None,
+                None,
+                None,
+                None,
+                f"unsupported format (magic {raw[:4].hex()}): only PNG "
+                "decodes without external codec libraries",
+            )
+        try:
+            w, h, nch, mode, pix = png_decode(raw)
+            if target_size:
+                tw, th = target_size
+                pix = nn_resize(pix, w, h, nch, tw, th)
+                w, h = tw, th
+            npix = w * h
+            means = [sum(pix[c::nch]) / npix for c in range(nch)]
+            return (w, h, nch, mode, means, hashlib.sha1(pix).hexdigest(), None)
+        except Exception as exc:
+            return (None, None, None, None, None, None, str(exc))
+
+    cols = [
+        id_col,
+        "width",
+        "height",
+        "channels",
+        "mode",
+        "channel_means",
+        "pixel_sha1",
+        "err",
+    ]
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for i, b in zip(pdf[id_col], pdf[bin_col]):
-                img = Image.open(io.BytesIO(bytes(b)))
-                if target_size:
-                    img = img.resize(target_size)
-                rows.append((i, img.width, img.height, img.mode))
-            yield pd.DataFrame(rows, columns=[id_col, "width", "height", "mode"])
+            rows = [(i, *_one(b)) for i, b in zip(pdf[id_col], pdf[bin_col])]
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, bin_col).mapInPandas(_batches, schema=schema)
 

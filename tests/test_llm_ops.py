@@ -127,17 +127,14 @@ def test_frame_sample_explodes(docs):
     assert chk.count() == 0
 
 
-def test_decode_image_is_stubbed(docs):
+def test_decode_image_tags_non_image_payloads(docs):
+    # decode_image is REAL for PNG (test_decode_image_*); on payloads
+    # that are not PNGs it must tag every row with err instead of
+    # failing the stage — corpus decode never dies on a bad image
     from grip_spark import multimodal
 
-    try:
-        import PIL  # noqa: F401
-
-        pytest.skip("Pillow unexpectedly present")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(multimodal.attach_binary(docs))
+    out = multimodal.decode_image(multimodal.attach_binary(docs)).collect()
+    assert out and all(r["err"] is not None and r["width"] is None for r in out)
 
 
 def test_text_ops(docs):
@@ -514,3 +511,144 @@ def test_multimodal_string_ids_and_every_n_validation(spark):
 
     with _pytest.raises(ValueError):
         multimodal.frame_sample(df, every_n=0)
+
+
+# -- real PNG decode --------------------------------------------------------
+
+
+def _png_chunk(typ, data):
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big")
+        + typ
+        + data
+        + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _make_png(w, h, ctype, pix, filters=None, plte=None):
+    """Test-side PNG encoder (forward-filters each scanline so the
+    decoder's unfiltering is exercised per filter type)."""
+    import zlib
+
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    stride = w * nch
+    prev = bytearray(stride)
+    body = b""
+    for y in range(h):
+        raw = bytearray(pix[y * stride : (y + 1) * stride])
+        f = filters[y] if filters else 0
+        enc = bytearray(raw)
+        if f == 1:
+            for i in range(stride - 1, nch - 1, -1):
+                enc[i] = (raw[i] - raw[i - nch]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                enc[i] = (raw[i] - prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                a = raw[i - nch] if i >= nch else 0
+                enc[i] = (raw[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = raw[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (raw[i] - pr) & 0xFF
+        body += bytes([f]) + bytes(enc)
+        prev = raw
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, ctype, 0, 0, 0])
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    return out + _png_chunk(b"IDAT", zlib.compress(body)) + _png_chunk(b"IEND", b"")
+
+
+def test_decode_image_png_all_filters(spark):
+    import hashlib
+    import random as _random
+
+    from grip_spark import multimodal
+
+    rng = _random.Random(9)
+    w, h = 6, 5
+    rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    gray = bytes(rng.randrange(256) for _ in range(w * h))
+    rgba = bytes(rng.randrange(256) for _ in range(w * h * 4))
+    rows = [
+        (0, bytearray(_make_png(w, h, 2, rgb, filters=[0, 1, 2, 3, 4]))),
+        (1, bytearray(_make_png(w, h, 0, gray, filters=[4, 4, 4, 4, 4]))),
+        (2, bytearray(_make_png(w, h, 6, rgba, filters=[1, 3, 4, 2, 0]))),
+        (3, bytearray(b"\xff\xd8\xff\xe0jpegjunk")),  # JPEG magic
+        (4, None),  # null payload
+        (5, bytearray(_make_png(w, h, 2, rgb)[:40])),  # truncated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in multimodal.decode_image(df).collect()}
+
+    for i, (pix, nch, mode) in {
+        0: (rgb, 3, "RGB"),
+        1: (gray, 1, "L"),
+        2: (rgba, 4, "RGBA"),
+    }.items():
+        r = got[i]
+        assert (r["width"], r["height"], r["channels"], r["mode"], r["err"]) == (
+            w, h, nch, mode, None,
+        )
+        want_means = [sum(pix[c::nch]) / (w * h) for c in range(nch)]
+        assert r["channel_means"] == want_means
+        assert r["pixel_sha1"] == hashlib.sha1(pix).hexdigest()
+    assert "unsupported format" in got[3]["err"] and got[3]["width"] is None
+    assert got[4]["err"] == "null payload"
+    assert got[5]["err"] is not None
+
+
+def test_decode_image_palette_and_resize(spark):
+    import hashlib
+
+    from grip_spark import multimodal
+
+    # 4x2 palette image over a 3-color palette
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idx = bytes([0, 1, 2, 0, 2, 2, 1, 0])
+    png = _make_png(4, 2, 3, idx, filters=[2, 1], plte=plte)
+    rgb = b"".join(plte[i * 3 : i * 3 + 3] for i in idx)
+    df = spark.createDataFrame([(0, bytearray(png))], "doc_id long, payload binary")
+    r = multimodal.decode_image(df).collect()[0]
+    assert (r["width"], r["height"], r["channels"], r["mode"]) == (4, 2, 3, "RGB")
+    assert r["pixel_sha1"] == hashlib.sha1(rgb).hexdigest()
+
+    # nearest-neighbor downscale to 2x1: source pixels (0,0) and (0,2)
+    r2 = multimodal.decode_image(df, target_size=(2, 1)).collect()[0]
+    want = rgb[0:3] + rgb[6:9]
+    assert (r2["width"], r2["height"]) == (2, 1)
+    assert r2["pixel_sha1"] == hashlib.sha1(want).hexdigest()
+    assert r2["channel_means"] == [sum(want[c::3]) / 2 for c in range(3)]
+
+
+def test_decode_image_bad_crc_and_bit_depth(spark):
+    from grip_spark import multimodal
+    from grip_spark.multimodal import png_decode
+
+    png = bytearray(_make_png(2, 2, 2, bytes(range(12))))
+    png[-17] ^= 0xFF  # flip a byte inside IDAT without fixing its CRC
+    df = spark.createDataFrame([(0, png)], "doc_id long, payload binary")
+    r = multimodal.decode_image(df).collect()[0]
+    assert r["err"] is not None and "CRC" in r["err"]
+
+    # 16-bit depth rejected with a clear reason (pure-python check)
+    deep = bytearray(_make_png(2, 2, 2, bytes(range(12))))
+    # IHDR data starts at offset 16; depth byte is at +8
+    deep[16 + 8] = 16
+    import zlib as _z
+
+    deep[29:33] = (_z.crc32(bytes(deep[12:29])) & 0xFFFFFFFF).to_bytes(4, "big")
+    try:
+        png_decode(bytes(deep))
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "bit depth" in str(e)
