@@ -652,3 +652,86 @@ def test_decode_image_bad_crc_and_bit_depth(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "bit depth" in str(e)
+
+
+def _make_wav(rate, channels, bits, frames):
+    """Test-side WAV writer: frames is a list of per-frame tuples of
+    integer samples (one per channel)."""
+    import struct
+
+    sw = bits // 8
+    if bits == 8:
+        data = b"".join(bytes((s + 128,) if isinstance(s, int) else s)
+                        for fr in frames for s in fr)
+    else:
+        code = "<h" if bits == 16 else "<i"
+        data = b"".join(struct.pack(code, s) for fr in frames for s in fr)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * sw,
+                      channels * sw, bits)
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_decode_audio_wav_features(spark):
+    import math
+    import random as _random
+
+    from grip_spark import multimodal
+
+    rng = _random.Random(3)
+    # stereo 16-bit: deterministic random samples; mono 8-bit ramp
+    stereo = [(rng.randrange(-32768, 32768), rng.randrange(-32768, 32768))
+              for _ in range(200)]
+    mono8 = [((i % 256) - 128,) for i in range(64)]
+    rows = [
+        (0, bytearray(_make_wav(16000, 2, 16, stereo))),
+        (1, bytearray(_make_wav(8000, 1, 8, mono8))),
+        (2, bytearray(b"OggSjunk")),          # compressed codec magic
+        (3, bytearray(b"RIFF\x04\x00\x00\x00AVI ")),  # RIFF but not WAVE
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in multimodal.decode_audio(df).collect()}
+
+    r = got[0]
+    assert (r["sample_rate"], r["channels"], r["bit_depth"], r["n_frames"]) == (
+        16000, 2, 16, 200,
+    )
+    assert r["duration_s"] == 200 / 16000 and r["err"] is None
+    for c in range(2):
+        ch = [fr[c] for fr in stereo]
+        want_rms = math.sqrt(sum(s * s for s in ch) / len(ch)) / 32768.0
+        assert abs(r["rms"][c] - want_rms) < 1e-12
+        want_zc = sum(1 for i in range(1, len(ch)) if (ch[i-1] < 0) != (ch[i] < 0))
+        assert r["zero_crossings"][c] == want_zc
+
+    r1 = got[1]
+    assert (r1["sample_rate"], r1["channels"], r1["bit_depth"], r1["n_frames"]) == (
+        8000, 1, 8, 64,
+    )
+    ch = [s for (s,) in mono8]
+    assert abs(r1["rms"][0] - math.sqrt(sum(s*s for s in ch)/64)/128.0) < 1e-12
+
+    assert "unsupported format" in got[2]["err"]
+    assert got[3]["err"] is not None  # RIFF/AVI -> wav_decode rejects
+    assert got[4]["err"] == "null payload"
+
+
+def test_wav_decode_rejects_non_pcm_and_truncation(spark):
+    import struct
+
+    import pytest as _pytest
+
+    from grip_spark.multimodal import wav_decode
+
+    wav = bytearray(_make_wav(8000, 1, 16, [(100,), (-100,)]))
+    # flip format code to 3 (IEEE float) in the fmt chunk
+    fmt_off = wav.index(b"fmt ") + 8
+    wav[fmt_off:fmt_off + 2] = struct.pack("<H", 3)
+    with _pytest.raises(ValueError, match="PCM only"):
+        wav_decode(bytes(wav))
+    with _pytest.raises(ValueError, match="truncated|missing"):
+        wav_decode(_make_wav(8000, 1, 16, [(100,)] * 50)[:30])
