@@ -130,9 +130,18 @@ def png_decode(raw: bytes) -> tuple[int, int, int, str, bytes]:
     if w <= 0 or h <= 0:
         raise ValueError(f"bad dimensions {w}x{h}")
     nch, mode = _PNG_CTYPES[ctype]
-    data = zlib.decompress(idat)
     stride = w * nch
-    if len(data) != h * (stride + 1):
+    want = h * (stride + 1)
+    # bounded inflate: a crafted tiny IDAT can decompress 1000x+ (zlib
+    # bomb) — cap at the exact expected pixel-data size so a bad row
+    # raises instead of OOMing the executor, and zlib.error surfaces
+    # as the documented ValueError
+    try:
+        dec = zlib.decompressobj()
+        data = dec.decompress(idat, want + 1)
+    except zlib.error as exc:
+        raise ValueError(f"bad deflate stream: {exc}") from exc
+    if len(data) != want or dec.decompress(b"", 1):
         raise ValueError("pixel data size mismatch")
     out = bytearray(h * stride)
     prev = bytearray(stride)
@@ -310,9 +319,11 @@ def frame_sample(
 WAV_MAGIC = b"RIFF"
 
 
-def wav_decode(raw: bytes) -> tuple[int, int, int, int, list[list[int]]]:
+def wav_decode(raw: bytes) -> tuple[int, int, int, int, "array.array"]:
     """Pure-stdlib WAV/PCM decoder: (sample_rate, channels, bit_depth,
-    n_frames, per-channel integer sample lists).  Supports the RIFF/
+    n_frames, flat interleaved samples as a packed ``array.array`` —
+    channel *c* is ``samples[c::channels]``; values are centered ints,
+    8-bit unsigned remapped to [-128, 127]).  Supports the RIFF/
     WAVE container with uncompressed PCM (format code 1) at 8-bit
     unsigned or 16/32-bit signed little-endian — the overwhelmingly
     common corpus interchange shapes.  Raises ``ValueError`` on
@@ -329,7 +340,7 @@ def wav_decode(raw: bytes) -> tuple[int, int, int, int, list[list[int]]]:
     pos = 12
     fmt = None
     data = None
-    while pos + 8 <= len(raw):
+    while pos + 8 <= len(raw) and (fmt is None or data is None):
         typ = raw[pos : pos + 4]
         ln = int.from_bytes(raw[pos + 4 : pos + 8], "little")
         chunk = raw[pos + 8 : pos + 8 + ln]
@@ -340,6 +351,9 @@ def wav_decode(raw: bytes) -> tuple[int, int, int, int, list[list[int]]]:
         elif typ == b"data":
             data = chunk
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    # stop once both chunks are found: real-world WAVs carry trailing
+    # metadata (ID3, recorder junk, overshooting trailer chunks) that
+    # must not reject an otherwise decodable file
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     if len(fmt) < 16:
@@ -358,19 +372,21 @@ def wav_decode(raw: bytes) -> tuple[int, int, int, int, list[list[int]]]:
         raise ValueError("block alignment mismatch")
     n_frames = len(data) // block_align
     data = data[: n_frames * block_align]
-    if bits == 8:
-        flat = [b - 128 for b in data]  # unsigned byte -> centered
-    else:
-        import array
+    import array
 
-        arr = array.array("h" if bits == 16 else "i")
-        arr.frombytes(data)
+    # samples stay packed in an array.array (1-4 bytes each), never
+    # Python int lists (~28 bytes each + list overhead): a 100 MB WAV
+    # row must not balloon to multi-GB executor memory
+    if bits == 8:
+        flat = array.array("h", (b - 128 for b in data))  # unsigned -> centered
+    else:
+        flat = array.array("h" if bits == 16 else "i")
+        flat.frombytes(data)
         import sys
 
         if sys.byteorder == "big":  # pragma: no cover
-            arr.byteswap()
-        flat = arr.tolist()
-    return rate, nch, bits, n_frames, [flat[c::nch] for c in range(nch)]
+            flat.byteswap()
+    return rate, nch, bits, n_frames, flat
 
 
 def decode_audio(
@@ -410,16 +426,35 @@ def decode_audio(
                 "decodes without external codec libraries",
             )
         try:
-            rate, nch, bits, n_frames, chans = wav_decode(raw)
+            import numpy as np
+
+            rate, nch, bits, n_frames, flat = wav_decode(raw)
             full = float(1 << (bits - 1))
-            rms = [
-                _math.sqrt(sum(s * s for s in ch) / len(ch)) / full if ch else 0.0
-                for ch in chans
-            ]
-            zc = [
-                sum(1 for i in range(1, len(ch)) if (ch[i - 1] < 0) != (ch[i] < 0))
-                for ch in chans
-            ]
+            # zero-copy view of the packed samples; int64 square-sums
+            # are EXACT (no float accumulation), so results match a
+            # pure-python replica bit-for-bit and never depend on
+            # numpy's pairwise float summation
+            arr = np.frombuffer(flat, dtype=flat.typecode).astype(
+                np.int64, copy=False
+            )
+            rms = []
+            zc = []
+            for c in range(nch):
+                ch = arr[c::nch]
+                if ch.size:
+                    if bits == 32:
+                        # (2^31)^2 = 2^62: two full-scale 32-bit
+                        # samples overflow an int64 dot — exact bigint
+                        # path for the rare 32-bit case
+                        sq = sum(int(v) * int(v) for v in ch)
+                    else:
+                        sq = int(np.dot(ch, ch))
+                    rms.append(_math.sqrt(sq / ch.size) / full)
+                    neg = ch < 0
+                    zc.append(int(np.count_nonzero(neg[:-1] != neg[1:])))
+                else:
+                    rms.append(0.0)
+                    zc.append(0)
             return (
                 rate,
                 nch,

@@ -270,6 +270,7 @@ def mixture_rates(
     total: float | None = None,
     size_col: str | None = None,
     max_repeat: int = 10,
+    missing: str = "drop",
 ) -> dict[str, float]:
     """The PLANNING half of :func:`mixture_sample`: learn current
     per-domain masses (one small aggregation) and return the emission
@@ -277,7 +278,21 @@ def mixture_rates(
     reference corpus and then applied — via :func:`apply_mixture`,
     which is a narrow row-local transform — to a different snapshot,
     an incremental batch, or a STREAMING DataFrame (where this
-    batch-side aggregation cannot run)."""
+    batch-side aggregation cannot run).
+
+    ``missing`` controls a weighted domain with no mass in the
+    PLANNING corpus (its rate is undefined: share·total/0).  When the
+    plan is applied to the same corpus this is moot (no rows exist to
+    emit), but applied to a LATER snapshot or stream the domain may
+    have arrived — ``"drop"`` (default) omits it from the rates, so
+    :func:`apply_mixture` filters those rows out (allowlist
+    semantics, matching in-place ``mixture_sample``); ``"max"``
+    assigns ``max_repeat`` (the clamp an infinite rate would hit —
+    treat a domain absent at plan time as maximally scarce);
+    ``"error"`` raises, for plans that must cover every weighted
+    domain."""
+    if missing not in ("drop", "max", "error"):
+        raise ValueError(f"missing must be drop|max|error, got {missing!r}")
     if not weights:
         raise ValueError("weights must be non-empty")
     wtotal = float(sum(weights.values()))
@@ -302,11 +317,19 @@ def mixture_rates(
     elif not total > 0:
         raise ValueError(f"total must be > 0, got {total}")
     rates = {}
+    absent = []
     for d, share in shares.items():
         m = masses.get(d, 0.0)
         if m <= 0:
-            continue  # nothing to repeat — the domain is absent
+            absent.append(d)
+            if missing == "max":
+                rates[d] = float(max_repeat)
+            continue
         rates[d] = min(share * float(total) / m, float(max_repeat))
+    if absent and missing == "error":
+        raise ValueError(
+            f"weighted domains absent from the planning corpus: {sorted(absent)}"
+        )
     return rates
 
 
@@ -328,19 +351,26 @@ def apply_mixture(
     for d, r in rates.items():
         if r < 0:
             raise ValueError(f"rate for domain {d!r} must be >= 0, got {r}")
+    if epoch_col in df.columns:
+        raise ValueError(f"column {epoch_col!r} already exists — pass epoch_col")
     if not rates:
         return df.filter(F.lit(False)).withColumn(epoch_col, F.lit(0))
+    # collision-proof working column: apply_mixture is a public entry
+    # point now, and clobbering a user column named __nc would corrupt
+    # caller data silently
+    nc = "__nc"
+    while nc in df.columns:
+        nc += "_"
     rate = F.lit(0.0)
     for d, r in rates.items():
         rate = F.when(F.col(domain_col) == F.lit(d), F.lit(float(r))).otherwise(rate)
     whole = F.floor(rate).cast("int")
     extra = (uniform_key(id_col, salt) < (rate - F.floor(rate))).cast("int")
-    ncopies = (whole + extra).alias("__nc")
     return (
-        df.withColumn("__nc", ncopies)
-        .filter(F.col("__nc") > 0)
-        .withColumn(epoch_col, F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)))
-        .drop("__nc")
+        df.withColumn(nc, whole + extra)
+        .filter(F.col(nc) > 0)
+        .withColumn(epoch_col, F.explode(F.sequence(F.lit(0), F.col(nc) - 1)))
+        .drop(nc)
     )
 
 

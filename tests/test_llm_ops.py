@@ -735,3 +735,43 @@ def test_wav_decode_rejects_non_pcm_and_truncation(spark):
         wav_decode(bytes(wav))
     with _pytest.raises(ValueError, match="truncated|missing"):
         wav_decode(_make_wav(8000, 1, 16, [(100,)] * 50)[:30])
+
+
+def test_png_decode_bounded_inflate_and_zlib_error():
+    import zlib
+
+    import pytest as _pytest
+
+    from grip_spark.multimodal import png_decode
+
+    # zlib bomb: 2x2 RGB header but IDAT inflates to ~10 MB of zeros —
+    # the bounded inflate must reject it without materializing the 10 MB
+    ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="size mismatch"):
+        png_decode(bomb)
+
+    # corrupt deflate stream with a valid chunk CRC -> ValueError (not
+    # zlib.error), per the documented contract
+    junk = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", b"\x99garbage-not-deflate")
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="deflate|size mismatch"):
+        png_decode(junk)
+
+
+def test_wav_decode_tolerates_trailing_junk():
+    from grip_spark.multimodal import wav_decode
+
+    wav = _make_wav(8000, 1, 16, [(100,), (-100,), (50,)])
+    rate, nch, bits, n, flat = wav_decode(wav + b"JUNKJUNKJUNKJUNK")
+    assert (rate, nch, bits, n) == (8000, 1, 16, 3)
+    assert list(flat) == [100, -100, 50]

@@ -613,3 +613,31 @@ def test_mixture_sample_determinism_and_validation(spark):
     # no weighted domain present in the data -> empty frame, schema kept
     none = sampling.mixture_sample(df, "dom", {"zz": 1.0}, "doc_id")
     assert none.count() == 0 and "mix_epoch" in none.columns
+
+
+def test_mixture_rates_missing_domain_modes(spark):
+    from grip_spark import sampling
+
+    df = spark.createDataFrame([(i, "web") for i in range(10)], ["doc_id", "dom"])
+    w = {"web": 0.7, "code": 0.3}
+    assert "code" not in sampling.mixture_rates(df, "dom", w)  # drop default
+    assert sampling.mixture_rates(df, "dom", w, missing="max")["code"] == 10.0
+    with pytest.raises(ValueError, match="absent from the planning corpus"):
+        sampling.mixture_rates(df, "dom", w, missing="error")
+    with pytest.raises(ValueError, match="drop\\|max\\|error"):
+        sampling.mixture_rates(df, "dom", w, missing="warn")
+
+
+def test_apply_mixture_column_collisions(spark):
+    from grip_spark import sampling
+
+    df = spark.createDataFrame(
+        [(i, "a", 99) for i in range(20)], ["doc_id", "dom", "__nc"]
+    )
+    out = sampling.apply_mixture(df, "dom", {"a": 2.0}, "doc_id")
+    rows = out.collect()
+    assert rows and all(r["__nc"] == 99 for r in rows)  # user column survives
+    assert {r["mix_epoch"] for r in rows} == {0, 1}
+    clash = df.withColumnRenamed("__nc", "mix_epoch")
+    with pytest.raises(ValueError, match="already exists"):
+        sampling.apply_mixture(clash, "dom", {"a": 1.0}, "doc_id")
