@@ -163,8 +163,10 @@ def q_sessions(spark, sf_dir):
 
 def q_multimodal_pipeline(spark, sf_dir):
     """Binary-column plumbing end-to-end: attach payload → Arrow
-    mapInPandas metadata extraction + 1→N frame-sample explosion,
-    joined per document."""
+    mapInPandas metadata extraction + 1→N frame-sample explosion +
+    the real decode stage's per-row error tagging (text payloads are
+    not PNGs, so decode_image's deterministic err string — including
+    the payload magic — is itself value-oracled), joined per doc."""
     withbin = multimodal.attach_binary(_docs(spark, sf_dir))
     meta = multimodal.extract_meta(withbin).select("doc_id", "byte_len", "magic")
     frames = (
@@ -172,7 +174,10 @@ def q_multimodal_pipeline(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_frames"))
     )
-    return meta.join(frames, "doc_id")
+    dec = multimodal.decode_image(withbin).select(
+        "doc_id", F.col("err").alias("decode_err")
+    )
+    return meta.join(frames, "doc_id").join(dec, "doc_id")
 
 
 def q_has_conditions(spark, sf_dir):
@@ -1422,7 +1427,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_pipeline": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, "
             "lower(substr(hex(encode(text)), 1, 8)) AS magic, "
-            "CAST(ceil(octet_length(encode(text)) / 100.0) AS BIGINT) AS n_frames "
+            "CAST(ceil(octet_length(encode(text)) / 100.0) AS BIGINT) AS n_frames, "
+            "'unsupported format (magic ' || lower(substr(hex(encode(text)), 1, 8)) "
+            "|| '): only PNG decodes without external codec libraries' AS decode_err "
             "FROM documents"
         ),
         "has_conditions": (
