@@ -775,3 +775,60 @@ def test_wav_decode_tolerates_trailing_junk():
     rate, nch, bits, n, flat = wav_decode(wav + b"JUNKJUNKJUNKJUNK")
     assert (rate, nch, bits, n) == (8000, 1, 16, 3)
     assert list(flat) == [100, -100, 50]
+
+
+# -- decoder round-trip properties (no Spark session needed) ----------------
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def test_png_roundtrip_property(data):
+        from grip_spark.multimodal import png_decode
+
+        w = data.draw(st.integers(1, 8), label="w")
+        h = data.draw(st.integers(1, 8), label="h")
+        ctype = data.draw(st.sampled_from([0, 2, 4, 6]), label="ctype")
+        nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        pix = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * nch,
+                    max_size=w * h * nch,
+                ),
+                label="pix",
+            )
+        )
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h), label="filters"
+        )
+        got = png_decode(_make_png(w, h, ctype, pix, filters=filters))
+        assert got == (w, h, nch, {0: "L", 2: "RGB", 4: "LA", 6: "RGBA"}[ctype], pix)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.data())
+    def test_wav_roundtrip_property(data):
+        from grip_spark.multimodal import wav_decode
+
+        nch = data.draw(st.integers(1, 3), label="nch")
+        bits = data.draw(st.sampled_from([8, 16, 32]), label="bits")
+        lo, hi = (-128, 127) if bits == 8 else (
+            (-32768, 32767) if bits == 16 else (-(2**31), 2**31 - 1)
+        )
+        n = data.draw(st.integers(0, 30), label="frames")
+        frames = [
+            tuple(data.draw(st.integers(lo, hi)) for _ in range(nch))
+            for _ in range(n)
+        ]
+        rate, ch, b, nf, flat = wav_decode(_make_wav(44100, nch, bits, frames))
+        assert (rate, ch, b, nf) == (44100, nch, bits, n)
+        assert [tuple(flat[i * nch : (i + 1) * nch]) for i in range(n)] == frames
