@@ -1,0 +1,116 @@
+"""Storage-layout helpers for pipeline tables: Z-order (Morton) keys
+for multi-column data skipping.
+
+Parquet scans skip row groups whose column min/max stats exclude the
+pushed filter.  Sorting by ONE column makes its stats tight and every
+other column's stats useless; interleaving the bits of several
+columns' quantized cell ids (the Z-order curve) makes EVERY indexed
+column's per-file range ~n^(1/k) of the domain, so filters on any of
+them skip most files.  Spark has no built-in ZORDER (Delta/Iceberg
+expose it as a table service); here it is a plain column expression +
+range-repartition, so it works on vanilla parquet:
+
+    df2 = layout.zorder_layout(df, ["price", "ts"], partitions=512)
+    df2.write.parquet(path)           # stats-tight files
+    spark.read.parquet(path).filter("price BETWEEN ...")  # skips
+
+The key is built from public bit arithmetic (shiftleft/or) over
+``width_bucket`` cell ids — whole-stage codegen, no UDF, no shuffle
+of its own (the one range exchange is the final placement, exactly
+what any sorted write costs).
+
+Reference basis: the reference engine has no columnar layout surface
+(SURVEY §2.8); this extends the Phase-7 scale-layout story alongside
+the bucketed graph tables (graph.py save_tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def zorder_key(
+    cols: list[Column | str],
+    bounds: list[tuple[float, float]],
+    bits: int = 8,
+) -> Column:
+    """Morton-interleaved key over quantized columns.
+
+    Each column is quantized to ``2**bits`` equal-width cells over its
+    ``(lo, hi)`` bounds (values outside clamp to the edge cells; NULL
+    sorts to cell 0), then cell-id bits interleave round-robin
+    (column 0 owns the least-significant position of each group).
+    ``bits * len(cols)`` must fit a long (<= 63).
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if len(bounds) != len(cols):
+        raise ValueError("bounds must match cols")
+    n = len(cols)
+    if bits < 1 or bits * n > 63:
+        raise ValueError(f"bits*len(cols) must be in [1, 63], got {bits * n}")
+    cells = []
+    for c, (lo, hi) in zip(cols, bounds):
+        col = F.col(c) if isinstance(c, str) else c
+        if not hi > lo:
+            # degenerate domain: every value is one cell
+            cells.append(F.lit(0).cast("long"))
+            continue
+        # width_bucket: 0 below lo, 2**bits+1 above hi -> clamp to
+        # [1, 2**bits] then shift to [0, 2**bits-1]; NULL -> 0
+        b = F.width_bucket(
+            col.cast("double"), F.lit(float(lo)), F.lit(float(hi)), F.lit(1 << bits)
+        )
+        cell = F.least(F.greatest(b, F.lit(1)), F.lit(1 << bits)) - 1
+        cells.append(F.coalesce(cell.cast("long"), F.lit(0).cast("long")))
+    key = F.lit(0).cast("long")
+    for bpos in range(bits):
+        for ci, cell in enumerate(cells):
+            bit = F.shiftright(cell, bpos).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, bpos * n + ci))
+    return key
+
+
+def zorder_bounds(df: DataFrame, cols: list[str]) -> list[tuple[float, float]]:
+    """Column (min, max) bounds in ONE aggregation pass — the only
+    data-dependent input the key needs (collecting 2·k doubles)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))]
+    row = df.agg(*aggs).first()
+    out = []
+    for i in range(len(cols)):
+        lo, hi = row[2 * i], row[2 * i + 1]
+        if lo is None or hi is None:
+            lo, hi = 0.0, 0.0  # all-NULL column: degenerate domain
+        out.append((float(lo), float(hi)))
+    return out
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    partitions: int | None = None,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Order ``df`` along the Z-curve of ``cols`` so a subsequent
+    parquet write produces files whose min/max stats are tight on
+    EVERY listed column — multi-dimensional data skipping on vanilla
+    parquet.
+
+    Cost: one bounds aggregation (2·k doubles to the driver) + one
+    range exchange with local sort (the same price as any sorted
+    write; ``repartitionByRange`` samples the key so output files are
+    balanced even under skew).  The key column is dropped unless
+    ``key_col`` names it for inspection.
+    """
+    bounds = zorder_bounds(df, cols)
+    kc = key_col or "__zkey"
+    while key_col is None and kc in df.columns:
+        kc += "_"
+    out = df.withColumn(kc, zorder_key(list(cols), bounds, bits=bits))
+    out = out.repartitionByRange(
+        *([partitions] if partitions else []), F.col(kc).asc()
+    ).sortWithinPartitions(F.col(kc).asc())
+    return out if key_col else out.drop(kc)

@@ -641,3 +641,98 @@ def test_apply_mixture_column_collisions(spark):
     clash = df.withColumnRenamed("__nc", "mix_epoch")
     with pytest.raises(ValueError, match="already exists"):
         sampling.apply_mixture(clash, "dom", {"a": 1.0}, "doc_id")
+
+
+# -- z-order layout ---------------------------------------------------------
+
+
+def test_zorder_key_matches_python_replica(spark):
+    from grip_spark import layout
+
+    rows = [(i, float(i % 17), float((i * 7) % 13), i % 3 == 0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "x", "y", "nullish"]).withColumn(
+        "x", F.when(F.col("nullish"), None).otherwise(F.col("x"))
+    )
+    bounds = [(0.0, 16.0), (0.0, 12.0)]
+    got = {
+        r["id"]: r["k"]
+        for r in df.select(
+            "id", layout.zorder_key(["x", "y"], bounds, bits=4).alias("k")
+        ).collect()
+    }
+
+    def cell(v, lo, hi, bits):
+        if v is None:
+            return 0
+        # width_bucket semantics: equal cells over [lo, hi), clamped
+        b = int((v - lo) / (hi - lo) * (1 << bits)) + 1 if v < hi else (1 << bits) + 1
+        if v < lo:
+            b = 0
+        return min(max(b, 1), 1 << bits) - 1
+
+    def interleave(cs, bits):
+        k = 0
+        for bpos in range(bits):
+            for ci, c in enumerate(cs):
+                k |= ((c >> bpos) & 1) << (bpos * len(cs) + ci)
+        return k
+
+    for i, x, y, nullish in rows:
+        xv = None if nullish else x
+        want = interleave([cell(xv, 0.0, 16.0, 4), cell(y, 0.0, 12.0, 4)], 4)
+        assert got[i] == want, (i, xv, y, got[i], want)
+
+
+def test_zorder_layout_tightens_per_file_ranges(spark, tmp_path_factory):
+    import random as _random
+
+    from grip_spark import layout
+
+    rng = _random.Random(7)
+    rows = [(i, rng.random(), rng.random()) for i in range(20000)]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+
+    def avg_ranges(path):
+        got = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("x") - F.min("x")).alias("rx"),
+                (F.max("y") - F.min("y")).alias("ry"),
+            )
+            .collect()
+        )
+        assert len(got) >= 12
+        return (
+            sum(r["rx"] for r in got) / len(got),
+            sum(r["ry"] for r in got) / len(got),
+        )
+
+    d = tmp_path_factory.mktemp("zorder")
+    zp, xp = str(d / "z"), str(d / "xsort")
+    layout.zorder_layout(df, ["x", "y"], bits=8, partitions=16).write.parquet(zp)
+    df.repartitionByRange(16, F.col("x")).sortWithinPartitions("x").write.parquet(xp)
+
+    zx, zy = avg_ranges(zp)
+    xx, xy = avg_ranges(xp)
+    # single-column sort: tight on x, useless on y (~full domain)
+    assert xx < 0.15 and xy > 0.8
+    # z-order: BOTH columns' per-file ranges are a fraction of the
+    # domain (16 files over a 2-d curve -> ~1/4 per dim)
+    assert zx < 0.5 and zy < 0.5, (zx, zy)
+
+
+def test_zorder_validation_and_degenerate(spark):
+    from grip_spark import layout
+
+    df = spark.createDataFrame([(1, 2.0)], ["id", "x"])
+    with pytest.raises(ValueError, match="non-empty"):
+        layout.zorder_key([], [], bits=4)
+    with pytest.raises(ValueError, match="63"):
+        layout.zorder_key(["x", "x"], [(0, 1), (0, 1)], bits=32)
+    # constant column -> degenerate domain, still a valid layout
+    const = df.withColumn("c", F.lit(5.0))
+    bounds = layout.zorder_bounds(const, ["x", "c"])
+    assert bounds[1] == (5.0, 5.0)
+    out = layout.zorder_layout(const, ["x", "c"], bits=4)
+    assert out.count() == 1
