@@ -291,3 +291,16 @@ def test_bpe_segment_broadcast_join_shape(spark, raw_docs):
     # word->symbols join is broadcast (shuffle-free); the remaining
     # exchanges are the per-doc re-agg + the join back onto the corpus
     assert n_exchanges(plan) <= 3, plan
+
+
+def test_zorder_layout_single_range_exchange(raw_docs):
+    from grip_spark import layout
+
+    out = layout.zorder_layout(raw_docs, ["doc_id", "n_chars"], bits=8, partitions=8)
+    plan = df_plan(out)
+    # the one exchange is the range placement (the sorted-write cost);
+    # the key itself is pure codegen arithmetic — no hash shuffle, no
+    # join, no UDF
+    assert len(re.findall(r"Exchange rangepartitioning", plan)) == 1, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0, plan
+    assert "BatchEvalPython" not in plan and "Generate" not in plan
