@@ -1074,6 +1074,19 @@ def train_linear_classifier(
     }
 
 
+def _bpe_words(text_col: str, pre_tokenizer: str):
+    """Word source for BPE: ``"whitespace"`` = lower-cased whitespace
+    tokens (the engine's default token family), ``"regex"`` =
+    case-preserving GPT-2-style pre-tokenization (letter / digit /
+    punctuation runs via :func:`bpe_ish_tokens`) — punctuation gets
+    its own symbols instead of gluing to words."""
+    if pre_tokenizer == "whitespace":
+        return F.filter(tokens(text_col), lambda t: t != "")
+    if pre_tokenizer == "regex":
+        return bpe_ish_tokens(text_col)
+    raise ValueError(f"pre_tokenizer must be whitespace|regex, got {pre_tokenizer!r}")
+
+
 def learn_bpe(
     df: DataFrame,
     text_col: str = "text",
@@ -1081,6 +1094,7 @@ def learn_bpe(
     end_of_word: str = "</w>",
     min_pair_count: int = 2,
     checkpoint_every: int = 8,
+    pre_tokenizer: str = "whitespace",
 ) -> dict:
     """Learn a byte-pair-encoding vocabulary ON the cluster — the
     classic BPE induction (Sennrich et al. 2016): start from
@@ -1119,7 +1133,7 @@ def learn_bpe(
     if checkpoint_every < 1:
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
     words = (
-        df.select(F.explode(F.filter(tokens(text_col), lambda t: t != "")).alias("__w"))
+        df.select(F.explode(_bpe_words(text_col, pre_tokenizer)).alias("__w"))
         .groupBy("__w")
         .agg(F.count(F.lit(1)).alias("__n"))
     )
@@ -1169,7 +1183,15 @@ def learn_bpe(
     segments = cur.select(
         F.col("__w").alias("word"), F.col("__n").alias("n"), F.col("__s").alias("symbols")
     )
-    return {"merges": merges, "segments": segments}
+    # the tokenizer config rides along (same lesson as the classifier
+    # fit dict): bpe_segment must use the same pre-tokenizer and
+    # end-of-word marker the memo was built over
+    return {
+        "merges": merges,
+        "segments": segments,
+        "pre_tokenizer": pre_tokenizer,
+        "end_of_word": end_of_word,
+    }
 
 
 def bpe_segment(
@@ -1180,6 +1202,7 @@ def bpe_segment(
     out_col: str = "bpe_tokens",
     end_of_word: str = "</w>",
     broadcast_segments: bool = False,
+    pre_tokenizer: str = "whitespace",
 ) -> DataFrame:
     """Tokenize a corpus with a trained BPE vocabulary — the inference
     half of :func:`learn_bpe`.
@@ -1199,9 +1222,11 @@ def bpe_segment(
     ``broadcast_segments=True`` when the vocab fits an executor —
     ~10^6 words — making the join shuffle-free), one per-doc
     re-aggregation.  Documents whose text is NULL get a NULL token
-    array; empty/whitespace text gets an empty array.
+    array; empty/whitespace text gets an empty array.  Pass the SAME
+    ``pre_tokenizer`` used at training time (the word keys must come
+    from the same token family the memo was built over).
     """
-    toks = F.filter(tokens(text_col), lambda t: t != "")
+    toks = _bpe_words(text_col, pre_tokenizer)
     ex = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode_outer(toks).alias("__pos", "__w"),

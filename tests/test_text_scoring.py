@@ -636,3 +636,38 @@ def test_train_linear_classifier_rejects_nan_labels(spark):
     )
     with pytest.raises(ValueError, match=r"\[0, 1\]"):
         text.train_linear_classifier(df, "label", n_buckets=8, epochs=1)
+
+
+def test_learn_bpe_regex_pretokenizer_python_oracle(spark):
+    """GPT-2-style regex pre-tokenization: punctuation runs become
+    their own words (case preserved), and segment round-trips."""
+    import re as _re
+
+    rows = [(0, "Hello, world!! Hello, world!! don't stop, don't"), (1, "Hello world")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def pretok(t):
+        return _re.findall(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+", t)
+
+    wc = Counter(w for _i, t in rows for w in pretok(t))
+    want_merges, want_vocab = _py_bpe(wc, 8)
+    fit = text.learn_bpe(df, n_merges=8, pre_tokenizer="regex")
+    assert fit["merges"] == want_merges
+    assert fit["pre_tokenizer"] == "regex" and fit["end_of_word"] == "</w>"
+    segs = {r["word"]: list(r["symbols"]) for r in fit["segments"].collect()}
+    assert set(segs) == set(wc)  # case preserved: 'Hello' not 'hello'
+    assert "Hello" in segs and "," in segs and "!!" in segs
+    for w in wc:
+        assert segs[w] == want_vocab[w]
+
+    out = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in text.bpe_segment(
+            df, fit["segments"], pre_tokenizer=fit["pre_tokenizer"]
+        ).collect()
+    }
+    want0 = [s for w in pretok(rows[0][1]) for s in want_vocab[w]]
+    assert out[0] == want0
+
+    with pytest.raises(ValueError, match="whitespace\\|regex"):
+        text.learn_bpe(df, n_merges=1, pre_tokenizer="bytes")
