@@ -5,16 +5,19 @@ with a typed metadata struct alongside — the payload is never parsed by
 Catalyst, so scans prune it unless a stage actually touches the bytes.
 
 Heavy per-item work (decode, resize, feature-extract, frame-sample)
-runs as Arrow-batched ``mapInPandas`` stages.  PNG image decode and
-WAV/PCM audio decode are REAL (``png_decode``: pure-stdlib zlib
-inflate + scanline unfiltering, all five filters, CRC-verified;
-``wav_decode``: RIFF/WAVE chunk parse + PCM sample extraction — no
-codec library needed for either); formats that require external
-codecs (JPEG/WebP, mp3/ogg/flac, video) surface per-row ``err`` tags
-instead (``decode_image``/``decode_audio``) or compute deterministic
-byte-level stand-ins (``frame_sample``), since those libraries are
-not in this container — the schema contract, batch shape, and
-partition behavior are the production shape either way.
+runs as Arrow-batched ``mapInPandas`` stages.  PNG image decode,
+WAV/PCM audio decode, and animated-GIF frame decode are REAL
+(``png_decode``: pure-stdlib zlib inflate + scanline unfiltering,
+all five filters, CRC-verified; ``wav_decode``: RIFF/WAVE chunk
+parse + PCM sample extraction; ``gif_decode``: full LZW decoder with
+interlace and local palettes, verified against real-world GIFs — no
+codec library needed for any of them); formats that require external
+codecs (JPEG/WebP, mp3/ogg/flac, mp4/webm) surface per-row ``err``
+tags instead (``decode_image``/``decode_audio``) or compute
+deterministic byte-level stand-ins (``frame_sample`` on non-GIF
+payloads), since those libraries are not in this container — the
+schema contract, batch shape, and partition behavior are the
+production shape either way.
 
 Scale notes: mapInPandas streams Arrow batches (no per-row pickling);
 binary payloads stay in the executor; repartition before decode to
@@ -291,27 +294,58 @@ def frame_sample(
     id_col: str = "doc_id",
     every_n: int = 30,
 ) -> DataFrame:
-    """Sample every-nth video frame.  STUB: needs a video codec (none in
-    container).  Deterministic fake: emits one row per ``every_n``-byte
-    block boundary so batch-explosion plumbing (1 input row → N output
-    rows) is exercised for real."""
+    """Sample every-nth frame of a moving-image payload.
+
+    Animated GIF decodes FOR REAL (:func:`gif_decode` — pure-stdlib
+    LZW): one output row per sampled frame (source frame indices 0,
+    ``every_n``, 2·``every_n``, ...) with the sha1 of that frame's
+    decoded RGB pixels; a corrupt GIF yields a single ``err``-tagged
+    row.  Container formats that need external codecs (mp4/webm/avi)
+    fall back to the deterministic byte-block stand-in — one row per
+    ``every_n``-byte block — so the 1→N batch-explosion plumbing runs
+    identically either way (same schema, same partition behavior a
+    real codec swap-in would keep)."""
     if every_n <= 0:
         raise ValueError(f"every_n must be > 0, got {every_n}")
     idt = df.schema[id_col].dataType.simpleString()
-    schema = f"{id_col} {idt}, frame_idx int, frame_sha1 string"
+    schema = f"{id_col} {idt}, frame_idx int, frame_sha1 string, err string"
 
     import hashlib
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out_ids, out_idx, out_sha = [], [], []
+            out_ids, out_idx, out_sha, out_err = [], [], [], []
+
+            def emit(i, idx, sha, err=None):
+                out_ids.append(i)
+                out_idx.append(idx)
+                out_sha.append(sha)
+                out_err.append(err)
+
             for i, b in zip(pdf[id_col], pdf[bin_col]):
                 raw = bytes(b) if b is not None else b""
+                if raw[:6] in GIF_MAGICS:
+                    try:
+                        _w, _h, frames = gif_decode(raw)
+                        for k in range(0, len(frames), every_n):
+                            emit(
+                                i,
+                                k,
+                                hashlib.sha1(frames[k]["rgb"]).hexdigest(),
+                            )
+                    except Exception as exc:
+                        emit(i, None, None, str(exc))
+                    continue
                 for k, off in enumerate(range(0, len(raw), every_n)):
-                    out_ids.append(i)
-                    out_idx.append(k)
-                    out_sha.append(hashlib.sha1(raw[off : off + every_n]).hexdigest())
-            yield pd.DataFrame({id_col: out_ids, "frame_idx": out_idx, "frame_sha1": out_sha})
+                    emit(i, k, hashlib.sha1(raw[off : off + every_n]).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: out_ids,
+                    "frame_idx": out_idx,
+                    "frame_sha1": out_sha,
+                    "err": out_err,
+                }
+            )
 
     return df.select(id_col, bin_col).mapInPandas(_batches, schema=schema)
 
@@ -486,3 +520,166 @@ def decode_audio(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, bin_col).mapInPandas(_batches, schema=schema)
+
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(data: bytes, min_code: int, max_out: int) -> bytes:
+    """GIF-variant LZW decode (LSB-first bit packing, clear/end codes,
+    12-bit cap, KwKwK case).  ``max_out`` bounds the output so a
+    crafted stream cannot balloon memory (same principle as the PNG
+    bounded inflate)."""
+    if not 2 <= min_code <= 8:
+        raise ValueError(f"bad LZW minimum code size {min_code}")
+    clear = 1 << min_code
+    end = clear + 1
+    out = bytearray()
+    table: dict[int, bytes] = {}
+    size = min_code + 1
+    next_code = end + 1
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, size, next_code, prev
+        table = {i: bytes([i]) for i in range(clear)}
+        size = min_code + 1
+        next_code = end + 1
+        prev = None
+
+    reset()
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= size:
+            code = acc & ((1 << size) - 1)
+            acc >>= size
+            nbits -= size
+            if code == clear:
+                reset()
+                continue
+            if code == end:
+                return bytes(out)
+            if code in table:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError(f"LZW code {code} out of range")
+            out += entry
+            if len(out) > max_out:
+                raise ValueError("LZW output exceeds frame size")
+            if prev is not None and next_code <= 4095:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << size) and size < 12:
+                    size += 1
+            prev = entry
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_decode(raw: bytes) -> tuple[int, int, list[dict]]:
+    """Pure-stdlib GIF decoder: (canvas_width, canvas_height, frames).
+    Each frame dict has ``left top width height rgb`` — the frame's
+    OWN pixels expanded through its (local or global) color table,
+    row-major RGB.  Animated GIFs yield one entry per image block, in
+    stream order; extensions (graphic control, comments, application)
+    are skipped, and no canvas composition / disposal handling is done
+    — frame-local pixels are what frame-level features need.
+    Interlaced frames are de-interlaced.  Raises ``ValueError`` on
+    malformed streams (bounded LZW output per frame).
+
+    Spec: the public GIF87a/GIF89a specification (CompuServe 1987/89,
+    also RFC-referenced via the image/gif media type).
+    """
+    if raw[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF (bad signature)")
+    if len(raw) < 13:
+        raise ValueError("truncated header")
+    width = int.from_bytes(raw[6:8], "little")
+    height = int.from_bytes(raw[8:10], "little")
+    packed = raw[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x07))
+        gct = raw[pos : pos + n]
+        if len(gct) < n:
+            raise ValueError("truncated global color table")
+        pos += n
+    frames = []
+    while pos < len(raw):
+        block = raw[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(raw) and raw[pos] != 0:
+                pos += 1 + raw[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown block 0x{block:02x}")
+        if pos + 9 > len(raw):
+            raise ValueError("truncated image descriptor")
+        left = int.from_bytes(raw[pos : pos + 2], "little")
+        top = int.from_bytes(raw[pos + 2 : pos + 4], "little")
+        fw = int.from_bytes(raw[pos + 4 : pos + 6], "little")
+        fh = int.from_bytes(raw[pos + 6 : pos + 8], "little")
+        fpacked = raw[pos + 8]
+        pos += 9
+        ct = gct
+        if fpacked & 0x80:
+            n = 3 * (2 << (fpacked & 0x07))
+            ct = raw[pos : pos + n]
+            if len(ct) < n:
+                raise ValueError("truncated local color table")
+            pos += n
+        if ct is None:
+            raise ValueError("image block with no color table")
+        if fw <= 0 or fh <= 0:
+            raise ValueError(f"bad frame dimensions {fw}x{fh}")
+        if pos >= len(raw):
+            raise ValueError("missing LZW code size")
+        min_code = raw[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(raw) and raw[pos] != 0:
+            n = raw[pos]
+            sub = raw[pos + 1 : pos + 1 + n]
+            if len(sub) < n:
+                raise ValueError("truncated image data sub-block")
+            lzw += sub
+            pos += 1 + n
+        if pos >= len(raw):
+            raise ValueError("unterminated image data")
+        pos += 1  # the 0x00 block terminator
+        idx = _lzw_decode(bytes(lzw), min_code, fw * fh)
+        if len(idx) < fw * fh:
+            raise ValueError("LZW output short of frame size")
+        idx = idx[: fw * fh]
+        if fpacked & 0x40:  # interlaced: rows arrive in 4 passes
+            rows = [idx[y * fw : (y + 1) * fw] for y in range(fh)]
+            order = [
+                y for start, step in _GIF_INTERLACE_PASSES for y in range(start, fh, step)
+            ]
+            fixed = [b""] * fh
+            for src, dst in enumerate(order):
+                fixed[dst] = rows[src]
+            idx = b"".join(fixed)
+        ncolors = len(ct) // 3
+        rgb = bytearray(fw * fh * 3)
+        for j, c in enumerate(idx):
+            if c >= ncolors:
+                raise ValueError("color index out of range")
+            rgb[j * 3 : j * 3 + 3] = ct[c * 3 : c * 3 + 3]
+        frames.append(
+            {"left": left, "top": top, "width": fw, "height": fh, "rgb": bytes(rgb)}
+        )
+    return width, height, frames

@@ -832,3 +832,211 @@ if _HYP:
         rate, ch, b, nf, flat = wav_decode(_make_wav(44100, nch, bits, frames))
         assert (rate, ch, b, nf) == (44100, nch, bits, n)
         assert [tuple(flat[i * nch : (i + 1) * nch]) for i in range(n)] == frames
+
+
+# -- GIF decode -------------------------------------------------------------
+
+
+def _lzw_encode(indices, min_code):
+    """Test-side GIF-variant LZW encoder (greedy dictionary build,
+    clear on table-full, size bump mirroring the decoder)."""
+    clear = 1 << min_code
+    end = clear + 1
+    out_bits = []
+    size = min_code + 1
+    next_code = end + 1
+    table = {bytes([i]): i for i in range(clear)}
+
+    def emit(code):
+        out_bits.append((code, size))
+
+    def reset():
+        nonlocal size, next_code, table
+        table = {bytes([i]): i for i in range(clear)}
+        size = min_code + 1
+        next_code = end + 1
+
+    emit(clear)
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code <= 4095:
+            table[wk] = next_code
+            next_code += 1
+            # one add LATER than the decoder's bump-at-2^size: the
+            # decoder adds its entry one code behind the encoder, so
+            # both widen between the same pair of stream codes (the
+            # convention giflib and every real-world GIF follow —
+            # verified against /usr/share doc GIFs)
+            if next_code == (1 << size) + 1 and size < 12:
+                size += 1
+        else:
+            emit(clear)
+            reset()
+        w = bytes([k])
+    if w:
+        emit(table[w])
+    emit(end)
+    # pack LSB-first
+    acc = nbits = 0
+    data = bytearray()
+    for code, s in out_bits:
+        acc |= code << nbits
+        nbits += s
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _make_gif(w, h, frames, gct=None, interlace_frame=None):
+    """frames: list of (left, top, fw, fh, indices, local_ct_or_None)."""
+    out = b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    if gct is not None:
+        import math
+
+        bits = max(1, (len(gct) // 3 - 1).bit_length())
+        padded = gct + b"\x00" * (3 * (2 << (bits - 1)) - len(gct))
+        out += bytes([0x80 | (bits - 1), 0, 0]) + padded
+    else:
+        out += bytes([0, 0, 0])
+    # a comment extension the parser must skip
+    out += b"\x21\xfe\x05hello\x00"
+    for fi, (left, top, fw, fh, idx, lct) in enumerate(frames):
+        packed = 0
+        body = b""
+        if lct is not None:
+            bits = max(1, (len(lct) // 3 - 1).bit_length())
+            packed |= 0x80 | (bits - 1)
+            body = lct + b"\x00" * (3 * (2 << (bits - 1)) - len(lct))
+        if interlace_frame == fi:
+            packed |= 0x40
+            # rows stored in interlace order
+            order = [y for s, st in ((0, 8), (4, 8), (2, 4), (1, 2)) for y in range(s, fh, st)]
+            idx = b"".join(idx[y * fw : (y + 1) * fw] for y in order)
+        out += (
+            b"\x2c"
+            + left.to_bytes(2, "little")
+            + top.to_bytes(2, "little")
+            + fw.to_bytes(2, "little")
+            + fh.to_bytes(2, "little")
+            + bytes([packed])
+            + body
+        )
+        min_code = max(2, (max(idx) if idx else 1).bit_length())
+        data = _lzw_encode(idx, min_code)
+        out += bytes([min_code])
+        for off in range(0, len(data), 255):
+            sub = data[off : off + 255]
+            out += bytes([len(sub)]) + sub
+        out += b"\x00"
+    return out + b"\x3b"
+
+
+def test_gif_decode_frames_palettes_interlace():
+    from grip_spark.multimodal import gif_decode
+
+    gct = bytes([0, 0, 0, 255, 255, 255, 200, 10, 30, 1, 2, 3])
+    lct = bytes([9, 9, 9, 90, 90, 90])
+    f0 = bytes([(x + y) % 4 for y in range(4) for x in range(5)])  # 5x4 gct
+    f1 = bytes([(x * y) % 2 for y in range(6) for x in range(3)])  # 3x6 lct
+    f2 = bytes([(x + 2 * y) % 4 for y in range(8) for x in range(4)])  # interlaced
+    raw = _make_gif(
+        8,
+        8,
+        [(0, 0, 5, 4, f0, None), (1, 1, 3, 6, f1, lct), (0, 0, 4, 8, f2, None)],
+        gct=gct,
+        interlace_frame=2,
+    )
+    w, h, frames = gif_decode(raw)
+    assert (w, h) == (8, 8) and len(frames) == 3
+
+    def expand(idx, ct):
+        return b"".join(ct[c * 3 : c * 3 + 3] for c in idx)
+
+    assert frames[0]["rgb"] == expand(f0, gct)
+    assert (frames[0]["width"], frames[0]["height"]) == (5, 4)
+    assert frames[1]["rgb"] == expand(f1, lct)
+    assert (frames[1]["left"], frames[1]["top"]) == (1, 1)
+    # interlaced rows come back in display order
+    assert frames[2]["rgb"] == expand(f2, gct)
+
+
+def test_gif_decode_rejects_malformed():
+    import pytest as _pytest
+
+    from grip_spark.multimodal import gif_decode
+
+    with _pytest.raises(ValueError, match="signature"):
+        gif_decode(b"NOTAGIF" + b"\x00" * 20)
+    gct = bytes([0, 0, 0, 255, 255, 255])
+    ok = _make_gif(2, 2, [(0, 0, 2, 2, bytes([0, 1, 1, 0]), None)], gct=gct)
+    with _pytest.raises(ValueError):
+        gif_decode(ok[:-6])  # truncated inside image data
+    # frame claims 4 px but stream encodes 2 -> short output
+    short = _make_gif(2, 2, [(0, 0, 2, 2, bytes([0, 1]), None)], gct=gct)
+    with _pytest.raises(ValueError, match="short of frame size"):
+        gif_decode(short)
+
+
+def test_frame_sample_real_gif_frames(spark):
+    import hashlib
+
+    from grip_spark import multimodal
+
+    gct = bytes([10, 0, 0, 0, 20, 0, 0, 0, 30, 40, 40, 40])
+    fr = [
+        bytes([(x + y + k) % 4 for y in range(3) for x in range(3)]) for k in range(5)
+    ]
+    gif = _make_gif(3, 3, [(0, 0, 3, 3, f, None) for f in fr], gct=gct)
+    rows = [(0, bytearray(gif)), (1, bytearray(b"GIF89a" + b"\xff" * 5))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = multimodal.frame_sample(df, every_n=2).collect()
+    g0 = sorted((r["frame_idx"], r["frame_sha1"]) for r in got if r["doc_id"] == 0)
+
+    def expand(idx):
+        return b"".join(gct[c * 3 : c * 3 + 3] for c in idx)
+
+    want = [(k, hashlib.sha1(expand(fr[k])).hexdigest()) for k in (0, 2, 4)]
+    assert g0 == want
+    assert all(r["err"] is None for r in got if r["doc_id"] == 0)
+    bad = [r for r in got if r["doc_id"] == 1]
+    assert len(bad) == 1 and bad[0]["err"] is not None
+
+
+if _HYP:
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(2, 6),
+        st.lists(st.integers(0, 3), min_size=0, max_size=400),
+    )
+    def test_lzw_roundtrip_property(min_code, indices):
+        from grip_spark.multimodal import _lzw_decode
+
+        enc = _lzw_encode(bytes(indices), min_code)
+        assert _lzw_decode(enc, min_code, len(indices) + 1) == bytes(indices)
+
+
+def test_gif_decode_real_world_files():
+    # ground truth against real encoders: system doc GIFs (skip if the
+    # host has none)
+    import glob
+
+    from grip_spark.multimodal import gif_decode
+
+    paths = sorted(glob.glob("/usr/share/doc/*/html/*.gif"))[:10]
+    if not paths:
+        pytest.skip("no system GIFs on this host")
+    for p in paths:
+        w, h, frames = gif_decode(open(p, "rb").read())
+        assert w > 0 and h > 0 and frames
+        for f in frames:
+            assert len(f["rgb"]) == f["width"] * f["height"] * 3
