@@ -1429,7 +1429,7 @@ def oracle_sql() -> dict[str, str]:
             "lower(substr(hex(encode(text)), 1, 8)) AS magic, "
             "CAST(ceil(octet_length(encode(text)) / 100.0) AS BIGINT) AS n_frames, "
             "'unsupported format (magic ' || lower(substr(hex(encode(text)), 1, 8)) "
-            "|| '): only PNG decodes without external codec libraries' AS decode_err "
+            "|| '): only PNG/GIF decode without external codec libraries' AS decode_err "
             "FROM documents"
         ),
         "has_conditions": (

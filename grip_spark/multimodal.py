@@ -246,7 +246,7 @@ def decode_image(
         if b is None:
             return (None, None, None, None, None, None, "null payload")
         raw = bytes(b)
-        if not raw.startswith(PNG_MAGIC):
+        if not raw.startswith(PNG_MAGIC) and raw[:6] not in GIF_MAGICS:
             return (
                 None,
                 None,
@@ -254,11 +254,26 @@ def decode_image(
                 None,
                 None,
                 None,
-                f"unsupported format (magic {raw[:4].hex()}): only PNG "
-                "decodes without external codec libraries",
+                f"unsupported format (magic {raw[:4].hex()}): only PNG/GIF "
+                "decode without external codec libraries",
             )
         try:
-            w, h, nch, mode, pix = png_decode(raw)
+            if raw[:6] in GIF_MAGICS:
+                # still-image view of a GIF: the first frame's pixels
+                # (frame_sample is the animated path)
+                _cw, _ch, frames = gif_decode(raw)
+                if not frames:
+                    raise ValueError("GIF with no image blocks")
+                f0 = frames[0]
+                w, h, nch, mode, pix = (
+                    f0["width"],
+                    f0["height"],
+                    3,
+                    "RGB",
+                    f0["rgb"],
+                )
+            else:
+                w, h, nch, mode, pix = png_decode(raw)
             if target_size:
                 tw, th = target_size
                 pix = nn_resize(pix, w, h, nch, tw, th)

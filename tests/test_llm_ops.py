@@ -1040,3 +1040,22 @@ def test_gif_decode_real_world_files():
         assert w > 0 and h > 0 and frames
         for f in frames:
             assert len(f["rgb"]) == f["width"] * f["height"] * 3
+
+
+def test_decode_image_gif_first_frame(spark):
+    import hashlib
+
+    from grip_spark import multimodal
+
+    gct = bytes([5, 6, 7, 200, 100, 50])
+    f0 = bytes([0, 1, 1, 0, 1, 0])  # 3x2
+    f1 = bytes([1, 1, 1, 1, 1, 1])
+    gif = _make_gif(3, 2, [(0, 0, 3, 2, f0, None), (0, 0, 3, 2, f1, None)], gct=gct)
+    df = spark.createDataFrame([(0, bytearray(gif))], "doc_id long, payload binary")
+    r = multimodal.decode_image(df).collect()[0]
+    rgb = b"".join(gct[c * 3 : c * 3 + 3] for c in f0)
+    assert (r["width"], r["height"], r["channels"], r["mode"], r["err"]) == (
+        3, 2, 3, "RGB", None,
+    )
+    assert r["pixel_sha1"] == hashlib.sha1(rgb).hexdigest()
+    assert r["channel_means"] == [sum(rgb[c::3]) / 6 for c in range(3)]
