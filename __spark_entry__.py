@@ -166,8 +166,14 @@ def q_multimodal_pipeline(spark, sf_dir):
     mapInPandas metadata extraction + 1→N frame-sample explosion +
     the real decode stage's per-row error tagging (text payloads are
     not PNGs, so decode_image's deterministic err string — including
-    the payload magic — is itself value-oracled), joined per doc."""
-    withbin = multimodal.attach_binary(_docs(spark, sf_dir))
+    the payload magic — is itself value-oracled), joined per doc.
+    Documents whose text happens to start with a GIF magic would take
+    the REAL gif-decode path (different rows than the oracle's
+    byte-block arithmetic) — excluded on both sides so the oracle is
+    unconditionally correct rather than fixture-dependent."""
+    withbin = multimodal.attach_binary(
+        _docs(spark, sf_dir).filter(~F.col("text").startswith("GIF8"))
+    )
     meta = multimodal.extract_meta(withbin).select("doc_id", "byte_len", "magic")
     frames = (
         multimodal.frame_sample(withbin, every_n=100)
@@ -1430,7 +1436,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ceil(octet_length(encode(text)) / 100.0) AS BIGINT) AS n_frames, "
             "'unsupported format (magic ' || lower(substr(hex(encode(text)), 1, 8)) "
             "|| '): only PNG/GIF decode without external codec libraries' AS decode_err "
-            "FROM documents"
+            "FROM documents WHERE text NOT LIKE 'GIF8%'"
         ),
         "has_conditions": (
             "SELECT 'gt' AS cond, count(*) AS count FROM customer WHERE c_acctbal > 5000 "

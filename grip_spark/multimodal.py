@@ -259,19 +259,23 @@ def decode_image(
             )
         try:
             if raw[:6] in GIF_MAGICS:
-                # still-image view of a GIF: the first frame's pixels
-                # (frame_sample is the animated path)
-                _cw, _ch, frames = gif_decode(raw)
+                # still-image view of a GIF: width/height are the
+                # CANVAS dimensions (what reference decoders report);
+                # pixel features come from the FIRST frame's own
+                # pixels — no canvas composition — and parsing stops
+                # after that frame (an animation must not cost
+                # n_frames decodes here; frame_sample is the animated
+                # path)
+                cw, ch_, frames = gif_decode(raw, max_frames=1)
                 if not frames:
                     raise ValueError("GIF with no image blocks")
                 f0 = frames[0]
-                w, h, nch, mode, pix = (
-                    f0["width"],
-                    f0["height"],
-                    3,
-                    "RGB",
-                    f0["rgb"],
-                )
+                w, h, nch, mode, pix = cw, ch_, 3, "RGB", f0["rgb"]
+                if (f0["width"], f0["height"]) != (cw, ch_):
+                    # partial first frame: resize/means below must use
+                    # the frame's real geometry, not the canvas
+                    w, h = f0["width"], f0["height"]
+                    mode = "RGB(partial-frame)"
             else:
                 w, h, nch, mode, pix = png_decode(raw)
             if target_size:
@@ -342,6 +346,11 @@ def frame_sample(
                 if raw[:6] in GIF_MAGICS:
                     try:
                         _w, _h, frames = gif_decode(raw)
+                        if not frames:
+                            # a headers-only GIF must still surface a
+                            # row (an inner join on the id would
+                            # silently drop the document otherwise)
+                            emit(i, None, None, "GIF with no image blocks")
                         for k in range(0, len(frames), every_n):
                             emit(
                                 i,
@@ -598,7 +607,7 @@ def _lzw_decode(data: bytes, min_code: int, max_out: int) -> bytes:
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def gif_decode(raw: bytes) -> tuple[int, int, list[dict]]:
+def gif_decode(raw: bytes, max_frames: int | None = None) -> tuple[int, int, list[dict]]:
     """Pure-stdlib GIF decoder: (canvas_width, canvas_height, frames).
     Each frame dict has ``left top width height rgb`` — the frame's
     OWN pixels expanded through its (local or global) color table,
@@ -607,7 +616,9 @@ def gif_decode(raw: bytes) -> tuple[int, int, list[dict]]:
     are skipped, and no canvas composition / disposal handling is done
     — frame-local pixels are what frame-level features need.
     Interlaced frames are de-interlaced.  Raises ``ValueError`` on
-    malformed streams (bounded LZW output per frame).
+    malformed streams (bounded LZW output per frame).  ``max_frames``
+    stops parsing after that many image blocks (a still-image caller
+    must not pay for 500 animation frames).
 
     Spec: the public GIF87a/GIF89a specification (CompuServe 1987/89,
     also RFC-referenced via the image/gif media type).
@@ -636,7 +647,11 @@ def gif_decode(raw: bytes) -> tuple[int, int, list[dict]]:
         if block == 0x21:  # extension: label + sub-blocks
             pos += 1
             while pos < len(raw) and raw[pos] != 0:
+                if pos + 1 + raw[pos] > len(raw):
+                    raise ValueError("truncated extension sub-block")
                 pos += 1 + raw[pos]
+            if pos >= len(raw):
+                raise ValueError("unterminated extension")
             pos += 1
             continue
         if block != 0x2C:
@@ -675,7 +690,11 @@ def gif_decode(raw: bytes) -> tuple[int, int, list[dict]]:
         if pos >= len(raw):
             raise ValueError("unterminated image data")
         pos += 1  # the 0x00 block terminator
-        idx = _lzw_decode(bytes(lzw), min_code, fw * fh)
+        # slack of one max-length dictionary entry: spec-sloppy
+        # encoders emit a few trailing pixels past fw*fh, which
+        # mainstream decoders truncate rather than reject — the bound
+        # still stops runaway streams
+        idx = _lzw_decode(bytes(lzw), min_code, fw * fh + 4096)
         if len(idx) < fw * fh:
             raise ValueError("LZW output short of frame size")
         idx = idx[: fw * fh]
@@ -689,12 +708,13 @@ def gif_decode(raw: bytes) -> tuple[int, int, list[dict]]:
                 fixed[dst] = rows[src]
             idx = b"".join(fixed)
         ncolors = len(ct) // 3
-        rgb = bytearray(fw * fh * 3)
-        for j, c in enumerate(idx):
-            if c >= ncolors:
-                raise ValueError("color index out of range")
-            rgb[j * 3 : j * 3 + 3] = ct[c * 3 : c * 3 + 3]
+        if idx and max(idx) >= ncolors:
+            raise ValueError("color index out of range")
+        palette = [bytes(ct[c * 3 : c * 3 + 3]) for c in range(ncolors)]
+        rgb = b"".join(map(palette.__getitem__, idx))
         frames.append(
-            {"left": left, "top": top, "width": fw, "height": fh, "rgb": bytes(rgb)}
+            {"left": left, "top": top, "width": fw, "height": fh, "rgb": rgb}
         )
+        if max_frames is not None and len(frames) >= max_frames:
+            break
     return width, height, frames

@@ -1196,13 +1196,13 @@ def learn_bpe(
 
 def bpe_segment(
     df: DataFrame,
-    segments: DataFrame,
+    segments,
     id_col: str = "doc_id",
     text_col: str = "text",
     out_col: str = "bpe_tokens",
-    end_of_word: str = "</w>",
+    end_of_word: str | None = None,
     broadcast_segments: bool = False,
-    pre_tokenizer: str = "whitespace",
+    pre_tokenizer: str | None = None,
 ) -> DataFrame:
     """Tokenize a corpus with a trained BPE vocabulary — the inference
     half of :func:`learn_bpe`.
@@ -1222,10 +1222,25 @@ def bpe_segment(
     ``broadcast_segments=True`` when the vocab fits an executor —
     ~10^6 words — making the join shuffle-free), one per-doc
     re-aggregation.  Documents whose text is NULL get a NULL token
-    array; empty/whitespace text gets an empty array.  Pass the SAME
-    ``pre_tokenizer`` used at training time (the word keys must come
-    from the same token family the memo was built over).
+    array; empty/whitespace text gets an empty array.
+
+    ``segments`` is the fit dict :func:`learn_bpe` returned (the safe
+    calling shape — the pre-tokenizer and end-of-word marker are taken
+    from it, so inference CANNOT mismatch the token family the memo
+    was built over), or the bare segments DataFrame, in which case
+    ``pre_tokenizer``/``end_of_word`` must be supplied to match
+    training (they default to learn_bpe's defaults).
     """
+    if isinstance(segments, dict):
+        if pre_tokenizer is None:
+            pre_tokenizer = segments.get("pre_tokenizer", "whitespace")
+        if end_of_word is None:
+            end_of_word = segments.get("end_of_word", "</w>")
+        segments = segments["segments"]
+    if pre_tokenizer is None:
+        pre_tokenizer = "whitespace"
+    if end_of_word is None:
+        end_of_word = "</w>"
     toks = _bpe_words(text_col, pre_tokenizer)
     ex = df.select(
         F.col(id_col).alias("__id"),

@@ -900,8 +900,6 @@ def _make_gif(w, h, frames, gct=None, interlace_frame=None):
     """frames: list of (left, top, fw, fh, indices, local_ct_or_None)."""
     out = b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
     if gct is not None:
-        import math
-
         bits = max(1, (len(gct) // 3 - 1).bit_length())
         padded = gct + b"\x00" * (3 * (2 << (bits - 1)) - len(gct))
         out += bytes([0x80 | (bits - 1), 0, 0]) + padded
@@ -1059,3 +1057,51 @@ def test_decode_image_gif_first_frame(spark):
     )
     assert r["pixel_sha1"] == hashlib.sha1(rgb).hexdigest()
     assert r["channel_means"] == [sum(rgb[c::3]) / 6 for c in range(3)]
+
+
+def test_gif_edge_cases_from_review(spark):
+    import pytest as _pytest
+
+    from grip_spark import multimodal
+    from grip_spark.multimodal import gif_decode
+
+    gct = bytes([0, 0, 0, 255, 255, 255])
+    # headers-only GIF: frame_sample must emit an err row, not zero rows
+    empty_gif = b"GIF89a" + (2).to_bytes(2, "little") * 2 + bytes([0, 0, 0]) + b"\x3b"
+    df = spark.createDataFrame([(0, bytearray(empty_gif))], "doc_id long, payload binary")
+    rows = multimodal.frame_sample(df, every_n=2).collect()
+    assert len(rows) == 1 and "no image blocks" in rows[0]["err"]
+
+    # truncation inside an extension raises instead of silent success
+    two = _make_gif(2, 2, [(0, 0, 2, 2, bytes([0, 1, 1, 0]), None)], gct=gct)
+    cut = two[: two.index(b"\x21\xfe") + 3]  # mid-comment-extension
+    with _pytest.raises(ValueError, match="extension"):
+        gif_decode(cut)
+
+    # max_frames stops after the first image block
+    multi = _make_gif(
+        2, 2,
+        [(0, 0, 2, 2, bytes([0, 1, 1, 0]), None), (0, 0, 2, 2, bytes([1, 1, 1, 1]), None)],
+        gct=gct,
+    )
+    _w, _h, frames = gif_decode(multi, max_frames=1)
+    assert len(frames) == 1
+
+    # spec-sloppy trailing pixels are truncated, not rejected
+    sloppy = _make_gif(2, 2, [(0, 0, 2, 2, bytes([0, 1, 1, 0, 1]), None)], gct=gct)
+    _w, _h, frames = gif_decode(sloppy)
+    assert len(frames[0]["rgb"]) == 2 * 2 * 3
+
+
+def test_bpe_segment_accepts_fit_dict(spark):
+    from grip_spark import text
+
+    train = spark.createDataFrame([(0, "Ab, Ab, Ab cd")], ["doc_id", "text"])
+    fit = text.learn_bpe(train, n_merges=4, pre_tokenizer="regex", min_pair_count=2)
+    # fit-dict calling shape: pre-tokenizer comes from the fit, so the
+    # regex/case-preserving family cannot silently fall back to the
+    # lowercased whitespace default
+    out = text.bpe_segment(train, fit).first()["bpe_tokens"]
+    segs = {r["word"]: list(r["symbols"]) for r in fit["segments"].collect()}
+    want = segs["Ab"] + segs[","] + segs["Ab"] + segs[","] + segs["Ab"] + segs["cd"]
+    assert out == want
