@@ -1,0 +1,309 @@
+"""Pure-Python+numpy baseline JPEG decoder (no codec libraries).
+
+Supports the overwhelmingly common interchange shape: baseline DCT
+(SOF0; SOF1 extended-sequential decodes identically at 8-bit),
+Huffman entropy coding, grayscale and 3-component YCbCr with 4:4:4 /
+4:2:2 / 4:2:0 (any integer sampling ratio), restart markers, APPn /
+COM skipping.  Progressive (SOF2), arithmetic coding, 12-bit
+precision, and CMYK raise ``ValueError`` — the multimodal decode
+stage turns that into a per-row ``err`` tag.
+
+Spec: the public ITU-T T.81 / ISO 10918-1 JPEG standard (tables from
+its Annex K are only used by the test-side encoder, not here — the
+decoder reads whatever tables the file carries).
+
+Scale note: this runs inside the Arrow-batched ``mapInPandas``
+decode stage; per-block work is vectorized (one numpy IDCT per
+component via a precomputed orthonormal DCT-II basis), and the
+bit-level Huffman loop is bounded by the entropy-coded byte length,
+so a crafted payload cannot balloon memory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+JPEG_MAGIC = b"\xff\xd8\xff"
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# orthonormal DCT-II basis: IDCT(block) = C.T @ block @ C
+_C = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * n + 1) * k * np.pi / 16)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+
+class _Bits:
+    """MSB-first bit reader over de-stuffed entropy bytes."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("entropy data exhausted")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read()
+        return v
+
+
+def _extend(v: int, size: int) -> int:
+    # T.81 F.2.2.1: map the `size`-bit magnitude to a signed value
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _huff_table(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman (code length, code) -> symbol."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(bits: _Bits, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.read()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _decode_block(bits: _Bits, dc_tab, ac_tab, pred: int) -> tuple[np.ndarray, int]:
+    coef = np.zeros(64, dtype=np.int32)
+    size = _huff_decode(bits, dc_tab)
+    pred += _extend(bits.receive(size), size)
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        sym = _huff_decode(bits, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        k += run
+        if k >= 64 or size == 0:
+            raise ValueError("AC coefficient index out of range")
+        coef[k] = _extend(bits.receive(size), size)
+        k += 1
+    return coef, pred
+
+
+def jpeg_decode(raw: bytes) -> tuple[int, int, int, str, bytes]:
+    """Decode a baseline JPEG: (width, height, channels, mode,
+    row-major interleaved pixel bytes) — the same contract as
+    ``multimodal.png_decode``."""
+    if not raw.startswith(JPEG_MAGIC):
+        raise ValueError("not a JPEG (bad signature)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = raw[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        ln = int.from_bytes(raw[pos + 2 : pos + 4], "big")
+        seg = raw[pos + 4 : pos + 2 + ln]
+        if len(seg) != ln - 2:
+            raise ValueError("truncated segment")
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                n = 64 * (2 if pq else 1)
+                vals = seg[i : i + n]
+                if len(vals) < n:
+                    raise ValueError("truncated DQT")
+                if pq:
+                    t = np.frombuffer(vals, dtype=">u2").astype(np.int32)
+                else:
+                    t = np.frombuffer(vals, dtype=np.uint8).astype(np.int32)
+                dz = np.zeros(64, dtype=np.int32)
+                dz[_ZIGZAG] = t  # store de-zigzagged
+                qt[tq] = dz.reshape(8, 8)
+                i += n
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i + 17 <= len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                counts = list(seg[i + 1 : i + 17])
+                n = sum(counts)
+                symbols = seg[i + 17 : i + 17 + n]
+                if len(symbols) < n:
+                    raise ValueError("truncated DHT")
+                (huff_ac if tc else huff_dc)[th] = _huff_table(counts, symbols)
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline-decodable
+            if seg[0] != 8:
+                raise ValueError(f"unsupported sample precision {seg[0]}")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
+            comps = []
+            for c in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "H": samp >> 4, "V": samp & 0x0F, "tq": tq})
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG coding (SOF{marker - 0xC0}: progressive/"
+                "arithmetic/hierarchical)"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c : 3 + 2 * c]
+                scan.append((cid, tabs >> 4, tabs & 0x0F))
+            data_start = pos + 2 + ln
+            return _decode_scan(
+                raw, data_start, frame, scan, qt, huff_dc, huff_ac, restart_interval
+            )
+        # APPn/COM/others: skip
+        pos += 2 + ln
+    raise ValueError("no SOS marker (no image data)")
+
+
+def _decode_scan(raw, start, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+    w, h, comps = frame
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad dimensions {w}x{h}")
+    by_id = {c["id"]: c for c in comps}
+    for cid, td, ta in scan:
+        if cid not in by_id:
+            raise ValueError(f"scan references unknown component {cid}")
+        if td not in huff_dc or ta not in huff_ac:
+            raise ValueError("scan references missing Huffman table")
+        by_id[cid]["dc"] = huff_dc[td]
+        by_id[cid]["ac"] = huff_ac[ta]
+    for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError("component references missing quant table")
+        if not (1 <= c["H"] <= 4 and 1 <= c["V"] <= 4):
+            raise ValueError("bad sampling factors")
+
+    # split entropy-coded data into restart segments, de-stuffing FF00
+    segments = []
+    cur = bytearray()
+    pos = start
+    while pos < len(raw):
+        b = raw[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        m = raw[pos + 1] if pos + 1 < len(raw) else None
+        if m == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif m is not None and 0xD0 <= m <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:
+            break  # EOI or next marker
+    segments.append(bytes(cur))
+
+    hmax = max(c["H"] for c in comps)
+    vmax = max(c["V"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros((8 * c["V"] * mcus_y, 8 * c["H"] * mcus_x), dtype=np.float64)
+        for c in comps
+    }
+    preds = {c["id"]: 0 for c in comps}
+    seg_i = 0
+    bits = _Bits(segments[0])
+    n_mcus = mcus_x * mcus_y
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("missing restart segment")
+            bits = _Bits(segments[seg_i])
+            preds = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mcu, mcus_x)
+        for c in comps:
+            q = qt[c["tq"]]
+            for v in range(c["V"]):
+                for hh in range(c["H"]):
+                    coef, preds[c["id"]] = _decode_block(
+                        bits, c["dc"], c["ac"], preds[c["id"]]
+                    )
+                    dz = np.zeros(64, dtype=np.int32)
+                    dz[_ZIGZAG] = coef  # de-zigzag
+                    block = dz.reshape(8, 8) * q
+                    pix = _C.T @ block @ _C + 128.0
+                    y0 = (my * c["V"] + v) * 8
+                    x0 = (mx * c["H"] + hh) * 8
+                    planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = pix
+
+    # upsample each component to full resolution and crop
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        ry, rx = vmax // c["V"], hmax // c["H"]
+        if vmax % c["V"] or hmax % c["H"]:
+            raise ValueError("non-integer sampling ratio")
+        if ry > 1:
+            p = np.repeat(p, ry, axis=0)
+        if rx > 1:
+            p = np.repeat(p, rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, "L", out.tobytes()
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return w, h, 3, "RGB", out.tobytes()

@@ -5,8 +5,9 @@ with a typed metadata struct alongside — the payload is never parsed by
 Catalyst, so scans prune it unless a stage actually touches the bytes.
 
 Heavy per-item work (decode, resize, feature-extract, frame-sample)
-runs as Arrow-batched ``mapInPandas`` stages.  PNG image decode,
-WAV/PCM audio decode, and animated-GIF frame decode are REAL
+runs as Arrow-batched ``mapInPandas`` stages.  PNG, baseline JPEG
+(``grip_spark.jpeg``), WAV/PCM audio, and animated-GIF frame decode
+are REAL
 (``png_decode``: pure-stdlib zlib inflate + scanline unfiltering,
 all five filters, CRC-verified; ``wav_decode``: RIFF/WAVE chunk
 parse + PCM sample extraction; ``gif_decode``: full LZW decoder with
@@ -242,11 +243,17 @@ def decode_image(
         "channel_means array<double>, pixel_sha1 string, err string"
     )
 
+    from .jpeg import JPEG_MAGIC, jpeg_decode
+
     def _one(b):
         if b is None:
             return (None, None, None, None, None, None, "null payload")
         raw = bytes(b)
-        if not raw.startswith(PNG_MAGIC) and raw[:6] not in GIF_MAGICS:
+        if (
+            not raw.startswith(PNG_MAGIC)
+            and raw[:6] not in GIF_MAGICS
+            and not raw.startswith(JPEG_MAGIC)
+        ):
             return (
                 None,
                 None,
@@ -254,11 +261,13 @@ def decode_image(
                 None,
                 None,
                 None,
-                f"unsupported format (magic {raw[:4].hex()}): only PNG/GIF "
-                "decode without external codec libraries",
+                f"unsupported format (magic {raw[:4].hex()}): only PNG/GIF/"
+                "baseline-JPEG decode without external codec libraries",
             )
         try:
-            if raw[:6] in GIF_MAGICS:
+            if raw.startswith(JPEG_MAGIC):
+                w, h, nch, mode, pix = jpeg_decode(raw)
+            elif raw[:6] in GIF_MAGICS:
                 # still-image view of a GIF: width/height are the
                 # CANVAS dimensions (what reference decoders report);
                 # pixel features come from the FIRST frame's own

@@ -1,0 +1,230 @@
+"""Test-side baseline JPEG ENCODER (independent of grip_spark.jpeg).
+
+Emits valid interchange-format baseline JPEG: SOI/DQT/SOF0/DHT/
+(DRI)/SOS/EOI with the tables embedded, 4:4:4 or 4:2:0, optional
+restart markers.  Huffman tables are simple canonical tables built
+here (JPEG files carry their tables, so the standard Annex K tables
+are not required), with the all-ones code left unused as T.81
+requires.  Used to round-trip-verify the decoder.
+"""
+
+import numpy as np
+
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+QY = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+])
+QC = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+])
+
+C = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * n + 1) * k * np.pi / 16)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+# DC: symbols 0..11 at 4 bits (codes 0..11; all-ones 15 unused)
+DC_COUNTS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+DC_SYMBOLS = bytes(range(12))
+# AC: every (run,size) symbol + EOB + ZRL at 8 bits (162 < 255)
+AC_SYMBOLS = bytes(
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+AC_COUNTS = [0, 0, 0, 0, 0, 0, 0, len(AC_SYMBOLS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _codes(counts, symbols):
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+DC_CODE = _codes(DC_COUNTS, DC_SYMBOLS)
+AC_CODE = _codes(AC_COUNTS, AC_SYMBOLS)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.write(1, 1)  # pad with 1s
+        return bytes(self.out)
+
+
+def _mag(v):
+    if v == 0:
+        return 0, 0
+    size = abs(v).bit_length()
+    if v < 0:
+        v = v + (1 << size) - 1
+    return size, v & ((1 << size) - 1)
+
+
+def _scale_q(q, quality):
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    t = np.clip((q * s + 50) // 100, 1, 255)
+    return t.astype(np.int64)
+
+
+def _encode_block(bw, block, q, pred):
+    coef = np.round((C @ (block - 128.0) @ C.T) / q).astype(np.int64)
+    zz = coef.flatten()[ZIGZAG]
+    diff = int(zz[0]) - pred
+    size, bitsv = _mag(diff)
+    ln, code = DC_CODE[size]
+    bw.write(code, ln)
+    if size:
+        bw.write(bitsv, size)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            ln, code = AC_CODE[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        size, bitsv = _mag(v)
+        ln, code = AC_CODE[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(bitsv, size)
+        run = 0
+    if run:
+        ln, code = AC_CODE[0x00]
+        bw.write(code, ln)
+    return int(zz[0])
+
+
+def _seg(marker, payload):
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def jpeg_encode(img: np.ndarray, quality=90, subsample=False, restart=0) -> bytes:
+    """img: uint8 array (h, w) grayscale or (h, w, 3) RGB."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qy = _scale_q(QY, quality)
+    qc = _scale_q(QC, quality)
+    if gray:
+        planes = [img.astype(np.float64)]
+        samps = [(1, 1)]
+        qids = [0]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:  # 4:2:0: average 2x2 (pad to even first)
+            def ds(p):
+                ph = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge")
+                return (ph[0::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 0::2] + ph[1::2, 1::2]) / 4
+            planes = [y, ds(cb), ds(cr)]
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samps = [(1, 1), (1, 1), (1, 1)]
+        qids = [0, 1, 1]
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    padded = []
+    for p, (sh, sv) in zip(planes, samps):
+        th, tw = 8 * sv * mcus_y, 8 * sh * mcus_x
+        pp = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        padded.append(pp)
+
+    out = b"\xff\xd8"  # SOI
+    out += _seg(0xDB, bytes([0x00]) + bytes(qy.flatten()[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += _seg(0xDB, bytes([0x01]) + bytes(qc.flatten()[ZIGZAG].astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for i in range(ncomp):
+        sof += bytes([i + 1, (samps[i][0] << 4) | samps[i][1], qids[i]])
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, bytes([0x00]) + bytes(DC_COUNTS) + DC_SYMBOLS)
+    out += _seg(0xC4, bytes([0x10]) + bytes(AC_COUNTS) + AC_SYMBOLS)
+    if restart:
+        out += _seg(0xDD, restart.to_bytes(2, "big"))
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    qtabs = [qy if qid == 0 else qc for qid in qids]
+    preds = [0] * ncomp
+    bw = _BitWriter()
+    data = b""
+    n_mcus = mcus_x * mcus_y
+    rst = 0
+    for mcu in range(n_mcus):
+        if restart and mcu and mcu % restart == 0:
+            data += bw.flush() + bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            bw = _BitWriter()
+            preds = [0] * ncomp
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (p, (sh, sv)) in enumerate(zip(padded, samps)):
+            for v in range(sv):
+                for hh in range(sh):
+                    y0 = (my * sv + v) * 8
+                    x0 = (mx * sh + hh) * 8
+                    preds[ci] = _encode_block(
+                        bw, p[y0 : y0 + 8, x0 : x0 + 8], qtabs[ci], preds[ci]
+                    )
+    data += bw.flush()
+    return out + data + b"\xff\xd9"

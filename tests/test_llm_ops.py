@@ -1105,3 +1105,113 @@ def test_bpe_segment_accepts_fit_dict(spark):
     segs = {r["word"]: list(r["symbols"]) for r in fit["segments"].collect()}
     want = segs["Ab"] + segs[","] + segs["Ab"] + segs[","] + segs["Ab"] + segs["cd"]
     assert out == want
+
+
+# -- JPEG decode ------------------------------------------------------------
+
+
+def _np():
+    import numpy as np
+
+    return np
+
+
+def _psnr(a, b):
+    np = _np()
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+
+def _smooth_rgb(seed, h, w):
+    np = _np()
+    rng = np.random.default_rng(seed)
+    small = rng.integers(0, 256, (-(-h // 8), -(-w // 8), 3)).astype(float)
+    return np.clip(
+        np.round(np.kron(small, np.ones((8, 8, 1)))), 0, 255
+    ).astype(np.uint8)[:h, :w]
+
+
+def test_jpeg_roundtrip_444_and_restart_and_gray():
+    np = _np()
+    from jpeg_ref import jpeg_encode
+
+    from grip_spark.jpeg import jpeg_decode
+
+    img = _smooth_rgb(4, 30, 38)
+    for kwargs, floor in [
+        (dict(quality=95), 45.0),
+        (dict(quality=95, restart=2), 45.0),
+        (dict(quality=95, subsample=True), 35.0),  # 4:2:0 chroma loss only
+    ]:
+        w, h, nch, mode, pix = jpeg_decode(jpeg_encode(img, **kwargs))
+        assert (w, h, nch, mode) == (38, 30, 3, "RGB")
+        got = np.frombuffer(pix, np.uint8).reshape(h, w, 3)
+        assert _psnr(img, got) > floor, kwargs
+
+    flat = np.full((20, 24), 131, np.uint8)
+    w, h, nch, mode, pix = jpeg_decode(jpeg_encode(flat, quality=95))
+    assert (w, h, nch, mode) == (24, 20, 1, "L")
+    assert np.array_equal(np.frombuffer(pix, np.uint8).reshape(h, w), flat)
+
+    noisy = np.random.default_rng(7).integers(0, 256, (17, 23, 3)).astype(np.uint8)
+    w, h, _n, _m, pix = jpeg_decode(jpeg_encode(noisy, quality=98))
+    got = np.frombuffer(pix, np.uint8).reshape(h, w, 3)
+    assert _psnr(noisy, got) > 38.0
+
+
+def test_jpeg_decode_real_world_and_rejections():
+    import glob
+
+    import pytest as _pytest
+
+    from grip_spark.jpeg import jpeg_decode
+
+    paths = [
+        p
+        for pat in (
+            "/root/.rustup/toolchains/stable-*/share/doc/rust/html/embedded-book/assets/verify.jpeg",
+            "/mnt/sandboxing/**/IPython/core/tests/2x2.jpg",
+        )
+        for p in glob.glob(pat, recursive=True)
+    ]
+    decoded = 0
+    for p in paths[:3]:
+        w, h, nch, _mode, pix = jpeg_decode(open(p, "rb").read())
+        assert w > 0 and h > 0 and len(pix) == w * h * nch
+        decoded += 1
+    if not decoded:
+        _pytest.skip("no real-world JPEGs on this host")
+
+    with _pytest.raises(ValueError, match="signature"):
+        jpeg_decode(b"\x89PNG1234")
+    # progressive (SOF2) rejected with a clear reason
+    from jpeg_ref import jpeg_encode
+
+    raw = bytearray(jpeg_encode(_smooth_rgb(1, 16, 16), quality=90))
+    raw[raw.index(b"\xff\xc0") + 1] = 0xC2
+    with _pytest.raises(ValueError, match="SOF2"):
+        jpeg_decode(bytes(raw))
+    with _pytest.raises(ValueError, match="truncated|exhausted|no SOS"):
+        jpeg_decode(bytes(jpeg_encode(_smooth_rgb(1, 16, 16))[:40]))
+
+
+def test_decode_image_jpeg_payload(spark):
+    import hashlib
+
+    np = _np()
+    from jpeg_ref import jpeg_encode
+
+    from grip_spark import multimodal
+    from grip_spark.jpeg import jpeg_decode
+
+    img = _smooth_rgb(11, 16, 24)
+    raw = jpeg_encode(img, quality=92)
+    df = spark.createDataFrame([(0, bytearray(raw))], "doc_id long, payload binary")
+    r = multimodal.decode_image(df).collect()[0]
+    w, h, nch, mode, pix = jpeg_decode(raw)
+    assert (r["width"], r["height"], r["channels"], r["mode"], r["err"]) == (
+        24, 16, 3, "RGB", None,
+    )
+    assert r["pixel_sha1"] == hashlib.sha1(pix).hexdigest()
+    want = [float(np.mean(np.frombuffer(pix, np.uint8)[c::3])) for c in range(3)]
+    assert all(abs(a - b) < 1e-9 for a, b in zip(r["channel_means"], want))
