@@ -46,27 +46,42 @@ _C = np.array(
 
 
 class _Bits:
-    """MSB-first bit reader over de-stuffed entropy bytes."""
+    """MSB-first bit reader: 24-bit accumulator with a 16-bit peek —
+    feeds the table-driven Huffman decode (one lookup per symbol, not
+    one Python call per bit).  Peeking may pad past the stream end
+    with zero bits (the last real code legitimately sits near the
+    end); CONSUMING past the end raises."""
+
+    __slots__ = ("data", "pos", "acc", "nbits", "limit", "consumed")
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
-        self.bit = 0
+        self.acc = 0
+        self.nbits = 0
+        self.limit = 8 * len(data)
+        self.consumed = 0
 
-    def read(self) -> int:
-        if self.pos >= len(self.data):
-            raise ValueError("entropy data exhausted")
-        b = (self.data[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
+    def peek16(self) -> int:
+        while self.nbits < 16:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0
             self.pos += 1
-        return b
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def consume(self, n: int) -> None:
+        self.consumed += n
+        if self.consumed > self.limit:
+            raise ValueError("entropy data exhausted")
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read()
+        if n == 0:
+            return 0
+        v = self.peek16() >> (16 - n)
+        self.consume(n)
         return v
 
 
@@ -77,28 +92,29 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def _huff_table(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
-    """Canonical Huffman (code length, code) -> symbol."""
-    table = {}
+def _huff_table(counts: list[int], symbols: bytes) -> list:
+    """Canonical Huffman as a 16-bit-prefix lookup table:
+    ``lut[next16bits] -> (symbol, code_length)``."""
+    lut = [None] * 65536
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(counts[length - 1]):
-            table[(length, code)] = symbols[k]
+            base = code << (16 - length)
+            entry = (symbols[k], length)
+            lut[base : base + (1 << (16 - length))] = [entry] * (1 << (16 - length))
             code += 1
             k += 1
         code <<= 1
-    return table
+    return lut
 
 
-def _huff_decode(bits: _Bits, table: dict) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | bits.read()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code")
+def _huff_decode(bits: _Bits, lut: list) -> int:
+    e = lut[bits.peek16()]
+    if e is None:
+        raise ValueError("invalid Huffman code")
+    bits.consume(e[1])
+    return e[0]
 
 
 def _decode_block(bits: _Bits, dc_tab, ac_tab, pred: int) -> tuple[np.ndarray, int]:
@@ -138,6 +154,10 @@ def jpeg_decode(raw: bytes) -> tuple[int, int, int, str, bytes]:
     while pos + 4 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker (some cameras pad) — skip them
+        while pos + 2 < len(raw) and raw[pos + 1] == 0xFF:
+            pos += 1
         marker = raw[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -197,6 +217,13 @@ def jpeg_decode(raw: bytes) -> tuple[int, int, int, str, bytes]:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if ns != len(frame[2]):
+                # T.81 A.2: an ns < ncomp scan is non-interleaved with
+                # its own MCU geometry — seen in multi-scan baseline
+                # files; reject clearly rather than mis-decode
+                raise ValueError(
+                    "non-interleaved / multi-scan baseline JPEG unsupported"
+                )
             scan = []
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c : 3 + 2 * c]
@@ -210,10 +237,23 @@ def jpeg_decode(raw: bytes) -> tuple[int, int, int, str, bytes]:
     raise ValueError("no SOS marker (no image data)")
 
 
+MAX_PIXELS = 64_000_000  # ~64 MP: bounds executor memory per payload
+
+
 def _decode_scan(raw, start, frame, scan, qt, huff_dc, huff_ac, restart_interval):
     w, h, comps = frame
     if w <= 0 or h <= 0:
         raise ValueError(f"bad dimensions {w}x{h}")
+    if w * h > MAX_PIXELS:
+        # a 33 MB crafted file can DECLARE 65535x65535 (a 34 GB plane)
+        # — reject on the header numbers, never on the allocation
+        raise ValueError(f"image too large ({w}x{h} > {MAX_PIXELS} px)")
+    if len(comps) == 1:
+        # single-component frames are non-interleaved per T.81 A.2:
+        # the data-unit grid is ceil(w/8) x ceil(h/8) regardless of
+        # declared sampling factors (some encoders keep the 2x2 of the
+        # color original)
+        comps[0]["H"] = comps[0]["V"] = 1
     by_id = {c["id"]: c for c in comps}
     for cid, td, ta in scan:
         if cid not in by_id:
@@ -222,13 +262,20 @@ def _decode_scan(raw, start, frame, scan, qt, huff_dc, huff_ac, restart_interval
             raise ValueError("scan references missing Huffman table")
         by_id[cid]["dc"] = huff_dc[td]
         by_id[cid]["ac"] = huff_ac[ta]
+    hmax = max(c["H"] for c in comps)
+    vmax = max(c["V"] for c in comps)
     for c in comps:
         if c["tq"] not in qt:
             raise ValueError("component references missing quant table")
         if not (1 <= c["H"] <= 4 and 1 <= c["V"] <= 4):
             raise ValueError("bad sampling factors")
+        if vmax % c["V"] or hmax % c["H"]:
+            # header-only check — must reject BEFORE paying for the
+            # full entropy decode
+            raise ValueError("non-integer sampling ratio")
 
     # split entropy-coded data into restart segments, de-stuffing FF00
+    # (0xFF fill bytes may precede restart/terminating markers)
     segments = []
     cur = bytearray()
     pos = start
@@ -238,26 +285,27 @@ def _decode_scan(raw, start, frame, scan, qt, huff_dc, huff_ac, restart_interval
             cur.append(b)
             pos += 1
             continue
-        m = raw[pos + 1] if pos + 1 < len(raw) else None
+        j = pos + 1
+        while j < len(raw) and raw[j] == 0xFF:
+            j += 1
+        m = raw[j] if j < len(raw) else None
         if m == 0x00:
-            cur.append(0xFF)
-            pos += 2
+            cur.append(0xFF)  # the last FF is stuffed data; earlier are fills
+            pos = j + 1
         elif m is not None and 0xD0 <= m <= 0xD7:
             segments.append(bytes(cur))
             cur = bytearray()
-            pos += 2
+            pos = j + 1
         else:
             break  # EOI or next marker
     segments.append(bytes(cur))
 
-    hmax = max(c["H"] for c in comps)
-    vmax = max(c["V"] for c in comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    planes = {
-        c["id"]: np.zeros((8 * c["V"] * mcus_y, 8 * c["H"] * mcus_x), dtype=np.float64)
-        for c in comps
-    }
+    # collect dequantized blocks per component, IDCT once per
+    # component (one batched einsum instead of an 8x8 matmul per block)
+    blocks = {c["id"]: [] for c in comps}
+    coords = {c["id"]: [] for c in comps}
     preds = {c["id"]: 0 for c in comps}
     seg_i = 0
     bits = _Bits(segments[0])
@@ -271,36 +319,40 @@ def _decode_scan(raw, start, frame, scan, qt, huff_dc, huff_ac, restart_interval
             preds = {c["id"]: 0 for c in comps}
         my, mx = divmod(mcu, mcus_x)
         for c in comps:
-            q = qt[c["tq"]]
             for v in range(c["V"]):
                 for hh in range(c["H"]):
                     coef, preds[c["id"]] = _decode_block(
                         bits, c["dc"], c["ac"], preds[c["id"]]
                     )
-                    dz = np.zeros(64, dtype=np.int32)
-                    dz[_ZIGZAG] = coef  # de-zigzag
-                    block = dz.reshape(8, 8) * q
-                    pix = _C.T @ block @ _C + 128.0
-                    y0 = (my * c["V"] + v) * 8
-                    x0 = (mx * c["H"] + hh) * 8
-                    planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = pix
+                    blocks[c["id"]].append(coef)
+                    coords[c["id"]].append(
+                        ((my * c["V"] + v) * 8, (mx * c["H"] + hh) * 8)
+                    )
 
-    # upsample each component to full resolution and crop
     full = []
     for c in comps:
-        p = planes[c["id"]]
+        plane = np.zeros(
+            (8 * c["V"] * mcus_y, 8 * c["H"] * mcus_x), dtype=np.float32
+        )
+        zz = np.stack(blocks[c["id"]])  # (n, 64) zigzag coefficients
+        dz = np.zeros_like(zz)
+        dz[:, _ZIGZAG] = zz  # de-zigzag
+        bq = dz.reshape(-1, 8, 8) * qt[c["tq"]]
+        pix = np.einsum("ij,njk,kl->nil", _C.T, bq, _C) + 128.0
+        for (y0, x0), p8 in zip(coords[c["id"]], pix):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = p8
         ry, rx = vmax // c["V"], hmax // c["H"]
-        if vmax % c["V"] or hmax % c["H"]:
-            raise ValueError("non-integer sampling ratio")
         if ry > 1:
-            p = np.repeat(p, ry, axis=0)
+            plane = np.repeat(plane, ry, axis=0)
         if rx > 1:
-            p = np.repeat(p, rx, axis=1)
-        full.append(p[:h, :w])
+            plane = np.repeat(plane, rx, axis=1)
+        full.append(plane[:h, :w])
     if len(full) == 1:
-        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        out = np.clip(np.round(full[0].astype(np.float64)), 0, 255).astype(np.uint8)
         return w, h, 1, "L", out.tobytes()
-    y, cb, cr = full
+    # float64 for the color transform: rounding ties must not depend
+    # on the storage precision of the planes
+    y, cb, cr = (f.astype(np.float64) for f in full)
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)

@@ -218,16 +218,15 @@ def decode_image(
     sha1 — an Arrow-batched ``mapInPandas`` stage over the binary
     payload column.
 
-    PNG decodes FOR REAL via :func:`png_decode` (pure stdlib — 8-bit
-    gray/LA/RGB/RGBA/palette, all five scanline filters,
-    CRC-verified).  Other formats (JPEG/WebP/...) need codec
-    libraries this container does not ship; those rows — like
-    corrupt payloads — come back with NULL features and the reason in
-    the ``err`` column rather than failing the stage: at corpus
-    scale a decode job must never die on one bad image.  A
-    production deployment with Pillow/turbojpeg available would swap
-    the per-row decode call and keep this exact schema and batch
-    shape.
+    PNG (:func:`png_decode` — 8-bit gray/LA/RGB/RGBA/palette, all
+    five scanline filters, CRC-verified), baseline JPEG
+    (:func:`grip_spark.jpeg.jpeg_decode` — Huffman, restarts, chroma
+    upsampling), and GIF stills (first frame via :func:`gif_decode`)
+    all decode FOR REAL with no codec library.  Formats that
+    genuinely need external codecs (WebP, progressive JPEG, ...) —
+    like corrupt payloads — come back with NULL features and the
+    reason in the ``err`` column rather than failing the stage: at
+    corpus scale a decode job must never die on one bad image.
 
     ``channel_means`` are exact (integer pixel sums, one division) —
     deterministic across partitionings; ``pixel_sha1`` hashes the

@@ -1215,3 +1215,52 @@ def test_decode_image_jpeg_payload(spark):
     assert r["pixel_sha1"] == hashlib.sha1(pix).hexdigest()
     want = [float(np.mean(np.frombuffer(pix, np.uint8)[c::3])) for c in range(3)]
     assert all(abs(a - b) < 1e-9 for a, b in zip(r["channel_means"], want))
+
+
+def test_jpeg_review_hardening():
+    import pytest as _pytest
+
+    from jpeg_ref import jpeg_encode
+
+    from grip_spark.jpeg import jpeg_decode
+
+    img = _smooth_rgb(3, 16, 16)
+    raw = jpeg_encode(img, quality=92)
+    want = jpeg_decode(raw)
+
+    # fill bytes before a header marker (T.81 B.1.1.2) must be skipped
+    i = raw.index(b"\xff\xdb")
+    filled = raw[:i] + b"\xff" + raw[i:]
+    assert jpeg_decode(filled) == want
+
+    # fill bytes before a restart marker inside entropy data
+    rst = jpeg_encode(img, quality=92, restart=1)
+    want_rst = jpeg_decode(rst)
+    j = rst.index(b"\xff\xd0")
+    assert jpeg_decode(rst[:j] + b"\xff" + rst[j:]) == want_rst
+
+    # crafted huge dimensions reject on the header, instantly
+    big = bytearray(raw)
+    k = big.index(b"\xff\xc0")
+    big[k + 5 : k + 9] = (65000).to_bytes(2, "big") * 2
+    with _pytest.raises(ValueError, match="too large"):
+        jpeg_decode(bytes(big))
+
+    # ns != ncomp (non-interleaved multi-scan) rejects clearly
+    bad = bytearray(raw)
+    s = bad.index(b"\xff\xda")
+    bad[s + 4] = 1  # claim a 1-component scan on a 3-component frame
+    with _pytest.raises(ValueError, match="non-interleaved"):
+        jpeg_decode(bytes(bad))
+
+    # single-component frame with 2x2 sampling factors decodes with
+    # the non-interleaved ceil(w/8) grid (T.81 A.2)
+    gray = _np().full((10, 12), 77, "uint8")
+    graw = bytearray(jpeg_encode(gray, quality=95))
+    f = graw.index(b"\xff\xc0")
+    graw[f + 11] = 0x22  # declare H=V=2 on the lone component
+    w, h, nch, mode, pix = jpeg_decode(bytes(graw))
+    assert (w, h, nch, mode) == (12, 10, 1, "L")
+    assert _np().array_equal(
+        _np().frombuffer(pix, "uint8").reshape(10, 12), gray
+    )
