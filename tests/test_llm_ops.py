@@ -583,7 +583,9 @@ def test_decode_image_png_all_filters(spark):
         (0, bytearray(_make_png(w, h, 2, rgb, filters=[0, 1, 2, 3, 4]))),
         (1, bytearray(_make_png(w, h, 0, gray, filters=[4, 4, 4, 4, 4]))),
         (2, bytearray(_make_png(w, h, 6, rgba, filters=[1, 3, 4, 2, 0]))),
-        (3, bytearray(b"\xff\xd8\xff\xe0jpegjunk")),  # JPEG magic
+        # JPEG magic takes the REAL jpeg_decode path now -> decode err;
+        # a WebP header is the genuinely-unsupported-format case
+        (3, bytearray(b"RIFF\x10\x00\x00\x00WEBPVP8 junk")),
         (4, None),  # null payload
         (5, bytearray(_make_png(w, h, 2, rgb)[:40])),  # truncated
     ]
