@@ -1,22 +1,25 @@
-"""Pure-Python+numpy baseline JPEG decoder (no codec libraries).
+"""Pure-Python+numpy JPEG decoder (no codec libraries).
 
-Supports the overwhelmingly common interchange shape: baseline DCT
-(SOF0; SOF1 extended-sequential decodes identically at 8-bit),
-Huffman entropy coding, grayscale and 3-component YCbCr with 4:4:4 /
-4:2:2 / 4:2:0 (any integer sampling ratio), restart markers, APPn /
-COM skipping.  Progressive (SOF2), arithmetic coding, 12-bit
-precision, and CMYK raise ``ValueError`` — the multimodal decode
-stage turns that into a per-row ``err`` tag.
+Supports the real-world interchange shapes: baseline DCT (SOF0; SOF1
+extended-sequential decodes identically at 8-bit) AND progressive DCT
+(SOF2 — spectral selection, successive approximation, EOB runs,
+refinement scans), Huffman entropy coding, grayscale and 3-component
+YCbCr with any integer sampling ratio (4:4:4 / 4:2:2 / 4:2:0 ...),
+restart markers, fill bytes, APPn / COM skipping.  Arithmetic coding,
+12-bit precision, hierarchical, and CMYK raise ``ValueError`` — the
+multimodal decode stage turns that into a per-row ``err`` tag.
 
-Spec: the public ITU-T T.81 / ISO 10918-1 JPEG standard (tables from
-its Annex K are only used by the test-side encoder, not here — the
-decoder reads whatever tables the file carries).
+Spec: the public ITU-T T.81 / ISO 10918-1 JPEG standard (the
+progressive control flow follows its Annex G; tables from Annex K are
+only used by the test-side encoder — the decoder reads whatever
+tables the file carries).
 
-Scale note: this runs inside the Arrow-batched ``mapInPandas``
-decode stage; per-block work is vectorized (one numpy IDCT per
-component via a precomputed orthonormal DCT-II basis), and the
-bit-level Huffman loop is bounded by the entropy-coded byte length,
-so a crafted payload cannot balloon memory.
+Scale notes: this runs inside the Arrow-batched ``mapInPandas``
+decode stage.  Frame dimensions are capped (``MAX_PIXELS``) BEFORE
+any allocation so a crafted header cannot OOM an executor; the
+Huffman stage is a Python loop fed by a 16-bit-prefix lookup table
+(one probe per symbol) bounded by the entropy byte length; the IDCT
+runs as one batched einsum per component.
 """
 
 from __future__ import annotations
@@ -24,6 +27,8 @@ from __future__ import annotations
 import numpy as np
 
 JPEG_MAGIC = b"\xff\xd8\xff"
+
+MAX_PIXELS = 64_000_000  # ~64 MP: bounds executor memory per payload
 
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -46,11 +51,11 @@ _C = np.array(
 
 
 class _Bits:
-    """MSB-first bit reader: 24-bit accumulator with a 16-bit peek —
-    feeds the table-driven Huffman decode (one lookup per symbol, not
-    one Python call per bit).  Peeking may pad past the stream end
-    with zero bits (the last real code legitimately sits near the
-    end); CONSUMING past the end raises."""
+    """MSB-first bit reader: accumulator with a 16-bit peek — feeds
+    the table-driven Huffman decode (one lookup per symbol, not one
+    Python call per bit).  Peeking may pad past the stream end with
+    zero bits (the last real code legitimately sits near the end);
+    CONSUMING past the end raises."""
 
     __slots__ = ("data", "pos", "acc", "nbits", "limit", "consumed")
 
@@ -117,11 +122,13 @@ def _huff_decode(bits: _Bits, lut: list) -> int:
     return e[0]
 
 
-def _decode_block(bits: _Bits, dc_tab, ac_tab, pred: int) -> tuple[np.ndarray, int]:
-    coef = np.zeros(64, dtype=np.int32)
+# -- per-block scan decoders (write zigzag-order coefficients) --------------
+
+
+def _block_baseline(bits, dc_tab, ac_tab, blk, pred):
     size = _huff_decode(bits, dc_tab)
     pred += _extend(bits.receive(size), size)
-    coef[0] = pred
+    blk[0] = pred
     k = 1
     while k < 64:
         sym = _huff_decode(bits, ac_tab)
@@ -134,23 +141,265 @@ def _decode_block(bits: _Bits, dc_tab, ac_tab, pred: int) -> tuple[np.ndarray, i
         k += run
         if k >= 64 or size == 0:
             raise ValueError("AC coefficient index out of range")
-        coef[k] = _extend(bits.receive(size), size)
+        blk[k] = _extend(bits.receive(size), size)
         k += 1
-    return coef, pred
+    return pred
+
+
+def _block_dc_first(bits, dc_tab, blk, pred, al):
+    size = _huff_decode(bits, dc_tab)
+    pred += _extend(bits.receive(size), size)
+    blk[0] = pred << al
+    return pred
+
+
+def _block_dc_refine(bits, blk, al):
+    if bits.receive(1):
+        blk[0] = int(blk[0]) | (1 << al)
+
+
+def _block_ac_first(bits, ac_tab, blk, ss, se, al, eobrun):
+    """T.81 G.1.2.2: first AC scan of a band — EOB runs + new
+    coefficients at the ``al`` point transform."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _huff_decode(bits, ac_tab)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            return (1 << r) + (bits.receive(r) if r else 0) - 1
+        k += r
+        if k > se:
+            raise ValueError("AC coefficient index out of band")
+        blk[k] = _extend(bits.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _block_ac_refine(bits, ac_tab, blk, ss, se, al, eobrun):
+    """T.81 G.1.2.3: AC refinement — correction bits for already-
+    nonzero coefficients, ±1<<al placements for newly significant
+    ones, EOB runs covering correction-only blocks."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _huff_decode(bits, ac_tab)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0 and r < 15:
+                eobrun = (1 << r) + (bits.receive(r) if r else 0)
+                break
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("bad refinement coefficient size")
+                val = p1 if bits.receive(1) else -p1
+            # advance over `r` zero-history positions, correcting
+            # nonzero-history coefficients along the way
+            while k <= se:
+                cv = int(blk[k])
+                if cv:
+                    if bits.receive(1) and not (cv & p1):
+                        blk[k] = cv + (p1 if cv > 0 else -p1)
+                    k += 1
+                    continue
+                if r == 0:
+                    if val:
+                        blk[k] = val
+                    k += 1
+                    break
+                r -= 1
+                k += 1
+    if eobrun:
+        # EOB-covered remainder: correction bits only
+        while k <= se:
+            cv = int(blk[k])
+            if cv and bits.receive(1) and not (cv & p1):
+                blk[k] = cv + (p1 if cv > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _split_entropy(raw: bytes, start: int):
+    """De-stuff FF00, split on restart markers (skipping 0xFF fill
+    bytes that may precede them); returns (segments, position of the
+    terminating 0xFF marker)."""
+    segments = []
+    cur = bytearray()
+    pos = start
+    while pos < len(raw):
+        b = raw[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        j = pos + 1
+        while j < len(raw) and raw[j] == 0xFF:
+            j += 1
+        m = raw[j] if j < len(raw) else None
+        if m == 0x00:
+            cur.append(0xFF)  # the last FF is stuffed data; earlier are fills
+            pos = j + 1
+        elif m is not None and 0xD0 <= m <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            pos = j + 1
+        else:
+            pos = j - 1  # leave the 0xFF of the real marker
+            break
+    segments.append(bytes(cur))
+    return segments, pos
+
+
+class _Frame:
+    def __init__(self, w, h, comps, progressive):
+        self.w = w
+        self.h = h
+        self.comps = comps
+        self.progressive = progressive
+        self.hmax = max(c["H"] for c in comps)
+        self.vmax = max(c["V"] for c in comps)
+        self.mcus_x = -(-w // (8 * self.hmax))
+        self.mcus_y = -(-h // (8 * self.vmax))
+        for c in comps:
+            # component dimensions and true data-unit grid (T.81 A.1.1)
+            cw = -(-w * c["H"] // self.hmax)
+            ch = -(-h * c["V"] // self.vmax)
+            c["nbw"] = -(-cw // 8)
+            c["nbh"] = -(-ch // 8)
+            # coefficient store padded to the interleaved MCU grid
+            c["coef"] = np.zeros(
+                (c["V"] * self.mcus_y, c["H"] * self.mcus_x, 64), dtype=np.int32
+            )
+
+
+def _decode_scan(frame, scan_comps, params, segments, restart_interval):
+    ss, se, ah, al = params
+    progressive = frame.progressive
+    if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+        raise ValueError("bad baseline scan parameters")
+    if ss > se or se > 63:
+        raise ValueError("bad spectral band")
+    interleaved = len(scan_comps) > 1
+    if progressive and ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if progressive and ss > 0 and interleaved:
+        raise ValueError("progressive AC scans must be non-interleaved")
+
+    seg_i = 0
+    bits = _Bits(segments[0])
+    preds = {c["id"]: 0 for c in scan_comps}
+    eobrun = 0
+
+    def maybe_restart(unit):
+        nonlocal seg_i, bits, preds, eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("missing restart segment")
+            bits = _Bits(segments[seg_i])
+            preds = {c["id"]: 0 for c in scan_comps}
+            eobrun = 0
+
+    if interleaved:
+        n_mcus = frame.mcus_x * frame.mcus_y
+        for mcu in range(n_mcus):
+            maybe_restart(mcu)
+            my, mx = divmod(mcu, frame.mcus_x)
+            for c in scan_comps:
+                for v in range(c["V"]):
+                    for hh in range(c["H"]):
+                        blk = c["coef"][my * c["V"] + v, mx * c["H"] + hh]
+                        if not progressive:
+                            preds[c["id"]] = _block_baseline(
+                                bits, c["dc"], c["ac"], blk, preds[c["id"]]
+                            )
+                        elif ah == 0:
+                            preds[c["id"]] = _block_dc_first(
+                                bits, c["dc"], blk, preds[c["id"]], al
+                            )
+                        else:
+                            _block_dc_refine(bits, blk, al)
+    else:
+        c = scan_comps[0]
+        n_units = c["nbw"] * c["nbh"]
+        for unit in range(n_units):
+            maybe_restart(unit)
+            by, bx = divmod(unit, c["nbw"])
+            blk = c["coef"][by, bx]
+            if not progressive:
+                preds[c["id"]] = _block_baseline(
+                    bits, c["dc"], c["ac"], blk, preds[c["id"]]
+                )
+            elif ss == 0:
+                if ah == 0:
+                    preds[c["id"]] = _block_dc_first(
+                        bits, c["dc"], blk, preds[c["id"]], al
+                    )
+                else:
+                    _block_dc_refine(bits, blk, al)
+            elif ah == 0:
+                eobrun = _block_ac_first(bits, c["ac"], blk, ss, se, al, eobrun)
+            else:
+                eobrun = _block_ac_refine(bits, c["ac"], blk, ss, se, al, eobrun)
+
+
+def _reconstruct(frame, qt):
+    w, h = frame.w, frame.h
+    full = []
+    for c in frame.comps:
+        if c["tq"] not in qt:
+            raise ValueError("component references missing quant table")
+        zz = c["coef"].reshape(-1, 64)
+        dz = np.zeros_like(zz)
+        dz[:, _ZIGZAG] = zz  # de-zigzag
+        bq = dz.reshape(-1, 8, 8) * qt[c["tq"]]
+        pix = np.einsum("ij,njk,kl->nil", _C.T, bq, _C) + 128.0
+        bh, bw = c["coef"].shape[:2]
+        plane = (
+            pix.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+            .astype(np.float32)
+        )
+        ry, rx = frame.vmax // c["V"], frame.hmax // c["H"]
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        out = np.clip(np.round(full[0].astype(np.float64)), 0, 255).astype(np.uint8)
+        return w, h, 1, "L", out.tobytes()
+    # float64 for the color transform: rounding ties must not depend
+    # on the storage precision of the planes
+    y, cb, cr = (f.astype(np.float64) for f in full)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return w, h, 3, "RGB", out.tobytes()
 
 
 def jpeg_decode(raw: bytes) -> tuple[int, int, int, str, bytes]:
-    """Decode a baseline JPEG: (width, height, channels, mode,
-    row-major interleaved pixel bytes) — the same contract as
-    ``multimodal.png_decode``."""
+    """Decode a baseline or progressive JPEG: (width, height,
+    channels, mode, row-major interleaved pixel bytes) — the same
+    contract as ``multimodal.png_decode``."""
     if not raw.startswith(JPEG_MAGIC):
         raise ValueError("not a JPEG (bad signature)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
-    huff_dc: dict[int, dict] = {}
-    huff_ac: dict[int, dict] = {}
+    huff_dc: dict[int, list] = {}
+    huff_ac: dict[int, list] = {}
     frame = None
     restart_interval = 0
+    saw_scan = False
     while pos + 4 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
@@ -193,169 +442,91 @@ def jpeg_decode(raw: bytes) -> tuple[int, int, int, str, bytes]:
                     raise ValueError("truncated DHT")
                 (huff_ac if tc else huff_dc)[th] = _huff_table(counts, symbols)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline-decodable
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
+            if frame is not None:
+                raise ValueError("multiple SOF markers")
             if seg[0] != 8:
                 raise ValueError(f"unsupported sample precision {seg[0]}")
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
+            if w <= 0 or h <= 0:
+                raise ValueError(f"bad dimensions {w}x{h}")
+            if w * h > MAX_PIXELS:
+                # a 33 MB crafted file can DECLARE 65535x65535 (a
+                # 34 GB plane) — reject on the header numbers, never
+                # on the allocation
+                raise ValueError(f"image too large ({w}x{h} > {MAX_PIXELS} px)")
             ncomp = seg[5]
             if ncomp not in (1, 3):
                 raise ValueError(f"unsupported component count {ncomp}")
             comps = []
-            for c in range(ncomp):
-                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+            for ci in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "H": samp >> 4, "V": samp & 0x0F, "tq": tq})
-            frame = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if ncomp == 1:
+                # single-component frames are non-interleaved per
+                # T.81 A.2: the grid is ceil(w/8) x ceil(h/8)
+                # regardless of declared sampling factors
+                comps[0]["H"] = comps[0]["V"] = 1
+            for c in comps:
+                if not (1 <= c["H"] <= 4 and 1 <= c["V"] <= 4):
+                    raise ValueError("bad sampling factors")
+            hmax = max(c["H"] for c in comps)
+            vmax = max(c["V"] for c in comps)
+            for c in comps:
+                if vmax % c["V"] or hmax % c["H"]:
+                    raise ValueError("non-integer sampling ratio")
+            frame = _Frame(w, h, comps, progressive=(marker == 0xC2))
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"unsupported JPEG coding (SOF{marker - 0xC0}: progressive/"
+                f"unsupported JPEG coding (SOF{marker - 0xC0}: lossless/"
                 "arithmetic/hierarchical)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            if ns != len(frame[2]):
-                # T.81 A.2: an ns < ncomp scan is non-interleaved with
-                # its own MCU geometry — seen in multi-scan baseline
-                # files; reject clearly rather than mis-decode
+            if not frame.progressive and ns != len(frame.comps):
+                # a ns < ncomp BASELINE scan is non-interleaved
+                # multi-scan — legal but rare; reject clearly
                 raise ValueError(
                     "non-interleaved / multi-scan baseline JPEG unsupported"
                 )
-            scan = []
-            for c in range(ns):
-                cid, tabs = seg[1 + 2 * c : 3 + 2 * c]
-                scan.append((cid, tabs >> 4, tabs & 0x0F))
-            data_start = pos + 2 + ln
-            return _decode_scan(
-                raw, data_start, frame, scan, qt, huff_dc, huff_ac, restart_interval
+            by_id = {c["id"]: c for c in frame.comps}
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            scan_comps = []
+            for ci in range(ns):
+                cid, tabs = seg[1 + 2 * ci : 3 + 2 * ci]
+                if cid not in by_id:
+                    raise ValueError(f"scan references unknown component {cid}")
+                c = by_id[cid]
+                td, ta = tabs >> 4, tabs & 0x0F
+                # first DC scans need a DC table (refinement reads raw
+                # bits); AC / baseline scans need an AC table
+                if ss == 0 and (ahal >> 4) == 0:
+                    if td not in huff_dc:
+                        raise ValueError("scan references missing Huffman table")
+                    c["dc"] = huff_dc[td]
+                if se > 0 or not frame.progressive:
+                    if ta not in huff_ac:
+                        raise ValueError("scan references missing Huffman table")
+                    c["ac"] = huff_ac[ta]
+                scan_comps.append(c)
+            segments, pos = _split_entropy(raw, pos + 2 + ln)
+            _decode_scan(
+                frame,
+                scan_comps,
+                (ss, se, ahal >> 4, ahal & 0x0F),
+                segments,
+                restart_interval,
             )
+            saw_scan = True
+            continue  # pos already points at the terminating marker
         # APPn/COM/others: skip
         pos += 2 + ln
-    raise ValueError("no SOS marker (no image data)")
-
-
-MAX_PIXELS = 64_000_000  # ~64 MP: bounds executor memory per payload
-
-
-def _decode_scan(raw, start, frame, scan, qt, huff_dc, huff_ac, restart_interval):
-    w, h, comps = frame
-    if w <= 0 or h <= 0:
-        raise ValueError(f"bad dimensions {w}x{h}")
-    if w * h > MAX_PIXELS:
-        # a 33 MB crafted file can DECLARE 65535x65535 (a 34 GB plane)
-        # — reject on the header numbers, never on the allocation
-        raise ValueError(f"image too large ({w}x{h} > {MAX_PIXELS} px)")
-    if len(comps) == 1:
-        # single-component frames are non-interleaved per T.81 A.2:
-        # the data-unit grid is ceil(w/8) x ceil(h/8) regardless of
-        # declared sampling factors (some encoders keep the 2x2 of the
-        # color original)
-        comps[0]["H"] = comps[0]["V"] = 1
-    by_id = {c["id"]: c for c in comps}
-    for cid, td, ta in scan:
-        if cid not in by_id:
-            raise ValueError(f"scan references unknown component {cid}")
-        if td not in huff_dc or ta not in huff_ac:
-            raise ValueError("scan references missing Huffman table")
-        by_id[cid]["dc"] = huff_dc[td]
-        by_id[cid]["ac"] = huff_ac[ta]
-    hmax = max(c["H"] for c in comps)
-    vmax = max(c["V"] for c in comps)
-    for c in comps:
-        if c["tq"] not in qt:
-            raise ValueError("component references missing quant table")
-        if not (1 <= c["H"] <= 4 and 1 <= c["V"] <= 4):
-            raise ValueError("bad sampling factors")
-        if vmax % c["V"] or hmax % c["H"]:
-            # header-only check — must reject BEFORE paying for the
-            # full entropy decode
-            raise ValueError("non-integer sampling ratio")
-
-    # split entropy-coded data into restart segments, de-stuffing FF00
-    # (0xFF fill bytes may precede restart/terminating markers)
-    segments = []
-    cur = bytearray()
-    pos = start
-    while pos < len(raw):
-        b = raw[pos]
-        if b != 0xFF:
-            cur.append(b)
-            pos += 1
-            continue
-        j = pos + 1
-        while j < len(raw) and raw[j] == 0xFF:
-            j += 1
-        m = raw[j] if j < len(raw) else None
-        if m == 0x00:
-            cur.append(0xFF)  # the last FF is stuffed data; earlier are fills
-            pos = j + 1
-        elif m is not None and 0xD0 <= m <= 0xD7:
-            segments.append(bytes(cur))
-            cur = bytearray()
-            pos = j + 1
-        else:
-            break  # EOI or next marker
-    segments.append(bytes(cur))
-
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    # collect dequantized blocks per component, IDCT once per
-    # component (one batched einsum instead of an 8x8 matmul per block)
-    blocks = {c["id"]: [] for c in comps}
-    coords = {c["id"]: [] for c in comps}
-    preds = {c["id"]: 0 for c in comps}
-    seg_i = 0
-    bits = _Bits(segments[0])
-    n_mcus = mcus_x * mcus_y
-    for mcu in range(n_mcus):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            seg_i += 1
-            if seg_i >= len(segments):
-                raise ValueError("missing restart segment")
-            bits = _Bits(segments[seg_i])
-            preds = {c["id"]: 0 for c in comps}
-        my, mx = divmod(mcu, mcus_x)
-        for c in comps:
-            for v in range(c["V"]):
-                for hh in range(c["H"]):
-                    coef, preds[c["id"]] = _decode_block(
-                        bits, c["dc"], c["ac"], preds[c["id"]]
-                    )
-                    blocks[c["id"]].append(coef)
-                    coords[c["id"]].append(
-                        ((my * c["V"] + v) * 8, (mx * c["H"] + hh) * 8)
-                    )
-
-    full = []
-    for c in comps:
-        plane = np.zeros(
-            (8 * c["V"] * mcus_y, 8 * c["H"] * mcus_x), dtype=np.float32
-        )
-        zz = np.stack(blocks[c["id"]])  # (n, 64) zigzag coefficients
-        dz = np.zeros_like(zz)
-        dz[:, _ZIGZAG] = zz  # de-zigzag
-        bq = dz.reshape(-1, 8, 8) * qt[c["tq"]]
-        pix = np.einsum("ij,njk,kl->nil", _C.T, bq, _C) + 128.0
-        for (y0, x0), p8 in zip(coords[c["id"]], pix):
-            plane[y0 : y0 + 8, x0 : x0 + 8] = p8
-        ry, rx = vmax // c["V"], hmax // c["H"]
-        if ry > 1:
-            plane = np.repeat(plane, ry, axis=0)
-        if rx > 1:
-            plane = np.repeat(plane, rx, axis=1)
-        full.append(plane[:h, :w])
-    if len(full) == 1:
-        out = np.clip(np.round(full[0].astype(np.float64)), 0, 255).astype(np.uint8)
-        return w, h, 1, "L", out.tobytes()
-    # float64 for the color transform: rounding ties must not depend
-    # on the storage precision of the planes
-    y, cb, cr = (f.astype(np.float64) for f in full)
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=-1)
-    out = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-    return w, h, 3, "RGB", out.tobytes()
+    if frame is None or not saw_scan:
+        raise ValueError("no SOS marker (no image data)")
+    return _reconstruct(frame, qt)

@@ -52,9 +52,10 @@ C = np.array(
 # DC: symbols 0..11 at 4 bits (codes 0..11; all-ones 15 unused)
 DC_COUNTS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 DC_SYMBOLS = bytes(range(12))
-# AC: every (run,size) symbol + EOB + ZRL at 8 bits (162 < 255)
+# AC: every (run,size) symbol + EOBn (r,0) + ZRL at 8 bits (176 < 255)
 AC_SYMBOLS = bytes(
-    [0x00, 0xF0]
+    [r << 4 for r in range(15)]
+    + [0xF0]
     + [(r << 4) | s for r in range(16) for s in range(1, 11)]
 )
 AC_COUNTS = [0, 0, 0, 0, 0, 0, 0, len(AC_SYMBOLS), 0, 0, 0, 0, 0, 0, 0, 0]
@@ -228,3 +229,212 @@ def jpeg_encode(img: np.ndarray, quality=90, subsample=False, restart=0) -> byte
                     )
     data += bw.flush()
     return out + data + b"\xff\xd9"
+
+
+def _quantized_blocks(img, quality):
+    """Per-component zigzag-order quantized coefficient blocks in
+    raster order (4:4:4 / grayscale), plus header metadata."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qy = _scale_q(QY, quality)
+    qc = _scale_q(QC, quality)
+    if gray:
+        planes = [img.astype(np.float64)]
+        qids = [0]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+        qids = [0, 1, 1]
+    nbx, nby = -(-w // 8), -(-h // 8)
+    comps = []
+    for p, qid in zip(planes, qids):
+        q = qy if qid == 0 else qc
+        pp = np.pad(p, ((0, nby * 8 - h), (0, nbx * 8 - w)), mode="edge")
+        blocks = []
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = np.round((C @ (blk - 128.0) @ C.T) / q).astype(np.int64)
+                blocks.append(coef.flatten()[ZIGZAG])
+        comps.append(blocks)
+    return w, h, gray, qy, qc, qids, comps
+
+
+def _pt(v, al):
+    """AC point transform: magnitude shift, sign preserved (T.81
+    G.1.2.2 — truncation toward zero, unlike the DC arithmetic
+    shift)."""
+    return (abs(int(v)) >> al) * (1 if v > 0 else -1)
+
+
+class _EobState:
+    def __init__(self, bw):
+        self.bw = bw
+        self.run = 0
+        self.pending = []
+
+    def flush(self):
+        if self.run:
+            r = self.run.bit_length() - 1
+            ln, code = AC_CODE[r << 4]
+            self.bw.write(code, ln)
+            if r:
+                self.bw.write(self.run - (1 << r), r)
+            self.run = 0
+        for bit in self.pending:
+            self.bw.write(bit, 1)
+        self.pending = []
+
+    def add(self, corrections):
+        self.run += 1
+        self.pending.extend(corrections)
+        if self.run == 0x7FFF:
+            self.flush()
+
+
+def jpeg_encode_progressive(img, quality=90):
+    """Progressive (SOF2) encoding of the SAME quantized coefficients
+    the baseline encoder produces: DC first (Al=1) interleaved, DC
+    refinement, per-component AC first scans (band 1-63, Al=1) with
+    EOB runs, per-component AC refinement scans — so a progressive
+    decode must reproduce the baseline decode bit-for-bit."""
+    w, h, gray, qy, qc, qids, comps = _quantized_blocks(img, quality)
+    ncomp = 1 if gray else 3
+
+    out = b"\xff\xd8"
+    out += _seg(0xDB, bytes([0x00]) + bytes(qy.flatten()[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += _seg(0xDB, bytes([0x01]) + bytes(qc.flatten()[ZIGZAG].astype(np.uint8)))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, qids[i]])
+    out += _seg(0xC2, sof)
+    out += _seg(0xC4, bytes([0x00]) + bytes(DC_COUNTS) + DC_SYMBOLS)
+    out += _seg(0xC4, bytes([0x10]) + bytes(AC_COUNTS) + AC_SYMBOLS)
+
+    def sos(comp_ids, ss, se, ah, al):
+        p = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            p += bytes([cid, 0x00])
+        return _seg(0xDA, p + bytes([ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, interleaved, Al=1 (values dc>>1, diff-coded)
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    nblocks = len(comps[0])
+    for bi in range(nblocks):
+        for ci in range(ncomp):
+            v = int(comps[ci][bi][0]) >> 1  # arithmetic shift (T.81 DC pt)
+            diff = v - preds[ci]
+            preds[ci] = v
+            size, bitsv = _mag(diff)
+            ln, code = DC_CODE[size]
+            bw.write(code, ln)
+            if size:
+                bw.write(bitsv, size)
+    out += bw.flush()
+
+    # scan 2 per component: AC first, band 1-63, Al=1
+    for ci in range(ncomp):
+        out += sos([ci + 1], 1, 63, 0, 1)
+        bw = _BitWriter()
+        eob = _EobState(bw)
+        for blk in comps[ci]:
+            t = [_pt(blk[k], 1) for k in range(64)]
+            if not any(t[1:]):
+                eob.add([])
+                continue
+            eob.flush()
+            run = 0
+            last_nz = max(k for k in range(1, 64) if t[k])
+            for k in range(1, last_nz + 1):
+                v = t[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ln, code = AC_CODE[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                size, bitsv = _mag(v)
+                ln, code = AC_CODE[(run << 4) | size]
+                bw.write(code, ln)
+                bw.write(bitsv, size)
+                run = 0
+            if last_nz < 63:
+                eob.add([])
+        eob.flush()
+        out += bw.flush()
+
+    # scan 3: DC refinement (Al=0): one raw bit per block
+    out += sos(list(range(1, ncomp + 1)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for bi in range(nblocks):
+        for ci in range(ncomp):
+            bw.write(int(comps[ci][bi][0]) & 1, 1)
+    out += bw.flush()
+
+    # scan 4 per component: AC refinement, band 1-63, Ah=1, Al=0
+    for ci in range(ncomp):
+        out += sos([ci + 1], 1, 63, 1, 0)
+        bw = _BitWriter()
+        eob = _EobState(bw)
+        for blk in comps[ci]:
+            hist = [_pt(blk[k], 1) for k in range(64)]
+            newly = [
+                k for k in range(1, 64) if hist[k] == 0 and abs(int(blk[k])) == 1
+            ]
+            if not newly:
+                eob.add(
+                    [abs(int(blk[k])) & 1 for k in range(1, 64) if hist[k]]
+                )
+                continue
+            eob.flush()
+            # positional event buffer since the last emitted symbol:
+            # ('z',) zero-history, ('c', bit) correction.  The decoder
+            # consumes corrections INTERLEAVED with the zero-history
+            # run, so a ZRL must flush only the corrections that occur
+            # before its 16th zero-history position.
+            buf = []
+            for k in range(1, 64):
+                v = int(blk[k])
+                if hist[k]:
+                    buf.append(("c", abs(v) & 1))
+                    continue
+                if abs(v) != 1:
+                    buf.append(("z",))
+                    continue
+                while sum(1 for e in buf if e[0] == "z") > 15:
+                    ln, code = AC_CODE[0xF0]
+                    bw.write(code, ln)
+                    seen_z = 0
+                    rest = []
+                    for i, e in enumerate(buf):
+                        if e[0] == "z":
+                            seen_z += 1
+                            if seen_z == 16:
+                                rest = buf[i + 1 :]
+                                break
+                        else:
+                            bw.write(e[1], 1)
+                    buf = rest
+                run = sum(1 for e in buf if e[0] == "z")
+                ln, code = AC_CODE[(run << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if v > 0 else 0, 1)
+                for e in buf:
+                    if e[0] == "c":
+                        bw.write(e[1], 1)
+                buf = []
+            if buf:
+                eob.add([e[1] for e in buf if e[0] == "c"])
+        eob.flush()
+        out += bw.flush()
+
+    return out + b"\xff\xd9"

@@ -1186,12 +1186,13 @@ def test_jpeg_decode_real_world_and_rejections():
 
     with _pytest.raises(ValueError, match="signature"):
         jpeg_decode(b"\x89PNG1234")
-    # progressive (SOF2) rejected with a clear reason
+    # lossless (SOF3) rejected with a clear reason (progressive SOF2
+    # decodes for real now — see test_jpeg_progressive_*)
     from jpeg_ref import jpeg_encode
 
     raw = bytearray(jpeg_encode(_smooth_rgb(1, 16, 16), quality=90))
-    raw[raw.index(b"\xff\xc0") + 1] = 0xC2
-    with _pytest.raises(ValueError, match="SOF2"):
+    raw[raw.index(b"\xff\xc0") + 1] = 0xC3
+    with _pytest.raises(ValueError, match="SOF3"):
         jpeg_decode(bytes(raw))
     with _pytest.raises(ValueError, match="truncated|exhausted|no SOS"):
         jpeg_decode(bytes(jpeg_encode(_smooth_rgb(1, 16, 16))[:40]))
@@ -1266,3 +1267,74 @@ def test_jpeg_review_hardening():
     assert _np().array_equal(
         _np().frombuffer(pix, "uint8").reshape(10, 12), gray
     )
+
+
+def test_jpeg_progressive_bit_exact_with_baseline():
+    """Progressive (SOF2) scans — spectral selection, successive
+    approximation, EOB runs, refinement — carry the SAME quantized
+    coefficients as the baseline encoding, so the progressive decode
+    must reproduce the baseline decode bit-for-bit.  Noisy images at
+    varied qualities exercise dense coefficients (ZRL in refinement,
+    long EOB runs, correction bits)."""
+    np = _np()
+    from jpeg_ref import jpeg_encode, jpeg_encode_progressive
+
+    from grip_spark.jpeg import jpeg_decode
+
+    rng = np.random.default_rng(21)
+    cases = [
+        (_smooth_rgb(21, 29, 35), 85),
+        (rng.integers(0, 256, (17, 23, 3)).astype(np.uint8), 70),
+        (rng.integers(0, 256, (24, 24, 3)).astype(np.uint8), 95),
+        (rng.integers(0, 256, (19, 21)).astype(np.uint8), 80),  # gray
+        (np.full((16, 16, 3), 77, np.uint8), 90),  # flat: EOB-only AC
+    ]
+    for img, q in cases:
+        base = jpeg_decode(jpeg_encode(img, quality=q))
+        prog = jpeg_decode(jpeg_encode_progressive(img, quality=q))
+        assert prog == base, (img.shape, q)
+
+
+def test_jpeg_progressive_real_world():
+    import glob
+
+    import pytest as _pytest
+
+    np = _np()
+    from grip_spark.jpeg import jpeg_decode
+
+    paths = glob.glob(
+        "/root/.rustup/toolchains/stable-*/share/doc/rust/html/embedded-book/assets/f3.jpg"
+    )
+    if not paths:
+        _pytest.skip("no real-world progressive JPEG on this host")
+    w, h, nch, mode, pix = jpeg_decode(open(paths[0], "rb").read())
+    assert (w, h, nch, mode) == (720, 477, 3, "RGB")
+    a = np.frombuffer(pix, np.uint8)
+    # a real photo, not garbage: mid-range mean, non-trivial variance
+    assert 40 < a.mean() < 215 and a.std() > 20
+
+
+def test_jpeg_progressive_randomized_stress():
+    """30 random (size, quality, content) combinations: progressive
+    must stay bit-exact with baseline — hammers EOB-run lengths, ZRL
+    boundaries inside refinement runs, and partial edge blocks."""
+    np = _np()
+    from jpeg_ref import jpeg_encode, jpeg_encode_progressive
+
+    from grip_spark.jpeg import jpeg_decode
+
+    rng = np.random.default_rng(99)
+    for trial in range(30):
+        h = int(rng.integers(8, 40))
+        w = int(rng.integers(8, 40))
+        q = int(rng.integers(30, 99))
+        if trial % 3 == 0:
+            img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        elif trial % 3 == 1:
+            img = _smooth_rgb(trial, h, w)
+        else:
+            img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        base = jpeg_decode(jpeg_encode(img, quality=q))
+        prog = jpeg_decode(jpeg_encode_progressive(img, quality=q))
+        assert prog == base, (trial, h, w, q)
