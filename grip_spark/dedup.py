@@ -488,16 +488,60 @@ def simhash_pairs(
     (Manku et al., WWW 2007).  Requires ``max_hamming < chunks`` for
     full recall; verified exactly with bit_count(xor).
     """
-    if max_hamming >= chunks:
-        raise ValueError("need max_hamming < chunks for exact recall")
-    w = bits // chunks
     # eager checkpoint: same two-sided self-join recompute hazard as
     # minhash (a lazy persist is raced by both join sides)
     df = _rebalance(df)
     sig = df.select(
         F.col(id_col).alias("_id"),
         simhash(text_col, bits, token_hash).alias("_sim"),
-    ).localCheckpoint(eager=True)
+    )
+    return hamming_pairs(sig, "_id", "_sim", max_hamming, bits=bits, chunks=chunks)
+
+
+def hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+    chunks: int = 4,
+) -> DataFrame:
+    """All pairs within ``max_hamming`` over ANY ``bits``-bit signature
+    column → ``(a_id, b_id, hamming)``.
+
+    The candidate-generation core of :func:`simhash_pairs`, exposed for
+    other 64-bit signature families — perceptual image hashes
+    (:func:`grip_spark.multimodal.phash64` / ``dhash64``), audio
+    fingerprints, any locality-preserving bit signature.  Pigeonhole
+    trick (Manku et al., WWW 2007): split the hash into ``chunks``
+    equal chunks; a pair within hamming distance ``chunks-1`` agrees
+    exactly on ≥1 chunk, so one equi-join per chunk finds every such
+    pair — never an all-pairs scan.  Requires ``max_hamming < chunks``
+    for exact recall; distance verified exactly via ``bit_count(xor)``.
+
+    NULL signatures (e.g. rows a decode stage tagged with ``err``) are
+    dropped before the join.  The projected (id, hash) relation — two
+    longs per row — is eagerly checkpointed so an expensive upstream
+    (a full image decode) is computed once, not once per join side.
+
+    Scale: shuffle carries (id, hash, chunk-key) rows, ``chunks``× the
+    corpus — tiny.  Constant regions (flat images, empty documents)
+    hash identically and form one quadratic bucket; filter such
+    degenerate signatures upstream if the corpus is full of them (they
+    ARE near-dups, just uninterestingly so).
+    """
+    if max_hamming >= chunks:
+        raise ValueError("need max_hamming < chunks for exact recall")
+    if bits % chunks:
+        raise ValueError(f"chunks ({chunks}) must divide bits ({bits})")
+    w = bits // chunks
+    sig = (
+        sig.select(
+            F.col(id_col).alias("_id"), F.col(hash_col).cast("long").alias("_sim")
+        )
+        .filter(F.col("_sim").isNotNull())
+        .localCheckpoint(eager=True)
+    )
     banded = sig.select(
         "_id",
         "_sim",

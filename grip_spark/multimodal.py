@@ -13,7 +13,7 @@ all five filters, CRC-verified; ``wav_decode``: RIFF/WAVE chunk
 parse + PCM sample extraction; ``gif_decode``: full LZW decoder with
 interlace and local palettes, verified against real-world GIFs — no
 codec library needed for any of them); formats that require external
-codecs (JPEG/WebP, mp3/ogg/flac, mp4/webm) surface per-row ``err``
+codecs (WebP, mp3/ogg/flac, mp4/webm) surface per-row ``err``
 tags instead (``decode_image``/``decode_audio``) or compute
 deterministic byte-level stand-ins (``frame_sample`` on non-GIF
 payloads), since those libraries are not in this container — the
@@ -207,11 +207,95 @@ def nn_resize(
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# perceptual image hashing (near-dup keys over decoded content)
+# ---------------------------------------------------------------------------
+
+
+def _luma_pool(pix: bytes, w: int, h: int, nch: int, tw: int, th: int):
+    """Grayscale + box-mean downsample of decoded pixels → float64
+    ``(th, tw)`` array, the shared front half of pHash/dHash.
+
+    Luma is integer BT.601 (``(77R + 150G + 29B) >> 8``; gray/LA use
+    channel 0) so the grayscale plane is bit-deterministic.  Pooling
+    boxes use floor boundaries (``y*h//th``) widened to ≥1 source
+    row/col, so any geometry ≥1×1 — including upscales — is defined;
+    each cell is an exact integer sum (2-D prefix sums) over its box
+    divided once, making the pooled plane a pure function of the
+    pixels (no resampling-kernel or accumulation-order variance).
+    """
+    import numpy as np
+
+    a = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, nch)
+    if nch >= 3:
+        g = (
+            77 * a[:, :, 0].astype(np.int64)
+            + 150 * a[:, :, 1].astype(np.int64)
+            + 29 * a[:, :, 2].astype(np.int64)
+        ) >> 8
+    else:
+        g = a[:, :, 0].astype(np.int64)
+    ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+    ii[1:, 1:] = g.cumsum(0).cumsum(1)
+    ys = [y * h // th for y in range(th)] + [h]
+    xs = [x * w // tw for x in range(tw)] + [w]
+    out = np.empty((th, tw), dtype=np.float64)
+    for y in range(th):
+        y0, y1 = ys[y], max(ys[y] + 1, ys[y + 1])
+        for x in range(tw):
+            x0, x1 = xs[x], max(xs[x] + 1, xs[x + 1])
+            s = ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]
+            out[y, x] = int(s) / ((y1 - y0) * (x1 - x0))
+    return out
+
+
+def _pack_bits64(bits) -> int:
+    """Row-major bool sequence (len 64) → signed 64-bit int (Spark
+    ``long``); bit 0 of the sequence is the most significant."""
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(bool(b))
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def phash64(pix: bytes, w: int, h: int, nch: int) -> int:
+    """64-bit DCT perceptual hash of decoded pixels (the pHash family;
+    ImageHash convention): 32×32 luma → 2-D DCT-II → top-left 8×8
+    low-frequency block → bit = coefficient > block median.
+
+    Robust to re-encoding, resizing, small noise, brightness/contrast
+    shifts (median threshold); pairs via
+    :func:`grip_spark.dedup.hamming_pairs`.  A constant image has an
+    all-zero AC spectrum → only the DC bit set, so all flat images
+    collide regardless of level (they are near-dups of each other).
+    """
+    import numpy as np
+
+    p = _luma_pool(pix, w, h, nch, 32, 32)
+    k = np.arange(32)
+    basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / 64.0)
+    low = (basis @ p @ basis.T)[:8, :8]
+    # snap FP summation noise (a flat image's AC spectrum is ~1e-13,
+    # not 0) to exact zero so degenerate spectra hash deterministically
+    low[np.abs(low) < 1e-6] = 0.0
+    med = float(np.median(low))
+    return _pack_bits64((low > med).ravel())
+
+
+def dhash64(pix: bytes, w: int, h: int, nch: int) -> int:
+    """64-bit difference hash (dHash): 9×8 luma grid → bit = cell
+    brighter than its right neighbor.  Cheaper and more
+    gradient-sensitive than :func:`phash64`; same pairing path."""
+    p = _luma_pool(pix, w, h, nch, 9, 8)
+    return _pack_bits64((p[:, 1:] > p[:, :-1]).ravel())
+
+
 def decode_image(
     df: DataFrame,
     bin_col: str = "payload",
     id_col: str = "doc_id",
     target_size: tuple[int, int] | None = None,
+    perceptual: bool = False,
 ) -> DataFrame:
     """Decode (and optionally nearest-neighbor resize) images to
     typed features: dimensions, mode, per-channel means, and a pixel
@@ -233,6 +317,12 @@ def decode_image(
     decoded (post-resize) pixel bytes, giving an exact-dup key on
     DECODED content (byte-identical re-encodes dedup even when the
     compressed payloads differ).
+
+    ``perceptual=True`` adds 64-bit ``phash``/``dhash`` long columns
+    (:func:`phash64` / :func:`dhash64`) computed in the SAME decode
+    pass — the near-dup keys (robust to re-encode/resize/noise) that
+    :func:`image_near_dup_pairs` joins on; decode errors leave them
+    NULL, which :func:`grip_spark.dedup.hamming_pairs` drops.
     """
     import hashlib
 
@@ -241,12 +331,16 @@ def decode_image(
         f"{id_col} {idt}, width int, height int, channels int, mode string, "
         "channel_means array<double>, pixel_sha1 string, err string"
     )
+    if perceptual:
+        schema += ", phash long, dhash long"
 
     from .jpeg import JPEG_MAGIC, jpeg_decode
 
+    blanks = (None, None) if perceptual else ()
+
     def _one(b):
         if b is None:
-            return (None, None, None, None, None, None, "null payload")
+            return (None, None, None, None, None, None, "null payload", *blanks)
         raw = bytes(b)
         if (
             not raw.startswith(PNG_MAGIC)
@@ -262,6 +356,7 @@ def decode_image(
                 None,
                 f"unsupported format (magic {raw[:4].hex()}): only PNG/GIF/"
                 "baseline-JPEG decode without external codec libraries",
+                *blanks,
             )
         try:
             if raw.startswith(JPEG_MAGIC):
@@ -292,9 +387,14 @@ def decode_image(
                 w, h = tw, th
             npix = w * h
             means = [sum(pix[c::nch]) / npix for c in range(nch)]
-            return (w, h, nch, mode, means, hashlib.sha1(pix).hexdigest(), None)
+            extra = (
+                (phash64(pix, w, h, nch), dhash64(pix, w, h, nch))
+                if perceptual
+                else ()
+            )
+            return (w, h, nch, mode, means, hashlib.sha1(pix).hexdigest(), None, *extra)
         except Exception as exc:
-            return (None, None, None, None, None, None, str(exc))
+            return (None, None, None, None, None, None, str(exc), *blanks)
 
     cols = [
         id_col,
@@ -305,7 +405,7 @@ def decode_image(
         "channel_means",
         "pixel_sha1",
         "err",
-    ]
+    ] + (["phash", "dhash"] if perceptual else [])
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -313,6 +413,40 @@ def decode_image(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, bin_col).mapInPandas(_batches, schema=schema)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    method: str = "phash",
+    chunks: int = 8,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs → ``(a_id, b_id,
+    hamming)``: decode each payload once (:func:`decode_image` with
+    ``perceptual=True``), then pair signatures within ``max_hamming``
+    via the pigeonhole equi-join
+    (:func:`grip_spark.dedup.hamming_pairs`) — the image analog of the
+    LAION/DataComp image-dedup stage, with no all-pairs scan and no
+    codec library.
+
+    ``method`` picks the signature: ``"phash"`` (DCT spectrum —
+    robust to re-encode/resize/noise/brightness) or ``"dhash"``
+    (gradient grid — cheaper, sharper).  Rows whose decode failed
+    (``err`` tagged) have NULL signatures and drop out of pairing.
+    Scale: the decode output is projected to (id, hash) longs and
+    checkpointed inside ``hamming_pairs``, so payload bytes are read
+    once and never shuffle.
+    """
+    if method not in ("phash", "dhash"):
+        raise ValueError(f"method must be 'phash' or 'dhash', got {method!r}")
+    sig = decode_image(df, bin_col, id_col, perceptual=True)
+    from .dedup import hamming_pairs
+
+    return hamming_pairs(
+        sig, id_col, method, max_hamming=max_hamming, chunks=chunks
+    )
 
 
 def frame_sample(

@@ -1338,3 +1338,156 @@ def test_jpeg_progressive_randomized_stress():
         base = jpeg_decode(jpeg_encode(img, quality=q))
         prog = jpeg_decode(jpeg_encode_progressive(img, quality=q))
         assert prog == base, (trial, h, w, q)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing + near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def _rand_rgb(seed, w, h):
+    import random as _random
+
+    rng = _random.Random(seed)
+    return bytes(rng.randrange(256) for _ in range(w * h * 3))
+
+
+def _ham64(a, b):
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_phash_dhash_invariance_and_separation():
+    from grip_spark.multimodal import dhash64, nn_resize, phash64
+
+    w, h = 32, 32
+    base = _rand_rgb(1, w, h)
+    other = _rand_rgb(2, w, h)
+
+    pa, da = phash64(base, w, h, 3), dhash64(base, w, h, 3)
+    # identical pixels -> identical hash
+    assert phash64(bytes(base), w, h, 3) == pa
+
+    # NN 2x upscale: every 2x2 phash pooling box is one source pixel,
+    # so the 32x32 pooled luma plane (hence phash) is BIT-identical;
+    # dhash's 9-wide grid has size-dependent box boundaries (9 divides
+    # neither width), so it moves a few bits rather than zero
+    up = nn_resize(base, w, h, 3, 64, 64)
+    assert phash64(up, 64, 64, 3) == pa
+    assert _ham64(dhash64(up, 64, 64, 3), da) <= 8
+
+    # small perturbation (a few pixels +/-2) -> tiny hamming movement
+    noisy = bytearray(base)
+    for i in range(0, len(noisy), 97):
+        noisy[i] = min(255, noisy[i] + 2)
+    assert _ham64(phash64(bytes(noisy), w, h, 3), pa) <= 4
+
+    # unrelated image -> far away (expected ~32 bits for random spectra)
+    assert _ham64(phash64(other, w, h, 3), pa) > 10
+    assert _ham64(dhash64(other, w, h, 3), da) > 10
+
+    # flat images collide by construction (documented): zero AC spectrum
+    flat_a = bytes([40]) * (w * h * 3)
+    flat_b = bytes([200]) * (w * h * 3)
+    assert phash64(flat_a, w, h, 3) == phash64(flat_b, w, h, 3)
+    assert dhash64(flat_a, w, h, 3) == dhash64(flat_b, w, h, 3) == 0
+
+    # grayscale path (nch=1) works and matches the same image lifted to RGB
+    gray = bytes(base[i] for i in range(0, len(base), 3))
+    rgb_of_gray = b"".join(bytes([g, g, g]) for g in gray)
+    # BT.601 of (g,g,g) = (77g+150g+29g)>>8 = g exactly
+    assert phash64(gray, w, h, 1) == phash64(rgb_of_gray, w, h, 3)
+
+
+def test_hamming_pairs_exact_vs_bruteforce(spark):
+    """Pigeonhole candidate join finds EXACTLY the brute-force pair set
+    (incl. signatures with the sign bit set — the top chunk must mask
+    after an arithmetic shift)."""
+    import random as _random
+
+    from grip_spark import dedup
+
+    rng = _random.Random(7)
+    sigs = {}
+    for i in range(24):
+        sigs[i] = rng.getrandbits(64)
+    # plant close pairs around some bases, including one with bit 63 set
+    sigs[100] = sigs[0] ^ 0b111  # hamming 3
+    sigs[101] = sigs[0] ^ (1 << 63)  # hamming 1, crosses the sign bit
+    sigs[102] = sigs[5] ^ ((1 << 62) | (1 << 13))  # hamming 2
+    to_long = lambda v: v - (1 << 64) if v >= (1 << 63) else v
+    df = spark.createDataFrame(
+        [(k, to_long(v)) for k, v in sigs.items()], "id long, sig long"
+    )
+    got = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in dedup.hamming_pairs(df, "id", "sig", max_hamming=3, chunks=4).collect()
+    }
+    want = set()
+    for a in sigs:
+        for b in sigs:
+            if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3:
+                want.add((a, b, bin(sigs[a] ^ sigs[b]).count("1")))
+    assert got == want and want  # planted pairs exist
+
+    with pytest.raises(ValueError):
+        dedup.hamming_pairs(df, "id", "sig", max_hamming=4, chunks=4)
+    with pytest.raises(ValueError):
+        dedup.hamming_pairs(df, "id", "sig", chunks=5)
+
+    # NULL signatures drop out instead of joining everything null==null
+    dfn = spark.createDataFrame(
+        [(1, 5), (2, None), (3, None)], "id long, sig long"
+    )
+    assert dedup.hamming_pairs(dfn, "id", "sig").count() == 0
+
+
+def test_image_near_dup_pairs_end_to_end(spark):
+    """decode -> phash -> pigeonhole join, driver-checked against the
+    same hashes computed from the RAW pixel arrays (so the PNG decode
+    inside the stage is part of what's verified)."""
+    from grip_spark import multimodal
+    from grip_spark.multimodal import phash64
+
+    w, h = 24, 20
+    a = _rand_rgb(11, w, h)
+    b = _rand_rgb(12, w, h)
+    a_noisy = bytearray(a)
+    for i in range(0, len(a_noisy), 113):
+        a_noisy[i] = max(0, a_noisy[i] - 2)
+    a_noisy = bytes(a_noisy)
+
+    rows = [
+        (0, bytearray(_make_png(w, h, 2, a))),  # base
+        (1, bytearray(_make_png(w, h, 2, a, filters=[4] * h))),  # re-encode
+        (2, bytearray(_make_png(w, h, 2, a_noisy))),  # near-dup
+        (3, bytearray(_make_png(w, h, 2, b))),  # unrelated
+        (4, bytearray(b"RIFF\x10\x00\x00\x00WEBPjunk")),  # err row
+        (5, None),  # null payload
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    sig = {r["doc_id"]: r for r in multimodal.decode_image(df, perceptual=True).collect()}
+    assert sig[0]["phash"] == phash64(a, w, h, 3)
+    assert sig[1]["phash"] == sig[0]["phash"]  # same pixels, other filters
+    assert sig[2]["phash"] == phash64(a_noisy, w, h, 3)
+    assert sig[4]["phash"] is None and sig[5]["phash"] is None
+
+    got = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in multimodal.image_near_dup_pairs(df, max_hamming=6).collect()
+    }
+    want = {}
+    hashes = {0: phash64(a, w, h, 3), 1: phash64(a, w, h, 3),
+              2: phash64(a_noisy, w, h, 3), 3: phash64(b, w, h, 3)}
+    for x in hashes:
+        for y in hashes:
+            d = _ham64(hashes[x], hashes[y])
+            if x < y and d <= 6:
+                want[(x, y)] = d
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 0  # re-encode is an exact dup
+    assert (0, 2) in got  # planted near-dup recalled
+    assert not any(3 in p or 4 in p or 5 in p for p in got)
+
+    with pytest.raises(ValueError):
+        multimodal.image_near_dup_pairs(df, method="ahash")
