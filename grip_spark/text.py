@@ -11,6 +11,8 @@ these extend the engine for the LLM-data-pipeline pillar of the brief.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .dedup import md5_prefix_hash
@@ -568,6 +570,196 @@ def unigram_logprob(
     )
     return scored.groupBy(id_col).agg(
         F.count("token").alias("n_tokens"),
+        F.round(F.avg(lp), 6).alias(out_col),
+    )
+
+
+def _transition_pairs(text_col: str, start_token: str) -> Column:
+    """``(prev, cur)`` transition structs of a document's token stream
+    with a leading ``start_token`` history — e.g. for ``"a b c"``:
+    ``(<s>,a) (a,b) (b,c)``.  Empty documents yield an empty array."""
+    nonempty = F.filter(tokens(text_col), lambda t: t != "")
+
+    def _body(ts):
+        prevs = F.concat(
+            F.array(F.lit(start_token)), F.slice(ts, 1, F.size(ts) - 1)
+        )
+        return F.when(F.size(ts) > 0, F.arrays_zip(prevs.alias("prev"), ts.alias("cur"))).otherwise(
+            F.array().cast("array<struct<prev:string,cur:string>>")
+        )
+
+    return _let(nonempty, _body)
+
+
+def bigram_model(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 1 << 16,
+    start_token: str = "<s>",
+    unk_token: str = "<unk>",
+) -> dict:
+    """Train a corpus bigram language model (the CCNet/KenLM-shaped
+    perplexity-filter reference model, one order up from
+    :func:`unigram_model`) → ``{"unigrams": DF, "bigrams": DF}``.
+
+    - ``unigrams``: ``(token, n, logp)`` over the ``vocab_size`` most
+      frequent tokens plus ``unk_token`` (every out-of-vocabulary
+      occurrence retrains as ``<unk>``, so scoring needs no ad-hoc
+      floor — the unknown-word mass is ESTIMATED, the classic open-
+      vocabulary construction).  ``logp = log(n / total_tokens)``.
+    - ``bigrams``: ``(prev, cur, n, logp)`` over vocab-mapped
+      transition pairs including the ``start_token`` history;
+      ``logp = log(n(prev,cur) / n(prev·))`` with the denominator the
+      count of ``prev`` AS A HISTORY (sum of its outgoing
+      transitions), so each history's conditional sums to 1.
+
+    Ties at the vocabulary cut break (count desc, token asc) —
+    deterministic.  Scale shape: two corpus passes (the unigram count
+    feeding the vocabulary, then the transition count), each one
+    explode + map-side-combined hash aggregate; the vocabulary mapping
+    is a broadcast join against the vocab-sized table, and the model
+    tables are eagerly checkpointed so scoring never re-reads the
+    training corpus.  Zipf keeps the bigram table ≈ corpus-token-count
+    sized at worst and far smaller in practice; it is keyed for a
+    shuffle join at scoring time (broadcast when small).
+    """
+    if vocab_size <= 0:
+        raise ValueError(f"vocab_size must be > 0, got {vocab_size}")
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = (
+        counts.orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(vocab_size)
+        .select("token")
+        .localCheckpoint(eager=True)
+    )
+
+    def vmap(col: Column) -> Column:
+        # vocabulary mapping after a broadcast LEFT join: in-vocab
+        # tokens keep themselves, everything else collapses to <unk>
+        return F.when(col.isNotNull(), col).otherwise(F.lit(unk_token))
+
+    uni = (
+        df.select(F.explode(tokens(text_col)).alias("_t"))
+        .filter(F.col("_t") != "")
+        .join(F.broadcast(vocab.withColumnRenamed("token", "_v")),
+              F.col("_t") == F.col("_v"), "left")
+        .select(vmap(F.col("_v")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = uni.agg(F.sum("n").alias("_total"))
+    unigrams = (
+        uni.crossJoin(F.broadcast(total))
+        .select("token", "n", F.log(F.col("n") / F.col("_total")).alias("logp"))
+        .localCheckpoint(eager=True)
+    )
+
+    pairs = (
+        df.select(F.explode(_transition_pairs(text_col, start_token)).alias("_p"))
+        .select(F.col("_p.prev").alias("_rp"), F.col("_p.cur").alias("_rc"))
+        .join(F.broadcast(vocab.withColumnRenamed("token", "_vp")),
+              F.col("_rp") == F.col("_vp"), "left")
+        .join(F.broadcast(vocab.withColumnRenamed("token", "_vc")),
+              F.col("_rc") == F.col("_vc"), "left")
+        .select(
+            # the start token is its own history symbol, never <unk>
+            F.when(F.col("_rp") == start_token, F.lit(start_token))
+            .otherwise(vmap(F.col("_vp")))
+            .alias("prev"),
+            vmap(F.col("_vc")).alias("cur"),
+        )
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hist = pairs.groupBy("prev").agg(F.sum("n").alias("_hn"))
+    bigrams = (
+        pairs.join(hist, "prev")
+        .select("prev", "cur", "n", F.log(F.col("n") / F.col("_hn")).alias("logp"))
+        .localCheckpoint(eager=True)
+    )
+    return {
+        "unigrams": unigrams,
+        "bigrams": bigrams,
+        "start_token": start_token,
+        "unk_token": unk_token,
+    }
+
+
+def bigram_logprob(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "bigram_logprob",
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Per-document mean transition log-score under a
+    :func:`bigram_model` with Stupid Backoff (Brants et al., EMNLP
+    2007) → ``(id_col, n_transitions, out_col)``.
+
+    Each transition scores ``logp(cur|prev)`` from the bigram table
+    when the pair was seen, else ``log(backoff) + logp(cur)`` from the
+    unigram table (both sides vocab-mapped to ``<unk>`` first, so
+    every transition has a defined score).  The classic
+    perplexity-filter signal: gibberish and word-salad documents score
+    far below fluent text even when their unigrams are common.
+    Documents with no tokens come back with ``n_transitions = 0`` and
+    NULL score.
+
+    Scale shape: one explode over transitions; vocabulary mapping is a
+    broadcast join; the bigram join is keyed on (prev, cur) —
+    broadcast when the model is small, shuffle join otherwise (the
+    exploded side carries (id, prev, cur) only, never the text);
+    per-document mean is a map-side-combined aggregate.
+    """
+    start, unk = model["start_token"], model["unk_token"]
+    vocab = model["unigrams"].select(F.col("token"))
+
+    def vmap(col: Column) -> Column:
+        return F.when(col.isNotNull(), col).otherwise(F.lit(unk))
+
+    trans = df.select(
+        F.col(id_col),
+        F.explode_outer(_transition_pairs(text_col, start)).alias("_p"),
+    ).select(
+        id_col, F.col("_p.prev").alias("_rp"), F.col("_p.cur").alias("_rc")
+    )
+    mapped = (
+        trans.join(F.broadcast(vocab.withColumnRenamed("token", "_vp")),
+                   F.col("_rp") == F.col("_vp"), "left")
+        .join(F.broadcast(vocab.withColumnRenamed("token", "_vc")),
+              F.col("_rc") == F.col("_vc"), "left")
+        .select(
+            id_col,
+            F.col("_rc").isNotNull().alias("_has"),
+            F.when(F.col("_rp") == start, F.lit(start))
+            .otherwise(vmap(F.col("_vp")))
+            .alias("prev"),
+            vmap(F.col("_vc")).alias("cur"),
+        )
+    )
+    bi = model["bigrams"].select("prev", "cur", F.col("logp").alias("_bi_lp"))
+    un = model["unigrams"].select(
+        F.col("token").alias("cur"), F.col("logp").alias("_un_lp")
+    )
+    scored = mapped.join(bi, ["prev", "cur"], "left").join(
+        F.broadcast(un), "cur", "left"
+    )
+    lp = F.when(
+        F.col("_has"),
+        F.coalesce(
+            F.col("_bi_lp"),
+            F.lit(math.log(backoff)) + F.col("_un_lp"),
+        ),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.when(F.col("_has"), 1)).alias("n_transitions"),
         F.round(F.avg(lp), 6).alias(out_col),
     )
 

@@ -671,3 +671,94 @@ def test_learn_bpe_regex_pretokenizer_python_oracle(spark):
 
     with pytest.raises(ValueError, match="whitespace\\|regex"):
         text.learn_bpe(df, n_merges=1, pre_tokenizer="bytes")
+
+
+def test_bigram_model_and_logprob_match_python(corpus):
+    """Bigram Stupid-Backoff scoring, checked exactly against a pure-
+    Python replica: vocabulary cut, <unk> retraining, history-sum
+    denominators, and per-doc backoff averages."""
+    df, rows = corpus
+    V = 40
+    model = text.bigram_model(df, vocab_size=V)
+
+    # -- python replica -----------------------------------------------------
+    cnt = Counter()
+    for _, t in rows:
+        if t:
+            cnt.update(t.lower().split())
+    vocab = {tok for tok, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:V]}
+    m = lambda tok: tok if tok in vocab else "<unk>"
+    uni, bi = Counter(), Counter()
+    for _, t in rows:
+        toks = [m(x) for x in (t.lower().split() if t else [])]
+        uni.update(toks)
+        prev = "<s>"
+        for tok in toks:
+            bi[(prev, tok)] += 1
+            prev = tok
+    total = sum(uni.values())
+    hist = Counter()
+    for (p, _), n in bi.items():
+        hist[p] += n
+
+    got_uni = {r["token"]: (r["n"], r["logp"]) for r in model["unigrams"].collect()}
+    assert set(got_uni) == set(uni)
+    for tok, n in uni.items():
+        assert got_uni[tok][0] == n
+        assert abs(got_uni[tok][1] - math.log(n / total)) < 1e-9
+
+    got_bi = {(r["prev"], r["cur"]): (r["n"], r["logp"])
+              for r in model["bigrams"].collect()}
+    assert set(got_bi) == set(bi)
+    for pair, n in bi.items():
+        assert got_bi[pair][0] == n
+        assert abs(got_bi[pair][1] - math.log(n / hist[pair[0]])) < 1e-9
+
+    # -- scoring ------------------------------------------------------------
+    got = {
+        r["doc_id"]: (r["n_transitions"], r["bigram_logprob"])
+        for r in text.bigram_logprob(df, model).collect()
+    }
+    assert set(got) == {i for i, _ in rows}
+    back = math.log(0.4)
+    for i, t in rows:
+        toks = [m(x) for x in (t.lower().split() if t else [])]
+        if not toks:
+            assert got[i] == (0, None)
+            continue
+        lps, prev = [], "<s>"
+        for tok in toks:
+            if (prev, tok) in bi:
+                lps.append(math.log(bi[(prev, tok)] / hist[prev]))
+            else:
+                lps.append(back + math.log(uni[tok] / total))
+            prev = tok
+        assert got[i][0] == len(toks)
+        assert abs(got[i][1] - sum(lps) / len(lps)) < 1e-5
+
+    # fluent text (in-model transitions) outscores shuffled word salad:
+    # the separation signal a unigram model cannot produce
+    with pytest.raises(ValueError):
+        text.bigram_model(df, vocab_size=0)
+
+
+def test_bigram_separates_word_salad(spark):
+    """Documents with the same unigram profile but scrambled order
+    score lower than the fluent ones — the signal that motivates the
+    bigram over the unigram filter."""
+    rng = random.Random(3)
+    sent = "the quick brown fox jumps over the lazy dog again and again"
+    fluent = [(i, sent) for i in range(30)]
+    words = sent.split()
+    salad = []
+    for i in range(30, 40):
+        w = words[:]
+        rng.shuffle(w)
+        salad.append((i, " ".join(w)))
+    df = spark.createDataFrame(fluent + salad, ["doc_id", "text"])
+    model = text.bigram_model(df, vocab_size=50)
+    scored = {r["doc_id"]: r["bigram_logprob"]
+              for r in text.bigram_logprob(df, model).collect()}
+    worst_fluent = min(scored[i] for i in range(30))
+    best_salad = max(scored[i] for i in range(30, 40))
+    assert worst_fluent > best_salad
