@@ -567,3 +567,207 @@ def semantic_dedup(
         .join(drops.withColumn(keep_col, F.lit(False)), [id_col], "left")
         .fillna({keep_col: True})
     )
+
+
+# ---------------------------------------------------------------------------
+# Product Quantization (Jegou et al., TPAMI 2011): compressed-vector ANN
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 16,
+    sample_size: int = 8192,
+    iterations: int = 10,
+    salt: str = "pq",
+    normalize: bool = True,
+) -> list:
+    """Train product-quantization codebooks → ``m`` lists of ``k``
+    sub-centroids (each ``dim/m`` floats).
+
+    The 100-TB embedding path: raw float32 vectors at corpus scale
+    dwarf the text (64-dim float32 = 256 B/row; PQ codes with m=8,
+    k=16 are 8 nibbles).  The codebooks compress each vector to ``m``
+    small codes whose reconstruction preserves inner products well
+    enough for retrieval; search then runs over codes only
+    (:func:`pq_topk`), never touching the raw vectors.
+
+    Training is Lloyd's k-means per subspace over a DETERMINISTIC
+    hash-ordered sample (same md5 device as :func:`ivf_index_seeded`;
+    driver-side numpy over ``sample_size`` rows — bounded and
+    documented, the standard train-on-sample regime) with fixed
+    ``iterations`` and lowest-index tie-breaks, so the codebooks are a
+    pure function of ``(salt, corpus)``.  ``normalize=True`` trains on
+    (and :func:`pq_encode` encodes) unit vectors, making reconstructed
+    inner products approximate COSINE; zero vectors pass through
+    unnormalized.  Empty clusters keep their previous centroid (the
+    classic fix), so every codebook always has exactly ``k`` entries.
+    """
+    import numpy as np
+
+    from .dedup import md5_prefix_hash
+
+    if m <= 0 or k <= 0:
+        raise ValueError(f"m and k must be > 0, got m={m} k={k}")
+    idc = F.col(id_col)
+    rows = (
+        df.select(F.col(vec_col).alias("_v"), idc.alias("_id"))
+        .filter(norm(F.col("_v")) > 0)
+        .orderBy(
+            md5_prefix_hash(F.concat(F.lit(salt), idc.cast("string"))).asc(),
+            idc.asc(),
+        )
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("no non-zero vectors to train on")
+    X = np.array([[float(x) for x in r["_v"]] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"m ({m}) must divide the vector dim ({dim})")
+    if normalize:
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    dsub = dim // m
+    books = []
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        # deterministic init: first k distinct-ish rows of the hash-
+        # ordered sample (duplicates tolerated; empty clusters heal)
+        cents = sub[: min(k, len(sub))].copy()
+        if len(cents) < k:  # tiny corpus: pad by repeating rows
+            reps = -(-k // len(cents))
+            cents = np.tile(cents, (reps, 1))[:k]
+        for _ in range(iterations):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # numpy argmin: lowest index wins
+            for j in range(k):
+                mask = assign == j
+                if mask.any():
+                    cents[j] = sub[mask].mean(axis=0)
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    normalize: bool = True,
+) -> DataFrame:
+    """Attach the PQ code column: ``array<int>`` of length ``m``,
+    entry ``s`` the index of the nearest sub-centroid of subspace
+    ``s`` (L2, lowest index on ties).
+
+    Pure column expressions — the ``m*k`` sub-centroids ride the plan
+    as literals and the argmin runs inside codegen (sorted struct
+    array, the :func:`ivf_index_seeded` device), so encoding is a
+    narrow projection: no shuffle, no Python, no second pass.  Keep
+    ``m*k`` in the low thousands (the codegen budget — m=16, k=256 is
+    ~4k distance folds per row; beyond that, encode in chunks).
+    ``normalize=True`` must match training.
+    """
+    m = len(codebooks)
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    v = F.col(vec_col)
+    if normalize:
+        nrm = norm(v)
+        unit = F.when(
+            nrm > 0, F.transform(v, lambda x: x.cast("double") / nrm)
+        ).otherwise(F.transform(v, lambda x: x.cast("double")))
+    else:
+        unit = F.transform(v, lambda x: x.cast("double"))
+
+    def _sub_argmin(sub: Column, book: list) -> Column:
+        scored = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sub,
+                            _vec_lit(c),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    F.lit(j).alias("j"),
+                )
+                for j, c in enumerate(book)
+            ]
+        )
+        return F.array_sort(scored)[0]["j"]
+
+    def _code(u: Column) -> Column:
+        return F.array(
+            *[
+                _sub_argmin(F.slice(u, s * dsub + 1, dsub), codebooks[s])
+                for s in range(m)
+            ]
+        )
+
+    # bind the normalized vector once (no CSE inside HOFs — the _let
+    # discovery): without this the norm fold would re-evaluate m*k times
+    from .text import _let
+
+    return df.withColumn(code_col, _let(unit, _code))
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks: list,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    normalize: bool = True,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes → ``(id_col,
+    pq_score)``: score = Σ_s dot(query_s, C_s[code_s]) ≈ the
+    query·vector inner product (cosine when trained/encoded with
+    ``normalize=True``), computed WITHOUT touching any raw vector.
+
+    The per-query lookup table (m×k inner products) is built
+    driver-side and rides the plan as a literal; each row then costs
+    ``m`` table lookups inside codegen, and orderBy+limit compiles to
+    TakeOrdered (per-partition heaps, no global sort).  This is the
+    IVFADC search half: at 10^11 vectors the code table is ~100× 
+    smaller than the raw embeddings and the scan is memory-bound on
+    codes only.
+    """
+    import math as _math
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    q = [float(x) for x in query_vec]
+    if len(q) != m * dsub:
+        raise ValueError(f"query dim {len(q)} != m*dsub {m * dsub}")
+    if normalize:
+        qn = _math.sqrt(sum(x * x for x in q))
+        if qn > 0:
+            q = [x / qn for x in q]
+    lut = [
+        [
+            sum(q[s * dsub + i] * c[i] for i in range(dsub))
+            for c in codebooks[s]
+        ]
+        for s in range(m)
+    ]
+    lutlit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    code = F.col(code_col)
+    score = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(F.element_at(lutlit, s), F.element_at(code, s) + 1),
+    )
+    return (
+        codes.select(F.col(id_col), score.alias("pq_score"))
+        .orderBy(F.col("pq_score").desc(), F.col(id_col))
+        .limit(k)
+    )

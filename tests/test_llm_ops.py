@@ -1491,3 +1491,86 @@ def test_image_near_dup_pairs_end_to_end(spark):
 
     with pytest.raises(ValueError):
         multimodal.image_near_dup_pairs(df, method="ahash")
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ / ADC)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_encode_matches_python_and_is_narrow(spark, emb):
+    import math
+
+    from grip_spark import similarity as S
+
+    books = S.pq_train(emb, m=16, k=16, sample_size=1024)
+    assert len(books) == 16 and len(books[0]) == 16 and len(books[0][0]) == 4
+    # pure function of (salt, corpus): retraining reproduces bit-identical books
+    assert S.pq_train(emb, m=16, k=16, sample_size=1024) == books
+
+    codes = S.pq_encode(emb, books)
+    # narrow projection: no shuffle anywhere in the encode plan
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    rows = codes.filter(F.col("vec_id") < 5).collect()
+    for r in rows:
+        vec = [float(x) for x in r["embedding"]]
+        n = math.sqrt(sum(x * x for x in vec))
+        u = [x / n for x in vec] if n > 0 else vec
+        want = []
+        for s in range(16):
+            sub = u[s * 4 : (s + 1) * 4]
+            d2 = [
+                (sum((a - b) ** 2 for a, b in zip(sub, c)), j)
+                for j, c in enumerate(books[s])
+            ]
+            want.append(min(d2)[1])
+        assert list(r["pq_code"]) == want, r["vec_id"]
+
+
+def test_pq_topk_recall_and_score(spark, emb):
+    import math
+
+    from grip_spark import similarity as S
+
+    books = S.pq_train(emb, m=16, k=16, sample_size=1024)
+    codes = S.pq_encode(emb, books).localCheckpoint(eager=True)
+    for qid in (0, 7, 42):
+        q = [float(x) for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]]
+        exact = {r["vec_id"] for r in S.cosine_topk(emb, "embedding", q, k=10).collect()}
+        top = S.pq_topk(codes, books, q, k=50).collect()
+        approx = {r["vec_id"] for r in top}
+        assert len(exact & approx) / 10 >= 0.7, qid
+        # ADC score of the best row equals the python LUT sum exactly
+        best = top[0]
+        qn = math.sqrt(sum(x * x for x in q))
+        qu = [x / qn for x in q]
+        code = {r["vec_id"]: list(r["pq_code"]) for r in codes.filter(
+            F.col("vec_id") == best["vec_id"]).collect()}[best["vec_id"]]
+        want = sum(
+            sum(qu[s * 4 + i] * books[s][code[s]][i] for i in range(4))
+            for s in range(16)
+        )
+        assert abs(best["pq_score"] - want) < 1e-9
+
+    with pytest.raises(ValueError):
+        S.pq_topk(codes, books, [0.0] * 63)
+    with pytest.raises(ValueError):
+        S.pq_train(emb, m=5, k=4)  # 5 does not divide 64
+    with pytest.raises(ValueError):
+        S.pq_train(emb, m=0)
+
+
+def test_pq_zero_vector_and_tiny_corpus(spark):
+    from grip_spark import similarity as S
+
+    rows = [(0, [1.0, 0.0, 2.0, 1.0]), (1, [0.0] * 4), (2, [3.0, 1.0, 0.0, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # k larger than the corpus: centroid padding keeps exactly k entries
+    books = S.pq_train(df, m=2, k=8, sample_size=10)
+    assert all(len(b) == 8 for b in books)
+    got = S.pq_encode(df, books).collect()
+    assert all(len(r["pq_code"]) == 2 for r in got)  # zero vector encodes too
+    top = S.pq_topk(S.pq_encode(df, books), books, [1.0, 0.0, 2.0, 1.0], k=3)
+    assert top.collect()[0]["vec_id"] == 0  # the query's own row wins
