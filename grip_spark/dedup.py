@@ -505,6 +505,7 @@ def hamming_pairs(
     max_hamming: int = 3,
     bits: int = 64,
     chunks: int = 4,
+    combos: int = 1,
 ) -> DataFrame:
     """All pairs within ``max_hamming`` over ANY ``bits``-bit signature
     column → ``(a_id, b_id, hamming)``.
@@ -514,24 +515,45 @@ def hamming_pairs(
     (:func:`grip_spark.multimodal.phash64` / ``dhash64``), audio
     fingerprints, any locality-preserving bit signature.  Pigeonhole
     trick (Manku et al., WWW 2007): split the hash into ``chunks``
-    equal chunks; a pair within hamming distance ``chunks-1`` agrees
-    exactly on ≥1 chunk, so one equi-join per chunk finds every such
-    pair — never an all-pairs scan.  Requires ``max_hamming < chunks``
-    for exact recall; distance verified exactly via ``bit_count(xor)``.
+    equal chunks; a pair within hamming distance ``max_hamming``
+    disagrees in at most ``max_hamming`` chunks, so it AGREES on at
+    least ``chunks - max_hamming`` — an equi-join per
+    ``combos``-combination of chunks finds every such pair exactly
+    (never an all-pairs scan) whenever
+    ``max_hamming <= chunks - combos``.  Distances are verified
+    exactly via ``bit_count(xor)``, so the output is identical for
+    every valid (chunks, combos) — the knobs trade join-key width
+    against keys-per-row.
+
+    Choosing the knobs: the join bucket count is ``2^(combos·bits/
+    chunks)`` — the candidate volume at corpus size N is
+    ~``C(chunks,combos)·N²/2^(combos·bits/chunks)``.  simhash's
+    default (chunks=4, combos=1) keys on 16 bits; a LOOSE radius like
+    the image default (max_hamming=6) would need chunks≥7 and key on
+    ≤9 bits — quadratic blowup at corpus scale — so wide radii should
+    raise ``combos`` instead: chunks=8, combos=2 keys on 16 bits with
+    C(8,2)=28 keys/row and keeps ``max_hamming<=6`` exact.
 
     NULL signatures (e.g. rows a decode stage tagged with ``err``) are
     dropped before the join.  The projected (id, hash) relation — two
     longs per row — is eagerly checkpointed so an expensive upstream
     (a full image decode) is computed once, not once per join side.
 
-    Scale: shuffle carries (id, hash, chunk-key) rows, ``chunks``× the
-    corpus — tiny.  Constant regions (flat images, empty documents)
-    hash identically and form one quadratic bucket; filter such
-    degenerate signatures upstream if the corpus is full of them (they
-    ARE near-dups, just uninterestingly so).
+    Scale: shuffle carries (id, hash, combo-key) rows,
+    ``C(chunks,combos)``× the corpus.  Constant regions (flat images,
+    empty documents) hash identically and form one quadratic bucket;
+    filter such degenerate signatures upstream if the corpus is full
+    of them (they ARE near-dups, just uninterestingly so).
     """
-    if max_hamming >= chunks:
-        raise ValueError("need max_hamming < chunks for exact recall")
+    from itertools import combinations
+
+    if not 1 <= combos <= chunks:
+        raise ValueError(f"need 1 <= combos ({combos}) <= chunks ({chunks})")
+    if max_hamming > chunks - combos:
+        raise ValueError(
+            f"need max_hamming ({max_hamming}) <= chunks - combos "
+            f"({chunks - combos}) for exact recall"
+        )
     if bits % chunks:
         raise ValueError(f"chunks ({chunks}) must divide bits ({bits})")
     w = bits // chunks
@@ -542,6 +564,10 @@ def hamming_pairs(
         .filter(F.col("_sim").isNotNull())
         .localCheckpoint(eager=True)
     )
+
+    def _chunk(k: int):
+        return F.shiftright(F.col("_sim"), k * w).bitwiseAND(F.lit((1 << w) - 1))
+
     banded = sig.select(
         "_id",
         "_sim",
@@ -549,12 +575,10 @@ def hamming_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(k).alias("chunk"),
-                        F.shiftright(F.col("_sim"), k * w)
-                        .bitwiseAND(F.lit((1 << w) - 1))
-                        .alias("ck"),
+                        F.lit(ci).alias("chunk"),
+                        F.array(*[_chunk(k) for k in comb]).alias("ck"),
                     )
-                    for k in range(chunks)
+                    for ci, comb in enumerate(combinations(range(chunks), combos))
                 ]
             )
         ).alias("_c"),

@@ -488,6 +488,10 @@ def jpeg_decode(raw: bytes) -> tuple[int, int, int, str, bytes]:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if len(seg) < 4 + 2 * ns:
+                # the module contract is ValueError on malformed input;
+                # without this a truncated SOS escapes as IndexError
+                raise ValueError("truncated SOS header")
             if not frame.progressive and ns != len(frame.comps):
                 # a ns < ncomp BASELINE scan is non-interleaved
                 # multi-scan — legal but rare; reject clearly

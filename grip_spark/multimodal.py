@@ -212,18 +212,11 @@ def nn_resize(
 # ---------------------------------------------------------------------------
 
 
-def _luma_pool(pix: bytes, w: int, h: int, nch: int, tw: int, th: int):
-    """Grayscale + box-mean downsample of decoded pixels → float64
-    ``(th, tw)`` array, the shared front half of pHash/dHash.
-
-    Luma is integer BT.601 (``(77R + 150G + 29B) >> 8``; gray/LA use
-    channel 0) so the grayscale plane is bit-deterministic.  Pooling
-    boxes use floor boundaries (``y*h//th``) widened to ≥1 source
-    row/col, so any geometry ≥1×1 — including upscales — is defined;
-    each cell is an exact integer sum (2-D prefix sums) over its box
-    divided once, making the pooled plane a pure function of the
-    pixels (no resampling-kernel or accumulation-order variance).
-    """
+def _luma_integral(pix: bytes, w: int, h: int, nch: int):
+    """2-D prefix sums of the integer BT.601 luma plane
+    (``(77R + 150G + 29B) >> 8``; gray/LA use channel 0) — the O(w·h)
+    half of pHash/dHash, computed ONCE per image and shared by both
+    pooling geometries (the pools below are O(tw·th))."""
     import numpy as np
 
     a = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, nch)
@@ -237,6 +230,18 @@ def _luma_pool(pix: bytes, w: int, h: int, nch: int, tw: int, th: int):
         g = a[:, :, 0].astype(np.int64)
     ii = np.zeros((h + 1, w + 1), dtype=np.int64)
     ii[1:, 1:] = g.cumsum(0).cumsum(1)
+    return ii
+
+
+def _pool(ii, w: int, h: int, tw: int, th: int):
+    """Box-mean downsample from a luma integral image → float64
+    ``(th, tw)``.  Boxes use floor boundaries (``y*h//th``) widened to
+    ≥1 source row/col, so any geometry ≥1×1 — including upscales — is
+    defined; each cell is an exact integer sum over its box divided
+    once, making the pooled plane a pure function of the pixels (no
+    resampling-kernel or accumulation-order variance)."""
+    import numpy as np
+
     ys = [y * h // th for y in range(th)] + [h]
     xs = [x * w // tw for x in range(tw)] + [w]
     out = np.empty((th, tw), dtype=np.float64)
@@ -247,6 +252,10 @@ def _luma_pool(pix: bytes, w: int, h: int, nch: int, tw: int, th: int):
             s = ii[y1, x1] - ii[y0, x1] - ii[y1, x0] + ii[y0, x0]
             out[y, x] = int(s) / ((y1 - y0) * (x1 - x0))
     return out
+
+
+def _luma_pool(pix: bytes, w: int, h: int, nch: int, tw: int, th: int):
+    return _pool(_luma_integral(pix, w, h, nch), w, h, tw, th)
 
 
 def _pack_bits64(bits) -> int:
@@ -269,9 +278,12 @@ def phash64(pix: bytes, w: int, h: int, nch: int) -> int:
     all-zero AC spectrum → only the DC bit set, so all flat images
     collide regardless of level (they are near-dups of each other).
     """
+    return _phash_from_pool(_luma_pool(pix, w, h, nch, 32, 32))
+
+
+def _phash_from_pool(p) -> int:
     import numpy as np
 
-    p = _luma_pool(pix, w, h, nch, 32, 32)
     k = np.arange(32)
     basis = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / 64.0)
     low = (basis @ p @ basis.T)[:8, :8]
@@ -286,8 +298,21 @@ def dhash64(pix: bytes, w: int, h: int, nch: int) -> int:
     """64-bit difference hash (dHash): 9×8 luma grid → bit = cell
     brighter than its right neighbor.  Cheaper and more
     gradient-sensitive than :func:`phash64`; same pairing path."""
-    p = _luma_pool(pix, w, h, nch, 9, 8)
+    return _dhash_from_pool(_luma_pool(pix, w, h, nch, 9, 8))
+
+
+def _dhash_from_pool(p) -> int:
     return _pack_bits64((p[:, 1:] > p[:, :-1]).ravel())
+
+
+def _perceptual64(pix: bytes, w: int, h: int, nch: int) -> tuple:
+    """(phash, dhash) sharing ONE luma/integral pass — the decode
+    stage's path, where the O(w·h) grayscale conversion dominates."""
+    ii = _luma_integral(pix, w, h, nch)
+    return (
+        _phash_from_pool(_pool(ii, w, h, 32, 32)),
+        _dhash_from_pool(_pool(ii, w, h, 9, 8)),
+    )
 
 
 def decode_image(
@@ -307,7 +332,7 @@ def decode_image(
     (:func:`grip_spark.jpeg.jpeg_decode` — Huffman, restarts, chroma
     upsampling), and GIF stills (first frame via :func:`gif_decode`)
     all decode FOR REAL with no codec library.  Formats that
-    genuinely need external codecs (WebP, progressive JPEG, ...) —
+    genuinely need external codecs (WebP, AVIF, ...) —
     like corrupt payloads — come back with NULL features and the
     reason in the ``err`` column rather than failing the stage: at
     corpus scale a decode job must never die on one bad image.
@@ -355,7 +380,7 @@ def decode_image(
                 None,
                 None,
                 f"unsupported format (magic {raw[:4].hex()}): only PNG/GIF/"
-                "baseline-JPEG decode without external codec libraries",
+                "JPEG decode without external codec libraries",
                 *blanks,
             )
         try:
@@ -387,11 +412,7 @@ def decode_image(
                 w, h = tw, th
             npix = w * h
             means = [sum(pix[c::nch]) / npix for c in range(nch)]
-            extra = (
-                (phash64(pix, w, h, nch), dhash64(pix, w, h, nch))
-                if perceptual
-                else ()
-            )
+            extra = _perceptual64(pix, w, h, nch) if perceptual else ()
             return (w, h, nch, mode, means, hashlib.sha1(pix).hexdigest(), None, *extra)
         except Exception as exc:
             return (None, None, None, None, None, None, str(exc), *blanks)
@@ -422,6 +443,7 @@ def image_near_dup_pairs(
     max_hamming: int = 6,
     method: str = "phash",
     chunks: int = 8,
+    combos: int = 2,
 ) -> DataFrame:
     """Perceptual near-duplicate image pairs → ``(a_id, b_id,
     hamming)``: decode each payload once (:func:`decode_image` with
@@ -437,7 +459,11 @@ def image_near_dup_pairs(
     (``err`` tagged) have NULL signatures and drop out of pairing.
     Scale: the decode output is projected to (id, hash) longs and
     checkpointed inside ``hamming_pairs``, so payload bytes are read
-    once and never shuffle.
+    once and never shuffle.  The default chunking (chunks=8,
+    combos=2) keys each of the C(8,2)=28 join passes on 16 bits —
+    NOT 8 (a single-chunk split at this radius would bucket the
+    corpus 256 ways and go quadratic); recall at ``max_hamming<=6``
+    stays exact either way.
     """
     if method not in ("phash", "dhash"):
         raise ValueError(f"method must be 'phash' or 'dhash', got {method!r}")
@@ -445,7 +471,7 @@ def image_near_dup_pairs(
     from .dedup import hamming_pairs
 
     return hamming_pairs(
-        sig, id_col, method, max_hamming=max_hamming, chunks=chunks
+        sig, id_col, method, max_hamming=max_hamming, chunks=chunks, combos=combos
     )
 
 

@@ -671,15 +671,22 @@ def pq_encode(
     ~4k distance folds per row; beyond that, encode in chunks).
     ``normalize=True`` must match training.
     """
+    from .text import _let
+
     m = len(codebooks)
     k = len(codebooks[0])
     dsub = len(codebooks[0][0])
     v = F.col(vec_col)
     if normalize:
-        nrm = norm(v)
-        unit = F.when(
-            nrm > 0, F.transform(v, lambda x: x.cast("double") / nrm)
-        ).otherwise(F.transform(v, lambda x: x.cast("double")))
+        # let-bind the norm: referenced inside the transform lambda it
+        # would otherwise re-evaluate the full O(dim) fold per ELEMENT
+        # (O(dim^2) per row — the no-CSE-inside-HOF hazard)
+        unit = _let(
+            norm(v),
+            lambda n: F.when(
+                n > 0, F.transform(v, lambda x: x.cast("double") / n)
+            ).otherwise(F.transform(v, lambda x: x.cast("double"))),
+        )
     else:
         unit = F.transform(v, lambda x: x.cast("double"))
 
@@ -713,8 +720,6 @@ def pq_encode(
 
     # bind the normalized vector once (no CSE inside HOFs — the _let
     # discovery): without this the norm fold would re-evaluate m*k times
-    from .text import _let
-
     return df.withColumn(code_col, _let(unit, _code))
 
 

@@ -574,19 +574,22 @@ def unigram_logprob(
     )
 
 
-def _transition_pairs(text_col: str, start_token: str) -> Column:
-    """``(prev, cur)`` transition structs of a document's token stream
-    with a leading ``start_token`` history — e.g. for ``"a b c"``:
-    ``(<s>,a) (a,b) (b,c)``.  Empty documents yield an empty array."""
+def _transition_pairs(text_col: str) -> Column:
+    """``(prev, cur)`` transition structs of a document's token stream —
+    e.g. for ``"a b c"``: ``(NULL,a) (a,b) (b,c)``.  The
+    start-of-document history is the NULL ``prev`` of the first
+    transition: a POSITIONAL sentinel no corpus token can collide with
+    (a document containing the literal string ``"<s>"`` must not merge
+    into the start state).  Empty documents yield an empty array."""
     nonempty = F.filter(tokens(text_col), lambda t: t != "")
 
     def _body(ts):
         prevs = F.concat(
-            F.array(F.lit(start_token)), F.slice(ts, 1, F.size(ts) - 1)
+            F.array(F.lit(None).cast("string")), F.slice(ts, 1, F.size(ts) - 1)
         )
-        return F.when(F.size(ts) > 0, F.arrays_zip(prevs.alias("prev"), ts.alias("cur"))).otherwise(
-            F.array().cast("array<struct<prev:string,cur:string>>")
-        )
+        return F.when(
+            F.size(ts) > 0, F.arrays_zip(prevs.alias("prev"), ts.alias("cur"))
+        ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
 
     return _let(nonempty, _body)
 
@@ -604,24 +607,32 @@ def bigram_model(
 
     - ``unigrams``: ``(token, n, logp)`` over the ``vocab_size`` most
       frequent tokens plus ``unk_token`` (every out-of-vocabulary
-      occurrence retrains as ``<unk>``, so scoring needs no ad-hoc
-      floor — the unknown-word mass is ESTIMATED, the classic open-
-      vocabulary construction).  ``logp = log(n / total_tokens)``.
-    - ``bigrams``: ``(prev, cur, n, logp)`` over vocab-mapped
-      transition pairs including the ``start_token`` history;
-      ``logp = log(n(prev,cur) / n(prev·))`` with the denominator the
-      count of ``prev`` AS A HISTORY (sum of its outgoing
-      transitions), so each history's conditional sums to 1.
+      occurrence retrains as ``<unk>``, the classic open-vocabulary
+      construction).  ``logp = log(n / total_tokens)``.  The ``<unk>``
+      row ALWAYS exists: when the vocabulary covers every training
+      token it carries ``n = 0`` and the half-count floor
+      ``log(0.5 / total)`` — scoring an unseen token is defined for
+      every model, never silently dropped from a document's mean.
+    - ``bigrams``: ``(is_start, prev, cur, n, logp)`` over vocab-mapped
+      transition pairs; the start-of-document history is the
+      ``is_start`` flag (``prev`` then displays as ``start_token``) so
+      a literal corpus token equal to ``start_token`` can never merge
+      into the start state.  ``logp = log(n(prev,cur) / n(prev·))``
+      with the denominator the count of ``prev`` AS A HISTORY (sum of
+      its outgoing transitions), so each history's conditional sums
+      to 1.
 
     Ties at the vocabulary cut break (count desc, token asc) —
-    deterministic.  Scale shape: two corpus passes (the unigram count
-    feeding the vocabulary, then the transition count), each one
-    explode + map-side-combined hash aggregate; the vocabulary mapping
-    is a broadcast join against the vocab-sized table, and the model
-    tables are eagerly checkpointed so scoring never re-reads the
-    training corpus.  Zipf keeps the bigram table ≈ corpus-token-count
-    sized at worst and far smaller in practice; it is keyed for a
-    shuffle join at scoring time (broadcast when small).
+    deterministic.  Scale shape: two corpus passes — the raw token
+    count (which also yields the vocabulary AND, via a vocab-sized
+    join over the distinct-token table, the unigram model: no third
+    corpus read) and the transition count — each one explode +
+    map-side-combined hash aggregate; the vocabulary mapping is a
+    broadcast join against the vocab-sized table, and the model tables
+    are eagerly checkpointed so scoring never re-reads the training
+    corpus.  Zipf keeps the bigram table ≈ corpus-token-count sized at
+    worst and far smaller in practice; it is keyed for a shuffle join
+    at scoring time (broadcast when small).
     """
     if vocab_size <= 0:
         raise ValueError(f"vocab_size must be > 0, got {vocab_size}")
@@ -644,43 +655,63 @@ def bigram_model(
         # tokens keep themselves, everything else collapses to <unk>
         return F.when(col.isNotNull(), col).otherwise(F.lit(unk_token))
 
+    # unigram model from the DISTINCT-TOKEN table (no corpus re-read):
+    # map each counted token through the vocabulary, fold OOV mass
+    # into <unk>, and seed a zero-count <unk> row so the model always
+    # has an unknown-word entry even at full vocabulary coverage
+    unk_seed = df.sparkSession.range(1).select(
+        F.lit(unk_token).alias("token"), F.lit(0).cast("bigint").alias("n")
+    )
     uni = (
-        df.select(F.explode(tokens(text_col)).alias("_t"))
-        .filter(F.col("_t") != "")
-        .join(F.broadcast(vocab.withColumnRenamed("token", "_v")),
-              F.col("_t") == F.col("_v"), "left")
-        .select(vmap(F.col("_v")).alias("token"))
+        counts.join(
+            F.broadcast(vocab.withColumnRenamed("token", "_v")),
+            F.col("token") == F.col("_v"),
+            "left",
+        )
+        .select(vmap(F.col("_v")).alias("token"), "n")
+        .unionByName(unk_seed)
         .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("n").alias("n"))
     )
     total = uni.agg(F.sum("n").alias("_total"))
     unigrams = (
         uni.crossJoin(F.broadcast(total))
-        .select("token", "n", F.log(F.col("n") / F.col("_total")).alias("logp"))
+        .select(
+            "token",
+            "n",
+            F.when(F.col("n") > 0, F.log(F.col("n") / F.col("_total")))
+            .otherwise(F.log(F.lit(0.5) / F.col("_total")))
+            .alias("logp"),
+        )
         .localCheckpoint(eager=True)
     )
 
     pairs = (
-        df.select(F.explode(_transition_pairs(text_col, start_token)).alias("_p"))
+        df.select(F.explode(_transition_pairs(text_col)).alias("_p"))
         .select(F.col("_p.prev").alias("_rp"), F.col("_p.cur").alias("_rc"))
         .join(F.broadcast(vocab.withColumnRenamed("token", "_vp")),
               F.col("_rp") == F.col("_vp"), "left")
         .join(F.broadcast(vocab.withColumnRenamed("token", "_vc")),
               F.col("_rc") == F.col("_vc"), "left")
         .select(
-            # the start token is its own history symbol, never <unk>
-            F.when(F.col("_rp") == start_token, F.lit(start_token))
+            # positional NULL sentinel -> start state; a literal
+            # start_token in the DATA stays a plain (vocab-mapped) token
+            F.col("_rp").isNull().alias("is_start"),
+            F.when(F.col("_rp").isNull(), F.lit(start_token))
             .otherwise(vmap(F.col("_vp")))
             .alias("prev"),
             vmap(F.col("_vc")).alias("cur"),
         )
-        .groupBy("prev", "cur")
+        .groupBy("is_start", "prev", "cur")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    hist = pairs.groupBy("prev").agg(F.sum("n").alias("_hn"))
+    hist = pairs.groupBy("is_start", "prev").agg(F.sum("n").alias("_hn"))
     bigrams = (
-        pairs.join(hist, "prev")
-        .select("prev", "cur", "n", F.log(F.col("n") / F.col("_hn")).alias("logp"))
+        pairs.join(hist, ["is_start", "prev"])
+        .select(
+            "is_start", "prev", "cur", "n",
+            F.log(F.col("n") / F.col("_hn")).alias("logp"),
+        )
         .localCheckpoint(eager=True)
     )
     return {
@@ -705,16 +736,17 @@ def bigram_logprob(
 
     Each transition scores ``logp(cur|prev)`` from the bigram table
     when the pair was seen, else ``log(backoff) + logp(cur)`` from the
-    unigram table (both sides vocab-mapped to ``<unk>`` first, so
-    every transition has a defined score).  The classic
-    perplexity-filter signal: gibberish and word-salad documents score
-    far below fluent text even when their unigrams are common.
-    Documents with no tokens come back with ``n_transitions = 0`` and
-    NULL score.
+    unigram table (both sides vocab-mapped to ``<unk>`` first; the
+    model's guaranteed ``<unk>`` row means every transition — however
+    unseen — has a defined, finite score, so OOV text is PENALIZED,
+    never dropped from the mean).  The classic perplexity-filter
+    signal: gibberish and word-salad documents score far below fluent
+    text even when their unigrams are common.  Documents with no
+    tokens come back with ``n_transitions = 0`` and NULL score.
 
     Scale shape: one explode over transitions; vocabulary mapping is a
-    broadcast join; the bigram join is keyed on (prev, cur) —
-    broadcast when the model is small, shuffle join otherwise (the
+    broadcast join; the bigram join is keyed on (is_start, prev, cur)
+    — broadcast when the model is small, shuffle join otherwise (the
     exploded side carries (id, prev, cur) only, never the text);
     per-document mean is a map-side-combined aggregate.
     """
@@ -726,7 +758,7 @@ def bigram_logprob(
 
     trans = df.select(
         F.col(id_col),
-        F.explode_outer(_transition_pairs(text_col, start)).alias("_p"),
+        F.explode_outer(_transition_pairs(text_col)).alias("_p"),
     ).select(
         id_col, F.col("_p.prev").alias("_rp"), F.col("_p.cur").alias("_rc")
     )
@@ -738,17 +770,24 @@ def bigram_logprob(
         .select(
             id_col,
             F.col("_rc").isNotNull().alias("_has"),
-            F.when(F.col("_rp") == start, F.lit(start))
+            # the start state is the positional NULL sentinel (only
+            # real transitions count: _has is false on the
+            # explode_outer row of an empty document, whose _rp is
+            # also null)
+            (F.col("_rp").isNull() & F.col("_rc").isNotNull()).alias("is_start"),
+            F.when(F.col("_rp").isNull(), F.lit(start))
             .otherwise(vmap(F.col("_vp")))
             .alias("prev"),
             vmap(F.col("_vc")).alias("cur"),
         )
     )
-    bi = model["bigrams"].select("prev", "cur", F.col("logp").alias("_bi_lp"))
+    bi = model["bigrams"].select(
+        "is_start", "prev", "cur", F.col("logp").alias("_bi_lp")
+    )
     un = model["unigrams"].select(
         F.col("token").alias("cur"), F.col("logp").alias("_un_lp")
     )
-    scored = mapped.join(bi, ["prev", "cur"], "left").join(
+    scored = mapped.join(bi, ["is_start", "prev", "cur"], "left").join(
         F.broadcast(un), "cur", "left"
     )
     lp = F.when(

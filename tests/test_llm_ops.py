@@ -1574,3 +1574,60 @@ def test_pq_zero_vector_and_tiny_corpus(spark):
     assert all(len(r["pq_code"]) == 2 for r in got)  # zero vector encodes too
     top = S.pq_topk(S.pq_encode(df, books), books, [1.0, 0.0, 2.0, 1.0], k=3)
     assert top.collect()[0]["vec_id"] == 0  # the query's own row wins
+
+
+def test_jpeg_truncated_sos_is_valueerror():
+    """A corrupt SOS whose declared length truncates the scan
+    parameters must surface as the module's documented ValueError,
+    not an IndexError escape (fuzz regression)."""
+    np = _np()
+    from jpeg_ref import jpeg_encode
+
+    from grip_spark.jpeg import jpeg_decode
+
+    raw = bytearray(jpeg_encode(np.full((8, 8, 3), 128, dtype=np.uint8)))
+    i = raw.find(b"\xff\xda")
+    assert i > 0
+    # shrink the SOS segment length to cover only the ns byte
+    raw[i + 2 : i + 4] = (3).to_bytes(2, "big")
+    with pytest.raises(ValueError):
+        jpeg_decode(bytes(raw))
+
+
+def test_hamming_pairs_combos_exact(spark):
+    """combos=2 (pair-of-chunks keys) finds exactly the brute-force
+    set at the wider radius the image default uses."""
+    import random as _random
+
+    from grip_spark import dedup
+
+    rng = _random.Random(21)
+    sigs = {i: rng.getrandbits(64) for i in range(20)}
+    # plant pairs at hamming 1..6 around base signatures
+    for d in range(1, 7):
+        v = sigs[d]
+        for b in rng.sample(range(64), d):
+            v ^= 1 << b
+        sigs[200 + d] = v
+    to_long = lambda x: x - (1 << 64) if x >= (1 << 63) else x
+    df = spark.createDataFrame(
+        [(i, to_long(v)) for i, v in sigs.items()], "id long, sig long"
+    )
+    got = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in dedup.hamming_pairs(
+            df, "id", "sig", max_hamming=6, chunks=8, combos=2
+        ).collect()
+    }
+    want = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 6
+    }
+    assert got == want and len(want) >= 6
+
+    with pytest.raises(ValueError):  # 7 > 8 - 2
+        dedup.hamming_pairs(df, "id", "sig", max_hamming=7, chunks=8, combos=2)
+    with pytest.raises(ValueError):
+        dedup.hamming_pairs(df, "id", "sig", combos=0)

@@ -707,6 +707,8 @@ def test_bigram_model_and_logprob_match_python(corpus):
         assert got_uni[tok][0] == n
         assert abs(got_uni[tok][1] - math.log(n / total)) < 1e-9
 
+    assert "<unk>" in got_uni  # the guaranteed unknown-word row
+
     got_bi = {(r["prev"], r["cur"]): (r["n"], r["logp"])
               for r in model["bigrams"].collect()}
     assert set(got_bi) == set(bi)
@@ -762,3 +764,46 @@ def test_bigram_separates_word_salad(spark):
     worst_fluent = min(scored[i] for i in range(30))
     best_salad = max(scored[i] for i in range(30, 40))
     assert worst_fluent > best_salad
+
+
+def test_bigram_oov_penalized_not_dropped(spark):
+    """Full-vocabulary model + unseen scoring token: the transition
+    must take the backoff-to-<unk>-floor path, never vanish from the
+    mean (the 'gibberish scores 0.0' hole) — and a literal '<s>' data
+    token must not merge into the start state."""
+    train = [(0, "the cat sat"), (1, "the cat ran")]
+    df = spark.createDataFrame(train, ["doc_id", "text"])
+    model = text.bigram_model(df, vocab_size=100)  # covers every token
+
+    uni = {r["token"]: (r["n"], r["logp"]) for r in model["unigrams"].collect()}
+    total = sum(n for n, _ in uni.values())
+    assert uni["<unk>"][0] == 0
+    assert abs(uni["<unk>"][1] - math.log(0.5 / total)) < 1e-9
+
+    score_df = spark.createDataFrame(
+        [(10, "the zebra"), (11, "zebra qux"), (12, "the cat sat")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["n_transitions"], r["bigram_logprob"])
+           for r in text.bigram_logprob(score_df, model).collect()}
+    back = math.log(0.4)
+    floor = uni["<unk>"][1]
+    # "the zebra": (<s>,the) seen; (the,zebra) -> backoff + unk floor
+    bi = {(("<s>", True) if r["is_start"] else (r["prev"], False), r["cur"]): r["logp"]
+          for r in model["bigrams"].collect()}
+    want_10 = (bi[(("<s>", True), "the")] + back + floor) / 2
+    assert got[10] == (2, round(want_10, 6))
+    # all-OOV doc: every transition defined, deeply negative — not NULL,
+    # not 0.0
+    want_11 = ((back + floor) + (back + floor)) / 2
+    assert got[11] == (2, round(want_11, 6))
+    assert got[11][1] < got[12][1]
+
+    # a literal '<s>' token in the data is NOT the start state: it
+    # vocab-maps like any other unseen token
+    weird = spark.createDataFrame([(0, "<s> the")], ["doc_id", "text"])
+    r = text.bigram_logprob(weird, model).collect()[0]
+    # (<s>-sentinel, '<s>'-as-token) -> backoff+floor; ('<s>'-token,
+    # 'the') -> unseen pair -> backoff + logp(the)
+    want = ((back + floor) + (back + uni["the"][1])) / 2
+    assert (r["n_transitions"], r["bigram_logprob"]) == (2, round(want, 6))
