@@ -626,11 +626,21 @@ def pq_train(
     if not rows:
         raise ValueError("no non-zero vectors to train on")
     X = np.array([[float(x) for x in r["_v"]] for r in rows], dtype=np.float64)
+    if normalize:
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    return _pq_lloyd(X, m, k, iterations)
+
+
+def _pq_lloyd(X, m: int, k: int, iterations: int) -> list:
+    """Per-subspace Lloyd's over a (sample × dim) float64 matrix →
+    ``m`` codebooks of ``k`` sub-centroids.  Deterministic: first-rows
+    init in sample order, lowest-index argmin ties, fixed iterations,
+    empty clusters keep their previous centroid."""
+    import numpy as np
+
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"m ({m}) must divide the vector dim ({dim})")
-    if normalize:
-        X = X / np.linalg.norm(X, axis=1, keepdims=True)
     dsub = dim // m
     books = []
     for s in range(m):
@@ -671,24 +681,38 @@ def pq_encode(
     ~4k distance folds per row; beyond that, encode in chunks).
     ``normalize=True`` must match training.
     """
+    return df.withColumn(
+        code_col, _pq_code_expr(_unit_expr(vec_col, normalize), codebooks)
+    )
+
+
+def _unit_expr(vec_col: str, normalize: bool) -> Column:
+    """Double-cast (optionally unit-normalized) copy of a vector
+    column.  The norm is let-bound: referenced inside the transform
+    lambda it would otherwise re-evaluate the full O(dim) fold per
+    ELEMENT (O(dim^2) per row — the no-CSE-inside-HOF hazard)."""
+    from .text import _let
+
+    v = F.col(vec_col)
+    if not normalize:
+        return F.transform(v, lambda x: x.cast("double"))
+    return _let(
+        norm(v),
+        lambda n: F.when(
+            n > 0, F.transform(v, lambda x: x.cast("double") / n)
+        ).otherwise(F.transform(v, lambda x: x.cast("double"))),
+    )
+
+
+def _pq_code_expr(unit: Column, codebooks: list) -> Column:
+    """``array<int>`` PQ code of a double-array column expression —
+    per subspace, the sorted-struct argmin over the literal
+    sub-centroids, with the input let-bound so it evaluates once per
+    row, not once per distance fold."""
     from .text import _let
 
     m = len(codebooks)
-    k = len(codebooks[0])
     dsub = len(codebooks[0][0])
-    v = F.col(vec_col)
-    if normalize:
-        # let-bind the norm: referenced inside the transform lambda it
-        # would otherwise re-evaluate the full O(dim) fold per ELEMENT
-        # (O(dim^2) per row — the no-CSE-inside-HOF hazard)
-        unit = _let(
-            norm(v),
-            lambda n: F.when(
-                n > 0, F.transform(v, lambda x: x.cast("double") / n)
-            ).otherwise(F.transform(v, lambda x: x.cast("double"))),
-        )
-    else:
-        unit = F.transform(v, lambda x: x.cast("double"))
 
     def _sub_argmin(sub: Column, book: list) -> Column:
         scored = F.array(
@@ -718,9 +742,7 @@ def pq_encode(
             ]
         )
 
-    # bind the normalized vector once (no CSE inside HOFs — the _let
-    # discovery): without this the norm fold would re-evaluate m*k times
-    return df.withColumn(code_col, _let(unit, _code))
+    return _let(unit, _code)
 
 
 def pq_topk(
@@ -756,6 +778,20 @@ def pq_topk(
         qn = _math.sqrt(sum(x * x for x in q))
         if qn > 0:
             q = [x / qn for x in q]
+    score = _adc_score_expr(codebooks, q, code_col)
+    return (
+        codes.select(F.col(id_col), score.alias("pq_score"))
+        .orderBy(F.col("pq_score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _adc_score_expr(codebooks: list, q: list[float], code_col: str) -> Column:
+    """Σ_s dot(q_s, C_s[code_s]) as a literal-LUT fold over the code
+    column — the asymmetric-distance kernel shared by :func:`pq_topk`
+    and :func:`ivfadc_topk`."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
     lut = [
         [
             sum(q[s * dsub + i] * c[i] for i in range(dsub))
@@ -765,14 +801,140 @@ def pq_topk(
     ]
     lutlit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
     code = F.col(code_col)
-    score = F.aggregate(
+    return F.aggregate(
         F.sequence(F.lit(1), F.lit(m)),
         F.lit(0.0),
         lambda acc, s: acc
         + F.element_at(F.element_at(lutlit, s), F.element_at(code, s) + 1),
     )
+
+
+def ivfadc_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 8,
+    m: int = 8,
+    k: int = 16,
+    sample_size: int = 8192,
+    iterations: int = 10,
+    salt: str = "ivfadc",
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_code",
+):
+    """IVFADC (Jegou et al., TPAMI 2011 §IV): Lloyd-trained coarse IVF
+    cells + PQ codes of the RESIDUAL (unit vector − cell centroid) →
+    ``(indexed_df, centroids, codebooks)``.
+
+    The full billion-scale layout: the coarse quantizer prunes the
+    search to ``nprobe`` cells, and residual-PQ shrinks each stored
+    vector to ``m`` small codes with less quantization error than flat
+    PQ at the same budget (residuals are centered near zero, so the
+    codebooks spend their resolution on a tighter distribution).
+    Codebooks are shared across cells (the paper's memory-practical
+    variant).  The coarse quantizer is the SAME deterministic Lloyd's
+    as the codebooks (``_pq_lloyd`` with one full-dim subspace:
+    hash-ordered sample init, fixed iterations, lowest-index ties) —
+    not the hash-seed points of :func:`ivf_index_seeded`, whose
+    uncentered residuals would waste the PQ budget.
+
+    Everything is a pure function of ``(salt, corpus)``.  Scale shape:
+    training is one bounded driver-side collect; encoding is a narrow
+    projection (cell argmin + per-cell literal centroid subtraction +
+    PQ argmin, all codegen, no shuffle — plan-asserted).  Write the
+    output partitioned by ``cell_col`` and :func:`ivfadc_topk`'s cell
+    filter becomes partition pruning.
+    """
+    import numpy as np
+
+    from .dedup import md5_prefix_hash
+
+    if n_lists <= 0:
+        raise ValueError(f"n_lists must be > 0, got {n_lists}")
+    idc = F.col(id_col)
+    rows = (
+        df.select(F.col(vec_col).alias("_v"), idc.alias("_id"))
+        .filter(norm(F.col("_v")) > 0)
+        .orderBy(
+            md5_prefix_hash(F.concat(F.lit(salt), idc.cast("string"))).asc(),
+            idc.asc(),
+        )
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("no non-zero vectors to train on")
+    X = np.array([[float(x) for x in r["_v"]] for r in rows], dtype=np.float64)
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    centroids = _pq_lloyd(X, 1, n_lists, iterations)[0]
+    C = np.array(centroids, dtype=np.float64)
+    # assignment replica of the Spark-side argmin (L2, lowest index)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)
+    books = _pq_lloyd(X - C[assign], m, k, iterations)
+
+    unit = _unit_expr(vec_col, True)
+    # cell = single-"subspace" PQ argmin over the coarse centroids
+    indexed = df.withColumn(cell_col, _pq_code_expr(unit, [centroids])[0])
+    cent_lit = F.array(*[_vec_lit(c) for c in centroids])
+    resid = F.zip_with(
+        unit,
+        F.element_at(cent_lit, F.col(cell_col) + 1),
+        lambda x, y: x - y,
+    )
+    out = indexed.withColumn(code_col, _pq_code_expr(resid, books))
+    return out, centroids, books
+
+
+def ivfadc_topk(
+    index_df: DataFrame,
+    centroids: list,
+    codebooks: list,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    cell_col: str = "ivf_cell",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """IVFADC search → ``(id_col, ivfadc_score)``: probe the
+    ``nprobe`` cells whose centroids best match the query, score
+    every code in them as ``dot(q, centroid_cell) + Σ_s dot(q_s,
+    C_s[code_s])`` ≈ cosine(q, v) — never touching a raw vector
+    (the decomposition dot(q, v̂) = dot(q, c) + dot(q, v̂−c) is exact;
+    only the residual is quantized).
+
+    The cell term is a literal per-cell scalar and the residual term
+    the shared ADC lookup table; the cell filter is a pushable
+    ``isin`` (partition pruning when the index is stored partitioned
+    by cell), and orderBy+limit compiles to TakeOrdered.  Cost:
+    ~corpus·nprobe/n_lists code rows scanned, m lookups each.
+    """
+    import math as _math
+
+    q = [float(x) for x in query_vec]
+    qn = _math.sqrt(sum(x * x for x in q))
+    if qn > 0:
+        q = [x / qn for x in q]
+    dims = len(codebooks[0][0]) * len(codebooks)
+    if len(q) != dims:
+        raise ValueError(f"query dim {len(q)} != codebook dim {dims}")
+    cell_dots = [sum(qi * ci for qi, ci in zip(q, c)) for c in centroids]
+    # probe ranking mirrors the ASSIGNMENT rule (L2 to the centroid):
+    # ||q-c||^2 = 1+|c|^2-2*dot -> rank by dot - |c|^2/2, not raw dot
+    # (Lloyd centroids are interior points with differing norms)
+    halfn2 = [sum(ci * ci for ci in c) / 2.0 for c in centroids]
+    probed = sorted(
+        range(len(cell_dots)), key=lambda i: (halfn2[i] - cell_dots[i], i)
+    )[: max(1, nprobe)]
+    cell_lit = F.array(*[F.lit(v) for v in cell_dots])
+    score = (
+        F.element_at(cell_lit, F.col(cell_col) + 1)
+        + _adc_score_expr(codebooks, q, code_col)
+    )
     return (
-        codes.select(F.col(id_col), score.alias("pq_score"))
-        .orderBy(F.col("pq_score").desc(), F.col(id_col))
+        index_df.filter(F.col(cell_col).isin(probed))
+        .select(F.col(id_col), score.alias("ivfadc_score"))
+        .orderBy(F.col("ivfadc_score").desc(), F.col(id_col))
         .limit(k)
     )

@@ -1631,3 +1631,67 @@ def test_hamming_pairs_combos_exact(spark):
         dedup.hamming_pairs(df, "id", "sig", max_hamming=7, chunks=8, combos=2)
     with pytest.raises(ValueError):
         dedup.hamming_pairs(df, "id", "sig", combos=0)
+
+
+def test_ivfadc_index_matches_python_and_is_narrow(spark, emb):
+    import math
+
+    from grip_spark import similarity as S
+
+    idx, cents, books = S.ivfadc_index(emb, n_lists=8, m=16, k=16, sample_size=512)
+    assert len(cents) == 8 and len(books) == 16 and len(books[0]) == 16
+    # deterministic: retrain reproduces the index bit-identically
+    _, cents2, books2 = S.ivfadc_index(emb, n_lists=8, m=16, k=16, sample_size=512)
+    assert cents2 == cents and books2 == books
+
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # cell + residual code: narrow projection
+
+    for r in idx.filter(F.col("vec_id") < 4).collect():
+        vec = [float(x) for x in r["embedding"]]
+        n = math.sqrt(sum(x * x for x in vec))
+        u = [x / n for x in vec]
+        d2 = [
+            (sum((a - b) ** 2 for a, b in zip(u, c)), i)
+            for i, c in enumerate(cents)
+        ]
+        cell = min(d2)[1]
+        assert r["ivf_cell"] == cell
+        resid = [a - b for a, b in zip(u, cents[cell])]
+        want = []
+        for s in range(16):
+            sub = resid[s * 4 : (s + 1) * 4]
+            dd = [
+                (sum((a - b) ** 2 for a, b in zip(sub, c)), j)
+                for j, c in enumerate(books[s])
+            ]
+            want.append(min(dd)[1])
+        assert list(r["pq_code"]) == want
+
+
+def test_ivfadc_topk_recall_and_pruning(spark, emb):
+    from grip_spark import similarity as S
+
+    idx, cents, books = S.ivfadc_index(emb, n_lists=8, m=16, k=16, sample_size=1024)
+    idx = idx.localCheckpoint(eager=True)
+    cells = {r["vec_id"]: r["ivf_cell"] for r in idx.select("vec_id", "ivf_cell").collect()}
+    for qid in (0, 7, 42):
+        q = [float(x) for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]]
+        exact = {r["vec_id"] for r in S.cosine_topk(emb, "embedding", q, k=10).collect()}
+        # full probe isolates residual-PQ quality: high recall
+        a_all = {r["vec_id"] for r in
+                 S.ivfadc_topk(idx, cents, books, q, k=50, nprobe=8).collect()}
+        assert len(exact & a_all) / 10 >= 0.8, qid
+        # narrow probe trades recall for a bounded scan: every result
+        # must come from a probed cell, and the query's own cell is
+        # probed first (its row is found)
+        res2 = S.ivfadc_topk(idx, cents, books, q, k=50, nprobe=2).collect()
+        got_cells = {cells[r["vec_id"]] for r in res2}
+        assert len(got_cells) <= 2
+        assert qid in {r["vec_id"] for r in res2}
+        assert len(exact & {r["vec_id"] for r in res2}) / 10 >= 0.4, qid
+
+    with pytest.raises(ValueError):
+        S.ivfadc_topk(idx, cents, books, [0.0] * 63)
+    with pytest.raises(ValueError):
+        S.ivfadc_index(emb, n_lists=0)
