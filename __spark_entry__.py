@@ -1435,7 +1435,7 @@ def oracle_sql() -> dict[str, str]:
             "lower(substr(hex(encode(text)), 1, 8)) AS magic, "
             "CAST(ceil(octet_length(encode(text)) / 100.0) AS BIGINT) AS n_frames, "
             "'unsupported format (magic ' || lower(substr(hex(encode(text)), 1, 8)) "
-            "|| '): only PNG/GIF/baseline-JPEG decode without external codec "
+            "|| '): only PNG/GIF/JPEG decode without external codec "
             "libraries' AS decode_err "
             "FROM documents WHERE text NOT LIKE 'GIF8%'"
         ),

@@ -615,8 +615,54 @@ def wav_decode(raw: bytes) -> tuple[int, int, int, int, "array.array"]:
     return rate, nch, bits, n_frames, flat
 
 
+def audio_fingerprint64(samples, channels: int) -> int | None:
+    """64-bit spectral-shape fingerprint of PCM samples (the
+    Haitsma-Kalker 2002 band-energy family collapsed to one per-track
+    hash): mono mixdown → 4 equal time segments → per-segment FFT
+    power in 16 log-spaced frequency bands → bit = band louder than
+    the segment's MEDIAN band (the pHash device: large margins between
+    loud and quiet bands make the bits noise-stable; adjacent-band
+    sign differences flip under quantization noise and carry almost no
+    entropy for stationary signals).
+
+    Exactly invariant to uniform amplitude scaling, stable under
+    re-quantization (8↔16-bit) and light additive noise; pairs via
+    :func:`grip_spark.dedup.hamming_pairs`
+    (:func:`audio_near_dup_pairs`).  Pure silence has an all-zero
+    spectrum → hash 0; all silent tracks collide (they are dups of
+    each other).  Tracks shorter than 16 frames return None.
+    """
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.float64)
+    if channels > 1:
+        a = a[: (a.shape[0] // channels) * channels]
+        a = a.reshape(-1, channels).mean(axis=1)
+    n = a.shape[0]
+    if n < 16:
+        return None
+    segs, bands = 4, 16
+    bits = []
+    for s in range(segs):
+        seg = a[s * n // segs : (s + 1) * n // segs]
+        spec = np.abs(np.fft.rfft(seg)) ** 2
+        nb = spec.shape[0]
+        edges = np.geomspace(1, max(nb - 1, 2), bands + 1)
+        E = np.zeros(bands)
+        for b in range(bands):
+            lo = int(edges[b])
+            hi = max(lo + 1, int(edges[b + 1]))
+            if lo < nb:
+                E[b] = spec[lo : min(hi, nb)].sum()
+        bits.extend(E > np.median(E))
+    return _pack_bits64(bits)
+
+
 def decode_audio(
-    df: DataFrame, bin_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    perceptual: bool = False,
 ) -> DataFrame:
     """Decode audio payloads to typed features — the audio leg of the
     multimodal decode surface, same contract as :func:`decode_image`:
@@ -630,6 +676,11 @@ def decode_audio(
     per-channel zero-crossing counts — the standard cheap quality/
     silence signals a corpus filter wants.  All sums are integer
     driver-exact, so outputs are deterministic across partitionings.
+
+    ``perceptual=True`` adds the 64-bit ``afp`` long column
+    (:func:`audio_fingerprint64`) in the same decode pass — the
+    near-dup key :func:`audio_near_dup_pairs` joins on; decode errors
+    (and sub-16-frame clips) leave it NULL.
     """
     import math as _math
 
@@ -639,17 +690,21 @@ def decode_audio(
         "n_frames bigint, duration_s double, rms array<double>, "
         "zero_crossings array<bigint>, err string"
     )
+    if perceptual:
+        schema += ", afp long"
+    blanks = (None,) if perceptual else ()
+    nulls = (None,) * 7
 
     def _one(b):
-        nulls = (None,) * 7
         if b is None:
-            return (*nulls, "null payload")
+            return (*nulls, "null payload", *blanks)
         raw = bytes(b)
         if not raw.startswith(WAV_MAGIC):
             return (
                 *nulls,
                 f"unsupported format (magic {raw[:4].hex()}): only WAV/PCM "
                 "decodes without external codec libraries",
+                *blanks,
             )
         try:
             import numpy as np
@@ -681,6 +736,9 @@ def decode_audio(
                 else:
                     rms.append(0.0)
                     zc.append(0)
+            extra = (
+                (audio_fingerprint64(arr, nch),) if perceptual else ()
+            )
             return (
                 rate,
                 nch,
@@ -690,9 +748,10 @@ def decode_audio(
                 rms,
                 zc,
                 None,
+                *extra,
             )
         except Exception as exc:
-            return (*nulls, str(exc))
+            return (*nulls, str(exc), *blanks)
 
     cols = [
         id_col,
@@ -704,7 +763,7 @@ def decode_audio(
         "rms",
         "zero_crossings",
         "err",
-    ]
+    ] + (["afp"] if perceptual else [])
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -712,6 +771,33 @@ def decode_audio(
             yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, bin_col).mapInPandas(_batches, schema=schema)
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    chunks: int = 8,
+    combos: int = 2,
+) -> DataFrame:
+    """Near-duplicate audio pairs → ``(a_id, b_id, hamming)``: decode
+    each payload once (:func:`decode_audio` with ``perceptual=True``),
+    then pair the spectral fingerprints within ``max_hamming`` via the
+    pigeonhole combination join (:func:`grip_spark.dedup.
+    hamming_pairs`) — the audio leg of the modality dedup family
+    (text minhash/simhash, image pHash, audio spectral hash), same
+    scale shape as :func:`image_near_dup_pairs`: payload bytes never
+    shuffle, the (id, hash) projection is checkpointed, and the
+    default chunking keys 28 passes on 16 bits.  Decode failures and
+    sub-16-frame clips have NULL fingerprints and drop out.
+    """
+    sig = decode_audio(df, bin_col, id_col, perceptual=True)
+    from .dedup import hamming_pairs
+
+    return hamming_pairs(
+        sig, id_col, "afp", max_hamming=max_hamming, chunks=chunks, combos=combos
+    )
 
 
 GIF_MAGICS = (b"GIF87a", b"GIF89a")

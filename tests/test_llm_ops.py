@@ -1695,3 +1695,75 @@ def test_ivfadc_topk_recall_and_pruning(spark, emb):
         S.ivfadc_topk(idx, cents, books, [0.0] * 63)
     with pytest.raises(ValueError):
         S.ivfadc_index(emb, n_lists=0)
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint + near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def _tone_track(freqs, n=2000, rate=8000, amp=6000):
+    import math
+
+    return [
+        int(sum(amp / len(freqs) * math.sin(2 * math.pi * f * t / rate)
+                for f in freqs))
+        for t in range(n)
+    ]
+
+
+def test_audio_fingerprint_invariance_and_separation():
+    from grip_spark.multimodal import audio_fingerprint64
+
+    a = _tone_track([440, 1200, 2600])
+    b = _tone_track([300, 900, 3300])
+    fa = audio_fingerprint64(a, 1)
+    fb = audio_fingerprint64(b, 1)
+
+    # exact invariance to uniform amplitude scaling (2x is exact in int)
+    assert audio_fingerprint64([2 * s for s in a], 1) == fa
+    # re-quantization to 8-bit moves only a few bits
+    a8 = [(s >> 8) << 8 for s in a]
+    assert _ham64(audio_fingerprint64(a8, 1), fa) <= 2
+    # different spectral content -> beyond the pairing radius
+    assert _ham64(fa, fb) > 6
+    # stereo mixdown of a dual-mono copy reproduces the mono hash
+    inter = [v for s in a for v in (s, s)]
+    assert audio_fingerprint64(inter, 2) == fa
+    # silence hashes to 0 (documented collision); short clips are None
+    assert audio_fingerprint64([0] * 2000, 1) == 0
+    assert audio_fingerprint64([5] * 8, 1) is None
+
+
+def test_audio_near_dup_pairs_end_to_end(spark):
+    from grip_spark import multimodal
+    from grip_spark.multimodal import audio_fingerprint64
+
+    a = _tone_track([440, 1200, 2600])
+    b = _tone_track([300, 900, 3300])
+    a2 = [2 * s for s in a]
+    a8 = [(s >> 8) << 8 for s in a]
+    rows = [
+        (0, bytearray(_make_wav(8000, 1, 16, [(s,) for s in a]))),
+        (1, bytearray(_make_wav(8000, 1, 16, [(s,) for s in a2]))),
+        (2, bytearray(_make_wav(8000, 1, 16, [(s,) for s in a8]))),
+        (3, bytearray(_make_wav(8000, 1, 16, [(s,) for s in b]))),
+        (4, bytearray(b"ID3\x04junk-mp3")),  # err row
+        (5, bytearray(_make_wav(8000, 1, 16, [(5,)] * 4))),  # too short
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    sig = {r["doc_id"]: r for r in
+           multimodal.decode_audio(df, perceptual=True).collect()}
+    assert sig[0]["afp"] == audio_fingerprint64(a, 1)
+    assert sig[1]["afp"] == sig[0]["afp"]
+    assert sig[4]["afp"] is None and sig[4]["err"] is not None
+    assert sig[5]["afp"] is None and sig[5]["err"] is None  # decoded, just short
+
+    got = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in multimodal.audio_near_dup_pairs(df, max_hamming=6).collect()
+    }
+    assert got[(0, 1)] == 0  # exact amplitude-scale dup
+    assert (0, 2) in got  # re-quantized near-dup recalled
+    assert not any(3 in p or 4 in p or 5 in p for p in got)
