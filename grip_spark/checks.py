@@ -1,0 +1,235 @@
+"""Declarative data-quality checks and one-pass column profiling.
+
+The corpus-gate stage of a training-data pipeline (the Deequ/
+Great-Expectations shape, re-expressed Spark-first): declare
+constraints — completeness, uniqueness, ranges, regex conformance,
+arbitrary predicates with minimum pass fractions — and evaluate ALL of
+them in ONE aggregation pass over the table.  A 100 TB corpus is read
+once per gate, not once per constraint; every metric is a map-side-
+combined aggregate, so the shuffle carries one partial-aggregate row
+per partition and the driver sees a single row.
+
+Uniqueness is the one constraint whose exact form needs a distinct
+count; the default uses ``approx_count_distinct`` (HLL — still one
+pass, ~2% relative error) and ``unique(col, exact=True)`` opts into
+the exact count (adds a distinct shuffle) when the gate is a hard
+contract rather than a monitor.
+
+Results are plain data (list of dicts; ``to_df`` for a DataFrame
+view), deterministic given the input, and every metric is replicable
+in plain SQL — the same cross-engine verifiability contract as the
+rest of the engine.
+
+No counterpart in the graph reference (bmeg/grip has no data-quality
+surface); modeled on the public Deequ design (Schelter et al., VLDB
+2018: "Automating Large-Scale Data Quality Verification").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_SEQ = 0
+
+
+def _tag() -> str:
+    global _SEQ
+    _SEQ += 1
+    return f"_c{_SEQ}"
+
+
+def _constraint(name, exprs, evaluate):
+    return {"name": name, "exprs": exprs, "evaluate": evaluate}
+
+
+def complete(col: str, min_fraction: float = 1.0):
+    """Fraction of non-null values in ``col`` >= ``min_fraction``."""
+    t, n = _tag(), _tag()
+    exprs = [
+        F.count(F.lit(1)).alias(t),
+        F.count(F.col(col)).alias(n),
+    ]
+
+    def ev(row):
+        total = row[t]
+        frac = (row[n] / total) if total else 1.0
+        return frac >= min_fraction, frac
+
+    suffix = "" if min_fraction == 1.0 else f", {min_fraction}"
+    return _constraint(f"complete({col}{suffix})", exprs, ev)
+
+
+def unique(col: str, exact: bool = False, rsd: float = 0.02):
+    """Values of ``col`` are unique (nulls excluded from the count,
+    flagged via completeness if needed).  Approximate by default (HLL,
+    one pass); ``exact=True`` uses ``count_distinct`` — exact, at the
+    cost of a distinct shuffle inside the same aggregate."""
+    t, n = _tag(), _tag()
+    d = (
+        F.count_distinct(F.col(col))
+        if exact
+        else F.approx_count_distinct(col, rsd)
+    )
+    exprs = [F.count(F.col(col)).alias(t), d.alias(n)]
+    # the HLL estimate of a unique column can legitimately read a few
+    # per-mille UNDER the row count; give the approximate form the
+    # estimator's own error budget, the exact form none
+    slack = 0.0 if exact else 3 * rsd
+
+    def ev(row):
+        total, distinct = row[t], row[n]
+        frac = (distinct / total) if total else 1.0
+        return frac >= 1.0 - slack, frac
+
+    return _constraint(f"unique({col})", exprs, ev)
+
+
+def in_range(col: str, lo=None, hi=None, min_fraction: float = 1.0):
+    """Fraction of non-null values inside [lo, hi] >= min_fraction."""
+    if lo is None and hi is None:
+        raise ValueError("in_range needs lo and/or hi")
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (F.col(col) <= F.lit(hi))
+    suffix = "" if min_fraction == 1.0 else f", {min_fraction}"
+    return satisfies(
+        cond,
+        f"in_range({col}, {lo}, {hi}{suffix})",
+        min_fraction,
+        over=F.col(col).isNotNull(),
+    )
+
+
+def matches(col: str, pattern: str, min_fraction: float = 1.0):
+    """Fraction of non-null values fully matching ``pattern``."""
+    suffix = "" if min_fraction == 1.0 else f", {min_fraction}"
+    return satisfies(
+        F.col(col).rlike(pattern),
+        f"matches({col}, {pattern}{suffix})",
+        min_fraction,
+        over=F.col(col).isNotNull(),
+    )
+
+
+def satisfies(
+    predicate: Column | str,
+    name: str,
+    min_fraction: float = 1.0,
+    over: Column | None = None,
+):
+    """Fraction of rows (or of rows where ``over`` holds) satisfying
+    an arbitrary predicate >= ``min_fraction``.  ``predicate`` may be
+    a Column or a SQL string (``F.expr``)."""
+    p = F.expr(predicate) if isinstance(predicate, str) else predicate
+    t, n = _tag(), _tag()
+    base = F.lit(True) if over is None else over
+    exprs = [
+        F.count(F.when(base, 1)).alias(t),
+        F.count(F.when(base & p, 1)).alias(n),
+    ]
+
+    def ev(row):
+        total = row[t]
+        frac = (row[n] / total) if total else 1.0
+        return frac >= min_fraction, frac
+
+    return _constraint(name, exprs, ev)
+
+
+def min_rows(n_min: int):
+    """Table has at least ``n_min`` rows (an empty-input tripwire)."""
+    t = _tag()
+
+    def ev(row):
+        return row[t] >= n_min, row[t]
+
+    return _constraint(f"min_rows({n_min})", [F.count(F.lit(1)).alias(t)], ev)
+
+
+def run_checks(df: DataFrame, constraints: list) -> list[dict]:
+    """Evaluate every constraint in ONE aggregation pass → list of
+    ``{"name", "passed", "observed"}`` dicts (insertion order).
+
+    All constraint expressions are packed into a single ``df.agg``:
+    one table scan, map-side partial aggregation, a single row to the
+    driver.  An empty constraint list is an error (a gate that checks
+    nothing should not report success).
+    """
+    if not constraints:
+        raise ValueError("no constraints given")
+    exprs = [e for c in constraints for e in c["exprs"]]
+    row = df.agg(*exprs).collect()[0]
+    out = []
+    for c in constraints:
+        passed, observed = c["evaluate"](row)
+        out.append(
+            {"name": c["name"], "passed": bool(passed), "observed": observed}
+        )
+    return out
+
+
+def to_df(spark, results: list[dict]) -> DataFrame:
+    """Results as a DataFrame (for writing a gate report next to the
+    corpus snapshot)."""
+    return spark.createDataFrame(
+        [(r["name"], r["passed"], float(r["observed"])) for r in results],
+        "name string, passed boolean, observed double",
+    )
+
+
+def profile(df: DataFrame, cols: list[str] | None = None) -> list[dict]:
+    """One-pass column profile → per column ``{"column", "count",
+    "n_null", "approx_distinct", "min", "max"}`` (+ ``"mean"``/
+    ``"stddev"`` for numeric columns).
+
+    The summary a pipeline logs per corpus snapshot; everything packs
+    into one aggregate over one scan.  min/max are returned as strings
+    (type-stable across heterogeneous columns).
+    """
+    fields = [f for f in df.schema.fields if cols is None or f.name in cols]
+    if not fields:
+        raise ValueError("no matching columns")
+    numeric = {
+        f.name
+        for f in fields
+        if f.dataType.typeName()
+        in ("integer", "long", "short", "byte", "double", "float", "decimal")
+    }
+    exprs, keys = [], []
+    for f in fields:
+        c = F.col(f.name)
+        k = {}
+        for stat, e in [
+            ("count", F.count(F.lit(1))),
+            ("n_nonnull", F.count(c)),
+            ("approx_distinct", F.approx_count_distinct(f.name)),
+            ("min", F.min(c).cast("string")),
+            ("max", F.max(c).cast("string")),
+        ]:
+            a = _tag()
+            exprs.append(e.alias(a))
+            k[stat] = a
+        if f.name in numeric:
+            for stat, e in [("mean", F.avg(c)), ("stddev", F.stddev(c))]:
+                a = _tag()
+                exprs.append(e.alias(a))
+                k[stat] = a
+        keys.append((f.name, k))
+    row = df.agg(*exprs).collect()[0]
+    out = []
+    for name, k in keys:
+        d = {
+            "column": name,
+            "count": row[k["count"]],
+            "n_null": row[k["count"]] - row[k["n_nonnull"]],
+            "approx_distinct": row[k["approx_distinct"]],
+            "min": row[k["min"]],
+            "max": row[k["max"]],
+        }
+        if "mean" in k:
+            d["mean"] = row[k["mean"]]
+            d["stddev"] = row[k["stddev"]]
+        out.append(d)
+    return out

@@ -1,0 +1,104 @@
+"""Data-quality gate (checks.py) vs python-computed expectations, plus
+the one-pass plan guarantee."""
+
+import pytest
+
+from grip_spark import checks
+
+
+@pytest.fixture(scope="module")
+def tbl(spark):
+    rows = [
+        (0, "en", 10, 0.9),
+        (1, "en", 250, 0.4),
+        (2, "de", 40, None),
+        (3, None, -5, 0.7),
+        (4, "fr", 40, 0.2),
+        (5, "english", 7, 1.5),
+    ]
+    return spark.createDataFrame(rows, "id long, lang string, n int, q double")
+
+
+def test_constraints_evaluate_correctly(tbl):
+    res = checks.run_checks(
+        tbl,
+        [
+            checks.min_rows(6),
+            checks.min_rows(7),
+            checks.complete("id"),
+            checks.complete("lang", min_fraction=0.8),
+            checks.complete("q"),
+            checks.unique("id", exact=True),
+            checks.unique("n", exact=True),
+            checks.in_range("n", 0, 100),
+            checks.in_range("n", 0, 100, min_fraction=0.5),
+            checks.matches("lang", "[a-z]{2}"),
+            checks.matches("lang", "[a-z]{2}", min_fraction=0.8),
+            checks.satisfies("q < 1.0", "q under 1", min_fraction=0.5),
+        ],
+    )
+    got = {r["name"]: (r["passed"], r["observed"]) for r in res}
+    assert got["min_rows(6)"] == (True, 6)
+    assert got["min_rows(7)"] == (False, 6)
+    assert got["complete(id)"] == (True, 1.0)
+    assert got["complete(lang, 0.8)"][0] and abs(got["complete(lang, 0.8)"][1] - 5 / 6) < 1e-12
+    assert not got["complete(q)"][0]
+    assert got["unique(id)"] == (True, 1.0)
+    # n has a duplicate (40 twice): 5 distinct of 6 non-null
+    assert not got["unique(n)"][0] and abs(got["unique(n)"][1] - 5 / 6) < 1e-12
+    # n in [0,100]: of 6 non-null, fails -5 and 250 -> 4/6
+    assert not got["in_range(n, 0, 100)"][0]
+    assert abs(got["in_range(n, 0, 100)"][1] - 4 / 6) < 1e-12
+    assert got["in_range(n, 0, 100, 0.5)"][0]  # 4/6 >= 0.5 passes
+    # lang rlike two-letter: 4 of 5 non-null ("english" matches rlike
+    # substring semantics!) -> rlike is SEARCH, so 5/5
+    assert got["matches(lang, [a-z]{2})"] == (True, 1.0)
+    assert got["matches(lang, [a-z]{2}, 0.8)"][0]
+    assert got["q under 1"][0] and abs(got["q under 1"][1] - 4 / 6) < 1e-12
+
+    with pytest.raises(ValueError):
+        checks.run_checks(tbl, [])
+    with pytest.raises(ValueError):
+        checks.in_range("n")
+
+
+def test_single_pass_plan(tbl):
+    """All constraints fold into ONE aggregate: exactly one scan of
+    the input in the plan, and one driver row."""
+    cons = [
+        checks.min_rows(1),
+        checks.complete("lang"),
+        checks.in_range("n", 0, 100, min_fraction=0.1),
+        checks.matches("lang", "^[a-z]{2}$"),
+        checks.unique("id"),
+    ]
+    exprs = [e for c in cons for e in c["exprs"]]
+    plan = tbl.agg(*exprs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ExistingRDD") + plan.count("Scan") <= 2  # one source
+    # evaluation works end-to-end
+    res = checks.run_checks(tbl, cons)
+    assert all(isinstance(r["passed"], bool) for r in res)
+
+
+def test_unique_approx_tolerance(spark):
+    # 10k genuinely-unique ids must PASS under the approximate form
+    # even when the HLL estimate lands slightly under the true count
+    df = spark.range(10000)
+    (r,) = checks.run_checks(df, [checks.unique("id")])
+    assert r["passed"]
+
+
+def test_profile_one_pass(tbl, spark):
+    prof = {p["column"]: p for p in checks.profile(tbl)}
+    assert prof["id"]["count"] == 6 and prof["id"]["n_null"] == 0
+    assert prof["lang"]["n_null"] == 1
+    assert prof["n"]["min"] == "-5" and prof["n"]["max"] == "250"
+    assert abs(prof["n"]["mean"] - (10 + 250 + 40 - 5 + 40 + 7) / 6) < 1e-9
+    assert "mean" not in prof["lang"]
+    assert prof["q"]["n_null"] == 1
+
+    rep = checks.to_df(spark, checks.run_checks(tbl, [checks.min_rows(1)]))
+    assert rep.collect()[0]["passed"] is True
+
+    with pytest.raises(ValueError):
+        checks.profile(tbl, cols=["nope"])
