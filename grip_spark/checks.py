@@ -81,7 +81,8 @@ def unique(col: str, exact: bool = False, rsd: float = 0.02):
         frac = (distinct / total) if total else 1.0
         return frac >= 1.0 - slack, frac
 
-    return _constraint(f"unique({col})", exprs, ev)
+    suffix = ", exact" if exact else ""
+    return _constraint(f"unique({col}{suffix})", exprs, ev)
 
 
 def in_range(col: str, lo=None, hi=None, min_fraction: float = 1.0):
@@ -103,10 +104,13 @@ def in_range(col: str, lo=None, hi=None, min_fraction: float = 1.0):
 
 
 def matches(col: str, pattern: str, min_fraction: float = 1.0):
-    """Fraction of non-null values fully matching ``pattern``."""
+    """Fraction of non-null values FULLY matching ``pattern`` — the
+    pattern is anchored (``^(?:...)$``) because ``rlike`` alone is a
+    substring search, and a gate that declares two-letter codes must
+    not pass "USAX"."""
     suffix = "" if min_fraction == 1.0 else f", {min_fraction}"
     return satisfies(
-        F.col(col).rlike(pattern),
+        F.col(col).rlike(f"^(?:{pattern})$"),
         f"matches({col}, {pattern}{suffix})",
         min_fraction,
         over=F.col(col).isNotNull(),
@@ -201,13 +205,20 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> list[dict]:
     for f in fields:
         c = F.col(f.name)
         k = {}
-        for stat, e in [
+        stats = [
             ("count", F.count(F.lit(1))),
             ("n_nonnull", F.count(c)),
             ("approx_distinct", F.approx_count_distinct(f.name)),
-            ("min", F.min(c).cast("string")),
-            ("max", F.max(c).cast("string")),
-        ]:
+        ]
+        if f.dataType.typeName() != "map":
+            # maps are unorderable: min/max would raise
+            # DATATYPE_MISMATCH.INVALID_ORDERING_TYPE and kill the
+            # whole profile pass
+            stats += [
+                ("min", F.min(c).cast("string")),
+                ("max", F.max(c).cast("string")),
+            ]
+        for stat, e in stats:
             a = _tag()
             exprs.append(e.alias(a))
             k[stat] = a
@@ -225,9 +236,10 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> list[dict]:
             "count": row[k["count"]],
             "n_null": row[k["count"]] - row[k["n_nonnull"]],
             "approx_distinct": row[k["approx_distinct"]],
-            "min": row[k["min"]],
-            "max": row[k["max"]],
         }
+        if "min" in k:
+            d["min"] = row[k["min"]]
+            d["max"] = row[k["max"]]
         if "mean" in k:
             d["mean"] = row[k["mean"]]
             d["stddev"] = row[k["stddev"]]

@@ -630,7 +630,11 @@ def audio_fingerprint64(samples, channels: int) -> int | None:
     :func:`grip_spark.dedup.hamming_pairs`
     (:func:`audio_near_dup_pairs`).  Pure silence has an all-zero
     spectrum → hash 0; all silent tracks collide (they are dups of
-    each other).  Tracks shorter than 16 frames return None.
+    each other).  Tracks shorter than 32 frames return None: below
+    that each 8-frame segment has too few FFT bins for the log bands
+    to separate, and EVERY signal would hash to the same
+    content-independent value (a 20-frame 440 Hz tone and a 3300 Hz
+    tone are not near-dups).
     """
     import numpy as np
 
@@ -639,7 +643,7 @@ def audio_fingerprint64(samples, channels: int) -> int | None:
         a = a[: (a.shape[0] // channels) * channels]
         a = a.reshape(-1, channels).mean(axis=1)
     n = a.shape[0]
-    if n < 16:
+    if n < 32:
         return None
     segs, bands = 4, 16
     bits = []
@@ -680,7 +684,7 @@ def decode_audio(
     ``perceptual=True`` adds the 64-bit ``afp`` long column
     (:func:`audio_fingerprint64`) in the same decode pass — the
     near-dup key :func:`audio_near_dup_pairs` joins on; decode errors
-    (and sub-16-frame clips) leave it NULL.
+    (and sub-32-frame clips) leave it NULL.
     """
     import math as _math
 
@@ -790,7 +794,7 @@ def audio_near_dup_pairs(
     scale shape as :func:`image_near_dup_pairs`: payload bytes never
     shuffle, the (id, hash) projection is checkpointed, and the
     default chunking keys 28 passes on 16 bits.  Decode failures and
-    sub-16-frame clips have NULL fingerprints and drop out.
+    sub-32-frame clips have NULL fingerprints and drop out.
     """
     sig = decode_audio(df, bin_col, id_col, perceptual=True)
     from .dedup import hamming_pairs

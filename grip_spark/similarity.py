@@ -606,12 +606,22 @@ def pq_train(
     unnormalized.  Empty clusters keep their previous centroid (the
     classic fix), so every codebook always has exactly ``k`` entries.
     """
+    if m <= 0 or k <= 0:
+        raise ValueError(f"m and k must be > 0, got m={m} k={k}")
+    return _pq_lloyd(
+        _train_sample(df, vec_col, id_col, salt, sample_size, normalize),
+        m, k, iterations,
+    )
+
+
+def _train_sample(df, vec_col, id_col, salt, sample_size, normalize):
+    """Deterministic hash-ordered training sample (the seeded-sample
+    device shared by PQ and IVFADC training): non-zero vectors ordered
+    by md5(salt+id), as a float64 matrix, optionally unit-normalized."""
     import numpy as np
 
     from .dedup import md5_prefix_hash
 
-    if m <= 0 or k <= 0:
-        raise ValueError(f"m and k must be > 0, got m={m} k={k}")
     idc = F.col(id_col)
     rows = (
         df.select(F.col(vec_col).alias("_v"), idc.alias("_id"))
@@ -628,7 +638,7 @@ def pq_train(
     X = np.array([[float(x) for x in r["_v"]] for r in rows], dtype=np.float64)
     if normalize:
         X = X / np.linalg.norm(X, axis=1, keepdims=True)
-    return _pq_lloyd(X, m, k, iterations)
+    return X
 
 
 def _pq_lloyd(X, m: int, k: int, iterations: int) -> list:
@@ -847,25 +857,9 @@ def ivfadc_index(
     """
     import numpy as np
 
-    from .dedup import md5_prefix_hash
-
     if n_lists <= 0:
         raise ValueError(f"n_lists must be > 0, got {n_lists}")
-    idc = F.col(id_col)
-    rows = (
-        df.select(F.col(vec_col).alias("_v"), idc.alias("_id"))
-        .filter(norm(F.col("_v")) > 0)
-        .orderBy(
-            md5_prefix_hash(F.concat(F.lit(salt), idc.cast("string"))).asc(),
-            idc.asc(),
-        )
-        .limit(sample_size)
-        .collect()
-    )
-    if not rows:
-        raise ValueError("no non-zero vectors to train on")
-    X = np.array([[float(x) for x in r["_v"]] for r in rows], dtype=np.float64)
-    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    X = _train_sample(df, vec_col, id_col, salt, sample_size, True)
     centroids = _pq_lloyd(X, 1, n_lists, iterations)[0]
     C = np.array(centroids, dtype=np.float64)
     # assignment replica of the Spark-side argmin (L2, lowest index)
@@ -874,15 +868,25 @@ def ivfadc_index(
     books = _pq_lloyd(X - C[assign], m, k, iterations)
 
     unit = _unit_expr(vec_col, True)
-    # cell = single-"subspace" PQ argmin over the coarse centroids
-    indexed = df.withColumn(cell_col, _pq_code_expr(unit, [centroids])[0])
+    # NULL and zero-norm embeddings (failed upstream encoders) get a
+    # NULL cell + NULL code — the same drop-out convention as
+    # hamming_pairs' NULL signatures; without the guard they would all
+    # pile into cell 0 with code [0]*m and surface as phantom
+    # neighbors in every query probing that cell
+    ok = F.col(vec_col).isNotNull() & (norm(F.col(vec_col)) > 0)
+    indexed = df.withColumn(
+        cell_col, F.when(ok, _pq_code_expr(unit, [centroids])[0])
+    )
     cent_lit = F.array(*[_vec_lit(c) for c in centroids])
     resid = F.zip_with(
         unit,
         F.element_at(cent_lit, F.col(cell_col) + 1),
         lambda x, y: x - y,
     )
-    out = indexed.withColumn(code_col, _pq_code_expr(resid, books))
+    out = indexed.withColumn(
+        code_col,
+        F.when(F.col(cell_col).isNotNull(), _pq_code_expr(resid, books)),
+    )
     return out, centroids, books
 
 
@@ -919,6 +923,11 @@ def ivfadc_topk(
     dims = len(codebooks[0][0]) * len(codebooks)
     if len(q) != dims:
         raise ValueError(f"query dim {len(q)} != codebook dim {dims}")
+    if centroids and len(centroids[0]) != dims:
+        raise ValueError(
+            f"centroid dim {len(centroids[0])} != codebook dim {dims} "
+            "(mismatched index artifacts?)"
+        )
     cell_dots = [sum(qi * ci for qi, ci in zip(q, c)) for c in centroids]
     # probe ranking mirrors the ASSIGNMENT rule (L2 to the centroid):
     # ||q-c||^2 = 1+|c|^2-2*dot -> rank by dot - |c|^2/2, not raw dot

@@ -43,17 +43,18 @@ def test_constraints_evaluate_correctly(tbl):
     assert got["complete(id)"] == (True, 1.0)
     assert got["complete(lang, 0.8)"][0] and abs(got["complete(lang, 0.8)"][1] - 5 / 6) < 1e-12
     assert not got["complete(q)"][0]
-    assert got["unique(id)"] == (True, 1.0)
+    assert got["unique(id, exact)"] == (True, 1.0)
     # n has a duplicate (40 twice): 5 distinct of 6 non-null
-    assert not got["unique(n)"][0] and abs(got["unique(n)"][1] - 5 / 6) < 1e-12
+    assert not got["unique(n, exact)"][0]
+    assert abs(got["unique(n, exact)"][1] - 5 / 6) < 1e-12
     # n in [0,100]: of 6 non-null, fails -5 and 250 -> 4/6
     assert not got["in_range(n, 0, 100)"][0]
     assert abs(got["in_range(n, 0, 100)"][1] - 4 / 6) < 1e-12
     assert got["in_range(n, 0, 100, 0.5)"][0]  # 4/6 >= 0.5 passes
-    # lang rlike two-letter: 4 of 5 non-null ("english" matches rlike
-    # substring semantics!) -> rlike is SEARCH, so 5/5
-    assert got["matches(lang, [a-z]{2})"] == (True, 1.0)
-    assert got["matches(lang, [a-z]{2}, 0.8)"][0]
+    # matches is ANCHORED full-match: "english" fails [a-z]{2}
+    assert not got["matches(lang, [a-z]{2})"][0]
+    assert abs(got["matches(lang, [a-z]{2})"][1] - 4 / 5) < 1e-12
+    assert got["matches(lang, [a-z]{2}, 0.8)"][0]  # 4/5 >= 0.8
     assert got["q under 1"][0] and abs(got["q under 1"][1] - 4 / 6) < 1e-12
 
     with pytest.raises(ValueError):
@@ -102,3 +103,12 @@ def test_profile_one_pass(tbl, spark):
 
     with pytest.raises(ValueError):
         checks.profile(tbl, cols=["nope"])
+
+
+def test_profile_map_column_skips_minmax(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": 1}), (2, {"b": 2})], "id long, props map<string,int>"
+    )
+    prof = {p["column"]: p for p in checks.profile(df)}
+    assert prof["props"]["count"] == 2 and "min" not in prof["props"]
+    assert prof["id"]["min"] == "1"

@@ -1693,8 +1693,29 @@ def test_ivfadc_topk_recall_and_pruning(spark, emb):
 
     with pytest.raises(ValueError):
         S.ivfadc_topk(idx, cents, books, [0.0] * 63)
+    with pytest.raises(ValueError):  # centroids from a different index
+        S.ivfadc_topk(idx, [[0.0] * 32] * 8, books, [0.1] * 64)
     with pytest.raises(ValueError):
         S.ivfadc_index(emb, n_lists=0)
+
+
+def test_ivfadc_null_and_zero_vectors_never_phantom(spark, emb):
+    """NULL / zero-norm embeddings must index as NULL cell+code and
+    never surface as neighbors (review regression: they piled into
+    cell 0 with code [0]*m)."""
+    from grip_spark import similarity as S
+
+    extra = spark.createDataFrame(
+        [(100000, None), (100001, [0.0] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    df = emb.select("vec_id", "embedding").unionByName(extra)
+    idx, cents, books = S.ivfadc_index(df, n_lists=4, m=8, k=8, sample_size=256)
+    bad = idx.filter(F.col("vec_id") >= 100000).collect()
+    assert all(r["ivf_cell"] is None and r["pq_code"] is None for r in bad)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = {r["vec_id"] for r in S.ivfadc_topk(idx, cents, books, q, k=2000, nprobe=4).collect()}
+    assert not ({100000, 100001} & got)
 
 
 # ---------------------------------------------------------------------------
@@ -1733,6 +1754,13 @@ def test_audio_fingerprint_invariance_and_separation():
     # silence hashes to 0 (documented collision); short clips are None
     assert audio_fingerprint64([0] * 2000, 1) == 0
     assert audio_fingerprint64([5] * 8, 1) is None
+    # the degenerate under-32-frame zone returns None, never a
+    # content-independent collision (review regression)
+    import math as _math
+    t20a = [int(6000 * _math.sin(2 * _math.pi * 440 * t / 8000)) for t in range(20)]
+    t20b = [int(6000 * _math.sin(2 * _math.pi * 3300 * t / 8000)) for t in range(20)]
+    assert audio_fingerprint64(t20a, 1) is None
+    assert audio_fingerprint64(t20b, 1) is None
 
 
 def test_audio_near_dup_pairs_end_to_end(spark):
