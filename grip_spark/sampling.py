@@ -263,6 +263,49 @@ def mixture_sample(
     )
 
 
+def temperature_shares(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float = 0.3,
+    size_col: str | None = None,
+    domains: list[str] | None = None,
+) -> dict[str, float]:
+    """Temperature-scaled mixture weights from the corpus's OWN
+    per-domain masses: share(d) ∝ mass(d)^alpha — the mT5/XLM-R
+    multilingual sampling rule (Xue et al. 2021 §3.1; Conneau 2020).
+    ``alpha=1`` reproduces natural proportions, ``alpha=0`` uniform;
+    the usual 0.2-0.7 range boosts small domains without letting a
+    huge one dominate.  Feed the result straight into
+    :func:`mixture_rates` / :func:`mixture_sample` as ``weights``.
+
+    One small aggregation (map-side combined, |domains| rows to the
+    driver); masses are doc counts or ``size_col`` sums (tokens),
+    exponentiated and normalized in sorted-domain order so the output
+    is partition-invariant.  ``domains`` restricts the universe;
+    otherwise every observed domain participates (NULL excluded).
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    base = df.filter(F.col(domain_col).isNotNull())
+    if domains is not None:
+        if not domains:
+            raise ValueError("domains must be non-empty when given")
+        base = base.filter(F.col(domain_col).isin(list(domains)))
+    mass_expr = F.sum(F.col(size_col)) if size_col else F.count(F.lit(1))
+    masses = {
+        r["d"]: float(r["m"] or 0.0)
+        for r in base.groupBy(F.col(domain_col).alias("d"))
+        .agg(mass_expr.alias("m"))
+        .collect()
+    }
+    masses = {d: m for d, m in masses.items() if m > 0}
+    if not masses:
+        raise ValueError("no domain mass observed")
+    powered = {d: masses[d] ** alpha for d in sorted(masses)}
+    z = sum(powered.values())
+    return {d: p / z for d, p in powered.items()}
+
+
 def mixture_rates(
     df: DataFrame,
     domain_col: str,

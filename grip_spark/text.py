@@ -819,6 +819,66 @@ PII_PATTERNS: list[tuple[str, str]] = [
 ]
 
 
+# default tracking-parameter prefixes scrubbed by normalize_url: the
+# common analytics/click-id params (utm_*, Google/Facebook/Microsoft
+# click ids, affiliate refs) that make one page look like many URLs
+TRACKING_PARAM_RE = (
+    r"^(utm_[a-z]+|fbclid|gclid|gclsrc|dclid|msclkid|mc_[a-z]+|ref|ref_src"
+    r"|igshid|spm|yclid|_hsenc|_hsmi|vero_[a-z]+|wickedid|oly_[a-z]+)="
+)
+
+
+def normalize_url(url: Column | str, keep_query: bool = True) -> Column:
+    """Canonical URL key for URL-level dedup (the CCNet/C4 convention
+    of one document per page): lower-cased host with ``www.`` and any
+    explicit port stripped, scheme dropped, path with its trailing
+    slash removed, fragment dropped, and — when ``keep_query`` —
+    query parameters with tracking params scrubbed
+    (:data:`TRACKING_PARAM_RE`) and the survivors SORTED, so
+    param-order shuffles and utm-decorated share links collapse to
+    one key.  NULL and unparseable inputs yield NULL
+    (``try_parse_url`` — ANSI-mode ``parse_url`` THROWS on malformed
+    URLs, and one junk row must not kill a corpus pass).
+
+    Pure built-in expressions (``parse_url`` + array ops inside
+    codegen): a shuffle-free projection, composable with
+    :func:`grip_spark.dedup.dedup_exact` on the output column for the
+    actual per-URL dedup group/semi-join.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    # parse_url needs a scheme to find a host; default scheme-less
+    # inputs to http://
+    w = F.when(u.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), u).otherwise(
+        F.concat(F.lit("http://"), u)
+    )
+
+    def _norm(b: Column) -> Column:
+        host = F.lower(F.try_parse_url(b, F.lit("HOST")))
+        host = F.regexp_replace(host, r"^www\.", "")
+        host = F.regexp_replace(host, r":\d+$", "")
+        path = F.coalesce(F.try_parse_url(b, F.lit("PATH")), F.lit(""))
+        path = F.regexp_replace(path, r"/+$", "")
+        out = F.concat(host, path)
+        if keep_query:
+            q = F.try_parse_url(b, F.lit("QUERY"))
+            kept = F.array_sort(
+                F.filter(
+                    F.split(F.coalesce(q, F.lit("")), "&"),
+                    lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+                )
+            )
+            out = F.concat(
+                out,
+                F.when(
+                    F.size(kept) > 0,
+                    F.concat(F.lit("?"), F.array_join(kept, "&")),
+                ).otherwise(F.lit("")),
+            )
+        return F.when(host.isNotNull() & (host != ""), out)
+
+    return _let(w, _norm)
+
+
 def redact_pii(
     df: DataFrame,
     text_col: str = "text",

@@ -807,3 +807,67 @@ def test_bigram_oov_penalized_not_dropped(spark):
     # 'the') -> unseen pair -> backoff + logp(the)
     want = ((back + floor) + (back + uni["the"][1])) / 2
     assert (r["n_transitions"], r["bigram_logprob"]) == (2, round(want, 6))
+
+
+def test_normalize_url(spark):
+    rows = [
+        (0, "https://WWW.Example.com/a/b/?utm_source=tw&x=1&fbclid=zz#frag"),
+        (1, "http://example.com:80/a/b?x=1"),
+        (2, "example.com/a/b/?x=1&utm_campaign=c"),   # scheme-less
+        (3, "https://example.com/a/b?utm_source=ig"),  # only tracking params
+        (4, "https://other.org/a/b?x=1"),
+        (5, "https://example.com/a/b?b=2&a=1"),        # param order
+        (6, "https://example.com/a/b?a=1&b=2"),
+        (7, None),
+        (8, "not a url at all"),
+        (9, "https://example.com"),                    # bare host
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    got = {r["doc_id"]: r["n"] for r in
+           df.select("doc_id", text.normalize_url("url").alias("n")).collect()}
+    # 0,1,2 collapse: host case, www, default port, trailing slash,
+    # tracking params all normalize away
+    assert got[0] == got[1] == got[2] == "example.com/a/b?x=1"
+    assert got[3] == "example.com/a/b"
+    assert got[4] == "other.org/a/b?x=1"
+    assert got[5] == got[6] == "example.com/a/b?a=1&b=2"
+    assert got[7] is None
+    assert got[8] is None  # junk input -> NULL, never a throw (ANSI parse_url)
+    assert got[9] == "example.com"
+    # keep_query=False keys on host+path only
+    got2 = {r["doc_id"]: r["n"] for r in
+            df.select("doc_id", text.normalize_url("url", keep_query=False).alias("n")).collect()}
+    assert got2[0] == got2[3] == "example.com/a/b"
+
+
+def test_temperature_shares(spark):
+    from grip_spark import sampling
+
+    rows = [(i, "web") for i in range(800)] + \
+           [(i + 800, "code") for i in range(160)] + \
+           [(i + 960, "books") for i in range(40)] + [(1000, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    nat = sampling.temperature_shares(df, "source", alpha=1.0)
+    assert abs(nat["web"] - 0.8) < 1e-12 and abs(nat["books"] - 0.04) < 1e-12
+    uni = sampling.temperature_shares(df, "source", alpha=0.0)
+    assert all(abs(v - 1 / 3) < 1e-12 for v in uni.values())
+    t = sampling.temperature_shares(df, "source", alpha=0.3)
+    # python replica
+    import math
+    m = {"web": 800, "code": 160, "books": 40}
+    z = sum(v ** 0.3 for v in m.values())
+    for d in m:
+        assert abs(t[d] - m[d] ** 0.3 / z) < 1e-12
+    # boosts the tail, still ordered
+    assert nat["books"] < t["books"] and t["web"] < nat["web"]
+    assert t["web"] > t["code"] > t["books"]
+    # restricted universe + validation
+    sub = sampling.temperature_shares(df, "source", 0.3, domains=["web", "code"])
+    assert set(sub) == {"web", "code"}
+    with pytest.raises(ValueError):
+        sampling.temperature_shares(df, "source", alpha=1.5)
+    with pytest.raises(ValueError):
+        sampling.temperature_shares(df, "source", domains=[])
+    # composes with the mixture planner end-to-end
+    rates = sampling.mixture_rates(df.filter("source is not null"), "source", t)
+    assert set(rates) == set(t)
