@@ -1,0 +1,184 @@
+"""Temporal joins Spark lacks natively: as-of join and interval
+(range) join, built Spark-first.
+
+Both are implemented WITHOUT a theta join (which Catalyst can only
+execute as a broadcast-nested-loop or cartesian at scale):
+
+- :func:`asof_join` is the union-and-window formulation: tag both
+  sides, union them, and carry the most recent right-side row forward
+  with ``last(..., ignorenulls=True)`` over a per-key
+  time-ordered window.  ONE shuffle (the window's hash partition on
+  the key), no join operator at all — the classic kdb/pandas
+  ``merge_asof`` semantics at corpus scale.
+- :func:`range_join` (point-in-interval) buckets time into
+  fixed-width cells, replicates each interval into the cells it
+  overlaps, and equi-joins points to cells — candidate pairs are
+  bucket-local, verified exactly, never a cartesian.
+
+Determinism: ties (equal timestamps) break on the right side's id
+ordering; every result is a pure function of the inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str] | None = None,
+    tolerance: int | float | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+    direction: str = "backward",
+) -> DataFrame:
+    """For every left row, attach the most recent right row with
+    ``right.on <= left.on`` (direction ``"backward"``; ``"forward"``
+    attaches the earliest right row with ``right.on >= left.on``),
+    optionally within ``tolerance`` time units and per ``by`` key —
+    pandas ``merge_asof`` / kdb ``aj`` semantics.
+
+    Scale shape: union the two sides with a side tag, then ONE window
+    pass per key ordered by (time, side): ``last(right_value,
+    ignorenulls=True)`` carries the latest right observation forward
+    onto each left row.  The only shuffle is the window's hash
+    partition on ``by`` (a range partition when ``by`` is None);
+    there is no join operator, so no skew-prone join build side and
+    no cartesian fallback.  With no ``by``, all rows flow through a
+    single partition — provide a key at corpus scale (the
+    warehouse-standard shape: per instrument / user / sensor).
+
+    Right rows at the SAME timestamp as a left row are visible to it
+    (inclusive); among right rows tied on timestamp the winner is
+    decided by a hash of the carried value columns — deterministic
+    across partitionings (``monotonically_increasing_id`` would not
+    be).  ``tolerance`` drops matches older (newer, for forward)
+    than ``on - tolerance``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    by = [by] if isinstance(by, str) else (by or [])
+    rcols = right_cols or [
+        c for c in right.columns if c not in set(by) | {on}
+    ]
+    missing = [c for c in rcols if c not in right.columns]
+    if missing:
+        raise ValueError(f"right_cols not in right: {missing}")
+    out_names = {c: (c + suffix if c in left.columns else c) for c in rcols}
+
+    lhs = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_rord"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in rcols],
+        F.lit(None).cast("double").alias("_rt"),
+    )
+    # a NULL right timestamp would sort nulls-first and poison the
+    # carry-forward for every row after it — drop such rows up front
+    right = right.filter(F.col(on).isNotNull())
+    rhs = right.select(
+        *[
+            F.col(c) if c in set(by) | {on} else F.lit(None).cast(
+                left.schema[c].dataType
+            ).alias(c)
+            for c in left.columns
+        ],
+        F.lit(0).alias("_side"),
+        F.xxhash64(*[F.col(c) for c in rcols]).alias("_rord"),
+        *[F.col(c).alias(f"_rv_{c}") for c in rcols],
+        F.col(on).cast("double").alias("_rt"),
+    )
+    u = lhs.unionByName(rhs)
+    tt = F.col(on) if direction == "backward" else -F.col(on)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(tt.asc(), F.col("_side").asc(), F.col("_rord").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *[F.col(c) for c in left.columns],
+        F.col("_side"),
+        F.last(F.col("_rt"), ignorenulls=True).over(w).alias("_last_rt"),
+        *[
+            F.last(F.col(f"_rv_{c}"), ignorenulls=True).over(w).alias(f"_last_{c}")
+            for c in rcols
+        ],
+    ).filter(F.col("_side") == 1)
+    if tolerance is not None:
+        if tolerance < 0:
+            raise ValueError(f"tolerance must be >= 0, got {tolerance}")
+        gap = (
+            (F.col(on).cast("double") - F.col("_last_rt"))
+            if direction == "backward"
+            else (F.col("_last_rt") - F.col(on).cast("double"))
+        )
+        ok = F.col("_last_rt").isNotNull() & (gap <= F.lit(float(tolerance)))
+    else:
+        ok = F.col("_last_rt").isNotNull()
+    return carried.select(
+        *[F.col(c) for c in left.columns],
+        *[
+            F.when(ok, F.col(f"_last_{c}")).alias(out_names[c])
+            for c in rcols
+        ],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    by: str | list[str] | None = None,
+    bucket_width: int | float | None = None,
+) -> DataFrame:
+    """Join each point row to every interval row containing it
+    (``start <= point < end``), optionally per ``by`` key — the
+    point-in-interval range join (events ↔ sessions, ticks ↔ trading
+    halts, readings ↔ maintenance windows).
+
+    Scale shape: a raw ``BETWEEN`` theta join degenerates to a
+    broadcast-nested-loop / cartesian.  Here time is cut into
+    ``bucket_width`` cells; each interval replicates into the cells it
+    overlaps (one explode), each point maps to its one cell, and the
+    join is an EQUI-join on (key, cell) with the exact containment
+    predicate verified on the candidates.  Candidate volume is
+    bucket-local; pick ``bucket_width`` near the typical interval
+    length (default: the mean interval length from a one-row
+    aggregate, snapped up to at least 1) so each interval lands in
+    ~2 cells.  Degenerate/empty intervals (``end <= start``) match
+    nothing, NULL bounds are dropped.
+    """
+    by = [by] if isinstance(by, str) else (by or [])
+    iv = intervals.filter(
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (F.col(end_col) > F.col(start_col))
+    )
+    if bucket_width is None:
+        row = iv.agg(
+            F.avg(F.col(end_col).cast("double") - F.col(start_col).cast("double")).alias(
+                "w"
+            )
+        ).collect()[0]
+        bucket_width = max(float(row["w"] or 1.0), 1e-12)
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
+    bw = F.lit(float(bucket_width))
+    cell_lo = F.floor(F.col(start_col).cast("double") / bw)
+    cell_hi = F.floor(F.col(end_col).cast("double") / bw)
+    expanded = iv.withColumn(
+        "_cell", F.explode(F.sequence(cell_lo.cast("long"), cell_hi.cast("long")))
+    )
+    pts = points.filter(F.col(point_col).isNotNull()).withColumn(
+        "_cell", F.floor(F.col(point_col).cast("double") / bw).cast("long")
+    )
+    keys = ["_cell", *by]
+    joined = pts.join(expanded, keys).filter(
+        (F.col(start_col) <= F.col(point_col)) & (F.col(point_col) < F.col(end_col))
+    )
+    return joined.drop("_cell")

@@ -1,0 +1,148 @@
+"""As-of join and range join vs pure-Python oracles (pandas
+merge_asof semantics), including determinism across partitionings."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from grip_spark import temporal
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    rng = random.Random(11)
+    quotes, trades = [], []
+    for key in ("A", "B"):
+        t = 0
+        for i in range(200):
+            t += rng.randrange(1, 10)
+            quotes.append((key, t, round(rng.uniform(10, 20), 2)))
+        t = 0
+        for i in range(80):
+            t += rng.randrange(1, 25)
+            trades.append((key, t, i))
+    qdf = spark.createDataFrame(quotes, "sym string, ts long, px double")
+    tdf = spark.createDataFrame(trades, "sym string, ts long, trade_id int")
+    return qdf, tdf, quotes, trades
+
+
+def _py_asof(quotes, trades, tol=None, direction="backward"):
+    out = {}
+    for sym, ts, tid in trades:
+        best = None
+        for qs, qt, px in quotes:
+            if qs != sym:
+                continue
+            if direction == "backward":
+                if qt <= ts and (tol is None or ts - qt <= tol):
+                    if best is None or qt > best[0]:
+                        best = (qt, px)
+            else:
+                if qt >= ts and (tol is None or qt - ts <= tol):
+                    if best is None or qt < best[0]:
+                        best = (qt, px)
+        out[(sym, ts, tid)] = best[1] if best else None
+    return out
+
+
+def test_asof_backward_matches_python(quotes_trades):
+    qdf, tdf, quotes, trades = quotes_trades
+    got = {
+        (r["sym"], r["ts"], r["trade_id"]): r["px"]
+        for r in temporal.asof_join(tdf, qdf, on="ts", by="sym").collect()
+    }
+    want = _py_asof(quotes, trades)
+    assert got == want
+    assert any(v is None for v in got.values()) or True  # early trades may miss
+    # repartitioning must not change a single answer (window determinism)
+    got2 = {
+        (r["sym"], r["ts"], r["trade_id"]): r["px"]
+        for r in temporal.asof_join(tdf.repartition(7), qdf.repartition(3),
+                                    on="ts", by="sym").collect()
+    }
+    assert got2 == want
+
+
+def test_asof_tolerance_and_forward(quotes_trades):
+    qdf, tdf, quotes, trades = quotes_trades
+    got = {
+        (r["sym"], r["ts"], r["trade_id"]): r["px"]
+        for r in temporal.asof_join(tdf, qdf, on="ts", by="sym", tolerance=3).collect()
+    }
+    assert got == _py_asof(quotes, trades, tol=3)
+    gotf = {
+        (r["sym"], r["ts"], r["trade_id"]): r["px"]
+        for r in temporal.asof_join(
+            tdf, qdf, on="ts", by="sym", direction="forward", tolerance=5
+        ).collect()
+    }
+    assert gotf == _py_asof(quotes, trades, tol=5, direction="forward")
+
+    with pytest.raises(ValueError):
+        temporal.asof_join(tdf, qdf, on="ts", direction="sideways")
+    with pytest.raises(ValueError):
+        temporal.asof_join(tdf, qdf, on="ts", tolerance=-1)
+    with pytest.raises(ValueError):
+        temporal.asof_join(tdf, qdf, on="ts", right_cols=["nope"])
+
+
+def test_asof_same_timestamp_inclusive_and_suffix(spark):
+    left = spark.createDataFrame([(1, 10), (2, 20)], "id int, ts long")
+    right = spark.createDataFrame([(10, 1.0), (20, 2.0)], "ts long, v double")
+    got = {r["id"]: r["v"] for r in
+           temporal.asof_join(left, right, on="ts").collect()}
+    assert got == {1: 1.0, 2: 2.0}  # equal timestamps are visible
+    # name collision takes the suffix
+    right2 = spark.createDataFrame([(5, 99)], "ts long, id int")
+    r = temporal.asof_join(left, right2, on="ts").collect()[0]
+    assert "id_right" in r.asDict() and r["id_right"] == 99
+
+
+def test_asof_join_plan_has_no_join(quotes_trades):
+    qdf, tdf, *_ = quotes_trades
+    plan = (
+        temporal.asof_join(tdf, qdf, on="ts", by="sym")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan  # union + window, never a join operator
+    assert "Window" in plan
+
+
+def test_range_join_matches_python(spark):
+    rng = random.Random(7)
+    intervals = []
+    for key in ("x", "y"):
+        for i in range(60):
+            s = rng.randrange(0, 1000)
+            intervals.append((key, i, s, s + rng.randrange(1, 60)))
+    points = [(rng.choice("xy"), j, rng.randrange(0, 1050)) for j in range(300)]
+    idf = spark.createDataFrame(intervals, "k string, iv_id int, s long, e long")
+    pdf = spark.createDataFrame(points, "k string, p_id int, t long")
+
+    got = {
+        (r["k"], r["p_id"], r["iv_id"])
+        for r in temporal.range_join(pdf, idf, "t", "s", "e", by="k").collect()
+    }
+    want = {
+        (pk, pid, ivid)
+        for pk, pid, t in points
+        for ik, ivid, s, e in intervals
+        if pk == ik and s <= t < e
+    }
+    assert got == want and want
+    # explicit bucket width gives the same exact answer
+    got2 = {
+        (r["k"], r["p_id"], r["iv_id"])
+        for r in temporal.range_join(pdf, idf, "t", "s", "e", by="k",
+                                     bucket_width=7).collect()
+    }
+    assert got2 == want
+
+    # degenerate and NULL intervals match nothing
+    bad = spark.createDataFrame(
+        [("x", 99, 5, 5), ("x", 98, None, 10)], "k string, iv_id int, s long, e long"
+    )
+    assert temporal.range_join(pdf, bad, "t", "s", "e", by="k").count() == 0
+    with pytest.raises(ValueError):
+        temporal.range_join(pdf, idf, "t", "s", "e", bucket_width=0)
