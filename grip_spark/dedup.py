@@ -525,14 +525,20 @@ def hamming_pairs(
     every valid (chunks, combos) — the knobs trade join-key width
     against keys-per-row.
 
-    Choosing the knobs: the join bucket count is ``2^(combos·bits/
-    chunks)`` — the candidate volume at corpus size N is
-    ~``C(chunks,combos)·N²/2^(combos·bits/chunks)``.  simhash's
-    default (chunks=4, combos=1) keys on 16 bits; a LOOSE radius like
-    the image default (max_hamming=6) would need chunks≥7 and key on
-    ≤9 bits — quadratic blowup at corpus scale — so wide radii should
-    raise ``combos`` instead: chunks=8, combos=2 keys on 16 bits with
-    C(8,2)=28 keys/row and keeps ``max_hamming<=6`` exact.
+    Choosing the knobs: with key width w = combos·bits/chunks, the
+    candidate volume at corpus size N is at least
+    ``C(chunks,combos) · N²/2^w`` (Σ n_b² ≥ N²/buckets even under the
+    best-balanced hash), so the N² term never disappears — the knobs
+    move its constant.  Size ``2^w ≳ N`` so candidates stay ~linear:
+    simhash's default (chunks=4, combos=1) keys on 16 bits (fine to
+    ~10⁶ rows); the image default (radius 6: chunks=8, combos=2)
+    likewise; at 10⁷-10⁹ rows raise w — e.g. radius ≤4 via chunks=8,
+    combos=4 (32-bit keys, 70 passes), or radius ≤6 via chunks=10,
+    combos=4 (~26-bit keys, 210 passes; chunks need not divide
+    ``bits`` — widths differ by at most one).  Tight radii at wide
+    keys is exactly Manku's design point; an exact radius-6 match
+    over billions of rows is intrinsically expensive — prefer
+    pre-bucketing (per-domain/per-shard) or a coarser first pass.
 
     NULL signatures (e.g. rows a decode stage tagged with ``err``) are
     dropped before the join.  The projected (id, hash) relation — two
@@ -554,9 +560,13 @@ def hamming_pairs(
             f"need max_hamming ({max_hamming}) <= chunks - combos "
             f"({chunks - combos}) for exact recall"
         )
-    if bits % chunks:
-        raise ValueError(f"chunks ({chunks}) must divide bits ({bits})")
-    w = bits // chunks
+    if chunks > bits:
+        raise ValueError(f"chunks ({chunks}) must be <= bits ({bits})")
+    # chunk widths differ by at most one when chunks doesn't divide
+    # bits — the pigeonhole argument only needs a PARTITION of the bits
+    wbase, extra = divmod(bits, chunks)
+    widths = [wbase + 1] * extra + [wbase] * (chunks - extra)
+    offs = [sum(widths[:k]) for k in range(chunks)]
     sig = (
         sig.select(
             F.col(id_col).alias("_id"), F.col(hash_col).cast("long").alias("_sim")
@@ -566,7 +576,9 @@ def hamming_pairs(
     )
 
     def _chunk(k: int):
-        return F.shiftright(F.col("_sim"), k * w).bitwiseAND(F.lit((1 << w) - 1))
+        return F.shiftright(F.col("_sim"), offs[k]).bitwiseAND(
+            F.lit((1 << widths[k]) - 1)
+        )
 
     banded = sig.select(
         "_id",

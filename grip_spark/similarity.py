@@ -831,6 +831,7 @@ def ivfadc_index(
     salt: str = "ivfadc",
     cell_col: str = "ivf_cell",
     code_col: str = "pq_code",
+    materialize: bool = True,
 ):
     """IVFADC (Jegou et al., TPAMI 2011 §IV): Lloyd-trained coarse IVF
     cells + PQ codes of the RESIDUAL (unit vector − cell centroid) →
@@ -851,9 +852,16 @@ def ivfadc_index(
     Everything is a pure function of ``(salt, corpus)``.  Scale shape:
     training is one bounded driver-side collect; encoding is a narrow
     projection (cell argmin + per-cell literal centroid subtraction +
-    PQ argmin, all codegen, no shuffle — plan-asserted).  Write the
-    output partitioned by ``cell_col`` and :func:`ivfadc_topk`'s cell
-    filter becomes partition pruning.
+    PQ argmin, all codegen, no shuffle — plan-asserted with
+    ``materialize=False``).  An index is built once and searched many
+    times, so by default the codes are MATERIALIZED
+    (eager localCheckpoint): left lazy, every downstream reference
+    re-inlines the (large) argmin expression tree into its plan —
+    searching an unmaterialized index spends minutes in
+    analysis/codegen, not execution.  Pass ``materialize=False`` to
+    keep the lazy projection (e.g. to write the index straight out
+    partitioned by ``cell_col``, which makes :func:`ivfadc_topk`'s
+    cell filter partition pruning).
     """
     import numpy as np
 
@@ -887,6 +895,8 @@ def ivfadc_index(
         code_col,
         F.when(F.col(cell_col).isNotNull(), _pq_code_expr(resid, books)),
     )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
     return out, centroids, books
 
 

@@ -1432,7 +1432,18 @@ def test_hamming_pairs_exact_vs_bruteforce(spark):
     with pytest.raises(ValueError):
         dedup.hamming_pairs(df, "id", "sig", max_hamming=4, chunks=4)
     with pytest.raises(ValueError):
-        dedup.hamming_pairs(df, "id", "sig", chunks=5)
+        dedup.hamming_pairs(df, "id", "sig", chunks=65)
+    # chunks that do NOT divide 64 are legal (unequal widths, exact):
+    got5 = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in dedup.hamming_pairs(df, "id", "sig", max_hamming=3, chunks=5).collect()
+    }
+    want5 = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in sigs for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert got5 == want5
 
     # NULL signatures drop out instead of joining everything null==null
     dfn = spark.createDataFrame(
@@ -1641,10 +1652,15 @@ def test_ivfadc_index_matches_python_and_is_narrow(spark, emb):
     idx, cents, books = S.ivfadc_index(emb, n_lists=8, m=16, k=16, sample_size=512)
     assert len(cents) == 8 and len(books) == 16 and len(books[0]) == 16
     # deterministic: retrain reproduces the index bit-identically
-    _, cents2, books2 = S.ivfadc_index(emb, n_lists=8, m=16, k=16, sample_size=512)
+    _, cents2, books2 = S.ivfadc_index(
+        emb, n_lists=8, m=16, k=16, sample_size=512, materialize=False
+    )
     assert cents2 == cents and books2 == books
 
-    plan = idx._jdf.queryExecution().executedPlan().toString()
+    lazy, _, _ = S.ivfadc_index(
+        emb, n_lists=4, m=8, k=8, sample_size=256, materialize=False
+    )
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # cell + residual code: narrow projection
 
     for r in idx.filter(F.col("vec_id") < 4).collect():
@@ -1673,7 +1689,6 @@ def test_ivfadc_topk_recall_and_pruning(spark, emb):
     from grip_spark import similarity as S
 
     idx, cents, books = S.ivfadc_index(emb, n_lists=8, m=16, k=16, sample_size=1024)
-    idx = idx.localCheckpoint(eager=True)
     cells = {r["vec_id"]: r["ivf_cell"] for r in idx.select("vec_id", "ivf_cell").collect()}
     for qid in (0, 7, 42):
         q = [float(x) for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]]

@@ -147,6 +147,34 @@ def main():
                 e, "embedding", qvec, k=10, planes=8, multiprobe_hamming=1
             ).collect()
         )
+        # generic 64-bit hamming join at a corpus-scale key width
+        # (chunks=4, combos=2 -> 6 passes on 32-bit keys; see the
+        # hamming_pairs docstring: size 2^w >= N or the N^2/2^w
+        # candidate term dominates).  Signatures are organic xxhash64
+        # of the id (near-zero pair mass), so this times CANDIDATE
+        # GENERATION, which must grow ~k at this key width
+        t_ham, n_ham = best_of(
+            lambda: dedup.hamming_pairs(
+                d.select("doc_id", F.xxhash64("doc_id").alias("sig")),
+                "doc_id",
+                "sig",
+                max_hamming=2,
+                chunks=4,
+                combos=2,
+            ).count()
+        )
+
+        # IVFADC: n_lists scales with the corpus (constant cell size);
+        # timing covers encode-all + one nprobe=2 search
+        def _ivfadc():
+            idx, cents, books = similarity.ivfadc_index(
+                e, n_lists=8 * k, m=8, k=16, sample_size=2048
+            )
+            return similarity.ivfadc_topk(
+                idx, cents, books, qvec, k=10, nprobe=2
+            ).collect()
+
+        t_ivfadc, _ = best_of(_ivfadc)
         # n_lists scales with the corpus so cell size stays constant —
         # the documented SemDeDup scaling knob (cost is sum(cell^2))
         t_sem, n_drop = best_of(
@@ -160,7 +188,8 @@ def main():
         print(
             f"{k}x: docs={nd} emb={ne} | minhash {t_minhash:.1f}s ({n_pairs} pairs) | "
             f"simhash {t_simhash:.1f}s ({n_sim} pairs) | ann_topk {t_ann:.1f}s | "
-            f"semdedup {t_sem:.1f}s ({n_drop} dropped)",
+            f"semdedup {t_sem:.1f}s ({n_drop} dropped) | "
+            f"hamming_w32 {t_ham:.1f}s ({n_ham} pairs) | ivfadc {t_ivfadc:.1f}s",
             flush=True,
         )
         d.unpersist()
