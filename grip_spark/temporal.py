@@ -15,8 +15,9 @@ execute as a broadcast-nested-loop or cartesian at scale):
   overlaps, and equi-joins points to cells — candidate pairs are
   bucket-local, verified exactly, never a cartesian.
 
-Determinism: ties (equal timestamps) break on the right side's id
-ordering; every result is a pure function of the inputs.
+Determinism: as-of ties (equal timestamps) break on a hash of the
+carried right-row values — partition-order-independent; every result
+is a pure function of the inputs.
 """
 
 from __future__ import annotations
@@ -61,9 +62,16 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
     by = [by] if isinstance(by, str) else (by or [])
-    rcols = right_cols or [
-        c for c in right.columns if c not in set(by) | {on}
-    ]
+    rcols = (
+        right_cols
+        if right_cols is not None
+        else [c for c in right.columns if c not in set(by) | {on}]
+    )
+    if not rcols:
+        raise ValueError(
+            "right side carries no value columns — pass right_cols "
+            f"(e.g. [{on!r}] for an existence/matched-time probe)"
+        )
     missing = [c for c in rcols if c not in right.columns]
     if missing:
         raise ValueError(f"right_cols not in right: {missing}")
@@ -73,12 +81,27 @@ def asof_join(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("_side"),
         F.lit(None).cast("long").alias("_rord"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in rcols],
-        F.lit(None).cast("double").alias("_rt"),
+        F.lit(None)
+        .cast(
+            "struct<_rt:double,"
+            + ",".join(
+                f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in rcols
+            )
+            + ">"
+        )
+        .alias("_rv"),
     )
     # a NULL right timestamp would sort nulls-first and poison the
     # carry-forward for every row after it — drop such rows up front
     right = right.filter(F.col(on).isNotNull())
+    # the right row travels as ONE struct and is carried ATOMICALLY:
+    # per-column last(ignorenulls) would treat a NULL right VALUE as
+    # "no observation" and desync columns across right rows (stale
+    # values outside tolerance, synthetic rows mixing two records)
+    rv = F.struct(
+        F.col(on).cast("double").alias("_rt"),
+        *[F.col(c).alias(c) for c in rcols],
+    )
     rhs = right.select(
         *[
             F.col(c) if c in set(by) | {on} else F.lit(None).cast(
@@ -87,41 +110,39 @@ def asof_join(
             for c in left.columns
         ],
         F.lit(0).alias("_side"),
-        F.xxhash64(*[F.col(c) for c in rcols]).alias("_rord"),
-        *[F.col(c).alias(f"_rv_{c}") for c in rcols],
-        F.col(on).cast("double").alias("_rt"),
+        F.xxhash64(rv).alias("_rord"),
+        rv.alias("_rv"),
     )
     u = lhs.unionByName(rhs)
-    tt = F.col(on) if direction == "backward" else -F.col(on)
+    # forward as-of = backward on the reversed time axis: order desc
+    # (negation would fail analysis on timestamp/date columns)
+    tt = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     w = (
         Window.partitionBy(*by)
-        .orderBy(tt.asc(), F.col("_side").asc(), F.col("_rord").asc())
+        .orderBy(tt, F.col("_side").asc(), F.col("_rord").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
         *[F.col(c) for c in left.columns],
         F.col("_side"),
-        F.last(F.col("_rt"), ignorenulls=True).over(w).alias("_last_rt"),
-        *[
-            F.last(F.col(f"_rv_{c}"), ignorenulls=True).over(w).alias(f"_last_{c}")
-            for c in rcols
-        ],
+        F.last(F.col("_rv"), ignorenulls=True).over(w).alias("_last"),
     ).filter(F.col("_side") == 1)
+    last_rt = F.col("_last")["_rt"]
     if tolerance is not None:
         if tolerance < 0:
             raise ValueError(f"tolerance must be >= 0, got {tolerance}")
         gap = (
-            (F.col(on).cast("double") - F.col("_last_rt"))
+            (F.col(on).cast("double") - last_rt)
             if direction == "backward"
-            else (F.col("_last_rt") - F.col(on).cast("double"))
+            else (last_rt - F.col(on).cast("double"))
         )
-        ok = F.col("_last_rt").isNotNull() & (gap <= F.lit(float(tolerance)))
+        ok = last_rt.isNotNull() & (gap <= F.lit(float(tolerance)))
     else:
-        ok = F.col("_last_rt").isNotNull()
+        ok = last_rt.isNotNull()
     return carried.select(
         *[F.col(c) for c in left.columns],
         *[
-            F.when(ok, F.col(f"_last_{c}")).alias(out_names[c])
+            F.when(ok, F.col("_last")[c]).alias(out_names[c])
             for c in rcols
         ],
     )
@@ -154,6 +175,13 @@ def range_join(
     nothing, NULL bounds are dropped.
     """
     by = [by] if isinstance(by, str) else (by or [])
+    clash = (set(points.columns) & set(intervals.columns)) - set(by)
+    if clash:
+        raise ValueError(
+            f"points and intervals share non-key columns {sorted(clash)} — "
+            "rename one side (ambiguous references would fail or silently "
+            "duplicate downstream)"
+        )
     iv = intervals.filter(
         F.col(start_col).isNotNull()
         & F.col(end_col).isNotNull()

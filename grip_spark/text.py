@@ -823,15 +823,19 @@ PII_PATTERNS: list[tuple[str, str]] = [
 # common analytics/click-id params (utm_*, Google/Facebook/Microsoft
 # click ids, affiliate refs) that make one page look like many URLs
 TRACKING_PARAM_RE = (
-    r"^(utm_[a-z]+|fbclid|gclid|gclsrc|dclid|msclkid|mc_[a-z]+|ref|ref_src"
+    r"^(utm_[a-z]+|fbclid|gclid|gclsrc|dclid|msclkid|mc_[a-z]+|ref_src"
     r"|igshid|spm|yclid|_hsenc|_hsmi|vero_[a-z]+|wickedid|oly_[a-z]+)="
 )
+# deliberately NOT scrubbed: the generic `ref` param — many sites use
+# it for CONTENT routing (?ref=branch, ?ref=section), and collapsing
+# those keys would silently drop distinct pages in a URL dedup
 
 
 def normalize_url(url: Column | str, keep_query: bool = True) -> Column:
     """Canonical URL key for URL-level dedup (the CCNet/C4 convention
-    of one document per page): lower-cased host with ``www.`` and any
-    explicit port stripped, scheme dropped, path with its trailing
+    of one document per page): lower-cased host with ``www.`` stripped
+    (``parse_url``'s HOST already excludes any explicit port), scheme
+    dropped, path with its trailing
     slash removed, fragment dropped, and — when ``keep_query`` —
     query parameters with tracking params scrubbed
     (:data:`TRACKING_PARAM_RE`) and the survivors SORTED, so
@@ -853,28 +857,45 @@ def normalize_url(url: Column | str, keep_query: bool = True) -> Column:
     )
 
     def _norm(b: Column) -> Column:
-        host = F.lower(F.try_parse_url(b, F.lit("HOST")))
-        host = F.regexp_replace(host, r"^www\.", "")
-        host = F.regexp_replace(host, r":\d+$", "")
-        path = F.coalesce(F.try_parse_url(b, F.lit("PATH")), F.lit(""))
-        path = F.regexp_replace(path, r"/+$", "")
-        out = F.concat(host, path)
-        if keep_query:
-            q = F.try_parse_url(b, F.lit("QUERY"))
-            kept = F.array_sort(
-                F.filter(
-                    F.split(F.coalesce(q, F.lit("")), "&"),
-                    lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        # nested _let: `host` (a parse + regex chain) is referenced by
+        # concat, isNotNull and the != '' guard — without the binding
+        # each reference re-evaluates it per row (no CSE inside HOFs)
+        raw_host = F.regexp_replace(
+            F.lower(F.try_parse_url(b, F.lit("HOST"))), r"^www\.", ""
+        )
+        # (no port strip: parse_url's HOST component already excludes
+        # any explicit port)
+
+        def _with_host(host: Column) -> Column:
+            path = F.coalesce(F.try_parse_url(b, F.lit("PATH")), F.lit(""))
+            path = F.regexp_replace(path, r"/+$", "")
+            out = F.concat(host, path)
+            if keep_query:
+                q = F.try_parse_url(b, F.lit("QUERY"))
+                kept = F.array_sort(
+                    F.filter(
+                        F.split(F.coalesce(q, F.lit("")), "&"),
+                        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+                    )
                 )
-            )
-            out = F.concat(
-                out,
-                F.when(
-                    F.size(kept) > 0,
-                    F.concat(F.lit("?"), F.array_join(kept, "&")),
-                ).otherwise(F.lit("")),
-            )
-        return F.when(host.isNotNull() & (host != ""), out)
+                # kept (parse+split+filter+sort) is referenced twice
+                # (size + join) — bind it once too
+                out = F.concat(
+                    out,
+                    _let(
+                        kept,
+                        lambda kk: F.coalesce(
+                            F.when(
+                                F.size(kk) > 0,
+                                F.concat(F.lit("?"), F.array_join(kk, "&")),
+                            ),
+                            F.lit(""),
+                        ),
+                    ),
+                )
+            return F.when(host.isNotNull() & (host != ""), out)
+
+        return _let(raw_host, _with_host)
 
     return _let(w, _norm)
 

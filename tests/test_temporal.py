@@ -54,7 +54,6 @@ def test_asof_backward_matches_python(quotes_trades):
     }
     want = _py_asof(quotes, trades)
     assert got == want
-    assert any(v is None for v in got.values()) or True  # early trades may miss
     # repartitioning must not change a single answer (window determinism)
     got2 = {
         (r["sym"], r["ts"], r["trade_id"]): r["px"]
@@ -146,3 +145,56 @@ def test_range_join_matches_python(spark):
     assert temporal.range_join(pdf, bad, "t", "s", "e", by="k").count() == 0
     with pytest.raises(ValueError):
         temporal.range_join(pdf, idf, "t", "s", "e", bucket_width=0)
+
+
+def test_asof_null_right_values_carry_atomically(spark):
+    """A NULL right VALUE must not desync the carry (review
+    regression: per-column last(ignorenulls) matched values from one
+    right row with the tolerance timestamp of another)."""
+    left = spark.createDataFrame([(1, 6)], "id int, ts long")
+    right = spark.createDataFrame(
+        [(1, 10.0, "a"), (5, None, "b")], "ts long, px double, src string"
+    )
+    # nearest right row (ts=5) has px=NULL; tolerance=2 excludes ts=1
+    r = temporal.asof_join(left, right, on="ts", tolerance=2).collect()[0]
+    assert r["px"] is None and r["src"] == "b"  # the ts=5 row, atomically
+    # without tolerance the match is still the NEAREST row, never a
+    # synthetic mix of (px from ts=1, src from ts=5)
+    r2 = temporal.asof_join(left, right, on="ts").collect()[0]
+    assert (r2["px"], r2["src"]) == (None, "b")
+
+
+def test_asof_forward_on_timestamp_column(spark):
+    import datetime
+
+    t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame([(1, t(10))], "id int, ts timestamp")
+    right = spark.createDataFrame(
+        [(t(5), 1.0), (t(12), 2.0), (t(40), 3.0)], "ts timestamp, v double"
+    )
+    fwd = temporal.asof_join(left, right, on="ts", direction="forward").collect()[0]
+    assert fwd["v"] == 2.0  # earliest right >= 10s
+    back = temporal.asof_join(left, right, on="ts").collect()[0]
+    assert back["v"] == 1.0
+    # tolerance on timestamps is in SECONDS (the double cast)
+    tol = temporal.asof_join(
+        left, right, on="ts", direction="forward", tolerance=1
+    ).collect()[0]
+    assert tol["v"] is None  # 12s is 2s away > 1s
+
+
+def test_asof_valueless_right_and_existence_probe(spark):
+    left = spark.createDataFrame([(1, 10)], "id int, ts long")
+    right = spark.createDataFrame([(7,)], "ts long")
+    with pytest.raises(ValueError, match="no value columns"):
+        temporal.asof_join(left, right, on="ts")
+    # the documented escape: right_cols=[on] gives the matched time
+    r = temporal.asof_join(left, right, on="ts", right_cols=["ts"]).collect()[0]
+    assert r["ts_right"] == 7
+
+
+def test_range_join_rejects_column_collisions(spark):
+    pdf = spark.createDataFrame([("x", 1, 5)], "k string, name int, t long")
+    idf = spark.createDataFrame([("x", 2, 0, 10)], "k string, name int, s long, e long")
+    with pytest.raises(ValueError, match="share non-key columns"):
+        temporal.range_join(pdf, idf, "t", "s", "e", by="k")
