@@ -34,7 +34,7 @@ def sf_tag(sf_dir: str):
 def main():
     from pyspark.sql import SparkSession, functions as F
 
-    from grip_spark import dedup, ops, sampling, similarity, text
+    from grip_spark import dedup, ops, sampling, similarity, temporal, text
     from grip_spark.tpch import tpch_graph
 
     spark = (
@@ -93,6 +93,14 @@ def main():
         gb = GripGraph.from_tables(spark, bname)
 
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    # as-of inputs: latest "view" before each "purchase", per user
+    ev_a = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    ev_b = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
 
     queries = {
         "v_scan_count": lambda: run_count(g.query().V().to_df()),
@@ -176,6 +184,16 @@ def main():
         ),
         "dup_spans": lambda: run_count(
             dedup.duplicate_ngram_spans(docs, "doc_id", "text", n=13)
+        ),
+        "asof_user_events": lambda: run_count(
+            temporal.asof_join(ev_a, ev_b, on="ts", by="user_id").filter(
+                F.col("view_value").isNotNull()
+            )
+        ),
+        "bigram_train_score": lambda: run_count(
+            text.bigram_logprob(
+                docs, text.bigram_model(docs, vocab_size=4096)
+            )
         ),
         "events_window": lambda: run_count(
             events.groupBy(
