@@ -210,3 +210,76 @@ def range_join(
         (F.col(start_col) <= F.col(point_col)) & (F.col(point_col) < F.col(end_col))
     )
     return joined.drop("_cell")
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    by: str | list[str] | None = None,
+    bucket_width: int | float | None = None,
+) -> DataFrame:
+    """Join interval rows of ``a`` to every interval row of ``b`` they
+    OVERLAP (``a.start < b.end AND b.start < a.end`` — half-open
+    intervals), optionally per ``by`` key: meetings ↔ room bookings,
+    outages ↔ deploy windows, session ↔ campaign flights.
+
+    Scale shape: both sides replicate into fixed-width time cells
+    (one explode each) and equi-join on (key, cell) — same device as
+    :func:`range_join`, never a cartesian.  An overlapping pair
+    shares every cell their intersection touches; emitting it once
+    WITHOUT a distinct pass works by keying each pair to one
+    canonical cell — the cell of ``max(a.start, b.start)`` (the start
+    of the intersection, which both sides' cell ranges necessarily
+    contain) — and keeping a candidate only when the join cell IS
+    that canonical cell.  Degenerate (``end <= start``) and
+    NULL-bounded intervals match nothing.
+    """
+    by = [by] if isinstance(by, str) else (by or [])
+    clash = (set(a.columns) & set(b.columns)) - set(by)
+    if clash:
+        raise ValueError(
+            f"a and b share non-key columns {sorted(clash)} — rename one side"
+        )
+
+    def _clean(df, s, e):
+        return df.filter(
+            F.col(s).isNotNull() & F.col(e).isNotNull() & (F.col(e) > F.col(s))
+        )
+
+    a, b = _clean(a, a_start, a_end), _clean(b, b_start, b_end)
+    if bucket_width is None:
+        row = (
+            a.agg(
+                F.avg(
+                    F.col(a_end).cast("double") - F.col(a_start).cast("double")
+                ).alias("w")
+            ).collect()[0]
+        )
+        bucket_width = max(float(row["w"] or 1.0), 1e-12)
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
+    bw = F.lit(float(bucket_width))
+
+    def _cells(df, s, e):
+        lo = F.floor(F.col(s).cast("double") / bw).cast("long")
+        hi = F.floor(F.col(e).cast("double") / bw).cast("long")
+        return df.withColumn("_cell", F.explode(F.sequence(lo, hi)))
+
+    joined = _cells(a, a_start, a_end).join(_cells(b, b_start, b_end), ["_cell", *by])
+    inter_start = F.greatest(
+        F.col(a_start).cast("double"), F.col(b_start).cast("double")
+    )
+    return (
+        joined.filter(
+            (F.col(a_start).cast("double") < F.col(b_end).cast("double"))
+            & (F.col(b_start).cast("double") < F.col(a_end).cast("double"))
+            # emit each overlapping pair exactly once: only from the
+            # canonical cell containing the intersection start
+            & (F.col("_cell") == F.floor(inter_start / bw).cast("long"))
+        )
+        .drop("_cell")
+    )

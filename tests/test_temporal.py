@@ -198,3 +198,42 @@ def test_range_join_rejects_column_collisions(spark):
     idf = spark.createDataFrame([("x", 2, 0, 10)], "k string, name int, s long, e long")
     with pytest.raises(ValueError, match="share non-key columns"):
         temporal.range_join(pdf, idf, "t", "s", "e", by="k")
+
+
+def test_interval_overlap_join_matches_python(spark):
+    rng = random.Random(13)
+    A, B = [], []
+    for key in ("x", "y"):
+        for i in range(50):
+            s = rng.randrange(0, 500)
+            A.append((key, i, s, s + rng.randrange(1, 40)))
+        for j in range(50):
+            s = rng.randrange(0, 500)
+            B.append((key, j, s, s + rng.randrange(1, 40)))
+    adf = spark.createDataFrame(A, "k string, a_id int, a_s long, a_e long")
+    bdf = spark.createDataFrame(B, "k string, b_id int, b_s long, b_e long")
+
+    want = {
+        (ak, aid, bid)
+        for ak, aid, a_s, a_e in A
+        for bk, bid, b_s, b_e in B
+        if ak == bk and a_s < b_e and b_s < a_e
+    }
+    for bwidth in (None, 13, 100):
+        got_rows = temporal.interval_overlap_join(
+            adf, bdf, "a_s", "a_e", "b_s", "b_e", by="k", bucket_width=bwidth
+        ).collect()
+        got = [(r["k"], r["a_id"], r["b_id"]) for r in got_rows]
+        # exactly once per pair: no duplicates even when pairs share
+        # many cells (small bucket widths)
+        assert len(got) == len(set(got)), bwidth
+        assert set(got) == want, bwidth
+    assert want
+
+    # degenerate/NULL intervals never match; collisions rejected
+    bad = spark.createDataFrame([("x", 9, 5, 5)], "k string, b_id int, b_s long, b_e long")
+    assert temporal.interval_overlap_join(
+        adf, bad, "a_s", "a_e", "b_s", "b_e", by="k"
+    ).count() == 0
+    with pytest.raises(ValueError):
+        temporal.interval_overlap_join(adf, adf, "a_s", "a_e", "a_s", "a_e", by="k")
