@@ -104,27 +104,64 @@ def _gq(spark, sf_dir):
 # -- never-verified-in-r2 + new queries first (cutoff hedge) ----------------
 
 
-def q_events_type_stats(spark, sf_dir):
-    return (
-        _events(spark, sf_dir)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("value").alias("vmin"),
-            F.max("value").alias("vmax"),
-        )
+def q_events_agg(spark, sf_dir):
+    """Labeled-row matrix folding the two event aggregations that held
+    separate slots through r4 (per-type stats; hourly tumbling window
+    counts) — the same consolidation device as `scan_counts` /
+    `adjacency_ops`, freeing a slot for `asof_events`.  Shared schema:
+    (label, key string, n, vmin, vmax) with NULL stats on window rows.
+    ts is nanos-since-epoch (see _events) so the window key is exact
+    integer arithmetic — no double rounding."""
+    ev = _events(spark, sf_dir)
+    types = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    ).select(
+        F.lit("type").alias("label"),
+        F.col("event_type").alias("key"),
+        "n", "vmin", "vmax",
     )
-
-
-def q_events_window(spark, sf_dir):
-    # hourly tumbling window; ts is nanos-since-epoch (see _events), so
-    # the window key is exact integer arithmetic — no double rounding
-    return (
-        _events(spark, sf_dir)
-        .groupBy(
-            F.expr("(ts DIV 3600000000000) * 3600").alias("hour_epoch"), F.col("event_type")
+    hours = (
+        ev.groupBy(
+            F.expr("(ts DIV 3600000000000) * 3600").alias("hour_epoch"),
+            F.col("event_type"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("hourly").alias("label"),
+            F.concat_ws("|", F.col("hour_epoch").cast("string"), "event_type").alias(
+                "key"
+            ),
+            "n",
+            F.lit(None).cast("double").alias("vmin"),
+            F.lit(None).cast("double").alias("vmax"),
+        )
+    )
+    return types.unionByName(hours)
+
+
+def q_asof_events(spark, sf_dir):
+    """As-of join under a cross-engine value oracle (DuckDB's native
+    ASOF JOIN): for every purchase event, the latest prior view by the
+    same user (grip_spark.temporal.asof_join — the union+window
+    formulation with no join operator).  Ties are impossible in this
+    data (verified: no duplicate (user_id, ts) view rows), so the
+    hash tie-break never fires and both engines agree exactly."""
+    from grip_spark import temporal
+
+    ev = _events(spark, sf_dir)
+    a = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    b = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = temporal.asof_join(a, b, on="ts", by="user_id", right_cols=["ts", "value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_right").alias("view_ts"),
+        F.col("value").alias("view_value"),
     )
 
 
@@ -1039,8 +1076,8 @@ def q_semantic_dedup(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # never-verified-in-r2 + new (see module docstring: 50-cap hedge)
-        "events_type_stats": q_events_type_stats,
-        "events_window": q_events_window,
+        "events_agg": q_events_agg,
+        "asof_events": q_asof_events,
         "events_json_props": q_events_json_props,
         "sessions": q_sessions,
         "multimodal_pipeline": q_multimodal_pipeline,
@@ -1407,13 +1444,21 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         # -- never-verified + new ------------------------------------------
-        "events_type_stats": (
-            "SELECT event_type, count(*) AS n, min(value) AS vmin, max(value) AS vmax "
-            "FROM events GROUP BY event_type"
+        "events_agg": (
+            "SELECT 'type' AS label, event_type AS key, count(*) AS n, "
+            "min(value) AS vmin, max(value) AS vmax FROM events GROUP BY event_type "
+            "UNION ALL "
+            "SELECT 'hourly', CAST(epoch(date_trunc('hour', ts)) AS BIGINT) || '|' "
+            "|| event_type, count(*), NULL, NULL FROM events GROUP BY 2"
         ),
-        "events_window": (
-            "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, "
-            "event_type, count(*) AS n FROM events GROUP BY 1, 2"
+        "asof_events": (
+            "WITH a AS (SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events "
+            "WHERE event_type = 'purchase'), "
+            "b AS (SELECT user_id, epoch_ns(ts) AS ts, value FROM events "
+            "WHERE event_type = 'view') "
+            "SELECT a.event_id, a.user_id, a.ts, b.ts AS view_ts, "
+            "b.value AS view_value "
+            "FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts"
         ),
         "events_json_props": (
             "SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n "
