@@ -130,9 +130,11 @@ def q_events_agg(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             F.lit("hourly").alias("label"),
-            F.concat_ws("|", F.col("hour_epoch").cast("string"), "event_type").alias(
-                "key"
-            ),
+            # concat (not concat_ws): NULL event_type must propagate to
+            # a NULL key exactly like the oracle's || operator
+            F.concat(
+                F.col("hour_epoch").cast("string"), F.lit("|"), F.col("event_type")
+            ).alias("key"),
             "n",
             F.lit(None).cast("double").alias("vmin"),
             F.lit(None).cast("double").alias("vmax"),

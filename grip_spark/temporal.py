@@ -175,41 +175,54 @@ def range_join(
     nothing, NULL bounds are dropped.
     """
     by = [by] if isinstance(by, str) else (by or [])
-    clash = (set(points.columns) & set(intervals.columns)) - set(by)
-    if clash:
-        raise ValueError(
-            f"points and intervals share non-key columns {sorted(clash)} — "
-            "rename one side (ambiguous references would fail or silently "
-            "duplicate downstream)"
-        )
-    iv = intervals.filter(
-        F.col(start_col).isNotNull()
-        & F.col(end_col).isNotNull()
-        & (F.col(end_col) > F.col(start_col))
-    )
+    _no_clash(points, intervals, by, "points", "intervals")
+    iv = _clean_intervals(intervals, start_col, end_col)
     if bucket_width is None:
-        row = iv.agg(
-            F.avg(F.col(end_col).cast("double") - F.col(start_col).cast("double")).alias(
-                "w"
-            )
-        ).collect()[0]
-        bucket_width = max(float(row["w"] or 1.0), 1e-12)
+        bucket_width = _mean_width(iv, start_col, end_col)
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
     bw = F.lit(float(bucket_width))
-    cell_lo = F.floor(F.col(start_col).cast("double") / bw)
-    cell_hi = F.floor(F.col(end_col).cast("double") / bw)
-    expanded = iv.withColumn(
-        "_cell", F.explode(F.sequence(cell_lo.cast("long"), cell_hi.cast("long")))
-    )
+    expanded = _explode_cells(iv, start_col, end_col, bw)
     pts = points.filter(F.col(point_col).isNotNull()).withColumn(
         "_cell", F.floor(F.col(point_col).cast("double") / bw).cast("long")
     )
     keys = ["_cell", *by]
+    # exact containment verifies on the NATIVE columns — a double cast
+    # loses sub-ulp differences for longs above 2^53 (nanos epochs)
     joined = pts.join(expanded, keys).filter(
         (F.col(start_col) <= F.col(point_col)) & (F.col(point_col) < F.col(end_col))
     )
     return joined.drop("_cell")
+
+
+def _no_clash(x: DataFrame, y: DataFrame, by: list, xn: str, yn: str) -> None:
+    clash = (set(x.columns) & set(y.columns)) - set(by)
+    if clash:
+        raise ValueError(
+            f"{xn} and {yn} share non-key columns {sorted(clash)} — "
+            "rename one side (ambiguous references would fail or silently "
+            "duplicate downstream)"
+        )
+
+
+def _clean_intervals(df: DataFrame, s: str, e: str) -> DataFrame:
+    """Drop NULL-bounded and degenerate/empty (end <= start) intervals."""
+    return df.filter(
+        F.col(s).isNotNull() & F.col(e).isNotNull() & (F.col(e) > F.col(s))
+    )
+
+
+def _mean_width(df: DataFrame, s: str, e: str) -> float:
+    row = df.agg(
+        F.avg(F.col(e).cast("double") - F.col(s).cast("double")).alias("w")
+    ).collect()[0]
+    return max(float(row["w"] or 1.0), 1e-12)
+
+
+def _explode_cells(df: DataFrame, s: str, e: str, bw) -> DataFrame:
+    lo = F.floor(F.col(s).cast("double") / bw).cast("long")
+    hi = F.floor(F.col(e).cast("double") / bw).cast("long")
+    return df.withColumn("_cell", F.explode(F.sequence(lo, hi)))
 
 
 def interval_overlap_join(
@@ -239,46 +252,36 @@ def interval_overlap_join(
     NULL-bounded intervals match nothing.
     """
     by = [by] if isinstance(by, str) else (by or [])
-    clash = (set(a.columns) & set(b.columns)) - set(by)
-    if clash:
-        raise ValueError(
-            f"a and b share non-key columns {sorted(clash)} — rename one side"
-        )
-
-    def _clean(df, s, e):
-        return df.filter(
-            F.col(s).isNotNull() & F.col(e).isNotNull() & (F.col(e) > F.col(s))
-        )
-
-    a, b = _clean(a, a_start, a_end), _clean(b, b_start, b_end)
+    _no_clash(a, b, by, "a", "b")
+    a, b = _clean_intervals(a, a_start, a_end), _clean_intervals(b, b_start, b_end)
     if bucket_width is None:
-        row = (
-            a.agg(
-                F.avg(
-                    F.col(a_end).cast("double") - F.col(a_start).cast("double")
-                ).alias("w")
-            ).collect()[0]
+        # BOTH sides replicate into cells here, so the default must
+        # consider both widths: keyed to side a's mean alone, week-long
+        # b intervals over second-long a sessions would explode each b
+        # row into ~10^5 cells
+        bucket_width = max(
+            _mean_width(a, a_start, a_end), _mean_width(b, b_start, b_end)
         )
-        bucket_width = max(float(row["w"] or 1.0), 1e-12)
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
     bw = F.lit(float(bucket_width))
-
-    def _cells(df, s, e):
-        lo = F.floor(F.col(s).cast("double") / bw).cast("long")
-        hi = F.floor(F.col(e).cast("double") / bw).cast("long")
-        return df.withColumn("_cell", F.explode(F.sequence(lo, hi)))
-
-    joined = _cells(a, a_start, a_end).join(_cells(b, b_start, b_end), ["_cell", *by])
+    joined = _explode_cells(a, a_start, a_end, bw).join(
+        _explode_cells(b, b_start, b_end, bw), ["_cell", *by]
+    )
     inter_start = F.greatest(
         F.col(a_start).cast("double"), F.col(b_start).cast("double")
     )
     return (
         joined.filter(
-            (F.col(a_start).cast("double") < F.col(b_end).cast("double"))
-            & (F.col(b_start).cast("double") < F.col(a_end).cast("double"))
+            # exact overlap on the NATIVE columns: double casts merge
+            # longs above 2^53 (nanos epochs) and silently drop pairs
+            (F.col(a_start) < F.col(b_end))
+            & (F.col(b_start) < F.col(a_end))
             # emit each overlapping pair exactly once: only from the
-            # canonical cell containing the intersection start
+            # canonical cell containing the intersection start (cell
+            # math stays in doubles, consistently with _explode_cells —
+            # cast is monotonic, so cast(max) == max(cast) and the
+            # canonical cell is inside both sides' cell ranges)
             & (F.col("_cell") == F.floor(inter_start / bw).cast("long"))
         )
         .drop("_cell")

@@ -237,3 +237,43 @@ def test_interval_overlap_join_matches_python(spark):
     ).count() == 0
     with pytest.raises(ValueError):
         temporal.interval_overlap_join(adf, adf, "a_s", "a_e", "a_s", "a_e", by="k")
+
+
+def test_interval_overlap_nanos_precision_and_plan(spark):
+    """Overlap must be exact at nanos-epoch magnitudes where double
+    casts merge distinct longs (review regression), the default bucket
+    width must consider BOTH sides, and the plan must stay an
+    equi-join (no nested-loop/cartesian)."""
+    base = 1_700_000_000_000_000_000
+    adf = spark.createDataFrame(
+        [("x", 1, base, base + 1000)], "k string, a_id int, a_s long, a_e long"
+    )
+    bdf = spark.createDataFrame(
+        [("x", 2, base + 900, base + 2000), ("x", 3, base + 1000, base + 2000)],
+        "k string, b_id int, b_s long, b_e long",
+    )
+    got = {(r["a_id"], r["b_id"]) for r in temporal.interval_overlap_join(
+        adf, bdf, "a_s", "a_e", "b_s", "b_e", by="k", bucket_width=1000
+    ).collect()}
+    # b_id=2 overlaps by 100ns; b_id=3 is half-open adjacent (no overlap)
+    assert got == {(1, 2)}
+    # same magnitudes through range_join stay exact too
+    pdf = spark.createDataFrame([("x", 7, base + 950)], "k string, p_id int, t long")
+    assert {(r["p_id"], r["b_id"]) for r in temporal.range_join(
+        pdf, bdf, "t", "b_s", "b_e", by="k", bucket_width=1000
+    ).collect()} == {(7, 2)}
+
+    # default bucket width takes the LONGER side's mean: a week-long b
+    # interval over 1s a intervals must not explode into ~10^5 cells
+    a2 = spark.createDataFrame([("x", 1, 0, 1)], "k string, a_id int, a_s long, a_e long")
+    b2 = spark.createDataFrame(
+        [("x", 2, 0, 604800)], "k string, b_id int, b_s long, b_e long"
+    )
+    out = temporal.interval_overlap_join(a2, b2, "a_s", "a_e", "b_s", "b_e", by="k")
+    assert [(r["a_id"], r["b_id"]) for r in out.collect()] == [(1, 2)]
+
+    plan = temporal.interval_overlap_join(
+        adf, bdf, "a_s", "a_e", "b_s", "b_e", by="k", bucket_width=1000
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "Join" in plan
