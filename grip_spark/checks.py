@@ -245,3 +245,74 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> list[dict]:
             d["stddev"] = row[k["stddev"]]
         out.append(d)
     return out
+
+
+def compare_profiles(
+    prev: list[dict],
+    cur: list[dict],
+    max_row_change: float = 0.5,
+    max_null_rate_increase: float = 0.1,
+    max_distinct_drop: float = 0.5,
+) -> list[dict]:
+    """Drift report between two :func:`profile` snapshots (previous
+    corpus build vs current) → list of ``{"column", "check",
+    "prev", "cur", "ok"}`` findings — the anomaly half of the Deequ
+    design: a gate that knows what LAST week's corpus looked like.
+
+    Checks per shared column: row-count change within
+    ``±max_row_change`` (relative), null-rate increase under
+    ``max_null_rate_increase`` (absolute), approx-distinct not
+    collapsed below ``(1 - max_distinct_drop)×`` the previous count
+    (a distinct-count CRASH usually means an upstream join started
+    fanning out or a default value flooded the column — growth is
+    normal corpus growth and not flagged).  Schema drift (columns
+    added/removed) is always reported.  Pure driver-side arithmetic
+    over the two profile lists; the corpus is not touched.
+    """
+    p = {d["column"]: d for d in prev}
+    c = {d["column"]: d for d in cur}
+    out = []
+    for name in sorted(set(p) - set(c)):
+        out.append(
+            {"column": name, "check": "column_removed", "prev": 1, "cur": 0, "ok": False}
+        )
+    for name in sorted(set(c) - set(p)):
+        out.append(
+            {"column": name, "check": "column_added", "prev": 0, "cur": 1, "ok": False}
+        )
+    for name in sorted(set(p) & set(c)):
+        a, b = p[name], c[name]
+        if a["count"]:
+            ratio = b["count"] / a["count"]
+            out.append(
+                {
+                    "column": name,
+                    "check": "row_count_ratio",
+                    "prev": a["count"],
+                    "cur": b["count"],
+                    "ok": abs(ratio - 1.0) <= max_row_change,
+                }
+            )
+        nr_a = (a["n_null"] / a["count"]) if a["count"] else 0.0
+        nr_b = (b["n_null"] / b["count"]) if b["count"] else 0.0
+        out.append(
+            {
+                "column": name,
+                "check": "null_rate",
+                "prev": round(nr_a, 6),
+                "cur": round(nr_b, 6),
+                "ok": nr_b - nr_a <= max_null_rate_increase,
+            }
+        )
+        if a["approx_distinct"]:
+            out.append(
+                {
+                    "column": name,
+                    "check": "distinct_ratio",
+                    "prev": a["approx_distinct"],
+                    "cur": b["approx_distinct"],
+                    "ok": b["approx_distinct"]
+                    >= (1.0 - max_distinct_drop) * a["approx_distinct"],
+                }
+            )
+    return out

@@ -3,6 +3,8 @@ the one-pass plan guarantee."""
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from grip_spark import checks
 
 
@@ -112,3 +114,33 @@ def test_profile_map_column_skips_minmax(spark):
     prof = {p["column"]: p for p in checks.profile(df)}
     assert prof["props"]["count"] == 2 and "min" not in prof["props"]
     assert prof["id"]["min"] == "1"
+
+
+def test_compare_profiles_drift(spark):
+    prev_df = spark.createDataFrame(
+        [(i, "en" if i % 10 else None, i * 2) for i in range(1000)],
+        "id long, lang string, n long",
+    )
+    # current snapshot: rows halved-ish is ok at default 0.5; lang goes
+    # 90% NULL (null-rate spike); n collapses to one value (distinct
+    # crash); plus a schema change (n dropped, q added)
+    cur_df = spark.createDataFrame(
+        [(i, None if i % 10 else "en", 0.5) for i in range(900)],
+        "id long, lang string, q double",
+    )
+    prev = checks.profile(prev_df)
+    cur = checks.profile(cur_df)
+    got = {(r["column"], r["check"]): r["ok"] for r in checks.compare_profiles(prev, cur)}
+    assert got[("n", "column_removed")] is False
+    assert got[("q", "column_added")] is False
+    assert got[("id", "row_count_ratio")] is True  # 900/1000 within ±0.5
+    assert got[("id", "null_rate")] is True
+    assert got[("lang", "null_rate")] is False  # 10% -> 90% nulls
+    assert got[("id", "distinct_ratio")] is True
+
+    # distinct collapse detection on a shared column
+    prev2 = checks.profile(prev_df.select(F.col("n").alias("v")))
+    cur2 = checks.profile(prev_df.select((F.col("n") * 0).alias("v")))
+    got2 = {(r["column"], r["check"]): r["ok"]
+            for r in checks.compare_profiles(prev2, cur2)}
+    assert got2[("v", "distinct_ratio")] is False
