@@ -957,3 +957,64 @@ def ivfadc_topk(
         .orderBy(F.col("ivfadc_score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivfadc_save(
+    index_df: DataFrame,
+    centroids: list,
+    codebooks: list,
+    path: str,
+    cell_col: str = "ivf_cell",
+) -> None:
+    """Persist an IVFADC index: codes as parquet PARTITIONED BY the
+    cell (so a search's cell filter becomes partition pruning — only
+    ``nprobe`` directories are even listed), centroids + codebooks in
+    a JSON sidecar (`_ivfadc.json`) — the same sidecar-manifest
+    pattern as the graph's bucketed-table layout.  NULL-cell rows
+    (zero/NULL vectors) are dropped at save: they can never match a
+    probe."""
+    import json
+    import os
+
+    spark = index_df.sparkSession
+    (
+        index_df.filter(F.col(cell_col).isNotNull())
+        .write.mode("overwrite")
+        .partitionBy(cell_col)
+        .parquet(path)
+    )
+    meta = json.dumps(
+        {"centroids": centroids, "codebooks": codebooks, "cell_col": cell_col}
+    )
+    # write the sidecar through the JVM-agnostic local path when
+    # possible, else as a 1-row text file next to the data
+    local = path
+    if local.startswith("file:"):
+        local = local[len("file:") :]
+    if os.path.isdir(local):
+        with open(os.path.join(local, "_ivfadc.json"), "w") as f:
+            f.write(meta)
+    else:  # non-local filesystem: a tiny single-part text file
+        spark.createDataFrame([(meta,)], "v string").coalesce(1).write.mode(
+            "overwrite"
+        ).text(path.rstrip("/") + "__ivfadc_meta")
+
+
+def ivfadc_load(spark, path: str):
+    """Re-attach a saved IVFADC index → ``(index_df, centroids,
+    codebooks)`` ready for :func:`ivfadc_topk`.  The parquet scan is
+    partitioned by cell, so the search's ``isin`` filter prunes to the
+    probed directories (PartitionFilters, no data read elsewhere)."""
+    import json
+    import os
+
+    local = path[len("file:") :] if path.startswith("file:") else path
+    side = os.path.join(local, "_ivfadc.json")
+    if os.path.exists(side):
+        meta = json.loads(open(side).read())
+    else:
+        meta = json.loads(
+            spark.read.text(path.rstrip("/") + "__ivfadc_meta").first()["value"]
+        )
+    df = spark.read.parquet(path)
+    return df, meta["centroids"], meta["codebooks"]

@@ -1810,3 +1810,32 @@ def test_audio_near_dup_pairs_end_to_end(spark):
     assert got[(0, 1)] == 0  # exact amplitude-scale dup
     assert (0, 2) in got  # re-quantized near-dup recalled
     assert not any(3 in p or 4 in p or 5 in p for p in got)
+
+
+def test_ivfadc_save_load_partition_pruning(spark, emb, tmp_path_factory):
+    """A saved index reloads bit-identically and the search scan
+    prunes to the probed cell PARTITIONS (PartitionFilters on the
+    cell column — only nprobe directories are read)."""
+    from grip_spark import similarity as S
+
+    idx, cents, books = S.ivfadc_index(emb, n_lists=8, m=8, k=16, sample_size=512)
+    path = str(tmp_path_factory.mktemp("ivfadc") / "index")
+    S.ivfadc_save(idx, cents, books, path)
+
+    df2, cents2, books2 = S.ivfadc_load(spark, path)
+    assert cents2 == cents and books2 == books
+    have = {(r["vec_id"], tuple(r["pq_code"]), r["ivf_cell"]) for r in df2.collect()}
+    want = {
+        (r["vec_id"], tuple(r["pq_code"]), r["ivf_cell"])
+        for r in idx.filter(F.col("ivf_cell").isNotNull()).collect()
+    }
+    assert have == want
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    top = S.ivfadc_topk(df2, cents2, books2, q, k=10, nprobe=2)
+    # same answers as searching the in-memory index
+    assert [r["vec_id"] for r in top.collect()] == [
+        r["vec_id"] for r in S.ivfadc_topk(idx, cents, books, q, k=10, nprobe=2).collect()
+    ]
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan.split("PartitionFilters")[1][:200]
