@@ -130,8 +130,10 @@ def q_events_agg(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             F.lit("hourly").alias("label"),
-            # concat (not concat_ws): NULL event_type must propagate to
-            # a NULL key exactly like the oracle's || operator
+            # concat (not concat_ws): NULL event_type propagates to a
+            # NULL key like the oracle's || — and the oracle groups by
+            # the two underlying expressions (not the concatenated
+            # key), matching this groupBy's granularity under NULLs
             F.concat(
                 F.col("hour_epoch").cast("string"), F.lit("|"), F.col("event_type")
             ).alias("key"),
@@ -1451,7 +1453,8 @@ def oracle_sql() -> dict[str, str]:
             "min(value) AS vmin, max(value) AS vmax FROM events GROUP BY event_type "
             "UNION ALL "
             "SELECT 'hourly', CAST(epoch(date_trunc('hour', ts)) AS BIGINT) || '|' "
-            "|| event_type, count(*), NULL, NULL FROM events GROUP BY 2"
+            "|| event_type, count(*), NULL, NULL FROM events "
+            "GROUP BY date_trunc('hour', ts), event_type"
         ),
         "asof_events": (
             "WITH a AS (SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events "

@@ -195,6 +195,7 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> list[dict]:
     fields = [f for f in df.schema.fields if cols is None or f.name in cols]
     if not fields:
         raise ValueError("no matching columns")
+    dtypes = {f.name: f.dataType.simpleString() for f in fields}
     numeric = {
         f.name
         for f in fields
@@ -233,6 +234,7 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> list[dict]:
     for name, k in keys:
         d = {
             "column": name,
+            "dtype": dtypes[name],
             "count": row[k["count"]],
             "n_null": row[k["count"]] - row[k["n_nonnull"]],
             "approx_distinct": row[k["approx_distinct"]],
@@ -259,8 +261,10 @@ def compare_profiles(
     "prev", "cur", "ok"}`` findings — the anomaly half of the Deequ
     design: a gate that knows what LAST week's corpus looked like.
 
-    Checks per shared column: row-count change within
-    ``±max_row_change`` (relative), null-rate increase under
+    Checks: row-count change within ``±max_row_change`` (relative,
+    reported ONCE at table level as column ``"*"``; an empty previous
+    snapshot vs a non-empty current one is always flagged); then per
+    shared column: dtype change, null-rate increase under
     ``max_null_rate_increase`` (absolute), approx-distinct not
     collapsed below ``(1 - max_distinct_drop)×`` the previous count
     (a distinct-count CRASH usually means an upstream join started
@@ -272,6 +276,19 @@ def compare_profiles(
     p = {d["column"]: d for d in prev}
     c = {d["column"]: d for d in cur}
     out = []
+    # row count is a TABLE-level quantity (identical in every profile
+    # entry): check it once, not once per column — and an empty
+    # PREVIOUS snapshot is itself reportable drift unless the current
+    # one is empty too
+    if p and c:
+        pa = next(iter(p.values()))["count"]
+        cb = next(iter(c.values()))["count"]
+        ok = (
+            abs(cb / pa - 1.0) <= max_row_change if pa else cb == 0
+        )
+        out.append(
+            {"column": "*", "check": "row_count_ratio", "prev": pa, "cur": cb, "ok": ok}
+        )
     for name in sorted(set(p) - set(c)):
         out.append(
             {"column": name, "check": "column_removed", "prev": 1, "cur": 0, "ok": False}
@@ -282,15 +299,14 @@ def compare_profiles(
         )
     for name in sorted(set(p) & set(c)):
         a, b = p[name], c[name]
-        if a["count"]:
-            ratio = b["count"] / a["count"]
+        if a.get("dtype") and b.get("dtype") and a["dtype"] != b["dtype"]:
             out.append(
                 {
                     "column": name,
-                    "check": "row_count_ratio",
-                    "prev": a["count"],
-                    "cur": b["count"],
-                    "ok": abs(ratio - 1.0) <= max_row_change,
+                    "check": "dtype_changed",
+                    "prev": a["dtype"],
+                    "cur": b["dtype"],
+                    "ok": False,
                 }
             )
         nr_a = (a["n_null"] / a["count"]) if a["count"] else 0.0

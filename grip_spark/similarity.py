@@ -968,13 +968,14 @@ def ivfadc_save(
 ) -> None:
     """Persist an IVFADC index: codes as parquet PARTITIONED BY the
     cell (so a search's cell filter becomes partition pruning — only
-    ``nprobe`` directories are even listed), centroids + codebooks in
-    a JSON sidecar (`_ivfadc.json`) — the same sidecar-manifest
-    pattern as the graph's bucketed-table layout.  NULL-cell rows
+    ``nprobe`` directories are even listed), centroids + codebooks as
+    a JSON line in a sibling ``<path>__ivfadc_meta`` text dataset —
+    the same sidecar-manifest pattern as the graph's bucketed-table
+    layout, written through Spark so path resolution can never
+    diverge from the data's filesystem.  NULL-cell rows
     (zero/NULL vectors) are dropped at save: they can never match a
     probe."""
     import json
-    import os
 
     spark = index_df.sparkSession
     (
@@ -986,18 +987,14 @@ def ivfadc_save(
     meta = json.dumps(
         {"centroids": centroids, "codebooks": codebooks, "cell_col": cell_col}
     )
-    # write the sidecar through the JVM-agnostic local path when
-    # possible, else as a 1-row text file next to the data
-    local = path
-    if local.startswith("file:"):
-        local = local[len("file:") :]
-    if os.path.isdir(local):
-        with open(os.path.join(local, "_ivfadc.json"), "w") as f:
-            f.write(meta)
-    else:  # non-local filesystem: a tiny single-part text file
-        spark.createDataFrame([(meta,)], "v string").coalesce(1).write.mode(
-            "overwrite"
-        ).text(path.rstrip("/") + "__ivfadc_meta")
+    # ONE deterministic meta channel: a single-part text dataset next
+    # to the data, written through the same filesystem Spark resolved
+    # the parquet path against.  (A driver-local os.path probe could
+    # disagree with the JVM's filesystem/cwd resolution and strand the
+    # sidecar somewhere the loader never looks.)
+    spark.createDataFrame([(meta,)], "v string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(path.rstrip("/") + "__ivfadc_meta")
 
 
 def ivfadc_load(spark, path: str):
@@ -1006,15 +1003,9 @@ def ivfadc_load(spark, path: str):
     partitioned by cell, so the search's ``isin`` filter prunes to the
     probed directories (PartitionFilters, no data read elsewhere)."""
     import json
-    import os
 
-    local = path[len("file:") :] if path.startswith("file:") else path
-    side = os.path.join(local, "_ivfadc.json")
-    if os.path.exists(side):
-        meta = json.loads(open(side).read())
-    else:
-        meta = json.loads(
-            spark.read.text(path.rstrip("/") + "__ivfadc_meta").first()["value"]
-        )
+    meta = json.loads(
+        spark.read.text(path.rstrip("/") + "__ivfadc_meta").first()["value"]
+    )
     df = spark.read.parquet(path)
     return df, meta["centroids"], meta["codebooks"]

@@ -203,6 +203,10 @@ def _no_clash(x: DataFrame, y: DataFrame, by: list, xn: str, yn: str) -> None:
             "rename one side (ambiguous references would fail or silently "
             "duplicate downstream)"
         )
+    if "_cell" in set(x.columns) | set(y.columns):
+        # the bucketing machinery would overwrite and then drop it —
+        # silent data loss, so reject up front
+        raise ValueError("'_cell' is reserved by the range-join bucketing")
 
 
 def _clean_intervals(df: DataFrame, s: str, e: str) -> DataFrame:

@@ -133,7 +133,8 @@ def test_compare_profiles_drift(spark):
     got = {(r["column"], r["check"]): r["ok"] for r in checks.compare_profiles(prev, cur)}
     assert got[("n", "column_removed")] is False
     assert got[("q", "column_added")] is False
-    assert got[("id", "row_count_ratio")] is True  # 900/1000 within ±0.5
+    assert got[("*", "row_count_ratio")] is True  # 900/1000 within ±0.5, ONCE
+    assert ("id", "row_count_ratio") not in got  # table-level, not per-column
     assert got[("id", "null_rate")] is True
     assert got[("lang", "null_rate")] is False  # 10% -> 90% nulls
     assert got[("id", "distinct_ratio")] is True
@@ -144,3 +145,13 @@ def test_compare_profiles_drift(spark):
     got2 = {(r["column"], r["check"]): r["ok"]
             for r in checks.compare_profiles(prev2, cur2)}
     assert got2[("v", "distinct_ratio")] is False
+
+    # dtype change is schema drift; empty-previous snapshots are flagged
+    p3 = checks.profile(spark.createDataFrame([(1.0,)], "v double"))
+    c3 = checks.profile(spark.createDataFrame([("x",)], "v string"))
+    got3 = {(r["column"], r["check"]): r["ok"] for r in checks.compare_profiles(p3, c3)}
+    assert got3[("v", "dtype_changed")] is False
+    p4 = checks.profile(spark.createDataFrame([], "v double"))
+    got4 = {(r["column"], r["check"]): r["ok"]
+            for r in checks.compare_profiles(p4, c3)}
+    assert got4[("*", "row_count_ratio")] is False  # 0 -> 1 rows
