@@ -1839,3 +1839,52 @@ def test_ivfadc_save_load_partition_pruning(spark, emb, tmp_path_factory):
     ]
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "ivf_cell" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_decoders_raise_only_valueerror_under_mutation():
+    """Seeded mutation fuzz across every decoder: corrupt payloads must
+    surface as the documented ValueError (the per-row err-tag
+    contract), never IndexError/KeyError/struct.error escapes — the
+    class of defect the earlier JPEG SOS fuzz caught."""
+    import random
+
+    np = _np()
+    from jpeg_ref import jpeg_encode
+
+    from grip_spark.jpeg import jpeg_decode
+    from grip_spark.multimodal import gif_decode, png_decode, wav_decode
+
+    rng = random.Random(1234)
+    npr = np.random.default_rng(7)
+    corpus = [
+        (wav_decode, _make_wav(8000, 2, 16,
+                               [(i % 251 - 125, (i * 7) % 200 - 100) for i in range(200)])),
+        (png_decode, _make_png(10, 8, 2,
+                               bytes(rng.randrange(256) for _ in range(10 * 8 * 3)))),
+        (jpeg_decode, jpeg_encode(npr.integers(0, 256, (16, 16, 3)).astype(np.uint8),
+                                  quality=70)),
+        (gif_decode, _make_gif(
+            8, 6,
+            [(0, 0, 8, 6, bytes(rng.randrange(4) for _ in range(48)), None)],
+            gct=bytes(rng.randrange(256) for _ in range(12)),
+        )),
+    ]
+    for decoder, base in corpus:
+        for _ in range(400):
+            b = bytearray(base)
+            for _ in range(rng.randrange(1, 4)):
+                if len(b) < 4:
+                    break
+                op = rng.randrange(3)
+                if op == 0:
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+                elif op == 1:
+                    del b[rng.randrange(1, len(b)):]
+                else:
+                    pos = rng.randrange(len(b))
+                    b[pos:pos] = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 5)))
+            try:
+                decoder(bytes(b))
+            except ValueError:
+                pass  # the documented failure mode
+            # any other exception type propagates and fails the test
