@@ -316,3 +316,56 @@ def test_apply_mixture_stream_matches_batch(spark, tmp_path_factory):
         (r.doc_id, r.mix_epoch) for r in spark.table("mix_stream_test").collect()
     }
     assert got == want
+
+
+def test_bigram_score_stream_matches_batch(spark, tmp_path_factory):
+    """Perplexity filtering applies to INCREMENTAL ingest: a bigram
+    model trained once on a reference batch scores a stream through
+    stream-static joins.  The per-document aggregate runs in update
+    mode keyed by doc_id; with each doc arriving whole in one file,
+    the final per-doc rows equal the batch scores exactly."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from grip_spark import text
+
+    d = tmp_path_factory.mktemp("bgstream")
+    rows = [
+        {"doc_id": i,
+         "text": ["the cat sat on the mat", "the dog ran off", "zebra qux gibberish"][i % 3]}
+        for i in range(30)
+    ]
+    for part in range(3):
+        with open(d / f"p{part}.json", "w") as f:
+            for r in rows[part * 10 : (part + 1) * 10]:
+                f.write(_json.dumps(r) + "\n")
+    schema = "doc_id long, text string"
+    ref = spark.read.schema(schema).json(str(d))
+    model = text.bigram_model(ref, vocab_size=100)
+
+    batch = text.bigram_logprob(ref, model)
+    want = {(r["doc_id"], r["n_transitions"], r["bigram_logprob"])
+            for r in batch.collect()}
+    assert want
+
+    stream_in = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(d))
+    scored = text.bigram_logprob(stream_in, model)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("bg_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode may emit a doc several times across triggers; the
+    # LAST emission per doc is the complete aggregate (each doc's rows
+    # arrive within a single file/trigger here)
+    rows_out = spark.table("bg_stream").collect()
+    last = {}
+    for i, r in enumerate(rows_out):
+        last[r["doc_id"]] = (r["doc_id"], r["n_transitions"], r["bigram_logprob"])
+    assert set(last.values()) == want
