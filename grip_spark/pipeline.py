@@ -1,0 +1,129 @@
+"""One-call training-corpus build: the reference recipe composing the
+engine's cleaning / filtering / dedup / mixing / splitting stages in
+the order the public pipelines run them (C4 → Gopher/CCNet →
+RefinedWeb-style):
+
+1. line-level cleaning (C4 line rules)            text.line_filter
+2. heuristic quality + language filters           text.quality_score,
+                                                  text.detect_language
+3. optional perplexity filter                     text.bigram_model/
+                                                  bigram_logprob
+4. exact dedup (content hash)                     dedup.dedup_exact
+5. fuzzy dedup (MinHash-LSH → components →        dedup.minhash_lsh_pairs,
+   canonical doc per cluster)                     attach_components
+6. domain mixture to a token budget               sampling.temperature_shares,
+                                                  mixture_sample
+7. train/val split                                sampling.split_assign
+
+Every stage is individually exposed and tested; this module only
+SEQUENCES them (no new distributed logic), returns the surviving
+DataFrame plus a per-stage count report, and keeps every decision
+deterministic — rerunning the build reproduces the same corpus.
+
+Stage counts cost one action per stage boundary; pass
+``report=False`` to build the full plan lazily with zero extra jobs
+(the counts are the only actions this function takes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from . import dedup, sampling, text
+
+
+def build_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_quality: float | None = 0.3,
+    languages: tuple[str, ...] | None = ("en",),
+    line_rules: bool = True,
+    perplexity_floor: float | None = None,
+    fuzzy_threshold: float | None = 0.8,
+    mixture: dict[str, float] | float | None = None,
+    domain_col: str = "source",
+    token_budget: float | None = None,
+    splits: dict[str, float] | None = None,
+    salt: str = "corpus",
+    report: bool = True,
+) -> tuple[DataFrame, list[dict]]:
+    """Run the full corpus build → ``(df, report)`` where ``report``
+    is ``[{"stage", "rows"}, ...]`` per surviving stage boundary
+    (empty when ``report=False``).
+
+    Knobs (each ``None`` skips its stage): ``min_quality`` — drop
+    below the heuristic quality score; ``languages`` — allowlist on
+    the n-gram language guess; ``perplexity_floor`` — train a bigram
+    LM on the POST-FILTER corpus and drop documents whose mean
+    transition log-score falls below the given quantile (0..1, e.g.
+    0.05 drops the worst 5%); ``fuzzy_threshold`` — MinHash-LSH
+    near-dup clustering keeping one canonical doc (lowest id) per
+    cluster; ``mixture`` — either explicit per-domain shares or a
+    temperature alpha (float) for mass^alpha shares over
+    ``domain_col``; ``splits`` — deterministic split assignment.
+    """
+    out = docs
+    rep: list[dict] = []
+
+    def mark(stage: str):
+        if report:
+            rep.append({"stage": stage, "rows": out.count()})
+
+    mark("input")
+    if line_rules:
+        out = text.line_filter(out, text_col=text_col)
+        out = (
+            out.drop(text_col)
+            .withColumnRenamed("text_clean", text_col)
+            .filter(F.col(text_col).isNotNull() & (F.col(text_col) != ""))
+        )
+        mark("line_rules")
+    if min_quality is not None:
+        out = text.quality_score(out, text_col=text_col).filter(
+            F.col("quality") >= min_quality
+        )
+        mark("quality")
+    if languages is not None:
+        out = text.detect_language(out, text_col=text_col).filter(
+            F.col("lang_guess").isin(list(languages))
+        )
+        mark("language")
+    if perplexity_floor is not None:
+        if not 0.0 < perplexity_floor < 1.0:
+            raise ValueError(
+                f"perplexity_floor is a quantile in (0,1), got {perplexity_floor}"
+            )
+        model = text.bigram_model(out, text_col=text_col)
+        scored = text.bigram_logprob(out, model, id_col=id_col, text_col=text_col)
+        cut = scored.filter(F.col("bigram_logprob").isNotNull()).agg(
+            F.expr(f"percentile(bigram_logprob, {perplexity_floor})").alias("c")
+        ).collect()[0]["c"]
+        keep = scored.filter(F.col("bigram_logprob") >= F.lit(cut)).select(id_col)
+        out = out.join(keep, id_col, "left_semi")
+        mark("perplexity")
+    # exact dedup before fuzzy: hash-identical copies are the cheap win
+    out = dedup.dedup_exact(out, [text_col], id_col)
+    mark("exact_dedup")
+    if fuzzy_threshold is not None:
+        pairs = dedup.minhash_lsh_pairs(
+            out, id_col, text_col=text_col, threshold=fuzzy_threshold
+        )
+        clustered = dedup.attach_components(out, id_col, pairs)
+        out = clustered.filter(F.col("component") == F.col(id_col)).drop("component")
+        mark("fuzzy_dedup")
+    if mixture is not None:
+        weights = (
+            sampling.temperature_shares(out, domain_col, alpha=float(mixture))
+            if isinstance(mixture, (int, float))
+            else mixture
+        )
+        out = sampling.mixture_sample(
+            out, domain_col, weights, id_col, total=token_budget, salt=salt
+        )
+        mark("mixture")
+    if splits is not None:
+        out = sampling.split_assign(out, id_col, splits, salt=salt)
+        mark("splits")
+    return out, rep

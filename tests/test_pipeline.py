@@ -1,0 +1,88 @@
+"""End-to-end corpus build (pipeline.build_corpus) over the driver
+testdata: stage sequencing, report monotonicity, determinism, and the
+per-stage semantics spot-checked against the individual operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from grip_spark import pipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_build_corpus_end_to_end(docs):
+    out, rep = pipeline.build_corpus(
+        docs,
+        min_quality=0.2,
+        languages=("en",),
+        fuzzy_threshold=0.8,
+        mixture=0.5,
+        splits={"train": 0.9, "val": 0.1},
+        report=True,
+    )
+    stages = [r["stage"] for r in rep]
+    assert stages == [
+        "input", "line_rules", "quality", "language",
+        "exact_dedup", "fuzzy_dedup", "mixture", "splits",
+    ]
+    counts = {r["stage"]: r["rows"] for r in rep}
+    # every filter stage is non-increasing until the mixture (which may
+    # repeat under-represented domains)
+    assert counts["input"] >= counts["line_rules"] >= counts["quality"]
+    assert counts["quality"] >= counts["language"] >= counts["exact_dedup"]
+    assert counts["exact_dedup"] >= counts["fuzzy_dedup"] > 0
+
+    rows = out.collect()
+    assert rows and set(r["split"] for r in rows) <= {"train", "val"}
+    assert all(r["lang_guess"] == "en" and r["quality"] >= 0.2 for r in rows)
+
+    # deterministic: rebuilding reproduces the exact same corpus
+    out2, _ = pipeline.build_corpus(
+        docs,
+        min_quality=0.2,
+        languages=("en",),
+        fuzzy_threshold=0.8,
+        mixture=0.5,
+        splits={"train": 0.9, "val": 0.1},
+        report=False,
+    )
+    key = lambda r: (r["doc_id"], r["mix_epoch"], r["split"])
+    assert sorted(map(key, rows)) == sorted(map(key, out2.collect()))
+
+
+def test_build_corpus_fuzzy_keeps_one_per_cluster(docs):
+    from grip_spark import dedup
+
+    out, _ = pipeline.build_corpus(
+        docs, min_quality=None, languages=None, line_rules=False,
+        fuzzy_threshold=0.8, report=False,
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", threshold=0.8)
+    comp = dedup.attach_components(docs, "doc_id", pairs)
+    want = {r["doc_id"] for r in comp.filter(F.col("component") == F.col("doc_id"))
+            .select("doc_id").collect()}
+    # exact dedup runs first in the pipeline, so kept <= want on ids
+    assert kept <= want
+    # at least one planted near-dup cluster collapsed
+    assert len(kept) < docs.count()
+
+
+def test_build_corpus_perplexity_floor(spark):
+    fluent = [(i, "the cat sat on the mat and the dog ran away", "web")
+              for i in range(40)]
+    junk = [(100 + i, "qq zz xx vv ww yy uu tt", "web") for i in range(2)]
+    df = spark.createDataFrame(fluent + junk, ["doc_id", "text", "source"])
+    out, rep = pipeline.build_corpus(
+        df, min_quality=None, languages=None, line_rules=False,
+        perplexity_floor=0.04, fuzzy_threshold=None, report=True,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert not (kept & {100, 101})  # the gibberish tail is gone
+    with pytest.raises(ValueError):
+        pipeline.build_corpus(df, perplexity_floor=1.5)
