@@ -45,6 +45,7 @@ def build_corpus(
     mixture: dict[str, float] | float | None = None,
     domain_col: str = "source",
     token_budget: float | None = None,
+    size_col: str | None = None,
     splits: dict[str, float] | None = None,
     salt: str = "corpus",
     report: bool = True,
@@ -63,6 +64,11 @@ def build_corpus(
     cluster; ``mixture`` — either explicit per-domain shares or a
     temperature alpha (float) for mass^alpha shares over
     ``domain_col``; ``splits`` — deterministic split assignment.
+
+    ``token_budget`` is measured in whatever ``size_col`` counts; when
+    a budget is given without ``size_col``, a whitespace ``n_tokens``
+    column is computed first so the budget really is tokens (without
+    this the mixture would silently budget DOCUMENTS).
     """
     out = docs
     rep: list[dict] = []
@@ -114,13 +120,19 @@ def build_corpus(
         out = clustered.filter(F.col("component") == F.col(id_col)).drop("component")
         mark("fuzzy_dedup")
     if mixture is not None:
+        if token_budget is not None and size_col is None:
+            out = text.token_count(out, text_col=text_col)
+            size_col = "n_tokens"
         weights = (
-            sampling.temperature_shares(out, domain_col, alpha=float(mixture))
+            sampling.temperature_shares(
+                out, domain_col, alpha=float(mixture), size_col=size_col
+            )
             if isinstance(mixture, (int, float))
             else mixture
         )
         out = sampling.mixture_sample(
-            out, domain_col, weights, id_col, total=token_budget, salt=salt
+            out, domain_col, weights, id_col,
+            total=token_budget, size_col=size_col, salt=salt,
         )
         mark("mixture")
     if splits is not None:

@@ -86,3 +86,19 @@ def test_build_corpus_perplexity_floor(spark):
     assert not (kept & {100, 101})  # the gibberish tail is gone
     with pytest.raises(ValueError):
         pipeline.build_corpus(df, perplexity_floor=1.5)
+
+
+def test_build_corpus_token_budget_counts_tokens(spark):
+    rows = [(i, "w " * 20, "web") for i in range(50)] + \
+           [(100 + i, "c " * 20, "code") for i in range(50)]
+    df = spark.createDataFrame(
+        [(i, t.strip(), s) for i, t, s in rows], ["doc_id", "text", "source"]
+    )
+    out, rep = pipeline.build_corpus(
+        df, min_quality=None, languages=None, line_rules=False,
+        fuzzy_threshold=None, mixture={"web": 0.5, "code": 0.5},
+        token_budget=800, report=True,
+    )
+    toks = out.agg(F.sum("n_tokens")).collect()[0][0]
+    # 800-token budget over 20-token docs -> ~40 docs, never ~800 docs
+    assert 400 <= toks <= 1200, toks
