@@ -20,9 +20,12 @@ SEQUENCES them (no new distributed logic), returns the surviving
 DataFrame plus a per-stage count report, and keeps every decision
 deterministic — rerunning the build reproduces the same corpus.
 
-Stage counts cost one action per stage boundary; pass
-``report=False`` to build the full plan lazily with zero extra jobs
-(the counts are the only actions this function takes).
+With ``report=True`` each counted stage is persisted before its
+count and the previous stage's cache released, so the build costs
+one scan per stage instead of recomputing the whole prefix lineage
+at every boundary; ``report=False`` skips the counts (NOTE: some
+stages still run their own bounded actions — LSH pairing and bigram
+training eager-checkpoint their signature/model tables by design).
 """
 
 from __future__ import annotations
@@ -70,12 +73,31 @@ def build_corpus(
     column is computed first so the budget really is tokens (without
     this the mixture would silently budget DOCUMENTS).
     """
+    if perplexity_floor is not None and not 0.0 < perplexity_floor < 1.0:
+        raise ValueError(
+            f"perplexity_floor is a quantile in (0,1), got {perplexity_floor}"
+        )
+    if mixture is None and (token_budget is not None or size_col is not None):
+        raise ValueError(
+            "token_budget/size_col only apply to the mixture stage — "
+            "pass mixture= (shares dict or temperature alpha) as well, or "
+            "the corpus would come back uncapped"
+        )
     out = docs
     rep: list[dict] = []
+    cached: list = []
 
     def mark(stage: str):
+        nonlocal out
         if report:
+            # persist-then-count: later stages (and the caller's final
+            # action) reuse this stage's result instead of recomputing
+            # the whole prefix lineage once per boundary
+            out = out.persist()
             rep.append({"stage": stage, "rows": out.count()})
+            while len(cached) > 1:  # keep only the latest materialized
+                cached.pop(0).unpersist()
+            cached.append(out)
 
     mark("input")
     if line_rules:
@@ -97,17 +119,20 @@ def build_corpus(
         )
         mark("language")
     if perplexity_floor is not None:
-        if not 0.0 < perplexity_floor < 1.0:
-            raise ValueError(
-                f"perplexity_floor is a quantile in (0,1), got {perplexity_floor}"
-            )
         model = text.bigram_model(out, text_col=text_col)
         scored = text.bigram_logprob(out, model, id_col=id_col, text_col=text_col)
         cut = scored.filter(F.col("bigram_logprob").isNotNull()).agg(
             F.expr(f"percentile(bigram_logprob, {perplexity_floor})").alias("c")
         ).collect()[0]["c"]
-        keep = scored.filter(F.col("bigram_logprob") >= F.lit(cut)).select(id_col)
-        out = out.join(keep, id_col, "left_semi")
+        if cut is not None:
+            # zero-transition documents score NULL — that is "no
+            # perplexity evidence", not "worst percentile": keep them
+            # (the quantile floor only drops documents it MEASURED)
+            keep = scored.filter(
+                (F.col("bigram_logprob") >= F.lit(cut))
+                | F.col("bigram_logprob").isNull()
+            ).select(id_col)
+            out = out.join(keep, id_col, "left_semi")
         mark("perplexity")
     # exact dedup before fuzzy: hash-identical copies are the cheap win
     out = dedup.dedup_exact(out, [text_col], id_col)
@@ -130,12 +155,17 @@ def build_corpus(
             if isinstance(mixture, (int, float))
             else mixture
         )
+        # DISTINCT salts per decision: the fractional-copy keep and
+        # the split assignment draw from the same (salt, id) uniform —
+        # a shared salt makes them fully correlated (a 0.5-downsampled
+        # domain keeps only uniform<0.5 rows, and 'val'>=0.9 rows then
+        # cannot exist: an empty or mixture-biased validation split)
         out = sampling.mixture_sample(
             out, domain_col, weights, id_col,
-            total=token_budget, size_col=size_col, salt=salt,
+            total=token_budget, size_col=size_col, salt=f"{salt}:mix",
         )
         mark("mixture")
     if splits is not None:
-        out = sampling.split_assign(out, id_col, splits, salt=salt)
+        out = sampling.split_assign(out, id_col, splits, salt=f"{salt}:split")
         mark("splits")
     return out, rep

@@ -102,3 +102,38 @@ def test_build_corpus_token_budget_counts_tokens(spark):
     toks = out.agg(F.sum("n_tokens")).collect()[0][0]
     # 800-token budget over 20-token docs -> ~40 docs, never ~800 docs
     assert 400 <= toks <= 1200, toks
+
+
+def test_build_corpus_split_not_correlated_with_mixture(spark):
+    """A downsampled domain must still populate every split (review
+    regression: a shared salt made the mixture keep and the split
+    assignment draw the same uniform, emptying the val split)."""
+    rows = [(i, f"document number {i} with words", "web") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out, _ = pipeline.build_corpus(
+        df, min_quality=None, languages=None, line_rules=False,
+        fuzzy_threshold=None,
+        mixture={"web": 1.0}, token_budget=200.0, size_col=None,
+        splits={"train": 0.9, "val": 0.1}, report=False,
+    )
+    # budget 200 tokens over ~5-token docs -> ~40 docs kept (rate ~0.1)
+    got = out.groupBy("split").count().collect()
+    by = {r["split"]: r["count"] for r in got}
+    assert by.get("val", 0) > 0, by  # correlated salts made this 0
+
+    with pytest.raises(ValueError):  # budget without a mixture stage
+        pipeline.build_corpus(df, token_budget=100.0)
+
+
+def test_build_corpus_perplexity_keeps_unmeasured_docs(spark):
+    fluent = [(i, "the cat sat on the mat and ran", "web") for i in range(30)]
+    empty = [(100, "", "web")]
+    df = spark.createDataFrame(fluent + empty, ["doc_id", "text", "source"])
+    out, _ = pipeline.build_corpus(
+        df, min_quality=None, languages=None, line_rules=False,
+        perplexity_floor=0.05, fuzzy_threshold=None, report=False,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    # the empty doc has no transitions -> NULL score -> NOT dropped by
+    # the quantile floor (it was never measured); exact dedup keeps it
+    assert 100 in kept
