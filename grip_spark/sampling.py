@@ -440,3 +440,51 @@ def score_sample(
         F.greatest(F.col(score_col) * F.lit(float(scale)), F.lit(0.0)), F.lit(1.0)
     )
     return df.filter(uniform_key(id_col, salt) < rate)
+
+
+def export_shards(
+    df: DataFrame,
+    id_col: str,
+    path: str,
+    n_shards: int,
+    salt: str = "export",
+    format: str = "parquet",
+) -> DataFrame:
+    """Write the corpus as ``n_shards`` reproducible shard files under
+    ``path`` (``shard=K/`` directories, one file each) and return the
+    sharded DataFrame — the training-export sink composing the two
+    determinism primitives: :func:`shard_assign` (membership a pure
+    function of ``(salt, id)``) and the :func:`shuffle_order` hash as
+    the WITHIN-shard order.  Re-running the export — on a different
+    cluster, partitioning, or day — reproduces byte-identical shard
+    contents and order, so a training run is exactly resumable from
+    its data manifest.
+
+    Scale shape: ONE hash-partition exchange (repartition on the
+    shard id, ``n_shards`` tasks) with an in-partition sort by the
+    order hash — no global sort, no second pass; each shard streams
+    out as exactly one file.  Size ``n_shards`` so a shard fits a
+    training-loader worker (the usual 100 MB - 1 GB); at 100 TB that
+    is ~10^5 shards, far beyond the default shuffle-partition count,
+    so the repartition sizes itself to ``n_shards``.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be > 0, got {n_shards}")
+    c = F.col(id_col)
+    out = shard_assign(df, id_col, n_shards, salt=f"{salt}:shard").withColumn(
+        "_order", md5_prefix_hash(F.concat(F.lit(f"{salt}:order"), c.cast("string")))
+    )
+    (
+        out.repartition(n_shards, F.col("shard"))
+        # the shard id LEADS the sort: the partitioned writer requires
+        # its tasks ordered by the partition column and would otherwise
+        # insert its own (unstable) sort, destroying the within-shard
+        # order this export promises
+        .sortWithinPartitions(F.col("shard"), F.col("_order"), c)
+        .drop("_order")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .format(format)
+        .save(path)
+    )
+    return out.drop("_order")

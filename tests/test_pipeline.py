@@ -137,3 +137,32 @@ def test_build_corpus_perplexity_keeps_unmeasured_docs(spark):
     # the empty doc has no transitions -> NULL score -> NOT dropped by
     # the quantile floor (it was never measured); exact dedup keeps it
     assert 100 in kept
+
+
+def test_export_shards_reproducible(spark, docs, tmp_path_factory):
+    from grip_spark import sampling
+
+    d1 = str(tmp_path_factory.mktemp("exp") / "a")
+    d2 = str(tmp_path_factory.mktemp("exp") / "b")
+    sampling.export_shards(docs, "doc_id", d1, n_shards=4)
+    # different upstream partitioning, same output
+    sampling.export_shards(docs.repartition(13), "doc_id", d2, n_shards=4)
+
+    import glob
+    for base in (d1, d2):
+        dirs = sorted(glob.glob(base + "/shard=*"))
+        assert len(dirs) == 4
+        # exactly one data file per shard
+        for sd in dirs:
+            files = [f for f in glob.glob(sd + "/*") if not f.endswith("_SUCCESS")]
+            assert len([f for f in files if f.endswith(".parquet")]) == 1
+
+    a = spark.read.parquet(d1)
+    b = spark.read.parquet(d2)
+    # same membership AND same within-shard order (zip by position)
+    for shard in range(4):
+        ra = [r["doc_id"] for r in a.filter(F.col("shard") == shard).collect()]
+        rb = [r["doc_id"] for r in b.filter(F.col("shard") == shard).collect()]
+        assert ra == rb and ra
+    with pytest.raises(ValueError):
+        sampling.export_shards(docs, "doc_id", d1, n_shards=0)
