@@ -1,12 +1,12 @@
 """Scaling probe: replicate the corpus 1x/4x/8x and time the
-LLM-pipeline operators (minhash-LSH near-dup, simhash, ANN top-k),
-plus the hop/agg graph probes recorded in BASELINE.md.
+LLM-pipeline operators (minhash-LSH near-dup, simhash, ANN top-k,
+the wide-key hamming join, IVFADC, SemDeDup).
 
 Replication prefixes ids (and perturbs text with a per-replica token)
 so replicas do not collide in LSH buckets more than organically —
 growth should be near-linear for the banded joins.
 
-Usage: python tools/scaling_probe.py [graph|llm]  (default: llm)
+Usage: python tools/scaling_probe.py [llm|pipeline|tokenizer]  (default: llm)
 """
 
 from __future__ import annotations
