@@ -15,7 +15,7 @@ import math
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .dedup import md5_prefix_hash
+from .dedup import md5_prefix_hash, word_shingles
 
 # Tiny built-in stopword lists for the language-ID heuristic.  The
 # n-gram/stopword-hit approach follows the classic langid heuristics
@@ -1589,4 +1589,54 @@ def bpe_segment(
         F.when(F.col(text_col).isNull(), F.lit(None).cast("array<string>")).otherwise(
             F.coalesce(F.col(out_col), F.array().cast("array<string>"))
         ),
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_doc_frac: float = 0.05,
+    min_docs: int = 2,
+    limit: int = 1000,
+) -> DataFrame:
+    """Word n-grams appearing in at least ``min_doc_frac`` of
+    documents → ``(ngram, n_docs, doc_frac)``, most common first —
+    the corpus-wide boilerplate DISCOVERY step (RefinedWeb/C4 find
+    their "subscribe to our newsletter" strings this way) whose
+    output feeds :func:`line_filter`'s blacklist or
+    :func:`grip_spark.dedup.dedup_lines`.
+
+    Counts are per-DOCUMENT (each document contributes an n-gram at
+    most once via a distinct in-array pass), so a single page
+    repeating a phrase thousands of times cannot fake corpus-wide
+    boilerplate.  Scale shape: one explode of per-doc DISTINCT
+    n-grams + one map-side-combined count; the result is
+    boilerplate-sized (``limit``-capped with deterministic count-desc,
+    ngram-asc order).
+    """
+    if n <= 0:
+        raise ValueError(f"n must be > 0, got {n}")
+    if not 0.0 < min_doc_frac <= 1.0:
+        raise ValueError(f"min_doc_frac must be in (0, 1], got {min_doc_frac}")
+    total = df.count()
+    if total == 0:
+        raise ValueError("empty corpus")
+    grams = word_shingles(text_col, n)
+    counts = (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(
+            (F.col("n_docs") >= F.lit(max(min_docs, int(min_doc_frac * total))))
+        )
+    )
+    return (
+        counts.select(
+            "ngram",
+            "n_docs",
+            F.round(F.col("n_docs") / F.lit(float(total)), 6).alias("doc_frac"),
+        )
+        .orderBy(F.col("n_docs").desc(), F.col("ngram").asc())
+        .limit(limit)
     )

@@ -871,3 +871,33 @@ def test_temperature_shares(spark):
     # composes with the mixture planner end-to-end
     rates = sampling.mixture_rates(df.filter("source is not null"), "source", t)
     assert set(rates) == set(t)
+
+
+def test_boilerplate_ngrams_discovery(spark):
+    """Corpus-wide boilerplate phrases surface by DOCUMENT frequency;
+    a single page repeating a phrase cannot fake corpus-wide mass."""
+    boiler = "subscribe to our newsletter"
+    rows = [(i, f"unique body {i} goes here {boiler}") for i in range(40)]
+    rows += [(100 + i, f"clean page {i} content") for i in range(60)]
+    # one spammy doc repeating a phrase 50 times must NOT rank
+    rows += [(999, " ".join(["rare spam phrase"] * 50))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got = {r["ngram"]: (r["n_docs"], r["doc_frac"]) for r in
+           text.boilerplate_ngrams(df, n=4, min_doc_frac=0.2).collect()}
+    assert got[boiler][0] == 40
+    assert got[boiler][1] == round(40 / 101, 6)  # engine rounds 6dp
+    assert not any("rare spam phrase" in g for g in got)  # 1 doc only
+
+    # the discovered phrase feeds line_filter's blacklist end-to-end
+    docs2 = spark.createDataFrame(
+        [(1, f"good line with real words\n{boiler} today")],
+        "doc_id long, text string",
+    )
+    cleaned = text.line_filter(docs2, min_words=3, blacklist=(boiler,)).first()
+    assert cleaned["text_clean"] == "good line with real words"
+
+    with pytest.raises(ValueError):
+        text.boilerplate_ngrams(df, min_doc_frac=0.0)
+    with pytest.raises(ValueError):
+        text.boilerplate_ngrams(spark.createDataFrame([], "text string"))
