@@ -1,0 +1,150 @@
+"""Whole-graph analytics over the (vertices, edges) DataFrames:
+degree statistics and PageRank.
+
+The reference engine stops at traversal (its ``gripql`` surface has no
+global-analytics verbs), but a corpus pipeline needs them: PageRank
+over a host/link graph is the classic web-corpus quality prior
+(Common Crawl host ranks, OpenWebText's upvote analog), and degree
+stats drive supernode detection before traversal-heavy jobs.
+
+Scale shape (shared with the Pregel loops in ``dedup.connected_components``
+and the jump-loop BFS):
+
+- ``degree_stats`` is one union + one map-side-combined aggregate over
+  (id) keys — edge payloads never travel.
+- ``pagerank`` pre-joins each edge with its source's out-degree ONCE
+  (the per-iteration join then carries only ``(dst, contribution)``
+  doubles), keeps the rank table node-sized, checkpoints it per
+  iteration (reliable when ``session.enable_reliable_checkpoints`` has
+  set a dir, else local), and detects convergence exactly with an L1
+  delta on the already-tiny rank table.  Dangling mass (sink nodes) is
+  redistributed uniformly each round via one node-sized anti-join
+  aggregate, so ranks always sum to 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def degree_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node ``(id, out_degree, in_degree, degree)`` — multigraph
+    semantics (parallel edges count; a self-loop counts once on each
+    side).  One union + one aggregate; nodes appear iff they touch an
+    edge (left-join against the vertex table to zero-fill isolates)."""
+    ends = edges.select(
+        F.col(src_col).alias("id"), F.lit(1).alias("_out"), F.lit(0).alias("_in")
+    ).unionByName(
+        edges.select(
+            F.col(dst_col).alias("id"), F.lit(0).alias("_out"), F.lit(1).alias("_in")
+        )
+    )
+    return ends.groupBy("id").agg(
+        F.sum("_out").alias("out_degree"),
+        F.sum("_in").alias("in_degree"),
+        F.count(F.lit(1)).alias("degree"),
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "gid",
+    damping: float = 0.85,
+    max_iterations: int = 40,
+    tol: float = 1e-9,
+) -> DataFrame:
+    """PageRank → ``(id, pagerank)`` with ranks summing to 1.
+
+    Standard power iteration (Page et al. 1999): ``r'(v) = (1-d)/N +
+    d * (Σ_{u→v} r(u)/outdeg(u) + dangling/N)`` — multigraph semantics
+    (parallel edges contribute once each), dangling (sink) mass spread
+    uniformly.  The node set is ``vertices[id_col]`` when given (so
+    isolated vertices share mass), else every id touching an edge.
+
+    Stops when the L1 rank change drops below ``tol`` (exact check on
+    the node-sized rank table) and raises if ``max_iterations`` can't
+    get there — a silently-unconverged rank would corrupt any quality
+    threshold derived from it.  Deterministic up to float addition
+    order (exact sums otherwise; the tests bound it at 1e-9).
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    spark = edges.sparkSession
+    use_reliable = spark.sparkContext.getCheckpointDir() is not None
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if use_reliable else df.localCheckpoint(
+            eager=True
+        )
+
+    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    if vertices is not None:
+        nodes = vertices.select(F.col(id_col).alias("id")).distinct()
+    else:
+        nodes = (
+            e.select(F.col("_src").alias("id"))
+            .unionByName(e.select(F.col("_dst").alias("id")))
+            .distinct()
+        )
+    nodes = _ckpt(nodes)
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank: empty graph")
+
+    # out-degree join happens ONCE: iterations ship (dst, double) only
+    outdeg = e.groupBy(F.col("_src").alias("id")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    wedges = (
+        e.join(outdeg, e["_src"] == outdeg["id"])
+        .select(F.col("_src"), F.col("_dst"), (F.lit(1.0) / F.col("_deg")).alias("_w"))
+        .persist()
+    )
+    sinks = nodes.join(outdeg, "id", "left_anti").persist()
+
+    try:
+        ranks = _ckpt(nodes.withColumn("pagerank", F.lit(1.0 / n)))
+        for _ in range(max_iterations):
+            dangling = (
+                ranks.join(sinks, "id", "left_semi")
+                .agg(F.sum("pagerank"))
+                .first()[0]
+                or 0.0
+            )
+            contribs = (
+                wedges.join(ranks, wedges["_src"] == ranks["id"])
+                .groupBy(F.col("_dst").alias("id"))
+                .agg(F.sum(F.col("pagerank") * F.col("_w")).alias("_c"))
+            )
+            base = (1.0 - damping) / n + damping * dangling / n
+            new = _ckpt(
+                nodes.join(contribs, "id", "left").select(
+                    "id",
+                    (
+                        F.lit(base) + F.lit(damping) * F.coalesce("_c", F.lit(0.0))
+                    ).alias("pagerank"),
+                )
+            )
+            delta = (
+                new.alias("n")
+                .join(ranks.alias("o"), "id")
+                .agg(F.sum(F.abs(F.col("n.pagerank") - F.col("o.pagerank"))))
+                .first()[0]
+            )
+            ranks = new
+            if delta < tol:
+                return ranks
+        raise RuntimeError(
+            f"pagerank did not converge in {max_iterations} iterations "
+            f"(last L1 delta {delta:.3e}; raise max_iterations or tol)"
+        )
+    finally:
+        wedges.unpersist()
+        sinks.unpersist()

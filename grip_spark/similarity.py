@@ -1009,3 +1009,180 @@ def ivfadc_load(spark, path: str):
     )
     df = spark.read.parquet(path)
     return df, meta["centroids"], meta["codebooks"]
+
+
+# ---------------------------------------------------------------------------
+# PCA — dimensionality reduction for the embedding pipeline
+# ---------------------------------------------------------------------------
+
+
+class PcaModel:
+    """Driver-side PCA model: ``mean`` (len d), ``components`` (k rows
+    of len d, orthonormal, variance-descending), ``explained_variance``
+    (len k, the eigenvalues), ``n`` (rows the moments were computed
+    over).  Produced by :func:`pca_train`, consumed by
+    :func:`pca_project`; plain lists so it JSON-serializes for reuse
+    across sessions the way the IVFADC sidecar does."""
+
+    def __init__(self, mean, components, explained_variance, n):
+        self.mean = mean
+        self.components = components
+        self.explained_variance = explained_variance
+        self.n = n
+
+    def to_dict(self) -> dict:
+        return {
+            "mean": self.mean,
+            "components": self.components,
+            "explained_variance": self.explained_variance,
+            "n": self.n,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PcaModel":
+        return cls(d["mean"], d["components"], d["explained_variance"], d["n"])
+
+
+def pca_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> PcaModel:
+    """Exact full-corpus PCA via one distributed moment pass.
+
+    The classic two-stage shape (Spark MLlib RowMatrix.computePrincipalComponents
+    does the same): each Arrow batch folds its vectors into a single
+    (count, sum, X'X) partial with numpy — the only Python in the
+    pass, and it touches each row exactly once — the partials travel
+    as exploded ``(pos, val)`` pairs (``1 + d + d*d`` rows per batch,
+    never vectors), and one map-side-combined ``groupBy(pos).sum``
+    reduces them to a single ``d*d + d + 1``-row driver collect.  The
+    covariance eigendecomposition runs on the driver over the d x d
+    matrix (d is embedding width — hundreds — never corpus-sized).
+
+    Determinism: moments are exact sums, so the model depends only on
+    the data multiset; float addition order across partitions can
+    perturb the last ulp (document-level, ~1e-12 relative), which the
+    tests bound.  Component signs are canonical: each component's
+    largest-|coordinate| entry is made positive, lowest index on ties.
+
+    NULL / wrong-width vectors raise (a corpus with ragged embedding
+    widths is a data bug a PCA should not paper over); filter first if
+    they are expected.
+    """
+    import numpy as np
+
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+
+    def _moments(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        n = 0
+        s = None
+        g = None
+        dim = None
+        for pdf in batches:
+            for vec in pdf[pdf.columns[0]]:
+                if vec is None:
+                    raise ValueError("pca_train: NULL vector (filter first)")
+            if len(pdf) == 0:
+                continue
+            X = _np.array([list(v) for v in pdf[pdf.columns[0]]], dtype=_np.float64)
+            if X.ndim != 2:
+                raise ValueError("pca_train: ragged embedding widths in corpus")
+            if dim is None:
+                dim = X.shape[1]
+                s = _np.zeros(dim)
+                g = _np.zeros((dim, dim))
+            elif X.shape[1] != dim:
+                raise ValueError("pca_train: ragged embedding widths in corpus")
+            n += X.shape[0]
+            s += X.sum(axis=0)
+            g += X.T @ X
+        if n == 0:
+            return
+        # pos = -dim carries the count: two tasks that saw different
+        # widths (a rag the per-task check can't see) surface as two
+        # distinct negative keys at the driver instead of silently
+        # summing incompatible moment vectors
+        pos = _np.concatenate(
+            ([-dim], _np.arange(1, 1 + dim + dim * dim))
+        ).astype(_np.int64)
+        val = _np.concatenate(([float(n)], s, g.ravel()))
+        yield _pd.DataFrame({"pos": pos, "val": val})
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(_moments, schema="pos long, val double")
+        .groupBy("pos")
+        .agg(F.sum("val").alias("val"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pca_train: empty corpus")
+    flat = {r["pos"]: r["val"] for r in rows}
+    dims = sorted(-p for p in flat if p < 0)
+    if len(dims) != 1:
+        raise ValueError(
+            f"pca_train: ragged embedding widths in corpus (saw dims {dims})"
+        )
+    d = dims[0]
+    if len(flat) != 1 + d + d * d:
+        raise ValueError(f"pca_train: inconsistent moment shape ({len(flat)} rows)")
+    if k > d:
+        raise ValueError(f"k ({k}) must be <= embedding dim ({d})")
+    n = int(round(flat[-d]))
+    if n < 2:
+        raise ValueError(f"pca_train: need >= 2 rows, got {n}")
+    s = np.array([flat[1 + i] for i in range(d)])
+    g = np.array([[flat[1 + d + i * d + j] for j in range(d)] for i in range(d)])
+    mean = s / n
+    cov = (g - n * np.outer(mean, mean)) / (n - 1)
+    cov = (cov + cov.T) / 2.0  # exact symmetry for eigh
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(-evals, kind="stable")[:k]
+    comps = []
+    ev = []
+    for idx in order:
+        v = evecs[:, idx].copy()
+        # canonical sign: the largest-|coordinate| entry positive
+        # (lowest index wins |.| ties via argmax)
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+        ev.append(float(max(evals[idx], 0.0)))
+    return PcaModel([float(x) for x in mean], comps, ev, n)
+
+
+def pca_project(
+    df: DataFrame,
+    model: PcaModel,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    whiten: bool = False,
+) -> DataFrame:
+    """Project vectors onto the model's components: ``out[j] =
+    dot(x - mean, w_j)`` (``/ sqrt(eigenvalue_j)`` when ``whiten`` —
+    the OPQ/whitening recipe before product quantization).
+
+    Pure column expressions: the k component vectors ride the plan as
+    literals, each output coordinate is one ``zip_with``+``aggregate``
+    dot product minus a constant-folded ``dot(mean, w_j)`` — a narrow
+    codegen projection with no shuffle and no Python, the same device
+    as :func:`pq_encode`.  Compose ``pca_project |> pq_train/pq_encode``
+    to quantize in the reduced space (the FAISS OPQ/PCAR layout)."""
+    v = F.col(vec_col).cast("array<double>")
+    outs = []
+    for j, w in enumerate(model.components):
+        off = sum(m * x for m, x in zip(model.mean, w))
+        e = dot(v, _vec_lit(w)) - F.lit(float(off))
+        if whiten:
+            lam = model.explained_variance[j]
+            if lam <= 0:
+                raise ValueError(f"whiten: component {j} has zero variance")
+            e = e / F.lit(math.sqrt(lam))
+        outs.append(e)
+    return df.withColumn(out_col, F.array(*outs))

@@ -1,0 +1,160 @@
+"""PCA: distributed moment pass pinned against a pure-numpy replica,
+canonical signs, whitening, projection plan shape, and error paths."""
+
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from grip_spark import similarity
+
+
+def _numpy_pca(X, k):
+    """Independent replica of pca_train's math (same sign rule)."""
+    mean = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False)
+    cov = (cov + cov.T) / 2.0
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals, kind="stable")[:k]
+    comps, ev = [], []
+    for idx in order:
+        v = evecs[:, idx].copy()
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.append(v)
+        ev.append(max(float(evals[idx]), 0.0))
+    return mean, np.array(comps), np.array(ev)
+
+
+def _mk_df(spark, X, parts=1):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(X)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df.repartition(parts) if parts > 1 else df
+
+
+@pytest.fixture(scope="module")
+def anisotropic():
+    """Seeded data with a known dominant direction (variance 9:4:1:...)."""
+    rng = np.random.default_rng(7)
+    d = 12
+    basis = np.linalg.qr(rng.normal(size=(d, d)))[0]
+    scales = np.array([3.0, 2.0, 1.0] + [0.2] * (d - 3))
+    X = rng.normal(size=(400, d)) * scales @ basis.T + rng.normal(size=d)
+    # float32 round-trip: the Spark column is array<float>, so the
+    # replica must see the same values the cluster sums
+    return X.astype(np.float32).astype(np.float64)
+
+
+def test_matches_numpy_replica(spark, anisotropic):
+    X = anisotropic
+    model = similarity.pca_train(_mk_df(spark, X, parts=5), "embedding", k=4)
+    mean, comps, ev = _numpy_pca(X, 4)
+    assert model.n == len(X)
+    assert np.allclose(model.mean, mean, atol=1e-9)
+    assert np.allclose(model.explained_variance, ev, rtol=1e-9)
+    assert np.allclose(model.components, comps, atol=1e-8)
+
+
+def test_partition_invariance(spark, anisotropic):
+    X = anisotropic
+    a = similarity.pca_train(_mk_df(spark, X, parts=1), "embedding", k=3)
+    b = similarity.pca_train(_mk_df(spark, X, parts=7), "embedding", k=3)
+    assert np.allclose(a.components, b.components, atol=1e-9)
+    assert np.allclose(a.mean, b.mean, atol=1e-12)
+
+
+def test_projection_values_and_whiten(spark, anisotropic):
+    X = anisotropic
+    df = _mk_df(spark, X, parts=3)
+    model = similarity.pca_train(df, "embedding", k=3)
+    out = {
+        r["vec_id"]: r["pca"]
+        for r in similarity.pca_project(df, model, "embedding").collect()
+    }
+    W = np.array(model.components)
+    expect = (X - np.array(model.mean)) @ W.T
+    for i in range(len(X)):
+        assert np.allclose(out[i], expect[i], atol=1e-8)
+    # whiten: per-component variance ~ 1
+    white = similarity.pca_project(df, model, "embedding", whiten=True)
+    stats = white.select(
+        *[F.variance(F.col("pca")[j]).alias(f"v{j}") for j in range(3)]
+    ).first()
+    for j in range(3):
+        assert abs(stats[f"v{j}"] - 1.0) < 1e-6
+
+
+def test_projection_plan_no_exchange(spark, anisotropic):
+    df = _mk_df(spark, anisotropic)  # no repartition: the projection must add nothing
+    model = similarity.pca_train(df, "embedding", k=2)
+    plan = (
+        similarity.pca_project(df, model, "embedding")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # codegen only, no UDF
+
+
+def test_variance_captured_matches_eigenvalues(spark, anisotropic):
+    X = anisotropic
+    df = _mk_df(spark, X, parts=2)
+    model = similarity.pca_train(df, "embedding", k=2)
+    proj = similarity.pca_project(df, model, "embedding")
+    v0 = proj.select(F.variance(F.col("pca")[0])).first()[0]
+    assert abs(v0 - model.explained_variance[0]) < 1e-6 * model.explained_variance[0]
+
+
+def test_pca_then_pq_composition(spark, anisotropic):
+    """The OPQ-lite layout: quantize in the reduced space."""
+    X = anisotropic
+    df = _mk_df(spark, X, parts=2)
+    model = similarity.pca_train(df, "embedding", k=4)
+    red = similarity.pca_project(df, model, "embedding", out_col="embedding_r")
+    books = similarity.pq_train(
+        red, vec_col="embedding_r", id_col="vec_id", m=2, k=16, normalize=False
+    )
+    coded = similarity.pq_encode(red, books, vec_col="embedding_r", normalize=False)
+    row = coded.first()
+    assert len(row["pq_code"]) == 2
+
+
+def test_error_paths(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="k .* <= embedding dim"):
+        similarity.pca_train(df, "embedding", k=5)
+    with pytest.raises(ValueError, match="k must be > 0"):
+        similarity.pca_train(df, "embedding", k=0)
+    with pytest.raises(Exception, match="NULL vector"):
+        similarity.pca_train(
+            spark.createDataFrame(
+                [(0, [1.0, 2.0]), (1, None)], "vec_id long, embedding array<float>"
+            ),
+            "embedding",
+            k=1,
+        )
+    with pytest.raises(Exception, match="ragged"):
+        similarity.pca_train(
+            spark.createDataFrame(
+                [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])],
+                "vec_id long, embedding array<float>",
+            ),
+            "embedding",
+            k=1,
+        )
+    with pytest.raises(ValueError, match="empty corpus"):
+        similarity.pca_train(df.filter("vec_id < 0"), "embedding", k=1)
+
+
+def test_model_roundtrip(spark, anisotropic):
+    df = _mk_df(spark, anisotropic, parts=2)
+    model = similarity.pca_train(df, "embedding", k=2)
+    back = similarity.PcaModel.from_dict(model.to_dict())
+    assert back.components == model.components
+    assert back.mean == model.mean
