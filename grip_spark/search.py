@@ -1,0 +1,206 @@
+"""Full-text corpus search: a distributed BM25 inverted index.
+
+A training-data pipeline needs corpus search for inspection and
+targeted decontamination (find the documents that mention a benchmark
+prompt, audit what a filter removed); the reference engine's term
+aggregations stop at counting.  This module materializes the classic
+inverted-index layout as two DataFrames and scores queries with
+Okapi BM25 (Robertson et al., TREC-3).
+
+Scale shape:
+
+- ``bm25_index`` is ONE corpus pass: tokenize, doc-length as an array
+  ``size`` (no second scan), explode, one map-side-combined
+  ``groupBy(id, token)`` count.  Postings carry ``(token, id, tf,
+  dl)`` — never text.  The term table (``df_t``) is one further
+  aggregate over the postings, Zipf-bounded.
+- ``bm25_save``/``bm25_load`` persist postings partitioned by a hash
+  bucket of the term, so a query's ``isin`` bucket filter prunes to
+  the handful of directories holding its terms (PartitionFilters —
+  the inverted-index seek, expressed as partition pruning).
+- ``bm25_topk`` touches only the query terms' postings: a pushable
+  term filter, a broadcast join against the (tiny) per-term df_t
+  rows, one ``groupBy(id)`` sum, and a TakeOrdered top-k — cost is
+  the length of the query terms' posting lists, independent of
+  corpus size.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import tokens
+
+
+class Bm25Index:
+    """``postings``: (token, id, tf, dl); ``terms``: (token, df_t);
+    ``n_docs``/``avgdl``: corpus scalars (computed once at build)."""
+
+    def __init__(self, postings: DataFrame, terms: DataFrame, n_docs: int, avgdl: float):
+        self.postings = postings
+        self.terms = terms
+        self.n_docs = n_docs
+        self.avgdl = avgdl
+
+
+def bm25_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Bm25Index:
+    """Build the inverted index in one corpus pass.
+
+    Tokenization is :func:`grip_spark.text.tokens` (lower-cased
+    whitespace tokens) so index and pipeline stats agree.  Documents
+    with no tokens (empty/NULL text) simply have no postings — they
+    can never match a term query.  The postings are checkpointed so
+    the term table and corpus scalars don't re-tokenize the corpus.
+    """
+    nonempty = F.filter(tokens(text_col), lambda t: t != "")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(nonempty).alias("token"),
+        F.size(nonempty).alias("dl"),
+    )
+    postings = (
+        base.groupBy("token", "id", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    terms = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    stats = postings.select("id", "dl").distinct().agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).first()
+    n_docs = int(stats["n"] or 0)
+    if n_docs == 0:
+        raise ValueError("bm25_index: no documents with tokens")
+    return Bm25Index(postings, terms, n_docs, float(stats["avgdl"]))
+
+
+def query_tokens(query: str) -> list[str]:
+    """Driver-side replica of the index tokenizer for query strings:
+    lower-cased whitespace split, distinct, original order."""
+    seen = []
+    for t in re.split(r"\s+", query.strip().lower()):
+        if t and t not in seen:
+            seen.append(t)
+    return seen
+
+
+def bm25_topk(
+    index: Bm25Index,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents for a query → ``(id, score)``, score
+    descending with id tie-break.
+
+    Standard Okapi BM25 with the Lucene idf (``ln(1 + (N - df + 0.5)
+    / (df + 0.5))`` — never negative, so a term in most documents
+    just contributes ~nothing instead of penalizing).  Distinct query
+    terms each count once (set-of-terms semantics).  Only documents
+    matching at least one term appear.
+    """
+    terms = query_tokens(query)
+    if not terms:
+        raise ValueError("bm25_topk: empty query")
+    n, avgdl = index.n_docs, index.avgdl
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n)) - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + F.lit(k1) * (1 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    matched = index.postings.filter(F.col("token").isin(terms)).join(
+        F.broadcast(index.terms.filter(F.col("token").isin(terms))), "token"
+    )
+    return (
+        matched.select("id", (idf * tf_part).alias("_s"))
+        .groupBy("id")
+        .agg(F.sum("_s").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def bm25_save(index: Bm25Index, path: str, n_buckets: int = 64) -> None:
+    """Persist the index with postings partitioned by
+    ``pmod(xxhash64(token), n_buckets)`` — at query time the terms'
+    buckets are known literals, so the scan prunes to those
+    directories (the on-disk analog of an index seek).  A JSON
+    sidecar carries the corpus scalars, the ``ivfadc_save`` device."""
+    import json
+
+    spark = index.postings.sparkSession
+    bucket = F.pmod(F.xxhash64("token"), F.lit(n_buckets)).alias("bucket")
+    index.postings.select("*", bucket).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path.rstrip("/") + "/postings")
+    index.terms.write.mode("overwrite").parquet(path.rstrip("/") + "/terms")
+    meta = json.dumps(
+        {"n_docs": index.n_docs, "avgdl": index.avgdl, "n_buckets": n_buckets}
+    )
+    spark.createDataFrame([(meta,)], "v string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(path.rstrip("/") + "/meta")
+
+
+class Bm25DiskIndex(Bm25Index):
+    """A loaded on-disk index: :func:`topk_pruned` adds the bucket
+    literals so the postings scan prunes partitions."""
+
+    def __init__(self, postings, terms, n_docs, avgdl, n_buckets):
+        super().__init__(postings, terms, n_docs, avgdl)
+        self.n_buckets = n_buckets
+
+
+def bm25_load(spark, path: str) -> Bm25DiskIndex:
+    import json
+
+    meta = json.loads(
+        spark.read.text(path.rstrip("/") + "/meta").first()["value"]
+    )
+    return Bm25DiskIndex(
+        spark.read.parquet(path.rstrip("/") + "/postings"),
+        spark.read.parquet(path.rstrip("/") + "/terms"),
+        meta["n_docs"],
+        meta["avgdl"],
+        meta["n_buckets"],
+    )
+
+
+def bm25_topk_pruned(
+    index: Bm25DiskIndex,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """:func:`bm25_topk` over a loaded on-disk index, with the query
+    terms' partition buckets injected as a pushable filter — the scan
+    reads only those directories (PartitionFilters, plan-asserted in
+    tests)."""
+    terms = query_tokens(query)
+    if not terms:
+        raise ValueError("bm25_topk: empty query")
+    # xxhash64 of a string literal matches the column hash — compute
+    # the buckets with one tiny local query instead of reimplementing
+    # xxhash64 driver-side
+    spark = index.postings.sparkSession
+    rows = spark.createDataFrame([(t,) for t in terms], "token string").select(
+        F.pmod(F.xxhash64("token"), F.lit(index.n_buckets)).alias("b")
+    ).collect()
+    buckets = sorted({r["b"] for r in rows})
+    pruned = Bm25Index(
+        index.postings.filter(F.col("bucket").isin(buckets)),
+        index.terms,
+        index.n_docs,
+        index.avgdl,
+    )
+    return bm25_topk(pruned, query, k, k1, b)

@@ -1,0 +1,114 @@
+"""BM25 pinned against a pure-Python Okapi replica; on-disk index
+partition pruning plan-asserted."""
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from grip_spark import search
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick red fox"),
+    (2, "lazy summer days and lazy summer nights"),
+    (3, "a dog and a fox walk into a bar"),
+    (4, "quick quick quick brown"),
+    (5, "   "),  # no tokens: never matches
+    (6, "THE Quick BROWN dog"),  # case folding
+]
+
+
+def _py_bm25(query, k1=1.2, b=0.75):
+    corpus = {
+        i: re.split(r"\s+", t.strip().lower()) if t.strip() else []
+        for i, t in DOCS
+    }
+    corpus = {i: toks for i, toks in corpus.items() if toks}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in corpus.values()) / n
+    qts, seen = [], set()
+    for t in re.split(r"\s+", query.strip().lower()):
+        if t and t not in seen:
+            seen.add(t)
+            qts.append(t)
+    scores = {}
+    for term in qts:
+        df_t = sum(1 for toks in corpus.values() if term in toks)
+        if df_t == 0:
+            continue
+        idf = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+        for i, toks in corpus.items():
+            tf = toks.count(term)
+            if tf == 0:
+                continue
+            dl = len(toks)
+            s = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+            scores[i] = scores.get(i, 0.0) + s
+    return scores
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string").repartition(3)
+    return search.bm25_index(df, "doc_id", "text")
+
+
+def test_index_stats(index):
+    assert index.n_docs == 6  # the blank doc has no postings
+    dfs = {r["token"]: r["df_t"] for r in index.terms.collect()}
+    assert dfs["quick"] == 4
+    assert dfs["lazy"] == 2
+    assert dfs["the"] == 3
+
+
+@pytest.mark.parametrize("query", ["quick fox", "lazy dog", "the", "bar nights fox"])
+def test_scores_match_replica(index, query):
+    expect = _py_bm25(query)
+    got = {r["id"]: r["score"] for r in search.bm25_topk(index, query, k=10).collect()}
+    assert set(got) == set(expect)
+    for i in expect:
+        assert abs(got[i] - expect[i]) < 1e-9
+
+
+def test_topk_order_and_limit(index):
+    rows = search.bm25_topk(index, "quick", k=2).collect()
+    expect = sorted(_py_bm25("quick").items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert [(r["id"], round(r["score"], 9)) for r in rows] == [
+        (i, round(s, 9)) for i, s in expect
+    ]
+
+
+def test_unknown_term_and_empty_query(index):
+    assert search.bm25_topk(index, "zzzzz", k=5).count() == 0
+    with pytest.raises(ValueError, match="empty query"):
+        search.bm25_topk(index, "   ")
+
+
+def test_disk_roundtrip_and_pruning(spark, index, tmp_path):
+    path = str(tmp_path / "bm25")
+    search.bm25_save(index, path, n_buckets=16)
+    loaded = search.bm25_load(spark, path)
+    assert loaded.n_docs == index.n_docs
+    assert abs(loaded.avgdl - index.avgdl) < 1e-12
+    for query in ["quick fox", "lazy dog"]:
+        expect = _py_bm25(query)
+        got = {
+            r["id"]: r["score"]
+            for r in search.bm25_topk_pruned(loaded, query, k=10).collect()
+        }
+        assert set(got) == set(expect)
+        for i in expect:
+            assert abs(got[i] - expect[i]) < 1e-9
+    plan = (
+        search.bm25_topk_pruned(loaded, "quick fox", k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan
+    # the bucket filter must actually reach the scan (non-empty list)
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "bucket" in seg
