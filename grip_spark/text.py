@@ -1640,3 +1640,333 @@ def boilerplate_ngrams(
         .orderBy(F.col("n_docs").desc(), F.col("ngram").asc())
         .limit(limit)
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece family)
+# ---------------------------------------------------------------------------
+
+
+def _unigram_lattice(word: str, pieces: dict, max_len: int):
+    """Forward-backward over the segmentation lattice of one word →
+    (logZ, [(j, i, piece, posterior)]) — the E-step workhorse.
+    Returns None when no path exists (an alphabet char was pruned;
+    the trainer never lets that happen)."""
+    import math as _m
+
+    L = len(word)
+    NEG = float("-inf")
+
+    def _lse(xs):
+        m = max(xs)
+        if m == NEG:
+            return NEG
+        return m + _m.log(sum(_m.exp(x - m) for x in xs))
+
+    alpha = [NEG] * (L + 1)
+    alpha[0] = 0.0
+    arcs = []  # (j, i, piece, logp)
+    for i in range(1, L + 1):
+        opts = []
+        for j in range(max(0, i - max_len), i):
+            p = word[j:i]
+            lp = pieces.get(p)
+            if lp is not None and alpha[j] != NEG:
+                opts.append(alpha[j] + lp)
+                arcs.append((j, i, p, lp))
+        if opts:
+            alpha[i] = _lse(opts)
+    if alpha[L] == NEG:
+        return None
+    beta = [NEG] * (L + 1)
+    beta[L] = 0.0
+    for j in range(L - 1, -1, -1):
+        opts = [
+            pieces[word[j:i]] + beta[i]
+            for i in range(j + 1, min(L, j + max_len) + 1)
+            if word[j:i] in pieces and beta[i] != NEG
+        ]
+        if opts:
+            beta[j] = _lse(opts)
+    z = alpha[L]
+    post = [
+        (j, i, p, _m.exp(alpha[j] + lp + beta[i] - z))
+        for (j, i, p, lp) in arcs
+        if alpha[j] != NEG and beta[i] != NEG
+    ]
+    return z, post
+
+
+def _unigram_viterbi(word: str, pieces: dict, max_len: int):
+    """Best segmentation (max sum of piece logps; on ties the
+    LONGEST-first-piece path via reverse DP order, deterministic)."""
+    L = len(word)
+    NEG = float("-inf")
+    best = [NEG] * (L + 1)
+    back = [None] * (L + 1)
+    best[0] = 0.0
+    for i in range(1, L + 1):
+        for j in range(max(0, i - max_len), i):
+            p = word[j:i]
+            lp = pieces.get(p)
+            if lp is None or best[j] == NEG:
+                continue
+            s = best[j] + lp
+            # strictly-greater keeps the FIRST (smallest j = longest
+            # piece) candidate on ties — deterministic
+            if s > best[i]:
+                best[i] = s
+                back[i] = j
+    if best[L] == NEG:
+        return None
+    out = []
+    i = L
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    return out[::-1]
+
+
+def learn_unigram(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 512,
+    seed_size: int | None = None,
+    max_piece_len: int = 8,
+    em_iterations: int = 2,
+    shrink_factor: float = 0.75,
+    max_rounds: int = 12,
+    pre_tokenizer: str = "whitespace",
+) -> dict:
+    """Train a unigram-LM tokenizer ON the cluster (Kudo 2018, the
+    SentencePiece ``--model_type=unigram`` family — the tokenizer
+    behind T5/ALBERT/XLNet; :func:`learn_bpe` is the other family).
+
+    Algorithm: seed a large candidate vocabulary from frequent
+    substrings, then alternate EM (expected piece counts under the
+    current unigram model via lattice forward-backward, M-step
+    renormalization) with pruning (drop the lowest-expected-count
+    pieces by ``shrink_factor`` per round) until ``vocab_size``.
+    Single characters are never pruned, so every word always has a
+    segmentation.  Two documented deviations from the reference
+    implementation: seeds come from substring frequency (count x
+    length score) rather than a suffix-array ESA, and pruning ranks
+    by expected count rather than exact loss-if-removed — both are
+    the standard reimplementation simplifications; ties break
+    deterministically everywhere (score desc, piece asc).
+
+    Distribution shape (the :func:`learn_bpe` separation): the corpus
+    is read ONCE into the (word, freq) table; seeding is one
+    substring explode + count over that table; every EM pass is one
+    Arrow-batched pass over the word table with the vocab-sized piece
+    dict shipped via broadcast, reduced by a map-side-combined
+    ``groupBy(piece).sum`` to a vocab-sized driver collect.  Driver
+    work is vocab-sized only.
+
+    Returns ``{"pieces": [(piece, logp), ...] (logp desc, piece asc),
+    "segments": DataFrame(word, n, pieces) — the Viterbi memo
+    :func:`unigram_segment` joins against, "pre_tokenizer",
+    "max_piece_len"}``.
+    """
+    import math as _m
+
+    if vocab_size <= 0:
+        raise ValueError(f"vocab_size must be > 0, got {vocab_size}")
+    if max_piece_len < 1:
+        raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
+    if not 0.0 < shrink_factor < 1.0:
+        raise ValueError(f"shrink_factor must be in (0,1), got {shrink_factor}")
+    if seed_size is None:
+        seed_size = vocab_size * 4
+    spark = df.sparkSession
+
+    words = (
+        df.select(F.explode(_bpe_words(text_col, pre_tokenizer)).alias("__w"))
+        .filter(F.col("__w") != "")
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
+    )
+    if words.isEmpty():
+        raise ValueError("learn_unigram: no tokens in corpus")
+
+    # ---- seed: frequent substrings (count x len score) + the alphabet
+    subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length("__w")),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(max_piece_len), F.length("__w") - i + 1)
+                ),
+                lambda l: F.col("__w").substr(i, l),
+            ),
+        )
+    )
+    counts = (
+        words.select(F.col("__n"), F.explode(subs).alias("__p"))
+        .groupBy("__p")
+        .agg(F.sum("__n").alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    alphabet = {
+        r["__p"]: int(r["__c"])
+        for r in counts.filter(F.length("__p") == 1).collect()
+    }
+    if vocab_size < len(alphabet):
+        raise ValueError(
+            f"vocab_size ({vocab_size}) is below the alphabet size "
+            f"({len(alphabet)}) — every character must stay a piece"
+        )
+    seeds = counts.orderBy(
+        (F.col("__c") * F.length("__p")).desc(), F.col("__p").asc()
+    ).limit(seed_size)
+    cand = {r["__p"]: int(r["__c"]) for r in seeds.collect()}
+    for ch, c in alphabet.items():
+        cand.setdefault(ch, c)
+    total = sum(cand.values())
+    pieces = {p: _m.log(c / total) for p, c in cand.items()}
+
+    def _estep(cur: dict) -> dict:
+        b = spark.sparkContext.broadcast(cur)
+        mpl = max_piece_len
+
+        def _run(batches):
+            import pandas as _pd
+
+            acc: dict = {}
+            pc = b.value
+            for pdf in batches:
+                for w, n in zip(pdf["__w"], pdf["__n"]):
+                    lat = _unigram_lattice(w, pc, mpl)
+                    if lat is None:  # unreachable: alphabet kept
+                        continue
+                    for (_, _, p, post) in lat[1]:
+                        acc[p] = acc.get(p, 0.0) + post * int(n)
+            if acc:
+                yield _pd.DataFrame(
+                    {"piece": list(acc.keys()), "ec": list(acc.values())}
+                )
+
+        rows = (
+            words.mapInPandas(_run, schema="piece string, ec double")
+            .groupBy("piece")
+            .agg(F.sum("ec").alias("ec"))
+            .collect()
+        )
+        b.unpersist()
+        return {r["piece"]: r["ec"] for r in rows}
+
+    floor = 1e-12
+    while True:
+        for _ in range(em_iterations):
+            ec = _estep(pieces)
+            tot = sum(ec.values())
+            pieces = {
+                p: _m.log(max(ec.get(p, 0.0), floor if len(p) == 1 else 0.0) / tot)
+                for p in pieces
+                if ec.get(p, 0.0) > 0.0 or len(p) == 1
+            }
+        if len(pieces) <= vocab_size:
+            break
+        if max_rounds <= 0:
+            raise RuntimeError(
+                "learn_unigram: pruning did not reach vocab_size "
+                f"(still {len(pieces)} pieces) — raise max_rounds"
+            )
+        max_rounds -= 1
+        keep = max(vocab_size, int(len(pieces) * shrink_factor))
+        ec = _estep(pieces)
+        ranked = sorted(
+            ((p, ec.get(p, 0.0)) for p in pieces if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        multi_budget = keep - len([p for p in pieces if len(p) == 1])
+        kept = {p for p, _ in ranked[: max(multi_budget, 0)]}
+        pieces = {
+            p: lp for p, lp in pieces.items() if len(p) == 1 or p in kept
+        }
+
+    # ---- Viterbi memo over the word table
+    b = spark.sparkContext.broadcast(pieces)
+    mpl = max_piece_len
+
+    def _seg(batches):
+        import pandas as _pd
+
+        pc = b.value
+        for pdf in batches:
+            out = [_unigram_viterbi(w, pc, mpl) for w in pdf["__w"]]
+            yield _pd.DataFrame(
+                {"word": pdf["__w"], "n": pdf["__n"], "pieces": out}
+            )
+
+    segments = words.mapInPandas(
+        _seg, schema="word string, n long, pieces array<string>"
+    ).localCheckpoint(eager=True)
+    ranked_pieces = sorted(pieces.items(), key=lambda kv: (-kv[1], kv[0]))
+    return {
+        "pieces": ranked_pieces,
+        "segments": segments,
+        "pre_tokenizer": pre_tokenizer,
+        "max_piece_len": max_piece_len,
+    }
+
+
+def unigram_segment(
+    df: DataFrame,
+    model,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "unigram_tokens",
+    broadcast_segments: bool = False,
+    pre_tokenizer: str | None = None,
+) -> DataFrame:
+    """Tokenize a corpus with a trained unigram model — the inference
+    half of :func:`learn_unigram`, same memo-join shape as
+    :func:`bpe_segment`: explode words with position, equi-join the
+    Viterbi memo, re-assemble per document.  Words unseen at training
+    time fall back to character pieces (their Viterbi would be
+    dominated by the alphabet floor anyway); NULL text → NULL array,
+    empty text → empty array."""
+    if isinstance(model, dict):
+        if pre_tokenizer is None:
+            pre_tokenizer = model.get("pre_tokenizer", "whitespace")
+        segments = model["segments"]
+    else:
+        segments = model
+    if pre_tokenizer is None:
+        pre_tokenizer = "whitespace"
+    toks = _bpe_words(text_col, pre_tokenizer)
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode_outer(toks).alias("__pos", "__w"),
+    )
+    seg = segments.select(F.col("word").alias("__w"), F.col("pieces").alias("__sym"))
+    if broadcast_segments:
+        seg = F.broadcast(seg)
+    fallback = F.split(F.col("__w"), "")
+    joined = ex.join(seg, ["__w"], "left").select(
+        "__id",
+        "__pos",
+        F.when(F.col("__w").isNull(), F.lit(None).cast("array<string>"))
+        .otherwise(F.coalesce(F.col("__sym"), fallback))
+        .alias("__sym"),
+    )
+    per_doc = joined.groupBy("__id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__sym")))
+                ),
+                lambda s: s["__sym"],
+            )
+        ).alias(out_col)
+    )
+    out = df.join(per_doc.withColumnRenamed("__id", id_col), [id_col], "left")
+    return out.withColumn(
+        out_col,
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("array<string>")).otherwise(
+            F.coalesce(F.col(out_col), F.array().cast("array<string>"))
+        ),
+    )

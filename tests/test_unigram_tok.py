@@ -1,0 +1,182 @@
+"""Unigram-LM tokenizer (SentencePiece family) pinned against an
+independent pure-Python replica whose E-step enumerates ALL
+segmentations exhaustively (no shared lattice code)."""
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from grip_spark import text as T
+
+
+DOCS = [
+    (0, "low lower lowest low low"),
+    (1, "new newer newest new newer"),
+    (2, "wider wide wide low new"),
+    (3, "the newest widest lowest the the"),
+    (4, "low low low new new wide"),
+]
+VOCAB, SEED, MPL = 24, 60, 4
+
+
+def _words(docs):
+    w = {}
+    for _, t in docs:
+        for tok in re.split(r"\s+", t.strip().lower()):
+            if tok:
+                w[tok] = w.get(tok, 0) + 1
+    return w
+
+
+def _all_segs(word, vocab, mpl):
+    """Every segmentation of word into in-vocab pieces (exhaustive)."""
+    if word == "":
+        return [[]]
+    out = []
+    for l in range(1, min(mpl, len(word)) + 1):
+        p = word[:l]
+        if p in vocab:
+            for rest in _all_segs(word[l:], vocab, mpl):
+                out.append([p] + rest)
+    return out
+
+
+def _replica_train(docs, vocab_size, seed_size, mpl, em_iterations=2,
+                   shrink_factor=0.75):
+    """Same spec as learn_unigram, E-step by exhaustive enumeration."""
+    words = _words(docs)
+    # seed: substring occurrence counts weighted by word freq
+    counts = {}
+    for w, n in words.items():
+        for i in range(len(w)):
+            for l in range(1, min(mpl, len(w) - i) + 1):
+                p = w[i : i + l]
+                counts[p] = counts.get(p, 0) + n
+    alphabet = {p: c for p, c in counts.items() if len(p) == 1}
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1] * len(kv[0]), kv[0]))
+    cand = dict(ranked[:seed_size])
+    for ch, c in alphabet.items():
+        cand.setdefault(ch, c)
+    total = sum(cand.values())
+    pieces = {p: math.log(c / total) for p, c in cand.items()}
+
+    def estep(cur):
+        ec = {}
+        for w, n in words.items():
+            segs = _all_segs(w, cur, mpl)
+            if not segs:
+                continue
+            scores = [sum(cur[p] for p in s) for s in segs]
+            m = max(scores)
+            z = m + math.log(sum(math.exp(s - m) for s in scores))
+            for s, sc in zip(segs, scores):
+                post = math.exp(sc - z)
+                for p in s:
+                    ec[p] = ec.get(p, 0.0) + post * n
+        return ec
+
+    floor = 1e-12
+    rounds = 12
+    while True:
+        for _ in range(em_iterations):
+            ec = estep(pieces)
+            tot = sum(ec.values())
+            pieces = {
+                p: math.log(max(ec.get(p, 0.0), floor if len(p) == 1 else 0.0) / tot)
+                for p in pieces
+                if ec.get(p, 0.0) > 0.0 or len(p) == 1
+            }
+        if len(pieces) <= vocab_size:
+            break
+        assert rounds > 0
+        rounds -= 1
+        keep = max(vocab_size, int(len(pieces) * shrink_factor))
+        ec = estep(pieces)
+        rankm = sorted(
+            ((p, ec.get(p, 0.0)) for p in pieces if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        budget = keep - len([p for p in pieces if len(p) == 1])
+        kept = {p for p, _ in rankm[: max(budget, 0)]}
+        pieces = {p: lp for p, lp in pieces.items() if len(p) == 1 or p in kept}
+    return pieces, words
+
+
+@pytest.fixture(scope="module")
+def trained(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string").repartition(3)
+    return T.learn_unigram(
+        df, vocab_size=VOCAB, seed_size=SEED, max_piece_len=MPL
+    ), df
+
+
+def test_matches_exhaustive_replica(trained):
+    model, _ = trained
+    expect, _ = _replica_train(DOCS, VOCAB, SEED, MPL)
+    got = dict(model["pieces"])
+    assert set(got) == set(expect)
+    for p in expect:
+        assert abs(got[p] - expect[p]) < 1e-9, p
+
+
+def test_alphabet_never_pruned_and_normalized(trained):
+    model, _ = trained
+    got = dict(model["pieces"])
+    chars = {c for w in _words(DOCS) for c in w}
+    assert chars <= set(got)
+    assert abs(sum(math.exp(lp) for lp in got.values()) - 1.0) < 1e-6
+    assert len(got) <= VOCAB
+
+
+def test_viterbi_memo_is_optimal(trained):
+    """Each memo row's score equals the exhaustive max; pieces concat
+    back to the word."""
+    model, _ = trained
+    pieces = dict(model["pieces"])
+    for r in model["segments"].collect():
+        w, segs = r["word"], r["pieces"]
+        assert "".join(segs) == w
+        score = sum(pieces[p] for p in segs)
+        best = max(
+            sum(pieces[p] for p in s) for s in _all_segs(w, pieces, MPL)
+        )
+        assert abs(score - best) < 1e-12
+
+
+def test_segment_corpus(trained, spark):
+    model, df = trained
+    out = {
+        r["doc_id"]: r["unigram_tokens"]
+        for r in T.unigram_segment(df, model).collect()
+    }
+    memo = {r["word"]: r["pieces"] for r in model["segments"].collect()}
+    for i, txt in DOCS:
+        expect = []
+        for w in re.split(r"\s+", txt.strip().lower()):
+            if w:
+                expect.extend(memo[w])
+        assert out[i] == expect
+
+
+def test_segment_oov_null_empty(trained, spark):
+    model, _ = trained
+    df2 = spark.createDataFrame(
+        [(0, "low zzq"), (1, None), (2, "   ")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["unigram_tokens"] for r in T.unigram_segment(df2, model).collect()}
+    memo = {r["word"]: r["pieces"] for r in model["segments"].collect()}
+    assert rows[0] == memo["low"] + ["z", "z", "q"]  # OOV -> chars
+    assert rows[1] is None
+    assert rows[2] == []
+
+
+def test_errors(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="below the alphabet"):
+        T.learn_unigram(df, vocab_size=3)
+    with pytest.raises(ValueError, match="no tokens"):
+        T.learn_unigram(df.filter("doc_id < 0"), vocab_size=30)
+    with pytest.raises(ValueError, match="vocab_size"):
+        T.learn_unigram(df, vocab_size=0)
