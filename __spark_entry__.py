@@ -888,6 +888,69 @@ def q_set_increment(spark, sf_dir):
     )
 
 
+def q_select_ops(spark, sf_dir):
+    """select() single- and multi-mark variants as labeled rows (the
+    r5 fold that funded the bm25_search slot)."""
+    single = q_select_single(spark, sf_dir).select(
+        F.lit("single").alias("variant"),
+        F.col("gid").alias("c_gid"),
+        F.lit(None).cast("string").alias("o_gid"),
+    )
+    multi = q_select_multi(spark, sf_dir).select(
+        F.lit("multi").alias("variant"), "c_gid", "o_gid"
+    )
+    return single.unionByName(multi)
+
+
+def q_render_ops(spark, sf_dir):
+    """render() + set()/increment() as labeled rows (the r5 fold that
+    funded the pagerank slot)."""
+    r = q_render_flat(spark, sf_dir).select(
+        F.lit("render").alias("variant"),
+        F.col("name").alias("sval"),
+        F.col("bal").alias("dval"),
+    )
+    s = q_set_increment(spark, sf_dir).select(
+        F.lit("setinc").alias("variant"),
+        F.col("f").alias("sval"),
+        F.col("bal").alias("dval"),
+    )
+    return r.unionByName(s)
+
+
+BM25_QUERY = "vector join customer"
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 top-20 for a fixed query over the documents table — the
+    full inverted-index build + Okapi scoring under a value oracle
+    (grip_spark/search.py; tokenization = the engine's whitespace
+    family, so the DuckDB CTE replicates it exactly)."""
+    from grip_spark import search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = search.bm25_index(docs, "doc_id", "text")
+    return search.bm25_topk(idx, BM25_QUERY, k=20)
+
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-5-iteration PageRank over the geography subgraph
+    (Customer/Supplier → Nation → Region, the in_nation/in_region
+    edges): the Pregel loop's per-round recurrence value-checked
+    against a hand-unrolled 5-CTE SQL replica (regions are sinks, so
+    the dangling-mass redistribution path is exercised too)."""
+    from grip_spark import graphalgo
+    from grip_spark.tpch import tpch_graph
+
+    g = tpch_graph(spark, sf_dir)
+    labels = ("Customer", "Supplier", "Nation", "Region")
+    verts = g.vertices.filter(F.col("label").isin(*labels)).select("gid")
+    edges = g.edges.filter(F.col("label").isin("in_nation", "in_region"))
+    return graphalgo.pagerank(
+        edges, vertices=verts, id_col="gid", exact_iterations=5
+    )
+
+
 def q_agg_matrix(spark, sf_dir):
     """Five of the six aggregation kinds in one slot (histogram keeps
     its own — empty-bucket emission deserves an isolated signal):
@@ -1118,13 +1181,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hop_counts": q_hop_counts,
         "out_2hop": q_out_2hop,
         "distinct_ops": q_distinct_ops,
-        "select_single": q_select_single,
-        "select_multi": q_select_multi,
+        # r5 folds: single+multi select ride as labeled rows; render +
+        # set/increment likewise — funding bm25_search and pagerank
+        "select_ops": q_select_ops,
         "fields_project": q_fields_project,
-        "render_flat": q_render_flat,
+        "render_ops": q_render_ops,
         "path_len": q_path_len,
         "unwind_words": q_unwind_words,
-        "set_increment": q_set_increment,
+        "bm25_search": q_bm25_search,
+        "pagerank": q_pagerank,
         "agg_matrix": q_agg_matrix,
         "agg_histogram": q_agg_histogram,
         "mark_jump": q_mark_jump,
@@ -1147,6 +1212,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _SEG_SQL = ", ".join(f"'{s}'" for s in SEGMENTS)
 
 _TOKENS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+# Okapi BM25 replica of grip_spark.search (same tokenization family,
+# arithmetic mirrored operation-for-operation: idf = ln(1 + ((n-df)+0.5)
+# /(df+0.5)), tf part = (tf*2.2)/(tf + 1.2*(0.25 + (0.75*dl)/avgdl)))
+_BM25_SQL = """
+WITH tok AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+),
+tf AS (SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY doc_id, token),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT token, CAST(count(*) AS DOUBLE) AS df_t FROM tf GROUP BY token),
+q AS (SELECT unnest(['vector', 'join', 'customer']) AS token)
+SELECT tf.doc_id AS id,
+       sum( ln(1.0 + ((st.n - dft.df_t) + 0.5) / (dft.df_t + 0.5))
+            * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / st.avgdl))) ) AS score
+FROM tf
+JOIN q USING (token)
+JOIN dft USING (token)
+JOIN dl USING (doc_id)
+CROSS JOIN st
+GROUP BY tf.doc_id
+ORDER BY score DESC, id
+LIMIT 20
+"""
+
+
+def _pagerank_sql(iterations: int = 5) -> str:
+    """Hand-unrolled fixed-iteration PageRank over the geography
+    subgraph — one CTE per round replicating graphalgo.pagerank's
+    recurrence exactly (incl. the (1.0-0.85) literal so both engines
+    compute the identical double)."""
+    head = """
+WITH nodes AS (
+  SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS id FROM customer
+  UNION ALL SELECT 's:' || CAST(s_suppkey AS VARCHAR) FROM supplier
+  UNION ALL SELECT 'n:' || CAST(n_nationkey AS VARCHAR) FROM nation
+  UNION ALL SELECT 'r:' || CAST(r_regionkey AS VARCHAR) FROM region
+),
+edges AS (
+  SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS src,
+         'n:' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+  UNION ALL SELECT 's:' || CAST(s_suppkey AS VARCHAR),
+         'n:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+  UNION ALL SELECT 'n:' || CAST(n_nationkey AS VARCHAR),
+         'r:' || CAST(n_regionkey AS VARCHAR) FROM nation
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src),
+r0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn)"""
+    steps = []
+    for k in range(1, iterations + 1):
+        steps.append(f""",
+r{k} AS (
+  SELECT n0.id,
+    (((1.0 - 0.85) / nn.n) + ((0.85 * dg.m) / nn.n))
+      + 0.85 * COALESCE(c.contrib, 0.0) AS r
+  FROM nodes n0
+  CROSS JOIN nn
+  CROSS JOIN (SELECT COALESCE(sum(p.r), 0.0) AS m FROM r{k - 1} p
+              LEFT JOIN deg ON deg.src = p.id WHERE deg.src IS NULL) dg
+  LEFT JOIN (SELECT e.dst AS id, sum(p.r * (1.0 / d2.d)) AS contrib
+             FROM edges e
+             JOIN r{k - 1} p ON p.id = e.src
+             JOIN deg d2 ON d2.src = e.src
+             GROUP BY e.dst) c ON c.id = n0.id
+)""")
+    return (
+        head
+        + "".join(steps)
+        + f"\nSELECT id, r AS pagerank FROM r{iterations}"
+    )
+
+
+_PAGERANK_SQL = _pagerank_sql(5)
 _EN_SQL = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
 
 # text.quality_score as SQL (same expression doc_text_profile inlines)
@@ -1767,13 +1910,12 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'mark', count(DISTINCT c.c_mktsegment) FROM customer c "
             "JOIN orders o ON o.o_custkey = c.c_custkey"
         ),
-        "select_single": (
-            "SELECT 'c:' || CAST(o.o_custkey AS VARCHAR) AS gid FROM orders o "
-            "JOIN customer c ON c.c_custkey = o.o_custkey"
-        ),
-        "select_multi": (
-            "SELECT 'c:' || CAST(o.o_custkey AS VARCHAR) AS c_gid, "
-            "'o:' || CAST(o.o_orderkey AS VARCHAR) AS o_gid FROM orders o "
+        "select_ops": (
+            "SELECT 'single' AS variant, 'c:' || CAST(o.o_custkey AS VARCHAR) AS c_gid, "
+            "CAST(NULL AS VARCHAR) AS o_gid FROM orders o "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "UNION ALL SELECT 'multi', 'c:' || CAST(o.o_custkey AS VARCHAR), "
+            "'o:' || CAST(o.o_orderkey AS VARCHAR) FROM orders o "
             "JOIN customer c ON c.c_custkey = o.o_custkey"
         ),
         "fields_project": (
@@ -1782,16 +1924,19 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'excl', 'c:' || CAST(c_custkey AS VARCHAR), "
             "c_mktsegment FROM customer"
         ),
-        "render_flat": "SELECT c_name AS name, c_acctbal AS bal FROM customer",
+        "render_ops": (
+            "SELECT 'render' AS variant, c_name AS sval, c_acctbal AS dval FROM customer "
+            "UNION ALL SELECT 'setinc', 'y', c_acctbal + 100 FROM customer "
+            "WHERE c_custkey = 1"
+        ),
         "path_len": (
             "SELECT 3 AS path_len FROM lineitem l "
             "JOIN orders o ON o.o_orderkey = l.l_orderkey "
             "JOIN part p ON p.p_partkey = l.l_partkey WHERE o.o_custkey = 2"
         ),
         "unwind_words": "SELECT unnest(string_split(p_type, ' ')) AS word FROM part",
-        "set_increment": (
-            "SELECT 'y' AS f, c_acctbal + 100 AS bal FROM customer WHERE c_custkey = 1"
-        ),
+        "bm25_search": _BM25_SQL,
+        "pagerank": _PAGERANK_SQL,
         "agg_matrix": (
             # Orders: count + type + percentile (fused multi-agg)
             "SELECT 'n' AS name, 'count' AS key, CAST(count(*) AS DOUBLE) AS value FROM orders "

@@ -59,6 +59,7 @@ def pagerank(
     damping: float = 0.85,
     max_iterations: int = 40,
     tol: float = 1e-9,
+    exact_iterations: int | None = None,
 ) -> DataFrame:
     """PageRank → ``(id, pagerank)`` with ranks summing to 1.
 
@@ -73,6 +74,11 @@ def pagerank(
     get there — a silently-unconverged rank would corrupt any quality
     threshold derived from it.  Deterministic up to float addition
     order (exact sums otherwise; the tests bound it at 1e-9).
+
+    ``exact_iterations`` runs exactly that many rounds with no
+    convergence check (and no per-round delta job) — the reproducible
+    fixed-step variant a cross-engine oracle can replicate by
+    unrolling the recurrence in SQL.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0,1), got {damping}")
@@ -111,7 +117,7 @@ def pagerank(
 
     try:
         ranks = _ckpt(nodes.withColumn("pagerank", F.lit(1.0 / n)))
-        for _ in range(max_iterations):
+        for _ in range(exact_iterations if exact_iterations is not None else max_iterations):
             dangling = (
                 ranks.join(sinks, "id", "left_semi")
                 .agg(F.sum("pagerank"))
@@ -132,6 +138,9 @@ def pagerank(
                     ).alias("pagerank"),
                 )
             )
+            if exact_iterations is not None:
+                ranks = new
+                continue
             delta = (
                 new.alias("n")
                 .join(ranks.alias("o"), "id")
@@ -141,6 +150,8 @@ def pagerank(
             ranks = new
             if delta < tol:
                 return ranks
+        if exact_iterations is not None:
+            return ranks
         raise RuntimeError(
             f"pagerank did not converge in {max_iterations} iterations "
             f"(last L1 delta {delta:.3e}; raise max_iterations or tol)"

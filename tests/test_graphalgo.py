@@ -87,6 +87,39 @@ def test_pagerank_without_vertex_table(spark, digraph):
         assert abs(got[x] - expect[x]) < 1e-9
 
 
+def test_pagerank_exact_iterations(spark, digraph):
+    """Fixed-step variant: exactly k rounds of the recurrence, no
+    convergence requirement — matches the replica run k rounds."""
+    nodes, edges, v, e = digraph
+
+    def replica_rounds(k):
+        n = len(nodes)
+        out = {x: 0 for x in nodes}
+        for s, _ in edges:
+            out[s] += 1
+        r = {x: 1.0 / n for x in nodes}
+        for _ in range(k):
+            contrib = {x: 0.0 for x in nodes}
+            for s, t in edges:
+                contrib[t] += r[s] / out[s]
+            dang = sum(r[x] for x in nodes if out[x] == 0)
+            r = {
+                x: (1 - 0.85) / n + 0.85 * (contrib[x] + dang / n) for x in nodes
+            }
+        return r
+
+    for k in (0, 3):
+        got = {
+            r["id"]: r["pagerank"]
+            for r in graphalgo.pagerank(
+                e, vertices=v, exact_iterations=k
+            ).collect()
+        }
+        expect = replica_rounds(k)
+        for x in nodes:
+            assert abs(got[x] - expect[x]) < 1e-12, (k, x)
+
+
 def test_pagerank_errors(spark, digraph):
     _, _, v, e = digraph
     with pytest.raises(ValueError, match="damping"):
