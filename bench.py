@@ -34,7 +34,7 @@ def sf_tag(sf_dir: str):
 def main():
     from pyspark.sql import SparkSession, functions as F
 
-    from grip_spark import dedup, ops, sampling, similarity, temporal, text
+    from grip_spark import dedup, graphalgo, ops, sampling, search, similarity, temporal, text
     from grip_spark.tpch import tpch_graph
 
     spark = (
@@ -215,6 +215,23 @@ def main():
                 num_groups=CPUS,
             )
         ),
+        # r5 additions: the three new operator families' hot shapes
+        "bm25_search": lambda: search.bm25_topk(
+            search.bm25_index(docs, "doc_id", "text"), "vector join customer", k=20
+        ).collect(),
+        "pagerank5": lambda: run_count(
+            graphalgo.pagerank(
+                g.edges.filter(F.col("label").isin("in_nation", "in_region")),
+                vertices=g.vertices.filter(
+                    F.col("label").isin("Customer", "Supplier", "Nation", "Region")
+                ).select("gid"),
+                id_col="gid",
+                exact_iterations=5,
+            )
+        ),
+        "pca_project": lambda: similarity.pca_project(
+            emb, similarity.pca_train(emb, "embedding", k=16), "embedding"
+        ).agg(F.sum(F.col("pca")[0])).collect(),
     }
 
     # Best-of-2 per query (the scaling-probe pattern): the host VM has

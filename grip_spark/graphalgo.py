@@ -100,6 +100,16 @@ def pagerank(
             .distinct()
         )
     nodes = _ckpt(nodes)
+    if vertices is not None:
+        # edges touching ids outside the vertex set are dropped BEFORE
+        # out-degrees are counted — otherwise a src->outside edge
+        # inflates outdeg(src) while its contribution vanishes, and
+        # total rank mass silently leaks below 1 (GraphFrames makes
+        # the same edges-within-vertices assumption; we enforce it)
+        e = (
+            e.join(nodes.select(F.col("id").alias("_src")), "_src", "left_semi")
+            .join(nodes.select(F.col("id").alias("_dst")), "_dst", "left_semi")
+        )
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank: empty graph")

@@ -120,6 +120,26 @@ def test_pagerank_exact_iterations(spark, digraph):
             assert abs(got[x] - expect[x]) < 1e-12, (k, x)
 
 
+def test_pagerank_drops_out_of_set_edges(spark, digraph):
+    """Edges to/from ids outside the vertex table must not leak rank
+    mass (they're removed before out-degree counting)."""
+    nodes, edges, v, e = digraph
+    extra = spark.createDataFrame(
+        [("n0", "ghost"), ("ghost", "n1"), ("n2", "phantom")],
+        "src string, dst string",
+    )
+    got = {
+        r["id"]: r["pagerank"]
+        for r in graphalgo.pagerank(
+            e.unionByName(extra), vertices=v, tol=1e-12
+        ).collect()
+    }
+    expect = _py_pagerank(nodes, edges)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for x in nodes:
+        assert abs(got[x] - expect[x]) < 1e-9
+
+
 def test_pagerank_errors(spark, digraph):
     _, _, v, e = digraph
     with pytest.raises(ValueError, match="damping"):
