@@ -169,3 +169,207 @@ def pagerank(
     finally:
         wedges.unpersist()
         sinks.unpersist()
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    vertices: DataFrame | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "gid",
+    seed_col: str = "gid",
+    damping: float = 0.85,
+    max_iterations: int = 40,
+    tol: float = 1e-9,
+    exact_iterations: int | None = None,
+) -> DataFrame:
+    """Personalized PageRank: teleport lands on the ``seeds`` set
+    (uniformly) instead of every node — the trust/relevance
+    propagation shape (TrustRank, Gyöngyi et al. VLDB 2004: rank
+    web hosts by random walks restarting at a curated whitelist;
+    at corpus scale: propagate quality from hand-audited domains
+    over the link graph).
+
+    Same recurrence and scale shape as :func:`pagerank` (one
+    pre-weighted join + node-sized aggregates per round, checkpointed
+    rank table) with the base term ``(1-d) * 1[v in seeds]/|seeds|``
+    and dangling mass returned to the seed set.  Non-seed nodes
+    reachable only against edge direction converge to rank 0.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    spark = edges.sparkSession
+    use_reliable = spark.sparkContext.getCheckpointDir() is not None
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if use_reliable else df.localCheckpoint(
+            eager=True
+        )
+
+    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    if vertices is not None:
+        nodes = vertices.select(F.col(id_col).alias("id")).distinct()
+    else:
+        nodes = (
+            e.select(F.col("_src").alias("id"))
+            .unionByName(e.select(F.col("_dst").alias("id")))
+            .distinct()
+        )
+    nodes = _ckpt(nodes)
+    if vertices is not None:
+        e = (
+            e.join(nodes.select(F.col("id").alias("_src")), "_src", "left_semi")
+            .join(nodes.select(F.col("id").alias("_dst")), "_dst", "left_semi")
+        )
+    seed_ids = _ckpt(
+        seeds.select(F.col(seed_col).alias("id"))
+        .distinct()
+        .join(nodes, "id", "left_semi")
+    )
+    n_seeds = seed_ids.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: no seeds inside the vertex set")
+    # seed indicator rides the node table once; rounds never re-join it
+    nodes = _ckpt(
+        nodes.join(
+            seed_ids.withColumn("_seed", F.lit(True)), "id", "left"
+        ).select("id", F.coalesce("_seed", F.lit(False)).alias("_seed"))
+    )
+
+    outdeg = e.groupBy(F.col("_src").alias("id")).agg(F.count(F.lit(1)).alias("_deg"))
+    wedges = (
+        e.join(outdeg, e["_src"] == outdeg["id"])
+        .select(F.col("_src"), F.col("_dst"), (F.lit(1.0) / F.col("_deg")).alias("_w"))
+        .persist()
+    )
+    sinks = nodes.select("id").join(outdeg, "id", "left_anti").persist()
+
+    try:
+        ranks = _ckpt(
+            nodes.select(
+                "id",
+                "_seed",
+                F.when(F.col("_seed"), F.lit(1.0 / n_seeds))
+                .otherwise(F.lit(0.0))
+                .alias("pagerank"),
+            )
+        )
+        for _ in range(exact_iterations if exact_iterations is not None else max_iterations):
+            dangling = (
+                ranks.join(sinks, "id", "left_semi")
+                .agg(F.sum("pagerank"))
+                .first()[0]
+                or 0.0
+            )
+            contribs = (
+                wedges.join(ranks, wedges["_src"] == ranks["id"])
+                .groupBy(F.col("_dst").alias("id"))
+                .agg(F.sum(F.col("pagerank") * F.col("_w")).alias("_c"))
+            )
+            seed_base = (1.0 - damping) / n_seeds + damping * dangling / n_seeds
+            new = _ckpt(
+                nodes.join(contribs, "id", "left").select(
+                    "id",
+                    "_seed",
+                    (
+                        F.when(F.col("_seed"), F.lit(seed_base)).otherwise(F.lit(0.0))
+                        + F.lit(damping) * F.coalesce("_c", F.lit(0.0))
+                    ).alias("pagerank"),
+                )
+            )
+            if exact_iterations is not None:
+                ranks = new
+                continue
+            delta = (
+                new.alias("n")
+                .join(ranks.alias("o"), "id")
+                .agg(F.sum(F.abs(F.col("n.pagerank") - F.col("o.pagerank"))))
+                .first()[0]
+            )
+            ranks = new
+            if delta < tol:
+                return ranks.select("id", "pagerank")
+        if exact_iterations is not None:
+            return ranks.select("id", "pagerank")
+        raise RuntimeError(
+            f"personalized_pagerank did not converge in {max_iterations} "
+            f"iterations (last L1 delta {delta:.3e})"
+        )
+    finally:
+        wedges.unpersist()
+        sinks.unpersist()
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the undirected graph → ``(id, community)``.
+
+    Each round every node adopts the most frequent label among its
+    neighbors (ties → smallest label; the symmetric edge list means
+    every node has at least one neighbor vote).  Deterministic:
+    synchronous updates + ordered
+    tie-breaks, so the result is a pure function of the graph —
+    unlike the reference algorithm's random visit order.  Runs a
+    fixed ``max_iterations`` rounds (synchronous LPA on bipartite-ish
+    structures can oscillate rather than converge — the standard cap;
+    labels after round k reflect k-hop structure, which is what the
+    near-dup-cluster and host-grouping uses need).
+
+    Scale shape per round: one equi-join (labels × symmetric edges),
+    one (dst, label)-count aggregate, one max-struct aggregate per
+    node — all map-side combined; label table node-sized and
+    checkpointed.  Use :func:`grip_spark.dedup.connected_components`
+    when exact components (not densely-linked communities) are the
+    goal.
+    """
+    spark = edges.sparkSession
+    use_reliable = spark.sparkContext.getCheckpointDir() is not None
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if use_reliable else df.localCheckpoint(
+            eager=True
+        )
+
+    p = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sym = p.unionByName(
+        p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    try:
+        labels = _ckpt(
+            sym.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("community", F.col("id"))
+        )
+        for _ in range(max_iterations):
+            votes = (
+                labels.join(sym, labels["id"] == sym["src"])
+                .groupBy(F.col("dst").alias("id"), F.col("community"))
+                .agg(F.count(F.lit(1)).alias("_n"))
+            )
+            # most frequent neighbor label; ties -> smallest label
+            best = votes.groupBy("id").agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_n")).alias("_neg"), F.col("community").alias("c")
+                    )
+                )["c"].alias("community")
+            )
+            new = _ckpt(best)
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.community") != F.col("o.community"))
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
+        return labels
+    finally:
+        sym.unpersist()

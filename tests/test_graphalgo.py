@@ -168,3 +168,97 @@ def test_pagerank_star_graph(spark):
     for x in nodes:
         assert abs(got[x] - expect[x]) < 1e-10
     assert got["hub"] > got["s0"]
+
+
+def _py_ppr(nodes, edges, seeds, d=0.85, iters=300, tol=1e-12):
+    n_s = len(seeds)
+    out = {v: 0 for v in nodes}
+    for s, _ in edges:
+        out[s] += 1
+    r = {v: (1.0 / n_s if v in seeds else 0.0) for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            contrib[t] += r[s] / out[s]
+        dang = sum(r[v] for v in nodes if out[v] == 0)
+        new = {
+            v: ((1 - d) / n_s + d * dang / n_s if v in seeds else 0.0)
+            + d * contrib[v]
+            for v in nodes
+        }
+        delta = sum(abs(new[v] - r[v]) for v in nodes)
+        r = new
+        if delta < tol:
+            break
+    return r
+
+
+def test_personalized_pagerank(spark, digraph):
+    nodes, edges, v, e = digraph
+    seeds = ["n1", "n4", "n7"]
+    sdf = spark.createDataFrame([(s,) for s in seeds], "gid string")
+    got = {
+        r["id"]: r["pagerank"]
+        for r in graphalgo.personalized_pagerank(
+            e, sdf, vertices=v, tol=1e-12
+        ).collect()
+    }
+    expect = _py_ppr(nodes, edges, set(seeds))
+    assert set(got) == set(nodes)
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+    for x in nodes:
+        assert abs(got[x] - expect[x]) < 1e-9, x
+    # seeds outrank far-away nodes; the isolate gets exactly 0
+    assert got["n_iso"] == 0.0
+    with pytest.raises(ValueError, match="no seeds"):
+        graphalgo.personalized_pagerank(
+            e, sdf.filter("gid = 'nope'"), vertices=v
+        )
+
+
+def _py_lpa(edges, rounds):
+    sym = []
+    for s, t in edges:
+        sym.append((s, t))
+        sym.append((t, s))
+    nodes = sorted({x for ed in sym for x in ed})
+    lab = {x: x for x in nodes}
+    for _ in range(rounds):
+        votes = {x: {} for x in nodes}
+        for s, t in sym:
+            votes[t][lab[s]] = votes[t].get(lab[s], 0) + 1
+        new = {
+            x: min(v, key=lambda c: (-votes[x][c], c)) for x, v in votes.items()
+        }
+        if new == lab:
+            break
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_replica(spark, digraph):
+    _, edges, _, e = digraph
+    for rounds in (1, 3, 10):
+        got = {
+            r["id"]: r["community"]
+            for r in graphalgo.label_propagation(e, max_iterations=rounds).collect()
+        }
+        expect = _py_lpa(edges, rounds)
+        assert got == expect, rounds
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge → two communities."""
+    def clique(pref):
+        ids = [f"{pref}{i}" for i in range(4)]
+        return [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+
+    edges = clique("a") + clique("b") + [("a0", "b0")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["id"]: r["community"]
+        for r in graphalgo.label_propagation(e, max_iterations=10).collect()
+    }
+    assert len({got[f"a{i}"] for i in range(4)}) == 1
+    assert len({got[f"b{i}"] for i in range(4)}) == 1
+    assert got["a0"] != got["b1"]
