@@ -204,3 +204,23 @@ def bm25_topk_pruned(
         index.avgdl,
     )
     return bm25_topk(pruned, query, k, k1, b)
+
+
+def bm25_merge(a: Bm25Index, b: Bm25Index) -> Bm25Index:
+    """Merge two indexes built over DISJOINT document sets — the
+    incremental-ingest shape (index the day's new partition, merge
+    with yesterday's index; the ``minhash_between`` analog for
+    search).  Postings union without touching documents; the term
+    table re-aggregates df_t (Zipf-bounded work); corpus scalars
+    combine exactly (weighted mean).  Callers own the disjointness
+    invariant (same id in both sides would double-count its postings
+    — checking would cost a full join, which defeats the point)."""
+    postings = a.postings.unionByName(b.postings)
+    terms = (
+        a.terms.unionByName(b.terms)
+        .groupBy("token")
+        .agg(F.sum("df_t").alias("df_t"))
+    )
+    n = a.n_docs + b.n_docs
+    avgdl = (a.avgdl * a.n_docs + b.avgdl * b.n_docs) / n
+    return Bm25Index(postings, terms, n, avgdl)

@@ -112,3 +112,27 @@ def test_disk_roundtrip_and_pruning(spark, index, tmp_path):
     # the bucket filter must actually reach the scan (non-empty list)
     seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "bucket" in seg
+
+
+def test_merge_equals_full_index(spark):
+    """Index halves separately, merge → same scores as one full index
+    (incremental ingest must not drift)."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    full = search.bm25_index(df, "doc_id", "text")
+    merged = search.bm25_merge(
+        search.bm25_index(df.filter("doc_id < 3"), "doc_id", "text"),
+        search.bm25_index(df.filter("doc_id >= 3"), "doc_id", "text"),
+    )
+    assert merged.n_docs == full.n_docs
+    assert abs(merged.avgdl - full.avgdl) < 1e-12
+    for query in ["quick fox", "lazy dog", "the bar"]:
+        want = {
+            r["id"]: r["score"] for r in search.bm25_topk(full, query, k=10).collect()
+        }
+        got = {
+            r["id"]: r["score"]
+            for r in search.bm25_topk(merged, query, k=10).collect()
+        }
+        assert set(got) == set(want)
+        for i in want:
+            assert abs(got[i] - want[i]) < 1e-12
