@@ -6,7 +6,7 @@ Replication prefixes ids (and perturbs text with a per-replica token)
 so replicas do not collide in LSH buckets more than organically —
 growth should be near-linear for the banded joins.
 
-Usage: python tools/scaling_probe.py [llm|pipeline|tokenizer]  (default: llm)
+Usage: python tools/scaling_probe.py [llm|pipeline|tokenizer|graph]  (default: llm)
 """
 
 from __future__ import annotations
@@ -112,6 +112,10 @@ def main():
         return
     if mode == "tokenizer":
         _tokenizer_probe(spark, docs)
+        spark.stop()
+        return
+    if mode == "graph":
+        _graph_probe(spark)
         spark.stop()
         return
 
@@ -319,6 +323,80 @@ def _tokenizer_probe(spark, docs):
             f"clf 2-epoch train {t_train:.1f}s",
             flush=True,
         )
+        d.unpersist()
+
+
+
+
+def _graph_probe(spark):
+    """Scaling of the r5 families: PageRank (5 fixed rounds over k
+    disjoint copies of the geography subgraph — per-round join work
+    ~k, rank table ~k) and BM25 (index build ~k; QUERY cost must stay
+    ~flat, because it touches only the query terms' posting lists —
+    the corpus-size-independence claim in SCALE.md)."""
+    from pyspark.sql import functions as F
+
+    from grip_spark import graphalgo, search
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    supp = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    nat = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def geo_edges(prefix):
+        return (
+            cust.select(
+                F.concat(F.lit(f"{prefix}c:"), F.col("c_custkey").cast("string")).alias("src"),
+                F.concat(F.lit(f"{prefix}n:"), F.col("c_nationkey").cast("string")).alias("dst"),
+            )
+            .unionByName(
+                supp.select(
+                    F.concat(F.lit(f"{prefix}s:"), F.col("s_suppkey").cast("string")).alias("src"),
+                    F.concat(F.lit(f"{prefix}n:"), F.col("s_nationkey").cast("string")).alias("dst"),
+                )
+            )
+            .unionByName(
+                nat.select(
+                    F.concat(F.lit(f"{prefix}n:"), F.col("n_nationkey").cast("string")).alias("src"),
+                    F.concat(F.lit(f"{prefix}r:"), F.col("n_regionkey").cast("string")).alias("dst"),
+                )
+            )
+        )
+
+    def best_of(fn, reps: int = 2):
+        best, result = None, None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            result = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best, result
+
+    for k in (1, 4, 8):
+        e = geo_edges("r0:")
+        for i in range(1, k):
+            e = e.unionByName(geo_edges(f"r{i}:"))
+        e = e.persist()
+        ne = e.count()
+        t_pr, nn = best_of(
+            lambda: graphalgo.pagerank(e, exact_iterations=5).count()
+        )
+
+        d = replicate_docs(docs, k).persist()
+        nd = d.count()
+        t_idx, idx = best_of(lambda: search.bm25_index(d, "doc_id", "text"), reps=1)
+        # the index is materialized (localCheckpoint); query cost is
+        # now posting-list-sized — it must NOT grow with k (the query
+        # terms exist only in replica 0's vocabulary)
+        t_q, _ = best_of(
+            lambda: search.bm25_topk(idx, "vector join customer", k=20).collect()
+        )
+        print(
+            f"{k}x: edges={ne} nodes={nn} docs={nd} | pagerank5 {t_pr:.1f}s | "
+            f"bm25_index {t_idx:.1f}s | bm25_query {t_q:.2f}s",
+            flush=True,
+        )
+        e.unpersist()
         d.unpersist()
 
 
