@@ -1048,3 +1048,72 @@ def dedup_lines(
             F.coalesce(F.col(out_col), F.lit(""))
         ),
     )
+
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxhash64_py(s, seed: int = 42) -> int:
+    """Pure-Python XXH64 over the UTF-8 bytes, returning Spark's
+    SIGNED long — the driver/test-side replica of ``F.xxhash64`` on a
+    string column (Spark's default seed is 42).  Pinned bit-identical
+    against the JVM in tests/test_sketch.py; lets driver-side code
+    (e.g. :func:`grip_spark.sketch.cm_query_local`) address
+    structures built with the production hash family instead of
+    requiring the md5 fallback."""
+    data = s.encode("utf-8") if isinstance(s, str) else bytes(s)
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXP1 + _XXP2) & _M64
+        v2 = (seed + _XXP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XXP1) & _M64
+        while i + 32 <= n:
+            for vi in range(4):
+                chunk = int.from_bytes(data[i : i + 8], "little")
+                if vi == 0:
+                    v1 = (_rotl((v1 + chunk * _XXP2) & _M64, 31) * _XXP1) & _M64
+                elif vi == 1:
+                    v2 = (_rotl((v2 + chunk * _XXP2) & _M64, 31) * _XXP1) & _M64
+                elif vi == 2:
+                    v3 = (_rotl((v3 + chunk * _XXP2) & _M64, 31) * _XXP1) & _M64
+                else:
+                    v4 = (_rotl((v4 + chunk * _XXP2) & _M64, 31) * _XXP1) & _M64
+                i += 8
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _XXP2) & _M64, 31) * _XXP1) & _M64
+            h = ((h * _XXP1) + _XXP4) & _M64
+    else:
+        h = (seed + _XXP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        chunk = int.from_bytes(data[i : i + 8], "little")
+        h ^= (_rotl((chunk * _XXP2) & _M64, 31) * _XXP1) & _M64
+        h = ((_rotl(h, 27) * _XXP1) + _XXP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        chunk = int.from_bytes(data[i : i + 4], "little")
+        h ^= (chunk * _XXP1) & _M64
+        h = ((_rotl(h, 23) * _XXP2) + _XXP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXP5) & _M64
+        h = (_rotl(h, 11) * _XXP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h

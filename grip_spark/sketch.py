@@ -1,0 +1,155 @@
+"""Mergeable frequency sketches as plain DataFrames.
+
+Corpus pipelines need approximate frequency answers that COMPOSE
+across days/shards without reprocessing: "how often does this token /
+URL / 13-gram appear, corpus-wide, within eps*N?" asked of a
+structure thousands of times smaller than the key space.  This module
+implements Count-Min (Cormode & Muthukrishnan 2005) with the sketch
+itself materialized as a ``(row, bucket, n)`` DataFrame — transparent
+(no opaque binary blobs), mergeable by union+sum, and buildable with
+one map-side-combined aggregate.
+
+Scale shape: build explodes each item into ``depth`` (row, bucket)
+pairs and aggregates — the shuffle carries at most ``depth * width``
+distinct keys regardless of corpus size (map-side combine collapses
+to sketch size per partition).  Merge is sketch-sized.  Point queries
+collect the ``depth`` counters for the key (the sketch is tiny; pin
+it with ``persist`` when querying repeatedly, or collect it once to
+the driver with :func:`to_local` for thousands of lookups).
+
+The hash family is seeded ``xxhash64(seed_i ++ key) mod width`` —
+pairwise-independent enough in practice, deterministic across runs
+and partitionings, and replicable in the tests' pure-Python replica
+via the same md5 fallback family used elsewhere
+(``dedup.md5_prefix_hash``) when cross-engine verification matters.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _cm_bucket(key: Column, seed: str, width: int, token_hash=None) -> Column:
+    h = token_hash or F.xxhash64
+    return F.pmod(h(F.concat(F.lit(seed), key)), F.lit(width))
+
+
+def cm_params(eps: float, delta: float) -> tuple[int, int]:
+    """(width, depth) guaranteeing ``est <= true + eps*N`` with
+    probability ``1 - delta`` per query: width = ceil(e/eps),
+    depth = ceil(ln(1/delta))."""
+    if not 0 < eps < 1 or not 0 < delta < 1:
+        raise ValueError(f"eps and delta must be in (0,1), got {eps}, {delta}")
+    return math.ceil(math.e / eps), math.ceil(math.log(1.0 / delta))
+
+
+def cm_build(
+    df: DataFrame,
+    key_col: str,
+    width: int = 2048,
+    depth: int = 5,
+    weight_col: str | None = None,
+    salt: str = "cm",
+    token_hash=None,
+) -> DataFrame:
+    """Count-Min sketch of a key column → ``(row, bucket, n)`` with
+    exactly the rows that have mass (absent (row, bucket) = 0).
+    ``weight_col`` aggregates weighted counts (e.g. token counts per
+    doc) instead of row counts.  NULL keys are skipped (count them
+    separately — a NULL inside a hash family is a data bug)."""
+    if width < 2 or depth < 1:
+        raise ValueError(f"need width >= 2, depth >= 1 (got {width}, {depth})")
+    key = F.col(key_col).cast("string")
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                _cm_bucket(key, f"{salt}:{i}:", width, token_hash).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.filter(key.isNotNull())
+        .select(F.explode(rows).alias("rb"), w.alias("_w"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.sum("_w").alias("n"))
+    )
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Union + sum — valid only for sketches built with the same
+    (width, depth, salt, hash family); counters add exactly."""
+    if not sketches:
+        raise ValueError("cm_merge: need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("n").alias("n"))
+
+
+def cm_query(
+    sketch: DataFrame,
+    keys: list[str],
+    width: int = 2048,
+    depth: int = 5,
+    salt: str = "cm",
+    token_hash=None,
+) -> DataFrame:
+    """Point estimates for literal keys → ``(key, est)`` where est =
+    min over the depth rows (0 when a counter row is absent).
+    Estimates never undercount; overcount is bounded by eps*N w.h.p.
+    (see :func:`cm_params`)."""
+    if not keys:
+        raise ValueError("cm_query: no keys")
+    spark = sketch.sparkSession
+    kdf = spark.createDataFrame([(k,) for k in keys], "key string")
+    probes = kdf.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cm_bucket(
+                            F.col("key"), f"{salt}:{i}:", width, token_hash
+                        ).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("key", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    joined = probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+    return joined.groupBy("key").agg(
+        F.min(F.coalesce("n", F.lit(0))).alias("est")
+    )
+
+
+def to_local(sketch: DataFrame) -> dict:
+    """Collect the sketch to a ``{(row, bucket): n}`` dict for
+    driver-side repeated lookups (sketch-sized by construction)."""
+    return {(r["row"], r["bucket"]): r["n"] for r in sketch.collect()}
+
+
+def cm_query_local(
+    local: dict,
+    key: str,
+    width: int = 2048,
+    depth: int = 5,
+    salt: str = "cm",
+    hash_fn=None,
+) -> int:
+    """Driver-side point query against :func:`to_local` output.
+    ``hash_fn(s) -> int64`` must replicate the cluster-side family —
+    default is the xxhash64 python replica from
+    :mod:`grip_spark.dedup` (``xxhash64_py``)."""
+    from .dedup import xxhash64_py
+
+    h = hash_fn or xxhash64_py
+    return min(
+        local.get((i, h(f"{salt}:{i}:{key}") % width), 0) for i in range(depth)
+    )

@@ -1,0 +1,136 @@
+"""Count-Min sketch: estimates pinned against a pure-Python replica
+(same hash family via xxhash64_py), CM guarantees (never undercount,
+eps*N overcount bound), exact merge, weighted build, and the
+driver-side local query path."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from grip_spark import sketch
+from grip_spark.dedup import xxhash64_py
+
+W, D, SALT = 64, 4, "t"
+
+
+def _py_sketch(items):
+    """Independent replica: same (row, bucket) mapping, dict counters."""
+    table = {}
+    for key, w in items:
+        for i in range(D):
+            b = xxhash64_py(f"{SALT}:{i}:{key}") % W
+            table[(i, b)] = table.get((i, b), 0) + w
+    return table
+
+
+def _py_query(table, key):
+    return min(
+        table.get((i, xxhash64_py(f"{SALT}:{i}:{key}") % W), 0) for i in range(D)
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = random.Random(5)
+    # zipf-ish: key k appears ~ 200/k times
+    items = []
+    for k in range(1, 40):
+        items.extend([f"key{k}"] * (200 // k))
+    rng.shuffle(items)
+    return items
+
+
+def test_matches_replica_and_bounds(spark, corpus):
+    df = spark.createDataFrame([(x,) for x in corpus], "k string").repartition(5)
+    sk = sketch.cm_build(df, "k", width=W, depth=D, salt=SALT).persist()
+    replica = _py_sketch([(x, 1) for x in corpus])
+    got = sketch.to_local(sk)
+    assert got == replica
+    truth = {}
+    for x in corpus:
+        truth[x] = truth.get(x, 0) + 1
+    keys = list(truth) + ["absent1", "absent2"]
+    est = {
+        r["key"]: r["est"]
+        for r in sketch.cm_query(sk, keys, width=W, depth=D, salt=SALT).collect()
+    }
+    n = len(corpus)
+    for x in keys:
+        t = truth.get(x, 0)
+        assert est[x] >= t  # CM never undercounts
+        assert est[x] == _py_query(replica, x)
+        assert est[x] <= t + n  # trivial; tight bound checked in aggregate
+    # aggregate overcount stays small on a 64-wide sketch vs n≈850
+    over = [est[x] - truth.get(x, 0) for x in keys]
+    assert sum(over) / len(over) < n / W * 4
+    sk.unpersist()
+
+
+def test_merge_is_exact(spark, corpus):
+    half = len(corpus) // 2
+    a = spark.createDataFrame([(x,) for x in corpus[:half]], "k string")
+    b = spark.createDataFrame([(x,) for x in corpus[half:]], "k string")
+    full = spark.createDataFrame([(x,) for x in corpus], "k string")
+    merged = sketch.cm_merge(
+        sketch.cm_build(a, "k", width=W, depth=D, salt=SALT),
+        sketch.cm_build(b, "k", width=W, depth=D, salt=SALT),
+    )
+    assert sketch.to_local(merged) == sketch.to_local(
+        sketch.cm_build(full, "k", width=W, depth=D, salt=SALT)
+    )
+
+
+def test_weighted_build_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 2), ("b", 3), (None, 100)], "k string, w long"
+    )
+    sk = sketch.cm_build(df, "k", width=W, depth=D, weight_col="w", salt=SALT)
+    est = {
+        r["key"]: r["est"]
+        for r in sketch.cm_query(sk, ["a", "b"], width=W, depth=D, salt=SALT).collect()
+    }
+    assert est["a"] >= 7 and est["b"] >= 3
+    # the NULL row contributed nothing (each item lands in D rows)
+    assert sum(n for n in sketch.to_local(sk).values()) == 10 * D
+
+
+def test_local_query_path(spark, corpus):
+    df = spark.createDataFrame([(x,) for x in corpus], "k string")
+    local = sketch.to_local(sketch.cm_build(df, "k", width=W, depth=D, salt=SALT))
+    truth = {}
+    for x in corpus:
+        truth[x] = truth.get(x, 0) + 1
+    for x in ("key1", "key7", "absent"):
+        est = sketch.cm_query_local(local, x, width=W, depth=D, salt=SALT)
+        assert est >= truth.get(x, 0)
+        assert est == _py_query(_py_sketch([(i, 1) for i in corpus]), x)
+
+
+def test_params_and_errors(spark):
+    w, d = sketch.cm_params(eps=0.01, delta=0.01)
+    assert w >= 271 and d >= 5
+    with pytest.raises(ValueError):
+        sketch.cm_params(eps=0.0, delta=0.5)
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError):
+        sketch.cm_build(df, "k", width=1)
+    with pytest.raises(ValueError):
+        sketch.cm_merge()
+    with pytest.raises(ValueError):
+        sketch.cm_query(sketch.cm_build(df, "k", width=W, depth=D), [])
+
+
+def test_xxhash64_py_matches_jvm(spark):
+    """The driver-side hash replica is bit-identical to F.xxhash64
+    across lengths covering every code path (empty, <4, <8, <32,
+    stripes, unicode)."""
+    cases = [
+        "", "a", "abc", "abcd", "hello w", "12345678", "x" * 31, "y" * 32,
+        "z" * 33, "q" * 100, "héllo ünïcode ⚡", "t:0:key1",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string").select(
+        "s", F.xxhash64("s").alias("h")
+    )
+    for r in df.collect():
+        assert xxhash64_py(r["s"]) == r["h"], r["s"]
