@@ -373,3 +373,73 @@ def label_propagation(
         return labels
     finally:
         sym.unpersist()
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over the undirected SIMPLE graph
+    (direction, parallel edges, and self-loops are collapsed/dropped
+    first) → ``(id, triangles)`` for every node in at least one
+    triangle — the clustering-coefficient numerator, the classic
+    spam/community signal on link graphs.
+
+    Degree-ordered enumeration (the MapReduce-classic trick: Suri &
+    Vassilvitskii, WWW 2011): orient each edge from the
+    lower-(degree, id) endpoint to the higher, enumerate wedges only
+    at each triangle's LOWEST corner, and close them with one
+    equi-join against the oriented edge list.  Work is
+    O(Σ deg_oriented(v)²) = O(m^1.5) on any graph — a 10⁷-degree hub
+    contributes only its oriented (higher-ranked) neighbors, so
+    power-law graphs don't explode the wedge stage.
+
+    Shuffles: dedup (1 aggregate), degrees (1), two orientation joins
+    (node-sized degree table), the wedge self-join + closing
+    equi-join, and the final corner count — all hash joins on ids,
+    never a cartesian.
+    """
+    # canonical simple edges: unordered pair (a < b), self-loops out
+    a, b = F.col(src_col).cast("string"), F.col(dst_col).cast("string")
+    canon = (
+        edges.select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        canon.select(F.col("a").alias("id"))
+        .unionByName(canon.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    # orient by (degree, id) rank; carry the dst rank for wedge order
+    da = deg.select(F.col("id").alias("a"), F.struct(F.col("_d"), F.col("id")).alias("_ra"))
+    db = deg.select(F.col("id").alias("b"), F.struct(F.col("_d"), F.col("id")).alias("_rb"))
+    oriented = (
+        canon.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(F.col("_ra") < F.col("_rb"), F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(F.col("_ra") < F.col("_rb"), F.col("b")).otherwise(F.col("a")).alias("hi"),
+            F.when(F.col("_ra") < F.col("_rb"), F.col("_rb")).otherwise(F.col("_ra")).alias("_rhi"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.lo") == F.col("e2.lo")) & (F.col("e1._rhi") < F.col("e2._rhi")),
+    ).select(
+        F.col("e1.lo").alias("u"), F.col("e1.hi").alias("v"), F.col("e2.hi").alias("w")
+    )
+    tris = wedges.join(
+        oriented.select(F.col("lo").alias("v"), F.col("hi").alias("w")),
+        ["v", "w"],
+        "left_semi",
+    )
+    corners = tris.select(F.explode(F.array("u", "v", "w")).alias("id"))
+    return corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))

@@ -262,3 +262,58 @@ def test_label_propagation_two_cliques(spark):
     assert len({got[f"a{i}"] for i in range(4)}) == 1
     assert len({got[f"b{i}"] for i in range(4)}) == 1
     assert got["a0"] != got["b1"]
+
+
+def _py_triangles(edges):
+    adj = {}
+    es = set()
+    for s, t in edges:
+        if s == t:
+            continue
+        a, b = min(s, t), max(s, t)
+        if (a, b) in es:
+            continue
+        es.add((a, b))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # brute force over ordered node triples (small graphs only)
+    nodes = sorted(adj)
+    counts = {x: 0 for x in nodes}
+    for i, x in enumerate(nodes):
+        for y in adj[x]:
+            if y <= x:
+                continue
+            for z in adj[x] & adj[y]:
+                if z > y:
+                    counts[x] += 1
+                    counts[y] += 1
+                    counts[z] += 1
+    return {x: c for x, c in counts.items() if c}
+
+
+def test_triangle_count_matches_replica(spark, digraph):
+    _, edges, _, e = digraph
+    got = {
+        r["id"]: r["triangles"]
+        for r in graphalgo.triangle_count(e).collect()
+    }
+    assert got == _py_triangles(edges)
+
+
+def test_triangle_count_complete_graph(spark):
+    """K5: every node sits in C(4,2)=6 triangles; direction/parallel
+    edges/self-loops must not change the count."""
+    ids = [f"k{i}" for i in range(5)]
+    edges = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+    edges += [(b, a) for a, b in edges]  # reversed duplicates
+    edges += [("k0", "k0"), ("k1", "k1")]  # self-loops
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["id"]: r["triangles"] for r in graphalgo.triangle_count(e).collect()}
+    assert got == {x: 6 for x in ids}
+
+
+def test_triangle_count_triangle_free(spark):
+    """A bipartite (triangle-free) graph returns no rows."""
+    edges = [(f"l{i}", f"r{j}") for i in range(3) for j in range(3)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    assert graphalgo.triangle_count(e).count() == 0
