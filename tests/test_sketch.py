@@ -134,3 +134,56 @@ def test_xxhash64_py_matches_jvm(spark):
     )
     for r in df.collect():
         assert xxhash64_py(r["s"]) == r["h"], r["s"]
+
+
+def _py_hll(keys, p, salt="hll"):
+    """Independent register replica from the shared hash pin."""
+    m = 1 << p
+    regs = {}
+    for k in keys:
+        h = xxhash64_py(f"{salt}:{k}") & ((1 << 64) - 1)
+        b = h >> (64 - p)
+        w = (h << p) & ((1 << 64) - 1)
+        if w == 0:
+            rho = 64 - p + 1
+        else:
+            rho = 1
+            mask = 1 << 63
+            while not (w & mask):
+                rho += 1
+                mask >>= 1
+        regs[b] = max(regs.get(b, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_replica(spark):
+    keys = [f"u{i}" for i in range(3000)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string").repartition(6)
+    sk = sketch.hll_build(df, "k", p=10)
+    got = {r["bucket"]: r["rho"] for r in sk.collect()}
+    assert got == _py_hll(keys, 10)
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    n = 5000
+    keys = [f"item{i}" for i in range(n)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    sk = sketch.hll_build(df, "k", p=12).localCheckpoint()
+    est = sketch.hll_estimate(sk, p=12)
+    assert abs(est - n) / n < 0.05  # ~3 sigma at p=12
+    # merge of halves (with overlap!) == sketch of the union
+    a = sketch.hll_build(df.filter(F.col("k") < "item3"), "k", p=12)
+    b = sketch.hll_build(df.filter(F.col("k") >= "item2"), "k", p=12)
+    merged = {r["bucket"]: r["rho"] for r in sketch.hll_merge(a, b).collect()}
+    full = {r["bucket"]: r["rho"] for r in sk.collect()}
+    assert merged == full
+
+
+def test_hll_small_range_and_errors(spark):
+    df = spark.createDataFrame([(f"x{i}",) for i in range(30)], "k string")
+    est = sketch.hll_estimate(sketch.hll_build(df, "k", p=12), p=12)
+    assert abs(est - 30) < 3  # linear counting regime is near-exact
+    with pytest.raises(ValueError, match="p must be"):
+        sketch.hll_build(df, "k", p=2)
+    with pytest.raises(ValueError):
+        sketch.hll_merge()
