@@ -1,10 +1,12 @@
 """Whole-graph analytics over the (vertices, edges) DataFrames:
-degree statistics and PageRank.
+degree statistics, PageRank (uniform and personalized), label
+propagation, and triangle counting.
 
 The reference engine stops at traversal (its ``gripql`` surface has no
 global-analytics verbs), but a corpus pipeline needs them: PageRank
 over a host/link graph is the classic web-corpus quality prior
-(Common Crawl host ranks, OpenWebText's upvote analog), and degree
+(Common Crawl host ranks, OpenWebText's upvote analog), personalized
+PageRank is the curated-seed trust propagation (TrustRank), and degree
 stats drive supernode detection before traversal-heavy jobs.
 
 Scale shape (shared with the Pregel loops in ``dedup.connected_components``
@@ -12,19 +14,37 @@ and the jump-loop BFS):
 
 - ``degree_stats`` is one union + one map-side-combined aggregate over
   (id) keys — edge payloads never travel.
-- ``pagerank`` pre-joins each edge with its source's out-degree ONCE
-  (the per-iteration join then carries only ``(dst, contribution)``
-  doubles), keeps the rank table node-sized, checkpoints it per
-  iteration (reliable when ``session.enable_reliable_checkpoints`` has
-  set a dir, else local), and detects convergence exactly with an L1
-  delta on the already-tiny rank table.  Dangling mass (sink nodes) is
-  redistributed uniformly each round via one node-sized anti-join
-  aggregate, so ranks always sum to 1.
+- Both PageRank variants share one power-iteration core
+  (``_power_loop``): each edge is pre-joined with its source's
+  out-degree ONCE (iterations then ship only ``(dst, contribution)``
+  doubles), the rank table stays node-sized and is checkpointed per
+  round (reliable when ``session.enable_reliable_checkpoints`` has set
+  a dir, else local), dangling (sink) mass is re-injected via one
+  node-sized anti-join aggregate, and convergence is an exact L1
+  delta on the rank table.
+- ``label_propagation`` and ``triangle_count`` are documented at
+  their definitions; neither ever builds a cartesian product.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _checkpointer(spark):
+    """Per-round lineage cut: the RELIABLE checkpoint branch when a
+    durable dir is configured (session.enable_reliable_checkpoints),
+    else localCheckpoint — one definition for every loop here."""
+    use_reliable = spark.sparkContext.getCheckpointDir() is not None
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint(eager=True)
+            if use_reliable
+            else df.localCheckpoint(eager=True)
+        )
+
+    return _ckpt
 
 
 def degree_stats(
@@ -50,46 +70,13 @@ def degree_stats(
     )
 
 
-def pagerank(
-    edges: DataFrame,
-    vertices: DataFrame | None = None,
-    src_col: str = "src",
-    dst_col: str = "dst",
-    id_col: str = "gid",
-    damping: float = 0.85,
-    max_iterations: int = 40,
-    tol: float = 1e-9,
-    exact_iterations: int | None = None,
-) -> DataFrame:
-    """PageRank → ``(id, pagerank)`` with ranks summing to 1.
-
-    Standard power iteration (Page et al. 1999): ``r'(v) = (1-d)/N +
-    d * (Σ_{u→v} r(u)/outdeg(u) + dangling/N)`` — multigraph semantics
-    (parallel edges contribute once each), dangling (sink) mass spread
-    uniformly.  The node set is ``vertices[id_col]`` when given (so
-    isolated vertices share mass), else every id touching an edge.
-
-    Stops when the L1 rank change drops below ``tol`` (exact check on
-    the node-sized rank table) and raises if ``max_iterations`` can't
-    get there — a silently-unconverged rank would corrupt any quality
-    threshold derived from it.  Deterministic up to float addition
-    order (exact sums otherwise; the tests bound it at 1e-9).
-
-    ``exact_iterations`` runs exactly that many rounds with no
-    convergence check (and no per-round delta job) — the reproducible
-    fixed-step variant a cross-engine oracle can replicate by
-    unrolling the recurrence in SQL.
-    """
-    if not 0.0 < damping < 1.0:
-        raise ValueError(f"damping must be in (0,1), got {damping}")
-    spark = edges.sparkSession
-    use_reliable = spark.sparkContext.getCheckpointDir() is not None
-
-    def _ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if use_reliable else df.localCheckpoint(
-            eager=True
-        )
-
+def _node_edge_tables(edges, vertices, src_col, dst_col, id_col, _ckpt):
+    """Shared graph prep: normalized edge table + checkpointed node
+    table; with an explicit vertex set, edges touching outside ids are
+    dropped BEFORE out-degrees are counted — otherwise a src->outside
+    edge inflates outdeg(src) while its contribution vanishes and rank
+    mass silently leaks (GraphFrames makes the same edges-within-
+    vertices assumption; we enforce it)."""
     e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
     if vertices is not None:
         nodes = vertices.select(F.col(id_col).alias("id")).distinct()
@@ -101,19 +88,35 @@ def pagerank(
         )
     nodes = _ckpt(nodes)
     if vertices is not None:
-        # edges touching ids outside the vertex set are dropped BEFORE
-        # out-degrees are counted — otherwise a src->outside edge
-        # inflates outdeg(src) while its contribution vanishes, and
-        # total rank mass silently leaks below 1 (GraphFrames makes
-        # the same edges-within-vertices assumption; we enforce it)
-        e = (
-            e.join(nodes.select(F.col("id").alias("_src")), "_src", "left_semi")
-            .join(nodes.select(F.col("id").alias("_dst")), "_dst", "left_semi")
-        )
-    n = nodes.count()
-    if n == 0:
-        raise ValueError("pagerank: empty graph")
+        e = e.join(
+            nodes.select(F.col("id").alias("_src")), "_src", "left_semi"
+        ).join(nodes.select(F.col("id").alias("_dst")), "_dst", "left_semi")
+    return nodes, e
 
+
+def _power_loop(
+    nodes: DataFrame,
+    e: DataFrame,
+    init_expr,
+    base_expr_fn,
+    damping: float,
+    max_iterations: int,
+    tol: float,
+    exact_iterations: int | None,
+    _ckpt,
+    name: str,
+) -> DataFrame:
+    """The shared PageRank power-iteration core.  ``nodes`` may carry
+    extra columns (e.g. the seed indicator) that ``init_expr`` /
+    ``base_expr_fn(dangling)`` reference; they are preserved across
+    rounds and dropped by the callers.  ``base_expr_fn`` receives the
+    collected dangling mass each round and returns the teleport term
+    column — each variant keeps its exact float arithmetic."""
+    if exact_iterations is not None and exact_iterations < 0:
+        raise ValueError(f"exact_iterations must be >= 0, got {exact_iterations}")
+    if exact_iterations is None and max_iterations < 1:
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
+    extra = [c for c in nodes.columns if c != "id"]
     # out-degree join happens ONCE: iterations ship (dst, double) only
     outdeg = e.groupBy(F.col("_src").alias("id")).agg(
         F.count(F.lit(1)).alias("_deg")
@@ -123,11 +126,12 @@ def pagerank(
         .select(F.col("_src"), F.col("_dst"), (F.lit(1.0) / F.col("_deg")).alias("_w"))
         .persist()
     )
-    sinks = nodes.join(outdeg, "id", "left_anti").persist()
-
+    sinks = nodes.select("id").join(outdeg, "id", "left_anti").persist()
     try:
-        ranks = _ckpt(nodes.withColumn("pagerank", F.lit(1.0 / n)))
-        for _ in range(exact_iterations if exact_iterations is not None else max_iterations):
+        ranks = _ckpt(nodes.withColumn("pagerank", init_expr))
+        delta = float("inf")
+        rounds = exact_iterations if exact_iterations is not None else max_iterations
+        for _ in range(rounds):
             dangling = (
                 ranks.join(sinks, "id", "left_semi")
                 .agg(F.sum("pagerank"))
@@ -139,12 +143,13 @@ def pagerank(
                 .groupBy(F.col("_dst").alias("id"))
                 .agg(F.sum(F.col("pagerank") * F.col("_w")).alias("_c"))
             )
-            base = (1.0 - damping) / n + damping * dangling / n
             new = _ckpt(
                 nodes.join(contribs, "id", "left").select(
                     "id",
+                    *extra,
                     (
-                        F.lit(base) + F.lit(damping) * F.coalesce("_c", F.lit(0.0))
+                        base_expr_fn(dangling)
+                        + F.lit(damping) * F.coalesce("_c", F.lit(0.0))
                     ).alias("pagerank"),
                 )
             )
@@ -163,12 +168,70 @@ def pagerank(
         if exact_iterations is not None:
             return ranks
         raise RuntimeError(
-            f"pagerank did not converge in {max_iterations} iterations "
+            f"{name} did not converge in {max_iterations} iterations "
             f"(last L1 delta {delta:.3e}; raise max_iterations or tol)"
         )
     finally:
         wedges.unpersist()
         sinks.unpersist()
+
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "gid",
+    damping: float = 0.85,
+    max_iterations: int = 40,
+    tol: float = 1e-9,
+    exact_iterations: int | None = None,
+) -> DataFrame:
+    """PageRank → ``(id, pagerank)`` with ranks summing to 1.
+
+    Standard power iteration (Page et al. 1999): ``r'(v) = (1-d)/N +
+    d * (Σ_{u→v} r(u)/outdeg(u) + dangling/N)`` — multigraph semantics
+    (parallel edges contribute once each), dangling (sink) mass spread
+    uniformly.  The node set is ``vertices[id_col]`` when given (so
+    isolated vertices share mass; edges touching ids outside the set
+    are dropped — see ``_node_edge_tables``), else every id touching
+    an edge.
+
+    Stops when the L1 rank change drops below ``tol`` (exact check on
+    the node-sized rank table) and raises if ``max_iterations`` can't
+    get there — a silently-unconverged rank would corrupt any quality
+    threshold derived from it.  Deterministic up to float addition
+    order (exact sums otherwise; the tests bound it at 1e-9).
+
+    ``exact_iterations`` runs exactly that many rounds with no
+    convergence check (and no per-round delta job) — the reproducible
+    fixed-step variant a cross-engine oracle can replicate by
+    unrolling the recurrence in SQL.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    _ckpt = _checkpointer(edges.sparkSession)
+    nodes, e = _node_edge_tables(edges, vertices, src_col, dst_col, id_col, _ckpt)
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank: empty graph")
+
+    def base(dangling: float):
+        # python-side float math kept exactly as the SQL oracle unrolls it
+        return F.lit((1.0 - damping) / n + damping * dangling / n)
+
+    return _power_loop(
+        nodes,
+        e,
+        F.lit(1.0 / n),
+        base,
+        damping,
+        max_iterations,
+        tol,
+        exact_iterations,
+        _ckpt,
+        "pagerank",
+    )
 
 
 def personalized_pagerank(
@@ -191,38 +254,17 @@ def personalized_pagerank(
     at corpus scale: propagate quality from hand-audited domains
     over the link graph).
 
-    Same recurrence and scale shape as :func:`pagerank` (one
-    pre-weighted join + node-sized aggregates per round, checkpointed
-    rank table) with the base term ``(1-d) * 1[v in seeds]/|seeds|``
+    Same recurrence and scale shape as :func:`pagerank` (the shared
+    ``_power_loop``) with the base term ``(1-d) * 1[v ∈ seeds]/|seeds|``
     and dangling mass returned to the seed set.  Non-seed nodes
-    reachable only against edge direction converge to rank 0.
+    reachable only against edge direction converge to rank 0; total
+    mass stays 1.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0,1), got {damping}")
-    spark = edges.sparkSession
-    use_reliable = spark.sparkContext.getCheckpointDir() is not None
-
-    def _ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if use_reliable else df.localCheckpoint(
-            eager=True
-        )
-
-    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
-    if vertices is not None:
-        nodes = vertices.select(F.col(id_col).alias("id")).distinct()
-    else:
-        nodes = (
-            e.select(F.col("_src").alias("id"))
-            .unionByName(e.select(F.col("_dst").alias("id")))
-            .distinct()
-        )
-    nodes = _ckpt(nodes)
-    if vertices is not None:
-        e = (
-            e.join(nodes.select(F.col("id").alias("_src")), "_src", "left_semi")
-            .join(nodes.select(F.col("id").alias("_dst")), "_dst", "left_semi")
-        )
-    seed_ids = _ckpt(
+    _ckpt = _checkpointer(edges.sparkSession)
+    nodes, e = _node_edge_tables(edges, vertices, src_col, dst_col, id_col, _ckpt)
+    seed_ids = (
         seeds.select(F.col(seed_col).alias("id"))
         .distinct()
         .join(nodes, "id", "left_semi")
@@ -232,73 +274,29 @@ def personalized_pagerank(
         raise ValueError("personalized_pagerank: no seeds inside the vertex set")
     # seed indicator rides the node table once; rounds never re-join it
     nodes = _ckpt(
-        nodes.join(
-            seed_ids.withColumn("_seed", F.lit(True)), "id", "left"
-        ).select("id", F.coalesce("_seed", F.lit(False)).alias("_seed"))
+        nodes.join(seed_ids.withColumn("_seed", F.lit(True)), "id", "left").select(
+            "id", F.coalesce("_seed", F.lit(False)).alias("_seed")
+        )
     )
 
-    outdeg = e.groupBy(F.col("_src").alias("id")).agg(F.count(F.lit(1)).alias("_deg"))
-    wedges = (
-        e.join(outdeg, e["_src"] == outdeg["id"])
-        .select(F.col("_src"), F.col("_dst"), (F.lit(1.0) / F.col("_deg")).alias("_w"))
-        .persist()
-    )
-    sinks = nodes.select("id").join(outdeg, "id", "left_anti").persist()
+    def base(dangling: float):
+        seed_base = (1.0 - damping) / n_seeds + damping * dangling / n_seeds
+        return F.when(F.col("_seed"), F.lit(seed_base)).otherwise(F.lit(0.0))
 
-    try:
-        ranks = _ckpt(
-            nodes.select(
-                "id",
-                "_seed",
-                F.when(F.col("_seed"), F.lit(1.0 / n_seeds))
-                .otherwise(F.lit(0.0))
-                .alias("pagerank"),
-            )
-        )
-        for _ in range(exact_iterations if exact_iterations is not None else max_iterations):
-            dangling = (
-                ranks.join(sinks, "id", "left_semi")
-                .agg(F.sum("pagerank"))
-                .first()[0]
-                or 0.0
-            )
-            contribs = (
-                wedges.join(ranks, wedges["_src"] == ranks["id"])
-                .groupBy(F.col("_dst").alias("id"))
-                .agg(F.sum(F.col("pagerank") * F.col("_w")).alias("_c"))
-            )
-            seed_base = (1.0 - damping) / n_seeds + damping * dangling / n_seeds
-            new = _ckpt(
-                nodes.join(contribs, "id", "left").select(
-                    "id",
-                    "_seed",
-                    (
-                        F.when(F.col("_seed"), F.lit(seed_base)).otherwise(F.lit(0.0))
-                        + F.lit(damping) * F.coalesce("_c", F.lit(0.0))
-                    ).alias("pagerank"),
-                )
-            )
-            if exact_iterations is not None:
-                ranks = new
-                continue
-            delta = (
-                new.alias("n")
-                .join(ranks.alias("o"), "id")
-                .agg(F.sum(F.abs(F.col("n.pagerank") - F.col("o.pagerank"))))
-                .first()[0]
-            )
-            ranks = new
-            if delta < tol:
-                return ranks.select("id", "pagerank")
-        if exact_iterations is not None:
-            return ranks.select("id", "pagerank")
-        raise RuntimeError(
-            f"personalized_pagerank did not converge in {max_iterations} "
-            f"iterations (last L1 delta {delta:.3e})"
-        )
-    finally:
-        wedges.unpersist()
-        sinks.unpersist()
+    init = F.when(F.col("_seed"), F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0))
+    out = _power_loop(
+        nodes,
+        e,
+        init,
+        base,
+        damping,
+        max_iterations,
+        tol,
+        exact_iterations,
+        _ckpt,
+        "personalized_pagerank",
+    )
+    return out.select("id", "pagerank")
 
 
 def label_propagation(
@@ -313,12 +311,12 @@ def label_propagation(
     Each round every node adopts the most frequent label among its
     neighbors (ties → smallest label; the symmetric edge list means
     every node has at least one neighbor vote).  Deterministic:
-    synchronous updates + ordered
-    tie-breaks, so the result is a pure function of the graph —
-    unlike the reference algorithm's random visit order.  Runs a
-    fixed ``max_iterations`` rounds (synchronous LPA on bipartite-ish
-    structures can oscillate rather than converge — the standard cap;
-    labels after round k reflect k-hop structure, which is what the
+    synchronous updates + ordered tie-breaks, so the result is a pure
+    function of the graph — unlike the reference algorithm's random
+    visit order.  Runs a fixed ``max_iterations`` rounds with early
+    stop on no change (synchronous LPA on bipartite-ish structures
+    can oscillate rather than converge — the standard cap; labels
+    after round k reflect k-hop structure, which is what the
     near-dup-cluster and host-grouping uses need).
 
     Scale shape per round: one equi-join (labels × symmetric edges),
@@ -328,14 +326,7 @@ def label_propagation(
     when exact components (not densely-linked communities) are the
     goal.
     """
-    spark = edges.sparkSession
-    use_reliable = spark.sparkContext.getCheckpointDir() is not None
-
-    def _ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint(eager=True) if use_reliable else df.localCheckpoint(
-            eager=True
-        )
-
+    _ckpt = _checkpointer(edges.sparkSession)
     p = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     sym = p.unionByName(
         p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -384,7 +375,9 @@ def triangle_count(
     (direction, parallel edges, and self-loops are collapsed/dropped
     first) → ``(id, triangles)`` for every node in at least one
     triangle — the clustering-coefficient numerator, the classic
-    spam/community signal on link graphs.
+    spam/community signal on link graphs.  The id column keeps the
+    input's type (no casts — the output unions/joins cleanly with
+    :func:`degree_stats` / :func:`pagerank` on the same edges).
 
     Degree-ordered enumeration (the MapReduce-classic trick: Suri &
     Vassilvitskii, WWW 2011): orient each edge from the
@@ -401,11 +394,9 @@ def triangle_count(
     never a cartesian.
     """
     # canonical simple edges: unordered pair (a < b), self-loops out
-    a, b = F.col(src_col).cast("string"), F.col(dst_col).cast("string")
+    a, b = F.col(src_col), F.col(dst_col)
     canon = (
-        edges.select(
-            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
-        )
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
@@ -417,15 +408,25 @@ def triangle_count(
         .agg(F.count(F.lit(1)).alias("_d"))
     )
     # orient by (degree, id) rank; carry the dst rank for wedge order
-    da = deg.select(F.col("id").alias("a"), F.struct(F.col("_d"), F.col("id")).alias("_ra"))
-    db = deg.select(F.col("id").alias("b"), F.struct(F.col("_d"), F.col("id")).alias("_rb"))
+    da = deg.select(
+        F.col("id").alias("a"), F.struct(F.col("_d"), F.col("id")).alias("_ra")
+    )
+    db = deg.select(
+        F.col("id").alias("b"), F.struct(F.col("_d"), F.col("id")).alias("_rb")
+    )
     oriented = (
         canon.join(da, "a")
         .join(db, "b")
         .select(
-            F.when(F.col("_ra") < F.col("_rb"), F.col("a")).otherwise(F.col("b")).alias("lo"),
-            F.when(F.col("_ra") < F.col("_rb"), F.col("b")).otherwise(F.col("a")).alias("hi"),
-            F.when(F.col("_ra") < F.col("_rb"), F.col("_rb")).otherwise(F.col("_ra")).alias("_rhi"),
+            F.when(F.col("_ra") < F.col("_rb"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("lo"),
+            F.when(F.col("_ra") < F.col("_rb"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("hi"),
+            F.when(F.col("_ra") < F.col("_rb"), F.col("_rb"))
+            .otherwise(F.col("_ra"))
+            .alias("_rhi"),
         )
         .localCheckpoint(eager=True)
     )

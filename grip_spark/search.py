@@ -80,11 +80,18 @@ def bm25_index(
     return Bm25Index(postings, terms, n_docs, float(stats["avgdl"]))
 
 
+_JAVA_WS = "\t\n\x0b\f\r "  # Java regex \s is ASCII-only
+
+
 def query_tokens(query: str) -> list[str]:
     """Driver-side replica of the index tokenizer for query strings:
-    lower-cased whitespace split, distinct, original order."""
+    lower-cased whitespace split, distinct, original order.  Split on
+    the ASCII whitespace class only — Python's ``\\s`` matches Unicode
+    whitespace (U+00A0, U+3000, ...) but the JVM ``\\s+`` inside
+    ``text.tokens`` does not, and a divergence here would make a
+    query silently miss documents that contain it verbatim."""
     seen = []
-    for t in re.split(r"\s+", query.strip().lower()):
+    for t in re.split(f"[{_JAVA_WS}]+", query.strip(_JAVA_WS).lower()):
         if t and t not in seen:
             seen.append(t)
     return seen
@@ -139,9 +146,12 @@ def bm25_save(index: Bm25Index, path: str, n_buckets: int = 64) -> None:
 
     spark = index.postings.sparkSession
     bucket = F.pmod(F.xxhash64("token"), F.lit(n_buckets)).alias("bucket")
-    index.postings.select("*", bucket).write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(path.rstrip("/") + "/postings")
+    # select the canonical columns explicitly: a LOADED index's
+    # postings already carry a bucket column, and "*" would duplicate
+    # it and make partitionBy ambiguous on re-save
+    index.postings.select("token", "id", "tf", "dl", bucket).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path.rstrip("/") + "/postings")
     index.terms.write.mode("overwrite").parquet(path.rstrip("/") + "/terms")
     meta = json.dumps(
         {"n_docs": index.n_docs, "avgdl": index.avgdl, "n_buckets": n_buckets}
@@ -189,14 +199,12 @@ def bm25_topk_pruned(
     terms = query_tokens(query)
     if not terms:
         raise ValueError("bm25_topk: empty query")
-    # xxhash64 of a string literal matches the column hash — compute
-    # the buckets with one tiny local query instead of reimplementing
-    # xxhash64 driver-side
-    spark = index.postings.sparkSession
-    rows = spark.createDataFrame([(t,) for t in terms], "token string").select(
-        F.pmod(F.xxhash64("token"), F.lit(index.n_buckets)).alias("b")
-    ).collect()
-    buckets = sorted({r["b"] for r in rows})
+    # bucket computation stays on the driver: xxhash64_py is pinned
+    # bit-identical to F.xxhash64 (tests/test_sketch.py) and python %
+    # matches Spark pmod for negative hashes — no Spark job per query
+    from .dedup import xxhash64_py
+
+    buckets = sorted({xxhash64_py(t) % index.n_buckets for t in terms})
     pruned = Bm25Index(
         index.postings.filter(F.col("bucket").isin(buckets)),
         index.terms,
@@ -214,8 +222,11 @@ def bm25_merge(a: Bm25Index, b: Bm25Index) -> Bm25Index:
     table re-aggregates df_t (Zipf-bounded work); corpus scalars
     combine exactly (weighted mean).  Callers own the disjointness
     invariant (same id in both sides would double-count its postings
-    — checking would cost a full join, which defeats the point)."""
-    postings = a.postings.unionByName(b.postings)
+    — checking would cost a full join, which defeats the point).
+    Either side may be a loaded disk index (its extra ``bucket``
+    partition column is projected away before the union)."""
+    cols = ["token", "id", "tf", "dl"]
+    postings = a.postings.select(*cols).unionByName(b.postings.select(*cols))
     terms = (
         a.terms.unionByName(b.terms)
         .groupBy("token")

@@ -1092,6 +1092,13 @@ def pca_train(
             X = _np.array([list(v) for v in pdf[pdf.columns[0]]], dtype=_np.float64)
             if X.ndim != 2:
                 raise ValueError("pca_train: ragged embedding widths in corpus")
+            if _np.isnan(X).any():
+                # a null ELEMENT inside a vector arrives as NaN through
+                # Arrow and would silently poison every moment — raise
+                # with a pointer to the data bug instead
+                raise ValueError(
+                    "pca_train: NULL/NaN element inside a vector (filter first)"
+                )
             if dim is None:
                 dim = X.shape[1]
                 s = _np.zeros(dim)

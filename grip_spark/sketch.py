@@ -183,7 +183,11 @@ def hll_build(
     The 64-bit hash splits top-p bits → bucket, and rho = 1 +
     leading-zero count of the remaining bits (capped at 64-p+1 when
     they are all zero) — computed with bin/lpad/instr string
-    expressions, JVM-side.
+    expressions, JVM-side.  ``p`` rides every row as a column so
+    :func:`hll_merge`/:func:`hll_estimate` can refuse a precision
+    mismatch instead of silently answering wrong (a p=14 sketch
+    estimated "at p=12" would drop registers; the column costs
+    nothing after parquet RLE).
     """
     if not 4 <= p <= 18:
         raise ValueError(f"p must be in [4, 18], got {p}")
@@ -199,29 +203,51 @@ def hll_build(
         .select(bucket.alias("bucket"), rho.alias("rho"))
         .groupBy("bucket")
         .agg(F.max("rho").alias("rho"))
+        .withColumn("p", F.lit(p))
     )
 
 
 def hll_merge(*sketches: DataFrame) -> DataFrame:
-    """Register-wise max — exactly the sketch of the input union
-    (valid for same (p, salt))."""
+    """Register-wise max — exactly the sketch of the input union.
+    Refuses sketches built at different precisions (the carried ``p``
+    column must agree; same salt is the caller's contract — two salts
+    are two independent hash spaces and cannot be detected here)."""
     if not sketches:
         raise ValueError("hll_merge: need at least one sketch")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    ps = [r["p"] for r in out.select("p").distinct().collect()]
+    if len(ps) > 1:
+        raise ValueError(f"hll_merge: mixed precisions {sorted(ps)}")
+    return out.groupBy("bucket", "p").agg(F.max("rho").alias("rho")).select(
+        "bucket", "rho", "p"
+    )
 
 
-def hll_estimate(sketch: DataFrame, p: int = 12) -> float:
+def hll_estimate(sketch: DataFrame, p: int | None = None) -> float:
     """Cardinality estimate from a register table (collects ≤ 2^p
     rows).  Standard HLL bias-corrected harmonic mean with the
     linear-counting small-range correction; the large-range 64-bit
-    correction is unnecessary (hash space 2^64)."""
+    correction is unnecessary (hash space 2^64).  ``p`` is read from
+    the sketch's own rows; passing it explicitly cross-checks and
+    raises on mismatch."""
     import math as _m
 
+    rows = sketch.collect()
+    if not rows:
+        raise ValueError("hll_estimate: empty sketch (no registers)")
+    built = {r["p"] for r in rows}
+    if len(built) > 1:
+        raise ValueError(f"hll_estimate: mixed precisions {sorted(built)}")
+    built_p = built.pop()
+    if p is not None and p != built_p:
+        raise ValueError(
+            f"hll_estimate: sketch was built at p={built_p}, not p={p}"
+        )
+    p = built_p
     m = 1 << p
-    regs = {r["bucket"]: r["rho"] for r in sketch.collect()}
+    regs = {r["bucket"]: r["rho"] for r in rows}
     if p == 4:
         alpha = 0.673
     elif p == 5:

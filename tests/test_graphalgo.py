@@ -317,3 +317,11 @@ def test_triangle_count_triangle_free(spark):
     edges = [(f"l{i}", f"r{j}") for i in range(3) for j in range(3)]
     e = spark.createDataFrame(edges, "src string, dst string")
     assert graphalgo.triangle_count(e).count() == 0
+
+
+def test_pagerank_iteration_validation(spark, digraph):
+    _, _, v, e = digraph
+    with pytest.raises(ValueError, match="max_iterations"):
+        graphalgo.pagerank(e, vertices=v, max_iterations=0)
+    with pytest.raises(ValueError, match="exact_iterations"):
+        graphalgo.pagerank(e, vertices=v, exact_iterations=-1)

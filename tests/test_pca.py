@@ -158,3 +158,11 @@ def test_model_roundtrip(spark, anisotropic):
     back = similarity.PcaModel.from_dict(model.to_dict())
     assert back.components == model.components
     assert back.mean == model.mean
+
+
+def test_nan_element_raises(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, None])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="NULL/NaN element"):
+        similarity.pca_train(df, "embedding", k=1)

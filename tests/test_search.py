@@ -136,3 +136,32 @@ def test_merge_equals_full_index(spark):
         assert set(got) == set(want)
         for i in want:
             assert abs(got[i] - want[i]) < 1e-12
+
+
+def test_merge_with_loaded_disk_index(spark, index, tmp_path):
+    """Incremental flow from the docstring: yesterday's index loaded
+    from disk (bucket column present) merges with a fresh one, and the
+    merged result re-saves without a duplicate-column error."""
+    path = str(tmp_path / "bm25_day1")
+    search.bm25_save(index, path, n_buckets=8)
+    loaded = search.bm25_load(spark, path)
+    new_docs = spark.createDataFrame(
+        [(100, "quick quick fox again"), (101, "entirely new words")],
+        "doc_id long, text string",
+    )
+    merged = search.bm25_merge(loaded, search.bm25_index(new_docs, "doc_id", "text"))
+    assert merged.n_docs == index.n_docs + 2
+    got = {r["id"] for r in search.bm25_topk(merged, "quick", k=10).collect()}
+    assert 100 in got and 4 in got
+    # and the merged index persists again cleanly
+    search.bm25_save(merged, str(tmp_path / "bm25_day2"), n_buckets=8)
+
+
+def test_query_tokenizer_matches_jvm_on_unicode_ws(spark):
+    """U+00A0 is NOT whitespace to the JVM tokenizer; the query
+    tokenizer must agree or verbatim queries silently miss."""
+    token = "café menu"
+    df = spark.createDataFrame([(0, f"intro {token} outro")], "doc_id long, text string")
+    idx = search.bm25_index(df, "doc_id", "text")
+    assert search.query_tokens(token) == [token]
+    assert search.bm25_topk(idx, token, k=5).count() == 1

@@ -187,3 +187,22 @@ def test_hll_small_range_and_errors(spark):
         sketch.hll_build(df, "k", p=2)
     with pytest.raises(ValueError):
         sketch.hll_merge()
+
+
+def test_hll_p_mismatch_raises(spark):
+    """The carried p column makes precision mismatches loud in both
+    directions, and mixed-precision merges refuse."""
+    df = spark.createDataFrame([(f"m{i}",) for i in range(500)], "k string")
+    big = sketch.hll_build(df, "k", p=14)
+    small = sketch.hll_build(df, "k", p=4)
+    with pytest.raises(ValueError, match="built at p=14"):
+        sketch.hll_estimate(big, p=12)
+    with pytest.raises(ValueError, match="built at p=4"):
+        sketch.hll_estimate(small, p=14)
+    with pytest.raises(ValueError, match="mixed precisions"):
+        sketch.hll_merge(big, small).count()
+    with pytest.raises(ValueError, match="empty sketch"):
+        sketch.hll_estimate(sketch.hll_build(df.filter("k = 'nope'"), "k", p=12))
+    # p inferred from the sketch itself when not passed
+    est = sketch.hll_estimate(sketch.hll_build(df, "k", p=12))
+    assert abs(est - 500) / 500 < 0.1
