@@ -444,3 +444,95 @@ def triangle_count(
     )
     corners = tris.select(F.explode(F.array("u", "v", "w")).alias("id"))
     return corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def random_walks(
+    edges: DataFrame,
+    length: int = 5,
+    walks_per_node: int = 1,
+    salt: str = "walk",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic uniform random walks → ``(walk_id, start, path)``
+    (``path`` is an array of node ids, ``length+1`` long including the
+    start; walks stop early at sink nodes) — the DeepWalk/node2vec
+    corpus stage: walk sequences feed a skip-gram trainer exactly like
+    text feeds word2vec (Perozzi et al., KDD 2014).
+
+    Every step choice is a pure function of ``(salt, walk_id, step,
+    neighbor)``: at each step the walker moves to the neighbor whose
+    ``xxhash64`` of that tuple is smallest.  Uniform over neighbors
+    (hash-min over i.i.d. hashes), reproducible across runs,
+    partitionings, and engines — a new salt is a fresh walk sample,
+    the :mod:`grip_spark.sampling` determinism contract applied to
+    graphs.  Parallel edges do NOT bias the choice (the hash depends
+    on the neighbor id, so duplicates collapse — simple-graph
+    semantics per step).
+
+    Scale shape: one equi-join (frontier x edges on the current node)
+    + one min-struct aggregate per step — frontier is (walks)-sized
+    rows of (ids, array), edges ship only (src, dst); the frontier is
+    checkpointed per step (the shared Pregel discipline).
+    Sink-stranded walks leave the frontier (their rows are final), so
+    late steps touch only live walkers.
+    """
+    if length < 1:
+        raise ValueError(f"length must be >= 1, got {length}")
+    if walks_per_node < 1:
+        raise ValueError(f"walks_per_node must be >= 1, got {walks_per_node}")
+    _ckpt = _checkpointer(edges.sparkSession)
+    e = edges.select(
+        F.col(src_col).cast("string").alias("_src"),
+        F.col(dst_col).cast("string").alias("_dst"),
+    ).persist()
+    starts = e.select(F.col("_src").alias("start")).distinct()
+    walkers = starts.select(
+        "start",
+        F.explode(F.array(*[F.lit(i) for i in range(walks_per_node)])).alias("_i"),
+    ).select(
+        F.concat(F.col("start"), F.lit("#"), F.col("_i").cast("string")).alias(
+            "walk_id"
+        ),
+        "start",
+        F.array(F.col("start")).alias("path"),
+        F.col("start").alias("_cur"),
+    )
+    done = None
+    frontier = _ckpt(walkers)
+    try:
+        for step in range(1, length + 1):
+            hop = frontier.join(e, frontier["_cur"] == e["_src"], "left")
+            pick = F.struct(
+                F.xxhash64(
+                    F.concat_ws(
+                        " ",
+                        F.lit(salt),
+                        F.col("walk_id"),
+                        F.lit(str(step)),
+                        F.col("_dst"),
+                    )
+                ).alias("h"),
+                F.col("_dst").alias("d"),
+            )
+            stepped = hop.groupBy("walk_id", "start", "path").agg(
+                F.min(F.when(F.col("_dst").isNotNull(), pick)).alias("_pick")
+            )
+            finished = stepped.filter(F.col("_pick").isNull()).select(
+                "walk_id", "start", "path"
+            )
+            done = finished if done is None else done.unionByName(finished)
+            frontier = _ckpt(
+                stepped.filter(F.col("_pick").isNotNull()).select(
+                    "walk_id",
+                    "start",
+                    F.concat(F.col("path"), F.array(F.col("_pick.d"))).alias("path"),
+                    F.col("_pick.d").alias("_cur"),
+                )
+            )
+        out = frontier.select("walk_id", "start", "path")
+        if done is not None:
+            out = out.unionByName(done)
+        return out
+    finally:
+        e.unpersist()

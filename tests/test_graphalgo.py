@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from grip_spark import graphalgo
+from grip_spark.dedup import xxhash64_py
 
 
 def _py_pagerank(nodes, edges, d=0.85, iters=200, tol=1e-12):
@@ -325,3 +326,66 @@ def test_pagerank_iteration_validation(spark, digraph):
         graphalgo.pagerank(e, vertices=v, max_iterations=0)
     with pytest.raises(ValueError, match="exact_iterations"):
         graphalgo.pagerank(e, vertices=v, exact_iterations=-1)
+
+
+def test_random_walks_exact_replica(spark, digraph):
+    """Every step is a pure function of (salt, walk_id, step,
+    neighbor): replicate the hash-min choice in python and pin the
+    exact paths."""
+    nodes, edges, _, e = digraph
+    adj = {}
+    for s, t in edges:
+        adj.setdefault(s, set()).add(t)
+    got = {
+        r["walk_id"]: r["path"]
+        for r in graphalgo.random_walks(e, length=4, walks_per_node=2, salt="s1").collect()
+    }
+    assert set(got) == {f"{x}#{i}" for x in adj for i in (0, 1)}
+    for wid, path in got.items():
+        start = wid.rsplit("#", 1)[0]
+        assert path[0] == start
+        cur, expect = start, [start]
+        for step in range(1, 5):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            cur = min(nbrs, key=lambda d: (xxhash64_py(f"s1 {wid} {step} {d}"), d))
+            expect.append(cur)
+        assert path == expect, wid
+
+
+def test_random_walks_validity_and_determinism(spark, digraph):
+    _, edges, _, e = digraph
+    eset = set(edges)
+    a = {r["walk_id"]: r["path"] for r in graphalgo.random_walks(e, length=6).collect()}
+    b = {r["walk_id"]: r["path"] for r in graphalgo.random_walks(e, length=6).collect()}
+    assert a == b  # reproducible
+    for path in a.values():
+        for u, v in zip(path, path[1:]):
+            assert (u, v) in eset
+    c = {r["walk_id"]: r["path"] for r in graphalgo.random_walks(e, length=6, salt="other").collect()}
+    assert c != a  # a new salt is a fresh sample
+
+
+def test_random_walks_uniform_over_neighbors(spark):
+    """Hub with 4 spokes: first-step choice spreads ~uniformly across
+    many walks (hash-min over iid hashes)."""
+    e = spark.createDataFrame(
+        [("hub", f"s{i}") for i in range(4)] * 2,  # parallel edges collapse
+        "src string, dst string",
+    )
+    walks = graphalgo.random_walks(e, length=1, walks_per_node=400).collect()
+    counts = {}
+    for r in walks:
+        counts[r["path"][1]] = counts.get(r["path"][1], 0) + 1
+    assert set(counts) == {f"s{i}" for i in range(4)}
+    for n in counts.values():
+        assert 60 < n < 140  # 100 expected, generous 4-sigma band
+
+
+def test_random_walks_errors(spark, digraph):
+    _, _, _, e = digraph
+    with pytest.raises(ValueError, match="length"):
+        graphalgo.random_walks(e, length=0)
+    with pytest.raises(ValueError, match="walks_per_node"):
+        graphalgo.random_walks(e, walks_per_node=0)
