@@ -206,3 +206,38 @@ def test_hll_p_mismatch_raises(spark):
     # p inferred from the sketch itself when not passed
     est = sketch.hll_estimate(sketch.hll_build(df, "k", p=12))
     assert abs(est - 500) / 500 < 0.1
+
+
+def test_cm_incremental_over_stream(spark, tmp_path_factory, corpus):
+    """The incremental-ingest story on a real stream: per-micro-batch
+    sketches folded with exact merges equal the one-shot batch sketch
+    (foreachBatch + cm_merge semantics, accumulated driver-side)."""
+    import json as _json
+
+    d = tmp_path_factory.mktemp("cm_stream")
+    third = len(corpus) // 3
+    chunks = [corpus[:third], corpus[third : 2 * third], corpus[2 * third :]]
+    for part, chunk in enumerate(chunks):
+        with open(d / f"p{part}.json", "w") as f:
+            for k in chunk:
+                f.write(_json.dumps({"k": k}) + "\n")
+
+    acc = {}
+
+    def fold(batch_df, _epoch):
+        for (rb, n) in sketch.to_local(
+            sketch.cm_build(batch_df, "k", width=W, depth=D, salt=SALT)
+        ).items():
+            acc[rb] = acc.get(rb, 0) + n
+
+    stream = spark.readStream.schema("k string").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(d))
+    q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    batch = sketch.to_local(
+        sketch.cm_build(
+            spark.read.schema("k string").json(str(d)), "k", width=W, depth=D, salt=SALT
+        )
+    )
+    assert acc == batch
