@@ -262,3 +262,135 @@ def hll_estimate(sketch: DataFrame, p: int | None = None) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * _m.log(m / zeros)
     return est
+
+
+# ---------------------------------------------------------------------------
+# t-digest — mergeable quantiles
+# ---------------------------------------------------------------------------
+
+
+def _td_merge_centroids(pairs, delta):
+    """Dunning's merging compression over (mean, weight) pairs sorted
+    by mean → centroid list whose sizes respect the k1 scale function
+    k(q) = (delta / 2π) · asin(2q − 1): clusters near the median may
+    grow large, clusters at the tails stay tiny — that is where the
+    constant relative rank accuracy at extreme quantiles comes from."""
+    import math as _m
+
+    if not pairs:
+        return []
+    total = float(sum(w for _, w in pairs))
+
+    def k(q):
+        return delta / (2 * _m.pi) * _m.asin(max(-1.0, min(1.0, 2 * q - 1)))
+
+    out = []
+    cur_m, cur_w = pairs[0]
+    seen = 0.0  # weight fully emitted before the current cluster
+    for m, w in pairs[1:]:
+        q0 = seen / total
+        q2 = (seen + cur_w + w) / total
+        if k(q2) - k(q0) <= 1.0:
+            # weighted mean update keeps the cluster's centroid exact
+            cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+            cur_w += w
+        else:
+            out.append((cur_m, cur_w))
+            seen += cur_w
+            cur_m, cur_w = m, w
+    out.append((cur_m, cur_w))
+    return out
+
+
+def td_build(
+    df: DataFrame,
+    value_col: str,
+    delta: int = 100,
+) -> list:
+    """t-digest (Dunning & Ertl 2019) of a numeric column → a driver
+    list of ``(mean, weight)`` centroids (≤ ~delta entries; JSON-
+    serializable, the sketch's persisted form).
+
+    The third member of the mergeable-sketch family: Count-Min answers
+    frequency, HLL answers cardinality, this answers QUANTILES across
+    corpus builds without keeping the data — and unlike
+    ``percentile_approx`` the state is plain data any engine can
+    store, ship, and :func:`td_merge`.
+
+    Scale shape: one Arrow-batched pass folds each PARTITION into ≤
+    ~delta centroids (sort + greedy merge, the only Python); the
+    per-partition lists (parts × delta rows of two doubles) collect to
+    the driver for a final compression — bounded by partitions, never
+    corpus size.  Honesty note, unlike the exact-merge sketches: a
+    t-digest's REPRESENTATION depends on partitioning and merge order
+    (the algorithm is not associative); its rank-ACCURACY bound
+    (~1/delta relative rank error, tighter at the tails) holds
+    regardless, and the tests pin accuracy, not representation.
+    NULLs/NaNs are skipped.
+    """
+    if delta < 10:
+        raise ValueError(f"delta must be >= 10, got {delta}")
+
+    def _partials(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        vals = []
+        for pdf in batches:
+            v = _pd.to_numeric(pdf[pdf.columns[0]], errors="coerce").to_numpy(
+                dtype="float64"
+            )
+            vals.append(v[~_np.isnan(v)])
+        if not vals:
+            return
+        v = _np.concatenate(vals)
+        if v.size == 0:
+            return
+        v.sort(kind="stable")
+        cents = _td_merge_centroids([(float(x), 1.0) for x in v], delta)
+        yield _pd.DataFrame(
+            {"mean": [m for m, _ in cents], "weight": [w for _, w in cents]}
+        )
+
+    rows = (
+        df.select(F.col(value_col).cast("double"))
+        .mapInPandas(_partials, schema="mean double, weight double")
+        .collect()
+    )
+    pairs = sorted((r["mean"], r["weight"]) for r in rows)
+    return _td_merge_centroids(pairs, delta)
+
+
+def td_merge(*digests: list, delta: int = 100) -> list:
+    """Merge digests (e.g. one per day/shard) into one — concatenate,
+    sort by mean, re-compress.  Rank-accuracy bound is preserved."""
+    pairs = sorted(p for d in digests for p in d)
+    return _td_merge_centroids(pairs, delta)
+
+
+def td_quantile(digest: list, q: float) -> float:
+    """Quantile estimate from a digest: piecewise-linear interpolation
+    over centroid midpoints (each centroid's mass centered at its
+    cumulative midpoint — the standard t-digest read-out)."""
+    if not digest:
+        raise ValueError("td_quantile: empty digest")
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0,1], got {q}")
+    total = sum(w for _, w in digest)
+    target = q * total
+    cum = 0.0
+    mids = []
+    for m, w in digest:
+        mids.append((cum + w / 2.0, m))
+        cum += w
+    if target <= mids[0][0]:
+        return digest[0][0]
+    if target >= mids[-1][0]:
+        return digest[-1][0]
+    for (c0, m0), (c1, m1) in zip(mids, mids[1:]):
+        if c0 <= target <= c1:
+            if c1 == c0:
+                return m1
+            t = (target - c0) / (c1 - c0)
+            return m0 + t * (m1 - m0)
+    return digest[-1][0]

@@ -241,3 +241,69 @@ def test_cm_incremental_over_stream(spark, tmp_path_factory, corpus):
         )
     )
     assert acc == batch
+
+
+def _ranks(sorted_vals, x):
+    import bisect
+
+    lo = bisect.bisect_left(sorted_vals, x) / len(sorted_vals)
+    hi = bisect.bisect_right(sorted_vals, x) / len(sorted_vals)
+    return lo, hi
+
+
+def test_tdigest_rank_accuracy(spark):
+    """Mixed distribution, 20k points: estimated quantiles land within
+    ~1% rank error (tighter at the tails by the k1 scale function)."""
+    rng = random.Random(11)
+    vals = (
+        [rng.gauss(0, 1) for _ in range(8000)]
+        + [rng.expovariate(0.5) + 5 for _ in range(8000)]
+        + [rng.uniform(-50, 50) for _ in range(4000)]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(7)
+    digest = sketch.td_build(df, "x", delta=100)
+    assert len(digest) <= 200
+    svals = sorted(vals)
+    for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = sketch.td_quantile(digest, q)
+        lo, hi = _ranks(svals, est)
+        assert lo - 0.015 <= q <= hi + 0.015, (q, est, lo, hi)
+    # extremes: exact min/max centroids
+    assert sketch.td_quantile(digest, 0.0) <= svals[int(0.001 * len(svals))]
+    assert sketch.td_quantile(digest, 1.0) >= svals[-int(0.001 * len(svals)) - 1]
+
+
+def test_tdigest_merge_accuracy(spark):
+    """Per-day digests merged ≈ one digest over everything (accuracy
+    is the contract; representation is allowed to differ)."""
+    rng = random.Random(3)
+    days = [[rng.gauss(d, 2) for _ in range(5000)] for d in range(4)]
+    digests = [
+        sketch.td_build(
+            spark.createDataFrame([(v,) for v in day], "x double"), "x"
+        )
+        for day in days
+    ]
+    merged = sketch.td_merge(*digests)
+    allv = sorted(v for day in days for v in day)
+    for q in (0.05, 0.5, 0.95):
+        est = sketch.td_quantile(merged, q)
+        lo, hi = _ranks(allv, est)
+        assert lo - 0.02 <= q <= hi + 0.02, (q, est)
+    # total mass is conserved exactly through merges
+    assert abs(sum(w for _, w in merged) - len(allv)) < 1e-6
+
+
+def test_tdigest_nulls_and_errors(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (None,), (3.0,)], "x double"
+    )
+    digest = sketch.td_build(df, "x", delta=50)
+    assert abs(sum(w for _, w in digest) - 3) < 1e-9
+    assert abs(sketch.td_quantile(digest, 0.5) - 2.0) < 1e-9
+    with pytest.raises(ValueError, match="delta"):
+        sketch.td_build(df, "x", delta=5)
+    with pytest.raises(ValueError, match="empty digest"):
+        sketch.td_quantile([], 0.5)
+    with pytest.raises(ValueError, match="q must be"):
+        sketch.td_quantile(digest, 1.5)
