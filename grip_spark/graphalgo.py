@@ -536,3 +536,141 @@ def random_walks(
         return out
     finally:
         e.unpersist()
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    length: int = 5,
+    walks_per_node: int = 1,
+    p: float = 1.0,
+    q: float = 1.0,
+    salt: str = "n2v",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """node2vec biased random walks (Grover & Leskovec, KDD 2016) →
+    ``(walk_id, start, path)``: the next step from ``cur`` (having
+    come from ``prev``) weights each candidate neighbor ``1/p`` for
+    returning to ``prev``, ``1`` for a neighbor also reachable
+    directly from ``prev`` (directed edge prev→next), and ``1/q``
+    otherwise — low ``q`` explores (DFS-like, structural equivalence),
+    low ``p`` backtracks (BFS-like, homophily).  First step is
+    uniform (no ``prev`` yet); distinct-neighbor semantics.
+
+    Deterministic AND exactly replicable: the choice is cumulative-
+    threshold sampling — neighbors ordered by id, one ordered running
+    sum of weights, pick the first neighbor whose cumulative weight
+    crosses ``u × total`` where ``u`` derives from
+    ``xxhash64(salt, walk_id, step)`` via its top 53 bits.  No
+    transcendental functions, additions in a fixed order — a pure-
+    Python replica reproduces the paths bit-for-bit (test-pinned),
+    and a new salt is a fresh sample.
+
+    Scale shape per step: one equi-join (frontier × edges), one
+    distinct, one broadcast-free left-semi flag join against the
+    distinct edge set (the prev→next adjacency test), and one
+    window cumsum partitioned by walk — the window's partition key is
+    the walk id, so no global sort.  Frontier checkpointed per step.
+    """
+    from pyspark.sql import Window
+
+    if length < 1:
+        raise ValueError(f"length must be >= 1, got {length}")
+    if walks_per_node < 1:
+        raise ValueError(f"walks_per_node must be >= 1, got {walks_per_node}")
+    if p <= 0 or q <= 0:
+        raise ValueError(f"p and q must be > 0, got {p}, {q}")
+    _ckpt = _checkpointer(edges.sparkSession)
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("_src"),
+            F.col(dst_col).cast("string").alias("_dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    starts = e.select(F.col("_src").alias("start")).distinct()
+    frontier = _ckpt(
+        starts.select(
+            "start",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(walks_per_node)])
+            ).alias("_i"),
+        ).select(
+            F.concat(F.col("start"), F.lit("#"), F.col("_i").cast("string")).alias(
+                "walk_id"
+            ),
+            "start",
+            F.array(F.col("start")).alias("path"),
+            F.lit(None).cast("string").alias("_prev"),
+            F.col("start").alias("_cur"),
+        )
+    )
+    done = None
+    flag_edges = e.select(
+        F.col("_src").alias("_prev"), F.col("_dst").alias("_next"),
+        F.lit(True).alias("_adj"),
+    )
+    try:
+        for step in range(1, length + 1):
+            cand = (
+                frontier.join(e, frontier["_cur"] == e["_src"], "left")
+                .select(
+                    "walk_id", "start", "path", "_prev", "_cur",
+                    F.col("_dst").alias("_next"),
+                )
+            )
+            stranded = cand.filter(F.col("_next").isNull()).select(
+                "walk_id", "start", "path"
+            )
+            done = stranded if done is None else done.unionByName(stranded)
+            live = cand.filter(F.col("_next").isNotNull()).join(
+                flag_edges, ["_prev", "_next"], "left"
+            )
+            w = (
+                F.when(F.col("_prev").isNull(), F.lit(1.0))
+                .when(F.col("_next") == F.col("_prev"), F.lit(1.0 / p))
+                .when(F.coalesce(F.col("_adj"), F.lit(False)), F.lit(1.0))
+                .otherwise(F.lit(1.0 / q))
+            )
+            u = (
+                (
+                    F.shiftrightunsigned(
+                        F.xxhash64(
+                            F.concat_ws(
+                                " ", F.lit(salt), F.col("walk_id"), F.lit(str(step))
+                            )
+                        ),
+                        11,
+                    ).cast("double")
+                    + F.lit(0.5)
+                )
+                / F.lit(float(1 << 53))
+            )
+            win = Window.partitionBy("walk_id").orderBy("_next")
+            full = Window.partitionBy("walk_id")
+            scored = live.select(
+                "walk_id", "start", "path", "_next",
+                F.sum(w).over(win).alias("_cw"),
+                u.alias("_u"),
+            ).withColumn("_total", F.max("_cw").over(full))
+            picked = (
+                scored.filter(F.col("_cw") >= F.col("_u") * F.col("_total"))
+                .groupBy("walk_id", "start", "path")
+                .agg(F.min("_next").alias("_next"))
+            )
+            frontier = _ckpt(
+                picked.select(
+                    "walk_id",
+                    "start",
+                    F.concat(F.col("path"), F.array(F.col("_next"))).alias("path"),
+                    F.element_at(F.col("path"), -1).alias("_prev"),
+                    F.col("_next").alias("_cur"),
+                )
+            )
+        out = frontier.select("walk_id", "start", "path")
+        if done is not None:
+            out = out.unionByName(done)
+        return out
+    finally:
+        e.unpersist()

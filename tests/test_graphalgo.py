@@ -389,3 +389,92 @@ def test_random_walks_errors(spark, digraph):
         graphalgo.random_walks(e, length=0)
     with pytest.raises(ValueError, match="walks_per_node"):
         graphalgo.random_walks(e, walks_per_node=0)
+
+
+def _py_node2vec(edges, length, walks_per_node, p, q, salt):
+    """Bit-for-bit replica of node2vec_walks: distinct directed edges,
+    cumulative-threshold sampling with ordered float accumulation."""
+    M64 = (1 << 64) - 1
+    eset = set()
+    adj = {}
+    for s, t in edges:
+        if (s, t) not in eset:
+            eset.add((s, t))
+            adj.setdefault(s, []).append(t)
+    for k in adj:
+        adj[k].sort()
+    out = {}
+    for start in adj:
+        for i in range(walks_per_node):
+            wid = f"{start}#{i}"
+            path, prev, cur = [start], None, start
+            for step in range(1, length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                total = 0.0
+                cws = []
+                for nxt in nbrs:
+                    if prev is None:
+                        w = 1.0
+                    elif nxt == prev:
+                        w = 1.0 / p
+                    elif (prev, nxt) in eset:
+                        w = 1.0
+                    else:
+                        w = 1.0 / q
+                    total = total + w
+                    cws.append(total)
+                h = xxhash64_py(f"{salt} {wid} {step}") & M64
+                u = ((h >> 11) + 0.5) / float(1 << 53)
+                thresh = u * cws[-1]
+                nxt = next(n for n, cw in zip(nbrs, cws) if cw >= thresh)
+                path.append(nxt)
+                prev, cur = cur, nxt
+            out[wid] = path
+    return out
+
+
+def test_node2vec_exact_replica(spark, digraph):
+    _, edges, _, e = digraph
+    for p, q in ((1.0, 1.0), (0.25, 4.0), (4.0, 0.25)):
+        got = {
+            r["walk_id"]: r["path"]
+            for r in graphalgo.node2vec_walks(
+                e, length=4, walks_per_node=2, p=p, q=q, salt="nv"
+            ).collect()
+        }
+        expect = _py_node2vec(edges, 4, 2, p, q, "nv")
+        assert got == expect, (p, q)
+
+
+def test_node2vec_bias_direction(spark):
+    """Tiny p -> backtracking dominates; huge p + tiny q -> the walk
+    escapes outward.  Triangle-free 2-level tree makes it visible."""
+    edges = [("root", f"m{i}") for i in range(3)]
+    edges += [(f"m{i}", "root") for i in range(3)]
+    edges += [(f"m{i}", f"leaf{i}{j}") for i in range(3) for j in range(2)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+
+    def frac_backtrack(p, q):
+        walks = graphalgo.node2vec_walks(
+            e, length=2, walks_per_node=120, p=p, q=q, salt="b"
+        ).collect()
+        back = ok = 0
+        for r in walks:
+            if r["start"] == "root" and len(r["path"]) == 3:
+                ok += 1
+                if r["path"][2] == "root":
+                    back += 1
+        return back / ok
+
+    assert frac_backtrack(0.01, 1.0) > 0.8
+    assert frac_backtrack(100.0, 0.01) < 0.2
+
+
+def test_node2vec_errors(spark, digraph):
+    _, _, _, e = digraph
+    with pytest.raises(ValueError, match="p and q"):
+        graphalgo.node2vec_walks(e, p=0.0)
+    with pytest.raises(ValueError, match="length"):
+        graphalgo.node2vec_walks(e, length=0)
