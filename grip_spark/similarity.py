@@ -1193,3 +1193,54 @@ def pca_project(
             e = e / F.lit(math.sqrt(lam))
         outs.append(e)
     return df.withColumn(out_col, F.array(*outs))
+
+
+def word2vec_train(
+    df: DataFrame,
+    tokens_col: str,
+    dim: int = 32,
+    window: int = 5,
+    min_count: int = 2,
+    iterations: int = 1,
+    seed: int = 11,
+) -> DataFrame:
+    """Skip-gram embeddings over any token-sequence column → one
+    ``(word, vector array<double>)`` row per vocabulary word — the
+    distributed word2vec trainer (Mikolov 2013), wrapping Spark
+    MLlib's implementation the way :func:`ivf_index` wraps its
+    k-means (MLlib's hierarchical-softmax skip-gram IS the idiomatic
+    Spark trainer; re-deriving its hogwild partial-model averaging
+    adds nothing).
+
+    Closes the graph-embedding loop: feed
+    :func:`grip_spark.graphalgo.random_walks` /
+    :func:`node2vec_walks` ``path`` columns and node ids become the
+    vocabulary (DeepWalk/node2vec = walks + this); feed
+    ``text.tokens``/``bpe_segment`` output for word embeddings.  The
+    vector table joins straight into this module's consumers
+    (:func:`cosine_topk` / :func:`ann_index` / :func:`pca_train` /
+    :func:`semantic_dedup`).
+
+    Scale notes: MLlib broadcasts the model per iteration and
+    averages partition-local updates — model size is vocab × dim
+    floats, the binding memory constraint; cap the vocabulary with
+    ``min_count`` (Zipf makes this cheap) and keep ``dim`` modest.
+    Training is seeded but NOT bit-deterministic across
+    partitionings/thread schedules (unlike everything else in this
+    module — documented honestly); tests pin structure, not bits.
+    """
+    from pyspark.ml.feature import Word2Vec
+    from pyspark.ml.functions import vector_to_array
+
+    model = Word2Vec(
+        vectorSize=dim,
+        windowSize=window,
+        minCount=min_count,
+        maxIter=iterations,
+        seed=seed,
+        inputCol=tokens_col,
+        outputCol="_w2v",
+    ).fit(df.select(tokens_col))
+    return model.getVectors().select(
+        "word", vector_to_array(F.col("vector")).alias("vector")
+    )

@@ -1,0 +1,61 @@
+"""word2vec trainer wrapper + the walks→embeddings composition
+(DeepWalk end-to-end: graph → deterministic walks → skip-gram →
+similarity stack)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from grip_spark import graphalgo, similarity
+
+
+@pytest.fixture(scope="module")
+def two_cluster_graph(spark):
+    """Two dense 6-cliques bridged by one edge: walk co-occurrence
+    should embed same-clique nodes closer than cross-clique."""
+    def clique(prefix):
+        ids = [f"{prefix}{i}" for i in range(6)]
+        return [(a, b) for a in ids for b in ids if a != b]
+
+    edges = clique("a") + clique("b") + [("a0", "b0"), ("b0", "a0")]
+    return spark.createDataFrame(edges, "src string, dst string")
+
+
+def test_deepwalk_end_to_end(spark, two_cluster_graph):
+    walks = graphalgo.random_walks(
+        two_cluster_graph, length=8, walks_per_node=6, salt="dw"
+    )
+    vecs = similarity.word2vec_train(
+        walks, "path", dim=16, window=4, min_count=1, iterations=4
+    )
+    rows = {r["word"]: r["vector"] for r in vecs.collect()}
+    assert set(rows) == {f"a{i}" for i in range(6)} | {f"b{i}" for i in range(6)}
+    assert all(len(v) == 16 for v in rows.values())
+
+    def cos(u, v):
+        du = sum(x * y for x, y in zip(u, v))
+        nu = sum(x * x for x in u) ** 0.5
+        nv = sum(x * x for x in v) ** 0.5
+        return du / (nu * nv)
+
+    # average same-clique similarity beats cross-clique similarity
+    same, cross = [], []
+    names = sorted(rows)
+    for i, x in enumerate(names):
+        for y in names[i + 1 :]:
+            (same if x[0] == y[0] else cross).append(cos(rows[x], rows[y]))
+    assert sum(same) / len(same) > sum(cross) / len(cross)
+
+    # and the vector table feeds the similarity stack directly
+    emb = vecs.select(F.col("word").alias("vec_id"), F.col("vector").alias("embedding"))
+    top = similarity.cosine_topk(
+        emb.filter(F.col("vec_id") != "a1"), "embedding", rows["a1"], k=3, id_col="vec_id"
+    ).collect()
+    assert len(top) == 3
+
+
+def test_word2vec_min_count(spark):
+    docs = [(["common"] * 5 + ["rare"],)] * 4
+    df = spark.createDataFrame(docs, "toks array<string>")
+    vecs = similarity.word2vec_train(df, "toks", dim=4, min_count=5)
+    words = {r["word"] for r in vecs.collect()}
+    assert "common" in words and "rare" not in words
