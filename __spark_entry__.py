@@ -918,6 +918,53 @@ def q_render_ops(spark, sf_dir):
     return r.unionByName(s)
 
 
+def q_path_unwind(spark, sf_dir):
+    """path() length and unwind() in-place substitution as labeled
+    rows (the r5 fold that funded the random_walks slot)."""
+    paths = q_path_len(spark, sf_dir).select(
+        F.lit("path").alias("variant"),
+        F.lit(None).cast("string").alias("sval"),
+        F.col("path_len").cast("long").alias("ival"),
+    )
+    words = q_unwind_words(spark, sf_dir).select(
+        F.lit("unwind").alias("variant"),
+        F.col("word").alias("sval"),
+        F.lit(None).cast("long").alias("ival"),
+    )
+    return paths.unionByName(words)
+
+
+def q_random_walks(spark, sf_dir):
+    """Deterministic random walks over the customer→order→part graph,
+    md5-prefix step-hash family so DuckDB replicates the per-step
+    argmin choice — WHOLE 2-step walks value-checked (start, hop1,
+    hop2; order-start walks strand at parts, exercising the early-stop
+    path)."""
+    from grip_spark import graphalgo
+    from grip_spark.dedup import md5_prefix_hash
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = orders.select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("dst"),
+    ).unionByName(
+        li.select(
+            F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+        )
+    )
+    walks = graphalgo.random_walks(
+        edges, length=2, walks_per_node=1, salt="rw", step_hash=md5_prefix_hash
+    )
+    return walks.select(
+        "walk_id",
+        "start",
+        F.try_element_at("path", F.lit(2)).alias("hop1"),
+        F.try_element_at("path", F.lit(3)).alias("hop2"),
+    )
+
+
 BM25_QUERY = "vector join customer"
 
 
@@ -1186,8 +1233,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_ops": q_select_ops,
         "fields_project": q_fields_project,
         "render_ops": q_render_ops,
-        "path_len": q_path_len,
-        "unwind_words": q_unwind_words,
+        # r5 late fold: path() + unwind() ride as labeled rows, funding
+        # the random_walks slot (md5-family, whole walks value-checked)
+        "path_unwind": q_path_unwind,
+        "random_walks": q_random_walks,
         "bm25_search": q_bm25_search,
         "pagerank": q_pagerank,
         "agg_matrix": q_agg_matrix,
@@ -1290,6 +1339,42 @@ r{k} AS (
 
 
 _PAGERANK_SQL = _pagerank_sql(5)
+
+# random_walks replica: per-step argmin over the md5-prefix hash of
+# "salt walk_id step dst" (single-space concat_ws), dst tie-break —
+# exactly graphalgo.random_walks with step_hash=md5_prefix_hash
+_WALK_H1 = (
+    "CAST(('0x' || substr(md5('rw ' || w0.start || '#0 1 ' || e.dst), 1, 15)) AS BIGINT)"
+)
+_WALK_H2 = (
+    "CAST(('0x' || substr(md5('rw ' || s1.start || '#0 2 ' || e.dst), 1, 15)) AS BIGINT)"
+)
+_WALKS_SQL = f"""
+WITH edges AS (
+  SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+         'o:' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders
+  UNION ALL
+  SELECT 'o:' || CAST(l_orderkey AS VARCHAR),
+         'p:' || CAST(l_partkey AS VARCHAR) FROM lineitem
+),
+w0 AS (SELECT DISTINCT src AS start FROM edges),
+s1 AS (
+  SELECT start, dst AS hop1 FROM (
+    SELECT w0.start, e.dst,
+      ROW_NUMBER() OVER (PARTITION BY w0.start ORDER BY {_WALK_H1}, e.dst) AS rn
+    FROM w0 JOIN edges e ON e.src = w0.start
+  ) WHERE rn = 1
+),
+s2 AS (
+  SELECT start, dst AS hop2 FROM (
+    SELECT s1.start, e.dst,
+      ROW_NUMBER() OVER (PARTITION BY s1.start ORDER BY {_WALK_H2}, e.dst) AS rn
+    FROM s1 JOIN edges e ON e.src = s1.hop1
+  ) WHERE rn = 1
+)
+SELECT s1.start || '#0' AS walk_id, s1.start, s1.hop1, s2.hop2
+FROM s1 LEFT JOIN s2 ON s2.start = s1.start
+"""
 _EN_SQL = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
 
 # text.quality_score as SQL (same expression doc_text_profile inlines)
@@ -1929,12 +2014,15 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'setinc', 'y', c_acctbal + 100 FROM customer "
             "WHERE c_custkey = 1"
         ),
-        "path_len": (
-            "SELECT 3 AS path_len FROM lineitem l "
+        "path_unwind": (
+            "SELECT 'path' AS variant, CAST(NULL AS VARCHAR) AS sval, "
+            "CAST(3 AS BIGINT) AS ival FROM lineitem l "
             "JOIN orders o ON o.o_orderkey = l.l_orderkey "
-            "JOIN part p ON p.p_partkey = l.l_partkey WHERE o.o_custkey = 2"
+            "JOIN part p ON p.p_partkey = l.l_partkey WHERE o.o_custkey = 2 "
+            "UNION ALL SELECT 'unwind', unnest(string_split(p_type, ' ')), "
+            "CAST(NULL AS BIGINT) FROM part"
         ),
-        "unwind_words": "SELECT unnest(string_split(p_type, ' ')) AS word FROM part",
+        "random_walks": _WALKS_SQL,
         "bm25_search": _BM25_SQL,
         "pagerank": _PAGERANK_SQL,
         "agg_matrix": (

@@ -453,6 +453,7 @@ def random_walks(
     salt: str = "walk",
     src_col: str = "src",
     dst_col: str = "dst",
+    step_hash=None,
 ) -> DataFrame:
     """Deterministic uniform random walks → ``(walk_id, start, path)``
     (``path`` is an array of node ids, ``length+1`` long including the
@@ -476,11 +477,18 @@ def random_walks(
     checkpointed per step (the shared Pregel discipline).
     Sink-stranded walks leave the frontier (their rows are final), so
     late steps touch only live walkers.
+
+    ``step_hash`` swaps the per-step hash (default ``F.xxhash64``);
+    pass :func:`grip_spark.dedup.md5_prefix_hash` for the
+    SQL-replicable family (the simhash device) — the driver contract's
+    ``random_walks`` slot value-checks whole walks against a DuckDB
+    argmin-per-step replica that way.
     """
     if length < 1:
         raise ValueError(f"length must be >= 1, got {length}")
     if walks_per_node < 1:
         raise ValueError(f"walks_per_node must be >= 1, got {walks_per_node}")
+    h = step_hash or F.xxhash64
     _ckpt = _checkpointer(edges.sparkSession)
     e = edges.select(
         F.col(src_col).cast("string").alias("_src"),
@@ -504,7 +512,7 @@ def random_walks(
         for step in range(1, length + 1):
             hop = frontier.join(e, frontier["_cur"] == e["_src"], "left")
             pick = F.struct(
-                F.xxhash64(
+                h(
                     F.concat_ws(
                         " ",
                         F.lit(salt),
