@@ -682,3 +682,98 @@ def node2vec_walks(
         return out
     finally:
         e.unpersist()
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 100,
+) -> DataFrame:
+    """The k-core of the undirected simple graph: the maximal subgraph
+    where every node has degree >= k → the surviving EDGE list
+    (canonical ``(a, b)`` with a < b) — the classic dense-region
+    extractor (drop the long tail of barely-linked pages/hosts before
+    expensive per-community work; k-core membership is also a spam
+    signal on link graphs).
+
+    Standard iterative peeling: repeatedly delete nodes with degree
+    < k (deleting a node can push its neighbors under k, hence the
+    loop) until stable — the fixpoint is exactly the k-core.  Each
+    round is one degree aggregate + two semi-joins on the (shrinking)
+    edge list, checkpointed; rounds are bounded by ``max_iterations``
+    (peeling removes >= 1 node per round, so it terminates on its own
+    for any real graph — the cap guards pathological inputs and makes
+    non-convergence loud rather than silent).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    _ckpt = _checkpointer(edges.sparkSession)
+    a, b = F.col(src_col), F.col(dst_col)
+    cur = _ckpt(
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    for _ in range(max_iterations):
+        deg = (
+            cur.select(F.col("a").alias("id"))
+            .unionByName(cur.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("_d"))
+        )
+        keep = deg.filter(F.col("_d") >= k).select("id")
+        pruned = _ckpt(
+            cur.join(keep.select(F.col("id").alias("a")), "a", "left_semi").join(
+                keep.select(F.col("id").alias("b")), "b", "left_semi"
+            ).select("a", "b")
+        )
+        before, after = cur.count(), pruned.count()
+        cur = pruned
+        if after == before:
+            return cur
+        if after == 0:
+            return cur
+    raise RuntimeError(
+        f"k_core did not stabilize in {max_iterations} rounds"
+    )
+
+
+def host_graph(
+    df: DataFrame,
+    page_url_col: str = "url",
+    link_url_col: str = "link",
+) -> DataFrame:
+    """Host-level link graph from a (page_url, out_link) table →
+    weighted edges ``(src, dst, n_links)`` between lower-cased hosts
+    (www-stripped, via the :func:`grip_spark.text.normalize_url`
+    parser family) — the glue between a crawl's link table and
+    :func:`pagerank` / :func:`personalized_pagerank`: host rank as
+    the corpus quality prior (Common Crawl's host-level ranking
+    shape).
+
+    Self-links (within-host navigation) are dropped — they dominate
+    raw link counts and carry no cross-host endorsement.  Rows whose
+    either URL fails to parse are dropped (junk hrefs are corpus
+    noise, not a stage failure).  One narrow projection + one
+    map-side-combined aggregate; compose
+    ``host_graph |> pagerank |> join back by host`` for per-document
+    quality scores.
+    """
+
+    def _host(c):
+        h = F.lower(F.try_parse_url(c, F.lit("HOST")))
+        return F.when(h.startswith("www."), F.substring(h, 5, 1 << 20)).otherwise(h)
+
+    pairs = df.select(
+        _host(F.col(page_url_col)).alias("src"),
+        _host(F.col(link_url_col)).alias("dst"),
+    ).filter(
+        F.col("src").isNotNull()
+        & F.col("dst").isNotNull()
+        & (F.col("src") != F.col("dst"))
+        & (F.col("src") != "")
+        & (F.col("dst") != "")
+    )
+    return pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_links"))

@@ -478,3 +478,66 @@ def test_node2vec_errors(spark, digraph):
         graphalgo.node2vec_walks(e, p=0.0)
     with pytest.raises(ValueError, match="length"):
         graphalgo.node2vec_walks(e, length=0)
+
+
+def _py_kcore(edges, k):
+    adj = {}
+    es = set()
+    for s, t in edges:
+        if s == t:
+            continue
+        a, b = min(s, t), max(s, t)
+        if (a, b) not in es:
+            es.add((a, b))
+    while True:
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        drop = {x for x, d in deg.items() if d < k}
+        if not drop:
+            return es
+        es = {(a, b) for a, b in es if a not in drop and b not in drop}
+
+
+def test_k_core_matches_replica(spark, digraph):
+    _, edges, _, e = digraph
+    for k in (2, 3, 4):
+        got = {
+            (r["a"], r["b"]) for r in graphalgo.k_core(e, k=k).collect()
+        }
+        assert got == _py_kcore(edges, k), k
+
+
+def test_k_core_peels_tendrils(spark):
+    """A triangle with a pendant chain: 2-core = just the triangle."""
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["a"], r["b"]) for r in graphalgo.k_core(e, k=2).collect()}
+    assert got == {("a", "b"), ("b", "c"), ("a", "c")}
+    assert graphalgo.k_core(e, k=3).count() == 0
+    with pytest.raises(ValueError, match="k must be"):
+        graphalgo.k_core(e, k=0)
+
+
+def test_host_graph(spark):
+    rows = [
+        ("https://www.siteA.com/page1", "http://siteB.org/x?utm_source=z"),
+        ("https://sitea.com/page2#frag", "https://www.SITEB.org/y"),
+        ("https://siteA.com/page1", "https://siteA.com/internal"),  # self-link
+        ("https://siteB.org/z", "https://siteC.net/"),
+        ("not a url at all", "https://siteC.net/"),  # junk page URL
+        ("https://siteC.net/p", None),  # null link
+    ]
+    df = spark.createDataFrame(rows, "url string, link string")
+    got = {
+        (r["src"], r["dst"]): r["n_links"]
+        for r in graphalgo.host_graph(df).collect()
+    }
+    assert got == {("sitea.com", "siteb.org"): 2, ("siteb.org", "sitec.net"): 1}
+    # composes with pagerank
+    e = graphalgo.host_graph(df)
+    ranks = {
+        r["id"]: r["pagerank"] for r in graphalgo.pagerank(e, tol=1e-10).collect()
+    }
+    assert ranks["sitec.net"] > ranks["sitea.com"]
