@@ -574,11 +574,13 @@ def node2vec_walks(
     Python replica reproduces the paths bit-for-bit (test-pinned),
     and a new salt is a fresh sample.
 
-    Scale shape per step: one equi-join (frontier × edges), one
-    distinct, one broadcast-free left-semi flag join against the
-    distinct edge set (the prev→next adjacency test), and one
-    window cumsum partitioned by walk — the window's partition key is
-    the walk id, so no global sort.  Frontier checkpointed per step.
+    Scale shape: the edge list is distinct-ed and persisted ONCE;
+    each step is one equi-join (frontier × edges), one left OUTER
+    flag join against the distinct edge set (the prev→next adjacency
+    test — outer, because non-adjacent candidates must survive with
+    the 1/q weight), and one window cumsum partitioned by walk — the
+    window's partition key is the walk id, so no global sort.
+    Frontier checkpointed per step.
     """
     from pyspark.sql import Window
 
@@ -689,7 +691,7 @@ def k_core(
     k: int = 2,
     src_col: str = "src",
     dst_col: str = "dst",
-    max_iterations: int = 100,
+    max_iterations: int = 1000,
 ) -> DataFrame:
     """The k-core of the undirected simple graph: the maximal subgraph
     where every node has degree >= k → the surviving EDGE list
@@ -701,11 +703,13 @@ def k_core(
     Standard iterative peeling: repeatedly delete nodes with degree
     < k (deleting a node can push its neighbors under k, hence the
     loop) until stable — the fixpoint is exactly the k-core.  Each
-    round is one degree aggregate + two semi-joins on the (shrinking)
-    edge list, checkpointed; rounds are bounded by ``max_iterations``
-    (peeling removes >= 1 node per round, so it terminates on its own
-    for any real graph — the cap guards pathological inputs and makes
-    non-convergence loud rather than silent).
+    round is one degree aggregate + two semi-joins + one count on the
+    (shrinking) edge list, checkpointed.  Round count is the graph's
+    PEELING DEPTH, not log(n): a pendant chain of length L peels ~2
+    nodes per round and needs ~L/2 rounds, and crawl graphs really
+    contain such chains (pagination next-links) — hence the generous
+    default cap; the cap exists only to make a runaway loop loud, and
+    the error says to raise it.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -716,6 +720,7 @@ def k_core(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    before = cur.count()
     for _ in range(max_iterations):
         deg = (
             cur.select(F.col("a").alias("id"))
@@ -729,14 +734,14 @@ def k_core(
                 keep.select(F.col("id").alias("b")), "b", "left_semi"
             ).select("a", "b")
         )
-        before, after = cur.count(), pruned.count()
+        after = pruned.count()
         cur = pruned
-        if after == before:
+        if after == before or after == 0:
             return cur
-        if after == 0:
-            return cur
+        before = after
     raise RuntimeError(
-        f"k_core did not stabilize in {max_iterations} rounds"
+        f"k_core did not stabilize in {max_iterations} rounds (rounds "
+        "scale with the graph's peeling depth — raise max_iterations)"
     )
 
 
@@ -754,21 +759,21 @@ def host_graph(
     shape).
 
     Self-links (within-host navigation) are dropped — they dominate
-    raw link counts and carry no cross-host endorsement.  Rows whose
-    either URL fails to parse are dropped (junk hrefs are corpus
-    noise, not a stage failure).  One narrow projection + one
+    raw link counts and carry no cross-host endorsement.  Host
+    extraction is :func:`grip_spark.text.url_host` (the
+    ``normalize_url`` parser family: scheme-less and
+    protocol-relative hrefs resolve instead of parsing to NULL); rows
+    whose either URL still fails to parse are dropped (junk hrefs are
+    corpus noise, not a stage failure).  One narrow projection + one
     map-side-combined aggregate; compose
     ``host_graph |> pagerank |> join back by host`` for per-document
     quality scores.
     """
-
-    def _host(c):
-        h = F.lower(F.try_parse_url(c, F.lit("HOST")))
-        return F.when(h.startswith("www."), F.substring(h, 5, 1 << 20)).otherwise(h)
+    from .text import url_host
 
     pairs = df.select(
-        _host(F.col(page_url_col)).alias("src"),
-        _host(F.col(link_url_col)).alias("dst"),
+        url_host(F.col(page_url_col)).alias("src"),
+        url_host(F.col(link_url_col)).alias("dst"),
     ).filter(
         F.col("src").isNotNull()
         & F.col("dst").isNotNull()

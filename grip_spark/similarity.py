@@ -1240,7 +1240,7 @@ def word2vec_train(
         seed=seed,
         inputCol=tokens_col,
         outputCol="_w2v",
-    ).fit(df.select(tokens_col))
+    ).fit(df.select(tokens_col).na.drop())  # one NULL row must not kill the pass
     return model.getVectors().select(
         "word", vector_to_array(F.col("vector")).alias("vector")
     )

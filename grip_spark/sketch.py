@@ -335,19 +335,22 @@ def td_build(
         import numpy as _np
         import pandas as _pd
 
-        vals = []
+        # fold BATCH by batch: memory stays bounded at one Arrow batch
+        # + ~2*delta centroids, so a skewed multi-GB partition streams
+        # instead of materializing every value before one big sort
+        cents: list = []
         for pdf in batches:
             v = _pd.to_numeric(pdf[pdf.columns[0]], errors="coerce").to_numpy(
                 dtype="float64"
             )
-            vals.append(v[~_np.isnan(v)])
-        if not vals:
+            v = v[~_np.isnan(v)]
+            if v.size == 0:
+                continue
+            v.sort(kind="stable")
+            batch_cents = _td_merge_centroids([(float(x), 1.0) for x in v], delta)
+            cents = _td_merge_centroids(sorted(cents + batch_cents), delta)
+        if not cents:
             return
-        v = _np.concatenate(vals)
-        if v.size == 0:
-            return
-        v.sort(kind="stable")
-        cents = _td_merge_centroids([(float(x), 1.0) for x in v], delta)
         yield _pd.DataFrame(
             {"mean": [m for m, _ in cents], "weight": [w for _, w in cents]}
         )

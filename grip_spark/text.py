@@ -856,6 +856,30 @@ def normalize_url(url: Column | str, keep_query: bool = True) -> Column:
         F.concat(F.lit("http://"), u)
     )
 
+    return _normalize_url_body(w, keep_query)
+
+
+def url_host(url: Column | str) -> Column:
+    """Lower-cased, ``www.``-stripped host of a URL — the
+    :func:`normalize_url` parser family exposed for host-level work
+    (:func:`grip_spark.graphalgo.host_graph`).  Scheme-less inputs
+    default to ``http://`` and protocol-relative ``//host/path``
+    hrefs get ``http:`` prefixed, so raw link-table entries like
+    ``b.com/x`` or ``//cdn.b.com/x`` resolve instead of parsing to
+    NULL; genuinely junk inputs still yield NULL."""
+    u = F.col(url) if isinstance(url, str) else url
+    w = (
+        F.when(u.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), u)
+        .when(u.startswith("//"), F.concat(F.lit("http:"), u))
+        .otherwise(F.concat(F.lit("http://"), u))
+    )
+    return F.regexp_replace(
+        F.lower(F.try_parse_url(w, F.lit("HOST"))), r"^www\.", ""
+    )
+
+
+def _normalize_url_body(w: Column, keep_query: bool) -> Column:
+
     def _norm(b: Column) -> Column:
         # nested _let: `host` (a parse + regex chain) is referenced by
         # concat, isNotNull and the != '' guard — without the binding

@@ -541,3 +541,29 @@ def test_host_graph(spark):
         r["id"]: r["pagerank"] for r in graphalgo.pagerank(e, tol=1e-10).collect()
     }
     assert ranks["sitec.net"] > ranks["sitea.com"]
+
+
+def test_k_core_long_chain(spark):
+    """Peeling depth scales with chain length (not log n): an 80-node
+    pendant chain on a triangle peels end-in; the triangle survives."""
+    chain = [(f"c{i}", f"c{i+1}") for i in range(80)]
+    tri = [("c0", "x"), ("x", "y"), ("y", "c0")]
+    e = spark.createDataFrame(chain + tri, "src string, dst string")
+    got = {(r["a"], r["b"]) for r in graphalgo.k_core(e, k=2).collect()}
+    assert got == {("c0", "x"), ("x", "y"), ("c0", "y")}
+
+
+def test_host_graph_schemeless_and_protocol_relative(spark):
+    """Raw href tables carry scheme-less and //protocol-relative
+    links; they must resolve to hosts, not silently vanish."""
+    rows = [
+        ("https://a.com/p", "b.com/x"),
+        ("a.com/q", "//cdn.b.com/y"),
+        ("https://a.com/p", "http://b.com/z"),
+    ]
+    df = spark.createDataFrame(rows, "url string, link string")
+    got = {
+        (r["src"], r["dst"]): r["n_links"]
+        for r in graphalgo.host_graph(df).collect()
+    }
+    assert got == {("a.com", "b.com"): 2, ("a.com", "cdn.b.com"): 1}

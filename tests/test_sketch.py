@@ -234,7 +234,7 @@ def test_cm_incremental_over_stream(spark, tmp_path_factory, corpus):
         "maxFilesPerTrigger", 1
     ).json(str(d))
     q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = timeout, not a sketch bug
     batch = sketch.to_local(
         sketch.cm_build(
             spark.read.schema("k string").json(str(d)), "k", width=W, depth=D, salt=SALT
