@@ -745,6 +745,92 @@ def k_core(
     )
 
 
+def harmonic_centrality(
+    edges: DataFrame,
+    n_sources: int | None = None,
+    salt: str = "hc",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_depth: int = 30,
+) -> DataFrame:
+    """Harmonic centrality ``H(v) = Σ_u 1/d(u, v)`` over directed
+    shortest paths → ``(id, harmonic)`` — the centrality that stays
+    well-defined on disconnected graphs (Boldi & Vigna 2014; used for
+    Common Crawl's host ranking alongside PageRank).
+
+    Exact when ``n_sources`` is None (all-sources); with
+    ``n_sources=k`` the sum runs over a deterministic hash-sampled
+    source subset (md5-ordered — the :mod:`grip_spark.sampling`
+    device), scaled by ``N/k`` — the standard unbiased estimator that
+    makes the quadratic exact computation tractable (error
+    ~O(1/sqrt(k)) per node).
+
+    One multi-source BFS: the frontier carries ``(source, node)``
+    pairs at the current depth; each level is one equi-join (frontier
+    × edges) + one anti-join against the visited set (both
+    checkpointed).  Levels run to the graph's diameter or
+    ``max_depth``, whichever is first — a truncation at ``max_depth``
+    only drops ``1/d < 1/max_depth`` tail terms, stated here rather
+    than hidden.
+    """
+    from .dedup import md5_prefix_hash
+
+    _ckpt = _checkpointer(edges.sparkSession)
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).distinct().persist()
+    nodes = (
+        e.select(F.col("_src").alias("id"))
+        .unionByName(e.select(F.col("_dst").alias("id")))
+        .distinct()
+    )
+    n_total = nodes.count()
+    if n_total == 0:
+        raise ValueError("harmonic_centrality: empty graph")
+    if n_sources is None or n_sources >= n_total:
+        sources = nodes
+        scale = 1.0
+    else:
+        if n_sources < 1:
+            raise ValueError(f"n_sources must be >= 1, got {n_sources}")
+        sources = (
+            nodes.orderBy(
+                md5_prefix_hash(F.concat(F.lit(salt), F.col("id"))).asc(),
+                F.col("id").asc(),
+            ).limit(n_sources)
+        )
+        scale = n_total / n_sources
+    try:
+        # visited(src, id) prevents revisits; scores accumulate 1/d
+        frontier = _ckpt(sources.select(F.col("id").alias("_s"), F.col("id").alias("_v")))
+        visited = frontier
+        scores = None
+        for depth in range(1, max_depth + 1):
+            nxt = (
+                frontier.join(e, frontier["_v"] == e["_src"])
+                .select("_s", F.col("_dst").alias("_v"))
+                .distinct()
+                .join(visited, ["_s", "_v"], "left_anti")
+            )
+            nxt = _ckpt(nxt)
+            if nxt.isEmpty():
+                break
+            level = nxt.groupBy(F.col("_v").alias("id")).agg(
+                (F.count(F.lit(1)) / F.lit(float(depth))).alias("_h")
+            )
+            scores = level if scores is None else scores.unionByName(level)
+            visited = _ckpt(visited.unionByName(nxt))
+            frontier = nxt
+        if scores is None:
+            return nodes.select("id", F.lit(0.0).alias("harmonic")).limit(0)
+        return (
+            scores.groupBy("id")
+            .agg((F.sum("_h") * F.lit(scale)).alias("harmonic"))
+        )
+    finally:
+        e.unpersist()
+
+
 def host_graph(
     df: DataFrame,
     page_url_col: str = "url",

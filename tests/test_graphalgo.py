@@ -567,3 +567,69 @@ def test_host_graph_schemeless_and_protocol_relative(spark):
         for r in graphalgo.host_graph(df).collect()
     }
     assert got == {("a.com", "b.com"): 2, ("a.com", "cdn.b.com"): 1}
+
+
+def _py_harmonic(edges, sources, n_total, scale_k=None):
+    adj = {}
+    for s, t in set(edges):
+        if s != t:
+            adj.setdefault(s, set()).add(t)
+    H = {}
+    for s in sources:
+        dist = {s: 0}
+        frontier = [s]
+        d = 0
+        while frontier:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        for v, dv in dist.items():
+            if dv > 0:
+                H[v] = H.get(v, 0.0) + 1.0 / dv
+    if scale_k:
+        H = {v: h * n_total / scale_k for v, h in H.items()}
+    return H
+
+
+def test_harmonic_centrality_exact(spark, digraph):
+    _, edges, _, e = digraph
+    touched = {x for ed in edges for x in ed if ed[0] != ed[1]}
+    expect = _py_harmonic(edges, sorted(touched), len(touched))
+    got = {
+        r["id"]: r["harmonic"]
+        for r in graphalgo.harmonic_centrality(e).collect()
+    }
+    assert set(got) == set(expect)
+    for x in expect:
+        assert abs(got[x] - expect[x]) < 1e-9, x
+
+
+def test_harmonic_centrality_sampled(spark, digraph):
+    from grip_spark.dedup import md5_prefix_py
+
+    _, edges, _, e = digraph
+    touched = sorted({x for ed in edges for x in ed})
+    k = 5
+    srcs = sorted(touched, key=lambda x: (md5_prefix_py("hc" + x), x))[:k]
+    expect = _py_harmonic(edges, srcs, len(touched), scale_k=k)
+    got = {
+        r["id"]: r["harmonic"]
+        for r in graphalgo.harmonic_centrality(e, n_sources=k).collect()
+    }
+    assert set(got) == set(expect)
+    for x in expect:
+        assert abs(got[x] - expect[x]) < 1e-9, x
+
+
+def test_harmonic_centrality_path_graph(spark):
+    """a->b->c: H(b)=1, H(c)=1+1/2."""
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    got = {r["id"]: r["harmonic"] for r in graphalgo.harmonic_centrality(e).collect()}
+    assert abs(got["b"] - 1.0) < 1e-12
+    assert abs(got["c"] - 1.5) < 1e-12
+    assert "a" not in got  # nothing reaches a
