@@ -381,6 +381,15 @@ def _graph_probe(spark):
         t_pr, nn = best_of(
             lambda: graphalgo.pagerank(e, exact_iterations=5).count()
         )
+        # walks: frontier work ~k (walkers scale with nodes); harmonic
+        # with a FIXED source sample must stay ~flat in BFS work per
+        # source while the scaled estimate covers k x nodes
+        t_walk, n_walk = best_of(
+            lambda: graphalgo.random_walks(e, length=4).count()
+        )
+        t_harm, n_harm = best_of(
+            lambda: graphalgo.harmonic_centrality(e, n_sources=16).count()
+        )
 
         d = replicate_docs(docs, k).persist()
         nd = d.count()
@@ -393,6 +402,7 @@ def _graph_probe(spark):
         )
         print(
             f"{k}x: edges={ne} nodes={nn} docs={nd} | pagerank5 {t_pr:.1f}s | "
+            f"walks4 {t_walk:.1f}s ({n_walk}) | harmonic16 {t_harm:.1f}s ({n_harm}) | "
             f"bm25_index {t_idx:.1f}s | bm25_query {t_q:.2f}s",
             flush=True,
         )
