@@ -633,3 +633,83 @@ def test_harmonic_centrality_path_graph(spark):
     assert abs(got["b"] - 1.0) < 1e-12
     assert abs(got["c"] - 1.5) < 1e-12
     assert "a" not in got  # nothing reaches a
+
+
+def _py_brandes(edges, sources, n_total, scale_k=None):
+    from collections import deque
+
+    adj = {}
+    for s, t in set(edges):
+        if s != t:
+            adj.setdefault(s, []).append(t)
+    bc = {}
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        order = []
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            order.append(u)
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+                if dist[v] == dist[u] + 1:
+                    sigma[v] = sigma.get(v, 0.0) + sigma[u]
+        delta = {u: 0.0 for u in order}
+        for u in reversed(order):
+            for v in adj.get(u, ()):
+                if dist.get(v) == dist[u] + 1:
+                    delta[u] += sigma[u] / sigma[v] * (1.0 + delta[v])
+            if u != s:
+                bc[u] = bc.get(u, 0.0) + delta[u]
+    if scale_k:
+        bc = {v: x * n_total / scale_k for v, x in bc.items()}
+    return {v: x for v, x in bc.items() if x > 0}
+
+
+def test_betweenness_exact(spark, digraph):
+    _, edges, _, e = digraph
+    touched = sorted({x for ed in edges for x in ed if ed[0] != ed[1]})
+    expect = _py_brandes(edges, touched, len(touched))
+    got = {
+        r["id"]: r["betweenness"]
+        for r in graphalgo.betweenness_centrality(e).collect()
+    }
+    assert set(got) == set(expect)
+    for x in expect:
+        assert abs(got[x] - expect[x]) < 1e-7 * max(1.0, expect[x]), x
+
+
+def test_betweenness_sampled(spark, digraph):
+    from grip_spark.dedup import md5_prefix_py
+
+    _, edges, _, e = digraph
+    touched = sorted({x for ed in edges for x in ed})
+    k = 6
+    srcs = sorted(touched, key=lambda x: (md5_prefix_py("bc" + x), x))[:k]
+    expect = _py_brandes(edges, srcs, len(touched), scale_k=k)
+    got = {
+        r["id"]: r["betweenness"]
+        for r in graphalgo.betweenness_centrality(e, n_sources=k).collect()
+    }
+    assert set(got) == set(expect)
+    for x in expect:
+        assert abs(got[x] - expect[x]) < 1e-7 * max(1.0, expect[x]), x
+
+
+def test_betweenness_closed_forms(spark):
+    """Path a->b->c->d: BC(b)=2 (a->c, a->d... directed: pairs through
+    b are (a,c),(a,d) => 2; through c: (a,d),(b,d) => 2).  Diamond
+    a->{b,c}->d: sigma splits, b and c each get 0.5."""
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    got = {r["id"]: r["betweenness"] for r in graphalgo.betweenness_centrality(e).collect()}
+    assert got == {"b": 2.0, "c": 2.0}
+    e2 = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")], "src string, dst string"
+    )
+    got2 = {r["id"]: r["betweenness"] for r in graphalgo.betweenness_centrality(e2).collect()}
+    assert abs(got2["b"] - 0.5) < 1e-12 and abs(got2["c"] - 0.5) < 1e-12
