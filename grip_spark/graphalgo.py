@@ -526,8 +526,10 @@ def random_walks(
             stepped = hop.groupBy("walk_id", "start", "path").agg(
                 F.min(F.when(F.col("_dst").isNotNull(), pick)).alias("_pick")
             )
-            finished = stepped.filter(F.col("_pick").isNull()).select(
-                "walk_id", "start", "path"
+            finished = _ckpt(
+                stepped.filter(F.col("_pick").isNull()).select(
+                    "walk_id", "start", "path"
+                )
             )
             done = finished if done is None else done.unionByName(finished)
             frontier = _ckpt(
@@ -630,8 +632,10 @@ def node2vec_walks(
                     F.col("_dst").alias("_next"),
                 )
             )
-            stranded = cand.filter(F.col("_next").isNull()).select(
-                "walk_id", "start", "path"
+            stranded = _ckpt(
+                cand.filter(F.col("_next").isNull()).select(
+                    "walk_id", "start", "path"
+                )
             )
             done = stranded if done is None else done.unionByName(stranded)
             live = cand.filter(F.col("_next").isNotNull()).join(
@@ -764,6 +768,11 @@ def harmonic_centrality(
     device), scaled by ``N/k`` — the standard unbiased estimator that
     makes the quadratic exact computation tractable (error
     ~O(1/sqrt(k)) per node).
+
+    Output contains REACHED nodes only (a node nothing reaches has
+    no row — left-join against your node table and coalesce to 0.0
+    when attaching as a prior); same convention as
+    :func:`betweenness_centrality`'s non-zero-score rows.
 
     One multi-source BFS: the frontier carries ``(source, node)``
     pairs at the current depth; each level is one equi-join (frontier

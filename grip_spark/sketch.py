@@ -343,7 +343,7 @@ def td_build(
             v = _pd.to_numeric(pdf[pdf.columns[0]], errors="coerce").to_numpy(
                 dtype="float64"
             )
-            v = v[~_np.isnan(v)]
+            v = v[_np.isfinite(v)]
             if v.size == 0:
                 continue
             v.sort(kind="stable")
@@ -364,10 +364,16 @@ def td_build(
     return _td_merge_centroids(pairs, delta)
 
 
-def td_merge(*digests: list, delta: int = 100) -> list:
+def td_merge(*digests: list, delta: int | None = None) -> list:
     """Merge digests (e.g. one per day/shard) into one — concatenate,
-    sort by mean, re-compress.  Rank-accuracy bound is preserved."""
+    sort by mean, re-compress.  ``delta`` defaults to twice the
+    largest input's centroid count (a digest built at delta=D carries
+    ~D/2..D centroids), so merging NEVER silently degrades the
+    resolution the inputs paid for; pass delta explicitly to
+    re-compress on purpose."""
     pairs = sorted(p for d in digests for p in d)
+    if delta is None:
+        delta = max(100, 2 * max((len(d) for d in digests), default=0))
     return _td_merge_centroids(pairs, delta)
 
 

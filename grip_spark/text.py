@@ -842,7 +842,11 @@ def normalize_url(url: Column | str, keep_query: bool = True) -> Column:
     param-order shuffles and utm-decorated share links collapse to
     one key.  NULL and unparseable inputs yield NULL
     (``try_parse_url`` — ANSI-mode ``parse_url`` THROWS on malformed
-    URLs, and one junk row must not kill a corpus pass).
+    URLs, and one junk row must not kill a corpus pass); scheme-less
+    and protocol-relative (``//host/path``) inputs resolve via the
+    shared :func:`_url_with_scheme` default rather than parsing to
+    NULL (r5 review fix — previously ``//cdn.example.com/x`` was
+    silently dropped while :func:`url_host` resolved it).
 
     Pure built-in expressions (``parse_url`` + array ops inside
     codegen): a shuffle-free projection, composable with
@@ -850,32 +854,39 @@ def normalize_url(url: Column | str, keep_query: bool = True) -> Column:
     actual per-URL dedup group/semi-join.
     """
     u = F.col(url) if isinstance(url, str) else url
-    # parse_url needs a scheme to find a host; default scheme-less
-    # inputs to http://
-    w = F.when(u.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), u).otherwise(
-        F.concat(F.lit("http://"), u)
+    return _normalize_url_body(_url_with_scheme(u), keep_query)
+
+
+def _url_with_scheme(u: Column) -> Column:
+    """parse_url needs a scheme to find a host: default scheme-less
+    inputs to ``http://`` and prefix protocol-relative ``//host/path``
+    hrefs with ``http:`` — ONE definition shared by
+    :func:`normalize_url` and :func:`url_host` so the two URL paths
+    cannot diverge on what resolves."""
+    return (
+        F.when(u.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), u)
+        .when(u.startswith("//"), F.concat(F.lit("http:"), u))
+        .otherwise(F.concat(F.lit("http://"), u))
     )
 
-    return _normalize_url_body(w, keep_query)
+
+def _host_of(b: Column) -> Column:
+    """Lower-cased, ``www.``-stripped host (shared expression)."""
+    return F.regexp_replace(
+        F.lower(F.try_parse_url(b, F.lit("HOST"))), r"^www\.", ""
+    )
 
 
 def url_host(url: Column | str) -> Column:
     """Lower-cased, ``www.``-stripped host of a URL — the
     :func:`normalize_url` parser family exposed for host-level work
-    (:func:`grip_spark.graphalgo.host_graph`).  Scheme-less inputs
-    default to ``http://`` and protocol-relative ``//host/path``
-    hrefs get ``http:`` prefixed, so raw link-table entries like
-    ``b.com/x`` or ``//cdn.b.com/x`` resolve instead of parsing to
-    NULL; genuinely junk inputs still yield NULL."""
+    (:func:`grip_spark.graphalgo.host_graph`).  Scheme-less and
+    protocol-relative hrefs resolve via the shared
+    :func:`_url_with_scheme` default (so ``b.com/x`` and
+    ``//cdn.b.com/x`` both yield hosts); genuinely junk inputs still
+    yield NULL."""
     u = F.col(url) if isinstance(url, str) else url
-    w = (
-        F.when(u.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), u)
-        .when(u.startswith("//"), F.concat(F.lit("http:"), u))
-        .otherwise(F.concat(F.lit("http://"), u))
-    )
-    return F.regexp_replace(
-        F.lower(F.try_parse_url(w, F.lit("HOST"))), r"^www\.", ""
-    )
+    return _host_of(_url_with_scheme(u))
 
 
 def _normalize_url_body(w: Column, keep_query: bool) -> Column:
@@ -884,9 +895,7 @@ def _normalize_url_body(w: Column, keep_query: bool) -> Column:
         # nested _let: `host` (a parse + regex chain) is referenced by
         # concat, isNotNull and the != '' guard — without the binding
         # each reference re-evaluates it per row (no CSE inside HOFs)
-        raw_host = F.regexp_replace(
-            F.lower(F.try_parse_url(b, F.lit("HOST"))), r"^www\.", ""
-        )
+        raw_host = _host_of(b)
         # (no port strip: parse_url's HOST component already excludes
         # any explicit port)
 

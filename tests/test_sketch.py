@@ -307,3 +307,32 @@ def test_tdigest_nulls_and_errors(spark):
         sketch.td_quantile([], 0.5)
     with pytest.raises(ValueError, match="q must be"):
         sketch.td_quantile(digest, 1.5)
+
+
+def test_tdigest_skips_infinities_and_preserves_merge_resolution(spark):
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(50)]
+        + [(float("-inf"),), (float("inf"),), (float("nan"),)],
+        "x double",
+    )
+    d = sketch.td_build(df, "x", delta=50)
+    assert abs(sum(w for _, w in d) - 50) < 1e-9  # non-finite skipped
+    for q in (0.0, 0.02, 0.5, 0.98, 1.0):
+        v = sketch.td_quantile(d, q)
+        assert v == v and abs(v) != float("inf")  # finite, not NaN
+    # merge default keeps the inputs' resolution (no silent delta=100)
+    import random as _r
+
+    rng = _r.Random(9)
+    big = [
+        sketch.td_build(
+            spark.createDataFrame(
+                [(rng.gauss(0, 1),) for _ in range(4000)], "x double"
+            ),
+            "x",
+            delta=400,
+        )
+        for _ in range(2)
+    ]
+    merged = sketch.td_merge(*big)
+    assert len(merged) > 150  # would be ~<=100 under the old default

@@ -901,3 +901,26 @@ def test_boilerplate_ngrams_discovery(spark):
         text.boilerplate_ngrams(df, min_doc_frac=0.0)
     with pytest.raises(ValueError):
         text.boilerplate_ngrams(spark.createDataFrame([], "text string"))
+
+
+def test_normalize_url_protocol_relative(spark):
+    """//host hrefs resolve to the same key family as url_host (the
+    r5 parser-divergence fix)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "//cdn.example.com/x"), (1, "https://cdn.example.com/x")],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", text.normalize_url("url").alias("n")
+        ).collect()
+    }
+    assert got[0] == got[1] == "cdn.example.com/x"
+    hosts = {
+        r["doc_id"]: r["h"]
+        for r in df.select("doc_id", text.url_host("url").alias("h")).collect()
+    }
+    assert hosts[0] == hosts[1] == "cdn.example.com"
