@@ -70,14 +70,21 @@ def degree_stats(
     )
 
 
-def _node_edge_tables(edges, vertices, src_col, dst_col, id_col, _ckpt):
+def _node_edge_tables(edges, vertices, src_col, dst_col, id_col, _ckpt, weight_col=None):
     """Shared graph prep: normalized edge table + checkpointed node
     table; with an explicit vertex set, edges touching outside ids are
     dropped BEFORE out-degrees are counted — otherwise a src->outside
     edge inflates outdeg(src) while its contribution vanishes and rank
     mass silently leaks (GraphFrames makes the same edges-within-
     vertices assumption; we enforce it)."""
-    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    cols = [F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("_ew"))
+    e = edges.select(*cols)
+    if weight_col is not None:
+        # zero/negative/NULL weights carry no surfer mass and would
+        # corrupt the out-mass denominator — drop them up front
+        e = e.filter(F.col("_ew") > 0)
     if vertices is not None:
         nodes = vertices.select(F.col(id_col).alias("id")).distinct()
     else:
@@ -117,13 +124,16 @@ def _power_loop(
     if exact_iterations is None and max_iterations < 1:
         raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     extra = [c for c in nodes.columns if c != "id"]
-    # out-degree join happens ONCE: iterations ship (dst, double) only
-    outdeg = e.groupBy(F.col("_src").alias("id")).agg(
-        F.count(F.lit(1)).alias("_deg")
-    )
+    # out-mass join happens ONCE: iterations ship (dst, double) only.
+    # Unweighted: out-degree count; weighted: sum of edge weights, and
+    # each edge carries weight/out-mass (the weighted random surfer)
+    has_w = "_ew" in e.columns
+    wsum = F.sum("_ew") if has_w else F.count(F.lit(1))
+    outdeg = e.groupBy(F.col("_src").alias("id")).agg(wsum.alias("_deg"))
+    share = (F.col("_ew") / F.col("_deg")) if has_w else (F.lit(1.0) / F.col("_deg"))
     wedges = (
         e.join(outdeg, e["_src"] == outdeg["id"])
-        .select(F.col("_src"), F.col("_dst"), (F.lit(1.0) / F.col("_deg")).alias("_w"))
+        .select(F.col("_src"), F.col("_dst"), share.alias("_w"))
         .persist()
     )
     sinks = nodes.select("id").join(outdeg, "id", "left_anti").persist()
@@ -186,8 +196,15 @@ def pagerank(
     max_iterations: int = 40,
     tol: float = 1e-9,
     exact_iterations: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank → ``(id, pagerank)`` with ranks summing to 1.
+
+    ``weight_col`` switches to the weighted random surfer: each edge
+    passes ``weight / Σ out-weights(src)`` of its source's rank —
+    feed :func:`host_graph`'s ``n_links`` so a host linking somewhere
+    1000 times endorses it proportionally (zero/negative/NULL weights
+    are dropped; a node whose out-edges all drop becomes dangling).
 
     Standard power iteration (Page et al. 1999): ``r'(v) = (1-d)/N +
     d * (Σ_{u→v} r(u)/outdeg(u) + dangling/N)`` — multigraph semantics
@@ -211,7 +228,9 @@ def pagerank(
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0,1), got {damping}")
     _ckpt = _checkpointer(edges.sparkSession)
-    nodes, e = _node_edge_tables(edges, vertices, src_col, dst_col, id_col, _ckpt)
+    nodes, e = _node_edge_tables(
+        edges, vertices, src_col, dst_col, id_col, _ckpt, weight_col
+    )
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank: empty graph")

@@ -713,3 +713,59 @@ def test_betweenness_closed_forms(spark):
     )
     got2 = {r["id"]: r["betweenness"] for r in graphalgo.betweenness_centrality(e2).collect()}
     assert abs(got2["b"] - 0.5) < 1e-12 and abs(got2["c"] - 0.5) < 1e-12
+
+
+def _py_weighted_pr(nodes, wedges, d=0.85, iters=300, tol=1e-12):
+    """wedges: list of (src, dst, w>0)."""
+    out = {}
+    for s, _, w in wedges:
+        out[s] = out.get(s, 0.0) + w
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t, w in wedges:
+            contrib[t] += r[s] * (w / out[s])
+        dang = sum(r[v] for v in nodes if v not in out)
+        new = {v: (1 - d) / n + d * (contrib[v] + dang / n) for v in nodes}
+        delta = sum(abs(new[v] - r[v]) for v in nodes)
+        r = new
+        if delta < tol:
+            break
+    return r
+
+
+def test_weighted_pagerank(spark):
+    rng = random.Random(21)
+    nodes = [f"w{i}" for i in range(20)]
+    wedges = [
+        (nodes[rng.randrange(18)], nodes[rng.randrange(20)], float(rng.randint(1, 9)))
+        for _ in range(60)
+    ]
+    wedges += [("w0", "w1", 0.0), ("w2", "w3", -4.0)]  # dropped
+    e = spark.createDataFrame(wedges, "src string, dst string, n_links double")
+    v = spark.createDataFrame([(x,) for x in nodes], "gid string")
+    # damping 0.5: geometric convergence inside the default cap on
+    # this sink-heavy topology (the star-graph test's device)
+    got = {
+        r["id"]: r["pagerank"]
+        for r in graphalgo.pagerank(
+            e, vertices=v, damping=0.5, tol=1e-11, weight_col="n_links"
+        ).collect()
+    }
+    expect = _py_weighted_pr(nodes, [w for w in wedges if w[2] > 0], d=0.5)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for x in nodes:
+        assert abs(got[x] - expect[x]) < 1e-9, x
+    # host_graph composition: n_links weights flow straight in
+    rows = [("https://a.com/1", "https://b.com/x")] * 9 + [
+        ("https://a.com/1", "https://c.com/y")
+    ]
+    hg = graphalgo.host_graph(
+        spark.createDataFrame(rows, "url string, link string")
+    )
+    ranks = {
+        r["id"]: r["pagerank"]
+        for r in graphalgo.pagerank(hg, tol=1e-10, weight_col="n_links").collect()
+    }
+    assert ranks["b.com"] > ranks["c.com"]
