@@ -336,3 +336,37 @@ def test_tdigest_skips_infinities_and_preserves_merge_resolution(spark):
     ]
     merged = sketch.td_merge(*big)
     assert len(merged) > 150  # would be ~<=100 under the old default
+
+
+def test_td_incremental_over_stream(spark, tmp_path_factory):
+    """Per-micro-batch digests folded with td_merge track the one-shot
+    batch digest's quantiles — the daily-ingest shape for quantile
+    state (representation may differ; accuracy is the contract)."""
+    import json as _json
+
+    rng = random.Random(17)
+    vals = [rng.gauss(50, 10) for _ in range(6000)]
+    d = tmp_path_factory.mktemp("td_stream")
+    third = len(vals) // 3
+    for part in range(3):
+        with open(d / f"p{part}.json", "w") as f:
+            for v in vals[part * third : (part + 1) * third]:
+                f.write(_json.dumps({"x": v}) + "\n")
+
+    digests = []
+
+    def fold(batch_df, _epoch):
+        digests.append(sketch.td_build(batch_df, "x", delta=100))
+
+    stream = spark.readStream.schema("x double").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(d))
+    q = stream.writeStream.foreachBatch(fold).trigger(availableNow=True).start()
+    assert q.awaitTermination(120)
+    merged = sketch.td_merge(*digests)
+    assert abs(sum(w for _, w in merged) - len(vals)) < 1e-6
+    svals = sorted(vals)
+    for qq in (0.05, 0.5, 0.95):
+        est = sketch.td_quantile(merged, qq)
+        lo, hi = _ranks(svals, est)
+        assert lo - 0.02 <= qq <= hi + 0.02, (qq, est)
