@@ -1035,3 +1035,63 @@ def host_graph(
         & (F.col("dst") != "")
     )
     return pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_links"))
+
+
+def modularity(
+    edges: DataFrame,
+    assignment: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+    community_col: str = "community",
+) -> float:
+    """Newman modularity Q of a community assignment over the
+    undirected simple graph: ``Q = Σ_c (L_c/m − (D_c/2m)²)`` where
+    ``L_c`` counts intra-community edges, ``D_c`` sums member degrees,
+    ``m`` the edge count — the standard yardstick for
+    :func:`label_propagation` output (Q≈0: no structure; Q>0.3:
+    strong communities).  Nodes missing from ``assignment`` form the
+    implicit community NULL (they count toward m and their own D).
+
+    One canonical-edge pass: two assignment joins (node-sized), one
+    same-community filter count, one degree aggregate — the result is
+    a community-sized reduction collected as a handful of scalars.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    canon = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m = canon.count()
+    if m == 0:
+        raise ValueError("modularity: no edges")
+    asg = assignment.select(
+        F.col(id_col).alias("_id"), F.col(community_col).alias("_c")
+    ).distinct()
+    ca = asg.select(F.col("_id").alias("a"), F.col("_c").alias("_ca"))
+    cb = asg.select(F.col("_id").alias("b"), F.col("_c").alias("_cb"))
+    lab = canon.join(ca, "a", "left").join(cb, "b", "left")
+    intra = (
+        lab.filter(F.col("_ca").eqNullSafe(F.col("_cb")))
+        .groupBy("_ca")
+        .agg(F.count(F.lit(1)).alias("_l"))
+    )
+    deg = (
+        canon.select(F.col("a").alias("_id"))
+        .unionByName(canon.select(F.col("b").alias("_id")))
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    dc = (
+        deg.join(asg, "_id", "left")
+        .groupBy("_c")
+        .agg(F.sum("_d").alias("_dc"))
+    )
+    l_by_c = {r["_ca"]: r["_l"] for r in intra.collect()}
+    d_by_c = {r["_c"]: r["_dc"] for r in dc.collect()}
+    q = 0.0
+    for c, d in d_by_c.items():
+        q += l_by_c.get(c, 0) / m - (d / (2.0 * m)) ** 2
+    return q

@@ -769,3 +769,33 @@ def test_weighted_pagerank(spark):
         for r in graphalgo.pagerank(hg, tol=1e-10, weight_col="n_links").collect()
     }
     assert ranks["b.com"] > ranks["c.com"]
+
+
+def test_modularity(spark):
+    """Two 4-cliques + bridge: LPA's split scores the textbook value;
+    one-big-community and per-node-singleton are both worse."""
+    def clique(pref):
+        ids = [f"{pref}{i}" for i in range(4)]
+        return [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+
+    edges = clique("a") + clique("b") + [("a0", "b0")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    comm = graphalgo.label_propagation(e, max_iterations=10)
+    q_split = graphalgo.modularity(e, comm)
+
+    # replica: m=13; split communities: L=6 each, D = 13 and 13
+    m = 13.0
+    expect = 2 * (6 / m - (13 / (2 * m)) ** 2)
+    assert abs(q_split - expect) < 1e-12
+
+    nodes = [f"a{i}" for i in range(4)] + [f"b{i}" for i in range(4)]
+    one = spark.createDataFrame([(x, 0) for x in nodes], "id string, community int")
+    q_one = graphalgo.modularity(e, one)
+    assert abs(q_one) < 1e-12  # all-in-one is always Q=0
+    singles = spark.createDataFrame(
+        [(x, i) for i, x in enumerate(nodes)], "id string, community int"
+    )
+    q_single = graphalgo.modularity(e, singles)
+    assert q_split > q_one > q_single
+    with pytest.raises(ValueError, match="no edges"):
+        graphalgo.modularity(e.filter("src = 'zz'"), one)
