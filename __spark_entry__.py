@@ -635,8 +635,11 @@ def q_decontam_stats(spark, sf_dir):
     (the GPT-3 13-gram contamination rule).  The corpus's near-dup
     families straddle the split, so hits are non-trivial.  Gram
     hashing is xxhash64 (production path); the oracle compares gram
-    STRINGS — identical results unless a 64-bit collision lands
-    inside one document's gram set."""
+    STRINGS and yields identical values.  NOTE: the oracle must CAST
+    its conditional-sum to BIGINT — DuckDB types coalesce(sum(CASE…))
+    as HUGEINT, which hash-mismatches the engine's BIGINT even when
+    every value is equal (this, not a hash collision, was the r5
+    red row)."""
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 10 == 0)
     corp = docs.filter(F.col("doc_id") % 10 != 0)
@@ -1841,8 +1844,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         # -- late-r4 pipeline operators -----------------------------------
         "decontam_stats": (
-            # gram STRINGS here vs xxhash64 in the engine — identical
-            # results unless a 64-bit collision lands inside one doc
+            # gram STRINGS here vs xxhash64 in the engine — values are
+            # identical; n_hit needs CAST(… AS BIGINT) because DuckDB
+            # types the conditional sum HUGEINT (r5 hash-miss cause)
             r"WITH toks AS ("
             r"  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk "
             r"  FROM documents"
@@ -1856,7 +1860,7 @@ def oracle_sql() -> dict[str, str]:
             r"), bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),"
             r"corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 10 != 0) "
             r"SELECT d.doc_id, count(c.g) AS n_grams,"
-            r"       coalesce(sum(CASE WHEN b.g IS NOT NULL THEN 1 END), 0) AS n_hit "
+            r"       CAST(coalesce(sum(CASE WHEN b.g IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit "
             r"FROM (SELECT doc_id FROM documents WHERE doc_id % 10 != 0) d "
             r"LEFT JOIN corpus c ON c.doc_id = d.doc_id "
             r"LEFT JOIN bench b ON b.g = c.g "
