@@ -1428,9 +1428,16 @@ WITH norm AS (
                FOR i IN generate_series(1, len(grams) - 15)]
     END) AS f
   FROM g
+), kept AS (
+  -- hot-fingerprint cap (engine max_df=1000 default): drop
+  -- fingerprints with document frequency > 1000 before the self-join
+  -- (a no-op at sf0.01's 500 docs, mirrored for semantic parity)
+  SELECT fp.doc_id, fp.f FROM fp
+  JOIN (SELECT f FROM fp GROUP BY f HAVING count(*) <= 1000) ok
+    ON fp.f = ok.f
 )
 SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
-FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 4
 """
 

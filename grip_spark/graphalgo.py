@@ -1054,8 +1054,12 @@ def modularity(
     implicit community NULL (they count toward m and their own D).
 
     One canonical-edge pass: two assignment joins (node-sized), one
-    same-community filter count, one degree aggregate — the result is
-    a community-sized reduction collected as a handful of scalars.
+    same-community filter count, one degree aggregate.  The final
+    ``Σ_c`` fold stays in Spark — a left join of the (community, D_c)
+    table against (community, L_c) plus one sum — so the driver
+    receives exactly one scalar.  LPA output at web scale has O(nodes)
+    communities (the singleton tail); a community-keyed collect here
+    would be a node-sized driver transfer.
     """
     a, b = F.col(src_col), F.col(dst_col)
     canon = (
@@ -1089,9 +1093,14 @@ def modularity(
         .groupBy("_c")
         .agg(F.sum("_d").alias("_dc"))
     )
-    l_by_c = {r["_ca"]: r["_l"] for r in intra.collect()}
-    d_by_c = {r["_c"]: r["_dc"] for r in dc.collect()}
-    q = 0.0
-    for c, d in d_by_c.items():
-        q += l_by_c.get(c, 0) / m - (d / (2.0 * m)) ** 2
-    return q
+    # every community in `intra` has a member with degree >= 1, so it
+    # appears in `dc` — a left join from dc covers the full sum (a
+    # community whose members all lack edges contributes exactly 0)
+    terms = dc.join(intra, F.col("_c").eqNullSafe(F.col("_ca")), "left")
+    row = terms.agg(
+        F.sum(
+            F.coalesce(F.col("_l"), F.lit(0)) / F.lit(float(m))
+            - F.pow(F.col("_dc") / F.lit(2.0 * m), F.lit(2))
+        ).alias("q")
+    ).first()
+    return float(row["q"]) if row["q"] is not None else 0.0

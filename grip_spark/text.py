@@ -255,6 +255,7 @@ def winnow_overlap_pairs(
     window: int = 4,
     min_shared: int = 2,
     gram_hash=None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowing fingerprints
     → ``(a_id, b_id, n_shared)`` — substring-level overlap detection
@@ -266,7 +267,22 @@ def winnow_overlap_pairs(
     join geometry to ``dedup.ngram_jaccard_pairs`` but over winnowed
     grams, so the shuffle carries a fraction of the postings.  Pair
     counts are a map-side-combinable sum; quadratic only within one
-    fingerprint's posting list (near-identical passages).
+    fingerprint's posting list.
+
+    ``max_df`` (hot-fingerprint cap): a fingerprint present in N
+    documents contributes N·(N-1)/2 candidate rows — a boilerplate
+    substring shared by 100k docs would make ONE key emit ~5·10^9
+    rows.  Fingerprints with document frequency above ``max_df`` are
+    dropped before the self-join (the MOSS "too common to be
+    interesting" rule — same reasoning as ``dedup.dedup_lines``'s
+    duplicate-line set and ``duplicate_ngram_spans``'s gram-count
+    filter): candidate rows are bounded by O(#fingerprints · max_df)
+    and such fingerprints carry essentially no pair-discriminating
+    information.  ``n_shared`` then counts only non-boilerplate
+    fingerprints; pass ``max_df=None`` for the uncapped (exact-count)
+    join.  The df aggregation is one map-side-combinable count on the
+    fingerprint key; the hot set it produces is tiny, so the anti-join
+    broadcasts under AQE.
     """
     # eager checkpoint: both self-join sides consume the posting list
     # within one action — a lazy cache would be raced and the winnowing
@@ -277,6 +293,14 @@ def winnow_overlap_pairs(
             "_fp"
         ),
     ).localCheckpoint(eager=True)
+    if max_df is not None:
+        hot = (
+            fp.groupBy("_fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("_fp")
+        )
+        fp = fp.join(hot, "_fp", "left_anti")
     a = fp.select(F.col("_id").alias("a_id"), "_fp")
     b = fp.select(F.col("_id").alias("b_id"), "_fp")
     return (

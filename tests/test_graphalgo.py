@@ -799,3 +799,26 @@ def test_modularity(spark):
     assert q_split > q_one > q_single
     with pytest.raises(ValueError, match="no edges"):
         graphalgo.modularity(e.filter("src = 'zz'"), one)
+
+
+def test_modularity_singleton_tail_stays_distributed(spark):
+    """The LPA-at-web-scale shape: 10^5 singleton communities (every
+    node its own).  The Σ_c fold must run as one Spark agg — the
+    driver sees a single scalar, never a community-keyed collect.
+    Hand value: 5·10^4 disjoint edges, each node degree 1 ⇒
+    L_c = 0, D_c = 1 for all 10^5 communities ⇒
+    Q = −N·(1/(2m))² = −10^5/(4·(5·10^4)²) = −1e-5."""
+    from pyspark.sql import functions as F
+
+    n = 100_000
+    m = n // 2
+    pairs = spark.range(m).select(
+        F.concat(F.lit("u"), (F.col("id") * 2).cast("string")).alias("src"),
+        F.concat(F.lit("u"), (F.col("id") * 2 + 1).cast("string")).alias("dst"),
+    )
+    asg = spark.range(n).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("id"),
+        F.col("id").alias("community"),
+    )
+    q = graphalgo.modularity(pairs, asg)
+    assert abs(q - (-1e-5)) < 1e-12

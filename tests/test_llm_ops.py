@@ -358,6 +358,59 @@ def test_winnow_overlap_pairs(spark):
     assert (1, 2) in {(r["a_id"], r["b_id"]) for r in rows2}
 
 
+def test_winnow_overlap_pairs_hot_fingerprint_cap(spark):
+    """Boilerplate substring planted across every doc: with max_df below
+    the corpus size its fingerprints are dropped before the self-join
+    (bounding candidates at O(#fp * max_df) instead of O(N^2) on one
+    key), so only the genuinely-shared passage still pairs; uncapped
+    (max_df=None) the boilerplate welds everything to everything."""
+    from grip_spark import text as T
+
+    boiler = "copyright two thousand the example corporation all rights reserved"
+    shared = "colorless green ideas sleep furiously in the winnowed corpus"
+    n = 12
+    # letter-run fillers: every cross-doc substring >= k chars is either
+    # the boilerplate or `shared` (numeric ids would alias, e.g.
+    # "1 payload 1" inside both doc 1 and doc 11)
+    rows_in = [
+        (i, f"{chr(97 + i) * 8} marker {chr(97 + i) * 8} " + boiler)
+        for i in range(n)
+    ]
+    # docs 0 and 1 additionally share a real passage
+    rows_in[0] = (0, rows_in[0][1] + " " + shared)
+    rows_in[1] = (1, rows_in[1][1] + " " + shared)
+    df = spark.createDataFrame(rows_in, ["doc_id", "text"])
+
+    # min_shared=2: a boilerplate gram can still surface as a low-df
+    # fingerprint in SOME docs (window-min selection depends on the
+    # neighboring filler's gram hashes), but never twice for the same
+    # pair — only the real passage clears 2 shared fingerprints
+    capped = T.winnow_overlap_pairs(
+        df, "doc_id", "text", k=8, window=4, min_shared=2, max_df=4
+    ).collect()
+    pairs = {(r["a_id"], r["b_id"]) for r in capped}
+    # real overlap survives (its fps have df=2); boilerplate fps
+    # (df=12 > 4) dropped, so no all-pairs weld
+    assert pairs == {(0, 1)}
+
+    uncapped = T.winnow_overlap_pairs(
+        df, "doc_id", "text", k=8, window=4, min_shared=1, max_df=None
+    ).collect()
+    assert len(uncapped) == n * (n - 1) / 2  # boilerplate welds all pairs
+
+    # n_shared under the cap counts only non-boilerplate fingerprints:
+    # equals the uncapped count minus the (df=12) boilerplate fps' hits
+    cap01 = next(r["n_shared"] for r in capped if (r["a_id"], r["b_id"]) == (0, 1))
+    unc01 = next(r["n_shared"] for r in uncapped if (r["a_id"], r["b_id"]) == (0, 1))
+    assert 1 <= cap01 < unc01
+
+    # the cap is wired into the plan as a left-anti join on the hot set
+    plan = T.winnow_overlap_pairs(
+        df, "doc_id", "text", max_df=4
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plan
+
+
 def test_duplicate_ngram_spans_hand_oracle(spark):
     """Exact-substring spans on a hand-computed corpus: cross-doc dup,
     within-doc repetition, gap splitting, and a clean doc."""

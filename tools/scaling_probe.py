@@ -188,12 +188,24 @@ def main():
             .filter(~F.col("sem_keep"))
             .count()
         )
+        # winnowing overlap pairs: the sf0.1 corpus organically has
+        # hot fingerprints (max df ~3.8k/5k docs), so the default
+        # max_df=1000 cap is LIVE here — without it the self-join is
+        # sum(df^2)-quadratic on the hot keys and growth would be ~k^2
+        from grip_spark import text as _text
+
+        t_win, n_win = best_of(
+            lambda: _text.winnow_overlap_pairs(
+                d, "doc_id", "text", k=20, window=16, min_shared=4
+            ).count()
+        )
 
         print(
             f"{k}x: docs={nd} emb={ne} | minhash {t_minhash:.1f}s ({n_pairs} pairs) | "
             f"simhash {t_simhash:.1f}s ({n_sim} pairs) | ann_topk {t_ann:.1f}s | "
             f"semdedup {t_sem:.1f}s ({n_drop} dropped) | "
-            f"hamming_w32 {t_ham:.1f}s ({n_ham} pairs) | ivfadc {t_ivfadc:.1f}s",
+            f"hamming_w32 {t_ham:.1f}s ({n_ham} pairs) | ivfadc {t_ivfadc:.1f}s | "
+            f"winnow_pairs {t_win:.1f}s ({n_win} pairs)",
             flush=True,
         )
         d.unpersist()
@@ -336,11 +348,13 @@ def _graph_probe(spark):
     the corpus-size-independence claim in SCALE.md)."""
     from pyspark.sql import functions as F
 
-    from grip_spark import graphalgo, search
+    from grip_spark import graphalgo, ops, search
+    from grip_spark.graph import GripGraph
 
     cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
     supp = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
     nat = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    reg = spark.read.parquet(f"{SF_DIR}/region.parquet")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
 
     def geo_edges(prefix):
@@ -372,6 +386,41 @@ def _graph_probe(spark):
             best = dt if best is None else min(best, dt)
         return best, result
 
+    def geo_graph(k):
+        """k disjoint copies of the Nation→Region subgraph as a
+        GripGraph — the jump-loop probe's fixture (frontier work must
+        scale ~k; replicas never share edges so the BFS can't weld)."""
+        vs, es = [], []
+        for i in range(k):
+            p = f"r{i}:"
+            vs.append(
+                nat.select(
+                    F.concat(F.lit(f"{p}n:"), F.col("n_nationkey").cast("string")).alias("gid"),
+                    F.lit("Nation").alias("label"),
+                )
+            )
+            vs.append(
+                reg.select(
+                    F.concat(F.lit(f"{p}r:"), F.col("r_regionkey").cast("string")).alias("gid"),
+                    F.lit("Region").alias("label"),
+                )
+            )
+            es.append(
+                nat.select(
+                    F.concat(F.lit(f"{p}e:"), F.col("n_nationkey").cast("string")).alias("gid"),
+                    F.lit("in_region").alias("label"),
+                    F.concat(F.lit(f"{p}n:"), F.col("n_nationkey").cast("string")).alias("src"),
+                    F.concat(F.lit(f"{p}r:"), F.col("n_regionkey").cast("string")).alias("dst"),
+                )
+            )
+        v = vs[0]
+        for x in vs[1:]:
+            v = v.unionByName(x)
+        e = es[0]
+        for x in es[1:]:
+            e = e.unionByName(x)
+        return GripGraph(v, e, name=f"geo{k}x")
+
     for k in (1, 4, 8):
         e = geo_edges("r0:")
         for i in range(1, k):
@@ -380,6 +429,25 @@ def _graph_probe(spark):
         ne = e.count()
         t_pr, nn = best_of(
             lambda: graphalgo.pagerank(e, exact_iterations=5).count()
+        )
+        # jump loop (the bench's repeat3_bfs shape): 3 driver-scheduled
+        # BFS rounds of out('in_region').in_('in_region') — per-round
+        # join work and frontier size must scale ~k
+        g = geo_graph(k)
+        t_jump, n_jump = best_of(
+            lambda: g.query()
+            .V()
+            .hasLabel("Nation")
+            .set("i", 0)
+            .as_("s")
+            .mark("a")
+            .increment("$s.i")
+            .has(ops.lt("$s.i", 4))
+            .out("in_region")
+            .in_("in_region")
+            .jump("a", None, True)
+            .count()
+            .execute()[0]["count"]
         )
         # walks: frontier work ~k (walkers scale with nodes); harmonic
         # with a FIXED source sample must stay ~flat in BFS work per
@@ -402,6 +470,7 @@ def _graph_probe(spark):
         )
         print(
             f"{k}x: edges={ne} nodes={nn} docs={nd} | pagerank5 {t_pr:.1f}s | "
+            f"jump3_bfs {t_jump:.1f}s ({n_jump} rows) | "
             f"walks4 {t_walk:.1f}s ({n_walk}) | harmonic16 {t_harm:.1f}s ({n_harm}) | "
             f"bm25_index {t_idx:.1f}s | bm25_query {t_q:.2f}s",
             flush=True,
