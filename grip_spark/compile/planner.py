@@ -990,13 +990,32 @@ class Planner:
         )
 
     def _agg_percentile(self, df, name, spec, cv):
-        """Approximate percentiles — ``percentile_approx`` stands in for
-        the reference's t-digest (``processors.go:1067-1091``;
-        conformance tolerance is ±15%, ``ot_aggregations.py:110-118``)."""
+        """Approximate percentiles.  Default estimator is Spark's
+        native ``percentile_approx`` (KLL-family; conformance tolerance
+        is ±15%, ``ot_aggregations.py:110-118``); ``mode="tdigest"``
+        (``ops.percentile(..., mode="tdigest")``) runs the repo's
+        mergeable t-digest (``sketch.td_build``) — semantic parity with
+        the reference's estimator (``processors.go:1067-1091``,
+        influxdata/tdigest): partition-local Arrow folds into ≤ ~delta
+        centroids, a partitions-sized driver merge, quantile read-out
+        by centroid-midpoint interpolation."""
         percents = list(spec.get("percents", [1, 5, 25, 50, 75, 95, 99]))
         col, dtype = cv
         self.agg_key_types[name] = NumericType()
         v = as_double(col, dtype)
+        if spec.get("mode") == "tdigest":
+            from .. import sketch
+
+            vals = df.select(v.alias("_v")).filter(F.col("_v").isNotNull())
+            digest = sketch.td_build(vals, "_v", delta=int(spec.get("delta", 100)))
+            schema = "name string, key string, value double"
+            if not digest:
+                return df.sparkSession.createDataFrame([], schema)
+            rows = [
+                (name, str(float(p)), float(sketch.td_quantile(digest, p / 100.0)))
+                for p in percents
+            ]
+            return df.sparkSession.createDataFrame(rows, schema)
         agg = df.select(v.alias("_v")).filter(F.col("_v").isNotNull()).agg(
             F.percentile_approx(
                 "_v", [p / 100.0 for p in percents], F.lit(50000)

@@ -92,8 +92,26 @@ def histogram(name: str, field: str, interval) -> dict:
     return {"name": name, "histogram": {"field": field, "interval": interval}}
 
 
-def percentile(name: str, field: str, percents=(1, 5, 25, 50, 75, 95, 99)) -> dict:
-    return {"name": name, "percentile": {"field": field, "percents": list(percents)}}
+def percentile(
+    name: str,
+    field: str,
+    percents=(1, 5, 25, 50, 75, 95, 99),
+    mode: str = "approx",
+    delta: int = 100,
+) -> dict:
+    """Percentile aggregation spec.  ``mode="approx"`` (default) runs
+    Spark's native ``percentile_approx``; ``mode="tdigest"`` runs the
+    mergeable t-digest (``sketch.td_build``) — the reference's actual
+    estimator (``engine/core/processors.go:1067-1091``, influxdata/
+    tdigest) with constant relative rank error at the tails.  ``delta``
+    is the t-digest compression (ignored under approx)."""
+    if mode not in ("approx", "tdigest"):
+        raise ValueError(f"percentile mode must be approx|tdigest, got {mode!r}")
+    spec = {"field": field, "percents": list(percents)}
+    if mode != "approx":
+        spec["mode"] = mode
+        spec["delta"] = delta
+    return {"name": name, "percentile": spec}
 
 
 def field(name: str, field_: str) -> dict:

@@ -6,6 +6,7 @@ ot_render.py, ot_fields.py, ot_transform.py, ot_distinct.py, ot_path.py
 """
 
 import numpy as np
+import pytest
 
 from grip_spark import ops
 
@@ -72,6 +73,46 @@ def test_agg_traversal_percentile(swapi):
         lo = np.percentile(heights, row["key"]) * 0.85
         hi = np.percentile(heights, row["key"]) * 1.15
         assert lo < row["value"] < hi
+
+
+def test_agg_traversal_percentile_tdigest(swapi):
+    """mode="tdigest" runs the reference's actual estimator family
+    (processors.go:1067-1091, influxdata/tdigest) via sketch.td_build:
+    same ±15% conformance envelope, and exact parity with the pinned
+    t-digest replica fed the same values (pins the spec plumbing and
+    the key/value shaping, not just the tolerance)."""
+    from grip_spark import sketch
+
+    percents = [1, 5, 25, 50, 75, 95, 99, 99.9]
+    heights = np.array(
+        [96, 97, 150, 165, 167, 170, 172, 173, 175, 178, 180, 180, 180, 182, 183, 188, 202, 228]
+    )
+    q = swapi.query().V("Film:1").out().hasLabel("Character")
+    rows = q.aggregate(
+        ops.percentile("traversal-agg", "height", percents, mode="tdigest")
+    ).execute()
+    assert len(rows) == len(percents)
+    for row in rows:
+        assert row["key"] in percents
+        lo = np.percentile(heights, row["key"]) * 0.85
+        hi = np.percentile(heights, row["key"]) * 1.15
+        assert lo < row["value"] < hi
+
+    # parity: same values through td_build/td_quantile directly.
+    # single partition -> deterministic digest on both sides
+    vals = q.to_df().select("data.height").repartition(1)
+    digest = sketch.td_build(vals, "height")
+    rows1 = (
+        swapi.query()
+        .V("Film:1")
+        .out()
+        .hasLabel("Character")
+        .aggregate(ops.percentile("p", "height", percents, mode="tdigest"))
+        .execute()
+    )
+    by_key = {row["key"]: row["value"] for row in rows1}
+    for p in percents:
+        assert by_key[p] == pytest.approx(sketch.td_quantile(digest, p / 100.0))
 
 
 def test_agg_edge_histogram(swapi):
