@@ -133,50 +133,60 @@ class ElementView:
         return F.lit(None), NullType()
 
 
-def _step(col: Column, dtype: DataType, seg: Segment, wild: bool) -> tuple[Column, DataType, bool]:
-    """Apply one path segment to (col, dtype).  ``wild`` means col is an
-    array being mapped over (after a ``[:]``)."""
+def _nested_transform(col: Column, depth: int, fn) -> Column:
+    """Map ``fn`` over a ``depth``-nested array column: depth 0 applies
+    ``fn`` directly, depth 1 is ``F.transform``, depth 2 maps each
+    inner array, etc.  Closure (not default-arg lambda): 2-param
+    callables are treated as the (element, index) form by
+    ``F.transform``."""
+    if depth == 0:
+        return fn(col)
+    return F.transform(col, lambda x: _nested_transform(x, depth - 1, fn))
+
+
+def _step(col: Column, dtype: DataType, seg: Segment, wild: int) -> tuple[Column, DataType, int]:
+    """Apply one path segment to (col, dtype).  ``wild`` is the
+    wildcard DEPTH: after d ``[:]`` wildcards the column is a d-nested
+    array and the tracked dtype is the innermost element type, so
+    every subsequent access maps through d ``transform`` layers —
+    ``a[:].b[:].c`` resolves to ``array<array<c-type>>``
+    (structure-preserving nested projection; the reference resolves
+    full JSONPath here, ``jsonpath/jsonpath.go:130-143``)."""
     if seg.name:
         col, dtype, wild = _get_field(col, dtype, seg.name, wild)
     for idx in seg.indexers:
         if isinstance(dtype, NullType):
             return col, dtype, wild
         if idx == ":":
-            if isinstance(dtype, ArrayType) and not wild:
-                wild = True
-                dtype = dtype.elementType
-            # nested [:][:] not supported — treat as identity
-        else:
-            if wild:
-                # indexing inside a mapped array: per-element getItem —
-                # the tracked dtype is the ELEMENT type, so it must be
-                # an array itself and steps down to its element type
-                # (leaving it unchanged made resolve() report a wrongly
-                # nested ArrayType and mis-dispatch conditions)
-                if isinstance(dtype, ArrayType):
-                    col = F.transform(col, lambda x: x.getItem(idx))
-                    dtype = dtype.elementType
-                else:
-                    return F.lit(None), NullType(), False
-            elif isinstance(dtype, ArrayType):
-                col = col.getItem(idx)
+            if isinstance(dtype, ArrayType):
+                # one more mapped layer: the tracked dtype steps down
+                # to the element type at ANY nesting depth
+                wild += 1
                 dtype = dtype.elementType
             else:
-                return F.lit(None), NullType(), False
+                return F.lit(None), NullType(), 0
+        else:
+            # getItem at the current depth — the tracked dtype must be
+            # an array and steps down to its element type (leaving it
+            # unchanged made resolve() report a wrongly nested
+            # ArrayType and mis-dispatch conditions)
+            if isinstance(dtype, ArrayType):
+                col = _nested_transform(col, wild, lambda x: x.getItem(idx))
+                dtype = dtype.elementType
+            else:
+                return F.lit(None), NullType(), 0
     return col, dtype, wild
 
 
-def _get_field(col: Column, dtype: DataType, name: str, wild: bool):
-    if wild:
-        if isinstance(dtype, StructType) and name in dtype.names:
-            inner = dtype[name].dataType
-            return F.transform(col, lambda x: x.getField(name)), inner, True
-        return F.lit(None), NullType(), False
-    if isinstance(dtype, StructType):
-        if name in dtype.names:
-            return col.getField(name), dtype[name].dataType, False
-        return F.lit(None), NullType(), False
-    return F.lit(None), NullType(), False
+def _get_field(col: Column, dtype: DataType, name: str, wild: int):
+    if isinstance(dtype, StructType) and name in dtype.names:
+        inner = dtype[name].dataType
+        return (
+            _nested_transform(col, wild, lambda x: x.getField(name)),
+            inner,
+            wild,
+        )
+    return F.lit(None), NullType(), 0
 
 
 def resolve(view_lookup, path: str) -> tuple[Column, DataType]:
@@ -196,7 +206,7 @@ def resolve(view_lookup, path: str) -> tuple[Column, DataType]:
     col, dtype = view.get(segs[0].name)
     if isinstance(dtype, NullType):
         return F.lit(None), NullType()
-    wild = False
+    wild = 0
     # apply indexers of head segment, then the rest
     head = Segment("", segs[0].indexers)
     col, dtype, wild = _step(col, dtype, head, wild)
@@ -204,7 +214,7 @@ def resolve(view_lookup, path: str) -> tuple[Column, DataType]:
         if isinstance(dtype, NullType):
             return F.lit(None), NullType()
         col, dtype, wild = _step(col, dtype, seg, wild)
-    if wild:
+    for _ in range(wild):
         dtype = ArrayType(dtype)
     return col, dtype
 

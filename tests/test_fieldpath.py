@@ -20,6 +20,7 @@ def jp_graph(spark):
             "d": [1, 2, 3],
             "e": [{"nested": "field1"}, {"nested": "field2"}],
             "f": None,
+            "g": [{"h": [{"i": 1}, {"i": 2}]}, {"h": [{"i": 3}]}],
         },
     )
     g.addVertex("vertex2", "bar", {"a": "world", "b": 2, "c": False, "d": [4, 5, 6]})
@@ -45,6 +46,20 @@ def test_render_array_index(jp_graph):
     assert _render_one(jp_graph, "vertex1", "d[2]") == 3
     assert _render_one(jp_graph, "vertex1", "e[1].nested") == "field2"
     assert _render_one(jp_graph, "vertex1", "e[:].nested") == ["field1", "field2"]
+
+
+def test_render_nested_wildcards(jp_graph):
+    """Doubly-nested [:][:] paths resolve as structure-preserving
+    nested projections (one transform layer per wildcard) instead of
+    the pre-r6 silent identity degrade; an indexer at either depth
+    composes; [:] on a non-array is null (the reference's jsonpath
+    lookup errors → nil there, jsonpath/jsonpath.go:130-143)."""
+    assert _render_one(jp_graph, "vertex1", "g[:].h[:].i") == [[1, 2], [3]]
+    assert _render_one(jp_graph, "vertex1", "g[:].h[0].i") == [1, 3]
+    assert _render_one(jp_graph, "vertex1", "g[0].h[:].i") == [1, 2]
+    assert _render_one(jp_graph, "vertex1", "g[1].h[0].i") == 3
+    assert _render_one(jp_graph, "vertex1", "a[:]") is None
+    assert _render_one(jp_graph, "vertex1", "g[:].h[:].i[:]") is None
 
 
 def test_render_list_and_dict(jp_graph):
