@@ -942,7 +942,8 @@ def q_random_walks(spark, sf_dir):
     md5-prefix step-hash family so DuckDB replicates the per-step
     argmin choice — WHOLE 2-step walks value-checked (start, hop1,
     hop2; order-start walks strand at parts, exercising the early-stop
-    path)."""
+    path, and part-start walks are length-1 — every node starts a walk,
+    the DeepWalk start-set semantics)."""
     from grip_spark import graphalgo
     from grip_spark.dedup import md5_prefix_hash
 
@@ -1360,7 +1361,9 @@ WITH edges AS (
   SELECT 'o:' || CAST(l_orderkey AS VARCHAR),
          'p:' || CAST(l_partkey AS VARCHAR) FROM lineitem
 ),
-w0 AS (SELECT DISTINCT src AS start FROM edges),
+w0 AS (SELECT DISTINCT start FROM (
+  SELECT src AS start FROM edges UNION ALL SELECT dst FROM edges
+)),
 s1 AS (
   SELECT start, dst AS hop1 FROM (
     SELECT w0.start, e.dst,
@@ -1375,8 +1378,9 @@ s2 AS (
     FROM s1 JOIN edges e ON e.src = s1.hop1
   ) WHERE rn = 1
 )
-SELECT s1.start || '#0' AS walk_id, s1.start, s1.hop1, s2.hop2
-FROM s1 LEFT JOIN s2 ON s2.start = s1.start
+SELECT w0.start || '#0' AS walk_id, w0.start, s1.hop1, s2.hop2
+FROM w0 LEFT JOIN s1 ON s1.start = w0.start
+LEFT JOIN s2 ON s2.start = w0.start
 """
 _EN_SQL = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
 

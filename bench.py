@@ -60,7 +60,8 @@ def main():
     # a real corpus read arrives with thousands.  Model that (and stop
     # narrow text/signature stages from pinning to one core) by
     # spreading the small tables across the local cores once.
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
+    docs_raw = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs = docs_raw.repartition(CPUS)
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(CPUS)
     # TIMESTAMP(NANOS) events: legacy builds honor nanosAsLong (raw
     # long), Spark 4.1+ reads timestamp_ntz — normalize to nanos-long
@@ -153,7 +154,14 @@ def main():
         "minhash_pairs": lambda: run_count(
             dedup.minhash_lsh_pairs(docs, "doc_id", threshold=0.8)
         ),
-        "dedup_exact": lambda: run_count(dedup.dedup_exact(docs, ["text"], "doc_id")),
+        # raw scan, NOT the repartitioned handle: dedup_exact's own
+        # hash-aggregate shuffle redistributes the 16-byte keys anyway,
+        # so a full-text pre-shuffle is pure overhead (the r5 bench fed
+        # it the repartitioned docs and paid 1.9s vs r3's 0.73s) — at
+        # corpus scale you'd never pre-shuffle before a hash-agg either
+        "dedup_exact": lambda: run_count(
+            dedup.dedup_exact(docs_raw, ["text"], "doc_id")
+        ),
         "text_quality_lang": lambda: run_count(
             text.detect_language(text.quality_score(docs)).filter(
                 (F.col("quality") > 0.5) & (F.col("lang_guess") == "en")

@@ -101,6 +101,20 @@ def _node_edge_tables(edges, vertices, src_col, dst_col, id_col, _ckpt, weight_c
     return nodes, e
 
 
+def _default_power_iters(damping: float, tol: float) -> int:
+    """Smallest round count the power method needs to reach an L1
+    delta of ``tol``: the delta contracts by ~``damping`` per round
+    (‖r_k − r*‖₁ ≤ 2·d^k), so solve ``2·d^k ≤ tol`` and pad a few
+    rounds.  Keeps the defaults self-consistent — a fixed cap of 40
+    with tol=1e-9 and d=0.85 is unreachable on any cyclic graph
+    (0.85⁴⁰ ≈ 1.5e-3), so pagerank() with all-default arguments would
+    raise on exactly the host-link graphs it is documented for
+    (ADVICE r5)."""
+    import math as _m
+
+    return max(1, _m.ceil(_m.log(tol / 2.0) / _m.log(damping))) + 5
+
+
 def _power_loop(
     nodes: DataFrame,
     e: DataFrame,
@@ -193,7 +207,7 @@ def pagerank(
     dst_col: str = "dst",
     id_col: str = "gid",
     damping: float = 0.85,
-    max_iterations: int = 40,
+    max_iterations: int | None = None,
     tol: float = 1e-9,
     exact_iterations: int | None = None,
     weight_col: str | None = None,
@@ -217,7 +231,12 @@ def pagerank(
     Stops when the L1 rank change drops below ``tol`` (exact check on
     the node-sized rank table) and raises if ``max_iterations`` can't
     get there — a silently-unconverged rank would corrupt any quality
-    threshold derived from it.  Deterministic up to float addition
+    threshold derived from it.  ``max_iterations=None`` (default)
+    derives the bound from ``damping``/``tol`` via
+    :func:`_default_power_iters` (~137 rounds at the defaults), so
+    all-default calls converge on cyclic graphs instead of raising
+    (ADVICE r5: the delta decays ~dampingᵏ, which a fixed cap of 40
+    could never chase to 1e-9).  Deterministic up to float addition
     order (exact sums otherwise; the tests bound it at 1e-9).
 
     ``exact_iterations`` runs exactly that many rounds with no
@@ -227,6 +246,8 @@ def pagerank(
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0,1), got {damping}")
+    if max_iterations is None:
+        max_iterations = _default_power_iters(damping, tol)
     _ckpt = _checkpointer(edges.sparkSession)
     nodes, e = _node_edge_tables(
         edges, vertices, src_col, dst_col, id_col, _ckpt, weight_col
@@ -262,7 +283,7 @@ def personalized_pagerank(
     id_col: str = "gid",
     seed_col: str = "gid",
     damping: float = 0.85,
-    max_iterations: int = 40,
+    max_iterations: int | None = None,
     tol: float = 1e-9,
     exact_iterations: int | None = None,
 ) -> DataFrame:
@@ -277,10 +298,13 @@ def personalized_pagerank(
     ``_power_loop``) with the base term ``(1-d) * 1[v ∈ seeds]/|seeds|``
     and dangling mass returned to the seed set.  Non-seed nodes
     reachable only against edge direction converge to rank 0; total
-    mass stays 1.
+    mass stays 1.  ``max_iterations=None`` derives the convergence
+    bound from ``damping``/``tol`` (see :func:`_default_power_iters`).
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0,1), got {damping}")
+    if max_iterations is None:
+        max_iterations = _default_power_iters(damping, tol)
     _ckpt = _checkpointer(edges.sparkSession)
     nodes, e = _node_edge_tables(edges, vertices, src_col, dst_col, id_col, _ckpt)
     seed_ids = (
@@ -338,6 +362,15 @@ def label_propagation(
     after round k reflect k-hop structure, which is what the
     near-dup-cluster and host-grouping uses need).
 
+    Votes flow over the undirected SIMPLE graph — like
+    :func:`triangle_count`/:func:`k_core`/:func:`modularity`, edges
+    are canonicalized first (self-loops dropped, the undirected pair
+    distinct-ed), so a node never votes for its own label via a
+    self-loop and parallel edges (e.g. multigraph host-link input)
+    count one neighbor vote, not multiplicity-many (ADVICE r5).  The
+    node set still comes from the RAW edges: a node whose only edges
+    were self-loops keeps its own label rather than vanishing.
+
     Scale shape per round: one equi-join (labels × symmetric edges),
     one (dst, label)-count aggregate, one max-struct aggregate per
     node — all map-side combined; label table node-sized and
@@ -347,12 +380,22 @@ def label_propagation(
     """
     _ckpt = _checkpointer(edges.sparkSession)
     p = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    sym = p.unionByName(
-        p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    canon = (
+        p.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    sym = canon.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     ).persist()
     try:
         labels = _ckpt(
-            sym.select(F.col("src").alias("id"))
+            p.select(F.col("src").alias("id"))
+            .unionByName(p.select(F.col("dst").alias("id")))
             .distinct()
             .withColumn("community", F.col("id"))
         )
@@ -368,9 +411,18 @@ def label_propagation(
                     F.struct(
                         (-F.col("_n")).alias("_neg"), F.col("community").alias("c")
                     )
-                )["c"].alias("community")
+                )["c"].alias("_best")
             )
-            new = _ckpt(best)
+            # left join: an isolated (self-loop-only) node gets no
+            # votes and keeps its current label
+            new = _ckpt(
+                labels.join(best, "id", "left").select(
+                    "id",
+                    F.coalesce(F.col("_best"), F.col("community")).alias(
+                        "community"
+                    ),
+                )
+            )
             changed = (
                 new.alias("n")
                 .join(labels.alias("o"), "id")
@@ -475,10 +527,13 @@ def random_walks(
     step_hash=None,
 ) -> DataFrame:
     """Deterministic uniform random walks → ``(walk_id, start, path)``
-    (``path`` is an array of node ids, ``length+1`` long including the
-    start; walks stop early at sink nodes) — the DeepWalk/node2vec
-    corpus stage: walk sequences feed a skip-gram trainer exactly like
-    text feeds word2vec (Perozzi et al., KDD 2014).
+    (``path`` is an array of node ids, up to ``length+1`` long
+    including the start; walks stop early at sink nodes) — the
+    DeepWalk/node2vec corpus stage: walk sequences feed a skip-gram
+    trainer exactly like text feeds word2vec (Perozzi et al., KDD
+    2014).  Walks start at EVERY node (src ∪ dst), matching reference
+    DeepWalk — a pure sink emits ``walks_per_node`` length-1 walks
+    rather than silently originating none.
 
     Every step choice is a pure function of ``(salt, walk_id, step,
     neighbor)``: at each step the walker moves to the neighbor whose
@@ -513,7 +568,16 @@ def random_walks(
         F.col(src_col).cast("string").alias("_src"),
         F.col(dst_col).cast("string").alias("_dst"),
     ).persist()
-    starts = e.select(F.col("_src").alias("start")).distinct()
+    # full node set (src ∪ dst): reference DeepWalk starts a walk at
+    # EVERY node, so pure-sink nodes originate walks_per_node length-1
+    # walks (they strand immediately) instead of never appearing as
+    # starts and starving the downstream word2vec vocabulary of their
+    # contexts (ADVICE r5)
+    starts = (
+        e.select(F.col("_src").alias("start"))
+        .unionByName(e.select(F.col("_dst").alias("start")))
+        .distinct()
+    )
     walkers = starts.select(
         "start",
         F.explode(F.array(*[F.lit(i) for i in range(walks_per_node)])).alias("_i"),
@@ -620,7 +684,13 @@ def node2vec_walks(
         .distinct()
         .persist()
     )
-    starts = e.select(F.col("_src").alias("start")).distinct()
+    # src ∪ dst: sinks start (immediately-stranded) walks too — see
+    # random_walks (reference DeepWalk starts at every node)
+    starts = (
+        e.select(F.col("_src").alias("start"))
+        .unionByName(e.select(F.col("_dst").alias("start")))
+        .distinct()
+    )
     frontier = _ckpt(
         starts.select(
             "start",

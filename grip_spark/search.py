@@ -58,7 +58,24 @@ def bm25_index(
     with no tokens (empty/NULL text) simply have no postings — they
     can never match a term query.  The postings are checkpointed so
     the term table and corpus scalars don't re-tokenize the corpus.
+
+    ``id_col`` values must be UNIQUE (the disjointness contract
+    :func:`bm25_merge` documents, enforced here): duplicate ids would
+    inflate ``n_docs``/``avgdl`` and double-count tf for the welded
+    id.  Checked on the raw id column (count vs countDistinct — one
+    column-pruned aggregate; checking the derived (id, dl) table
+    instead would miss the common case, exact-duplicate rows whose
+    equal dl collapses the pair) and raises naming the violation
+    instead of silently skewing every idf/tf normalization.
     """
+    dup = df.agg(
+        (F.count(id_col) - F.countDistinct(id_col)).alias("d")
+    ).first()["d"]
+    if dup:
+        raise ValueError(
+            f"bm25_index: {id_col} values must be unique — {dup} duplicate "
+            "id(s) found (dedup upstream, e.g. dedup.dedup_exact)"
+        )
     nonempty = F.filter(tokens(text_col), lambda t: t != "")
     base = df.select(
         F.col(id_col).alias("id"),

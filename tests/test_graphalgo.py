@@ -151,6 +151,34 @@ def test_pagerank_errors(spark, digraph):
         graphalgo.pagerank(e, vertices=v, max_iterations=1, tol=1e-15)
 
 
+def test_pagerank_default_bound_reaches_cyclic_convergence(spark):
+    """ADVICE r5: with a fixed cap of 40, tol=1e-9 is unreachable on
+    cyclic graphs (delta decays ~0.85^k) — pagerank(host_graph(...))
+    raised with all-default arguments.  max_iterations now defaults to
+    the derived bound ceil(ln(tol/2)/ln(damping)) + 5."""
+    from grip_spark.graphalgo import _default_power_iters
+
+    # the defaults are self-consistent: 0.85^bound * 2 <= 1e-9
+    bound = _default_power_iters(0.85, 1e-9)
+    assert bound >= 128
+    assert 2 * 0.85**bound <= 1e-9
+
+    # the ADVICE repro shape (directed cycle + one chord) converges
+    # with a derived bound; damping=0.5 keeps the round count testable
+    # while exercising the same cyclic-delta-decay path
+    n = 12
+    edges = [(f"v{i}", f"v{(i + 1) % n}") for i in range(n)] + [("v0", "v6")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    ranks = graphalgo.pagerank(e, damping=0.5, tol=1e-10).collect()
+    assert abs(sum(r["pagerank"] for r in ranks) - 1.0) < 1e-9
+    # cross-check against the exhaustive replica
+    nodes = [f"v{i}" for i in range(n)]
+    expect = _py_pagerank(nodes, edges, d=0.5)
+    got = {r["id"]: r["pagerank"] for r in ranks}
+    for x in nodes:
+        assert abs(got[x] - expect[x]) < 1e-8
+
+
 def test_pagerank_star_graph(spark):
     """Known closed form: hub fed by k spokes (spokes are sinks too
     once they point at the hub only)."""
@@ -218,18 +246,20 @@ def test_personalized_pagerank(spark, digraph):
 
 
 def _py_lpa(edges, rounds):
-    sym = []
-    for s, t in edges:
-        sym.append((s, t))
-        sym.append((t, s))
-    nodes = sorted({x for ed in sym for x in ed})
+    # canonical simple graph (self-loops dropped, undirected pair
+    # distinct-ed) — votes never multiply with edge multiplicity and a
+    # node can't vote for itself; node set still from the raw edges
+    canon = {(min(s, t), max(s, t)) for s, t in edges if s != t}
+    sym = [p for a, b in canon for p in ((a, b), (b, a))]
+    nodes = sorted({x for ed in edges for x in ed})
     lab = {x: x for x in nodes}
     for _ in range(rounds):
         votes = {x: {} for x in nodes}
         for s, t in sym:
             votes[t][lab[s]] = votes[t].get(lab[s], 0) + 1
         new = {
-            x: min(v, key=lambda c: (-votes[x][c], c)) for x, v in votes.items()
+            x: min(v, key=lambda c: (-v[c], c)) if v else lab[x]
+            for x, v in votes.items()
         }
         if new == lab:
             break
@@ -246,6 +276,37 @@ def test_label_propagation_matches_replica(spark, digraph):
         }
         expect = _py_lpa(edges, rounds)
         assert got == expect, rounds
+
+
+def test_label_propagation_canonicalizes_multigraph(spark):
+    """ADVICE r5: self-loops and parallel edges must not weight the
+    vote.  b's 3 parallel edges to a count as ONE neighbor vote, so
+    c+d's two votes pull b to the c-community exactly as they would on
+    the simple graph; a self-loop-only node survives with its own
+    label."""
+    edges = (
+        [("a", "b")] * 3  # parallel: one vote, not three
+        + [("b", "c"), ("b", "d"), ("c", "d")]
+        + [("b", "b")]  # self-loop: no self-vote
+        + [("z", "z")]  # self-loop-only node: kept, own label
+    )
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["id"]: r["community"]
+        for r in graphalgo.label_propagation(e, max_iterations=10).collect()
+    }
+    assert got == _py_lpa(edges, 10)
+    assert got["z"] == "z"
+    # multiplicity-blind: same result as the explicit simple graph
+    simple = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("b", "d"), ("c", "d"), ("z", "z")],
+        "src string, dst string",
+    )
+    got_simple = {
+        r["id"]: r["community"]
+        for r in graphalgo.label_propagation(simple, max_iterations=10).collect()
+    }
+    assert got == got_simple
 
 
 def test_label_propagation_two_cliques(spark):
@@ -340,7 +401,12 @@ def test_random_walks_exact_replica(spark, digraph):
         r["walk_id"]: r["path"]
         for r in graphalgo.random_walks(e, length=4, walks_per_node=2, salt="s1").collect()
     }
-    assert set(got) == {f"{x}#{i}" for x in adj for i in (0, 1)}
+    # every node (src ∪ dst) starts walks_per_node walks — sinks
+    # included (their walks are length-1), the DeepWalk start set
+    touched = {x for s, t in edges for x in (s, t)}
+    assert set(got) == {f"{x}#{i}" for x in touched for i in (0, 1)}
+    for x in touched - set(adj):
+        assert got[f"{x}#0"] == [x]  # pure sink: immediately stranded
     for wid, path in got.items():
         start = wid.rsplit("#", 1)[0]
         assert path[0] == start
@@ -377,7 +443,10 @@ def test_random_walks_uniform_over_neighbors(spark):
     walks = graphalgo.random_walks(e, length=1, walks_per_node=400).collect()
     counts = {}
     for r in walks:
-        counts[r["path"][1]] = counts.get(r["path"][1], 0) + 1
+        if r["start"] == "hub":
+            counts[r["path"][1]] = counts.get(r["path"][1], 0) + 1
+        else:
+            assert r["path"] == [r["start"]]  # spokes are sinks: length-1
     assert set(counts) == {f"s{i}" for i in range(4)}
     for n in counts.values():
         assert 60 < n < 140  # 100 expected, generous 4-sigma band
@@ -404,7 +473,8 @@ def _py_node2vec(edges, length, walks_per_node, p, q, salt):
     for k in adj:
         adj[k].sort()
     out = {}
-    for start in adj:
+    starts = sorted({x for s, t in eset for x in (s, t)})
+    for start in starts:
         for i in range(walks_per_node):
             wid = f"{start}#{i}"
             path, prev, cur = [start], None, start

@@ -313,6 +313,39 @@ def test_rebalance_honors_upstream_repartition(spark):
     assert exchanges(_rebalance(pre)) == exchanges(pre) == 1
 
 
+def test_rebalance_skips_when_scan_splits_suffice(spark):
+    """Few-but-huge files: the planner splits them by
+    maxPartitionBytes, so the scan is already parallel and the
+    spreading shuffle must be skipped.  Simulated by shrinking
+    maxPartitionBytes so the small test file counts as many splits."""
+    import re as _re
+
+    from grip_spark.dedup import _parse_bytes, _rebalance, _scan_splits
+
+    assert _parse_bytes("134217728b") == 128 << 20
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes("junk") == 128 << 20
+
+    raw = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+    def exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return len(_re.findall(r"Exchange (?:hash|RoundRobin|range)", plan))
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096b")
+        # the single file now counts as >= defaultParallelism splits
+        assert _scan_splits(spark, raw.inputFiles()) >= 8
+        assert exchanges(_rebalance(raw)) == 0
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    # restored: single small file is 1 split again -> shuffle returns
+    assert _scan_splits(spark, raw.inputFiles()) == 1
+    assert exchanges(_rebalance(raw)) == 1
+
+
 def test_null_text_rows(spark):
     """Real corpora carry NULL text rows; the chunker emits no chunk,
     the packer counts 0 tokens (doc keeps a valid seq assignment), and

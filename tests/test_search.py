@@ -87,6 +87,23 @@ def test_unknown_term_and_empty_query(index):
         search.bm25_topk(index, "   ")
 
 
+def test_duplicate_ids_rejected(spark):
+    """ADVICE r5: duplicate doc ids would inflate n_docs/avgdl and
+    double-count tf — the build now raises, including for EXACT
+    duplicate rows (same dl), which a check on the (id, dl) table
+    would miss."""
+    exact_dup = spark.createDataFrame(
+        [(1, "a b c"), (1, "a b c"), (2, "d e")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="must be unique"):
+        search.bm25_index(exact_dup, "doc_id", "text")
+    diff_dup = spark.createDataFrame(
+        [(1, "a b c"), (1, "x y"), (2, "d e")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="must be unique"):
+        search.bm25_index(diff_dup, "doc_id", "text")
+
+
 def test_disk_roundtrip_and_pruning(spark, index, tmp_path):
     path = str(tmp_path / "bm25")
     search.bm25_save(index, path, n_buckets=16)
