@@ -147,6 +147,154 @@ def normalize(text: Column | str) -> Column:
     return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
 
 
+def _char_grams_all(text: Column | str, n: int) -> Column:
+    """All character ``n``-grams of the normalized text, duplicates
+    kept in order (unlike ``dedup.char_shingles``, which distincts —
+    LID counts every occurrence).  Texts shorter than ``n`` yield an
+    empty array.  Let-bound so the normalize regex runs once per row."""
+
+    def _body(s):
+        idx = F.when(
+            F.length(s) >= n, F.sequence(F.lit(1), F.length(s) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: F.substring(s, i, n))
+
+    return _let(normalize(text), _body)
+
+
+def langid_model(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n: int = 3,
+    vocab_size: int = 5000,
+) -> dict:
+    """Trainable character-n-gram Naive Bayes language identifier
+    (the langid.py / CLD family; Cavnar & Trenkle 1994 n-gram LID) —
+    the reference-corpus-trained counterpart of the fixed stopword
+    heuristic :func:`detect_language`.
+
+    Returns ``{"grams": DataFrame(gram, lang, logp),
+    "langs": DataFrame(lang, prior_logp)}``: ``grams`` is DENSE over
+    vocab × observed languages with add-one smoothing
+    ``ln((c + 1) / (T_l + V))`` (``T_l`` = language ``l``'s total
+    count over vocab grams, ``V`` = vocab size), so scoring is a plain
+    equi-join with no per-language missing-row fixup; ``prior_logp``
+    is the document-frequency prior ``ln(docs_l / docs_total)``.
+    Out-of-vocabulary grams carry no signal and are DROPPED at scoring
+    time (the restricted-feature NB convention langid.py uses), so no
+    floor term exists.
+
+    Deterministic: the vocabulary is the ``vocab_size`` most frequent
+    grams corpus-wide with count-desc/gram-asc tie-break (the
+    :func:`unigram_model` convention).
+
+    Scale shape: one explode + (gram, lang) hash-aggregate over the
+    corpus (map-side combined; the shuffle carries observed
+    (gram, lang) pairs, Zipf-small), one vocab-sized sort-limit, and a
+    vocab × languages dense build — the model is
+    ``vocab_size × n_langs`` rows, broadcastable by construction.
+    """
+    if vocab_size <= 0:
+        raise ValueError(f"vocab_size must be > 0, got {vocab_size}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    counts = (
+        df.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(_char_grams_all(text_col, n)).alias("gram"),
+        )
+        .filter(F.col("lang").isNotNull())
+        .groupBy("gram", "lang")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = (
+        counts.groupBy("gram")
+        .agg(F.sum("_c").alias("_tot"))
+        .orderBy(F.col("_tot").desc(), F.col("gram").asc())
+        .limit(vocab_size)
+        .select("gram")
+        .localCheckpoint(eager=True)
+    )
+    v = vocab.count()
+    vocab_counts = counts.join(vocab, "gram")
+    lang_totals = vocab_counts.groupBy("lang").agg(F.sum("_c").alias("_t"))
+    dense = (
+        vocab.crossJoin(lang_totals)
+        .join(vocab_counts, ["gram", "lang"], "left")
+        .select(
+            "gram",
+            "lang",
+            F.log(
+                (F.coalesce(F.col("_c"), F.lit(0)) + F.lit(1.0))
+                / (F.col("_t") + F.lit(float(v)))
+            ).alias("logp"),
+        )
+    )
+    doc_counts = (
+        df.filter(F.col(lang_col).isNotNull())
+        .groupBy(F.col(lang_col).alias("lang"))
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .localCheckpoint(eager=True)
+    )
+    total_docs = doc_counts.agg(F.sum("_d").alias("_n"))
+    langs = doc_counts.crossJoin(F.broadcast(total_docs)).select(
+        "lang", F.log(F.col("_d") / F.col("_n")).alias("prior_logp")
+    )
+    return {
+        "grams": dense.localCheckpoint(eager=True),
+        "langs": langs.localCheckpoint(eager=True),
+        "n": n,
+    }
+
+
+def langid_score(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "lang_pred",
+) -> DataFrame:
+    """Classify each document under a :func:`langid_model` →
+    ``(id_col, out_col, lang_score)``: argmax over languages of
+    ``prior_logp + Σ_{vocab grams} logp(gram | lang)`` (ties →
+    smallest language id; every occurrence votes).  Documents with NO
+    in-vocabulary grams (empty/NULL/too-short text) get a NULL
+    prediction — emitting the bare prior argmax would just report the
+    majority class with false confidence.
+
+    Scale shape: explode grams → broadcast inner join against the
+    dense model (OOV grams drop out of the join — the model never
+    shuffles, the corpus never re-shuffles on text) → one
+    (doc, lang) map-side-combined sum, one per-doc argmax struct-min.
+    The join fans each matched gram out to n_langs (gram, logp) rows —
+    8-byte pairs into a partial aggregate, the same expansion budget
+    as a minhash signature shuffle — then a left join re-attaches
+    every document row.
+    """
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_char_grams_all(text_col, int(model["n"]))).alias("gram"),
+    )
+    per_lang = (
+        grams.join(F.broadcast(model["grams"]), "gram")
+        .groupBy("_id", "lang")
+        .agg(F.sum("logp").alias("_s"))
+        .join(F.broadcast(model["langs"]), "lang")
+        .select("_id", "lang", (F.col("_s") + F.col("prior_logp")).alias("_score"))
+    )
+    best = per_lang.groupBy("_id").agg(
+        F.min(F.struct((-F.col("_score")).alias("_neg"), F.col("lang").alias("l")))
+        .alias("_b")
+    )
+    return df.join(best, df[id_col] == best["_id"], "left").select(
+        df["*"],
+        F.col("_b.l").alias(out_col),
+        (-F.col("_b._neg")).alias("lang_score"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
     """Deterministic document fingerprint: md5 of the normalized text.
     (Content-defined dedup key; pair with dedup.dedup_exact.)"""

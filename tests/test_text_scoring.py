@@ -924,3 +924,122 @@ def test_normalize_url_protocol_relative(spark):
         for r in df.select("doc_id", text.url_host("url").alias("h")).collect()
     }
     assert hosts[0] == hosts[1] == "cdn.example.com"
+
+
+# -- trainable char-n-gram language ID ---------------------------------------
+
+
+LID_DOCS = [
+    (0, "the cat sat on the mat and the dog ate the food", "en"),
+    (1, "the quick brown fox jumps over the lazy dog again", "en"),
+    (2, "der hund und die katze sind in dem haus geblieben", "de"),
+    (3, "die kinder spielen mit dem ball in dem garten dort", "de"),
+    (4, "le chat est sur le tapis et le chien mange", "fr"),
+]
+
+
+def _py_langid_model(rows, n, vocab_size):
+    """Exhaustive replica of text.langid_model: normalize, all char
+    n-grams (duplicates kept), count-desc/gram-asc vocab cut, add-one
+    smoothing over vocab-gram totals, doc-frequency priors."""
+    import re as _re
+
+    def norm(s):
+        return _re.sub(r"\s+", " ", s.strip().lower())
+
+    def grams(s):
+        s = norm(s)
+        return [s[i : i + n] for i in range(len(s) - n + 1)] if len(s) >= n else []
+
+    counts = Counter()
+    for _, t, lang in rows:
+        for g in grams(t):
+            counts[(g, lang)] += 1
+    by_gram = Counter()
+    for (g, _), c in counts.items():
+        by_gram[g] += c
+    vocab = sorted(by_gram, key=lambda g: (-by_gram[g], g))[:vocab_size]
+    vset = set(vocab)
+    langs = sorted({lang for _, _, lang in rows})
+    t_l = {
+        lang: sum(c for (g, x), c in counts.items() if x == lang and g in vset)
+        for lang in langs
+    }
+    v = len(vocab)
+    logp = {
+        (g, lang): math.log((counts.get((g, lang), 0) + 1.0) / (t_l[lang] + v))
+        for g in vocab
+        for lang in langs
+    }
+    n_docs = Counter(lang for _, _, lang in rows)
+    total = sum(n_docs.values())
+    prior = {lang: math.log(n_docs[lang] / total) for lang in langs}
+    return vset, logp, prior, grams
+
+
+def test_langid_model_matches_python(spark):
+    n, vs = 3, 60
+    df = spark.createDataFrame(LID_DOCS, "doc_id long, text string, lang string")
+    model = text.langid_model(df, n=n, vocab_size=vs)
+    vset, logp, prior, _ = _py_langid_model(LID_DOCS, n, vs)
+    got = {(r["gram"], r["lang"]): r["logp"] for r in model["grams"].collect()}
+    assert set(g for g, _ in got) == vset
+    assert set(got) == set(logp)  # dense: every vocab gram x lang
+    for k in logp:
+        assert abs(got[k] - logp[k]) < 1e-12, k
+    got_prior = {r["lang"]: r["prior_logp"] for r in model["langs"].collect()}
+    assert set(got_prior) == set(prior)
+    for lang in prior:
+        assert abs(got_prior[lang] - prior[lang]) < 1e-12
+
+
+def test_langid_score_matches_python_and_classifies(spark):
+    n, vs = 3, 60
+    df = spark.createDataFrame(LID_DOCS, "doc_id long, text string, lang string")
+    model = text.langid_model(df, n=n, vocab_size=vs)
+    vset, logp, prior, grams = _py_langid_model(LID_DOCS, n, vs)
+
+    tests = [
+        (10, "the dog and the cat sat on the food there"),
+        (11, "der hund und die katze spielen in dem garten"),
+        (12, "le chien et le chat sont sur le tapis"),
+        (13, ""),  # no grams -> NULL prediction
+        (14, "zq"),  # shorter than n -> NULL prediction
+    ]
+    tdf = spark.createDataFrame(tests, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["lang_pred"], r["lang_score"])
+        for r in text.langid_score(tdf, model).collect()
+    }
+    assert len(got) == len(tests)  # left join keeps every doc row
+    for doc_id, t in tests:
+        gs = [g for g in grams(t) if g in vset]
+        if not gs:
+            assert got[doc_id] == (None, None), doc_id
+            continue
+        scores = {
+            lang: prior[lang] + sum(logp[(g, lang)] for g in gs)
+            for lang in prior
+        }
+        best = min(scores, key=lambda lang: (-scores[lang], lang))
+        assert got[doc_id][0] == best, doc_id
+        assert abs(got[doc_id][1] - scores[best]) < 1e-9, doc_id
+    # the classifier actually separates the three languages
+    assert got[10][0] == "en" and got[11][0] == "de" and got[12][0] == "fr"
+
+
+def test_langid_validation_and_broadcast_plan(spark):
+    df = spark.createDataFrame(LID_DOCS, "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="vocab_size"):
+        text.langid_model(df, vocab_size=0)
+    with pytest.raises(ValueError, match="n must"):
+        text.langid_model(df, n=0)
+    model = text.langid_model(df, n=3, vocab_size=40)
+    plan = (
+        text.langid_score(df, model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the model side joins broadcast; the corpus never shuffles on text
+    assert "BroadcastHashJoin" in plan
