@@ -1087,13 +1087,12 @@ def q_dedup_pairs(spark, sf_dir):
     exact pair set would surface any recall gap as missing rows) as
     one labeled matrix — folded in r6 to fund the ``harmonic`` slot
     under the driver's 50-query cap."""
-    docs = _docs(spark, sf_dir)
     a = q_dedup_ngram_pairs(spark, sf_dir).select(
         F.lit("ngram3").alias("variant"), "a_id", "b_id"
     )
-    b = dedup.minhash_lsh_pairs(
-        docs, "doc_id", threshold=0.8, num_hashes=64, shingle_n=5
-    ).select(F.lit("minhash").alias("variant"), "a_id", "b_id")
+    b = q_dedup_minhash_pairs(spark, sf_dir).select(
+        F.lit("minhash").alias("variant"), "a_id", "b_id"
+    )
     return a.unionByName(b)
 
 

@@ -50,7 +50,10 @@ def _rebalance(df: DataFrame) -> DataFrame:
     Non-file inputs (in-memory test relations) are left untouched."""
     target = df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
-    if files and _scan_splits(df.sparkSession, files) < target:
+    # cheap short-circuit first: splits >= file count always, so a
+    # many-files scan (the common case at scale) never pays one
+    # driver stat() per file just to confirm it is already parallel
+    if files and len(files) < target and _scan_splits(df.sparkSession, files) < target:
         analyzed = df._jdf.queryExecution().analyzed().toString()
         if "Repartition" in analyzed:
             return df

@@ -112,6 +112,11 @@ def _default_power_iters(damping: float, tol: float) -> int:
     (ADVICE r5)."""
     import math as _m
 
+    if tol <= 0:
+        raise ValueError(
+            f"tol must be > 0 when max_iterations is None, got {tol} "
+            "(pass an explicit max_iterations to run a fixed bound)"
+        )
     return max(1, _m.ceil(_m.log(tol / 2.0) / _m.log(damping))) + 5
 
 

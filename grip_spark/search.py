@@ -68,13 +68,17 @@ def bm25_index(
     equal dl collapses the pair) and raises naming the violation
     instead of silently skewing every idf/tf normalization.
     """
+    # count(*) not count(id): both count(id) and countDistinct skip
+    # NULLs, so NULL-id rows (which the posting groupBy would weld
+    # into one phantom document) must surface here too
     dup = df.agg(
-        (F.count(id_col) - F.countDistinct(id_col)).alias("d")
+        (F.count(F.lit(1)) - F.countDistinct(id_col)).alias("d")
     ).first()["d"]
     if dup:
         raise ValueError(
-            f"bm25_index: {id_col} values must be unique — {dup} duplicate "
-            "id(s) found (dedup upstream, e.g. dedup.dedup_exact)"
+            f"bm25_index: {id_col} values must be unique and non-NULL — "
+            f"{dup} duplicate/NULL id(s) found (dedup upstream, e.g. "
+            "dedup.dedup_exact)"
         )
     nonempty = F.filter(tokens(text_col), lambda t: t != "")
     base = df.select(

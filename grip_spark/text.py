@@ -218,8 +218,22 @@ def langid_model(
         .localCheckpoint(eager=True)
     )
     v = vocab.count()
+    doc_counts = (
+        df.filter(F.col(lang_col).isNotNull())
+        .groupBy(F.col(lang_col).alias("lang"))
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .localCheckpoint(eager=True)
+    )
     vocab_counts = counts.join(vocab, "gram")
-    lang_totals = vocab_counts.groupBy("lang").agg(F.sum("_c").alias("_t"))
+    # language axis = every LABELED language (doc_counts), not just
+    # those with in-vocabulary grams: a language crowded out of the
+    # vocabulary (or with all-short docs) still gets dense smoothed
+    # rows (T_l = 0 → ln(1/V)) — otherwise the scoring inner join
+    # could never predict it and its docs would be confidently
+    # misclassified instead
+    lang_totals = doc_counts.select("lang").join(
+        vocab_counts.groupBy("lang").agg(F.sum("_c").alias("_t")), "lang", "left"
+    ).select("lang", F.coalesce("_t", F.lit(0)).alias("_t"))
     dense = (
         vocab.crossJoin(lang_totals)
         .join(vocab_counts, ["gram", "lang"], "left")
@@ -231,12 +245,6 @@ def langid_model(
                 / (F.col("_t") + F.lit(float(v)))
             ).alias("logp"),
         )
-    )
-    doc_counts = (
-        df.filter(F.col(lang_col).isNotNull())
-        .groupBy(F.col(lang_col).alias("lang"))
-        .agg(F.count(F.lit(1)).alias("_d"))
-        .localCheckpoint(eager=True)
     )
     total_docs = doc_counts.agg(F.sum("_d").alias("_n"))
     langs = doc_counts.crossJoin(F.broadcast(total_docs)).select(

@@ -162,6 +162,8 @@ def test_pagerank_default_bound_reaches_cyclic_convergence(spark):
     bound = _default_power_iters(0.85, 1e-9)
     assert bound >= 128
     assert 2 * 0.85**bound <= 1e-9
+    with pytest.raises(ValueError, match="tol must be > 0"):
+        _default_power_iters(0.85, 0.0)
 
     # the ADVICE repro shape (directed cycle + one chord) converges
     # with a derived bound; damping=0.5 keeps the round count testable

@@ -182,3 +182,14 @@ def test_query_tokenizer_matches_jvm_on_unicode_ws(spark):
     idx = search.bm25_index(df, "doc_id", "text")
     assert search.query_tokens(token) == [token]
     assert search.bm25_topk(idx, token, k=5).count() == 1
+
+
+def test_null_ids_rejected(spark):
+    """NULL ids would be welded into one phantom posting group; the
+    uniqueness probe counts rows with count(*) so NULLs surface too
+    (r6 review finding)."""
+    df = spark.createDataFrame(
+        [(None, "a b c"), (2, "d e")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="non-NULL"):
+        search.bm25_index(df, "doc_id", "text")

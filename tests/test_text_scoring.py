@@ -1043,3 +1043,20 @@ def test_langid_validation_and_broadcast_plan(spark):
     )
     # the model side joins broadcast; the corpus never shuffles on text
     assert "BroadcastHashJoin" in plan
+
+
+def test_langid_model_covers_gramless_language(spark):
+    """A labeled language whose docs are all shorter than n (or whose
+    grams miss the vocab cut) must still get dense smoothed rows
+    (T_l = 0 -> ln(1/V)) and a prior — otherwise the scoring join
+    could never predict it (r6 review finding)."""
+    rows = LID_DOCS + [(5, "zq", "xx"), (6, "qz", "xx")]  # < n chars
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    model = text.langid_model(df, n=3, vocab_size=40)
+    v = model["grams"].select("gram").distinct().count()
+    xx = model["grams"].filter("lang = 'xx'").collect()
+    assert len(xx) == v  # dense over the full vocab
+    for r in xx:
+        assert abs(r["logp"] - math.log(1.0 / v)) < 1e-12
+    priors = {r["lang"]: r["prior_logp"] for r in model["langs"].collect()}
+    assert abs(priors["xx"] - math.log(2 / 7)) < 1e-12
