@@ -177,3 +177,97 @@ def decontaminate(
         corpus, benchmark, id_col, text_col, bench_text_col, n, min_hits, gram_hash
     )
     return corpus.join(F.broadcast(hits), id_col, "left_anti")
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bench_vec_col: str | None = None,
+    threshold: float = 0.9,
+    planes: int = 8,
+    seed: int = 7,
+    dim: int | None = None,
+    multiprobe_hamming: int = 1,
+    hit_col: str = "sem_hit",
+    sim_col: str = "bench_sim",
+) -> DataFrame:
+    """EMBEDDING-space contamination: flag corpus rows whose embedding
+    has cosine >= ``threshold`` to any benchmark embedding — the
+    semantic sibling of the 13-gram rule (paraphrased or reformatted
+    eval items share no verbatim gram but sit next to the benchmark in
+    embedding space; cf. the decontamination audits in the Llama and
+    GPT-4 reports).  Returns ``corpus`` + ``hit_col`` (bool) +
+    ``sim_col`` (max cosine over matched benchmark candidates; NULL
+    when no candidate bucket-matched).
+
+    Scale shape (the :func:`contaminated_ids` broadcast discipline in
+    embedding space): both sides get the SAME seeded hyperplane-LSH
+    bucket (``similarity.ann_index``); the benchmark side — eval sets
+    are small — is expanded to its hamming-<= ``multiprobe_hamming``
+    neighbor buckets (multiprobe on the SMALL side only: bench_rows ×
+    Σ C(planes, i) rows) and BROADCAST into one equi-join against the
+    corpus buckets.  The corpus is scanned once, never shuffled on
+    vectors; per-candidate work is one dot product (norms precomputed
+    per side).  Each (corpus, bench) pair meets at most once — the
+    expanded bench buckets of one vector are distinct — so no distinct
+    pass.  Recall follows the LSH sign-bit bound: near-parallel
+    vectors agree on almost every bit, and the multiprobe ring covers
+    single-bit disagreements; raise ``multiprobe_hamming`` (or lower
+    ``planes``) for a tighter guarantee at more candidates.
+    """
+    from itertools import combinations
+
+    from . import similarity as S
+
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [-1, 1], got {threshold}")
+    if multiprobe_hamming < 0:
+        raise ValueError(
+            f"multiprobe_hamming must be >= 0, got {multiprobe_hamming}"
+        )
+    bvec = bench_vec_col or vec_col
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    cb = S.ann_index(
+        corpus, vec_col, planes=planes, seed=seed, dim=dim,
+        bucket_col="_bucket", norm_col="_cnorm",
+    )
+    bb = S.ann_index(
+        benchmark, bvec, planes=planes, seed=seed, dim=dim,
+        bucket_col="_bbucket", norm_col="_bnorm",
+    )
+    masks = [0] + [
+        sum(1 << i for i in bits)
+        for r in range(1, multiprobe_hamming + 1)
+        for bits in combinations(range(planes), r)
+    ]
+    bench_exp = bb.select(
+        F.col(bvec).alias("_vb"),
+        F.col("_bnorm"),
+        F.explode(
+            F.array(*[F.col("_bbucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("_bucket"),
+    )
+    hits = (
+        cb.join(F.broadcast(bench_exp), "_bucket")
+        .select(
+            F.col(id_col).alias("_hid"),
+            F.try_divide(
+                S.dot(F.col(vec_col), F.col("_vb")),
+                F.col("_cnorm") * F.col("_bnorm"),
+            ).alias("_cos"),
+        )
+        .groupBy("_hid")
+        .agg(F.max("_cos").alias(sim_col))
+    )
+    return (
+        cb.drop("_bucket", "_cnorm")
+        .join(hits, cb[id_col] == hits["_hid"], "left")
+        .drop("_hid")
+        .withColumn(
+            hit_col,
+            F.coalesce(F.col(sim_col) >= F.lit(threshold), F.lit(False)),
+        )
+    )

@@ -137,3 +137,85 @@ def test_plan_broadcasts_benchmark_and_never_shuffles_corpus(corpus_bench):
         elif "Exchange" in ln and not seen_bcast:
             raise AssertionError(f"corpus shuffled before semi-join:\n{plan}")
     assert seen_bcast
+
+
+# -- semantic (embedding-space) contamination --------------------------------
+
+
+def _lid_vecs(seed, n, dim=16):
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n)]
+
+
+def test_semantic_contamination_exhaustive_equals_bruteforce(spark):
+    """multiprobe_hamming = planes covers every bucket, so the flags
+    must equal the numpy brute-force cosine>=t set exactly (precision
+    AND recall); bench_sim equals the true max cosine."""
+    import math
+
+    dim, planes, t = 16, 4, 0.95
+    bench_vecs = _lid_vecs(1, 3, dim)
+    rng = random.Random(2)
+    rows = []
+    # exact copies (hit), perturbed copies (hit at ~0.999), random (miss)
+    for i, bv in enumerate(bench_vecs):
+        rows.append((100 + i, bv))
+        rows.append((200 + i, [x + rng.gauss(0, 0.01) for x in bv]))
+    for i, v in enumerate(_lid_vecs(3, 6, dim)):
+        rows.append((300 + i, v))
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    bench = spark.createDataFrame(
+        list(enumerate(bench_vecs)), "bid long, embedding array<double>"
+    )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    want = {
+        i: max(cos(v, bv) for bv in bench_vecs) for i, v in rows
+    }
+    got = {
+        r["vec_id"]: (r["sem_hit"], r["bench_sim"])
+        for r in decontam.semantic_contamination(
+            corpus, bench, threshold=t, planes=planes,
+            multiprobe_hamming=planes,  # exhaustive: all buckets probed
+        ).collect()
+    }
+    assert set(got) == {i for i, _ in rows}
+    for i, _ in rows:
+        assert got[i][0] == (want[i] >= t), i
+        assert abs(got[i][1] - want[i]) < 1e-9, i
+
+
+def test_semantic_contamination_default_probe_and_plan(spark):
+    """Default single-bit multiprobe: exact copies always flag (same
+    sign bits); flagged rows are never false positives (cosine is
+    verified exactly); the bench side broadcasts."""
+    dim = 16
+    bench_vecs = _lid_vecs(11, 4, dim)
+    rows = [(100 + i, bv) for i, bv in enumerate(bench_vecs)]
+    rows += [(300 + i, v) for i, v in enumerate(_lid_vecs(12, 8, dim))]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bench = spark.createDataFrame(
+        list(enumerate(bench_vecs)), "bid long, embedding array<double>"
+    )
+    out = decontam.semantic_contamination(corpus, bench, threshold=0.99)
+    got = {r["vec_id"]: r for r in out.collect()}
+    for i in range(len(bench_vecs)):
+        assert got[100 + i]["sem_hit"], i
+        assert got[100 + i]["bench_sim"] > 0.999999
+    for r in got.values():
+        if r["sem_hit"]:
+            assert r["bench_sim"] >= 0.99  # exact verify: no false flags
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    with pytest.raises(ValueError, match="threshold"):
+        decontam.semantic_contamination(corpus, bench, threshold=1.5)
+    with pytest.raises(ValueError, match="multiprobe"):
+        decontam.semantic_contamination(corpus, bench, multiprobe_hamming=-1)
