@@ -166,12 +166,15 @@ def _step(col: Column, dtype: DataType, seg: Segment, wild: int) -> tuple[Column
             else:
                 return F.lit(None), NullType(), 0
         else:
-            # getItem at the current depth — the tracked dtype must be
-            # an array and steps down to its element type (leaving it
-            # unchanged made resolve() report a wrongly nested
-            # ArrayType and mis-dispatch conditions)
+            # element access at the current depth — the tracked dtype
+            # must be an array and steps down to its element type
+            # (leaving it unchanged made resolve() report a wrongly
+            # nested ArrayType and mis-dispatch conditions).  F.get,
+            # NOT getItem: ANSI mode makes getItem THROW on an
+            # out-of-range index, where jsonpath lookup semantics are
+            # null (caught by the r6 random-path differential test)
             if isinstance(dtype, ArrayType):
-                col = _nested_transform(col, wild, lambda x: x.getItem(idx))
+                col = _nested_transform(col, wild, lambda x: F.get(x, idx))
                 dtype = dtype.elementType
             else:
                 return F.lit(None), NullType(), 0

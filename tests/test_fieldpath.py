@@ -97,3 +97,90 @@ def test_count_when_no_data(spark):
     assert g.query().V("non-existent").count().execute()[0]["count"] == 0
     assert g.query().E().count().execute()[0]["count"] == 0
     assert g.query().E("non-existent").count().execute()[0]["count"] == 0
+
+
+def test_random_nested_paths_match_python_oracle(spark):
+    """Differential test of the (r6) depth-counter wildcard resolver:
+    80 random structurally-guided paths over a deeply-nested document
+    — wildcards at any depth, in-range and out-of-range indexers —
+    rendered in ONE query and compared against an independent Python
+    evaluator of the documented semantics (wildcard = one mapped
+    layer; getItem/getField apply through the current nesting;
+    out-of-range index → null)."""
+    import random as _random
+
+    g = GraphBuilder(spark, name="jp_rand")
+    DATA = {
+        "a": [
+            {"b": [{"c": 1}, {"c": 2}], "d": 5},
+            {"b": [{"c": 3}], "d": 6},
+        ],
+        "e": {"f": [[1, 2], [3]], "g": "s"},
+        "h": [10, 20, 30],
+        "s": "x",
+    }
+    g.addVertex("v1", "t", DATA)
+    graph = g.graph()
+
+    def nest(v, d, fn):
+        if d == 0:
+            return fn(v)
+        if v is None:
+            return None
+        return [nest(x, d - 1, fn) for x in v]
+
+    def eval_tokens(doc, toks):
+        cur, depth = doc, 0
+        for t in toks:
+            if t[0] == "f":
+                cur = nest(
+                    cur, depth,
+                    lambda v, n=t[1]: v.get(n) if isinstance(v, dict) else None,
+                )
+            elif t[0] == "i":
+                cur = nest(
+                    cur, depth,
+                    lambda v, k=t[1]: v[k]
+                    if isinstance(v, list) and 0 <= k < len(v)
+                    else None,
+                )
+            else:  # wildcard: one more mapped layer, value unchanged
+                depth += 1
+        return cur
+
+    rng = _random.Random(20260814)
+    paths, expects = [], []
+    for _ in range(80):
+        rep = DATA
+        toks, parts = [], []
+        while True:
+            if isinstance(rep, dict):
+                k = rng.choice(sorted(rep))
+                toks.append(("f", k))
+                parts.append(k)
+                rep = rep[k]
+            elif isinstance(rep, list):
+                if rng.random() < 0.5:
+                    toks.append(("w",))
+                    parts[-1] += "[:]"
+                else:
+                    # sometimes out of range (expect null)
+                    i = rng.randrange(len(rep) + 1)
+                    toks.append(("i", i))
+                    parts[-1] += f"[{i}]"
+                    if i >= len(rep):
+                        rep = None
+                        break
+                rep = rep[0] if isinstance(rep, list) else rep
+                if toks[-1][0] == "w":
+                    pass
+            else:
+                break
+        paths.append(".".join(parts))
+        expects.append(eval_tokens(DATA, toks))
+
+    rows = graph.query().V("v1").render(paths).execute()
+    assert len(rows) == 1
+    got = rows[0]
+    for p, want, g_ in zip(paths, expects, got):
+        assert g_ == want, (p, want, g_)
