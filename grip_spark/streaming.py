@@ -226,3 +226,148 @@ def _has_agg_complete(df: DataFrame) -> bool:
     # probe of the analyzed plan; stateful flatMapGroupsWithState
     # (sessionize) plans contain no Aggregate node and stay append.
     return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+
+def near_dedup_stream(
+    docs: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int | None = None,
+    shingle_n: int = 5,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming MinHash-LSH near-dedup ingest: accept each micro-batch
+    document only if it near-duplicates neither an earlier-accepted
+    document nor a smaller-id document of its own batch.
+
+    ``foreachBatch`` drives the incremental-ingest composition
+    (``dedup.minhash_lsh_pairs_between``'s shape on a live stream):
+    per batch, (1) seeded signatures are computed ONCE
+    (``minhash_signatures_df``, eager-checkpointed); (2) within-batch
+    candidates come from the banded self-join and accepted-vs-batch
+    candidates from a banded join against the persisted signature
+    store — both verified by the signature-estimated Jaccard (fraction
+    of equal minhash entries; the store holds ids + signatures only,
+    never text, so an accepted corpus of any size costs
+    #docs × (8·num_hashes) bytes); (3) survivors append atomically
+    per batch: rows → ``<store>/accepted``, signatures →
+    ``<store>/sigs``, banded keys → ``<store>/bands``.
+
+    Dedup here is PAIR-based, not transitive (a batch doc is dropped
+    iff it pairs with a smaller-id batch doc or any accepted doc):
+    the chain a~b~c with a≁c keeps a and c — run
+    ``dedup.attach_components`` over the accepted corpus for
+    connected-component canonicalization when chains matter.
+
+    Exactly-once caveat: ``foreachBatch`` appends are at-least-once on
+    failure-retry; the accepted table carries ``_batch_id`` so a
+    replayed batch can be reconciled (``dropDuplicates`` on
+    (id, _batch_id) — or filter to max batch per id) downstream.
+
+    Batch (non-streaming) input runs the same per-batch function once
+    and returns None — the batch == stream parity the module's other
+    operators follow.
+    """
+    from .dedup import (
+        _band_explode,
+        minhash_signatures_df,
+        tune_bands,
+    )
+
+    if bands is None:
+        bands = tune_bands(num_hashes, threshold)
+    r = num_hashes // bands
+    spark = docs.sparkSession
+
+    def _est(sig_a, sig_b):
+        return F.aggregate(
+            F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ) / F.lit(float(num_hashes))
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sig = minhash_signatures_df(
+            batch, id_col, text_col, num_hashes, shingle_n
+        ).localCheckpoint(eager=True)
+        banded = _band_explode(sig, bands, r).localCheckpoint(eager=True)
+        # within-batch: smaller id wins (pair rule, see docstring)
+        l, rt = banded.alias("l"), banded.alias("r")
+        cand_in = (
+            l.join(
+                rt,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bh") == F.col("r.bh"))
+                & (F.col("l._id") < F.col("r._id")),
+            )
+            .select(F.col("l._id").alias("a_id"), F.col("r._id").alias("b_id"))
+            .distinct()
+        )
+        sa = sig.select(F.col("_id").alias("a_id"), F.col("_sig").alias("_siga"))
+        sb = sig.select(F.col("_id").alias("b_id"), F.col("_sig").alias("_sigb"))
+        drop_in = (
+            cand_in.join(sa, "a_id")
+            .join(sb, "b_id")
+            .filter(_est(F.col("_siga"), F.col("_sigb")) >= threshold)
+            .select(F.col("b_id").alias("_drop"))
+        )
+        # vs the accepted store (absent on the first batch)
+        try:
+            st_bands = spark.read.parquet(f"{store_path}/bands")
+            st_sigs = spark.read.parquet(f"{store_path}/sigs")
+        except Exception:
+            st_bands = st_sigs = None
+        if st_bands is not None:
+            cand_vs = (
+                banded.alias("n")
+                .join(
+                    st_bands.alias("o"),
+                    (F.col("n.band") == F.col("o.band"))
+                    & (F.col("n.bh") == F.col("o.bh")),
+                )
+                .select(
+                    F.col("n._id").alias("b_id"), F.col("o._id").alias("a_id")
+                )
+                .distinct()
+            )
+            so = st_sigs.select(
+                F.col("_id").alias("a_id"), F.col("_sig").alias("_siga")
+            )
+            drop_vs = (
+                cand_vs.join(so, "a_id")
+                .join(sb, "b_id")
+                .filter(_est(F.col("_siga"), F.col("_sigb")) >= threshold)
+                .select(F.col("b_id").alias("_drop"))
+            )
+            drop_in = drop_in.unionByName(drop_vs)
+        dropped = drop_in.distinct().localCheckpoint(eager=True)
+        keep_ids = (
+            sig.select("_id").join(
+                dropped, sig["_id"] == dropped["_drop"], "left_anti"
+            )
+        ).localCheckpoint(eager=True)
+        survivors = batch.join(
+            keep_ids, batch[id_col] == keep_ids["_id"], "left_semi"
+        )
+        survivors.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(f"{store_path}/accepted")
+        sig.join(keep_ids, "_id", "left_semi").write.mode("append").parquet(
+            f"{store_path}/sigs"
+        )
+        banded.join(keep_ids, "_id", "left_semi").write.mode("append").parquet(
+            f"{store_path}/bands"
+        )
+
+    if not docs.isStreaming:
+        _process(docs, 0)
+        return None
+    writer = docs.writeStream.foreachBatch(_process).trigger(availableNow=True)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

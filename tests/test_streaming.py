@@ -369,3 +369,68 @@ def test_bigram_score_stream_matches_batch(spark, tmp_path_factory):
     for i, r in enumerate(rows_out):
         last[r["doc_id"]] = (r["doc_id"], r["n_transitions"], r["bigram_logprob"])
     assert set(last.values()) == want
+
+
+def test_near_dedup_stream_incremental_ingest(spark, tmp_path_factory):
+    """Incremental MinHash near-dedup on a live file stream: one
+    survivor per distinct text across all micro-batches; the store
+    accumulates ids + signatures only (never text); within-batch twins
+    keep the smaller id; later batches defer to the store."""
+    import json as _json
+
+    from grip_spark import streaming
+
+    root = tmp_path_factory.mktemp("near_dedup")
+    d = root / "in"
+    d.mkdir()
+    dA = "the quick brown fox jumps over the lazy dog again and again today"
+    dB = "entirely different content about distributed dataframe execution"
+    dC = "a third unique document concerning winnowing and fingerprints"
+    dD = "fresh prose arriving in the second micro batch of the stream"
+    dE = "final new material arriving in the third micro batch here now"
+    batches = [
+        [(1, dA), (2, dB), (3, dA), (4, dC), (5, dC)],
+        [(10, dA), (11, dD)],
+        [(20, dD), (21, dE)],
+    ]
+    for i, rows in enumerate(batches):
+        with open(d / f"b{i}.json", "w") as f:
+            for doc_id, text in rows:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    store = str(root / "store")
+    schema = "doc_id long, text string"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(
+        str(d)
+    )
+    q = streaming.near_dedup_stream(
+        stream, store, checkpoint_dir=str(root / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    acc = spark.read.parquet(f"{store}/accepted")
+    rows = {r["doc_id"]: r for r in acc.collect()}
+    texts = {r["text"] for r in rows.values()}
+    # exactly one survivor per distinct text, regardless of batch order
+    assert texts == {dA, dB, dC, dD, dE}
+    assert len(rows) == 5
+    # within-batch twins (4, 5) arrive together: smaller id wins
+    assert 4 in rows and 5 not in rows
+    assert "_batch_id" in acc.columns
+    # the store carries signatures, never text
+    sigs = spark.read.parquet(f"{store}/sigs")
+    assert set(sigs.columns) == {"_id", "_sig"}
+    assert sigs.count() == 5
+    bands = spark.read.parquet(f"{store}/bands")
+    assert bands.select("_id").distinct().count() == 5
+
+    # batch-mode parity of mechanism: same function over a fresh store
+    store2 = str(root / "store2")
+    assert (
+        streaming.near_dedup_stream(
+            spark.read.schema(schema).json(str(d)), store2
+        )
+        is None
+    )
+    acc2 = spark.read.parquet(f"{store2}/accepted")
+    assert {r["text"] for r in acc2.collect()} == {dA, dB, dC, dD, dE}
