@@ -389,3 +389,42 @@ def test_path_optimize_1(swapi):
 
 def test_path_optimize_2(swapi):
     assert len(swapi.query().V().out().hasLabel("Starship").out().out().execute()) == 666
+
+
+def test_multi_agg_fused_equals_fallback(swapi, monkeypatch):
+    """Differential: the GROUPING SETS fused multi-agg path must
+    produce exactly the rows of the general fan-out fallback for every
+    fusable spec combination — 12 random term/histogram/count mixes
+    over the SWAPI graph, fallback forced by disabling the fuser."""
+    import random as _random
+
+    from grip_spark.compile.planner import Planner
+
+    pool = [
+        lambda i: ops.term(f"t{i}", "eye_color"),
+        lambda i: ops.term(f"t{i}", "gender"),
+        lambda i: ops.term(f"t{i}", "hair_color", size=3),
+        lambda i: ops.histogram(f"h{i}", "height", 25),
+        lambda i: ops.histogram(f"h{i}", "height", 40),
+        lambda i: ops.count(f"c{i}"),
+    ]
+    rng = _random.Random(6)
+
+    def run(aggs):
+        q = swapi.query().V().hasLabel("Character").aggregate(aggs)
+        return sorted(
+            (r["name"], str(r["key"]), r["value"]) for r in q.execute()
+        )
+
+    for trial in range(12):
+        n = rng.randint(2, 4)
+        aggs = [rng.choice(pool)(f"{trial}_{j}") for j in range(n)]
+        fused = run(aggs)
+        with monkeypatch.context() as m:
+            m.setattr(
+                Planner,
+                "_multi_agg_grouping_sets",
+                lambda self, df, a: None,
+            )
+            fallback = run(aggs)
+        assert fused == fallback, aggs
