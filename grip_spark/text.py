@@ -704,13 +704,19 @@ def unigram_model(
         .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    total = counts.agg(F.sum("n").alias("_total"))
+    # the corpus total is one scalar over the already-checkpointed
+    # counts: fold it as a literal (a crossJoin of the 1-row aggregate
+    # compiles to a BroadcastNestedLoopJoin, flagged by the
+    # contract-wide plan audit)
+    total = float(counts.agg(F.sum("n")).first()[0] or 0.0)
+    if total <= 0:
+        raise ValueError("unigram_model: corpus has no tokens")
     vocab = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(vocab_size)
-    return vocab.crossJoin(F.broadcast(total)).select(
+    return vocab.select(
         "token",
         "n",
-        F.log(F.col("n") / F.col("_total")).alias("logp"),
-        F.log(F.lit(0.5) / F.col("_total")).alias("oov_logp"),
+        F.log(F.col("n") / F.lit(total)).alias("logp"),
+        F.log(F.lit(0.5) / F.lit(total)).alias("oov_logp"),
     )
 
 
@@ -736,7 +742,13 @@ def unigram_logprob(
     numeric columns.  The corpus is scored in one pass; training the
     model (one prior pass) is the only other corpus touch.
     """
-    oov = model.agg(F.first("oov_logp").alias("_floor"))
+    # the OOV floor is constant across model rows: pull it driver-side
+    # (one vocab-row first()) and fold it as a literal — the previous
+    # crossJoin of the 1-row aggregate compiled to a
+    # BroadcastNestedLoopJoin, which the contract-wide plan audit
+    # (tests/test_plan_audit.py) rightly flags
+    row = model.select("oov_logp").first()
+    floor = F.lit(float(row["oov_logp"])) if row is not None else F.lit(None)
     # empty tokens are filtered INSIDE the array (not post-explode) so a
     # document with no real tokens still emits its explode_outer NULL
     # row and appears in the output with n_tokens=0 / NULL score
@@ -744,9 +756,9 @@ def unigram_logprob(
     toks = df.select(F.col(id_col), F.explode_outer(nonempty).alias("token"))
     scored = toks.join(
         F.broadcast(model.select("token", "logp")), "token", "left"
-    ).crossJoin(F.broadcast(oov))
+    )
     lp = F.when(
-        F.col("token").isNotNull(), F.coalesce(F.col("logp"), F.col("_floor"))
+        F.col("token").isNotNull(), F.coalesce(F.col("logp"), floor)
     )
     return scored.groupBy(id_col).agg(
         F.count("token").alias("n_tokens"),

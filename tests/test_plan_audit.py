@@ -1,0 +1,41 @@
+"""Scale red-flag audit across the ENTIRE driver contract: every
+queries() entry must compile to a plan free of cartesian products,
+broadcast nested-loop joins, and row-at-a-time Python UDFs (Arrow
+mapInPandas stages are allowed — they are the sanctioned batch
+crossing).  Driver-loop queries (mark/jump BFS) execute their rounds
+while building; sf0.001 keeps that cheap."""
+
+import pytest
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+RED_FLAGS = (
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+    # row-at-a-time python UDF (vectorized/Arrow stages print as
+    # ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
+    "BatchEvalPython",
+)
+
+# sim_topk_ops deliberately unions the brute-force all-pairs kNN — the
+# LABELED quadratic oracle (similarity.cosine_knn_exact) that
+# value-checks the LSH scale path — so its cartesian is the point,
+# not a regression
+ALLOW = {"sim_topk_ops": {"BroadcastNestedLoopJoin", "CartesianProduct"}}
+
+
+def _queries():
+    import __spark_entry__ as entry
+
+    return sorted(entry.queries().items())
+
+
+@pytest.mark.parametrize("name,fn", _queries(), ids=[n for n, _ in _queries()])
+def test_no_scale_red_flags(spark, name, fn):
+    df = fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for flag in RED_FLAGS:
+        if flag in ALLOW.get(name, ()):
+            continue
+        assert flag not in plan, f"{name}: {flag} in plan\n{plan[:4000]}"
