@@ -31,6 +31,19 @@ def _queries():
     return sorted(entry.queries().items())
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _release_entry_caches(spark):
+    """The contract queries cache the tpch graph (tpch._CACHE +
+    session CacheManager entries); release both at module end so
+    later plan-shape modules see raw scans and executors get the
+    memory back."""
+    yield
+    import grip_spark.tpch as tpch
+
+    tpch._CACHE.clear()
+    spark.catalog.clearCache()
+
+
 @pytest.mark.parametrize("name,fn", _queries(), ids=[n for n, _ in _queries()])
 def test_no_scale_red_flags(spark, name, fn):
     df = fn(spark, SF_DIR)

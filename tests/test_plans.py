@@ -16,6 +16,12 @@ def raw_tpch(spark):
     # would hide pushdown behind InMemoryTableScan)
     import grip_spark.tpch as tpch
 
+    # drop session-level cached plans too: Spark's CacheManager
+    # matches by ANALYZED PLAN, so a tpch graph cached by an earlier
+    # test module (e.g. the plan audit driving __spark_entry__) would
+    # substitute InMemoryTableScan into this module's identical plan
+    # fragments and hide the pushdown under test
+    spark.catalog.clearCache()
     saved = dict(tpch._CACHE)
     tpch._CACHE.clear()
     orig = tpch.GripGraph.cache

@@ -96,3 +96,32 @@ def test_label_partition_pruning(swapi, tmp_path, spark):
     assert "PartitionFilters" in plan
     assert plan.count("label") >= 1
     assert g.query().V().hasLabel("Character").count().execute()[0]["count"] == 18
+
+
+def test_haskey_exact_survives_save_load_roundtrip(spark, tmp_path):
+    """__keys presence tracking is a field of the data struct, so BOTH
+    persistence layouts round-trip it: hasKey('f') still finds the
+    present-with-null key and still excludes absent keys after
+    save()/load() and save_tables()/from_tables().  (The documented
+    value-not-null degrade applies only to FOREIGN parquet — tables
+    written without the loader's presence recording.)"""
+    from grip_spark import GraphBuilder
+
+    g = GraphBuilder(spark, name="keys_rt")
+    g.addVertex("v1", "t", {"a": 1, "f": None})
+    g.addVertex("v2", "t", {"a": 2})
+    graph = g.graph()
+
+    def exact(gr):
+        hits = {r["gid"] for r in gr.query().V().hasKey("f").execute()}
+        assert hits == {"v1"}
+        assert gr.query().V().hasKey("zzz").execute() == []
+
+    exact(graph)
+    path = str(tmp_path / "g1")
+    graph.save(path)
+    from grip_spark import GripGraph
+
+    exact(GripGraph.load(spark, path))
+    graph.save_tables("keys_rt_tbl", buckets=2)
+    exact(GripGraph.from_tables(spark, "keys_rt_tbl"))
