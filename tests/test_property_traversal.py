@@ -150,3 +150,87 @@ def test_random_traversals_match_oracle(swapi, pygraph):
             row["gid"] for row in Traversal(swapi, stmts).execute()
         )
         assert got == want, f"trial {trial}: {json.dumps(stmts)}"
+
+
+# -- random MARKED chains: as_/select threading ----------------------------
+
+
+def _oracle_marked(verts, edges, stmts, marks_to_select):
+    """Travelers as (gid, marks): vertex-only hops thread the mark
+    bindings; select emits the tuple of marked gids per traveler."""
+    from test_property import oracle as cond_oracle
+
+    travelers = [(g, {}) for g in sorted(verts)]
+    for s in stmts[1:]:
+        (k, arg), = s.items()
+        if k in ("out", "in", "both"):
+            nxt = []
+            for gid, m in travelers:
+                for e in edges:
+                    if arg and e["label"] not in arg:
+                        continue
+                    if k in ("out", "both") and e["from"] == gid and e["to"] in verts:
+                        nxt.append((e["to"], m))
+                    if k in ("in", "both") and e["to"] == gid and e["from"] in verts:
+                        nxt.append((e["from"], m))
+            travelers = nxt
+        elif k == "hasLabel":
+            travelers = [
+                (g, m) for g, m in travelers if verts[g]["label"] in arg
+            ]
+        elif k == "has":
+            def doc(g):
+                v = verts[g]
+                return {
+                    "gid": v["gid"],
+                    "label": v["label"],
+                    "data": v.get("data") or {},
+                }
+
+            travelers = [(g, m) for g, m in travelers if cond_oracle(doc(g), arg)]
+        elif k == "as":
+            travelers = [(g, {**m, arg: g}) for g, m in travelers]
+        else:
+            raise ValueError(k)
+    return collections.Counter(
+        tuple(m[name] for name in marks_to_select) for g, m in travelers
+    )
+
+
+def test_random_marked_traversals_match_oracle(swapi, pygraph):
+    """as_/select threading under random programs: mark bindings must
+    survive hops and filters declared AFTER the mark, and select must
+    emit one row per TRAVELER (duplicate mark tuples preserved)."""
+    verts, edges = pygraph
+    r = random.Random(987)
+    from grip_spark.traversal import Traversal
+
+    for trial in range(15):
+        stmts = [{"v": []}]
+        declared = []
+        for i in range(r.randint(2, 5)):
+            roll = r.random()
+            if roll < 0.35 or not declared:
+                name = f"m{len(declared)}"
+                declared.append(name)
+                stmts.append({"as": name})
+            elif roll < 0.7:
+                labels = [r.choice(E_LABELS)] if r.random() < 0.5 else []
+                stmts.append({r.choice(["out", "in", "both"]): labels})
+            elif roll < 0.85:
+                stmts.append({"hasLabel": [r.choice(V_LABELS)]})
+            else:
+                field = r.choice(["eye_color", "height", "_label"])
+                stmts.append(
+                    {"has": ops.eq(field, r.choice(["brown", "Character", 172]))}
+                )
+        sel = declared if len(declared) >= 2 else declared * 2
+        sel = sel[:2] if len(sel) > 2 else sel
+        if len(sel) < 2:
+            sel = [declared[0], declared[0]]
+        want = _oracle_marked(verts, edges, stmts, sel)
+        rows = Traversal(swapi, stmts + [{"select": sel}]).execute()
+        got = collections.Counter(
+            tuple(row[name]["gid"] for name in sel) for row in rows
+        )
+        assert got == want, f"trial {trial}: {json.dumps(stmts)} sel={sel}"
