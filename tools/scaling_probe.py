@@ -6,7 +6,7 @@ Replication prefixes ids (and perturbs text with a per-replica token)
 so replicas do not collide in LSH buckets more than organically —
 growth should be near-linear for the banded joins.
 
-Usage: python tools/scaling_probe.py [llm|pipeline|tokenizer|graph]  (default: llm)
+Usage: python tools/scaling_probe.py [llm|pipeline|tokenizer|graph|stream]  (default: llm)
 """
 
 from __future__ import annotations
@@ -116,6 +116,10 @@ def main():
         return
     if mode == "graph":
         _graph_probe(spark)
+        spark.stop()
+        return
+    if mode == "stream":
+        _stream_probe(spark, docs)
         spark.stop()
         return
 
@@ -338,6 +342,50 @@ def _tokenizer_probe(spark, docs):
         d.unpersist()
 
 
+
+
+def _stream_probe(spark, docs):
+    """Incremental-ingest cost curve for `streaming.near_dedup_stream`:
+    feed 8 successive 5k-doc batches (vowel-rotated replicas, so
+    batches are NOT near-dups of each other) through the per-batch
+    function while the accepted-signature store grows 5k→40k docs.
+    Per-batch wall-clock should stay ~flat-to-slowly-growing: each
+    batch pays its own signature pass (constant) plus a banded
+    signature join against the store (store side is ids+sigs only —
+    the accepted corpus text is never re-read, never re-signed)."""
+    import shutil
+    import tempfile
+
+    from grip_spark import streaming
+
+    workdir = tempfile.mkdtemp(prefix="stream_probe_")
+    store = f"{workdir}/store"
+    try:
+        from pyspark.sql import functions as F
+
+        for i in range(8):
+            # batch i = replica i of the corpus (replicate_docs' rotation)
+            rot = VOWELS[i % 5 :] + VOWELS[: i % 5]
+            cons = "rstln"
+            crot = cons[i // 5 :] + cons[: i // 5]
+            batch = docs.select(
+                F.concat(F.lit(f"r{i}:"), F.col("doc_id").cast("string")).alias(
+                    "doc_id"
+                ),
+                F.translate(
+                    F.translate(F.col("text"), VOWELS, rot), cons, crot
+                ).alias("text"),
+            )
+            t0 = time.perf_counter()
+            streaming.near_dedup_stream(batch, store)
+            dt = time.perf_counter() - t0
+            n_acc = spark.read.parquet(f"{store}/accepted").count()
+            print(
+                f"batch {i}: {dt:.1f}s | accepted so far {n_acc}",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 def _graph_probe(spark):
