@@ -229,10 +229,26 @@ def semantic_contamination(
         )
     bvec = bench_vec_col or vec_col
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        row = corpus.select(vec_col).first()
+        if row is None:
+            # empty corpus: nothing to flag — no bucket exprs needed
+            return corpus.withColumn(
+                sim_col, F.lit(None).cast("double")
+            ).withColumn(hit_col, F.lit(False))
+        if row[0] is None:
+            raise ValueError(
+                "semantic_contamination: cannot infer dim from a NULL "
+                f"first {vec_col!r} — pass dim= explicitly"
+            )
+        dim = len(row[0])
+    # fresh internal names: a corpus column literally named "_bucket"
+    # etc. must survive to the output (similarity._fresh_name device)
+    c_bucket = S._fresh_name("_bucket", corpus.columns)
+    c_norm = S._fresh_name("_cnorm", corpus.columns)
+    c_hid = S._fresh_name("_hid", corpus.columns)
     cb = S.ann_index(
         corpus, vec_col, planes=planes, seed=seed, dim=dim,
-        bucket_col="_bucket", norm_col="_cnorm",
+        bucket_col=c_bucket, norm_col=c_norm,
     )
     bb = S.ann_index(
         benchmark, bvec, planes=planes, seed=seed, dim=dim,
@@ -248,24 +264,24 @@ def semantic_contamination(
         F.col("_bnorm"),
         F.explode(
             F.array(*[F.col("_bbucket").bitwiseXOR(F.lit(m)) for m in masks])
-        ).alias("_bucket"),
+        ).alias(c_bucket),
     )
     hits = (
-        cb.join(F.broadcast(bench_exp), "_bucket")
+        cb.join(F.broadcast(bench_exp), c_bucket)
         .select(
-            F.col(id_col).alias("_hid"),
+            F.col(id_col).alias(c_hid),
             F.try_divide(
                 S.dot(F.col(vec_col), F.col("_vb")),
-                F.col("_cnorm") * F.col("_bnorm"),
+                F.col(c_norm) * F.col("_bnorm"),
             ).alias("_cos"),
         )
-        .groupBy("_hid")
+        .groupBy(c_hid)
         .agg(F.max("_cos").alias(sim_col))
     )
     return (
-        cb.drop("_bucket", "_cnorm")
-        .join(hits, cb[id_col] == hits["_hid"], "left")
-        .drop("_hid")
+        cb.drop(c_bucket, c_norm)
+        .join(hits, cb[id_col] == hits[c_hid], "left")
+        .drop(c_hid)
         .withColumn(
             hit_col,
             F.coalesce(F.col(sim_col) >= F.lit(threshold), F.lit(False)),

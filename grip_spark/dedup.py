@@ -244,6 +244,18 @@ def minhash_signatures_df(
     )
 
 
+def estimated_jaccard(sig_a, sig_b, num_hashes: int) -> Column:
+    """Signature-estimated Jaccard: the fraction of equal minhash
+    entries (an unbiased estimator with σ ≈ sqrt(j(1-j)/num_hashes)).
+    Shared by the self-join/between-corpus pair verifiers and the
+    streaming ingest so the batch and stream paths cannot diverge."""
+    return F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(num_hashes))
+
+
 def tune_bands(num_hashes: int, threshold: float) -> int:
     """Pick the band count whose S-curve midpoint (1/b)^(1/r) sits
     closest below the threshold — a mis-tuned banding (e.g. 16 bands of
@@ -336,11 +348,7 @@ def minhash_lsh_pairs(
     # the 0.1 margin keeps estimator variance from costing recall
     sa = sig.select(F.col("_id").alias("a_id"), F.col("_sig").alias("_siga"))
     sb = sig.select(F.col("_id").alias("b_id"), F.col("_sig").alias("_sigb"))
-    est = F.aggregate(
-        F.zip_with("_siga", "_sigb", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ) / F.lit(float(num_hashes))
+    est = estimated_jaccard(F.col("_siga"), F.col("_sigb"), num_hashes)
     cand = (
         cand.join(sa, "a_id")
         .join(sb, "b_id")
@@ -428,11 +436,7 @@ def minhash_lsh_pairs_between(
     # text access), same margin policy as the self-join variant
     sa = sig_a.select(F.col("_id").alias("a_id"), F.col("_sig").alias("_siga"))
     sb = sig_b.select(F.col("_id").alias("b_id"), F.col("_sig").alias("_sigb"))
-    est = F.aggregate(
-        F.zip_with("_siga", "_sigb", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ) / F.lit(float(num_hashes))
+    est = estimated_jaccard(F.col("_siga"), F.col("_sigb"), num_hashes)
     cand = (
         cand.join(sa, "a_id")
         .join(sb, "b_id")

@@ -249,30 +249,51 @@ def near_dedup_stream(
     (``minhash_signatures_df``, eager-checkpointed); (2) within-batch
     candidates come from the banded self-join and accepted-vs-batch
     candidates from a banded join against the persisted signature
-    store — both verified by the signature-estimated Jaccard (fraction
-    of equal minhash entries; the store holds ids + signatures only,
-    never text, so an accepted corpus of any size costs
-    #docs × (8·num_hashes) bytes); (3) survivors append atomically
-    per batch: rows → ``<store>/accepted``, signatures →
-    ``<store>/sigs``, banded keys → ``<store>/bands``.
+    store; (3) candidates pass the signature-estimated Jaccard
+    PREFILTER (``estimated_jaccard`` at ``threshold - 0.1`` — the
+    ``minhash_lsh_pairs`` margin policy) and are then confirmed by
+    EXACT shingle Jaccard, so acceptance decisions have no estimator
+    false positives: within-batch text comes from the batch, store-side
+    text is read back from ``<store>/accepted`` pruned to candidate
+    ids only.  The banded/signature store itself never carries text —
+    an accepted corpus of any size costs #docs × (8·num_hashes) bytes
+    on the hot path; text is touched only for the candidate-sized
+    verify set.
 
-    Dedup here is PAIR-based, not transitive (a batch doc is dropped
-    iff it pairs with a smaller-id batch doc or any accepted doc):
-    the chain a~b~c with a≁c keeps a and c — run
-    ``dedup.attach_components`` over the accepted corpus for
-    connected-component canonicalization when chains matter.
+    Dedup is PAIR-based, not transitive (a batch doc is dropped iff it
+    pairs with a smaller-id batch doc or any accepted doc): the chain
+    a~b~c with a≁c keeps a and c — run ``dedup.attach_components``
+    over the accepted corpus for connected-component
+    canonicalization when chains matter.
 
-    Exactly-once caveat: ``foreachBatch`` appends are at-least-once on
-    failure-retry; the accepted table carries ``_batch_id`` so a
-    replayed batch can be reconciled (``dropDuplicates`` on
-    (id, _batch_id) — or filter to max batch per id) downstream.
+    Crash consistency: survivors append to ``<store>/bands``,
+    ``<store>/sigs`` and ``<store>/accepted`` (each row carrying
+    ``_batch_id``), then a one-row marker commits the batch to
+    ``<store>/commits`` — readers (this function and downstream
+    consumers) filter every store table to COMMITTED batch ids, so a
+    crash between appends leaves invisible partial writes that a
+    replay simply rewrites, never a store half-missing a batch.
+    Replay remains at-least-once: a retried batch may append its rows
+    twice under the same ``_batch_id`` — decisions are deterministic
+    (seeded signatures), so the duplicates are row-identical and a
+    replayed batch whose commit DID land self-heals (its docs match
+    their own store signatures and drop); downstream consumers of
+    ``accepted`` should ``dropDuplicates([id_col])``.  A store read
+    error other than path-absent is raised, not treated as an empty
+    store (silently skipping the store join would admit duplicates).
+    Document ids must be unique and non-NULL within a batch (checked,
+    the ``bm25_index`` contract).
 
     Batch (non-streaming) input runs the same per-batch function once
     and returns None — the batch == stream parity the module's other
     operators follow.
     """
+    from pyspark.errors import AnalysisException
+
     from .dedup import (
         _band_explode,
+        char_shingles,
+        estimated_jaccard,
         minhash_signatures_df,
         tune_bands,
     )
@@ -282,20 +303,64 @@ def near_dedup_stream(
     r = num_hashes // bands
     spark = docs.sparkSession
 
-    def _est(sig_a, sig_b):
-        return F.aggregate(
-            F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        ) / F.lit(float(num_hashes))
+    def _read_store():
+        """Committed (bands, sigs, accepted) or None when the store
+        does not exist yet.  Only a path-absent AnalysisException is
+        the first-batch signal; any other failure raises."""
+        try:
+            commits = spark.read.parquet(f"{store_path}/commits")
+        except AnalysisException as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+                return None
+            raise
+        out = []
+        for sub in ("bands", "sigs", "accepted"):
+            t = spark.read.parquet(f"{store_path}/{sub}")
+            out.append(t.join(commits, "_batch_id", "left_semi"))
+        return tuple(out)
+
+    def _exact_verify(cand, ta, tb):
+        """Confirm (a_id, b_id) candidates by exact shingle Jaccard;
+        ``ta``/``tb`` are (id, text) sources for each side, shingled
+        only for candidate ids (left-semi pruned)."""
+        sha = (
+            ta.join(cand.select("a_id"), ta[id_col] == F.col("a_id"), "left_semi")
+            .select(
+                F.col(id_col).alias("a_id"),
+                char_shingles(text_col, shingle_n).alias("_sha"),
+            )
+        )
+        shb = (
+            tb.join(cand.select("b_id"), tb[id_col] == F.col("b_id"), "left_semi")
+            .select(
+                F.col(id_col).alias("b_id"),
+                char_shingles(text_col, shingle_n).alias("_shb"),
+            )
+        )
+        joined = cand.join(sha, "a_id").join(shb, "b_id")
+        inter = F.size(F.array_intersect("_sha", "_shb"))
+        union = F.size("_sha") + F.size("_shb") - inter
+        return joined.filter((inter / union) >= threshold).select("a_id", "b_id")
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        dup = batch.agg(
+            (F.count(F.lit(1)) - F.countDistinct(id_col)).alias("d")
+        ).first()["d"]
+        if dup:
+            raise ValueError(
+                f"near_dedup_stream: {id_col} values must be unique and "
+                f"non-NULL within a batch — {dup} duplicate/NULL id(s)"
+            )
         sig = minhash_signatures_df(
             batch, id_col, text_col, num_hashes, shingle_n
         ).localCheckpoint(eager=True)
         banded = _band_explode(sig, bands, r).localCheckpoint(eager=True)
+        sa = sig.select(F.col("_id").alias("a_id"), F.col("_sig").alias("_siga"))
+        sb = sig.select(F.col("_id").alias("b_id"), F.col("_sig").alias("_sigb"))
+        margin = threshold - 0.1
         # within-batch: smaller id wins (pair rule, see docstring)
         l, rt = banded.alias("l"), banded.alias("r")
         cand_in = (
@@ -307,22 +372,18 @@ def near_dedup_stream(
             )
             .select(F.col("l._id").alias("a_id"), F.col("r._id").alias("b_id"))
             .distinct()
-        )
-        sa = sig.select(F.col("_id").alias("a_id"), F.col("_sig").alias("_siga"))
-        sb = sig.select(F.col("_id").alias("b_id"), F.col("_sig").alias("_sigb"))
-        drop_in = (
-            cand_in.join(sa, "a_id")
+            .join(sa, "a_id")
             .join(sb, "b_id")
-            .filter(_est(F.col("_siga"), F.col("_sigb")) >= threshold)
-            .select(F.col("b_id").alias("_drop"))
+            .filter(estimated_jaccard(F.col("_siga"), F.col("_sigb"), num_hashes) >= margin)
+            .select("a_id", "b_id")
+            .localCheckpoint(eager=True)
         )
-        # vs the accepted store (absent on the first batch)
-        try:
-            st_bands = spark.read.parquet(f"{store_path}/bands")
-            st_sigs = spark.read.parquet(f"{store_path}/sigs")
-        except Exception:
-            st_bands = st_sigs = None
-        if st_bands is not None:
+        drop_in = _exact_verify(cand_in, batch, batch).select(
+            F.col("b_id").alias("_drop")
+        )
+        store = _read_store()
+        if store is not None:
+            st_bands, st_sigs, st_acc = store
             cand_vs = (
                 banded.alias("n")
                 .join(
@@ -331,19 +392,26 @@ def near_dedup_stream(
                     & (F.col("n.bh") == F.col("o.bh")),
                 )
                 .select(
-                    F.col("n._id").alias("b_id"), F.col("o._id").alias("a_id")
+                    F.col("o._id").alias("a_id"), F.col("n._id").alias("b_id")
                 )
                 .distinct()
-            )
-            so = st_sigs.select(
-                F.col("_id").alias("a_id"), F.col("_sig").alias("_siga")
-            )
-            drop_vs = (
-                cand_vs.join(so, "a_id")
+                .join(
+                    st_sigs.select(
+                        F.col("_id").alias("a_id"), F.col("_sig").alias("_siga")
+                    ),
+                    "a_id",
+                )
                 .join(sb, "b_id")
-                .filter(_est(F.col("_siga"), F.col("_sigb")) >= threshold)
-                .select(F.col("b_id").alias("_drop"))
+                .filter(
+                    estimated_jaccard(F.col("_siga"), F.col("_sigb"), num_hashes)
+                    >= margin
+                )
+                .select("a_id", "b_id")
+                .localCheckpoint(eager=True)
             )
+            drop_vs = _exact_verify(
+                cand_vs, st_acc.select(id_col, text_col), batch
+            ).select(F.col("b_id").alias("_drop"))
             drop_in = drop_in.unionByName(drop_vs)
         dropped = drop_in.distinct().localCheckpoint(eager=True)
         keep_ids = (
@@ -354,15 +422,21 @@ def near_dedup_stream(
         survivors = batch.join(
             keep_ids, batch[id_col] == keep_ids["_id"], "left_semi"
         )
-        survivors.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+        bid = F.lit(int(batch_id)).alias("_batch_id")
+        banded.join(keep_ids, "_id", "left_semi").select("*", bid).write.mode(
             "append"
-        ).parquet(f"{store_path}/accepted")
-        sig.join(keep_ids, "_id", "left_semi").write.mode("append").parquet(
-            f"{store_path}/sigs"
+        ).parquet(f"{store_path}/bands")
+        sig.join(keep_ids, "_id", "left_semi").select("*", bid).write.mode(
+            "append"
+        ).parquet(f"{store_path}/sigs")
+        survivors.select("*", bid).write.mode("append").parquet(
+            f"{store_path}/accepted"
         )
-        banded.join(keep_ids, "_id", "left_semi").write.mode("append").parquet(
-            f"{store_path}/bands"
-        )
+        # commit marker LAST: partial appends above stay invisible to
+        # readers until this row lands
+        spark.createDataFrame([(int(batch_id),)], "_batch_id long").write.mode(
+            "append"
+        ).parquet(f"{store_path}/commits")
 
     if not docs.isStreaming:
         _process(docs, 0)

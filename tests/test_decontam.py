@@ -219,3 +219,25 @@ def test_semantic_contamination_default_probe_and_plan(spark):
         decontam.semantic_contamination(corpus, bench, threshold=1.5)
     with pytest.raises(ValueError, match="multiprobe"):
         decontam.semantic_contamination(corpus, bench, multiprobe_hamming=-1)
+
+
+def test_semantic_contamination_edge_cases(spark):
+    """r6 review findings: empty corpus returns the flagged shape
+    instead of crashing on dim inference; user columns named like the
+    internals survive to the output."""
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "bid long, embedding array<double>"
+    )
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = decontam.semantic_contamination(empty, bench)
+    assert out.count() == 0
+    assert {"sem_hit", "bench_sim"} <= set(out.columns)
+
+    clashing = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0], "keepme")],
+        "vec_id long, embedding array<double>, _bucket string",
+    )
+    got = decontam.semantic_contamination(clashing, bench, threshold=0.99)
+    row = got.collect()[0]
+    assert row["_bucket"] == "keepme"  # user column survives
+    assert row["sem_hit"] is True

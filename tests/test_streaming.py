@@ -419,10 +419,16 @@ def test_near_dedup_stream_incremental_ingest(spark, tmp_path_factory):
     assert "_batch_id" in acc.columns
     # the store carries signatures, never text
     sigs = spark.read.parquet(f"{store}/sigs")
-    assert set(sigs.columns) == {"_id", "_sig"}
+    assert set(sigs.columns) == {"_id", "_sig", "_batch_id"}
     assert sigs.count() == 5
     bands = spark.read.parquet(f"{store}/bands")
     assert bands.select("_id").distinct().count() == 5
+    # every batch that wrote rows also committed
+    committed = {
+        r["_batch_id"]
+        for r in spark.read.parquet(f"{store}/commits").collect()
+    }
+    assert {r["_batch_id"] for r in acc.collect()} <= committed
 
     # batch-mode parity of mechanism: same function over a fresh store
     store2 = str(root / "store2")
