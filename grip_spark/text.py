@@ -595,6 +595,142 @@ def pack_sequences(
     )
 
 
+def _ffd_histogram(hist: dict, capacity: int) -> list:
+    """Greedy first-fit-decreasing over a LENGTH HISTOGRAM → a list of
+    ``(lengths, repeat)`` strategies (each strategy is a multiset of
+    doc lengths filling one bin, instantiated ``repeat`` times).
+    Deterministic; work is bounded by the number of distinct lengths
+    (≤ capacity), never corpus size — the histogram-packing insight of
+    Krell et al. 2021 (arXiv:2107.02027): solve packing on the
+    (length, count) table, then hand out slots by rank."""
+    remaining = {int(l): int(c) for l, c in hist.items() if c > 0}
+    strategies = []
+    while remaining:
+        l0 = max(remaining)
+        strat = {l0: 1}
+        free = capacity - l0
+        while True:
+            nxt = max(
+                (
+                    l
+                    for l, c in remaining.items()
+                    if l <= free and c - strat.get(l, 0) > 0
+                ),
+                default=None,
+            )
+            if nxt is None:
+                break
+            strat[nxt] = strat.get(nxt, 0) + 1
+            free -= nxt
+        repeat = min(remaining[l] // k for l, k in strat.items())
+        repeat = max(repeat, 1)
+        for l, k in strat.items():
+            remaining[l] -= k * repeat
+            if remaining[l] <= 0:
+                del remaining[l]
+        strategies.append((sorted(strat.items(), reverse=True), repeat))
+    return strategies
+
+
+def pack_whole_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    capacity: int = 2048,
+    salt: str = "packw",
+    bin_col: str = "bin",
+) -> DataFrame:
+    """WHOLE-document sequence packing: every document lands intact in
+    exactly one bin of ≤ ``capacity`` tokens → ``(id_col, n_tokens,
+    bin_col)`` — the SFT/long-context packing discipline, where
+    :func:`pack_sequences` is the pretraining concat-and-split (which
+    cuts documents at sequence boundaries and therefore never pads).
+
+    Algorithm (Krell et al. 2021, arXiv:2107.02027 — histogram
+    packing): the corpus reduces to a (length, count) histogram (≤
+    ``capacity`` rows — one map-side-combined aggregate); greedy
+    first-fit-decreasing runs DRIVER-side on the histogram producing
+    bin "strategies" with repeat counts; documents are then ranked
+    within their length class (deterministic md5 order) and a
+    broadcast slot map of (length, rank-range → bin arithmetic) rows
+    assigns every document its bin in one narrow join — no shuffle
+    touches text, driver work is independent of corpus size, and the
+    assignment is a pure function of (salt, ids, lengths): reruns and
+    repartitionings agree bit-for-bit.
+
+    Documents longer than ``capacity`` raise (split upstream with
+    :func:`chunk_documents`); zero-token/NULL documents get a NULL
+    bin (nothing to pack).  FFD waste is ≤ 11/9·OPT + 1 bins — in
+    practice a few percent padding where one-doc-per-sequence padding
+    is often >50%.
+    """
+    from pyspark.sql import Window
+
+    if capacity <= 0:
+        raise ValueError(f"capacity must be > 0, got {capacity}")
+    from .dedup import md5_prefix_hash
+
+    idc = F.col(id_col)
+    sized = df.select(
+        idc,
+        F.coalesce(F.size(tokens(text_col)), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    ).localCheckpoint(eager=True)
+    over = sized.filter(F.col("n_tokens") > capacity).count()
+    if over:
+        raise ValueError(
+            f"pack_whole_docs: {over} document(s) exceed capacity "
+            f"{capacity} — split them first (text.chunk_documents)"
+        )
+    hist = {
+        r["n_tokens"]: r["c"]
+        for r in sized.filter(F.col("n_tokens") > 0)
+        .groupBy("n_tokens")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    strategies = _ffd_histogram(hist, capacity)
+    # slot map: (length, off, k, total_slots, bin_base) — ranks
+    # [off, off + k*repeat) of length-class L map to bins
+    # base + (rank - off) // k
+    slot_rows = []
+    offsets: dict = {}
+    next_bin = 0
+    for lengths, repeat in strategies:
+        for l, k in lengths:
+            off = offsets.get(l, 0)
+            slot_rows.append((int(l), int(off), int(k), int(k * repeat), int(next_bin)))
+            offsets[l] = off + k * repeat
+        next_bin += repeat
+    spark = df.sparkSession
+    slots = spark.createDataFrame(
+        slot_rows, "n_tokens long, off long, k long, span long, base long"
+    )
+    w = Window.partitionBy("n_tokens").orderBy(
+        md5_prefix_hash(F.concat(F.lit(salt), idc.cast("string"))).asc(),
+        idc.asc(),
+    )
+    ranked = sized.filter(F.col("n_tokens") > 0).withColumn(
+        "_rk", F.row_number().over(w) - 1
+    )
+    assigned = (
+        ranked.join(F.broadcast(slots), "n_tokens")
+        .filter((F.col("_rk") >= F.col("off")) & (F.col("_rk") < F.col("off") + F.col("span")))
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("base") + F.floor((F.col("_rk") - F.col("off")) / F.col("k")))
+            .cast("long")
+            .alias(bin_col),
+        )
+    )
+    empty = sized.filter(F.col("n_tokens") <= 0).select(
+        id_col, "n_tokens", F.lit(None).cast("long").alias(bin_col)
+    )
+    return assigned.unionByName(empty)
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",

@@ -769,3 +769,95 @@ def test_zorder_validation_and_degenerate(spark):
     assert bounds[1] == (5.0, 5.0)
     out = layout.zorder_layout(const, ["x", "c"], bits=4)
     assert out.count() == 1
+
+
+# -- whole-document histogram packing ---------------------------------------
+
+
+def test_pack_whole_docs_matches_replica_and_bounds(spark):
+    """Histogram FFD packing (Krell et al. 2021 shape): engine
+    assignment equals an independent Python replica of histogram-FFD +
+    rank slotting bit-for-bit; every bin respects capacity; bin count
+    beats one-doc-per-sequence by a wide margin; repartitioning does
+    not change assignments; 0-token docs get NULL bins; oversize
+    raises."""
+    import random as _random
+
+    from grip_spark import text
+    from grip_spark.dedup import md5_prefix_py
+    from grip_spark.text import _ffd_histogram
+
+    rng = _random.Random(99)
+    cap = 64
+    rows = [
+        (i, " ".join("tok" for _ in range(rng.randint(1, cap))))
+        for i in range(300)
+    ]
+    # NOTE: "" tokenizes to one empty token (split("", "\\s+") -> [""],
+    # the pinned tokens() semantics) so doc 1000 packs with length 1;
+    # only NULL text is 0 tokens -> NULL bin
+    rows += [(1000, ""), (1001, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bin"])
+        for r in text.pack_whole_docs(df, capacity=cap, salt="s").collect()
+    }
+    assert len(got) == len(rows)
+    assert got[1001] == (0, None)
+    assert got[1000][0] == 1 and got[1000][1] is not None
+
+    # python replica: histogram -> FFD -> rank slotting
+    import re as _re
+
+    lens = {
+        i: len(_re.split(r"\s+", t.strip().lower()))
+        for i, t in rows
+        if t is not None
+    }
+    hist = {}
+    for n in lens.values():
+        hist[n] = hist.get(n, 0) + 1
+    strategies = _ffd_histogram(hist, cap)
+    slot_rows, offsets, next_bin = [], {}, 0
+    for lengths, repeat in strategies:
+        for l, k in lengths:
+            off = offsets.get(l, 0)
+            slot_rows.append((l, off, k, k * repeat, next_bin))
+            offsets[l] = off + k * repeat
+        next_bin += repeat
+    by_len = {}
+    for i, n in lens.items():
+        by_len.setdefault(n, []).append(i)
+    expect = {}
+    for n, ids in by_len.items():
+        ids.sort(key=lambda i: (md5_prefix_py(f"s{i}"), i))
+        for rk, i in enumerate(ids):
+            for l, off, k, span, base in slot_rows:
+                if l == n and off <= rk < off + span:
+                    expect[i] = (n, base + (rk - off) // k)
+                    break
+    for i, n in lens.items():
+        assert got[i] == expect[i], i
+
+    # capacity respected per bin; waste beats one-doc-per-bin
+    fills = {}
+    for i, (n, b) in got.items():
+        if b is not None:
+            fills[b] = fills.get(b, 0) + n
+    assert all(v <= cap for v in fills.values())
+    assert len(fills) < 300  # strictly better than one per doc
+    total = sum(n for n, b in got.values() if b is not None)
+    assert len(fills) * cap <= 1.35 * total  # padding within ~35%
+
+    # partition-invariance
+    got2 = {
+        r["doc_id"]: (r["n_tokens"], r["bin"])
+        for r in text.pack_whole_docs(
+            df.repartition(7), capacity=cap, salt="s"
+        ).collect()
+    }
+    assert got2 == got
+
+    with pytest.raises(ValueError, match="exceed capacity"):
+        text.pack_whole_docs(df, capacity=3)
