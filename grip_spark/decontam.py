@@ -246,13 +246,18 @@ def semantic_contamination(
     c_bucket = S._fresh_name("_bucket", corpus.columns)
     c_norm = S._fresh_name("_cnorm", corpus.columns)
     c_hid = S._fresh_name("_hid", corpus.columns)
+    # bench-side working names are JOINED into the corpus frame, so
+    # they must dodge corpus columns too (a corpus column literally
+    # named "_vb"/"_bnorm" made the hits select ambiguous — r6 review)
+    b_vec = S._fresh_name("_vb", corpus.columns)
+    b_norm = S._fresh_name("_bnorm", corpus.columns)
     cb = S.ann_index(
         corpus, vec_col, planes=planes, seed=seed, dim=dim,
         bucket_col=c_bucket, norm_col=c_norm,
     )
     bb = S.ann_index(
         benchmark, bvec, planes=planes, seed=seed, dim=dim,
-        bucket_col="_bbucket", norm_col="_bnorm",
+        bucket_col="_bbucket", norm_col=b_norm,
     )
     masks = [0] + [
         sum(1 << i for i in bits)
@@ -260,8 +265,8 @@ def semantic_contamination(
         for bits in combinations(range(planes), r)
     ]
     bench_exp = bb.select(
-        F.col(bvec).alias("_vb"),
-        F.col("_bnorm"),
+        F.col(bvec).alias(b_vec),
+        F.col(b_norm),
         F.explode(
             F.array(*[F.col("_bbucket").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias(c_bucket),
@@ -271,8 +276,8 @@ def semantic_contamination(
         .select(
             F.col(id_col).alias(c_hid),
             F.try_divide(
-                S.dot(F.col(vec_col), F.col("_vb")),
-                F.col(c_norm) * F.col("_bnorm"),
+                S.dot(F.col(vec_col), F.col(b_vec)),
+                F.col(c_norm) * F.col(b_norm),
             ).alias("_cos"),
         )
         .groupBy(c_hid)

@@ -443,8 +443,26 @@ def minhash_lsh_pairs_between(
         .filter(est >= threshold - 0.1)
         .select("a_id", "b_id")
     ).localCheckpoint(eager=True)
-    # stage 2: exact shingle Jaccard, shingling only the candidate docs
-    # of each side (left-semi prune per corpus)
+    return exact_shingle_pairs(
+        cand, df_a, df_b, id_col, text_col, threshold, shingle_n
+    )
+
+
+def exact_shingle_pairs(
+    cand: DataFrame,
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Exact-verify stage shared by the between-corpus pair verifier
+    and the streaming ingest (one implementation so the paths cannot
+    diverge — the :func:`estimated_jaccard` discipline): confirm
+    ``(a_id, b_id)`` candidates by exact char-shingle Jaccard >=
+    ``threshold``, shingling ONLY candidate ids (left-semi pruned per
+    side, both sides checkpointed once)."""
     sha = (
         df_a.join(cand.select("a_id"), F.col(id_col) == F.col("a_id"), "left_semi")
         .select(

@@ -292,7 +292,6 @@ def near_dedup_stream(
 
     from .dedup import (
         _band_explode,
-        char_shingles,
         estimated_jaccard,
         minhash_signatures_df,
         tune_bands,
@@ -303,17 +302,41 @@ def near_dedup_stream(
     r = num_hashes // bands
     spark = docs.sparkSession
 
+    def _path_absent(e: Exception) -> bool:
+        msg = str(e)
+        return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+
+    def _read_commits():
+        """The commits table, or None when the STORE is absent (first
+        batch).  A store with data but no commits table predates the
+        commit protocol — raise with a migration pointer instead of
+        silently discarding its dedup memory (r6 review)."""
+        try:
+            return spark.read.parquet(f"{store_path}/commits")
+        except AnalysisException as e:
+            if not _path_absent(e):
+                raise
+        try:
+            spark.read.parquet(f"{store_path}/bands")
+        except AnalysisException as e:
+            if _path_absent(e):
+                return None  # genuinely fresh store
+            raise
+        raise ValueError(
+            f"near_dedup_stream: store at {store_path!r} has data but no "
+            "commits table (pre-commit-protocol layout) — migrate by "
+            "writing <store>/commits rows covering the existing "
+            "_batch_id values (or a single batch id 0 for stores "
+            "written before _batch_id existed, after adding it)"
+        )
+
     def _read_store():
         """Committed (bands, sigs, accepted) or None when the store
         does not exist yet.  Only a path-absent AnalysisException is
         the first-batch signal; any other failure raises."""
-        try:
-            commits = spark.read.parquet(f"{store_path}/commits")
-        except AnalysisException as e:
-            msg = str(e)
-            if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
-                return None
-            raise
+        commits = _read_commits()
+        if commits is None:
+            return None
         out = []
         for sub in ("bands", "sigs", "accepted"):
             t = spark.read.parquet(f"{store_path}/{sub}")
@@ -321,27 +344,14 @@ def near_dedup_stream(
         return tuple(out)
 
     def _exact_verify(cand, ta, tb):
-        """Confirm (a_id, b_id) candidates by exact shingle Jaccard;
-        ``ta``/``tb`` are (id, text) sources for each side, shingled
-        only for candidate ids (left-semi pruned)."""
-        sha = (
-            ta.join(cand.select("a_id"), ta[id_col] == F.col("a_id"), "left_semi")
-            .select(
-                F.col(id_col).alias("a_id"),
-                char_shingles(text_col, shingle_n).alias("_sha"),
-            )
+        """Shared stage-2 exact verifier (``dedup.exact_shingle_pairs``
+        — one implementation with the batch pair verifiers, so the
+        paths cannot diverge)."""
+        from .dedup import exact_shingle_pairs
+
+        return exact_shingle_pairs(
+            cand, ta, tb, id_col, text_col, threshold, shingle_n
         )
-        shb = (
-            tb.join(cand.select("b_id"), tb[id_col] == F.col("b_id"), "left_semi")
-            .select(
-                F.col(id_col).alias("b_id"),
-                char_shingles(text_col, shingle_n).alias("_shb"),
-            )
-        )
-        joined = cand.join(sha, "a_id").join(shb, "b_id")
-        inter = F.size(F.array_intersect("_sha", "_shb"))
-        union = F.size("_sha") + F.size("_shb") - inter
-        return joined.filter((inter / union) >= threshold).select("a_id", "b_id")
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -419,19 +429,20 @@ def near_dedup_stream(
                 dropped, sig["_id"] == dropped["_drop"], "left_anti"
             )
         ).localCheckpoint(eager=True)
+        # withColumn (not select("*", ...)): a batch re-ingested from a
+        # prior store's accepted table already carries _batch_id, and a
+        # duplicate column would fail the write (r6 review)
         survivors = batch.join(
             keep_ids, batch[id_col] == keep_ids["_id"], "left_semi"
-        )
-        bid = F.lit(int(batch_id)).alias("_batch_id")
-        banded.join(keep_ids, "_id", "left_semi").select("*", bid).write.mode(
-            "append"
-        ).parquet(f"{store_path}/bands")
-        sig.join(keep_ids, "_id", "left_semi").select("*", bid).write.mode(
-            "append"
-        ).parquet(f"{store_path}/sigs")
-        survivors.select("*", bid).write.mode("append").parquet(
-            f"{store_path}/accepted"
-        )
+        ).withColumn("_batch_id", F.lit(int(batch_id)))
+        bid = F.lit(int(batch_id))
+        banded.join(keep_ids, "_id", "left_semi").withColumn(
+            "_batch_id", bid
+        ).write.mode("append").parquet(f"{store_path}/bands")
+        sig.join(keep_ids, "_id", "left_semi").withColumn(
+            "_batch_id", bid
+        ).write.mode("append").parquet(f"{store_path}/sigs")
+        survivors.write.mode("append").parquet(f"{store_path}/accepted")
         # commit marker LAST: partial appends above stay invisible to
         # readers until this row lands
         spark.createDataFrame([(int(batch_id),)], "_batch_id long").write.mode(
@@ -439,7 +450,16 @@ def near_dedup_stream(
         ).parquet(f"{store_path}/commits")
 
     if not docs.isStreaming:
-        _process(docs, 0)
+        # sequential batch-mode ingests into one store must each get a
+        # FRESH batch id — reusing 0 would make earlier commits vouch
+        # for a later run's partial appends, voiding the crash
+        # protocol (r6 review)
+        commits = _read_commits()
+        next_id = 0
+        if commits is not None:
+            row = commits.agg(F.max("_batch_id")).first()
+            next_id = int(row[0]) + 1 if row[0] is not None else 0
+        _process(docs, next_id)
         return None
     writer = docs.writeStream.foreachBatch(_process).trigger(availableNow=True)
     if checkpoint_dir is not None:

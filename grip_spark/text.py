@@ -623,7 +623,10 @@ def _ffd_histogram(hist: dict, capacity: int) -> list:
             strat[nxt] = strat.get(nxt, 0) + 1
             free -= nxt
         repeat = min(remaining[l] // k for l, k in strat.items())
-        repeat = max(repeat, 1)
+        # the fill loop guarantees strat[l] <= remaining[l], so repeat
+        # >= 1; a violated invariant must fail loudly, not warp the
+        # slot spans (r6 review)
+        assert repeat >= 1, (strat, remaining)
         for l, k in strat.items():
             remaining[l] -= k * repeat
             if remaining[l] <= 0:
@@ -671,26 +674,48 @@ def pack_whole_docs(
     from .dedup import md5_prefix_hash
 
     idc = F.col(id_col)
+    # sub-buckets split each length class across `n_sub` window
+    # partitions: without them one dominant length (e.g. upstream
+    # truncation pinning millions of docs at exactly `capacity`)
+    # would serialize its whole class through a single row_number
+    # task (r6 review) — per-(length, sub) rank offsets restore a
+    # deterministic global rank
+    n_sub = 32
+    sub = F.pmod(
+        md5_prefix_hash(F.concat(F.lit(salt + ":sub"), idc.cast("string"))),
+        F.lit(n_sub),
+    ).cast("int")
     sized = df.select(
         idc,
         F.coalesce(F.size(tokens(text_col)), F.lit(0))
         .cast("long")
         .alias("n_tokens"),
+        sub.alias("_sub"),
     ).localCheckpoint(eager=True)
-    over = sized.filter(F.col("n_tokens") > capacity).count()
+    # one histogram pass serves BOTH the oversize check and FFD
+    sub_counts = (
+        sized.groupBy("n_tokens", "_sub")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    hist: dict = {}
+    for r in sub_counts:
+        hist[r["n_tokens"]] = hist.get(r["n_tokens"], 0) + r["c"]
+    over = sum(c for l, c in hist.items() if l > capacity)
     if over:
         raise ValueError(
             f"pack_whole_docs: {over} document(s) exceed capacity "
             f"{capacity} — split them first (text.chunk_documents)"
         )
-    hist = {
-        r["n_tokens"]: r["c"]
-        for r in sized.filter(F.col("n_tokens") > 0)
-        .groupBy("n_tokens")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
+    hist = {l: c for l, c in hist.items() if 0 < l <= capacity}
     strategies = _ffd_histogram(hist, capacity)
+    # per-(length, sub) rank offsets: cumulative counts of lower subs
+    sub_off_rows = []
+    acc: dict = {}
+    for r in sorted(sub_counts, key=lambda r: (r["n_tokens"], r["_sub"])):
+        l = r["n_tokens"]
+        sub_off_rows.append((int(l), int(r["_sub"]), int(acc.get(l, 0))))
+        acc[l] = acc.get(l, 0) + r["c"]
     # slot map: (length, off, k, total_slots, bin_base) — ranks
     # [off, off + k*repeat) of length-class L map to bins
     # base + (rank - off) // k
@@ -707,12 +732,18 @@ def pack_whole_docs(
     slots = spark.createDataFrame(
         slot_rows, "n_tokens long, off long, k long, span long, base long"
     )
-    w = Window.partitionBy("n_tokens").orderBy(
+    sub_offs = spark.createDataFrame(
+        sub_off_rows, "n_tokens long, _sub int, _sub_off long"
+    )
+    w = Window.partitionBy("n_tokens", "_sub").orderBy(
         md5_prefix_hash(F.concat(F.lit(salt), idc.cast("string"))).asc(),
         idc.asc(),
     )
-    ranked = sized.filter(F.col("n_tokens") > 0).withColumn(
-        "_rk", F.row_number().over(w) - 1
+    ranked = (
+        sized.filter(F.col("n_tokens") > 0)
+        .withColumn("_srk", F.row_number().over(w) - 1)
+        .join(F.broadcast(sub_offs), ["n_tokens", "_sub"])
+        .withColumn("_rk", F.col("_sub_off") + F.col("_srk"))
     )
     assigned = (
         ranked.join(F.broadcast(slots), "n_tokens")

@@ -234,10 +234,12 @@ def test_semantic_contamination_edge_cases(spark):
     assert {"sem_hit", "bench_sim"} <= set(out.columns)
 
     clashing = spark.createDataFrame(
-        [(1, [1.0, 0.0, 0.0, 0.0], "keepme")],
-        "vec_id long, embedding array<double>, _bucket string",
+        [(1, [1.0, 0.0, 0.0, 0.0], "keepme", "b", "n")],
+        "vec_id long, embedding array<double>, _bucket string, "
+        "_vb string, _bnorm string",
     )
     got = decontam.semantic_contamination(clashing, bench, threshold=0.99)
     row = got.collect()[0]
-    assert row["_bucket"] == "keepme"  # user column survives
+    # user columns named like every internal survive to the output
+    assert (row["_bucket"], row["_vb"], row["_bnorm"]) == ("keepme", "b", "n")
     assert row["sem_hit"] is True

@@ -831,7 +831,11 @@ def test_pack_whole_docs_matches_replica_and_bounds(spark):
         by_len.setdefault(n, []).append(i)
     expect = {}
     for n, ids in by_len.items():
-        ids.sort(key=lambda i: (md5_prefix_py(f"s{i}"), i))
+        # rank order is sub-bucket-major (the skew-splitting device):
+        # (sub, hash, id) with sub = md5(salt + ":sub" + id) % 32
+        ids.sort(
+            key=lambda i: (md5_prefix_py(f"s:sub{i}") % 32, md5_prefix_py(f"s{i}"), i)
+        )
         for rk, i in enumerate(ids):
             for l, off, k, span, base in slot_rows:
                 if l == n and off <= rk < off + span:

@@ -440,3 +440,18 @@ def test_near_dedup_stream_incremental_ingest(spark, tmp_path_factory):
     )
     acc2 = spark.read.parquet(f"{store2}/accepted")
     assert {r["text"] for r in acc2.collect()} == {dA, dB, dC, dD, dE}
+    # sequential batch-mode ingests get FRESH batch ids (a reused id
+    # would let an earlier commit vouch for a later run's partial
+    # appends); the re-ingested twins all drop against the store
+    fresh = spark.createDataFrame(
+        [(50, dA), (51, "brand new sixth text for the second batch run")],
+        schema,
+    )
+    streaming.near_dedup_stream(fresh, store2)
+    commits2 = {
+        r["_batch_id"]
+        for r in spark.read.parquet(f"{store2}/commits").collect()
+    }
+    assert commits2 == {0, 1}
+    acc3 = spark.read.parquet(f"{store2}/accepted")
+    assert acc3.count() == 6 and acc3.filter("doc_id = 50").count() == 0
