@@ -211,6 +211,63 @@ def shuffle_order(
     return out
 
 
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+    salt: str = "curr",
+    bucket_col: str = "curr_bucket",
+    order_col: str = "curr_order",
+    descending: bool = False,
+) -> DataFrame:
+    """Deterministic curriculum ordering: bucket rows by ``score_col``
+    quantile (difficulty/quality), shuffle WITHIN each bucket —
+    ``orderBy(bucket_col, order_col)`` is then an easy-to-hard (or,
+    with ``descending``, hard-to-easy) training order with the usual
+    within-level randomization (Bengio et al. 2009 curriculum
+    learning; in corpus practice: feed high-quality buckets late, or
+    anneal by difficulty).
+
+    Returns ``df`` + ``bucket_col`` (0..n_buckets-1, monotone in
+    score; NULL scores get bucket NULL) + ``order_col`` (the (salt,
+    id) md5 key — the :func:`shuffle_order` device, so the order is a
+    pure function of (salt, ids) and a new salt reshuffles within
+    buckets without moving anything across difficulty levels).
+
+    Scale shape: bucket cuts come from ONE ``approx_percentile``
+    aggregate (driver gets n_buckets-1 doubles) and fold into the
+    plan as literals — assignment is a narrow chained-comparison
+    projection, no sort, no shuffle; the eventual
+    ``orderBy(bucket, order)`` a consumer runs costs the same one
+    range exchange :func:`shuffle_order` pays.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.agg(
+        F.percentile_approx(
+            F.col(score_col).cast("double"), probs, F.lit(100000)
+        ).alias("c")
+    ).first()
+    cuts = [float(x) for x in (row["c"] or [])]
+    if not cuts:
+        raise ValueError(f"curriculum_order: no non-NULL {score_col!r} values")
+    s = F.col(score_col).cast("double")
+    bucket = F.lit(None).cast("int")
+    expr = None
+    for i, c in enumerate(cuts):
+        cond = s <= F.lit(c)
+        expr = F.when(cond, F.lit(i)) if expr is None else expr.when(cond, F.lit(i))
+    expr = expr.otherwise(F.lit(len(cuts)))
+    bucket = F.when(s.isNotNull(), expr)
+    if descending:
+        bucket = F.lit(len(cuts)) - bucket
+    return df.withColumn(bucket_col, bucket).withColumn(
+        order_col, uniform_key(id_col, salt)
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     domain_col: str,

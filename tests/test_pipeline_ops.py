@@ -865,3 +865,54 @@ def test_pack_whole_docs_matches_replica_and_bounds(spark):
 
     with pytest.raises(ValueError, match="exceed capacity"):
         text.pack_whole_docs(df, capacity=3)
+
+
+def test_curriculum_order_monotone_and_deterministic(spark):
+    """Quantile buckets are monotone in score, roughly balanced, NULL
+    scores get NULL buckets, descending flips levels, and the
+    within-bucket order key is partition-invariant (the shuffle_order
+    determinism contract)."""
+    import random as _random
+
+    from grip_spark import sampling
+
+    rng = _random.Random(5)
+    rows = [(i, rng.uniform(0, 100)) for i in range(2000)] + [(9999, None)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    out = sampling.curriculum_order(df, "score", "doc_id", n_buckets=5).collect()
+    got = {r["doc_id"]: (r["curr_bucket"], r["curr_order"], r["score"]) for r in out}
+    assert got[9999][0] is None  # NULL score -> NULL bucket
+    # monotone: every score in bucket b is <= every score in bucket b+1
+    by_bucket = {}
+    for _, (b, _, s) in got.items():
+        if b is not None:
+            by_bucket.setdefault(b, []).append(s)
+    assert set(by_bucket) == {0, 1, 2, 3, 4}
+    for b in range(4):
+        assert max(by_bucket[b]) <= min(by_bucket[b + 1])
+    # roughly balanced (approx_percentile at high accuracy)
+    sizes = [len(v) for _, v in sorted(by_bucket.items())]
+    assert all(300 < n < 500 for n in sizes), sizes
+    # descending flips the level index, keeps membership
+    desc = {
+        r["doc_id"]: r["curr_bucket"]
+        for r in sampling.curriculum_order(
+            df, "score", "doc_id", n_buckets=5, descending=True
+        ).collect()
+    }
+    for i, (b, _, _) in got.items():
+        assert desc[i] == (None if b is None else 4 - b)
+    # partition-invariance of (bucket, order)
+    rep = {
+        r["doc_id"]: (r["curr_bucket"], r["curr_order"])
+        for r in sampling.curriculum_order(
+            df.repartition(13), "score", "doc_id", n_buckets=5
+        ).collect()
+    }
+    assert rep == {i: (b, o) for i, (b, o, _) in got.items()}
+    with pytest.raises(ValueError, match="n_buckets"):
+        sampling.curriculum_order(df, "score", "doc_id", n_buckets=1)
+    with pytest.raises(ValueError, match="no non-NULL"):
+        sampling.curriculum_order(
+            df.filter("score is null"), "score", "doc_id"
+        )
