@@ -428,6 +428,7 @@ def q_winnow_overlap(spark, sf_dir):
         window=16,
         min_shared=4,
         gram_hash=lambda g: g,
+        max_df=1000,
     )
 
 

@@ -365,22 +365,56 @@ def winnow_fingerprints(
     detection, where whole-document minhash only sees set-level
     similarity.  Shuffle-free column expression; texts with fewer
     k-grams than a window degrade to a single global-min fingerprint.
-    The hash array is let-bound (see :func:`_let`) so it is computed
-    once per row, not once per window start.
+
+    Sliding-window minima via a sparse table (doubling): level j holds
+    ``min(h[i .. i+2^j-1])``, built with ``floor(log2(window))``
+    O(n) ``zip_with(level, shift(level), least)`` passes, and each
+    window minimum is the ``least`` of two overlapping power-of-two
+    entries — O(n log window) total, versus the naive per-start
+    ``array_min(slice(...))`` which allocates a window-sized array
+    per position (O(n * window), the former hot spot).  Every
+    intermediate level is let-bound (see :func:`_let`: no CSE inside
+    HOF lambdas), and the final lookup is two null-safe ``F.get``
+    calls — no per-start allocation at all.
     """
+    lg = max(window.bit_length() - 1, 0)  # floor(log2(window)), exact
+    rem = window - (1 << lg)  # 0 when window is a power of two
 
     def _body(hashes):
         ng = F.size(hashes)
         nw = ng - (window - 1)
-        starts = (
-            F.when(nw >= 1, F.sequence(F.lit(1), nw))
-            .when(ng >= 1, F.array(F.lit(1)))
-            .otherwise(F.array().cast("array<int>"))
-        )
-        wlen = F.least(F.lit(window), ng)
-        return F.array_distinct(
-            F.transform(starts, lambda i: F.array_min(F.slice(hashes, i, wlen)))
-        )
+
+        def _query(table):
+            # min over [i, i+window-1] (1-indexed i) = least of the two
+            # 2^lg-wide entries covering the window's ends; F.get is
+            # 0-indexed and null-on-OOB (ANSI-safe), least skips nulls
+            def _wmin(i):
+                lo = F.get(table, i - 1)
+                return F.least(lo, F.get(table, i - 1 + rem)) if rem else lo
+
+            starts = F.when(nw >= 1, F.sequence(F.lit(1), nw)).otherwise(
+                F.array().cast("array<int>")
+            )
+            return F.array_distinct(
+                F.when(nw >= 1, F.transform(starts, _wmin))
+                .when(ng >= 1, F.array(F.array_min(hashes)))
+                .otherwise(F.transform(starts, _wmin))
+            )
+
+        def _build(level, j):
+            if j >= lg:
+                return _query(level)
+            step = 1 << j
+            nxt = F.zip_with(
+                level,
+                F.slice(
+                    level, 1 + step, F.greatest(F.size(level) - step, F.lit(1))
+                ),
+                lambda x, y: F.least(x, y),
+            )
+            return _let(nxt, lambda t: _build(t, j + 1))
+
+        return _build(hashes, 0)
 
     return _let(rolling_hashes(text, k, gram_hash), _body)
 
@@ -411,7 +445,7 @@ def winnow_overlap_pairs(
     window: int = 4,
     min_shared: int = 2,
     gram_hash=None,
-    max_df: int | None = 1000,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` winnowing fingerprints
     → ``(a_id, b_id, n_shared)`` — substring-level overlap detection
@@ -435,10 +469,15 @@ def winnow_overlap_pairs(
     filter): candidate rows are bounded by O(#fingerprints · max_df)
     and such fingerprints carry essentially no pair-discriminating
     information.  ``n_shared`` then counts only non-boilerplate
-    fingerprints; pass ``max_df=None`` for the uncapped (exact-count)
-    join.  The df aggregation is one map-side-combinable count on the
-    fingerprint key; the hot set it produces is tiny, so the anti-join
-    broadcasts under AQE.
+    fingerprints, so pairs can change (or vanish) relative to the
+    uncapped join — the cap is therefore OPT-IN (``max_df=None``
+    default keeps exact counts; production corpora should pass a cap,
+    e.g. ``max_df=1000`` as the contract query and scaling probe do).
+    When live, the number of dropped hot fingerprints is logged at
+    WARN through the JVM log4j logger so callers can detect when the
+    cap changed their pair set.  The df aggregation is one
+    map-side-combinable count on the fingerprint key; the hot set it
+    produces is tiny, so the anti-join broadcasts under AQE.
     """
     # eager checkpoint: both self-join sides consume the posting list
     # within one action — a lazy cache would be raced and the winnowing
@@ -455,7 +494,19 @@ def winnow_overlap_pairs(
             .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") > max_df)
             .select("_fp")
+            # materialize once: the count below and the anti-join both
+            # consume it, and the checkpointed set is tiny by
+            # construction (<= #postings/max_df rows)
+            .localCheckpoint(eager=True)
         )
+        n_hot = hot.count()
+        if n_hot:
+            df.sparkSession._jvm.org.apache.log4j.LogManager.getLogger(
+                "grip_spark.text"
+            ).warn(
+                f"winnow_overlap_pairs: max_df={max_df} dropped {n_hot} hot "
+                "fingerprints; n_shared counts exclude them"
+            )
         fp = fp.join(hot, "_fp", "left_anti")
     a = fp.select(F.col("_id").alias("a_id"), "_fp")
     b = fp.select(F.col("_id").alias("b_id"), "_fp")

@@ -318,6 +318,53 @@ def test_winnow_fingerprints_python_oracle(docs, spark):
         assert list(r["fp"]) == dedup_want, f"doc {r['doc_id']}"
 
 
+def test_winnow_sparse_table_windows_differential(spark):
+    """The sparse-table (doubling) sliding-window minimum must equal the
+    naive per-start minimum for every window size — including
+    non-power-of-two windows, where the final lookup is the least of
+    two OVERLAPPING 2^floor(log2(w))-wide entries, and degenerate
+    texts (empty / null / shorter than k / shorter than window)."""
+    import random
+    import string
+
+    from grip_spark import text as T
+
+    rng = random.Random(1234)
+    alphabet = string.ascii_lowercase + "   "
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 90))))
+        for i in range(60)
+    ]
+    rows += [(900, ""), (901, None), (902, "ab"), (903, "abcdefgh")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    k = 6
+    grams = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", T.rolling_hashes("text", k).alias("g")
+        ).collect()
+    }
+    for w in (1, 2, 3, 4, 5, 6, 7, 8, 11, 16):
+        got = df.select(
+            "doc_id", T.winnow_fingerprints("text", k, w).alias("fp")
+        ).collect()
+        for r in got:
+            g = grams[r["doc_id"]]
+            if not g:
+                want = []
+            elif len(g) < w:
+                want = [min(g)]
+            else:
+                want = [min(g[i : i + w]) for i in range(len(g) - w + 1)]
+            seen, dd = set(), []
+            for v in want:
+                if v not in seen:
+                    seen.add(v)
+                    dd.append(v)
+            assert list(r["fp"]) == dd, f"w={w} doc {r['doc_id']}"
+
+
 def test_winnow_shared_substring_guarantee(spark):
     from grip_spark import text as T
 
