@@ -348,6 +348,19 @@ def q_two_jump(spark, sf_dir):
     return q.to_df().select("gid")
 
 
+def q_jump_ops(spark, sf_dir):
+    """Two-jumps-into-one-mark + forward jump as one labeled matrix —
+    folded in r7 to fund the ``langid`` slot under the driver's
+    50-query cap (both rode as standalone slots green since r2/r5)."""
+    a = q_two_jump(spark, sf_dir).select(
+        F.lit("two_jump").alias("variant"), "gid"
+    )
+    b = q_forward_jump(spark, sf_dir).select(
+        F.lit("forward_jump").alias("variant"), "gid"
+    )
+    return a.unionByName(b)
+
+
 def q_embedding_pairs(spark, sf_dir):
     """Embedding-cosine near-dup pairs (the 5th dedup family member):
     LSH bucket equi-join + exact cosine >= 0.35 (the fixture has no planted
@@ -1097,20 +1110,13 @@ def q_dedup_pairs(spark, sf_dir):
     return a.unionByName(b)
 
 
-def q_harmonic(spark, sf_dir):
-    """Sampled-source harmonic centrality (graphalgo.py:
-    harmonic_centrality; Boldi & Vigna 2014 — the Common Crawl host
-    signal) over the customer→order→part graph: 16 md5-ordered
-    sources (the cross-engine sampling device), multi-source BFS,
-    H(v) = Σ 1/d scaled by N/16.  Depth ≤ 2 on this DAG, so every
-    term is an exact binary double and DuckDB replicates the values
-    bit-for-bit (BFS unrolled per level, same visited-set anti-join
-    semantics)."""
-    from grip_spark import graphalgo
-
+def _cop_edges(spark, sf_dir):
+    """The customer→order→part DAG both centrality slots run over
+    (diameter 2, so the BFS/Brandes loops unroll to plain CTEs in the
+    DuckDB oracle)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    edges = orders.select(
+    return orders.select(
         F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
         F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("dst"),
     ).unionByName(
@@ -1119,7 +1125,53 @@ def q_harmonic(spark, sf_dir):
             F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
         )
     )
-    return graphalgo.harmonic_centrality(edges, n_sources=16)
+
+
+def q_centrality(spark, sf_dir):
+    """Harmonic (Boldi & Vigna 2014) + betweenness (Brandes 2001,
+    sampled per Brandes & Pich 2007) centrality as one labeled matrix
+    — folded in r7 (harmonic kept its r6 slot, betweenness gets its
+    first value oracle) under the driver's 50-query cap.
+
+    Both run 16 md5-ordered sources over the customer→order→part DAG
+    (graphalgo.py:harmonic_centrality / betweenness_centrality).  On a
+    depth-2 DAG Brandes reduces to: σ(c,o)=1, σ(c,p)=#parent orders,
+    δ(c,o)=Σ_p 1/σ(c,p) — the dependency divisions and 1/d terms are
+    plain double arithmetic DuckDB replicates; scores are rounded to 6
+    decimals on BOTH sides so summation-order ulps can't straddle the
+    driver's 9-decimal hash."""
+    from grip_spark import graphalgo
+
+    edges = _cop_edges(spark, sf_dir)
+    h = graphalgo.harmonic_centrality(edges, n_sources=16).select(
+        F.lit("harmonic").alias("metric"),
+        "id",
+        F.round("harmonic", 6).alias("value"),
+    )
+    b = graphalgo.betweenness_centrality(edges, n_sources=16).select(
+        F.lit("betweenness").alias("metric"),
+        "id",
+        F.round("betweenness", 6).alias("value"),
+    )
+    return h.unionByName(b)
+
+
+def q_langid(spark, sf_dir):
+    """Trainable char-trigram Naive Bayes language ID end-to-end
+    (text.py:langid_model + langid_score; Cavnar & Trenkle 1994):
+    train on the documents table's ``lang`` labels, score every
+    document.  Every model stage — count-desc/gram-asc vocabulary,
+    add-one ``ln((c+1)/(T_l+V))`` dense log-probs, document-frequency
+    priors, every-occurrence-votes scoring, smallest-lang tie-break,
+    NULL prediction for no-in-vocab-gram docs — is plain SQL, so the
+    whole train+score pipeline sits under the value oracle.  Scores
+    round to 4 decimals on both sides (sum-order ulps over ~10³-term
+    log-prob sums stay far below that)."""
+    docs = _docs(spark, sf_dir)
+    model = text.langid_model(docs, "text", "lang", n=3, vocab_size=2000)
+    return text.langid_score(docs, model, "doc_id", "text").select(
+        "doc_id", "lang_pred", F.round("lang_score", 4).alias("lang_score")
+    )
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -1246,7 +1298,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mapped_graph_hop": q_mapped_graph_hop,
         "null_traversals": q_null_traversals,
         "pagination": q_pagination,
-        "two_jump": q_two_jump,
+        # r7 folds: two_jump + forward_jump ride as a labeled matrix,
+        # and betweenness joins harmonic in `centrality` — funding the
+        # `langid` and `betweenness` value oracles under the 50 cap
+        "jump_ops": q_jump_ops,
+        "langid": q_langid,
         "knn_lsh": q_knn_lsh,
         "dedup_clusters": q_dedup_clusters,
         "doc_text_profile": q_doc_text_profile,
@@ -1287,11 +1343,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_matrix": q_agg_matrix,
         "agg_histogram": q_agg_histogram,
         "mark_jump": q_mark_jump,
-        "forward_jump": q_forward_jump,
         "dedup_exact": q_dedup_exact,
         # folded in r6 (ngram3 + minhash variants) to fund `harmonic`
         "dedup_pairs": q_dedup_pairs,
-        "harmonic": q_harmonic,
+        "centrality": q_centrality,
         "sim_topk_ops": q_sim_topk_ops,
         "semantic_dedup": q_semantic_dedup,
         "dup_spans": q_dup_spans,
@@ -1424,11 +1479,16 @@ SELECT w0.start || '#0' AS walk_id, w0.start, s1.hop1, s2.hop2
 FROM w0 LEFT JOIN s1 ON s1.start = w0.start
 LEFT JOIN s2 ON s2.start = w0.start
 """
-# harmonic centrality replica: 16 md5-prefix-ordered sources over the
-# c→o→p graph, BFS unrolled per level (diameter 2 on this DAG) with
-# the engine's visited-set anti-join semantics; every 1/d term is an
-# exact binary double so values match bit-for-bit
-_HARMONIC_SQL = """
+# centrality replica: 16 md5-prefix-ordered sources over the c→o→p
+# graph, BFS unrolled per level (diameter 2 on this DAG) with the
+# engine's visited-set anti-join semantics.  Harmonic: every 1/d term
+# is an exact binary double.  Betweenness (Brandes on a depth-2 DAG):
+# σ(s, level-1 node) = 1, σ(s, level-2 node) = #level-1 parents, so
+# δ(s, u) = Σ_{v: u→v ∈ d2(s)} 1/σ2(s, v) and only level-1 interior
+# nodes score.  Both rounded to 6 decimals on each side (q_centrality
+# mirrors) so summation-order ulps can't straddle the driver's
+# 9-decimal hash.
+_CENTRALITY_SQL = """
 WITH edges AS (
   SELECT DISTINCT * FROM (
     SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
@@ -1462,9 +1522,107 @@ lvl AS (
   SELECT v AS id, count(*) / 1.0 AS h FROM d1 GROUP BY v
   UNION ALL
   SELECT v, count(*) / 2.0 FROM d2 GROUP BY v
+),
+bsrcs AS (
+  SELECT id AS s FROM nodes
+  ORDER BY CAST(('0x' || substr(md5('bc' || id), 1, 15)) AS BIGINT) ASC, id ASC
+  LIMIT 16
+),
+b1 AS (
+  SELECT DISTINCT bsrcs.s, e.dst AS v
+  FROM bsrcs JOIN edges e ON e.src = bsrcs.s
+  WHERE e.dst <> bsrcs.s
+),
+b2 AS (
+  SELECT b1.s, e.dst AS v, CAST(count(*) AS DOUBLE) AS sig
+  FROM b1 JOIN edges e ON e.src = b1.v
+  WHERE e.dst <> b1.s
+    AND NOT EXISTS (SELECT 1 FROM b1 x WHERE x.s = b1.s AND x.v = e.dst)
+  GROUP BY b1.s, e.dst
+),
+dep1 AS (
+  SELECT b1.s, b1.v AS id, sum(1.0 / b2.sig) AS delta
+  FROM b1 JOIN edges e ON e.src = b1.v
+       JOIN b2 ON b2.s = b1.s AND b2.v = e.dst
+  GROUP BY b1.s, b1.v
+),
+bc AS (
+  SELECT id, sum(delta) * ((SELECT n FROM tot) / 16) AS value
+  FROM dep1 GROUP BY id
+  HAVING sum(delta) * ((SELECT n FROM tot) / 16) > 0
 )
-SELECT id, sum(h) * ((SELECT n FROM tot) / 16) AS harmonic
+SELECT 'harmonic' AS metric, id,
+       round(sum(h) * ((SELECT n FROM tot) / 16), 6) AS value
 FROM lvl GROUP BY id
+UNION ALL
+SELECT 'betweenness', id, round(value, 6) FROM bc
+"""
+
+# langid replica (text.py:langid_model/langid_score, n=3, vocab 2000):
+# char trigrams over the normalized text, count-desc/gram-asc vocab,
+# dense add-one log-probs ln((c+1)/(T_l+V)) over vocab × labeled
+# languages, doc-frequency priors, every-occurrence-votes scoring,
+# score-desc/lang-asc argmax, NULL prediction when no vocab gram hits
+_LANGID_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, unnest(
+    CASE WHEN len(s) >= 3
+         THEN [substr(s, CAST(i AS INT), 3)
+               FOR i IN generate_series(1, len(s) - 2)]
+         ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM norm
+),
+counts AS (
+  SELECT gram, lang, count(*) AS c FROM grams
+  WHERE lang IS NOT NULL GROUP BY gram, lang
+),
+vocab AS (
+  SELECT gram FROM (SELECT gram, sum(c) AS tot FROM counts GROUP BY gram)
+  ORDER BY tot DESC, gram ASC LIMIT 2000
+),
+vs AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
+doc_counts AS (
+  SELECT lang, count(*) AS d FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
+),
+lang_totals AS (
+  SELECT dc.lang, coalesce(sum(vc.c), 0) AS t
+  FROM doc_counts dc
+  LEFT JOIN (SELECT c.* FROM counts c JOIN vocab USING (gram)) vc
+    ON vc.lang = dc.lang
+  GROUP BY dc.lang
+),
+dense AS (
+  SELECT vocab.gram, lt.lang,
+         ln((coalesce(c.c, 0) + 1.0) / (lt.t + (SELECT v FROM vs))) AS logp
+  FROM vocab CROSS JOIN lang_totals lt
+  LEFT JOIN counts c ON c.gram = vocab.gram AND c.lang = lt.lang
+),
+priors AS (
+  SELECT lang,
+         ln(d / CAST((SELECT sum(d) FROM doc_counts) AS DOUBLE)) AS prior
+  FROM doc_counts
+),
+per_lang AS (
+  SELECT g.doc_id, m.lang, sum(m.logp) AS sc
+  FROM grams g JOIN dense m ON m.gram = g.gram
+  GROUP BY g.doc_id, m.lang
+),
+best AS (
+  SELECT doc_id, lang, score FROM (
+    SELECT p.doc_id, p.lang, p.sc + pr.prior AS score,
+      ROW_NUMBER() OVER (PARTITION BY p.doc_id
+                         ORDER BY p.sc + pr.prior DESC, p.lang ASC) AS rn
+    FROM per_lang p JOIN priors pr ON pr.lang = p.lang
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, b.lang AS lang_pred, round(b.score, 4) AS lang_score
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
 """
 
 _EN_SQL = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
@@ -1882,13 +2040,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(greatest((SELECT count(*) FROM nation) - 20, 0) AS BIGINT) "
             "UNION ALL SELECT 'range', CAST(10 AS BIGINT)"
         ),
-        "two_jump": (
+        "jump_ops": (
             "WITH rk AS (SELECT n_regionkey AS r FROM nation WHERE n_nationkey = 0), "
             "nn AS (SELECT n_nationkey FROM nation, rk WHERE n_regionkey = r), "
             "k AS (SELECT count(*) AS c FROM nn) "
-            "SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS gid "
-            "FROM nn, k, unnest(generate_series(1, CAST(1 + c + c*c AS BIGINT)))"
+            "SELECT 'two_jump' AS variant, "
+            "'n:' || CAST(n_nationkey AS VARCHAR) AS gid "
+            "FROM nn, k, unnest(generate_series(1, CAST(1 + c + c*c AS BIGINT))) "
+            "UNION ALL "
+            "SELECT 'forward_jump', 'r:' || CAST(n_regionkey AS VARCHAR) FROM nation "
+            "UNION ALL SELECT 'forward_jump', 'n:' || CAST(n_nationkey AS VARCHAR) "
+            "FROM nation WHERE n_name = 'ALGERIA'"
         ),
+        "langid": _LANGID_SQL,
         "knn_lsh": _knn_lsh_oracle_sql(),
         "winnow_overlap": _WINNOW_SQL,
         "rdf_graph_hop": (
@@ -2153,18 +2317,13 @@ def oracle_sql() -> dict[str, str]:
         "mark_jump": (
             "SELECT 'n:' || CAST(n_nationkey AS VARCHAR) AS gid FROM nation WHERE n_regionkey = 0"
         ),
-        "forward_jump": (
-            "SELECT 'r:' || CAST(n_regionkey AS VARCHAR) AS gid FROM nation "
-            "UNION ALL SELECT 'n:' || CAST(n_nationkey AS VARCHAR) FROM nation "
-            "WHERE n_name = 'ALGERIA'"
-        ),
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "dedup_pairs": (
             f"SELECT 'ngram3' AS variant, a_id, b_id FROM ({_JACCARD_PAIRS.format(n=3, n1=2)}) "
             "UNION ALL "
             f"SELECT 'minhash', a_id, b_id FROM ({_JACCARD_PAIRS.format(n=5, n1=4)})"
         ),
-        "harmonic": _HARMONIC_SQL,
+        "centrality": _CENTRALITY_SQL,
         "dedup_clusters": _CLUSTERS_SQL,
         "sim_topk_ops": (
             "SELECT 'brute' AS method, vec_id, CAST(NULL AS BIGINT) AS nn_id FROM ("
