@@ -75,7 +75,16 @@ def _py_norm(vec: list[float]) -> float:
 def _cosine_vs_query(vec: Column, query_vec: list[float]) -> Column:
     """Cosine against a constant query vector with the query's norm
     folded driver-side — per row the JVM evaluates one dot and one
-    norm, not a redundant constant-array norm per row."""
+    norm, not a redundant constant-array norm per row.
+
+    Stays on the ``zip_with``+``aggregate`` fold deliberately: an
+    unrolled ``Σ get(v,i)·qᵢ`` multiply-add chain was A/B-tested (r7)
+    and loses 3-4× whenever Catalyst collapses the projection into a
+    non-codegen operator (TakeOrderedAndProject here) — the
+    interpreted fold is a tight JVM loop, the interpreted 2·dim-node
+    Add tree pays per-node virtual-call overhead.  The unrolled form
+    only wins inside whole-stage-codegen aggregations (~1.3× at 512k
+    rows), not enough to carry the plan-placement risk."""
     q = _vec_lit(query_vec)
     return dot(vec, q) / (norm(vec) * F.lit(_py_norm(query_vec)))
 

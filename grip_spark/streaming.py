@@ -228,6 +228,153 @@ def _has_agg_complete(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
 
 
+_STORE_SUBS = ("bands", "sigs", "accepted", "commits")
+_COMPACT_MARKER = "_COMPACT_READY"
+
+
+def _store_fs(spark, store_path: str):
+    """Hadoop FileSystem + Path factory for the store root (works on
+    local, HDFS, and object-store paths alike)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(store_path)
+    fs = root.getFileSystem(hconf)
+
+    def p(name: str):
+        return jvm.org.apache.hadoop.fs.Path(store_path + "/" + name)
+
+    return fs, p
+
+
+def finish_compaction_swap(spark, store_path: str) -> bool:
+    """Finish an interrupted :func:`compact_store` swap, if one is
+    pending; returns True when a swap was completed.
+
+    The marker file ``_COMPACT_READY`` is written only after every
+    ``<sub>__compact`` table is complete, so marker-present means the
+    compacted tables are authoritative: for each sub, drop the
+    original (if still there) and rename ``<sub>__compact`` into
+    place — each step idempotent, so a crash mid-recovery just
+    re-runs.  Without the marker this function touches NOTHING
+    (``<sub>__compact`` debris without a marker belongs to a
+    compaction that failed before the point of no return, or to one
+    still running — only :func:`compact_store` itself cleans that
+    up).  Called automatically at :func:`near_dedup_stream` and
+    :func:`compact_store` entry."""
+    fs, p = _store_fs(spark, store_path)
+    if not fs.exists(p(_COMPACT_MARKER)):
+        return False
+    for sub in _STORE_SUBS:
+        c = p(sub + "__compact")
+        if fs.exists(c):
+            orig = p(sub)
+            if fs.exists(orig):
+                fs.delete(orig, True)
+            fs.rename(c, orig)
+    fs.delete(p(_COMPACT_MARKER), False)
+    return True
+
+
+def compact_store(
+    spark,
+    store_path: str,
+    id_col: str = "doc_id",
+    partition_by_band: bool = True,
+) -> dict:
+    """Rewrite a :func:`near_dedup_stream` store in place: committed
+    rows only, at-least-once replay duplicates dropped, uncommitted
+    (crashed-batch) appends discarded, ``_batch_id`` collapsed to 0,
+    and the per-batch append files (one-plus per batch — thousands of
+    micro-batches mean thousands of small files the store-side banded
+    join must open every batch) rewritten into a bounded layout:
+    ``bands`` hash-clustered and (optionally) hive-partitioned by
+    ``band`` — ~one file per band, and a consumer probing a band
+    subset prunes whole directories — ``sigs``/``accepted`` coalesced
+    by size.  Returns ``{"accepted": n, "files_before": m,
+    "files_after": k}``.
+
+    Crash safety (requires EXCLUSIVE store access — no concurrent
+    ingest or readers): compacted tables are fully written to
+    ``<sub>__compact`` side dirs first, then the ``_COMPACT_READY``
+    marker commits the swap; the swap itself (delete original, rename
+    compacted into place) is idempotent and any later
+    :func:`near_dedup_stream` / :func:`compact_store` call finishes
+    it via :func:`finish_compaction_swap`.  A crash BEFORE the marker
+    leaves the original store untouched (side dirs are debris,
+    cleaned here).  After compaction the next ingest batch id is 1
+    (``max committed + 1`` — the id protocol is unchanged)."""
+    from pyspark.errors import AnalysisException
+
+    fs, p = _store_fs(spark, store_path)
+    finish_compaction_swap(spark, store_path)
+    for sub in _STORE_SUBS:  # debris from a pre-marker failure
+        c = p(sub + "__compact")
+        if fs.exists(c):
+            fs.delete(c, True)
+    try:
+        commits = spark.read.parquet(f"{store_path}/commits")
+    except AnalysisException:
+        raise ValueError(
+            f"compact_store: no commits table at {store_path!r} — nothing "
+            "to compact (or a pre-commit-protocol store; see "
+            "near_dedup_stream's migration note)"
+        )
+
+    def _n_files(sub):
+        it, n = fs.listFiles(p(sub), True), 0
+        while it.hasNext():
+            f = it.next()
+            if f.getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
+
+    files_before = sum(_n_files(s) for s in _STORE_SUBS)
+    zero = F.lit(0).cast("long")
+    bands = (
+        spark.read.parquet(f"{store_path}/bands")
+        .join(commits, "_batch_id", "left_semi")
+        .select("band", "bh", "_id")
+        .distinct()  # replay appends are row-identical
+        .withColumn("_batch_id", zero)
+    )
+    sigs = (
+        spark.read.parquet(f"{store_path}/sigs")
+        .join(commits, "_batch_id", "left_semi")
+        .dropDuplicates(["_id"])
+        .withColumn("_batch_id", zero)
+    )
+    acc = (
+        spark.read.parquet(f"{store_path}/accepted")
+        .join(commits, "_batch_id", "left_semi")
+        .dropDuplicates([id_col])
+        .withColumn("_batch_id", zero)
+    )
+    n_acc = acc.count()
+    # ~2M rows per file keeps files in the hundreds-of-MB range that
+    # parquet scans like; never zero partitions
+    n_files = max(1, -(-n_acc // 2_000_000))
+    bw = bands.repartition("band").sortWithinPartitions("band", "bh").write
+    if partition_by_band:
+        bw = bw.partitionBy("band")
+    bw.mode("overwrite").parquet(f"{store_path}/bands__compact")
+    sigs.repartition(n_files).write.mode("overwrite").parquet(
+        f"{store_path}/sigs__compact"
+    )
+    acc.repartition(n_files).write.mode("overwrite").parquet(
+        f"{store_path}/accepted__compact"
+    )
+    spark.createDataFrame([(0,)], "_batch_id long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{store_path}/commits__compact")
+    fs.create(p(_COMPACT_MARKER), True).close()  # point of no return
+    finish_compaction_swap(spark, store_path)
+    return {
+        "accepted": n_acc,
+        "files_before": files_before,
+        "files_after": sum(_n_files(s) for s in _STORE_SUBS),
+    }
+
+
 def near_dedup_stream(
     docs: DataFrame,
     store_path: str,
@@ -238,6 +385,7 @@ def near_dedup_stream(
     bands: int | None = None,
     shingle_n: int = 5,
     checkpoint_dir: str | None = None,
+    trigger: dict | None = None,
 ):
     """Streaming MinHash-LSH near-dedup ingest: accept each micro-batch
     document only if it near-duplicates neither an earlier-accepted
@@ -287,6 +435,25 @@ def near_dedup_stream(
     Batch (non-streaming) input runs the same per-batch function once
     and returns None — the batch == stream parity the module's other
     operators follow.
+
+    Trigger & termination: the default trigger is
+    ``{"availableNow": True}``, which drains the files available at
+    start and then TERMINATES the query — right for batch==stream
+    parity tests and catch-up ingest, surprising for a live tap.  For
+    an ongoing ingest pass e.g. ``trigger={"processingTime": "30
+    seconds"}`` (kwargs forwarded to ``DataStreamWriter.trigger``).
+
+    Store ids are allocated as ``base + foreachBatch id`` with
+    ``base = max committed id + 1`` captured at query start, so a
+    restart with a fresh or temporary checkpoint (whose batch ids
+    replay from 0) can never write under an already-committed id.
+    One writer per store at a time.
+
+    Maintenance: each batch appends one-plus parquet files per store
+    table; run :func:`compact_store` periodically to drop replay
+    duplicates and orphaned uncommitted appends and rewrite the store
+    into a bounded, band-partitioned file layout (crash-interrupted
+    compactions are finished automatically here at entry).
     """
     from pyspark.errors import AnalysisException
 
@@ -301,6 +468,9 @@ def near_dedup_stream(
         bands = tune_bands(num_hashes, threshold)
     r = num_hashes // bands
     spark = docs.sparkSession
+    # a crash between compact_store's marker and its swap leaves the
+    # compacted tables in side dirs — finish that swap before reading
+    finish_compaction_swap(spark, store_path)
 
     def _path_absent(e: Exception) -> bool:
         msg = str(e)
@@ -432,10 +602,19 @@ def near_dedup_stream(
         # withColumn (not select("*", ...)): a batch re-ingested from a
         # prior store's accepted table already carries _batch_id, and a
         # duplicate column would fail the write (r6 review)
+        # _batch_id is LONG in every store table (commits always was;
+        # a bare F.lit(int) would write INT32 files that clash with
+        # compact_store's long rewrite inside one directory).  A store
+        # written by an earlier version may hold INT32 files — match
+        # its existing type so one directory never mixes physical
+        # types (compact_store upgrades the whole store to long).
+        bid_dtype = "long"
+        if store is not None:
+            bid_dtype = dict(store[0].dtypes).get("_batch_id", "long")
+        bid = F.lit(int(batch_id)).cast(bid_dtype)
         survivors = batch.join(
             keep_ids, batch[id_col] == keep_ids["_id"], "left_semi"
-        ).withColumn("_batch_id", F.lit(int(batch_id)))
-        bid = F.lit(int(batch_id))
+        ).withColumn("_batch_id", bid)
         banded.join(keep_ids, "_id", "left_semi").withColumn(
             "_batch_id", bid
         ).write.mode("append").parquet(f"{store_path}/bands")
@@ -449,19 +628,26 @@ def near_dedup_stream(
             "append"
         ).parquet(f"{store_path}/commits")
 
+    # every run (batch OR stream) writes store rows under
+    # base + batch_id, with base = max committed id + 1 captured at
+    # start: sequential batch-mode ingests get fresh ids, and a stream
+    # restarted with a fresh (or temporary) checkpoint — whose
+    # foreachBatch ids replay from 0 — can never write under an
+    # already-committed id, where the old commit marker would make the
+    # new run's partial appends visible before its own commit lands
+    # (r7 advisory fix; requires a single writer per store, which the
+    # append-marker protocol already assumes)
+    commits = _read_commits()
+    base = 0
+    if commits is not None:
+        row = commits.agg(F.max("_batch_id")).first()
+        base = int(row[0]) + 1 if row[0] is not None else 0
     if not docs.isStreaming:
-        # sequential batch-mode ingests into one store must each get a
-        # FRESH batch id — reusing 0 would make earlier commits vouch
-        # for a later run's partial appends, voiding the crash
-        # protocol (r6 review)
-        commits = _read_commits()
-        next_id = 0
-        if commits is not None:
-            row = commits.agg(F.max("_batch_id")).first()
-            next_id = int(row[0]) + 1 if row[0] is not None else 0
-        _process(docs, next_id)
+        _process(docs, base)
         return None
-    writer = docs.writeStream.foreachBatch(_process).trigger(availableNow=True)
+    writer = docs.writeStream.foreachBatch(
+        lambda b, i: _process(b, base + i)
+    ).trigger(**(trigger or {"availableNow": True}))
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()

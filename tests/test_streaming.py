@@ -455,3 +455,177 @@ def test_near_dedup_stream_incremental_ingest(spark, tmp_path_factory):
     assert commits2 == {0, 1}
     acc3 = spark.read.parquet(f"{store2}/accepted")
     assert acc3.count() == 6 and acc3.filter("doc_id = 50").count() == 0
+
+
+def test_compact_store_roundtrip(spark, tmp_path_factory):
+    """Three batch-mode ingests (with a replayed batch planted as
+    at-least-once duplicates and an uncommitted orphan batch) →
+    compact_store rewrites committed rows only: one batch id, replay
+    dups dropped, orphans gone, decisions unchanged afterwards, and
+    strictly fewer parquet files."""
+    from grip_spark import streaming
+
+    root = tmp_path_factory.mktemp("compact")
+    store = str(root / "store")
+    schema = "doc_id long, text string"
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "entirely different content about distributed dataframe engines",
+        "a third unique document concerning winnowing and fingerprints",
+        "fresh prose arriving in the second ingest run of this test",
+    ]
+    streaming.near_dedup_stream(
+        spark.createDataFrame([(1, texts[0]), (2, texts[1])], schema), store
+    )
+    streaming.near_dedup_stream(
+        spark.createDataFrame([(10, texts[2]), (11, texts[0])], schema), store
+    )
+    streaming.near_dedup_stream(
+        spark.createDataFrame([(20, texts[3])], schema), store
+    )
+    # plant an at-least-once replay of batch 1: row-identical appends
+    for sub in ("bands", "sigs", "accepted"):
+        t = spark.read.parquet(f"{store}/{sub}").filter("_batch_id = 1")
+        t.write.mode("append").parquet(f"{store}/{sub}")
+    # plant an uncommitted orphan batch (commit marker never landed)
+    orphan = spark.read.parquet(f"{store}/sigs").limit(1).withColumn(
+        "_batch_id", F.lit(99).cast("long")
+    )
+    orphan.write.mode("append").parquet(f"{store}/sigs")
+
+    before = {
+        sub: spark.read.parquet(f"{store}/{sub}").count()
+        for sub in ("bands", "sigs", "accepted")
+    }
+    assert before["sigs"] > 4  # replay dups + orphan really landed
+
+    stats = streaming.compact_store(spark, store)
+    assert stats["accepted"] == 4
+    assert stats["files_after"] < stats["files_before"]
+    acc = spark.read.parquet(f"{store}/accepted")
+    assert acc.count() == 4
+    assert {r["_batch_id"] for r in acc.collect()} == {0}
+    sigs = spark.read.parquet(f"{store}/sigs")
+    assert sigs.count() == 4 and sigs.filter("_batch_id = 99").count() == 0
+    commits = spark.read.parquet(f"{store}/commits")
+    assert [r["_batch_id"] for r in commits.collect()] == [0]
+    # bands survive with identical join keys (band column may become a
+    # hive partition column, but values round-trip)
+    bands = spark.read.parquet(f"{store}/bands")
+    assert bands.select("_id").distinct().count() == 4
+    assert {c for c in ("band", "bh", "_id")} <= set(bands.columns)
+
+    # post-compaction ingest: fresh id continues at 1; a re-ingested
+    # near-dup of an accepted doc still drops against the store
+    streaming.near_dedup_stream(
+        spark.createDataFrame(
+            [(50, texts[0]), (51, "genuinely new fifth text appears here now")],
+            schema,
+        ),
+        store,
+    )
+    acc2 = spark.read.parquet(f"{store}/accepted")
+    assert acc2.count() == 5
+    assert acc2.filter("doc_id = 50").count() == 0
+    assert {r["_batch_id"] for r in spark.read.parquet(
+        f"{store}/commits"
+    ).collect()} == {0, 1}
+
+
+def test_compact_store_interrupted_swap_recovers(spark, tmp_path_factory):
+    """Crash between the _COMPACT_READY marker and the swap: the next
+    near_dedup_stream call must finish the swap before reading (and a
+    pre-marker crash must leave the original store untouched)."""
+    from grip_spark import streaming
+    from grip_spark.streaming import _COMPACT_MARKER, _STORE_SUBS, _store_fs
+
+    root = tmp_path_factory.mktemp("compact_crash")
+    store = str(root / "store")
+    schema = "doc_id long, text string"
+    streaming.near_dedup_stream(
+        spark.createDataFrame(
+            [(1, "first document text for the crash recovery test case"),
+             (2, "second totally different document body goes right here")],
+            schema,
+        ),
+        store,
+    )
+    fs, p = _store_fs(spark, store)
+
+    # pre-marker debris: side dirs exist, no marker -> entry leaves
+    # the store alone and compact_store cleans the debris itself
+    spark.read.parquet(f"{store}/sigs").write.mode("overwrite").parquet(
+        f"{store}/sigs__compact"
+    )
+    assert streaming.finish_compaction_swap(spark, store) is False
+    assert fs.exists(p("sigs__compact"))
+    stats = streaming.compact_store(spark, store)
+    assert stats["accepted"] == 2
+    assert not fs.exists(p("sigs__compact"))
+
+    # post-marker crash: rebuild side dirs for every sub, write the
+    # marker, delete two originals (mixed swap progress), then ingest
+    for sub in _STORE_SUBS:
+        spark.read.parquet(f"{store}/{sub}").write.mode("overwrite").parquet(
+            f"{store}/{sub}__compact"
+        )
+    fs.create(p(_COMPACT_MARKER), True).close()
+    fs.delete(p("bands"), True)
+    fs.delete(p("commits"), True)
+    streaming.near_dedup_stream(
+        spark.createDataFrame(
+            [(9, "a brand new third document arriving after the crash")], schema
+        ),
+        store,
+    )
+    assert not fs.exists(p(_COMPACT_MARKER))
+    for sub in _STORE_SUBS:
+        assert not fs.exists(p(sub + "__compact"))
+    acc = spark.read.parquet(f"{store}/accepted")
+    assert acc.count() == 3
+
+
+def test_near_dedup_stream_fresh_checkpoint_gets_fresh_ids(
+    spark, tmp_path_factory
+):
+    """Restarting a stream with a FRESH checkpoint replays foreachBatch
+    ids from 0; store ids must still land above every committed id, so
+    an old commit marker can never vouch for the new run's appends
+    (r7 advisory fix)."""
+    import json as _json
+
+    from grip_spark import streaming
+
+    root = tmp_path_factory.mktemp("fresh_ckpt")
+    d = root / "in"
+    d.mkdir()
+    store = str(root / "store")
+    schema = "doc_id long, text string"
+    with open(d / "b0.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 1, "text": "alpha document one body"}) + "\n")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(d))
+        )
+        q = streaming.near_dedup_stream(stream, store, checkpoint_dir=ckpt)
+        q.awaitTermination(120)
+
+    run(str(root / "ckpt1"))
+    committed1 = {
+        r["_batch_id"] for r in spark.read.parquet(f"{store}/commits").collect()
+    }
+    with open(d / "b1.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 2, "text": "beta document two body"}) + "\n")
+    run(str(root / "ckpt2"))  # fresh checkpoint: replays ALL files, ids from 0
+    commits = [
+        r["_batch_id"] for r in spark.read.parquet(f"{store}/commits").collect()
+    ]
+    assert len(commits) == len(set(commits))  # no id ever reused
+    assert min(set(commits) - committed1) > max(committed1)
+    # the replayed doc self-heals (drops against its own store row)
+    acc = spark.read.parquet(f"{store}/accepted")
+    assert acc.count() == 2
+    assert {r["doc_id"] for r in acc.collect()} == {1, 2}

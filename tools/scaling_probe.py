@@ -344,46 +344,68 @@ def _tokenizer_probe(spark, docs):
 
 
 
-def _stream_probe(spark, docs):
+def _stream_probe(spark, docs, n_batches: int = 50, compact_every: int = 16):
     """Incremental-ingest cost curve for `streaming.near_dedup_stream`:
-    feed 8 successive 5k-doc batches (vowel-rotated replicas, so
+    feed 50 successive ~2.5k-doc batches (letter-rotated replicas, so
     batches are NOT near-dups of each other) through the per-batch
-    function while the accepted-signature store grows 5k→40k docs.
-    Per-batch wall-clock should stay ~flat-to-slowly-growing: each
-    batch pays its own signature pass (constant) plus a banded
-    signature join against the store (store side is ids+sigs only —
-    the accepted corpus text is never re-read, never re-signed)."""
+    function while the accepted-signature store grows toward ~125k
+    docs, compacting every 16 batches.  Per-batch wall-clock should
+    stay ~flat-to-slowly-growing — each batch pays its own signature
+    pass (constant) plus a banded signature join against the store
+    (ids+sigs only, text never re-read) — and the store's parquet
+    file count must stay BOUNDED: appends grow it linearly between
+    compactions, each `compact_store` resets it to ~#bands + a few."""
     import shutil
+    import string
     import tempfile
 
     from grip_spark import streaming
 
     workdir = tempfile.mkdtemp(prefix="stream_probe_")
     store = f"{workdir}/store"
+
+    def _n_files():
+        n = 0
+        for dirpath, _dirs, files in __import__("os").walk(store):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
     try:
         from pyspark.sql import functions as F
 
-        for i in range(8):
-            # batch i = replica i of the corpus (replicate_docs' rotation)
-            rot = VOWELS[i % 5 :] + VOWELS[: i % 5]
+        # half the corpus per batch so 50 batches stay within the
+        # probe's time budget; rotation alphabet sized for 50 variants
+        half = docs.filter(F.col("doc_id") % 2 == 0)
+        letters = string.ascii_lowercase
+        for i in range(n_batches):
+            # unique transform per batch: full-alphabet rotation (26)
+            # composed with a consonant-subset rotation (i // 26)
+            rot = letters[i % 26 :] + letters[: i % 26]
             cons = "rstln"
-            crot = cons[i // 5 :] + cons[: i // 5]
-            batch = docs.select(
+            crot = cons[i // 26 :] + cons[: i // 26]
+            batch = half.select(
                 F.concat(F.lit(f"r{i}:"), F.col("doc_id").cast("string")).alias(
                     "doc_id"
                 ),
                 F.translate(
-                    F.translate(F.col("text"), VOWELS, rot), cons, crot
+                    F.translate(F.col("text"), letters, rot), cons, crot
                 ).alias("text"),
             )
             t0 = time.perf_counter()
             streaming.near_dedup_stream(batch, store)
             dt = time.perf_counter() - t0
-            n_acc = spark.read.parquet(f"{store}/accepted").count()
-            print(
-                f"batch {i}: {dt:.1f}s | accepted so far {n_acc}",
-                flush=True,
-            )
+            line = f"batch {i}: {dt:.1f}s | files {_n_files()}"
+            if compact_every and (i + 1) % compact_every == 0:
+                t0 = time.perf_counter()
+                stats = streaming.compact_store(spark, store)
+                line += (
+                    f" | compact {time.perf_counter() - t0:.1f}s: "
+                    f"{stats['files_before']}→{stats['files_after']} files, "
+                    f"{stats['accepted']} accepted"
+                )
+            print(line, flush=True)
+        n_acc = spark.read.parquet(f"{store}/accepted").count()
+        print(f"final: accepted {n_acc} | files {_n_files()}", flush=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
