@@ -19,6 +19,7 @@ from pyspark.sql.types import (
     NullType,
     NumericType,
     StringType,
+    VariantType,
 )
 
 from grip_spark.compile.fieldpath import as_double, resolve
@@ -30,11 +31,59 @@ def _lit(value) -> Column:
     return F.lit(value)
 
 
+def _is_vnum(t: Column) -> Column:
+    """Runtime "this variant holds a JSON number" test over a
+    ``schema_of_variant`` string (integers → BIGINT, decimals →
+    DECIMAL(p,s), big/scientific → DOUBLE)."""
+    return t.isin("BIGINT", "DOUBLE", "FLOAT") | t.startswith("DECIMAL")
+
+
+def _variant_eq(col: Column, value) -> Column:
+    """GRIP deep-equality against a VARIANT column (ragged mode): the
+    struct path dispatches on the STATIC dtype; variant carries its
+    JSON type per row, so the same type-strict table dispatches on
+    ``schema_of_variant`` at runtime — a JSON string ``"1"`` never
+    equals the number 1, exactly as ``reflect.DeepEqual`` over decoded
+    JSON behaves."""
+    if value is None:
+        # JSON null or absent key both DeepEqual nil in the reference
+        # (TravelerPathLookup returns untyped nil for missing paths)
+        return col.isNull() | _nn(F.is_variant_null(col))
+    t = F.schema_of_variant(col)
+    if isinstance(value, bool):
+        return _nn(
+            (t == "BOOLEAN")
+            & (F.try_variant_get(col, "$", "boolean") == F.lit(value))
+        )
+    if isinstance(value, (int, float)):
+        return _nn(
+            _is_vnum(t)
+            & (F.try_variant_get(col, "$", "double") == F.lit(float(value)))
+        )
+    if isinstance(value, str):
+        return _nn(
+            (t == "STRING")
+            & (F.try_variant_get(col, "$", "string") == F.lit(value))
+        )
+    if isinstance(value, (list, tuple)):
+        vals = list(value)
+        if not vals:
+            return _nn(F.to_json(col) == F.lit("[]"))
+        arr = F.try_variant_get(col, "$", "array<variant>")
+        elem_ok = F.size(arr) == len(vals)
+        for i, v in enumerate(vals):
+            elem_ok = elem_ok & _variant_eq(F.get(arr, i), v)
+        return _nn(elem_ok)
+    return _false()
+
+
 def _typed_eq(col: Column, dtype, value) -> Column:
     """GRIP deep-equality (``reflect.DeepEqual``) of a column against a
     Python literal: values of different JSON types are simply *unequal*
     — never a cast (Spark 4 ANSI mode would throw on e.g. comparing a
     string column to an int literal via implicit coercion)."""
+    if isinstance(dtype, VariantType):
+        return _variant_eq(col, value)
     if value is None:
         return col.isNull()
     if isinstance(dtype, NullType):
@@ -155,6 +204,11 @@ def compile_condition(view_lookup, cond: dict) -> Column:
         return found if op == "WITHIN" else ~found
 
     if op == "CONTAINS":
+        if isinstance(dtype, VariantType):
+            # runtime array check + per-element deep-equality (the
+            # static-type guards below, applied per row)
+            arr = F.try_variant_get(col, "$", "array<variant>")
+            return _nn(F.exists(arr, lambda e: _variant_eq(e, value)))
         if not isinstance(dtype, ArrayType):
             return _false()
         elem = dtype.elementType

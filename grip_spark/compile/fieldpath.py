@@ -32,6 +32,7 @@ from pyspark.sql.types import (
     NumericType,
     StringType,
     StructType,
+    VariantType,
 )
 
 CURRENT_NS = "__current__"
@@ -144,6 +145,14 @@ def _nested_transform(col: Column, depth: int, fn) -> Column:
     return F.transform(col, lambda x: _nested_transform(x, depth - 1, fn))
 
 
+def _vpath(name: str) -> str:
+    """Bracket-quoted variant path segment — handles keys that a
+    dotted ``$.name`` path could not (spaces, dots, unicode); quotes
+    and backslashes escaped."""
+    esc = name.replace("\\", "\\\\").replace("'", "\\'")
+    return f"$['{esc}']"
+
+
 def _step(col: Column, dtype: DataType, seg: Segment, wild: int) -> tuple[Column, DataType, int]:
     """Apply one path segment to (col, dtype).  ``wild`` is the
     wildcard DEPTH: after d ``[:]`` wildcards the column is a d-nested
@@ -151,7 +160,18 @@ def _step(col: Column, dtype: DataType, seg: Segment, wild: int) -> tuple[Column
     every subsequent access maps through d ``transform`` layers —
     ``a[:].b[:].c`` resolves to ``array<array<c-type>>``
     (structure-preserving nested projection; the reference resolves
-    full JSONPath here, ``jsonpath/jsonpath.go:130-143``)."""
+    full JSONPath here, ``jsonpath/jsonpath.go:130-143``).
+
+    RAGGED MODE: when the tracked dtype is ``VariantType`` (the
+    schemaless ``data`` encoding, SURVEY §1.5's fallback for graphs
+    whose documents would explode the inferred union struct), field
+    and index access route through ``try_variant_get`` — absent paths
+    yield SQL NULL (the ``lit(NULL)`` analog, but decided per ROW
+    instead of per schema), present-with-JSON-null yields a
+    variant-null (NOT SQL NULL), which is what makes ``hasKey``
+    presence exact in ragged mode where the struct encoding needs the
+    load-time ``__keys`` column.  A ``[:]`` wildcard casts to
+    ``array<variant>`` and maps on."""
     if seg.name:
         col, dtype, wild = _get_field(col, dtype, seg.name, wild)
     for idx in seg.indexers:
@@ -163,6 +183,13 @@ def _step(col: Column, dtype: DataType, seg: Segment, wild: int) -> tuple[Column
                 # to the element type at ANY nesting depth
                 wild += 1
                 dtype = dtype.elementType
+            elif isinstance(dtype, VariantType):
+                col = _nested_transform(
+                    col,
+                    wild,
+                    lambda x: F.try_variant_get(x, "$", "array<variant>"),
+                )
+                wild += 1
             else:
                 return F.lit(None), NullType(), 0
         else:
@@ -176,6 +203,12 @@ def _step(col: Column, dtype: DataType, seg: Segment, wild: int) -> tuple[Column
             if isinstance(dtype, ArrayType):
                 col = _nested_transform(col, wild, lambda x: F.get(x, idx))
                 dtype = dtype.elementType
+            elif isinstance(dtype, VariantType):
+                col = _nested_transform(
+                    col,
+                    wild,
+                    lambda x: F.try_variant_get(x, f"$[{int(idx)}]", "variant"),
+                )
             else:
                 return F.lit(None), NullType(), 0
     return col, dtype, wild
@@ -187,6 +220,14 @@ def _get_field(col: Column, dtype: DataType, name: str, wild: int):
         return (
             _nested_transform(col, wild, lambda x: x.getField(name)),
             inner,
+            wild,
+        )
+    if isinstance(dtype, VariantType):
+        return (
+            _nested_transform(
+                col, wild, lambda x: F.try_variant_get(x, _vpath(name), "variant")
+            ),
+            VariantType(),
             wild,
         )
     return F.lit(None), NullType(), 0
@@ -267,6 +308,140 @@ def presence(view_lookup, path: str) -> Column:
     return vcol.isNotNull()
 
 
+# -- ragged-mode (VariantType data) JSON rebuilding -------------------------
+#
+# Variant columns cannot be mutated with withField/dropFields, so the
+# traveler-state operators (fields() projection, set/increment, unwind
+# substitution) rebuild the document in JSON-string space and
+# re-parse: every helper below returns a JSON *string* column built
+# from static key fragments (includes, set paths — keys known at
+# compile time) or a dynamic key walk (excludes, set-with-other-keys —
+# `json_object_keys` + per-key `try_variant_get` with a column path).
+# Cost shape: one to_json + one parse_json per mutated document — a
+# narrow per-row projection, no shuffle, no Python.
+
+
+def _jkey(k: Column) -> Column:
+    """Dynamic key column → quoted+escaped JSON key literal
+    (``to_json`` of a 1-element array does the escaping; strip the
+    brackets)."""
+    j = F.to_json(F.array(k))
+    return F.substring(j, F.lit(2), F.length(j) - 2)
+
+
+def _vpath_col(k: Column) -> Column:
+    """Dynamic variant path ``$['<k>']`` from a key column."""
+    esc = F.replace(F.replace(k, F.lit("\\"), F.lit("\\\\")), F.lit("'"), F.lit("\\'"))
+    return F.concat(F.lit("$['"), esc, F.lit("']"))
+
+
+def json_of(col: Column) -> Column:
+    """JSON literal of ANY typed column value (strings quoted+escaped,
+    arrays/structs serialized, null → ``null``): ``to_json`` of a
+    1-element array, brackets stripped."""
+    j = F.to_json(F.array(col))
+    return F.substring(j, F.lit(2), F.length(j) - 2)
+
+
+def vobj_entries(obj: Column, drop: list[str] | None = None) -> Column:
+    """``array<string>`` of ``"key":<value-json>`` entries of a variant
+    object, minus ``drop`` keys; empty array when ``obj`` is null or
+    not an object."""
+    keys = F.coalesce(
+        F.json_object_keys(F.to_json(obj)), F.array().cast("array<string>")
+    )
+    if drop:
+        keys = F.filter(keys, lambda k: ~k.isin(*drop))
+    return F.transform(
+        keys,
+        lambda k: F.concat(
+            _jkey(k),
+            F.lit(":"),
+            F.to_json(F.try_variant_get(obj, _vpath_col(k), "variant")),
+        ),
+    )
+
+
+def _obj_json(entries: Column) -> Column:
+    """Entries array → ``{...}`` JSON (``array_join`` skips nulls, so
+    conditional entries can compile to NULL to omit themselves)."""
+    return F.concat(F.lit("{"), F.array_join(entries, ","), F.lit("}"))
+
+
+def variant_set_json(obj: Column, names: list[str], val_json: Column) -> Column:
+    """JSON string of ``obj`` with ``names`` path set to ``val_json``
+    (ValueSet on a ragged document).  Intermediate non-object/missing
+    levels are replaced by fresh objects — the reference's map-create
+    behavior."""
+    import json as _json
+
+    head, rest = names[0], names[1:]
+    if rest:
+        sub = F.try_variant_get(obj, _vpath(head), "variant")
+        new_val = variant_set_json(sub, rest, val_json)
+    else:
+        new_val = val_json
+    entry = F.concat(F.lit(_json.dumps(head) + ":"), new_val)
+    return _obj_json(
+        F.concat(vobj_entries(obj, drop=[head]), F.array(entry))
+    )
+
+
+def variant_exclude_json(obj: Column, rp: list[str]) -> Column:
+    """JSON string of ``obj`` with the path ``rp`` dropped (depth-aware
+    exclude); missing paths and non-object intermediates are no-ops,
+    mirroring ``_drop_nested``."""
+    import json as _json
+
+    head, rest = rp[0], rp[1:]
+    if not rest:
+        return _obj_json(vobj_entries(obj, drop=[head]))
+    sub = F.try_variant_get(obj, _vpath(head), "variant")
+    sub_is_obj = F.json_object_keys(F.to_json(sub)).isNotNull()
+    new_sub = F.when(sub_is_obj, variant_exclude_json(sub, rest)).otherwise(
+        F.to_json(sub)
+    )
+    entry = F.when(
+        sub.isNotNull(), F.concat(F.lit(_json.dumps(head) + ":"), new_sub)
+    )
+    return _obj_json(F.concat(vobj_entries(obj, drop=[head]), F.array(entry)))
+
+
+def variant_include_json(obj: Column, tree: dict) -> Column:
+    """JSON string keeping only the include-tree paths of a variant
+    object (``_include_struct``'s ragged counterpart): present keys
+    (including present-with-null) survive, absent keys are omitted —
+    presence semantics preserved without a ``__keys`` column.  A
+    subtree reaching into a non-object value drops the key, as the
+    struct path does."""
+    import json as _json
+
+    entries = []
+    for key, sub in tree.items():
+        v = F.try_variant_get(obj, _vpath(key), "variant")
+        if sub is True:
+            entries.append(
+                F.when(
+                    v.isNotNull(),
+                    F.concat(F.lit(_json.dumps(key) + ":"), F.to_json(v)),
+                )
+            )
+        else:
+            is_obj = F.json_object_keys(F.to_json(v)).isNotNull()
+            entries.append(
+                F.when(
+                    is_obj,
+                    F.concat(
+                        F.lit(_json.dumps(key) + ":"),
+                        variant_include_json(v, sub),
+                    ),
+                )
+            )
+    if not entries:
+        return F.lit("{}")
+    return _obj_json(F.array(*entries))
+
+
 def as_double(col: Column, dtype: DataType) -> Column:
     """Numeric coercion matching spf13/cast.ToFloat64E (used by the
     reference's ordered comparisons, ``engine/logic/match.go:28-69``):
@@ -275,9 +450,11 @@ def as_double(col: Column, dtype: DataType) -> Column:
 
     ``try_cast`` (not ``cast``): Spark 4 ANSI mode throws on malformed
     string→number casts, while GRIP's cast failure just fails the
-    condition (``match.go:28-36``)."""
+    condition (``match.go:28-36``).  Variant (ragged mode) follows the
+    same table at RUNTIME: ``try_cast`` on a variant parses numeric
+    strings, maps bools to 0/1, and nulls arrays/objects/garbage."""
     if isinstance(dtype, NumericType):
         return col.cast("double")
-    if isinstance(dtype, (StringType, BooleanType)):
+    if isinstance(dtype, (StringType, BooleanType, VariantType)):
         return col.try_cast("double")
     return F.lit(None).cast("double")

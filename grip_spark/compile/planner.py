@@ -45,6 +45,7 @@ from pyspark.sql.types import (
     NumericType,
     StringType,
     StructType,
+    VariantType,
 )
 
 from grip_spark.compile import fieldpath
@@ -410,7 +411,12 @@ class Planner:
         keys, keep = [], F.lit(True)
         out = df
         for i, p in enumerate(props):
-            col, _ = self._resolve(df, p)
+            col, dt = self._resolve(df, p)
+            if isinstance(dt, VariantType):
+                # variant is not comparable/groupable — dedup on the
+                # canonical JSON encoding (keys sorted by to_json), so
+                # deep-equal documents collapse to one key
+                col = F.to_json(col)
             kc = f"_dk{i}"
             out = out.withColumn(kc, col)
             keys.append(kc)
@@ -488,6 +494,8 @@ class Planner:
         if not paths:
             return df
         data_t = df.schema["data"].dataType
+        if isinstance(data_t, VariantType):
+            return self._fields_variant(df, paths)
         if not isinstance(data_t, StructType):
             return df
         excludes = [p[1:] for p in paths if p.startswith("-")]
@@ -563,6 +571,67 @@ class Planner:
                 )
         return df.withColumn("data", new_data)
 
+    def _fields_variant(self, df, paths):
+        """Ragged-mode fields(): same include-tree/exclude composition
+        as the struct path, rebuilt in JSON space (see
+        ``fieldpath.variant_include_json`` / ``variant_exclude_json``)
+        and re-parsed to variant.  Presence is inherent: absent keys
+        never appear in the rebuilt JSON, present-with-null keys do."""
+        excludes = [p[1:] for p in paths if p.startswith("-")]
+        includes = [p for p in paths if not p.startswith("-")]
+
+        def relpath(p):
+            segs = fieldpath.parse_segments(p)
+            if segs and segs[0].name == "data":
+                segs = segs[1:]
+            return [s.name for s in segs]
+
+        include_rps = [relpath(p) for p in includes]
+        exclude_rps = [rp for rp in (relpath(p) for p in excludes) if rp]
+        include_whole = any(not rp for rp in include_rps)
+        exclude_whole = any(not relpath(p) for p in excludes)
+        if exclude_whole:
+            new_json = F.lit("{}")
+        elif includes and not include_whole:
+            tree: dict = {}
+            for rp in include_rps:
+                if not rp:
+                    continue
+                node = tree
+                for seg in rp[:-1]:
+                    nxt = node.get(seg)
+                    if nxt is True:
+                        break
+                    node = node.setdefault(seg, {})
+                else:
+                    node[rp[-1]] = True
+            # exclude paths prune the include tree; a kept-whole (True)
+            # subtree an exclude reaches into becomes a runtime
+            # exclude over the included fragment
+            post_excludes = []
+            for rp in exclude_rps:
+                tree = _prune_tree(tree, None, rp) or {}
+                node, i = tree, 0
+                while i < len(rp) and isinstance(node, dict) and rp[i] in node:
+                    node = node[rp[i]]
+                    i += 1
+                if node is True and i < len(rp):
+                    post_excludes.append(rp)
+            new_json = fieldpath.variant_include_json(F.col("data"), tree)
+            for rp in post_excludes:
+                new_json = fieldpath.variant_exclude_json(
+                    F.parse_json(new_json), rp
+                )
+        else:
+            new_json = None
+            cur = F.col("data")
+            for rp in exclude_rps:
+                new_json = fieldpath.variant_exclude_json(cur, rp)
+                cur = F.parse_json(new_json)
+            if new_json is None:
+                return df
+        return df.withColumn("data", F.parse_json(new_json))
+
     def _st_render(self, df, template):
         self.result_kind = "render"
         self.render_template = template
@@ -593,7 +662,12 @@ class Planner:
         """Replicate per array element, substituting the element at the
         field position in place (``processors.go:464-503``)."""
         col, dtype = self._resolve(df, path)
-        if not isinstance(dtype, ArrayType):
+        if isinstance(dtype, VariantType):
+            # runtime array dispatch: non-array documents behave like
+            # the static non-array branch (explode_outer of NULL → one
+            # row, element NULL → field set to JSON null)
+            col = F.try_variant_get(col, "$", "array<variant>")
+        elif not isinstance(dtype, ArrayType):
             return self._set_path(df, path, F.lit(None))
         out = df.withColumn("_uw", F.explode_outer(col))
         out = self._set_path(out, path, F.col("_uw"))
@@ -618,18 +692,43 @@ class Planner:
                 raise CompileError(f"cannot set {path}")
             if len(names) == 1:
                 raise CompileError("cannot replace whole data")
+            data_t = df.schema["data"].dataType
+            if isinstance(data_t, VariantType):
+                # ragged mode: rebuild the document JSON with the path
+                # set (withField cannot mutate a variant); presence is
+                # inherent — the new key simply exists in the JSON
+                new_data = F.parse_json(
+                    fieldpath.variant_set_json(
+                        F.col("data"), names[1:], fieldpath.json_of(value)
+                    )
+                )
+                return df.withColumn("data", new_data)
             new_data = _with_nested_field(F.col("data"), names[1:], value)
-            new_data = _track_key(new_data, df.schema["data"].dataType, names[1])
+            new_data = _track_key(new_data, data_t, names[1])
             return df.withColumn("data", new_data)
         mcol = f"_mark_{ns}"
         if mcol not in df.columns:
             raise CompileError(f"unknown mark: {ns}")
         if names[0] != "data":
             raise CompileError(f"cannot set {path}")
+        mark_t = df.schema[mcol].dataType
+        if "data" in mark_t.names and isinstance(
+            mark_t["data"].dataType, VariantType
+        ):
+            new_mark = F.col(mcol).withField(
+                "data",
+                F.parse_json(
+                    fieldpath.variant_set_json(
+                        F.col(mcol).getField("data"),
+                        names[1:],
+                        fieldpath.json_of(value),
+                    )
+                ),
+            )
+            return df.withColumn(mcol, new_mark)
         new_mark = _with_nested_field(
             F.col(mcol), ["data"] + names[1:], value
         )
-        mark_t = df.schema[mcol].dataType
         if "data" in mark_t.names:
             new_mark = new_mark.withField(
                 "data",
@@ -745,7 +844,13 @@ class Planner:
             if kind == "term":
                 if isinstance(dtype, (ArrayType, MapType, StructType, NullType)):
                     return None
-                key = col
+                # variant term keys group on the scalar string cast
+                # (variant itself is not groupable)
+                key = (
+                    _variant_term_key(col)
+                    if isinstance(dtype, VariantType)
+                    else col
+                )
             else:
                 interval = float(spec["interval"])
                 if interval <= 0:
@@ -886,6 +991,8 @@ class Planner:
         self.agg_key_types[name] = dtype
         if isinstance(dtype, (ArrayType, MapType, StructType, NullType)):
             return _empty_agg(df, name)
+        if isinstance(dtype, VariantType):
+            col = _variant_term_key(col)
         counts = (
             df.select(col.alias("_k"))
             .filter(F.col("_k").isNotNull())
@@ -1050,6 +1157,10 @@ class Planner:
             )
         elif isinstance(dtype, MapType):
             kv = F.map_keys(col)
+        elif isinstance(dtype, VariantType):
+            # ragged mode: the document's own key set — exact presence
+            # (incl. null-valued keys) with no __keys column
+            kv = F.json_object_keys(F.to_json(col))
         else:
             return _empty_agg(df, name)
         return (
@@ -1196,12 +1307,39 @@ def _empty_agg(df: DataFrame, name: str) -> DataFrame:
     )
 
 
+def _variant_term_key(col: Column) -> Column:
+    """Scalar variant → its term-aggregation grouping key (string cast
+    of the value, matching the struct path's key→string output cast);
+    objects and arrays yield NULL and drop out of the count, like the
+    struct path's ``_empty_agg`` for non-scalar fields."""
+    t = F.schema_of_variant(col)
+    scalar = (
+        _is_variant_num(t) | t.isin("STRING", "BOOLEAN")
+    )
+    return F.when(scalar, F.try_variant_get(col, "$", "string"))
+
+
+def _is_variant_num(t: Column) -> Column:
+    return t.isin("BIGINT", "DOUBLE", "FLOAT") | t.startswith("DECIMAL")
+
+
 def _grip_type_col(col: Column, dtype: DataType) -> Column:
     """GRIP runtime type enum of a value (``gripql/schema.go:25-38``).
     GetFieldType(nil) → UNKNOWN, so nulls map to UNKNOWN."""
     unknown = F.lit("UNKNOWN")
     if isinstance(dtype, NullType):
         return unknown
+    if isinstance(dtype, VariantType):
+        # ragged mode: the JSON type survives per row (no union-struct
+        # coercion), so dispatch on schema_of_variant directly
+        t = F.schema_of_variant(col)
+        return (
+            F.when(col.isNull() | F.is_variant_null(col), unknown)
+            .when(_is_variant_num(t), F.lit("NUMERIC"))
+            .when(t == "BOOLEAN", F.lit("BOOL"))
+            .when(t == "STRING", F.lit("STRING"))
+            .otherwise(unknown)
+        )
     if isinstance(dtype, NumericType):
         return F.when(col.isNotNull(), F.lit("NUMERIC")).otherwise(unknown)
     if isinstance(dtype, BooleanType):

