@@ -41,6 +41,12 @@ def _empty_struct_col():
     return F.struct().alias("data")
 
 
+def _is_variant_type(dt) -> bool:
+    from pyspark.sql.types import VariantType
+
+    return isinstance(dt, VariantType)
+
+
 def _warehouse_dir(spark: SparkSession) -> str:
     wh = spark.conf.get("spark.sql.warehouse.dir")
     return wh[len("file:"):] if wh.startswith("file:") else wh
@@ -382,6 +388,55 @@ class GripGraph:
             ).alias("data")
             v = sample.groupBy("label").agg(merged).select(
                 F.col("label").alias("gid"), "label", "data"
+            )
+        elif _is_variant_type(data_t):
+            # ragged mode: merge the per-label sample at the KEY level
+            # (first non-null JSON fragment per key), reassembled into
+            # one variant document per label — the same merged-sample
+            # semantics as the struct branch, over runtime keys
+            from grip_spark.compile.fieldpath import _jkey, _vpath_col
+
+            sample = (
+                self.vertices.withColumn(
+                    "_rn",
+                    F.row_number().over(Window.partitionBy("label").orderBy("gid")),
+                )
+                .filter(F.col("_rn") <= sample_n)
+            )
+            kv = sample.select(
+                "label",
+                F.explode(F.json_object_keys(F.to_json("data"))).alias("_k"),
+                F.col("data").alias("_d"),
+            ).select(
+                "label",
+                "_k",
+                F.to_json(
+                    F.try_variant_get(F.col("_d"), _vpath_col(F.col("_k")), "variant")
+                ).alias("_vj"),
+            )
+            obj = (
+                kv.groupBy("label", "_k")
+                .agg(F.first("_vj", ignorenulls=True).alias("_vj"))
+                .groupBy("label")
+                .agg(
+                    F.concat(
+                        F.lit("{"),
+                        F.array_join(
+                            F.collect_list(
+                                F.concat(_jkey(F.col("_k")), F.lit(":"), F.col("_vj"))
+                            ),
+                            ",",
+                        ),
+                        F.lit("}"),
+                    ).alias("_j")
+                )
+            )
+            v = self.vertices.select("label").distinct().join(
+                obj, "label", "left"
+            ).select(
+                F.col("label").alias("gid"),
+                "label",
+                F.parse_json(F.coalesce("_j", F.lit("{}"))).alias("data"),
             )
         else:
             v = (

@@ -195,3 +195,22 @@ def test_ragged_10k_distinct_keys_lazy_load(spark, tmp_path):
     )
     hk = g.query().V().hasKey(some_key).count().execute()[0]["count"]
     assert hk >= 1
+
+
+def test_ragged_sample_schema(spark):
+    """sampleSchema on a ragged graph merges the per-label key sample
+    (first non-null value per key), like the struct branch."""
+    gs = GripGraph.from_jsonl(spark, VPATH, EPATH, ragged=False)
+    gr = GripGraph.from_jsonl(spark, VPATH, EPATH, ragged=True)
+    ss, sr = gs.sampleSchema(), gr.sampleSchema()
+    vs = {r["gid"]: r for r in ss.query().V().execute()}
+    vr = {r["gid"]: r for r in sr.query().V().execute()}
+    assert set(vs) == set(vr)
+    for gid in vs:
+        # same merged key set per label (modulo struct-mode null drops)
+        assert set(_drop_nulls(vs[gid]["data"])) == set(
+            _drop_nulls(vr[gid]["data"])
+        ), gid
+    es = {r["gid"] for r in ss.query().E().execute()}
+    er = {r["gid"] for r in sr.query().E().execute()}
+    assert es == er

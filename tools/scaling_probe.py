@@ -122,6 +122,10 @@ def main():
         _stream_probe(spark, docs)
         spark.stop()
         return
+    if mode == "widegraph":
+        _widegraph_probe(spark)
+        spark.stop()
+        return
 
     for k in (1, 4, 8):
         d = replicate_docs(docs, k).persist()
@@ -271,9 +275,29 @@ def _pipeline_probe(spark, docs):
             ).count()
         )
         t_rep = best_of(lambda: text.repetition_stats(d).count())
+        # r6 additions: trainable language ID scoring (model trained
+        # ONCE at 1x — the model is vocab x langs, corpus-size
+        # independent; scoring must scale ~linearly with the corpus),
+        # whole-doc FFD packing (driver FFD over the (length, count)
+        # histogram — histogram size is corpus-size independent), and
+        # curriculum ordering (one approx_percentile agg, no sort)
+        if k == 1:
+            global _LANGID_MODEL
+            _LANGID_MODEL = text.langid_model(d, "text", "lang", vocab_size=2000)
+        t_lid = best_of(lambda: text.langid_score(d, _LANGID_MODEL).count())
+        t_packw = best_of(
+            lambda: text.pack_whole_docs(d, capacity=2048).count()
+        )
+        t_curr = best_of(
+            lambda: sampling.curriculum_order(
+                text.quality_score(d), "quality", "doc_id"
+            ).count()
+        )
         print(
             f"{k}x: docs={nd} | chunk {t_chunk:.1f}s | pack {t_pack:.1f}s | "
-            f"sample+split {t_sample:.1f}s | repetition {t_rep:.1f}s",
+            f"sample+split {t_sample:.1f}s | repetition {t_rep:.1f}s | "
+            f"langid_score {t_lid:.1f}s | pack_whole {t_packw:.1f}s | "
+            f"curriculum {t_curr:.1f}s",
             flush=True,
         )
         d.unpersist()
@@ -408,6 +432,77 @@ def _stream_probe(spark, docs, n_batches: int = 50, compact_every: int = 16):
         print(f"final: accepted {n_acc} | files {_n_files()}", flush=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _widegraph_probe(spark, n_vertices: int = 1_000_000, n_edges: int = 10_000_000):
+    """10M-edge synthetic stress for the traversal core: the
+    conformance graph is 39V/144E and the bench graph 190k/877k, so
+    SCALE.md's extrapolation previously rested on sub-million-edge
+    evidence.  Structure: 1M vertices (1-in-17 labeled Hub), 10M
+    uniform random edges (xxhash64 endpoints — deterministic, ~10
+    out-degree).  Probes the same plans the bench runs: full scans,
+    label-filtered hop, 2-hop fan-out, and a 3-round jump BFS — all
+    equi-joins; wall-clock should track the frontier row counts, with
+    no plan change vs the small graphs (verify with .explain)."""
+    from pyspark.sql import functions as F
+
+    from grip_spark import ops
+    from grip_spark.graph import GripGraph
+
+    v = spark.range(n_vertices).select(
+        F.concat(F.lit("v:"), F.col("id").cast("string")).alias("gid"),
+        F.when(F.col("id") % 17 == 0, F.lit("Hub"))
+        .otherwise(F.lit("Node"))
+        .alias("label"),
+    )
+    e = spark.range(n_edges).select(
+        F.concat(F.lit("e:"), F.col("id").cast("string")).alias("gid"),
+        F.lit("link").alias("label"),
+        F.concat(
+            F.lit("v:"), F.pmod(F.xxhash64(F.col("id")), F.lit(n_vertices)).cast("string")
+        ).alias("src"),
+        F.concat(
+            F.lit("v:"),
+            F.pmod(F.xxhash64(F.col("id") + F.lit(n_edges)), F.lit(n_vertices)).cast(
+                "string"
+            ),
+        ).alias("dst"),
+    )
+    g = GripGraph(v, e, name="wide")
+    g.vertices = g.vertices.localCheckpoint(eager=True)
+    g.edges = g.edges.localCheckpoint(eager=True)
+
+    def t(label, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        print(f"{label}: {time.perf_counter() - t0:.1f}s -> {out}", flush=True)
+
+    t("V().count", lambda: g.query().V().count().execute()[0]["count"])
+    t("E().count", lambda: g.query().E().count().execute()[0]["count"])
+    t(
+        "hub out hop",
+        lambda: g.query().V().hasLabel("Hub").out().count().execute()[0]["count"],
+    )
+    t(
+        "hub 2-hop",
+        lambda: g.query().V().hasLabel("Hub").out().out().count().execute()[0][
+            "count"
+        ],
+    )
+    seeds = [f"v:{i}" for i in range(100)]
+    t(
+        "jump3 BFS (100 seeds)",
+        lambda: g.query()
+        .V(seeds)
+        .set("c", 0)
+        .as_("s")
+        .mark("a")
+        .increment("$s.c")
+        .out()
+        .jump("a", ops.lt("$s.c", 3), True)
+        .count()
+        .execute()[0]["count"],
+    )
 
 
 def _graph_probe(spark):
