@@ -674,9 +674,25 @@ class Planner:
         return out.drop("_uw")
 
     # -- traveler state mutation ---------------------------------------
-    def _set_path(self, df: DataFrame, path: str, value: Column) -> DataFrame:
+    _NO_RAW = object()  # sentinel: no driver-side literal available
+
+    def _set_path(
+        self, df: DataFrame, path: str, value: Column, raw=_NO_RAW
+    ) -> DataFrame:
         """Set a value at a field path on current (or a mark) —
-        ``ValueSet`` (``processors.go:812-830``)."""
+        ``ValueSet`` (``processors.go:812-830``).  ``raw`` carries the
+        original Python literal when the caller has one (set()): the
+        ragged path serializes it with ``json.dumps`` directly, so
+        ANY JSON value — including heterogeneous lists and nested
+        dicts that ``F.lit`` cannot type — is settable on a variant
+        document, exactly like the reference's schemaless ValueSet."""
+        import json as _json
+
+        def _vcol() -> Column:
+            # typed Column of the value — struct/system-field targets
+            # need one; built lazily so the variant path can accept
+            # raw values F.lit cannot type
+            return value if value is not None else F.lit(raw)
         ns, rel = fieldpath.split_namespace(path)
         segs = fieldpath.parse_segments(rel)
         if any(s.indexers for s in segs):
@@ -688,7 +704,7 @@ class Planner:
         if ns == CURRENT_NS:
             if names[0] != "data":
                 if len(names) == 1 and names[0] in ("gid", "label", "src", "dst"):
-                    return df.withColumn(names[0], value.cast("string"))
+                    return df.withColumn(names[0], _vcol().cast("string"))
                 raise CompileError(f"cannot set {path}")
             if len(names) == 1:
                 raise CompileError("cannot replace whole data")
@@ -697,13 +713,16 @@ class Planner:
                 # ragged mode: rebuild the document JSON with the path
                 # set (withField cannot mutate a variant); presence is
                 # inherent — the new key simply exists in the JSON
+                vj = (
+                    F.lit(_json.dumps(raw))
+                    if raw is not self._NO_RAW
+                    else fieldpath.json_of(value)
+                )
                 new_data = F.parse_json(
-                    fieldpath.variant_set_json(
-                        F.col("data"), names[1:], fieldpath.json_of(value)
-                    )
+                    fieldpath.variant_set_json(F.col("data"), names[1:], vj)
                 )
                 return df.withColumn("data", new_data)
-            new_data = _with_nested_field(F.col("data"), names[1:], value)
+            new_data = _with_nested_field(F.col("data"), names[1:], _vcol())
             new_data = _track_key(new_data, data_t, names[1])
             return df.withColumn("data", new_data)
         mcol = f"_mark_{ns}"
@@ -715,19 +734,22 @@ class Planner:
         if "data" in mark_t.names and isinstance(
             mark_t["data"].dataType, VariantType
         ):
+            vj = (
+                F.lit(_json.dumps(raw))
+                if raw is not self._NO_RAW
+                else fieldpath.json_of(value)
+            )
             new_mark = F.col(mcol).withField(
                 "data",
                 F.parse_json(
                     fieldpath.variant_set_json(
-                        F.col(mcol).getField("data"),
-                        names[1:],
-                        fieldpath.json_of(value),
+                        F.col(mcol).getField("data"), names[1:], vj
                     )
                 ),
             )
             return df.withColumn(mcol, new_mark)
         new_mark = _with_nested_field(
-            F.col(mcol), ["data"] + names[1:], value
+            F.col(mcol), ["data"] + names[1:], _vcol()
         )
         if "data" in mark_t.names:
             new_mark = new_mark.withField(
@@ -737,7 +759,11 @@ class Planner:
         return df.withColumn(mcol, new_mark)
 
     def _st_set(self, df, arg):
-        return self._set_path(df, arg["key"], F.lit(arg["value"]))
+        # the Column literal is built LAZILY inside _set_path: ragged
+        # documents accept any JSON value via the raw literal, so an
+        # F.lit here would reject heterogeneous lists before the
+        # variant path ever saw them
+        return self._set_path(df, arg["key"], None, raw=arg["value"])
 
     def _st_increment(self, df, arg):
         col, dtype = self._resolve(df, arg["key"])

@@ -214,3 +214,23 @@ def test_ragged_sample_schema(spark):
     es = {r["gid"] for r in ss.query().E().execute()}
     er = {r["gid"] for r in sr.query().E().execute()}
     assert es == er
+
+
+def test_ragged_set_arbitrary_json_value(spark):
+    """set() on a ragged document accepts ANY JSON value — including
+    heterogeneous lists and nested dicts F.lit cannot type — like the
+    reference's schemaless ValueSet (the literal is serialized with
+    json.dumps and spliced into the rebuilt document)."""
+    g = GripGraph.from_jsonl(spark, VPATH, EPATH, ragged=True)
+    q = (
+        g.query()
+        .V("Character:1")
+        .set("mixed", [1, "a", {"b": None}])
+        .set("obj", {"k": [True, 2.5]})
+        .set("none", None)
+    )
+    doc = q.execute()[0]["data"]
+    assert doc["mixed"] == [1, "a", {"b": None}]
+    assert doc["obj"] == {"k": [True, 2.5]}
+    assert doc["none"] is None
+    assert len(q.hasKey("none").execute()) == 1
