@@ -1676,7 +1676,8 @@ WITH norm AS (
     END) AS f
   FROM g
 ), kept AS (
-  -- hot-fingerprint cap (engine max_df=1000 default): drop
+  -- hot-fingerprint cap: the contract query opts in with
+  -- max_df=1000 (engine default is None/uncapped since r7); drop
   -- fingerprints with document frequency > 1000 before the self-join
   -- (a no-op at sf0.01's 500 docs, mirrored for semantic parity)
   SELECT fp.doc_id, fp.f FROM fp

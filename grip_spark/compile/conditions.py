@@ -22,20 +22,13 @@ from pyspark.sql.types import (
     VariantType,
 )
 
-from grip_spark.compile.fieldpath import as_double, resolve
+from grip_spark.compile.fieldpath import as_double, is_variant_num, resolve
 
 
 def _lit(value) -> Column:
     if isinstance(value, (list, tuple)):
         return F.array(*[_lit(v) for v in value])
     return F.lit(value)
-
-
-def _is_vnum(t: Column) -> Column:
-    """Runtime "this variant holds a JSON number" test over a
-    ``schema_of_variant`` string (integers → BIGINT, decimals →
-    DECIMAL(p,s), big/scientific → DOUBLE)."""
-    return t.isin("BIGINT", "DOUBLE", "FLOAT") | t.startswith("DECIMAL")
 
 
 def _variant_eq(col: Column, value) -> Column:
@@ -57,7 +50,7 @@ def _variant_eq(col: Column, value) -> Column:
         )
     if isinstance(value, (int, float)):
         return _nn(
-            _is_vnum(t)
+            is_variant_num(t)
             & (F.try_variant_get(col, "$", "double") == F.lit(float(value)))
         )
     if isinstance(value, str):

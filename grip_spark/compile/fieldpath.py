@@ -145,6 +145,15 @@ def _nested_transform(col: Column, depth: int, fn) -> Column:
     return F.transform(col, lambda x: _nested_transform(x, depth - 1, fn))
 
 
+def is_variant_num(t: Column) -> Column:
+    """Runtime "this variant holds a JSON number" test over a
+    ``schema_of_variant`` string (integers → BIGINT, decimals →
+    DECIMAL(p,s), big/scientific → DOUBLE).  The single shared
+    predicate — equality (conditions.py) and term/type aggregation
+    (planner.py) must agree on what counts as a number."""
+    return t.isin("BIGINT", "DOUBLE", "FLOAT") | t.startswith("DECIMAL")
+
+
 def _vpath(name: str) -> str:
     """Bracket-quoted variant path segment — handles keys that a
     dotted ``$.name`` path could not (spaces, dots, unicode); quotes
@@ -321,14 +330,6 @@ def presence(view_lookup, path: str) -> Column:
 # narrow per-row projection, no shuffle, no Python.
 
 
-def _jkey(k: Column) -> Column:
-    """Dynamic key column → quoted+escaped JSON key literal
-    (``to_json`` of a 1-element array does the escaping; strip the
-    brackets)."""
-    j = F.to_json(F.array(k))
-    return F.substring(j, F.lit(2), F.length(j) - 2)
-
-
 def _vpath_col(k: Column) -> Column:
     """Dynamic variant path ``$['<k>']`` from a key column."""
     esc = F.replace(F.replace(k, F.lit("\\"), F.lit("\\\\")), F.lit("'"), F.lit("\\'"))
@@ -355,7 +356,7 @@ def vobj_entries(obj: Column, drop: list[str] | None = None) -> Column:
     return F.transform(
         keys,
         lambda k: F.concat(
-            _jkey(k),
+            json_of(k),
             F.lit(":"),
             F.to_json(F.try_variant_get(obj, _vpath_col(k), "variant")),
         ),

@@ -498,44 +498,20 @@ class Planner:
             return self._fields_variant(df, paths)
         if not isinstance(data_t, StructType):
             return df
-        excludes = [p[1:] for p in paths if p.startswith("-")]
-        includes = [p for p in paths if not p.startswith("-")]
-
-        def relpath(p):
-            segs = fieldpath.parse_segments(p)
-            if segs and segs[0].name == "data":
-                segs = segs[1:]
-            return [s.name for s in segs]
-
         has_keys = fieldpath.KEYS_FIELD in data_t.names
-        include_rps = [relpath(p) for p in includes]
-        exclude_rps = [relpath(p) for p in excludes]
-        # `_data` (rp == []) refers to the whole document: including it
-        # keeps all of data (run only the exclude pass); excluding it
-        # drops data entirely
-        include_whole = any(not rp for rp in include_rps)
-        exclude_whole = any(not rp for rp in exclude_rps)
-        exclude_rps = [rp for rp in exclude_rps if rp]
+        # `_data` (empty relpath) refers to the whole document:
+        # including it keeps all of data (run only the exclude pass);
+        # excluding it drops data entirely
+        has_inc, include_whole, exclude_whole, exclude_rps, tree = _fields_spec(
+            paths
+        )
         if exclude_whole:
             new_data = F.struct()
             if has_keys:
                 new_data = F.struct(
                     F.array().cast("array<string>").alias(fieldpath.KEYS_FIELD)
                 )
-        elif includes and not include_whole:
-            # build an include tree: name -> subtree dict | True (whole)
-            tree: dict = {}
-            for rp in include_rps:
-                if not rp:
-                    continue
-                node = tree
-                for seg in rp[:-1]:
-                    nxt = node.get(seg)
-                    if nxt is True:
-                        break  # whole parent already kept
-                    node = node.setdefault(seg, {})
-                else:
-                    node[rp[-1]] = True
+        elif has_inc and not include_whole:
             # excludes compose with includes (the reference applies
             # both lists): prune the exclude paths out of the include
             # tree, expanding kept-whole subtrees by their struct type
@@ -577,34 +553,12 @@ class Planner:
         ``fieldpath.variant_include_json`` / ``variant_exclude_json``)
         and re-parsed to variant.  Presence is inherent: absent keys
         never appear in the rebuilt JSON, present-with-null keys do."""
-        excludes = [p[1:] for p in paths if p.startswith("-")]
-        includes = [p for p in paths if not p.startswith("-")]
-
-        def relpath(p):
-            segs = fieldpath.parse_segments(p)
-            if segs and segs[0].name == "data":
-                segs = segs[1:]
-            return [s.name for s in segs]
-
-        include_rps = [relpath(p) for p in includes]
-        exclude_rps = [rp for rp in (relpath(p) for p in excludes) if rp]
-        include_whole = any(not rp for rp in include_rps)
-        exclude_whole = any(not relpath(p) for p in excludes)
+        has_inc, include_whole, exclude_whole, exclude_rps, tree = _fields_spec(
+            paths
+        )
         if exclude_whole:
             new_json = F.lit("{}")
-        elif includes and not include_whole:
-            tree: dict = {}
-            for rp in include_rps:
-                if not rp:
-                    continue
-                node = tree
-                for seg in rp[:-1]:
-                    nxt = node.get(seg)
-                    if nxt is True:
-                        break
-                    node = node.setdefault(seg, {})
-                else:
-                    node[rp[-1]] = True
+        elif has_inc and not include_whole:
             # exclude paths prune the include tree; a kept-whole (True)
             # subtree an exclude reaches into becomes a runtime
             # exclude over the included fragment
@@ -1334,19 +1288,18 @@ def _empty_agg(df: DataFrame, name: str) -> DataFrame:
 
 
 def _variant_term_key(col: Column) -> Column:
-    """Scalar variant → its term-aggregation grouping key (string cast
-    of the value, matching the struct path's key→string output cast);
-    objects and arrays yield NULL and drop out of the count, like the
+    """Scalar variant → its term-aggregation grouping key: the JSON
+    literal (``to_json``), NOT a bare string cast — quoting preserves
+    the JSON type, so string ``"1"`` and number ``1`` stay separate
+    buckets and booleans survive as ``true``/``false`` (results.py
+    ``_agg_key`` json-decodes the key back to its typed value).
+    Objects and arrays yield NULL and drop out of the count, like the
     struct path's ``_empty_agg`` for non-scalar fields."""
+    from grip_spark.compile.fieldpath import is_variant_num
+
     t = F.schema_of_variant(col)
-    scalar = (
-        _is_variant_num(t) | t.isin("STRING", "BOOLEAN")
-    )
-    return F.when(scalar, F.try_variant_get(col, "$", "string"))
-
-
-def _is_variant_num(t: Column) -> Column:
-    return t.isin("BIGINT", "DOUBLE", "FLOAT") | t.startswith("DECIMAL")
+    scalar = is_variant_num(t) | t.isin("STRING", "BOOLEAN")
+    return F.when(scalar & ~F.is_variant_null(col), F.to_json(col))
 
 
 def _grip_type_col(col: Column, dtype: DataType) -> Column:
@@ -1358,10 +1311,12 @@ def _grip_type_col(col: Column, dtype: DataType) -> Column:
     if isinstance(dtype, VariantType):
         # ragged mode: the JSON type survives per row (no union-struct
         # coercion), so dispatch on schema_of_variant directly
+        from grip_spark.compile.fieldpath import is_variant_num
+
         t = F.schema_of_variant(col)
         return (
             F.when(col.isNull() | F.is_variant_null(col), unknown)
-            .when(_is_variant_num(t), F.lit("NUMERIC"))
+            .when(is_variant_num(t), F.lit("NUMERIC"))
             .when(t == "BOOLEAN", F.lit("BOOL"))
             .when(t == "STRING", F.lit("STRING"))
             .otherwise(unknown)
@@ -1463,6 +1418,43 @@ def _with_nested_field(base: Column, names: list[str], value: Column) -> Column:
         return base.withField(names[0], value)
     inner = base.getField(names[0])
     return base.withField(names[0], _with_nested_field(inner, names[1:], value))
+
+
+def _fields_spec(paths):
+    """Shared fields() path parsing for the struct and ragged
+    projections (one contract — the include-tree construction and
+    whole-document flags must never diverge between the two):
+    ``-`` prefix = exclude; ``_data`` (empty relpath) means the whole
+    document.  Returns ``(has_includes, include_whole, exclude_whole,
+    exclude_rps, tree)`` where ``tree`` maps head → subtree dict |
+    True (kept whole)."""
+    excludes = [p[1:] for p in paths if p.startswith("-")]
+    includes = [p for p in paths if not p.startswith("-")]
+
+    def relpath(p):
+        segs = fieldpath.parse_segments(p)
+        if segs and segs[0].name == "data":
+            segs = segs[1:]
+        return [s.name for s in segs]
+
+    include_rps = [relpath(p) for p in includes]
+    exclude_rps = [relpath(p) for p in excludes]
+    include_whole = any(not rp for rp in include_rps)
+    exclude_whole = any(not rp for rp in exclude_rps)
+    exclude_rps = [rp for rp in exclude_rps if rp]
+    tree: dict = {}
+    for rp in include_rps:
+        if not rp:
+            continue
+        node = tree
+        for seg in rp[:-1]:
+            nxt = node.get(seg)
+            if nxt is True:
+                break  # whole parent already kept
+            node = node.setdefault(seg, {})
+        else:
+            node[rp[-1]] = True
+    return bool(includes), include_whole, exclude_whole, exclude_rps, tree
 
 
 def _stmt_key(stmt: dict) -> str:

@@ -98,14 +98,19 @@ def _agg_key(key: str, dtype) -> Any:
         from pyspark.sql.types import VariantType
 
         if isinstance(dtype, VariantType):
-            # ragged term keys: numbers come back numeric (the struct
-            # path's NumericType behavior); "true"/"false" stay strings
-            # — the string cast erased the bool/string distinction
+            # ragged term keys are JSON literals (planner
+            # _variant_term_key groups on to_json, so quoting preserves
+            # the JSON type): decode back — number 1 ≠ string "1",
+            # booleans come back as real bools, "02134" stays a string
+            import json as _json
+
             try:
-                f = float(key)
-                return int(f) if f.is_integer() else f
-            except ValueError:
+                v = _json.loads(key)
+            except (ValueError, TypeError):
                 return key
+            if isinstance(v, float) and v.is_integer():
+                return int(v)
+            return v
     except ImportError:  # pragma: no cover
         pass
     return key

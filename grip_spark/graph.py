@@ -394,7 +394,7 @@ class GripGraph:
             # (first non-null JSON fragment per key), reassembled into
             # one variant document per label — the same merged-sample
             # semantics as the struct branch, over runtime keys
-            from grip_spark.compile.fieldpath import _jkey, _vpath_col
+            from grip_spark.compile.fieldpath import _vpath_col, json_of
 
             sample = (
                 self.vertices.withColumn(
@@ -423,7 +423,7 @@ class GripGraph:
                         F.lit("{"),
                         F.array_join(
                             F.collect_list(
-                                F.concat(_jkey(F.col("_k")), F.lit(":"), F.col("_vj"))
+                                F.concat(json_of(F.col("_k")), F.lit(":"), F.col("_vj"))
                             ),
                             ",",
                         ),
@@ -591,18 +591,20 @@ def _sample_distinct_keys(spark: SparkSession, path: str, sample_n: int) -> int:
     return int(n or 0)
 
 
-def _read_jsonl_ragged(spark: SparkSession, path: str, edge: bool) -> DataFrame:
-    """Ragged-mode JSONL parse: FIXED schema for the system fields,
-    ``data`` as a VariantType column (``try_parse_json`` of the raw
-    ``$.data`` fragment) — NO schema-inference scan; the read stays
-    lazy until the first query action, and malformed data objects
-    degrade to empty documents instead of failing the load."""
+def _parse_ragged_lines(raw: DataFrame, edge: bool) -> DataFrame:
+    """Ragged-mode parse of a ``value``-column JSONL DataFrame: FIXED
+    schema for the system fields, ``data`` as a VariantType column
+    (``try_parse_json`` of the raw ``$.data`` fragment) — NO
+    schema-inference scan; the plan stays lazy until the first query
+    action, and malformed data objects degrade to empty documents
+    instead of failing the load.  The ONE ragged parse contract —
+    file loads (``_read_jsonl_ragged``) and the GraphBuilder both
+    route here, so the encodings cannot diverge."""
     sys_ddl = (
         "gid string, label string, `from` string, `to` string"
         if edge
         else "gid string, label string"
     )
-    raw = spark.read.text(path)
     j = F.from_json("value", sys_ddl)
     cols = [
         j.getField("gid").alias("gid"),
@@ -617,6 +619,10 @@ def _read_jsonl_ragged(spark: SparkSession, path: str, edge: bool) -> DataFrame:
         ).alias("data")
     )
     return raw.select(*cols)
+
+
+def _read_jsonl_ragged(spark: SparkSession, path: str, edge: bool) -> DataFrame:
+    return _parse_ragged_lines(spark.read.text(path), edge)
 
 
 def _parse_json_lines(raw: DataFrame, schema: StructType) -> DataFrame:
@@ -723,27 +729,9 @@ class GraphBuilder:
         lines = [(_json.dumps(r),) for r in rows] or [("{}",)]
         raw = self.spark.createDataFrame(lines, ["value"])
         if self.ragged:
-            # fixed-schema variant parse — no inference at all
-            edge = any("from" in r for r in rows)
-            sys_ddl = (
-                "gid string, label string, `from` string, `to` string"
-                if edge
-                else "gid string, label string"
-            )
-            j = F.from_json("value", sys_ddl)
-            cols = [j.getField("gid").alias("gid"), j.getField("label").alias("label")]
-            if edge:
-                cols += [
-                    j.getField("from").alias("from"),
-                    j.getField("to").alias("to"),
-                ]
-            cols.append(
-                F.coalesce(
-                    F.try_parse_json(F.get_json_object("value", "$.data")),
-                    F.parse_json(F.lit("{}")),
-                ).alias("data")
-            )
-            df = raw.select(*cols)
+            # the same fixed-schema variant parse as the file loader —
+            # no inference at all
+            df = _parse_ragged_lines(raw, edge=any("from" in r for r in rows))
             return df.limit(0) if not rows else df
         # struct mode: the rows are driver-side dicts, so the union
         # schema comes from ONE merged sample via schema_of_json —

@@ -246,6 +246,22 @@ def _store_fs(spark, store_path: str):
     return fs, p
 
 
+def _bands_partitioned(spark, store_path: str) -> bool:
+    """Is the ``bands`` table hive-partitioned by band (the
+    ``compact_store(partition_by_band=True)`` layout)?  Detected from
+    the directory structure itself — appends must write the same
+    layout, because parquet partition discovery silently ignores flat
+    files inside a partitioned directory."""
+    fs, p = _store_fs(spark, store_path)
+    b = p("bands")
+    if not fs.exists(b):
+        return False
+    for st in fs.listStatus(b):
+        if st.isDirectory() and st.getPath().getName().startswith("band="):
+            return True
+    return False
+
+
 def finish_compaction_swap(spark, store_path: str) -> bool:
     """Finish an interrupted :func:`compact_store` swap, if one is
     pending; returns True when a swap was completed.
@@ -615,9 +631,24 @@ def near_dedup_stream(
         survivors = batch.join(
             keep_ids, batch[id_col] == keep_ids["_id"], "left_semi"
         ).withColumn("_batch_id", bid)
-        banded.join(keep_ids, "_id", "left_semi").withColumn(
+        # the bands append must MATCH the store's on-disk layout: after
+        # a compact_store(partition_by_band=True) the dir is
+        # hive-partitioned (band=N/ subdirs), and a flat file appended
+        # into a partitioned dir is SILENTLY DROPPED by partition
+        # discovery on every later read — the store would quietly
+        # forget each post-compaction batch's band rows and re-admit
+        # their near-duplicates (r7 review, reproduced).  Layout is
+        # detected from the filesystem (ground truth; a metadata
+        # marker could go stale across a crashed compaction).
+        bands_out = banded.join(keep_ids, "_id", "left_semi").withColumn(
             "_batch_id", bid
-        ).write.mode("append").parquet(f"{store_path}/bands")
+        )
+        bw = bands_out.write.mode("append")
+        if _bands_partitioned(spark, store_path):
+            bw = bands_out.repartition("band").write.mode("append").partitionBy(
+                "band"
+            )
+        bw.parquet(f"{store_path}/bands")
         sig.join(keep_ids, "_id", "left_semi").withColumn(
             "_batch_id", bid
         ).write.mode("append").parquet(f"{store_path}/sigs")

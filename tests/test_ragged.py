@@ -234,3 +234,37 @@ def test_ragged_set_arbitrary_json_value(spark):
     assert doc["obj"] == {"k": [True, 2.5]}
     assert doc["none"] is None
     assert len(q.hasKey("none").execute()) == 1
+
+
+def test_ragged_term_keys_preserve_json_types(spark, tmp_path):
+    """Term aggregation on a ragged field keeps JSON types apart:
+    number 1 and string "1" are separate buckets, booleans come back
+    as real bools, and a numeric-LOOKING string ("02134") stays a
+    string (r7 review: the earlier string-cast grouping collapsed and
+    retyped all of these)."""
+    v = tmp_path / "v.jsonl"
+    rows = [
+        {"gid": "a", "label": "L", "data": {"x": 1}},
+        {"gid": "b", "label": "L", "data": {"x": 1}},
+        {"gid": "c", "label": "L", "data": {"x": "1"}},
+        {"gid": "d", "label": "L", "data": {"x": True}},
+        {"gid": "e", "label": "L", "data": {"x": "02134"}},
+        {"gid": "f", "label": "L", "data": {"x": None}},
+        {"gid": "g", "label": "L", "data": {"x": [1, 2]}},
+    ]
+    v.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    e = tmp_path / "e.jsonl"
+    e.write_text("")
+    g = GripGraph.from_jsonl(spark, str(v), str(e), ragged=True)
+    got = {
+        (type(r["key"]).__name__, r["key"]): r["value"]
+        for r in g.query().V().aggregate([ops.term("t", "x")]).execute()
+    }
+    # null and non-scalar values drop out of the count, like struct
+    # mode's _empty_agg / isNotNull filter
+    assert got == {
+        ("int", 1): 2.0,
+        ("str", "1"): 1.0,
+        ("bool", True): 1.0,
+        ("str", "02134"): 1.0,
+    }

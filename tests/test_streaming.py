@@ -530,6 +530,25 @@ def test_compact_store_roundtrip(spark, tmp_path_factory):
     assert {r["_batch_id"] for r in spark.read.parquet(
         f"{store}/commits"
     ).collect()} == {0, 1}
+    # post-compaction appends MUST stay visible: the compacted bands
+    # dir is hive-partitioned, and a flat append there would be
+    # silently dropped by partition discovery (r7 review bug) — so
+    # doc 51's band rows must be readable AND a near-dup of 51 in a
+    # LATER batch must still be rejected against the store
+    bands2 = spark.read.parquet(f"{store}/bands")
+    assert bands2.filter("_id = 51").count() > 0
+    streaming.near_dedup_stream(
+        spark.createDataFrame(
+            [(60, "genuinely new fifth text appears here now")], schema
+        ),
+        store,
+    )
+    acc3 = spark.read.parquet(f"{store}/accepted")
+    assert acc3.count() == 5 and acc3.filter("doc_id = 60").count() == 0
+    # and a second compaction keeps the post-compaction batch's rows
+    stats2 = streaming.compact_store(spark, store)
+    assert stats2["accepted"] == 5
+    assert spark.read.parquet(f"{store}/bands").filter("_id = 51").count() > 0
 
 
 def test_compact_store_interrupted_swap_recovers(spark, tmp_path_factory):
