@@ -119,6 +119,22 @@ QUERIES = {
     "path": lambda g: g.query().V("Character:1").out().path(),
     "jump_loop": lambda g: g.query()
     .V(["Film:1"]).as_("s").mark("a").out("planets").jump("a", None, True),
+    # counter loop: increment writes through the MARK's variant data
+    # every iteration, the jump condition reads it back ($s.c), and
+    # iteration frontiers union variant columns
+    "jump_counter_loop": lambda g: g.query()
+    .V(["Character:1"])
+    .set("c", 0)
+    .as_("s")
+    .mark("a")
+    .increment("$s.c")
+    .out()
+    .jump("a", ops.lt("$s.c", 2), True),
+    "mark_scoped_render": lambda g: g.query()
+    .V("Character:1").as_("x").out().render({"me": "name", "from": "$x.name"}),
+    "has_nested_path": lambda g: g.query()
+    .V().has(ops.eq("system.created", "2014-12-09T13:50:51.644000Z")),
+    "outnull": lambda g: g.query().V("Planet:1").outNull(),
 }
 
 

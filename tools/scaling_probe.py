@@ -126,6 +126,10 @@ def main():
         _widegraph_probe(spark)
         spark.stop()
         return
+    if mode == "ragged":
+        _ragged_probe(spark)
+        spark.stop()
+        return
 
     for k in (1, 4, 8):
         d = replicate_docs(docs, k).persist()
@@ -432,6 +436,99 @@ def _stream_probe(spark, docs, n_batches: int = 50, compact_every: int = 16):
         print(f"final: accepted {n_acc} | files {_n_files()}", flush=True)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _ragged_probe(spark, key_space: int = 10_000):
+    """Ragged (VariantType) query cost at 50k/200k/800k documents,
+    each carrying 8 of ``key_space`` distinct property keys (the
+    shape that explodes the union-struct encoding).  Construction is
+    pure column expressions (hash-derived keys → one parse_json per
+    row), so the probe isolates QUERY cost: label scan, runtime-typed
+    has(), exact hasKey, distinct on a variant field, term agg, and a
+    fields() JSON rebuild.  All are narrow per-row variant accesses
+    or string-key shuffles — expect ~linear growth."""
+    from pyspark.sql import functions as F
+
+    from grip_spark import ops
+    from grip_spark.graph import GripGraph
+
+    def build(n):
+        frag = F.concat_ws(
+            ",",
+            *[
+                F.format_string(
+                    '"k%d":%d',
+                    F.pmod(F.xxhash64(F.col("id") + F.lit(j * 7919)), F.lit(key_space)),
+                    F.pmod(F.xxhash64(F.col("id") * 31 + F.lit(j)), F.lit(1000)),
+                )
+                for j in range(8)
+            ],
+        )
+        v = spark.range(n).select(
+            F.concat(F.lit("d:"), F.col("id").cast("string")).alias("gid"),
+            F.when(F.col("id") % 3 == 0, F.lit("A")).otherwise(F.lit("B")).alias(
+                "label"
+            ),
+            # try_parse_json: ~0.3% of docs draw a duplicate hash-key,
+            # which the variant builder rejects — those degrade to {}
+            # exactly like the loader's malformed-data path
+            F.coalesce(
+                F.try_parse_json(
+                    F.concat(
+                        F.lit('{"common":'),
+                        (F.col("id") % 5).cast("string"),
+                        F.lit(","),
+                        frag,
+                        F.lit("}"),
+                    )
+                ),
+                F.parse_json(F.lit("{}")),
+            ).alias("data"),
+        )
+        e = spark.range(0).select(
+            F.lit("e").alias("gid"),
+            F.lit("l").alias("label"),
+            F.lit("x").alias("src"),
+            F.lit("y").alias("dst"),
+        )
+        g = GripGraph(v, e, name="ragged_probe")
+        g.vertices = g.vertices.localCheckpoint(eager=True)
+        return g
+
+    for n in (50_000, 200_000, 800_000):
+        g = build(n)
+
+        def t(fn):
+            t0 = time.perf_counter()
+            fn()
+            return time.perf_counter() - t0
+
+        r = {
+            "scan": t(lambda: g.query().V().hasLabel("A").count().execute()),
+            "has": t(
+                lambda: g.query().V().has(ops.eq("common", 3)).count().execute()
+            ),
+            "hasKey": t(
+                lambda: g.query().V().hasKey("k42").count().execute()
+            ),
+            "distinct": t(
+                lambda: g.query().V().distinct("common").count().execute()
+            ),
+            "term": t(
+                lambda: g.query()
+                .V()
+                .aggregate([ops.term("t", "common")])
+                .execute()
+            ),
+            "fields": t(
+                lambda: g.query().V().fields(["common", "k42"]).count().execute()
+            ),
+        }
+        print(
+            f"{n} docs: "
+            + " | ".join(f"{k} {v:.1f}s" for k, v in r.items()),
+            flush=True,
+        )
 
 
 def _widegraph_probe(spark, n_vertices: int = 1_000_000, n_edges: int = 10_000_000):
