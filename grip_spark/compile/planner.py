@@ -208,8 +208,26 @@ class Planner:
         return F.concat(F.col("_path"), F.array(e)).alias("_path")
 
     # -- sources -------------------------------------------------------
+    @staticmethod
+    def _promote_data(out: DataFrame) -> DataFrame:
+        """Foreign tables sometimes carry ``data`` as a JSON *string*
+        column (the classic pre-variant encoding for ragged rows).
+        Promote it to VariantType once at the query source — every
+        downstream operator then gets the full ragged surface
+        (has/hasKey/fields/set/aggs) instead of a dead column.
+        Non-JSON strings parse to NULL ≙ an empty document, the same
+        behavior an unreadable field already had."""
+        if isinstance(out.schema["data"].dataType, StringType):
+            out = out.withColumn(
+                "data",
+                F.coalesce(
+                    F.try_parse_json("data"), F.parse_json(F.lit("{}"))
+                ),
+            )
+        return out
+
     def _st_v(self, df, ids: list[str]) -> DataFrame:
-        out = self.graph.vertices
+        out = self._promote_data(self.graph.vertices)
         if ids:
             out = out.filter(F.col("gid").isin(ids))
         cols = [F.col("gid"), F.col("label"), F.col("data")]
@@ -223,7 +241,7 @@ class Planner:
         return out.select(*cols)
 
     def _st_e(self, df, ids: list[str]) -> DataFrame:
-        out = self.graph.edges
+        out = self._promote_data(self.graph.edges)
         if ids:
             out = out.filter(F.col("gid").isin(ids))
         cols = [F.col("gid"), F.col("label"), F.col("src"), F.col("dst"), F.col("data")]
@@ -261,7 +279,7 @@ class Planner:
         )
         how = "left" if null_ok else "inner"
         j = df.join(e, df["gid"] == e["_h_here"], how)
-        v = self.graph.vertices.select(
+        v = self._promote_data(self.graph.vertices).select(
             F.col("gid").alias("_h_vg"), F.col("label").alias("_h_vl"), F.col("data").alias("_h_vd")
         )
         j = j.join(v, F.col("_h_there") == v["_h_vg"], how)
@@ -280,7 +298,7 @@ class Planner:
         """V→E hop (outE/inE): 1 equi-join.
         Reference: ``processors.go:320-391``."""
         here = "src" if forward else "dst"
-        e = self._edges(labels, forward).select(
+        e = self._promote_data(self._edges(labels, forward)).select(
             F.col("gid").alias("_h_eg"),
             F.col("label").alias("_h_el"),
             F.col("src").alias("_h_es"),
@@ -305,7 +323,7 @@ class Planner:
     def _hop_e2v(self, df: DataFrame, endpoint: str) -> DataFrame:
         """E→V: from an edge position, out() goes to the ``dst`` vertex
         and in() to ``src`` (``processors.go:202-236,281-315``)."""
-        v = self.graph.vertices.select(
+        v = self._promote_data(self.graph.vertices).select(
             F.col("gid").alias("_h_vg"), F.col("label").alias("_h_vl"), F.col("data").alias("_h_vd")
         )
         j = df.join(v, df[endpoint] == v["_h_vg"], "inner")

@@ -893,8 +893,10 @@ def _normalize(df: DataFrame, want: tuple) -> DataFrame:
     for c in want:
         if c in cols:
             # data passes through as-is whatever its type: struct is
-            # the fast path (nested pruning); map/json-string degrade
-            # gracefully at the fieldpath layer
+            # the fast path (nested pruning), variant the ragged path;
+            # a JSON-STRING data column is promoted to variant at the
+            # query source (planner._promote_data) so foreign tables
+            # with the classic string encoding get the full surface
             out.append(F.col(c))
         elif c == "data":
             out.append(_empty_struct_col())

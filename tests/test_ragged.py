@@ -284,3 +284,36 @@ def test_ragged_term_keys_preserve_json_types(spark, tmp_path):
         ("bool", True): 1.0,
         ("str", "02134"): 1.0,
     }
+
+
+def test_json_string_data_column_promotes_to_variant(spark):
+    """Foreign tables often carry `data` as a JSON *string* column
+    (the classic pre-variant ragged encoding).  The planner promotes
+    it to VariantType once at the query source, so the full ragged
+    surface works — previously every field access resolved to a dead
+    lit(NULL)."""
+    v = spark.createDataFrame(
+        [
+            ("a", "P", '{"name": "ada", "age": 36, "tags": ["x"]}'),
+            ("b", "P", '{"name": "bob", "note": null}'),
+            ("c", "Q", None),
+        ],
+        "gid string, label string, data string",
+    )
+    e = spark.createDataFrame(
+        [("e1", "knows", "a", "b", '{"w": 2}')],
+        "gid string, label string, src string, dst string, data string",
+    )
+    g = GripGraph(v, e, name="jsonstr")
+    assert g.vertices.schema["data"].dataType.simpleString() == "string"
+    assert len(g.query().V().has(ops.eq("name", "ada")).execute()) == 1
+    assert len(g.query().V().has(ops.gt("age", 30)).execute()) == 1
+    assert {r["gid"] for r in g.query().V().hasKey("note").execute()} == {"b"}
+    out = g.query().V("a").out("knows").execute()
+    assert out[0]["gid"] == "b" and out[0]["data"]["name"] == "bob"
+    edges = g.query().V("a").outE().execute()
+    assert edges[0]["data"] == {"w": 2}
+    docs = g.query().V().hasLabel("P").fields(["name"]).execute()
+    assert {tuple(sorted(d["data"])) for d in docs} == {("name",)}
+    agg = g.query().V().aggregate([ops.term("t", "name")]).execute()
+    assert {r["key"]: r["value"] for r in agg} == {"ada": 1.0, "bob": 1.0}
