@@ -317,3 +317,87 @@ def test_json_string_data_column_promotes_to_variant(spark):
     assert {tuple(sorted(d["data"])) for d in docs} == {("name",)}
     agg = g.query().V().aggregate([ops.term("t", "name")]).execute()
     assert {r["key"]: r["value"] for r in agg} == {"ada": 1.0, "bob": 1.0}
+
+
+# -- property-based struct-vs-ragged differential ---------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+# per-key value strategies: each key draws a CONSISTENT type across
+# the corpus (mixed-type keys are where the union-struct encoding
+# deliberately loses fidelity — string-coerced by inference — so they
+# are outside the fair comparison domain; the fixed battery covers
+# ragged's behavior there)
+_SCALARS = {
+    "num": st.one_of(
+        st.integers(min_value=-50, max_value=50),
+        st.floats(
+            min_value=-50, max_value=50, allow_nan=False, allow_infinity=False
+        ),
+    ),
+    "txt": st.sampled_from(["red", "blue", "", "7", "x y"]),
+    "flag": st.booleans(),
+    "arr": st.lists(st.integers(min_value=0, max_value=5), max_size=3),
+}
+
+_corpus = st.lists(
+    st.fixed_dictionaries(
+        {},
+        optional={
+            k: st.one_of(st.none(), v) for k, v in _SCALARS.items()
+        },
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+_condition = st.one_of(
+    st.tuples(st.just("eq"), st.sampled_from(["num", "txt", "flag", "zzz"]),
+              st.sampled_from([3, 7.0, "red", "7", True, None])),
+    st.tuples(st.just("gt"), st.just("num"), st.integers(-10, 10)),
+    st.tuples(st.just("lt"), st.just("num"), st.integers(-10, 10)),
+    st.tuples(st.just("within"), st.just("txt"), st.just(["red", "7"])),
+    st.tuples(st.just("contains"), st.just("arr"), st.integers(0, 5)),
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(docs=_corpus, cond=_condition)
+def test_property_struct_vs_ragged(spark, docs, cond):
+    """Random corpora (per-key-consistent types, explicit nulls) +
+    random conditions: the struct and ragged encodings must select the
+    same gid sets for has(), agree on hasKey and distinct, and return
+    the same documents modulo the struct path's null-dropping."""
+    from grip_spark import GraphBuilder
+
+    graphs = []
+    for ragged in (False, True):
+        b = GraphBuilder(spark, ragged=ragged)
+        for i, d in enumerate(docs):
+            b.addVertex(f"n{i}", "D", {k: v for k, v in d.items()})
+        graphs.append(b.graph())
+    gs, gr = graphs
+
+    op, key, val = cond
+    builder = {
+        "eq": lambda g: g.query().V().has(ops.eq(key, val)),
+        "gt": lambda g: g.query().V().has(ops.gt(key, val)),
+        "lt": lambda g: g.query().V().has(ops.lt(key, val)),
+        "within": lambda g: g.query().V().has(ops.within(key, val)),
+        "contains": lambda g: g.query().V().has(ops.contains(key, val)),
+    }[op]
+    a = {r["gid"] for r in builder(gs).execute()}
+    b_ = {r["gid"] for r in builder(gr).execute()}
+    assert a == b_, f"{op}({key}, {val!r}): struct={a} ragged={b_}"
+
+    for k in ("num", "txt", "zzz"):
+        ha = {r["gid"] for r in gs.query().V().hasKey(k).execute()}
+        hb = {r["gid"] for r in gr.query().V().hasKey(k).execute()}
+        assert ha == hb, f"hasKey({k})"
+        da = len(gs.query().V().distinct(k).execute())
+        db = len(gr.query().V().distinct(k).execute())
+        assert da == db, f"distinct({k})"
+
+    va = {r["gid"]: _drop_nulls(r["data"]) for r in gs.query().V().execute()}
+    vb = {r["gid"]: _drop_nulls(r["data"]) for r in gr.query().V().execute()}
+    assert va == vb
