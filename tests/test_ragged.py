@@ -401,3 +401,24 @@ def test_property_struct_vs_ragged(spark, docs, cond):
     va = {r["gid"]: _drop_nulls(r["data"]) for r in gs.query().V().execute()}
     vb = {r["gid"]: _drop_nulls(r["data"]) for r in gr.query().V().execute()}
     assert va == vb
+
+
+RAGGED_AUDIT = [
+    "haslabel", "has_eq_str", "has_gt", "haskey", "distinct_field",
+    "fields_include", "fields_exclude", "render_dict", "set_field",
+    "unwind", "agg_term", "agg_multi", "agg_field", "agg_type",
+    "mark_select_multi",
+]
+
+
+@pytest.mark.parametrize("name", RAGGED_AUDIT)
+def test_ragged_plans_no_scale_red_flags(both, name):
+    """The variant operators must compile to the same scale-safe
+    shapes as struct mode: no cartesian products, no broadcast
+    nested-loop joins, no row-at-a-time Python — every variant access
+    (try_variant_get / schema_of_variant / JSON rebuild) is a plain
+    built-in expression."""
+    _, gr = both
+    plan = QUERIES[name](gr).to_df()._jdf.queryExecution().executedPlan().toString()
+    for flag in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"):
+        assert flag not in plan, f"{name}: {flag}\n{plan[:3000]}"

@@ -600,6 +600,21 @@ def _widegraph_probe(spark, n_vertices: int = 1_000_000, n_edges: int = 10_000_0
         .count()
         .execute()[0]["count"],
     )
+    # analytics at 10M edges: the first >1M-edge datapoints for the
+    # iterative families (bench graph is 877k edges)
+    from grip_spark import graphalgo
+
+    edges = g.edges.select("src", "dst")
+    t(
+        "pagerank (5 rounds)",
+        lambda: graphalgo.pagerank(edges, exact_iterations=5).count(),
+    )
+    t(
+        "harmonic (16 sources, depth<=4)",
+        lambda: graphalgo.harmonic_centrality(
+            edges, n_sources=16, max_depth=4
+        ).count(),
+    )
 
 
 def _graph_probe(spark):
