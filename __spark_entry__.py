@@ -1254,19 +1254,35 @@ def q_sim_topk_ops(spark, sf_dir):
 
 
 def q_dup_spans(spark, sf_dir):
-    """Exact duplicate-substring spans (dedup.duplicate_ngram_spans —
-    the Lee et al. 2022 exact-substring dedup shape): maximal token
-    spans covered by 13-token grams occurring >= 2 times corpus-wide.
-    Production hashing is xxhash64; the oracle compares gram STRINGS —
-    identical unless a 64-bit collision lands inside the corpus."""
-    return dedup.duplicate_ngram_spans(
-        _docs(spark, sf_dir), "doc_id", "text", n=13
-    ).select(
+    """Exact duplicate-substring detection AND removal as one labeled
+    matrix (dedup.duplicate_ngram_spans + remove_duplicate_spans —
+    the Lee et al. 2022 ExactSubstr report and its keep-one-copy
+    dedup action, folded in r7): maximal token spans covered by
+    13-token grams occurring >= 2 times corpus-wide, plus every
+    document's text with all non-canonical occurrences excised
+    (canonical = corpus-wide min (doc_id, pos) per gram — the whole
+    rebuild, window chain-merge, canonical-occurrence election, and
+    token excision sit under the value oracle).  Production hashing
+    is xxhash64; the oracle compares gram STRINGS — identical unless
+    a 64-bit collision lands inside the corpus."""
+    docs = _docs(spark, sf_dir)
+    spans = dedup.duplicate_ngram_spans(docs, "doc_id", "text", n=13).select(
+        F.lit("span").alias("variant"),
         "doc_id",
-        F.col("span_start").cast("long").alias("span_start"),
-        F.col("span_end").cast("long").alias("span_end"),
-        "n_grams",
+        F.col("span_start").cast("string").alias("a"),
+        F.col("span_end").cast("string").alias("b"),
+        F.col("n_grams").cast("string").alias("c"),
     )
+    removed = dedup.remove_duplicate_spans(
+        docs, "doc_id", "text", n=13, min_count=2, keep="first"
+    ).select(
+        F.lit("removed").alias("variant"),
+        "doc_id",
+        F.lit(None).cast("string").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+        F.col("text_deduped").alias("c"),
+    )
+    return spans.unionByName(removed)
 
 
 def q_semantic_dedup(spark, sf_dir):
@@ -2342,9 +2358,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dup_spans": (
             # gram STRINGS here vs xxhash64 in the engine (same deal as
-            # decontam_stats); window chain-merge replicated exactly
+            # decontam_stats); window chain-merge replicated exactly.
+            # 'span' rows = the detection report; 'removed' rows = the
+            # keep-first excision (canonical occurrence per gram =
+            # row_number over (doc_id, pos); spans re-merged over the
+            # surviving hits; text rebuilt from the ORIGINAL-case
+            # tokens with covered indexes dropped)
             r"WITH toks AS ("
-            r"  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk "
+            r"  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tk,"
+            r"         string_split_regex(trim(text), '\s+') AS otk,"
+            r"         text IS NULL AS isnull "
             r"  FROM documents"
             r"), posts AS ("
             r"  SELECT doc_id, s.pos AS pos, s.g AS g FROM ("
@@ -2355,7 +2378,7 @@ def oracle_sql() -> dict[str, str]:
             r"      ELSE CAST([] AS STRUCT(pos BIGINT, g VARCHAR)[]) END) AS s"
             r"    FROM toks)"
             r"), dup AS (SELECT g FROM posts GROUP BY g HAVING count(*) >= 2),"
-            r"hits AS (SELECT p.doc_id, p.pos FROM posts p JOIN dup d USING (g)),"
+            r"hits AS (SELECT p.doc_id, p.pos, p.g FROM posts p JOIN dup d USING (g)),"
             r"marked AS ("
             r"  SELECT doc_id, pos,"
             r"         CASE WHEN lag(pos) OVER w IS NULL"
@@ -2364,10 +2387,46 @@ def oracle_sql() -> dict[str, str]:
             r"), sp AS ("
             r"  SELECT doc_id, pos,"
             r"         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS sid"
-            r"  FROM marked) "
-            r"SELECT doc_id, min(pos) AS span_start, max(pos) + 13 AS span_end,"
-            r"       count(*) AS n_grams "
-            r"FROM sp GROUP BY doc_id, sid"
+            r"  FROM marked),"
+            # keep-first removal: drop each gram's canonical occurrence
+            # from the hit set, re-merge, excise
+            r"rcanon AS ("
+            r"  SELECT doc_id, pos, g FROM ("
+            r"    SELECT doc_id, pos, g,"
+            r"      ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn"
+            r"    FROM hits) WHERE rn = 1"
+            r"), rhits AS ("
+            r"  SELECT h.doc_id, h.pos FROM hits h"
+            r"  LEFT JOIN rcanon c ON c.g = h.g"
+            r"  WHERE NOT (h.doc_id = c.doc_id AND h.pos = c.pos)"
+            r"), rmarked AS ("
+            r"  SELECT doc_id, pos,"
+            r"         CASE WHEN lag(pos) OVER w IS NULL"
+            r"              OR pos - lag(pos) OVER w > 13 THEN 1 ELSE 0 END AS nw"
+            r"  FROM rhits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)"
+            r"), rsp AS ("
+            r"  SELECT doc_id, min(pos) AS s, max(pos) + 13 AS e FROM ("
+            r"    SELECT doc_id, pos,"
+            r"           sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS sid"
+            r"    FROM rmarked) GROUP BY doc_id, sid"
+            r"), toku AS ("
+            r"  SELECT t.doc_id, i - 1 AS idx, t.otk[CAST(i AS INT)] AS tok"
+            r"  FROM toks t, unnest(generate_series(1, len(t.otk))) AS u(i)"
+            r"), rebuilt AS ("
+            r"  SELECT k.doc_id,"
+            r"         coalesce(string_agg(k.tok, ' ' ORDER BY k.idx), '') AS txt"
+            r"  FROM toku k"
+            r"  WHERE NOT EXISTS (SELECT 1 FROM rsp s"
+            r"    WHERE s.doc_id = k.doc_id AND k.idx >= s.s AND k.idx < s.e)"
+            r"  GROUP BY k.doc_id"
+            r") "
+            r"SELECT 'span' AS variant, doc_id, CAST(min(pos) AS VARCHAR) AS a,"
+            r"       CAST(max(pos) + 13 AS VARCHAR) AS b, CAST(count(*) AS VARCHAR) AS c "
+            r"FROM sp GROUP BY doc_id, sid "
+            r"UNION ALL "
+            r"SELECT 'removed', t.doc_id, NULL, NULL,"
+            r"       CASE WHEN t.isnull THEN NULL ELSE coalesce(r.txt, '') END "
+            r"FROM toks t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id"
         ),
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "dedup_simhash_pairs": _simhash_oracle_sql(),

@@ -1049,6 +1049,120 @@ def duplicate_ngram_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_count: int = 2,
+    keep: str = "first",
+    out_col: str = "text_deduped",
+    gram_hash=None,
+) -> DataFrame:
+    """EXCISE duplicated substrings — the removal action
+    :func:`duplicate_ngram_spans` only detects (Lee et al., ACL 2022:
+    removing exact duplicate text measurably improves LMs; this is
+    their ExactSubstr *deduplication*, not just the report).
+
+    ``keep="first"`` keeps ONE copy corpus-wide: for every duplicated
+    ``n``-gram, its canonical occurrence — the minimal ``(id, pos)``
+    pair, deterministic across partitionings — survives, every other
+    occurrence is excised (the paper's keep-one convention; the first
+    document to carry a boilerplate block keeps it).  ``keep="none"``
+    excises every occurrence (the aggressive C4-style scrub).
+
+    Returns ``df`` + ``out_col``: the text with covered token spans
+    removed and tokens re-joined with single spaces (whitespace is
+    normalized — the :func:`dedup_lines` reconstruction convention).
+    Case is preserved: matching runs on the lower-cased token stream
+    (the decontamination canon), but reconstruction slices the
+    ORIGINAL token array — positions align because lower-casing never
+    changes whitespace.
+
+    Scale shape: the detection pipeline of
+    :func:`duplicate_ngram_spans` (posting explode → map-side-combined
+    gram count → semi-join — all equi-joins, one token-linear
+    shuffle), plus for ``keep="first"`` ONE extra aggregation over the
+    duplicated subset (min-struct per gram — map-side combined,
+    output is duplicated-gram-sized) and an equi-join back.  Span
+    lists ride per-doc as small arrays; the excision itself is a
+    per-row HOF filter over the token array — no extra shuffle.
+    Granularity note: spans merge overlapping grams, so when a
+    canonical occurrence overlaps a different duplicated gram's
+    non-canonical occurrence inside one document, the overlap is
+    excised with it — span-level precision, exactly as the span
+    report defines it.
+    """
+    from pyspark.sql.window import Window
+
+    from .decontam import token_ngram_hashes
+
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    # checkpoint: consumed by the dup count, the canonical-occurrence
+    # agg, and the hit join within one action
+    posts = (
+        _rebalance(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(
+                token_ngram_hashes(F.col(text_col), n, gram_hash)
+            ).alias("_pos", "_g"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dup = (
+        posts.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_g")
+    )
+    hits = posts.join(dup, "_g")
+    if keep == "first":
+        canon = hits.groupBy("_g").agg(
+            F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_f")
+        )
+        hits = hits.join(canon, "_g").filter(
+            ~(
+                (F.col("_f._id") == F.col("_id"))
+                & (F.col("_f._pos") == F.col("_pos"))
+            )
+        )
+    hits = hits.select("_id", "_pos")
+    w = Window.partitionBy("_id").orderBy("_pos")
+    gap = F.col("_pos") - F.lag("_pos").over(w)
+    marked = hits.withColumn(
+        "_new", F.when(gap.isNull() | (gap > n), 1).otherwise(0)
+    )
+    sid = F.sum("_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        marked.withColumn("_sid", sid)
+        .groupBy("_id", "_sid")
+        .agg(F.min("_pos").alias("_s"), (F.max("_pos") + n).alias("_e"))
+        .groupBy("_id")
+        .agg(F.collect_list(F.struct("_s", "_e")).alias("_spans"))
+    )
+    joined = df.join(spans, df[id_col] == spans["_id"], "left")
+    spans_col = F.coalesce(
+        F.col("_spans"), F.array().cast("array<struct<_s:int,_e:int>>")
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+
+    def _keep_tok(x, i):
+        return ~F.exists(
+            spans_col, lambda s: (i >= s["_s"]) & (i < s["_e"])
+        )
+
+    rebuilt = F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("string")
+    ).otherwise(F.array_join(F.filter(toks, _keep_tok), " "))
+    return joined.select(df["*"], rebuilt.alias(out_col))
+
+
 def dedup_lines(
     df: DataFrame,
     id_col: str = "doc_id",

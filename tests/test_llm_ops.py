@@ -1988,3 +1988,100 @@ def test_decoders_raise_only_valueerror_under_mutation():
             except ValueError:
                 pass  # the documented failure mode
             # any other exception type propagates and fails the test
+
+
+def _span_removal_replica(docs, n, min_count, keep):
+    """Pure-python remove_duplicate_spans (gram-string keyed — the
+    engine's xxhash64 is injective up to negligible collisions)."""
+    grams = {}  # gram -> list[(id, pos)]
+    for did, text in docs:
+        if text is None:
+            continue
+        toks = text.lower().split()
+        for p in range(len(toks) - n + 1):
+            grams.setdefault(tuple(toks[p : p + n]), []).append((did, p))
+    dup = {g: occ for g, occ in grams.items() if len(occ) >= min_count}
+    hits = {}
+    for g, occ in dup.items():
+        canon = min(occ) if keep == "first" else None
+        for o in occ:
+            if o != canon:
+                hits.setdefault(o[0], set()).add(o[1])
+    out = {}
+    for did, text in docs:
+        if text is None:
+            out[did] = None
+            continue
+        pos = sorted(hits.get(did, ()))
+        spans, cur = [], None  # cur = (start, end, last_gram_pos)
+        for p in pos:
+            if cur is not None and p - cur[2] <= n:
+                cur = (cur[0], max(cur[1], p + n), p)
+            else:
+                if cur is not None:
+                    spans.append((cur[0], cur[1]))
+                cur = (p, p + n, p)
+        if cur is not None:
+            spans.append((cur[0], cur[1]))
+        toks = text.split()
+        kept = [
+            t
+            for i, t in enumerate(toks)
+            if not any(s <= i < e for s, e in spans)
+        ]
+        out[did] = " ".join(kept)
+    return out
+
+
+@pytest.mark.parametrize("keep", ["first", "none"])
+def test_remove_duplicate_spans_randomized_replica(spark, keep):
+    """remove_duplicate_spans vs an independent pure-python replica on
+    a randomized corpus with planted boilerplate (the Lee et al.
+    ExactSubstr REMOVAL action; duplicate_ngram_spans only reports)."""
+    import random
+
+    from grip_spark import dedup
+
+    rng = random.Random(99)
+    vocab = [f"w{i}" for i in range(40)]
+    boiler = " ".join(rng.choice(vocab) for _ in range(9))
+    docs = []
+    for i in range(25):
+        body = [rng.choice(vocab) for _ in range(rng.randint(0, 30))]
+        if rng.random() < 0.5:
+            at = rng.randint(0, len(body))
+            body = body[:at] + boiler.split() + body[at:]
+        docs.append((i, " ".join(body)))
+    docs.append((100, None))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text_deduped"]
+        for r in dedup.remove_duplicate_spans(
+            df, n=6, min_count=2, keep=keep
+        ).collect()
+    }
+    want = _span_removal_replica(docs, 6, 2, keep)
+    assert got == want
+
+
+def test_remove_duplicate_spans_keep_first_hand_oracle(spark):
+    from grip_spark import dedup
+
+    boiler = "all rights reserved contact us now"
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta " + boiler + " gamma"),
+            (2, "one two " + boiler + " three"),
+            (3, "unique text lives here unharmed ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text_deduped"]
+        for r in dedup.remove_duplicate_spans(
+            df, n=4, min_count=2, keep="first"
+        ).collect()
+    }
+    assert out[1] == "alpha beta " + boiler + " gamma"  # first copy kept
+    assert out[2] == "one two three"
+    assert out[3] == "unique text lives here unharmed ok"
