@@ -193,6 +193,14 @@ def main():
         "dup_spans": lambda: run_count(
             dedup.duplicate_ngram_spans(docs, "doc_id", "text", n=13)
         ),
+        # the removal ACTION on top of detection (keep-first canonical
+        # election + per-row token excision + text rebuild) — count of
+        # docs whose text actually changed forces the full rebuild
+        "dup_span_removal": lambda: run_count(
+            dedup.remove_duplicate_spans(docs, "doc_id", "text", n=13).filter(
+                F.col("text_deduped") != F.col("text")
+            )
+        ),
         "asof_user_events": lambda: run_count(
             temporal.asof_join(ev_a, ev_b, on="ts", by="user_id").filter(
                 F.col("view_value").isNotNull()
