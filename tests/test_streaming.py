@@ -648,3 +648,60 @@ def test_near_dedup_stream_fresh_checkpoint_gets_fresh_ids(
     acc = spark.read.parquet(f"{store}/accepted")
     assert acc.count() == 2
     assert {r["doc_id"] for r in acc.collect()} == {1, 2}
+
+
+def test_near_dedup_stream_continuous_trigger(spark, tmp_path_factory):
+    """trigger={'processingTime': ...} keeps the query ALIVE across
+    micro-batches (availableNow drains and terminates — the r7
+    advisory's surprise): files arriving after start are ingested by
+    the same running query, dedup'd against the store, and the query
+    only ends when stopped."""
+    import json as _json
+    import time as _time
+
+    from grip_spark import streaming
+
+    root = tmp_path_factory.mktemp("cont_trigger")
+    d = root / "in"
+    d.mkdir()
+    store = str(root / "store")
+    schema = "doc_id long, text string"
+    t0 = "first document body arriving before the stream starts"
+    t1 = "second unique document arriving while the query is running"
+    with open(d / "b0.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 1, "text": t0}) + "\n")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(d))
+    )
+    q = streaming.near_dedup_stream(
+        stream,
+        store,
+        checkpoint_dir=str(root / "ckpt"),
+        trigger={"processingTime": "1 second"},
+    )
+    try:
+        def _accepted():
+            try:
+                return {
+                    r["doc_id"]
+                    for r in spark.read.parquet(f"{store}/accepted").collect()
+                }
+            except Exception:
+                return set()
+
+        deadline = _time.time() + 90
+        while _accepted() != {1} and _time.time() < deadline:
+            _time.sleep(1)
+        assert _accepted() == {1}
+        assert q.isActive  # availableNow would have terminated by now
+        # late arrivals: a new unique doc and a near-dup of doc 1
+        with open(d / "b1.json", "w") as f:
+            f.write(_json.dumps({"doc_id": 2, "text": t1}) + "\n")
+            f.write(_json.dumps({"doc_id": 3, "text": t0}) + "\n")
+        deadline = _time.time() + 90
+        while _accepted() != {1, 2} and _time.time() < deadline:
+            _time.sleep(1)
+        assert _accepted() == {1, 2}  # 3 dropped against the store
+        assert q.isActive
+    finally:
+        q.stop()
