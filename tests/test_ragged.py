@@ -422,3 +422,17 @@ def test_ragged_plans_no_scale_red_flags(both, name):
     plan = QUERIES[name](gr).to_df()._jdf.queryExecution().executedPlan().toString()
     for flag in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"):
         assert flag not in plan, f"{name}: {flag}\n{plan[:3000]}"
+
+
+def test_ragged_jobs_spool_roundtrip(spark, tmp_path):
+    """Jobs API over a ragged graph: the spooled traveler DataFrame
+    carries a variant data column through the parquet spool and back
+    (view + resume paths)."""
+    from grip_spark import jobs
+
+    g = GripGraph.from_jsonl(spark, VPATH, EPATH, ragged=True)
+    store = jobs.JobStore(spark, str(tmp_path / "jobs"))
+    jid = store.submit(g.query().V().hasLabel("Character"))
+    rows = store.view("graph", jid)
+    assert len(rows) == 18
+    assert any(r["data"].get("name") == "Luke Skywalker" for r in rows)

@@ -2,10 +2,14 @@
 __spark_entry__ query at sf0.01 and compare against its DuckDB oracle
 (row count + order-insensitive value comparison over name-sorted
 columns).  Usage: python tools/check_contract.py [name ...]
+(env CONTRACT_SF_DIR overrides the scale — the value oracles are
+scale-free, so running the full contract at sf0.001 and sf0.1 is a
+cheap robustness sweep for size-dependent bugs).
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -13,7 +17,7 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("CONTRACT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
 )
