@@ -1039,7 +1039,12 @@ def q_agg_matrix(spark, sf_dir):
             [
                 ops.count("n"),
                 ops.type_("ty", "o_totalprice"),
-                ops.percentile("pct", "o_totalprice", [25, 50, 75]),
+                # accuracy 500k: rank-exact through sf0.1's 150k
+                # orders, so the quantile_disc oracle holds at every
+                # SF the sweep runs (at 50k it is exact only at the
+                # sf0.01 gate — the one size-dependent mismatch the
+                # r7 multi-SF contract sweep surfaced)
+                ops.percentile("pct", "o_totalprice", [25, 50, 75], accuracy=500_000),
             ]
         )
         .to_df()

@@ -1121,9 +1121,10 @@ class Planner:
                 for p in percents
             ]
             return df.sparkSession.createDataFrame(rows, schema)
+        accuracy = int(spec.get("accuracy", 50000))
         agg = df.select(v.alias("_v")).filter(F.col("_v").isNotNull()).agg(
             F.percentile_approx(
-                "_v", [p / 100.0 for p in percents], F.lit(50000)
+                "_v", [p / 100.0 for p in percents], F.lit(accuracy)
             ).alias("_q")
         )
         pairs = F.arrays_zip(

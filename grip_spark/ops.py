@@ -98,6 +98,7 @@ def percentile(
     percents=(1, 5, 25, 50, 75, 95, 99),
     mode: str = "approx",
     delta: int = 100,
+    accuracy: int = 50000,
 ) -> dict:
     """Percentile aggregation spec.  ``mode="approx"`` (default) runs
     Spark's native ``percentile_approx``; ``mode="tdigest"`` runs the
@@ -111,6 +112,11 @@ def percentile(
     if mode != "approx":
         spec["mode"] = mode
         spec["delta"] = delta
+    if accuracy != 50000:
+        # percentile_approx is rank-EXACT while accuracy >= group row
+        # count — raise it to keep an exact oracle at bigger scales
+        # (the default stays rank-exact at the sf0.01 gate)
+        spec["accuracy"] = int(accuracy)
     return {"name": name, "percentile": spec}
 
 
