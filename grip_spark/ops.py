@@ -105,7 +105,9 @@ def percentile(
     mergeable t-digest (``sketch.td_build``) — the reference's actual
     estimator (``engine/core/processors.go:1067-1091``, influxdata/
     tdigest) with constant relative rank error at the tails.  ``delta``
-    is the t-digest compression (ignored under approx)."""
+    is the t-digest compression (ignored under approx); ``accuracy``
+    is percentile_approx's precision (ignored under tdigest) —
+    rank-EXACT while the group row count stays below it."""
     if mode not in ("approx", "tdigest"):
         raise ValueError(f"percentile mode must be approx|tdigest, got {mode!r}")
     spec = {"field": field, "percents": list(percents)}
