@@ -235,6 +235,49 @@ def bm25_topk_pruned(
     return bm25_topk(pruned, query, k, k1, b)
 
 
+def bm25_remove(index: Bm25Index, ids: DataFrame | list, id_col: str = "id") -> Bm25Index:
+    """Remove documents from an index — the takedown/right-to-erasure
+    counterpart of :func:`bm25_merge`'s incremental ADD (a real
+    corpus-maintenance need the reference's delete-vertex path serves
+    via full re-index).
+
+    One anti-join drops the removed documents' postings; the term
+    table and corpus scalars are re-derived FROM THE SURVIVING
+    POSTINGS exactly as :func:`bm25_index` derives them (df_t = one
+    Zipf-bounded re-aggregation, n_docs/avgdl = one distinct (id, dl)
+    aggregate) — document text is never touched, so removal costs
+    index-sized work regardless of corpus size.  Ids absent from the
+    index are no-ops.  The surviving postings are eagerly
+    checkpointed: the three derivations and every later query read
+    them without re-running the anti-join, and the removed index
+    stays valid if the caller's ``ids`` frame is later mutated.
+    Raises when every document is removed (an empty index cannot
+    answer queries — same contract as the empty-build error)."""
+    spark = index.postings.sparkSession
+    if isinstance(ids, (list, tuple)):
+        ids = spark.createDataFrame([(i,) for i in ids], f"{id_col} string") \
+            if ids and isinstance(ids[0], str) \
+            else spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+    rid = ids.select(F.col(id_col).alias("id")).distinct()
+    cols = ["token", "id", "tf", "dl"]
+    postings = (
+        index.postings.select(*cols)
+        .join(rid, "id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    terms = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    stats = (
+        postings.select("id", "dl")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+        .first()
+    )
+    n_docs = int(stats["n"] or 0)
+    if n_docs == 0:
+        raise ValueError("bm25_remove: removal would empty the index")
+    return Bm25Index(postings, terms, n_docs, float(stats["avgdl"]))
+
+
 def bm25_merge(a: Bm25Index, b: Bm25Index) -> Bm25Index:
     """Merge two indexes built over DISJOINT document sets — the
     incremental-ingest shape (index the day's new partition, merge

@@ -193,3 +193,45 @@ def test_null_ids_rejected(spark):
     )
     with pytest.raises(ValueError, match="non-NULL"):
         search.bm25_index(df, "doc_id", "text")
+
+
+def test_bm25_remove_equals_rebuild(spark):
+    """bm25_remove(index, ids) must equal a from-scratch index over the
+    surviving documents: postings, df_t, n_docs, avgdl, and the
+    ranking itself (the remove path re-derives everything from the
+    surviving postings without touching text)."""
+    from grip_spark import search
+
+    docs = [
+        (1, "spark query engine joins aggregates engine"),
+        (2, "distributed dedup pipeline with spark and parquet files"),
+        (3, "a totally different document about graphs and walks"),
+        (4, "query engine internals and query planning notes"),
+        (5, "parquet files and row groups and pages"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    full = search.bm25_index(df, "doc_id", "text")
+    removed = search.bm25_remove(full, [2, 5])
+    rebuilt = search.bm25_index(
+        df.filter(~F.col("doc_id").isin(2, 5)), "doc_id", "text"
+    )
+    assert removed.n_docs == rebuilt.n_docs == 3
+    assert abs(removed.avgdl - rebuilt.avgdl) < 1e-12
+    key = lambda r: (r["token"], r["id"], r["tf"], r["dl"])
+    p_a = sorted(key(r) for r in removed.postings.collect())
+    p_b = sorted(key(r) for r in rebuilt.postings.collect())
+    assert p_a == p_b
+    t_a = sorted((r["token"], r["df_t"]) for r in removed.terms.collect())
+    t_b = sorted((r["token"], r["df_t"]) for r in rebuilt.terms.collect())
+    assert t_a == t_b
+    q = "query engine"
+    r_a = [(r["id"], round(r["score"], 9)) for r in search.bm25_topk(removed, q, k=5).collect()]
+    r_b = [(r["id"], round(r["score"], 9)) for r in search.bm25_topk(rebuilt, q, k=5).collect()]
+    assert r_a == r_b and r_a[0][0] in (1, 4)
+    # removing absent ids is a no-op; removing everything raises
+    noop = search.bm25_remove(removed, [99])
+    assert noop.n_docs == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        search.bm25_remove(removed, [1, 3, 4])
