@@ -296,6 +296,7 @@ def compact_store(
     store_path: str,
     id_col: str = "doc_id",
     partition_by_band: bool = True,
+    remove_ids: list | None = None,
 ) -> dict:
     """Rewrite a :func:`near_dedup_stream` store in place: committed
     rows only, at-least-once replay duplicates dropped, uncommitted
@@ -318,7 +319,11 @@ def compact_store(
     it via :func:`finish_compaction_swap`.  A crash BEFORE the marker
     leaves the original store untouched (side dirs are debris,
     cleaned here).  After compaction the next ingest batch id is 1
-    (``max committed + 1`` — the id protocol is unchanged)."""
+    (``max committed + 1`` — the id protocol is unchanged).
+    ``remove_ids`` additionally ERASES those accepted documents from
+    the store — text, signatures, and band keys, so a later
+    near-duplicate of a removed document is admitted again (the
+    takedown counterpart of ``search.bm25_remove``)."""
     from pyspark.errors import AnalysisException
 
     fs, p = _store_fs(spark, store_path)
@@ -365,6 +370,16 @@ def compact_store(
         .dropDuplicates([id_col])
         .withColumn("_batch_id", zero)
     )
+    if remove_ids:
+        # takedown/erasure (the bm25_remove analog for the dedup
+        # memory): the documents' text, signatures, AND band keys are
+        # all rewritten away — a later near-duplicate of a removed
+        # document is ADMITTED, which is exactly what erasure means
+        rid = spark.createDataFrame([(i,) for i in remove_ids], [id_col])
+        rid_b = rid.withColumnRenamed(id_col, "_id")
+        bands = bands.join(rid_b, "_id", "left_anti")
+        sigs = sigs.join(rid_b, "_id", "left_anti")
+        acc = acc.join(rid, id_col, "left_anti")
     n_acc = acc.count()
     # ~2M rows per file keeps files in the hundreds-of-MB range that
     # parquet scans like; never zero partitions

@@ -705,3 +705,34 @@ def test_near_dedup_stream_continuous_trigger(spark, tmp_path_factory):
         assert q.isActive
     finally:
         q.stop()
+
+
+def test_compact_store_remove_ids_erases_dedup_memory(spark, tmp_path_factory):
+    """compact_store(remove_ids=[...]) erases a document from every
+    store table — and crucially from the dedup MEMORY: a later
+    near-duplicate of the removed document is accepted again (the
+    takedown semantics), while non-removed docs keep rejecting their
+    duplicates."""
+    from grip_spark import streaming
+
+    root = tmp_path_factory.mktemp("erase")
+    store = str(root / "store")
+    schema = "doc_id long, text string"
+    tA = "document alpha body text that will later be taken down ok"
+    tB = "document beta body text that stays resident in the store"
+    streaming.near_dedup_stream(
+        spark.createDataFrame([(1, tA), (2, tB)], schema), store
+    )
+    stats = streaming.compact_store(spark, store, remove_ids=[1])
+    assert stats["accepted"] == 1
+    for sub, col in (("accepted", "doc_id"), ("sigs", "_id"), ("bands", "_id")):
+        assert (
+            spark.read.parquet(f"{store}/{sub}").filter(F.col(col) == 1).count()
+            == 0
+        ), sub
+    # re-ingest: the taken-down text is accepted again, beta's dup is not
+    streaming.near_dedup_stream(
+        spark.createDataFrame([(10, tA), (11, tB)], schema), store
+    )
+    acc = {r["doc_id"] for r in spark.read.parquet(f"{store}/accepted").collect()}
+    assert acc == {2, 10}
