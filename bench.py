@@ -198,7 +198,11 @@ def main():
         # docs whose text actually changed forces the full rebuild
         "dup_span_removal": lambda: run_count(
             dedup.remove_duplicate_spans(docs, "doc_id", "text", n=13).filter(
-                F.col("text_deduped") != F.col("text")
+                # baseline = the same whitespace normalization the
+                # rebuild applies, so the count reflects actual
+                # excisions, not space-run cleanup
+                F.col("text_deduped")
+                != F.array_join(F.split(F.trim("text"), r"\s+"), " ")
             )
         ),
         "asof_user_events": lambda: run_count(

@@ -67,6 +67,14 @@ class Planner:
 
     def __init__(self, graph):
         self.graph = graph
+        # resolve the graph frames ONCE, with JSON-string data columns
+        # promoted to variant — every source/hop below reads these, so
+        # no code path can see the unpromoted encoding (a mixed union,
+        # e.g. jump-loop frontiers, would fail or silently null)
+        self._vertices = self._promote_data(graph.vertices)
+        self._edges_fwd = self._promote_data(graph.edges)
+        rev = getattr(graph, "edges_rev", None)
+        self._edges_rev = self._promote_data(rev) if rev is not None else None
         self.elem_type: str | None = None
         self.marks: dict[str, str] = {}  # name -> elem type
         self.track_path = False
@@ -227,7 +235,7 @@ class Planner:
         return out
 
     def _st_v(self, df, ids: list[str]) -> DataFrame:
-        out = self._promote_data(self.graph.vertices)
+        out = self._vertices
         if ids:
             out = out.filter(F.col("gid").isin(ids))
         cols = [F.col("gid"), F.col("label"), F.col("data")]
@@ -241,7 +249,7 @@ class Planner:
         return out.select(*cols)
 
     def _st_e(self, df, ids: list[str]) -> DataFrame:
-        out = self._promote_data(self.graph.edges)
+        out = self._edges_fwd
         if ids:
             out = out.filter(F.col("gid").isin(ids))
         cols = [F.col("gid"), F.col("label"), F.col("src"), F.col("dst"), F.col("data")]
@@ -259,9 +267,9 @@ class Planner:
         # reverse hops prefer the dst-bucketed edge copy when the graph
         # has one (GripGraph.from_tables) — both directions then join
         # without a shuffle
-        e = self.graph.edges
-        if not forward and getattr(self.graph, "edges_rev", None) is not None:
-            e = self.graph.edges_rev
+        e = self._edges_fwd
+        if not forward and self._edges_rev is not None:
+            e = self._edges_rev
         if labels:
             e = e.filter(F.col("label").isin(labels))
         return e
@@ -279,7 +287,7 @@ class Planner:
         )
         how = "left" if null_ok else "inner"
         j = df.join(e, df["gid"] == e["_h_here"], how)
-        v = self._promote_data(self.graph.vertices).select(
+        v = self._vertices.select(
             F.col("gid").alias("_h_vg"), F.col("label").alias("_h_vl"), F.col("data").alias("_h_vd")
         )
         j = j.join(v, F.col("_h_there") == v["_h_vg"], how)
@@ -298,7 +306,7 @@ class Planner:
         """V→E hop (outE/inE): 1 equi-join.
         Reference: ``processors.go:320-391``."""
         here = "src" if forward else "dst"
-        e = self._promote_data(self._edges(labels, forward)).select(
+        e = self._edges(labels, forward).select(
             F.col("gid").alias("_h_eg"),
             F.col("label").alias("_h_el"),
             F.col("src").alias("_h_es"),
@@ -323,7 +331,7 @@ class Planner:
     def _hop_e2v(self, df: DataFrame, endpoint: str) -> DataFrame:
         """E→V: from an edge position, out() goes to the ``dst`` vertex
         and in() to ``src`` (``processors.go:202-236,281-315``)."""
-        v = self._promote_data(self.graph.vertices).select(
+        v = self._vertices.select(
             F.col("gid").alias("_h_vg"), F.col("label").alias("_h_vl"), F.col("data").alias("_h_vd")
         )
         j = df.join(v, df[endpoint] == v["_h_vg"], "inner")

@@ -957,6 +957,54 @@ def ngram_jaccard_pairs(
     )
 
 
+def _dup_gram_hits(df, id_col, text_col, n, min_count, gram_hash):
+    """Shared detection stage of the exact-substring family: the
+    (id, pos) occurrences of every n-gram repeated >= min_count times
+    corpus-wide, plus the checkpointed posting list.  Both the span
+    REPORT (:func:`duplicate_ngram_spans`) and the span REMOVAL
+    (:func:`remove_duplicate_spans`) run exactly this stage — one
+    implementation, so the detection convention cannot drift between
+    the two variants of the contract matrix."""
+    from .decontam import token_ngram_hashes
+
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    posts = (
+        _rebalance(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(
+                token_ngram_hashes(F.col(text_col), n, gram_hash)
+            ).alias("_pos", "_g"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dup = (
+        posts.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_g")
+    )
+    return posts, posts.join(dup, "_g")
+
+
+def _merge_gram_spans(hits, n):
+    """(_id, _pos) duplicated-gram occurrences → merged (_id, _sid,
+    span rows) via the gap > n chain rule (equal-length intervals ⇒
+    the chain rule is exact)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_id").orderBy("_pos")
+    gap = F.col("_pos") - F.lag("_pos").over(w)
+    marked = hits.withColumn(
+        "_new", F.when(gap.isNull() | (gap > n), 1).otherwise(0)
+    )
+    sid = F.sum("_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return marked.withColumn("_sid", sid)
+
+
 def duplicate_ngram_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1008,44 +1056,16 @@ def duplicate_ngram_spans(
     scale (~10^11 grams) expect ~0.3 spurious gram matches corpus-wide
     (birthday bound), which min_count already absorbs statistically.
     """
-    from pyspark.sql.window import Window
-
-    # runtime import: decontam imports text which imports this module —
-    # a top-level import here would close the cycle
-    from .decontam import token_ngram_hashes
-
-    if min_count < 2:
-        raise ValueError(f"min_count must be >= 2, got {min_count}")
-    posts = _rebalance(df).select(
-        F.col(id_col),
-        F.posexplode(token_ngram_hashes(F.col(text_col), n, gram_hash)).alias(
-            "_pos", "_g"
-        ),
-    )
-    dup = (
-        posts.groupBy("_g")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") >= min_count)
-        .select("_g")
-    )
-    hits = posts.join(dup, "_g").select(id_col, "_pos")
-    w = Window.partitionBy(id_col).orderBy("_pos")
-    gap = F.col("_pos") - F.lag("_pos").over(w)
-    marked = hits.withColumn(
-        "_new", F.when(gap.isNull() | (gap > n), 1).otherwise(0)
-    )
-    sid = F.sum("_new").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    _posts, hits = _dup_gram_hits(df, id_col, text_col, n, min_count, gram_hash)
     return (
-        marked.withColumn("_sid", sid)
-        .groupBy(id_col, "_sid")
+        _merge_gram_spans(hits.select("_id", "_pos"), n)
+        .groupBy("_id", "_sid")
         .agg(
             F.min("_pos").alias("span_start"),
             (F.max("_pos") + n).alias("span_end"),
             F.count(F.lit(1)).alias("n_grams"),
         )
-        .drop("_sid")
+        .select(F.col("_id").alias(id_col), "span_start", "span_end", "n_grams")
     )
 
 
@@ -1093,33 +1113,9 @@ def remove_duplicate_spans(
     excised with it — span-level precision, exactly as the span
     report defines it.
     """
-    from pyspark.sql.window import Window
-
-    from .decontam import token_ngram_hashes
-
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
-    if min_count < 2:
-        raise ValueError(f"min_count must be >= 2, got {min_count}")
-    # checkpoint: consumed by the dup count, the canonical-occurrence
-    # agg, and the hit join within one action
-    posts = (
-        _rebalance(df)
-        .select(
-            F.col(id_col).alias("_id"),
-            F.posexplode(
-                token_ngram_hashes(F.col(text_col), n, gram_hash)
-            ).alias("_pos", "_g"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    dup = (
-        posts.groupBy("_g")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .filter(F.col("_c") >= min_count)
-        .select("_g")
-    )
-    hits = posts.join(dup, "_g")
+    _posts, hits = _dup_gram_hits(df, id_col, text_col, n, min_count, gram_hash)
     if keep == "first":
         canon = hits.groupBy("_g").agg(
             F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_f")
@@ -1130,17 +1126,8 @@ def remove_duplicate_spans(
                 & (F.col("_f._pos") == F.col("_pos"))
             )
         )
-    hits = hits.select("_id", "_pos")
-    w = Window.partitionBy("_id").orderBy("_pos")
-    gap = F.col("_pos") - F.lag("_pos").over(w)
-    marked = hits.withColumn(
-        "_new", F.when(gap.isNull() | (gap > n), 1).otherwise(0)
-    )
-    sid = F.sum("_new").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     spans = (
-        marked.withColumn("_sid", sid)
+        _merge_gram_spans(hits.select("_id", "_pos"), n)
         .groupBy("_id", "_sid")
         .agg(F.min("_pos").alias("_s"), (F.max("_pos") + n).alias("_e"))
         .groupBy("_id")

@@ -110,6 +110,8 @@ def percentile(
     rank-EXACT while the group row count stays below it."""
     if mode not in ("approx", "tdigest"):
         raise ValueError(f"percentile mode must be approx|tdigest, got {mode!r}")
+    if accuracy < 1:
+        raise ValueError(f"percentile accuracy must be >= 1, got {accuracy}")
     spec = {"field": field, "percents": list(percents)}
     if mode != "approx":
         spec["mode"] = mode

@@ -91,13 +91,25 @@ def bm25_index(
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=True)
     )
+    return _index_from_postings(postings, "bm25_index: no documents with tokens")
+
+
+def _index_from_postings(postings: DataFrame, empty_msg: str) -> Bm25Index:
+    """Derive a complete :class:`Bm25Index` from a (token, id, tf, dl)
+    postings table — THE single definition of how the term table and
+    corpus scalars follow from postings, shared by the builder and
+    :func:`bm25_remove` (so removal can never drift from the
+    must-equal-a-rebuild contract)."""
     terms = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
-    stats = postings.select("id", "dl").distinct().agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-    ).first()
+    stats = (
+        postings.select("id", "dl")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+        .first()
+    )
     n_docs = int(stats["n"] or 0)
     if n_docs == 0:
-        raise ValueError("bm25_index: no documents with tokens")
+        raise ValueError(empty_msg)
     return Bm25Index(postings, terms, n_docs, float(stats["avgdl"]))
 
 
@@ -265,17 +277,9 @@ def bm25_remove(index: Bm25Index, ids: DataFrame | list, id_col: str = "id") -> 
         .join(rid, "id", "left_anti")
         .localCheckpoint(eager=True)
     )
-    terms = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
-    stats = (
-        postings.select("id", "dl")
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
-        .first()
+    return _index_from_postings(
+        postings, "bm25_remove: removal would empty the index"
     )
-    n_docs = int(stats["n"] or 0)
-    if n_docs == 0:
-        raise ValueError("bm25_remove: removal would empty the index")
-    return Bm25Index(postings, terms, n_docs, float(stats["avgdl"]))
 
 
 def bm25_merge(a: Bm25Index, b: Bm25Index) -> Bm25Index:
