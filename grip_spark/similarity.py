@@ -1253,3 +1253,216 @@ def word2vec_train(
     return model.getVectors().select(
         "word", vector_to_array(F.col("vector")).alias("vector")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed full-corpus k-means (Lloyd's on the cluster)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_best(vec: Column, centroids: list, metric: str) -> Column:
+    """struct<score, cell> of the winning centroid for one vector.
+
+    ``metric="l2"``: minimizes squared L2 via the expansion
+    ``|v-c|^2 = |v|^2 - 2*v.c + |c|^2`` — ``|v|^2`` is constant per row
+    so the argmin only evaluates ``-2*v.c + |c|^2`` with ``|c|^2``
+    folded driver-side (one dot product per centroid per row).
+    ``metric="cosine"``: maximizes ``v.c / |c|`` (the row norm cancels
+    in the argmax — the :func:`ivf_index_seeded` device).  Ties break
+    to the lowest cell id via the sorted struct array.
+    """
+    if metric == "l2":
+        entries = [
+            F.struct(
+                (F.lit(_py_norm(c)) * F.lit(_py_norm(c)) - 2.0 * dot(vec, _vec_lit(c))
+                 ).alias("score"),
+                F.lit(cid).alias("cell"),
+            )
+            for cid, c in enumerate(centroids)
+        ]
+    else:  # cosine
+        entries = [
+            F.struct(
+                (-(dot(vec, _vec_lit(c)) / F.lit(_py_norm(c)))).alias("score"),
+                F.lit(cid).alias("cell"),
+            )
+            for cid, c in enumerate(centroids)
+        ]
+    return F.array_sort(F.array(*entries))[0]
+
+
+def kmeans_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 10,
+    metric: str = "l2",
+    salt: str = "km",
+    tol: float = 0.0,
+) -> list:
+    """Full-corpus distributed Lloyd's k-means → ``k`` centroids
+    (list of float lists, indexed by cell id).
+
+    This is the cluster-curation primitive the sampled trainers
+    (:func:`pq_train` / :func:`ivfadc_index`, driver-side numpy over a
+    bounded sample) deliberately are not: every Lloyd round runs ON
+    the cluster — assignment is a narrow projection with ``k``
+    literal-centroid scores (no shuffle, no Python), and the update is
+    one ``posexplode`` + ``(cell, dim)``-keyed aggregation whose
+    map-side-combined output is exactly ``k*dim`` rows collected to
+    the driver.  The corpus is scanned once per round and NEVER
+    collected; plan size is independent of the round count (each round
+    is a fresh plan over new literals — no lineage growth, no
+    checkpoint needed).  The standard workloads: SemDeDup/DataComp
+    cluster curation, IVF coarse quantizers trained on the full
+    corpus, embedding-space data maps.
+
+    ``metric="l2"`` is classic k-means; ``metric="cosine"`` is
+    spherical k-means (assignment by cosine, update = renormalized
+    mean of unit vectors; zero-norm rows never seed or steer a
+    centroid).  Init = the md5-ordered seed device shared with
+    :func:`ivf_index_seeded` (pure function of (salt, corpus) ids),
+    ties to the lowest cell id, empty cells keep their previous
+    centroid, so the trajectory is deterministic up to floating-point
+    summation order (bit-stable under a fixed partitioning; replica
+    tests pin exact equality at one partition and 1e-9 invariance
+    across partitionings — same honesty contract as
+    :func:`word2vec_train`).
+
+    ``tol > 0`` stops early when no centroid moved more than ``tol``
+    (L2).  Budget: ``k*dim`` literals ride the assignment plan — keep
+    ``k*dim`` ≲ 10^5 (k=1024 at dim=64); for larger k, train a coarse
+    level first and recurse per cell (the IVF two-level layout).
+
+    Reference basis: the reference has no clustering surface (SURVEY
+    §2.8); Phase-7 LLM-pipeline extension (SURVEY §7), the trainer
+    behind cells that :func:`semantic_dedup`-style curation consumes.
+    """
+    from .dedup import md5_prefix_hash
+
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"metric must be 'l2' or 'cosine', got {metric!r}")
+    if tol < 0:
+        raise ValueError(f"tol must be >= 0, got {tol}")
+
+    idc = F.col(id_col)
+    vec = F.col(vec_col)
+    pool = df.select(vec.alias("_v"), idc.alias("_id"))
+    if metric == "cosine":
+        pool = pool.filter(norm(F.col("_v")) > 0)
+    seeds = (
+        pool.orderBy(
+            md5_prefix_hash(F.concat(F.lit(salt), F.col("_id").cast("string"))).asc(),
+            F.col("_id").asc(),
+        )
+        .limit(k)
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("no vectors to train on")
+    centroids = [[float(x) for x in r["_v"]] for r in seeds]
+    if len(centroids) < k:  # tiny corpus: pad by repeating (PQ device)
+        reps = -(-k // len(centroids))
+        centroids = (centroids * reps)[:k]
+    dim = len(centroids[0])
+    if metric == "cosine":
+        centroids = [_py_unit(c) for c in centroids]
+
+    # the update aggregates unit vectors in cosine mode (spherical
+    # k-means mean; zero-norm rows are excluded — a zero vector
+    # carries no direction to vote with), raw vectors in l2 mode.
+    # _unit_expr's norm>0 guard is REQUIRED even though the row filter
+    # already excludes zero vectors: InferFiltersFromGenerate clones
+    # the projection into an inferred isnotnull/size predicate whose
+    # evaluation order is not guaranteed to short-circuit behind the
+    # norm filter — an unguarded x/0 throws under ANSI there.
+    if metric == "cosine":
+        upd_vec = _unit_expr(vec_col, True)
+        upd_src = df.filter(norm(vec) > 0)
+    else:
+        upd_vec = F.transform(vec, lambda x: x.cast("double"))
+        upd_src = df
+
+    for _ in range(iterations):
+        best = _kmeans_best(vec, centroids, metric)
+        sums = (
+            upd_src.select(best["cell"].alias("_cell"), upd_vec.alias("_uv"))
+            .select("_cell", F.posexplode("_uv").alias("_pos", "_val"))
+            .groupBy("_cell", "_pos")
+            .agg(F.sum("_val").alias("_sum"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        by_cell: dict = {}
+        for r in sums:
+            by_cell.setdefault(r["_cell"], [[0.0] * dim, 0])
+            by_cell[r["_cell"]][0][r["_pos"]] = float(r["_sum"])
+            by_cell[r["_cell"]][1] = int(r["_n"])
+        for cell, (s, n) in by_cell.items():
+            if n == 0:
+                continue
+            mean = [x / n for x in s]
+            if metric == "cosine":
+                m = _py_norm(mean)
+                if m == 0.0:  # antipodal members cancelled: keep old
+                    continue
+                mean = [x / m for x in mean]
+            new[cell] = mean
+        shift = max(
+            _py_norm([a - b for a, b in zip(nc, oc)])
+            for nc, oc in zip(new, centroids)
+        )
+        centroids = new
+        if tol > 0 and shift <= tol:
+            break
+    return centroids
+
+
+def _py_unit(vec: list[float]) -> list[float]:
+    n = _py_norm(vec)
+    return [float(x) / n for x in vec] if n else [float(x) for x in vec]
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list,
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    metric: str = "l2",
+    dist_col: str | None = None,
+) -> DataFrame:
+    """Attach the winning-cell column (and optionally the true
+    distance/similarity to it) for trained centroids — a pure
+    projection: ``k`` literal-centroid scores per row, no shuffle, no
+    Python (the scale contract of :func:`ivf_index_seeded`).
+
+    ``dist_col``: in l2 mode the Euclidean distance
+    ``sqrt(max(0, |v|^2 + score))`` (score = ``|c|^2 - 2 v.c``; the
+    clamp absorbs negative-epsilon float residue at exact centroids),
+    in cosine mode the true cosine to the winning centroid.
+    """
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"metric must be 'l2' or 'cosine', got {metric!r}")
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    vec = F.col(vec_col)
+    best = _fresh_name("_km_best", df.columns)
+    out = df.withColumn(best, _kmeans_best(vec, centroids, metric)).withColumn(
+        cluster_col, F.col(best)["cell"]
+    )
+    if dist_col is not None:
+        if metric == "l2":
+            d2 = norm(vec) * norm(vec) + F.col(best)["score"]
+            out = out.withColumn(dist_col, F.sqrt(F.greatest(d2, F.lit(0.0))))
+        else:
+            # try_divide: a zero-norm vector has no cosine — NULL, not
+            # an ANSI divide-by-zero (the shared zero-vector contract)
+            out = out.withColumn(
+                dist_col, F.try_divide(-F.col(best)["score"], norm(vec))
+            )
+    return out.drop(best)
