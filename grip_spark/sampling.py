@@ -545,3 +545,69 @@ def export_shards(
         .save(path)
     )
     return out.drop("_order")
+
+
+def gumbel_key(score_col: Column | str, id_col: Column | str, salt: str = "") -> Column:
+    """``score + Gumbel(0,1)`` with the noise a pure function of
+    (salt, id): ``-ln(-ln(u))`` over the md5 uniform, with ``u``
+    computed as ``(h + 0.5) / 2^60`` so it is strictly inside (0, 1)
+    (``u = 0`` would take ``ln(0)`` at probability 2^-60 — the +0.5
+    keeps the formula total AND exactly replicable in SQL:
+    ``score - ln(-ln((md5int + 0.5) / 1152921504606846976.0))``)."""
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = md5_prefix_hash(F.concat(F.lit(salt), c.cast("string")))
+    u = (h + F.lit(0.5)) / F.lit(_HASH_SPAN)
+    return s - F.log(-F.log(u))
+
+
+def gumbel_topk(
+    df: DataFrame,
+    score_col: str,
+    n: int,
+    id_col: str,
+    salt: str = "",
+    key_col: str | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Sample ``n`` rows WITHOUT replacement with probability
+    proportional to ``exp(score)`` — deterministically.
+
+    The Gumbel top-k trick: the top ``n`` rows by ``score + Gumbel
+    noise`` are distributed exactly as n sequential draws from
+    ``softmax(score)`` without replacement.  With ``score`` a DSIR
+    log importance weight (:func:`grip_spark.text.dsir_logweight`)
+    this IS the paper's importance-resampling selection step; with
+    ``score = 0`` it degrades to a uniform fixed-n sample
+    (:func:`stratified_fixed_n`'s un-stratified cousin).  The noise is
+    a pure function of (salt, id) — reruns, repartitionings, and a SQL
+    oracle select the identical set.
+
+    ``exact=True``: orderBy+limit compiles to TakeOrdered
+    (per-partition top-n heaps + a driver merge of n rows — no global
+    sort; right up to n in the low millions).  ``exact=False`` is the
+    corpus-scale path for huge n: one aggregation estimates the key's
+    (1 - n/N) quantile via ``percentile_approx`` and the selection is
+    a shuffle-free filter against that literal cut — approximately n
+    rows, two aggregation passes (count, then quantile) + one filter
+    scan — never a sort.  Pass ``key_col`` to keep the perturbed key
+    in the output (e.g. to re-cut later).
+    """
+    if n < 0:
+        raise ValueError(f"n must be >= 0, got {n}")
+    key = gumbel_key(score_col, id_col, salt)
+    kc = key_col or "__gumbel_key"
+    out = df.withColumn(kc, key)
+    if n == 0:
+        return (out if key_col else out.drop(kc)).limit(0)
+    if exact:
+        out = out.orderBy(F.col(kc).desc(), F.col(id_col).asc()).limit(n)
+        return out if key_col else out.drop(kc)
+    total = out.count()
+    if total <= n:
+        return out if key_col else out.drop(kc)
+    cut = out.agg(
+        F.percentile_approx(kc, 1.0 - n / total, 100_000).alias("_c")
+    ).collect()[0]["_c"]
+    out = out.filter(F.col(kc) >= F.lit(float(cut)))
+    return out if key_col else out.drop(kc)

@@ -303,3 +303,74 @@ def bm25_merge(a: Bm25Index, b: Bm25Index) -> Bm25Index:
     n = a.n_docs + b.n_docs
     avgdl = (a.avgdl * a.n_docs + b.avgdl * b.n_docs) / n
     return Bm25Index(postings, terms, n, avgdl)
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    id_col: str = "id",
+    score_cols: dict[str, str] | None = None,
+    k: int = 60,
+    topn: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of several
+    retrieval result sets — the standard hybrid-search combiner for a
+    lexical (:func:`bm25_topk`) + dense
+    (:func:`grip_spark.similarity.cosine_topk` / ``ann_lsh_topk``)
+    stack, where the two scores are incomparable but their RANKS fuse
+    robustly: ``rrf(d) = Σ_sources 1 / (k + rank_source(d))``.
+
+    ``rankings`` maps a source name to its result DataFrame;
+    ``score_cols`` names each source's score column (default: the
+    lone non-id column, so ``bm25_topk``/``cosine_topk`` outputs feed
+    straight in).  Ranks are dense 1-based within each source by
+    (score desc, id asc) — the deterministic tie order every ranker
+    in this repo uses.  A document missing from a source simply
+    contributes nothing (the standard RRF convention).  Output:
+    ``(id, rrf_score, n_sources)`` sorted by (rrf_score desc, id),
+    ``limit(topn)`` if given.
+
+    Scale shape: inputs are top-k retrieval OUTPUTS (bounded by
+    construction — tens to thousands of rows), so the per-source
+    rank window is a single tiny partition and the fuse is one
+    union + one aggregation over Σk rows.  Never feed an unranked
+    corpus-sized table: rank it with its retriever first (that's
+    where the scale machinery lives).
+    """
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    tagged = []
+    for name, df in rankings.items():
+        sc = (score_cols or {}).get(name)
+        if sc is None:
+            rest = [c for c in df.columns if c != id_col]
+            if len(rest) != 1:
+                raise ValueError(
+                    f"source {name!r}: cannot infer the score column from "
+                    f"{df.columns}; pass score_cols={{{name!r}: <col>}}"
+                )
+            sc = rest[0]
+        w = Window.orderBy(F.col(sc).desc(), F.col(id_col).asc())
+        tagged.append(
+            df.select(
+                F.col(id_col),
+                (F.lit(1.0) / (F.lit(float(k)) + F.row_number().over(w))).alias(
+                    "_rr"
+                ),
+            )
+        )
+    allr = tagged[0]
+    for t in tagged[1:]:
+        allr = allr.unionByName(t)
+    out = (
+        allr.groupBy(id_col)
+        .agg(
+            F.sum("_rr").alias("rrf_score"),
+            F.count(F.lit(1)).alias("n_sources"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    )
+    return out.limit(topn) if topn is not None else out

@@ -2413,3 +2413,126 @@ def unigram_segment(
             F.coalesce(F.col(out_col), F.array().cast("array<string>"))
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_grams(text_col, word_ngrams) -> Column:
+    """The hashed-feature gram array DSIR scores over: whitespace
+    tokens, optionally + fastText-style word bigrams (the paper's
+    feature space is hashed unigrams+bigrams)."""
+    if word_ngrams not in (1, 2):
+        raise ValueError(f"word_ngrams must be 1 or 2, got {word_ngrams}")
+    ts = F.filter(tokens(text_col), lambda t: t != "")
+    return _with_word_bigrams(ts) if word_ngrams == 2 else ts
+
+
+def dsir_model(
+    target_df: DataFrame,
+    raw_df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    token_hash=None,
+    word_ngrams: int = 2,
+    alpha: float = 1.0,
+) -> list[float]:
+    """Train the DSIR importance model (Xie et al., NeurIPS 2023
+    "Data Selection for Language Models via Importance Resampling"):
+    hashed n-gram bag-of-words unigram models over a TARGET corpus
+    (what you want more of — Wikipedia+books in the paper) and the
+    RAW corpus (what you're selecting from), returning the per-bucket
+    log-likelihood ratio ``log p_target[b] - log p_raw[b]`` as a
+    ``n_buckets``-float list.
+
+    Each corpus pays ONE pass: explode grams → ``pmod(hash, B)`` →
+    count by bucket (map-side combined, so the shuffle is bounded at
+    ``B`` rows per partition and the collect at ``B`` rows total).
+    Smoothing is add-``alpha`` per bucket (the hashed space is dense,
+    so plain Laplace is the paper's regime).  ``token_hash`` swaps
+    the gram hash (default ``xxhash64``; ``dedup.md5_prefix_hash``
+    for the cross-engine family a SQL oracle or replica reproduces).
+
+    At 100 TB: the model is two B-sized aggregations — the target
+    corpus is small by construction and the raw pass is scan-speed;
+    scoring+selection (:func:`dsir_logweight` +
+    ``sampling.gumbel_topk``) never shuffles the corpus.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be > 0, got {n_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (unsmoothed buckets hit log 0), got {alpha}")
+    h = token_hash or F.xxhash64
+    import math as _math
+
+    def _log_probs(df: DataFrame) -> list[float]:
+        grams = _dsir_grams(text_col, word_ngrams)
+        rows = (
+            df.filter(F.col(text_col).isNotNull())
+            .select(F.explode(grams).alias("_g"))
+            .select(F.pmod(h(F.col("_g")), F.lit(n_buckets)).cast("int").alias("_b"))
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        counts = [0] * n_buckets
+        total = 0
+        for r in rows:
+            counts[r["_b"]] = int(r["_n"])
+            total += int(r["_n"])
+        denom = _math.log(total + alpha * n_buckets)
+        return [_math.log(c + alpha) - denom for c in counts]
+
+    lp_t = _log_probs(target_df)
+    lp_r = _log_probs(raw_df)
+    return [t - r for t, r in zip(lp_t, lp_r)]
+
+
+def dsir_logweight(
+    df: DataFrame,
+    weights: list[float],
+    text_col: str = "text",
+    out_col: str = "dsir_logw",
+    token_hash=None,
+    word_ngrams: int = 2,
+) -> DataFrame:
+    """Per-document DSIR log importance weight: ``sum_g W[h(g) mod B]``
+    over the document's hashed grams — ``log p_target(doc) -
+    log p_raw(doc)`` under the :func:`dsir_model` bucket models.
+
+    Same shuffle-free shape as :func:`hashed_linear_score` (the
+    weight table rides the plan as a literal, lookup + sum inside one
+    column expression; no join, no Python) but a SUM, not a mean —
+    DSIR's importance weight is the document log-likelihood ratio, in
+    which every gram occurrence votes.  Empty text scores 0.0 (equal
+    likelihood under both models); NULL text stays NULL.
+
+    Feed the output to ``sampling.gumbel_topk(df, "dsir_logw", n,
+    id_col)`` for the paper's selection step: top-n of
+    ``logw + Gumbel noise`` IS sampling n documents without
+    replacement proportionally to ``exp(logw)`` (the Gumbel top-k
+    trick), which is exactly DSIR's importance resampling.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    h = token_hash or F.xxhash64
+    d = len(weights)
+    w = F.array(*[F.lit(float(x)) for x in weights])
+    grams = _dsir_grams(text_col, word_ngrams)
+
+    def _body(ts):
+        return F.aggregate(
+            F.transform(
+                ts, lambda t: F.element_at(w, F.pmod(h(t), F.lit(d)).cast("int") + 1)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return df.withColumn(
+        out_col,
+        F.when(c.isNull(), F.lit(None).cast("double")).otherwise(_let(grams, _body)),
+    )

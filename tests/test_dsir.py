@@ -1,0 +1,203 @@
+"""DSIR importance resampling (text.dsir_model/dsir_logweight +
+sampling.gumbel_topk) — replica-pinned via the md5 cross-engine hash
+family, plus behavioral selection tests.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from grip_spark import sampling, text
+from grip_spark.dedup import md5_prefix_hash, md5_prefix_py
+
+HASH_SPAN = float(1 << 60)
+
+
+# --- pure-Python replica ---------------------------------------------------
+
+
+def py_grams(s, word_ngrams=2):
+    ts = [t for t in s.strip().lower().split() if t]
+    if word_ngrams == 2:
+        ts = ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+    return ts
+
+
+def py_bucket(g, n_buckets):
+    return md5_prefix_py(g) % n_buckets
+
+
+def py_dsir_model(target, raw, n_buckets, alpha=1.0, word_ngrams=2):
+    def log_probs(docs):
+        counts = [0] * n_buckets
+        total = 0
+        for d in docs:
+            if d is None:
+                continue
+            for g in py_grams(d, word_ngrams):
+                counts[py_bucket(g, n_buckets)] += 1
+                total += 1
+        denom = math.log(total + alpha * n_buckets)
+        return [math.log(c + alpha) - denom for c in counts]
+
+    lt, lr = log_probs(target), log_probs(raw)
+    return [t - r for t, r in zip(lt, lr)]
+
+
+def py_logweight(doc, weights, word_ngrams=2):
+    if doc is None:
+        return None
+    acc = 0.0
+    for g in py_grams(doc, word_ngrams):
+        acc += weights[py_bucket(g, len(weights))]
+    return acc
+
+
+def py_gumbel_key(score, rid, salt=""):
+    u = (md5_prefix_py(salt + str(rid)) + 0.5) / HASH_SPAN
+    return score - math.log(-math.log(u))
+
+
+TARGET = [
+    "the quick brown fox jumps over the lazy dog",
+    "a quick brown fox and a lazy dog",
+    "brown foxes jump over lazy dogs daily",
+]
+RAW = [
+    ("r1", "the quick brown fox jumps again and again"),
+    ("r2", "stock market prices fell sharply on tuesday"),
+    ("r3", "lazy dog sleeps near the brown fox"),
+    ("r4", "quarterly earnings report shows revenue decline"),
+    ("r5", "install the package with pip and run the tests"),
+    ("r6", "foxes and dogs are common in stories"),
+    ("r7", None),
+    ("r8", ""),
+]
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    t = spark.createDataFrame([(x,) for x in TARGET], "text string")
+    r = spark.createDataFrame(RAW, "doc_id string, text string")
+    return t, r
+
+
+def test_dsir_model_matches_replica(corpora):
+    t, r = corpora
+    for ng in (1, 2):
+        w = text.dsir_model(
+            t, r, n_buckets=64, token_hash=md5_prefix_hash, word_ngrams=ng
+        )
+        want = py_dsir_model(TARGET, [x[1] for x in RAW], 64, word_ngrams=ng)
+        assert len(w) == 64
+        assert max(abs(a - b) for a, b in zip(w, want)) < 1e-12
+
+
+def test_dsir_logweight_matches_replica_and_ranks_target_like(corpora):
+    t, r = corpora
+    w = text.dsir_model(t, r, n_buckets=64, token_hash=md5_prefix_hash)
+    out = {
+        row["doc_id"]: row["dsir_logw"]
+        for row in text.dsir_logweight(r, w, token_hash=md5_prefix_hash).collect()
+    }
+    for rid, doc in RAW:
+        want = py_logweight(doc, w)
+        if want is None:
+            assert out[rid] is None
+        else:
+            assert abs(out[rid] - want) < 1e-9, rid
+    # documents phrased like the target outscore finance documents
+    # (r6 shares topic but not phrasing — its grams are mostly absent
+    # from target, and the weight is a length-sensitive SUM, so it
+    # stays low: correct DSIR behavior, not asserted against)
+    assert min(out["r1"], out["r3"]) > max(out["r2"], out["r4"])
+    assert out["r8"] == 0.0  # empty text: equal likelihood under both models
+
+
+def test_dsir_validation(corpora):
+    t, r = corpora
+    with pytest.raises(ValueError):
+        text.dsir_model(t, r, n_buckets=0)
+    with pytest.raises(ValueError):
+        text.dsir_model(t, r, alpha=0.0)
+    with pytest.raises(ValueError):
+        text.dsir_model(t, r, word_ngrams=3)
+    with pytest.raises(ValueError):
+        text.dsir_logweight(r, [])
+
+
+def test_gumbel_topk_matches_replica_selection(spark):
+    """The selected set equals the replica's top-n by perturbed key —
+    the Gumbel noise is a pure function of (salt, id)."""
+    rows = [(f"d{i}", float(i % 7) * 0.5) for i in range(200)]
+    df = spark.createDataFrame(rows, "id string, s double").repartition(5)
+    got = sampling.gumbel_topk(df, "s", 20, "id", salt="g")
+    want = sorted(rows, key=lambda r: (-py_gumbel_key(r[1], r[0], "g"), r[0]))[:20]
+    assert sorted(r["id"] for r in got.collect()) == sorted(r[0] for r in want)
+    # deterministic across repartitionings
+    got2 = sampling.gumbel_topk(df.repartition(17), "s", 20, "id", salt="g")
+    assert sorted(r["id"] for r in got2.collect()) == sorted(r[0] for r in want)
+    # a different salt is a different draw
+    got3 = sampling.gumbel_topk(df, "s", 20, "id", salt="h")
+    assert sorted(r["id"] for r in got3.collect()) != sorted(r[0] for r in want)
+
+
+def test_gumbel_topk_biases_toward_high_scores(spark):
+    """Selection frequency follows exp(score): with two score classes
+    3 nats apart (~20x likelihood), the high class dominates."""
+    rows = [(f"h{i}", 3.0) for i in range(100)] + [(f"l{i}", 0.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id string, s double")
+    got = [r["id"] for r in sampling.gumbel_topk(df, "s", 40, "id", salt="b").collect()]
+    n_high = sum(1 for x in got if x.startswith("h"))
+    assert n_high >= 34  # E[n_high] ~ 38.5 of 40 at 20:1 odds
+
+
+def test_gumbel_topk_approximate_path(spark):
+    rows = [(f"d{i}", float(i % 5)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id string, s double").repartition(8)
+    approx = sampling.gumbel_topk(df, "s", 200, "id", salt="a", exact=False)
+    n = approx.count()
+    assert 150 <= n <= 260  # approximately n
+    # the approximate set is a key-threshold superset/subset around the
+    # exact cut: every kept row's key >= every dropped exact-top row
+    exact_ids = {
+        r["id"] for r in sampling.gumbel_topk(df, "s", 150, "id", salt="a").collect()
+    }
+    kept = {r["id"] for r in approx.collect()}
+    assert exact_ids <= kept  # top-150 certainly inside a ~200 cut
+    # n=0 and tiny-corpus passthrough
+    assert sampling.gumbel_topk(df, "s", 0, "id").count() == 0
+    small = spark.createDataFrame(rows[:10], "id string, s double")
+    assert sampling.gumbel_topk(small, "s", 50, "id", exact=False).count() == 10
+    with pytest.raises(ValueError):
+        sampling.gumbel_topk(df, "s", -1, "id")
+
+
+def test_dsir_end_to_end_selects_target_like_docs(spark, corpora):
+    """The full DSIR chain: model -> logweight -> gumbel_topk keeps
+    mostly fox/dog documents out of the mixed raw corpus."""
+    t, r = corpora
+    w = text.dsir_model(t, r, n_buckets=256)
+    scored = text.dsir_logweight(r.filter(F.col("text").isNotNull()), w)
+    # amplify: DSIR weights are per-gram log ratios; small docs need no
+    # temperature here because the planted separation is wide
+    picked = [
+        row["doc_id"]
+        for row in sampling.gumbel_topk(scored, "dsir_logw", 3, "doc_id", salt="e").collect()
+    ]
+    target_like = {"r1", "r3", "r6"}
+    assert sum(1 for p in picked if p in target_like) >= 2
+
+
+def test_dsir_logweight_plan_is_shuffle_free(spark, corpora):
+    _, r = corpora
+    w = [0.1] * 32
+    plan = (
+        text.dsir_logweight(r, w)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("Exchange", "BatchEvalPython", "CartesianProduct"):
+        assert bad not in plan, plan

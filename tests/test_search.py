@@ -235,3 +235,61 @@ def test_bm25_remove_equals_rebuild(spark):
 
     with _pytest.raises(ValueError, match="empty"):
         search.bm25_remove(removed, [1, 3, 4])
+
+
+def test_rrf_fuse_matches_replica(spark):
+    """rrf_fuse vs a hand-computed reciprocal-rank fusion, including
+    the missing-document convention and tie-break ordering."""
+    lex = spark.createDataFrame(
+        [("a", 9.0), ("b", 7.0), ("c", 7.0), ("d", 1.0)], "id string, score double"
+    )
+    dense = spark.createDataFrame(
+        [("c", 0.99), ("e", 0.98), ("a", 0.50)], "id string, cos_sim double"
+    )
+    out = search.rrf_fuse({"lex": lex, "dense": dense}, k=60).collect()
+    # replica: ranks by (score desc, id asc)
+    lex_rank = {"a": 1, "b": 2, "c": 3, "d": 4}  # b before c: 7.0 tie -> id
+    dense_rank = {"c": 1, "e": 2, "a": 3}
+    want = {}
+    for d in set(lex_rank) | set(dense_rank):
+        s = 0.0
+        n = 0
+        for ranks in (lex_rank, dense_rank):
+            if d in ranks:
+                s += 1.0 / (60 + ranks[d])
+                n += 1
+        want[d] = (s, n)
+    got = {r["id"]: (r["rrf_score"], r["n_sources"]) for r in out}
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d][0] - want[d][0]) < 1e-12 and got[d][1] == want[d][1], d
+    # output ordering: rrf desc, id asc; both-source docs lead
+    order = [r["id"] for r in out]
+    assert order == sorted(want, key=lambda d: (-want[d][0], d))
+    assert order[0] in ("a", "c")
+
+
+def test_rrf_fuse_hybrid_bm25_dense_end_to_end(spark, index):
+    """Hybrid search: a doc ranked mid by BM25 and mid by dense wins
+    the fusion over docs that top one list but miss the other."""
+    lex = search.bm25_topk(index, "quick fox", k=6)  # -> (id, score)
+    dense = spark.createDataFrame(
+        [(1, 0.9), (3, 0.85), (2, 0.1)], "id long, cos_sim double"
+    )
+    fused = search.rrf_fuse({"lex": lex, "dense": dense}, topn=3).collect()
+    assert len(fused) == 3
+    top = fused[0]
+    assert top["n_sources"] == 2  # the winner appears in both rankings
+
+
+def test_rrf_fuse_validation_and_score_col_inference(spark):
+    df_ok = spark.createDataFrame([("a", 1.0)], "id string, s double")
+    df_two = df_ok.withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError):
+        search.rrf_fuse({})
+    with pytest.raises(ValueError):
+        search.rrf_fuse({"x": df_ok}, k=0)
+    with pytest.raises(ValueError):
+        search.rrf_fuse({"x": df_two})  # ambiguous score column
+    out = search.rrf_fuse({"x": df_two}, score_cols={"x": "s"}).collect()
+    assert out[0]["rrf_score"] == 1.0 / 61
