@@ -611,10 +611,28 @@ def q_ivf_cells(spark, sf_dir):
         .filter(F.col("_rk") <= 10)
         .select("vec_id", F.col("_rk").alias("probe_rank"))
     )
-    return (
-        idx.join(probed, "vec_id", "left")
-        .select("vec_id", F.col("ivf_list").alias("cell"), "probe_rank")
+    ivf_rows = idx.join(probed, "vec_id", "left").select(
+        F.lit("ivf").alias("variant"),
+        "vec_id",
+        F.col("ivf_list").alias("cell"),
+        "probe_rank",
     )
+    # kmeans_l2 rows (r7 session 2): one distributed Lloyd round
+    # (similarity.kmeans_train, k=4, l2) with the updated centroids
+    # rounded to 6dp on BOTH sides — the per-(cell,dim) means
+    # accumulate in engine-specific order, so the round() is what
+    # makes the distributed UPDATE value-comparable (the
+    # doc_unigram_lp precedent); the final argmin assignment then
+    # runs over identical literals in both engines
+    kc = similarity.kmeans_train(corpus, k=4, iterations=1, salt="km")
+    kc_r = [[round(x, 6) for x in c] for c in kc]
+    km_rows = similarity.kmeans_assign(corpus, kc_r, cluster_col="cell").select(
+        F.lit("kmeans_l2").alias("variant"),
+        "vec_id",
+        F.col("cell"),
+        F.lit(None).cast("int").alias("probe_rank"),
+    )
+    return ivf_rows.unionByName(km_rows)
 
 
 def q_corpus_pipeline(spark, sf_dir):
@@ -2038,7 +2056,9 @@ def _ivf_cells_oracle_sql() -> str:
     argmax-cosine cell assignment, 2-cell probe for query vec 0, and
     exact-cosine top-10 rank within the probed cells."""
     hs = _md5_hash_sql("'ivf' || CAST(vec_id AS VARCHAR)")
+    khs = _md5_hash_sql("'km' || CAST(vec_id AS VARCHAR)")
     cos = "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    dist = "list_distance(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
     return (
         "WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id != 0), "
         "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
@@ -2056,11 +2076,38 @@ def _ivf_cells_oracle_sql() -> str:
         + cos.format(a="c.embedding", b="q.qv")
         + " DESC, a.vec_id) AS rk "
         "FROM assign a JOIN corpus c USING (vec_id), q "
-        "WHERE a.cell IN (SELECT cell FROM probe)) "
-        "SELECT a.vec_id, CAST(a.cell AS INT) AS cell, "
+        "WHERE a.cell IN (SELECT cell FROM probe)), "
+        # kmeans_l2 branch: md5 seeds (k=4), l2 argmin assignment,
+        # per-(cell,dim) mean rounded to 6dp (empty cells keep their
+        # seed coordinate), final argmin over the rounded centroids
+        "kseeds AS (SELECT vec_id AS seed_id, embedding AS cvec, "
+        f"row_number() OVER (ORDER BY {khs}, vec_id) - 1 AS cell "
+        "FROM corpus QUALIFY cell < 4), "
+        "ka1 AS (SELECT vec_id, cell FROM ("
+        "SELECT c.vec_id, s.cell, row_number() OVER (PARTITION BY c.vec_id ORDER BY "
+        + dist.format(a="c.embedding", b="s.cvec")
+        + ", s.cell) AS rk FROM corpus c CROSS JOIN kseeds s) WHERE rk = 1), "
+        "kup AS (SELECT a.cell, i.i AS pos, "
+        "avg(CAST(c.embedding[CAST(i.i AS INT)] AS DOUBLE)) AS cv "
+        "FROM ka1 a JOIN corpus c USING (vec_id), "
+        "unnest(generate_series(1, len(c.embedding))) AS i(i) "
+        "GROUP BY a.cell, i.i), "
+        "kseedpos AS (SELECT s.cell, i.i AS pos, "
+        "CAST(s.cvec[CAST(i.i AS INT)] AS DOUBLE) AS sv "
+        "FROM kseeds s, unnest(generate_series(1, len(s.cvec))) AS i(i)), "
+        "kcent AS (SELECT sp.cell, list(round(coalesce(u.cv, sp.sv), 6) "
+        "ORDER BY sp.pos) AS cvec FROM kseedpos sp LEFT JOIN kup u "
+        "ON u.cell = sp.cell AND u.pos = sp.pos GROUP BY sp.cell), "
+        "ka2 AS (SELECT vec_id, cell FROM ("
+        "SELECT c.vec_id, k.cell, row_number() OVER (PARTITION BY c.vec_id ORDER BY "
+        + dist.format(a="c.embedding", b="k.cvec")
+        + ", k.cell) AS rk FROM corpus c CROSS JOIN kcent k) WHERE rk = 1) "
+        "SELECT 'ivf' AS variant, a.vec_id, CAST(a.cell AS INT) AS cell, "
         "CAST(r.rk AS INT) AS probe_rank "
         "FROM assign a LEFT JOIN (SELECT * FROM ranked WHERE rk <= 10) r "
-        "ON a.vec_id = r.vec_id"
+        "ON a.vec_id = r.vec_id "
+        "UNION ALL SELECT 'kmeans_l2', vec_id, CAST(cell AS INT), "
+        "CAST(NULL AS INT) FROM ka2"
     )
 
 
