@@ -252,6 +252,33 @@ def main():
         "pca_project": lambda: similarity.pca_project(
             emb, similarity.pca_train(emb, "embedding", k=16), "embedding"
         ).agg(F.sum(F.col("pca")[0])).collect(),
+        # r7 session-2 additions: distributed full-corpus k-means (two
+        # Lloyd rounds = two scans + two k*dim-bounded aggs, then the
+        # assignment projection) and the DSIR selection chain (two
+        # bucket-model aggs + shuffle-free scoring + Gumbel TakeOrdered)
+        "kmeans2": lambda: run_count(
+            similarity.kmeans_assign(
+                emb,
+                similarity.kmeans_train(
+                    emb, "embedding", "vec_id", k=8, iterations=2, salt="bench"
+                ),
+                "embedding",
+            )
+        ),
+        "dsir_select": lambda: run_count(
+            sampling.gumbel_topk(
+                text.dsir_logweight(
+                    docs,
+                    text.dsir_model(
+                        docs.filter(F.col("lang") == "en"), docs, n_buckets=4096
+                    ),
+                ),
+                "dsir_logw",
+                1000,
+                "doc_id",
+                salt="bench",
+            )
+        ),
     }
 
     # Best-of-2 per query (the scaling-probe pattern): the host VM has
