@@ -2536,3 +2536,103 @@ def dsir_logweight(
         out_col,
         F.when(c.isNull(), F.lit(None).cast("double")).otherwise(_let(grams, _body)),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (the stage before every other text op when
+# the corpus is raw web)
+# ---------------------------------------------------------------------------
+
+# named entities decoded by strip_html — the high-frequency set that
+# dominates real web text; numeric (&#NN;/&#xNN;) and exotic named
+# entities are out of scope for a pure column expression (no
+# per-match callback in Spark SQL) and are replaced with a space so
+# they never leak into tokens.  &amp; is decoded LAST so "&amp;lt;"
+# becomes the literal text "&lt;", not "<" (double-decode bug).
+_HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&ndash;", "–"),
+    ("&mdash;", "—"),
+    ("&hellip;", "…"),
+    ("&lsquo;", "‘"),
+    ("&rsquo;", "’"),
+    ("&ldquo;", "“"),
+    ("&rdquo;", "”"),
+    ("&amp;", "&"),
+]
+
+# block-level elements whose boundaries become newlines, so the
+# extracted text has real line structure for line_filter /
+# dedup_lines downstream (inline tags just vanish)
+_HTML_BLOCK_TAGS = (
+    "p|div|br|li|ul|ol|tr|td|th|table|h1|h2|h3|h4|h5|h6|blockquote|"
+    "section|article|header|footer|pre|hr|form|figure|figcaption|dd|dt|dl"
+)
+
+
+def strip_html(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "text",
+) -> DataFrame:
+    """Extract visible text from raw HTML — the C4/CCNet stage ZERO
+    (WET-style extraction) expressed as one shuffle-free chain of
+    regexp/replace expressions, so at 100 TB it runs at scan speed
+    next to the quality signals.
+
+    Pipeline per row: drop ``<script>``/``<style>``/``<noscript>``
+    blocks and comments (case-insensitive, dotall), turn block-tag
+    boundaries into newlines (giving :func:`line_filter` /
+    :func:`grip_spark.dedup.dedup_lines` real lines to work with),
+    strip every remaining tag, decode the high-frequency named
+    entities (``&amp;`` last — ``&amp;lt;`` must yield literal
+    ``&lt;``), blank the rest (numeric/exotic entities become spaces,
+    never token garbage), and collapse horizontal whitespace within
+    lines / blank runs between lines.
+
+    Scope (documented honestly): a tag/entity stripper, not a
+    boilerplate extractor — navigation chrome survives; chain
+    :func:`line_filter` + :func:`boilerplate_ngrams` +
+    :func:`grip_spark.dedup.dedup_lines` for the full RefinedWeb-style
+    cleanup.  Malformed HTML degrades gracefully (an unclosed ``<``
+    eats to the next ``>`` or end of string — the WET convention).
+    NULL html stays NULL.
+    """
+    c = F.col(html_col)
+    # 1. remove non-content blocks (case-insensitive, dot-matches-all)
+    s = F.regexp_replace(
+        c, r"(?is)<(script|style|noscript)\b[^>]*>.*?</\1\s*>", " "
+    )
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    # 2. block boundaries -> newline (open or close tag)
+    s = F.regexp_replace(s, r"(?i)</?(" + _HTML_BLOCK_TAGS + r")\b[^>]*/?>", "\n")
+    # 3. any remaining tag (incl. unclosed-at-eof) -> space
+    s = F.regexp_replace(s, r"(?s)<[^>]*(>|$)", " ")
+    # 4. entities: named set decoded (&amp; last), leftovers blanked
+    for ent, rep in _HTML_ENTITIES[:-1]:
+        s = F.regexp_replace(s, "(?i)" + ent, rep.replace("\\", "\\\\"))
+    # the leftover blanking must NOT eat &amp; (still pending decode):
+    # the lookahead exempts it, case-insensitively
+    s = F.regexp_replace(
+        s,
+        r"&#x[0-9a-fA-F]{1,6};|&#[0-9]{1,7};|&(?![aA][mM][pP];)[a-zA-Z][a-zA-Z0-9]{1,30};",
+        " ",
+    )
+    ent, rep = _HTML_ENTITIES[-1]
+    s = F.regexp_replace(s, "(?i)" + ent, rep)
+    # 5. whitespace: collapse within lines, trim lines, collapse blank
+    # runs, trim the document
+    s = F.regexp_replace(s, r"[ \t\x0b\f\r]+", " ")
+    s = F.regexp_replace(s, r" ?\n ?", "\n")
+    s = F.regexp_replace(s, r"\n{2,}", "\n")
+    # F.trim strips spaces only — the document-edge trim must also
+    # take the newlines the block-tag pass created
+    s = F.regexp_replace(s, r"^\s+|\s+$", "")
+    return df.withColumn(
+        out_col, F.when(c.isNull(), F.lit(None).cast("string")).otherwise(s)
+    )

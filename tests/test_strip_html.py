@@ -1,0 +1,110 @@
+"""text.strip_html — HTML→text extraction fixtures + invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from grip_spark import text
+
+
+def _run(spark, html):
+    df = spark.createDataFrame([(html,)], "html string")
+    return text.strip_html(df).collect()[0]["text"]
+
+
+def test_basic_tags_and_blocks(spark):
+    out = _run(
+        spark,
+        "<html><head><title>T</title></head><body>"
+        "<h1>Header</h1><p>First para.</p><p>Second <b>bold</b> para.</p>"
+        "<ul><li>one</li><li>two</li></ul></body></html>",
+    )
+    # block tags become line boundaries; inline tags vanish
+    assert out.split("\n") == [
+        "T",
+        "Header",
+        "First para.",
+        "Second bold para.",
+        "one",
+        "two",
+    ]
+
+
+def test_script_style_comments_removed(spark):
+    out = _run(
+        spark,
+        "<p>keep</p><script type='text/javascript'>var x = '<p>no</p>';</script>"
+        "<style>p { color: red }</style><!-- secret <p>comment</p> -->"
+        "<noscript>fallback</noscript><p>also keep</p>",
+    )
+    assert out.split("\n") == ["keep", "also keep"]
+    assert "secret" not in out and "color" not in out and "fallback" not in out
+
+
+def test_entities(spark):
+    out = _run(
+        spark,
+        "<p>a &lt;tag&gt; &quot;quoted&quot; &amp; fish &#39;n&#39; chips&nbsp;here</p>",
+    )
+    assert out == "a <tag> \"quoted\" & fish 'n' chips here"
+    # double-encoded: &amp;lt; is the literal text "&lt;", never "<"
+    assert _run(spark, "<p>&amp;lt;literal&amp;gt;</p>") == "&lt;literal&gt;"
+    # numeric and exotic named entities are blanked, not leaked
+    out2 = _run(spark, "<p>x&#8217;y &#x2019; &copy; &oplus; z</p>")
+    assert "&" not in out2 and "#" not in out2 and ";" not in out2
+    assert out2.startswith("x") and out2.endswith("z")
+
+
+def test_malformed_and_edge_cases(spark):
+    # unclosed tag at EOF eats to end (the WET convention)
+    assert _run(spark, "<p>ok</p><a href=") == "ok"
+    # attribute with > inside quotes is out of scope: tag ends at
+    # first > (documented stripper semantics), remainder is text
+    assert "text" in _run(spark, "<p>text</p>")
+    # empty + whitespace-only + tags-only
+    assert _run(spark, "") == ""
+    assert _run(spark, "  \n\t ") == ""
+    assert _run(spark, "<div><br/><hr></div>") == ""
+
+
+def test_null_html_stays_null(spark):
+    df = spark.createDataFrame([(None,), ("<p>x</p>",)], "html string")
+    rows = {r["html"]: r["text"] for r in text.strip_html(df).collect()}
+    assert rows[None] is None
+    assert rows["<p>x</p>"] == "x"
+
+
+def test_no_tags_survive_and_whitespace_collapsed(spark):
+    """Invariants over a messy fixture: no '<tag' fragments survive,
+    no double blank lines, no leading/trailing space on lines."""
+    html = (
+        "<div class='nav'>Home | About</div>\n\n\n"
+        "<TABLE><TR><TD>cell1</TD><TD>cell2</TD></TR></TABLE>"
+        "<P>Mixed   spacing\t\tand <SPAN>CAPS TAGS</SPAN>.</P>"
+        "<img src='x.png' alt='pic'/><br><br><br>end"
+    )
+    out = _run(spark, html)
+    import re
+
+    assert not re.search(r"<[a-zA-Z/]", out)
+    for line in out.split("\n"):
+        assert line == line.strip() and line != ""
+        assert "  " not in line
+    assert "cell1" in out and "cell2" in out and "CAPS TAGS" in out and "end" in out
+
+
+def test_feeds_line_filter_and_plan_is_narrow(spark):
+    """strip_html output has real lines — line_filter composes — and
+    the whole extraction is one shuffle-free projection."""
+    html = (
+        "<p>This is a real sentence that should definitely survive the line rules.</p>"
+        "<li>nav</li><li>more nav</li>"
+        "<p>Another long and complete sentence ending with a period.</p>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    extracted = text.strip_html(df)
+    filtered = text.line_filter(extracted, min_words=4)
+    out = filtered.collect()[0]["text_clean"]
+    assert "real sentence" in out and "nav" not in out
+    plan = extracted._jdf.queryExecution().executedPlan().toString()
+    for bad in ("Exchange", "BatchEvalPython"):
+        assert bad not in plan, plan

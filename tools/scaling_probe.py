@@ -212,12 +212,23 @@ def main():
             ).count()
         )
 
+        # distributed k-means (r7 session 2): fixed k=8, 2 Lloyd
+        # rounds + assignment — per round one scan + one k*dim-bounded
+        # agg, so wall-clock must grow ~linearly with the corpus
+        def _km():
+            cents = similarity.kmeans_train(
+                e, "embedding", "vec_id", k=8, iterations=2, salt="probe"
+            )
+            return similarity.kmeans_assign(e, cents, "embedding").count()
+
+        t_km, _ = best_of(_km)
+
         print(
             f"{k}x: docs={nd} emb={ne} | minhash {t_minhash:.1f}s ({n_pairs} pairs) | "
             f"simhash {t_simhash:.1f}s ({n_sim} pairs) | ann_topk {t_ann:.1f}s | "
             f"semdedup {t_sem:.1f}s ({n_drop} dropped) | "
             f"hamming_w32 {t_ham:.1f}s ({n_ham} pairs) | ivfadc {t_ivfadc:.1f}s | "
-            f"winnow_pairs {t_win:.1f}s ({n_win} pairs)",
+            f"winnow_pairs {t_win:.1f}s ({n_win} pairs) | kmeans2 {t_km:.1f}s",
             flush=True,
         )
         d.unpersist()
@@ -297,11 +308,24 @@ def _pipeline_probe(spark, docs):
                 text.quality_score(d), "quality", "doc_id"
             ).count()
         )
+        # r7 session-2 additions: DSIR (two B-bounded bucket-model
+        # aggs + shuffle-free scoring + Gumbel TakeOrdered: should be
+        # ~linear in corpus gram count) — the model is retrained per k
+        # because DSIR's raw model IS the corpus being scaled
+        def _dsir():
+            w = text.dsir_model(
+                d.filter(F.col("lang") == "en"), d, n_buckets=4096
+            )
+            return sampling.gumbel_topk(
+                text.dsir_logweight(d, w), "dsir_logw", 1000, "doc_id", salt="p"
+            ).count()
+
+        t_dsir = best_of(_dsir)
         print(
             f"{k}x: docs={nd} | chunk {t_chunk:.1f}s | pack {t_pack:.1f}s | "
             f"sample+split {t_sample:.1f}s | repetition {t_rep:.1f}s | "
             f"langid_score {t_lid:.1f}s | pack_whole {t_packw:.1f}s | "
-            f"curriculum {t_curr:.1f}s",
+            f"curriculum {t_curr:.1f}s | dsir {t_dsir:.1f}s",
             flush=True,
         )
         d.unpersist()
