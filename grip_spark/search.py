@@ -50,6 +50,7 @@ def bm25_index(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    positions: bool = False,
 ) -> Bm25Index:
     """Build the inverted index in one corpus pass.
 
@@ -58,6 +59,12 @@ def bm25_index(
     with no tokens (empty/NULL text) simply have no postings — they
     can never match a term query.  The postings are checkpointed so
     the term table and corpus scalars don't re-tokenize the corpus.
+
+    ``positions=True`` additionally stores each posting's sorted
+    0-based token-position array (``pos``) — the positional index
+    :func:`phrase_topk` needs.  Everything downstream (term queries,
+    save/merge/remove) works unchanged: consumers that don't read
+    positions project them away.
 
     ``id_col`` values must be UNIQUE (the disjointness contract
     :func:`bm25_merge` documents, enforced here): duplicate ids would
@@ -81,16 +88,31 @@ def bm25_index(
             "dedup.dedup_exact)"
         )
     nonempty = F.filter(tokens(text_col), lambda t: t != "")
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(nonempty).alias("token"),
-        F.size(nonempty).alias("dl"),
-    )
-    postings = (
-        base.groupBy("token", "id", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
-    )
+    if positions:
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(nonempty).alias("pos", "token"),
+            F.size(nonempty).alias("dl"),
+        )
+        postings = (
+            base.groupBy("token", "id", "dl")
+            .agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.sort_array(F.collect_list("pos")).alias("pos"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(nonempty).alias("token"),
+            F.size(nonempty).alias("dl"),
+        )
+        postings = (
+            base.groupBy("token", "id", "dl")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .localCheckpoint(eager=True)
+        )
     return _index_from_postings(postings, "bm25_index: no documents with tokens")
 
 
@@ -374,3 +396,87 @@ def rrf_fuse(
         .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
     )
     return out.limit(topn) if topn is not None else out
+
+
+def phrase_tokens(phrase: str) -> list[str]:
+    """Driver-side phrase tokenizer: like :func:`query_tokens` (ASCII
+    whitespace, lower-case) but ORDER-PRESERVING WITH DUPLICATES — a
+    phrase is a sequence, not a term set ("the more the merrier"
+    needs 'the' twice at the right offsets)."""
+    return [t for t in re.split(f"[{_JAVA_WS}]+", phrase.strip(_JAVA_WS).lower()) if t]
+
+
+def phrase_topk(
+    index: Bm25Index,
+    phrase: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Exact-phrase top-``k``: documents containing the phrase's
+    tokens CONSECUTIVELY, scored by BM25 with the phrase as one
+    virtual term (tf = number of phrase occurrences, idf from the
+    phrase's own document frequency — the Lucene PhraseQuery
+    convention).  → ``(id, tf_phrase, score)``, score desc / id asc.
+
+    Requires a positional index (``bm25_index(..., positions=True)``).
+    The plan touches ONLY the phrase terms' posting lists: one
+    id-keyed equi-join per additional term (each side already pruned
+    to a single token — Zipf-bounded), then phrase occurrences are
+    counted inside one column expression (``array_intersect`` of each
+    term's positions shifted by its phrase offset — no explode).  A
+    duplicate token in the phrase joins its posting list once per
+    offset, which is exactly the semantics a sequence needs.  The
+    phrase document frequency costs one tiny aggregate over the
+    matched docs before scoring.
+    """
+    if "pos" not in index.postings.columns:
+        raise ValueError(
+            "phrase_topk needs a positional index — build with "
+            "bm25_index(..., positions=True)"
+        )
+    toks = phrase_tokens(phrase)
+    if not toks:
+        raise ValueError("empty phrase")
+    p0 = (
+        index.postings.filter(F.col("token") == toks[0])
+        .select("id", "dl", F.col("pos").alias("_p0"))
+    )
+    joined = p0
+    for i, t in enumerate(toks[1:], start=1):
+        pi = (
+            index.postings.filter(F.col("token") == t)
+            .select(F.col("id"), F.col("pos").alias(f"_p{i}"))
+        )
+        joined = joined.join(pi, "id")
+    def _shift(col_name: str, offset: int):
+        # closure factory: a default-arg lambda would be mistaken for
+        # transform's (element, index) two-param form
+        return F.transform(F.col(col_name), lambda x: x - F.lit(offset))
+
+    starts = F.col("_p0")
+    for i in range(1, len(toks)):
+        starts = F.array_intersect(starts, _shift(f"_p{i}", i))
+    matched = (
+        joined.select("id", "dl", F.size(starts).alias("tf_phrase"))
+        .filter(F.col("tf_phrase") > 0)
+        .localCheckpoint(eager=True)  # reused by the df agg AND scoring
+    )
+    df_p = matched.count()
+    if df_p == 0:
+        return matched.select(
+            "id", "tf_phrase", F.lit(0.0).alias("score")
+        ).limit(0)
+    n = float(index.n_docs)
+    idf = math.log(1.0 + (n - df_p + 0.5) / (df_p + 0.5))
+    tf = F.col("tf_phrase").cast("double")
+    denom = tf + k1 * (1.0 - b + b * F.col("dl") / index.avgdl)
+    return (
+        matched.select(
+            "id",
+            "tf_phrase",
+            (F.lit(idf) * tf * (k1 + 1.0) / denom).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )

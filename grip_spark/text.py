@@ -2636,3 +2636,58 @@ def strip_html(
     return df.withColumn(
         out_col, F.when(c.isNull(), F.lit(None).cast("string")).otherwise(s)
     )
+
+
+def cluster_top_terms(
+    df: DataFrame,
+    cluster_col: str,
+    text_col: str = "text",
+    top: int = 10,
+    min_tf: int = 2,
+) -> DataFrame:
+    """Distinctive terms per cluster — c-TF-IDF (the BERTopic device,
+    Grootendorst 2022): treat each cluster's concatenated text as one
+    document, score ``tf_{t,c} * ln(1 + n_clusters / cdf_t)`` where
+    ``cdf_t`` is the number of clusters containing ``t``, and keep
+    each cluster's ``top`` terms.  → ``(cluster, term, tf, score,
+    rank)``.
+
+    The interpretability step after :func:`grip_spark.similarity
+    .kmeans_train`/``kmeans_assign`` (or LSH/IVF cells): cluster an
+    embedded corpus, then label every cell with what its documents are
+    about — the "data map" a curation pass reads before deciding what
+    to up/down-sample.
+
+    Scale shape: one explode + one (cluster, term) map-side-combined
+    count, a terms-sized cluster-frequency aggregate, and a top-N
+    window partitioned by cluster (N small, partitions = clusters —
+    never a global sort).  ``min_tf`` prunes the long hapax tail
+    before the window (Zipf makes this the bulk of the rows).
+    Deterministic: rank ties break on term asc.
+    """
+    from pyspark.sql import Window
+
+    if top <= 0:
+        raise ValueError(f"top must be > 0, got {top}")
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    tf = (
+        df.select(F.col(cluster_col).alias("cluster"), F.explode(toks).alias("term"))
+        .groupBy("cluster", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .filter(F.col("tf") >= F.lit(min_tf))
+    )
+    n_clusters = df.select(cluster_col).distinct().count()
+    cdf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("cdf"))
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(cdf, "term")
+        .withColumn(
+            "score",
+            F.col("tf") * F.log(F.lit(1.0) + F.lit(float(n_clusters)) / F.col("cdf")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.lit(top))
+        .select("cluster", "term", "tf", "score", "rank")
+    )

@@ -201,3 +201,79 @@ def test_dsir_logweight_plan_is_shuffle_free(spark, corpora):
     )
     for bad in ("Exchange", "BatchEvalPython", "CartesianProduct"):
         assert bad not in plan, plan
+
+
+# --- cluster_top_terms (c-TF-IDF labeling) -----------------------------------
+
+
+def test_cluster_top_terms_replica_and_separation(spark):
+    """c-TF-IDF scores match a pure-Python replica exactly and the
+    planted topics surface as each cluster's top terms."""
+    docs = [
+        (0, "stock market trading stocks bonds market"),
+        (0, "market prices bonds trading revenue"),
+        (0, "the revenue and the market"),
+        (1, "python spark code tests code"),
+        (1, "spark code pipeline tests the"),
+        (1, "the pipeline and the code"),
+    ]
+    df = spark.createDataFrame(docs, "cluster int, text string")
+    out = text.cluster_top_terms(df, "cluster", top=3, min_tf=2).collect()
+
+    # replica
+    tf = {}
+    for c, t in docs:
+        for w in t.split():
+            tf[(c, w)] = tf.get((c, w), 0) + 1
+    tf = {k: v for k, v in tf.items() if v >= 2}
+    cdf = {}
+    for (c, w), _ in tf.items():
+        cdf[w] = cdf.get(w, 0) + 1
+    score = {k: v * math.log(1.0 + 2.0 / cdf[k[1]]) for k, v in tf.items()}
+    want = {}
+    for c in (0, 1):
+        ranked = sorted(
+            ((w, s) for (cc, w), s in score.items() if cc == c),
+            key=lambda x: (-x[1], x[0]),
+        )[:3]
+        want[c] = ranked
+    got = {}
+    for r in sorted(out, key=lambda r: (r["cluster"], r["rank"])):
+        got.setdefault(r["cluster"], []).append((r["term"], r["score"]))
+    assert set(got) == {0, 1}
+    for c in (0, 1):
+        assert [t for t, _ in got[c]] == [t for t, _ in want[c]]
+        for (_t, gs), (_w, ws) in zip(got[c], want[c]):
+            assert abs(gs - ws) < 1e-12
+    # shared stopword 'the' never tops either cluster (cdf penalty)
+    assert "the" not in {got[0][0][0], got[1][0][0]}
+    # topic words land in the right cluster
+    assert got[0][0][0] in ("market", "trading", "bonds", "stocks")
+    assert got[1][0][0] in ("code", "spark", "tests", "pipeline")
+
+
+def test_cluster_top_terms_kmeans_composition(spark):
+    """kmeans over planted embeddings -> cluster_top_terms labels the
+    cells with their planted vocabulary."""
+    from grip_spark import similarity as S
+
+    rows = []
+    for i in range(30):
+        rows.append((f"a{i}", [5.0, 0.0], "finance stocks market money"))
+        rows.append((f"b{i}", [0.0, 5.0], "code python spark tests"))
+    df = spark.createDataFrame(rows, "doc_id string, embedding array<double>, text string")
+    cents = S.kmeans_train(df, "embedding", "doc_id", k=2, iterations=3, salt="ct")
+    labeled = S.kmeans_assign(df, cents, "embedding")
+    terms = text.cluster_top_terms(labeled, "cluster", top=2).collect()
+    by_c = {}
+    for r in terms:
+        by_c.setdefault(r["cluster"], set()).add(r["term"])
+    assert len(by_c) == 2
+    vocab = [v for v in by_c.values()]
+    assert ({"finance", "stocks", "market", "money"} & vocab[0]) or (
+        {"finance", "stocks", "market", "money"} & vocab[1]
+    )
+    assert not (vocab[0] & vocab[1])  # disjoint labels
+
+    with pytest.raises(ValueError):
+        text.cluster_top_terms(df.withColumn("cluster", F.lit(0)), "cluster", top=0)

@@ -293,3 +293,97 @@ def test_rrf_fuse_validation_and_score_col_inference(spark):
         search.rrf_fuse({"x": df_two})  # ambiguous score column
     out = search.rrf_fuse({"x": df_two}, score_cols={"x": "s"}).collect()
     assert out[0]["rrf_score"] == 1.0 / 61
+
+
+# --- positional index + phrase search ---------------------------------------
+
+PHRASE_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "quick brown dog and a brown fox together"),
+    (3, "the brown fox the brown fox the brown fox"),
+    (4, "fox brown the backwards words"),
+    (5, "quick brown fox"),
+]
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark):
+    df = spark.createDataFrame(PHRASE_DOCS, "doc_id long, text string").repartition(3)
+    return search.bm25_index(df, "doc_id", "text", positions=True)
+
+
+def _py_phrase(phrase, k1=1.2, b=0.75):
+    """Independent phrase-BM25 replica over PHRASE_DOCS."""
+    corpus = {i: t.lower().split() for i, t in PHRASE_DOCS}
+    toks = phrase.lower().split()
+    occ = {}
+    for i, ts in corpus.items():
+        c = sum(
+            1
+            for s in range(len(ts) - len(toks) + 1)
+            if ts[s : s + len(toks)] == toks
+        )
+        if c:
+            occ[i] = c
+    if not occ:
+        return {}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in corpus.values()) / n
+    df_p = len(occ)
+    idf = math.log(1 + (n - df_p + 0.5) / (df_p + 0.5))
+    return {
+        i: (c, idf * c * (k1 + 1) / (c + k1 * (1 - b + b * len(corpus[i]) / avgdl)))
+        for i, c in occ.items()
+    }
+
+
+@pytest.mark.parametrize(
+    "phrase",
+    [
+        "brown fox",               # multi-doc, multi-occurrence
+        "the brown fox",           # leading stopword, repeated in doc 3
+        "quick brown fox",         # 3-gram
+        "fox",                     # single token degenerates to term BM25
+        "the quick brown fox jumps over the lazy dog",  # whole doc, dup token
+        "lazy fox",                # terms present, phrase absent
+        "unicorn fox",             # term absent from index
+    ],
+)
+def test_phrase_topk_matches_replica(pos_index, phrase):
+    got = {
+        r["id"]: (r["tf_phrase"], r["score"])
+        for r in search.phrase_topk(pos_index, phrase, k=10).collect()
+    }
+    want = _py_phrase(phrase)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0], (phrase, i)
+        assert abs(got[i][1] - want[i][1]) < 1e-9, (phrase, i)
+
+
+def test_phrase_single_token_equals_term_bm25(pos_index):
+    ph = {r["id"]: r["score"] for r in search.phrase_topk(pos_index, "brown").collect()}
+    tm = {r["id"]: r["score"] for r in search.bm25_topk(pos_index, "brown").collect()}
+    assert set(ph) == set(tm)
+    for i in ph:
+        assert abs(ph[i] - tm[i]) < 1e-12
+
+
+def test_phrase_validation_and_nonpositional_error(spark, index):
+    with pytest.raises(ValueError):
+        search.phrase_topk(index, "quick brown")  # index has no positions
+    df = spark.createDataFrame(PHRASE_DOCS, "doc_id long, text string")
+    pidx = search.bm25_index(df, "doc_id", "text", positions=True)
+    with pytest.raises(ValueError):
+        search.phrase_topk(pidx, "   ")
+
+
+def test_positional_index_composes_with_term_ops(spark):
+    """A positional index still serves term queries, merge and remove
+    (positions projected away where not needed)."""
+    df = spark.createDataFrame(PHRASE_DOCS, "doc_id long, text string")
+    pidx = search.bm25_index(df, "doc_id", "text", positions=True)
+    out = search.bm25_topk(pidx, "brown fox", k=3).collect()
+    assert len(out) == 3
+    smaller = search.bm25_remove(pidx, [3], id_col="id")
+    assert smaller.n_docs == 4
