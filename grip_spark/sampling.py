@@ -583,6 +583,11 @@ def gumbel_topk(
     a pure function of (salt, id) — reruns, repartitionings, and a SQL
     oracle select the identical set.
 
+    NaN scores would sort FIRST under Spark's descending order (NaN
+    compares greater than everything) and win every draw — scores
+    must be finite (DSIR log-weights are by construction; scrub any
+    externally-computed score column first).
+
     ``exact=True``: orderBy+limit compiles to TakeOrdered
     (per-partition top-n heaps + a driver merge of n rows — no global
     sort; right up to n in the low millions).  ``exact=False`` is the

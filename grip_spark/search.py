@@ -351,6 +351,10 @@ def rrf_fuse(
     ``(id, rrf_score, n_sources)`` sorted by (rrf_score desc, id),
     ``limit(topn)`` if given.
 
+    Inputs must carry UNIQUE ids within each source (retrieval
+    outputs do by construction); a duplicated id would take two ranks
+    in that source and double-vote.
+
     Scale shape: inputs are top-k retrieval OUTPUTS (bounded by
     construction — tens to thousands of rows), so the per-source
     rank window is a single tiny partition and the fuse is one

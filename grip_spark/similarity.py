@@ -1400,10 +1400,27 @@ def kmeans_train(
         new = [list(c) for c in centroids]
         by_cell: dict = {}
         for r in sums:
-            by_cell.setdefault(r["_cell"], [[0.0] * dim, 0])
+            if r["_pos"] >= dim:
+                raise ValueError(
+                    f"kmeans_train: ragged vector widths — found a vector "
+                    f"with >= {r['_pos'] + 1} dims, centroids have {dim} "
+                    "(clean the embedding column first; PCA/PQ have the "
+                    "same consistent-width contract)"
+                )
+            by_cell.setdefault(r["_cell"], [[0.0] * dim, [0] * dim])
             by_cell[r["_cell"]][0][r["_pos"]] = float(r["_sum"])
-            by_cell[r["_cell"]][1] = int(r["_n"])
-        for cell, (s, n) in by_cell.items():
+            by_cell[r["_cell"]][1][r["_pos"]] = int(r["_n"])
+        for cell, (s, ns) in by_cell.items():
+            # a SHORTER-than-dim vector leaves its missing positions
+            # under-counted — the per-position counts expose it (the
+            # cross-partition ragged-width detection PCA also does)
+            if len(set(ns)) > 1:
+                raise ValueError(
+                    "kmeans_train: ragged vector widths — per-dimension "
+                    f"member counts differ within cell {cell} ({min(ns)} "
+                    f"vs {max(ns)}); clean the embedding column first"
+                )
+            n = ns[0]
             if n == 0:
                 continue
             mean = [x / n for x in s]
@@ -1452,13 +1469,21 @@ def kmeans_assign(
         raise ValueError("centroids must be non-empty")
     vec = F.col(vec_col)
     best = _fresh_name("_km_best", df.columns)
-    out = df.withColumn(best, _kmeans_best(vec, centroids, metric)).withColumn(
-        cluster_col, F.col(best)["cell"]
-    )
+    # NULL vectors carry no position: NULL cluster and NULL distance,
+    # never a silent cell-0 assignment (dot(NULL, c) nulls every score
+    # and the struct sort would otherwise pick an arbitrary-but-wrong
+    # first cell; greatest(NULL, 0.0) would likewise fake distance 0)
+    out = df.withColumn(
+        best,
+        F.when(vec.isNotNull(), _kmeans_best(vec, centroids, metric)),
+    ).withColumn(cluster_col, F.col(best)["cell"])
     if dist_col is not None:
         if metric == "l2":
             d2 = norm(vec) * norm(vec) + F.col(best)["score"]
-            out = out.withColumn(dist_col, F.sqrt(F.greatest(d2, F.lit(0.0))))
+            out = out.withColumn(
+                dist_col,
+                F.when(vec.isNotNull(), F.sqrt(F.greatest(d2, F.lit(0.0)))),
+            )
         else:
             # try_divide: a zero-norm vector has no cosine — NULL, not
             # an ANSI divide-by-zero (the shared zero-vector contract)

@@ -233,3 +233,25 @@ def test_kmeans_assign_no_column_clobber(spark):
     out = S.kmeans_assign(df, cents)
     assert "_km_best" in out.columns
     assert out.select("_km_best").distinct().collect()[0][0] == "keep"
+
+
+def test_kmeans_null_vector_gets_null_cluster(spark):
+    """NULL embeddings must surface as NULL cluster/dist, never a
+    silent cell-0 / distance-0 assignment (review finding)."""
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0]), ("n", None)],
+        "vec_id string, embedding array<double>",
+    )
+    cents = S.kmeans_train(df, k=2, iterations=2, salt="x")
+    out = {r["vec_id"]: r for r in S.kmeans_assign(df, cents, dist_col="d").collect()}
+    assert out["n"]["cluster"] is None and out["n"]["d"] is None
+    assert out["a"]["cluster"] is not None and out["a"]["d"] == 0.0
+
+
+def test_kmeans_ragged_widths_raise(spark):
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0, 5.0])],
+        "vec_id string, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        S.kmeans_train(df, k=2, iterations=1, salt="x")
