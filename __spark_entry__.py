@@ -16,8 +16,9 @@ appears to cap the correctness sweep at 50 queries.  This round the
 set is consolidated to 50 without losing operator coverage: the
 condition matrix (`has_conditions`) carries 11 filter conditions as
 labeled rows, `null_traversals` carries inNull/outENull/inENull
-(r7 session 2: `knn_lsh` rides in `sim_topk_ops` and `mark_jump` in
-`jump_ops`, funding the `dsir_sample` and `hybrid_search` slots),
+(r7 session 2: `knn_lsh` rides in `sim_topk_ops`, `mark_jump` in
+`jump_ops`, and `out_2hop` in `hop_counts` — funding the
+`dsir_sample`, `hybrid_search`, and `phrase_search` slots),
 `pagination` carries limit/skip/range, `hop_counts` carries
 out/in/both (folded in r4 to fund `winnow_overlap` and
 `rdf_graph_hop` under the cap), `doc_text_profile` carries the
@@ -800,10 +801,12 @@ def q_scan_counts(spark, sf_dir):
 
 
 def q_hop_counts(spark, sf_dir):
-    """out / in_ / both 1-hop counts as labeled rows (one slot, three
-    adjacency operators — same matrix shape as adjacency_ops; the two
-    slots this consolidation frees fund winnow_overlap + rdf_graph_hop
-    under the driver's 50-query cap)."""
+    """out / in_ / both 1-hop counts as labeled rows PLUS the full
+    2-hop gid multiset as per-row entries (the scan_counts mixed-
+    matrix shape) — the r7-session-2 fold of the standalone
+    `out_2hop` slot, freeing it to fund `phrase_search` under the
+    50-query cap.  Counts ride as strings so the 2-hop gids keep
+    per-row value fidelity in the same schema."""
     specs = [
         ("out_hop", lambda q: q.V().hasLabel("Customer").out("placed")),
         ("in_hop", lambda q: q.V(["p:1"]).in_("contains")),
@@ -815,10 +818,16 @@ def q_hop_counts(spark, sf_dir):
             build(_gq(spark, sf_dir))
             .count()
             .to_df()
-            .select(F.lit(name).alias("op"), F.col("count"))
+            .select(
+                F.lit(name).alias("op"), F.col("count").cast("string").alias("val")
+            )
         )
         out = one if out is None else out.unionByName(one)
-    return out
+    two_hop = (
+        q_out_2hop(spark, sf_dir)
+        .select(F.lit("out_2hop").alias("op"), F.col("gid").alias("val"))
+    )
+    return out.unionByName(two_hop)
 
 
 def q_out_2hop(spark, sf_dir):
@@ -1082,6 +1091,30 @@ def q_hybrid_search(spark, sf_dir):
     return fused.select(
         F.col("id").alias("doc_id"), "rrf_score", "n_sources"
     )
+
+
+PHRASES = [("bi", "table hash"), ("tri", "stream table hash")]
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact-phrase retrieval over a positional BM25 index
+    (search.bm25_index(positions=True) + phrase_topk): top-20 for a
+    bigram and a trigram phrase as a labeled matrix.  tf = consecutive
+    occurrence count via offset-shifted position intersection; score =
+    Okapi with the phrase as one virtual term — the DuckDB oracle
+    recomputes occurrences by sliding-window list comparison and the
+    identical scoring arithmetic (raw doubles, the bm25_search
+    precedent)."""
+    from grip_spark import search
+
+    idx = search.bm25_index(_docs(spark, sf_dir), "doc_id", "text", positions=True)
+    out = None
+    for label, phrase in PHRASES:
+        one = search.phrase_topk(idx, phrase, k=20).select(
+            F.lit(label).alias("phrase"), "id", "tf_phrase", "score"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
 
 
 def q_pagerank(spark, sf_dir):
@@ -1446,8 +1479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # null_traversals — see those matrices)
         "scan_counts": q_scan_counts,  # v_ids rides here since late r4
         "mixture_sample": q_mixture_sample,
-        "hop_counts": q_hop_counts,
-        "out_2hop": q_out_2hop,
+        "hop_counts": q_hop_counts,  # out_2hop rides here since late r7
+        "phrase_search": q_phrase_search,
         "distinct_ops": q_distinct_ops,
         # r5 folds: single+multi select ride as labeled rows; render +
         # set/increment likewise — funding bm25_search and pagerank
@@ -1552,6 +1585,35 @@ SELECT l.doc_id, round(l.logw, 6) AS dsir_logw,
        CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END AS picked
 FROM lw l LEFT JOIN sel s ON l.doc_id = s.doc_id
 """
+
+
+def _phrase_branch_sql(label: str, phrase: str) -> str:
+    toks = phrase.lower().split()
+    m = len(toks)
+    lit = "[" + ", ".join("'" + t + "'" for t in toks) + "]"
+    return (
+        f"SELECT '{label}' AS phrase, id, tf_phrase, score FROM ("
+        r"WITH toks AS (SELECT doc_id, list_filter("
+        r"string_split_regex(lower(trim(text)), '\s+'), x -> x != '') AS tk "
+        r"FROM documents), "
+        r"dl AS (SELECT doc_id, len(tk) AS dl FROM toks WHERE len(tk) > 0), "
+        r"st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl), "
+        f"occ AS (SELECT doc_id, CAST(count(*) AS INT) AS tf_phrase FROM ("
+        f"SELECT doc_id FROM toks, unnest(generate_series(1, len(tk) - {m - 1})) AS u(i) "
+        f"WHERE tk[CAST(i AS INT):CAST(i + {m - 1} AS INT)] = {lit}"
+        r") GROUP BY doc_id), "
+        r"dfp AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM occ) "
+        r"SELECT o.doc_id AS id, o.tf_phrase, "
+        r"ln(1.0 + ((st.n - dfp.d) + 0.5) / (dfp.d + 0.5)) "
+        r"* (o.tf_phrase * 2.2) / (o.tf_phrase + 1.2 * (0.25 + (0.75 * dl.dl) / st.avgdl)) AS score "
+        r"FROM occ o JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN dfp "
+        r"ORDER BY score DESC, id LIMIT 20)"
+    )
+
+
+_PHRASE_SQL = " UNION ALL ".join(
+    _phrase_branch_sql(label, phrase) for label, phrase in PHRASES
+)
 
 
 _HYBRID_SQL = f"""
@@ -2271,6 +2333,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "langid": _LANGID_SQL,
         "dsir_sample": _DSIR_SQL,
+        "phrase_search": _PHRASE_SQL,
         "hybrid_search": _HYBRID_SQL,
         "winnow_overlap": _WINNOW_SQL,
         "rdf_graph_hop": (
@@ -2459,16 +2522,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(unnest(generate_series(0, nc - 1)) AS INT) AS mix_epoch FROM d"
         ),
         "hop_counts": (
-            "SELECT 'out_hop' AS op, count(*) AS count FROM orders o "
+            "SELECT 'out_hop' AS op, CAST(count(*) AS VARCHAR) AS val FROM orders o "
             "JOIN customer c ON o.o_custkey = c.c_custkey "
-            "UNION ALL SELECT 'in_hop', count(*) FROM lineitem l "
+            "UNION ALL SELECT 'in_hop', CAST(count(*) AS VARCHAR) FROM lineitem l "
             "JOIN orders o ON o.o_orderkey = l.l_orderkey WHERE l.l_partkey = 1 "
-            "UNION ALL SELECT 'both', "
+            "UNION ALL SELECT 'both', CAST("
             "(SELECT count(*) FROM lineitem WHERE l_orderkey = 1) + "
-            "(SELECT count(*) FROM orders WHERE o_orderkey = 1)"
-        ),
-        "out_2hop": (
-            "SELECT 'p:' || CAST(l.l_partkey AS VARCHAR) AS gid FROM lineitem l "
+            "(SELECT count(*) FROM orders WHERE o_orderkey = 1) AS VARCHAR) "
+            "UNION ALL SELECT 'out_2hop', 'p:' || CAST(l.l_partkey AS VARCHAR) "
+            "FROM lineitem l "
             "JOIN orders o ON l.l_orderkey = o.o_orderkey "
             "JOIN part p ON p.p_partkey = l.l_partkey WHERE o.o_custkey = 1"
         ),
