@@ -976,3 +976,281 @@ def gif_decode(raw: bytes, max_frames: int | None = None) -> tuple[int, int, lis
         if max_frames is not None and len(frames) >= max_frames:
             break
     return width, height, frames
+
+
+# ---------------------------------------------------------------------------
+# EXIF metadata: extraction + GPS/identity scrubbing for JPEG payloads
+# ---------------------------------------------------------------------------
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+_IFD0_TAGS = {
+    0x010F: "make",
+    0x0110: "model",
+    0x0112: "orientation",
+    0x0131: "software",
+    0x0132: "datetime",
+}
+_EXIF_IFD_TAG = 0x8769
+_GPS_IFD_TAG = 0x8825
+_SUBIFD_TAGS = {0x9003: "datetime_original"}
+
+
+def _jpeg_app1_exif(raw: bytes) -> bytes | None:
+    """The TIFF blob inside the first APP1 Exif segment, or None.
+    Raises ValueError only on structurally-broken JPEG framing."""
+    if len(raw) < 4 or raw[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        while pos < len(raw) and raw[pos] == 0xFF and pos + 1 < len(raw) and raw[pos + 1] == 0xFF:
+            pos += 1  # fill bytes
+        marker = raw[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xDA, 0xD9):  # SOS / EOI: no EXIF past here
+            return None
+        if pos + 4 > len(raw):
+            raise ValueError("truncated segment header")
+        ln = int.from_bytes(raw[pos + 2 : pos + 4], "big")
+        if ln < 2 or pos + 2 + ln > len(raw):
+            raise ValueError("truncated segment")
+        if marker == 0xE1 and raw[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            return raw[pos + 10 : pos + 2 + ln]
+        pos += 2 + ln
+    return None
+
+
+def _tiff_read_ifd(tiff: bytes, off: int, bo: str, want: dict) -> tuple[dict, dict]:
+    """One IFD: returns ({name: value} for tags in `want`,
+    {pointer_tag: offset} for sub-IFD pointers).  Bounds-checked."""
+    out, subs = {}, {}
+    if off + 2 > len(tiff):
+        raise ValueError("IFD offset out of bounds")
+    n = int.from_bytes(tiff[off : off + 2], bo)
+    if n > 512:
+        raise ValueError("implausible IFD entry count")
+    for i in range(n):
+        e = off + 2 + 12 * i
+        if e + 12 > len(tiff):
+            raise ValueError("truncated IFD entry")
+        tag = int.from_bytes(tiff[e : e + 2], bo)
+        typ = int.from_bytes(tiff[e + 2 : e + 4], bo)
+        cnt = int.from_bytes(tiff[e + 4 : e + 8], bo)
+        size = _TIFF_TYPE_SIZE.get(typ)
+        if size is None or cnt > len(tiff):
+            continue  # unknown type / absurd count: skip the entry
+        total = size * cnt
+        voff = e + 8 if total <= 4 else int.from_bytes(tiff[e + 8 : e + 12], bo)
+        if voff + total > len(tiff):
+            continue
+        data = tiff[voff : voff + total]
+        if tag in (_EXIF_IFD_TAG, _GPS_IFD_TAG) and typ == 4 and cnt == 1:
+            subs[tag] = int.from_bytes(data, bo)
+            continue
+        if tag not in want:
+            continue
+        name = want[tag]
+        if typ == 2:  # ASCII, NUL-terminated
+            out[name] = data.split(b"\x00", 1)[0].decode("utf-8", "replace").strip()
+        elif typ in (3, 4, 9):
+            vals = [
+                int.from_bytes(data[j * size : (j + 1) * size], bo, signed=typ == 9)
+                for j in range(cnt)
+            ]
+            out[name] = vals[0] if cnt == 1 else vals
+        elif typ in (5, 10):  # (S)RATIONAL
+            vals = []
+            for j in range(cnt):
+                num = int.from_bytes(data[j * 8 : j * 8 + 4], bo, signed=typ == 10)
+                den = int.from_bytes(data[j * 8 + 4 : j * 8 + 8], bo, signed=typ == 10)
+                vals.append(num / den if den else None)
+            out[name] = vals[0] if cnt == 1 else vals
+    return out, subs
+
+
+def _gps_decimal(coord, ref) -> float | None:
+    if coord is None or ref is None:
+        return None
+    if not isinstance(coord, list):
+        coord = [coord]
+    parts = [c for c in coord if c is not None] + [0.0, 0.0, 0.0]
+    val = parts[0] + parts[1] / 60.0 + parts[2] / 3600.0
+    return -val if str(ref).upper().startswith(("S", "W")) else val
+
+
+def exif_parse(raw: bytes) -> dict:
+    """EXIF fields of a JPEG payload (pure stdlib, bounds-checked):
+    ``{make, model, orientation, software, datetime,
+    datetime_original, gps_lat, gps_lon}`` — keys absent when the tag
+    is absent; ``{}`` when the JPEG simply carries no EXIF.  Raises
+    ``ValueError`` on corrupt framing/TIFF structure (the shared
+    decoder error contract: the corpus stage converts it to a per-row
+    ``err`` tag).  Spec: EXIF 2.3 / TIFF 6.0 (public)."""
+    tiff = _jpeg_app1_exif(raw)
+    if tiff is None:
+        return {}
+    if len(tiff) < 8:
+        raise ValueError("EXIF TIFF header truncated")
+    if tiff[0:2] == b"II":
+        bo = "little"
+    elif tiff[0:2] == b"MM":
+        bo = "big"
+    else:
+        raise ValueError("bad TIFF byte order")
+    if int.from_bytes(tiff[2:4], bo) != 42:
+        raise ValueError("bad TIFF magic")
+    ifd0 = int.from_bytes(tiff[4:8], bo)
+    out, subs = _tiff_read_ifd(tiff, ifd0, bo, _IFD0_TAGS)
+    if _EXIF_IFD_TAG in subs:
+        sub, _ = _tiff_read_ifd(tiff, subs[_EXIF_IFD_TAG], bo, _SUBIFD_TAGS)
+        out.update(sub)
+    if _GPS_IFD_TAG in subs:
+        gps, _ = _tiff_read_ifd(
+            tiff,
+            subs[_GPS_IFD_TAG],
+            bo,
+            {1: "lat_ref", 2: "lat", 3: "lon_ref", 4: "lon"},
+        )
+        lat = _gps_decimal(gps.get("lat"), gps.get("lat_ref"))
+        lon = _gps_decimal(gps.get("lon"), gps.get("lon_ref"))
+        if lat is not None:
+            out["gps_lat"] = lat
+        if lon is not None:
+            out["gps_lon"] = lon
+    return out
+
+
+def jpeg_strip_exif(raw: bytes) -> bytes:
+    """The JPEG with every APP1 Exif segment removed — pixels, JFIF
+    header, quant/huffman tables and entropy data untouched (the
+    decode must be bit-identical; test-pinned).  Raises ValueError on
+    broken framing.  This is the image-side PII scrub: GPS position,
+    capture timestamps and device identity all live in EXIF."""
+    if len(raw) < 4 or raw[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    out = bytearray(raw[0:2])
+    pos = 2
+    while pos < len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        while pos + 1 < len(raw) and raw[pos] == 0xFF and raw[pos + 1] == 0xFF:
+            out.append(0xFF)
+            pos += 1
+        if pos + 2 > len(raw):
+            raise ValueError("truncated marker")
+        marker = raw[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            out += raw[pos : pos + 2]
+            pos += 2
+            continue
+        if marker in (0xDA, 0xD9):  # SOS/EOI: copy the rest verbatim
+            out += raw[pos:]
+            return bytes(out)
+        if pos + 4 > len(raw):
+            raise ValueError("truncated segment header")
+        ln = int.from_bytes(raw[pos + 2 : pos + 4], "big")
+        if ln < 2 or pos + 2 + ln > len(raw):
+            raise ValueError("truncated segment")
+        is_exif = marker == 0xE1 and raw[pos + 4 : pos + 10] == b"Exif\x00\x00"
+        if not is_exif:
+            out += raw[pos : pos + 2 + ln]
+        pos += 2 + ln
+    return bytes(out)
+
+
+EXIF_FIELDS = (
+    "make string, model string, orientation int, software string, "
+    "datetime string, datetime_original string, gps_lat double, "
+    "gps_lon double, has_gps boolean, err string"
+)
+
+
+def exif_extract(df: DataFrame, bin_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """Per-image EXIF metadata as typed columns (Arrow-batched
+    mapInPandas, the decode_image shape): camera make/model,
+    orientation, software, timestamps, GPS decimal degrees +
+    ``has_gps``.  Non-JPEG / corrupt payloads surface a per-row
+    ``err`` tag, never a stage failure.  The curation signals: GPS
+    presence gates a privacy scrub (:func:`exif_scrub`), capture
+    timestamps and device identity feed dedup/provenance."""
+    idt = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {idt}, {EXIF_FIELDS}"
+
+    def _one(b):
+        if b is None:
+            return {"err": "null payload"}
+        try:
+            d = exif_parse(bytes(b))
+        except ValueError as e:
+            return {"err": str(e)}
+        d["has_gps"] = "gps_lat" in d and "gps_lon" in d
+        return d
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [_one(b) for b in pdf[bin_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "make": [r.get("make") for r in rows],
+                    "model": [r.get("model") for r in rows],
+                    "orientation": pd.array(
+                        [r.get("orientation") for r in rows], dtype="Int32"
+                    ),
+                    "software": [r.get("software") for r in rows],
+                    "datetime": [r.get("datetime") for r in rows],
+                    "datetime_original": [r.get("datetime_original") for r in rows],
+                    "gps_lat": pd.array(
+                        [r.get("gps_lat") for r in rows], dtype="Float64"
+                    ),
+                    "gps_lon": pd.array(
+                        [r.get("gps_lon") for r in rows], dtype="Float64"
+                    ),
+                    "has_gps": pd.array(
+                        [r.get("has_gps") for r in rows], dtype="boolean"
+                    ),
+                    "err": [r.get("err") for r in rows],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(_batches, schema=schema)
+
+
+def exif_scrub(
+    df: DataFrame,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+    out_col: str = "payload_scrubbed",
+) -> DataFrame:
+    """The PII scrub: every JPEG payload re-emitted with its APP1 Exif
+    segments removed (GPS, timestamps, device identity); pixel data
+    and decode output are bit-identical (test-pinned).  Non-JPEG
+    payloads pass through UNCHANGED with an ``err`` tag — a corpus
+    scrub must not destroy rows it can't handle."""
+    idt = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {idt}, {out_col} binary, err string"
+
+    def _one(b):
+        if b is None:
+            return None, "null payload"
+        bb = bytes(b)
+        try:
+            return jpeg_strip_exif(bb), None
+        except ValueError as e:
+            return bb, str(e)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pairs = [_one(b) for b in pdf[bin_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    out_col: [p[0] for p in pairs],
+                    "err": [p[1] for p in pairs],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(_batches, schema=schema)

@@ -1,0 +1,192 @@
+"""EXIF extraction + scrubbing (multimodal.exif_parse/extract/scrub).
+
+Fixtures are hand-built TIFF blobs spliced into test-encoder JPEGs —
+both byte orders, inline and offset values, rational GPS — so every
+branch of the parser runs against bytes whose meaning we control.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from grip_spark import multimodal as M
+from tests.jpeg_ref import jpeg_encode
+
+
+def _entry(bo, tag, typ, cnt, value_bytes, heap, heap_base):
+    """One 12-byte IFD entry; long values go to the heap.  Returns
+    (entry_bytes, heap)."""
+    e = struct.pack(bo + "HHI", tag, typ, cnt)
+    if len(value_bytes) <= 4:
+        return e + value_bytes.ljust(4, b"\x00"), heap
+    off = heap_base + len(heap)
+    heap = heap + value_bytes
+    return e + struct.pack(bo + "I", off), heap
+
+
+def build_exif_tiff(order="II", gps=True):
+    """TIFF with IFD0 (Make, Model, Orientation, DateTime, ExifIFD,
+    GPSIFD pointers), Exif sub-IFD (DateTimeOriginal), GPS IFD
+    (rational lat 37°46'30" N, lon 122°25'6" W)."""
+    bo = "<" if order == "II" else ">"
+
+    def pack_rationals(vals):
+        return b"".join(struct.pack(bo + "II", n, d) for n, d in vals)
+
+    # compute layout: header(8) IFD0(2+6*12+4) exif_ifd gps_ifd heap
+    n0 = 6 if gps else 5
+    ifd0_off = 8
+    ifd0_len = 2 + n0 * 12 + 4
+    exif_off = ifd0_off + ifd0_len
+    exif_len = 2 + 1 * 12 + 4
+    gps_off = exif_off + exif_len
+    n_gps = 4
+    gps_len = 2 + n_gps * 12 + 4 if gps else 0
+    heap_base = gps_off + gps_len
+    heap = b""
+
+    make = b"TestCam\x00"
+    model = b"X1\x00"
+    dt = b"2024:05:01 10:00:00\x00"
+    dto = b"2024:05:01 09:59:58\x00"
+
+    entries0 = []
+    e, heap = _entry(bo, 0x010F, 2, len(make), make, heap, heap_base)
+    entries0.append(e)
+    entries0.append(struct.pack(bo + "HHI", 0x0110, 2, len(model)) + model.ljust(4, b"\x00")[:4])
+    entries0.append(struct.pack(bo + "HHI", 0x0112, 3, 1) + struct.pack(bo + "H", 6) + b"\x00\x00")
+    e, heap = _entry(bo, 0x0132, 2, len(dt), dt, heap, heap_base)
+    entries0.append(e)
+    entries0.append(struct.pack(bo + "HHI", 0x8769, 4, 1) + struct.pack(bo + "I", exif_off))
+    if gps:
+        entries0.append(struct.pack(bo + "HHI", 0x8825, 4, 1) + struct.pack(bo + "I", gps_off))
+    ifd0 = struct.pack(bo + "H", n0) + b"".join(sorted(entries0)) + b"\x00" * 4
+
+    e, heap = _entry(bo, 0x9003, 2, len(dto), dto, heap, heap_base)
+    exif_ifd = struct.pack(bo + "H", 1) + e + b"\x00" * 4
+
+    gps_ifd = b""
+    if gps:
+        lat = pack_rationals([(37, 1), (46, 1), (30, 1)])
+        lon = pack_rationals([(122, 1), (25, 1), (6, 1)])
+        ge = []
+        ge.append(struct.pack(bo + "HHI", 1, 2, 2) + b"N\x00\x00\x00")
+        e, heap = _entry(bo, 2, 5, 3, lat, heap, heap_base)
+        ge.append(e)
+        ge.append(struct.pack(bo + "HHI", 3, 2, 2) + b"W\x00\x00\x00")
+        e, heap = _entry(bo, 4, 5, 3, lon, heap, heap_base)
+        ge.append(e)
+        gps_ifd = struct.pack(bo + "H", n_gps) + b"".join(ge) + b"\x00" * 4
+
+    header = order.encode() + struct.pack(bo + "H", 42) + struct.pack(bo + "I", ifd0_off)
+    return header + ifd0 + exif_ifd + gps_ifd + heap
+
+
+def _jpeg_with_exif(order="II", gps=True):
+    img = np.full((16, 16, 3), 128, dtype=np.uint8)
+    base = jpeg_encode(img, quality=90)
+    tiff = build_exif_tiff(order, gps)
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    assert base[:2] == b"\xff\xd8"
+    return base[:2] + app1 + base[2:], base
+
+
+@pytest.mark.parametrize("order", ["II", "MM"])
+def test_exif_parse_both_byte_orders(order):
+    jpg, _ = _jpeg_with_exif(order)
+    d = M.exif_parse(jpg)
+    assert d["make"] == "TestCam"
+    assert d["model"] == "X1"
+    assert d["orientation"] == 6
+    assert d["datetime"] == "2024:05:01 10:00:00"
+    assert d["datetime_original"] == "2024:05:01 09:59:58"
+    assert abs(d["gps_lat"] - (37 + 46 / 60 + 30 / 3600)) < 1e-9
+    assert abs(d["gps_lon"] - -(122 + 25 / 60 + 6 / 3600)) < 1e-9
+
+
+def test_exif_parse_no_exif_and_no_gps():
+    img = np.full((8, 8, 3), 200, dtype=np.uint8)
+    assert M.exif_parse(jpeg_encode(img)) == {}
+    jpg, _ = _jpeg_with_exif("II", gps=False)
+    d = M.exif_parse(jpg)
+    assert d["make"] == "TestCam" and "gps_lat" not in d
+
+
+def test_exif_parse_corrupt_raises_valueerror_only():
+    jpg, _ = _jpeg_with_exif()
+    for mutant in (
+        b"\x00" + jpg[1:],                      # no SOI
+        jpg[:12] + b"ZZ" + jpg[14:],            # bad TIFF byte order
+        #   (SOI 2 + APP1 marker 2 + len 2 + "Exif\0\0" 6 = TIFF at 12)
+        jpg[:20],                               # truncated segment
+    ):
+        with pytest.raises(ValueError):
+            M.exif_parse(mutant)
+
+
+def test_strip_exif_preserves_decode_exactly():
+    from grip_spark.jpeg import jpeg_decode
+
+    jpg, base = _jpeg_with_exif()
+    stripped = M.jpeg_strip_exif(jpg)
+    assert M.exif_parse(stripped) == {}           # EXIF gone
+    assert b"TestCam" not in stripped
+    assert jpeg_decode(stripped) == jpeg_decode(base)  # pixels identical
+    # idempotent, and a no-EXIF jpeg passes through byte-identical
+    assert M.jpeg_strip_exif(stripped) == stripped
+    assert M.jpeg_strip_exif(base) == base
+
+
+def test_exif_extract_and_scrub_stages(spark):
+    jpg, base = _jpeg_with_exif()
+    rows = [
+        (1, bytearray(jpg)),
+        (2, bytearray(base)),
+        (3, bytearray(b"not a jpeg at all")),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in M.exif_extract(df).collect()}
+    assert got[1]["make"] == "TestCam" and got[1]["has_gps"] is True
+    assert abs(got[1]["gps_lat"] - 37.775) < 0.01
+    assert got[2]["make"] is None and got[2]["err"] is None
+    assert got[3]["err"] is not None and got[4]["err"] == "null payload"
+
+    sc = {r["doc_id"]: r for r in M.exif_scrub(df).collect()}
+    assert M.exif_parse(bytes(sc[1]["payload_scrubbed"])) == {}
+    assert sc[1]["err"] is None
+    assert bytes(sc[2]["payload_scrubbed"]) == bytes(base)
+    # non-JPEG passes through unchanged, tagged
+    assert bytes(sc[3]["payload_scrubbed"]) == b"not a jpeg at all"
+    assert sc[3]["err"] is not None
+    assert sc[4]["payload_scrubbed"] is None and sc[4]["err"] == "null payload"
+
+
+def test_exif_parse_and_strip_mutation_fuzz():
+    """The shared decoder error contract: corrupt inputs raise only
+    ValueError (never IndexError/struct.error/OverflowError escapes),
+    and jpeg_strip_exif either raises ValueError or returns bytes."""
+    import random
+
+    jpg, _ = _jpeg_with_exif()
+    rng = random.Random(4321)
+    for _ in range(600):
+        b = bytearray(jpg)
+        for _ in range(rng.randrange(1, 4)):
+            if len(b) < 4:
+                break
+            op = rng.randrange(3)
+            if op == 0:
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            elif op == 1:
+                del b[rng.randrange(1, len(b)):]
+            else:
+                pos = rng.randrange(len(b))
+                b[pos:pos] = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 5)))
+        for fn in (M.exif_parse, M.jpeg_strip_exif):
+            try:
+                fn(bytes(b))
+            except ValueError:
+                pass  # the documented failure mode
