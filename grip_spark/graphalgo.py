@@ -1179,3 +1179,182 @@ def modularity(
         ).alias("q")
     ).first()
     return float(row["q"]) if row["q"] is not None else 0.0
+
+
+# ---------------------------------------------------------------------------
+# HyperBall: approximate neighborhood function / effective diameter
+# ---------------------------------------------------------------------------
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def _hll_est_expr(regs, p: int):
+    """Column expression = sketch.hll_estimate over a dense register
+    ARRAY (index = bucket, 0 = empty): bias-corrected harmonic mean +
+    the linear-counting small-range correction, fold order identical
+    to the driver estimator so the two agree bit-for-bit."""
+    m = 1 << p
+    s = F.aggregate(
+        regs, F.lit(0.0), lambda acc, r: acc + F.pow(F.lit(2.0), -r.cast("double"))
+    )
+    zeros = F.size(F.filter(regs, lambda r: r == 0))
+    raw = F.lit(_hll_alpha(m) * m * m) / s
+    return F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+
+
+def hyperball(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    p: int = 8,
+    max_depth: int = 32,
+    salt: str = "hb",
+    node_estimates: bool = False,
+):
+    """HyperBall (Boldi & Vigna, 2011): the approximate neighborhood
+    function of a directed graph — ``N(t)`` = number of (u, v) pairs
+    with ``d(u → v) ≤ t`` — via one HyperLogLog counter per node,
+    advanced one radius per round.  The algorithm behind the
+    "four degrees of separation" Facebook measurement and Common
+    Crawl's distance statistics; distance distribution, average
+    distance, and effective diameter all read off ``N(t)``.
+
+    Returns a driver list ``[(t, N(t)), ...]`` for t = 0..T where T is
+    the radius at which every counter converged (exactly the graph's
+    directed diameter) or ``max_depth``.  With
+    ``node_estimates=True`` returns ``(nf, regs_df)`` where
+    ``regs_df(id, est)`` is each node's reachable-set estimate at T —
+    the closeness/coverage signal.
+
+    Mechanics: node v starts with the register array of ``{v}`` (the
+    :func:`grip_spark.sketch.hll_build` hash/bucket/rho family —
+    replica-testable via ``dedup.xxhash64_py``); round t updates
+    ``B(v) ← max(B(v), B(w)) ∀ v→w`` element-wise, so after t rounds
+    v's counter holds the HLL of its radius-t out-ball.  Union is
+    register max — the whole round is one equi-join (edges × counters
+    on dst) + one (node, bucket)-keyed max + regroup, all map-side
+    combined; counters are 2^p ints per node (p=8 → ~6.5% σ, 256
+    ints).  Convergence is exact: registers are monotone, so a round
+    with an unchanged global rho-sum means EVERY counter is stable
+    and N(t) has reached its limit.  Per-round shuffle: edges × 2^p
+    exploded register rows — pick p for the accuracy/traffic trade
+    (the paper runs p=6..12 at web scale).
+
+    Reference basis: none (the reference has no analytics surface);
+    Phase-7 extension next to pagerank/harmonic (SURVEY §7).
+    """
+    if not 4 <= p <= 12:
+        raise ValueError(f"p must be in [4, 12] (2^p ints per node), got {p}")
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    m = 1 << p
+    spark = edges.sparkSession
+    ckpt = _checkpointer(spark)
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("_src").alias("id"))
+        .unionByName(e.select(F.col("_dst").alias("id")))
+        .distinct()
+    )
+    # init: the register array of {v} — same hash family as hll_build
+    key = F.col("id").cast("string")
+    h = F.xxhash64(F.concat(F.lit(salt + ":"), key))
+    bucket = F.shiftrightunsigned(h, 64 - p)
+    w = F.shiftleft(h, p)
+    rho = F.when(w == 0, F.lit(64 - p + 1)).otherwise(
+        F.instr(F.lpad(F.bin(w), 64, "0"), "1")
+    )
+    regs = ckpt(
+        nodes.select(
+            "id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda i: F.when(i == bucket.cast("int"), rho.cast("int")).otherwise(
+                    F.lit(0)
+                ),
+            ).alias("regs"),
+        )
+    )
+
+    def _nf(r):
+        return float(
+            r.select(F.sum(_hll_est_expr(F.col("regs"), p)).alias("s")).first()["s"]
+        )
+
+    def _rho_sum(r):
+        return int(
+            r.select(
+                F.sum(
+                    F.aggregate(
+                        "regs", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+                    )
+                ).alias("s")
+            ).first()["s"]
+        )
+
+    nf = [(0, _nf(regs))]
+    last_sum = _rho_sum(regs)
+    for t in range(1, max_depth + 1):
+        # ship dst counters to src, element-wise max with own counter
+        msgs = e.join(regs, e["_dst"] == regs["id"]).select(
+            F.col("_src").alias("id"), "regs"
+        )
+        both = regs.unionByName(msgs).select(
+            "id", F.posexplode("regs").alias("pos", "val")
+        )
+        merged = (
+            both.groupBy("id", "pos")
+            .agg(F.max("val").alias("val"))
+            .groupBy("id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s["val"],
+                ).alias("regs")
+            )
+        )
+        regs = ckpt(merged)
+        cur_sum = _rho_sum(regs)
+        if cur_sum == last_sum:
+            break  # every counter stable: N(t) = N(t-1) = the limit
+        last_sum = cur_sum
+        nf.append((t, _nf(regs)))
+    if node_estimates:
+        return nf, regs.select("id", _hll_est_expr(F.col("regs"), p).alias("est"))
+    return nf
+
+
+def effective_diameter(nf, q: float = 0.9) -> float:
+    """Effective diameter at quantile ``q`` from a neighborhood
+    function ``[(t, N(t)), ...]``: the interpolated radius t at which
+    ``N(t)`` reaches ``q * N(T)`` (Boldi & Vigna's convention —
+    fractional via linear interpolation between the straddling
+    radii)."""
+    if not 0 < q <= 1:
+        raise ValueError(f"q must be in (0, 1], got {q}")
+    if not nf:
+        raise ValueError("empty neighborhood function")
+    target = q * nf[-1][1]
+    prev_t, prev_n = nf[0]
+    if prev_n >= target:
+        return float(prev_t)
+    for t, n in nf[1:]:
+        if n >= target:
+            if n == prev_n:
+                return float(t)
+            return prev_t + (target - prev_n) / (n - prev_n) * (t - prev_t)
+        prev_t, prev_n = t, n
+    return float(nf[-1][0])

@@ -1,0 +1,119 @@
+"""HyperBall (graphalgo.hyperball / effective_diameter): register-
+exact replica pin via the shared xxhash64 family, accuracy vs the
+exact neighborhood function, convergence at the graph diameter."""
+
+import math
+
+import pytest
+
+from grip_spark import graphalgo as G
+from grip_spark.dedup import xxhash64_py
+
+
+def py_init_regs(node, p, salt="hb"):
+    m = 1 << p
+    h = xxhash64_py(f"{salt}:{node}") & 0xFFFFFFFFFFFFFFFF
+    bucket = h >> (64 - p)
+    w = (h << p) & 0xFFFFFFFFFFFFFFFF
+    if w == 0:
+        rho = 64 - p + 1
+    else:
+        rho = 1 + (64 - w.bit_length())  # leading zeros of the 64-bit word + 1
+    regs = [0] * m
+    regs[bucket] = rho
+    return regs
+
+
+def py_hyperball(edges, p, salt="hb", max_depth=32):
+    """Exact replica: per-node register arrays advanced by element-wise
+    max over out-neighbors."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    out = {}
+    for u, v in edges:
+        out.setdefault(u, set()).add(v)
+    regs = {n: py_init_regs(n, p, salt) for n in nodes}
+    hist = [dict((n, list(r)) for n, r in regs.items())]
+    for _ in range(max_depth):
+        new = {n: list(r) for n, r in regs.items()}
+        for u in nodes:
+            for v in out.get(u, ()):
+                new[u] = [max(a, b) for a, b in zip(new[u], regs[v])]
+        if new == regs:
+            break
+        regs = new
+        hist.append(dict((n, list(r)) for n, r in regs.items()))
+    return hist
+
+
+def py_est(regs):
+    m = len(regs)
+    p = m.bit_length() - 1
+    alpha = G._hll_alpha(m)
+    s = 0.0
+    for r in regs:
+        s += 2.0 ** -r
+    est = alpha * m * m / s
+    zeros = sum(1 for r in regs if r == 0)
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est
+
+
+EDGES = [
+    ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),   # chain
+    ("a", "c"),                                        # shortcut
+    ("x", "a"), ("y", "x"),                            # feeder tail
+]
+
+
+def test_hyperball_matches_register_replica(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    nf, est_df = G.hyperball(df, p=6, salt="hb", node_estimates=True)
+    hist = py_hyperball(EDGES, p=6, salt="hb")
+    # per-depth N(t): sum of per-node estimates from IDENTICAL registers
+    assert len(nf) == len(hist)
+    for (t, n), regs in zip(nf, hist):
+        want = sum(py_est(r) for r in regs.values())
+        assert abs(n - want) < 1e-6, t
+    # final per-node estimates bit-for-bit (same registers, same fold)
+    got = {r["id"]: r["est"] for r in est_df.collect()}
+    for node, regs in hist[-1].items():
+        assert got[node] == pytest.approx(py_est(regs), abs=1e-12), node
+
+
+def test_hyperball_converges_at_diameter_and_accuracy(spark):
+    # directed path 0->1->...->9: diameter 9, N(t) exact
+    edges = [(str(i), str(i + 1)) for i in range(9)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    nf = G.hyperball(df, p=10, salt="acc")
+    assert nf[-1][0] == 9  # stabilized exactly at the diameter
+    # exact N(t) = sum over nodes of |ball(v, t)| = sum_v min(t+1, 10-v)
+    for t, est in nf:
+        exact = sum(min(t + 1, 10 - v) for v in range(10))
+        assert abs(est - exact) / exact < 0.2, (t, est, exact)
+    # effective diameter: q=1.0 -> the true diameter; q=0.5 inside it
+    assert G.effective_diameter(nf, 1.0) == 9.0
+    assert 0 < G.effective_diameter(nf, 0.5) < 9
+
+
+def test_effective_diameter_interpolation():
+    nf = [(0, 10.0), (1, 55.0), (2, 100.0)]
+    assert G.effective_diameter(nf, 1.0) == 2.0
+    # target 50 sits between t=0 (10) and t=1 (55): 0 + 40/45
+    assert abs(G.effective_diameter(nf, 0.5) - 40 / 45) < 1e-12
+    assert G.effective_diameter(nf, 0.05) == 0.0  # reached at t=0
+    with pytest.raises(ValueError):
+        G.effective_diameter(nf, 0.0)
+    with pytest.raises(ValueError):
+        G.effective_diameter([], 0.9)
+
+
+def test_hyperball_validation(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    with pytest.raises(ValueError):
+        G.hyperball(df, p=3)
+    with pytest.raises(ValueError):
+        G.hyperball(df, max_depth=-1)
+    # max_depth=0: just the t=0 row (every node counts itself)
+    nf = G.hyperball(df, p=8, max_depth=0)
+    assert len(nf) == 1 and abs(nf[0][1] - 7) / 7 < 0.2
