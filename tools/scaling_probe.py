@@ -769,11 +769,26 @@ def _graph_probe(spark):
         t_q, _ = best_of(
             lambda: search.bm25_topk(idx, "vector join customer", k=20).collect()
         )
+        # r7 session 2: HyperBall at 3 radii (per-round work ~ edges x
+        # 2^p register rows — must scale ~k) and phrase search (the
+        # positional index build ~k; the phrase QUERY touches only its
+        # terms' posting lists and must stay ~flat like bm25_query)
+        t_hb, nf = best_of(
+            lambda: graphalgo.hyperball(e, p=6, max_depth=3), reps=1
+        )
+        t_pidx, pidx = best_of(
+            lambda: search.bm25_index(d, "doc_id", "text", positions=True), reps=1
+        )
+        t_ph, _ = best_of(
+            lambda: search.phrase_topk(pidx, "table hash", k=20).collect()
+        )
         print(
             f"{k}x: edges={ne} nodes={nn} docs={nd} | pagerank5 {t_pr:.1f}s | "
             f"jump3_bfs {t_jump:.1f}s ({n_jump} rows) | "
             f"walks4 {t_walk:.1f}s ({n_walk}) | harmonic16 {t_harm:.1f}s ({n_harm}) | "
-            f"bm25_index {t_idx:.1f}s | bm25_query {t_q:.2f}s",
+            f"bm25_index {t_idx:.1f}s | bm25_query {t_q:.2f}s | "
+            f"hyperball_d3_p6 {t_hb:.1f}s (nf3={nf[-1][1]:.0f}) | "
+            f"pos_index {t_pidx:.1f}s | phrase_query {t_ph:.2f}s",
             flush=True,
         )
         e.unpersist()
