@@ -1288,6 +1288,8 @@ def hyperball(
             ).alias("regs"),
         )
     )
+    if regs.limit(1).count() == 0:
+        raise ValueError("hyperball: empty edge table (no nodes)")
 
     def _nf(r):
         return float(

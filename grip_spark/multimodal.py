@@ -1186,6 +1186,19 @@ def exif_extract(df: DataFrame, bin_col: str = "payload", id_col: str = "doc_id"
             d = exif_parse(bytes(b))
         except ValueError as e:
             return {"err": str(e)}
+        # schema hardening: a structurally-valid but odd IFD can carry
+        # a multi-count SHORT (orientation as a list) — the typed
+        # columns take scalars only, so non-scalars drop rather than
+        # kill the Arrow conversion for the whole batch
+        o = d.get("orientation")
+        if o is not None and not isinstance(o, int):
+            d["orientation"] = o[0] if o and isinstance(o[0], int) else None
+        for k in ("make", "model", "software", "datetime", "datetime_original"):
+            if k in d and not isinstance(d[k], str):
+                d.pop(k)
+        for k in ("gps_lat", "gps_lon"):
+            if k in d and not isinstance(d[k], float):
+                d.pop(k)
         d["has_gps"] = "gps_lat" in d and "gps_lon" in d
         return d
 

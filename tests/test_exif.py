@@ -190,3 +190,23 @@ def test_exif_parse_and_strip_mutation_fuzz():
                 fn(bytes(b))
             except ValueError:
                 pass  # the documented failure mode
+
+
+def test_exif_extract_tolerates_list_valued_orientation(spark):
+    """A structurally-valid IFD with a multi-count SHORT orientation
+    must not kill the Arrow batch (review finding): the first scalar
+    is taken."""
+    img = np.full((8, 8, 3), 90, dtype=np.uint8)
+    base = jpeg_encode(img)
+    bo = "<"
+    # IFD0 with one entry: orientation SHORT count=2 values (3, 1)
+    entry = struct.pack(bo + "HHI", 0x0112, 3, 2) + struct.pack(bo + "HH", 3, 1)
+    ifd0 = struct.pack(bo + "H", 1) + entry + b"\x00" * 4
+    tiff = b"II" + struct.pack(bo + "H", 42) + struct.pack(bo + "I", 8) + ifd0
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    jpg = base[:2] + app1 + base[2:]
+    assert M.exif_parse(jpg)["orientation"] == [3, 1]  # parser: raw truth
+    df = spark.createDataFrame([(1, bytearray(jpg))], "doc_id long, payload binary")
+    row = M.exif_extract(df).collect()[0]
+    assert row["orientation"] == 3 and row["err"] is None

@@ -117,3 +117,9 @@ def test_hyperball_validation(spark):
     # max_depth=0: just the t=0 row (every node counts itself)
     nf = G.hyperball(df, p=8, max_depth=0)
     assert len(nf) == 1 and abs(nf[0][1] - 7) / 7 < 0.2
+
+
+def test_hyperball_empty_graph_raises(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    with pytest.raises(ValueError, match="empty"):
+        G.hyperball(df, p=6)
