@@ -3,6 +3,7 @@ engine's cleaning / filtering / dedup / mixing / splitting stages in
 the order the public pipelines run them (C4 → Gopher/CCNet →
 RefinedWeb-style):
 
+0. optional HTML extraction (raw web input)       text.strip_html
 1. line-level cleaning (C4 line rules)            text.line_filter
 2. heuristic quality + language filters           text.quality_score,
                                                   text.detect_language
@@ -13,7 +14,10 @@ RefinedWeb-style):
    canonical doc per cluster)                     attach_components
 6. domain mixture to a token budget               sampling.temperature_shares,
                                                   mixture_sample
-7. train/val split                                sampling.split_assign
+7. optional DSIR target-matched selection         text.dsir_model/
+                                                  dsir_logweight +
+                                                  sampling.gumbel_topk
+8. train/val split                                sampling.split_assign
 
 Every stage is individually exposed and tested; this module only
 SEQUENCES them (no new distributed logic), returns the surviving
@@ -40,9 +44,12 @@ def build_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     *,
+    html_col: str | None = None,
     min_quality: float | None = 0.3,
     languages: tuple[str, ...] | None = ("en",),
     line_rules: bool = True,
+    dsir_target: DataFrame | None = None,
+    dsir_n: int | None = None,
     perplexity_floor: float | None = None,
     fuzzy_threshold: float | None = 0.8,
     mixture: dict[str, float] | float | None = None,
@@ -68,6 +75,14 @@ def build_corpus(
     temperature alpha (float) for mass^alpha shares over
     ``domain_col``; ``splits`` — deterministic split assignment.
 
+    ``html_col`` — when the input is raw web HTML, extract text from
+    that column first (:func:`grip_spark.text.strip_html` — the
+    extracted text lands in ``text_col`` and feeds every later
+    stage).  ``dsir_target`` + ``dsir_n`` — after dedup/mixture,
+    select ``dsir_n`` documents matched to the target corpus's
+    distribution by DSIR importance resampling (Xie et al. 2023;
+    deterministic Gumbel top-n, its own salt).
+
     ``token_budget`` is measured in whatever ``size_col`` counts; when
     a budget is given without ``size_col``, a whitespace ``n_tokens``
     column is computed first so the budget really is tokens (without
@@ -83,6 +98,8 @@ def build_corpus(
             "pass mixture= (shares dict or temperature alpha) as well, or "
             "the corpus would come back uncapped"
         )
+    if (dsir_target is None) != (dsir_n is None):
+        raise ValueError("dsir_target and dsir_n come together (both or neither)")
     out = docs
     rep: list[dict] = []
     cached: list = []
@@ -100,6 +117,11 @@ def build_corpus(
             cached.append(out)
 
     mark("input")
+    if html_col is not None:
+        out = text.strip_html(out, html_col=html_col, out_col=text_col).filter(
+            F.col(text_col).isNotNull() & (F.col(text_col) != "")
+        )
+        mark("html_extract")
     if line_rules:
         out = text.line_filter(out, text_col=text_col)
         out = (
@@ -165,6 +187,18 @@ def build_corpus(
             total=token_budget, size_col=size_col, salt=f"{salt}:mix",
         )
         mark("mixture")
+    if dsir_target is not None:
+        w = text.dsir_model(dsir_target, out, text_col=text_col)
+        scored = text.dsir_logweight(out, w, text_col=text_col)
+        picked = sampling.gumbel_topk(
+            scored.filter(F.col("dsir_logw").isNotNull()),
+            "dsir_logw",
+            dsir_n,
+            id_col,
+            salt=f"{salt}:dsir",
+        ).select(id_col)
+        out = out.join(picked, id_col, "left_semi")
+        mark("dsir_select")
     if splits is not None:
         out = sampling.split_assign(out, id_col, splits, salt=f"{salt}:split")
         mark("splits")

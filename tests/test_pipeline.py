@@ -166,3 +166,48 @@ def test_export_shards_reproducible(spark, docs, tmp_path_factory):
         assert ra == rb and ra
     with pytest.raises(ValueError):
         sampling.export_shards(docs, "doc_id", d1, n_shards=0)
+
+
+def test_build_corpus_html_and_dsir_stages(spark):
+    """The r7 session-2 stages: raw-HTML input extracts first (stage
+    zero) and DSIR selection keeps target-matched docs, both visible
+    in the stage report."""
+    from grip_spark import pipeline
+
+    # unique texts: the always-on exact-dedup stage would collapse
+    # identical fixtures to one row per class
+    mk = "<p>{} variant {} makes this sentence long enough to survive every rule.</p>"
+    rows = []
+    for i in range(30):
+        topic = "brown fox jumps lazily" if i % 2 == 0 else "stock market falls hard"
+        rows.append((i, mk.format(topic, i), "src0"))
+    rows.append((100, "<script>var x=1;</script>", "src0"))  # extracts to empty
+    docs = spark.createDataFrame(rows, "doc_id long, html string, source string")
+    target = spark.createDataFrame(
+        [("the brown fox jumps lazily over the brown fox",)], "text string"
+    )
+    out, rep = pipeline.build_corpus(
+        docs,
+        html_col="html",
+        min_quality=None,
+        languages=None,
+        fuzzy_threshold=None,
+        dsir_target=target,
+        dsir_n=8,
+        splits={"train": 0.9, "val": 0.1},
+    )
+    stages = [r["stage"] for r in rep]
+    assert "html_extract" in stages and "dsir_select" in stages
+    got = out.collect()
+    assert len(got) == 8
+    # no tags survive extraction; fox docs dominate the DSIR pick
+    assert all("<" not in r["text"] for r in got)
+    n_fox = sum(1 for r in got if "fox" in r["text"])
+    assert n_fox >= 6
+    # the script-only doc extracted to empty and never reached selection
+    assert all(r["doc_id"] != 100 for r in got)
+    # dsir knobs must come together
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        pipeline.build_corpus(docs, html_col="html", dsir_n=5)
