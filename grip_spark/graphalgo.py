@@ -1360,3 +1360,128 @@ def effective_diameter(nf, q: float = 0.9) -> float:
             return prev_t + (target - prev_n) / (n - prev_n) * (t - prev_t)
         prev_t, prev_n = t, n
     return float(nf[-1][0])
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components (coloring algorithm)
+# ---------------------------------------------------------------------------
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 50,
+    max_depth: int = 100,
+) -> DataFrame:
+    """SCCs of a directed graph → ``(id, scc)`` with ``scc`` = the
+    minimum node id of the component (deterministic, the
+    connected-components convention) — the coloring algorithm (Orzan
+    2004 / the Slota et al. color-propagation family):
+
+    Repeat over the still-unassigned subgraph: (1) FORWARD min-id
+    propagation to fixpoint — ``color(v)`` = the smallest active id
+    that reaches v; a node whose color is its own id is a *root*.
+    (2) BACKWARD BFS from every root simultaneously, restricted to
+    nodes of that root's color: a reached node u satisfies both
+    "root reaches u" (the color) and "u reaches root" (the backward
+    walk), so it is in the root's SCC — assign and peel.  Every round
+    settles every root's entire SCC (trivially all source-SCCs of the
+    condensation), so rounds ≤ the condensation's longest chain.
+
+    Scale shape: both inner loops are frontier equi-joins + node-sized
+    min-aggregations, checkpointed per step (the pagerank/_power_loop
+    discipline); the active edge set shrinks monotonically via
+    semi-joins.  Like hash-min WCC, a long CHAIN condensation is the
+    adversarial case (rounds = chain length — the documented
+    ``max_rounds`` cap raises rather than returning a partial
+    labeling); web-shaped graphs settle in a handful of rounds
+    because each round peels at least every source SCC.
+
+    Reference basis: none (no analytics surface in the reference);
+    Phase-7 extension next to the WCC clustering in dedup.py.
+    """
+    spark = edges.sparkSession
+    ckpt = _checkpointer(spark)
+    e_all = ckpt(
+        edges.select(
+            F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+        ).distinct()
+    )
+    active = ckpt(
+        e_all.select(F.col("_src").alias("id"))
+        .unionByName(e_all.select(F.col("_dst").alias("id")))
+        .distinct()
+    )
+    assigned = None
+    for _ in range(max_rounds):
+        if active.limit(1).count() == 0:
+            break
+        e = ckpt(
+            e_all.join(active.withColumnRenamed("id", "_src"), "_src", "left_semi")
+            .join(active.withColumnRenamed("id", "_dst"), "_dst", "left_semi")
+        )
+        # (1) forward min-id propagation to fixpoint
+        colors = ckpt(active.select("id", F.col("id").alias("color")))
+        for _d in range(max_depth):
+            pushed = (
+                e.join(colors, e["_src"] == colors["id"])
+                .select(F.col("_dst").alias("id"), "color")
+            )
+            new = ckpt(
+                colors.unionByName(pushed)
+                .groupBy("id")
+                .agg(F.min("color").alias("color"))
+            )
+            changed = (
+                new.join(colors.withColumnRenamed("color", "_old"), "id")
+                .filter(F.col("color") != F.col("_old"))
+                .limit(1)
+                .count()
+            )
+            colors = new
+            if changed == 0:
+                break
+        else:
+            raise ValueError(
+                f"scc: forward coloring did not converge in {max_depth} "
+                "steps — raise max_depth (graph diameter exceeds it)"
+            )
+        # (2) backward BFS from all roots within their color class
+        member = ckpt(
+            colors.filter(F.col("id") == F.col("color")).select(
+                "id", F.col("color").alias("scc")
+            )
+        )
+        frontier = member
+        for _d in range(max_depth):
+            # traverse v -> u over edge u -> v, staying in the color class
+            preds = (
+                e.join(frontier.withColumnRenamed("id", "_dst"), "_dst")
+                .select(F.col("_src").alias("id"), "scc")
+                .join(colors.withColumnRenamed("color", "_c"), "id")
+                .filter(F.col("scc") == F.col("_c"))
+                .select("id", "scc")
+                .join(member, "id", "left_anti")
+                .distinct()
+            )
+            preds = ckpt(preds)
+            if preds.limit(1).count() == 0:
+                break
+            member = ckpt(member.unionByName(preds))
+            frontier = preds
+        else:
+            raise ValueError(
+                f"scc: backward sweep did not converge in {max_depth} steps"
+            )
+        assigned = member if assigned is None else ckpt(assigned.unionByName(member))
+        active = ckpt(active.join(member, "id", "left_anti"))
+    else:
+        if active.limit(1).count() > 0:
+            raise ValueError(
+                f"scc: {active.count()} nodes unassigned after {max_rounds} "
+                "rounds — the condensation chain exceeds max_rounds; raise it"
+            )
+    if assigned is None:  # empty edge table: no nodes, empty result
+        return active.select("id", F.col("id").alias("scc")).limit(0)
+    return assigned

@@ -123,3 +123,121 @@ def test_hyperball_empty_graph_raises(spark):
     df = spark.createDataFrame([], "src string, dst string")
     with pytest.raises(ValueError, match="empty"):
         G.hyperball(df, p=6)
+
+
+# --- strongly connected components (coloring) --------------------------------
+
+
+def py_tarjan(edges):
+    """Iterative Tarjan over the edge list → {node: min-id-of-scc}."""
+    adj = {}
+    nodes = set()
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        nodes.add(u)
+        nodes.add(v)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    sccs = []
+    counter = [0]
+
+    def strongconnect(start):
+        work = [(start, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj.get(v, []))):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                sccs.append(comp)
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+
+    for n in sorted(nodes):
+        if n not in index:
+            strongconnect(n)
+    out = {}
+    for comp in sccs:
+        m = min(comp)
+        for n in comp:
+            out[n] = m
+    return out
+
+
+def _scc_spark(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {
+        r["id"]: r["scc"]
+        for r in G.strongly_connected_components(df, **kw).collect()
+    }
+
+
+def test_scc_structures(spark):
+    # one 3-cycle, one 2-cycle, a DAG bridge, a self-loop, an isolate-ish tail
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),       # scc {a,b,c}
+        ("p", "q"), ("q", "p"),                   # scc {p,q}
+        ("c", "p"),                               # bridge (condensation edge)
+        ("s", "s"),                               # self-loop singleton
+        ("t", "a"),                               # DAG tail singleton
+    ]
+    got = _scc_spark(spark, edges)
+    assert got == py_tarjan(edges)
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["p"] == got["q"] == "p"
+    assert got["s"] == "s" and got["t"] == "t"
+
+
+def test_scc_random_digraphs_match_tarjan(spark):
+    import random
+
+    rng = random.Random(99)
+    for trial in range(3):
+        n = 14
+        edges = list(
+            {
+                (f"n{rng.randrange(n):02d}", f"n{rng.randrange(n):02d}")
+                for _ in range(26)
+            }
+        )
+        got = _scc_spark(spark, edges)
+        assert got == py_tarjan(edges), (trial, sorted(edges))
+
+
+def test_scc_chain_condensation_cap(spark):
+    # pure DAG chain: every node a singleton SCC, condensation = chain
+    edges = [(f"v{i}", f"v{i+1}") for i in range(6)]
+    got = _scc_spark(spark, edges, max_rounds=10)
+    assert got == {f"v{i}": f"v{i}" for i in range(7)}
+    with pytest.raises(ValueError, match="max_rounds"):
+        _scc_spark(spark, edges, max_rounds=2)
+
+
+def test_scc_empty(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert G.strongly_connected_components(df).count() == 0
