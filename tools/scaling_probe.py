@@ -639,6 +639,20 @@ def _widegraph_probe(spark, n_vertices: int = 1_000_000, n_edges: int = 10_000_0
             edges, n_sources=16, max_depth=4
         ).count(),
     )
+    # r7 session 2: SCC at 10M edges (a uniform random ~10-out-degree
+    # digraph is one giant SCC + small periphery, condensation depth
+    # ~log n — the friendly case; the chain cap is tested elsewhere)
+    # and two HyperBall radii (per-round traffic = edges x 2^p rows)
+    t(
+        "scc (coloring)",
+        lambda: graphalgo.strongly_connected_components(
+            edges, max_rounds=10, max_depth=40
+        ).count(),
+    )
+    t(
+        "hyperball (p=5, 2 radii)",
+        lambda: graphalgo.hyperball(edges, p=5, max_depth=2)[-1],
+    )
 
 
 def _graph_probe(spark):
