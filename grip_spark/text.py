@@ -2691,3 +2691,74 @@ def cluster_top_terms(
         .filter(F.col("rank") <= F.lit(top))
         .select("cluster", "term", "tf", "score", "rank")
     )
+
+
+# Unicode script blocks for script_stats — Java regex \p{IsXxx} /
+# explicit ranges (kept to ranges so the expression works identically
+# across JVM ICU configurations)
+_SCRIPT_RANGES = {
+    "latin": r"A-Za-zÀ-ɏ",
+    "cyrillic": r"Ѐ-ӿ",
+    "greek": r"Ͱ-Ͽ",
+    "arabic": r"؀-ۿݐ-ݿ",
+    "hebrew": r"֐-׿",
+    "devanagari": r"ऀ-ॿ",
+    "cjk": r"一-鿿㐀-䶿",
+    "hiragana_katakana": r"぀-ヿ",
+    "hangul": r"가-힯ᄀ-ᇿ",
+}
+
+
+def script_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    scripts: tuple[str, ...] = ("latin", "cyrillic", "arabic", "cjk"),
+) -> DataFrame:
+    """Per-document script-composition ratios: for each requested
+    script, the fraction of NON-SPACE characters in that script's
+    Unicode ranges (``script_<name>`` double columns), plus
+    ``script_other`` (everything outside every requested range) and
+    ``script_max`` (the largest requested ratio — the "is this
+    script-pure?" gate).
+
+    The curation signal next to :func:`detect_language` /
+    :func:`langid_score`: a language ID answers *which* language, the
+    script ratios answer *how mixed* — mojibake, spam that
+    interleaves scripts, and wrong-script contamination inside a
+    language bucket all surface as low ``script_max`` / high
+    ``script_other``.  Shuffle-free: one ``length(regexp_replace)``
+    subtraction per script (the :func:`char_stats` idiom), ratios
+    over the non-space total.  Empty/whitespace-only text scores 0.0
+    everywhere; NULL stays NULL.
+    """
+    unknown = [s for s in scripts if s not in _SCRIPT_RANGES]
+    if unknown:
+        raise ValueError(
+            f"unknown scripts {unknown}; available: {sorted(_SCRIPT_RANGES)}"
+        )
+    if not scripts:
+        raise ValueError("scripts must be non-empty")
+    c = F.col(text_col)
+    nonspace = F.length(F.regexp_replace(c, r"\s", ""))
+
+    def frac(expr: Column) -> Column:
+        safe = F.when(
+            c.isNull(), F.lit(None).cast("double")
+        ).otherwise(
+            F.when(nonspace > 0, expr.cast("double") / nonspace).otherwise(F.lit(0.0))
+        )
+        return F.round(safe, 6)
+
+    out = df
+    covered = "".join(_SCRIPT_RANGES[s] for s in scripts)
+    for s in scripts:
+        # chars matched by the class = full length minus post-removal
+        # length (the removal leaves spaces in place, so subtracting
+        # from the non-space count would under-count by the spaces)
+        n = F.length(c) - F.length(F.regexp_replace(c, f"[{_SCRIPT_RANGES[s]}]", ""))
+        out = out.withColumn(f"script_{s}", frac(n))
+    n_other = F.length(F.regexp_replace(c, f"[{covered}\\s]", ""))
+    out = out.withColumn("script_other", frac(n_other))
+    return out.withColumn(
+        "script_max", F.greatest(*[F.col(f"script_{s}") for s in scripts])
+    )

@@ -108,3 +108,42 @@ def test_feeds_line_filter_and_plan_is_narrow(spark):
     plan = extracted._jdf.queryExecution().executedPlan().toString()
     for bad in ("Exchange", "BatchEvalPython"):
         assert bad not in plan, plan
+
+
+# --- script_stats -------------------------------------------------------------
+
+
+def test_script_stats_ratios_and_edges(spark):
+    rows = [
+        (1, "hello world"),                    # pure latin
+        (2, "привет мир"),                     # pure cyrillic
+        (3, "hello мир"),                      # half/half (5 latin, 3 cyr... )
+        (4, "你好世界"),                        # cjk
+        (5, "1234 !!!"),                       # all "other"
+        (6, "   "),                            # whitespace only
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r for r in __import__("grip_spark.text", fromlist=["text"]).script_stats(df).collect()}
+    assert got[1]["script_latin"] == 1.0 and got[1]["script_other"] == 0.0
+    assert got[2]["script_cyrillic"] == 1.0 and got[2]["script_max"] == 1.0
+    # "hello мир": 5 latin + 3 cyrillic of 8 non-space
+    assert abs(got[3]["script_latin"] - 5 / 8) < 1e-9
+    assert abs(got[3]["script_cyrillic"] - 3 / 8) < 1e-9
+    assert got[3]["script_max"] == got[3]["script_latin"]
+    assert got[4]["script_cjk"] == 1.0
+    assert got[5]["script_other"] == 1.0 and got[5]["script_max"] == 0.0
+    assert got[6]["script_max"] == 0.0 and got[6]["script_other"] == 0.0
+    assert got[7]["script_latin"] is None and got[7]["script_max"] is None
+
+    import pytest as _pt
+
+    from grip_spark import text as T
+
+    with _pt.raises(ValueError):
+        T.script_stats(df, scripts=("latin", "klingon"))
+    with _pt.raises(ValueError):
+        T.script_stats(df, scripts=())
+    # shuffle-free plan
+    plan = T.script_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
