@@ -749,6 +749,10 @@ def q_doc_text_profile(spark, sf_dir):
     d = text.quality_score(d)
     d = text.detect_language(d)
     d = text.fingerprint(d)
+    # r7 session 2: script-composition ratios join the matrix (the
+    # mixed-script gate; synthetic corpus is pure latin+digits, so the
+    # interesting columns are latin < 1.0 and other > 0)
+    d = text.script_stats(d, scripts=("latin", "cyrillic"))
     return d.select(
         "doc_id",
         "n_tokens",
@@ -760,6 +764,8 @@ def q_doc_text_profile(spark, sf_dir):
         "quality",
         "lang_guess",
         "fp",
+        "script_latin",
+        "script_other",
     )
 
 
@@ -2472,7 +2478,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_text_profile": (
             f"SELECT doc_id, n_tokens, n_chars_total, n_alpha, n_upper, n_digit, "
-            f"n_space, quality, {lang_case} AS lang_guess, fp FROM ("
+            f"n_space, quality, {lang_case} AS lang_guess, fp, "
+            "round(CASE WHEN _nsp > 0 THEN _nlat * 1.0 / _nsp ELSE 0.0 END, 6) AS script_latin, "
+            "round(CASE WHEN _nsp > 0 THEN _noth * 1.0 / _nsp ELSE 0.0 END, 6) AS script_other "
+            "FROM ("
             f"SELECT doc_id, CAST(len({_TOKENS}) AS INT) AS n_tokens, "
             "CAST(length(text) AS INT) AS n_chars_total, "
             "CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS INT) AS n_alpha, "
@@ -2488,6 +2497,9 @@ def oracle_sql() -> dict[str, str]:
             f"   / greatest(len({_TOKENS}), 1), 1.0) * 0.25"
             ", 6) AS quality, "
             "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, "
+            "length(regexp_replace(text, '\\s', '', 'g')) AS _nsp, "
+            "length(text) - length(regexp_replace(text, '[A-Za-zÀ-ɏ]', '', 'g')) AS _nlat, "
+            "length(regexp_replace(text, '[A-Za-zÀ-ɏЀ-ӿ\\s]', '', 'g')) AS _noth, "
             f"{_lang_hits('en')} en, {_lang_hits('es')} es, "
             f"{_lang_hits('fr')} fr, {_lang_hits('de')} de FROM documents)"
         ),
