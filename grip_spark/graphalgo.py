@@ -1485,3 +1485,91 @@ def strongly_connected_components(
     if assigned is None:  # empty edge table: no nodes, empty result
         return active.select("id", F.col("id").alias("scc")).limit(0)
     return assigned
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: list,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    max_iterations: int = 100,
+) -> DataFrame:
+    """Single/multi-source shortest path distances → ``(id, source,
+    distance)`` for every node reachable from each source —
+    distributed Bellman-Ford (synchronous relaxation): one round
+    relaxes every edge whose source improved, via one equi-join +
+    one (node, source)-keyed min-aggregation, checkpointed (the
+    _power_loop discipline).  Rounds = the longest shortest path's
+    HOP count; terminates exactly when a round improves nothing.
+
+    ``weight_col=None`` is hop-count BFS; with weights, negative
+    edges raise up front (Bellman-Ford tolerates them but a negative
+    CYCLE makes "shortest" undefined, and the cheap static guard
+    covers the data-pipeline reality — lengths, costs and latencies
+    are non-negative).  ``max_iterations`` raises rather than
+    returning distances that might still improve.
+
+    Reference basis: none (no analytics in the reference; GripQL
+    expresses unweighted reachability via jump loops — SURVEY §2.7).
+    Phase-7 extension next to harmonic/betweenness.
+    """
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    if max_iterations <= 0:
+        raise ValueError(f"max_iterations must be > 0, got {max_iterations}")
+    spark = edges.sparkSession
+    ckpt = _checkpointer(spark)
+    cols = [F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")]
+    if weight_col is None:
+        cols.append(F.lit(1.0).alias("_w"))
+    else:
+        cols.append(F.col(weight_col).cast("double").alias("_w"))
+    e = ckpt(edges.select(*cols))
+    if weight_col is not None:
+        neg = e.filter(F.col("_w") < 0).limit(1).count()
+        if neg:
+            raise ValueError(
+                "shortest_paths: negative edge weights present — a negative "
+                "cycle would make shortest distances undefined"
+            )
+    src_lits = [(s,) for s in sources]
+    dist = ckpt(
+        spark.createDataFrame(src_lits, ["id"]).select(
+            F.col("id").cast("string"),
+            F.col("id").cast("string").alias("source"),
+            F.lit(0.0).alias("distance"),
+        )
+    )
+    frontier = dist
+    for _ in range(max_iterations):
+        relaxed = (
+            e.join(frontier, e["_src"] == frontier["id"])
+            .select(
+                F.col("_dst").alias("id"),
+                "source",
+                (F.col("distance") + F.col("_w")).alias("distance"),
+            )
+        )
+        new = ckpt(
+            dist.unionByName(relaxed)
+            .groupBy("id", "source")
+            .agg(F.min("distance").alias("distance"))
+        )
+        # the next frontier: (id, source) pairs whose distance improved
+        frontier = ckpt(
+            new.join(
+                dist.withColumnRenamed("distance", "_old"),
+                ["id", "source"],
+                "left",
+            )
+            .filter(F.col("_old").isNull() | (F.col("distance") < F.col("_old")))
+            .select("id", "source", "distance")
+        )
+        dist = new
+        if frontier.limit(1).count() == 0:
+            return dist
+    raise ValueError(
+        f"shortest_paths: still relaxing after {max_iterations} rounds — "
+        "raise max_iterations (the longest shortest path exceeds it)"
+    )

@@ -241,3 +241,70 @@ def test_scc_chain_condensation_cap(spark):
 def test_scc_empty(spark):
     df = spark.createDataFrame([], "src string, dst string")
     assert G.strongly_connected_components(df).count() == 0
+
+
+# --- shortest paths (Bellman-Ford) --------------------------------------------
+
+
+def py_dijkstra(edges, source, weighted=True):
+    import heapq
+
+    adj = {}
+    nodes = set()
+    for u, v, w in edges:
+        adj.setdefault(u, []).append((v, w if weighted else 1.0))
+        nodes.update((u, v))
+    dist = {source: 0.0}
+    pq = [(0.0, source)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, ()):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def test_shortest_paths_weighted_matches_dijkstra(spark):
+    import random
+
+    rng = random.Random(5)
+    edges = list(
+        {
+            (f"n{rng.randrange(12)}", f"n{rng.randrange(12)}", round(rng.uniform(0.5, 4.0), 2))
+            for _ in range(30)
+        }
+    )
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    out = G.shortest_paths(df, ["n0", "n3"], weight_col="w")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["source"], {})[r["id"]] = r["distance"]
+    for s in ("n0", "n3"):
+        want = py_dijkstra(edges, s)
+        assert set(got.get(s, {})) == set(want), s
+        for n, d in want.items():
+            assert abs(got[s][n] - d) < 1e-9, (s, n)
+
+
+def test_shortest_paths_hops_and_validation(spark):
+    edges = [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 1.0), ("c", "d", 1.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    out = {
+        r["id"]: r["distance"]
+        for r in G.shortest_paths(df, ["a"]).collect()  # hop mode
+    }
+    assert out == {"a": 0.0, "b": 1.0, "c": 1.0, "d": 2.0}
+    with pytest.raises(ValueError, match="negative"):
+        G.shortest_paths(
+            spark.createDataFrame([("a", "b", -1.0)], "src string, dst string, w double"),
+            ["a"],
+            weight_col="w",
+        )
+    with pytest.raises(ValueError):
+        G.shortest_paths(df, [])
+    with pytest.raises(ValueError, match="max_iterations"):
+        G.shortest_paths(df, ["a"], max_iterations=1)
