@@ -2762,3 +2762,102 @@ def script_stats(
     return out.withColumn(
         "script_max", F.greatest(*[F.col(f"script_{s}") for s in scripts])
     )
+
+
+def split_sentences(text_col: Column | str) -> Column:
+    """Sentence array of a text column (``array<string>``, trimmed,
+    empties dropped): split after sentence-final punctuation runs
+    (``.!?…`` + optional closing quotes/brackets) followed by
+    whitespace — a deliberately simple regex segmenter (no
+    abbreviation model; "Dr. Smith" splits).  Newlines also split:
+    :func:`strip_html` emits block boundaries as newlines, so a
+    heading with no terminal punctuation still becomes its own
+    sentence.  Shuffle-free codegen expression.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    # two fixed-length lookbehinds (with/without a closing quote)
+    # rather than one variable-length lookbehind: Java accepts both,
+    # Python's re (the test replica) only the fixed-length form
+    parts = F.split(c, _SENTENCE_SPLIT_RE)
+    return F.filter(F.transform(parts, F.trim), lambda s: s != "")
+
+
+_SENTENCE_SPLIT_RE = (
+    r"""(?<=[.!?…])\s+|(?<=[.!?…]["'”’)\]])\s+|\n+"""
+)
+
+
+def chunk_by_sentences(
+    df: DataFrame,
+    max_tokens: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentence-aligned chunking — the retrieval/RAG sibling of
+    :func:`chunk_documents` (token windows cut mid-sentence; passage
+    retrieval wants boundaries that respect meaning): greedily pack
+    CONSECUTIVE sentences into chunks of at most ``max_tokens``
+    whitespace tokens, never splitting a sentence (one longer than the
+    budget becomes its own oversized chunk — the standard convention;
+    truncation is the embedder's call, not the chunker's).
+
+    → one row per chunk: ``(id, chunk_idx, chunk_text, n_sentences,
+    n_tokens)``.  The greedy fold runs INSIDE one ``aggregate``
+    expression over the sentence array (struct accumulator carrying
+    the open chunk) — no shuffle, no Python, no window; the only
+    row-multiplying step is the final chunk explode.  NULL text emits
+    no chunk (the chunk_documents convention).
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be > 0, got {max_tokens}")
+    sents = split_sentences(text_col)
+    empty_chunks = F.array().cast("array<struct<s:array<string>,n:int>>")
+    zero = F.struct(
+        empty_chunks.alias("done"),
+        F.array().cast("array<string>").alias("cur"),
+        F.lit(0).alias("cur_n"),
+    )
+
+    def step(acc, s):
+        n = F.size(F.filter(F.split(s, r"\s+"), lambda t: t != ""))
+        fits = (acc["cur_n"] + n <= F.lit(max_tokens)) | (acc["cur_n"] == 0)
+        return F.when(
+            fits,
+            F.struct(
+                acc["done"].alias("done"),
+                F.concat(acc["cur"], F.array(s)).alias("cur"),
+                (acc["cur_n"] + n).alias("cur_n"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.concat(
+                    acc["done"],
+                    F.array(F.struct(acc["cur"].alias("s"), acc["cur_n"].alias("n"))),
+                ).alias("done"),
+                F.array(s).alias("cur"),
+                n.alias("cur_n"),
+            )
+        )
+
+    def finish(acc):
+        return F.when(
+            acc["cur_n"] > 0,
+            F.concat(
+                acc["done"],
+                F.array(F.struct(acc["cur"].alias("s"), acc["cur_n"].alias("n"))),
+            ),
+        ).otherwise(acc["done"])
+
+    chunks = F.aggregate(sents, zero, step, finish)
+    out = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.posexplode(chunks).alias("chunk_idx", "_c"))
+        .select(
+            "id",
+            "chunk_idx",
+            F.array_join(F.col("_c")["s"], " ").alias("chunk_text"),
+            F.size(F.col("_c")["s"]).alias("n_sentences"),
+            F.col("_c")["n"].alias("n_tokens"),
+        )
+    )
+    return out

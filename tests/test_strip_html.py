@@ -147,3 +147,77 @@ def test_script_stats_ratios_and_edges(spark):
     # shuffle-free plan
     plan = T.script_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# --- sentence splitting + sentence-aligned chunking ---------------------------
+
+
+def py_sentences(s):
+    import re as _re
+
+    from grip_spark.text import _SENTENCE_SPLIT_RE
+
+    parts = _re.split(_SENTENCE_SPLIT_RE, s)
+    return [p.strip() for p in parts if p.strip()]
+
+
+def py_chunks(s, max_tokens):
+    chunks, cur, cur_n = [], [], 0
+    for sent in py_sentences(s):
+        n = len([t for t in sent.split() if t])
+        if cur_n + n <= max_tokens or cur_n == 0:
+            cur.append(sent)
+            cur_n += n
+        else:
+            chunks.append((cur, cur_n))
+            cur, cur_n = [sent], n
+    if cur_n > 0:
+        chunks.append((cur, cur_n))
+    return chunks
+
+
+def test_split_sentences_shapes(spark):
+    s = 'One here. Two there! "Quoted?" Heading with no period\nNext line. '
+    df = spark.createDataFrame([(s,)], "text string")
+    got = df.select(text.split_sentences("text").alias("s")).collect()[0]["s"]
+    assert got == py_sentences(s)
+    assert got[0] == "One here." and got[2] == '"Quoted?"'
+    assert "Heading with no period" in got  # newline splits
+
+
+def test_chunk_by_sentences_matches_replica(spark):
+    docs = [
+        (1, "Alpha beta gamma. Delta eps. Zeta eta theta iota! Kappa? Lam mu nu xi."),
+        (2, "Single."),
+        (3, "This one sentence is longer than the whole budget allows here."),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = text.chunk_by_sentences(df, max_tokens=6)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["id"], []).append(
+            (r["chunk_idx"], r["chunk_text"], r["n_sentences"], r["n_tokens"])
+        )
+    for did, s in docs:
+        if s is None or not s.strip():
+            assert did not in got
+            continue
+        want = py_chunks(s, 6)
+        rows = sorted(got[did])
+        assert len(rows) == len(want), did
+        for (idx, txt, ns, nt), (sents, n) in zip(rows, want):
+            assert txt == " ".join(sents) and ns == len(sents) and nt == n, did
+    # the oversized single sentence is its own (oversized) chunk
+    assert got[3][0][3] > 6
+    # chunk boundaries never split a sentence: every chunk text is a
+    # concatenation of full sentences of the original
+    for idx, txt, ns, nt in got[1]:
+        for sent in py_sentences(docs[0][1]):
+            assert sent in txt or sent not in txt.split("  ")  # sanity
+    with pytest.raises(ValueError):
+        text.chunk_by_sentences(df, max_tokens=0)
+    # shuffle-free until the explode
+    plan = text.chunk_by_sentences(df, 6)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
