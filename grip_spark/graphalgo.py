@@ -1213,6 +1213,45 @@ def _hll_est_expr(regs, p: int):
     ).otherwise(raw)
 
 
+#: registers per packed 64-bit word: 6 bits each (rho ≤ 64-p+1 ≤ 61
+#: for p ≥ 4, so every register value fits), 10 per word (60 bits
+#: used, 4 spare)
+_HB_REGS_PER_WORD = 10
+
+
+def _hb_word_max(x, y):
+    """Element-wise max of the 10 6-bit register fields packed in two
+    longs — an unrolled shift/mask/greatest/or chain (pure JVM bitwise
+    ops, whole-stage-codegen-able; the expression is written ONCE and
+    mapped over word pairs by zip_with, so its size is constant in p)."""
+    out = None
+    for k in range(_HB_REGS_PER_WORD):
+        fx = F.shiftrightunsigned(x, 6 * k).bitwiseAND(F.lit(63))
+        fy = F.shiftrightunsigned(y, 6 * k).bitwiseAND(F.lit(63))
+        term = F.shiftleft(F.greatest(fx, fy), 6 * k)
+        out = term if out is None else out.bitwiseOR(term)
+    return out
+
+
+def _hb_unpack(words, m: int):
+    """Packed ``array<long>`` → the dense ``array<int>`` of m register
+    values (index order preserved: register i lives in word i//10,
+    field i%10), so the estimate/rho-sum expressions are shared
+    verbatim with the unpacked encoding — bit-identical estimates."""
+    flat = F.flatten(
+        F.transform(
+            words,
+            lambda w: F.array(
+                *[
+                    F.shiftrightunsigned(w, 6 * k).bitwiseAND(F.lit(63)).cast("int")
+                    for k in range(_HB_REGS_PER_WORD)
+                ]
+            ),
+        )
+    )
+    return F.slice(flat, 1, m)
+
+
 def hyperball(
     edges: DataFrame,
     src_col: str = "src",
@@ -1221,6 +1260,7 @@ def hyperball(
     max_depth: int = 32,
     salt: str = "hb",
     node_estimates: bool = False,
+    combine_salt: int | None = None,
 ):
     """HyperBall (Boldi & Vigna, 2011): the approximate neighborhood
     function of a directed graph — ``N(t)`` = number of (u, v) pairs
@@ -1242,14 +1282,28 @@ def hyperball(
     replica-testable via ``dedup.xxhash64_py``); round t updates
     ``B(v) ← max(B(v), B(w)) ∀ v→w`` element-wise, so after t rounds
     v's counter holds the HLL of its radius-t out-ball.  Union is
-    register max — the whole round is one equi-join (edges × counters
-    on dst) + one (node, bucket)-keyed max + regroup, all map-side
-    combined; counters are 2^p ints per node (p=8 → ~6.5% σ, 256
-    ints).  Convergence is exact: registers are monotone, so a round
-    with an unchanged global rho-sum means EVERY counter is stable
-    and N(t) has reached its limit.  Per-round shuffle: edges × 2^p
-    exploded register rows — pick p for the accuracy/traffic trade
-    (the paper runs p=6..12 at web scale).
+    register max.  State is PACKED: 10 6-bit registers per 64-bit
+    word (rho ≤ 64-p+1 ≤ 61 always fits), so a counter is
+    ``ceil(2^p/10)`` longs instead of 2^p ints — p=8 is 26 longs vs
+    256 ints, ~5× fewer shuffle bytes per message — and the round is
+    ONE equi-join (edges × counters on dst) + ONE node-keyed
+    aggregation that folds the gathered counters with a zip_with over
+    words (each word pair merged by an unrolled shift/mask/greatest
+    chain, all codegen-able JVM bitwise ops).  Estimates decode
+    through :func:`_hb_unpack` into the same dense-array expression
+    the unpacked encoding used, so they are bit-identical.
+    Convergence is exact: registers are monotone, so a round with an
+    unchanged global rho-sum means EVERY counter is stable and N(t)
+    has reached its limit.  Per-round shuffle: (N+E) packed counters
+    through one node-keyed aggregation — pick p for the
+    accuracy/traffic trade (the paper runs p=6..12 at web scale).
+
+    The fold aggregation is ``collect_list`` + ``aggregate`` (no
+    map-side combine), so a node's aggregation buffer holds
+    in-degree+1 counters.  At ~10 in-degree that is noise; for graphs
+    with mega-in-degree hubs set ``combine_salt=K`` to pre-combine in
+    a first (node, salt)-keyed pass — buffers shrink to in-degree/K
+    at the cost of a second (node-sized × K) shuffle.
 
     Reference basis: none (the reference has no analytics surface);
     Phase-7 extension next to pagerank/harmonic (SURVEY §7).
@@ -1259,6 +1313,7 @@ def hyperball(
     if max_depth < 0:
         raise ValueError(f"max_depth must be >= 0, got {max_depth}")
     m = 1 << p
+    n_words = -(-m // _HB_REGS_PER_WORD)  # ceil
     spark = edges.sparkSession
     ckpt = _checkpointer(spark)
     e = edges.select(
@@ -1269,31 +1324,42 @@ def hyperball(
         .unionByName(e.select(F.col("_dst").alias("id")))
         .distinct()
     )
-    # init: the register array of {v} — same hash family as hll_build
+    # init: the packed register array of {v} — same hash family as
+    # hll_build; the single nonzero register (bucket → rho) lands in
+    # word bucket//10, field bucket%10
     key = F.col("id").cast("string")
     h = F.xxhash64(F.concat(F.lit(salt + ":"), key))
-    bucket = F.shiftrightunsigned(h, 64 - p)
+    bucket = F.shiftrightunsigned(h, 64 - p).cast("int")
     w = F.shiftleft(h, p)
     rho = F.when(w == 0, F.lit(64 - p + 1)).otherwise(
         F.instr(F.lpad(F.bin(w), 64, "0"), "1")
     )
+    # shiftleft needs a literal count — unroll the 10 field positions
+    # into a CASE (init-only expression)
+    shifted = F.when(F.lit(False), F.lit(0).cast("long"))
+    for k in range(_HB_REGS_PER_WORD):
+        shifted = shifted.when(
+            bucket % _HB_REGS_PER_WORD == k, F.shiftleft(rho.cast("long"), 6 * k)
+        )
     regs = ckpt(
         nodes.select(
             "id",
             F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda i: F.when(i == bucket.cast("int"), rho.cast("int")).otherwise(
-                    F.lit(0)
-                ),
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda j: F.when(
+                    j == (bucket / _HB_REGS_PER_WORD).cast("int"), shifted
+                ).otherwise(F.lit(0).cast("long")),
             ).alias("regs"),
         )
     )
     if regs.limit(1).count() == 0:
         raise ValueError("hyperball: empty edge table (no nodes)")
 
+    dense = _hb_unpack(F.col("regs"), m)
+
     def _nf(r):
         return float(
-            r.select(F.sum(_hll_est_expr(F.col("regs"), p)).alias("s")).first()["s"]
+            r.select(F.sum(_hll_est_expr(dense, p)).alias("s")).first()["s"]
         )
 
     def _rho_sum(r):
@@ -1301,32 +1367,44 @@ def hyperball(
             r.select(
                 F.sum(
                     F.aggregate(
-                        "regs", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+                        dense, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
                     )
                 ).alias("s")
             ).first()["s"]
         )
 
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(n_words)])
+
+    def _fold(col):
+        return F.aggregate(
+            col, zero, lambda acc, r: F.zip_with(acc, r, _hb_word_max)
+        )
+
     nf = [(0, _nf(regs))]
     last_sum = _rho_sum(regs)
     for t in range(1, max_depth + 1):
-        # ship dst counters to src, element-wise max with own counter
+        # ship dst counters to src, fold with own counter: one
+        # equi-join + one node-keyed gather/fold
         msgs = e.join(regs, e["_dst"] == regs["id"]).select(
             F.col("_src").alias("id"), "regs"
         )
-        both = regs.unionByName(msgs).select(
-            "id", F.posexplode("regs").alias("pos", "val")
-        )
-        merged = (
-            both.groupBy("id", "pos")
-            .agg(F.max("val").alias("val"))
-            .groupBy("id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
-                    lambda s: s["val"],
-                ).alias("regs")
+        both = regs.unionByName(msgs)
+        if combine_salt:
+            pre = (
+                both.groupBy(
+                    "id",
+                    F.pmod(F.spark_partition_id(), F.lit(int(combine_salt))).alias(
+                        "_sp"
+                    ),
+                )
+                .agg(F.collect_list("regs").alias("_rs"))
+                .select("id", _fold(F.col("_rs")).alias("regs"))
             )
+            both = pre
+        merged = (
+            both.groupBy("id")
+            .agg(F.collect_list("regs").alias("_rs"))
+            .select("id", _fold(F.col("_rs")).alias("regs"))
         )
         regs = ckpt(merged)
         cur_sum = _rho_sum(regs)
@@ -1335,7 +1413,7 @@ def hyperball(
         last_sum = cur_sum
         nf.append((t, _nf(regs)))
     if node_estimates:
-        return nf, regs.select("id", _hll_est_expr(F.col("regs"), p).alias("est"))
+        return nf, regs.select("id", _hll_est_expr(dense, p).alias("est"))
     return nf
 
 
@@ -1367,29 +1445,78 @@ def effective_diameter(nf, q: float = 0.9) -> float:
 # ---------------------------------------------------------------------------
 
 
+def _bfs_reach(e: DataFrame, seed: DataFrame, ckpt, max_depth: int,
+               forward: bool, what: str) -> DataFrame:
+    """Reachable set (``id`` DataFrame) from ``seed`` over the
+    ``(_src, _dst)`` edge table — frontier BFS, so each edge is
+    relaxed at most once from its source across ALL rounds (total
+    work O(E), vs O(E) *per round* for fixpoint propagation)."""
+    here, there = ("_src", "_dst") if forward else ("_dst", "_src")
+    visited = ckpt(seed)
+    frontier = visited
+    for _d in range(max_depth):
+        nxt = ckpt(
+            e.join(frontier.withColumnRenamed("id", here), here, "left_semi")
+            .select(F.col(there).alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+        )
+        if nxt.limit(1).count() == 0:
+            return visited
+        visited = ckpt(visited.unionByName(nxt))
+        frontier = nxt
+    raise ValueError(
+        f"scc: {what} reachability did not converge in {max_depth} steps"
+    )
+
+
 def strongly_connected_components(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
     max_rounds: int = 50,
     max_depth: int = 100,
+    trim_iters: int = 3,
+    pivot_min_edges: int = 500_000,
+    max_pivots: int = 3,
 ) -> DataFrame:
     """SCCs of a directed graph → ``(id, scc)`` with ``scc`` = the
     minimum node id of the component (deterministic, the
-    connected-components convention) — the coloring algorithm (Orzan
-    2004 / the Slota et al. color-propagation family):
+    connected-components convention) — the Multistep method (Slota,
+    Rajamanickam & Madduri 2014: trim → pivot FW-BW → coloring),
+    public GPU/multicore SCC literature:
 
-    Repeat over the still-unassigned subgraph: (1) FORWARD min-id
-    propagation to fixpoint — ``color(v)`` = the smallest active id
-    that reaches v; a node whose color is its own id is a *root*.
-    (2) BACKWARD BFS from every root simultaneously, restricted to
-    nodes of that root's color: a reached node u satisfies both
-    "root reaches u" (the color) and "u reaches root" (the backward
-    walk), so it is in the root's SCC — assign and peel.  Every round
-    settles every root's entire SCC (trivially all source-SCCs of the
-    condensation), so rounds ≤ the condensation's longest chain.
+    Repeat over the still-unassigned subgraph:
 
-    Scale shape: both inner loops are frontier equi-joins + node-sized
+    (0) **Trim** (≤ ``trim_iters`` peels/round): an active node with
+    in-degree 0 or out-degree 0 *within the active subgraph* cannot
+    lie on a cycle — assign it as a singleton SCC and peel.  Each peel
+    is two distinct-projections + semi-joins; peeling exposes new
+    trivial nodes, handled by the next peel (or the next round).
+
+    (1) **Pivot FW-BW** (while the active edge set is large, ≥
+    ``pivot_min_edges``, at most ``max_pivots`` times): pick the
+    max-degree node, frontier-BFS its forward and backward reachable
+    sets; the intersection is exactly the pivot's SCC — assign and
+    peel.  Frontier BFS relaxes each edge once across all rounds
+    (O(E) total), where min-id coloring over a giant SCC re-scans the
+    full edge set every step (O(E·diameter)) — this is the step that
+    extracts a web graph's giant component cheaply.
+
+    (2) **Coloring** (the Orzan / color-propagation family) for the
+    low-edge remainder: FORWARD min-id propagation to fixpoint —
+    ``color(v)`` = the smallest active id that reaches v; a node whose
+    color is its own id is a *root*.  Then BACKWARD BFS from every
+    root simultaneously, restricted to nodes of that root's color: a
+    reached node u satisfies both "root reaches u" (the color) and
+    "u reaches root" (the backward walk), so it is in the root's SCC —
+    assign and peel.  Every round settles every root's entire SCC, so
+    rounds ≤ the condensation's longest chain.  The propagation is
+    DELTA-based: only colors that changed last step are re-pushed, so
+    late steps ship only the still-moving frontier instead of all N
+    colors.
+
+    Scale shape: every inner loop is frontier equi-joins + node-sized
     min-aggregations, checkpointed per step (the pagerank/_power_loop
     discipline); the active edge set shrinks monotonically via
     semi-joins.  Like hash-min WCC, a long CHAIN condensation is the
@@ -1413,7 +1540,14 @@ def strongly_connected_components(
         .unionByName(e_all.select(F.col("_dst").alias("id")))
         .distinct()
     )
+    id_type = active.schema["id"].dataType
     assigned = None
+
+    def _append(member: DataFrame) -> None:
+        nonlocal assigned
+        assigned = member if assigned is None else ckpt(assigned.unionByName(member))
+
+    pivots_used = 0
     for _ in range(max_rounds):
         if active.limit(1).count() == 0:
             break
@@ -1421,11 +1555,55 @@ def strongly_connected_components(
             e_all.join(active.withColumnRenamed("id", "_src"), "_src", "left_semi")
             .join(active.withColumnRenamed("id", "_dst"), "_dst", "left_semi")
         )
-        # (1) forward min-id propagation to fixpoint
+        # (0) trim: peel nodes with no in- or no out-edge in the
+        # active subgraph — singleton SCCs by construction (any cycle
+        # keeps all its members in both endpoint sets, so a complete
+        # non-trivial SCC is never touched)
+        for _t in range(trim_iters):
+            nontrivial = ckpt(
+                e.select(F.col("_src").alias("id"))
+                .distinct()
+                .join(e.select(F.col("_dst").alias("id")).distinct(), "id", "left_semi")
+            )
+            trivial = ckpt(active.join(nontrivial, "id", "left_anti"))
+            if trivial.limit(1).count() == 0:
+                break
+            _append(trivial.select("id", F.col("id").alias("scc")))
+            active = nontrivial
+            e = ckpt(
+                e.join(active.withColumnRenamed("id", "_src"), "_src", "left_semi")
+                .join(active.withColumnRenamed("id", "_dst"), "_dst", "left_semi")
+            )
+        if active.limit(1).count() == 0:
+            break
+        # (1) pivot FW-BW while the active edge set is big
+        if pivots_used < max_pivots:
+            n_edges = e.count()
+            if n_edges >= pivot_min_edges:
+                pivots_used += 1
+                deg = (
+                    e.select(F.col("_src").alias("id"))
+                    .unionByName(e.select(F.col("_dst").alias("id")))
+                    .groupBy("id")
+                    .agg(F.count(F.lit(1)).alias("_d"))
+                )
+                pivot = deg.orderBy(F.col("_d").desc(), F.col("id").asc()).first()["id"]
+                seed = active.filter(F.col("id") == F.lit(pivot))
+                fwd = _bfs_reach(e, seed, ckpt, max_depth, True, "pivot forward")
+                bwd = _bfs_reach(e, seed, ckpt, max_depth, False, "pivot backward")
+                scc_p = ckpt(fwd.join(bwd, "id", "left_semi"))
+                label = scc_p.agg(F.min("id")).first()[0]
+                _append(
+                    scc_p.select("id", F.lit(label).cast(id_type).alias("scc"))
+                )
+                active = ckpt(active.join(scc_p, "id", "left_anti"))
+                continue  # re-trim: removing the SCC exposes new periphery
+        # (2) forward min-id propagation to fixpoint (delta pushes)
         colors = ckpt(active.select("id", F.col("id").alias("color")))
+        delta = colors
         for _d in range(max_depth):
             pushed = (
-                e.join(colors, e["_src"] == colors["id"])
+                e.join(delta, e["_src"] == delta["id"])
                 .select(F.col("_dst").alias("id"), "color")
             )
             new = ckpt(
@@ -1433,14 +1611,13 @@ def strongly_connected_components(
                 .groupBy("id")
                 .agg(F.min("color").alias("color"))
             )
-            changed = (
+            delta = ckpt(
                 new.join(colors.withColumnRenamed("color", "_old"), "id")
                 .filter(F.col("color") != F.col("_old"))
-                .limit(1)
-                .count()
+                .select("id", "color")
             )
             colors = new
-            if changed == 0:
+            if delta.limit(1).count() == 0:
                 break
         else:
             raise ValueError(

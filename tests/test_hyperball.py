@@ -81,6 +81,16 @@ def test_hyperball_matches_register_replica(spark):
         assert got[node] == pytest.approx(py_est(regs), abs=1e-12), node
 
 
+def test_hyperball_combine_salt_identical(spark):
+    # the two-level (node, salt)-keyed pre-combine is a pure shuffle
+    # re-shaping: register max is associative+commutative, so the
+    # neighborhood function must be bit-identical
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    assert G.hyperball(df, p=6, salt="hb") == G.hyperball(
+        df, p=6, salt="hb", combine_salt=4
+    )
+
+
 def test_hyperball_converges_at_diameter_and_accuracy(spark):
     # directed path 0->1->...->9: diameter 9, N(t) exact
     edges = [(str(i), str(i + 1)) for i in range(9)]
@@ -229,13 +239,34 @@ def test_scc_random_digraphs_match_tarjan(spark):
         assert got == py_tarjan(edges), (trial, sorted(edges))
 
 
+def test_scc_pivot_path_matches_tarjan(spark):
+    # force the pivot FW-BW branch (normally gated at >=500k active
+    # edges) on graphs with a known giant SCC + periphery, and confirm
+    # the labeling is identical to the default (coloring) path
+    import random
+
+    rng = random.Random(7)
+    edges = [(f"c{i:02d}", f"c{(i + 1) % 12:02d}") for i in range(12)]  # 12-cycle
+    edges += [(f"c{rng.randrange(12):02d}", f"c{rng.randrange(12):02d}") for _ in range(10)]
+    edges += [("out1", "c00"), ("c05", "sink1"), ("sink1", "sink2")]  # periphery
+    edges += [("p", "q"), ("q", "p"), ("c03", "p")]  # second small SCC
+    edges = sorted(set(edges))
+    got = _scc_spark(spark, edges, pivot_min_edges=1)
+    assert got == py_tarjan(edges)
+    assert got == _scc_spark(spark, edges)  # default path agrees
+
+
 def test_scc_chain_condensation_cap(spark):
-    # pure DAG chain: every node a singleton SCC, condensation = chain
+    # pure DAG chain: every node a singleton SCC, condensation = chain.
+    # Trimming peels 2 chain ends per iteration, so the once-adversarial
+    # shape now settles in 2 rounds (7 nodes / 2-per-peel / 3 peels-round)
     edges = [(f"v{i}", f"v{i+1}") for i in range(6)]
-    got = _scc_spark(spark, edges, max_rounds=10)
+    got = _scc_spark(spark, edges, max_rounds=2)
     assert got == {f"v{i}": f"v{i}" for i in range(7)}
+    # with trim disabled the chain falls back to coloring (1 SCC/round)
+    # and the max_rounds cap raises rather than returning a partial map
     with pytest.raises(ValueError, match="max_rounds"):
-        _scc_spark(spark, edges, max_rounds=2)
+        _scc_spark(spark, edges, max_rounds=2, trim_iters=0)
 
 
 def test_scc_empty(spark):

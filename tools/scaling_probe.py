@@ -644,14 +644,21 @@ def _widegraph_probe(spark, n_vertices: int = 1_000_000, n_edges: int = 10_000_0
     # ~log n — the friendly case; the chain cap is tested elsewhere)
     # and two HyperBall radii (per-round traffic = edges x 2^p rows)
     t(
-        "scc (coloring)",
+        "scc (multistep: trim + pivot FW-BW + coloring)",
         lambda: graphalgo.strongly_connected_components(
             edges, max_rounds=10, max_depth=40
         ).count(),
     )
     t(
-        "hyperball (p=5, 2 radii)",
+        "hyperball (p=5, 2 radii, packed regs)",
         lambda: graphalgo.hyperball(edges, p=5, max_depth=2)[-1],
+    )
+    # r8: sampled-Brandes betweenness — pins the per-source cost the
+    # SCALE.md extrapolation assumes (each source = forward BFS DAG +
+    # backward dependency accumulation over 10M edges)
+    t(
+        "betweenness (4 sources)",
+        lambda: graphalgo.betweenness_centrality(edges, n_sources=4).count(),
     )
 
 
