@@ -103,10 +103,15 @@ def parse_segments(rel_path: str) -> list[Segment]:
 
 class ElementView:
     """Accessor for one element (current or a mark): maps the five
-    system fields to (Column, DataType) pairs."""
+    system fields to (Column, DataType) pairs.  ``promoted`` maps a
+    hot ragged-data key to its ``_pk_<key>`` companion column
+    (GripGraph.promote_keys) — resolve() prefers it over cracking the
+    variant blob, which is what lets a promoted-key filter prune the
+    parquet scan down to the small companion column."""
 
-    def __init__(self, fields: dict):
+    def __init__(self, fields: dict, promoted: dict | None = None):
         self.fields = fields  # name -> (Column, DataType)
+        self.promoted = promoted or {}  # data key -> Column (variant)
 
     @classmethod
     def from_flat(cls, schema: StructType, colmap: dict | None = None) -> "ElementView":
@@ -117,11 +122,20 @@ class ElementView:
             src = colmap.get(name, name)
             if src in schema.names:
                 fields[name] = (F.col(src), schema[src].dataType)
-        return cls(fields)
+        promoted = {}
+        if "data" in fields and isinstance(fields["data"][1], VariantType):
+            promoted = {
+                c[len("_pk_"):]: F.col(c)
+                for c in schema.names
+                if c.startswith("_pk_")
+            }
+        return cls(fields, promoted)
 
     @classmethod
     def from_struct(cls, col: Column, dtype: StructType) -> "ElementView":
-        """Mark element stored as one struct column."""
+        """Mark element stored as one struct column (no promoted
+        companions — marks fall back to the variant blob, identical
+        semantics, just unpruned)."""
         fields = {}
         for f in dtype.fields:
             if f.name in ("gid", "label", "src", "dst", "data"):
@@ -256,14 +270,26 @@ def resolve(view_lookup, path: str) -> tuple[Column, DataType]:
     segs = parse_segments(rel)
     if not segs:
         return F.lit(None), NullType()
-    col, dtype = view.get(segs[0].name)
-    if isinstance(dtype, NullType):
-        return F.lit(None), NullType()
+    if (
+        view.promoted
+        and segs[0].name == "data"
+        and not segs[0].indexers
+        and len(segs) >= 2
+        and segs[1].name in view.promoted
+    ):
+        # promoted hot key: read the _pk_<key> companion column instead
+        # of cracking the variant blob — same value, same presence
+        # semantics (try_variant_get applied at load), prunable scan
+        col: Column = view.promoted[segs[1].name]
+        dtype: DataType = VariantType()
+        rest = [Segment("", segs[1].indexers)] + segs[2:]
+    else:
+        col, dtype = view.get(segs[0].name)
+        if isinstance(dtype, NullType):
+            return F.lit(None), NullType()
+        rest = [Segment("", segs[0].indexers)] + segs[1:]
     wild = 0
-    # apply indexers of head segment, then the rest
-    head = Segment("", segs[0].indexers)
-    col, dtype, wild = _step(col, dtype, head, wild)
-    for seg in segs[1:]:
+    for seg in rest:
         if isinstance(dtype, NullType):
             return F.lit(None), NullType()
         col, dtype, wild = _step(col, dtype, seg, wild)

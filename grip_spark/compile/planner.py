@@ -75,6 +75,11 @@ class Planner:
         self._edges_fwd = self._promote_data(graph.edges)
         rev = getattr(graph, "edges_rev", None)
         self._edges_rev = self._promote_data(rev) if rev is not None else None
+        # hot-key companion columns (GripGraph.promote_keys) ride with
+        # the element through sources and hops; fieldpath routes
+        # data.<key> reads to them, and data-mutating steps drop them
+        self._pk_v = [c for c in self._vertices.columns if c.startswith("_pk_")]
+        self._pk_e = [c for c in self._edges_fwd.columns if c.startswith("_pk_")]
         self.elem_type: str | None = None
         self.marks: dict[str, str] = {}  # name -> elem type
         self.track_path = False
@@ -239,6 +244,7 @@ class Planner:
         if ids:
             out = out.filter(F.col("gid").isin(ids))
         cols = [F.col("gid"), F.col("label"), F.col("data")]
+        cols += [F.col(c) for c in self._pk_v]
         if self.track_path:
             cols.append(
                 F.array(
@@ -253,6 +259,7 @@ class Planner:
         if ids:
             out = out.filter(F.col("gid").isin(ids))
         cols = [F.col("gid"), F.col("label"), F.col("src"), F.col("dst"), F.col("data")]
+        cols += [F.col(c) for c in self._pk_e]
         if self.track_path:
             cols.append(
                 F.array(
@@ -288,13 +295,17 @@ class Planner:
         how = "left" if null_ok else "inner"
         j = df.join(e, df["gid"] == e["_h_here"], how)
         v = self._vertices.select(
-            F.col("gid").alias("_h_vg"), F.col("label").alias("_h_vl"), F.col("data").alias("_h_vd")
+            F.col("gid").alias("_h_vg"),
+            F.col("label").alias("_h_vl"),
+            F.col("data").alias("_h_vd"),
+            *[F.col(c).alias(f"_h{c}") for c in self._pk_v],
         )
         j = j.join(v, F.col("_h_there") == v["_h_vg"], how)
         cols = [
             F.col("_h_vg").alias("gid"),
             F.col("_h_vl").alias("label"),
             F.col("_h_vd").alias("data"),
+            *[F.col(f"_h{c}").alias(c) for c in self._pk_v],
         ]
         cols += [F.col(c) for c in df.columns if c.startswith("_mark_")]
         if self.track_path:
@@ -312,6 +323,7 @@ class Planner:
             F.col("src").alias("_h_es"),
             F.col("dst").alias("_h_ed"),
             F.col("data").alias("_h_edata"),
+            *[F.col(c).alias(f"_h{c}") for c in self._pk_e],
         )
         how = "left" if null_ok else "inner"
         j = df.join(e, df["gid"] == e["_h_e" + ("s" if forward else "d")], how)
@@ -321,6 +333,7 @@ class Planner:
             F.col("_h_es").alias("src"),
             F.col("_h_ed").alias("dst"),
             F.col("_h_edata").alias("data"),
+            *[F.col(f"_h{c}").alias(c) for c in self._pk_e],
         ]
         cols += [F.col(c) for c in df.columns if c.startswith("_mark_")]
         if self.track_path:
@@ -332,13 +345,17 @@ class Planner:
         """E→V: from an edge position, out() goes to the ``dst`` vertex
         and in() to ``src`` (``processors.go:202-236,281-315``)."""
         v = self._vertices.select(
-            F.col("gid").alias("_h_vg"), F.col("label").alias("_h_vl"), F.col("data").alias("_h_vd")
+            F.col("gid").alias("_h_vg"),
+            F.col("label").alias("_h_vl"),
+            F.col("data").alias("_h_vd"),
+            *[F.col(c).alias(f"_h{c}") for c in self._pk_v],
         )
         j = df.join(v, df[endpoint] == v["_h_vg"], "inner")
         cols = [
             F.col("_h_vg").alias("gid"),
             F.col("_h_vl").alias("label"),
             F.col("_h_vd").alias("data"),
+            *[F.col(f"_h{c}").alias(c) for c in self._pk_v],
         ]
         cols += [F.col(c) for c in df.columns if c.startswith("_mark_")]
         if self.track_path:
@@ -512,6 +529,14 @@ class Planner:
         return df.select(*out_cols)
 
     # -- projection / transforms ---------------------------------------
+    @staticmethod
+    def _drop_promoted(df: DataFrame) -> DataFrame:
+        """Drop the promoted hot-key companion columns — called by
+        every operator that mutates ``data`` (set/increment/fields/
+        unwind), after which reads fall back to the rebuilt blob."""
+        pk = [c for c in df.columns if c.startswith("_pk_")]
+        return df.drop(*pk) if pk else df
+
     def _st_fields(self, df, paths):
         """Include/exclude projection of current.data, depth-aware
         (``processors.go:396-414``, ``jsonpath/jsonpath.go:193-355``).
@@ -519,6 +544,7 @@ class Planner:
         ``a``.  gid/label always survive."""
         if not paths:
             return df
+        df = self._drop_promoted(df)  # data is about to be rewritten
         data_t = df.schema["data"].dataType
         if isinstance(data_t, VariantType):
             return self._fields_variant(df, paths)
@@ -688,6 +714,10 @@ class Planner:
                 raise CompileError(f"cannot set {path}")
             if len(names) == 1:
                 raise CompileError("cannot replace whole data")
+            # the document is being mutated: promoted hot-key
+            # companions (promote_keys) would go stale — drop them;
+            # reads fall back to the (fresh) blob, identical semantics
+            df = self._drop_promoted(df)
             data_t = df.schema["data"].dataType
             if isinstance(data_t, VariantType):
                 # ragged mode: rebuild the document JSON with the path

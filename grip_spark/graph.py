@@ -33,6 +33,11 @@ from grip_spark.traversal import Traversal
 VERTEX_COLS = ("gid", "label", "data")
 EDGE_COLS = ("gid", "label", "src", "dst", "data")
 
+#: column-name prefix of a hot key lifted out of a ragged (variant)
+#: ``data`` document by :meth:`GripGraph.promote_keys` — the manual
+#: shredding Spark 4.1 parquet does not do for variant yet
+PROMOTED_PREFIX = "_pk_"
+
 # vertex-label predicate for the RDF loader (cmd/rdf/main.go:24)
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
@@ -271,7 +276,35 @@ class GripGraph:
     ) -> "GripGraph":
         v = spark.read.parquet(vertex_path)
         e = _rename_endpoints(spark.read.parquet(edge_path))
-        return cls(v, e, name=name)
+        g = cls(v, e, name=name)
+        g._warn_inexact_haskey("from_parquet")
+        return g
+
+    def _warn_inexact_haskey(self, source: str) -> None:
+        """One-time WARN when a foreign table was attached with typed
+        struct ``data`` but no ``__keys`` presence column: ``hasKey``
+        (reference ``$exists``, ``mongo/compile.go:560-571``) then
+        degrades to value-not-null — present-with-null is
+        indistinguishable from absent.  Loader-written graphs
+        (from_jsonl/save/save_tables round-trips) always carry
+        ``__keys``; ragged (variant) mode is exact inherently — load
+        foreign tables in ragged mode when exact presence matters."""
+        import warnings
+
+        from grip_spark.compile.fieldpath import KEYS_FIELD
+
+        for df in (self.vertices, self.edges):
+            dt = df.schema["data"].dataType
+            if isinstance(dt, StructType) and dt.fields and KEYS_FIELD not in dt.names:
+                warnings.warn(
+                    f"GripGraph.{source}: struct 'data' has no "
+                    f"'{KEYS_FIELD}' presence column — hasKey() degrades "
+                    "to value-not-null (present-with-null == absent). "
+                    "For exact $exists semantics load this table in "
+                    "ragged mode (data as a JSON string / VariantType).",
+                    stacklevel=3,
+                )
+                return
 
     # -- query ---------------------------------------------------------
 
@@ -291,6 +324,71 @@ class GripGraph:
         v = [r[0] for r in self.vertices.select("label").distinct().collect()]
         e = [r[0] for r in self.edges.select("label").distinct().collect()]
         return {"vertexLabels": sorted(v), "edgeLabels": sorted(e)}
+
+    def promote_keys(self, keys: list[str]) -> "GripGraph":
+        """Lift named high-traffic top-level ``data`` keys of a ragged
+        (VariantType) graph into typed ``_pk_<key>`` companion columns —
+        the manual column shredding Spark 4.1 parquet does not yet do
+        for variant.  Spark stores variant UNSHREDDED, so any filter or
+        aggregation on a ragged document otherwise reads the whole
+        binary blob; after promotion (and a ``save``/``save_tables``
+        round-trip) a query touching only promoted keys scans only
+        those small columns — ``ReadSchema`` excludes ``data``
+        entirely, and min/max row-group pruning applies.
+
+        Each promoted column is ``try_variant_get(data, '$.key')`` —
+        still variant-typed, so it preserves EXACT presence semantics
+        (absent key → SQL NULL, present-with-JSON-null → variant null)
+        and runtime-typed has()/aggs behave identically.  The planner
+        routes every ``data.<key>`` access on the current element to
+        the companion column and drops the companions at any
+        data-mutating step (set/increment/fields/unwind), so results
+        are always identical with or without promotion — promotion is
+        purely a physical-layout hint.
+
+        Keys must be identifier-shaped (``[A-Za-z_][A-Za-z0-9_]*``);
+        promote the handful of keys your hot filters touch, not the
+        whole key universe (that is what struct mode is for).
+        Reference basis: the KV field index (``kvgraph/index.go``)
+        plays this role in the reference — a named field gets a
+        dedicated fast lookup path.
+        """
+        import re
+
+        from grip_spark.compile.fieldpath import _vpath
+
+        if not keys:
+            raise ValueError("promote_keys: empty key list")
+        for k in keys:
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", k):
+                raise ValueError(
+                    f"promote_keys: key {k!r} is not identifier-shaped "
+                    "(promoted columns become parquet column names)"
+                )
+        if not _is_variant_type(self.vertices.schema["data"].dataType):
+            raise ValueError(
+                "promote_keys requires ragged (variant) data — load with "
+                "ragged=True (struct mode already shreds every key)"
+            )
+
+        def add(df: DataFrame | None) -> DataFrame | None:
+            if df is None or not _is_variant_type(df.schema["data"].dataType):
+                return df
+            out = df.drop(
+                *[c for c in df.columns if c.startswith(PROMOTED_PREFIX)]
+            )
+            for k in keys:
+                out = out.withColumn(
+                    f"{PROMOTED_PREFIX}{k}",
+                    F.try_variant_get("data", _vpath(k), "variant"),
+                )
+            return out
+
+        g = GripGraph(add(self.vertices), add(self.edges), name=self.name)
+        if self.edges_rev is not None:
+            g.edges_rev = _normalize_edges(add(self.edges_rev))
+        g._indices = list(self._indices)
+        return g
 
     # -- index shims ---------------------------------------------------
     # The reference maintains explicit KV label/field indexes
@@ -560,6 +658,7 @@ class GripGraph:
             name=name or prefix,
         )
         g.edges_rev = _normalize_edges(spark.table(f"{prefix}_e_dst"))
+        g._warn_inexact_haskey("from_tables")
         return g
 
 
@@ -902,6 +1001,9 @@ def _normalize(df: DataFrame, want: tuple) -> DataFrame:
             out.append(_empty_struct_col())
         else:
             out.append(F.lit(None).cast(StringType()).alias(c))
+    # promoted hot-key columns (promote_keys) ride along with the
+    # element — they are part of the graph's persisted layout
+    out += [F.col(c) for c in df.columns if c.startswith(PROMOTED_PREFIX)]
     return df.select(*out)
 
 

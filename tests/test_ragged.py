@@ -436,3 +436,93 @@ def test_ragged_jobs_spool_roundtrip(spark, tmp_path):
     rows = store.view("graph", jid)
     assert len(rows) == 18
     assert any(r["data"].get("name") == "Luke Skywalker" for r in rows)
+    # RESUME from the spooled prefix: the longer query shares the
+    # checksum chain, continues from the variant-columned spool, and
+    # must equal a from-scratch execution (incl. variant field reads)
+    longer = (
+        g.query().V().hasLabel("Character").out("homeworld")
+        .has(ops.eq("name", "Tatooine"))
+    )
+    hit = store.find_prefix(longer)
+    assert hit is not None and hit["id"] == jid  # chain matched
+    resumed = store.resume(longer)
+    assert _canon(resumed) == _canon(longer.execute())
+    assert len(resumed) == 7  # 7 Characters call Tatooine home (SWAPI)
+
+
+# --- promote_keys: manual shredding of hot ragged keys ---------------------
+
+
+@pytest.fixture(scope="module")
+def promoted(both):
+    _, gr = both
+    return gr, gr.promote_keys(["eye_color", "height", "name"])
+
+
+PROMOTED_QUERIES = [
+    "has_eq_str", "has_gt", "has_between", "haskey", "agg_term",
+    "agg_hist", "v_all", "out", "mark_scoped_render", "jump_counter_loop",
+]
+
+
+@pytest.mark.parametrize("name", PROMOTED_QUERIES)
+def test_promote_keys_differential(promoted, name):
+    """Promotion is a pure physical-layout hint: every operator must
+    return identical results reading the _pk_ companions vs the blob."""
+    gr, gp = promoted
+    a = _canon(QUERIES[name](gr).execute())
+    b = _canon(QUERIES[name](gp).execute())
+    assert a == b, f"{name}: ragged={a[:3]}... promoted={b[:3]}..."
+
+
+def test_promote_keys_presence_and_staleness(promoted, spark):
+    gr, gp = promoted
+    # exact presence through the companion column: present-with-null
+    # stays distinguishable from absent (variant-null vs SQL NULL)
+    n_plain = len(gr.query().V().hasKey("eye_color").execute())
+    n_promo = len(gp.query().V().hasKey("eye_color").execute())
+    assert n_plain == n_promo
+    # mutation drops the companions — a set() must be visible to a
+    # subsequent has() on the same (promoted) key
+    rows = (
+        gp.query().V().hasLabel("Character")
+        .set("eye_color", "violet")
+        .has(ops.eq("eye_color", "violet"))
+        .count().execute()
+    )
+    assert rows[0]["count"] == 18
+    # fields() rewrite likewise invalidates the companions
+    rows = (
+        gp.query().V("Character:1").fields(["-eye_color"])
+        .hasKey("eye_color").count().execute()
+    )
+    assert rows[0]["count"] == 0
+
+
+def test_promote_keys_validation(both):
+    gs, gr = both
+    with pytest.raises(ValueError, match="ragged"):
+        gs.promote_keys(["eye_color"])  # struct mode: already shredded
+    with pytest.raises(ValueError, match="identifier"):
+        gr.promote_keys(["bad key!"])
+    with pytest.raises(ValueError, match="empty"):
+        gr.promote_keys([])
+
+
+def test_promote_keys_scan_prunes_blob(promoted, spark, tmp_path):
+    """The point of promotion: after a parquet round-trip, a filter
+    that touches only promoted keys scans only the small companion
+    columns — ReadSchema excludes the variant blob entirely."""
+    _, gp = promoted
+    gp.save(str(tmp_path / "pg"))
+    g2 = GripGraph.load(spark, str(tmp_path / "pg"))
+    assert "_pk_eye_color" in g2.vertices.columns  # layout survived
+    q = g2.query().V().has(ops.eq("eye_color", "blue")).count()
+    plan = q.to_df()._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    read_schemas = re.findall(r"ReadSchema: ([^\n]*)", plan)
+    v_scan = next(s for s in read_schemas if "_pk_eye_color" in s)
+    assert "data" not in v_scan, v_scan
+    # and the result matches the unpromoted graph (6 blue-eyed SWAPI)
+    assert q.execute()[0]["count"] == 6
