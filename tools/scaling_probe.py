@@ -130,6 +130,10 @@ def main():
         _ragged_probe(spark)
         spark.stop()
         return
+    if mode == "promote":
+        _promote_probe(spark)
+        spark.stop()
+        return
 
     for k in (1, 4, 8):
         d = replicate_docs(docs, k).persist()
@@ -553,6 +557,90 @@ def _ragged_probe(spark, key_space: int = 10_000):
             + " | ".join(f"{k} {v:.1f}s" for k, v in r.items()),
             flush=True,
         )
+
+
+def _promote_probe(spark, doc_chars: int = 10_000):
+    """promote_keys vs blob reads on FAT ragged documents: each doc
+    carries a ~10k-char payload key next to a few small hot keys.
+    Spark 4.1 parquet stores variant unshredded, so a filter on a hot
+    key in the plain layout decodes every whole blob; in the promoted
+    layout it scans only the small ``_pk_`` companion column
+    (ReadSchema excludes ``data``).  Expect: promoted filter cost
+    ~flat in document SIZE (it never touches the payload), plain
+    filter cost tracking total blob bytes."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from grip_spark import ops
+    from grip_spark.graph import GripGraph
+
+    base = tempfile.mkdtemp(prefix="promote_probe_")
+    try:
+        for n in (20_000, 80_000):
+            # incompressible payload (a constant filler RLE-compresses
+            # to nothing in parquet, hiding the blob-read cost the
+            # probe exists to measure): chain of per-(doc, j) sha2
+            filler = F.concat_ws(
+                "",
+                *[
+                    F.sha2(
+                        F.concat(F.col("id").cast("string"), F.lit(f":{j}")), 256
+                    )
+                    for j in range(doc_chars // 64)
+                ],
+            )
+            v = spark.range(n).select(
+                F.concat(F.lit("d:"), F.col("id").cast("string")).alias("gid"),
+                F.lit("Doc").alias("label"),
+                F.parse_json(
+                    F.concat(
+                        F.lit('{"score":'),
+                        (F.col("id") % 97).cast("string"),
+                        F.lit(',"lang":"l'),
+                        (F.col("id") % 11).cast("string"),
+                        F.lit('","payload":"'),
+                        filler,
+                        F.lit('"}'),
+                    )
+                ).alias("data"),
+            )
+            e = spark.range(0).select(
+                F.lit("e").alias("gid"), F.lit("l").alias("label"),
+                F.lit("x").alias("src"), F.lit("y").alias("dst"),
+            )
+            g = GripGraph(v, e, name="pp")
+            plain_dir, promo_dir = f"{base}/plain{n}", f"{base}/promo{n}"
+            g.save(plain_dir)
+            g.promote_keys(["score", "lang"]).save(promo_dir)
+            g_plain = GripGraph.load(spark, plain_dir)
+            g_promo = GripGraph.load(spark, promo_dir)
+
+            def t(fn):
+                best = float("inf")
+                for _ in range(2):  # min-of-2 damps first-run JIT
+                    t0 = time.perf_counter()
+                    fn()
+                    best = min(best, time.perf_counter() - t0)
+                return best
+
+            q = lambda gg: (
+                gg.query().V().has(ops.gt("score", 90)).count().execute()
+            )
+            agg = lambda gg: (
+                gg.query().V().aggregate([ops.term("t", "lang")]).execute()
+            )
+            print(
+                f"{n} docs x {doc_chars} chars: "
+                f"filter plain {t(lambda: q(g_plain)):.2f}s vs promoted "
+                f"{t(lambda: q(g_promo)):.2f}s | term-agg plain "
+                f"{t(lambda: agg(g_plain)):.2f}s vs promoted "
+                f"{t(lambda: agg(g_promo)):.2f}s",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def _widegraph_probe(spark, n_vertices: int = 1_000_000, n_edges: int = 10_000_000):
