@@ -1,0 +1,274 @@
+"""Generate driver-schema-compatible synthetic tables at an arbitrary
+scale factor (the driver ships sf0.001/0.01/0.1 read-only; the 100 TB
+story needs at least one 10x datapoint, so this reproduces the same
+star schema + events/documents/embeddings shape at sf1+).
+
+Row counts extrapolate the driver's observed formulas (TESTDATA.md
+tables at the three shipped SFs):
+
+    customer 150k*sf10   supplier 10k*sf10    part 200k*sf10
+    orders 1.5M*sf10     lineitem 6M*sf10     events 1M*sf10
+    documents max(500, 500k*sf)  embeddings max(500, 200k*sf)
+
+(sf10 = sf relative to 1.0, i.e. sf0.1 reproduces the shipped sf0.1
+counts exactly.)  Values are deterministic pure-column expressions
+(xxhash64-derived — no Python RNG, no driver loops), distributions
+mimic the shipped files: same enum domains, date ranges, text vocab,
+planted exact/near duplicate documents and clustered embeddings so the
+dedup/ANN queries have real work at every scale.
+
+This data is for SCALING measurement: the correctness contract
+(tools/check_contract.py) runs Spark vs DuckDB over the SAME files, so
+value oracles hold on generated tables exactly as on shipped ones.
+
+Usage: python tools/gen_sf.py [sf] [out_dir]   (default: 1.0, ./testdata_sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+# the ~30-word corpus vocabulary observed in the shipped documents
+VOCAB = (
+    "batch part spark line column order small sort fast value scan hash "
+    "slow group agg filter query big key window row table stream merge "
+    "data vector customer join a the"
+).split()
+
+SEGMENTS = ["MACHINERY", "BUILDING", "AUTOMOBILE", "HOUSEHOLD", "FURNITURE"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+STATUSES = ["O", "P", "F"]
+FLAGS = ["A", "N", "R"]
+LINESTATUS = ["O", "F"]
+ETYPES = ["view", "click", "purchase", "signup", "error"]
+PTYPES = ["SMALL", "MEDIUM", "LARGE", "STANDARD", "ECONOMY", "PROMO"]
+LANGS = ["en", "de", "es", "fr", "zh"]  # en ~41%, rest ~15% each
+
+
+def main(sf: float, out: str) -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .appName("gen_sf")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(out, exist_ok=True)
+
+    def h(*cols):
+        return F.xxhash64(*[F.lit(c) if isinstance(c, str) else c for c in cols])
+
+    def u(*cols):
+        """Deterministic uniform double in [0, 1)."""
+        return F.pmod(h(*cols), F.lit(1 << 31)).cast("double") / float(1 << 31)
+
+    def pick(values: list, *cols):
+        arr = F.array(*[F.lit(v) for v in values])
+        return F.element_at(arr, (F.pmod(h(*cols), F.lit(len(values))) + 1).cast("int"))
+
+    def write(df, name):
+        """Write as a single plain .parquet FILE (the shipped layout —
+        DuckDB oracles open the path directly; parquet row groups keep
+        a single big file splittable for Spark)."""
+        import glob
+        import shutil
+
+        tmp = f"{out}/_tmp_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, f"{out}/{name}.parquet")
+        shutil.rmtree(tmp)
+        print(f"  {name}: {df.count()} rows", flush=True)
+
+    sf10 = sf  # formulas are calibrated so sf=0.1 reproduces the shipped counts
+    n_cust = max(150, int(1_500_000 * sf10 / 10))
+    n_supp = max(10, int(100_000 * sf10 / 10))
+    n_part = max(200, int(2_000_000 * sf10 / 10))
+    n_ord = max(1500, int(15_000_000 * sf10 / 10))
+    n_li = max(6000, int(60_000_000 * sf10 / 10))
+    n_ev = max(1000, int(10_000_000 * sf10 / 10))
+    n_doc = max(500, int(500_000 * sf10 / 10))
+    n_emb = max(500, int(200_000 * sf10 / 10))
+    n_users = max(150, n_ev // 667)  # shipped: 1500 users per 100k events
+
+    # region/nation: fixed small dims — copy the shipped content
+    import shutil as _sh
+
+    for t in ("region", "nation"):
+        _sh.copyfile(
+            f"/root/testdata/sf0.1/{t}.parquet", f"{out}/{t}.parquet"
+        )
+        print(f"  {t}: copied", flush=True)
+
+    i = F.col("id")
+    write(
+        spark.range(n_cust).select(
+            i.alias("c_custkey"),
+            F.format_string("Customer#%09d", i).alias("c_name"),
+            F.pmod(h(i, "cn"), F.lit(25)).cast("int").alias("c_nationkey"),
+            F.round(u(i, "cb") * 11000 - 1000, 2).alias("c_acctbal"),
+            pick(SEGMENTS, i, "cs").alias("c_mktsegment"),
+        ),
+        "customer",
+    )
+    write(
+        spark.range(n_supp).select(
+            i.alias("s_suppkey"),
+            F.format_string("Supplier#%09d", i).alias("s_name"),
+            F.pmod(h(i, "sn"), F.lit(25)).cast("int").alias("s_nationkey"),
+            F.round(u(i, "sb") * 11000 - 1000, 2).alias("s_acctbal"),
+        ),
+        "supplier",
+    )
+    write(
+        spark.range(n_part).select(
+            i.alias("p_partkey"),
+            F.concat(pick(VOCAB, i, "pw1"), F.lit(" "), pick(VOCAB, i, "pw2")).alias(
+                "p_name"
+            ),
+            F.concat(F.lit("Brand#"), F.pmod(h(i, "pb"), F.lit(10)).cast("string")).alias(
+                "p_brand"
+            ),
+            pick(PTYPES, i, "pt").alias("p_type"),
+            (F.pmod(h(i, "ps"), F.lit(50)) + 1).cast("int").alias("p_size"),
+            F.round(F.lit(900.0) + u(i, "pr") * 100.0, 2).alias("p_retailprice"),
+        ),
+        "part",
+    )
+    # orders: 1995-01-01 .. 2001-08-01 (day granularity, ntz)
+    o_days = 2404
+    write(
+        spark.range(n_ord).select(
+            i.alias("o_orderkey"),
+            F.pmod(h(i, "oc"), F.lit(n_cust)).alias("o_custkey"),
+            pick(STATUSES, i, "os").alias("o_orderstatus"),
+            F.round(F.lit(1000.0) + u(i, "op") * 499000.0, 2).alias("o_totalprice"),
+            (
+                F.to_timestamp_ntz(F.lit("1995-01-01"))
+                + F.make_dt_interval(F.pmod(h(i, "od"), F.lit(o_days)).cast("int"))
+            ).alias("o_orderdate"),
+            pick(PRIORITIES, i, "opr").alias("o_orderpriority"),
+        ),
+        "orders",
+    )
+    write(
+        spark.range(n_li).select(
+            F.pmod(h(i, "lo"), F.lit(n_ord)).alias("l_orderkey"),
+            F.pmod(h(i, "lp"), F.lit(n_part)).alias("l_partkey"),
+            F.pmod(h(i, "ls"), F.lit(n_supp)).alias("l_suppkey"),
+            (F.pmod(h(i, "ln"), F.lit(7)) + 1).cast("int").alias("l_linenumber"),
+            (F.pmod(h(i, "lq"), F.lit(50)) + 1).cast("double").alias("l_quantity"),
+            F.round(F.lit(900.0) + u(i, "le") * 104100.0, 2).alias("l_extendedprice"),
+            (F.pmod(h(i, "ld"), F.lit(11)).cast("double") / 100.0).alias("l_discount"),
+            (F.pmod(h(i, "lt"), F.lit(9)).cast("double") / 100.0).alias("l_tax"),
+            pick(FLAGS, i, "lf").alias("l_returnflag"),
+            pick(LINESTATUS, i, "ll").alias("l_linestatus"),
+            (
+                F.to_timestamp_ntz(F.lit("1995-01-02"))
+                + F.make_dt_interval(F.pmod(h(i, "lsd"), F.lit(o_days + 90)).cast("int"))
+            ).alias("l_shipdate"),
+        ),
+        "lineitem",
+    )
+    # events: one month of 2024, microsecond timestamps, JSON props
+    write(
+        spark.range(n_ev).select(
+            i.alias("event_id"),
+            (
+                F.to_timestamp_ntz(F.lit("2024-01-01"))
+                + F.make_dt_interval(
+                    F.lit(0),
+                    F.lit(0),
+                    F.lit(0),
+                    F.round(u(i, "ets") * 2_591_900, 6),
+                )
+            ).alias("ts"),
+            F.pmod(h(i, "eu"), F.lit(n_users)).alias("user_id"),
+            pick(ETYPES, i, "ety").alias("event_type"),
+            F.round(u(i, "ev") * 560.0, 2).alias("value"),
+            F.format_string('{"k": %d}', F.pmod(h(i, "ek"), F.lit(100))).alias("props"),
+        ),
+        "events",
+    )
+    # documents: vocab word salad, 8..108 words; ~3% near-dups of the
+    # previous doc (~5% word substitution) + ~0.4% exact dups — the
+    # planted structure the dedup families need
+    dup_draw = F.pmod(h(i, "dup"), F.lit(1000))
+    kind = (
+        F.when((dup_draw < 30) & (i > 0), F.lit(1))  # near-dup
+        .when((dup_draw < 34) & (i > 0), F.lit(2))  # exact dup
+        .otherwise(F.lit(0))
+    )
+    base = F.when(kind > 0, i - 1).otherwise(i)
+    n_words = (F.pmod(h(base, "nw"), F.lit(101)) + 8).cast("int")
+    varr = F.array(*[F.lit(w) for w in VOCAB])
+
+    def word(seed, idx):
+        return F.element_at(
+            varr, (F.pmod(h(seed * 1000003 + idx, "w"), F.lit(len(VOCAB))) + 1).cast("int")
+        )
+
+    # near-dup mutation rate 1/128: 5-shingle survival ~0.96 → exact
+    # Jaccard ~0.93, comfortably above the 0.8 LSH/verify threshold
+    # (at 1/20 the planted pairs straddle the boundary, where banded
+    # LSH recall is probabilistic — the shipped corpus sits high too)
+    words = F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda ix: F.when(
+            (kind == 1) & (F.pmod(h(i * 7919 + ix, "mut"), F.lit(128)) == 0),
+            word(i, ix),  # near-dup: ~0.8% of positions re-drawn from own seed
+        ).otherwise(word(base, ix)),
+    )
+    text = F.array_join(words, " ")
+    write(
+        spark.range(n_doc).select(
+            i.alias("doc_id"),
+            text.alias("text"),
+            F.when(F.pmod(h(base, "lg"), F.lit(100)) < 41, F.lit("en"))
+            .otherwise(pick(LANGS[1:], base, "lg2"))
+            .alias("lang"),
+            F.concat(F.lit("src"), F.pmod(h(i, "srcn"), F.lit(20)).cast("string")).alias(
+                "source"
+            ),
+            F.length(text).alias("n_chars"),
+        ),
+        "documents",
+    )
+    # embeddings: 64-dim unit vectors around 10 cluster centers
+    # (label = cluster); ~2% near-dups of the previous vector
+    ekind = F.pmod(h(i, "edup"), F.lit(1000))
+    ebase = F.when((ekind < 20) & (i > 0), i - 1).otherwise(i)
+    label = F.pmod(h(ebase, "elab"), F.lit(10)).cast("int")
+
+    def unit(seed, d, salt):
+        return (
+            F.pmod(h(seed * 131 + d, salt), F.lit(2001)).cast("double") - 1000.0
+        ) / 1000.0
+
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda d: unit(label.cast("long"), d, "ctr")
+        + 0.35 * unit(ebase, d, "nz")
+        + F.when(ekind < 20, 0.01 * unit(i, d, "nz2")).otherwise(F.lit(0.0)),
+    )
+    norm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
+    emb = F.transform(raw, lambda x: (x / norm).cast("float"))
+    write(
+        spark.range(n_emb).select(
+            i.alias("vec_id"), emb.alias("embedding"), label.alias("label")
+        ),
+        "embeddings",
+    )
+    spark.stop()
+    print(f"DONE sf={sf} -> {out}")
+
+
+if __name__ == "__main__":
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    out = sys.argv[2] if len(sys.argv) > 2 else "./testdata_sf1"
+    main(sf, out)
