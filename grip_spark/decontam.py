@@ -179,6 +179,66 @@ def decontaminate(
     return corpus.join(F.broadcast(hits), id_col, "left_anti")
 
 
+def bloom_contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 13,
+    fpp: float = 0.01,
+    salt: str = "bloomdc",
+    gram_hash=None,
+    exact_verify: bool = True,
+    m_bits: int | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """:func:`contaminated_ids` for benchmark gram sets too large to
+    broadcast raw: the distinct benchmark grams are packed into a
+    Bloom filter (~9.6 bits/gram at the default fpp=0.01 — ~25×
+    smaller than a broadcast hash set) that CONSTANT-FOLDS into the
+    corpus scan, so the prefilter is one shuffle-free pass — an
+    ``exists`` over each document's gram array with the k getbit
+    probes inside whole-stage codegen (``sketch.bloom_member``).
+
+    With ``exact_verify=True`` (default) the flagged documents — rare
+    by construction — re-check their grams against the true benchmark
+    gram set in one equi-join (candidate side is hit-sized, so AQE
+    broadcasts whichever side is small), making the result EXACTLY
+    :func:`contaminated_ids`'s: the Bloom has no false negatives, and
+    the verify trims its false positives.  With ``exact_verify=False``
+    you accept ~fpp·n_grams spurious flags per clean document's gram
+    count and skip the second pass entirely.
+
+    Sizing: ``(m_bits, k)`` default to :func:`sketch.bloom_params` at
+    the benchmark's measured distinct-gram count (one eval-set-sized
+    count job).  The literal-folding path is sensible to m ≈ 2^24
+    (~2 MB in the plan); beyond that — benchmark gram sets in the
+    hundreds of millions — use ``sketch.bloom_probe_join`` on the
+    exploded corpus grams instead."""
+    from . import sketch as SK
+
+    bench = benchmark_grams(benchmark, bench_text_col or text_col, n, gram_hash)
+    bench = bench.localCheckpoint(eager=True)
+    if m_bits is None or k is None:
+        n_keys = bench.count()
+        auto_m, auto_k = SK.bloom_params(max(1, n_keys), fpp)
+        m_bits = m_bits or auto_m
+        k = k or auto_k
+    bits = SK.bloom_to_local(
+        SK.bloom_build(bench, "_g", m_bits, k, salt, token_hash=gram_hash)
+    )
+    grams = F.array_distinct(token_ngram_hashes(F.col(text_col), n, gram_hash))
+    member = lambda g: SK.bloom_member(bits, g.cast("string"), salt, gram_hash)  # noqa: E731
+    flagged = corpus.filter(F.exists(grams, member))
+    if not exact_verify:
+        return flagged.select(id_col).distinct()
+    cand = flagged.select(
+        F.col(id_col), F.explode(grams).alias("_g")
+    )
+    return cand.join(bench, "_g", "left_semi").select(id_col).distinct()
+
+
 def semantic_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

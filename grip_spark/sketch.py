@@ -265,6 +265,231 @@ def hll_estimate(sketch: DataFrame, p: int | None = None) -> float:
 
 
 # ---------------------------------------------------------------------------
+# Bloom filter — mergeable membership, plan-foldable probe
+# ---------------------------------------------------------------------------
+
+
+def bloom_params(n: int, fpp: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k) sized for ``n`` keys at false-positive probability
+    ``fpp``: m = ceil(-n ln fpp / ln²2) rounded up to a multiple of 64
+    (whole words), k = round(m/n · ln 2).  At fpp=0.01 that is ~9.6
+    bits and 7 hashes per key — ~25× smaller than broadcasting the
+    keys themselves as a hash set."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if not 0 < fpp < 1:
+        raise ValueError(f"fpp must be in (0,1), got {fpp}")
+    m = math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _bloom_probes(key: Column, m_bits: int, k: int, salt: str, token_hash=None):
+    """The k (word, mask) pairs of a key: bit position i is
+    ``xxhash64(salt:i: ++ key) mod m``, split into word = pos div 64
+    and mask = 1 << (pos mod 64) (variable-amount shift via the SQL
+    ``shiftleft``, which — unlike the typed PySpark wrapper — accepts
+    a column count)."""
+    h = token_hash or F.xxhash64
+    out = []
+    for i in range(k):
+        pos = F.pmod(h(F.concat(F.lit(f"{salt}:{i}:"), key)), F.lit(m_bits))
+        out.append(
+            (
+                (pos / 64).cast("int"),
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+                ),
+            )
+        )
+    return out
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 7,
+    salt: str = "bloom",
+    token_hash=None,
+) -> DataFrame:
+    """Bloom filter of a key column → ``(word, bits, m, k)`` with one
+    row per non-empty 64-bit word (≤ m/64 rows).  The fourth member of
+    the mergeable-sketch family: Count-Min answers frequency, HLL
+    cardinality, t-digest quantiles — this answers MEMBERSHIP ("was
+    this gram/URL/id ever seen?") with zero false negatives and a
+    tunable false-positive rate (:func:`bloom_params`).
+
+    Scale shape matches :func:`cm_build`: each key explodes into k
+    (word, mask) pairs and ONE map-side-combined ``bit_or`` aggregate
+    collapses them — the shuffle carries at most m/64 distinct words
+    regardless of corpus size.  Merge is word-wise OR
+    (:func:`bloom_merge` — exactly the filter of the union).  The
+    probe side never joins at all when the filter fits the plan: see
+    :func:`bloom_member`.  NULL keys are skipped (as in cm_build).
+    ``m`` and ``k`` ride every row so merge/probe can refuse a
+    geometry mismatch; same salt is the caller's contract (as with
+    the other sketches)."""
+    if m_bits < 64 or m_bits % 64 != 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    key = F.col(key_col).cast("string")
+    probes = F.array(
+        *[
+            F.struct(w.alias("word"), m.alias("mask"))
+            for w, m in _bloom_probes(key, m_bits, k, salt, token_hash)
+        ]
+    )
+    return (
+        df.filter(key.isNotNull())
+        .select(F.explode(probes).alias("wm"))
+        .groupBy(F.col("wm.word").alias("word"))
+        .agg(F.bit_or(F.col("wm.mask")).alias("bits"))
+        .withColumns({"m": F.lit(m_bits).cast("long"), "k": F.lit(k)})
+    )
+
+
+def bloom_merge(*sketches: DataFrame) -> DataFrame:
+    """Word-wise OR — exactly the filter of the input union.  Refuses
+    mixed geometries (the carried ``(m, k)`` must agree)."""
+    if not sketches:
+        raise ValueError("bloom_merge: need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    geos = out.select("m", "k").distinct().collect()
+    if len(geos) > 1:
+        raise ValueError(
+            "bloom_merge: mixed geometries "
+            f"{sorted((r['m'], r['k']) for r in geos)}"
+        )
+    return out.groupBy("word", "m", "k").agg(F.bit_or("bits").alias("bits")).select(
+        "word", "bits", "m", "k"
+    )
+
+
+def bloom_to_local(sketch: DataFrame) -> dict:
+    """Collect the filter to ``{"m": int, "k": int, "words": [long]}``
+    (dense, length m/64) — the form :func:`bloom_member` folds into a
+    plan as a literal.  Driver memory is m/8 bytes (1 MB at m=2^23);
+    for filters beyond literal-folding size use
+    :func:`bloom_probe_join` on the DataFrame form instead."""
+    rows = sketch.collect()
+    if not rows:
+        raise ValueError("bloom_to_local: empty sketch (no words)")
+    geos = {(r["m"], r["k"]) for r in rows}
+    if len(geos) > 1:
+        raise ValueError(f"bloom_to_local: mixed geometries {sorted(geos)}")
+    m, k = geos.pop()
+    words = [0] * (m // 64)
+    for r in rows:
+        words[r["word"]] = r["bits"]
+    return {"m": int(m), "k": int(k), "words": words}
+
+
+def bloom_member(
+    local: dict, key: Column, salt: str = "bloom", token_hash=None
+) -> Column:
+    """Boolean membership test as a pure column expression — the
+    ``hashed_linear_score`` shape: the word array is constant-folded
+    into the plan (m/64 longs — ~128 KB at the default m=2^20, keep
+    m ≲ 2^24 on this path) and the k probes are getbit lookups inside
+    whole-stage codegen.  No join, no shuffle, no Python: a 100 TB
+    corpus filters against a million-key set at scan speed.  False
+    positives only — compose with an exact verify on the (rare)
+    hits when exactness matters (:func:`grip_spark.decontam.
+    bloom_contaminated_ids` does exactly that).  NULL keys → NULL."""
+    m, k = local["m"], local["k"]
+    h = token_hash or F.xxhash64
+    words = F.lit(local["words"]).cast("array<long>")
+    out = None
+    for i in range(k):
+        pos = F.pmod(h(F.concat(F.lit(f"{salt}:{i}:"), key)), F.lit(m))
+        bit = F.getbit(
+            F.element_at(words, (pos / 64).cast("int") + 1),
+            (pos % 64).cast("int"),
+        ) == 1
+        out = bit if out is None else out & bit
+    # Spark's hash family maps NULL input to the seed (never NULL), so
+    # gate explicitly: NULL key → NULL, not a hash of the empty case
+    return F.when(key.isNotNull(), out)
+
+
+def bloom_member_py(local: dict, key: str, salt: str = "bloom", hash_fn=None) -> bool:
+    """Driver-side replica of :func:`bloom_member` (same family via
+    ``dedup.xxhash64_py``) — for tests and one-off lookups."""
+    from .dedup import xxhash64_py
+
+    h = hash_fn or xxhash64_py
+    m, k, words = local["m"], local["k"], local["words"]
+    for i in range(k):
+        pos = h(f"{salt}:{i}:{key}") % m
+        if not (words[pos // 64] >> (pos % 64)) & 1:
+            return False
+    return True
+
+
+def bloom_probe_join(
+    sketch: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    salt: str = "bloom",
+    token_hash=None,
+    out_col: str = "maybe_member",
+) -> DataFrame:
+    """Membership for filters too large to literal-fold: ``(id_col,
+    out_col)`` per input row.  The k probes explode, the word table
+    (≤ m/64 rows) BROADCASTs into one equi-join, and a per-id re-agg
+    ANDs the k bits — the ``hashed_linear_score_joined`` shape: the
+    shuffle carries (id, hit) pairs, never keys.  Rows whose key is
+    NULL return NULL (matching :func:`bloom_member`)."""
+    geos = sketch.select("m", "k").distinct().collect()
+    if len(geos) != 1:
+        raise ValueError(
+            "bloom_probe_join: need exactly one geometry, got "
+            f"{sorted((r['m'], r['k']) for r in geos)}"
+        )
+    m, k = int(geos[0]["m"]), int(geos[0]["k"])
+    key = F.col(key_col).cast("string")
+    probes = F.array(
+        *[
+            F.struct(w.alias("word"), mk.alias("mask"))
+            for w, mk in _bloom_probes(key, m, k, salt, token_hash)
+        ]
+    )
+    exploded = df.select(
+        F.col(id_col), key.alias("_bk"), F.explode_outer(
+            F.when(key.isNotNull(), probes)
+        ).alias("wm")
+    ).select(
+        id_col,
+        "_bk",
+        F.col("wm.word").alias("word"),
+        F.col("wm.mask").alias("mask"),
+    )
+    hit = (
+        exploded.join(
+            F.broadcast(sketch.select("word", "bits")), "word", "left"
+        )
+        .withColumn(
+            "_hit",
+            F.when(
+                F.col("_bk").isNull(), F.lit(None).cast("boolean")
+            ).otherwise(
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+                == F.col("mask")
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.min("_hit").alias(out_col))
+    )
+    return hit
+
+
+# ---------------------------------------------------------------------------
 # t-digest — mergeable quantiles
 # ---------------------------------------------------------------------------
 

@@ -243,3 +243,43 @@ def test_semantic_contamination_edge_cases(spark):
     # user columns named like every internal survive to the output
     assert (row["_bucket"], row["_vb"], row["_bnorm"]) == ("keepme", "b", "n")
     assert row["sem_hit"] is True
+
+
+def test_bloom_contaminated_ids_matches_exact(corpus_bench):
+    cdf, bdf, corpus, bench, planted = corpus_bench
+    want = {
+        r["doc_id"] for r in decontam.contaminated_ids(cdf, bdf, n=13).collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in decontam.bloom_contaminated_ids(cdf, bdf, n=13).collect()
+    }
+    assert got == want  # bloom prefilter + exact verify == exact rule
+    # without the verify: superset (no false negatives), bounded slop
+    loose = {
+        r["doc_id"]
+        for r in decontam.bloom_contaminated_ids(
+            cdf, bdf, n=13, exact_verify=False, fpp=0.01
+        ).collect()
+    }
+    assert want <= loose
+    assert len(loose) <= len(corpus)
+
+
+def test_bloom_contaminated_ids_explicit_geometry_and_md5(corpus_bench):
+    from grip_spark.dedup import md5_prefix_hash
+
+    cdf, bdf, corpus, bench, planted = corpus_bench
+    want = {
+        r["doc_id"]
+        for r in decontam.contaminated_ids(
+            cdf, bdf, n=5, gram_hash=md5_prefix_hash
+        ).collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in decontam.bloom_contaminated_ids(
+            cdf, bdf, n=5, gram_hash=md5_prefix_hash, m_bits=1 << 16, k=4
+        ).collect()
+    }
+    assert got == want

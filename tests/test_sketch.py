@@ -370,3 +370,123 @@ def test_td_incremental_over_stream(spark, tmp_path_factory):
         est = sketch.td_quantile(merged, qq)
         lo, hi = _ranks(svals, est)
         assert lo - 0.02 <= qq <= hi + 0.02, (qq, est)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+BM, BK, BSALT = 4096, 5, "bt"
+
+
+def _bloom_py(keys):
+    """Independent replica: dense word array built driver-side."""
+    words = [0] * (BM // 64)
+    for key in keys:
+        for i in range(BK):
+            pos = xxhash64_py(f"{BSALT}:{i}:{key}") % BM
+            words[pos // 64] |= 1 << (pos % 64)
+    # JVM longs are signed: fold to two's complement
+    return [w - (1 << 64) if w >= 1 << 63 else w for w in words]
+
+
+@pytest.fixture(scope="module")
+def bloom_keys():
+    return [f"key{i}" for i in range(500)]
+
+
+def test_bloom_matches_replica_and_no_false_negatives(spark, bloom_keys):
+    df = spark.createDataFrame([(x,) for x in bloom_keys], "k string").repartition(5)
+    sk = sketch.bloom_build(df, "k", m_bits=BM, k=BK, salt=BSALT).persist()
+    local = sketch.bloom_to_local(sk)
+    assert local["m"] == BM and local["k"] == BK
+    assert local["words"] == _bloom_py(bloom_keys)
+    # zero false negatives: every inserted key is a member, on both
+    # the column path and the python replica
+    probe = spark.createDataFrame([(x,) for x in bloom_keys], "k string")
+    hits = probe.filter(
+        sketch.bloom_member(local, F.col("k"), salt=BSALT)
+    ).count()
+    assert hits == len(bloom_keys)
+    assert all(sketch.bloom_member_py(local, x, salt=BSALT) for x in bloom_keys)
+
+
+def test_bloom_fpp_bound_and_replica_agreement(spark, bloom_keys):
+    df = spark.createDataFrame([(x,) for x in bloom_keys], "k string")
+    m, k = sketch.bloom_params(len(bloom_keys), 0.02)
+    sk = sketch.bloom_build(df, "k", m_bits=m, k=k, salt=BSALT)
+    local = sketch.bloom_to_local(sk)
+    absent = [f"absent{i}" for i in range(3000)]
+    probe = spark.createDataFrame([(x,) for x in absent], "k string")
+    got = {
+        r["k"]: r["hit"]
+        for r in probe.select(
+            "k", sketch.bloom_member(local, F.col("k"), salt=BSALT).alias("hit")
+        ).collect()
+    }
+    fp = sum(got.values())
+    assert fp / len(absent) < 0.06  # target 0.02 with slack
+    # column path == python replica on every probe
+    for x in absent[:200]:
+        assert got[x] == sketch.bloom_member_py(local, x, salt=BSALT)
+
+
+def test_bloom_merge_is_union(spark, bloom_keys):
+    a, b = bloom_keys[:250], bloom_keys[250:]
+    da = spark.createDataFrame([(x,) for x in a], "k string")
+    db = spark.createDataFrame([(x,) for x in b], "k string")
+    dall = spark.createDataFrame([(x,) for x in bloom_keys], "k string")
+    merged = sketch.bloom_merge(
+        sketch.bloom_build(da, "k", BM, BK, BSALT),
+        sketch.bloom_build(db, "k", BM, BK, BSALT),
+    )
+    whole = sketch.bloom_build(dall, "k", BM, BK, BSALT)
+    assert sketch.bloom_to_local(merged) == sketch.bloom_to_local(whole)
+
+
+def test_bloom_probe_join_matches_literal_and_nulls(spark, bloom_keys):
+    df = spark.createDataFrame([(x,) for x in bloom_keys], "k string")
+    sk = sketch.bloom_build(df, "k", BM, BK, BSALT).persist()
+    local = sketch.bloom_to_local(sk)
+    rows = [(i, f"key{i}") for i in range(0, 600, 7)] + [(9999, None)]
+    probe = spark.createDataFrame(rows, "id int, k string")
+    joined = {
+        r["id"]: r["maybe_member"]
+        for r in sketch.bloom_probe_join(sk, probe, "id", "k", salt=BSALT).collect()
+    }
+    lit = {
+        r["id"]: r["hit"]
+        for r in probe.select(
+            "id", sketch.bloom_member(local, F.col("k"), salt=BSALT).alias("hit")
+        ).collect()
+    }
+    assert joined == lit
+    assert joined[9999] is None
+
+
+def test_bloom_member_plan_is_shuffle_free_and_jvm(spark, bloom_keys):
+    import re
+
+    df = spark.createDataFrame([(x,) for x in bloom_keys], "k string")
+    local = sketch.bloom_to_local(sketch.bloom_build(df, "k", BM, BK, BSALT))
+    q = df.filter(sketch.bloom_member(local, F.col("k"), salt=BSALT))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"Exchange (?:hash|range)partitioning", plan)
+    for red in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+        assert red not in plan
+
+
+def test_bloom_errors(spark, bloom_keys):
+    df = spark.createDataFrame([(x,) for x in bloom_keys], "k string")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        sketch.bloom_build(df, "k", m_bits=100)
+    with pytest.raises(ValueError, match="k must be"):
+        sketch.bloom_build(df, "k", m_bits=128, k=0)
+    with pytest.raises(ValueError, match="empty"):
+        sketch.bloom_to_local(sketch.bloom_build(df.limit(0), "k", 128, 2))
+    with pytest.raises(ValueError, match="mixed geometries"):
+        sketch.bloom_merge(
+            sketch.bloom_build(df, "k", 128, 2), sketch.bloom_build(df, "k", 256, 2)
+        ).collect()
+    with pytest.raises(ValueError, match="fpp"):
+        sketch.bloom_params(10, 1.5)
