@@ -490,6 +490,143 @@ def bloom_probe_join(
 
 
 # ---------------------------------------------------------------------------
+# Misra-Gries — mergeable heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def _mg_compress(counters: dict, deducted: int, capacity: int) -> tuple[dict, int]:
+    """Decrement-and-drop to ≤ ``capacity`` entries: subtract the
+    (capacity+1)-th largest count from everything and drop ≤ 0 — the
+    batch form of Misra-Gries' per-item decrement.  Returns the new
+    (counters, deducted); ``deducted`` accumulates every subtraction
+    a key may have absorbed, which is exactly the upper error bound."""
+    if len(counters) <= capacity:
+        return counters, deducted
+    d = sorted(counters.values(), reverse=True)[capacity]
+    return (
+        {k: v - d for k, v in counters.items() if v > d},
+        deducted + d,
+    )
+
+
+def mg_build(
+    df: DataFrame,
+    key_col: str,
+    capacity: int = 256,
+    weight_col: str | None = None,
+) -> dict:
+    """Misra-Gries heavy-hitters summary of a key column → a driver
+    dict ``{"counters": {key: est}, "deducted": int, "n": int}``
+    (JSON-serializable, the persisted form — the frequent-items member
+    of the mergeable-sketch family next to Count-Min/HLL/t-digest).
+
+    Guarantees (Misra & Gries 1982; merge rule per Agarwal et al.
+    2013): for every key, ``est <= true <= est + deducted``, and any
+    key with ``true > deducted`` is PRESENT in the counters — with
+    ``deducted <= n / (capacity+1)``, so frequency-above-``n/c`` items
+    can never be missed.  Unlike :func:`cm_build` the summary answers
+    "which keys are frequent" without knowing them up front, in
+    ``capacity`` entries instead of a width×depth table.
+
+    Scale shape (the :func:`td_build` discipline): one Arrow-batched
+    pass folds each PARTITION into ≤ ``capacity`` counters — the
+    per-batch fold is a vectorized pandas groupby-sum, the compress a
+    sort of ``capacity+ε`` values; per-partition state never exceeds
+    one Arrow batch + ~2·capacity entries regardless of key
+    cardinality (the point: a groupBy would shuffle every distinct
+    key).  The collect is partitions × (capacity+2) rows.  Honesty
+    note, as with t-digest: the REPRESENTATION depends on partitioning
+    (which keys absorb decrements), the accuracy bound does not — the
+    tests pin bounds, not counters.  NULL keys are skipped;
+    ``weight_col`` aggregates weights (negative weights rejected —
+    MG's bound assumes monotone mass)."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    cols = [F.col(key_col).cast("string").alias("_k")]
+    if weight_col:
+        cols.append(F.col(weight_col).cast("long").alias("_w"))
+
+    def _partials(batches):
+        import pandas as _pd
+
+        counters: dict = {}
+        deducted = 0
+        total = 0
+        for pdf in batches:
+            keys = pdf["_k"]
+            if weight_col:
+                w = pdf["_w"]
+                if (w.dropna() < 0).any():
+                    raise ValueError("mg_build: negative weights")
+                grp = w.groupby(keys).sum()
+            else:
+                grp = keys.value_counts()
+            for k, v in grp.items():
+                if k is None or v == 0:
+                    continue
+                counters[k] = counters.get(k, 0) + int(v)
+                total += int(v)
+            counters, deducted = _mg_compress(counters, deducted, capacity)
+        yield _pd.DataFrame(
+            {
+                "k": list(counters) + [None, None],
+                "n": list(counters.values()) + [deducted, total],
+                "kind": ["c"] * len(counters) + ["d", "t"],
+            }
+        )
+
+    rows = df.select(*cols).mapInPandas(
+        _partials, schema="k string, n long, kind string"
+    ).collect()
+    counters: dict = {}
+    deducted = 0
+    total = 0
+    for r in rows:
+        if r["kind"] == "c":
+            counters[r["k"]] = counters.get(r["k"], 0) + r["n"]
+        elif r["kind"] == "d":
+            deducted += r["n"]
+        else:
+            total += r["n"]
+    counters, deducted = _mg_compress(counters, deducted, capacity)
+    return {"counters": counters, "deducted": deducted, "n": total}
+
+
+def mg_merge(*sketches: dict, capacity: int | None = None) -> dict:
+    """Merge summaries (one per day/shard): sum common counters, sum
+    deducted, re-compress.  ``capacity`` defaults to the largest
+    input's size so merging never silently degrades resolution; the
+    ``est <= true <= est + deducted`` contract survives merging."""
+    if not sketches:
+        raise ValueError("mg_merge: need at least one sketch")
+    if capacity is None:
+        capacity = max(max((len(s["counters"]) for s in sketches), default=1), 1)
+    counters: dict = {}
+    deducted = 0
+    total = 0
+    for s in sketches:
+        for k, v in s["counters"].items():
+            counters[k] = counters.get(k, 0) + v
+        deducted += s["deducted"]
+        total += s["n"]
+    counters, deducted = _mg_compress(counters, deducted, capacity)
+    return {"counters": counters, "deducted": deducted, "n": total}
+
+
+def mg_topk(sketch: dict, k: int = 10) -> list:
+    """The k largest summary entries as ``(key, est_min, est_max)``
+    sorted by estimate (desc, then key for determinism): the true
+    count lies in ``[est_min, est_max]``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    d = sketch["deducted"]
+    items = sorted(
+        sketch["counters"].items(), key=lambda kv: (-kv[1], kv[0])
+    )[:k]
+    return [(key, v, v + d) for key, v in items]
+
+
+# ---------------------------------------------------------------------------
 # t-digest — mergeable quantiles
 # ---------------------------------------------------------------------------
 

@@ -490,3 +490,83 @@ def test_bloom_errors(spark, bloom_keys):
         ).collect()
     with pytest.raises(ValueError, match="fpp"):
         sketch.bloom_params(10, 1.5)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def _mg_truth(items):
+    t = {}
+    for x, w in items:
+        t[x] = t.get(x, 0) + w
+    return t
+
+
+def _assert_mg_contract(sk, truth, capacity):
+    n = sum(truth.values())
+    assert sk["n"] == n
+    assert 0 <= sk["deducted"] <= n // (capacity + 1)
+    assert len(sk["counters"]) <= capacity
+    for key, est in sk["counters"].items():
+        true = truth.get(key, 0)
+        assert est <= true <= est + sk["deducted"]
+    # no heavy hitter can be missed
+    for key, true in truth.items():
+        if true > sk["deducted"]:
+            assert key in sk["counters"], key
+
+
+def test_mg_bounds_and_heavy_hitters(spark, corpus):
+    df = spark.createDataFrame([(x,) for x in corpus], "k string").repartition(5)
+    truth = _mg_truth([(x, 1) for x in corpus])
+    for cap in (8, 32):
+        sk = sketch.mg_build(df, "k", capacity=cap)
+        _assert_mg_contract(sk, truth, cap)
+    # top keys by construction: key1 (200), key2 (100), key3 (66)
+    top = sketch.mg_topk(sketch.mg_build(df, "k", capacity=32), 3)
+    assert [t[0] for t in top] == ["key1", "key2", "key3"]
+    lo, hi = top[0][1], top[0][2]
+    assert lo <= truth["key1"] <= hi
+
+
+def test_mg_merge_keeps_contract(spark, corpus):
+    half = len(corpus) // 2
+    da = spark.createDataFrame([(x,) for x in corpus[:half]], "k string")
+    db = spark.createDataFrame([(x,) for x in corpus[half:]], "k string")
+    cap = 16
+    merged = sketch.mg_merge(
+        sketch.mg_build(da, "k", capacity=cap),
+        sketch.mg_build(db, "k", capacity=cap),
+        capacity=cap,
+    )
+    _assert_mg_contract(merged, _mg_truth([(x, 1) for x in corpus]), cap)
+
+
+def test_mg_weighted_nulls_and_errors(spark):
+    rows = [("a", 10), ("b", 3), ("a", 5), (None, 99), ("c", 0)]
+    df = spark.createDataFrame(rows, "k string, w long")
+    sk = sketch.mg_build(df, "k", capacity=8, weight_col="w")
+    assert sk["counters"] == {"a": 15, "b": 3}
+    assert sk["n"] == 18 and sk["deducted"] == 0
+    with pytest.raises(ValueError, match="capacity"):
+        sketch.mg_build(df, "k", capacity=0)
+    with pytest.raises(Exception, match="negative"):
+        sketch.mg_build(
+            spark.createDataFrame([("a", -1)], "k string, w long"),
+            "k", capacity=4, weight_col="w",
+        )
+    with pytest.raises(ValueError, match="at least one"):
+        sketch.mg_merge()
+    with pytest.raises(ValueError, match="k must be"):
+        sketch.mg_topk(sk, 0)
+
+
+def test_mg_exact_when_under_capacity(spark, corpus):
+    # capacity >= #distinct keys: MG degenerates to exact counts
+    df = spark.createDataFrame([(x,) for x in corpus], "k string").repartition(7)
+    truth = _mg_truth([(x, 1) for x in corpus])
+    sk = sketch.mg_build(df, "k", capacity=len(truth))
+    assert sk["deducted"] == 0
+    assert sk["counters"] == truth
