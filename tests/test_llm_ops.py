@@ -2085,3 +2085,106 @@ def test_remove_duplicate_spans_keep_first_hand_oracle(spark):
     assert out[1] == "alpha beta " + boiler + " gamma"  # first copy kept
     assert out[2] == "one two three"
     assert out[3] == "unique text lives here unharmed ok"
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization (SQ8)
+# ---------------------------------------------------------------------------
+
+
+def test_sq_encode_matches_python_and_is_narrow(spark, emb):
+    import math
+
+    from grip_spark import similarity as S
+
+    model = S.sq_train(emb)
+    dim = len(model["lo"])
+    assert dim == len(emb.first()["embedding"])
+    # exact bounds -> retrain is bit-identical (partition invariance)
+    assert S.sq_train(emb.repartition(7)) == model
+
+    codes = S.sq_encode(emb, model)
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for red in ("BatchEvalPython", "ArrowEvalPython", "InPandas"):
+        assert red not in plan
+
+    steps = [
+        (h - l) / 255.0 if h > l else 0.0
+        for l, h in zip(model["lo"], model["hi"])
+    ]
+    for r in codes.filter(F.col("vec_id") < 5).collect():
+        vec = [float(x) for x in r["embedding"]]
+        n = math.sqrt(sum(x * x for x in vec))
+        u = [x / n for x in vec] if n > 0 else vec
+        want = [
+            0 if s == 0
+            else min(255, max(0, math.floor((x - l) / s + 0.5)))
+            for x, l, s in zip(u, model["lo"], steps)
+        ]
+        got = list(r["sq_code"])
+        assert got == want, r["vec_id"]
+        # reconstruction error <= half a step per dim (clamp-free range)
+        for x, l, s, c in zip(u, model["lo"], steps, got):
+            assert abs((l + s * c) - x) <= (s / 2 if s else 0) + 1e-9
+
+
+def test_sq_topk_recall_and_score(spark, emb):
+    import math
+
+    from grip_spark import similarity as S
+
+    model = S.sq_train(emb)
+    codes = S.sq_encode(emb, model).localCheckpoint(eager=True)
+    steps = [
+        (h - l) / 255.0 if h > l else 0.0
+        for l, h in zip(model["lo"], model["hi"])
+    ]
+    for qid in (0, 7, 42):
+        q = [float(x) for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]]
+        exact = {r["vec_id"] for r in S.cosine_topk(emb, "embedding", q, k=10).collect()}
+        top = S.sq_topk(codes, model, q, k=10).collect()
+        # 8-bit reconstruction barely moves cosine ranks
+        assert len(exact & {r["vec_id"] for r in top}) / 10 >= 0.9, qid
+        # score of the best row == python decoded dot, exactly
+        best = top[0]
+        qn = math.sqrt(sum(x * x for x in q))
+        qu = [x / qn for x in q]
+        code = list(
+            codes.filter(F.col("vec_id") == best["vec_id"]).first()["sq_code"]
+        )
+        want = sum(
+            a * (l + s * c) for a, l, s, c in zip(qu, model["lo"], steps, code)
+        )
+        assert abs(best["sq_score"] - want) < 1e-9
+    plan = S.sq_topk(codes, model, q, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan
+
+    with pytest.raises(ValueError):
+        S.sq_topk(codes, model, [0.0] * (len(model["lo"]) - 1))
+    with pytest.raises(ValueError):
+        S.sq_topk(codes, model, q, k=0)
+
+
+def test_sq_degenerate_dims_zero_vectors_and_saturation(spark):
+    from grip_spark import similarity as S
+
+    rows = [
+        (0, [1.0, 5.0, -2.0]),
+        (1, [0.0, 5.0, 0.0]),
+        (2, [0.5, 5.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    model = S.sq_train(df, normalize=False)
+    assert model["lo"][1] == 5.0 and model["hi"][1] == 5.0  # constant dim
+    codes = {r["vec_id"]: list(r["sq_code"]) for r in S.sq_encode(df, model).collect()}
+    assert all(c[1] == 0 for c in codes.values())  # constant dim -> 0
+    assert codes[0][0] == 255 and codes[1][0] == 0  # full range endpoints
+    # out-of-range vectors saturate, never wrap
+    oob = spark.createDataFrame(
+        [(9, [99.0, 99.0, -99.0])], "vec_id long, embedding array<double>"
+    )
+    c = S.sq_encode(oob, model).first()["sq_code"]
+    assert list(c) == [255, 0, 0]
+    with pytest.raises(ValueError, match="no vectors"):
+        S.sq_train(df.limit(0))
