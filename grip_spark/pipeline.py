@@ -45,6 +45,7 @@ def build_corpus(
     text_col: str = "text",
     *,
     html_col: str | None = None,
+    unicode_form: str | None = None,
     min_quality: float | None = 0.3,
     languages: tuple[str, ...] | None = ("en",),
     line_rules: bool = True,
@@ -78,7 +79,9 @@ def build_corpus(
     ``html_col`` — when the input is raw web HTML, extract text from
     that column first (:func:`grip_spark.text.strip_html` — the
     extracted text lands in ``text_col`` and feeds every later
-    stage).  ``dsir_target`` + ``dsir_n`` — after dedup/mixture,
+    stage).  ``unicode_form`` — canonicalize text with
+    :func:`grip_spark.text.clean_text` (e.g. ``"NFC"``/``"NFKC"``)
+    before any dedup/gram key is derived.  ``dsir_target`` + ``dsir_n`` — after dedup/mixture,
     select ``dsir_n`` documents matched to the target corpus's
     distribution by DSIR importance resampling (Xie et al. 2023;
     deterministic Gumbel top-n, its own salt).
@@ -122,6 +125,11 @@ def build_corpus(
             F.col(text_col).isNotNull() & (F.col(text_col) != "")
         )
         mark("html_extract")
+    if unicode_form is not None:
+        # canonicalize BEFORE any gram/dedup key is derived, so NFC-
+        # vs-NFD variants of a word hash identically downstream
+        out = text.clean_text(out, text_col=text_col, form=unicode_form)
+        mark("unicode_clean")
     if line_rules:
         out = text.line_filter(out, text_col=text_col)
         out = (

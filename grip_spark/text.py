@@ -2638,6 +2638,75 @@ def strip_html(
     )
 
 
+# invisible / format characters that carry no text: zero-widths,
+# soft hyphen, bidi controls, word-joiner, BOM
+_INVISIBLES = "[\u200b-\u200f\u2060\u00ad\u202a-\u202e\u2066-\u2069\ufeff]"
+# C0/C1 controls except tab, newline, carriage return (CR is folded
+# to \n first, so the class may keep it out)
+_CONTROLS = "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]"
+# unicode horizontal spaces -> ASCII space
+_UNISPACES = "[\u00a0\u1680\u2000-\u200a\u202f\u205f\u3000]"
+# single-char punctuation folds (translate: 1:1 only)
+_PUNCT_FROM = "\u2018\u2019\u201a\u201b\u2032\u201c\u201d\u201e\u201f\u2033\u2013\u2014\u2015\u2212"
+_PUNCT_TO = "'''''\"\"\"\"\"----"
+
+
+def clean_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    form: str | None = "NFC",
+    fold_punct: bool = True,
+) -> DataFrame:
+    """Unicode cleanup — the canonicalization stage between
+    :func:`strip_html` and the quality signals: scraped text arrives
+    with zero-width joiners splitting tokens, NBSPs defeating
+    whitespace tokenizers, bidi controls, smart quotes, and mixed
+    normalization forms (the same word as NFC vs NFD breaks exact
+    dedup and gram matching).
+
+    Per row: CRLF/CR → LF; ``form`` normalization (NFC default —
+    canonical composition; NFKC additionally folds width variants,
+    ligatures and compatibility chars — the aggressive choice for
+    dedup keys); invisibles/bidi controls dropped; remaining C0/C1
+    controls → space; unicode spaces → ASCII space; with
+    ``fold_punct``, curly quotes/primes → ASCII quotes, dashes →
+    ``-``, ellipsis → ``...``.  Line structure is PRESERVED (no run
+    collapsing — :func:`line_filter` and :func:`normalize` own that);
+    NULL stays NULL.  ``out_col`` defaults to replacing ``text_col``.
+
+    Scale shape: everything except ``form`` is a shuffle-free
+    regexp/translate chain inside codegen.  Unicode normalization has
+    no JVM expression in Spark, so ``form`` adds ONE Arrow-batched
+    pandas UDF (``Series.str.normalize`` — vectorized ICU-equivalent,
+    the sanctioned batch crossing, same budget class as the
+    multimodal decoders); pass ``form=None`` for the pure-codegen
+    subset when inputs are known-composed."""
+    if form is not None and form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"form must be NFC/NFKC/NFD/NFKD or None, got {form}")
+    c = F.col(text_col)
+    s = F.regexp_replace(c, "\r\n?", "\n")
+    if form is not None:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def _unorm(col):
+            return col.str.normalize(form)
+
+        s = _unorm(s)
+    s = F.regexp_replace(s, _INVISIBLES, "")
+    s = F.regexp_replace(s, _CONTROLS, " ")
+    s = F.regexp_replace(s, _UNISPACES, " ")
+    if fold_punct:
+        s = F.regexp_replace(
+            F.translate(s, _PUNCT_FROM, _PUNCT_TO), "\u2026", "..."
+        )
+    return df.withColumn(
+        out_col or text_col,
+        F.when(c.isNull(), F.lit(None).cast("string")).otherwise(s),
+    )
+
+
 def cluster_top_terms(
     df: DataFrame,
     cluster_col: str,

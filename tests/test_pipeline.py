@@ -211,3 +211,38 @@ def test_build_corpus_html_and_dsir_stages(spark):
 
     with _pt.raises(ValueError):
         pipeline.build_corpus(docs, html_col="html", dsir_n=5)
+
+
+def test_build_corpus_unicode_stage(spark):
+    """unicode_form canonicalizes before dedup keys: NFC vs NFD
+    variants of the same text collapse in the exact-dedup stage."""
+    from grip_spark import pipeline
+
+    base = "café menu variant {} with plenty of ordinary words to pass rules."
+    rows = []
+    for i in range(6):
+        rows.append((i, base.format(i), "src0"))
+        # NFD twin (e + combining acute): same text, different bytes
+        rows.append((100 + i, base.format(i).replace("é", "e\u0301"), "src0"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out, rep = pipeline.build_corpus(
+        docs,
+        unicode_form="NFC",
+        min_quality=None,
+        languages=None,
+        fuzzy_threshold=None,
+        line_rules=False,
+    )
+    stages = [r["stage"] for r in rep]
+    assert "unicode_clean" in stages
+    got = out.collect()
+    assert len(got) == 6  # each NFD twin deduped against its NFC original
+    # without the stage, the twins survive as distinct texts
+    out2, _ = pipeline.build_corpus(
+        docs,
+        min_quality=None,
+        languages=None,
+        fuzzy_threshold=None,
+        line_rules=False,
+    )
+    assert out2.count() == 12

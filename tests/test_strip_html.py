@@ -221,3 +221,98 @@ def test_chunk_by_sentences_matches_replica(spark):
     # shuffle-free until the explode
     plan = text.chunk_by_sentences(df, 6)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# clean_text (unicode canonicalization)
+# ---------------------------------------------------------------------------
+
+import re as _re
+import unicodedata as _ud
+
+from grip_spark.text import _CONTROLS, _INVISIBLES, _PUNCT_FROM, _PUNCT_TO, _UNISPACES
+
+
+def _clean_py(s, form="NFC", fold=True):
+    if s is None:
+        return None
+    s = _re.sub("\r\n?", "\n", s)
+    if form:
+        s = _ud.normalize(form, s)
+    s = _re.sub(_INVISIBLES, "", s)
+    s = _re.sub(_CONTROLS, " ", s)
+    s = _re.sub(_UNISPACES, " ", s)
+    if fold:
+        s = s.translate(str.maketrans(_PUNCT_FROM, _PUNCT_TO))
+        s = s.replace("…", "...")
+    return s
+
+
+_NASTY = [
+    "plain ascii text",
+    "zero​width‌join‍er and­soft hyphen",
+    "bidi ‮evil‬ marks ⁦iso⁩",
+    "nbsp and　ideographic spaces",
+    "café composed vs café",          # NFC target
+    "ﬁligature and ＦＵllwidth",     # NFKC-only folds
+    "smart “quotes” ‘s’ – dash … done",
+    "ctrl\x00chars\x1fhere\x0cok",
+    "windows\r\nlines\rmac",
+    "emoji 🎉 survives astral \U0001D49C math",
+    "combining q́̂ stack",
+    "",
+]
+
+
+def test_clean_text_matches_python_replica(spark):
+    from grip_spark import text as T
+
+    rows = [(i, s) for i, s in enumerate(_NASTY)] + [(999, None)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    for form in ("NFC", "NFKC", None):
+        for fold in (True, False):
+            got = {
+                r["id"]: r["out"]
+                for r in T.clean_text(
+                    df, "text", out_col="out", form=form, fold_punct=fold
+                ).collect()
+            }
+            for i, s in enumerate(_NASTY):
+                assert got[i] == _clean_py(s, form, fold), (form, fold, i)
+            assert got[999] is None
+
+
+def test_clean_text_semantics(spark):
+    from grip_spark import text as T
+
+    df = spark.createDataFrame(
+        [(1, "café “ok”​ x")], "id int, text string"
+    )
+    out = T.clean_text(df, "text").first()["text"]
+    assert out == 'café "ok" x'
+    # NFKC folds the ligature; NFC does not
+    lig = spark.createDataFrame([(1, "ﬁn")], "id int, text string")
+    assert T.clean_text(lig, "text", form="NFC").first()["text"] == "ﬁn"
+    assert T.clean_text(lig, "text", form="NFKC").first()["text"] == "fin"
+    with pytest.raises(ValueError, match="form"):
+        T.clean_text(df, "text", form="NFX")
+
+
+def test_clean_text_plan_shape(spark):
+    from grip_spark import text as T
+
+    df = spark.createDataFrame([(1, "x")], "id int, text string")
+    # pure-codegen path: no Python stage at all
+    plan = (
+        T.clean_text(df, "text", form=None)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "InPandas" not in plan
+    # normalization path: exactly one Arrow-batched stage, no shuffle
+    plan = (
+        T.clean_text(df, "text", form="NFKC")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
