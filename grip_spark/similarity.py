@@ -579,6 +579,149 @@ def semantic_dedup(
 
 
 # ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep)
+# ---------------------------------------------------------------------------
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    pairs: DataFrame,
+    k: int = 5,
+    query_col: str = "query_id",
+    pos_col: str = "pos_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "hard",
+    margin: float = 0.2,
+    planes: int = 8,
+    seed: int = 7,
+    multiprobe_hamming: int = 1,
+    dim: int | None = None,
+) -> DataFrame:
+    """Mine negatives for contrastive/embedding training → ``(query_col,
+    neg_id, neg_sim)``, up to ``k`` rows per query: the corpus vectors
+    most similar to each query that are NOT its labeled positives —
+    the negatives that actually move a triplet/InfoNCE loss (random
+    negatives are trivially separated; cf. the DPR/ANCE recipe).
+
+    ``pairs`` holds the supervision: ``(query_col, pos_col)`` rows,
+    both ids into ``vectors`` (union external query vectors into the
+    table first if they live elsewhere).  Modes: ``"hard"`` — the
+    top-k most-similar non-positives, period; ``"semi_hard"`` — only
+    candidates inside the margin band ``max_pos_sim - margin <
+    sim < max_pos_sim`` (harder than random, still easier than the
+    positive — the FaceNet band; queries whose band is empty yield
+    fewer/no rows, which is the correct training signal).
+
+    Scale shape: queries and corpus get the SAME seeded hyperplane
+    buckets (:func:`ann_index`); the query side (pairs-sized) expands
+    to its hamming-≤ ``multiprobe_hamming`` probe ring and meets the
+    corpus in ONE bucket equi-join — never all-pairs; candidates pay
+    one dot product (norms precomputed per side).  Positives and
+    self-matches drop via a (query, cand) anti-join against ``pairs``;
+    ranking is a per-query window (partitioned by query id, never a
+    global sort).  Every shuffle is an equi-join or a query-keyed
+    agg/window.  Recall follows the sign-bit LSH bound — raise
+    ``multiprobe_hamming`` / lower ``planes`` to trade candidates for
+    recall (``planes=1, multiprobe_hamming=1`` probes every bucket:
+    exact, quadratic — the oracle configuration)."""
+    from itertools import combinations
+
+    if mode not in ("hard", "semi_hard"):
+        raise ValueError(f"mode must be 'hard' or 'semi_hard', got {mode}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if dim is None:
+        row = vectors.select(vec_col).first()
+        if row is None or row[0] is None:
+            raise ValueError("hard_negatives: cannot infer dim — pass dim=")
+        dim = len(row[0])
+    corpus = ann_index(
+        vectors, vec_col, planes=planes, seed=seed, dim=dim,
+        bucket_col="_hb", norm_col="_hn",
+    ).select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cv"),
+        "_hb",
+        "_hn",
+    )
+    queries = pairs.select(query_col).distinct().join(
+        vectors, F.col(query_col) == F.col(id_col)
+    )
+    qb = ann_index(
+        queries, vec_col, planes=planes, seed=seed, dim=dim,
+        bucket_col="_qb", norm_col="_qn",
+    )
+    masks = [0] + [
+        sum(1 << i for i in bits)
+        for r in range(1, multiprobe_hamming + 1)
+        for bits in combinations(range(planes), r)
+    ]
+    q_exp = qb.select(
+        F.col(query_col),
+        F.col(vec_col).alias("_qv"),
+        "_qn",
+        F.explode(
+            F.array(*[F.col("_qb").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("_hb"),
+    )
+    cand = (
+        q_exp.join(corpus, "_hb")
+        .filter(F.col("_cid") != F.col(query_col))
+        .select(
+            query_col,
+            F.col("_cid").alias("neg_id"),
+            F.try_divide(
+                dot(F.col("_qv"), F.col("_cv")), F.col("_qn") * F.col("_hn")
+            ).alias("neg_sim"),
+        )
+        .join(
+            pairs.select(
+                F.col(query_col), F.col(pos_col).alias("neg_id")
+            ).distinct(),
+            [query_col, "neg_id"],
+            "left_anti",
+        )
+        # zero-norm vectors have no defined cosine: never rank them
+        .filter(F.col("neg_sim").isNotNull())
+    )
+    if mode == "semi_hard":
+        pos_sim = (
+            pairs.join(vectors, F.col(pos_col) == F.col(id_col))
+            .select(
+                F.col(query_col), F.col(vec_col).alias("_pv")
+            )
+            .join(
+                qb.select(F.col(query_col), F.col(vec_col).alias("_qv"), "_qn"),
+                query_col,
+            )
+            .select(
+                query_col,
+                F.try_divide(
+                    dot(F.col("_qv"), F.col("_pv")),
+                    F.col("_qn") * norm(F.col("_pv")),
+                ).alias("_ps"),
+            )
+            .groupBy(query_col)
+            .agg(F.max("_ps").alias("_ps"))
+        )
+        cand = cand.join(pos_sim, query_col).filter(
+            (F.col("neg_sim") < F.col("_ps"))
+            & (F.col("neg_sim") > F.col("_ps") - F.lit(float(margin)))
+        ).drop("_ps")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("neg_sim").desc(), F.col("neg_id")
+    )
+    return (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Product Quantization (Jegou et al., TPAMI 2011): compressed-vector ANN
 # ---------------------------------------------------------------------------
 

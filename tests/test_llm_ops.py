@@ -2188,3 +2188,124 @@ def test_sq_degenerate_dims_zero_vectors_and_saturation(spark):
     assert list(c) == [255, 0, 0]
     with pytest.raises(ValueError, match="no vectors"):
         S.sq_train(df.limit(0))
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+def _hn_fixture(spark):
+    """Tiny clustered corpus: two topic clusters + an off-axis point;
+    cosine structure fully known."""
+    import math
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),    # query A
+        (1, [0.9, 0.1, 0.0]),    # A's positive
+        (2, [0.8, 0.2, 0.0]),    # near A -> the hard negative
+        (3, [0.7, 0.3, 0.0]),    # next
+        (10, [0.0, 1.0, 0.0]),   # query B
+        (11, [0.0, 0.9, 0.1]),   # B's positive
+        (12, [0.1, 0.8, 0.0]),   # near B
+        (20, [0.0, 0.0, 1.0]),   # far from both
+    ]
+    vectors = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = spark.createDataFrame(
+        [(0, 1), (10, 11)], "query_id long, pos_id long"
+    )
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return num / (na * nb)
+    emb = {i: v for i, v in rows}
+    return vectors, pairs, emb, cos
+
+
+def _hn_truth(emb, cos, pairs, k, mode="hard", margin=0.2):
+    truth = {}
+    pos = {}
+    for q, p in pairs:
+        pos.setdefault(q, set()).add(p)
+    for q in pos:
+        cands = []
+        for c in emb:
+            if c == q or c in pos[q]:
+                continue
+            cands.append((cos(emb[q], emb[c]), c))
+        if mode == "semi_hard":
+            ps = max(cos(emb[q], emb[p]) for p in pos[q])
+            cands = [(s, c) for s, c in cands if ps - margin < s < ps]
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        truth[q] = [c for _, c in cands[:k]]
+    return truth
+
+
+def test_hard_negatives_exact_config_matches_bruteforce(spark):
+    from grip_spark import similarity as S
+
+    vectors, pairs, emb, cos = _hn_fixture(spark)
+    pr = [(0, 1), (10, 11)]
+    # planes=1, hamming=1 probes every bucket: the oracle configuration
+    got = S.hard_negatives(
+        vectors, pairs, k=3, planes=1, multiprobe_hamming=1
+    ).collect()
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], -r["neg_sim"], r["neg_id"])):
+        by_q.setdefault(r["query_id"], []).append(r["neg_id"])
+    assert by_q == _hn_truth(emb, cos, pr, 3)
+    # scores are exact cosines
+    for r in got:
+        assert abs(r["neg_sim"] - cos(emb[r["query_id"]], emb[r["neg_id"]])) < 1e-9
+    # positives and self never appear
+    assert all((r["query_id"], r["neg_id"]) not in {(0, 1), (10, 11)} for r in got)
+    assert all(r["query_id"] != r["neg_id"] for r in got)
+
+
+def test_hard_negatives_semi_hard_band(spark):
+    from grip_spark import similarity as S
+
+    vectors, pairs, emb, cos = _hn_fixture(spark)
+    pr = [(0, 1), (10, 11)]
+    for margin in (0.1, 0.3):
+        got = S.hard_negatives(
+            vectors, pairs, k=5, mode="semi_hard", margin=margin,
+            planes=1, multiprobe_hamming=1,
+        ).collect()
+        by_q = {}
+        for r in sorted(got, key=lambda r: (r["query_id"], -r["neg_sim"], r["neg_id"])):
+            by_q.setdefault(r["query_id"], []).append(r["neg_id"])
+        want = _hn_truth(emb, cos, pr, 5, "semi_hard", margin)
+        assert by_q == {q: v for q, v in want.items() if v}
+        for r in got:
+            ps = max(cos(emb[r["query_id"]], emb[p])
+                     for q2, p in pr if q2 == r["query_id"])
+            assert ps - margin < r["neg_sim"] < ps
+
+
+def test_hard_negatives_lsh_recall_and_plan(spark, emb):
+    from grip_spark import similarity as S
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "query_id long, pos_id long"
+    )
+    exact = S.hard_negatives(
+        emb, pairs, k=5, id_col="vec_id", planes=1, multiprobe_hamming=1
+    )
+    # near-uniform synthetic vectors are LSH's worst case (top
+    # neighbors barely beat the bulk), so pin recall on a dense probe
+    # ring: planes=4, hamming=2 covers 11/16 buckets
+    approx = S.hard_negatives(
+        emb, pairs, k=5, id_col="vec_id", planes=4, multiprobe_hamming=2
+    )
+    ex = {(r["query_id"], r["neg_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neg_id"]) for r in approx.collect()}
+    assert len(ex & ap) / len(ex) >= 0.6
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    with pytest.raises(ValueError, match="mode"):
+        S.hard_negatives(emb, pairs, mode="nope")
+    with pytest.raises(ValueError, match="k must"):
+        S.hard_negatives(emb, pairs, k=0)
