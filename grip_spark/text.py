@@ -12,6 +12,7 @@ these extend the engine for the LLM-data-pipeline pillar of the brief.
 from __future__ import annotations
 
 import math
+import re as _re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -890,6 +891,263 @@ def repetition_stats(
 
 # ---------------------------------------------------------------------------
 # unigram language-model scoring (perplexity-style quality signal)
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Appendix A)
+# ---------------------------------------------------------------------------
+
+# the paper's stop-word presence list (rule: contain >= 2 of these)
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# bullet glyphs for the "lines starting with a bullet" rule (the set
+# common reimplementations use; the paper names only "bullet point")
+_GOPHER_BULLETS = ("•", "‣", "▪", "◦", "-", "*")
+
+# (rule name, threshold) for the duplicate n-gram char fractions
+_GOPHER_DUP_NGRAMS = [(5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10, 0.10)]
+_GOPHER_TOP_NGRAMS = [(2, 0.20), (3, 0.18), (4, 0.16)]
+
+
+def _group_char_stats(sorted_arr: Column) -> Column:
+    """Over a SORTED string array: ``struct(dup, top)`` where ``dup``
+    = Σ count·length over values occurring ≥ 2 times and ``top`` =
+    count·length of the most frequent value (count-first tie-break,
+    then char mass) — one aggregate fold, the
+    :func:`repetition_stats` longest-run device extended to carry
+    character mass.  Runs stay inside codegen; no explode."""
+    zero = F.lit(0).cast("long")
+
+    def _flush(acc):
+        """dup/best as they stand once the current group closes."""
+        glen = F.coalesce(F.length(acc["prev"]), F.lit(0)).cast("long")
+        mass = acc["run"].cast("long") * glen
+        dup = acc["dup"] + F.when(acc["run"] >= 2, mass).otherwise(zero)
+        better = (acc["run"] > acc["bestr"]) | (
+            (acc["run"] == acc["bestr"]) & (mass > acc["bestc"])
+        )
+        bestr = F.when(better, acc["run"]).otherwise(acc["bestr"])
+        bestc = F.when(better, mass).otherwise(acc["bestc"])
+        return dup, bestr, bestc
+
+    def _step(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        dup, bestr, bestc = _flush(acc)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).cast("int").alias("run"),
+            F.when(same, acc["dup"]).otherwise(dup).alias("dup"),
+            F.when(same, acc["bestr"]).otherwise(bestr).cast("int").alias("bestr"),
+            F.when(same, acc["bestc"]).otherwise(bestc).alias("bestc"),
+        )
+
+    def _finish(acc):
+        dup, bestr, bestc = _flush(acc)
+        return F.struct(dup.alias("dup"), bestc.alias("top"))
+
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("int").alias("run"),
+            zero.alias("dup"),
+            F.lit(0).cast("int").alias("bestr"),
+            zero.alias("bestc"),
+        ),
+        _step,
+        _finish,
+    )
+
+
+def _ngram_join(toks: Column, n: int) -> Column:
+    """Space-joined token n-grams (array<string>; empty when the
+    document has fewer than n tokens)."""
+    size = F.size(toks)
+    return F.when(
+        size >= n,
+        F.transform(
+            F.sequence(F.lit(0), size - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    pass_col: str = "gopher_pass",
+    reasons_col: str = "gopher_reasons",
+    metrics_col: str | None = "gopher_metrics",
+) -> DataFrame:
+    """The published Gopher quality-filter rule set (Rae et al. 2021,
+    Appendix A1) as ONE shuffle-free column pass → ``pass_col``
+    (bool), ``reasons_col`` (array of failed rule names, empty on
+    pass) and optionally ``metrics_col`` (map of every measured
+    fraction, for threshold tuning / drift dashboards).
+
+    Quality rules: 50 ≤ word count ≤ 100k; 3 ≤ mean word length ≤ 10;
+    symbol-to-word ratio (# and ellipsis) ≤ 0.1; ≤ 90% of lines
+    bullet-led; ≤ 30% of lines ellipsis-ended; ≥ 80% of words contain
+    an alphabetic char; ≥ 2 of the paper's 8 stop words present.
+    Repetition rules: duplicate line fraction ≤ 0.30 and duplicate
+    line CHARACTER fraction ≤ 0.20 (same pair over ``\\n\\n``
+    paragraphs); top n-gram char fraction ≤ 0.20/0.18/0.16 for
+    n=2/3/4; duplicate n-gram char fraction ≤ 0.15..0.10 for n=5..10.
+
+    Faithfulness notes (documented deviations, matching the common
+    public reimplementations): "characters in duplicate n-grams" is
+    Σ count·gram_length over grams occurring twice or more — repeated
+    overlapping text can push the fraction past 1 (clamped), where
+    the paper's phrasing would count each original character once (an
+    exact-coverage bitmap doesn't fit a column fold); gram/line
+    lengths count the space-normalized form.  Words are whitespace
+    tokens of the lower-cased text (:func:`tokens`).
+
+    Scale shape: entirely codegen — per-row sorts of the token-gram
+    arrays (9 gram passes + lines + paragraphs, each the
+    :func:`repetition_stats` fold), no explode, no join, no shuffle,
+    NULL text fails with reason ``empty``.  Compose upstream of
+    :func:`hashed_linear_score`/perplexity gates exactly as the paper
+    orders its pipeline."""
+    c = F.col(text_col)
+
+    def _build(toks: Column) -> Column:
+        n_words = F.size(toks)
+        nchars = F.greatest(F.length(c), F.lit(1)).cast("double")
+        nw = F.greatest(n_words, F.lit(1)).cast("double")
+        mean_wl = (
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda acc, w: acc + F.length(w),
+            )
+            / nw
+        )
+        n_sym = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))
+        alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+        n_stops = F.size(
+            F.filter(
+                F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+                lambda s: F.array_contains(toks, s),
+            )
+        )
+        lines = F.split(c, "\n")
+        n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+        bullet_re = (
+            "^(" + "|".join(_re.escape(b) for b in _GOPHER_BULLETS) + ")"
+        )
+        n_bullet = F.size(
+            F.filter(lines, lambda l: F.trim(l).rlike(bullet_re))
+        )
+        n_ellipsis = F.size(
+            F.filter(
+                lines,
+                lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"),
+            )
+        )
+        paras = F.filter(
+            F.split(c, r"\n{2,}"), lambda p: F.trim(p) != ""
+        )
+        n_paras = F.greatest(F.size(paras), F.lit(1)).cast("double")
+
+        def frac_dup(arr: Column, denom: Column) -> Column:
+            return (F.size(arr) - F.size(F.array_distinct(arr))).cast(
+                "double"
+            ) / denom
+
+        line_stats = _group_char_stats(F.array_sort(lines))
+        para_stats = _group_char_stats(
+            F.array_sort(F.transform(paras, lambda p: F.trim(p)))
+        )
+        entries = [
+            ("word_count", n_words.cast("double")),
+            ("mean_word_length", F.round(mean_wl, 6)),
+            ("symbol_word_ratio", F.round(n_sym / nw, 6)),
+            ("bullet_line_frac", F.round(n_bullet / n_lines, 6)),
+            ("ellipsis_line_frac", F.round(n_ellipsis / n_lines, 6)),
+            ("alpha_word_frac", F.round(alpha_words / nw, 6)),
+            ("stop_word_count", n_stops.cast("double")),
+            ("dup_line_frac", F.round(frac_dup(lines, n_lines), 6)),
+            ("dup_para_frac", F.round(frac_dup(paras, n_paras), 6)),
+            (
+                "dup_line_char_frac",
+                F.round(F.least(line_stats["dup"] / nchars, F.lit(1.0)), 6),
+            ),
+            (
+                "dup_para_char_frac",
+                F.round(F.least(para_stats["dup"] / nchars, F.lit(1.0)), 6),
+            ),
+        ]
+        for n, _thr in _GOPHER_TOP_NGRAMS:
+            st = _group_char_stats(F.array_sort(_ngram_join(toks, n)))
+            entries.append(
+                (
+                    f"top_{n}gram_char_frac",
+                    F.round(F.least(st["top"] / nchars, F.lit(1.0)), 6),
+                )
+            )
+        for n, _thr in _GOPHER_DUP_NGRAMS:
+            st = _group_char_stats(F.array_sort(_ngram_join(toks, n)))
+            entries.append(
+                (
+                    f"dup_{n}gram_char_frac",
+                    F.round(F.least(st["dup"] / nchars, F.lit(1.0)), 6),
+                )
+            )
+        return F.map_from_arrays(
+            F.array(*[F.lit(k) for k, _ in entries]),
+            F.array(*[v for _, v in entries]),
+        )
+
+    # tokens() trims spaces only (Java trim), so documents edged by
+    # newlines would grow empty "words" — drop them (a word has chars)
+    metrics = _let(
+        F.filter(tokens(text_col), lambda t: t != ""), _build
+    )
+    m = F.col("__gm")
+    checks = [
+        ("word_count_low", m["word_count"] < 50),
+        ("word_count_high", m["word_count"] > 100_000),
+        ("mean_word_length_low", m["mean_word_length"] < 3),
+        ("mean_word_length_high", m["mean_word_length"] > 10),
+        ("symbol_word_ratio", m["symbol_word_ratio"] > 0.1),
+        ("bullet_lines", m["bullet_line_frac"] > 0.90),
+        ("ellipsis_lines", m["ellipsis_line_frac"] > 0.30),
+        ("alpha_words", m["alpha_word_frac"] < 0.80),
+        ("stop_words", m["stop_word_count"] < 2),
+        ("dup_line_frac", m["dup_line_frac"] > 0.30),
+        ("dup_para_frac", m["dup_para_frac"] > 0.30),
+        ("dup_line_char_frac", m["dup_line_char_frac"] > 0.20),
+        ("dup_para_char_frac", m["dup_para_char_frac"] > 0.20),
+    ]
+    checks += [
+        (f"top_{n}gram_chars", m[f"top_{n}gram_char_frac"] > thr)
+        for n, thr in _GOPHER_TOP_NGRAMS
+    ]
+    checks += [
+        (f"dup_{n}gram_chars", m[f"dup_{n}gram_char_frac"] > thr)
+        for n, thr in _GOPHER_DUP_NGRAMS
+    ]
+    reasons = F.when(
+        c.isNull() | (F.trim(c) == ""), F.array(F.lit("empty"))
+    ).otherwise(
+        F.filter(
+            F.array(
+                *[
+                    F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                    for name, cond in checks
+                ]
+            ),
+            lambda r: r.isNotNull(),
+        )
+    )
+    out = (
+        df.withColumn("__gm", metrics)
+        .withColumn(reasons_col, reasons)
+        .withColumn(pass_col, F.size(F.col(reasons_col)) == 0)
+    )
+    if metrics_col is not None:
+        out = out.withColumn(metrics_col, F.col("__gm"))
+    return out.drop("__gm")
+
+
 # ---------------------------------------------------------------------------
 
 

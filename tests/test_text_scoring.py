@@ -1060,3 +1060,218 @@ def test_langid_model_covers_gramless_language(spark):
         assert abs(r["logp"] - math.log(1.0 / v)) < 1e-12
     priors = {r["lang"]: r["prior_logp"] for r in model["langs"].collect()}
     assert abs(priors["xx"] - math.log(2 / 7)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules
+# ---------------------------------------------------------------------------
+
+import re as _re2
+
+from grip_spark.text import (
+    _GOPHER_BULLETS,
+    _GOPHER_DUP_NGRAMS,
+    _GOPHER_STOPS,
+    _GOPHER_TOP_NGRAMS,
+)
+
+_BULLET_RE = "^(" + "|".join(_re2.escape(b) for b in _GOPHER_BULLETS) + ")"
+
+
+def _r6(x):
+    # Spark F.round = HALF_UP
+    import decimal
+
+    return float(
+        decimal.Decimal(x).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _group_stats_py(values):
+    """(dup_chars, top_chars) per the count-first/char-mass tie-break."""
+    cnt = Counter(values)
+    dup = sum(c * len(v) for v, c in cnt.items() if c >= 2)
+    best = (0, 0)
+    for v in sorted(cnt):  # deterministic; ties resolved by the key below
+        best = max(best, (cnt[v], cnt[v] * len(v)))
+    return dup, best[1]
+
+
+def _gopher_py(text):
+    if text is None or text.strip() == "":
+        return None, ["empty"]
+    toks = text.lower().split()
+    n = len(toks)
+    nw = max(n, 1)
+    nchars = max(len(text), 1)
+    lines = _re2.split("\n", text)
+    n_lines = max(len(lines), 1)
+    paras = [p for p in _re2.split(r"\n{2,}", text) if p.strip() != ""]
+    n_paras = max(len(paras), 1)
+    m = {}
+    m["word_count"] = float(n)
+    m["mean_word_length"] = _r6(sum(len(w) for w in toks) / nw)
+    m["symbol_word_ratio"] = _r6(len(_re2.findall(r"#|\.\.\.|…", text)) / nw)
+    m["bullet_line_frac"] = _r6(
+        sum(1 for l in lines if _re2.match(_BULLET_RE, l.strip())) / n_lines
+    )
+    m["ellipsis_line_frac"] = _r6(
+        sum(1 for l in lines if _re2.search(r"(\.\.\.|…)$", l.rstrip())) / n_lines
+    )
+    m["alpha_word_frac"] = _r6(
+        sum(1 for w in toks if _re2.search("[a-z]", w)) / nw
+    )
+    m["stop_word_count"] = float(sum(1 for s in _GOPHER_STOPS if s in toks))
+    m["dup_line_frac"] = _r6((len(lines) - len(set(lines))) / n_lines)
+    m["dup_para_frac"] = _r6((len(paras) - len(set(paras))) / n_paras)
+    dl, _ = _group_stats_py(lines)
+    m["dup_line_char_frac"] = _r6(min(dl / nchars, 1.0))
+    dp, _ = _group_stats_py([p.strip() for p in paras])
+    m["dup_para_char_frac"] = _r6(min(dp / nchars, 1.0))
+    for gn, _thr in _GOPHER_TOP_NGRAMS:
+        grams = [" ".join(toks[i : i + gn]) for i in range(n - gn + 1)]
+        _, top = _group_stats_py(grams)
+        m[f"top_{gn}gram_char_frac"] = _r6(min(top / nchars, 1.0))
+    for gn, _thr in _GOPHER_DUP_NGRAMS:
+        grams = [" ".join(toks[i : i + gn]) for i in range(n - gn + 1)]
+        d, _ = _group_stats_py(grams)
+        m[f"dup_{gn}gram_char_frac"] = _r6(min(d / nchars, 1.0))
+    reasons = []
+    if m["word_count"] < 50:
+        reasons.append("word_count_low")
+    if m["word_count"] > 100_000:
+        reasons.append("word_count_high")
+    if m["mean_word_length"] < 3:
+        reasons.append("mean_word_length_low")
+    if m["mean_word_length"] > 10:
+        reasons.append("mean_word_length_high")
+    if m["symbol_word_ratio"] > 0.1:
+        reasons.append("symbol_word_ratio")
+    if m["bullet_line_frac"] > 0.90:
+        reasons.append("bullet_lines")
+    if m["ellipsis_line_frac"] > 0.30:
+        reasons.append("ellipsis_lines")
+    if m["alpha_word_frac"] < 0.80:
+        reasons.append("alpha_words")
+    if m["stop_word_count"] < 2:
+        reasons.append("stop_words")
+    if m["dup_line_frac"] > 0.30:
+        reasons.append("dup_line_frac")
+    if m["dup_para_frac"] > 0.30:
+        reasons.append("dup_para_frac")
+    if m["dup_line_char_frac"] > 0.20:
+        reasons.append("dup_line_char_frac")
+    if m["dup_para_char_frac"] > 0.20:
+        reasons.append("dup_para_char_frac")
+    for gn, thr in _GOPHER_TOP_NGRAMS:
+        if m[f"top_{gn}gram_char_frac"] > thr:
+            reasons.append(f"top_{gn}gram_chars")
+    for gn, thr in _GOPHER_DUP_NGRAMS:
+        if m[f"dup_{gn}gram_char_frac"] > thr:
+            reasons.append(f"dup_{gn}gram_chars")
+    return m, reasons
+
+
+_GOOD = (
+    "the quick brown fox jumps over the lazy dog and then runs away to "
+    "have some rest with friends that enjoy long walks near the river "
+    "while birds sing old songs about summer evenings and warm light "
+    "that fades slowly into night as people gather round small fires "
+    "telling stories of travel and distant towns they hope to visit"
+)
+
+
+def _gopher_fixture():
+    docs = [
+        (0, _GOOD),
+        (1, "too short to pass"),
+        (2, " ".join(["extraordinarily"] * 80)),  # long words + repetition
+        (3, _GOOD + " " + "# " * 40),             # symbol ratio
+        (4, "\n".join("• item number %d ok" % i for i in range(20))),
+        (5, "\n".join(_GOOD[:40] + "..." for _ in range(10))),
+        (6, "\n".join(["same exact line here"] * 8)),
+        (7, (_GOOD + "\n\n") * 4),                # duplicate paragraphs
+        (8, _GOOD + " " + " ".join(["one two three four five"] * 12)),
+        (9, "12 44 99 00 11 22 " * 20),           # digits: no alpha words
+        (10, None),
+        (11, "   "),
+        (12, ""),
+    ]
+    return docs
+
+
+def test_gopher_rules_matches_python_replica(spark):
+    docs = _gopher_fixture()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in text.gopher_rules(df).collect()
+    }
+    for doc_id, t in docs:
+        want_m, want_r = _gopher_py(t)
+        r = got[doc_id]
+        assert sorted(r["gopher_reasons"]) == sorted(want_r), (doc_id, r["gopher_reasons"], want_r)
+        assert r["gopher_pass"] == (not want_r)
+        if want_m is not None:
+            gm = dict(r["gopher_metrics"])
+            assert set(gm) == set(want_m), doc_id
+            for k in want_m:
+                assert abs(gm[k] - want_m[k]) < 1e-9, (doc_id, k, gm[k], want_m[k])
+
+
+def test_gopher_rules_randomized_differential(spark):
+    rng = random.Random(20260815)
+    vocab = ["the", "and", "fox", "runs", "with", "that", "have", "to",
+             "of", "be", "stone", "river", "light", "walks", "under"]
+    docs = []
+    for i in range(40):
+        n = rng.randint(5, 120)
+        words = [rng.choice(vocab) for _ in range(n)]
+        t = []
+        for j, w in enumerate(words):
+            t.append(w)
+            if rng.random() < 0.1:
+                t.append("\n")
+            if rng.random() < 0.03:
+                t.append("\n\n")
+        s = " ".join(t).replace(" \n ", "\n").replace(" \n\n ", "\n\n")
+        if rng.random() < 0.3:  # plant a repeated phrase
+            s += " " + " ".join(["over the hill again"] * rng.randint(2, 6))
+        docs.append((i, s))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.gopher_rules(df).collect()}
+    for doc_id, t in docs:
+        want_m, want_r = _gopher_py(t)
+        r = got[doc_id]
+        assert sorted(r["gopher_reasons"]) == sorted(want_r), (doc_id, t[:60])
+        gm = dict(r["gopher_metrics"])
+        for k in want_m:
+            assert abs(gm[k] - want_m[k]) < 1e-9, (doc_id, k)
+
+
+def test_gopher_rules_specific_failures_and_plan(spark):
+    docs = dict(_gopher_fixture())
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.gopher_rules(df).collect()}
+    assert got[0]["gopher_pass"]
+    assert "word_count_low" in got[1]["gopher_reasons"]
+    assert "mean_word_length_high" in got[2]["gopher_reasons"]
+    assert "symbol_word_ratio" in got[3]["gopher_reasons"]
+    assert "bullet_lines" in got[4]["gopher_reasons"]
+    assert "ellipsis_lines" in got[5]["gopher_reasons"]
+    assert "dup_line_frac" in got[6]["gopher_reasons"]
+    assert "dup_para_frac" in got[7]["gopher_reasons"]
+    assert any(r.startswith("dup_") and r.endswith("gram_chars")
+               for r in got[8]["gopher_reasons"])
+    assert "alpha_words" in got[9]["gopher_reasons"]
+    for i in (10, 11, 12):
+        assert list(got[i]["gopher_reasons"]) == ["empty"]
+        assert not got[i]["gopher_pass"]
+    plan = (
+        text.gopher_rules(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "InPandas" not in plan
