@@ -46,6 +46,7 @@ def build_corpus(
     *,
     html_col: str | None = None,
     unicode_form: str | None = None,
+    gopher: bool = False,
     min_quality: float | None = 0.3,
     languages: tuple[str, ...] | None = ("en",),
     line_rules: bool = True,
@@ -81,7 +82,10 @@ def build_corpus(
     extracted text lands in ``text_col`` and feeds every later
     stage).  ``unicode_form`` — canonicalize text with
     :func:`grip_spark.text.clean_text` (e.g. ``"NFC"``/``"NFKC"``)
-    before any dedup/gram key is derived.  ``dsir_target`` + ``dsir_n`` — after dedup/mixture,
+    before any dedup/gram key is derived.  ``gopher=True`` — apply
+    the full published Gopher rule set
+    (:func:`grip_spark.text.gopher_rules`) ahead of the heuristic
+    ``min_quality`` score.  ``dsir_target`` + ``dsir_n`` — after dedup/mixture,
     select ``dsir_n`` documents matched to the target corpus's
     distribution by DSIR importance resampling (Xie et al. 2023;
     deterministic Gumbel top-n, its own salt).
@@ -138,6 +142,13 @@ def build_corpus(
             .filter(F.col(text_col).isNotNull() & (F.col(text_col) != ""))
         )
         mark("line_rules")
+    if gopher:
+        out = (
+            text.gopher_rules(out, text_col=text_col, metrics_col=None)
+            .filter(F.col("gopher_pass"))
+            .drop("gopher_pass", "gopher_reasons")
+        )
+        mark("gopher")
     if min_quality is not None:
         out = text.quality_score(out, text_col=text_col).filter(
             F.col("quality") >= min_quality

@@ -814,6 +814,164 @@ def pack_whole_docs(
     return assigned.unionByName(empty)
 
 
+def span_corruption(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corruption_rate: float = 0.15,
+    mean_span: int = 3,
+    salt: str = "t5",
+    input_col: str = "inputs",
+    target_col: str = "targets",
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al. 2020): mask random
+    token spans with ``<extra_id_k>`` sentinels → ``input_col`` (text
+    with each span replaced by its sentinel), ``target_col`` (the
+    spans, each led by its sentinel, closed by the final sentinel)
+    and ``n_spans`` — the denoising-objective pairs a seq2seq
+    pretraining run consumes.
+
+    Noise is DETERMINISTIC: every draw is a seeded ``xxhash64`` of
+    ``(salt, id, position)`` — same (salt, corpus) → byte-identical
+    pairs on any cluster/partitioning (the engine-wide sampling
+    discipline), and a new salt is a fresh noise epoch.  Per token: a
+    span starts with probability ``corruption_rate / mean_span``
+    (outside an active span) and draws its length uniform in
+    ``1..2·mean_span-1`` (mean ``mean_span`` — the T5 regime keeps
+    expected corrupted mass ≈ ``corruption_rate``); spans never
+    overlap; a span hitting the end truncates.
+
+    Scale shape: one shuffle-free projection — the span walk is a
+    single sequential ``aggregate`` fold per row (position-wise
+    array append, the ``path()`` device), and the input/target
+    rebuilds are transform/filter over the flag array.  Apply AFTER
+    chunking/packing (:func:`chunk_documents` /
+    :func:`pack_sequences`) exactly as T5 draws noise per training
+    sequence — the fold's append cost is linear in the SEQUENCE
+    length, which chunking bounds.  Documents with no drawn span get
+    ``inputs = text`` and ``targets = "<extra_id_0>"`` (the closing
+    sentinel of an empty target); NULL text stays NULL."""
+    if not 0.0 < corruption_rate < 1.0:
+        raise ValueError(
+            f"corruption_rate must be in (0,1), got {corruption_rate}"
+        )
+    if mean_span < 1:
+        raise ValueError(f"mean_span must be >= 1, got {mean_span}")
+    c = F.col(text_col)
+    idc = F.col(id_col).cast("string")
+    span_draw = 2 * mean_span - 1
+    # integer threshold comparison: exact, replicable, no float drift
+    thr = int(corruption_rate / mean_span * (1 << 20))
+
+    def _u(kind: str, i: Column) -> Column:
+        return F.pmod(
+            F.xxhash64(
+                F.concat(
+                    F.lit(f"{salt}:{kind}:"), idc, F.lit(":"), i.cast("string")
+                )
+            ),
+            F.lit(1 << 20) if kind == "s" else F.lit(span_draw),
+        )
+
+    def _build(toks: Column) -> Column:
+        n = F.size(toks)
+        seq = F.when(n >= 1, F.sequence(F.lit(0), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        walk = F.aggregate(
+            seq,
+            F.struct(
+                F.lit(0).cast("int").alias("rem"),
+                F.lit(-1).cast("int").alias("k"),
+                F.array().cast("array<int>").alias("flags"),
+            ),
+            lambda acc, i: F.struct(
+                F.when(acc["rem"] > 0, acc["rem"] - 1)
+                .when(_u("s", i) < thr, _u("l", i).cast("int"))
+                .otherwise(F.lit(0))
+                .cast("int")
+                .alias("rem"),
+                F.when(
+                    (acc["rem"] <= 0) & (_u("s", i) < thr), acc["k"] + 1
+                )
+                .otherwise(acc["k"])
+                .cast("int")
+                .alias("k"),
+                F.concat(
+                    acc["flags"],
+                    F.array(
+                        F.when(acc["rem"] > 0, acc["k"])
+                        .when(_u("s", i) < thr, acc["k"] + 1)
+                        .otherwise(F.lit(-1))
+                        .cast("int")
+                    ),
+                ).alias("flags"),
+            ),
+        )
+        def _sentinel(k: Column) -> Column:
+            return F.concat(F.lit("<extra_id_"), k.cast("string"), F.lit(">"))
+
+        def _rebuild(fl: Column, nsp: Column) -> Column:
+            def is_start(i):
+                prev = F.when(i > 0, F.element_at(fl, i)).otherwise(F.lit(-1))
+                cur = F.element_at(fl, i + 1)
+                return (cur >= 0) & (cur != prev)
+
+            inp = F.array_join(
+                F.filter(
+                    F.transform(
+                        seq,
+                        lambda i: F.when(
+                            F.element_at(fl, i + 1) == -1, F.element_at(toks, i + 1)
+                        ).when(
+                            is_start(i), _sentinel(F.element_at(fl, i + 1))
+                        ),
+                    ),
+                    lambda x: x.isNotNull(),
+                ),
+                " ",
+            )
+            tgt_body = F.filter(
+                F.transform(
+                    seq,
+                    lambda i: F.when(
+                        is_start(i),
+                        F.concat(
+                            _sentinel(F.element_at(fl, i + 1)),
+                            F.lit(" "),
+                            F.element_at(toks, i + 1),
+                        ),
+                    ).when(
+                        F.element_at(fl, i + 1) >= 0, F.element_at(toks, i + 1)
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+            tgt = F.array_join(
+                F.concat(tgt_body, F.array(_sentinel(nsp))), " "
+            )
+            return F.struct(
+                inp.alias("inp"), tgt.alias("tgt"), nsp.alias("nsp")
+            )
+
+        # bind the whole walk once: flags/k referenced inside the HOF
+        # rebuild lambdas must not re-run the O(n) fold per element
+        return _let(walk, lambda w: _rebuild(w["flags"], w["k"] + 1))
+
+    built = _let(F.filter(tokens(text_col), lambda t: t != ""), _build)
+    return (
+        df.withColumn("__sc", F.when(c.isNotNull(), built))
+        .withColumns(
+            {
+                input_col: F.col("__sc.inp"),
+                target_col: F.col("__sc.tgt"),
+                "n_spans": F.col("__sc.nsp"),
+            }
+        )
+        .drop("__sc")
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",

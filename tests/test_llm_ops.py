@@ -2309,3 +2309,115 @@ def test_hard_negatives_lsh_recall_and_plan(spark, emb):
         S.hard_negatives(emb, pairs, mode="nope")
     with pytest.raises(ValueError, match="k must"):
         S.hard_negatives(emb, pairs, k=0)
+
+
+# ---------------------------------------------------------------------------
+# T5 span corruption
+# ---------------------------------------------------------------------------
+
+
+def _span_py(doc_id, text_, rate=0.15, mean_span=3, salt="t5"):
+    from grip_spark.dedup import xxhash64_py
+
+    if text_ is None:
+        return None, None, None
+    toks = text_.lower().split()
+    thr = int(rate / mean_span * (1 << 20))
+    draw = 2 * mean_span - 1
+    flags, rem, k = [], 0, -1
+    for i in range(len(toks)):
+        u = xxhash64_py(f"{salt}:s:{doc_id}:{i}") % (1 << 20)
+        if rem > 0:
+            flags.append(k)
+            rem -= 1
+        elif u < thr:
+            k += 1
+            flags.append(k)
+            rem = xxhash64_py(f"{salt}:l:{doc_id}:{i}") % draw
+        else:
+            flags.append(-1)
+    nsp = k + 1
+    inp, tgt = [], []
+    for i, f in enumerate(flags):
+        start = f >= 0 and (i == 0 or flags[i - 1] != f)
+        if f == -1:
+            inp.append(toks[i])
+        elif start:
+            inp.append(f"<extra_id_{f}>")
+            tgt.append(f"<extra_id_{f}>")
+            tgt.append(toks[i])
+        else:
+            tgt.append(toks[i])
+    tgt.append(f"<extra_id_{nsp}>")
+    return " ".join(inp), " ".join(tgt), nsp
+
+
+def test_span_corruption_matches_replica_and_roundtrip(spark):
+    import random
+    import re
+
+    from grip_spark import text as T
+
+    rng = random.Random(8)
+    vocab = [f"tok{i}" for i in range(60)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 120))))
+        for i in range(40)
+    ] + [(900, None), (901, "one"), (902, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in T.span_corruption(df).collect()}
+    for doc_id, t in rows:
+        inp, tgt, nsp = _span_py(doc_id, t)
+        r = got[doc_id]
+        assert r["inputs"] == inp, doc_id
+        assert r["targets"] == tgt, doc_id
+        assert r["n_spans"] == nsp, doc_id
+        if t is None:
+            assert r["inputs"] is None and r["n_spans"] is None
+            continue
+        # ROUND TRIP: splicing each target span back over its sentinel
+        # reconstructs the (lower-cased) token stream exactly
+        spans = {}
+        cur = None
+        for w in r["targets"].split():
+            m = re.fullmatch(r"<extra_id_(\d+)>", w)
+            if m:
+                cur = int(m.group(1))
+                spans[cur] = []
+            else:
+                spans[cur].append(w)
+        out = []
+        for w in r["inputs"].split():
+            m = re.fullmatch(r"<extra_id_(\d+)>", w)
+            if m:
+                out.extend(spans[int(m.group(1))])
+            else:
+                out.append(w)
+        assert out == t.lower().split(), doc_id
+
+
+def test_span_corruption_rate_determinism_and_errors(spark):
+    from grip_spark import text as T
+
+    long_doc = " ".join(f"w{i}" for i in range(20_000))
+    df = spark.createDataFrame([(1, long_doc)], "doc_id long, text string")
+    r = T.span_corruption(df, corruption_rate=0.15, mean_span=3).first()
+    # corrupted token mass ~ rate (loose CLT band on 20k tokens)
+    n_target_tokens = len(
+        [w for w in r["targets"].split() if not w.startswith("<extra")]
+    )
+    assert 0.10 < n_target_tokens / 20_000 < 0.20
+    # deterministic across partitionings; new salt = new noise
+    a = T.span_corruption(df.repartition(4)).first()
+    assert (a["inputs"], a["targets"]) == (r["inputs"], r["targets"])
+    b = T.span_corruption(df, salt="other").first()
+    assert b["inputs"] != r["inputs"]
+    # plan: one shuffle-free projection
+    plan = (
+        T.span_corruption(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
+    with pytest.raises(ValueError, match="corruption_rate"):
+        T.span_corruption(df, corruption_rate=0.0)
+    with pytest.raises(ValueError, match="mean_span"):
+        T.span_corruption(df, mean_span=0)

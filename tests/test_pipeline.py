@@ -246,3 +246,28 @@ def test_build_corpus_unicode_stage(spark):
         line_rules=False,
     )
     assert out2.count() == 12
+
+
+def test_build_corpus_gopher_stage(spark):
+    from grip_spark import pipeline, text
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs away to "
+        "have some rest with friends that enjoy long walks near the river "
+        "while birds sing old songs about summer evenings and warm light "
+        "that fades slowly into night as people gather round small fires "
+        "telling stories of travel and distant towns variant {}"
+    )
+    rows = [(i, good.format(i), "src0") for i in range(5)]
+    rows += [(100, "way too short", "src0"),
+             (101, "# # # " * 40 + good.format("x"), "src0")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out, rep = pipeline.build_corpus(
+        docs, gopher=True, min_quality=None, languages=None,
+        fuzzy_threshold=None, line_rules=False,
+    )
+    assert "gopher" in [r["stage"] for r in rep]
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == set(range(5))
+    # the gate columns don't leak into the output
+    assert not any(c.startswith("gopher_") for c in out.columns)

@@ -134,6 +134,10 @@ def main():
         _promote_probe(spark)
         spark.stop()
         return
+    if mode == "r8ops":
+        _r8ops_probe(spark, docs, emb)
+        spark.stop()
+        return
 
     for k in (1, 4, 8):
         d = replicate_docs(docs, k).persist()
@@ -902,6 +906,74 @@ def _graph_probe(spark):
         )
         e.unpersist()
         d.unpersist()
+
+
+def _r8ops_probe(spark, docs, emb):
+    """Scaling of the round-8 session-2 operators.  Expectations:
+    bloom prefilter ~linear in corpus gram count (scan-speed literal
+    probe — the whole point vs a broadcast join); mg_build ~linear
+    one-pass with partition-bounded state; gopher_rules ~linear
+    (pure projection); SQ8 encode+search ~linear narrow scans;
+    hard_negatives ~linear in corpus (fixed query side, candidates
+    grow with bucket occupancy)."""
+    from pyspark.sql import functions as F
+
+    from grip_spark import decontam, sketch, similarity, text
+
+    def best_of(fn, reps: int = 2):
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    bench = docs.limit(50).select("text")  # the benchmark side: fixed
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "query_id long, pos_id long"
+    )
+    for k in (1, 4, 16):
+        d = replicate_docs(docs, k).repartition(CPUS).persist()
+        nd = d.count()
+        ek = min(k, 8)
+        e = replicate_emb(emb, ek).repartition(CPUS).persist()
+        ne = e.count()
+        t_bloom = best_of(
+            lambda: decontam.bloom_contaminated_ids(
+                d, bench, n=13, exact_verify=False
+            ).count()
+        )
+        t_mg = best_of(
+            lambda: sketch.mg_build(
+                d.select(F.explode(text.tokens("text")).alias("t")), "t",
+                capacity=256,
+            )
+        )
+        t_gopher = best_of(lambda: text.gopher_rules(d).count())
+        model = similarity.sq_train(e)
+        codes = similarity.sq_encode(e, model).persist()
+        codes.count()
+        qvec = [float(x) for x in emb.first()["embedding"]]
+        t_sq_enc = best_of(lambda: similarity.sq_encode(e, model).count())
+        t_sq_topk = best_of(
+            lambda: similarity.sq_topk(codes, model, qvec, k=10).count()
+        )
+        t_hn = best_of(
+            lambda: similarity.hard_negatives(
+                e, pairs, k=5, planes=6, multiprobe_hamming=1
+            ).count()
+        )
+        print(
+            f"{k}x: docs={nd} emb={ne} | bloom_prefilter {t_bloom:.1f}s | "
+            f"mg_build {t_mg:.1f}s | gopher {t_gopher:.1f}s | "
+            f"sq_encode {t_sq_enc:.1f}s | sq_topk {t_sq_topk:.1f}s | "
+            f"hard_neg {t_hn:.1f}s",
+            flush=True,
+        )
+        d.unpersist()
+        codes.unpersist()
+        e.unpersist()
 
 
 if __name__ == "__main__":
