@@ -726,6 +726,73 @@ def td_build(
     return _td_merge_centroids(pairs, delta)
 
 
+def td_build_grouped(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    delta: int = 100,
+) -> dict:
+    """Per-group t-digests in ONE corpus pass → ``{group: [(mean,
+    weight), ...]}`` — the "length quantiles per domain / quality
+    quantiles per language" question without one job per group.
+
+    Scale shape extends :func:`td_build`: each Arrow batch folds into
+    a per-group running centroid dict (state bounded by groups-in-
+    partition × ~2·delta), partials emit as (group, mean, weight)
+    rows, and the driver merges per group — the collect is groups ×
+    partitions × delta rows, so keep the group cardinality modest
+    (domains/languages/shards, not user ids; a million-group keyed
+    quantile wants ``percentile_approx`` over a groupBy instead).
+    NULL groups and non-finite values are skipped.  Same honesty note
+    as td_build: representation depends on partitioning, the
+    ~1/delta rank-accuracy bound does not."""
+    if delta < 10:
+        raise ValueError(f"delta must be >= 10, got {delta}")
+
+    def _partials(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        state: dict = {}
+        for pdf in batches:
+            g = pdf[pdf.columns[0]]
+            v = _pd.to_numeric(pdf[pdf.columns[1]], errors="coerce")
+            ok = g.notna() & _np.isfinite(v)
+            for key, vals in v[ok].groupby(g[ok]).groups.items():
+                x = v[ok].loc[vals].to_numpy(dtype="float64")
+                x.sort(kind="stable")
+                batch_cents = _td_merge_centroids(
+                    [(float(t), 1.0) for t in x], delta
+                )
+                prev = state.get(key, [])
+                state[key] = _td_merge_centroids(
+                    sorted(prev + batch_cents), delta
+                )
+        if not state:
+            return
+        yield _pd.DataFrame(
+            {
+                "g": [str(k) for k, cents in state.items() for _ in cents],
+                "mean": [m for cents in state.values() for m, _ in cents],
+                "weight": [w for cents in state.values() for _, w in cents],
+            }
+        )
+
+    rows = (
+        df.select(
+            F.col(group_col).cast("string"), F.col(value_col).cast("double")
+        )
+        .mapInPandas(_partials, schema="g string, mean double, weight double")
+        .collect()
+    )
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r["g"], []).append((r["mean"], r["weight"]))
+    return {
+        g: _td_merge_centroids(sorted(pairs), delta) for g, pairs in out.items()
+    }
+
+
 def td_merge(*digests: list, delta: int | None = None) -> list:
     """Merge digests (e.g. one per day/shard) into one — concatenate,
     sort by mean, re-compress.  ``delta`` defaults to twice the

@@ -570,3 +570,32 @@ def test_mg_exact_when_under_capacity(spark, corpus):
     sk = sketch.mg_build(df, "k", capacity=len(truth))
     assert sk["deducted"] == 0
     assert sk["counters"] == truth
+
+
+def test_td_grouped_accuracy_and_edges(spark):
+    rng = random.Random(99)
+    rows = []
+    for g, (mu, n) in {"a": (0.0, 4000), "b": (100.0, 2500), "c": (5.0, 37)}.items():
+        rows += [(g, mu + rng.gauss(0, 10)) for _ in range(n)]
+    rows += [(None, 1.0), ("a", float("nan")), ("a", float("inf"))]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(6)
+    digests = sketch.td_build_grouped(df, "v", "g", delta=100)
+    assert set(digests) == {"a", "b", "c"}
+    truth = {}
+    for g, v in rows:
+        if g is not None and v == v and abs(v) != float("inf"):
+            truth.setdefault(g, []).append(v)
+    for g, vals in truth.items():
+        vals.sort()
+        n = len(vals)
+        # mass is exact
+        assert abs(sum(w for _, w in digests[g]) - n) < 1e-9
+        for q in (0.1, 0.5, 0.9):
+            est = sketch.td_quantile(digests[g], q)
+            rank = sum(1 for x in vals if x <= est) / n
+            assert abs(rank - q) < 0.05, (g, q)
+    # the per-group digest merges with a same-group digest losslessly
+    merged = sketch.td_merge(digests["a"], digests["b"])
+    assert abs(sum(w for _, w in merged) - (len(truth["a"]) + len(truth["b"]))) < 1e-9
+    with pytest.raises(ValueError, match="delta"):
+        sketch.td_build_grouped(df, "v", "g", delta=5)
