@@ -2266,6 +2266,7 @@ def learn_bpe(
     min_pair_count: int = 2,
     checkpoint_every: int = 8,
     pre_tokenizer: str = "whitespace",
+    scoring: str = "bpe",
 ) -> dict:
     """Learn a byte-pair-encoding vocabulary ON the cluster — the
     classic BPE induction (Sennrich et al. 2016): start from
@@ -2294,6 +2295,17 @@ def learn_bpe(
     the normalized text with ``end_of_word`` appended as an atomic
     final symbol (the classic word-boundary marker).
 
+    ``scoring="wordpiece"`` selects merges by the WordPiece likelihood
+    score ``count(ab) / (count(a)·count(b))`` (Schuster & Nakajima
+    2012 / the BERT trainer) instead of raw pair frequency — each
+    iteration adds one vocab-sized symbol-count aggregate and two
+    broadcast joins onto the pair counts; ``min_pair_count`` still
+    gates on the RAW pair count, and ties break score desc → count
+    desc → pair lexicographic.  (The ``##`` continuation-prefix
+    surface form BERT prints is a rendering of the same merges; this
+    trainer keeps the ``end_of_word`` suffix convention shared with
+    :func:`bpe_segment`.)
+
     Returns ``{"merges": [(a, b), ...] in merge order,
     "segments": DataFrame(word, n, symbols)}`` — the segments table
     IS the trained tokenizer's memo: :func:`bpe_segment` joins corpus
@@ -2303,6 +2315,8 @@ def learn_bpe(
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
     if checkpoint_every < 1:
         raise ValueError(f"checkpoint_every must be >= 1, got {checkpoint_every}")
+    if scoring not in ("bpe", "wordpiece"):
+        raise ValueError(f"scoring must be 'bpe' or 'wordpiece', got {scoring}")
     words = (
         df.select(F.explode(_bpe_words(text_col, pre_tokenizer)).alias("__w"))
         .groupBy("__w")
@@ -2319,14 +2333,56 @@ def learn_bpe(
             F.slice(F.col("__s"), 2, F.greatest(F.size("__s") - 1, F.lit(0))),
             lambda a, b: F.struct(a.alias("a"), b.alias("b")),
         )
-        top = (
+        pair_counts = (
             cur.select(F.col("__n"), F.explode(pair_structs).alias("__p"))
             .filter(F.col("__p.b").isNotNull())
             .groupBy("__p")
             .agg(F.sum("__n").alias("__cnt"))
-            .orderBy(F.col("__cnt").desc(), F.col("__p.a").asc(), F.col("__p.b").asc())
-            .first()
         )
+        if scoring == "wordpiece":
+            # unit counts are alphabet+merges-sized: broadcast both
+            # lookups into the pair table and rank by likelihood score
+            sym = (
+                cur.select(F.explode("__s").alias("__sym"), F.col("__n"))
+                .groupBy("__sym")
+                .agg(F.sum("__n").alias("__sn"))
+            )
+            top = (
+                pair_counts.filter(F.col("__cnt") >= min_pair_count)
+                .join(
+                    F.broadcast(
+                        sym.select(
+                            F.col("__sym").alias("__sa"), F.col("__sn").alias("__na")
+                        )
+                    ),
+                    F.col("__p.a") == F.col("__sa"),
+                )
+                .join(
+                    F.broadcast(
+                        sym.select(
+                            F.col("__sym").alias("__sb"), F.col("__sn").alias("__nb")
+                        )
+                    ),
+                    F.col("__p.b") == F.col("__sb"),
+                )
+                .withColumn(
+                    "__score",
+                    F.col("__cnt") / (F.col("__na") * F.col("__nb")),
+                )
+                .orderBy(
+                    F.col("__score").desc(),
+                    F.col("__cnt").desc(),
+                    F.col("__p.a").asc(),
+                    F.col("__p.b").asc(),
+                )
+                .first()
+            )
+        else:
+            top = (
+                pair_counts.orderBy(
+                    F.col("__cnt").desc(), F.col("__p.a").asc(), F.col("__p.b").asc()
+                ).first()
+            )
         if top is None or top["__cnt"] < min_pair_count:
             break
         a, b = top["__p"]["a"], top["__p"]["b"]
@@ -2362,6 +2418,7 @@ def learn_bpe(
         "segments": segments,
         "pre_tokenizer": pre_tokenizer,
         "end_of_word": end_of_word,
+        "scoring": scoring,
     }
 
 

@@ -1275,3 +1275,68 @@ def test_gopher_rules_specific_failures_and_plan(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan and "InPandas" not in plan
+
+
+def _py_wordpiece(word_counts, n_merges, eow="</w>", min_count=2):
+    """WordPiece-scored BPE replica: merge argmax of
+    count(ab)/(count(a)*count(b)); ties score desc -> count desc ->
+    pair lexicographic (exact fraction compare avoids float ties)."""
+    from fractions import Fraction
+
+    vocab = {w: list(w) + [eow] for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        sc = Counter()
+        for w, n in word_counts.items():
+            s = vocab[w]
+            for x in s:
+                sc[x] += n
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+        cands = [
+            (Fraction(c, sc[a] * sc[b]), c, (a, b))
+            for (a, b), c in pc.items()
+            if c >= min_count
+        ]
+        if not cands:
+            break
+        score, cnt, (a, b) = min(
+            cands, key=lambda t: (-t[0], -t[1], t[2][0], t[2][1])
+        )
+        merges.append((a, b))
+        for w, s in vocab.items():
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_learn_bpe_wordpiece_scoring_matches_replica(spark):
+    rows = [
+        (0, "hugging hugging hugging hug hugs bug bugs pug"),
+        (1, "running runner run runs gun guns hugging pug pug"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    wc = Counter(w for _i, t in rows for w in t.split())
+    want_merges, want_vocab = _py_wordpiece(wc, 10)
+    fit = text.learn_bpe(
+        df, n_merges=10, min_pair_count=2, scoring="wordpiece",
+        checkpoint_every=3,
+    )
+    assert fit["merges"] == want_merges
+    assert fit["scoring"] == "wordpiece"
+    segs = {r["word"]: list(r["symbols"]) for r in fit["segments"].collect()}
+    for w in wc:
+        assert segs[w] == want_vocab[w], w
+    # the likelihood score picks DIFFERENT merges than raw frequency
+    # on this corpus (rare-but-exclusive pairs beat frequent generic
+    # ones), or the knob would be untestable
+    bpe_merges, _ = _py_bpe(wc, 10, min_count=2)
+    assert fit["merges"] != bpe_merges
+    with pytest.raises(ValueError, match="scoring"):
+        text.learn_bpe(df, n_merges=2, scoring="nope")
