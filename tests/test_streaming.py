@@ -736,3 +736,59 @@ def test_compact_store_remove_ids_erases_dedup_memory(spark, tmp_path_factory):
     )
     acc = {r["doc_id"] for r in spark.read.parquet(f"{store}/accepted").collect()}
     assert acc == {2, 10}
+
+
+def test_gopher_and_clean_text_stream_matches_batch(spark, tmp_path_factory):
+    """The round-8 text gates are stateless projections, so a trained-
+    nothing pipeline stage applies to INCREMENTAL ingest unchanged:
+    clean_text -> gopher_rules over a file stream reproduces the batch
+    decisions row-for-row (pass flags, reasons, and metrics)."""
+    import json as _json
+
+    from grip_spark import streaming, text
+
+    d = tmp_path_factory.mktemp("gopherstream")
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs away to "
+        "have some rest with friends that enjoy long walks near the river "
+        "while birds sing old songs about summer evenings and warm light "
+        "that fades slowly into night as people gather round small fires "
+        "telling stories of travel and distant towns variant %d"
+    )
+    rows = []
+    for i in range(30):
+        t = good % i
+        if i % 5 == 0:
+            t = "way too “short”​"  # fails word count; needs cleanup
+        if i % 7 == 0:
+            t = t + " …"
+        rows.append({"doc_id": i, "text": t})
+    for part in range(3):
+        with open(d / f"p{part}.json", "w") as f:
+            for r in rows[part * 10 : (part + 1) * 10]:
+                f.write(_json.dumps(r) + "\n")
+    schema = "doc_id long, text string"
+
+    def stage(df):
+        out = text.clean_text(df, "text", form=None)  # pure-codegen subset
+        return text.gopher_rules(out, "text")
+
+    batch = stage(spark.read.schema(schema).json(str(d)))
+    want = {
+        (r["doc_id"], r["gopher_pass"], tuple(r["gopher_reasons"]),
+         tuple(sorted(r["gopher_metrics"].items())) if r["gopher_metrics"] else None)
+        for r in batch.collect()
+    }
+    assert any(not p for _, p, _, _ in want) and any(p for _, p, _, _ in want)
+
+    stream = stage(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(d))
+    )
+    q = streaming.stream_to_memory(stream, "gopher_stream_test")
+    q.awaitTermination(60)
+    got = {
+        (r["doc_id"], r["gopher_pass"], tuple(r["gopher_reasons"]),
+         tuple(sorted(r["gopher_metrics"].items())) if r["gopher_metrics"] else None)
+        for r in spark.table("gopher_stream_test").collect()
+    }
+    assert got == want
