@@ -34,7 +34,7 @@ def sf_tag(sf_dir: str):
 def main():
     from pyspark.sql import SparkSession, functions as F
 
-    from grip_spark import dedup, graphalgo, ops, sampling, search, similarity, temporal, text
+    from grip_spark import decontam, dedup, graphalgo, ops, sampling, search, similarity, temporal, text
     from grip_spark.tpch import tpch_graph
 
     spark = (
@@ -277,6 +277,18 @@ def main():
                 1000,
                 "doc_id",
                 salt="bench",
+            )
+        ),
+        # r8 session-2 additions: the full Gopher rule pass (pure
+        # projection - 9 per-row gram sorts are the honest cost) and
+        # bloom-prefiltered decontamination (plan-folded literal probe
+        # + hit-sized exact verify; benchmark side = 100 docs)
+        "gopher_rules": lambda: run_count(
+            text.gopher_rules(docs).filter(F.col("gopher_pass"))
+        ),
+        "bloom_decontam": lambda: run_count(
+            decontam.bloom_contaminated_ids(
+                docs, docs.limit(100).select("text"), n=13
             )
         ),
     }

@@ -1064,19 +1064,33 @@ _GOPHER_DUP_NGRAMS = [(5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10
 _GOPHER_TOP_NGRAMS = [(2, 0.20), (3, 0.18), (4, 0.16)]
 
 
+def _hl(s: Column) -> Column:
+    """(hash, length) fingerprint of a string — group identity for the
+    repetition folds.  Sorting/comparing 64-bit hashes instead of gram
+    strings cuts the per-row sort cost ~an order of magnitude; equal
+    strings hash equal, and a 64-bit collision inside one document's
+    gram set is negligible for a quality filter.  The string is
+    let-bound so concat_ws runs once per element, not once per field."""
+    return _let(
+        s,
+        lambda g: F.struct(
+            F.xxhash64(g).alias("h"), F.length(g).cast("int").alias("l")
+        ),
+    )
+
+
 def _group_char_stats(sorted_arr: Column) -> Column:
-    """Over a SORTED string array: ``struct(dup, top)`` where ``dup``
-    = Σ count·length over values occurring ≥ 2 times and ``top`` =
-    count·length of the most frequent value (count-first tie-break,
-    then char mass) — one aggregate fold, the
-    :func:`repetition_stats` longest-run device extended to carry
-    character mass.  Runs stay inside codegen; no explode."""
+    """Over a SORTED ``array<struct<h,l>>`` (group = equal hash):
+    ``struct(dup, top)`` where ``dup`` = Σ count·length over groups
+    occurring ≥ 2 times and ``top`` = count·length of the most
+    frequent group (count-first tie-break, then char mass) — one
+    aggregate fold, the :func:`repetition_stats` longest-run device
+    extended to carry character mass.  No explode, no shuffle."""
     zero = F.lit(0).cast("long")
 
     def _flush(acc):
         """dup/best as they stand once the current group closes."""
-        glen = F.coalesce(F.length(acc["prev"]), F.lit(0)).cast("long")
-        mass = acc["run"].cast("long") * glen
+        mass = acc["run"].cast("long") * acc["prevl"].cast("long")
         dup = acc["dup"] + F.when(acc["run"] >= 2, mass).otherwise(zero)
         better = (acc["run"] > acc["bestr"]) | (
             (acc["run"] == acc["bestr"]) & (mass > acc["bestc"])
@@ -1086,10 +1100,11 @@ def _group_char_stats(sorted_arr: Column) -> Column:
         return dup, bestr, bestc
 
     def _step(acc, x):
-        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        same = acc["prevh"].isNotNull() & (x["h"] == acc["prevh"])
         dup, bestr, bestc = _flush(acc)
         return F.struct(
-            x.alias("prev"),
+            x["h"].alias("prevh"),
+            x["l"].alias("prevl"),
             F.when(same, acc["run"] + 1).otherwise(F.lit(1)).cast("int").alias("run"),
             F.when(same, acc["dup"]).otherwise(dup).alias("dup"),
             F.when(same, acc["bestr"]).otherwise(bestr).cast("int").alias("bestr"),
@@ -1103,7 +1118,8 @@ def _group_char_stats(sorted_arr: Column) -> Column:
     return F.aggregate(
         sorted_arr,
         F.struct(
-            F.lit(None).cast("string").alias("prev"),
+            F.lit(None).cast("long").alias("prevh"),
+            F.lit(0).cast("int").alias("prevl"),
             F.lit(0).cast("int").alias("run"),
             zero.alias("dup"),
             F.lit(0).cast("int").alias("bestr"),
@@ -1114,17 +1130,17 @@ def _group_char_stats(sorted_arr: Column) -> Column:
     )
 
 
-def _ngram_join(toks: Column, n: int) -> Column:
-    """Space-joined token n-grams (array<string>; empty when the
-    document has fewer than n tokens)."""
+def _ngram_hl(toks: Column, n: int) -> Column:
+    """(hash, length) fingerprints of the space-joined token n-grams
+    (empty when the document has fewer than n tokens)."""
     size = F.size(toks)
     return F.when(
         size >= n,
         F.transform(
             F.sequence(F.lit(0), size - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            lambda i: _hl(F.concat_ws(" ", F.slice(toks, i + 1, n))),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<struct<h:bigint,l:int>>"))
 
 
 def gopher_rules(
@@ -1158,10 +1174,15 @@ def gopher_rules(
     lengths count the space-normalized form.  Words are whitespace
     tokens of the lower-cased text (:func:`tokens`).
 
-    Scale shape: entirely codegen — per-row sorts of the token-gram
-    arrays (9 gram passes + lines + paragraphs, each the
-    :func:`repetition_stats` fold), no explode, no join, no shuffle,
-    NULL text fails with reason ``empty``.  Compose upstream of
+    Scale shape: one narrow pass, no join, no shuffle, no Python —
+    per-row sorts of the token-gram arrays (9 gram passes + lines +
+    paragraphs, each the :func:`repetition_stats` fold) over (hash,
+    length) fingerprints rather than gram strings (the sorts dominate;
+    long comparisons are ~an order cheaper).  The whole metric tree
+    evaluates ONCE per row behind a one-element explode barrier —
+    without it Catalyst's extractor inlining clones the tree into
+    every threshold check (a measured 23× blow-up).  NULL text fails
+    with reason ``empty``.  Compose upstream of
     :func:`hashed_linear_score`/perplexity gates exactly as the paper
     orders its pipeline."""
     c = F.col(text_col)
@@ -1210,9 +1231,11 @@ def gopher_rules(
                 "double"
             ) / denom
 
-        line_stats = _group_char_stats(F.array_sort(lines))
+        line_stats = _group_char_stats(
+            F.array_sort(F.transform(lines, _hl))
+        )
         para_stats = _group_char_stats(
-            F.array_sort(F.transform(paras, lambda p: F.trim(p)))
+            F.array_sort(F.transform(paras, lambda p: _hl(F.trim(p))))
         )
         entries = [
             ("word_count", n_words.cast("double")),
@@ -1234,7 +1257,7 @@ def gopher_rules(
             ),
         ]
         for n, _thr in _GOPHER_TOP_NGRAMS:
-            st = _group_char_stats(F.array_sort(_ngram_join(toks, n)))
+            st = _group_char_stats(F.array_sort(_ngram_hl(toks, n)))
             entries.append(
                 (
                     f"top_{n}gram_char_frac",
@@ -1242,24 +1265,56 @@ def gopher_rules(
                 )
             )
         for n, _thr in _GOPHER_DUP_NGRAMS:
-            st = _group_char_stats(F.array_sort(_ngram_join(toks, n)))
+            st = _group_char_stats(F.array_sort(_ngram_hl(toks, n)))
             entries.append(
                 (
                     f"dup_{n}gram_char_frac",
                     F.round(F.least(st["dup"] / nchars, F.lit(1.0)), 6),
                 )
             )
-        return F.map_from_arrays(
+        mm = F.map_from_arrays(
             F.array(*[F.lit(k) for k, _ in entries]),
             F.array(*[v for _, v in entries]),
+        )
+        # reasons computed HERE, inside the same let-bound tree, so
+        # the metric map is evaluated exactly once per row
+        return _let(
+            mm,
+            lambda m: F.struct(
+                m.alias("m"),
+                F.filter(
+                    F.array(
+                        *[
+                            F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                            for name, cond in _gopher_checks(m)
+                        ]
+                    ),
+                    lambda r: r.isNotNull(),
+                ).alias("r"),
+            ),
         )
 
     # tokens() trims spaces only (Java trim), so documents edged by
     # newlines would grow empty "words" — drop them (a word has chars)
-    metrics = _let(
+    big = _let(
         F.filter(tokens(text_col), lambda t: t != ""), _build
     )
-    m = F.col("__gm")
+    # one-element explode: a Generate node is a projection BARRIER —
+    # the downstream field extractions reference its output attribute
+    # instead of inlining (and so re-evaluating) the metric tree
+    out = df.select("*", F.explode(F.array(big)).alias("__g"))
+    reasons = F.when(
+        c.isNull() | (F.trim(c) == ""), F.array(F.lit("empty"))
+    ).otherwise(F.col("__g")["r"])
+    out = out.withColumn(reasons_col, reasons).withColumn(
+        pass_col, F.size(F.col(reasons_col)) == 0
+    )
+    if metrics_col is not None:
+        out = out.withColumn(metrics_col, F.col("__g")["m"])
+    return out.drop("__g")
+
+
+def _gopher_checks(m: Column) -> list:
     checks = [
         ("word_count_low", m["word_count"] < 50),
         ("word_count_high", m["word_count"] > 100_000),
@@ -1283,27 +1338,7 @@ def gopher_rules(
         (f"dup_{n}gram_chars", m[f"dup_{n}gram_char_frac"] > thr)
         for n, thr in _GOPHER_DUP_NGRAMS
     ]
-    reasons = F.when(
-        c.isNull() | (F.trim(c) == ""), F.array(F.lit("empty"))
-    ).otherwise(
-        F.filter(
-            F.array(
-                *[
-                    F.when(cond, F.lit(name)).otherwise(F.lit(None))
-                    for name, cond in checks
-                ]
-            ),
-            lambda r: r.isNotNull(),
-        )
-    )
-    out = (
-        df.withColumn("__gm", metrics)
-        .withColumn(reasons_col, reasons)
-        .withColumn(pass_col, F.size(F.col(reasons_col)) == 0)
-    )
-    if metrics_col is not None:
-        out = out.withColumn(metrics_col, F.col("__gm"))
-    return out.drop("__gm")
+    return checks
 
 
 # ---------------------------------------------------------------------------

@@ -950,7 +950,11 @@ def _r8ops_probe(spark, docs, emb):
                 capacity=256,
             )
         )
-        t_gopher = best_of(lambda: text.gopher_rules(d).count())
+        # filter on the pass flag: a bare .count() would let column
+        # pruning drop the whole metric tree and time only the scan
+        t_gopher = best_of(
+            lambda: text.gopher_rules(d).filter("gopher_pass").count()
+        )
         model = similarity.sq_train(e)
         codes = similarity.sq_encode(e, model).persist()
         codes.count()
