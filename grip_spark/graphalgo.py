@@ -904,31 +904,120 @@ def harmonic_centrality(
         )
         scale = n_total / n_sources
     try:
-        # visited(src, id) prevents revisits; scores accumulate 1/d
-        frontier = _ckpt(sources.select(F.col("id").alias("_s"), F.col("id").alias("_v")))
-        visited = frontier
-        scores = None
-        for depth in range(1, max_depth + 1):
-            nxt = (
-                frontier.join(e, frontier["_v"] == e["_src"])
-                .select("_s", F.col("_dst").alias("_v"))
-                .distinct()
-                .join(visited, ["_s", "_v"], "left_anti")
-            )
-            nxt = _ckpt(nxt)
-            if nxt.isEmpty():
-                break
-            level = nxt.groupBy(F.col("_v").alias("id")).agg(
-                (F.count(F.lit(1)) / F.lit(float(depth))).alias("_h")
-            )
-            scores = level if scores is None else scores.unionByName(level)
-            visited = _ckpt(visited.unionByName(nxt))
-            frontier = nxt
+        scores = _reach_levels(e, sources, max_depth, _ckpt)
         if scores is None:
             return nodes.select("id", F.lit(0.0).alias("harmonic")).limit(0)
         return (
             scores.groupBy("id")
-            .agg((F.sum("_h") * F.lit(scale)).alias("harmonic"))
+            .agg(
+                (
+                    F.sum(F.col("_n") / F.col("_depth")) * F.lit(scale)
+                ).alias("harmonic")
+            )
+        )
+    finally:
+        e.unpersist()
+
+
+def _reach_levels(e, sources, max_depth: int, _ckpt):
+    """The shared multi-source BFS core of harmonic/closeness
+    centrality: per reached node and depth, how many of ``sources``
+    reach it at that (shortest) distance → unioned ``(id, _n,
+    _depth)`` rows, or None when nothing is reached.  Each level is
+    one frontier×edges equi-join + one anti-join against the visited
+    set, both checkpointed; ``visited(source, node)`` guarantees the
+    recorded depth is the SHORTEST distance."""
+    frontier = _ckpt(
+        sources.select(F.col("id").alias("_s"), F.col("id").alias("_v"))
+    )
+    visited = frontier
+    scores = None
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["_v"] == e["_src"])
+            .select("_s", F.col("_dst").alias("_v"))
+            .distinct()
+            .join(visited, ["_s", "_v"], "left_anti")
+        )
+        nxt = _ckpt(nxt)
+        if nxt.isEmpty():
+            break
+        level = (
+            nxt.groupBy(F.col("_v").alias("id"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .withColumn("_depth", F.lit(float(depth)))
+        )
+        scores = level if scores is None else scores.unionByName(level)
+        visited = _ckpt(visited.unionByName(nxt))
+        frontier = nxt
+    return scores
+
+
+def closeness_centrality(
+    edges: DataFrame,
+    n_sources: int | None = None,
+    salt: str = "cc",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_depth: int = 30,
+) -> DataFrame:
+    """Closeness centrality with the Wasserman-Faust disconnected-
+    graph correction → ``(id, closeness)``:
+
+        C(v) = ((R_v) / (N - 1)) · (R_v / S_v)
+
+    where ``R_v`` = number of OTHER nodes that reach v and ``S_v`` =
+    the sum of their shortest distances to v — i.e. incoming
+    closeness, the same direction convention as
+    :func:`harmonic_centrality` (which remains the better-behaved
+    choice on heavily disconnected graphs; this exists for parity
+    with the classic measure).  Nodes nothing reaches have no row
+    (the shared reached-only convention).
+
+    Exact when ``n_sources`` is None.  With ``n_sources=k`` both
+    ``R_v`` and ``S_v`` scale by the same ``N/k`` hash-sample
+    estimator as harmonic; their ratio makes the sampled ``C(v)`` a
+    consistent plug-in estimate (ratio of two unbiased estimates,
+    not itself strictly unbiased — documented, not hidden).  Same
+    BFS core, cost, and ``max_depth`` truncation note as
+    :func:`harmonic_centrality`."""
+    from .dedup import md5_prefix_hash
+
+    _ckpt = _checkpointer(edges.sparkSession)
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).distinct().persist()
+    nodes = (
+        e.select(F.col("_src").alias("id"))
+        .unionByName(e.select(F.col("_dst").alias("id")))
+        .distinct()
+    )
+    n_total = nodes.count()
+    if n_total == 0:
+        raise ValueError("closeness_centrality: empty graph")
+    if n_sources is None or n_sources >= n_total:
+        sources = nodes
+        scale = 1.0
+    else:
+        if n_sources < 1:
+            raise ValueError(f"n_sources must be >= 1, got {n_sources}")
+        sources = (
+            nodes.orderBy(
+                md5_prefix_hash(F.concat(F.lit(salt), F.col("id"))).asc(),
+                F.col("id").asc(),
+            ).limit(n_sources)
+        )
+        scale = n_total / n_sources
+    try:
+        scores = _reach_levels(e, sources, max_depth, _ckpt)
+        if scores is None:
+            return nodes.select("id", F.lit(0.0).alias("closeness")).limit(0)
+        r = F.sum("_n") * F.lit(scale)
+        s = F.sum(F.col("_n") * F.col("_depth")) * F.lit(scale)
+        return scores.groupBy("id").agg(
+            ((r / F.lit(float(max(n_total - 1, 1)))) * (r / s)).alias(
+                "closeness"
+            )
         )
     finally:
         e.unpersist()

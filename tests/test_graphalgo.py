@@ -894,3 +894,71 @@ def test_modularity_singleton_tail_stays_distributed(spark):
     )
     q = graphalgo.modularity(pairs, asg)
     assert abs(q - (-1e-5)) < 1e-12
+
+
+def _py_closeness(edges, sources, n_total, scale_k=None):
+    adj = {}
+    for s, t in set(edges):
+        if s != t:
+            adj.setdefault(s, set()).add(t)
+    R, S = {}, {}
+    for s in sources:
+        dist = {s: 0}
+        frontier = [s]
+        d = 0
+        while frontier:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        for v, dv in dist.items():
+            if dv > 0:
+                R[v] = R.get(v, 0) + 1
+                S[v] = S.get(v, 0) + dv
+    scale = n_total / scale_k if scale_k else 1.0
+    return {
+        v: (R[v] * scale / max(n_total - 1, 1)) * (R[v] * scale / (S[v] * scale))
+        for v in R
+    }
+
+
+def test_closeness_centrality_exact_and_path(spark, digraph):
+    _, edges, _, e = digraph
+    touched = {x for ed in edges for x in ed}
+    expect = _py_closeness(edges, sorted(touched), len(touched))
+    got = {
+        r["id"]: r["closeness"]
+        for r in graphalgo.closeness_centrality(e).collect()
+    }
+    assert set(got) == set(expect)
+    for x in expect:
+        assert abs(got[x] - expect[x]) < 1e-9, x
+    # a->b->c: C(b) = (1/2)(1/1), C(c) = (2/2)(2/3); a unreached
+    pe = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    pg = {r["id"]: r["closeness"] for r in graphalgo.closeness_centrality(pe).collect()}
+    assert abs(pg["b"] - 0.5) < 1e-12
+    assert abs(pg["c"] - 2.0 / 3.0) < 1e-12
+    assert "a" not in pg
+
+
+def test_closeness_centrality_sampled(spark, digraph):
+    from grip_spark.dedup import md5_prefix_py
+
+    _, edges, _, e = digraph
+    touched = sorted({x for ed in edges for x in ed})
+    k = 5
+    srcs = sorted(touched, key=lambda x: (md5_prefix_py("cc" + x), x))[:k]
+    expect = _py_closeness(edges, srcs, len(touched), scale_k=k)
+    got = {
+        r["id"]: r["closeness"]
+        for r in graphalgo.closeness_centrality(e, n_sources=k).collect()
+    }
+    assert set(got) == set(expect)
+    for x in expect:
+        assert abs(got[x] - expect[x]) < 1e-9, x
+    with pytest.raises(ValueError, match="n_sources"):
+        graphalgo.closeness_centrality(e, n_sources=0)
