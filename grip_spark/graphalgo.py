@@ -1270,6 +1270,267 @@ def modularity(
     return float(row["q"]) if row["q"] is not None else 0.0
 
 
+def louvain(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    max_levels: int = 10,
+    max_rounds: int = 20,
+    salt: str = "lv",
+) -> DataFrame:
+    """Louvain community detection (Blondel et al. 2008), distributed
+    → ``(id, community)`` with the community labeled by its minimum
+    member id (the hash-min CC labeling convention).  The modularity
+    ladder above :func:`label_propagation`: local-moving rounds that
+    greedily maximize Q, then graph CONTRACTION (communities become
+    supernodes, intra-community mass becomes self-loops) and repeat —
+    the multi-level step is what finds structure LPA's flat
+    propagation misses; evaluate either with :func:`modularity`.
+
+    The graph is treated as UNDIRECTED and SIMPLE-weighted: parallel
+    and reciprocal input rows sum their weights, self-loops are kept
+    (they matter for the contracted levels — a community's internal
+    mass must count toward its degree).  ``weight_col`` must be
+    integral (cast long): all move decisions are computed in exact
+    64-bit INTEGER arithmetic — score(u→c) = 2m·W(u,c) −
+    k_u·(Σtot(c) − [c=a]k_u), the standard local gain times the
+    constant 2m² — so the algorithm is fully deterministic across
+    partitionings and bit-replicable by the pure-python test replica
+    (float gains would tie-break on summation order).
+
+    Synchronous distributed moving oscillates (adjacent nodes swap
+    endlessly), so eligibility is gated: each round only nodes with
+    ``xxhash64(salt:level:round:id)`` even may move (a deterministic
+    half — the standard parallel-Louvain damping); when a gated round
+    moves nothing, one UNGATED probe round runs — zero moves there is
+    a true local-moving fixpoint and the level contracts.  Ties break
+    score desc → smallest community label.
+
+    Scale shape per round: one edge-sized equi-join (adjacency ×
+    assignment) + one candidate-sized agg + two node/community-sized
+    aggs, everything checkpointed — the :func:`label_propagation`
+    cost times a small constant; per level one contraction agg.
+    Levels stop when a level moves nothing or ``max_levels`` is hit.
+    """
+    if max_levels < 1 or max_rounds < 1:
+        raise ValueError("max_levels and max_rounds must be >= 1")
+    spark = edges.sparkSession
+    _ckpt = _checkpointer(spark)
+    w = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
+    # undirected canonical rows: (a <= b, summed weight)
+    canon = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+            w.alias("w"),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    # both-ways adjacency (u != v) + loops (u == u)
+    adj = _ckpt(
+        canon.filter(F.col("a") != F.col("b"))
+        .select(F.col("a").alias("u"), F.col("b").alias("v"), "w")
+        .unionByName(
+            canon.filter(F.col("a") != F.col("b")).select(
+                F.col("b").alias("u"), F.col("a").alias("v"), "w"
+            )
+        )
+    )
+    loops = _ckpt(
+        canon.filter(F.col("a") == F.col("b")).select(
+            F.col("a").alias("u"), F.col("w").alias("lw")
+        )
+    )
+    # orig -> current supernode (identity at level 0)
+    mapping = _ckpt(
+        adj.select(F.col("u").alias("id"))
+        .unionByName(loops.select(F.col("u").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("rep"))
+    )
+    for level in range(max_levels):
+        comm, moved = _louvain_level(
+            adj, loops, f"{salt}:{level}", max_rounds, _ckpt
+        )
+        if not moved:
+            break
+        # canonical labels: min member id per community
+        rep = comm.groupBy("c").agg(F.min("u").alias("rep"))
+        relabel = _ckpt(
+            comm.join(rep, "c").select("u", F.col("rep").alias("c"))
+        )
+        mapping = _ckpt(
+            mapping.join(
+                relabel.withColumnRenamed("u", "rep2"),
+                mapping["rep"] == F.col("rep2"),
+            ).select("id", F.col("c").alias("rep"))
+        )
+        # contract: inter-community adjacency keeps both-ways form;
+        # intra mass (both directions, hence /2 exact on longs) plus
+        # member loops become the supernode's loop
+        lab = adj.join(
+            relabel.withColumnRenamed("u", "_n").withColumnRenamed("c", "cu"),
+            adj["u"] == F.col("_n"),
+        ).drop("_n").join(
+            relabel.withColumnRenamed("u", "_n").withColumnRenamed("c", "cv"),
+            F.col("v") == F.col("_n"),
+        ).drop("_n")
+        new_adj = _ckpt(
+            lab.filter(F.col("cu") != F.col("cv"))
+            .groupBy(F.col("cu").alias("u"), F.col("cv").alias("v"))
+            .agg(F.sum("w").alias("w"))
+        )
+        intra = (
+            lab.filter(F.col("cu") == F.col("cv"))
+            .groupBy(F.col("cu").alias("u"))
+            .agg((F.sum("w") / 2).cast("long").alias("lw"))
+        )
+        old_loops = (
+            loops.join(relabel, "u")
+            .groupBy(F.col("c").alias("u"))
+            .agg(F.sum("lw").alias("lw"))
+        )
+        loops = _ckpt(
+            intra.unionByName(old_loops)
+            .groupBy("u")
+            .agg(F.sum("lw").alias("lw"))
+        )
+        adj = new_adj
+        if adj.isEmpty():
+            break
+    return mapping.select("id", F.col("rep").alias("community"))
+
+
+def _louvain_level(adj, loops, salt: str, max_rounds: int, _ckpt):
+    """One local-moving phase over the both-ways adjacency → final
+    ``(u, c)`` assignment and whether ANY move happened this level.
+    Integer-exact scores; hash-parity gating with an ungated probe
+    round to certify the fixpoint (see :func:`louvain`)."""
+    nodes = (
+        adj.select("u")
+        .unionByName(loops.select("u"))
+        .distinct()
+    )
+    # k_u = incident weight + 2 * self-loop weight
+    k = _ckpt(
+        adj.groupBy("u")
+        .agg(F.sum("w").alias("_kw"))
+        .join(loops, "u", "full")
+        .select(
+            "u",
+            (
+                F.coalesce(F.col("_kw"), F.lit(0))
+                + 2 * F.coalesce(F.col("lw"), F.lit(0))
+            ).alias("k"),
+        )
+    )
+    row = k.agg(F.sum("k").alias("s")).first()
+    two_m = int(row["s"]) if row["s"] is not None else 0
+    if two_m == 0:
+        return _ckpt(nodes.select("u", F.col("u").alias("c"))), False
+    comm = _ckpt(nodes.select("u", F.col("u").alias("c")))
+    any_move = False
+    rounds_left = max_rounds
+    gated = True
+    while rounds_left > 0:
+        rounds_left -= 1
+        rnd = max_rounds - rounds_left
+        tot = comm.join(k, "u").groupBy("c").agg(F.sum("k").alias("tot"))
+        # W(u, c) = weight from u into community c (neighbors only)
+        wuc = (
+            adj.join(comm.withColumnRenamed("u", "v"), "v")
+            .groupBy("u", "c")
+            .agg(F.sum("w").alias("W"))
+        )
+        cur = comm.withColumnRenamed("c", "a")
+        scored = (
+            wuc.join(cur, "u")
+            .join(k, "u")
+            .join(tot, "c")
+            .withColumn(
+                "score",
+                F.lit(two_m) * F.col("W")
+                - F.col("k")
+                * (
+                    F.col("tot")
+                    - F.when(F.col("c") == F.col("a"), F.col("k")).otherwise(
+                        F.lit(0)
+                    )
+                ),
+            )
+        )
+        stay = scored.filter(F.col("c") == F.col("a")).select(
+            "u", F.col("score").alias("stay_score")
+        )
+        best = (
+            scored.filter(F.col("c") != F.col("a"))
+            .groupBy("u")
+            .agg(F.min(F.struct((-F.col("score")).alias("ns"), F.col("c"))).alias("b"))
+            .select("u", (-F.col("b.ns")).alias("best_score"), F.col("b.c").alias("best_c"))
+        )
+        # stay-score baseline: no same-community neighbors => W(u,a)=0
+        base = (
+            cur.join(k, "u")
+            .join(tot.withColumnRenamed("c", "a"), "a")
+            .select(
+                "u",
+                "a",
+                (-F.col("k") * (F.col("tot") - F.col("k"))).alias("base_stay"),
+            )
+        )
+        eligible = (
+            F.pmod(
+                F.xxhash64(
+                    F.concat(F.lit(f"{salt}:{rnd}:"), F.col("u").cast("string"))
+                ),
+                F.lit(2),
+            )
+            == 0
+            if gated
+            else F.lit(True)
+        )
+        decided = (
+            base.join(stay, "u", "left")
+            .join(best, "u", "left")
+            .withColumn(
+                "_stay", F.coalesce(F.col("stay_score"), F.col("base_stay"))
+            )
+            .withColumn(
+                "c",
+                F.when(
+                    eligible
+                    & F.col("best_score").isNotNull()
+                    & (F.col("best_score") > F.col("_stay")),
+                    F.col("best_c"),
+                ).otherwise(F.col("a")),
+            )
+        )
+        # checkpoint BEFORE counting: the count then reads the
+        # materialized rows instead of re-deriving the whole round
+        staged = _ckpt(
+            decided.select(
+                "u", "c", (F.col("c") != F.col("a")).alias("_moved")
+            )
+        )
+        moves = staged.filter(F.col("_moved")).count()
+        comm = staged.drop("_moved")
+        if moves > 0:
+            any_move = True
+            gated = True
+            continue
+        if gated:
+            # nothing moved among the eligible half: certify with one
+            # ungated probe round
+            gated = False
+            continue
+        break  # ungated round moved nothing: true fixpoint
+    return comm, any_move
+
+
 # ---------------------------------------------------------------------------
 # HyperBall: approximate neighborhood function / effective diameter
 # ---------------------------------------------------------------------------

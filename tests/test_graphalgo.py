@@ -962,3 +962,194 @@ def test_closeness_centrality_sampled(spark, digraph):
         assert abs(got[x] - expect[x]) < 1e-9, x
     with pytest.raises(ValueError, match="n_sources"):
         graphalgo.closeness_centrality(e, n_sources=0)
+
+
+# ---------------------------------------------------------------------------
+# Louvain
+# ---------------------------------------------------------------------------
+
+
+def _py_louvain(edge_list, max_levels=10, max_rounds=20, salt="lv"):
+    """Exact replica of graphalgo.louvain: same integer scores, same
+    gating hash, same tie-breaks, same contraction labeling."""
+    from collections import defaultdict
+
+    from grip_spark.dedup import xxhash64_py
+
+    wmap = defaultdict(int)
+    for item in edge_list:
+        s, t = item[0], item[1]
+        w = item[2] if len(item) > 2 else 1
+        a, b = min(s, t), max(s, t)
+        wmap[(a, b)] += w
+
+    adj = defaultdict(lambda: defaultdict(int))
+    loops = defaultdict(int)
+    for (a, b), w in wmap.items():
+        if a == b:
+            loops[a] += w
+        else:
+            adj[a][b] += w
+            adj[b][a] += w
+    mapping = {n: n for n in set(adj) | set(loops)}
+
+    for level in range(max_levels):
+        nodes = sorted(set(adj) | set(loops))
+        k = {
+            u: sum(adj[u].values()) + 2 * loops.get(u, 0) for u in nodes
+        }
+        two_m = sum(k.values())
+        if two_m == 0:
+            break
+        comm = {u: u for u in nodes}
+        any_move = False
+        rounds_left = max_rounds
+        gated = True
+        while rounds_left > 0:
+            rounds_left -= 1
+            rnd = max_rounds - rounds_left
+            tot = defaultdict(int)
+            for u in nodes:
+                tot[comm[u]] += k[u]
+            moves = 0
+            new_comm = {}
+            for u in nodes:
+                W = defaultdict(int)
+                for v, w in adj[u].items():
+                    W[comm[v]] += w
+                a = comm[u]
+                stay = two_m * W.get(a, 0) - k[u] * (tot[a] - k[u])
+                best = None
+                for c, wc in W.items():
+                    if c == a:
+                        continue
+                    score = two_m * wc - k[u] * tot[c]
+                    key = (-score, c)
+                    if best is None or key < best:
+                        best = key
+                eligible = (
+                    xxhash64_py(f"{salt}:{level}:{rnd}:{u}") % 2 == 0
+                    if gated
+                    else True
+                )
+                if (
+                    eligible
+                    and best is not None
+                    and -best[0] > stay
+                ):
+                    new_comm[u] = best[1]
+                    moves += 1
+                else:
+                    new_comm[u] = a
+            comm = new_comm
+            if moves > 0:
+                any_move = True
+                gated = True
+                continue
+            if gated:
+                gated = False
+                continue
+            break
+        if not any_move:
+            break
+        members = defaultdict(list)
+        for u, c in comm.items():
+            members[c].append(u)
+        rep = {c: min(ms) for c, ms in members.items()}
+        relabel = {u: rep[c] for u, c in comm.items()}
+        mapping = {o: relabel[r] for o, r in mapping.items()}
+        new_adj = defaultdict(lambda: defaultdict(int))
+        new_intra = defaultdict(int)
+        for u in adj:
+            for v, w in adj[u].items():
+                cu, cv = relabel[u], relabel[v]
+                if cu == cv:
+                    new_intra[cu] += w  # both directions summed
+                else:
+                    new_adj[cu][cv] += w
+        new_loops = defaultdict(int)
+        for c, s in new_intra.items():
+            new_loops[c] += s // 2
+        for u, lw in loops.items():
+            new_loops[relabel[u]] += lw
+        adj, loops = new_adj, dict(new_loops)
+        if not adj:
+            break
+    return mapping
+
+
+def test_louvain_matches_replica_random(spark):
+    # small caps keep the driver-round count test-sized; the caps are
+    # part of the algorithm, so replica equality holds under them
+    rng = random.Random(4242)
+    nodes = [f"v{i:02d}" for i in range(20)]
+    edges = [
+        (nodes[rng.randrange(20)], nodes[rng.randrange(20)])
+        for _ in range(55)
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["id"]: r["community"]
+        for r in graphalgo.louvain(e, max_levels=3, max_rounds=5).collect()
+    }
+    want = _py_louvain(edges, max_levels=3, max_rounds=5)
+    assert got == want
+    # deterministic across partitionings
+    got2 = {
+        r["id"]: r["community"]
+        for r in graphalgo.louvain(
+            e.repartition(7), max_levels=3, max_rounds=5
+        ).collect()
+    }
+    assert got2 == got
+
+
+def test_louvain_finds_planted_cliques(spark):
+    cliques = []
+    edges = []
+    for g in range(4):
+        mem = [f"c{g}_{i}" for i in range(6)]
+        cliques.append(set(mem))
+        edges += [(a, b) for a in mem for b in mem if a < b]
+    # ring of bridges between consecutive cliques
+    for g in range(4):
+        edges.append((f"c{g}_0", f"c{(g + 1) % 4}_0"))
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["id"]: r["community"]
+        for r in graphalgo.louvain(e, max_levels=3, max_rounds=8).collect()
+    }
+    for mem in cliques:
+        labels = {got[x] for x in mem}
+        assert len(labels) == 1, mem  # each clique is one community
+    assert len({got[x] for x in got}) == 4
+    q = graphalgo.modularity(
+        e,
+        spark.createDataFrame(
+            [(n, c) for n, c in got.items()], "id string, community string"
+        ),
+    )
+    assert q > 0.5
+
+
+def test_louvain_weights_and_selfloops(spark):
+    # two triangles joined by a HEAVY bridge: unweighted louvain would
+    # still split them; with the bridge outweighing intra edges the
+    # two sides merge
+    tri1 = [("a1", "a2", 1), ("a2", "a3", 1), ("a1", "a3", 1)]
+    tri2 = [("b1", "b2", 1), ("b2", "b3", 1), ("b1", "b3", 1)]
+    bridge = [("a1", "b1", 50), ("a1", "a1", 3)]  # plus a self-loop
+    e = spark.createDataFrame(
+        tri1 + tri2 + bridge, "src string, dst string, w long"
+    )
+    got = {
+        r["id"]: r["community"]
+        for r in graphalgo.louvain(
+            e, weight_col="w", max_levels=3, max_rounds=6
+        ).collect()
+    }
+    want = _py_louvain(tri1 + tri2 + bridge, max_levels=3, max_rounds=6)
+    assert got == want
+    assert got["a1"] == got["b1"]  # the heavy bridge wins
+    with pytest.raises(ValueError, match="max_levels"):
+        graphalgo.louvain(e, max_levels=0)
