@@ -895,13 +895,22 @@ def _graph_probe(spark):
         t_ph, _ = best_of(
             lambda: search.phrase_topk(pidx, "table hash", k=20).collect()
         )
+        # r8 session 2: Louvain with tight caps (2 levels x 4 rounds) —
+        # per-round work is one edge-sized join + small aggs, so the
+        # capped run must scale ~k with the edge count
+        t_lv, n_comm = best_of(
+            lambda: graphalgo.louvain(e, max_levels=2, max_rounds=4)
+            .select("community").distinct().count(),
+            reps=1,
+        )
         print(
             f"{k}x: edges={ne} nodes={nn} docs={nd} | pagerank5 {t_pr:.1f}s | "
             f"jump3_bfs {t_jump:.1f}s ({n_jump} rows) | "
             f"walks4 {t_walk:.1f}s ({n_walk}) | harmonic16 {t_harm:.1f}s ({n_harm}) | "
             f"bm25_index {t_idx:.1f}s | bm25_query {t_q:.2f}s | "
             f"hyperball_d3_p6 {t_hb:.1f}s (nf3={nf[-1][1]:.0f}) | "
-            f"pos_index {t_pidx:.1f}s | phrase_query {t_ph:.2f}s",
+            f"pos_index {t_pidx:.1f}s | phrase_query {t_ph:.2f}s | "
+            f"louvain_l2r4 {t_lv:.1f}s ({n_comm} comms)",
             flush=True,
         )
         e.unpersist()
