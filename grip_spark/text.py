@@ -3364,6 +3364,80 @@ _SENTENCE_SPLIT_RE = (
 )
 
 
+def readability(
+    df: DataFrame,
+    text_col: str = "text",
+    prefix: str = "",
+) -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade level (Kincaid et
+    al. 1975) → ``flesch_ease``, ``fk_grade``, ``n_sentences``,
+    ``n_words``, ``n_syllables`` (optionally name-prefixed) — the
+    classic readability features next to :func:`quality_score` /
+    :func:`gopher_rules` (educational-quality corpus analyses bucket
+    on exactly these).
+
+        FRE  = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words)
+        FKGL = 0.39·(words/sentences) + 11.8·(syll/words) − 15.59
+
+    Syllables use the standard vowel-group heuristic: count of
+    ``[aeiouy]+`` runs per lower-cased word, minus one for a silent
+    final ``e`` (``-e`` but not ``-le``), floored at 1 per word —
+    documented approximation, exactly mirrored by the test replica.
+    Sentences via :func:`split_sentences`.  Shuffle-free codegen;
+    documents with no words/sentences score NULL (not a fake grade);
+    NULL text stays NULL."""
+
+    def _syll(w: Column) -> Column:
+        groups = F.regexp_count(w, F.lit("[aeiouy]+"))
+        silent = (
+            w.rlike("[^aeiouy]e$") & ~w.rlike("le$")
+        ).cast("int")
+        return F.greatest(groups - silent, F.lit(1))
+
+    def _build(toks: Column) -> Column:
+        nw = F.size(toks)
+        ns = F.size(split_sentences(F.col(text_col)))
+        syl = F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, w: acc + _syll(w)
+        )
+        ok = (nw > 0) & (ns > 0)
+        wps = nw.cast("double") / ns
+        spw = syl / nw.cast("double")
+        return F.struct(
+            F.when(
+                ok,
+                F.round(
+                    F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+                ),
+            ).alias("ease"),
+            F.when(
+                ok,
+                F.round(
+                    F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+                ),
+            ).alias("grade"),
+            ns.alias("ns"),
+            nw.alias("nw"),
+            F.when(nw > 0, syl).alias("syl"),
+        )
+
+    built = _let(
+        F.filter(tokens(text_col), lambda t: t != ""), _build
+    )
+    c = F.col(text_col)
+    out = df.withColumn("__rd", F.when(c.isNotNull(), built))
+    names = {
+        f"{prefix}flesch_ease": "ease",
+        f"{prefix}fk_grade": "grade",
+        f"{prefix}n_sentences": "ns",
+        f"{prefix}n_words": "nw",
+        f"{prefix}n_syllables": "syl",
+    }
+    return out.withColumns(
+        {k: F.col("__rd")[v] for k, v in names.items()}
+    ).drop("__rd")
+
+
 def chunk_by_sentences(
     df: DataFrame,
     max_tokens: int = 128,

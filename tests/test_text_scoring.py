@@ -1340,3 +1340,85 @@ def test_learn_bpe_wordpiece_scoring_matches_replica(spark):
     assert fit["merges"] != bpe_merges
     with pytest.raises(ValueError, match="scoring"):
         text.learn_bpe(df, n_merges=2, scoring="nope")
+
+
+# ---------------------------------------------------------------------------
+# Readability (Flesch / Flesch-Kincaid)
+# ---------------------------------------------------------------------------
+
+
+def _py_syll(w):
+    import re
+
+    groups = len(re.findall(r"[aeiouy]+", w))
+    silent = 1 if re.search(r"[^aeiouy]e$", w) and not re.search(r"le$", w) else 0
+    return max(groups - silent, 1)
+
+
+def _py_readability(t):
+    import decimal
+    import re
+
+    def r6(x):
+        return float(
+            decimal.Decimal(x).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    if t is None:
+        return (None, None, None, None, None)
+    toks = t.lower().split()
+    sents = [
+        s.strip()
+        for s in re.split(r"""(?<=[.!?…])\s+|(?<=[.!?…]["'”’)\]])\s+|\n+""", t)
+        if s.strip() != ""
+    ]
+    nw, ns = len(toks), len(sents)
+    syl = sum(_py_syll(w) for w in toks) if toks else None
+    if nw == 0 or ns == 0:
+        return (None, None, ns, nw, syl)
+    wps, spw = nw / ns, syl / nw
+    return (
+        r6(206.835 - 1.015 * wps - 84.6 * spw),
+        r6(0.39 * wps + 11.8 * spw - 15.59),
+        ns,
+        nw,
+        syl,
+    )
+
+
+def test_readability_matches_replica(spark):
+    rows = [
+        (0, "The cat sat on the mat. It was happy! Was it? Yes."),
+        (1, "Incomprehensibility characterizes multisyllabic terminology."),
+        (2, "one two three"),          # no sentence punctuation: 1 sentence (no split)
+        (3, "Dr. Smith arrived.\nNew line heading\nAnother."),
+        (4, None),
+        (5, ""),
+        (6, "...!?"),                  # punctuation only: no words
+        (7, "Simple table example here."),  # -le words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.readability(df).collect()}
+    for i, t in rows:
+        ease, grade, ns, nw, syl = _py_readability(t)
+        r = got[i]
+        if t is None:
+            assert r["flesch_ease"] is None and r["n_words"] is None
+            continue
+        assert r["n_sentences"] == ns, i
+        assert r["n_words"] == nw, i
+        assert r["n_syllables"] == syl, i
+        if ease is None:
+            assert r["flesch_ease"] is None and r["fk_grade"] is None
+        else:
+            assert abs(r["flesch_ease"] - ease) < 1e-9, i
+            assert abs(r["fk_grade"] - grade) < 1e-9, i
+    # sanity: simple prose reads easier than sesquipedalian prose
+    assert got[0]["flesch_ease"] > got[1]["flesch_ease"]
+    # prefix + shuffle-free plan
+    out = text.readability(df, prefix="rd_")
+    assert "rd_fk_grade" in out.columns
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
