@@ -957,6 +957,181 @@ def ngram_jaccard_pairs(
     )
 
 
+# ---------------------------------------------------------------------------
+# edit-distance similarity join (PassJoin partition scheme)
+# ---------------------------------------------------------------------------
+
+
+def _seg_layout(l: Column, tau: int):
+    """PassJoin segment layout for a string of length ``l`` split into
+    ``tau + 1`` segments: segment ``i`` gets ``base`` chars, the last
+    ``l mod (tau+1)`` segments one extra.  Returns (len_of, start_of)
+    closures over a segment-index Column (all pure codegen)."""
+    k = tau + 1
+    base = F.floor(l / F.lit(k)).cast("int")
+    rem = (l % F.lit(k)).cast("int")
+
+    def len_of(i: Column) -> Column:
+        return base + F.when(i >= F.lit(k) - rem, F.lit(1)).otherwise(F.lit(0))
+
+    def start_of(i: Column) -> Column:
+        return i * base + F.greatest(F.lit(0), i - (F.lit(k) - rem))
+
+    return len_of, start_of
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_dist: int = 2,
+) -> DataFrame:
+    """All pairs within Levenshtein distance ``max_dist`` — the
+    PassJoin partition scheme (Li/Deng/Feng, ICDE 2011), never an
+    all-pairs comparison.
+
+    Pigeonhole: split every string into ``max_dist + 1`` segments; a
+    pair within distance tau has >= 1 segment of the shorter string
+    untouched by any edit, so it appears VERBATIM in the longer string
+    shifted by at most tau positions.  Candidate generation is one
+    equi-join on ``(indexed_length, segment_index, xxhash64(chunk))``:
+
+    - **index side**: each string emits its ``tau + 1`` segments;
+    - **probe side**: each string of length ``m`` emits, for every
+      indexable length ``l`` in ``[max(tau+1, m-tau), m]`` and segment
+      ``i``, the substrings at starts within ``+-tau`` of the
+      segment's home position — <= ``(tau+1)^2 * (2*tau+1)`` probe
+      rows per string (45 at tau=2), each a fixed-width int key, so
+      the shuffle is linear in corpus size.  (The paper's
+      multi-match-aware window is tighter; the simple window is a
+      provable superset and the verify step removes the difference.)
+
+    Candidates are verified with Spark's thresholded ``levenshtein``
+    (early-exit banded DP in the JVM).  Strings shorter than
+    ``tau + 1`` chars cannot be segmented; they pair through a
+    length-keyed join against strings of length <= ``2*tau`` — a
+    bounded population (only strings under ``tau+1`` chars index it).
+
+    Returns ``(id_a, id_b, dist)`` with ``id_a`` the shorter string
+    (ties: smaller id).  Hash collisions cannot produce false pairs
+    (verify is exact); segment hashing instead of segment strings
+    keeps the shuffled key fixed-width.
+    """
+    tau = int(max_dist)
+    if tau < 0:
+        raise ValueError("max_dist must be >= 0")
+    k = tau + 1
+    c = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    base = df.select(
+        F.col(id_col).alias("_id"), c.alias("_t"), F.length(c).alias("_l")
+    )
+    base = _rebalance(base)
+
+    # --- normal path: both strings have >= tau+1 chars -------------------
+    long_side = base.filter(F.col("_l") >= k)
+    len_of, start_of = _seg_layout(F.col("_l"), tau)
+    segs = long_side.select(
+        "_id",
+        F.col("_l").alias("_sl"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(tau)),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.xxhash64(
+                        F.substring(F.col("_t"), start_of(i) + 1, len_of(i))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("s"),
+    ).select("_id", "_sl", F.col("s.i").alias("_si"), F.col("s.h").alias("_sh"))
+
+    def _probes_for(l: Column) -> Column:
+        p_len, p_start = _seg_layout(l, tau)
+        m = F.col("_l")
+
+        def _per_seg(i: Column) -> Column:
+            ln, p = p_len(i), p_start(i)
+            starts = F.sequence(
+                F.greatest(F.lit(0), p - tau), F.least(m - ln, p + tau)
+            )
+            return F.transform(
+                starts,
+                lambda s: F.struct(
+                    l.alias("l"),
+                    i.alias("i"),
+                    F.xxhash64(F.substring(F.col("_t"), s + 1, ln)).alias("h"),
+                ),
+            )
+
+        return F.flatten(F.transform(F.sequence(F.lit(0), F.lit(tau)), _per_seg))
+
+    lengths = F.sequence(F.greatest(F.lit(k), F.col("_l") - tau), F.col("_l"))
+    probes = long_side.select(
+        F.col("_id").alias("_pid"),
+        F.col("_l").alias("_pl"),
+        F.explode(
+            F.flatten(F.transform(lengths, _probes_for))
+        ).alias("p"),
+    ).select("_pid", "_pl", "p.l", "p.i", "p.h")
+
+    cand = (
+        segs.join(
+            probes,
+            (F.col("_sl") == F.col("l"))
+            & (F.col("_si") == F.col("i"))
+            & (F.col("_sh") == F.col("h"))
+            & (
+                (F.col("_sl") < F.col("_pl"))
+                | ((F.col("_sl") == F.col("_pl")) & (F.col("_id") < F.col("_pid")))
+            ),
+        )
+        .select(F.col("_id").alias("id_a"), F.col("_pid").alias("id_b"))
+        .distinct()
+    )
+    ta = base.select(F.col("_id").alias("id_a"), F.col("_t").alias("_ta"))
+    tb = base.select(F.col("_id").alias("id_b"), F.col("_t").alias("_tb"))
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"), tau)
+    normal = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", "dist")
+    )
+
+    # --- short path: the shorter string has < tau+1 chars ----------------
+    # A length-<k string can only be within tau of strings of length
+    # <= l + tau <= 2*tau: key the join by the longer side's exact
+    # length.  Population bounded by the corpus's sub-(tau+1)-char
+    # strings — degenerate rows, not documents.
+    shorts = base.filter(F.col("_l") < k).select(
+        F.col("_id").alias("id_a"),
+        F.col("_t").alias("_ta"),
+        F.col("_l").alias("_la"),
+        F.explode(F.sequence(F.col("_l"), F.col("_l") + tau)).alias("_m"),
+    )
+    medium = base.filter(F.col("_l") <= 2 * tau).select(
+        F.col("_id").alias("id_b"),
+        F.col("_t").alias("_tb"),
+        F.col("_l").alias("_m"),
+    )
+    short = (
+        shorts.join(
+            medium,
+            (shorts["_m"] == medium["_m"])
+            & (
+                (F.col("_la") < medium["_m"])
+                | ((F.col("_la") == medium["_m"]) & (F.col("id_a") < F.col("id_b")))
+            ),
+        )
+        .withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", "dist")
+    )
+    return normal.unionByName(short)
+
+
 def _dup_gram_hits(df, id_col, text_col, n, min_count, gram_hash):
     """Shared detection stage of the exact-substring family: the
     (id, pos) occurrences of every n-gram repeated >= min_count times

@@ -1,0 +1,83 @@
+"""Edit-distance similarity join (PassJoin) vs a brute-force DP mirror."""
+
+import random
+
+import pytest
+
+from grip_spark import dedup
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _brute(rows, tau):
+    out = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            (ia, ta), (ib, tb) = rows[i], rows[j]
+            d = _lev(ta, tb)
+            if d <= tau:
+                if (len(ta), ia) > (len(tb), ib):
+                    ia, ib = ib, ia
+                out.add((ia, ib, d))
+    return out
+
+
+def _corpus(seed=7, n_base=40):
+    rng = random.Random(seed)
+    alpha = "abcdé中"  # include multibyte chars
+    rows = []
+    for b in range(n_base):
+        base = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 18)))
+        rows.append(base)
+        for _ in range(rng.randint(1, 3)):
+            s = list(base)
+            for _ in range(rng.randint(0, 3)):
+                op = rng.choice("sid")
+                if op == "s" and s:
+                    s[rng.randrange(len(s))] = rng.choice(alpha)
+                elif op == "i":
+                    s.insert(rng.randint(0, len(s)), rng.choice(alpha))
+                elif op == "d" and s:
+                    del s[rng.randrange(len(s))]
+            rows.append("".join(s))
+    return [(i, t) for i, t in enumerate(rows)]
+
+
+@pytest.mark.parametrize("tau", [1, 2])
+def test_edit_distance_pairs_matches_bruteforce(spark, tau):
+    rows = _corpus()
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in dedup.edit_distance_pairs(df, "id", "text", max_dist=tau).collect()
+    }
+    assert got == _brute(rows, tau)
+
+
+def test_edit_distance_tau0_is_exact_dup(spark):
+    rows = [(0, "abc"), (1, "abc"), (2, "abd"), (3, ""), (4, ""), (5, "abc")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in dedup.edit_distance_pairs(df, "id", "text", max_dist=0).collect()
+    }
+    assert got == {(0, 1, 0), (0, 5, 0), (1, 5, 0), (3, 4, 0)}
+
+
+def test_edit_distance_plan_shape(spark):
+    rows = _corpus(seed=3, n_base=8)
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = dedup.edit_distance_pairs(df, "id", "text", max_dist=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"):
+        assert bad not in plan
