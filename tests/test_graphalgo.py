@@ -1153,3 +1153,91 @@ def test_louvain_weights_and_selfloops(spark):
     assert got["a1"] == got["b1"]  # the heavy bridge wins
     with pytest.raises(ValueError, match="max_levels"):
         graphalgo.louvain(e, max_levels=0)
+
+
+# ---------------------------------------------------------------------------
+# clustering coefficient + link prediction
+# ---------------------------------------------------------------------------
+
+
+def _py_simple_adj(edges):
+    adj = {}
+    for s, t in edges:
+        if s == t:
+            continue
+        adj.setdefault(s, set()).add(t)
+        adj.setdefault(t, set()).add(s)
+    return adj
+
+
+def test_clustering_coefficient_matches_replica(spark, digraph):
+    _, edges, _, e = digraph
+    adj = _py_simple_adj(edges)
+    tris = _py_triangles(edges)
+    got = {r["id"]: r for r in graphalgo.clustering_coefficient(e).collect()}
+    assert set(got) == set(adj)
+    for x, nbrs in adj.items():
+        d, t = len(nbrs), tris.get(x, 0)
+        assert got[x]["degree"] == d
+        assert got[x]["triangles"] == t
+        want = 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0
+        assert got[x]["coefficient"] == pytest.approx(want, abs=1e-12)
+
+
+def test_clustering_coefficient_complete_graph(spark):
+    """K4 with parallel/self-loop noise: every coefficient is exactly 1."""
+    ids = ["a", "b", "c", "d"]
+    edges = [(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]]
+    edges += [(y, x) for x, y in edges] + [("a", "a")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["id"]: r["coefficient"] for r in graphalgo.clustering_coefficient(e).collect()}
+    assert got == {x: 1.0 for x in ids}
+
+
+def _py_link_prediction(edges, include_existing=False, max_center_degree=None):
+    import math
+
+    adj = _py_simple_adj(edges)
+    out = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            if not include_existing and v in adj[u]:
+                continue
+            common = [
+                w
+                for w in adj[u] & adj[v]
+                if max_center_degree is None or len(adj[w]) <= max_center_degree
+            ]
+            if not common:
+                continue
+            cn = len(common)
+            out[(u, v)] = {
+                "common_neighbors": cn,
+                "adamic_adar": sum(1.0 / math.log2(len(adj[w])) for w in common),
+                "resource_allocation": sum(1.0 / len(adj[w]) for w in common),
+                "jaccard": cn / (len(adj[u]) + len(adj[v]) - cn),
+                "preferential_attachment": len(adj[u]) * len(adj[v]),
+            }
+    return out
+
+
+@pytest.mark.parametrize(
+    "kwargs", [{}, {"include_existing": True}, {"max_center_degree": 6}]
+)
+def test_link_prediction_matches_replica(spark, digraph, kwargs):
+    _, edges, _, e = digraph
+    want = _py_link_prediction(edges, **kwargs)
+    got = {(r["u"], r["v"]): r for r in graphalgo.link_prediction(e, **kwargs).collect()}
+    assert set(got) == set(want)
+    for k, w in want.items():
+        for m, val in w.items():
+            assert got[k][m] == pytest.approx(val, rel=1e-12), (k, m)
+
+
+def test_link_prediction_plan_shape(spark, digraph):
+    _, _, _, e = digraph
+    out = graphalgo.link_prediction(e)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"):
+        assert bad not in plan
