@@ -832,3 +832,133 @@ def td_quantile(digest: list, q: float) -> float:
             t = (target - c0) / (c1 - c0)
             return m0 + t * (m1 - m0)
     return digest[-1][0]
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch — mergeable distinct counting with set algebra
+# ---------------------------------------------------------------------------
+
+
+_U64 = float(1 << 64)
+_I64_MIN = -(1 << 63)
+
+
+def _kmv_u(h: int) -> float:
+    """Signed xxhash64 value → its position in [0, 1) under the signed
+    int64 order (monotone, so KMV's order statistics are preserved)."""
+    return (h - _I64_MIN) / _U64
+
+
+def kmv_build(
+    df: DataFrame,
+    key_col: str,
+    k: int = 1024,
+    salt: str = "kmv",
+) -> dict:
+    """K-minimum-values (theta) sketch of a key column → a driver dict
+    ``{"k": k, "salt": salt, "hashes": [k smallest distinct signed
+    xxhash64 values, ascending]}`` (JSON-serializable) — the
+    distinct-count member of the mergeable-sketch family that, unlike
+    HLL, also supports SET ALGEBRA: intersection and Jaccard estimates
+    between sketches built independently (Beyer et al. 2007; theta
+    sketches, Dasgupta et al. 2016).
+
+    Scale shape (the :func:`mg_build` discipline): the key hashes in
+    the JVM (``xxhash64(salt ++ 0x1f ++ key)``, codegen), then one
+    Arrow-batched pass folds each PARTITION to its k smallest distinct
+    hashes (numpy merge + unique, state <= 2k ints per partition —
+    the point: a ``distinct()`` would shuffle every distinct key); the
+    driver merges partitions x k values.  The sketch is a pure
+    function of the key SET — partitioning-invariant, and
+    ``kmv_merge(build(A), build(B)) == build(A | B)`` exactly
+    (representation equality, pinned in tests).  NULL keys skipped.
+
+    Estimator: with u_(k) the k-th smallest hash as a [0,1) fraction,
+    ``distinct ~= (k-1)/u_(k)``, relative std ~= 1/sqrt(k-2) (~3% at
+    k=1024); exact below k distinct keys.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    c = F.col(key_col).cast("string")
+    hashed = df.filter(c.isNotNull()).select(
+        F.xxhash64(F.concat(F.lit(salt + "\x1f"), c)).alias("_h")
+    )
+
+    def _partials(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        best = _np.empty(0, dtype=_np.int64)
+        for pdf in batches:
+            best = _np.unique(
+                _np.concatenate([best, pdf["_h"].to_numpy(_np.int64)])
+            )[:k]
+        yield _pd.DataFrame({"h": best})
+
+    rows = hashed.mapInPandas(_partials, schema="h long").collect()
+    import numpy as np
+
+    merged = np.unique(np.array([r["h"] for r in rows], dtype=np.int64))[:k]
+    return {"k": k, "salt": salt, "hashes": [int(h) for h in merged]}
+
+
+def kmv_merge(*sketches: dict) -> dict:
+    """Union of key sets: merge hash lists, keep the ``min(k_i)``
+    smallest distinct.  Exactly equals building on the unioned input
+    (same k, same salt — mixed salts are rejected: their hash spaces
+    are unrelated)."""
+    if not sketches:
+        raise ValueError("kmv_merge: need at least one sketch")
+    salts = {s["salt"] for s in sketches}
+    if len(salts) > 1:
+        raise ValueError(f"kmv_merge: mixed salts {sorted(salts)}")
+    k = min(s["k"] for s in sketches)
+    merged = sorted({h for s in sketches for h in s["hashes"]})[:k]
+    return {"k": k, "salt": sketches[0]["salt"], "hashes": merged}
+
+
+def kmv_theta(sketch: dict) -> float:
+    """The sketch's sampling threshold: 1.0 while it holds fewer than
+    k values (every key seen is retained), else the k-th smallest
+    hash as a [0,1) fraction — the 'theta' of theta sketches."""
+    hs = sketch["hashes"]
+    if len(hs) < sketch["k"]:
+        return 1.0
+    return _kmv_u(hs[-1])
+
+
+def kmv_distinct(sketch: dict) -> float:
+    """Distinct-count estimate: exact (= retained size) below k,
+    ``(k-1)/u_(k)`` at capacity."""
+    hs = sketch["hashes"]
+    if len(hs) < sketch["k"]:
+        return float(len(hs))
+    return (sketch["k"] - 1) / _kmv_u(hs[-1])
+
+
+def _theta_sets(a: dict, b: dict) -> tuple[float, set, set]:
+    if a["salt"] != b["salt"]:
+        raise ValueError("kmv: sketches use different salts")
+    theta = min(kmv_theta(a), kmv_theta(b))
+    sa = {h for h in a["hashes"] if _kmv_u(h) < theta}
+    sb = {h for h in b["hashes"] if _kmv_u(h) < theta}
+    return theta, sa, sb
+
+
+def kmv_intersect(a: dict, b: dict) -> float:
+    """Estimated ``|A intersect B|``: both sketches restricted to the
+    common threshold theta are uniform samples of their sets at rate
+    theta, so the shared-hash count scaled by 1/theta is unbiased —
+    the set-algebra answer HLL cannot give without inclusion-exclusion
+    error stacking."""
+    theta, sa, sb = _theta_sets(a, b)
+    return len(sa & sb) / theta
+
+
+def kmv_jaccard(a: dict, b: dict) -> float:
+    """Estimated Jaccard similarity ``|A&B| / |A|B|``: the ratio of
+    shared to combined hashes below the common theta (scale factors
+    cancel).  0.0 when both restricted samples are empty."""
+    _, sa, sb = _theta_sets(a, b)
+    union = len(sa | sb)
+    return len(sa & sb) / union if union else 0.0

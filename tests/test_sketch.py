@@ -599,3 +599,69 @@ def test_td_grouped_accuracy_and_edges(spark):
     assert abs(sum(w for _, w in merged) - (len(truth["a"]) + len(truth["b"]))) < 1e-9
     with pytest.raises(ValueError, match="delta"):
         sketch.td_build_grouped(df, "v", "g", delta=5)
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch
+# ---------------------------------------------------------------------------
+
+
+def _kmv_mirror(keys, k, salt="kmv"):
+    hs = sorted({xxhash64_py(f"{salt}\x1f{x}") for x in keys})[:k]
+    return {"k": k, "salt": salt, "hashes": hs}
+
+
+def test_kmv_exact_below_k_and_hash_family(spark):
+    keys = [f"key{i}" for i in range(50)] * 3 + ["key0"]
+    df = spark.createDataFrame([(x,) for x in keys], "k string")
+    s = sketch.kmv_build(df, "k", k=256, salt="s1")
+    assert s == _kmv_mirror(keys, 256, "s1")
+    assert sketch.kmv_distinct(s) == 50.0
+    assert sketch.kmv_theta(s) == 1.0
+
+
+def test_kmv_merge_equals_build_on_union_and_partition_invariance(spark):
+    a_keys = [f"a{i}" for i in range(3000)]
+    b_keys = [f"a{i}" for i in range(1500, 3000)] + [f"b{i}" for i in range(2000)]
+    a = spark.createDataFrame([(x,) for x in a_keys], "k string")
+    b = spark.createDataFrame([(x,) for x in b_keys], "k string")
+    sa = sketch.kmv_build(a, "k", k=128)
+    sb = sketch.kmv_build(b, "k", k=128)
+    union = sketch.kmv_build(a.unionByName(b), "k", k=128)
+    assert sketch.kmv_merge(sa, sb) == union
+    assert sketch.kmv_build(a.repartition(13), "k", k=128) == sa
+    assert sa == _kmv_mirror(a_keys, 128)
+
+
+def test_kmv_estimates(spark):
+    n = 20000
+    df = spark.createDataFrame([(f"u{i}",) for i in range(n)], "k string")
+    s = sketch.kmv_build(df, "k", k=512)
+    # relative std ~ 1/sqrt(k-2) ~ 4.4%; allow 4 sigma
+    assert abs(sketch.kmv_distinct(s) - n) / n < 4 / (510 ** 0.5)
+
+
+def test_kmv_set_algebra(spark):
+    n, overlap = 12000, 4000
+    a = spark.createDataFrame([(f"x{i}",) for i in range(n)], "k string")
+    b = spark.createDataFrame(
+        [(f"x{i}",) for i in range(n - overlap, 2 * n - overlap)], "k string"
+    )
+    sa = sketch.kmv_build(a, "k", k=512)
+    sb = sketch.kmv_build(b, "k", k=512)
+    got_i = sketch.kmv_intersect(sa, sb)
+    assert abs(got_i - overlap) / overlap < 0.35
+    true_j = overlap / (2 * n - overlap)
+    assert abs(sketch.kmv_jaccard(sa, sb) - true_j) / true_j < 0.35
+
+
+def test_kmv_validation(spark):
+    df = spark.createDataFrame([("a",), (None,)], "k string")
+    s = sketch.kmv_build(df, "k", k=4, salt="s1")
+    assert len(s["hashes"]) == 1  # NULL skipped
+    with pytest.raises(ValueError, match="k must be"):
+        sketch.kmv_build(df, "k", k=1)
+    with pytest.raises(ValueError, match="mixed salts"):
+        sketch.kmv_merge(s, {"k": 4, "salt": "other", "hashes": []})
+    with pytest.raises(ValueError, match="different salts"):
+        sketch.kmv_intersect(s, {"k": 4, "salt": "other", "hashes": []})
