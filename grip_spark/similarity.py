@@ -1756,3 +1756,95 @@ def kmeans_assign(
                 dist_col, F.try_divide(-F.col(best)["score"], norm(vec))
             )
     return out.drop(best)
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    score_col: str = "score",
+    k: int = 10,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) of per-query candidate lists → ``(query_col, id_col, rank,
+    mmr_score)``, ``rank`` 1-based in selection order.
+
+    Greedily picks, per query, the candidate maximizing
+    ``lam * relevance - (1 - lam) * max cosine to the already-selected``
+    — the standard diversification pass after any retrieval stage
+    (:func:`ann_lsh_topk` / :func:`ivf_topk` / :func:`bm25` fused via
+    RRF), trading relevance against redundancy; ``lam=1`` degenerates
+    to relevance order.
+
+    Scale shape: the greedy argmax is inherently sequential IN k but
+    independent ACROSS queries, so this is one ``applyInPandas`` over
+    the query group — numpy O(k * n * dim) per query on an
+    ANN-bounded candidate list (n = retrieved candidates, NOT the
+    corpus; feeding a whole corpus per query is the caller's
+    anti-pattern, same contract as every reranker).  Ties break on
+    (score desc, id asc) — deterministic across partitionings, pinned
+    by a pure-python mirror in tests.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    out_q, out_id = query_col, id_col
+    base = candidates.select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.col(score_col).cast("double").alias("_s"),
+    )
+    kk, ll = int(k), float(lam)
+
+    def _mmr(pdf):
+        import numpy as np
+        import pandas as pd
+
+        # deterministic candidate order regardless of shuffle order
+        pdf = pdf.sort_values(["_s", "_id"], ascending=[False, True], kind="mergesort")
+        ids = pdf["_id"].to_numpy()
+        rel = pdf["_s"].to_numpy(float)
+        vecs = np.array(pdf["_v"].tolist(), dtype=float)
+        n = len(ids)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = vecs / norms[:, None]
+        picked: list[int] = []
+        scores: list[float] = []
+        max_sim = np.zeros(n)
+        alive = np.ones(n, dtype=bool)
+        for _ in range(min(kk, n)):
+            mmr = ll * rel - (1.0 - ll) * max_sim
+            mmr[~alive] = -np.inf
+            # first argmax wins = (score desc, id asc) by the presort
+            best = int(np.argmax(mmr))
+            picked.append(best)
+            scores.append(float(mmr[best]))
+            alive[best] = False
+            sim = unit @ unit[best]
+            np.maximum(max_sim, sim, out=max_sim)
+        q = pdf["_q"].iloc[0]
+        return pd.DataFrame(
+            {
+                "_q": [q] * len(picked),
+                "_id": ids[picked],
+                "rank": np.arange(1, len(picked) + 1, dtype="int64"),
+                "mmr_score": scores,
+            }
+        )
+
+    q_field = base.schema["_q"].dataType.simpleString()
+    id_field = base.schema["_id"].dataType.simpleString()
+    out = base.groupBy("_q").applyInPandas(
+        _mmr, schema=f"_q {q_field}, _id {id_field}, rank long, mmr_score double"
+    )
+    return out.select(
+        F.col("_q").alias(out_q),
+        F.col("_id").alias(out_id),
+        "rank",
+        "mmr_score",
+    )

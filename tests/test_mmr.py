@@ -1,0 +1,89 @@
+"""MMR diversified reranking vs a pure-python greedy mirror."""
+
+import math
+import random
+
+import pytest
+
+from grip_spark import similarity
+
+
+def _py_mmr(cands, k, lam):
+    # cands: list of (id, vec, score); presort (score desc, id asc)
+    cands = sorted(cands, key=lambda c: (-c[2], c[0]))
+    unit = []
+    for _, v, _ in cands:
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        unit.append([x / n for x in v])
+    max_sim = [0.0] * len(cands)
+    alive = [True] * len(cands)
+    out = []
+    for _ in range(min(k, len(cands))):
+        best, best_s = None, None
+        for i, (cid, _, rel) in enumerate(cands):
+            if not alive[i]:
+                continue
+            s = lam * rel - (1 - lam) * max_sim[i]
+            if best is None or s > best_s:
+                best, best_s = i, s
+        out.append((cands[best][0], best_s))
+        alive[best] = False
+        for i in range(len(cands)):
+            sim = sum(a * b for a, b in zip(unit[i], unit[best]))
+            max_sim[i] = max(max_sim[i], sim)
+    return out
+
+
+def _fixture(seed=11, n_q=5, n_c=30, dim=8):
+    rng = random.Random(seed)
+    rows = []
+    expect = {}
+    for q in range(n_q):
+        cands = [
+            (f"d{q}_{i}", [rng.uniform(-1, 1) for _ in range(dim)], round(rng.uniform(0, 1), 6))
+            for i in range(n_c)
+        ]
+        # force exact score ties to exercise the tie-break
+        cands[3] = (cands[3][0], cands[3][1], cands[2][2])
+        rows += [(f"q{q}", cid, v, s) for cid, v, s in cands]
+        expect[f"q{q}"] = cands
+    return rows, expect
+
+
+@pytest.mark.parametrize("lam", [0.0, 0.5, 1.0])
+def test_mmr_matches_mirror(spark, lam):
+    rows, expect = _fixture()
+    df = spark.createDataFrame(
+        rows, "query_id string, id string, vec array<double>, score double"
+    ).repartition(7)
+    got = similarity.mmr_rerank(df, k=7, lam=lam).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, cands in expect.items():
+        want = _py_mmr(cands, 7, lam)
+        rs = sorted(by_q[q], key=lambda r: r["rank"])
+        assert [r["id"] for r in rs] == [w[0] for w in want]
+        for r, w in zip(rs, want):
+            assert r["mmr_score"] == pytest.approx(w[1], rel=1e-9)
+
+
+def test_mmr_lam1_is_relevance_order(spark):
+    rows, expect = _fixture(seed=5, n_q=1)
+    df = spark.createDataFrame(
+        rows, "query_id string, id string, vec array<double>, score double"
+    )
+    got = similarity.mmr_rerank(df, k=30, lam=1.0).orderBy("rank").collect()
+    want = sorted(expect["q0"], key=lambda c: (-c[2], c[0]))
+    assert [r["id"] for r in got] == [c[0] for c in want]
+
+
+def test_mmr_validation(spark):
+    df = spark.createDataFrame(
+        [("q", "d", [1.0], 1.0)],
+        "query_id string, id string, vec array<double>, score double",
+    )
+    with pytest.raises(ValueError, match="k must be"):
+        similarity.mmr_rerank(df, k=0)
+    with pytest.raises(ValueError, match="lam"):
+        similarity.mmr_rerank(df, lam=1.5)
