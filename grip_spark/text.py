@@ -1455,6 +1455,39 @@ def _transition_pairs(text_col: str) -> Column:
     return _let(nonempty, _body)
 
 
+def _vocab_mapped_pairs(
+    df: DataFrame,
+    text_col: str,
+    vocab: DataFrame,
+    start_token: str,
+    unk_token: str,
+) -> DataFrame:
+    """Vocab-mapped transition counts ``(is_start, prev, cur, n)`` —
+    the shared counting stage of :func:`bigram_model` and
+    :func:`kn_bigram_model`.  The start-of-document history is the
+    positional NULL sentinel (``prev`` displays as ``start_token``)
+    so a literal corpus token equal to ``start_token`` can never
+    merge into the start state; OOV tokens collapse to ``unk_token``
+    after a broadcast left join against the vocabulary."""
+    return (
+        df.select(F.explode(_transition_pairs(text_col)).alias("_p"))
+        .select(F.col("_p.prev").alias("_rp"), F.col("_p.cur").alias("_rc"))
+        .join(F.broadcast(vocab.withColumnRenamed("token", "_vp")),
+              F.col("_rp") == F.col("_vp"), "left")
+        .join(F.broadcast(vocab.withColumnRenamed("token", "_vc")),
+              F.col("_rc") == F.col("_vc"), "left")
+        .select(
+            F.col("_rp").isNull().alias("is_start"),
+            F.when(F.col("_rp").isNull(), F.lit(start_token))
+            .otherwise(F.coalesce(F.col("_vp"), F.lit(unk_token)))
+            .alias("prev"),
+            F.coalesce(F.col("_vc"), F.lit(unk_token)).alias("cur"),
+        )
+        .groupBy("is_start", "prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def bigram_model(
     df: DataFrame,
     text_col: str = "text",
@@ -1547,25 +1580,7 @@ def bigram_model(
         .localCheckpoint(eager=True)
     )
 
-    pairs = (
-        df.select(F.explode(_transition_pairs(text_col)).alias("_p"))
-        .select(F.col("_p.prev").alias("_rp"), F.col("_p.cur").alias("_rc"))
-        .join(F.broadcast(vocab.withColumnRenamed("token", "_vp")),
-              F.col("_rp") == F.col("_vp"), "left")
-        .join(F.broadcast(vocab.withColumnRenamed("token", "_vc")),
-              F.col("_rc") == F.col("_vc"), "left")
-        .select(
-            # positional NULL sentinel -> start state; a literal
-            # start_token in the DATA stays a plain (vocab-mapped) token
-            F.col("_rp").isNull().alias("is_start"),
-            F.when(F.col("_rp").isNull(), F.lit(start_token))
-            .otherwise(vmap(F.col("_vp")))
-            .alias("prev"),
-            vmap(F.col("_vc")).alias("cur"),
-        )
-        .groupBy("is_start", "prev", "cur")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    pairs = _vocab_mapped_pairs(df, text_col, vocab, start_token, unk_token)
     hist = pairs.groupBy("is_start", "prev").agg(F.sum("n").alias("_hn"))
     bigrams = (
         pairs.join(hist, ["is_start", "prev"])
@@ -1656,6 +1671,205 @@ def bigram_logprob(
         F.coalesce(
             F.col("_bi_lp"),
             F.lit(math.log(backoff)) + F.col("_un_lp"),
+        ),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.when(F.col("_has"), 1)).alias("n_transitions"),
+        F.round(F.avg(lp), 6).alias(out_col),
+    )
+
+
+def kn_bigram_model(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 1 << 16,
+    discount: float | None = None,
+    start_token: str = "<s>",
+    unk_token: str = "<unk>",
+) -> dict:
+    """Interpolated Kneser-Ney bigram model (Kneser & Ney 1995; Chen &
+    Goodman 1999) — the KenLM-default smoothing, one rigor step above
+    :func:`bigram_model`'s Stupid Backoff:
+
+    ``P(w|v) = max(c(v,w) - D, 0)/c(v.) + lambda(v) * P_cont(w)``
+    with ``lambda(v) = D * |{w: c(v,w)>0}| / c(v.)`` and the
+    CONTINUATION unigram ``P_cont(w) = N1+(.w) / N1+(..)`` — "how many
+    histories does w follow" rather than "how often does w occur",
+    the fix for high-frequency-but-single-context words ("Francisco").
+    Every history's conditional sums to exactly 1 (mirror-pinned).
+
+    ``discount=None`` estimates ``D = n1 / (n1 + 2*n2)`` from the
+    bigram count-of-counts (Ney et al. 1994), falling back to 0.75
+    when degenerate.  ``<unk>`` with no observed continuation gets a
+    half-count so unseen tokens score finite, and the continuation
+    denominator includes it (the distribution still sums to 1).
+
+    Returns ``{"bigrams": (is_start, prev, cur, n, logp) for SEEN
+    pairs, "histories": (is_start, prev, log_lambda), "continuation":
+    (token, logp_cont), ...}`` — all eagerly checkpointed, built from
+    the same two corpus passes as :func:`bigram_model` (token counts
+    for the vocabulary, one transition count; everything downstream
+    aggregates the vocab-bounded pairs table).  Score with
+    :func:`kn_bigram_logprob`.
+    """
+    if vocab_size <= 0:
+        raise ValueError(f"vocab_size must be > 0, got {vocab_size}")
+    if discount is not None and not 0.0 < discount < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    vocab = (
+        counts.orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(vocab_size)
+        .select("token")
+        .localCheckpoint(eager=True)
+    )
+    pairs = _vocab_mapped_pairs(
+        df, text_col, vocab, start_token, unk_token
+    ).localCheckpoint(eager=True)
+
+    if discount is None:
+        cc = pairs.agg(
+            F.count(F.when(F.col("n") == 1, 1)).alias("n1"),
+            F.count(F.when(F.col("n") == 2, 1)).alias("n2"),
+        ).collect()[0]
+        d = (
+            cc["n1"] / (cc["n1"] + 2.0 * cc["n2"])
+            if cc["n1"] > 0 and cc["n2"] > 0
+            else 0.75
+        )
+    else:
+        d = float(discount)
+
+    hist = pairs.groupBy("is_start", "prev").agg(
+        F.sum("n").alias("_cn"), F.count(F.lit(1)).alias("_types")
+    )
+    histories = hist.select(
+        "is_start",
+        "prev",
+        F.log(F.lit(d) * F.col("_types") / F.col("_cn")).alias("log_lambda"),
+    ).localCheckpoint(eager=True)
+
+    # continuation counts over the vocab (plus the start/unk floor):
+    # N1+(.w) = number of distinct histories w follows = the pairs
+    # table's per-cur row count (it is already distinct on the key)
+    cont_n = pairs.groupBy(F.col("cur").alias("token")).agg(
+        F.count(F.lit(1)).cast("double").alias("_cont")
+    )
+    unk_seed = df.sparkSession.range(1).select(
+        F.lit(unk_token).alias("token"), F.lit(0.0).alias("_cont")
+    )
+    cont = (
+        cont_n.unionByName(unk_seed)
+        .groupBy("token")
+        .agg(F.sum("_cont").alias("_cont"))
+        .select(
+            "token",
+            F.when(F.col("_cont") > 0, F.col("_cont"))
+            .otherwise(F.lit(0.5))
+            .alias("_cont"),
+        )
+    )
+    denom = cont.agg(F.sum("_cont").alias("_total"))
+    continuation = (
+        cont.crossJoin(F.broadcast(denom))
+        .select("token", F.log(F.col("_cont") / F.col("_total")).alias("logp_cont"))
+        .localCheckpoint(eager=True)
+    )
+
+    pc = continuation.select(F.col("token").alias("cur"), "logp_cont")
+    bigrams = (
+        pairs.join(hist, ["is_start", "prev"])
+        .join(F.broadcast(pc), "cur")
+        .select(
+            "is_start",
+            "prev",
+            "cur",
+            "n",
+            F.log(
+                (F.col("n") - d) / F.col("_cn")
+                + (F.lit(d) * F.col("_types") / F.col("_cn"))
+                * F.exp(F.col("logp_cont"))
+            ).alias("logp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return {
+        "bigrams": bigrams,
+        "histories": histories,
+        "continuation": continuation,
+        "start_token": start_token,
+        "unk_token": unk_token,
+        "discount": d,
+    }
+
+
+def kn_bigram_logprob(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "kn_logprob",
+) -> DataFrame:
+    """Per-document mean transition log-score under a
+    :func:`kn_bigram_model` → ``(id_col, n_transitions, out_col)``.
+
+    Seen pairs read the interpolated probability directly; an unseen
+    continuation under a seen history scores
+    ``log_lambda(v) + logp_cont(w)`` (exactly the model's reserved
+    mass, so each history remains a true distribution); a history
+    never observed at all backs off to the continuation unigram.
+    Same scale shape as :func:`bigram_logprob`: one transition
+    explode, broadcast vocab mapping, a key join against the
+    vocab-bounded model tables, one map-side-combined mean.
+    """
+    start, unk = model["start_token"], model["unk_token"]
+    vocab = model["continuation"].select("token").filter(
+        F.col("token") != unk
+    )
+    trans = df.select(
+        F.col(id_col),
+        F.explode_outer(_transition_pairs(text_col)).alias("_p"),
+    ).select(
+        id_col, F.col("_p.prev").alias("_rp"), F.col("_p.cur").alias("_rc")
+    )
+    mapped = (
+        trans.join(F.broadcast(vocab.withColumnRenamed("token", "_vp")),
+                   F.col("_rp") == F.col("_vp"), "left")
+        .join(F.broadcast(vocab.withColumnRenamed("token", "_vc")),
+              F.col("_rc") == F.col("_vc"), "left")
+        .select(
+            id_col,
+            F.col("_rc").isNotNull().alias("_has"),
+            (F.col("_rp").isNull() & F.col("_rc").isNotNull()).alias("is_start"),
+            F.when(F.col("_rp").isNull(), F.lit(start))
+            .otherwise(F.coalesce(F.col("_vp"), F.lit(unk)))
+            .alias("prev"),
+            F.coalesce(F.col("_vc"), F.lit(unk)).alias("cur"),
+        )
+    )
+    bi = model["bigrams"].select(
+        "is_start", "prev", "cur", F.col("logp").alias("_bi_lp")
+    )
+    hi = model["histories"].select("is_start", "prev", "log_lambda")
+    pc = model["continuation"].select(
+        F.col("token").alias("cur"), F.col("logp_cont").alias("_pc_lp")
+    )
+    scored = (
+        mapped.join(bi, ["is_start", "prev", "cur"], "left")
+        .join(hi, ["is_start", "prev"], "left")
+        .join(F.broadcast(pc), "cur", "left")
+    )
+    lp = F.when(
+        F.col("_has"),
+        F.coalesce(
+            F.col("_bi_lp"),
+            F.col("log_lambda") + F.col("_pc_lp"),
+            F.col("_pc_lp"),
         ),
     )
     return scored.groupBy(id_col).agg(

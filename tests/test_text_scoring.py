@@ -1422,3 +1422,116 @@ def test_readability_matches_replica(spark):
     assert "rd_fk_grade" in out.columns
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram
+# ---------------------------------------------------------------------------
+
+
+def _py_kn(rows, V, discount=None):
+    """Pure-python interpolated KN bigram over the shared corpus
+    tokenization (lower + whitespace); histories keyed by the start
+    sentinel '<s>' (no corpus token collides in the fixture)."""
+    cnt = Counter()
+    for _, t in rows:
+        if t:
+            cnt.update(t.lower().split())
+    vocab = {tok for tok, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:V]}
+    m = lambda tok: tok if tok in vocab else "<unk>"
+    bi = Counter()
+    for _, t in rows:
+        toks = [m(x) for x in (t.lower().split() if t else [])]
+        prev = "<s>"
+        for tok in toks:
+            bi[(prev, tok)] += 1
+            prev = tok
+    if discount is None:
+        n1 = sum(1 for n in bi.values() if n == 1)
+        n2 = sum(1 for n in bi.values() if n == 2)
+        d = n1 / (n1 + 2.0 * n2) if n1 and n2 else 0.75
+    else:
+        d = discount
+    hist_n, hist_types = Counter(), Counter()
+    cont = Counter()
+    for (p, c), n in bi.items():
+        hist_n[p] += n
+        hist_types[p] += 1
+        cont[c] += 1
+    cont_adj = {t: float(cont.get(t, 0)) or 0.5 for t in vocab | {"<unk>"}}
+    denom = sum(cont_adj.values())
+    pcont = {t: v / denom for t, v in cont_adj.items()}
+    lam = {p: d * hist_types[p] / hist_n[p] for p in hist_n}
+    pbi = {
+        (p, c): (n - d) / hist_n[p] + lam[p] * pcont[c] for (p, c), n in bi.items()
+    }
+    return d, vocab, bi, pbi, lam, pcont
+
+
+@pytest.mark.parametrize("discount", [None, 0.6])
+def test_kn_bigram_model_matches_python(corpus, discount):
+    df, rows = corpus
+    V = 40
+    model = text.kn_bigram_model(df, vocab_size=V, discount=discount)
+    d, vocab, bi, pbi, lam, pcont = _py_kn(rows, V, discount)
+    assert model["discount"] == pytest.approx(d, rel=1e-12)
+
+    got_bi = {(r["prev"], r["cur"]): (r["n"], r["logp"])
+              for r in model["bigrams"].collect()}
+    assert set(got_bi) == set(bi)
+    for pair, n in bi.items():
+        assert got_bi[pair][0] == n
+        assert got_bi[pair][1] == pytest.approx(math.log(pbi[pair]), abs=1e-9)
+
+    got_hist = {r["prev"]: r["log_lambda"] for r in model["histories"].collect()}
+    assert set(got_hist) == set(lam)
+    for p, v in lam.items():
+        assert got_hist[p] == pytest.approx(math.log(v), abs=1e-9)
+
+    got_cont = {r["token"]: r["logp_cont"] for r in model["continuation"].collect()}
+    assert set(got_cont) == set(pcont)
+    for t, v in pcont.items():
+        assert got_cont[t] == pytest.approx(math.log(v), abs=1e-9)
+
+    # every history is a true distribution: seen mass + lambda * unseen
+    for p in lam:
+        seen = sum(pbi[(pp, c)] for (pp, c) in pbi if pp == p)
+        unseen = sum(v for t, v in pcont.items() if (p, t) not in pbi)
+        assert seen + lam[p] * unseen == pytest.approx(1.0, abs=1e-9)
+
+
+def test_kn_bigram_logprob_matches_python(corpus):
+    df, rows = corpus
+    V = 40
+    model = text.kn_bigram_model(df, vocab_size=V)
+    _, vocab, bi, pbi, lam, pcont = _py_kn(rows, V)
+    m = lambda tok: tok if tok in vocab else "<unk>"
+    got = {
+        r["doc_id"]: (r["n_transitions"], r["kn_logprob"])
+        for r in text.kn_bigram_logprob(df, model).collect()
+    }
+    assert set(got) == {i for i, _ in rows}
+    for i, t in rows:
+        toks = [m(x) for x in (t.lower().split() if t else [])]
+        if not toks:
+            assert got[i] == (0, None)
+            continue
+        lps, prev = [], "<s>"
+        for tok in toks:
+            if (prev, tok) in pbi:
+                lps.append(math.log(pbi[(prev, tok)]))
+            elif prev in lam:
+                lps.append(math.log(lam[prev]) + math.log(pcont[tok]))
+            else:
+                lps.append(math.log(pcont[tok]))
+            prev = tok
+        assert got[i][0] == len(toks)
+        assert got[i][1] == pytest.approx(sum(lps) / len(lps), abs=1e-5)
+
+
+def test_kn_validation(corpus):
+    df, _ = corpus
+    with pytest.raises(ValueError, match="vocab_size"):
+        text.kn_bigram_model(df, vocab_size=0)
+    with pytest.raises(ValueError, match="discount"):
+        text.kn_bigram_model(df, discount=1.5)
