@@ -1466,3 +1466,160 @@ def xxhash64_py(s, seed: int = 42) -> int:
     h = (h * _XXP3) & _M64
     h ^= h >> 32
     return h - (1 << 64) if h >= (1 << 63) else h
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (binary dedup)
+# ---------------------------------------------------------------------------
+
+
+def _cdc_gear(salt: str) -> "list[int]":
+    """Deterministic 256-entry gear table: ``xxhash64(salt ':' byte)``
+    as unsigned 64-bit — reproducible across runs/machines without
+    shipping a constant table."""
+    return [xxhash64_py(f"{salt}:{b}") & _M64 for b in range(256)]
+
+
+def _cdc_mask(bits: int) -> int:
+    """Boundary mask with ``bits`` set positions spread over bit
+    range [14, 63] (FastCDC-style).  The gear recurrence
+    ``h = 2h + gear[byte]`` makes bit p of ``h`` a function of the
+    last ``p+1`` bytes, so judging on HIGH bits keeps the effective
+    rolling window at 64 bytes — judging on the low ``bits`` bits
+    (the naive ``avg-1`` mask) would shrink it to ``bits`` bytes and
+    make boundaries collide on short repeated patterns."""
+    if bits <= 1:
+        return 1 << 63
+    positions = {63 - (j * 49) // (bits - 1) for j in range(bits)}
+    m = 0
+    for p in positions:
+        m |= 1 << p
+    return m
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    data_col: str = "data",
+    avg_size: int = 4096,
+    min_size: int | None = None,
+    max_size: int | None = None,
+    salt: str = "cdc",
+) -> DataFrame:
+    """Content-defined chunking of a binary column (gear-hash CDC, the
+    rsync/LBFS/FastCDC family) → ``(id_col, chunk_idx, offset, length,
+    chunk_hash)`` — the binary-level dedup primitive: because chunk
+    boundaries depend on CONTENT (a 64-byte rolling gear hash), not
+    position, inserting bytes near the start of a blob shifts only the
+    chunks that contain the edit; every later boundary re-aligns and
+    its chunks hash identically, so storage-level dedup across
+    near-identical blobs (re-encoded images, appended logs, versioned
+    documents) is an exact groupBy on ``chunk_hash``.
+
+    Boundary rule: cut after byte i when ``h_i & mask == 0``, where
+    ``h_i = sum 2^k * gear[b_{i-k}] (k<64)`` and ``mask`` carries
+    ``round(log2(avg_size - min_size))`` bits spread over the high
+    word (see :func:`_cdc_mask`); ``min_size``/``max_size`` (default
+    ``avg/4`` / ``avg*4``) bound every chunk, with a forced cut at
+    ``max_size``.  Realized mean chunk size ~= ``min_size + 2^bits``.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` pass — per blob,
+    the windowed hash is 6 doubling passes of vectorized uint64
+    shift-adds (O(n log 64) work, O(n) memory; never a 64x sliding
+    materialization), the boundary scan walks only the ~n/avg
+    candidate positions, and chunk hashes are C-speed md5 folded to
+    int64.  State is one blob at a time; nothing shuffles until the
+    caller aggregates chunk hashes.  NULL blobs yield no rows; an
+    empty blob yields none either.
+    """
+    if avg_size < 64:
+        raise ValueError(f"avg_size must be >= 64, got {avg_size}")
+    min_sz = max(1, avg_size // 4) if min_size is None else int(min_size)
+    max_sz = avg_size * 4 if max_size is None else int(max_size)
+    if not 1 <= min_sz <= avg_size <= max_sz:
+        raise ValueError(
+            f"need 1 <= min_size <= avg_size <= max_size, got "
+            f"{min_sz}/{avg_size}/{max_sz}"
+        )
+    import math as _math
+
+    bits = max(1, round(_math.log2(max(2, avg_size - min_sz))))
+    mask = _cdc_mask(bits)
+    gear = _cdc_gear(salt)
+    id_type = df.schema[id_col].dataType.simpleString()
+    base = df.select(F.col(id_col).alias("_id"), F.col(data_col).alias("_d"))
+
+    def _chunks(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        g = np.array(gear, dtype=np.uint64)
+        m = np.uint64(mask)
+        for pdf in batches:
+            out_id, out_idx, out_off, out_len, out_h = [], [], [], [], []
+            for rid, blob in zip(pdf["_id"], pdf["_d"]):
+                if blob is None or len(blob) == 0:
+                    continue
+                data = bytes(blob)
+                h = g[np.frombuffer(data, dtype=np.uint8)]
+                for w in (1, 2, 4, 8, 16, 32):
+                    prev = h.copy()
+                    h[w:] = prev[w:] + (prev[:-w] << np.uint64(w))
+                cands = np.flatnonzero((h & m) == np.uint64(0)) + 1
+                n = len(data)
+                pos, idx = 0, 0
+                while pos < n:
+                    lo, hi = pos + min_sz, min(pos + max_sz, n)
+                    j = int(np.searchsorted(cands, lo, side="left"))
+                    end = (
+                        int(cands[j])
+                        if j < len(cands) and cands[j] <= hi
+                        else hi
+                    )
+                    out_id.append(rid)
+                    out_idx.append(idx)
+                    out_off.append(pos)
+                    out_len.append(end - pos)
+                    digest = hashlib.md5(data[pos:end]).digest()
+                    out_h.append(int.from_bytes(digest[:8], "big", signed=True))
+                    pos, idx = end, idx + 1
+            yield pd.DataFrame(
+                {
+                    "_id": out_id,
+                    "chunk_idx": pd.Series(out_idx, dtype="int32"),
+                    "offset": pd.Series(out_off, dtype="int64"),
+                    "length": pd.Series(out_len, dtype="int64"),
+                    "chunk_hash": pd.Series(out_h, dtype="int64"),
+                }
+            )
+
+    out = base.mapInPandas(
+        _chunks,
+        schema=(
+            f"_id {id_type}, chunk_idx int, offset long, "
+            "length long, chunk_hash long"
+        ),
+    )
+    return out.withColumnRenamed("_id", id_col)
+
+
+def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
+    """Storage-dedup summary of a :func:`cdc_chunks` table → one row
+    ``(total_bytes, unique_bytes, dedup_ratio, total_chunks,
+    unique_chunks)``.  Two map-side-combined aggregates (per-hash,
+    then global) — the "how much would chunk-level dedup save"
+    answer."""
+    per = chunks.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("_n"), F.first("length").alias("_len")
+    )
+    return per.agg(
+        F.sum(F.col("_n") * F.col("_len")).alias("total_bytes"),
+        F.sum("_len").alias("unique_bytes"),
+        (1.0 - F.sum("_len") / F.sum(F.col("_n") * F.col("_len"))).alias(
+            "dedup_ratio"
+        ),
+        F.sum("_n").alias("total_chunks"),
+        F.count(F.lit(1)).alias("unique_chunks"),
+    )

@@ -1,0 +1,121 @@
+"""Content-defined chunking: sequential-recurrence mirror, shift
+invariance, and dedup stats."""
+
+import math
+import random
+
+import pytest
+
+from grip_spark import dedup
+from grip_spark.dedup import _M64, _cdc_gear, _cdc_mask
+
+
+def _py_cdc(data: bytes, avg=512, min_sz=None, max_sz=None, salt="cdc"):
+    """Independent mirror: the SEQUENTIAL gear recurrence h = 2h + g
+    (vs the engine's doubling passes) + the same boundary walk."""
+    min_sz = max(1, avg // 4) if min_sz is None else min_sz
+    max_sz = avg * 4 if max_sz is None else max_sz
+    bits = max(1, round(math.log2(max(2, avg - min_sz))))
+    mask = _cdc_mask(bits)
+    gear = _cdc_gear(salt)
+    h, cands = 0, []
+    for i, b in enumerate(data):
+        h = ((h << 1) + gear[b]) & _M64
+        if (h & mask) == 0:
+            cands.append(i + 1)
+    import hashlib
+
+    out, pos, idx = [], 0, 0
+    n = len(data)
+    while pos < n:
+        lo, hi = pos + min_sz, min(pos + max_sz, n)
+        end = next((c for c in cands if lo <= c <= hi), hi)
+        d = hashlib.md5(data[pos:end]).digest()
+        out.append((idx, pos, end - pos, int.from_bytes(d[:8], "big", signed=True)))
+        pos, idx = end, idx + 1
+    return out
+
+
+def _blob(seed, n):
+    rng = random.Random(seed)
+    return bytes(rng.randrange(256) for _ in range(n))
+
+
+def test_cdc_matches_sequential_mirror(spark):
+    blobs = [(1, _blob(5, 20000)), (2, _blob(6, 700)), (3, b""), (4, None)]
+    df = spark.createDataFrame(blobs, "id long, data binary").repartition(3)
+    got = {}
+    for r in dedup.cdc_chunks(df, "id", avg_size=512).collect():
+        got.setdefault(r["id"], []).append(
+            (r["chunk_idx"], r["offset"], r["length"], r["chunk_hash"])
+        )
+    for rid, blob in blobs:
+        want = _py_cdc(blob) if blob else []
+        assert sorted(got.get(rid, [])) == want, rid
+
+
+def test_cdc_invariants_and_bounds(spark):
+    df = spark.createDataFrame([(1, _blob(9, 50000))], "id long, data binary")
+    rows = sorted(
+        dedup.cdc_chunks(df, "id", avg_size=1024).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    pos = 0
+    for r in rows[:-1]:
+        assert r["offset"] == pos
+        assert 256 <= r["length"] <= 4096
+        pos += r["length"]
+    assert rows[-1]["offset"] + rows[-1]["length"] == 50000
+    # realized mean in the right ballpark (min + 2^bits ~ 1280)
+    mean = 50000 / len(rows)
+    assert 400 < mean < 4000
+
+
+def test_cdc_shift_invariance(spark):
+    base = _blob(21, 32768)
+    edited = base[:1000] + _blob(22, 100) + base[1000:]
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "id long, data binary"
+    )
+    rows = dedup.cdc_chunks(df, "id", avg_size=512).collect()
+    a = {r["chunk_hash"] for r in rows if r["id"] == 1}
+    b = {r["chunk_hash"] for r in rows if r["id"] == 2}
+    # only the chunks containing the edit differ; boundaries realign
+    assert len(a & b) >= len(a) - 4
+    assert len(a - b) <= 4 and len(b - a) <= 5
+
+
+def test_cdc_dedup_stats(spark):
+    blob = _blob(31, 8192)
+    df = spark.createDataFrame(
+        [(i, blob) for i in range(4)], "id long, data binary"
+    )
+    chunks = dedup.cdc_chunks(df, "id", avg_size=512)
+    s = dedup.cdc_dedup_stats(chunks).collect()[0]
+    assert s["total_bytes"] == 4 * 8192
+    assert s["unique_bytes"] == 8192
+    assert s["dedup_ratio"] == pytest.approx(0.75)
+    assert s["total_chunks"] == 4 * s["unique_chunks"]
+
+
+def test_cdc_validation(spark):
+    df = spark.createDataFrame([(1, b"x")], "id long, data binary")
+    with pytest.raises(ValueError, match="avg_size"):
+        dedup.cdc_chunks(df, "id", avg_size=32)
+    with pytest.raises(ValueError, match="min_size"):
+        dedup.cdc_chunks(df, "id", avg_size=64, min_size=100, max_size=80)
+
+
+def test_cdc_constant_data_forced_cuts(spark):
+    """Pathological constant blob: the gear hash is constant past the
+    64-byte warmup, so (depending on the constant) boundaries either
+    never fire or fire everywhere — min/max clamping must keep every
+    chunk in bounds either way."""
+    df = spark.createDataFrame([(1, b"\x00" * 10000)], "id long, data binary")
+    rows = sorted(
+        dedup.cdc_chunks(df, "id", avg_size=512).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert sum(r["length"] for r in rows) == 10000
+    assert all(r["length"] <= 2048 for r in rows)
+    assert all(r["length"] >= 128 for r in rows[:-1])
