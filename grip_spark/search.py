@@ -484,3 +484,118 @@ def phrase_topk(
         .orderBy(F.col("score").desc(), F.col("id").asc())
         .limit(k)
     )
+
+
+def ir_eval(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Standard retrieval-evaluation metrics of a run against
+    relevance judgments → one row per query: ``(query_col, n_rel,
+    n_retrieved_rel, mrr, precision, recall, ap, ndcg)``, all @k —
+    the trec_eval core, for grading any retriever/reranker stage
+    (:func:`bm25_topk` / ANN / :func:`rrf_fuse` /
+    ``similarity.mmr_rerank``) at corpus scale.
+
+    ``run`` carries (query, doc, score); ranks are derived here with
+    the deterministic (score desc, id asc) tie-break.  ``qrels``
+    carries graded relevance (``rel`` >= 1 counts as relevant for the
+    binary metrics; nDCG uses the graded ``(2^rel - 1)`` gain with
+    IDCG from the judgments themselves).  Queries present in qrels
+    but absent from the run score 0 on every metric (they count in a
+    macro average — dropping them silently inflates results).
+
+    Scale shape: two query-partitioned windows (rank within run,
+    running relevant-count for AP), one join run-vs-qrels on
+    (query, id), one IDCG window over qrels, and per-query
+    aggregates — everything keyed by query, no driver loops; macro
+    averages are one further tiny aggregate the caller takes with
+    ``.agg(avg(...))``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    q, d = query_col, id_col
+    jr = qrels.select(
+        F.col(q).alias("_q"),
+        F.col(d).alias("_id"),
+        F.col(rel_col).cast("double").alias("_rel"),
+    ).filter(F.col("_rel") > 0)
+
+    w_rank = Window.partitionBy("_q").orderBy(
+        F.col("_s").desc(), F.col("_id").asc()
+    )
+    ranked = (
+        run.select(
+            F.col(q).alias("_q"),
+            F.col(d).alias("_id"),
+            F.col(score_col).cast("double").alias("_s"),
+        )
+        .withColumn("_rank", F.row_number().over(w_rank))
+        .filter(F.col("_rank") <= k)
+    )
+    hits = ranked.join(jr, ["_q", "_id"], "left").withColumn(
+        "_isrel", F.col("_rel").isNotNull()
+    )
+    # running count of relevant docs at each rank (for AP)
+    w_run = Window.partitionBy("_q").orderBy("_rank").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hits = hits.withColumn(
+        "_nrel_at", F.sum(F.when(F.col("_isrel"), 1).otherwise(0)).over(w_run)
+    )
+    per_run = hits.groupBy("_q").agg(
+        F.count(F.when(F.col("_isrel"), 1)).alias("n_retrieved_rel"),
+        F.max(
+            F.when(F.col("_isrel"), 1.0 / F.col("_rank"))
+        ).alias("_mrr"),
+        F.sum(
+            F.when(F.col("_isrel"), F.col("_nrel_at") / F.col("_rank"))
+        ).alias("_ap_num"),
+        F.sum(
+            F.when(
+                F.col("_isrel"),
+                (F.pow(F.lit(2.0), F.col("_rel")) - 1.0)
+                / F.log2(F.col("_rank") + 1.0),
+            )
+        ).alias("_dcg"),
+    )
+    # per-query judgment totals + ideal DCG@k from the qrels side
+    w_ideal = Window.partitionBy("_q").orderBy(
+        F.col("_rel").desc(), F.col("_id").asc()
+    )
+    per_q = (
+        jr.withColumn("_irank", F.row_number().over(w_ideal))
+        .groupBy("_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_rel"),
+            F.sum(
+                F.when(
+                    F.col("_irank") <= k,
+                    (F.pow(F.lit(2.0), F.col("_rel")) - 1.0)
+                    / F.log2(F.col("_irank") + 1.0),
+                )
+            ).alias("_idcg"),
+        )
+    )
+    z = F.lit(0.0)
+    return per_q.join(per_run, "_q", "left").select(
+        F.col("_q").alias(q),
+        "n_rel",
+        F.coalesce("n_retrieved_rel", F.lit(0)).alias("n_retrieved_rel"),
+        F.coalesce("_mrr", z).alias("mrr"),
+        (F.coalesce("n_retrieved_rel", F.lit(0)) / k).alias("precision"),
+        (F.coalesce("n_retrieved_rel", F.lit(0)) / F.col("n_rel")).alias("recall"),
+        (
+            F.coalesce("_ap_num", z) / F.least(F.col("n_rel"), F.lit(k))
+        ).alias("ap"),
+        F.when(F.col("_idcg") > 0, F.coalesce("_dcg", z) / F.col("_idcg"))
+        .otherwise(z)
+        .alias("ndcg"),
+    )

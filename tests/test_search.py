@@ -2,6 +2,7 @@
 partition pruning plan-asserted."""
 
 import math
+import random
 import re
 
 import pytest
@@ -387,3 +388,92 @@ def test_positional_index_composes_with_term_ops(spark):
     assert len(out) == 3
     smaller = search.bm25_remove(pidx, [3], id_col="id")
     assert smaller.n_docs == 4
+
+
+# ---------------------------------------------------------------------------
+# ir_eval
+# ---------------------------------------------------------------------------
+
+
+def _py_ir_eval(run, qrels, k):
+    """Mirror: run = [(q, id, score)], qrels = [(q, id, rel>0)]."""
+    import math as _m
+
+    rel = {}
+    for q, d, r in qrels:
+        if r > 0:
+            rel.setdefault(q, {})[d] = r
+    by_q = {}
+    for q, d, s in run:
+        by_q.setdefault(q, []).append((d, s))
+    out = {}
+    for q, judged in rel.items():
+        ranked = sorted(by_q.get(q, []), key=lambda x: (-x[1], x[0]))[:k]
+        hits = [(i + 1, judged.get(d)) for i, (d, _) in enumerate(ranked)]
+        nrr = sum(1 for _, r in hits if r)
+        mrr = next((1.0 / rk for rk, r in hits if r), 0.0)
+        ap_num, seen = 0.0, 0
+        dcg = 0.0
+        for rk, r in hits:
+            if r:
+                seen += 1
+                ap_num += seen / rk
+                dcg += (2.0 ** r - 1) / _m.log2(rk + 1)
+        ideal = sorted(judged.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        idcg = sum(
+            (2.0 ** r - 1) / _m.log2(i + 2) for i, (_, r) in enumerate(ideal)
+        )
+        out[q] = {
+            "n_rel": len(judged),
+            "n_retrieved_rel": nrr,
+            "mrr": mrr,
+            "precision": nrr / k,
+            "recall": nrr / len(judged),
+            "ap": ap_num / min(len(judged), k),
+            "ndcg": dcg / idcg if idcg > 0 else 0.0,
+        }
+    return out
+
+
+def test_ir_eval_matches_mirror(spark):
+    rng = random.Random(17)
+    run, qrels = [], []
+    for q in range(8):
+        docs_ = [f"d{i}" for i in range(30)]
+        for d in rng.sample(docs_, 20):
+            run.append((f"q{q}", d, round(rng.random(), 6)))
+        for d in rng.sample(docs_, 6):
+            qrels.append((f"q{q}", d, rng.randint(1, 3)))
+    # a judged query entirely missing from the run -> all-zero metrics
+    qrels += [("q_missing", "d0", 2), ("q_missing", "d1", 1)]
+    # an unjudged run query -> excluded
+    run += [("q_unjudged", "d0", 0.5)]
+    # score ties -> (score desc, id asc) tie-break must match
+    run += [("q0", "tie_a", 0.5), ("q0", "tie_b", 0.5)]
+
+    r = spark.createDataFrame(run, "query_id string, id string, score double")
+    j = spark.createDataFrame(qrels, "query_id string, id string, rel int")
+    got = {row["query_id"]: row for row in search.ir_eval(r, j, k=10).collect()}
+    want = _py_ir_eval(run, qrels, 10)
+    assert set(got) == set(want)
+    for q, w in want.items():
+        for m, val in w.items():
+            assert got[q][m] == pytest.approx(val, abs=1e-9), (q, m)
+    assert got["q_missing"]["mrr"] == 0.0
+    assert got["q_missing"]["ndcg"] == 0.0
+
+    with pytest.raises(ValueError, match="k must be"):
+        search.ir_eval(r, j, k=0)
+
+
+def test_ir_eval_perfect_run(spark):
+    """A run that returns exactly the judged docs in ideal order gets
+    mrr = ap = ndcg = recall = 1."""
+    qrels = [("q", f"d{i}", 3 - (i > 0)) for i in range(3)]
+    run = [("q", f"d{i}", 1.0 - 0.1 * i) for i in range(3)]
+    r = spark.createDataFrame(run, "query_id string, id string, score double")
+    j = spark.createDataFrame(qrels, "query_id string, id string, rel int")
+    row = search.ir_eval(r, j, k=3).collect()[0]
+    assert row["mrr"] == 1.0 and row["recall"] == 1.0
+    assert row["ap"] == pytest.approx(1.0)
+    assert row["ndcg"] == pytest.approx(1.0)
