@@ -291,6 +291,25 @@ def main():
                 docs, docs.limit(100).select("text"), n=13
             )
         ),
+        # r8 session-3 additions: the PassJoin edit-distance join on a
+        # short key (segment index + probe explode + hash equi-join +
+        # thresholded levenshtein verify) and content-defined chunking
+        # + chunk-hash dedup stats over the text bytes (one Arrow pass
+        # + two aggregates)
+        "editdist_pairs": lambda: run_count(
+            dedup.edit_distance_pairs(
+                docs.select("doc_id", F.substring("text", 1, 96).alias("text")),
+                "doc_id",
+                max_dist=2,
+            )
+        ),
+        "cdc_dedup": lambda: dedup.cdc_dedup_stats(
+            dedup.cdc_chunks(
+                docs.select("doc_id", F.encode("text", "utf-8").alias("data")),
+                "doc_id",
+                avg_size=64,
+            )
+        ).collect(),
     }
 
     # Best-of-2 per query (the scaling-probe pattern): the host VM has

@@ -138,6 +138,10 @@ def main():
         _r8ops_probe(spark, docs, emb)
         spark.stop()
         return
+    if mode == "r8s3":
+        _r8s3_probe(spark, docs)
+        spark.stop()
+        return
 
     for k in (1, 4, 8):
         d = replicate_docs(docs, k).persist()
@@ -987,6 +991,87 @@ def _r8ops_probe(spark, docs, emb):
         d.unpersist()
         codes.unpersist()
         e.unpersist()
+
+
+def _r8s3_probe(spark, docs):
+    """Scaling of the round-8 session-3 operators.  Expectations:
+    edit-distance join ~linear (fixed 45-probe explode per string +
+    equi-join; candidates grow with true near-pairs, which replicate
+    k x); CDC ~linear (one Arrow pass); KMV flat-cost build on top of
+    the token explode (partition-bounded state); KN train+score
+    ~linear (two corpus passes + vocab-bounded joins); MMR linear in
+    QUERY count (per-query candidate lists are fixed); link
+    prediction ~linear in edges at bounded degree (wedge rows ~
+    sum deg^2)."""
+    from pyspark.sql import functions as F
+
+    from grip_spark import dedup, graphalgo, similarity, sketch, text
+
+    def best_of(fn, reps: int = 2):
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    for k in (1, 4, 16):
+        d = replicate_docs(docs, k).repartition(CPUS).persist()
+        nd = d.count()
+        short = d.select("doc_id", F.substring("text", 1, 96).alias("text"))
+        t_ed = best_of(
+            lambda: dedup.edit_distance_pairs(short, "doc_id", max_dist=2).count()
+        )
+        t_cdc = best_of(
+            lambda: dedup.cdc_dedup_stats(
+                dedup.cdc_chunks(
+                    d.select("doc_id", F.encode("text", "utf-8").alias("data")),
+                    "doc_id",
+                    avg_size=64,
+                )
+            ).collect()
+        )
+        t_kmv = best_of(
+            lambda: sketch.kmv_build(
+                d.select(F.explode(text.tokens("text")).alias("t")), "t", k=1024
+            )
+        )
+        t_kn = best_of(
+            lambda: text.kn_bigram_logprob(
+                d, text.kn_bigram_model(d, vocab_size=4096)
+            ).count()
+        )
+        # MMR: query count scales with k, candidate list fixed at 256
+        nq = 16 * k
+        cands = spark.range(nq * 256).select(
+            (F.col("id") / 256).cast("long").alias("query_id"),
+            F.col("id").alias("id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda i: (F.pmod(F.xxhash64(F.col("id"), i), 1000) / 500.0 - 1.0),
+            ).alias("vec"),
+            (F.pmod(F.xxhash64(F.col("id"), F.lit("s")), 1000) / 1000.0).alias(
+                "score"
+            ),
+        )
+        t_mmr = best_of(lambda: similarity.mmr_rerank(cands, k=16).count())
+        # link prediction: synthetic graph, V=20k*k, E=100k*k, capped hubs
+        nv, ne_ = 20_000 * k, 100_000 * k
+        edges = spark.range(ne_).select(
+            F.pmod(F.xxhash64("id"), nv).alias("src"),
+            F.pmod(F.xxhash64("id", F.lit("d")), nv).alias("dst"),
+        )
+        t_lp = best_of(
+            lambda: graphalgo.link_prediction(edges, max_center_degree=64).count()
+        )
+        print(
+            f"{k}x: docs={nd} | editdist {t_ed:.1f}s | cdc {t_cdc:.1f}s | "
+            f"kmv {t_kmv:.1f}s | kn_train_score {t_kn:.1f}s | "
+            f"mmr({nq}q) {t_mmr:.1f}s | linkpred({ne_}e) {t_lp:.1f}s",
+            flush=True,
+        )
+        d.unpersist()
 
 
 if __name__ == "__main__":
