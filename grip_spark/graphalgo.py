@@ -647,6 +647,69 @@ def link_prediction(
     )
 
 
+def bipartite_project(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Project a bipartite graph (user→item, doc→term, host→doc) onto
+    its SOURCE side → ``(u, v, shared, jaccard, cosine, overlap)``
+    with ``u < v``: two sources are linked iff they share a
+    destination, with the standard co-occurrence normalizations
+    (shared count; Jaccard ``shared/(du+dv-shared)``; cosine
+    ``shared/sqrt(du*dv)`` — the Salton index; overlap
+    ``shared/min(du,dv)``).
+
+    The item-item / doc-doc co-occurrence primitive behind
+    "users who read X also read Y" and host-level content-sharing
+    graphs.  To project onto the destination side, pass the columns
+    swapped.
+
+    Same shape and hazard as :func:`link_prediction`: one wedge
+    self-join keyed on the shared destination (``C(deg(d), 2)`` rows
+    per destination — the projection's OUTPUT, so no orientation
+    trick applies), one count aggregate, two degree joins.
+    ``max_center_degree`` drops super-hub destinations before the
+    self-join: a destination shared by millions of sources
+    contributes ~zero signal per pair and quadratic rows (the
+    standard cap in co-occurrence analysis).  Parallel edges
+    collapse first; degrees are distinct-destination counts.
+    """
+    e = edges.select(F.col(src_col).alias("id"), F.col(dst_col).alias("w")).distinct()
+    deg = e.groupBy("id").agg(F.count(F.lit(1)).alias("_d"))
+    if max_center_degree is not None:
+        wdeg = e.groupBy("w").agg(F.count(F.lit(1)).alias("_wd"))
+        e = e.join(
+            wdeg.filter(F.col("_wd") <= max_center_degree).select("w"),
+            "w",
+            "left_semi",
+        )
+    l = e.select("w", F.col("id").alias("u"))
+    r = e.select("w", F.col("id").alias("v"))
+    shared = (
+        l.join(r, "w")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    du = deg.select(F.col("id").alias("u"), F.col("_d").alias("_du"))
+    dv = deg.select(F.col("id").alias("v"), F.col("_d").alias("_dv"))
+    s = F.col("shared")
+    return (
+        shared.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            s,
+            (s / (F.col("_du") + F.col("_dv") - s)).alias("jaccard"),
+            (s / F.sqrt(F.col("_du") * F.col("_dv"))).alias("cosine"),
+            (s / F.least("_du", "_dv")).alias("overlap"),
+        )
+    )
+
+
 def random_walks(
     edges: DataFrame,
     length: int = 5,

@@ -3726,3 +3726,93 @@ def chunk_by_sentences(
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# n-gram diversity (distinct-n)
+# ---------------------------------------------------------------------------
+
+
+def ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    ns: tuple = (1, 2, 3),
+) -> DataFrame:
+    """Per-document distinct-n ratios (Li et al. 2016's Dist-n) —
+    ``distinct_{n} = unique n-grams / total n-grams`` appended as one
+    column per ``n``, plus ``n_tokens``.  The standard
+    degeneracy/diversity signal for SYNTHETIC corpora: templated or
+    looping generations collapse toward 0 while natural text stays
+    high; compose with :func:`repetition_stats` (which measures
+    in-document RUNS rather than type/token ratios).
+
+    Shuffle-free: one tokenize + per-``n`` sliding ``transform`` +
+    ``array_distinct`` fold per row, all codegen.  Documents with
+    fewer than ``n`` tokens get NULL for that ``distinct_n`` (no
+    n-grams to judge — 0 would read as 'maximally repetitive')."""
+    if not ns or any(int(n) < 1 for n in ns):
+        raise ValueError(f"ns must be positive ints, got {ns!r}")
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    out = df.withColumn("_toks", F.filter(toks, lambda t: t != ""))
+    cols = [F.size("_toks").alias("n_tokens")]
+    for n in ns:
+        n = int(n)
+        grams = _grams_of(F.col("_toks"), n)
+        cols.append(
+            F.when(
+                F.size("_toks") >= n,
+                F.size(F.array_distinct(grams)) / F.size(grams),
+            ).alias(f"distinct_{n}"),
+        )
+    return out.select(*df.columns, *cols)
+
+
+def corpus_ngram_diversity(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    exact: bool = False,
+    rsd: float = 0.01,
+) -> DataFrame:
+    """Corpus-level distinct-n → one row ``(total_ngrams,
+    distinct_ngrams, diversity)``.  Per-document ratios miss
+    CROSS-document templating (every doc internally diverse, all
+    alike); this is the corpus-wide type/token ratio over n-grams.
+
+    One explode + one aggregate; ``distinct_ngrams`` is HLL
+    (``approx_count_distinct``, relative error ``rsd``) by default —
+    an exact distinct over a 100 TB corpus's n-grams is a shuffle the
+    answer doesn't need; ``exact=True`` opts in for oracle-sized
+    inputs."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = F.filter(
+        tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != ""
+    )
+    g = df.select(
+        F.explode(
+            F.when(F.size(toks) >= n, _grams_of(toks, n)).otherwise(
+                F.array().cast("array<long>")
+            )
+        ).alias("_g")
+    )
+    distinct = (
+        F.count_distinct("_g") if exact else F.approx_count_distinct("_g", rsd)
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("total_ngrams"),
+        distinct.alias("distinct_ngrams"),
+        (distinct / F.count(F.lit(1))).alias("diversity"),
+    )
+
+
+def _grams_of(toks: Column, n: int) -> Column:
+    """Word n-grams of a token-array column as xxhash64 values —
+    hashing BEFORE any distinct fold keeps per-row/shuffle state at 8
+    bytes per gram instead of concatenated strings."""
+    if n == 1:
+        return F.transform(toks, lambda x: F.xxhash64(x))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws("\x1f", F.slice(toks, i + 1, n)))
+    )

@@ -1241,3 +1241,56 @@ def test_link_prediction_plan_shape(spark, digraph):
     plan = out._jdf.queryExecution().executedPlan().toString()
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"):
         assert bad not in plan
+
+
+def _py_bipartite(edges, max_center_degree=None):
+    import math
+
+    es = set(edges)
+    adj = {}   # src -> set(dst)
+    wdeg = {}  # dst -> #srcs
+    for s, t in es:
+        adj.setdefault(s, set()).add(t)
+        wdeg[t] = wdeg.get(t, 0) + 1
+    deg = {s: len(ds) for s, ds in adj.items()}
+    out = {}
+    srcs = sorted(adj)
+    for i, u in enumerate(srcs):
+        for v in srcs[i + 1 :]:
+            shared = {
+                w
+                for w in adj[u] & adj[v]
+                if max_center_degree is None or wdeg[w] <= max_center_degree
+            }
+            if not shared:
+                continue
+            s = len(shared)
+            out[(u, v)] = {
+                "shared": s,
+                "jaccard": s / (deg[u] + deg[v] - s),
+                "cosine": s / math.sqrt(deg[u] * deg[v]),
+                "overlap": s / min(deg[u], deg[v]),
+            }
+    return out
+
+
+@pytest.mark.parametrize("cap", [None, 4])
+def test_bipartite_project_matches_replica(spark, cap):
+    rng = random.Random(9)
+    edges = list(
+        {
+            (f"u{rng.randrange(25)}", f"i{rng.randrange(15)}")
+            for _ in range(150)
+        }
+    )
+    edges += edges[:5]  # parallel edges collapse
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r["u"], r["v"]): r
+        for r in graphalgo.bipartite_project(e, max_center_degree=cap).collect()
+    }
+    want = _py_bipartite(edges, max_center_degree=cap)
+    assert set(got) == set(want)
+    for k, w in want.items():
+        for m, val in w.items():
+            assert got[k][m] == pytest.approx(val, rel=1e-12), (k, m)

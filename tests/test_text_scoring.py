@@ -1535,3 +1535,62 @@ def test_kn_validation(corpus):
         text.kn_bigram_model(df, vocab_size=0)
     with pytest.raises(ValueError, match="discount"):
         text.kn_bigram_model(df, discount=1.5)
+
+
+# ---------------------------------------------------------------------------
+# n-gram diversity
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_diversity_matches_python(spark):
+    rows = [
+        (0, "the cat sat on the mat the cat sat"),
+        (1, "a b a b a b a b"),
+        (2, "all distinct words here now"),
+        (3, "one"),          # too short for n=2,3
+        (4, ""),             # no tokens
+        (5, None),           # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.ngram_diversity(df, ns=(1, 2, 3)).collect()}
+
+    def mirror(t, n):
+        toks = t.lower().split() if t else []
+        if len(toks) < n:
+            return None
+        grams = [tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        return len(set(grams)) / len(grams)
+
+    for i, t in rows:
+        toks = t.lower().split() if t else []
+        assert got[i]["n_tokens"] == len(toks)
+        for n in (1, 2, 3):
+            want = mirror(t, n)
+            if want is None:
+                assert got[i][f"distinct_{n}"] is None
+            else:
+                assert got[i][f"distinct_{n}"] == pytest.approx(want, abs=1e-12)
+
+    with pytest.raises(ValueError, match="ns must be"):
+        text.ngram_diversity(df, ns=(0,))
+
+
+def test_corpus_ngram_diversity(spark):
+    # 20 copies of one doc + 5 distinct docs: corpus-level diversity
+    # collapses even though each doc is internally diverse
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(20)]
+    rows += [(100 + i, f"unique{i} tokens{i} here{i} now{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = text.corpus_ngram_diversity(df, n=2, exact=True).collect()[0]
+    want_total = 20 * 5 + 5 * 3
+    want_distinct = 5 + 5 * 3
+    assert got["total_ngrams"] == want_total
+    assert got["distinct_ngrams"] == want_distinct
+    assert got["diversity"] == pytest.approx(want_distinct / want_total)
+    # the per-doc ratios stay high on the same corpus - the contrast
+    per = text.ngram_diversity(df, ns=(2,)).agg(F.avg("distinct_2")).collect()[0][0]
+    assert per == pytest.approx(1.0)
+    approx = text.corpus_ngram_diversity(df, n=2).collect()[0]
+    assert abs(approx["distinct_ngrams"] - want_distinct) / want_distinct < 0.1
+    with pytest.raises(ValueError, match="n must be"):
+        text.corpus_ngram_diversity(df, n=0)
