@@ -2039,6 +2039,71 @@ def redact_pii(
     return out.withColumn(out_col, red)
 
 
+# Conservative public secret-shaped patterns (the code-corpus scrub
+# pass next to PII: provider-prefixed API keys, private-key PEM
+# headers, bearer/basic auth values, generic assigned high-entropy
+# literals).  Sources: the providers' own published key formats
+# (AWS AKIA/ASIA + docs, GitHub ghp_/gho_/ghs_/ghr_/github_pat_,
+# Slack xox*, Stripe sk_live/rk_live, Google AIza, OpenAI sk-) —
+# the same shapes public scanners (gitleaks/trufflehog rulesets)
+# match on.  Order matters: specific prefixes before the generic
+# assignment catch-all so a known key class reports under its name.
+SECRET_PATTERNS: list[tuple[str, str]] = [
+    ("pem_key", r"-----BEGIN [A-Z ]{0,20}PRIVATE KEY( BLOCK)?-----"
+                r"[\s\S]{0,4096}?-----END [A-Z ]{0,20}PRIVATE KEY( BLOCK)?-----"),
+    ("aws_key", r"\b(AKIA|ASIA|ABIA|ACCA)[0-9A-Z]{16}\b"),
+    ("github_token", r"\b(gh[pousr]_[A-Za-z0-9]{36,255}|github_pat_[A-Za-z0-9_]{22,255})\b"),
+    ("slack_token", r"\bxox[abprs]-[A-Za-z0-9-]{10,250}\b"),
+    ("stripe_key", r"\b[sr]k_live_[A-Za-z0-9]{20,247}\b"),
+    ("google_key", r"\bAIza[0-9A-Za-z_\-]{35}\b"),
+    ("openai_key", r"\bsk-[A-Za-z0-9_\-]{20,}T3BlbkFJ[A-Za-z0-9_\-]{20,}\b"),
+    ("jwt", r"\beyJ[A-Za-z0-9_\-]{10,}\.eyJ[A-Za-z0-9_\-]{10,}\.[A-Za-z0-9_\-]{10,}\b"),
+    ("auth_header", r"(?i)\b(authorization\s*[:=]\s*(bearer|basic|token)\s+)[A-Za-z0-9_\-+/=.]{8,}"),
+    # generic assigned secret: key-ish name = quoted 16+ char literal
+    ("assigned_secret",
+     r"""(?i)\b((api_?key|secret|token|passwd|password|credential)s?\w*\s*[:=]\s*["'])[^"'\s]{16,}(["'])"""),
+]
+
+
+def redact_secrets(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_redacted",
+    patterns: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Redact credential-shaped spans (the code-corpus counterpart of
+    :func:`redact_pii` — training on scraped code MUST scrub live
+    keys, both for the key owners and because models memorize them).
+    Same contract and scale shape as redact_pii: each match →
+    ``<CLASS>``, one ``n_<class>`` count per pattern, k regex passes
+    inside codegen, no shuffle, no Python.
+
+    The default set is deliberately provider-prefixed (AWS/GitHub/
+    Slack/Stripe/Google/OpenAI key formats, PEM private-key blocks,
+    JWTs, auth headers) plus ONE generic assigned-literal catch-all —
+    entropy scanning without a prefix drowns in false positives at
+    corpus scale and belongs in a verifier, not the streaming scrub.
+    For ``auth_header`` and ``assigned_secret`` the key-ish PREFIX is
+    preserved (capture group 1) so the redacted code still parses.
+    """
+    pats = SECRET_PATTERNS if patterns is None else patterns
+    c = F.col(text_col)
+    out = df
+    for name, pat in pats:
+        out = out.withColumn(
+            f"n_{name}",
+            F.coalesce(F.regexp_count(c, F.lit(pat)), F.lit(0)),
+        )
+    red = c
+    keep_prefix = {"auth_header", "assigned_secret"}
+    for name, pat in pats:
+        repl = f"$1<{name.upper()}>" if name in keep_prefix else f"<{name.upper()}>"
+        if name == "assigned_secret":
+            repl = f"$1<{name.upper()}>$3"  # keep the closing quote too
+        red = F.regexp_replace(red, pat, repl)
+    return out.withColumn(out_col, red)
+
+
 # ---------------------------------------------------------------------------
 # Line-level cleaning (C4 / RefinedWeb line rules)
 # ---------------------------------------------------------------------------
