@@ -918,6 +918,47 @@ def dedup_canonical(
     )
 
 
+def dedup_canonical_by(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    order_col: str,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    ascending: bool = False,
+) -> DataFrame:
+    """Near-dedup keeping the BEST row per cluster instead of the
+    minimum id: winner = max (default) or min of ``order_col``, ties
+    broken by id asc — the production election (keep the
+    highest-quality / longest / newest copy; a min-id winner is a
+    random member).  One cluster-keyed min-struct aggregate over
+    (order key, id) + a semi-join on the winner ids — no window sort;
+    the aggregate map-side combines, so a pathological giant cluster
+    costs one combiner slot, not a partition sort.  Singletons pass
+    through untouched."""
+    tagged = attach_components(df, id_col, pairs, a_col, b_col)
+    key = F.col(order_col)
+    if ascending:
+        rank = F.struct(key.alias("k"), F.col(id_col).alias("i"))
+    else:
+        # flip only the order key, not the id tie-break — needs a
+        # negatable (numeric) key; scores/lengths/epoch-times all are
+        import pyspark.sql.types as _T
+
+        if not isinstance(df.schema[order_col].dataType, _T.NumericType):
+            raise ValueError(
+                f"descending dedup_canonical_by needs a numeric "
+                f"order_col, got {df.schema[order_col].dataType}"
+            )
+        rank = F.struct((-key).alias("k"), F.col(id_col).alias("i"))
+    winners = (
+        tagged.groupBy("component")
+        .agg(F.min(rank).alias("_w"))
+        .select(F.col("_w.i").alias(id_col))
+    )
+    return tagged.join(winners, id_col, "left_semi").drop("component")
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard (oracle / verifier)
 # ---------------------------------------------------------------------------

@@ -2462,3 +2462,37 @@ def test_redact_secrets(spark):
     assert got[7]["text_redacted"] is None and got[7]["n_aws_key"] == 0
     assert got[8]["n_slack_token"] == 1
     assert got[9]["n_jwt"] == 1 and "<JWT>" in got[9]["text_redacted"]
+
+
+def test_dedup_canonical_by_quality(spark):
+    from grip_spark import dedup
+
+    rows = [
+        # cluster {1,2,3} via pairs; quality favors 2; tie between 2,3
+        (1, 0.2), (2, 0.9), (3, 0.9),
+        # singleton passes through
+        (4, 0.1),
+        # cluster {5,6}: ascending election keeps the LOWEST quality
+        (5, 0.7), (6, 0.3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, quality double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "a_id long, b_id long"
+    )
+    kept = {
+        r["doc_id"]
+        for r in dedup.dedup_canonical_by(df, "doc_id", pairs, "quality").collect()
+    }
+    assert kept == {2, 4, 5}  # max quality, tie -> id asc
+
+    kept_asc = {
+        r["doc_id"]
+        for r in dedup.dedup_canonical_by(
+            df, "doc_id", pairs, "quality", ascending=True
+        ).collect()
+    }
+    assert kept_asc == {1, 4, 6}
+
+    sdf = df.withColumn("q", F.col("quality").cast("string"))
+    with pytest.raises(ValueError, match="numeric"):
+        dedup.dedup_canonical_by(sdf, "doc_id", pairs, "q")
