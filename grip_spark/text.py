@@ -16,7 +16,7 @@ import re as _re
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .dedup import md5_prefix_hash, word_shingles
+from .dedup import md5_prefix_hash, word_shingles, xxhash64_py
 
 # Tiny built-in stopword lists for the language-ID heuristic.  The
 # n-gram/stopword-hit approach follows the classic langid heuristics
@@ -3874,10 +3874,100 @@ def corpus_ngram_diversity(
 def _grams_of(toks: Column, n: int) -> Column:
     """Word n-grams of a token-array column as xxhash64 values —
     hashing BEFORE any distinct fold keeps per-row/shuffle state at 8
-    bytes per gram instead of concatenated strings."""
+    bytes per gram instead of concatenated strings.  Arrays shorter
+    than ``n`` yield an empty array (the word_shingles guard:
+    ``sequence(0, negative)`` is DESCENDING and would feed ``slice``
+    a zero start)."""
     if n == 1:
         return F.transform(toks, lambda x: F.xxhash64(x))
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx, lambda i: F.xxhash64(F.concat_ws("\x1f", F.slice(toks, i + 1, n)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# keyword tagging (blocklists / topic lexicons)
+# ---------------------------------------------------------------------------
+
+
+def keyword_tag(
+    df: DataFrame,
+    keywords: list[str],
+    text_col: str = "text",
+    out_col: str = "kw_hits",
+    id_col: str = "doc_id",
+    literal_max: int = 256,
+) -> DataFrame:
+    """Count blocklist/lexicon keyword occurrences per document →
+    ``out_col`` (total hits) and ``{out_col}_distinct`` (distinct
+    keywords present) — the wordlist-filter primitive (safety
+    blocklists, topic lexicons, LDNOOBW-style lists).  Matching is
+    case-insensitive on whole whitespace tokens; multi-word keywords
+    are matched as token sequences.
+
+    Two plans by list size (the bloom_probe_join split):
+
+    - ``len(keywords) <= literal_max``: the list constant-folds into
+      ONE codegen pass — per-keyword xxhash64 literals tested against
+      the document's token/bigram hash array (no regex alternation
+      blowup, no join, no shuffle).
+    - bigger lists: the token n-grams explode and BROADCAST-join the
+      keyword table (keyword-sized, shipped once per executor), then
+      re-aggregate per doc — the :func:`hashed_linear_score_joined`
+      contract: the shuffle carries ``(id, hit)`` rows, never text,
+      and the result is ``(id_col, out_col, {out_col}_distinct)``
+      for the caller to join back (the literal path appends columns
+      in place and ignores ``id_col``).
+
+    Both paths hash through the same normalization (lower +
+    whitespace tokens joined by a unit separator), so the plans are
+    interchangeable — pinned by an equality test.  Keywords longer
+    than 2 tokens are rejected (sequence hashing is built for the
+    uni/bigram lexicon shape; chain :func:`redact_pii`-style regexes
+    for longer phrases)."""
+    if not keywords:
+        raise ValueError("keyword_tag: empty keyword list")
+    norm = [" ".join(k.lower().split()) for k in keywords]
+    if any(not k for k in norm):
+        raise ValueError("keyword_tag: blank keyword")
+    if len(set(norm)) != len(norm):
+        raise ValueError("keyword_tag: duplicate keywords after normalization")
+    if any(k.count(" ") > 1 for k in norm):
+        raise ValueError("keyword_tag: keywords longer than 2 tokens")
+    toks = F.filter(
+        tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != ""
+    )
+    # unigram + bigram hash multiset of the document
+    grams = F.concat(_grams_of(toks, 1), _grams_of(toks, 2))
+
+    def _key(k: str) -> int:
+        return xxhash64_py("\x1f".join(k.split(" ")))
+
+    if len(norm) <= literal_max:
+        keys = F.array(*[F.lit(_key(k)) for k in norm])
+        hits = F.aggregate(
+            grams,
+            F.lit(0),
+            lambda acc, g: acc + F.when(F.array_contains(keys, g), 1).otherwise(0),
+        )
+        distinct = F.size(
+            F.array_intersect(keys, F.array_distinct(grams))
+        )
+        return df.withColumn(out_col, hits).withColumn(
+            f"{out_col}_distinct", distinct
+        )
+    spark = df.sparkSession
+    kw = spark.createDataFrame([(_key(k),) for k in norm], "g long")
+    exploded = df.select(F.col(id_col), F.explode_outer(grams).alias("g"))
+    joined = exploded.join(
+        F.broadcast(kw.withColumn("_hit", F.lit(1))), "g", "left"
+    )
+    return joined.groupBy(id_col).agg(
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("int").alias(out_col),
+        F.count_distinct(
+            F.when(F.col("_hit").isNotNull(), F.col("g"))
+        ).cast("int").alias(f"{out_col}_distinct"),
     )

@@ -2496,3 +2496,40 @@ def test_dedup_canonical_by_quality(spark):
     sdf = df.withColumn("q", F.col("quality").cast("string"))
     with pytest.raises(ValueError, match="numeric"):
         dedup.dedup_canonical_by(sdf, "doc_id", pairs, "q")
+
+
+def test_keyword_tag_literal_and_join_paths_agree(spark):
+    from grip_spark import text as T
+
+    kws = ["Foo", "bar baz", "zap", "  multi   space  "]
+    rows = [
+        (0, "foo and BAR baz and foo again bar"),   # foo x2, "bar baz" x1
+        (1, "nothing here"),
+        (2, "multi space multi space"),              # bigram hits x2
+        (3, ""),
+        (4, None),
+        (5, "zap zap zap bar baz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lit = {r["doc_id"]: r for r in T.keyword_tag(df, kws).collect()}
+    assert (lit[0]["kw_hits"], lit[0]["kw_hits_distinct"]) == (3, 2)
+    assert (lit[1]["kw_hits"], lit[1]["kw_hits_distinct"]) == (0, 0)
+    assert (lit[2]["kw_hits"], lit[2]["kw_hits_distinct"]) == (2, 1)
+    assert (lit[3]["kw_hits"], lit[4]["kw_hits"]) == (0, 0)
+    assert (lit[5]["kw_hits"], lit[5]["kw_hits_distinct"]) == (4, 2)
+    # big-list (join) path must agree with the literal path
+    joined = {
+        r["doc_id"]: r
+        for r in T.keyword_tag(df, kws, literal_max=0).collect()
+    }
+    for i in lit:
+        assert joined[i]["kw_hits"] == lit[i]["kw_hits"], i
+        assert joined[i]["kw_hits_distinct"] == lit[i]["kw_hits_distinct"], i
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="empty"):
+        T.keyword_tag(df, [])
+    with _pt.raises(ValueError, match="duplicate"):
+        T.keyword_tag(df, ["a", "A "])
+    with _pt.raises(ValueError, match="2 tokens"):
+        T.keyword_tag(df, ["a b c"])
