@@ -1848,3 +1848,61 @@ def mmr_rerank(
         "rank",
         "mmr_score",
     )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    salt: str = "jl",
+    out_col: str = "rp",
+    dim: int | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``k`` dims — the
+    training-free companion to :func:`pca_project` (no corpus pass at
+    all: the projection matrix is a pure function of ``(salt, k)``),
+    used to cheapen downstream LSH/kmeans/dedup when d is large.
+
+    Achlioptas (2003) sparse JL: entries drawn from
+    ``{+1, 0, -1} * sqrt(3/k)`` with probabilities ``{1/6, 2/3, 1/6}``
+    — expected 2/3 of the multiplies vanish, and the draw here is a
+    deterministic hash of ``(salt, i, j)``, so every run/cluster/
+    engine builds the SAME matrix (replicable in tests without
+    shipping it).
+
+    Scale shape: the k x d matrix folds into the plan as literals
+    (one ``aggregate``-free dot product per output dim via
+    ``zip_with`` + ``aggregate``, all codegen — the
+    :func:`pca_project` shape); no shuffle, no Python, no state.
+    ``dim`` defaults to the first row's vector length (one
+    ``first()`` probe — pass it explicitly in pipelines)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if dim is None:
+        row = df.select(F.size(vec_col).alias("d")).first()
+        if row is None or row["d"] is None or row["d"] <= 0:
+            raise ValueError("random_projection: cannot infer dim")
+        dim = int(row["d"])
+    from .dedup import xxhash64_py
+
+    scale = math.sqrt(3.0 / k)
+
+    def _entry(i: int, j: int) -> float:
+        h = xxhash64_py(f"{salt}:{i}:{j}") % 6
+        return scale if h == 0 else (-scale if h == 1 else 0.0)
+
+    rows = [[_entry(i, j) for j in range(dim)] for i in range(k)]
+    v = F.col(vec_col)
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(x) for x in r]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for r in rows
+    ]
+    return df.withColumn(out_col, F.array(*comps))

@@ -87,3 +87,57 @@ def test_mmr_validation(spark):
         similarity.mmr_rerank(df, k=0)
     with pytest.raises(ValueError, match="lam"):
         similarity.mmr_rerank(df, lam=1.5)
+
+
+# ---------------------------------------------------------------------------
+# JL random projection
+# ---------------------------------------------------------------------------
+
+
+def test_random_projection_matches_mirror_and_preserves_distance(spark):
+    import math as m
+
+    from grip_spark.dedup import xxhash64_py
+
+    rng = random.Random(3)
+    d, k, n = 32, 12, 40
+    vecs = [[rng.gauss(0, 1) for _ in range(d)] for _ in range(n)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, embedding array<double>"
+    )
+    got = {
+        r["id"]: list(r["rp"])
+        for r in similarity.random_projection(df, k=k, salt="t").collect()
+    }
+    scale = m.sqrt(3.0 / k)
+
+    def entry(i, j):
+        h = xxhash64_py(f"t:{i}:{j}") % 6
+        return scale if h == 0 else (-scale if h == 1 else 0.0)
+
+    R = [[entry(i, j) for j in range(d)] for i in range(k)]
+    for idx, v in enumerate(vecs):
+        want = [sum(a * b for a, b in zip(v, row)) for row in R]
+        for g, w in zip(got[idx], want):
+            assert g == pytest.approx(w, abs=1e-9)
+
+    # JL property (loose): mean squared-distance ratio near 1
+    import itertools
+
+    ratios = []
+    for a, b in itertools.combinations(range(15), 2):
+        orig = sum((x - y) ** 2 for x, y in zip(vecs[a], vecs[b]))
+        proj = sum((x - y) ** 2 for x, y in zip(got[a], got[b]))
+        ratios.append(proj / orig)
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 < mean < 1.3
+
+    plan = (
+        similarity.random_projection(df, k=4, dim=d)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("Exchange", "BatchEvalPython", "CartesianProduct"):
+        assert bad not in plan
+
+    with pytest.raises(ValueError, match="k must be"):
+        similarity.random_projection(df, k=0)
