@@ -3971,3 +3971,54 @@ def keyword_tag(
             F.when(F.col("_hit").isNotNull(), F.col("g"))
         ).cast("int").alias(f"{out_col}_distinct"),
     )
+
+
+def tokenizer_stats(
+    df: DataFrame,
+    tokens_col: str = "bpe_tokens",
+    text_col: str = "text",
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Tokenizer quality metrics over a segmented corpus (the output
+    of :func:`bpe_segment` / :func:`unigram_segment`) → one row:
+    ``(n_docs, n_words, n_subwords, fertility, bytes_per_token,
+    continued_piece_rate)``.
+
+    - **fertility** = subwords per whitespace word (SentencePiece's
+      headline metric; ~1.0-1.3 for a well-fit vocab on in-domain
+      text, inflating on out-of-domain/OOV-heavy corpora);
+    - **bytes_per_token** = UTF-8 text bytes per subword (the
+      compression view — what a fixed token budget buys);
+    - **continued_piece_rate** = fraction of pieces that continue a
+      word (tokens NOT carrying the ``end_of_word`` marker) — 0
+      exactly when no word splits.
+
+    One narrow projection + one global aggregate; NULL-token docs
+    (NULL text) are excluded from every ratio."""
+    toks = F.col(tokens_col)
+    n_sub = F.size(toks)
+    n_words = F.size(F.filter(tokens(text_col), lambda t: t != ""))
+    n_bytes = F.octet_length(F.coalesce(F.col(text_col), F.lit("")))
+    # a word is "continued" iff it produced any non-final piece
+    n_cont_pieces = F.size(
+        F.filter(toks, lambda t: ~t.endswith(end_of_word))
+    )
+    per = df.filter(toks.isNotNull()).select(
+        n_sub.alias("_s"),
+        n_words.alias("_w"),
+        n_bytes.alias("_b"),
+        n_cont_pieces.alias("_c"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_w").alias("n_words"),
+        F.sum("_s").alias("n_subwords"),
+        (F.sum("_s") / F.sum("_w")).alias("fertility"),
+        (F.sum("_b") / F.sum("_s")).alias("bytes_per_token"),
+        # words with >=1 continuation piece / words; a word split into
+        # p pieces has p-1 continuation pieces, so sum(min(c,1)) needs
+        # per-word detail we don't have — report the piece-level rate
+        # (pieces that continue a word / all pieces) instead, which is
+        # 0 exactly when nothing splits
+        (F.sum("_c") / F.sum("_s")).alias("continued_piece_rate"),
+    )

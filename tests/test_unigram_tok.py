@@ -180,3 +180,24 @@ def test_errors(spark):
         T.learn_unigram(df.filter("doc_id < 0"), vocab_size=30)
     with pytest.raises(ValueError, match="vocab_size"):
         T.learn_unigram(df, vocab_size=0)
+
+
+def test_tokenizer_stats(spark):
+    from grip_spark import text as T
+
+    rows = [
+        (0, "hello world", ["hel", "lo</w>", "world</w>"]),
+        (1, "a bb", ["a</w>", "bb</w>"]),
+        (2, None, None),  # excluded
+        (3, "xyz", ["x", "y", "z</w>"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, bpe_tokens array<string>")
+    got = T.tokenizer_stats(df).collect()[0]
+    assert got["n_docs"] == 3
+    assert got["n_words"] == 2 + 2 + 1
+    assert got["n_subwords"] == 3 + 2 + 3
+    assert got["fertility"] == pytest.approx(8 / 5)
+    total_bytes = len("hello world") + len("a bb") + len("xyz")
+    assert got["bytes_per_token"] == pytest.approx(total_bytes / 8)
+    # continuation pieces: hel, x, y -> 3 of 8
+    assert got["continued_piece_rate"] == pytest.approx(3 / 8)
