@@ -4022,3 +4022,76 @@ def tokenizer_stats(
         # 0 exactly when nothing splits
         (F.sum("_c") / F.sum("_s")).alias("continued_piece_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SFT / chat corpus preparation
+# ---------------------------------------------------------------------------
+
+CHAT_TEMPLATES = {
+    # (turn header given role, turn footer) — header/footer are what
+    # the loss mask must EXCLUDE; the assistant span covers content
+    # only.  chatml = the de-facto open format; 'plain' for debugging.
+    "chatml": ("<|im_start|>{role}\n", "<|im_end|>\n"),
+    "plain": ("{role}: ", "\n"),
+}
+
+
+def render_chat(
+    df: DataFrame,
+    turns_col: str = "turns",
+    template: str = "chatml",
+    out_col: str = "text",
+    spans_col: str = "assistant_spans",
+    mask_role: str = "assistant",
+) -> DataFrame:
+    """Render conversation rows (``turns``: ``array<struct<role
+    string, content string>>``) into a training string plus the
+    CHARACTER spans of every ``mask_role`` turn's content →
+    ``out_col`` and ``spans_col`` (``array<struct<start, end>>``,
+    end-exclusive) — the SFT preparation step: the spans are what a
+    tokenizer-side aligner turns into a loss mask (train on assistant
+    content, not on prompts or template scaffolding; the span
+    deliberately EXCLUDES the role header and end-of-turn marker).
+
+    One codegen ``aggregate`` fold over the turns array per row — no
+    explode, no shuffle, no Python; compose with
+    :func:`pack_sequences` downstream.  Offsets are CHARACTER
+    positions (the HF-offset convention).  NULL contents render as
+    empty; a NULL role makes the whole rendered text NULL (visible
+    bad input, never a silently mis-masked row).
+    """
+    if template not in CHAT_TEMPLATES:
+        raise ValueError(
+            f"unknown template {template!r}; have {sorted(CHAT_TEMPLATES)}"
+        )
+    header_fmt, footer = CHAT_TEMPLATES[template]
+    pre, post = header_fmt.split("{role}")
+    turns = F.col(turns_col)
+
+    def step(acc, t):
+        # NULL role -> NULL header -> concat poisons txt to NULL for
+        # the whole row (concat is NULL-strict), surfacing bad input
+        header = F.concat(F.lit(pre), t["role"], F.lit(post))
+        content = F.coalesce(t["content"], F.lit(""))
+        start = F.length(acc["txt"]) + F.length(header)
+        end = start + F.length(content)
+        span = F.struct(start.alias("start"), end.alias("end"))
+        return F.struct(
+            F.concat(acc["txt"], header, content, F.lit(footer)).alias("txt"),
+            F.when(
+                t["role"] == mask_role,
+                F.array_append(acc["spans"], span),
+            )
+            .otherwise(acc["spans"])
+            .alias("spans"),
+        )
+
+    zero = F.struct(
+        F.lit("").alias("txt"),
+        F.array().cast("array<struct<start:bigint,end:bigint>>").alias("spans"),
+    )
+    folded = F.aggregate(turns, zero, step)
+    return df.withColumn(out_col, folded["txt"]).withColumn(
+        spans_col, folded["spans"]
+    )

@@ -2533,3 +2533,50 @@ def test_keyword_tag_literal_and_join_paths_agree(spark):
         T.keyword_tag(df, ["a", "A "])
     with _pt.raises(ValueError, match="2 tokens"):
         T.keyword_tag(df, ["a b c"])
+
+
+def test_render_chat_spans(spark):
+    from grip_spark import text as T
+
+    rows = [
+        (0, [("user", "hi"), ("assistant", "hello!"), ("user", "bye"),
+             ("assistant", "ciao")]),
+        (1, [("system", "be nice"), ("user", "x")]),   # no assistant turn
+        (2, [("assistant", None)]),                     # null content -> empty
+        (3, []),                                        # no turns
+        (4, [(None, "orphan")]),                        # null role -> NULL text
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, turns array<struct<role string, content string>>"
+    )
+    got = {r["id"]: r for r in T.render_chat(df).collect()}
+
+    def mirror(turns):
+        txt, spans = "", []
+        for role, content in turns:
+            header = f"<|im_start|>{role}\n"
+            content = content or ""
+            start = len(txt) + len(header)
+            if role == "assistant":
+                spans.append((start, start + len(content)))
+            txt += header + content + "<|im_end|>\n"
+        return txt, spans
+
+    for i, turns in rows[:4]:
+        want_txt, want_spans = mirror(turns)
+        assert got[i]["text"] == want_txt, i
+        assert [(s["start"], s["end"]) for s in got[i]["assistant_spans"]] == want_spans
+        # every span slices exactly the assistant content
+        for (s, e), (role, content) in zip(
+            [(sp["start"], sp["end"]) for sp in got[i]["assistant_spans"]],
+            [t for t in turns if t[0] == "assistant"],
+        ):
+            assert want_txt[s:e] == (content or "")
+    assert got[4]["text"] is None
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown template"):
+        T.render_chat(df, template="nope")
+
+    plain = T.render_chat(df.limit(1), template="plain").collect()[0]
+    assert plain["text"].startswith("user: hi\n")
