@@ -4095,3 +4095,49 @@ def render_chat(
     return df.withColumn(out_col, folded["txt"]).withColumn(
         spans_col, folded["spans"]
     )
+
+
+def extract_links(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "text",
+    base_url_col: str | None = None,
+    keep_query: bool = False,
+) -> DataFrame:
+    """Outgoing links of HTML documents → ``(id_col, url)`` rows, one
+    per href/src occurrence, canonicalized via :func:`normalize_url`
+    (so ``url`` is the scheme-less dedup KEY, directly feedable to
+    :func:`graphalgo.host_graph` / PageRank / link-spam signals).
+
+    One ``regexp_extract_all`` over the raw HTML + an explode + the
+    codegen URL canonicalizer — no Python, no shuffle.  Matches
+    single-/double-quoted ``href``/``src`` attributes;
+    protocol-relative ``//host/...`` resolves via normalize_url's
+    default-scheme rule; root-relative paths resolve against
+    ``base_url_col``'s host when given, otherwise drop (a bare
+    ``/about`` edge without a base is meaningless in a cross-site
+    graph); fragment-only and ``javascript:``/``mailto:``/``data:``
+    pseudo-links drop.
+    """
+    raw = F.regexp_extract_all(
+        F.coalesce(F.col(html_col), F.lit("")),
+        F.lit(r"""(?i)\b(?:href|src)\s*=\s*["\']([^"\'<>\s]+)["\']"""),
+        1,
+    )
+    cols = [F.col(id_col), F.explode(raw).alias("_raw")]
+    if base_url_col is not None:
+        cols.append(url_host(F.col(base_url_col)).alias("_bh"))
+    out = df.select(*cols)
+    u = F.col("_raw")
+    root_rel = u.startswith("/") & ~u.startswith("//")
+    if base_url_col is not None:
+        u = F.when(
+            root_rel & F.col("_bh").isNotNull(), F.concat(F.col("_bh"), u)
+        ).otherwise(u)
+        root_rel = root_rel & F.col("_bh").isNull()
+    bad = u.rlike(r"(?i)^(javascript|mailto|data|tel):") | u.startswith("#") | root_rel
+    return (
+        out.withColumn("url", normalize_url(u, keep_query=keep_query))
+        .filter(~bad & F.col("url").isNotNull())
+        .select(id_col, "url")
+    )

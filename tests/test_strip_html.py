@@ -316,3 +316,38 @@ def test_clean_text_plan_shape(spark):
     assert plan.count("ArrowEvalPython") == 1
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_extract_links(spark):
+    from grip_spark import text as T
+
+    html = (
+        '<a href="https://example.com/a?utm_source=x&id=2">x</a> '
+        "<a href='http://Other.COM/b/'>y</a> "
+        '<img src="//cdn.example.com/i.png"> '
+        '<a href="/relative">rel</a> '
+        '<a href="#frag">f</a> '
+        '<a href="javascript:void(0)">js</a> '
+        '<a href="mailto:a@b.c">m</a>'
+    )
+    rows = [(0, html, "https://base.org/page"), (1, None, None), (2, "", "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, url string")
+
+    # without a base: root-relative dropped
+    got = sorted(
+        r["url"] for r in T.extract_links(df, keep_query=True).collect()
+    )
+    assert got == sorted(
+        [
+            "example.com/a?id=2",     # tracking param scrubbed
+            "other.com/b",            # host lowered, slash trimmed
+            "cdn.example.com/i.png",  # protocol-relative
+        ]
+    )
+
+    # with a base: root-relative resolves against the base host
+    got2 = {r["url"] for r in T.extract_links(df, base_url_col="url").collect()}
+    assert "base.org/relative" in got2
+    assert not any(u.startswith("/") for u in got2)
+    # doc ids carried per occurrence
+    assert all(r["doc_id"] == 0 for r in T.extract_links(df).collect())
