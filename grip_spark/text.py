@@ -4141,3 +4141,65 @@ def extract_links(
         .filter(~bad & F.col("url").isNotNull())
         .select(id_col, "url")
     )
+
+
+def rouge_l(
+    df: DataFrame,
+    cand_col: str = "candidate",
+    ref_col: str = "reference",
+    out_prefix: str = "rouge_l",
+) -> DataFrame:
+    """ROUGE-L (Lin 2004) of candidate/reference text pairs → three
+    appended columns ``{prefix}_p / _r / _f1`` (LCS precision, recall,
+    F1 over whitespace tokens, the same lower+split tokenization as
+    every other text op here) — the summarization/distillation-data
+    grading metric next to :func:`search.ir_eval`'s retrieval view;
+    filter distilled pairs by ``rouge_l_f1`` floors.
+
+    Scale shape: one Arrow-batched pandas UDF over the PAIR rows —
+    the O(m*n) LCS dynamic program is per-row work on an eval/distill
+    set (bounded by construction, like every pairwise text metric);
+    the numpy DP is row-vectorized (O(m) per step).  Empty/NULL
+    sides score 0.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _score_fn(cand, ref):
+        import numpy as np
+
+        ps, rs, f1s = [], [], []
+        for c, r in zip(cand, ref):
+            ct = c.lower().split() if isinstance(c, str) else []
+            rt = r.lower().split() if isinstance(r, str) else []
+            if not ct or not rt:
+                ps.append(0.0); rs.append(0.0); f1s.append(0.0)
+                continue
+            # LCS DP, one numpy row per candidate token
+            prev = np.zeros(len(rt) + 1, dtype=np.int32)
+            rarr = np.array(rt)
+            for tok in ct:
+                cur = np.zeros_like(prev)
+                match = prev[:-1] + (rarr == tok)
+                cur[1:] = match
+                np.maximum(cur[1:], prev[1:], out=cur[1:])
+                np.maximum.accumulate(cur, out=cur)
+                prev = cur
+            lcs = float(prev[-1])
+            p, rr = lcs / len(ct), lcs / len(rt)
+            ps.append(p); rs.append(rr)
+            f1s.append(0.0 if p + rr == 0 else 2 * p * rr / (p + rr))
+        return pd.DataFrame({"p": ps, "r": rs, "f1": f1s})
+
+    # no type hints: postponed annotations (PEP 563) confuse the
+    # pandas-UDF hint parser for the (Series, Series) -> DataFrame
+    # struct signature; the explicit registration defaults to SCALAR
+    _score = pandas_udf(_score_fn, "struct<p: double, r: double, f1: double>")
+    s = _score(F.col(cand_col), F.col(ref_col))
+    return (
+        df.withColumn("_rl", s)
+        .withColumn(f"{out_prefix}_p", F.col("_rl.p"))
+        .withColumn(f"{out_prefix}_r", F.col("_rl.r"))
+        .withColumn(f"{out_prefix}_f1", F.col("_rl.f1"))
+        .drop("_rl")
+    )

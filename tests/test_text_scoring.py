@@ -1594,3 +1594,37 @@ def test_corpus_ngram_diversity(spark):
     assert abs(approx["distinct_ngrams"] - want_distinct) / want_distinct < 0.1
     with pytest.raises(ValueError, match="n must be"):
         text.corpus_ngram_diversity(df, n=0)
+
+
+def test_rouge_l_matches_mirror(spark):
+    def lcs(a, b):
+        dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i, x in enumerate(a, 1):
+            for j, y in enumerate(b, 1):
+                dp[i][j] = dp[i-1][j-1] + 1 if x == y else max(dp[i-1][j], dp[i][j-1])
+        return dp[-1][-1]
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(25):
+        c = " ".join(rng.choices(vocab, k=rng.randint(1, 15)))
+        r = " ".join(rng.choices(vocab, k=rng.randint(1, 15)))
+        rows.append((i, c, r))
+    rows += [(100, "Exact same Text", "exact same text"),
+             (101, "", "ref here"), (102, "cand", None)]
+    df = spark.createDataFrame(rows, "id long, candidate string, reference string")
+    got = {r["id"]: r for r in text.rouge_l(df).collect()}
+    for i, c, r in rows:
+        ct = c.lower().split() if c else []
+        rt = r.lower().split() if r else []
+        if not ct or not rt:
+            want = (0.0, 0.0, 0.0)
+        else:
+            l = lcs(ct, rt)
+            p, rr = l / len(ct), l / len(rt)
+            want = (p, rr, 0.0 if p + rr == 0 else 2 * p * rr / (p + rr))
+        assert got[i]["rouge_l_p"] == pytest.approx(want[0], abs=1e-12), i
+        assert got[i]["rouge_l_r"] == pytest.approx(want[1], abs=1e-12), i
+        assert got[i]["rouge_l_f1"] == pytest.approx(want[2], abs=1e-12), i
+    assert got[100]["rouge_l_f1"] == 1.0
