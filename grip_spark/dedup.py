@@ -1664,3 +1664,30 @@ def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
         F.sum("_n").alias("total_chunks"),
         F.count(F.lit(1)).alias("unique_chunks"),
     )
+
+
+def duplicate_weights(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    out_col: str = "dup_weight",
+) -> DataFrame:
+    """Soft dedup: instead of DROPPING near-duplicates, weight every
+    row by ``1 / cluster_size`` → ``out_col`` (singletons weigh 1.0)
+    — each near-dup cluster contributes one document's worth of mass
+    to training, the keep-vs-drop middle ground (duplicates carry
+    some signal: popularity, canonical phrasings) used by
+    soft-dedup / repetition-penalty sampling recipes.  Feed the
+    weight to ``sampling.score_sample`` or a loss-weight column.
+
+    Cost on top of :func:`attach_components`: one component-keyed
+    count + one component join (cluster-sized tables)."""
+    tagged = attach_components(df, id_col, pairs, a_col, b_col)
+    sizes = tagged.groupBy("component").agg(F.count(F.lit(1)).alias("_csize"))
+    return (
+        tagged.join(sizes, "component")
+        .withColumn(out_col, 1.0 / F.col("_csize"))
+        .drop("component", "_csize")
+    )

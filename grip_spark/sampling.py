@@ -616,3 +616,47 @@ def gumbel_topk(
     ).collect()[0]["_c"]
     out = out.filter(F.col(kc) >= F.lit(float(cut)))
     return out if key_col else out.drop(kc)
+
+
+def percentile_calibrate(
+    df: DataFrame,
+    score_col: str,
+    by_col: str,
+    out_col: str | None = None,
+    n_buckets: int = 100,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Quantile-normalize a score WITHIN groups → ``out_col`` in
+    [0, 1): the score's approximate percentile among its own group
+    (domain/language/source).  The calibration step before a GLOBAL
+    threshold or mixture: raw classifier/perplexity scores are not
+    comparable across domains (code scores high on an English-prose
+    model's scale, and a single global floor silently empties whole
+    domains), so threshold the per-domain percentile instead.
+
+    Scale shape: ONE aggregate computes ``n_buckets - 1`` approximate
+    quantile cuts per group (``percentile_approx``, groups x buckets
+    doubles), broadcast back, and the rank is a codegen fold counting
+    cuts <= score — no per-group window sort, no shuffle of the
+    corpus (the exact-window `percent_rank` alternative is one sort
+    per group; at corpus scale the cuts are the right trade, same
+    discipline as `curriculum_order`).  NULL scores calibrate to
+    NULL; groups unseen at cut time (impossible same-frame, possible
+    when reusing cuts) would come back NULL too, never a fake 0.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    out = out_col or f"{score_col}_pct"
+    s = F.col(score_col).cast("double")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.groupBy(F.col(by_col).alias("_grp")).agg(
+        F.percentile_approx(s, probs, accuracy).alias("_cuts")
+    )
+    joined = df.join(
+        F.broadcast(cuts), F.col(by_col) == F.col("_grp"), "left"
+    ).drop("_grp")
+    rank = F.size(F.filter(F.col("_cuts"), lambda c: c <= s))
+    return joined.withColumn(
+        out,
+        F.when(s.isNotNull() & F.col("_cuts").isNotNull(), rank / n_buckets),
+    ).drop("_cuts")

@@ -916,3 +916,63 @@ def test_curriculum_order_monotone_and_deterministic(spark):
         sampling.curriculum_order(
             df.filter("score is null"), "score", "doc_id"
         )
+
+
+# ---------------------------------------------------------------------------
+# percentile calibration + soft-dedup weights
+# ---------------------------------------------------------------------------
+
+
+def test_percentile_calibrate(spark):
+    from grip_spark import sampling
+
+    # two domains with shifted score scales: the same global threshold
+    # keeps wildly different fractions raw, ~equal fractions calibrated
+    rows = [("web", i, i / 100.0) for i in range(100)]
+    rows += [("code", 1000 + i, 5.0 + i / 100.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "domain string, doc_id long, score double")
+    out = sampling.percentile_calibrate(df, "score", "domain", n_buckets=20)
+    got = {r["doc_id"]: r["score_pct"] for r in out.collect()}
+    # within each domain the percentile tracks the within-domain rank
+    for dom_base in (0, 1000):
+        lo = got[dom_base + 5]
+        hi = got[dom_base + 95]
+        assert lo < 0.2 and hi > 0.8
+    # cross-domain comparability: same within-domain rank -> same pct
+    assert got[50] == pytest.approx(got[1050], abs=0.101)
+    kept = out.filter(F.col("score_pct") >= 0.5).groupBy("domain").count().collect()
+    frac = {r["domain"]: r["count"] for r in kept}
+    assert abs(frac["web"] - frac["code"]) <= 10
+
+    # NULL score -> NULL pct
+    df2 = spark.createDataFrame(
+        [("web", 1, None)], "domain string, doc_id long, score double"
+    )
+    assert sampling.percentile_calibrate(
+        df2, "score", "domain"
+    ).collect()[0]["score_pct"] is None
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        sampling.percentile_calibrate(df, "score", "domain", n_buckets=1)
+
+
+def test_duplicate_weights(spark):
+    from grip_spark import dedup
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(6)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "a_id long, b_id long"
+    )
+    got = {
+        r["doc_id"]: r["dup_weight"]
+        for r in dedup.duplicate_weights(df, "doc_id", pairs).collect()
+    }
+    assert got == {
+        0: pytest.approx(1 / 3), 1: pytest.approx(1 / 3), 2: pytest.approx(1 / 3),
+        3: 1.0,
+        4: 0.5, 5: 0.5,
+    }
+    # total mass = number of clusters
+    assert sum(got.values()) == pytest.approx(3.0)
