@@ -352,3 +352,73 @@ def semantic_contamination(
             F.coalesce(F.col(sim_col) >= F.lit(threshold), F.lit(False)),
         )
     )
+
+
+def novelty_stats(
+    generated: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_text_col: str | None = None,
+    n: int = 13,
+    fpp: float = 0.01,
+    salt: str = "novelty",
+    gram_hash=None,
+) -> DataFrame:
+    """Memorization audit: how much of each GENERATED document is
+    verbatim-copied from a training corpus → ``(id_col, n_grams,
+    n_seen, novelty)`` with ``novelty = 1 - n_seen / n_grams``
+    (NULL for sub-n-token rows) — :func:`contamination_stats` with
+    the roles reversed, where the big side is now the corpus and the
+    small side the generations under audit (Carlini et al.'s
+    verbatim-memorization measure at the n-gram level).
+
+    Scale shape — the corpus is scanned ONCE and never shuffled:
+    the generations' distinct gram set packs into a Bloom filter that
+    constant-folds into the corpus scan (the
+    :func:`bloom_contaminated_ids` device); surviving corpus grams —
+    rare by construction — are exact-verified with one semi-join
+    against the true gram set and reduced to the DISTINCT grams the
+    corpus contains (a ≤ |generation grams| table).  Each generated
+    document then left-joins its grams against that small table.
+    Bloom false positives are trimmed by the verify, so the result
+    is exact.
+    """
+    gen_grams = generated.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(token_ngram_hashes(F.col(text_col), n, gram_hash))
+        ).alias("_g"),
+    ).localCheckpoint(eager=True)
+    gset = gen_grams.select("_g").filter(F.col("_g").isNotNull()).distinct()
+    gset = gset.localCheckpoint(eager=True)
+
+    from . import sketch as SK
+
+    n_keys = gset.count()
+    m_bits, k = SK.bloom_params(max(1, n_keys), fpp)
+    bits = SK.bloom_to_local(
+        SK.bloom_build(gset, "_g", m_bits, k, salt, token_hash=gram_hash)
+    )
+    cg = F.array_distinct(
+        token_ngram_hashes(F.col(corpus_text_col or text_col), n, gram_hash)
+    )
+    member = lambda g: SK.bloom_member(bits, g.cast("string"), salt, gram_hash)  # noqa: E731
+    survivors = corpus.select(
+        F.explode(F.filter(cg, member)).alias("_g")
+    )
+    seen = (
+        survivors.join(gset, "_g", "left_semi")
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    per = gen_grams.join(F.broadcast(seen), "_g", "left").groupBy(id_col).agg(
+        F.count("_g").alias("n_grams"),
+        F.coalesce(F.sum("_seen"), F.lit(0)).alias("n_seen"),
+    )
+    return per.withColumn(
+        "novelty",
+        F.when(
+            F.col("n_grams") > 0, 1.0 - F.col("n_seen") / F.col("n_grams")
+        ),
+    )

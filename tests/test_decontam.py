@@ -283,3 +283,53 @@ def test_bloom_contaminated_ids_explicit_geometry_and_md5(corpus_bench):
         ).collect()
     }
     assert got == want
+
+
+def test_novelty_stats(spark):
+    from grip_spark import decontam
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog every day"),
+            (1, "completely different training text goes here for now"),
+        ],
+        "doc_id long, text string",
+    )
+    gen = spark.createDataFrame(
+        [
+            # fully copied from corpus doc 0
+            (10, "the quick brown fox jumps over the lazy dog"),
+            # entirely novel
+            (11, "zebra violet umbrella xylophone quantum nebula orbit sings loud"),
+            # half-copied: first 5-gram window overlaps corpus, tail novel
+            (12, "the quick brown fox jumps alpha beta gamma delta epsilon"),
+            # too short for n=5
+            (13, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in decontam.novelty_stats(gen, corpus, n=5).collect()
+    }
+
+    def grams(t, n=5):
+        toks = t.lower().split()
+        return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    corpus_grams = set()
+    for t in ["the quick brown fox jumps over the lazy dog every day",
+              "completely different training text goes here for now"]:
+        corpus_grams |= grams(t)
+    for i, t in [(10, "the quick brown fox jumps over the lazy dog"),
+                 (11, "zebra violet umbrella xylophone quantum nebula orbit sings loud"),
+                 (12, "the quick brown fox jumps alpha beta gamma delta epsilon")]:
+        g = grams(t)
+        seen = len(g & corpus_grams)
+        assert got[i]["n_grams"] == len(g), i
+        assert got[i]["n_seen"] == seen, i
+        assert got[i]["novelty"] == pytest.approx(1 - seen / len(g)), i
+    assert got[10]["novelty"] == 0.0
+    assert got[11]["novelty"] == 1.0
+    assert 0.0 < got[12]["novelty"] < 1.0
+    assert got[13]["n_grams"] == 0 and got[13]["novelty"] is None
