@@ -347,6 +347,141 @@ def personalized_pagerank(
     return out.select("id", "pagerank")
 
 
+def katz_centrality(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "gid",
+    weight_col: str | None = None,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    max_iterations: int = 100,
+    tol: float = 1e-9,
+    normalized: bool = True,
+) -> DataFrame:
+    """Katz centrality ``x(v) = beta + alpha * sum_{u->v} w(u,v) x(u)``
+    → ``(id, katz)`` — the attenuation-based prestige measure that,
+    unlike PageRank, does NOT divide by out-degree: a node reached by
+    many long chains accrues alpha^len per path, so it ranks "reach
+    through influence" rather than "random-surfer share".  Converges
+    iff ``alpha < 1/lambda_max(A)``; like :func:`pagerank` this
+    RAISES on non-convergence rather than returning a half-iterated
+    table (shrink alpha — 1/max_in_degree is a safe floor).
+    ``normalized`` L2-normalizes (the networkx convention, pinned by
+    the replica tests).
+
+    Same scale discipline as the PageRank core: the edge table ships
+    ``(src, dst, w)`` once; each round is one edge join + one
+    node-sized agg + an L1-delta agg, score table checkpointed per
+    round (multigraph semantics: parallel edges accumulate, matching
+    an adjacency-matrix entry of 2).
+    """
+    if max_iterations < 1:
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    _ckpt = _checkpointer(edges.sparkSession)
+    nodes, e = _node_edge_tables(
+        edges, vertices, src_col, dst_col, id_col, _ckpt, weight_col
+    )
+    has_w = "_ew" in e.columns
+    w = F.col("_ew") if has_w else F.lit(1.0)
+    wedges = e.select("_src", "_dst", w.alias("_w")).persist()
+    try:
+        x = _ckpt(nodes.withColumn("katz", F.lit(float(beta))))
+        for _ in range(max_iterations):
+            contribs = (
+                wedges.join(x, wedges["_src"] == x["id"])
+                .groupBy(F.col("_dst").alias("id"))
+                .agg(F.sum(F.col("katz") * F.col("_w")).alias("_c"))
+            )
+            new = _ckpt(
+                nodes.join(contribs, "id", "left").select(
+                    "id",
+                    (
+                        F.lit(float(beta))
+                        + F.lit(float(alpha)) * F.coalesce("_c", F.lit(0.0))
+                    ).alias("katz"),
+                )
+            )
+            delta = (
+                new.alias("n")
+                .join(x.alias("o"), "id")
+                .agg(F.sum(F.abs(F.col("n.katz") - F.col("o.katz"))))
+                .first()[0]
+            )
+            x = new
+            if delta < tol:
+                break
+        else:
+            raise RuntimeError(
+                f"katz_centrality did not converge in {max_iterations} "
+                f"iterations (last L1 delta {delta:.3e}; alpha may exceed "
+                f"1/lambda_max — shrink it, or raise max_iterations)"
+            )
+        if not normalized:
+            return x
+        norm = x.agg(F.sqrt(F.sum(F.col("katz") * F.col("katz")))).first()[0]
+        return x.select("id", (F.col("katz") / F.lit(norm)).alias("katz"))
+    finally:
+        wedges.unpersist()
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> float:
+    """Newman's degree assortativity coefficient over the undirected
+    simple graph — the Pearson correlation of endpoint degrees across
+    edges (each edge counted in both orientations), in [-1, 1]:
+    positive = hubs attach to hubs (social nets), negative = hubs
+    attach to leaves (the web, biology).  One degree aggregate + two
+    node-sized joins + one ``corr`` aggregate — a graph-profiling
+    scalar next to :func:`degree_stats`.  NaN (returned as
+    ``float('nan')``) when every degree is equal (zero variance —
+    e.g. a pure cycle), matching the estimator's domain."""
+    canon = _simple_undirected(edges, src_col, dst_col).localCheckpoint(eager=True)
+    deg = (
+        canon.select(F.col("a").alias("id"))
+        .unionByName(canon.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    sym = canon.unionByName(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("_d").alias("_da"))
+    db = deg.select(F.col("id").alias("b"), F.col("_d").alias("_db"))
+    # one sums aggregate + driver-side Pearson: ANSI-mode `corr`
+    # THROWS DIVIDE_BY_ZERO on a zero-variance graph (pure cycle)
+    # instead of returning the estimator's NaN
+    x, y = F.col("_da").cast("double"), F.col("_db").cast("double")
+    row = (
+        sym.join(da, "a")
+        .join(db, "b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+        )
+        .first()
+    )
+    if row is None or not row["n"]:
+        return float("nan")
+    n = float(row["n"])
+    cov = row["sxy"] / n - (row["sx"] / n) * (row["sy"] / n)
+    vx = row["sxx"] / n - (row["sx"] / n) ** 2
+    vy = row["syy"] / n - (row["sy"] / n) ** 2
+    if vx <= 0 or vy <= 0:
+        return float("nan")
+    return float(cov / (vx * vy) ** 0.5)
+
+
 def label_propagation(
     edges: DataFrame,
     src_col: str = "src",

@@ -1294,3 +1294,68 @@ def test_bipartite_project_matches_replica(spark, cap):
     for k, w in want.items():
         for m, val in w.items():
             assert got[k][m] == pytest.approx(val, rel=1e-12), (k, m)
+
+
+def _py_katz(nodes, edges, alpha, beta, iters=200, tol=1e-9, normalized=True):
+    x = {v: beta for v in nodes}
+    for _ in range(iters):
+        new = {v: beta for v in nodes}
+        for s, t in edges:
+            new[t] += alpha * x[s]
+        delta = sum(abs(new[v] - x[v]) for v in nodes)
+        x = new
+        if delta < tol:
+            break
+    if normalized:
+        nrm = sum(v * v for v in x.values()) ** 0.5
+        x = {k: v / nrm for k, v in x.items()}
+    return x
+
+
+@pytest.mark.parametrize("normalized", [True, False])
+def test_katz_matches_replica(spark, digraph, normalized):
+    nodes, edges, v, e = digraph
+    want = _py_katz(nodes, edges, alpha=0.05, beta=1.0, normalized=normalized)
+    got = {
+        r["id"]: r["katz"]
+        for r in graphalgo.katz_centrality(
+            e, vertices=v, alpha=0.05, normalized=normalized
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k_, w in want.items():
+        assert got[k_] == pytest.approx(w, rel=1e-6), k_
+
+
+def test_katz_divergence_raises(spark):
+    # a 2-cycle has lambda_max = 1: alpha 0.99 cannot converge
+    e = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graphalgo.katz_centrality(e, alpha=0.99, max_iterations=20)
+    with pytest.raises(ValueError, match="alpha"):
+        graphalgo.katz_centrality(e, alpha=1.5)
+
+
+def test_degree_assortativity(spark, digraph):
+    import math
+
+    _, edges, _, e = digraph
+    adj = _py_simple_adj(edges)
+    deg = {x: len(ns) for x, ns in adj.items()}
+    xs, ys = [], []
+    for s, ns in adj.items():
+        for t in ns:
+            xs.append(deg[s]); ys.append(deg[t])
+    mx = sum(xs) / len(xs); my = sum(ys) / len(ys)
+    cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys)) / len(xs)
+    sx = math.sqrt(sum((a - mx) ** 2 for a in xs) / len(xs))
+    sy = math.sqrt(sum((b - my) ** 2 for b in ys) / len(ys))
+    want = cov / (sx * sy)
+    got = graphalgo.degree_assortativity(e)
+    assert got == pytest.approx(want, rel=1e-9)
+
+    # zero-variance graph (pure cycle): NaN
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    assert math.isnan(graphalgo.degree_assortativity(cyc))
