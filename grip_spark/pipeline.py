@@ -46,8 +46,12 @@ def build_corpus(
     *,
     html_col: str | None = None,
     unicode_form: str | None = None,
+    redact: tuple[str, ...] | None = None,
+    blocklist: list[str] | None = None,
+    blocklist_max_hits: int = 0,
     gopher: bool = False,
     min_quality: float | None = 0.3,
+    calibrate_quality_by: str | None = None,
     languages: tuple[str, ...] | None = ("en",),
     line_rules: bool = True,
     dsir_target: DataFrame | None = None,
@@ -94,7 +98,31 @@ def build_corpus(
     a budget is given without ``size_col``, a whitespace ``n_tokens``
     column is computed first so the budget really is tokens (without
     this the mixture would silently budget DOCUMENTS).
+
+    ``redact`` — any of ``("pii", "secrets")``: rewrite ``text_col``
+    in place through :func:`grip_spark.text.redact_pii` /
+    :func:`redact_secrets` BEFORE any dedup/gram key is derived (two
+    docs differing only in a credential collapse to one).
+    ``blocklist`` — drop documents with more than
+    ``blocklist_max_hits`` keyword-tag hits
+    (:func:`grip_spark.text.keyword_tag`).
+    ``calibrate_quality_by`` — threshold ``min_quality`` against the
+    PER-GROUP percentile of the quality score
+    (:func:`grip_spark.sampling.percentile_calibrate`, e.g. by
+    ``source``) instead of the raw scale, so one floor stops
+    silently emptying whole domains.
     """
+    if redact is not None:
+        redact_t = (redact,) if isinstance(redact, str) else tuple(redact)
+        bad_kinds = set(redact_t) - {"pii", "secrets"}
+        if bad_kinds:
+            raise ValueError(f"redact: unknown kinds {sorted(bad_kinds)}")
+    if calibrate_quality_by is not None and min_quality is not None and not (
+        0.0 <= min_quality < 1.0
+    ):
+        raise ValueError(
+            "with calibrate_quality_by, min_quality is a percentile in [0,1)"
+        )
     if perplexity_floor is not None and not 0.0 < perplexity_floor < 1.0:
         raise ValueError(
             f"perplexity_floor is a quantile in (0,1), got {perplexity_floor}"
@@ -134,6 +162,25 @@ def build_corpus(
         # vs-NFD variants of a word hash identically downstream
         out = text.clean_text(out, text_col=text_col, form=unicode_form)
         mark("unicode_clean")
+    if redact is not None:
+        for kind in redact_t:
+            fn = text.redact_pii if kind == "pii" else text.redact_secrets
+            pats = text.PII_PATTERNS if kind == "pii" else text.SECRET_PATTERNS
+            out = fn(out, text_col=text_col, out_col="_red")
+            out = out.drop(text_col, *[f"n_{n}" for n, _ in pats])
+            out = out.withColumnRenamed("_red", text_col)
+        mark("redact")
+    if blocklist is not None:
+        tags = text.keyword_tag(out, blocklist, text_col=text_col, id_col=id_col)
+        if set(tags.columns) == {id_col, "kw_hits", "kw_hits_distinct"}:
+            # big-list (broadcast-join) path returns ids only
+            keep = tags.filter(F.col("kw_hits") <= blocklist_max_hits).select(id_col)
+            out = out.join(keep, id_col, "left_semi")
+        else:
+            out = tags.filter(
+                F.col("kw_hits") <= blocklist_max_hits
+            ).drop("kw_hits", "kw_hits_distinct")
+        mark("blocklist")
     if line_rules:
         out = text.line_filter(out, text_col=text_col)
         out = (
@@ -150,9 +197,13 @@ def build_corpus(
         )
         mark("gopher")
     if min_quality is not None:
-        out = text.quality_score(out, text_col=text_col).filter(
-            F.col("quality") >= min_quality
-        )
+        out = text.quality_score(out, text_col=text_col)
+        if calibrate_quality_by is not None:
+            out = sampling.percentile_calibrate(
+                out, "quality", calibrate_quality_by
+            ).filter(F.col("quality_pct") >= min_quality).drop("quality_pct")
+        else:
+            out = out.filter(F.col("quality") >= min_quality)
         mark("quality")
     if languages is not None:
         out = text.detect_language(out, text_col=text_col).filter(
