@@ -1691,3 +1691,57 @@ def duplicate_weights(
         .withColumn(out_col, 1.0 / F.col("_csize"))
         .drop("component", "_csize")
     )
+
+
+def cdc_overlap_pairs(
+    chunks: DataFrame,
+    id_col: str = "id",
+    min_shared: int = 2,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Binary near-dup pairs from a :func:`cdc_chunks` table →
+    ``(a_id, b_id, shared, a_chunks, b_chunks, overlap)`` for blob
+    pairs sharing >= ``min_shared`` distinct chunk hashes (``overlap``
+    = shared / min(chunk counts)) — the :func:`winnow_overlap_pairs`
+    shape on content-defined chunks: versioned documents, re-encoded
+    archives, appended logs surface as high-overlap pairs without
+    ever comparing payload bytes.
+
+    One per-blob distinct, a posting self-join on ``chunk_hash``
+    (quadratic only within one hash's posting list), a pair count,
+    two size joins.  ``max_df`` drops chunk hashes shared by more
+    than that many blobs BEFORE the self-join (the winnowing
+    discipline: an all-zeros block or common file header appears in
+    everything and would explode the join while carrying no signal);
+    dropped-hot-hash count is the caller's to audit via the returned
+    plan — set ``max_df=None`` for exact.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    post = chunks.select(F.col(id_col).alias("_id"), "chunk_hash").distinct()
+    sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    if max_df is not None:
+        hot = post.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("_df"))
+        post = post.join(
+            hot.filter(F.col("_df") <= max_df).select("chunk_hash"),
+            "chunk_hash",
+            "left_semi",
+        )
+    l = post.select("chunk_hash", F.col("_id").alias("a_id"))
+    r = post.select("chunk_hash", F.col("_id").alias("b_id"))
+    pairs = (
+        l.join(r, "chunk_hash")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("_id").alias("a_id"), F.col("_n").alias("a_chunks"))
+    sb = sizes.select(F.col("_id").alias("b_id"), F.col("_n").alias("b_chunks"))
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "overlap", F.col("shared") / F.least("a_chunks", "b_chunks")
+        )
+    )

@@ -119,3 +119,25 @@ def test_cdc_constant_data_forced_cuts(spark):
     assert sum(r["length"] for r in rows) == 10000
     assert all(r["length"] <= 2048 for r in rows)
     assert all(r["length"] >= 128 for r in rows[:-1])
+
+
+def test_cdc_overlap_pairs(spark):
+    base = _blob(41, 40000)
+    edited = base[:5000] + _blob(42, 80) + base[5000:]   # near-dup of base
+    other = _blob(43, 40000)                              # unrelated
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other), (4, base)],  # 4 = exact copy
+        "id long, data binary",
+    )
+    chunks = dedup.cdc_chunks(df, "id", avg_size=512)
+    got = {
+        (r["a_id"], r["b_id"]): r
+        for r in dedup.cdc_overlap_pairs(chunks, min_shared=3).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)]["overlap"] > 0.8
+    assert (1, 4) in got and got[(1, 4)]["overlap"] == 1.0
+    assert (2, 4) in got
+    assert not any(3 in k for k in got)  # unrelated blob pairs with nothing
+
+    with pytest.raises(ValueError, match="min_shared"):
+        dedup.cdc_overlap_pairs(chunks, min_shared=0)
