@@ -290,3 +290,69 @@ def interval_overlap_join(
         )
         .drop("_cell")
     )
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    every: int,
+    aggs: dict[str, Column],
+    by: str | list[str] | None = None,
+    fill: str | None = None,
+    origin: int = 0,
+) -> DataFrame:
+    """Downsample a (long/epoch-unit) time series to fixed buckets of
+    width ``every`` → one row per (key, bucket) with ``aggs`` applied
+    (``{"out_name": F.avg("value"), ...}``), and — unlike a bare
+    groupBy — EMPTY buckets between each key's first and last
+    observation materialized, so downstream windows/models see a
+    regular grid, not a silently gap-compressed one.
+
+    ``fill=None`` leaves gap rows NULL; ``fill="ffill"`` carries each
+    aggregate forward (``last(..., ignorenulls=True)`` per key);
+    ``fill="zero"`` coalesces to 0 (count-like aggregates).
+    ``origin`` anchors bucket boundaries.
+
+    Scale shape: one map-side-combined bucket aggregate, one per-key
+    span aggregate whose ``sequence()`` explode materializes only the
+    GRID (rows ~= span/every per key — the output size, nothing
+    corpus-shaped), a left join of grid onto aggregates, and (ffill
+    only) one per-key ordered window.  The gap explode is bounded by
+    the caller's choice of ``every`` — a microsecond grid over a year
+    is the caller asking for 3·10^13 rows, so size ``every`` to the
+    analysis, not the raw tick resolution."""
+    if every <= 0:
+        raise ValueError(f"every must be > 0, got {every}")
+    if fill not in (None, "ffill", "zero"):
+        raise ValueError(f"fill must be None|'ffill'|'zero', got {fill!r}")
+    if not aggs:
+        raise ValueError("aggs must be non-empty")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    t = F.col(ts_col).cast("long")
+    bucket = (F.floor((t - origin) / every) * every + origin).alias("_bucket")
+    agged = df.groupBy(*keys, bucket).agg(
+        *[c.alias(name) for name, c in aggs.items()]
+    )
+    span = agged.groupBy(*keys).agg(
+        F.min("_bucket").alias("_lo"), F.max("_bucket").alias("_hi")
+    )
+    grid = span.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(int(every)))
+        ).alias("_bucket"),
+    )
+    out = grid.join(agged, [*keys, "_bucket"], "left")
+    names = list(aggs)
+    if fill == "ffill":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("_bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        for name in names:
+            out = out.withColumn(name, F.last(name, ignorenulls=True).over(w))
+    elif fill == "zero":
+        for name in names:
+            out = out.withColumn(name, F.coalesce(F.col(name), F.lit(0)))
+    return out.withColumnRenamed("_bucket", f"{ts_col}_bucket")

@@ -277,3 +277,57 @@ def test_interval_overlap_nanos_precision_and_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "Join" in plan
+
+
+def test_resample_grid_and_fills(spark):
+    from grip_spark import temporal
+
+    rows = [
+        ("a", 100, 1.0), ("a", 105, 3.0),   # bucket 100
+        ("a", 130, 10.0),                    # bucket 130; 110/120 gaps
+        ("b", 203, 7.0),                     # single bucket 200
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    aggs = {"v_avg": F.avg("v"), "n": F.count(F.lit(1))}
+
+    out = {
+        (r["k"], r["ts_bucket"]): r
+        for r in temporal.resample(df, "ts", 10, aggs, by="k").collect()
+    }
+    assert set(out) == {("a", 100), ("a", 110), ("a", 120), ("a", 130), ("b", 200)}
+    assert out[("a", 100)]["v_avg"] == 2.0 and out[("a", 100)]["n"] == 2
+    assert out[("a", 110)]["v_avg"] is None and out[("a", 110)]["n"] is None
+    assert out[("a", 130)]["v_avg"] == 10.0
+
+    ff = {
+        (r["k"], r["ts_bucket"]): r
+        for r in temporal.resample(df, "ts", 10, aggs, by="k", fill="ffill").collect()
+    }
+    assert ff[("a", 110)]["v_avg"] == 2.0 and ff[("a", 120)]["v_avg"] == 2.0
+    assert ff[("a", 130)]["v_avg"] == 10.0
+
+    z = {
+        (r["k"], r["ts_bucket"]): r["n"]
+        for r in temporal.resample(df, "ts", 10, aggs, by="k", fill="zero").collect()
+    }
+    assert z[("a", 110)] == 0 and z[("a", 100)] == 2
+
+    # no key: one global grid; origin shifts boundaries
+    g = {
+        r["ts_bucket"]: r["n"]
+        for r in temporal.resample(df, "ts", 100, {"n": F.count(F.lit(1))}).collect()
+    }
+    assert g == {100: 3, 200: 1}
+    o = {
+        r["ts_bucket"]: r["n"]
+        for r in temporal.resample(
+            df, "ts", 100, {"n": F.count(F.lit(1))}, origin=50
+        ).collect()
+    }
+    assert o == {50: 3, 150: 1}  # ts 100/105/130 -> 50; ts 203 -> 150
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="every"):
+        temporal.resample(df, "ts", 0, aggs)
+    with _pt.raises(ValueError, match="fill"):
+        temporal.resample(df, "ts", 10, aggs, fill="bogus")
