@@ -2423,3 +2423,82 @@ def shortest_paths(
         f"shortest_paths: still relaxing after {max_iterations} rounds — "
         "raise max_iterations (the longest shortest path exceeds it)"
     )
+
+
+def negative_edges(
+    edges: DataFrame,
+    k: int = 1,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for link-prediction /
+    graph-embedding training → ``(src, dst)`` NON-edges, ~``k`` per
+    positive edge: each positive's source draws ``k`` candidate
+    destinations by hashing ``(salt, src, i)`` into the node set
+    (degree-proportional source mix, uniform destinations — the
+    skip-gram negative-sampling shape), then real edges and
+    self-loops are anti-joined out.  Deterministic across
+    partitionings (pure function of (salt, graph)); a new salt is a
+    fresh epoch of negatives.
+
+    Shuffles: node-table build + one index equi-join (candidate
+    destination ids resolve through a dense ``zipWithIndex``-free
+    rank join), one anti-join against the distinct edge set.  Output
+    is ~k·|E| MINUS collisions (candidates that happened to be real
+    edges are dropped, not resampled — exact-k-per-positive requires
+    per-row retry loops; at corpus scale the deficit is the edge
+    density, i.e. negligible).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    nodes = (
+        e.select(F.col("_s").alias("id"))
+        .unionByName(e.select(F.col("_d").alias("id")))
+        .distinct()
+    )
+    # dense 0..n-1 node index WITHOUT a global sort: hash nodes into
+    # B buckets, rank within each bucket (parallel windows), add the
+    # driver-side cumulative bucket offsets (B rows).  Deterministic
+    # — the index is a pure function of the node-id set
+    from pyspark.sql.window import Window
+
+    B = 1024
+    bucketed = nodes.withColumn("_b", F.pmod(F.xxhash64("id"), F.lit(B)))
+    counts = {
+        r["_b"]: r["c"]
+        for r in bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    off, acc = {}, 0
+    for b in range(B):
+        off[b] = acc
+        acc += counts.get(b, 0)
+    n = acc
+    offmap = F.create_map(
+        *[x for b in counts for x in (F.lit(b), F.lit(off[b]))]
+    )
+    w = Window.partitionBy("_b").orderBy("id")
+    idx = bucketed.withColumn(
+        "_i", F.row_number().over(w) - 1 + offmap[F.col("_b")]
+    ).drop("_b").localCheckpoint(eager=True)
+    cand = e.select(
+        "_s",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: F.pmod(
+                    F.xxhash64(F.lit(salt), F.col("_s"), F.col("_d"), i),
+                    F.lit(n),
+                ),
+            )
+        ).alias("_i"),
+    )
+    picked = cand.join(F.broadcast(idx) if n <= 1_000_000 else idx, "_i").select(
+        F.col("_s").alias(src_col), F.col("id").alias(dst_col)
+    )
+    real = e.select(F.col("_s").alias(src_col), F.col("_d").alias(dst_col)).distinct()
+    return (
+        picked.filter(F.col(src_col) != F.col(dst_col))
+        .join(real, [src_col, dst_col], "left_anti")
+    )

@@ -1359,3 +1359,30 @@ def test_degree_assortativity(spark, digraph):
         [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
     )
     assert math.isnan(graphalgo.degree_assortativity(cyc))
+
+
+def test_negative_edges(spark, digraph):
+    _, edges, _, e = digraph
+    real = set(edges)
+    nodes = {x for s, t in edges for x in (s, t)}
+    got = graphalgo.negative_edges(e, k=3, salt="n1").collect()
+    got_pairs = [(r["src"], r["dst"]) for r in got]
+    # negatives only, no self-loops, endpoints in the graph
+    for s, t in got_pairs:
+        assert (s, t) not in real and s != t
+        assert s in nodes and t in nodes
+    # roughly k per positive edge minus collisions
+    assert len(got_pairs) > 2.0 * len(set(edges))
+    # deterministic across partitionings; new salt = new draw
+    again = [
+        (r["src"], r["dst"])
+        for r in graphalgo.negative_edges(e.repartition(7), k=3, salt="n1").collect()
+    ]
+    assert sorted(got_pairs) == sorted(again)
+    other = [
+        (r["src"], r["dst"])
+        for r in graphalgo.negative_edges(e, k=3, salt="n2").collect()
+    ]
+    assert sorted(got_pairs) != sorted(other)
+    with pytest.raises(ValueError, match="k must be"):
+        graphalgo.negative_edges(e, k=0)
