@@ -356,3 +356,59 @@ def resample(
         for name in names:
             out = out.withColumn(name, F.coalesce(F.col(name), F.lit(0)))
     return out.withColumnRenamed("_bucket", f"{ts_col}_bucket")
+
+
+def anomaly_flags(
+    df: DataFrame,
+    value_col: str,
+    by: str | list[str] | None = None,
+    threshold: float = 3.5,
+    out_col: str = "is_anomaly",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Robust per-key outlier flags: the modified z-score
+    ``0.6745 * (x - median) / MAD`` (Iglewicz & Hoaglin 1993) with
+    ``|z| > threshold`` → ``out_col`` boolean plus ``{value_col}_mz``
+    — median/MAD instead of mean/stddev so the anomalies being hunted
+    cannot mask themselves by inflating the baseline (the classic
+    failure of 3-sigma on spiky ops/metrics series); compose after
+    :func:`resample` for per-bucket rate monitoring.
+
+    One grouped ``percentile_approx`` aggregate for the medians, one
+    for the MADs (it needs the median first), both key-sized and
+    broadcast back — no window over the corpus.  Keys with MAD = 0
+    (over half the points identical) flag only exact deviants
+    (|x - median| > 0 → infinite z → capped to threshold+1); NULL
+    values pass through unflagged with NULL z.
+    """
+    if threshold <= 0:
+        raise ValueError(f"threshold must be > 0, got {threshold}")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(*keys).agg(
+        F.percentile_approx(v, 0.5, accuracy).alias("_med")
+    )
+    j1 = df.join(F.broadcast(med), keys) if keys else df.crossJoin(F.broadcast(med))
+    mad = j1.groupBy(*keys).agg(
+        F.percentile_approx(F.abs(v - F.col("_med")), 0.5, accuracy).alias("_mad")
+    )
+    j2 = (
+        j1.join(F.broadcast(mad), keys)
+        if keys
+        else j1.crossJoin(F.broadcast(mad))
+    )
+    dev = F.abs(v - F.col("_med"))
+    mz = F.when(
+        F.col("_mad") > 0, 0.6745 * (v - F.col("_med")) / F.col("_mad")
+    ).otherwise(
+        F.when(dev > 0, F.lit(threshold + 1.0) * F.signum(v - F.col("_med")))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        j2.withColumn(f"{value_col}_mz", F.when(v.isNotNull(), mz))
+        .withColumn(
+            out_col,
+            F.coalesce(F.abs(F.col(f"{value_col}_mz")) > threshold, F.lit(False)),
+        )
+        .drop("_med", "_mad")
+    )

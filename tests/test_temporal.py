@@ -331,3 +331,33 @@ def test_resample_grid_and_fills(spark):
         temporal.resample(df, "ts", 0, aggs)
     with _pt.raises(ValueError, match="fill"):
         temporal.resample(df, "ts", 10, aggs, fill="bogus")
+
+
+def test_anomaly_flags(spark):
+    from grip_spark import temporal
+
+    # odd counts everywhere: percentile_approx returns a data element
+    # (no interpolation), so medians/MADs are exact and mirror-able
+    rows = [("a", float(x)) for x in [10, 11, 9, 10, 12, 11, 100]]
+    rows += [("b", 5.0)] * 6 + [("b", 5.1)]     # MAD = 0 key: exact deviant
+    rows += [("c", None)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = temporal.anomaly_flags(df, "v", by="k", threshold=3.5).collect()
+
+    import statistics as st
+    a_vals = [10, 11, 9, 10, 12, 11, 100]
+    med = st.median(a_vals)
+    mad = st.median([abs(x - med) for x in a_vals])
+    for r in out:
+        if r["k"] == "a":
+            want_mz = 0.6745 * (r["v"] - med) / mad
+            assert r["v_mz"] == pytest.approx(want_mz, rel=1e-6)
+            assert r["is_anomaly"] == (abs(want_mz) > 3.5)
+        elif r["k"] == "b":
+            assert r["is_anomaly"] == (r["v"] == 5.1)  # MAD=0: exact deviants
+        else:
+            assert r["v_mz"] is None and r["is_anomaly"] is False
+    assert sum(1 for r in out if r["k"] == "a" and r["is_anomaly"]) == 1
+
+    with pytest.raises(ValueError, match="threshold"):
+        temporal.anomaly_flags(df, "v", threshold=0)
