@@ -660,3 +660,94 @@ def percentile_calibrate(
         out,
         F.when(s.isNotNull() & F.col("_cuts").isNotNull(), rank / n_buckets),
     ).drop("_cuts")
+
+
+def export_webdataset(
+    df: DataFrame,
+    id_col: str,
+    path: str,
+    n_shards: int,
+    text_col: str = "text",
+    meta_cols: list[str] | None = None,
+    salt: str = "wds",
+) -> DataFrame:
+    """Write the corpus as ``n_shards`` WebDataset-style tar shards
+    under ``path`` (``shard-00000.tar`` …; member ``{key}.txt`` per
+    document, plus ``{key}.json`` when ``meta_cols`` is given) and
+    return a manifest DataFrame ``(shard, path, n_docs, n_bytes,
+    sha256)`` — the tar-shard sink training loaders stream, next to
+    :func:`export_shards`' parquet layout.
+
+    Byte-reproducible: membership and within-shard order are the
+    :func:`export_shards` hash primitives (pure functions of
+    (salt, id)); tar members are written with zeroed mtime/uid/gid
+    and sorted keys, so re-running the export on any cluster or day
+    yields sha256-identical shards — a training manifest can pin
+    them.  NULL text writes as empty.
+
+    Scale shape: one shard-keyed ``applyInPandas`` (the tar writer
+    needs a whole shard in one task — size ``n_shards`` so a shard
+    fits a task, the same 100 MB–1 GB rule every tar-shard exporter
+    has); executors write directly to ``path`` (local/fuse/NFS —
+    object stores want a committer, so stage locally and upload in
+    the caller if needed).  The manifest is ``n_shards`` rows.
+    """
+    import hashlib
+    import io
+    import json as _json
+    import os
+    import tarfile
+
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be > 0, got {n_shards}")
+    os.makedirs(path, exist_ok=True)
+    c = F.col(id_col)
+    metas = list(meta_cols or [])
+    out = shard_assign(df, id_col, n_shards, salt=f"{salt}:shard").withColumn(
+        "_order", md5_prefix_hash(F.concat(F.lit(f"{salt}:order"), c.cast("string")))
+    )
+    cols = [F.col("shard"), F.col("_order"), c.cast("string").alias("_key"),
+            F.coalesce(F.col(text_col).cast("string"), F.lit("")).alias("_txt")]
+    cols += [F.col(m) for m in metas]
+    slim = out.select(*cols)
+
+    def _write(pdf):
+        import pandas as pd
+
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values(["_order", "k"], kind="mergesort")
+        fname = os.path.join(path, f"shard-{shard:05d}.tar")
+        tmp = fname + ".tmp"
+        with tarfile.open(tmp, "w") as tf:
+            for row in pdf.itertuples(index=False):
+                body = row.txt.encode("utf-8")
+                info = tarfile.TarInfo(name=f"{row.k}.txt")
+                info.size = len(body)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(body))
+                if metas:
+                    meta = {m: getattr(row, m) for m in metas}
+                    mb = _json.dumps(meta, sort_keys=True, default=str).encode()
+                    mi = tarfile.TarInfo(name=f"{row.k}.json")
+                    mi.size = len(mb)
+                    mi.mtime = 0
+                    tf.addfile(mi, io.BytesIO(mb))
+        os.replace(tmp, fname)
+        with open(fname, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "path": [fname],
+                "n_docs": [len(pdf)],
+                "n_bytes": [os.path.getsize(fname)],
+                "sha256": [digest],
+            }
+        )
+
+    # pandas itertuples mangles names starting with "_": plain names
+    slim = slim.withColumnRenamed("_key", "k").withColumnRenamed("_txt", "txt")
+    return slim.groupBy("shard").applyInPandas(
+        _write,
+        schema="shard int, path string, n_docs long, n_bytes long, sha256 string",
+    )

@@ -976,3 +976,47 @@ def test_duplicate_weights(spark):
     }
     # total mass = number of clusters
     assert sum(got.values()) == pytest.approx(3.0)
+
+
+def test_export_webdataset(spark, tmp_path):
+    import hashlib
+    import tarfile
+
+    from grip_spark import sampling
+
+    rows = [(i, f"document body {i}", f"src{i % 3}") for i in range(40)]
+    rows.append((100, None, "src0"))  # NULL text -> empty member
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    p1 = str(tmp_path / "w1")
+    m1 = sampling.export_webdataset(
+        df, "doc_id", p1, n_shards=4, meta_cols=["source"]
+    ).collect()
+    assert len(m1) == 4 and sum(r["n_docs"] for r in m1) == 41
+
+    seen = {}
+    for r in m1:
+        with tarfile.open(r["path"]) as tf:
+            names = tf.getnames()
+            for nm in names:
+                if nm.endswith(".txt"):
+                    body = tf.extractfile(nm).read().decode()
+                    seen[int(nm[:-4])] = body
+            # every doc carries its json sidecar
+            assert sum(1 for n in names if n.endswith(".json")) == r["n_docs"]
+        with open(r["path"], "rb") as f:
+            assert hashlib.sha256(f.read()).hexdigest() == r["sha256"]
+    assert set(seen) == {i for i, _, _ in rows}
+    assert seen[7] == "document body 7"
+    assert seen[100] == ""
+
+    # byte-reproducible: a second export (any partitioning) matches
+    p2 = str(tmp_path / "w2")
+    m2 = sampling.export_webdataset(
+        df.repartition(9), "doc_id", p2, n_shards=4, meta_cols=["source"]
+    ).collect()
+    assert {r["shard"]: r["sha256"] for r in m1} == {
+        r["shard"]: r["sha256"] for r in m2
+    }
+
+    with pytest.raises(ValueError, match="n_shards"):
+        sampling.export_webdataset(df, "doc_id", p1, n_shards=0)
