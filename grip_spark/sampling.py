@@ -751,3 +751,63 @@ def export_webdataset(
         _write,
         schema="shard int, path string, n_docs long, n_bytes long, sha256 string",
     )
+
+
+def read_webdataset(
+    spark,
+    path: str,
+    with_meta: bool = True,
+) -> DataFrame:
+    """Read WebDataset-style tar shards back into ``(shard_path, key,
+    text, meta)`` rows — the source matching :func:`export_webdataset`
+    (and any loader-compatible tar layout: members grouped by key
+    stem, ``.txt`` body + optional ``.json`` sidecar).
+
+    Scale shape: ``binaryFile`` lists and splits the shard FILES
+    across tasks (one tar = one row into the decode stage, the
+    multimodal discipline: payloads decode where the bytes live,
+    nothing shuffles), and one Arrow-batched ``mapInPandas`` untars
+    in memory.  A corrupt/truncated tar yields rows with NULL text
+    and the error in ``meta`` rather than failing the stage (the
+    per-row err-tag convention of the binary decoders).
+    """
+    import io
+    import json as _json
+    import os
+    import tarfile
+
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(
+        os.path.join(path, "*.tar")
+    ).select("path", "content")
+
+    def _untar(batches):
+        for pdf in batches:
+            out = {"shard_path": [], "key": [], "text": [], "meta": []}
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
+                        bodies, metas = {}, {}
+                        for m in tf.getmembers():
+                            stem, ext = os.path.splitext(m.name)
+                            data = tf.extractfile(m).read()
+                            if ext == ".txt":
+                                bodies[stem] = data.decode("utf-8")
+                            elif ext == ".json":
+                                metas[stem] = data.decode("utf-8")
+                    for k in bodies:
+                        out["shard_path"].append(p)
+                        out["key"].append(k)
+                        out["text"].append(bodies[k])
+                        out["meta"].append(metas.get(k) if with_meta else None)
+                except Exception as ex:  # noqa: BLE001 — per-shard err tag
+                    out["shard_path"].append(p)
+                    out["key"].append(None)
+                    out["text"].append(None)
+                    out["meta"].append(_json.dumps({"err": str(ex)[:200]}))
+            yield pd.DataFrame(out)
+
+    return files.mapInPandas(
+        _untar, schema="shard_path string, key string, text string, meta string"
+    )

@@ -1020,3 +1020,26 @@ def test_export_webdataset(spark, tmp_path):
 
     with pytest.raises(ValueError, match="n_shards"):
         sampling.export_webdataset(df, "doc_id", p1, n_shards=0)
+
+
+def test_read_webdataset_roundtrip(spark, tmp_path):
+    import json
+
+    from grip_spark import sampling
+
+    rows = [(i, f"body {i}", f"s{i % 2}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    p = str(tmp_path / "wds")
+    sampling.export_webdataset(df, "doc_id", p, n_shards=3, meta_cols=["source"]).collect()
+
+    back = sampling.read_webdataset(spark, p).collect()
+    got = {int(r["key"]): (r["text"], json.loads(r["meta"])["source"]) for r in back}
+    assert got == {i: (f"body {i}", f"s{i % 2}") for i in range(30)}
+
+    # corrupt tar -> err row, not a stage failure
+    bad = tmp_path / "wds" / "shard-99999.tar"
+    bad.write_bytes(b"not a tar at all")
+    rows2 = sampling.read_webdataset(spark, p).collect()
+    errs = [r for r in rows2 if r["key"] is None]
+    assert len(errs) == 1 and "err" in json.loads(errs[0]["meta"])
+    assert len([r for r in rows2 if r["key"] is not None]) == 30
