@@ -1745,3 +1745,60 @@ def cdc_overlap_pairs(
             "overlap", F.col("shared") / F.least("a_chunks", "b_chunks")
         )
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Exact ASYMMETRIC near-dup pairs: ``containment(A in B) =
+    |grams(A) & grams(B)| / |grams(A)|`` >= threshold → ``(a_id,
+    b_id, containment, jaccard)`` — catches what symmetric Jaccard
+    misses: a short document quoted/embedded inside a much longer one
+    scores near-1 containment but tiny Jaccard (Broder's original
+    resemblance-vs-containment split).  Emitted per DIRECTION (A-in-B
+    and B-in-A are different facts); the Jaccard rides along for
+    threshold cross-checks.
+
+    Same shape as :func:`ngram_jaccard_pairs`: distinct-gram explode,
+    posting equi-join (quadratic only within a gram's posting list),
+    per-pair count, two size joins — with the winnowing ``max_df``
+    discipline: grams in more than ``max_df`` documents drop BEFORE
+    the self-join (boilerplate carries no containment signal and
+    explodes the join); ``None`` for exact.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(text_col, n)).alias("g"),
+    ).withColumn("g", F.xxhash64("g")).distinct()
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    if max_df is not None:
+        hot = sh.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(
+            hot.filter(F.col("_df") <= max_df).select("g"), "g", "left_semi"
+        )
+    l, r = sh.alias("l"), sh.alias("r")
+    inter = (
+        l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l._id") != F.col("r._id")))
+        .groupBy(F.col("l._id").alias("a_id"), F.col("r._id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col("_id").alias("a_id"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("_id").alias("b_id"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("c") / F.col("na")).alias("containment"),
+            (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -2580,3 +2580,29 @@ def test_render_chat_spans(spark):
 
     plain = T.render_chat(df.limit(1), template="plain").collect()[0]
     assert plain["text"].startswith("user: hi\n")
+
+
+def test_ngram_containment_pairs(spark):
+    from grip_spark import dedup
+
+    long_doc = " ".join(f"w{i}" for i in range(60))
+    quote = " ".join(f"w{i}" for i in range(20, 32))     # embedded span
+    other = " ".join(f"x{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, quote), (3, other)], "doc_id long, text string"
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r
+        for r in dedup.ngram_containment_pairs(
+            df, "doc_id", n=3, threshold=0.8
+        ).collect()
+    }
+    # the quote is fully contained in the long doc (10 trigrams, all
+    # present); the reverse direction and unrelated pairs are absent
+    assert (2, 1) in got
+    assert got[(2, 1)]["containment"] == pytest.approx(1.0)
+    assert got[(2, 1)]["jaccard"] == pytest.approx(10 / 58)
+    assert (1, 2) not in got and not any(3 in k for k in got)
+
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.ngram_containment_pairs(df, "doc_id", threshold=0)
