@@ -4203,3 +4203,77 @@ def rouge_l(
         .withColumn(f"{out_prefix}_f1", F.col("_rl.f1"))
         .drop("_rl")
     )
+
+
+def compressibility(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "compress_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio ``compressed/raw`` in
+    (0, ~1.05] → ``out_col`` (NULL for NULL/empty text) — the
+    parameter-free repetition/templating signal (a deflate stream IS
+    a repetition model): machine-generated boilerplate lands well
+    under natural prose's ~0.3-0.6 band, random/encrypted blobs near
+    1.0.  Thresholds are corpus-relative — feed
+    :func:`sampling.percentile_calibrate` rather than hardcoding.
+
+    One Arrow-batched pandas UDF (zlib is C-speed; there is no JVM
+    expression for it) — no shuffle; compose with
+    :func:`repetition_stats` (token-level runs) and
+    :func:`ngram_diversity` (type/token ratios) for the full
+    degeneracy picture."""
+    if not 1 <= level <= 9:
+        raise ValueError(f"level must be in 1..9, got {level}")
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio_fn(s):
+        import zlib
+
+        out = []
+        for t in s:
+            if not t:
+                out.append(None)
+                continue
+            raw = t.encode("utf-8")
+            out.append(len(zlib.compress(raw, level)) / len(raw))
+        return pd.Series(out, dtype="float64")
+
+    _ratio = pandas_udf(_ratio_fn, "double")
+    return df.withColumn(out_col, _ratio(F.col(text_col)))
+
+
+# tell-tale byte sequences of UTF-8 read as Latin-1/Windows-1252 and
+# re-encoded (the ftfy mojibake class), plus hard decode-failure marks
+_MOJIBAKE_RE = (
+    "(?:Ã[‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“”•–—˜™š›œžŸ¡¢£¤¥¦§¨©ª«¬®¯°±²³´µ¶·¸¹º»¼½¾¿]"
+    "|â€[™œ¦“”˜¢]|â€"
+    "|Â[ °±²³´µ¶·¸¹º»¼½¾¿¡¢£¤¥¦§¨©ª«¬®¯]"
+    "|�)"
+)
+
+
+def mojibake_score(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "mojibake_per_kchar",
+) -> DataFrame:
+    """Encoding-damage signal: occurrences of classic mojibake
+    sequences (UTF-8 bytes mis-decoded as Latin-1/cp1252 — ``Ã©``,
+    ``â€™``, ``Â·`` — plus U+FFFD replacement chars) per 1000 chars →
+    ``out_col`` (0.0 for clean text, NULL for NULL/empty).  Natural
+    text with real ``Ã`` words (Portuguese ``não`` is ``nÃ£o`` only
+    when BROKEN) triggers only on the impossible-in-clean-text
+    second bytes, so false positives need adversarial input, not
+    ordinary accented prose.  One ``regexp_count`` in codegen — no
+    Python, no shuffle; gate or route to a re-decode fixer."""
+    c = F.col(text_col)
+    return df.withColumn(
+        out_col,
+        F.when(
+            c.isNotNull() & (F.length(c) > 0),
+            F.regexp_count(c, F.lit(_MOJIBAKE_RE)) * 1000.0 / F.length(c),
+        ),
+    )

@@ -1628,3 +1628,40 @@ def test_rouge_l_matches_mirror(spark):
         assert got[i]["rouge_l_r"] == pytest.approx(want[1], abs=1e-12), i
         assert got[i]["rouge_l_f1"] == pytest.approx(want[2], abs=1e-12), i
     assert got[100]["rouge_l_f1"] == 1.0
+
+
+def test_compressibility(spark):
+    import zlib
+
+    rows = [
+        (0, "spam spam spam " * 50),
+        (1, "the quick brown fox jumps over one lazy dog while another watches"),
+        (2, ""),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["compress_ratio"] for r in text.compressibility(df).collect()}
+    for i, t in rows[:2]:
+        raw = t.encode()
+        assert got[i] == pytest.approx(len(zlib.compress(raw, 6)) / len(raw))
+    assert got[0] < got[1]  # repetitive text compresses harder
+    assert got[2] is None and got[3] is None
+    with pytest.raises(ValueError, match="level"):
+        text.compressibility(df, level=0)
+
+
+def test_mojibake_score(spark):
+    rows = [
+        (0, "a perfectly clean sentence with café and naïve accents"),
+        (1, "this is broken: nÃ£o and donâ€™t and 55Â·3 everywhere"),
+        (2, "hard failure � marks � here"),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["mojibake_per_kchar"] for r in text.mojibake_score(df).collect()}
+    assert got[0] == 0.0
+    assert got[1] > 0 and got[2] > 0
+    assert got[3] is None and got[4] is None
+    # rate math: doc 2 has 2 hits
+    assert got[2] == pytest.approx(2 * 1000.0 / len(rows[2][1]))
