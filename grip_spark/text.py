@@ -4277,3 +4277,84 @@ def mojibake_score(
             F.regexp_count(c, F.lit(_MOJIBAKE_RE)) * 1000.0 / F.length(c),
         ),
     )
+
+
+def doc_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_df: int = 2,
+    out_col: str = "keywords",
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms → ``(id_col, out_col:
+    array<struct<token, score>>)``, score-descending (ties: token
+    asc) — the corpus-exploration/labeling view of single documents,
+    next to :func:`cluster_top_terms`' c-TF-IDF over clusters.
+    ``tf = count/len(doc)``, ``idf = ln((N+1)/(df+1)) + 1`` (the
+    smoothed sklearn form).  ``min_df`` drops hapax/typo tokens whose
+    idf would otherwise dominate every list.
+
+    Scale shape: one (doc, token) count aggregate over the token
+    explode, one token-keyed df aggregate (Zipf-bounded), a join of
+    the two (AQE broadcasts the df table when it is small), and a
+    doc-partitioned top-k window — never a global sort; rows carry
+    (id, token, two doubles), never text.  Documents with no
+    surviving tokens return an empty array (not dropped)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    from pyspark.sql.window import Window
+
+    toks = F.filter(
+        tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+    tf = base.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_n"))
+    dl = tf.groupBy(id_col).agg(F.sum("_n").alias("_dl"))
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = (
+        tf.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .withColumn(
+            "_idf", F.log((n_docs + 1.0) / (F.col("_df") + 1.0)) + 1.0
+        )
+    )
+    scored = (
+        tf.join(dfreq.select("_tok", "_idf"), "_tok")
+        .join(dl, id_col)
+        .withColumn("_score", F.col("_n") / F.col("_dl") * F.col("_idf"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_score").desc(), F.col("_tok").asc()
+    )
+    top = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_r", "_tok", "_score"))
+            ).alias("_kw")
+        )
+        .select(
+            id_col,
+            F.transform(
+                "_kw",
+                lambda s: F.struct(
+                    s["_tok"].alias("token"), s["_score"].alias("score")
+                ),
+            ).alias(out_col),
+        )
+    )
+    empty = F.array().cast(
+        "array<struct<token:string,score:double>>"
+    )
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(top, id_col, "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), empty))
+    )

@@ -1665,3 +1665,37 @@ def test_mojibake_score(spark):
     assert got[3] is None and got[4] is None
     # rate math: doc 2 has 2 hits
     assert got[2] == pytest.approx(2 * 1000.0 / len(rows[2][1]))
+
+
+def test_doc_keywords(spark):
+    rows = [
+        (0, "apple banana apple cherry apple common common"),
+        (1, "banana banana durian common common common"),
+        (2, "cherry durian elder common"),
+        (3, ""),  # empty -> empty keyword list
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: [(kw["token"], kw["score"]) for kw in r["keywords"]]
+        for r in text.doc_keywords(df, k=2, min_df=2).collect()
+    }
+    import math
+
+    def idf(dfreq, n=4):
+        return math.log((n + 1) / (dfreq + 1)) + 1
+
+    # doc 0: apple dropped (df=1 < min_df)? apple appears only in doc 0
+    # -> dropped; banana tf=1/7 idf(2); cherry 1/7 idf(2); common 2/7 idf(4)
+    d0 = dict(got[0])
+    assert "apple" not in d0
+    assert d0["common"] == pytest.approx(2 / 7 * idf(3))  # df=3 (doc 3 empty)
+    # top-2 = the two highest scores: common and (banana|cherry tie -> banana)
+    assert [t for t, _ in got[0]] == ["common", "banana"]
+    assert got[3] == []
+    # every listed score descends
+    for kws in got.values():
+        scores = [s for _, s in kws]
+        assert scores == sorted(scores, reverse=True)
+
+    with pytest.raises(ValueError, match="k must be"):
+        text.doc_keywords(df, k=0)
