@@ -81,3 +81,22 @@ def test_edit_distance_plan_shape(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"):
         assert bad not in plan
+
+
+@pytest.mark.parametrize("tau", [1, 3])
+def test_edit_distance_exhaustive_tiny_alphabet(spark, tau):
+    """ALL strings over {a,b} of length 0..5 (63 strings, every
+    boundary case: sub-(tau+1) shorts, repeated chars = maximal
+    segment-hash collisions, equal lengths) vs brute force."""
+    import itertools
+
+    strs = [""]
+    for L in range(1, 6):
+        strs += ["".join(p) for p in itertools.product("ab", repeat=L)]
+    rows = list(enumerate(strs))
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in dedup.edit_distance_pairs(df, "id", max_dist=tau).collect()
+    }
+    assert got == _brute(rows, tau)
