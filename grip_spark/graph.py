@@ -586,6 +586,103 @@ class GripGraph:
             name=name,
         )
 
+    def to_jsonl(
+        self, v_path: str, e_path: str, mode: str = "overwrite",
+        single_file: bool = False,
+    ) -> None:
+        """Dump the graph in the reference's bulk JSONL format (the
+        ``from_jsonl`` inverse — one ``{"gid", "label", "data",
+        ["from"/"to"]}`` object per line), so data round-trips between
+        engines.  Each path becomes a directory of JSONL part files
+        (the distributed equivalent of the reference's single dump
+        file; ``single_file=True`` coalesces — small graphs only).
+
+        Fidelity: ragged (variant) graphs dump exactly (absent keys
+        absent, explicit nulls kept — ``to_json`` of a variant is the
+        document).  Struct graphs with the loader's ``__keys``
+        presence column reconstruct exactly too: non-null fields via
+        ``to_json`` (which drops nulls), then the present-but-null
+        keys are re-injected as ``"k":null``.  Foreign struct tables
+        without ``__keys`` dump with null fields omitted — the same
+        presence limit :meth:`query`'s hasKey documents.
+        """
+        for df, edge, path in (
+            (self.vertices, False, v_path),
+            (self.edges, True, e_path),
+        ):
+            sys_fields = [F.col("gid"), F.col("label")]
+            if edge:
+                sys_fields += [
+                    F.col("src").alias("from"),
+                    F.col("dst").alias("to"),
+                ]
+            sys_json = F.to_json(F.struct(*sys_fields))
+            if "data" not in df.columns:
+                body = F.lit("{}")
+            elif _is_variant_type(df.schema["data"].dataType):
+                body = F.coalesce(F.to_json(F.col("data")), F.lit("{}"))
+            else:
+                dt = df.schema["data"].dataType
+                has_keys = isinstance(dt, StructType) and "__keys" in dt.names
+                data = (
+                    F.col("data").dropFields("__keys")
+                    if has_keys
+                    else F.col("data")
+                )
+                body0 = F.coalesce(F.to_json(data), F.lit("{}"))
+                if has_keys:
+                    present = F.coalesce(
+                        F.json_object_keys(body0), F.array().cast("array<string>")
+                    )
+                    keys = F.coalesce(
+                        F.col("data.__keys"), F.array().cast("array<string>")
+                    )
+                    null_keys = F.array_except(keys, present)
+                    # JSON-escaped key via to_json(array(k)): '["k"]'
+                    frag = F.concat_ws(
+                        ",",
+                        F.transform(
+                            null_keys,
+                            lambda k: F.concat(
+                                # JSON-escape the key: to_json(["k"])
+                                # is '["k"]'; strip the brackets
+                                F.substring(
+                                    F.to_json(F.array(k)),
+                                    2,
+                                    F.length(F.to_json(F.array(k))) - 2,
+                                ),
+                                F.lit(":null"),
+                            ),
+                        ),
+                    )
+                    body = (
+                        F.when(F.size(null_keys) == 0, body0)
+                        .when(
+                            body0 == "{}",
+                            F.concat(F.lit("{"), frag, F.lit("}")),
+                        )
+                        .otherwise(
+                            F.concat(
+                                F.substring(body0, 1, F.length(body0) - 1),
+                                F.lit(","),
+                                frag,
+                                F.lit("}"),
+                            )
+                        )
+                    )
+                else:
+                    body = body0
+            line = F.concat(
+                F.substring(sys_json, 1, F.length(sys_json) - 1),
+                F.lit(',"data":'),
+                body,
+                F.lit("}"),
+            )
+            out = df.select(line.alias("value"))
+            if single_file:
+                out = out.coalesce(1)
+            out.write.mode(mode).text(path)
+
     def save_tables(self, prefix: str, buckets: int = 32, mode: str = "overwrite") -> None:
         """Bucketed catalog tables for shuffle-free adjacency joins:
         vertices bucketed by ``gid``; edges stored twice, bucketed by

@@ -125,3 +125,72 @@ def test_haskey_exact_survives_save_load_roundtrip(spark, tmp_path):
     exact(GripGraph.load(spark, path))
     graph.save_tables("keys_rt_tbl", buckets=2)
     exact(GripGraph.from_tables(spark, "keys_rt_tbl"))
+
+
+# ---------------------------------------------------------------------------
+# to_jsonl (bulk dump — the from_jsonl inverse)
+# ---------------------------------------------------------------------------
+
+
+def _dump_lines(spark, path):
+    import json
+
+    return sorted(
+        json.dumps(json.loads(r["value"]), sort_keys=True)
+        for r in spark.read.text(path).collect()
+    )
+
+
+@pytest.mark.parametrize("ragged", [False, True])
+def test_to_jsonl_roundtrip_fixed_point(spark, tmp_path, ragged):
+    """dump → load → dump must be a fixed point (canonical-JSON line
+    sets identical), including explicit-null vs absent keys."""
+    import json
+
+    from grip_spark import GripGraph
+
+    vsrc = tmp_path / "v.jsonl"
+    esrc = tmp_path / "e.jsonl"
+    vsrc.write_text(
+        "\n".join(
+            [
+                json.dumps({"gid": "v1", "label": "A",
+                            "data": {"x": 1, "y": None, "s": 'quo"te'}}),
+                json.dumps({"gid": "v2", "label": "A", "data": {"x": 2}}),
+                json.dumps({"gid": "v3", "label": "B", "data": {}}),
+            ]
+        )
+    )
+    esrc.write_text(
+        json.dumps({"gid": "e1", "label": "r", "from": "v1", "to": "v2",
+                    "data": {"w": 1.5}})
+    )
+    g = GripGraph.from_jsonl(spark, str(vsrc), str(esrc), ragged=ragged)
+    d1v, d1e = str(tmp_path / "d1v"), str(tmp_path / "d1e")
+    g.to_jsonl(d1v, d1e)
+    g2 = GripGraph.from_jsonl(spark, d1v, d1e, ragged=ragged)
+    d2v, d2e = str(tmp_path / "d2v"), str(tmp_path / "d2e")
+    g2.to_jsonl(d2v, d2e)
+    assert _dump_lines(spark, d1v) == _dump_lines(spark, d2v)
+    assert _dump_lines(spark, d1e) == _dump_lines(spark, d2e)
+
+    # explicit null survives, absent key stays absent
+    dumped = {l for l in _dump_lines(spark, d1v)}
+    v1 = next(json.loads(l) for l in dumped if json.loads(l)["gid"] == "v1")
+    v2 = next(json.loads(l) for l in dumped if json.loads(l)["gid"] == "v2")
+    assert v1["data"]["y"] is None and v1["data"]["s"] == 'quo"te'
+    assert "y" not in v2["data"]
+    # edges carry the reference's from/to field names
+    e1 = json.loads(_dump_lines(spark, d1e)[0])
+    assert e1["from"] == "v1" and e1["to"] == "v2"
+
+
+def test_to_jsonl_swapi_roundtrip_counts(spark, swapi, tmp_path):
+    from grip_spark import GripGraph
+
+    vp, ep = str(tmp_path / "sv"), str(tmp_path / "se")
+    swapi.to_jsonl(vp, ep)
+    g2 = GripGraph.from_jsonl(spark, vp, ep)
+    assert g2.query().V().count().execute()[0]["count"] == 39
+    assert g2.query().E().count().execute()[0]["count"] == 144
+    assert len(g2.query().V().distinct("eye_color").execute()) == 8
