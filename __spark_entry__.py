@@ -1228,16 +1228,28 @@ def q_dedup_ngram_pairs(spark, sf_dir):
 def q_dedup_pairs(spark, sf_dir):
     """n-gram Jaccard exact pairs (n=3) + MinHash-LSH near-dup pairs
     (LSH candidates verified by exact 5-gram Jaccard; the oracle's
-    exact pair set would surface any recall gap as missing rows) as
-    one labeled matrix — folded in r6 to fund the ``harmonic`` slot
-    under the driver's 50-query cap."""
+    exact pair set would surface any recall gap as missing rows) +
+    PassJoin edit-distance pairs (tau=1 on a 40-char key; the DuckDB
+    oracle is the brute-force levenshtein cross join, so a recall gap
+    in the segment-pigeonhole candidate generation surfaces as
+    missing rows) as one labeled matrix — folded in r6/r8 under the
+    driver's 50-query cap."""
     a = q_dedup_ngram_pairs(spark, sf_dir).select(
         F.lit("ngram3").alias("variant"), "a_id", "b_id"
     )
     b = q_dedup_minhash_pairs(spark, sf_dir).select(
         F.lit("minhash").alias("variant"), "a_id", "b_id"
     )
-    return a.unionByName(b)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c = dedup.edit_distance_pairs(
+        docs.select(
+            "doc_id", F.substring(F.coalesce("text", F.lit("")), 1, 40).alias("text")
+        ),
+        "doc_id",
+        max_dist=1,
+    ).select(F.lit("editdist").alias("variant"),
+             F.col("id_a").alias("a_id"), F.col("id_b").alias("b_id"))
+    return a.unionByName(b).unionByName(c)
 
 
 def _cop_edges(spark, sf_dir):
@@ -2610,7 +2622,20 @@ def oracle_sql() -> dict[str, str]:
         "dedup_pairs": (
             f"SELECT 'ngram3' AS variant, a_id, b_id FROM ({_JACCARD_PAIRS.format(n=3, n1=2)}) "
             "UNION ALL "
-            f"SELECT 'minhash', a_id, b_id FROM ({_JACCARD_PAIRS.format(n=5, n1=4)})"
+            f"SELECT 'minhash', a_id, b_id FROM ({_JACCARD_PAIRS.format(n=5, n1=4)}) "
+            "UNION ALL "
+            # edit distance: brute-force oracle; orientation matches the
+            # engine (shorter string first, ties by id)
+            "SELECT 'editdist', "
+            "CASE WHEN length(x.t) < length(y.t) "
+            "     OR (length(x.t) = length(y.t) AND x.doc_id < y.doc_id) "
+            "     THEN x.doc_id ELSE y.doc_id END AS a_id, "
+            "CASE WHEN length(x.t) < length(y.t) "
+            "     OR (length(x.t) = length(y.t) AND x.doc_id < y.doc_id) "
+            "     THEN y.doc_id ELSE x.doc_id END AS b_id "
+            "FROM (SELECT doc_id, substring(coalesce(text, ''), 1, 40) AS t FROM documents) x "
+            "JOIN (SELECT doc_id, substring(coalesce(text, ''), 1, 40) AS t FROM documents) y "
+            "ON x.doc_id < y.doc_id AND levenshtein(x.t, y.t) <= 1"
         ),
         "centrality": _CENTRALITY_SQL,
         "dedup_clusters": _CLUSTERS_SQL,
