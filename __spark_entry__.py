@@ -753,6 +753,8 @@ def q_doc_text_profile(spark, sf_dir):
     # mixed-script gate; synthetic corpus is pure latin+digits, so the
     # interesting columns are latin < 1.0 and other > 0)
     d = text.script_stats(d, scripts=("latin", "cyrillic"))
+    # r8 session 3: per-doc distinct-n diversity ratios join the matrix
+    d = text.ngram_diversity(d.drop("n_tokens"), ns=(1, 2))
     return d.select(
         "doc_id",
         "n_tokens",
@@ -766,6 +768,8 @@ def q_doc_text_profile(spark, sf_dir):
         "fp",
         "script_latin",
         "script_other",
+        "distinct_1",
+        "distinct_2",
     )
 
 
@@ -2492,7 +2496,14 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, n_tokens, n_chars_total, n_alpha, n_upper, n_digit, "
             f"n_space, quality, {lang_case} AS lang_guess, fp, "
             "round(CASE WHEN _nsp > 0 THEN _nlat * 1.0 / _nsp ELSE 0.0 END, 6) AS script_latin, "
-            "round(CASE WHEN _nsp > 0 THEN _noth * 1.0 / _nsp ELSE 0.0 END, 6) AS script_other "
+            "round(CASE WHEN _nsp > 0 THEN _noth * 1.0 / _nsp ELSE 0.0 END, 6) AS script_other, "
+            # distinct-n diversity: same filtered-token list as the
+            # engine; counts of distinct (hashed) grams are equal as
+            # long as xxhash64 is collision-free on the corpus
+            "CASE WHEN len(_tk) >= 1 THEN len(list_distinct(_tk)) * 1.0 / len(_tk) END AS distinct_1, "
+            "CASE WHEN len(_tk) >= 2 THEN len(list_distinct("
+            "[_tk[CAST(i AS INT)] || chr(31) || _tk[CAST(i + 1 AS INT)] "
+            "FOR i IN generate_series(1, len(_tk) - 1)])) * 1.0 / (len(_tk) - 1) END AS distinct_2 "
             "FROM ("
             f"SELECT doc_id, CAST(len({_TOKENS}) AS INT) AS n_tokens, "
             "CAST(length(text) AS INT) AS n_chars_total, "
@@ -2509,6 +2520,7 @@ def oracle_sql() -> dict[str, str]:
             f"   / greatest(len({_TOKENS}), 1), 1.0) * 0.25"
             ", 6) AS quality, "
             "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp, "
+            f"list_filter({_TOKENS}, x -> x != '') AS _tk, "
             "length(regexp_replace(text, '\\s', '', 'g')) AS _nsp, "
             "length(text) - length(regexp_replace(text, '[A-Za-zÀ-ɏ]', '', 'g')) AS _nlat, "
             "length(regexp_replace(text, '[A-Za-zÀ-ɏЀ-ӿ\\s]', '', 'g')) AS _noth, "
