@@ -1299,7 +1299,35 @@ def q_centrality(spark, sf_dir):
         "id",
         F.round("betweenness", 6).alias("value"),
     )
-    return h.unionByName(b)
+    # r8 session 3: triangle counts + clustering coefficients over the
+    # c-o / o-p / c-p triangle graph (every triangle is one (c,o,p)
+    # triple, so the DuckDB oracle is a plain distinct-triple count)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    co = orders.select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("dst"),
+    )
+    op = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    cp = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    tedges = co.unionByName(op).unionByName(cp)
+    t = graphalgo.triangle_count(tedges).select(
+        F.lit("triangles").alias("metric"),
+        "id",
+        F.round(F.col("triangles").cast("double"), 6).alias("value"),
+    )
+    cc = graphalgo.clustering_coefficient(tedges).select(
+        F.lit("clustcoef").alias("metric"),
+        "id",
+        F.round("coefficient", 6).alias("value"),
+    )
+    return h.unionByName(b).unionByName(t).unionByName(cc)
 
 
 def q_langid(spark, sf_dir):
@@ -1819,12 +1847,54 @@ bc AS (
   SELECT id, sum(delta) * ((SELECT n FROM tot) / 16) AS value
   FROM dep1 GROUP BY id
   HAVING sum(delta) * ((SELECT n FROM tot) / 16) > 0
+),
+-- triangle graph: c-o, o-p, plus the c-p chord every lineitem implies;
+-- every triangle is exactly one (c, o, p) triple (no same-type edges)
+tedges AS (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM (
+    SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS a,
+           'o:' || CAST(o_orderkey AS VARCHAR) AS b FROM orders
+    UNION ALL
+    SELECT 'o:' || CAST(l_orderkey AS VARCHAR),
+           'p:' || CAST(l_partkey AS VARCHAR) FROM lineitem
+    UNION ALL
+    SELECT 'c:' || CAST(o_custkey AS VARCHAR),
+           'p:' || CAST(l_partkey AS VARCHAR)
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  ) WHERE a <> b
+),
+tris AS (
+  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS c,
+                  'o:' || CAST(l_orderkey AS VARCHAR) AS o,
+                  'p:' || CAST(l_partkey AS VARCHAR) AS p
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+pertri AS (
+  SELECT id, CAST(count(*) AS DOUBLE) AS t FROM (
+    SELECT c AS id FROM tris UNION ALL SELECT o FROM tris
+    UNION ALL SELECT p FROM tris
+  ) GROUP BY id
+),
+tdeg AS (
+  SELECT id, CAST(count(*) AS DOUBLE) AS d FROM (
+    SELECT a AS id FROM tedges UNION ALL SELECT b FROM tedges
+  ) GROUP BY id
+),
+ccoef AS (
+  SELECT tdeg.id,
+         CASE WHEN d >= 2 THEN 2.0 * coalesce(t, 0.0) / (d * (d - 1))
+              ELSE 0.0 END AS coeff
+  FROM tdeg LEFT JOIN pertri ON pertri.id = tdeg.id
 )
 SELECT 'harmonic' AS metric, id,
        round(sum(h) * ((SELECT n FROM tot) / 16), 6) AS value
 FROM lvl GROUP BY id
 UNION ALL
 SELECT 'betweenness', id, round(value, 6) FROM bc
+UNION ALL
+SELECT 'triangles', id, round(t, 6) FROM pertri
+UNION ALL
+SELECT 'clustcoef', id, round(coeff, 6) FROM ccoef
 """
 
 # langid replica (text.py:langid_model/langid_score, n=3, vocab 2000):
