@@ -332,3 +332,45 @@ def compare_profiles(
                 }
             )
     return out
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two corpus snapshots → one row
+    ``(n_old, n_new, added, removed, changed, unchanged)`` — the
+    between-builds audit next to :func:`compare_profiles`'
+    distribution drift: "what did yesterday's pipeline change"
+    answered without re-reading either corpus twice.
+
+    ``compare_cols`` defaults to every shared non-id column; change
+    detection hashes the compared columns (xxhash64 over their
+    concatenated JSON), so text never travels — the full-outer join
+    carries (id, 64-bit hash) pairs only.  One join + one aggregate.
+    """
+    shared = [
+        c for c in old.columns if c in set(new.columns) and c != id_col
+    ]
+    cols = shared if compare_cols is None else list(compare_cols)
+    if not cols:
+        raise ValueError("snapshot_diff: no columns to compare")
+
+    def keyed(df, tag):
+        h = F.xxhash64(*[F.to_json(F.struct(F.col(c))) for c in cols])
+        return df.select(F.col(id_col).alias("_id"), h.alias(f"_h_{tag}"))
+
+    j = keyed(old, "o").join(keyed(new, "n"), "_id", "full_outer")
+    o, n = F.col("_h_o"), F.col("_h_n")
+    return j.agg(
+        F.count(o).alias("n_old"),
+        F.count(n).alias("n_new"),
+        F.count(F.when(o.isNull() & n.isNotNull(), 1)).alias("added"),
+        F.count(F.when(o.isNotNull() & n.isNull(), 1)).alias("removed"),
+        F.count(F.when(o.isNotNull() & n.isNotNull() & (o != n), 1)).alias(
+            "changed"
+        ),
+        F.count(F.when(o == n, 1)).alias("unchanged"),
+    )

@@ -559,6 +559,42 @@ class GripGraph:
         )
         return GripGraph(v, e, name=f"{self.name}__schema")
 
+    def dangling_edges(self) -> DataFrame:
+        """Referential-integrity report: edges whose ``src`` or ``dst``
+        references no vertex → ``(gid, label, src, dst, missing)``
+        with ``missing`` in ``{"src", "dst", "both"}`` — the load-time
+        audit for bulk imports (the reference validates endpoints at
+        the AddEdge RPC, ``graphql/resolver`` path; a bulk parquet
+        attach has no such gate, and a dangling edge silently vanishes
+        from hops).  Two anti-join-shaped left joins against the
+        vertex-id set; empty result = clean graph."""
+        ids = self.vertices.select(F.col("gid").alias("_vid")).distinct()
+        e = (
+            self.edges.join(
+                ids.withColumnRenamed("_vid", "_src_ok").withColumn(
+                    "_s", F.lit(1)
+                ),
+                F.col("src") == F.col("_src_ok"),
+                "left",
+            )
+            .join(
+                ids.withColumnRenamed("_vid", "_dst_ok").withColumn(
+                    "_d", F.lit(1)
+                ),
+                F.col("dst") == F.col("_dst_ok"),
+                "left",
+            )
+        )
+        missing = (
+            F.when(F.col("_s").isNull() & F.col("_d").isNull(), "both")
+            .when(F.col("_s").isNull(), "src")
+            .when(F.col("_d").isNull(), "dst")
+        )
+        return (
+            e.filter(F.col("_s").isNull() | F.col("_d").isNull())
+            .select("gid", "label", "src", "dst", missing.alias("missing"))
+        )
+
     def cache(self) -> "GripGraph":
         self.vertices.cache()
         self.edges.cache()

@@ -155,3 +155,25 @@ def test_compare_profiles_drift(spark):
     got4 = {(r["column"], r["check"]): r["ok"]
             for r in checks.compare_profiles(p4, c3)}
     assert got4[("*", "row_count_ratio")] is False  # 0 -> 1 rows
+
+
+def test_snapshot_diff(spark):
+    from grip_spark import checks
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "id long, text string, score double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "c-edited", 3.0), (4, "d", 4.0)],
+        "id long, text string, score double",
+    )
+    r = checks.snapshot_diff(old, new, "id").collect()[0]
+    assert (r["n_old"], r["n_new"]) == (3, 3)
+    assert (r["added"], r["removed"], r["changed"], r["unchanged"]) == (1, 1, 1, 1)
+    # restrict comparison to one column: the text edit disappears
+    r2 = checks.snapshot_diff(old, new, "id", compare_cols=["score"]).collect()[0]
+    assert (r2["changed"], r2["unchanged"]) == (0, 2)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="no columns"):
+        checks.snapshot_diff(old.select("id"), new.select("id"), "id")

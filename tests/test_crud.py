@@ -409,3 +409,24 @@ def test_mutations_preserve_indices_and_rev_edges(spark, swapi):
     g3 = g2.deleteEdges(["nope"])
     assert g3.listIndices() == g.listIndices()
     assert g3.edges_rev is None  # stale copy dropped on edge mutation
+
+
+def test_dangling_edges_report(spark):
+    from grip_spark import GripGraph
+
+    v = spark.createDataFrame(
+        [("a", "N", None), ("b", "N", None)],
+        "gid string, label string, data string",
+    ).drop("data")
+    e = spark.createDataFrame(
+        [
+            ("e1", "r", "a", "b"),   # clean
+            ("e2", "r", "a", "zz"),  # dst missing
+            ("e3", "r", "zz", "b"),  # src missing
+            ("e4", "r", "x", "y"),   # both missing
+        ],
+        "gid string, label string, src string, dst string",
+    )
+    g = GripGraph(v, e)
+    got = {r["gid"]: r["missing"] for r in g.dangling_edges().collect()}
+    assert got == {"e2": "dst", "e3": "src", "e4": "both"}
