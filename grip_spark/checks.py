@@ -350,6 +350,12 @@ def snapshot_diff(
     detection hashes the compared columns (xxhash64 over their
     concatenated JSON), so text never travels — the full-outer join
     carries (id, 64-bit hash) pairs only.  One join + one aggregate.
+
+    Duplicate ids are safe: each side first folds to one row per id
+    (hash of the SORTED multiset of row hashes), so ``n_old`` /
+    ``n_new`` count distinct ids and a duplicated key can't multiply
+    rows through the full-outer join — an id whose set of row
+    versions changed (including multiplicity) counts as ``changed``.
     """
     shared = [
         c for c in old.columns if c in set(new.columns) and c != id_col
@@ -360,7 +366,15 @@ def snapshot_diff(
 
     def keyed(df, tag):
         h = F.xxhash64(*[F.to_json(F.struct(F.col(c))) for c in cols])
-        return df.select(F.col(id_col).alias("_id"), h.alias(f"_h_{tag}"))
+        return (
+            df.select(F.col(id_col).alias("_id"), h.alias("_h"))
+            .groupBy("_id")
+            .agg(
+                F.xxhash64(
+                    F.to_json(F.sort_array(F.collect_list("_h")))
+                ).alias(f"_h_{tag}")
+            )
+        )
 
     j = keyed(old, "o").join(keyed(new, "n"), "_id", "full_outer")
     o, n = F.col("_h_o"), F.col("_h_n")

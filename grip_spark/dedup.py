@@ -935,11 +935,20 @@ def dedup_canonical_by(
     (order key, id) + a semi-join on the winner ids — no window sort;
     the aggregate map-side combines, so a pathological giant cluster
     costs one combiner slot, not a partition sort.  Singletons pass
-    through untouched."""
+    through untouched.
+
+    Rows whose ``order_col`` is NULL always LOSE the election (a
+    leading null-flag field in the rank struct sorts them after every
+    non-null candidate in both directions); a cluster that is
+    entirely NULL-keyed falls back to the min-id winner."""
     tagged = attach_components(df, id_col, pairs, a_col, b_col)
     key = F.col(order_col)
+    # NULLs must lose in BOTH modes: struct-min treats a NULL field as
+    # smallest and a negated NULL stays NULL, so without this flag a
+    # NULL-quality row would beat every real candidate.
+    null_last = key.isNull().cast("int").alias("z")
     if ascending:
-        rank = F.struct(key.alias("k"), F.col(id_col).alias("i"))
+        rank = F.struct(null_last, key.alias("k"), F.col(id_col).alias("i"))
     else:
         # flip only the order key, not the id tie-break — needs a
         # negatable (numeric) key; scores/lengths/epoch-times all are
@@ -950,7 +959,7 @@ def dedup_canonical_by(
                 f"descending dedup_canonical_by needs a numeric "
                 f"order_col, got {df.schema[order_col].dataType}"
             )
-        rank = F.struct((-key).alias("k"), F.col(id_col).alias("i"))
+        rank = F.struct(null_last, (-key).alias("k"), F.col(id_col).alias("i"))
     winners = (
         tagged.groupBy("component")
         .agg(F.min(rank).alias("_w"))
@@ -1714,12 +1723,16 @@ def cdc_overlap_pairs(
     discipline: an all-zeros block or common file header appears in
     everything and would explode the join while carrying no signal);
     dropped-hot-hash count is the caller's to audit via the returned
-    plan — set ``max_df=None`` for exact.
+    plan — set ``max_df=None`` for exact.  The ``a_chunks`` /
+    ``b_chunks`` denominators are counted AFTER the hot-hash drop, so
+    ``overlap`` is consistent with ``shared`` (both measured over the
+    retained, informative chunks — a doc made entirely of dropped
+    boilerplate simply emits no pairs rather than an understated
+    ratio).
     """
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
     post = chunks.select(F.col(id_col).alias("_id"), "chunk_hash").distinct()
-    sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     if max_df is not None:
         hot = post.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("_df"))
         post = post.join(
@@ -1727,6 +1740,7 @@ def cdc_overlap_pairs(
             "chunk_hash",
             "left_semi",
         )
+    sizes = post.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     l = post.select("chunk_hash", F.col("_id").alias("a_id"))
     r = post.select("chunk_hash", F.col("_id").alias("b_id"))
     pairs = (
@@ -1769,7 +1783,11 @@ def ngram_containment_pairs(
     per-pair count, two size joins — with the winnowing ``max_df``
     discipline: grams in more than ``max_df`` documents drop BEFORE
     the self-join (boilerplate carries no containment signal and
-    explodes the join); ``None`` for exact.
+    explodes the join); ``None`` for exact.  The size denominators
+    are counted AFTER the drop, so containment/jaccard stay
+    consistent with the intersection count (a quote made of
+    boilerplate grams emits no pair instead of an understated,
+    never-passing ratio).
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -1777,12 +1795,12 @@ def ngram_containment_pairs(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(text_col, n)).alias("g"),
     ).withColumn("g", F.xxhash64("g")).distinct()
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     if max_df is not None:
         hot = sh.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
         sh = sh.join(
             hot.filter(F.col("_df") <= max_df).select("g"), "g", "left_semi"
         )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     l, r = sh.alias("l"), sh.alias("r")
     inter = (
         l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l._id") != F.col("r._id")))

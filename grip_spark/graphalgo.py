@@ -2434,13 +2434,15 @@ def negative_edges(
 ) -> DataFrame:
     """Deterministic negative sampling for link-prediction /
     graph-embedding training → ``(src, dst)`` NON-edges, ~``k`` per
-    positive edge: each positive's source draws ``k`` candidate
-    destinations by hashing ``(salt, src, i)`` into the node set
+    positive edge: each positive edge draws ``k`` candidate
+    destinations by hashing ``(salt, src, dst, i)`` into the node set
     (degree-proportional source mix, uniform destinations — the
     skip-gram negative-sampling shape), then real edges and
-    self-loops are anti-joined out.  Deterministic across
-    partitionings (pure function of (salt, graph)); a new salt is a
-    fresh epoch of negatives.
+    self-loops are anti-joined out and the result is DISTINCT (two
+    positives of the same source can hash onto the same candidate;
+    without the dedup they would emit duplicate negative rows).
+    Deterministic across partitionings (pure function of
+    (salt, graph)); a new salt is a fresh epoch of negatives.
 
     Shuffles: node-table build + one index equi-join (candidate
     destination ids resolve through a dense ``zipWithIndex``-free
@@ -2501,4 +2503,5 @@ def negative_edges(
     return (
         picked.filter(F.col(src_col) != F.col(dst_col))
         .join(real, [src_col, dst_col], "left_anti")
+        .distinct()
     )

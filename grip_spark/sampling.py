@@ -643,6 +643,10 @@ def percentile_calibrate(
     discipline as `curriculum_order`).  NULL scores calibrate to
     NULL; groups unseen at cut time (impossible same-frame, possible
     when reusing cuts) would come back NULL too, never a fake 0.
+    A NULL group key is its own group (the join is null-safe), so
+    rows with no domain/lang still calibrate against each other
+    instead of silently getting a NULL percentile and being dropped
+    by downstream ``>= min_quality`` filters.
     """
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
@@ -653,7 +657,7 @@ def percentile_calibrate(
         F.percentile_approx(s, probs, accuracy).alias("_cuts")
     )
     joined = df.join(
-        F.broadcast(cuts), F.col(by_col) == F.col("_grp"), "left"
+        F.broadcast(cuts), F.col(by_col).eqNullSafe(F.col("_grp")), "left"
     ).drop("_grp")
     rank = F.size(F.filter(F.col("_cuts"), lambda c: c <= s))
     return joined.withColumn(

@@ -177,3 +177,17 @@ def test_snapshot_diff(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="no columns"):
         checks.snapshot_diff(old.select("id"), new.select("id"), "id")
+
+    # duplicate ids fold to one row per id instead of multiplying
+    # through the full-outer join: n_* count distinct ids, and a
+    # multiplicity change on an id counts as `changed`
+    old_d = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "id long, text string"
+    )
+    new_d = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b")], "id long, text string"
+    )
+    rd = checks.snapshot_diff(old_d, new_d, "id").collect()[0]
+    assert (rd["n_old"], rd["n_new"]) == (2, 2)
+    assert (rd["added"], rd["removed"]) == (0, 0)
+    assert (rd["changed"], rd["unchanged"]) == (2, 0)

@@ -1373,6 +1373,8 @@ def test_negative_edges(spark, digraph):
         assert s in nodes and t in nodes
     # roughly k per positive edge minus collisions
     assert len(got_pairs) > 2.0 * len(set(edges))
+    # output is distinct: colliding candidate draws can't emit dups
+    assert len(got_pairs) == len(set(got_pairs))
     # deterministic across partitionings; new salt = new draw
     again = [
         (r["src"], r["dst"])

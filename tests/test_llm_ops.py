@@ -2498,6 +2498,28 @@ def test_dedup_canonical_by_quality(spark):
         dedup.dedup_canonical_by(sdf, "doc_id", pairs, "q")
 
 
+def test_dedup_canonical_by_null_scores_lose(spark):
+    from grip_spark import dedup
+
+    # cluster {1,2,3}: NULL score must NOT win in either direction
+    # (struct-min treats a NULL field as smallest; -NULL stays NULL)
+    rows = [(1, 10.0), (2, None), (3, 5.0), (7, None), (8, None)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "a_id long, b_id long")
+    kept = {
+        r["doc_id"]
+        for r in dedup.dedup_canonical_by(df, "doc_id", pairs, "score").collect()
+    }
+    assert kept == {1, 7}  # max score wins; all-NULL cluster -> min id
+    kept_asc = {
+        r["doc_id"]
+        for r in dedup.dedup_canonical_by(
+            df, "doc_id", pairs, "score", ascending=True
+        ).collect()
+    }
+    assert kept_asc == {3, 7}  # min score wins; NULLs still lose
+
+
 def test_keyword_tag_literal_and_join_paths_agree(spark):
     from grip_spark import text as T
 
@@ -2606,3 +2628,25 @@ def test_ngram_containment_pairs(spark):
 
     with pytest.raises(ValueError, match="threshold"):
         dedup.ngram_containment_pairs(df, "doc_id", threshold=0)
+
+
+def test_ngram_containment_denominators_after_max_df(spark):
+    """Sizes count the RETAINED grams: a quote whose only distinctive
+    grams survive the hot-gram drop still reaches containment 1.0
+    (pre-drop denominators would understate it forever)."""
+    from grip_spark import dedup
+
+    boiler = "the quick brown fox jumps"
+    rows = [(i, boiler) for i in range(1, 6)]          # gram df >= 7
+    rows.append((10, boiler + " alpha beta gamma delta"))
+    rows.append((11, boiler + " alpha beta gamma delta epsilon zeta"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a_id"], r["b_id"]): r
+        for r in dedup.ngram_containment_pairs(
+            df, "doc_id", n=3, threshold=0.9, max_df=3
+        ).collect()
+    }
+    assert got[(10, 11)]["containment"] == pytest.approx(1.0)
+    # boilerplate-only docs have no retained grams at all -> no pairs
+    assert not any(k[0] < 6 or k[1] < 6 for k in got)

@@ -952,6 +952,20 @@ def test_percentile_calibrate(spark):
         df2, "score", "domain"
     ).collect()[0]["score_pct"] is None
 
+    # NULL group key is its own group (null-safe join), not a NULL pct
+    df3 = spark.createDataFrame(
+        [(None, i, float(i)) for i in range(10)],
+        "domain string, doc_id long, score double",
+    )
+    got3 = {
+        r["doc_id"]: r["score_pct"]
+        for r in sampling.percentile_calibrate(
+            df3, "score", "domain", n_buckets=5
+        ).collect()
+    }
+    assert all(v is not None for v in got3.values())
+    assert got3[0] < got3[9]
+
     with pytest.raises(ValueError, match="n_buckets"):
         sampling.percentile_calibrate(df, "score", "domain", n_buckets=1)
 
