@@ -1601,6 +1601,7 @@ def louvain(
     max_levels: int = 10,
     max_rounds: int = 20,
     salt: str = "lv",
+    min_round_gain: float = 1e-4,
 ) -> DataFrame:
     """Louvain community detection (Blondel et al. 2008), distributed
     → ``(id, community)`` with the community labeled by its minimum
@@ -1635,9 +1636,26 @@ def louvain(
     aggs, everything checkpointed — the :func:`label_propagation`
     cost times a small constant; per level one contraction agg.
     Levels stop when a level moves nothing or ``max_levels`` is hit.
+
+    ``min_round_gain`` is the adversarial-input guard: a level's
+    local-moving rounds stop early once a round's total modularity
+    gain ΔQ (computed exactly as Σ(move score − stay score) of the
+    moved nodes, which is ΔQ·(2m)² in the integer score units) falls
+    below ``min_round_gain`` — on a low-structure (near-uniform)
+    graph Louvain keeps shuffling nodes for epsilon gains and would
+    burn ``max_rounds`` full rounds per level for noise; real
+    community structure delivers its Q in the first few rounds, so a
+    1e-4 floor leaves modular graphs untouched (their early rounds
+    gain 1e-2..1e-1 and they hit the zero-move fixpoint before gains
+    decay that far).  The moves of the sub-threshold round are KEPT
+    (they were genuine positive gains); the stop decision is an exact
+    integer comparison, so it is bit-deterministic across
+    partitionings like everything else here.  ``0.0`` disables.
     """
     if max_levels < 1 or max_rounds < 1:
         raise ValueError("max_levels and max_rounds must be >= 1")
+    if min_round_gain < 0:
+        raise ValueError(f"min_round_gain must be >= 0, got {min_round_gain}")
     spark = edges.sparkSession
     _ckpt = _checkpointer(spark)
     w = (
@@ -1677,7 +1695,7 @@ def louvain(
     )
     for level in range(max_levels):
         comm, moved = _louvain_level(
-            adj, loops, f"{salt}:{level}", max_rounds, _ckpt
+            adj, loops, f"{salt}:{level}", max_rounds, _ckpt, min_round_gain
         )
         if not moved:
             break
@@ -1728,11 +1746,13 @@ def louvain(
     return mapping.select("id", F.col("rep").alias("community"))
 
 
-def _louvain_level(adj, loops, salt: str, max_rounds: int, _ckpt):
+def _louvain_level(adj, loops, salt: str, max_rounds: int, _ckpt,
+                   min_round_gain: float = 0.0):
     """One local-moving phase over the both-ways adjacency → final
     ``(u, c)`` assignment and whether ANY move happened this level.
     Integer-exact scores; hash-parity gating with an ungated probe
-    round to certify the fixpoint (see :func:`louvain`)."""
+    round to certify the fixpoint; rounds stop early when a round's
+    exact total gain < ``min_round_gain``·(2m)² (see :func:`louvain`)."""
     nodes = (
         adj.select("u")
         .unionByName(loops.select("u"))
@@ -1763,14 +1783,32 @@ def _louvain_level(adj, loops, salt: str, max_rounds: int, _ckpt):
         rounds_left -= 1
         rnd = max_rounds - rounds_left
         tot = comm.join(k, "u").groupBy("c").agg(F.sum("k").alias("tot"))
+        cur = comm.withColumnRenamed("c", "a")
+        # gating moved UPSTREAM of the edge-sized join: ineligible
+        # nodes' scores were computed and thrown away before — the
+        # dominant per-round stage (adjacency x assignment) now
+        # touches only the eligible half in gated rounds
+        if gated:
+            adj_r = adj.filter(
+                F.pmod(
+                    F.xxhash64(
+                        F.concat(
+                            F.lit(f"{salt}:{rnd}:"), F.col("u").cast("string")
+                        )
+                    ),
+                    F.lit(2),
+                )
+                == 0
+            )
+        else:
+            adj_r = adj
         # W(u, c) = weight from u into community c (neighbors only)
         wuc = (
-            adj.join(comm.withColumnRenamed("u", "v"), "v")
+            adj_r.join(comm.withColumnRenamed("u", "v"), "v")
             .groupBy("u", "c")
             .agg(F.sum("w").alias("W"))
         )
-        cur = comm.withColumnRenamed("c", "a")
-        scored = (
+        cand = (
             wuc.join(cur, "u")
             .join(k, "u")
             .join(tot, "c")
@@ -1786,49 +1824,41 @@ def _louvain_level(adj, loops, salt: str, max_rounds: int, _ckpt):
                 ),
             )
         )
-        stay = scored.filter(F.col("c") == F.col("a")).select(
-            "u", F.col("score").alias("stay_score")
+        # ONE aggregation pass folds stay (the c == a candidate, at
+        # most one per node) and best (min over the negated-score
+        # struct, ties to the smallest community) — the previous
+        # stay-filter + best-groupBy read the candidate table twice
+        per_u = cand.groupBy("u").agg(
+            F.max(
+                F.when(F.col("c") == F.col("a"), F.col("score"))
+            ).alias("stay_score"),
+            F.min(
+                F.when(
+                    F.col("c") != F.col("a"),
+                    F.struct((-F.col("score")).alias("ns"), F.col("c")),
+                )
+            ).alias("_b"),
         )
-        best = (
-            scored.filter(F.col("c") != F.col("a"))
-            .groupBy("u")
-            .agg(F.min(F.struct((-F.col("score")).alias("ns"), F.col("c"))).alias("b"))
-            .select("u", (-F.col("b.ns")).alias("best_score"), F.col("b.c").alias("best_c"))
-        )
-        # stay-score baseline: no same-community neighbors => W(u,a)=0
-        base = (
-            cur.join(k, "u")
-            .join(tot.withColumnRenamed("c", "a"), "a")
-            .select(
-                "u",
-                "a",
-                (-F.col("k") * (F.col("tot") - F.col("k"))).alias("base_stay"),
-            )
-        )
-        eligible = (
-            F.pmod(
-                F.xxhash64(
-                    F.concat(F.lit(f"{salt}:{rnd}:"), F.col("u").cast("string"))
-                ),
-                F.lit(2),
-            )
-            == 0
-            if gated
-            else F.lit(True)
-        )
+        # stay-score baseline: no same-community neighbors => W(u,a)=0;
+        # nodes absent from per_u (ineligible, or isolated) keep a
         decided = (
-            base.join(stay, "u", "left")
-            .join(best, "u", "left")
+            cur.join(k, "u")
+            .join(per_u, "u", "left")
+            .join(tot.withColumnRenamed("c", "a"), "a")
             .withColumn(
-                "_stay", F.coalesce(F.col("stay_score"), F.col("base_stay"))
+                "_stay",
+                F.coalesce(
+                    F.col("stay_score"),
+                    -F.col("k") * (F.col("tot") - F.col("k")),
+                ),
             )
+            .withColumn("best_score", -F.col("_b.ns"))
             .withColumn(
                 "c",
                 F.when(
-                    eligible
-                    & F.col("best_score").isNotNull()
+                    F.col("best_score").isNotNull()
                     & (F.col("best_score") > F.col("_stay")),
-                    F.col("best_c"),
+                    F.col("_b.c"),
                 ).otherwise(F.col("a")),
             )
         )
@@ -1836,13 +1866,32 @@ def _louvain_level(adj, loops, salt: str, max_rounds: int, _ckpt):
         # materialized rows instead of re-deriving the whole round
         staged = _ckpt(
             decided.select(
-                "u", "c", (F.col("c") != F.col("a")).alias("_moved")
+                "u",
+                "c",
+                (F.col("c") != F.col("a")).alias("_moved"),
+                F.when(
+                    F.col("c") != F.col("a"),
+                    F.col("best_score") - F.col("_stay"),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("_gain"),
             )
         )
-        moves = staged.filter(F.col("_moved")).count()
-        comm = staged.drop("_moved")
+        stats = staged.agg(
+            F.count(F.when(F.col("_moved"), 1)).alias("m"),
+            F.sum("_gain").alias("g"),
+        ).first()
+        moves = stats["m"]
+        round_gain = int(stats["g"] or 0)
+        comm = staged.drop("_moved", "_gain")
         if moves > 0:
             any_move = True
+            # adversarial-input guard: ΔQ·(2m)² below the floor means
+            # this level is grinding noise — keep the round's moves
+            # (genuine positive gains) and contract now
+            if round_gain < min_round_gain * two_m * two_m:
+                break
             gated = True
             continue
         if gated:

@@ -342,7 +342,16 @@ def resample(
             F.sequence(F.col("_lo"), F.col("_hi"), F.lit(int(every)))
         ).alias("_bucket"),
     )
-    out = grid.join(agged, [*keys, "_bucket"], "left")
+    # null-safe on the keys: a NULL group key is its own series — a
+    # plain equi-join would orphan its grid rows from its aggregates
+    cond = F.col("g._bucket") == F.col("a._bucket")
+    for kcol in keys:
+        cond = cond & F.col(f"g.{kcol}").eqNullSafe(F.col(f"a.{kcol}"))
+    out = grid.alias("g").join(agged.alias("a"), cond, "left").select(
+        *[F.col(f"g.{kcol}") for kcol in keys],
+        F.col("g._bucket").alias("_bucket"),
+        *[F.col(f"a.{name}") for name in aggs],
+    )
     names = list(aggs)
     if fill == "ffill":
         w = (

@@ -969,9 +969,11 @@ def test_closeness_centrality_sampled(spark, digraph):
 # ---------------------------------------------------------------------------
 
 
-def _py_louvain(edge_list, max_levels=10, max_rounds=20, salt="lv"):
+def _py_louvain(edge_list, max_levels=10, max_rounds=20, salt="lv",
+                min_round_gain=1e-4):
     """Exact replica of graphalgo.louvain: same integer scores, same
-    gating hash, same tie-breaks, same contraction labeling."""
+    gating hash, same tie-breaks, same contraction labeling, same
+    sub-threshold-round early exit."""
     from collections import defaultdict
 
     from grip_spark.dedup import xxhash64_py
@@ -1012,6 +1014,7 @@ def _py_louvain(edge_list, max_levels=10, max_rounds=20, salt="lv"):
             for u in nodes:
                 tot[comm[u]] += k[u]
             moves = 0
+            round_gain = 0
             new_comm = {}
             for u in nodes:
                 W = defaultdict(int)
@@ -1039,11 +1042,14 @@ def _py_louvain(edge_list, max_levels=10, max_rounds=20, salt="lv"):
                 ):
                     new_comm[u] = best[1]
                     moves += 1
+                    round_gain += (-best[0]) - stay
                 else:
                     new_comm[u] = a
             comm = new_comm
             if moves > 0:
                 any_move = True
+                if round_gain < min_round_gain * two_m * two_m:
+                    break
                 gated = True
                 continue
             if gated:
@@ -1102,6 +1108,30 @@ def test_louvain_matches_replica_random(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_louvain_min_round_gain_guard(spark):
+    # a guard high enough to fire on this low-structure random graph:
+    # the sub-threshold round's moves are kept, the level contracts
+    # early, and the replica (same rule) stays bit-identical
+    rng = random.Random(77)
+    nodes = [f"v{i:02d}" for i in range(20)]
+    edges = [
+        (nodes[rng.randrange(20)], nodes[rng.randrange(20)])
+        for _ in range(55)
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    kw = dict(max_levels=3, max_rounds=5, min_round_gain=0.5)
+    got = {
+        r["id"]: r["community"]
+        for r in graphalgo.louvain(e, **kw).collect()
+    }
+    assert got == _py_louvain(edges, **kw)
+    # the guard changed the trajectory vs. guard-off (it really fired)
+    base = _py_louvain(edges, max_levels=3, max_rounds=5, min_round_gain=0.0)
+    assert got != base
+    with pytest.raises(ValueError, match="min_round_gain"):
+        graphalgo.louvain(e, min_round_gain=-0.1)
 
 
 def test_louvain_finds_planted_cliques(spark):

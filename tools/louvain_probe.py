@@ -1,0 +1,43 @@
+"""One-off round-9 probe: Louvain min_round_gain guard on the
+widegraph (1M vertices / 10M uniform edges — the BASELINE.md 333 s
+worst case) with a same-session pagerank5 yardstick."""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession, functions as F
+
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.driver.memory", "100g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from grip_spark import graphalgo  # noqa: E402
+
+N_V, N_E = 1_000_000, 10_000_000
+edges = spark.range(N_E).select(
+    F.concat(
+        F.lit("v:"), F.pmod(F.xxhash64(F.col("id")), F.lit(N_V)).cast("string")
+    ).alias("src"),
+    F.concat(
+        F.lit("v:"),
+        F.pmod(F.xxhash64(F.col("id") + F.lit(N_E)), F.lit(N_V)).cast("string"),
+    ).alias("dst"),
+).localCheckpoint(eager=True)
+
+t0 = time.perf_counter()
+n = graphalgo.pagerank(edges, exact_iterations=5).count()
+print(f"pagerank5: {time.perf_counter() - t0:.1f}s -> {n}", flush=True)
+
+t0 = time.perf_counter()
+n = (
+    graphalgo.louvain(edges, max_levels=2, max_rounds=3)
+    .select("community").distinct().count()
+)
+print(f"louvain l2r3 guard=1e-4: {time.perf_counter() - t0:.1f}s -> {n} comms",
+      flush=True)
