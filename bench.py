@@ -79,6 +79,18 @@ def main():
     def run_count(df):
         return df.count()
 
+    # SF-aware ANN/SemDeDup sizing: hold the sf0.1 fixture's CELL and
+    # BUCKET sizes constant across SFs (~250 vectors/cell, ~31/bucket
+    # at 2k vectors) so in-cell / in-bucket pair cost stays linear in
+    # the corpus — the similarity.py sizing discipline; a fixed
+    # n_lists/planes made the r8 sf1 rows look super-linear.  Floors
+    # keep sf<=0.1 runs byte-identical to the historical rows.
+    import math
+
+    emb_rows = emb.count()
+    emb_lists = max(8, emb_rows // 250)
+    emb_planes = max(6, int(math.log2(emb_rows / 31)) if emb_rows > 31 else 6)
+
     # Bucketed-catalog copy of the graph (zero-Exchange adjacency
     # joins — the scale layout).  Written once into spark-warehouse/
     # and reused by every later bench run, so steady-state runs time
@@ -177,14 +189,16 @@ def main():
         ),
         "knn_lsh": lambda: run_count(
             similarity.cosine_self_join_topk(
-                emb, "embedding", "vec_id", k=1, planes=6, dim=64
+                emb, "embedding", "vec_id", k=1, planes=emb_planes, dim=64
             )
         ),
         "semantic_dedup": lambda: run_count(
-            # 8 cells over 2k vectors (~250/cell) mirrors the paper's
-            # cell-size regime scaled down; within-cell pairs only
+            # n_lists sized by the documented rows/1e4 rule (floor 8:
+            # the paper's cell-size regime scaled down) so in-cell
+            # pair cost stays ~linear in the corpus across SFs — a
+            # fixed n_lists made the r8 sf1 row look super-linear
             similarity.semantic_dedup(
-                emb, "embedding", "vec_id", n_lists=8, threshold=0.38
+                emb, "embedding", "vec_id", n_lists=emb_lists, threshold=0.38
             ).filter(~F.col("sem_keep"))
         ),
         "winnow_fp": lambda: run_count(

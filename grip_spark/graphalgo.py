@@ -1771,10 +1771,19 @@ def _louvain_level(adj, loops, salt: str, max_rounds: int, _ckpt,
             ).alias("k"),
         )
     )
-    row = k.agg(F.sum("k").alias("s")).first()
+    row = k.agg(F.sum("k").alias("s"), F.count(F.lit(1)).alias("n")).first()
     two_m = int(row["s"]) if row["s"] is not None else 0
     if two_m == 0:
         return _ckpt(nodes.select("u", F.col("u").alias("c"))), False
+    # node-sized sides (k, tot, assignment, per-node decisions) are
+    # BROADCAST when the node table is broadcastable — the candidate
+    # chain then runs map-side and a round costs two edge-sized
+    # shuffles, the PageRank-round shape.  Above the threshold
+    # (cluster-scale graphs where a node table can't ship to every
+    # executor) the same plan falls back to shuffle joins.
+    n_nodes = int(row["n"])
+    bc = F.broadcast if n_nodes <= 8_000_000 else (lambda df: df)
+    k_b = bc(k)
     comm = _ckpt(nodes.select("u", F.col("u").alias("c")))
     any_move = False
     rounds_left = max_rounds
@@ -1782,7 +1791,7 @@ def _louvain_level(adj, loops, salt: str, max_rounds: int, _ckpt,
     while rounds_left > 0:
         rounds_left -= 1
         rnd = max_rounds - rounds_left
-        tot = comm.join(k, "u").groupBy("c").agg(F.sum("k").alias("tot"))
+        tot = comm.join(k_b, "u").groupBy("c").agg(F.sum("k").alias("tot"))
         cur = comm.withColumnRenamed("c", "a")
         # gating moved UPSTREAM of the edge-sized join: ineligible
         # nodes' scores were computed and thrown away before — the
@@ -1804,14 +1813,14 @@ def _louvain_level(adj, loops, salt: str, max_rounds: int, _ckpt,
             adj_r = adj
         # W(u, c) = weight from u into community c (neighbors only)
         wuc = (
-            adj_r.join(comm.withColumnRenamed("u", "v"), "v")
+            adj_r.join(bc(comm.withColumnRenamed("u", "v")), "v")
             .groupBy("u", "c")
             .agg(F.sum("w").alias("W"))
         )
         cand = (
-            wuc.join(cur, "u")
-            .join(k, "u")
-            .join(tot, "c")
+            wuc.join(bc(cur), "u")
+            .join(k_b, "u")
+            .join(bc(tot), "c")
             .withColumn(
                 "score",
                 F.lit(two_m) * F.col("W")
@@ -1842,9 +1851,9 @@ def _louvain_level(adj, loops, salt: str, max_rounds: int, _ckpt,
         # stay-score baseline: no same-community neighbors => W(u,a)=0;
         # nodes absent from per_u (ineligible, or isolated) keep a
         decided = (
-            cur.join(k, "u")
-            .join(per_u, "u", "left")
-            .join(tot.withColumnRenamed("c", "a"), "a")
+            cur.join(k_b, "u")
+            .join(bc(per_u), "u", "left")
+            .join(bc(tot.withColumnRenamed("c", "a")), "a")
             .withColumn(
                 "_stay",
                 F.coalesce(

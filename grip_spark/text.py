@@ -367,16 +367,22 @@ def winnow_fingerprints(
     similarity.  Shuffle-free column expression; texts with fewer
     k-grams than a window degrade to a single global-min fingerprint.
 
-    Sliding-window minima via a sparse table (doubling): level j holds
-    ``min(h[i .. i+2^j-1])``, built with ``floor(log2(window))``
-    O(n) ``zip_with(level, shift(level), least)`` passes, and each
-    window minimum is the ``least`` of two overlapping power-of-two
-    entries — O(n log window) total, versus the naive per-start
-    ``array_min(slice(...))`` which allocates a window-sized array
-    per position (O(n * window), the former hot spot).  Every
-    intermediate level is let-bound (see :func:`_let`: no CSE inside
-    HOF lambdas), and the final lookup is two null-safe ``F.get``
-    calls — no per-start allocation at all.
+    Sliding-window minima: for small windows (<= 8, incl. the default
+    4) ONE ``transform`` takes the ``least`` of ``window`` direct
+    ``F.get`` lookups per start — no intermediate array is ever
+    materialized (the r9 fusion of the former two-pass ladder: the
+    zip_with levels each copied an n-length UnsafeArrayData, which
+    dominated the wall-clock at sf1).  Larger windows keep the sparse
+    table (doubling): level j holds ``min(h[i .. i+2^j-1])``, built
+    with ``floor(log2(window))`` O(n) ``zip_with(level, shift(level),
+    least)`` passes, each window minimum the ``least`` of two
+    overlapping power-of-two entries — O(n log window) total vs the
+    naive per-start ``array_min(slice(...))`` allocation (O(n *
+    window), the pre-r7 hot spot).  Every intermediate level is
+    let-bound (see :func:`_let`: no CSE inside HOF lambdas); lookups
+    are null-safe ``F.get`` calls.  Both paths are bit-identical
+    (min is min; the randomized differential test sweeps windows
+    1-16 across the cutover).
     """
     lg = max(window.bit_length() - 1, 0)  # floor(log2(window)), exact
     rem = window - (1 << lg)  # 0 when window is a power of two
@@ -384,6 +390,22 @@ def winnow_fingerprints(
     def _body(hashes):
         ng = F.size(hashes)
         nw = ng - (window - 1)
+
+        def _query_direct(table):
+            # fused small-window path: least of `window` in-bounds gets
+            def _wmin(i):
+                return F.least(
+                    *[F.get(table, i - 1 + d) for d in range(window)]
+                ) if window > 1 else F.get(table, i - 1)
+
+            starts = F.when(nw >= 1, F.sequence(F.lit(1), nw)).otherwise(
+                F.array().cast("array<int>")
+            )
+            return F.array_distinct(
+                F.when(nw >= 1, F.transform(starts, _wmin))
+                .when(ng >= 1, F.array(F.array_min(hashes)))
+                .otherwise(F.transform(starts, _wmin))
+            )
 
         def _query(table):
             # min over [i, i+window-1] (1-indexed i) = least of the two
@@ -415,6 +437,8 @@ def winnow_fingerprints(
             )
             return _let(nxt, lambda t: _build(t, j + 1))
 
+        if window <= 8:
+            return _query_direct(hashes)
         return _build(hashes, 0)
 
     return _let(rolling_hashes(text, k, gram_hash), _body)
