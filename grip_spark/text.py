@@ -1088,33 +1088,43 @@ _GOPHER_DUP_NGRAMS = [(5, 0.15), (6, 0.14), (7, 0.13), (8, 0.12), (9, 0.11), (10
 _GOPHER_TOP_NGRAMS = [(2, 0.20), (3, 0.18), (4, 0.16)]
 
 
+#: repetition-fold fingerprints pack ``hash48 << 16 | min(len, 65535)``
+#: into ONE long: higher-order functions are codegen-fallback
+#: (interpreted), so primitive-long sorts/compares beat struct<h,l>
+#: field-by-field comparison substantially; equal strings pack equal,
+#: and a 48-bit-hash+exact-length collision inside one document's
+#: gram set is negligible for a quality filter.  Deviation: a single
+#: gram/line/paragraph longer than 65,535 chars contributes a
+#: clamped char mass (the fractions already clamp at 1.0).
+_HL_LEN_MASK = 65535
+
+
 def _hl(s: Column) -> Column:
-    """(hash, length) fingerprint of a string — group identity for the
-    repetition folds.  Sorting/comparing 64-bit hashes instead of gram
-    strings cuts the per-row sort cost ~an order of magnitude; equal
-    strings hash equal, and a 64-bit collision inside one document's
-    gram set is negligible for a quality filter.  The string is
-    let-bound so concat_ws runs once per element, not once per field."""
+    """Packed (hash, length) fingerprint of a string — group identity
+    for the repetition folds.  The string is let-bound so it is
+    evaluated once per element, not once per use."""
     return _let(
         s,
-        lambda g: F.struct(
-            F.xxhash64(g).alias("h"), F.length(g).cast("int").alias("l")
+        lambda g: F.shiftleft(F.xxhash64(g), 16).bitwiseOR(
+            F.least(F.length(g), F.lit(_HL_LEN_MASK)).cast("long")
         ),
     )
 
 
 def _group_char_stats(sorted_arr: Column) -> Column:
-    """Over a SORTED ``array<struct<h,l>>`` (group = equal hash):
-    ``struct(dup, top)`` where ``dup`` = Σ count·length over groups
-    occurring ≥ 2 times and ``top`` = count·length of the most
-    frequent group (count-first tie-break, then char mass) — one
-    aggregate fold, the :func:`repetition_stats` longest-run device
-    extended to carry character mass.  No explode, no shuffle."""
+    """Over a SORTED ``array<bigint>`` of packed (hash, len)
+    fingerprints (group = equal packed value): ``struct(dup, top)``
+    where ``dup`` = Σ count·length over groups occurring ≥ 2 times and
+    ``top`` = count·length of the most frequent group (count-first
+    tie-break, then char mass) — one aggregate fold, the
+    :func:`repetition_stats` longest-run device extended to carry
+    character mass.  No explode, no shuffle."""
     zero = F.lit(0).cast("long")
+    mask = F.lit(_HL_LEN_MASK).cast("long")
 
     def _flush(acc):
         """dup/best as they stand once the current group closes."""
-        mass = acc["run"].cast("long") * acc["prevl"].cast("long")
+        mass = acc["run"].cast("long") * acc["prev"].bitwiseAND(mask)
         dup = acc["dup"] + F.when(acc["run"] >= 2, mass).otherwise(zero)
         better = (acc["run"] > acc["bestr"]) | (
             (acc["run"] == acc["bestr"]) & (mass > acc["bestc"])
@@ -1124,11 +1134,10 @@ def _group_char_stats(sorted_arr: Column) -> Column:
         return dup, bestr, bestc
 
     def _step(acc, x):
-        same = acc["prevh"].isNotNull() & (x["h"] == acc["prevh"])
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
         dup, bestr, bestc = _flush(acc)
         return F.struct(
-            x["h"].alias("prevh"),
-            x["l"].alias("prevl"),
+            x.alias("prev"),
             F.when(same, acc["run"] + 1).otherwise(F.lit(1)).cast("int").alias("run"),
             F.when(same, acc["dup"]).otherwise(dup).alias("dup"),
             F.when(same, acc["bestr"]).otherwise(bestr).cast("int").alias("bestr"),
@@ -1142,8 +1151,7 @@ def _group_char_stats(sorted_arr: Column) -> Column:
     return F.aggregate(
         sorted_arr,
         F.struct(
-            F.lit(None).cast("long").alias("prevh"),
-            F.lit(0).cast("int").alias("prevl"),
+            F.lit(None).cast("long").alias("prev"),
             F.lit(0).cast("int").alias("run"),
             zero.alias("dup"),
             F.lit(0).cast("int").alias("bestr"),
@@ -1152,19 +1160,6 @@ def _group_char_stats(sorted_arr: Column) -> Column:
         _step,
         _finish,
     )
-
-
-def _ngram_hl(toks: Column, n: int) -> Column:
-    """(hash, length) fingerprints of the space-joined token n-grams
-    (empty when the document has fewer than n tokens)."""
-    size = F.size(toks)
-    return F.when(
-        size >= n,
-        F.transform(
-            F.sequence(F.lit(0), size - n),
-            lambda i: _hl(F.concat_ws(" ", F.slice(toks, i + 1, n))),
-        ),
-    ).otherwise(F.array().cast("array<struct<h:bigint,l:int>>"))
 
 
 def gopher_rules(
@@ -1255,8 +1250,15 @@ def gopher_rules(
                 "double"
             ) / denom
 
+        def _packed(w):
+            # w is a lambda variable (cheap to re-reference): inline
+            # the pack instead of _hl's per-element let-binding array
+            return F.shiftleft(F.xxhash64(w), 16).bitwiseOR(
+                F.least(F.length(w), F.lit(_HL_LEN_MASK)).cast("long")
+            )
+
         line_stats = _group_char_stats(
-            F.array_sort(F.transform(lines, _hl))
+            F.array_sort(F.transform(lines, _packed))
         )
         para_stats = _group_char_stats(
             F.array_sort(F.transform(paras, lambda p: _hl(F.trim(p))))
@@ -1280,43 +1282,100 @@ def gopher_rules(
                 F.round(F.least(para_stats["dup"] / nchars, F.lit(1.0)), 6),
             ),
         ]
-        for n, _thr in _GOPHER_TOP_NGRAMS:
-            st = _group_char_stats(F.array_sort(_ngram_hl(toks, n)))
-            entries.append(
-                (
-                    f"top_{n}gram_char_frac",
-                    F.round(F.least(st["top"] / nchars, F.lit(1.0)), 6),
+        # n-gram (hash, length) fingerprints for n = 2..10 WITHOUT
+        # materializing the space-joined gram strings: hash each token
+        # once (the shared `base` array), then each n's fingerprint is
+        # an unrolled xxhash64 fold over n direct array gets —
+        # xxhash64(...xxhash64(h_i, h_{i+1})..., h_{i+n-1}) — and the
+        # length a sum of n gets + (n-1) separators.  The string
+        # builds were the measured hot spot (12.8 s of gopher's
+        # 15.6 s at sf1; the sorts the docstring used to blame were
+        # ~free): Σ n=2..10 string bytes is 54x the document, vs 54
+        # long-hash ops + gets per token here.  Kept SHALLOW (one
+        # independent transform per n, no chained higher-order
+        # levels): a 9-deep nested zip_with/let chain was measured 4x
+        # SLOWER than the strings — it falls out of codegen.  Same
+        # group identity (equal grams hash equal; tokens are
+        # space-free, so joined-string equality and token-sequence
+        # equality coincide) — metric values unchanged,
+        # replica-pinned.
+        top_thr = dict(_GOPHER_TOP_NGRAMS)
+        dup_thr = dict(_GOPHER_DUP_NGRAMS)
+
+        def _finish(stats: dict) -> Column:
+            for n in sorted(top_thr):
+                entries.append(
+                    (
+                        f"top_{n}gram_char_frac",
+                        F.round(
+                            F.least(stats[n]["top"] / nchars, F.lit(1.0)), 6
+                        ),
+                    )
                 )
-            )
-        for n, _thr in _GOPHER_DUP_NGRAMS:
-            st = _group_char_stats(F.array_sort(_ngram_hl(toks, n)))
-            entries.append(
-                (
-                    f"dup_{n}gram_char_frac",
-                    F.round(F.least(st["dup"] / nchars, F.lit(1.0)), 6),
+            for n in sorted(dup_thr):
+                entries.append(
+                    (
+                        f"dup_{n}gram_char_frac",
+                        F.round(
+                            F.least(stats[n]["dup"] / nchars, F.lit(1.0)), 6
+                        ),
+                    )
                 )
+            mm = F.map_from_arrays(
+                F.array(*[F.lit(k) for k, _ in entries]),
+                F.array(*[v for _, v in entries]),
             )
-        mm = F.map_from_arrays(
-            F.array(*[F.lit(k) for k, _ in entries]),
-            F.array(*[v for _, v in entries]),
-        )
-        # reasons computed HERE, inside the same let-bound tree, so
-        # the metric map is evaluated exactly once per row
-        return _let(
-            mm,
-            lambda m: F.struct(
-                m.alias("m"),
-                F.filter(
-                    F.array(
-                        *[
-                            F.when(cond, F.lit(name)).otherwise(F.lit(None))
-                            for name, cond in _gopher_checks(m)
-                        ]
-                    ),
-                    lambda r: r.isNotNull(),
-                ).alias("r"),
-            ),
-        )
+            # reasons computed HERE, inside the same let-bound tree,
+            # so the metric map is evaluated exactly once per row
+            return _let(
+                mm,
+                lambda m: F.struct(
+                    m.alias("m"),
+                    F.filter(
+                        F.array(
+                            *[
+                                F.when(cond, F.lit(name)).otherwise(
+                                    F.lit(None)
+                                )
+                                for name, cond in _gopher_checks(m)
+                            ]
+                        ),
+                        lambda r: r.isNotNull(),
+                    ).alias("r"),
+                ),
+            )
+
+        mask = F.lit(_HL_LEN_MASK).cast("long")
+
+        def _gram_fps(b: Column, n: int) -> Column:
+            """Packed fingerprints of the n-grams from the packed
+            token fingerprint array ``b`` — unrolled primitive gets
+            and long arithmetic, no strings, no structs."""
+            size = F.size(b)
+
+            def _fp(i):
+                h = F.shiftright(F.get(b, i - 1), 16)
+                ln = F.get(b, i - 1).bitwiseAND(mask)
+                for d in range(1, n):
+                    h = F.xxhash64(h, F.shiftright(F.get(b, i - 1 + d), 16))
+                    ln = ln + F.get(b, i - 1 + d).bitwiseAND(mask)
+                return F.shiftleft(h, 16).bitwiseOR(
+                    F.least(ln + F.lit(n - 1), mask)
+                )
+
+            return F.when(
+                size >= n,
+                F.transform(F.sequence(F.lit(1), size - n + 1), _fp),
+            ).otherwise(F.array().cast("array<bigint>"))
+
+        def _gram_tail(b: Column) -> Column:
+            stats = {
+                n: _group_char_stats(F.array_sort(_gram_fps(b, n)))
+                for n in sorted(set(top_thr) | set(dup_thr))
+            }
+            return _finish(stats)
+
+        return _let(F.transform(toks, _packed), _gram_tail)
 
     # tokens() trims spaces only (Java trim), so documents edged by
     # newlines would grow empty "words" — drop them (a word has chars)
