@@ -1066,6 +1066,23 @@ def edit_distance_pairs(
     (ties: smaller id).  Hash collisions cannot produce false pairs
     (verify is exact); segment hashing instead of segment strings
     keeps the shuffled key fixed-width.
+
+    **Long documents.** Probe-key COUNT is independent of string
+    length (<= (tau+1)²·(2tau+1) per string), so candidate volume
+    does not grow with document size — the length-dependent costs
+    are the substring/hash pass over each string (linear) and the
+    JVM banded verify (O(len·tau) per surviving candidate);
+    differential-tested through 4k chars (`tests/test_editdist.py`).
+    What DOES degrade on long documents is usefulness: whole-document
+    Levenshtein at tau <= 2 only finds near-IDENTICAL files, and the
+    tau you'd want grows with length while PassJoin's probe fan-out
+    grows with tau³.  For "mostly-equal long documents with scattered
+    small edits", pre-chunk with :func:`cdc_chunks` (content-defined
+    boundaries re-align after insertions) and either join on shared
+    chunk hashes (:func:`cdc_overlap_pairs`) or run THIS join on the
+    chunk table (chunk-level tau) — the standard two-level recipe;
+    keep the direct join for short keys (titles, URLs, code lines,
+    addresses) where a small absolute tau is the actual contract.
     """
     tau = int(max_dist)
     if tau < 0:

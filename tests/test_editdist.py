@@ -100,3 +100,85 @@ def test_edit_distance_exhaustive_tiny_alphabet(spark, tau):
         for r in dedup.edit_distance_pairs(df, "id", max_dist=tau).collect()
     }
     assert got == _brute(rows, tau)
+
+
+@pytest.mark.parametrize("tau", [1, 2])
+def test_edit_distance_long_strings(spark, tau):
+    """The long-document regime (>= 1k chars): segments are ~len/(tau+1)
+    wide, probe keys stay <= (tau+1)^2*(2tau+1) per string regardless
+    of length, and edits planted at the start / middle / end / segment
+    boundaries must all survive the pigeonhole.  Differential vs the
+    brute-force DP on a 1k-4k char corpus."""
+    rng = random.Random(42)
+    alpha = "abcdefgh é中"
+    rows = []
+    rid = 0
+    for blen in (1000, 2500, 4096):
+        base = "".join(rng.choice(alpha) for _ in range(blen))
+        rows.append((rid, base)); rid += 1
+        seg = blen // (tau + 1)
+        # edit positions: start, end, exact segment boundaries, middle
+        for pos in (0, blen - 1, seg, 2 * seg if tau >= 2 else seg // 2, blen // 2):
+            for op in ("s", "i", "d"):
+                s = list(base)
+                if op == "s":
+                    s[pos] = "#"
+                elif op == "i":
+                    s.insert(pos, "#")
+                else:
+                    del s[pos]
+                rows.append((rid, "".join(s))); rid += 1
+        # tau edits spread across distinct segments (worst pigeonhole)
+        s = list(base)
+        for t in range(tau):
+            s[t * seg + seg // 2] = "#"
+        rows.append((rid, "".join(s))); rid += 1
+        # tau+1 edits: must NOT pair with base
+        s = list(base)
+        for t in range(tau + 1):
+            s[(t * blen) // (tau + 1) + 7] = "#"
+        rows.append((rid, "".join(s))); rid += 1
+    df = spark.createDataFrame(rows, "id long, text string").repartition(8)
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in dedup.edit_distance_pairs(df, "id", max_dist=tau).collect()
+    }
+
+    # banded-DP brute force (O(len*tau) per pair; the full DP would be
+    # quadratic in the 4k-char strings)
+    def lev_capped(a, b, cap):
+        if abs(len(a) - len(b)) > cap:
+            return None
+        if len(a) < len(b):
+            a, b = b, a
+        INF = cap + 1
+        prev = {j: j for j in range(0, min(cap, len(b)) + 1)}
+        for i in range(1, len(a) + 1):
+            cur = {}
+            lo, hi = max(0, i - cap), min(len(b), i + cap)
+            if lo == 0:
+                cur[0] = i if i <= cap else INF
+            for j in range(max(lo, 1), hi + 1):
+                best = min(
+                    prev.get(j, INF) + 1,
+                    cur.get(j - 1, INF) + 1,
+                    prev.get(j - 1, INF) + (a[i - 1] != b[j - 1]),
+                )
+                cur[j] = best
+            prev = cur
+            if min(prev.values()) > cap:
+                return None
+        d = prev.get(len(b), INF)
+        return d if d <= cap else None
+
+    want = set()
+    for x in range(len(rows)):
+        for y in range(x + 1, len(rows)):
+            (ia, ta), (ib, tb) = rows[x], rows[y]
+            d = lev_capped(ta, tb, tau)
+            if d is not None:
+                if (len(ta), ia) > (len(tb), ib):
+                    ia, ib = ib, ia
+                want.add((ia, ib, d))
+    assert got == want
+    assert len(got) > 0

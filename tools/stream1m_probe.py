@@ -1,0 +1,85 @@
+"""Round-9 probe: near_dedup_stream at a 1M-document store.
+
+The r8 flat-curve claim stopped at ~38k accepted docs; this run feeds
+40 batches of 25k SYNTHETIC distinct documents (hash-derived token
+streams — no cross- or within-batch near-dups, so acceptance ≈ 100%
+and the store actually reaches ~1M), compacting every 10 batches.
+The claim under test: per-batch wall-clock stays flat-to-slowly-
+growing while the accepted-signature store grows 26x past the old
+probe (each batch pays its own signature pass + a banded ids+sigs
+join against the store), and compaction keeps the parquet file count
+bounded.  Results -> BASELINE.md.
+"""
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession, functions as F
+
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.driver.memory", "100g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from grip_spark import streaming  # noqa: E402
+
+N_BATCHES = 40
+BATCH = 25_000
+COMPACT_EVERY = 10
+
+workdir = tempfile.mkdtemp(prefix="stream1m_")
+store = f"{workdir}/store"
+
+
+def n_files():
+    n = 0
+    for dirpath, _d, files in os.walk(store):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def synth_batch(i: int):
+    # 40 hash-derived "words" per doc: distinct across all batches
+    # (word = xxhash64(batch, id, pos)), so nothing near-duplicates
+    base = spark.range(BATCH)
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(39)),
+        lambda p: F.conv(
+            F.xxhash64(F.lit(i), F.col("id"), p).cast("string"), 10, 36
+        ),
+    )
+    return base.select(
+        F.concat(F.lit(f"b{i}:"), F.col("id").cast("string")).alias("doc_id"),
+        F.concat_ws(" ", words).alias("text"),
+    )
+
+
+try:
+    for i in range(N_BATCHES):
+        batch = synth_batch(i)
+        t0 = time.perf_counter()
+        streaming.near_dedup_stream(batch, store)
+        dt = time.perf_counter() - t0
+        line = f"batch {i}: {dt:.1f}s | files {n_files()}"
+        if (i + 1) % COMPACT_EVERY == 0:
+            t0 = time.perf_counter()
+            stats = streaming.compact_store(spark, store)
+            line += (
+                f" | compact {time.perf_counter() - t0:.1f}s: "
+                f"{stats['files_before']}->{stats['files_after']} files, "
+                f"{stats['accepted']} accepted"
+            )
+        print(line, flush=True)
+    n_acc = spark.read.parquet(f"{store}/accepted").count()
+    print(f"final: accepted {n_acc} | files {n_files()}", flush=True)
+finally:
+    shutil.rmtree(workdir, ignore_errors=True)
