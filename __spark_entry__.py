@@ -841,7 +841,12 @@ def q_scan_counts(spark, sf_dir):
             F.col("label").alias("val"),
         )
     )
-    return out.unionByName(vids)
+    # folded in r9 (was the standalone `pagination` slot, green since
+    # r2) to fund the `kn_bigram` value-oracled slot
+    pag = q_pagination(spark, sf_dir).select(
+        F.col("op").alias("kind"), F.col("count").cast("string").alias("val")
+    )
+    return out.unionByName(vids).unionByName(pag)
 
 
 def q_hop_counts(spark, sf_dir):
@@ -1644,6 +1649,22 @@ def q_resample(spark, sf_dir):
     return out.select("event_type", "secs_bucket", "n_events", "v_avg")
 
 
+def q_kn_bigram(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM, train + score end-to-end
+    under a full value oracle: a 30-token vocabulary (the cut
+    exercises the count-desc/token-asc tie-break and sends real mass
+    through <unk>), count-of-counts discount estimation, continuation
+    unigrams with the half-count <unk> floor, and all three scoring
+    paths (seen pair / unseen-continuation backoff through
+    log_lambda / unseen-history continuation-only).  The DuckDB
+    oracle replicates the arithmetic operation-for-operation
+    (including the engine's exp(ln(p_cont)) round-trip) so the mean
+    per-doc log-score hash-matches at 6dp."""
+    docs = _docs(spark, sf_dir)
+    model = text.kn_bigram_model(docs, vocab_size=30)
+    return text.kn_bigram_logprob(docs, model)
+
+
 def q_percentile_calibrate(spark, sf_dir):
     """Per-group quantile normalization (sampling.percentile_calibrate
     — the cross-domain score-comparability step): each document's
@@ -1674,7 +1695,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pairs": q_embedding_pairs,
         "mapped_graph_hop": q_mapped_graph_hop,
         "null_traversals": q_null_traversals,
-        "pagination": q_pagination,
         # r7 folds: two_jump + forward_jump ride as a labeled matrix,
         # and betweenness joins harmonic in `centrality` — funding the
         # `langid` and `betweenness` value oracles under the 50 cap
@@ -1708,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pairs": q_graph_pairs,
         "resample": q_resample,
         "percentile_calibrate": q_percentile_calibrate,
+        "kn_bigram": q_kn_bigram,  # funded by pagination -> scan_counts
         # r2-green operator queries (hasLabel/hasKey now ride in
         # scan_counts; outE/inE/edge-out in adjacency_ops; outNull in
         # null_traversals — see those matrices)
@@ -2586,12 +2607,6 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*) FROM customer c WHERE NOT EXISTS "
             "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))"
         ),
-        "pagination": (
-            "SELECT 'limit' AS op, CAST(100 AS BIGINT) AS count "
-            "UNION ALL SELECT 'skip', "
-            "CAST(greatest((SELECT count(*) FROM nation) - 20, 0) AS BIGINT) "
-            "UNION ALL SELECT 'range', CAST(10 AS BIGINT)"
-        ),
         "jump_ops": (
             "WITH rk AS (SELECT n_regionkey AS r FROM nation WHERE n_nationkey = 0), "
             "nn AS (SELECT n_nationkey FROM nation, rk WHERE n_regionkey = r), "
@@ -2800,6 +2815,71 @@ def oracle_sql() -> dict[str, str]:
             "FROM j WINDOW w AS (PARTITION BY event_type ORDER BY bucket "
             "ROWS UNBOUNDED PRECEDING)"
         ),
+        "kn_bigram": (
+            r"WITH tk AS ("
+            r"  SELECT doc_id, list_filter("
+            r"string_split_regex(lower(trim(text)), '\s+'), x -> x != '') AS t"
+            r"  FROM documents"
+            r"), "
+            "tr AS ("
+            "  SELECT doc_id,"
+            "    CASE WHEN i = 1 THEN NULL ELSE t[CAST(i - 1 AS INT)] END AS rp,"
+            "    t[CAST(i AS INT)] AS rc"
+            "  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM tk)"
+            "), "
+            "counts AS (SELECT token, count(*) AS n FROM "
+            "(SELECT unnest(t) AS token FROM tk) GROUP BY token), "
+            "vocab AS (SELECT token FROM counts ORDER BY n DESC, token LIMIT 30), "
+            "mtr AS (SELECT tr.doc_id, tr.rp, tr.rc, vp.token AS vp, vc.token AS vc "
+            "FROM tr LEFT JOIN vocab vp ON vp.token = tr.rp "
+            "LEFT JOIN vocab vc ON vc.token = tr.rc), "
+            "tp AS ("
+            "  SELECT (rp IS NULL) AS is_start,"
+            "    CASE WHEN rp IS NULL THEN '<s>' WHEN vp IS NOT NULL THEN rp "
+            "ELSE '<unk>' END AS prev,"
+            "    CASE WHEN vc IS NOT NULL THEN rc ELSE '<unk>' END AS cur,"
+            "    count(*) AS n"
+            "  FROM mtr GROUP BY 1, 2, 3"
+            "), "
+            "cc AS (SELECT count(*) FILTER (n = 1) AS n1, "
+            "count(*) FILTER (n = 2) AS n2 FROM tp), "
+            "dd AS (SELECT CASE WHEN n1 > 0 AND n2 > 0 "
+            "THEN n1 * 1.0 / (n1 + 2.0 * n2) ELSE 0.75 END AS d FROM cc), "
+            "hist AS (SELECT is_start, prev, sum(n) AS cn, count(*) AS types "
+            "FROM tp GROUP BY 1, 2), "
+            "cont AS (SELECT token, CASE WHEN c > 0 THEN c ELSE 0.5 END AS c "
+            "FROM (SELECT token, sum(c) AS c FROM ("
+            "SELECT cur AS token, CAST(count(*) AS DOUBLE) AS c FROM tp GROUP BY cur "
+            "UNION ALL SELECT '<unk>', 0.0) GROUP BY token)), "
+            "tot AS (SELECT sum(c) AS total FROM cont), "
+            "pc AS (SELECT token, ln(c / (SELECT total FROM tot)) AS lpc FROM cont), "
+            # exp(ln(p_cont)) mirrors the engine's round-trip exactly
+            "bi AS (SELECT tp.is_start, tp.prev, tp.cur, "
+            "ln((tp.n - dd.d) / hist.cn "
+            "+ (dd.d * hist.types / hist.cn) * exp(pc.lpc)) AS lp "
+            "FROM tp JOIN hist ON hist.is_start = tp.is_start "
+            "AND hist.prev = tp.prev "
+            "JOIN pc ON pc.token = tp.cur CROSS JOIN dd), "
+            "hh AS (SELECT is_start, prev, "
+            "ln(dd.d * types * 1.0 / cn) AS log_lambda "
+            "FROM hist CROSS JOIN dd), "
+            "sc AS (SELECT doc_id, (rp IS NULL) AS is_start, "
+            "CASE WHEN rp IS NULL THEN '<s>' WHEN vp IS NOT NULL THEN rp "
+            "ELSE '<unk>' END AS prev, "
+            "CASE WHEN vc IS NOT NULL THEN rc ELSE '<unk>' END AS cur "
+            "FROM mtr), "
+            "scored AS (SELECT sc.doc_id, "
+            "coalesce(bi.lp, hh.log_lambda + pc.lpc, pc.lpc) AS lp "
+            "FROM sc LEFT JOIN bi ON bi.is_start = sc.is_start "
+            "AND bi.prev = sc.prev AND bi.cur = sc.cur "
+            "LEFT JOIN hh ON hh.is_start = sc.is_start AND hh.prev = sc.prev "
+            "JOIN pc ON pc.token = sc.cur), "
+            "per AS (SELECT doc_id, count(*) AS n_transitions, "
+            "round(avg(lp), 6) AS kn_logprob FROM scored GROUP BY doc_id) "
+            "SELECT d.doc_id, coalesce(per.n_transitions, 0) AS n_transitions, "
+            "per.kn_logprob "
+            "FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id"
+        ),
         "percentile_calibrate": (
             "WITH cuts AS (SELECT lang, quantile_disc(n_chars, "
             "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c "
@@ -2874,7 +2954,12 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 'haskey', CAST(count(*) AS VARCHAR) FROM customer "
             "WHERE c_acctbal IS NOT NULL "
             "UNION ALL SELECT 'vid_c:' || CAST(c_custkey AS VARCHAR), 'Customer' "
-            "FROM customer WHERE c_custkey IN (1, 2, 7)"
+            "FROM customer WHERE c_custkey IN (1, 2, 7) "
+            # pagination rows (folded r9 — was the standalone slot)
+            "UNION ALL SELECT 'limit', '100' "
+            "UNION ALL SELECT 'skip', "
+            "CAST(greatest((SELECT count(*) FROM nation) - 20, 0) AS VARCHAR) "
+            "UNION ALL SELECT 'range', '10'"
         ),
         "mixture_sample": (
             # mirrors sampling.mixture_sample exactly: integer-valued
