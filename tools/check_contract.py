@@ -32,6 +32,8 @@ def norm_rows(cols, rows):
             v = r[i]
             if isinstance(v, float):
                 v = round(v, 9)
+                if v == 0.0:
+                    v = 0.0  # collapse -0.0: repr('-0.0') != repr('0.0')
             vals.append(repr(v))
         out.append("|".join(vals))
     return sorted(out)
