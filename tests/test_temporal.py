@@ -361,3 +361,24 @@ def test_anomaly_flags(spark):
 
     with pytest.raises(ValueError, match="threshold"):
         temporal.anomaly_flags(df, "v", threshold=0)
+
+
+def test_resample_null_group_key(spark):
+    """A NULL group key is its own series: the grid-to-aggregate join
+    is null-safe, so its gap rows rejoin their aggregates instead of
+    coming back all-NULL (the r9 fix)."""
+    from grip_spark import temporal
+
+    rows = [(None, 100, 1.0), (None, 125, 3.0), ("a", 100, 7.0)]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    out = {
+        (r["k"], r["ts_bucket"]): r
+        for r in temporal.resample(
+            df, "ts", 10, {"v_avg": F.avg("v")}, by="k"
+        ).collect()
+    }
+    assert set(out) == {(None, 100), (None, 110), (None, 120), ("a", 100)}
+    assert out[(None, 100)]["v_avg"] == 1.0
+    assert out[(None, 110)]["v_avg"] is None  # genuine gap
+    assert out[(None, 120)]["v_avg"] == 3.0
+    assert out[("a", 100)]["v_avg"] == 7.0
