@@ -1207,12 +1207,14 @@ def q_agg_matrix(spark, sf_dir):
             [
                 ops.count("n"),
                 ops.type_("ty", "o_totalprice"),
-                # accuracy 500k: rank-exact through sf0.1's 150k
-                # orders, so the quantile_disc oracle holds at every
-                # SF the sweep runs (at 50k it is exact only at the
-                # sf0.01 gate — the one size-dependent mismatch the
-                # r7 multi-SF contract sweep surfaced)
-                ops.percentile("pct", "o_totalprice", [25, 50, 75], accuracy=500_000),
+                # accuracy 5M: rank-exact through sf1's 1.5M orders,
+                # so the quantile_disc oracle holds at every SF the
+                # sweep runs (500k was exact only through sf0.1 —
+                # the r9 sf1 sweep surfaced the 1.5M-row mismatch,
+                # same class the r7 sweep caught at 50k)
+                ops.percentile(
+                    "pct", "o_totalprice", [25, 50, 75], accuracy=5_000_000
+                ),
             ]
         )
         .to_df()
