@@ -1,0 +1,362 @@
+"""WARC source and sink — Common Crawl-style web-archive ingest.
+
+The reference engine bulk-loads JSONL/SQL/Mongo dumps
+(``cmd/load/main.go``, ``mongo/load`` paths); the 100 TB
+training-data analogue of "bulk load" is reading raw web crawls, and
+the universal interchange format there is WARC/1.0-1.1 (ISO 28500):
+Common Crawl alone publishes ~100 TB/month of ``.warc.gz``.  This
+module reads WARC (plain and gzip) into rows and writes
+byte-reproducible WARC shards back out, following the repo's binary
+conventions (``sampling.read_webdataset`` / ``multimodal``): payloads
+decode WHERE THE BYTES LIVE via one Arrow ``mapInPandas`` stage —
+nothing shuffles — and malformed input yields err-tagged rows, never
+a failed stage.
+
+Scale shape
+-----------
+``binaryFile`` lists the archive FILES across tasks (a crawl segment
+is many ~1 GB shards — natural task granularity; one shard = one row
+into the decode stage).  ``.warc.gz`` is record-at-a-time gzip
+members (the spec's recommended layout), decompressed member-by-
+member with bounded memory.  Everything downstream of the parse is
+ordinary columns — filters on ``http_status`` / ``content_type``
+prune before the expensive text stages, and a ``select`` that drops
+``payload`` prunes the big binary column at the source.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import os
+import re
+import zlib
+
+from pyspark.sql import DataFrame, functions as F
+
+_WARC_SCHEMA = (
+    "file_path string, record_id string, warc_type string, "
+    "target_uri string, warc_date string, content_type string, "
+    "http_status int, http_content_type string, charset string, "
+    "payload binary, text string, n_bytes long, err string"
+)
+
+_CHARSET_RE = re.compile(r"""charset\s*=\s*["']?([A-Za-z0-9_.:+-]+)""", re.I)
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress concatenated gzip members (the ``.warc.gz``
+    record-per-member layout) into one byte string."""
+    out = []
+    while data:
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(data))
+        out.append(d.flush())
+        data = d.unused_data.lstrip(b"\x00")
+    return b"".join(out)
+
+
+def _parse_headers(raw: bytes) -> dict:
+    """Parse WARC/HTTP header lines into a lower-cased dict
+    (continuation lines folded per RFC 822)."""
+    headers: dict = {}
+    last = None
+    for line in raw.split(b"\r\n"):
+        if not line:
+            continue
+        if line[:1] in (b" ", b"\t") and last is not None:
+            headers[last] += " " + line.strip().decode("latin-1")
+            continue
+        k, _, v = line.partition(b":")
+        last = k.strip().decode("latin-1").lower()
+        headers[last] = v.strip().decode("latin-1")
+    return headers
+
+
+def _iter_warc_records(data: bytes):
+    """Yield ``(headers, block)`` per WARC record.  Records are
+    located by the version magic + Content-Length (the spec's framing);
+    a malformed tail raises, handled by the caller's err tag."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while pos < n and data[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            return
+        if not data.startswith(b"WARC/", pos):
+            raise ValueError(f"expected WARC/ magic at offset {pos}")
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            raise ValueError("unterminated WARC header")
+        headers = _parse_headers(data[pos + data[pos:head_end].find(b"\r\n") + 2 : head_end])
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("missing/invalid Content-Length") from None
+        body_start = head_end + 4
+        if body_start + clen > n:
+            raise ValueError("truncated WARC block")
+        yield headers, data[body_start : body_start + clen]
+        pos = body_start + clen
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked transfer-encoded body."""
+    out = []
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("bad chunk header")
+        size = int(body[pos:eol].split(b";")[0], 16)
+        if size == 0:
+            break
+        out.append(body[eol + 2 : eol + 2 + size])
+        pos = eol + 2 + size + 2
+    return b"".join(out)
+
+
+def _decode_text(payload: bytes, declared: str | None) -> tuple[str, str]:
+    """Best-effort text decode: declared charset, then UTF-8, then
+    Latin-1 (never fails).  Returns ``(text, charset_used)``."""
+    for enc in ([declared] if declared else []) + ["utf-8"]:
+        try:
+            return payload.decode(enc), enc.lower()
+        except (UnicodeDecodeError, LookupError):
+            continue
+    return payload.decode("latin-1"), "latin-1"
+
+
+def _parse_one_file(path: str, blob: bytes, want, with_text: bool, max_payload: int):
+    """Yield result-row dicts for one WARC file (plain or gzip)."""
+    if blob[:2] == b"\x1f\x8b":
+        blob = _gunzip_members(blob)
+    for wh, block in _iter_warc_records(blob):
+        wtype = wh.get("warc-type", "")
+        if want is not None and wtype not in want:
+            continue
+        row = {
+            "file_path": path,
+            "record_id": wh.get("warc-record-id"),
+            "warc_type": wtype,
+            "target_uri": wh.get("warc-target-uri"),
+            "warc_date": wh.get("warc-date"),
+            "content_type": wh.get("content-type"),
+            "http_status": None,
+            "http_content_type": None,
+            "charset": None,
+            "payload": None,
+            "text": None,
+            "n_bytes": None,
+            "err": None,
+        }
+        try:
+            payload = block
+            if (row["content_type"] or "").startswith("application/http"):
+                split = block.find(b"\r\n\r\n")
+                if split < 0:
+                    raise ValueError("HTTP block without header terminator")
+                hh = _parse_headers(block[block.find(b"\r\n") + 2 : split])
+                status_line = block[: block.find(b"\r\n")].decode("latin-1")
+                parts = status_line.split(None, 2)
+                if len(parts) >= 2 and parts[0].startswith("HTTP/"):
+                    row["http_status"] = int(parts[1])
+                row["http_content_type"] = hh.get("content-type")
+                payload = block[split + 4 :]
+                if "chunked" in hh.get("transfer-encoding", "").lower():
+                    payload = _dechunk(payload)
+            row["n_bytes"] = len(payload)
+            row["payload"] = payload[:max_payload] if max_payload else payload
+            if with_text:
+                m = _CHARSET_RE.search(row["http_content_type"] or row["content_type"] or "")
+                row["text"], row["charset"] = _decode_text(
+                    payload, m.group(1) if m else None
+                )
+        except Exception as ex:  # noqa: BLE001 — per-record err tag
+            row["err"] = f"record: {str(ex)[:200]}"
+        yield row
+
+
+def read_warc(
+    spark,
+    path: str,
+    types: tuple | None = ("response",),
+    with_text: bool = True,
+    max_payload: int = 0,
+) -> DataFrame:
+    """Read WARC archives (``*.warc`` and ``*.warc.gz``) under
+    ``path`` into one row per record: ``(file_path, record_id,
+    warc_type, target_uri, warc_date, content_type, http_status,
+    http_content_type, charset, payload, text, n_bytes, err)``.
+
+    ``types`` filters by ``WARC-Type`` during the parse (default:
+    responses only — the crawl-ingest case; pass ``None`` for all
+    records incl. warcinfo/request/metadata).  HTTP response blocks
+    are split into status/headers/body, chunked transfer-encoding is
+    decoded, and ``text`` is a best-effort decode (declared charset →
+    UTF-8 → Latin-1; the winner is recorded in ``charset``).  Set
+    ``with_text=False`` to skip decoding (binary-payload pipelines),
+    ``max_payload`` to truncate stored payload bytes (0 = keep all;
+    ``n_bytes`` always reports the true size).
+
+    A corrupt FILE yields one err row for the file; a corrupt RECORD
+    yields that record with ``err`` set — the stage never fails
+    (the multimodal per-row err-tag convention).
+    """
+    import pandas as pd
+
+    want = set(types) if types is not None else None
+    files = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .filter(F.col("path").rlike(r"\.warc(\.gz)?$"))
+        .select("path", "content")
+    )
+
+    def _parse(batches):
+        for pdf in batches:
+            rows = []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    rows.extend(
+                        _parse_one_file(p, bytes(blob), want, with_text, max_payload)
+                    )
+                except Exception as ex:  # noqa: BLE001 — per-file err tag
+                    rows.append(
+                        {
+                            "file_path": p, "record_id": None, "warc_type": None,
+                            "target_uri": None, "warc_date": None,
+                            "content_type": None, "http_status": None,
+                            "http_content_type": None, "charset": None,
+                            "payload": None, "text": None, "n_bytes": None,
+                            "err": f"file: {str(ex)[:200]}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file_path", "record_id", "warc_type", "target_uri",
+                    "warc_date", "content_type", "http_status",
+                    "http_content_type", "charset", "payload", "text",
+                    "n_bytes", "err",
+                ],
+            )
+
+    return files.mapInPandas(_parse, schema=_WARC_SCHEMA)
+
+
+def _uuid_urn(salt: str, key: str) -> str:
+    h = hashlib.md5(f"{salt}:{key}".encode()).hexdigest()
+    return f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+
+
+def _warc_record(
+    rid: str, uri: str, date: str, body: bytes, http_content_type: str
+) -> bytes:
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: "
+        + http_content_type.encode("latin-1")
+        + b"\r\nContent-Length: "
+        + str(len(body)).encode()
+        + b"\r\n\r\n"
+        + body
+    )
+    head = (
+        "WARC/1.0\r\n"
+        f"WARC-Type: response\r\n"
+        f"WARC-Record-ID: {rid}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode("latin-1")
+    return head + http + b"\r\n\r\n"
+
+
+def export_warc(
+    df: DataFrame,
+    id_col: str,
+    path: str,
+    n_shards: int,
+    text_col: str = "text",
+    url_col: str | None = None,
+    date: str = "2026-01-01T00:00:00Z",
+    gzip_shards: bool = True,
+    salt: str = "warc",
+) -> DataFrame:
+    """Write the corpus as ``n_shards`` WARC response shards under
+    ``path`` (``shard-00000.warc.gz`` …, one gzip member per record —
+    the spec's recommended layout) and return a manifest DataFrame
+    ``(shard, path, n_docs, n_bytes, sha256)`` — the web-archive sink
+    next to :func:`grip_spark.sampling.export_webdataset`.
+
+    Byte-reproducible: shard membership and order are pure functions
+    of (salt, id) (the :func:`~grip_spark.sampling.shard_assign`
+    primitives); record IDs are salted-md5 URNs, ``WARC-Date`` is the
+    fixed ``date`` parameter, and gzip members are written with
+    ``mtime=0`` — re-running the export yields sha256-identical
+    shards a manifest can pin.  ``url_col=None`` synthesizes
+    ``urn:doc:{id}`` target URIs.  Round-trips through
+    :func:`read_warc` (tested).
+
+    Scale shape: one shard-keyed ``applyInPandas`` (a whole shard per
+    task — size ``n_shards`` to the usual ~1 GB rule); manifest is
+    ``n_shards`` rows.
+    """
+    import gzip as _gzip
+
+    import pandas as pd
+
+    from grip_spark.dedup import md5_prefix_hash
+    from grip_spark.sampling import shard_assign
+
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be > 0, got {n_shards}")
+    os.makedirs(path, exist_ok=True)
+    c = F.col(id_col)
+    out = shard_assign(df, id_col, n_shards, salt=f"{salt}:shard").withColumn(
+        "_order", md5_prefix_hash(F.concat(F.lit(f"{salt}:order"), c.cast("string")))
+    )
+    slim = out.select(
+        F.col("shard"),
+        F.col("_order").alias("order"),
+        c.cast("string").alias("k"),
+        F.coalesce(F.col(text_col).cast("string"), F.lit("")).alias("txt"),
+        (
+            F.col(url_col).cast("string")
+            if url_col
+            else F.concat(F.lit("urn:doc:"), c.cast("string"))
+        ).alias("uri"),
+    )
+    ext = ".warc.gz" if gzip_shards else ".warc"
+
+    def _write(pdf):
+        shard = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values(["order", "k"], kind="mergesort")
+        fname = os.path.join(path, f"shard-{shard:05d}{ext}")
+        tmp = fname + ".tmp"
+        with open(tmp, "wb") as f:
+            for row in pdf.itertuples(index=False):
+                rec = _warc_record(
+                    _uuid_urn(salt, row.k), row.uri, date,
+                    row.txt.encode("utf-8"), "text/plain; charset=utf-8",
+                )
+                f.write(_gzip.compress(rec, mtime=0) if gzip_shards else rec)
+        os.replace(tmp, fname)
+        with open(fname, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "path": [fname],
+                "n_docs": [len(pdf)],
+                "n_bytes": [os.path.getsize(fname)],
+                "sha256": [digest],
+            }
+        )
+
+    return slim.groupBy("shard").applyInPandas(
+        _write,
+        schema="shard int, path string, n_docs long, n_bytes long, sha256 string",
+    )

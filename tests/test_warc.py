@@ -1,0 +1,149 @@
+"""WARC source/sink: hand-built archives (plain, gzip-per-record,
+chunked transfer, declared charsets), corruption err tags, and the
+byte-reproducible export round-trip."""
+
+import gzip
+import os
+
+from grip_spark.warc import export_warc, read_warc
+
+
+def _record(uri, body, rtype=b"response", http_headers=b"", extra_warc=b""):
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        + http_headers
+        + b"\r\n"
+        + body
+    )
+    head = (
+        b"WARC/1.0\r\nWARC-Type: " + rtype
+        + b"\r\nWARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-000000000001>"
+        + b"\r\nWARC-Date: 2026-01-01T00:00:00Z"
+        + b"\r\nWARC-Target-URI: " + uri
+        + extra_warc
+        + b"\r\nContent-Type: application/http; msgtype=response"
+        + b"\r\nContent-Length: " + str(len(http)).encode()
+        + b"\r\n\r\n"
+    )
+    return head + http + b"\r\n\r\n"
+
+
+def _warcinfo():
+    body = b"software: test\r\n"
+    return (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Record-ID: <urn:uuid:0>"
+        b"\r\nWARC-Date: 2026-01-01T00:00:00Z"
+        b"\r\nContent-Type: application/warc-fields"
+        b"\r\nContent-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+        + body + b"\r\n\r\n"
+    )
+
+
+def _sample_archive():
+    plain = _record(
+        b"http://a.example/",
+        b"<html>hello utf-8 \xe2\x9c\x93</html>",
+        http_headers=b"X-Ct: 1\r\nContent-Type: text/html; charset=utf-8\r\n",
+    )
+    latin = _record(
+        b"http://b.example/",
+        b"caf\xe9",
+        http_headers=b"Content-Type: text/plain; charset=iso-8859-1\r\n",
+    )
+    chunked = _record(
+        b"http://c.example/",
+        b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n",
+        http_headers=b"Transfer-Encoding: chunked\r\n",
+    )
+    return _warcinfo() + plain + latin + chunked
+
+
+def test_read_warc_plain_and_types(spark, tmp_path):
+    p = tmp_path / "w"
+    p.mkdir()
+    (p / "seg.warc").write_bytes(_sample_archive())
+    rows = {
+        r["target_uri"]: r
+        for r in read_warc(spark, str(p)).collect()
+    }
+    assert set(rows) == {"http://a.example/", "http://b.example/", "http://c.example/"}
+    a = rows["http://a.example/"]
+    assert a["http_status"] == 200
+    assert a["charset"] == "utf-8"
+    assert a["text"] == "<html>hello utf-8 ✓</html>"
+    assert a["err"] is None
+    b = rows["http://b.example/"]
+    assert b["text"] == "café" and b["charset"] == "iso-8859-1"
+    c = rows["http://c.example/"]
+    assert c["text"] == "hello world" and c["n_bytes"] == 11
+
+    all_types = read_warc(spark, str(p), types=None).collect()
+    assert sorted(r["warc_type"] for r in all_types) == [
+        "response", "response", "response", "warcinfo",
+    ]
+    info = [r for r in all_types if r["warc_type"] == "warcinfo"][0]
+    assert info["text"] == "software: test\r\n" and info["http_status"] is None
+
+
+def test_read_warc_gzip_members_and_corrupt(spark, tmp_path):
+    p = tmp_path / "w"
+    p.mkdir()
+    # one gzip member per record — the spec's .warc.gz layout
+    members = b"".join(
+        gzip.compress(r, mtime=0)
+        for r in [_warcinfo(), _record(b"http://a.example/", b"ok")]
+    )
+    (p / "seg.warc.gz").write_bytes(members)
+    (p / "bad.warc").write_bytes(b"NOT A WARC FILE")
+    (p / "ignored.txt").write_bytes(b"skip me")
+    out = read_warc(spark, str(p), types=None).collect()
+    good = [r for r in out if r["err"] is None]
+    bad = [r for r in out if r["err"] is not None]
+    assert {r["warc_type"] for r in good} == {"warcinfo", "response"}
+    assert [r["text"] for r in good if r["warc_type"] == "response"] == ["ok"]
+    assert len(bad) == 1 and bad[0]["file_path"].endswith("bad.warc")
+    assert bad[0]["err"].startswith("file:")
+
+
+def test_read_warc_truncated_record_tag(spark, tmp_path):
+    p = tmp_path / "w"
+    p.mkdir()
+    rec = _record(b"http://a.example/", b"ok")
+    # declared Content-Length overruns the file -> file-level err
+    (p / "t.warc").write_bytes(rec[: len(rec) - 10])
+    out = read_warc(spark, str(p)).collect()
+    assert len(out) == 1 and "truncated" in out[0]["err"]
+
+
+def test_read_warc_max_payload_and_no_text(spark, tmp_path):
+    p = tmp_path / "w"
+    p.mkdir()
+    (p / "s.warc").write_bytes(_record(b"http://a.example/", b"0123456789"))
+    r = read_warc(spark, str(p), with_text=False, max_payload=4).collect()[0]
+    assert bytes(r["payload"]) == b"0123" and r["n_bytes"] == 10
+    assert r["text"] is None and r["charset"] is None
+
+
+def test_export_warc_round_trip_and_reproducible(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"document body {i} ✓" if i % 7 else None) for i in range(40)],
+        "doc_id int, text string",
+    )
+    p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    m1 = export_warc(docs, "doc_id", p1, n_shards=3).collect()
+    m2 = export_warc(docs, "doc_id", p2, n_shards=3).collect()
+    assert sorted(r["n_docs"] for r in m1) == sorted(r["n_docs"] for r in m2)
+    assert sum(r["n_docs"] for r in m1) == 40
+    assert {r["sha256"] for r in m1} == {r["sha256"] for r in m2}
+    assert all(os.path.basename(r["path"]).endswith(".warc.gz") for r in m1)
+
+    back = read_warc(spark, p1).collect()
+    assert len(back) == 40
+    by_uri = {r["target_uri"]: r for r in back}
+    assert by_uri["urn:doc:11"]["text"] == "document body 11 ✓"
+    assert by_uri["urn:doc:7"]["text"] == ""  # NULL text writes empty
+    assert all(r["err"] is None and r["http_status"] == 200 for r in back)
+    # record ids are salted-md5 URNs, stable across runs
+    ids1 = {r["target_uri"]: r["record_id"] for r in back}
+    back2 = {r["target_uri"]: r["record_id"] for r in read_warc(spark, p2).collect()}
+    assert ids1 == back2
