@@ -1,0 +1,141 @@
+"""Margin-based bitext mining: exact mode vs a numpy brute-force
+mirror of the Artetxe & Schwenk 2019 scoring, strategy semantics,
+and LSH-bucketed recall on a planted bilingual corpus."""
+
+import numpy as np
+import pytest
+
+from grip_spark.similarity import bitext_mine
+
+DIM = 16
+N_PAIRED = 24
+N_DISTRACT = 8
+
+
+def _corpus(seed=11):
+    rng = np.random.default_rng(seed)
+    src = rng.normal(size=(N_PAIRED, DIM))
+    src /= np.linalg.norm(src, axis=1, keepdims=True)
+    # "translations": same direction + small noise
+    tgt = src + 0.15 * rng.normal(size=src.shape)
+    tgt /= np.linalg.norm(tgt, axis=1, keepdims=True)
+    extra = rng.normal(size=(N_DISTRACT, DIM))
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    tgt = np.vstack([tgt, extra])
+    return src, tgt
+
+
+def _mirror(src, tgt, k, margin="ratio"):
+    """Brute-force margin scores over all pairs + forward argmax."""
+    cos = src @ tgt.T
+    af = np.sort(cos, axis=1)[:, -k:].mean(axis=1)          # per-src fwd kNN mean
+    ab = np.sort(cos, axis=0)[-k:, :].mean(axis=0)          # per-tgt bwd kNN mean
+    pen = (af[:, None] + ab[None, :]) / 2.0
+    if margin == "ratio":
+        m = cos / pen
+    elif margin == "distance":
+        m = cos - pen
+    else:
+        m = cos
+    return cos, m
+
+
+def _dfs(spark, src, tgt):
+    s = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(src)],
+        "vec_id int, embedding array<double>",
+    )
+    t = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(tgt)],
+        "vec_id int, embedding array<double>",
+    )
+    return s, t
+
+
+def test_bitext_exact_matches_numpy_mirror(spark):
+    src, tgt = _corpus()
+    s, t = _dfs(spark, src, tgt)
+    cos, m = _mirror(src, tgt, k=4)
+    out = bitext_mine(s, t, k=4, threshold=0.0, strategy="forward").collect()
+    assert len(out) == N_PAIRED  # one best tgt per src
+    for r in out:
+        best = int(np.argmax(m[r["src_id"]]))
+        assert r["tgt_id"] == best
+        assert r["margin_score"] == pytest.approx(m[r["src_id"], best], rel=1e-9)
+        assert r["cos_sim"] == pytest.approx(cos[r["src_id"], best], rel=1e-9)
+    # planted translations win the alignment
+    hits = sum(1 for r in out if r["tgt_id"] == r["src_id"])
+    assert hits >= N_PAIRED - 1
+
+
+def test_bitext_margin_beats_raw_cosine_on_hub(spark):
+    """A hub vector (centroid-ish, similar to everything) steals raw-
+    cosine alignments; the margin penalty restores the true pairs."""
+    rng = np.random.default_rng(5)
+    hub = rng.normal(size=DIM)
+    hub /= np.linalg.norm(hub)
+    e = rng.normal(size=(10, DIM))
+    e -= (e @ hub)[:, None] * hub  # orthogonal idiosyncratic parts
+    e /= np.linalg.norm(e, axis=1, keepdims=True)
+    # domain corpus: every sentence shares a strong common direction
+    src = 0.88 * hub + np.sqrt(1 - 0.88**2) * e
+    tgt = src + 0.15 * rng.normal(size=src.shape)
+    tgt /= np.linalg.norm(tgt, axis=1, keepdims=True)
+    tgt = np.vstack([tgt, hub[None, :]])
+    s, t = _dfs(spark, src, tgt)
+    raw = bitext_mine(s, t, k=4, margin="absolute", threshold=-10, strategy="forward")
+    ratio = bitext_mine(s, t, k=4, margin="ratio", threshold=0.0, strategy="forward")
+    raw_hits = sum(1 for r in raw.collect() if r["tgt_id"] == r["src_id"])
+    ratio_hits = sum(1 for r in ratio.collect() if r["tgt_id"] == r["src_id"])
+    assert raw_hits <= 4  # the hub steals most raw-cosine alignments
+    assert ratio_hits >= 9  # the margin penalty restores them
+
+
+def test_bitext_intersection_subset_and_threshold(spark):
+    src, tgt = _corpus(seed=3)
+    s, t = _dfs(spark, src, tgt)
+    fwd = {(r["src_id"], r["tgt_id"]): r["margin_score"]
+           for r in bitext_mine(s, t, k=4, threshold=0.0).collect()}
+    inter = {(r["src_id"], r["tgt_id"])
+             for r in bitext_mine(s, t, k=4, threshold=0.0,
+                                  strategy="intersection").collect()}
+    assert inter <= set(fwd)
+    assert len(inter) >= N_PAIRED - 2  # near-bijective planted corpus
+    thr = sorted(fwd.values())[len(fwd) // 2]
+    kept = bitext_mine(s, t, k=4, threshold=thr).collect()
+    assert all(r["margin_score"] >= thr for r in kept)
+    assert 0 < len(kept) < len(fwd)
+
+
+def test_bitext_all_strategy_scores_union(spark):
+    src, tgt = _corpus(seed=7)
+    s, t = _dfs(spark, src, tgt)
+    out = bitext_mine(s, t, k=3, threshold=0.0, strategy="all").collect()
+    # union of fwd/bwd top-3 candidate sets: between max(n*k) and sum
+    assert len(out) >= N_PAIRED * 3
+    assert len({(r["src_id"], r["tgt_id"]) for r in out}) == len(out)
+
+
+def test_bitext_lsh_recall(spark):
+    src, tgt = _corpus(seed=19)
+    s, t = _dfs(spark, src, tgt)
+    out = bitext_mine(s, t, k=4, threshold=0.0, planes=2, seed=7).collect()
+    hits = sum(1 for r in out if r["tgt_id"] == r["src_id"])
+    assert hits >= int(0.85 * N_PAIRED)  # hamming-1 multiprobe recall
+    # each pair joins at most once even with multiprobe replication
+    assert len(out) == len({r["src_id"] for r in out})
+    noprobe = bitext_mine(
+        s, t, k=4, threshold=0.0, planes=2, probe=0, seed=7
+    ).collect()
+    assert hits >= sum(1 for r in noprobe if r["tgt_id"] == r["src_id"])
+
+
+def test_bitext_validation(spark):
+    src, tgt = _corpus()
+    s, t = _dfs(spark, src, tgt)
+    with pytest.raises(ValueError):
+        bitext_mine(s, t, margin="nope")
+    with pytest.raises(ValueError):
+        bitext_mine(s, t, strategy="nope")
+    with pytest.raises(ValueError):
+        bitext_mine(s, t, k=0)
