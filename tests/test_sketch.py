@@ -665,3 +665,87 @@ def test_kmv_validation(spark):
         sketch.kmv_merge(s, {"k": 4, "salt": "other", "hashes": []})
     with pytest.raises(ValueError, match="different salts"):
         sketch.kmv_intersect(s, {"k": 4, "salt": "other", "hashes": []})
+
+
+# ---------------------------------------------------------------- KLL
+
+
+def _kll_probe_data():
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    vals = np.concatenate(
+        [rng.lognormal(0.0, 1.0, 30000), rng.uniform(-5.0, 5.0, 30000)]
+    )
+    rng.shuffle(vals)
+    return [float(v) for v in vals]
+
+
+def test_kll_exact_when_small(spark):
+    from grip_spark.sketch import kll_build, kll_quantile, kll_rank
+
+    vals = [5.0, 1.0, 9.0, 3.0, 7.0]
+    df = spark.createDataFrame([(v,) for v in vals] + [(None,)], "x double")
+    sk = kll_build(df, "x", k=64)
+    assert sk["n"] == 5  # NULL skipped
+    assert kll_quantile(sk, 0.0) == 1.0
+    assert kll_quantile(sk, 0.5) == 5.0
+    assert kll_quantile(sk, 1.0) == 9.0
+    assert kll_rank(sk, 3.0) == 2 / 5
+
+
+def test_kll_rank_error_bound(spark):
+    from grip_spark.sketch import kll_build, kll_cdf, kll_quantile
+
+    vals = _kll_probe_data()
+    srt = sorted(vals)
+    n = len(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(8)
+    sk = kll_build(df, "x", k=200)
+    assert sk["n"] == n
+    assert sum(len(l) for l in sk["levels"]) < 12 * 200  # O(k) state
+    import bisect
+
+    for q in [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]:
+        est = kll_quantile(sk, q)
+        true_rank = bisect.bisect_right(srt, est) / n
+        assert abs(true_rank - q) <= 0.02, (q, true_rank)
+    # cdf agrees with true ranks at arbitrary probes
+    probes = [srt[int(p * n)] for p in (0.05, 0.33, 0.66, 0.95)]
+    for p, est in zip(probes, kll_cdf(sk, probes)):
+        assert abs(est - bisect.bisect_right(srt, p) / n) <= 0.02
+
+
+def test_kll_merge_homomorphism(spark):
+    from grip_spark.sketch import kll_build, kll_merge, kll_quantile
+
+    vals = _kll_probe_data()
+    srt = sorted(vals)
+    n = len(vals)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, x double"
+    )
+    a = kll_build(df.filter("i % 2 = 0"), "x", k=200)
+    b = kll_build(df.filter("i % 2 = 1"), "x", k=200)
+    m = kll_merge(a, b)
+    assert m["n"] == n and m["k"] == 200
+    import bisect
+
+    for q in [0.05, 0.5, 0.95]:
+        true_rank = bisect.bisect_right(srt, kll_quantile(m, q)) / n
+        assert abs(true_rank - q) <= 0.03
+
+
+def test_kll_validation(spark):
+    import pytest as _pytest
+
+    from grip_spark.sketch import kll_build, kll_merge, kll_quantile
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with _pytest.raises(ValueError):
+        kll_build(df, "x", k=4)
+    with _pytest.raises(ValueError):
+        kll_merge()
+    sk = kll_build(df, "x", k=16)
+    with _pytest.raises(ValueError):
+        kll_quantile(sk, 1.5)
