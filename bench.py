@@ -317,6 +317,22 @@ def main():
                 max_dist=2,
             )
         ),
+        # r9 session-2 addition: margin-based bitext mining between
+        # the two halves of the embedding table (bucket equi-join with
+        # hamming-1 multiprobe + two pair windows + key-sized penalty
+        # aggs + mutual-best filter)
+        "bitext_mine": lambda: run_count(
+            similarity.bitext_mine(
+                emb.filter(F.col("vec_id") % 2 == 0),
+                emb.filter(F.col("vec_id") % 2 == 1),
+                "embedding",
+                "vec_id",
+                k=4,
+                strategy="intersection",
+                planes=emb_planes,
+                dim=64,
+            )
+        ),
         "cdc_dedup": lambda: dedup.cdc_dedup_stats(
             dedup.cdc_chunks(
                 docs.select("doc_id", F.encode("text", "utf-8").alias("data")),

@@ -1959,9 +1959,10 @@ def bitext_mine(
     Scale shape: one bucket equi-join (never cartesian at
     ``planes>0``), two windows + two key-sized mean aggregates over
     the candidate pairs, two id-keyed joins (AQE broadcasts the
-    key-sized sides), one final argmax window.  The scored-pair table
-    is eagerly checkpointed once — five consumers, one computation.
-    No driver materialization.
+    key-sized sides), one final argmax window.  The ranked pair table
+    is eagerly checkpointed once — three consumers (both penalty
+    aggs + the candidate filter), one computation of the join and
+    windows.  No driver materialization.
     """
     from pyspark.sql.window import Window
 
@@ -2006,7 +2007,7 @@ def bitext_mine(
         (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
             "cos_sim"
         ),
-    ).localCheckpoint(eager=True)
+    )
 
     wf = Window.partitionBy("src_id").orderBy(F.col("cos_sim").desc(), "tgt_id")
     wb = Window.partitionBy("tgt_id").orderBy(F.col("cos_sim").desc(), "src_id")
