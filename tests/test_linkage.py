@@ -1,0 +1,175 @@
+"""Fellegi-Sunter record linkage: blocking union semantics, hand-
+computed EM step and score formula, and end-to-end precision/recall
+on a planted person corpus with typos."""
+
+import math
+import random
+
+import pytest
+
+from grip_spark import linkage
+from pyspark.sql import functions as F
+
+FIELDS = "person_id int, first string, last string, dob string, city string, phone string"
+
+
+def _people(n=120, seed=7):
+    rng = random.Random(seed)
+    cities = [f"city{i}" for i in range(8)]
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                f"firstname{i:03d}",
+                f"lastname{i % 30:02d}",
+                f"19{50 + i % 50:02d}-0{1 + i % 9}-1{i % 9}",
+                cities[i % len(cities)],
+                f"555-{1000 + i}",
+            )
+        )
+    return rows, rng
+
+
+def _typo(s, rng):
+    i = rng.randrange(len(s))
+    return s[:i] + chr(ord("a") + rng.randrange(26)) + s[i + 1 :]
+
+
+@pytest.fixture(scope="module")
+def linked(spark):
+    rows, rng = _people()
+    a = spark.createDataFrame(rows, FIELDS)
+    b_rows = []
+    truth = {}
+    for i in range(80):  # perturbed true matches
+        pid, first, last, dob, city, phone = rows[i]
+        if i % 3 == 0:
+            first = _typo(first, rng)
+        if i % 5 == 0:
+            phone = f"555-{9000 + i}"
+        b_rows.append((1000 + i, first, last, dob, city, phone))
+        truth[1000 + i] = pid
+    for j in range(40):  # distractors: same city pool, different people
+        b_rows.append(
+            (
+                2000 + j,
+                f"other{j:03d}",
+                f"lastname{j % 30:02d}",
+                f"19{20 + j % 20:02d}-03-05",
+                f"city{j % 8}",
+                f"555-{7000 + j}",
+            )
+        )
+    b = spark.createDataFrame(b_rows, FIELDS)
+    comparisons = {
+        "first": "levenshtein:1",
+        "last": "exact",
+        "dob": "exact",
+        "phone": "exact",
+    }
+    matches, model = linkage.link(
+        a, b, "person_id",
+        blocking_rules=[["city"], ["last"]],
+        comparisons=comparisons,
+        threshold=0.9,
+    )
+    return matches.collect(), model, truth
+
+
+def test_linkage_em_recovers_field_reliability(linked):
+    _, model, _ = linked
+    # dob/first agree on matches, rarely on non-matches
+    assert model["m"]["dob"] > 0.95 and model["u"]["dob"] < 0.05
+    # first names are sequential (firstname000/001 are levenshtein-1
+    # apart) so non-match agreement is genuinely nonzero — the gap is
+    # what matters
+    assert model["m"]["first"] > 0.9 and model["u"]["first"] < 0.2
+    # last is shared across many people (30 surnames): high u,
+    # uninformative relative to dob/phone
+    assert model["u"]["last"] > 0.1
+    assert model["u"]["last"] > 3 * model["u"]["dob"]
+    # phone was perturbed for 1 in 5 matches
+    assert 0.6 < model["m"]["phone"] < 0.95
+    assert 0.0 < model["lambda"] < 0.2
+
+
+def test_linkage_precision_recall(linked):
+    matches, _, truth = linked
+    got = {(r["a_id"], r["b_id"]) for r in matches}
+    want = {(pid, bid) for bid, pid in truth.items()}
+    tp = len(got & want)
+    assert tp / len(want) >= 0.95  # recall
+    assert tp / len(got) >= 0.95  # precision
+    for r in matches:
+        assert 0.0 <= r["match_probability"] <= 1.0
+
+
+def test_block_candidates_union_dedup_and_self_mode(spark):
+    a = spark.createDataFrame(
+        [(1, "x", "p"), (2, "x", "p"), (3, "y", "q")], "i int, k1 string, k2 string"
+    )
+    # rows 1,2 share BOTH rules — the pair must appear once
+    pairs = linkage.block_candidates(
+        a, None, "i", blocking_rules=[["k1"], ["k2"]]
+    ).collect()
+    assert {(r["a_id"], r["b_id"]) for r in pairs} == {(1, 2)}
+    assert len(pairs) == 1
+    # two-table mode: expression rules
+    b = spark.createDataFrame([(10, "X", "zz")], "i int, k1 string, k2 string")
+    cross = linkage.block_candidates(
+        a, b, "i", blocking_rules=[["upper(k1)"]]
+    ).collect()
+    assert {(r["a_id"], r["b_id"]) for r in cross} == {(1, 10), (2, 10)}
+
+
+def test_em_single_iteration_hand_computed(spark):
+    # two fields, three patterns: (1,1)x10, (1,0)x10, (0,0)x80
+    rows = []
+    rows += [(i, 1, 1) for i in range(10)]
+    rows += [(100 + i, 1, 0) for i in range(10)]
+    rows += [(200 + i, 0, 0) for i in range(80)]
+    pairs = spark.createDataFrame(rows, "a_id int, gamma_f int, gamma_g int")
+    model = linkage.em_train(pairs, ["f", "g"], iterations=1)
+
+    m, u, lam = [0.9, 0.9], [0.1, 0.1], 0.1
+    sm = [0.0, 0.0]; su = [0.0, 0.0]; tot_r = 0.0
+    for gamma, n in [((1, 1), 10), ((1, 0), 10), ((0, 0), 80)]:
+        pm, pu = lam, 1 - lam
+        for i, g in enumerate(gamma):
+            pm *= m[i] if g else 1 - m[i]
+            pu *= u[i] if g else 1 - u[i]
+        r = pm / (pm + pu)
+        tot_r += r * n
+        for i, g in enumerate(gamma):
+            if g:
+                sm[i] += r * n
+                su[i] += (1 - r) * n
+    assert model["lambda"] == pytest.approx(tot_r / 100)
+    assert model["m"]["f"] == pytest.approx(sm[0] / tot_r)
+    assert model["u"]["g"] == pytest.approx(su[1] / (100 - tot_r))
+    assert model["iterations"] == 1
+
+
+def test_match_score_formula(spark):
+    pairs = spark.createDataFrame([(1, 2, 1, 0)], "a_id int, b_id int, gamma_f int, gamma_g int")
+    model = {"m": {"f": 0.9, "g": 0.8}, "u": {"f": 0.1, "g": 0.2}, "lambda": 0.5}
+    r = linkage.match_score(pairs, model).collect()[0]
+    want = math.log2(1.0) + math.log2(0.9 / 0.1) + math.log2(0.2 / 0.8)
+    assert r["match_weight"] == pytest.approx(want)
+    assert r["match_probability"] == pytest.approx(1 / (1 + 2 ** -want))
+
+
+def test_comparators_null_and_abs(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2, None, "x", 1.0, 1.05), (3, 4, "x", "x", 1.0, 2.0)],
+        "a_id int, b_id int, s_l string, s_r string, v_l double, v_r double",
+    )
+    out = linkage.compare_fields(pairs, {"s": "exact", "v": "abs:0.1"}).collect()
+    by = {r["a_id"]: r for r in out}
+    assert by[1]["gamma_s"] == 0 and by[1]["gamma_v"] == 1  # NULL disagrees
+    assert by[3]["gamma_s"] == 1 and by[3]["gamma_v"] == 0
+    with pytest.raises(ValueError):
+        linkage.compare_fields(pairs, {"s": "bogus"})
+    with pytest.raises(ValueError):
+        linkage.block_candidates(pairs, None, "a_id", [])
