@@ -1166,6 +1166,124 @@ def q_phrase_search(spark, sf_dir):
     return out
 
 
+def q_search_ops(spark, sf_dir):
+    """Retrieval matrix (r9 session-2 fold): BM25 top-20, exact-phrase
+    positional BM25 (bi+tri), and BM25+dense RRF hybrid ride one slot
+    as labeled rows — freeing two slots for the `record_linkage` and
+    `bitext_mine` value oracles.  Each branch keeps its original
+    oracle SQL verbatim inside a UNION ALL (same arithmetic, same
+    rounding discipline as when they were standalone slots)."""
+    nul = F.lit(None).cast("double")
+    bm = q_bm25_search(spark, sf_dir).select(
+        F.lit("bm25").alias("kind"),
+        F.col("id").cast("long").alias("id"),
+        F.col("score").cast("double").alias("m1"),
+        nul.alias("m2"),
+    )
+    ph = q_phrase_search(spark, sf_dir).select(
+        F.concat(F.lit("phrase_"), F.col("phrase")).alias("kind"),
+        F.col("id").cast("long").alias("id"),
+        F.col("tf_phrase").cast("double").alias("m1"),
+        F.col("score").cast("double").alias("m2"),
+    )
+    hy = q_hybrid_search(spark, sf_dir).select(
+        F.lit("hybrid").alias("kind"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("rrf_score").cast("double").alias("m1"),
+        F.col("n_sources").cast("double").alias("m2"),
+    )
+    return bm.unionByName(ph).unionByName(hy)
+
+
+#: fixed Fellegi-Sunter model for the contract slot: the EM TRAINING
+#: is driver-side float iteration (pytest-pinned via a hand-computed
+#: E/M step in tests/test_linkage.py); the SCORING path — blocking
+#: union, gammas, literal log-odds fold — is what the value oracle
+#: pins, so the model is a shared literal on both engines.
+_LINK_MODEL = {
+    "m": {"name": 0.9, "nationkey": 0.6, "acctbal": 0.3},
+    "u": {"name": 0.01, "nationkey": 0.05, "acctbal": 0.02},
+    "lambda": 0.01,
+}
+
+
+def q_record_linkage(spark, sf_dir):
+    """Fellegi-Sunter record linkage (grip_spark/linkage.py) between
+    customer and supplier: blocking-rule UNION (nationkey equi-join +
+    a name-suffix rule — overlapping rules exercise the per-pair
+    dedup), three comparison gammas (JVM levenshtein / exact /
+    abs-tolerance), and the literal-folded log-odds score.  Weights
+    are python-float literals embedded identically in both engines;
+    weight/probability rounded to 6dp (power(2,-w) may differ at ulp
+    across math libraries)."""
+    from grip_spark import linkage
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").cast("int").alias("nationkey"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    pairs = linkage.block_candidates(
+        cust,
+        supp,
+        "id",
+        blocking_rules=[["nationkey"], ["substring(name, 17, 2)"]],
+        fields=["name", "nationkey", "acctbal"],
+    )
+    g = linkage.compare_fields(
+        pairs,
+        {"name": "levenshtein:6", "nationkey": "exact", "acctbal": "abs:100"},
+    )
+    return linkage.match_score(g, _LINK_MODEL).select(
+        "a_id",
+        "b_id",
+        "gamma_name",
+        "gamma_nationkey",
+        "gamma_acctbal",
+        F.round("match_weight", 6).alias("w"),
+        F.round("match_probability", 6).alias("p"),
+    )
+
+
+def q_bitext_mine(spark, sf_dir):
+    """Margin-based bitext mining (similarity.bitext_mine, Artetxe &
+    Schwenk 2019) between the even/odd halves of the embedding table:
+    seeded hyperplane buckets (planes=4, replicated literally in the
+    oracle — the embedding_pairs discipline, so LSH+multiprobe recall
+    is value-checked too), k=4 neighborhood means, ratio margin,
+    mutual-best strategy, threshold 1.1 (fixture margins have a
+    ≥1e-4 gap around it; cross-engine float noise is ~1e-12).  Scores
+    rounded to 6dp."""
+    emb = _emb(spark, sf_dir)
+    out = similarity.bitext_mine(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        "embedding",
+        "vec_id",
+        k=4,
+        margin="ratio",
+        threshold=1.1,
+        strategy="intersection",
+        planes=4,
+        probe=1,
+        seed=7,
+        dim=64,
+    )
+    return out.select(
+        "src_id",
+        "tgt_id",
+        F.round("cos_sim", 6).alias("cos_r"),
+        F.round("margin_score", 6).alias("margin_r"),
+    )
+
+
 def q_pagerank(spark, sf_dir):
     """Fixed-5-iteration PageRank over the geography subgraph
     (Customer/Supplier → Nation → Region, the in_nation/in_region
@@ -1705,7 +1823,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7 session-2 folds: knn_lsh rides in sim_topk_ops and
         # mark_jump in jump_ops — funding dsir_sample + hybrid_search
         "dsir_sample": q_dsir_sample,
-        "hybrid_search": q_hybrid_search,
+        # r9 session-2 fold: bm25 + phrase + hybrid ride one labeled
+        # matrix — funding record_linkage + bitext_mine value oracles
+        "search_ops": q_search_ops,
+        "record_linkage": q_record_linkage,
+        "bitext_mine": q_bitext_mine,
         "dedup_clusters": q_dedup_clusters,
         "doc_text_profile": q_doc_text_profile,
         # new in r4 (never verified — ahead of the long-green tail)
@@ -1737,7 +1859,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_counts": q_scan_counts,  # v_ids rides here since late r4
         "mixture_sample": q_mixture_sample,
         "hop_counts": q_hop_counts,  # out_2hop rides here since late r7
-        "phrase_search": q_phrase_search,
         "distinct_ops": q_distinct_ops,
         # r5 folds: single+multi select ride as labeled rows; render +
         # set/increment likewise — funding bm25_search and pagerank
@@ -1748,7 +1869,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the random_walks slot (md5-family, whole walks value-checked)
         "path_unwind": q_path_unwind,
         "random_walks": q_random_walks,
-        "bm25_search": q_bm25_search,
         "pagerank": q_pagerank,
         "agg_matrix": q_agg_matrix,  # agg_histogram rides here since r9
         "dedup_exact": q_dedup_exact,
@@ -1892,6 +2012,96 @@ drk AS (
 u AS (SELECT * FROM lrk UNION ALL SELECT * FROM drk)
 SELECT id AS doc_id, sum(rr) AS rrf_score, count(*) AS n_sources
 FROM u GROUP BY id ORDER BY rrf_score DESC, id LIMIT 10
+"""
+
+
+_SEARCH_OPS_SQL = f"""
+SELECT 'bm25' AS kind, id, score AS m1, CAST(NULL AS DOUBLE) AS m2 FROM ({_BM25_SQL})
+UNION ALL
+SELECT 'phrase_' || phrase AS kind, id, CAST(tf_phrase AS DOUBLE) AS m1, score AS m2 FROM ({_PHRASE_SQL})
+UNION ALL
+SELECT 'hybrid' AS kind, doc_id AS id, rrf_score AS m1, CAST(n_sources AS DOUBLE) AS m2 FROM ({_HYBRID_SQL})
+"""
+
+
+def _linkage_oracle_sql() -> str:
+    """DuckDB rendering of q_record_linkage: same blocking union +
+    pair dedup, same gamma definitions (duckdb levenshtein == Spark's
+    standard edit distance), and the SAME python-float weight
+    literals added in the same order (repr round-trips exactly), so
+    the log-odds fold is the identical double arithmetic."""
+    import math as _math
+
+    m, u, lam = _LINK_MODEL["m"], _LINK_MODEL["u"], _LINK_MODEL["lambda"]
+    # CAST each literal: duckdb parses long float literals as DECIMAL,
+    # which would switch the fold to decimal arithmetic
+    terms = [f"CAST({_math.log2(lam / (1.0 - lam))!r} AS DOUBLE)"]
+    for f in ("name", "nationkey", "acctbal"):
+        wa = f"CAST({_math.log2(m[f] / u[f])!r} AS DOUBLE)"
+        wd = f"CAST({_math.log2((1.0 - m[f]) / (1.0 - u[f]))!r} AS DOUBLE)"
+        terms.append(f"(CASE WHEN gamma_{f} = 1 THEN {wa} ELSE {wd} END)")
+    wexpr = " + ".join(terms)
+    return f"""
+WITH a AS (SELECT c_custkey AS a_id, c_name AS name, c_nationkey AS nk, c_acctbal AS bal FROM customer),
+b AS (SELECT s_suppkey AS b_id, s_name AS name, s_nationkey AS nk, s_acctbal AS bal FROM supplier),
+pairs AS (
+  SELECT DISTINCT a_id, b_id, name_l, name_r, nk_l, nk_r, bal_l, bal_r FROM (
+    SELECT a.a_id, b.b_id, a.name AS name_l, b.name AS name_r,
+           a.nk AS nk_l, b.nk AS nk_r, a.bal AS bal_l, b.bal AS bal_r
+    FROM a JOIN b ON a.nk = b.nk
+    UNION ALL
+    SELECT a.a_id, b.b_id, a.name, b.name, a.nk, b.nk, a.bal, b.bal
+    FROM a JOIN b ON substring(a.name, 17, 2) = substring(b.name, 17, 2))
+),
+g AS (SELECT a_id, b_id,
+  CASE WHEN name_l IS NOT NULL AND name_r IS NOT NULL
+            AND levenshtein(name_l, name_r) <= 6 THEN 1 ELSE 0 END AS gamma_name,
+  CASE WHEN nk_l = nk_r THEN 1 ELSE 0 END AS gamma_nationkey,
+  CASE WHEN bal_l IS NOT NULL AND bal_r IS NOT NULL
+            AND abs(bal_l - bal_r) <= 100.0 THEN 1 ELSE 0 END AS gamma_acctbal
+  FROM pairs)
+SELECT a_id, b_id, gamma_name, gamma_nationkey, gamma_acctbal,
+  round({wexpr}, 6) AS w,
+  round(1.0 / (1.0 + power(2.0, -({wexpr}))), 6) AS p
+FROM g
+"""
+
+
+def _bitext_oracle_sql() -> str:
+    """DuckDB rendering of q_bitext_mine: literal plane family
+    (seed=7), hamming-1 multiprobe via explicit xor list, k=4
+    neighborhood means, ratio margin, mutual best, threshold 1.1."""
+    from grip_spark.similarity import _planes
+
+    hp = _planes(64, 4, 7)
+    bits = _bits_sql(hp, "embedding")
+    probes = ", ".join(["sig"] + [f"xor(sig, {1 << i})" for i in range(4)])
+    return f"""
+WITH b AS (SELECT vec_id, embedding, ({bits}) AS sig FROM embeddings),
+s AS (SELECT vec_id AS src_id, embedding, sig FROM b WHERE vec_id % 2 = 0),
+t AS (SELECT vec_id AS tgt_id, embedding, unnest([{probes}]) AS psig
+      FROM b WHERE vec_id % 2 = 1),
+scored AS (
+  SELECT s.src_id, t.tgt_id,
+         list_dot_product(CAST(s.embedding AS DOUBLE[]), CAST(t.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(s.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(t.embedding AS DOUBLE[]), CAST(t.embedding AS DOUBLE[])))) AS cos
+  FROM s JOIN t ON s.sig = t.psig),
+ranked AS (SELECT *,
+    row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) AS rf,
+    row_number() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id) AS rb
+  FROM scored),
+af AS (SELECT src_id, avg(cos) AS af FROM ranked WHERE rf <= 4 GROUP BY src_id),
+ab AS (SELECT tgt_id, avg(cos) AS ab FROM ranked WHERE rb <= 4 GROUP BY tgt_id),
+cand AS (SELECT r.src_id, r.tgt_id, r.cos, r.cos / ((af.af + ab.ab) / 2.0) AS m
+         FROM ranked r JOIN af USING (src_id) JOIN ab USING (tgt_id)
+         WHERE r.rf <= 4 OR r.rb <= 4),
+best AS (SELECT *,
+    row_number() OVER (PARTITION BY src_id ORDER BY m DESC, tgt_id) AS bf,
+    row_number() OVER (PARTITION BY tgt_id ORDER BY m DESC, src_id) AS bb
+  FROM cand)
+SELECT src_id, tgt_id, round(cos, 6) AS cos_r, round(m, 6) AS margin_r
+FROM best WHERE bf = 1 AND bb = 1 AND m >= 1.1
 """
 
 
@@ -2625,8 +2835,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "langid": _LANGID_SQL,
         "dsir_sample": _DSIR_SQL,
-        "phrase_search": _PHRASE_SQL,
-        "hybrid_search": _HYBRID_SQL,
+        "search_ops": _SEARCH_OPS_SQL,
+        "record_linkage": _linkage_oracle_sql(),
+        "bitext_mine": _bitext_oracle_sql(),
         "winnow_overlap": _WINNOW_SQL,
         "rdf_graph_hop": (
             "SELECT r_name AS key, CAST(count(*) AS DOUBLE) AS value "
@@ -3029,7 +3240,6 @@ def oracle_sql() -> dict[str, str]:
             "CAST(NULL AS BIGINT) FROM part"
         ),
         "random_walks": _WALKS_SQL,
-        "bm25_search": _BM25_SQL,
         "pagerank": _PAGERANK_SQL,
         "agg_matrix": (
             # Orders: count + type + percentile (fused multi-agg)
