@@ -1,0 +1,83 @@
+"""End-to-end web-crawl ingest: synthesize a WARC crawl (HTML
+responses, a near-duplicate, a non-English page, junk), read it with
+read_warc, and run the full build_corpus chain on top — proving the
+source composes with the corpus pipeline exactly like a parquet
+documents table."""
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from grip_spark.pipeline import build_corpus
+from grip_spark.warc import read_warc
+
+
+def _rec(uri, html):
+    body = html.encode("utf-8")
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" + body
+    )
+    head = (
+        b"WARC/1.0\r\nWARC-Type: response"
+        b"\r\nWARC-Record-ID: <urn:uuid:x>"
+        b"\r\nWARC-Date: 2026-01-01T00:00:00Z"
+        b"\r\nWARC-Target-URI: " + uri.encode()
+        + b"\r\nContent-Type: application/http; msgtype=response"
+        + b"\r\nContent-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+    )
+    return head + http + b"\r\n\r\n"
+
+
+PAGE = (
+    "<html><head><title>t</title><script>var x = 1;</script></head><body>"
+    "<h1>Guide</h1><p>{}</p></body></html>"
+)
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then walks back home "
+    "to review the state of the world with a calm and steady mind every day"
+)
+
+
+def test_warc_to_corpus(spark, tmp_path):
+    p = tmp_path / "crawl"
+    p.mkdir()
+    recs = [
+        _rec("http://a.example/1", PAGE.format(GOOD)),
+        _rec("http://a.example/2", PAGE.format(GOOD + " indeed")),  # near-dup
+        _rec("http://b.example/1", PAGE.format(
+            "eine ganz andere seite mit deutschem text und noch mehr worten "
+            "damit die sprachheuristik etwas zum anfassen hat und zwar genug"
+        )),
+        _rec("http://c.example/1", PAGE.format("x")),  # junk: too short
+    ]
+    (p / "seg-0.warc.gz").write_bytes(
+        b"".join(gzip.compress(r, mtime=0) for r in recs)
+    )
+    crawl = read_warc(spark, str(p)).filter(
+        F.col("err").isNull() & (F.col("http_status") == 200)
+    )
+    docs = crawl.select(
+        F.col("target_uri").alias("doc_id"),
+        F.col("text").alias("html"),
+        F.lit("web").alias("source"),
+    )
+    corpus, report = build_corpus(
+        docs,
+        id_col="doc_id",
+        html_col="html",
+        min_quality=0.2,
+        languages=("en",),
+        fuzzy_threshold=0.5,
+        line_rules=False,
+    )
+    rows = corpus.collect()
+    # near-dup pair collapsed to one canonical; german + junk dropped
+    kept = {r["doc_id"] for r in rows}
+    assert len(kept & {"http://a.example/1", "http://a.example/2"}) == 1
+    assert "http://b.example/1" not in kept
+    assert "http://c.example/1" not in kept
+    # html stripped: no tags/script in the surviving text
+    for r in rows:
+        assert "<" not in r["text"] and "var x" not in r["text"]
+    stages = [s["stage"] for s in report]
+    assert stages[0] == "input" and report[0]["rows"] == 4
