@@ -388,3 +388,65 @@ def snapshot_diff(
         ),
         F.count(F.when(o == n, 1)).alias("unchanged"),
     )
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    max_violating_groups: int = 20,
+) -> tuple[dict, DataFrame]:
+    """k-anonymity audit over quasi-identifier columns: every row
+    must share its quasi-identifier combination with at least ``k-1``
+    others (Sweeney 2002) — the privacy gate a training-data release
+    runs next to PII redaction (``text.redact_pii`` removes direct
+    identifiers; this measures re-identification risk from the
+    indirect ones).
+
+    Returns ``(report, violations)``: ``report`` = ``{"k",
+    "n_rows", "n_groups", "min_group_size", "n_violating_groups",
+    "n_rows_at_risk", "passed"}``; ``violations`` = the DataFrame of
+    quasi-identifier combinations with ``group_size < k`` (lazy —
+    filter/collect as needed; the report itself only collects
+    ``max_violating_groups`` nowhere, it is one aggregate row).
+    NULL quasi-values form their own groups (SQL groupBy semantics) —
+    a NULL zip code is still a linkable signature.
+
+    Scale shape: ONE map-side-combined group-count on the quasi
+    columns + one single-row aggregate over the group sizes; the
+    violations side is the same grouped table filtered — nothing
+    row-sized ever reaches the driver.  ``max_violating_groups`` only
+    caps the examples embedded in the report dict.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("group_size"))
+    stats = groups.agg(
+        F.sum("group_size").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("group_size").alias("min_size"),
+        F.count(F.when(F.col("group_size") < k, 1)).alias("n_viol"),
+        F.sum(F.when(F.col("group_size") < k, F.col("group_size"))).alias(
+            "rows_at_risk"
+        ),
+    ).first()
+    violations = groups.filter(F.col("group_size") < k)
+    examples = [
+        {**{c: r[c] for c in quasi_cols}, "group_size": r["group_size"]}
+        for r in violations.orderBy("group_size", *quasi_cols)
+        .limit(max_violating_groups)
+        .collect()
+    ]
+    report = {
+        "k": k,
+        "n_rows": int(stats["n_rows"] or 0),
+        "n_groups": int(stats["n_groups"] or 0),
+        "min_group_size": int(stats["min_size"]) if stats["min_size"] is not None else None,
+        "n_violating_groups": int(stats["n_viol"] or 0),
+        "n_rows_at_risk": int(stats["rows_at_risk"] or 0),
+        "passed": int(stats["n_viol"] or 0) == 0,
+        "examples": examples,
+    }
+    return report, violations

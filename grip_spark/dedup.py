@@ -1466,6 +1466,71 @@ def dedup_lines(
     )
 
 
+def dedup_lines_in_doc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "text_deduped",
+    normalize_lines: bool = True,
+) -> DataFrame:
+    """WITHIN-document repeated-line removal: keep the first
+    occurrence of each (whitespace-normalized, when
+    ``normalize_lines``) line inside a document, drop later repeats —
+    the within-doc complement of :func:`dedup_lines` (which removes
+    ACROSS-document boilerplate and deliberately ignores within-doc
+    refrains).  Template-generated pages and scraped chat/forum dumps
+    repeat nav rows and quoted blocks dozens of times inside one
+    document; repetition-heavy documents are also the classic
+    degeneration amplifier the Gopher repetition gates score — this
+    is the removal action at line granularity.  Blank lines are
+    structure, never removed; kept lines keep original order/text.
+
+    Scale shape (the :func:`dedup_lines` rebuild pattern): posexplode
+    -> first-occurrence election per (doc, line-hash) as one
+    doc+hash-keyed aggregate -> semi-join on (doc, hash, pos) -> one
+    groupBy reassembly.  Lines travel as dual xxhash64 keys + their
+    positions; per-group state is hash-sized.  Linear in total lines
+    — no per-document quadratic HOF scan (a million-line document
+    costs what a million lines cost).  NULL text stays NULL.
+    """
+    from .text import normalize as _normalize
+
+    c = F.col(text_col)
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(c, "\n")).alias("_pos", "_line")
+    )
+    keysrc = _normalize(F.col("_line")) if normalize_lines else F.col("_line")
+    keyed = lines.withColumn("_lk1", F.xxhash64(keysrc)).withColumn(
+        "_lk2", F.xxhash64(F.lit(1), keysrc)
+    )
+    first = (
+        keyed.filter(F.trim(F.col("_line")) != "")
+        .groupBy(id_col, "_lk1", "_lk2")
+        .agg(F.min("_pos").alias("_pos"))
+    )
+    kept = keyed.join(
+        first.withColumn("_first", F.lit(True)),
+        [id_col, "_lk1", "_lk2", "_pos"],
+        "left",
+    ).filter((F.trim(F.col("_line")) == "") | F.col("_first").isNotNull())
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias(out_col)
+    )
+    out = df.join(rebuilt, [id_col], "left")
+    return out.withColumn(
+        out_col,
+        F.when(c.isNull(), F.lit(None).cast("string")).otherwise(
+            F.coalesce(F.col(out_col), F.lit(""))
+        ),
+    )
+
+
 _XXP1 = 0x9E3779B185EBCA87
 _XXP2 = 0xC2B2AE3D27D4EB4F
 _XXP3 = 0x165667B19E3779F9

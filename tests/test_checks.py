@@ -191,3 +191,33 @@ def test_snapshot_diff(spark):
     assert (rd["n_old"], rd["n_new"]) == (2, 2)
     assert (rd["added"], rd["removed"]) == (0, 0)
     assert (rd["changed"], rd["unchanged"]) == (2, 0)
+
+
+def test_k_anonymity(spark):
+    from grip_spark.checks import k_anonymity
+
+    rows = (
+        [("90210", 1980, "F")] * 5
+        + [("90210", 1980, "M")] * 3
+        + [("10001", 1990, "F")] * 1
+        + [(None, 1990, "F")] * 2
+    )
+    df = spark.createDataFrame(rows, "zip string, yob int, sex string")
+    report, viol = k_anonymity(df, ["zip", "yob", "sex"], k=3)
+    assert report["n_rows"] == 11 and report["n_groups"] == 4
+    assert report["min_group_size"] == 1
+    assert report["n_violating_groups"] == 2  # the singleton + NULL-zip pair
+    assert report["n_rows_at_risk"] == 3
+    assert not report["passed"]
+    v = {(r["zip"], r["group_size"]) for r in viol.collect()}
+    assert v == {("10001", 1), (None, 2)}  # NULL keys form a group
+    assert report["examples"][0]["group_size"] == 1
+
+    ok, _ = k_anonymity(df, ["yob"], k=2)
+    assert ok["passed"] and ok["n_rows_at_risk"] == 0
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        k_anonymity(df, [], k=3)
+    with _p.raises(ValueError):
+        k_anonymity(df, ["zip"], k=1)

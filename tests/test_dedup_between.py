@@ -92,3 +92,26 @@ def test_self_join_variant_unchanged_by_refactor(two_corpora):
             if i < j and _jaccard(sh[i], sh[j]) >= 0.8:
                 truth.add((i, j))
     assert got <= truth
+
+
+def test_dedup_lines_in_doc(spark):
+    from grip_spark.dedup import dedup_lines_in_doc
+
+    nav = "home | products | about"
+    d1 = "\n".join([nav, "unique body one", "", nav, "second thought", nav])
+    d2 = "\n".join(["only line", "", "", "only  line"])  # ws-normalized dup
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, None), (4, "")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r["text_deduped"]
+           for r in dedup_lines_in_doc(docs, "doc_id", "text").collect()}
+    # first occurrence kept, repeats dropped, blank lines preserved
+    assert out[1] == "\n".join([nav, "unique body one", "", "second thought"])
+    assert out[2] == "\n".join(["only line", "", ""])
+    assert out[3] is None
+    assert out[4] == ""
+    # normalize_lines=False: whitespace variants are distinct lines
+    raw = {r["doc_id"]: r["text_deduped"]
+           for r in dedup_lines_in_doc(
+               docs, "doc_id", "text", normalize_lines=False).collect()}
+    assert raw[2] == d2
