@@ -204,14 +204,45 @@ def read_warc(
     yields that record with ``err`` set — the stage never fails
     (the multimodal per-row err-tag convention).
     """
+    files = spark.read.format("binaryFile").load(path)
+    return _parse_stage(files, types, with_text, max_payload)
+
+
+def stream_warc(
+    spark,
+    path: str,
+    types: tuple | None = ("response",),
+    with_text: bool = True,
+    max_payload: int = 0,
+) -> DataFrame:
+    """Structured-Streaming variant of :func:`read_warc`: new archive
+    files landing under ``path`` become micro-batches of parsed
+    records — the continuous-crawl ingest path (compose with
+    :func:`grip_spark.streaming.near_dedup_stream` downstream).  Same
+    schema, same per-file/per-record err tags; the ``binaryFile``
+    streaming source checkpoints which files were consumed, so a
+    restart never re-parses."""
+    files = (
+        spark.readStream.format("binaryFile")
+        # streaming file sources require the schema up front; this is
+        # the binaryFile source's fixed one
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(path)
+    )
+    return _parse_stage(files, types, with_text, max_payload)
+
+
+def _parse_stage(
+    files: DataFrame, types, with_text: bool, max_payload: int
+) -> DataFrame:
     import pandas as pd
 
     want = set(types) if types is not None else None
-    files = (
-        spark.read.format("binaryFile")
-        .load(path)
-        .filter(F.col("path").rlike(r"\.warc(\.gz)?$"))
-        .select("path", "content")
+    files = files.filter(F.col("path").rlike(r"\.warc(\.gz)?$")).select(
+        "path", "content"
     )
 
     def _parse(batches):

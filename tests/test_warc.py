@@ -147,3 +147,30 @@ def test_export_warc_round_trip_and_reproducible(spark, tmp_path):
     ids1 = {r["target_uri"]: r["record_id"] for r in back}
     back2 = {r["target_uri"]: r["record_id"] for r in read_warc(spark, p2).collect()}
     assert ids1 == back2
+
+
+def test_stream_warc_matches_batch(spark, tmp_path):
+    from grip_spark.warc import stream_warc
+
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "a.warc").write_bytes(_sample_archive())
+    (p / "b.warc.gz").write_bytes(
+        gzip.compress(_record(b"http://d.example/", b"late file"), mtime=0)
+    )
+    batch = {(r["target_uri"], r["text"]) for r in read_warc(spark, str(p)).collect()}
+
+    stream = stream_warc(spark, str(p))
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("warcmem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["target_uri"], r["text"])
+        for r in spark.sql("select * from warcmem").collect()
+    }
+    assert got == batch and len(got) == 4
