@@ -2054,3 +2054,79 @@ def bitext_mine(
     return joined.filter(F.col("margin_score") >= F.lit(float(threshold))).select(
         "src_id", "tgt_id", "cos_sim", "margin_score"
     )
+
+
+def kcenter_select(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    metric: str = "euclidean",
+    first_id=None,
+) -> list:
+    """Greedy k-center coreset selection (Gonzalez 1985, the 2-approx
+    farthest-point heuristic) — pick ``k`` maximally-spread rows from
+    an embedding table, the diversity-first data-pruning /
+    active-learning selection step (vs :func:`kmeans_train`'s
+    density-seeking centers and :func:`mmr_rerank`'s query-relative
+    diversity).  Returns the selected rows as a list of
+    ``{"id", "vec", "covered_radius"}`` dicts in selection order;
+    ``covered_radius`` is the max distance from any point to its
+    nearest chosen center BEFORE that round's pick — the monotone
+    coverage curve (the k-center objective after k picks is the
+    next entry that WOULD have been appended).
+
+    Deterministic: the first center is ``first_id`` (default: min
+    id), each round picks the point farthest from its nearest chosen
+    center, ties broken by min id; ``metric`` is ``euclidean`` or
+    ``cosine`` (distance = 1 - cosine on unit-normalized vectors).
+
+    Scale shape: the running nearest-center distance is a COLUMN
+    (one double per row), updated each round by a literal-center
+    projection — ``least(mind, dist(vec, c))`` — and the next center
+    is one ``TakeOrdered(1)``; each round is one narrow scan +
+    checkpoint, k rounds total (k full scans — size k accordingly;
+    the corpus never shuffles and the driver holds k·dim floats).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if metric not in ("euclidean", "cosine"):
+        raise ValueError(f"unknown metric: {metric}")
+    spark = df.sparkSession
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if metric == "cosine":
+        base = (
+            base.withColumn("_n", norm(F.col("_v")))
+            .withColumn("_v", F.transform(F.col("_v"), lambda x: x / F.col("_n")))
+            .drop("_n")
+        )
+    base = base.localCheckpoint(eager=True)
+
+    def _dist(c: list) -> Column:
+        d2 = F.aggregate(
+            F.zip_with(F.col("_v"), _vec_lit(c), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.sqrt(d2) if metric == "euclidean" else d2 / F.lit(2.0)
+
+    if first_id is None:
+        head = base.orderBy("_id").first()
+    else:
+        head = base.filter(F.col("_id") == first_id).first()
+        if head is None:
+            raise ValueError(f"first_id {first_id!r} not found")
+    selected = [{"id": head["_id"], "vec": list(head["_v"]), "covered_radius": None}]
+    cur = base.withColumn("_mind", _dist(selected[0]["vec"]))
+    for _ in range(1, k):
+        cur = cur.localCheckpoint(eager=True)
+        far = cur.orderBy(F.col("_mind").desc(), F.col("_id")).first()
+        if far is None or far["_mind"] == 0.0:
+            break  # fewer than k distinct points
+        selected.append(
+            {"id": far["_id"], "vec": list(far["_v"]),
+             "covered_radius": float(far["_mind"])}
+        )
+        cur = cur.withColumn("_mind", F.least(F.col("_mind"), _dist(far["_v"])))
+    return selected

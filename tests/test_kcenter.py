@@ -1,0 +1,69 @@
+"""Greedy k-center selection vs a numpy farthest-point mirror."""
+
+import numpy as np
+import pytest
+
+from grip_spark.similarity import kcenter_select
+
+
+def _mirror(V, ids, k, metric="euclidean", first=None):
+    X = V.copy()
+    if metric == "cosine":
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+
+    def dist(a, b):
+        if metric == "euclidean":
+            return float(np.linalg.norm(a - b))
+        return float(np.sum((a - b) ** 2) / 2.0)
+
+    order = np.argsort(ids)
+    start = order[0] if first is None else int(np.where(ids == first)[0][0])
+    chosen = [start]
+    mind = np.array([dist(X[i], X[start]) for i in range(len(X))])
+    radii = [None]
+    for _ in range(1, k):
+        best = min(range(len(X)), key=lambda i: (-mind[i], ids[i]))
+        if mind[best] == 0.0:
+            break
+        radii.append(mind[best])
+        chosen.append(best)
+        for i in range(len(X)):
+            mind[i] = min(mind[i], dist(X[i], X[best]))
+    return [ids[c] for c in chosen], radii
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "cosine"])
+def test_kcenter_matches_mirror(spark, metric):
+    rng = np.random.default_rng(23)
+    V = rng.normal(size=(60, 8))
+    ids = np.arange(100, 160)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, V)],
+        "vec_id int, embedding array<double>",
+    )
+    got = kcenter_select(df, k=7, metric=metric)
+    want_ids, want_radii = _mirror(V, ids, 7, metric)
+    assert [g["id"] for g in got] == list(want_ids)
+    for g, r in zip(got[1:], want_radii[1:]):
+        assert g["covered_radius"] == pytest.approx(r, rel=1e-9)
+    # coverage curve is monotone non-increasing
+    radii = [g["covered_radius"] for g in got[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+def test_kcenter_early_stop_and_first_id(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    sel = kcenter_select(df, k=5)
+    # only two distinct points: stops at 2 (zero farthest distance)
+    assert [s["id"] for s in sel] == [1, 3]
+    sel2 = kcenter_select(df, k=2, first_id=3)
+    assert [s["id"] for s in sel2] == [3, 1]  # farthest tie -> min id
+    with pytest.raises(ValueError):
+        kcenter_select(df, k=0)
+    with pytest.raises(ValueError):
+        kcenter_select(df, k=2, first_id=99)
+    with pytest.raises(ValueError):
+        kcenter_select(df, k=2, metric="manhattan")
