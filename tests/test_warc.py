@@ -174,3 +174,33 @@ def test_stream_warc_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from warcmem").collect()
     }
     assert got == batch and len(got) == 4
+
+
+def test_export_warc_fuzz_round_trip(spark):
+    """Adversarial bodies: CRLF runs, the WARC magic, HTTP header
+    terminators, unicode — framing is Content-Length-based, so none
+    of it can confuse the reader."""
+    from hypothesis import given, settings, strategies as st
+
+    evil = st.sampled_from(
+        ["\r\n\r\n", "WARC/1.0\r\n", "HTTP/1.1 200 OK", "Content-Length: 0",
+         "\r\n", "\x00", "héllo ✓", ""]
+    )
+    doc = st.lists(st.one_of(st.text(max_size=20), evil), max_size=8).map("".join)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def _run(texts):
+        import tempfile
+
+        rows = [(i, t) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        with tempfile.TemporaryDirectory() as d:
+            export_warc(df, "doc_id", d, n_shards=2).collect()
+            back = {
+                int(r["target_uri"].split(":")[-1]): r["text"]
+                for r in read_warc(spark, d).collect()
+            }
+        assert back == dict(rows)
+
+    _run()
