@@ -421,3 +421,153 @@ def anomaly_flags(
         )
         .drop("_med", "_mad")
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within=None,
+) -> DataFrame:
+    """Ordered funnel analysis → ``(user, funnel_level)``: the deepest
+    step index (1-based; 0 = no step-1 event) reached by a
+    time-ordered chain ``steps[0] → steps[1] → …``, with the whole
+    chain constrained to ``within`` time units of its step-1 event
+    when given — ClickHouse ``windowFunnel`` semantics: a LATER
+    step-1 occurrence re-anchors the window, so the result is the max
+    level over all candidate chains, not just the first.  Ordering is
+    non-strict on ties; equal-timestamp events apply in step order
+    (A→B at the same timestamp counts).  Timestamps are any numeric
+    (the events fixture's nanos-long included) — ``within`` is in the
+    same units.
+
+    Scale shape: ONE user-keyed shuffle (groupBy collect of (ts,
+    step) pairs — only funnel-relevant events are collected, the
+    filter folds into the scan) and a per-user linear fold entirely
+    inside JVM HOFs: state = one timestamp per level (the chain's
+    step-1 anchor, maximized — later anchors have more slack), each
+    event updates at most one level.  No Python, no window over the
+    raw event stream.  Aggregate with
+    ``groupBy("funnel_level").count()`` for the conversion report.
+    """
+    k = len(steps)
+    if k < 1:
+        raise ValueError("need at least one step")
+    if len(set(steps)) != k:
+        raise ValueError("steps must be distinct")
+    step_idx = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i + 1))]
+    )
+    ev = events.filter(F.col(type_col).isin(*steps)).select(
+        F.col(user_col).alias("user"),
+        F.struct(
+            F.col(ts_col).cast("double").alias("t"),
+            step_idx[F.col(type_col)].alias("s"),
+        ).alias("_e"),
+    )
+    per_user = ev.groupBy("user").agg(
+        F.array_sort(F.collect_list("_e")).alias("_evs")
+    )
+    # state[j] (j = 1..k, index j-1) = best (max) step-1 anchor time of
+    # a chain reaching level j; NULL = unreachable.  windowFunnel
+    # update: step 1 re-anchors; step j>1 extends if its predecessor's
+    # anchor is within the window.
+    init = F.array(*[F.lit(None).cast("double") for _ in range(k)])
+    win = F.lit(float(within)) if within is not None else None
+
+    def _apply(state, e):
+        # k is small and known: unroll the state update per level (a
+        # transform-with-index lambda gets the index as a COLUMN,
+        # which can't drive the per-level structure)
+        cells = []
+        for j in range(1, k + 1):
+            prev = F.element_at(state, j)
+            is_step = e["s"] == F.lit(j)
+            if j == 1:
+                cells.append(
+                    F.when(
+                        is_step, F.greatest(F.coalesce(prev, e["t"]), e["t"])
+                    ).otherwise(prev)
+                )
+                continue
+            anchor = F.element_at(state, j - 1)
+            ok = is_step & anchor.isNotNull()
+            if win is not None:
+                ok = ok & (e["t"] - anchor <= win)
+            cells.append(
+                F.when(ok, F.greatest(F.coalesce(prev, anchor), anchor)).otherwise(
+                    prev
+                )
+            )
+        return F.array(*cells)
+
+    folded = per_user.select(
+        "user", F.aggregate(F.col("_evs"), init, _apply).alias("_st")
+    )
+    reached = [
+        F.when(F.element_at(F.col("_st"), j + 1).isNotNull(), F.lit(j + 1))
+        for j in range(k)
+    ]
+    level = F.coalesce(
+        F.greatest(*reached) if k > 1 else reached[0], F.lit(0)
+    )
+    return folded.select("user", level.alias("funnel_level"))
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period=None,
+    horizon: int = 8,
+) -> DataFrame:
+    """Cohort retention table → ``(cohort, period_offset, n_users,
+    retention)``: users are cohorted by the period of their FIRST
+    event (``cohort = floor(min_ts / period)``), and each later
+    period they are active in counts them once at ``offset =
+    period(ts) - cohort`` (0..``horizon``).  ``retention`` is the
+    fraction of the cohort active at that offset (offset 0 is 1.0 by
+    construction).  Timestamps are any numeric; ``period`` is the
+    period length in the same units (required).
+
+    Scale shape: one user-keyed min-aggregate (cohort assignment),
+    one user-keyed equi-join back (AQE broadcasts when users fit),
+    one distinct over (cohort, offset, user) — hash-sized rows — and
+    one group-count; cohort sizes come from the offset-0 rows, no
+    extra pass.
+    """
+    if period is None or period <= 0:
+        raise ValueError("period (length in ts units) must be > 0")
+    if horizon < 0:
+        raise ValueError(f"horizon must be >= 0, got {horizon}")
+    t = F.col(ts_col).cast("double")
+    ev = events.select(F.col(user_col).alias("user"), t.alias("_t"))
+    first = ev.groupBy("user").agg(
+        F.floor(F.min("_t") / F.lit(float(period))).alias("cohort")
+    )
+    active = (
+        ev.join(first, "user")
+        .select(
+            "user",
+            "cohort",
+            (F.floor(F.col("_t") / F.lit(float(period))) - F.col("cohort")).alias(
+                "period_offset"
+            ),
+        )
+        .filter(F.col("period_offset") <= horizon)
+        .distinct()
+    )
+    counts = active.groupBy("cohort", "period_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    sizes = counts.filter(F.col("period_offset") == 0).select(
+        "cohort", F.col("n_users").alias("_size")
+    )
+    return counts.join(sizes, "cohort").select(
+        "cohort",
+        "period_offset",
+        "n_users",
+        (F.col("n_users") / F.col("_size")).alias("retention"),
+    )

@@ -382,3 +382,126 @@ def test_resample_null_group_key(spark):
     assert out[(None, 110)]["v_avg"] is None  # genuine gap
     assert out[(None, 120)]["v_avg"] == 3.0
     assert out[("a", 100)]["v_avg"] == 7.0
+
+
+# ------------------------------------------------------------- funnel
+
+
+def _window_funnel_mirror(evs, k, within):
+    """Pure-python ClickHouse windowFunnel replica: evs = [(t, step)]
+    sorted by (t, step); state[j] = best step-1 anchor reaching j."""
+    state = [None] * k
+    for t, s in sorted(evs):
+        j = s - 1
+        if s == 1:
+            state[0] = t if state[0] is None else max(state[0], t)
+        elif state[j - 1] is not None and (
+            within is None or t - state[j - 1] <= within
+        ):
+            state[j] = (
+                state[j - 1] if state[j] is None else max(state[j], state[j - 1])
+            )
+    return max((j + 1 for j in range(k) if state[j] is not None), default=0)
+
+
+def test_funnel_matches_replica(spark):
+    import random
+
+    from grip_spark.temporal import funnel
+
+    rng = random.Random(11)
+    steps = ["view", "cart", "buy"]
+    rows, truth_evs = [], {}
+    for u in range(60):
+        n = rng.randint(0, 12)
+        evs = []
+        for _ in range(n):
+            t = float(rng.randint(0, 100))
+            s = rng.randint(1, 3)
+            rows.append((u, steps[s - 1], t))
+            evs.append((t, s))
+        # noise event types are ignored
+        rows.append((u, "noise", 1.0))
+        truth_evs[u] = evs
+    df = spark.createDataFrame(rows, "user_id int, event_type string, ts double")
+    for within in (None, 20.0):
+        got = {
+            r["user"]: r["funnel_level"]
+            for r in funnel(df, steps, within=within).collect()
+        }
+        for u, evs in truth_evs.items():
+            want = _window_funnel_mirror(evs, 3, within)
+            if evs or want:
+                assert got.get(u, 0) == want, (u, within, sorted(evs))
+
+
+def test_funnel_hand_cases(spark):
+    from grip_spark.temporal import funnel
+
+    rows = [
+        # u1: full ordered chain
+        (1, "a", 1.0), (1, "b", 2.0), (1, "c", 3.0),
+        # u2: wrong order -> stops at 1
+        (2, "b", 1.0), (2, "a", 2.0), (2, "c", 1.5),
+        # u3: window re-anchor: late 'a' rescues the chain
+        (3, "a", 0.0), (3, "a", 50.0), (3, "b", 55.0), (3, "c", 58.0),
+        # u4: same-timestamp tie applies in step order
+        (4, "a", 5.0), (4, "b", 5.0),
+        # u5: only step 2 -> level 0
+        (5, "b", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_type string, ts double")
+    got = {
+        r["user"]: r["funnel_level"]
+        for r in funnel(df, ["a", "b", "c"], within=10.0).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 3, 4: 2, 5: 0}
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        funnel(df, [])
+    with _p.raises(ValueError):
+        funnel(df, ["a", "a"])
+
+
+def test_cohort_retention_vs_duckdb(spark):
+    import duckdb
+
+    from grip_spark.temporal import cohort_retention
+
+    import random
+    rng = random.Random(3)
+    rows = [
+        (u, float(rng.randint(0, 399)))
+        for u in range(80)
+        for _ in range(rng.randint(1, 6))
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts double")
+    got = {
+        (int(r["cohort"]), int(r["period_offset"])): (
+            r["n_users"],
+            round(r["retention"], 9),
+        )
+        for r in cohort_retention(df, period=50.0, horizon=4).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (user_id INT, ts DOUBLE)")
+    con.executemany("INSERT INTO ev VALUES (?, ?)", rows)
+    want_rows = con.execute("""
+        WITH first AS (
+          SELECT user_id, CAST(floor(min(ts) / 50.0) AS BIGINT) AS cohort
+          FROM ev GROUP BY user_id),
+        active AS (
+          SELECT DISTINCT e.user_id, f.cohort,
+                 CAST(floor(e.ts / 50.0) AS BIGINT) - f.cohort AS off
+          FROM ev e JOIN first f USING (user_id) WHERE
+                 CAST(floor(e.ts / 50.0) AS BIGINT) - f.cohort <= 4),
+        counts AS (SELECT cohort, off, count(*) AS n FROM active GROUP BY 1, 2)
+        SELECT c.cohort, c.off, c.n,
+               round(CAST(c.n AS DOUBLE) / s.n, 9)
+        FROM counts c JOIN (SELECT cohort, n FROM counts WHERE off = 0) s
+        USING (cohort)
+    """).fetchall()
+    want = {(int(r[0]), int(r[1])): (r[2], r[3]) for r in want_rows}
+    assert got == want
+    assert all(v[1] == 1.0 for k, v in got.items() if k[1] == 0)
