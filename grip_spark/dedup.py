@@ -1902,3 +1902,83 @@ def ngram_containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def dedup_report(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    text_col: str | None = None,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    top_clusters: int = 10,
+) -> dict:
+    """Audit report for a near-dedup pass — what a pipeline logs
+    before committing the canonical election: ``{"n_docs",
+    "n_clusters", "n_singletons", "n_dup_docs" (rows that would be
+    removed), "dup_fraction", "bytes_total", "bytes_removed",
+    "bytes_saved_fraction" (when ``text_col`` given),
+    "cluster_size_hist" ({size: count}), "top_clusters"
+    ([{component, size}, ...])}``.
+
+    Pair with any pair generator (minhash/simhash/embedding/editdist)
+    exactly like :func:`dedup_canonical`; the report is advisory —
+    nothing is removed.
+
+    Scale shape: one CC labeling (the pairs-sized hash-min loop) +
+    ONE component-keyed aggregate; the histogram is a second
+    aggregate over the component-size table (cluster-count-sized, not
+    corpus-sized).  The collect is the histogram + ``top_clusters``
+    rows + one stats row.
+    """
+    labeled = attach_components(df, id_col, pairs, a_col, b_col)
+    byte_len = (
+        F.octet_length(F.coalesce(F.col(text_col).cast("string"), F.lit("")))
+        if text_col
+        else F.lit(0).cast("long")
+    )
+    per_comp = labeled.select(
+        "component",
+        byte_len.alias("_b"),
+        (F.col("component") == F.col(id_col)).cast("int").alias("_canon"),
+    ).groupBy("component").agg(
+        F.count(F.lit(1)).alias("size"),
+        F.sum("_b").alias("bytes"),
+        # bytes of the canonical (kept) member
+        F.sum(F.col("_b") * F.col("_canon")).alias("bytes_kept"),
+    ).localCheckpoint(eager=True)
+    stats = per_comp.agg(
+        F.sum("size").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.count(F.when(F.col("size") == 1, 1)).alias("n_singletons"),
+        F.sum(F.col("size") - 1).alias("n_dup"),
+        F.sum("bytes").alias("bytes_total"),
+        F.sum(F.col("bytes") - F.col("bytes_kept")).alias("bytes_removed"),
+    ).first()
+    hist = {
+        int(r["size"]): int(r["n"])
+        for r in per_comp.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    top = [
+        {"component": r["component"], "size": int(r["size"])}
+        for r in per_comp.orderBy(F.col("size").desc(), "component")
+        .limit(top_clusters)
+        .collect()
+    ]
+    n_docs = int(stats["n_docs"] or 0)
+    bt = int(stats["bytes_total"] or 0)
+    br = int(stats["bytes_removed"] or 0)
+    return {
+        "n_docs": n_docs,
+        "n_clusters": int(stats["n_clusters"] or 0),
+        "n_singletons": int(stats["n_singletons"] or 0),
+        "n_dup_docs": int(stats["n_dup"] or 0),
+        "dup_fraction": (int(stats["n_dup"] or 0) / n_docs) if n_docs else 0.0,
+        "bytes_total": bt if text_col else None,
+        "bytes_removed": br if text_col else None,
+        "bytes_saved_fraction": (br / bt) if (text_col and bt) else (0.0 if text_col else None),
+        "cluster_size_hist": hist,
+        "top_clusters": top,
+    }

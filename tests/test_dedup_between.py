@@ -115,3 +115,27 @@ def test_dedup_lines_in_doc(spark):
            for r in dedup_lines_in_doc(
                docs, "doc_id", "text", normalize_lines=False).collect()}
     assert raw[2] == d2
+
+
+def test_dedup_report(spark):
+    from grip_spark.dedup import dedup_report
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaa"), (3, "bb"), (4, "c"), (5, "dddddd")],
+        "doc_id int, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "a_id int, b_id int"  # cluster {1,2,3}
+    )
+    r = dedup_report(docs, "doc_id", pairs, text_col="text")
+    assert r["n_docs"] == 5 and r["n_clusters"] == 3
+    assert r["n_singletons"] == 2 and r["n_dup_docs"] == 2
+    assert r["dup_fraction"] == 2 / 5
+    assert r["bytes_total"] == 4 + 3 + 2 + 1 + 6
+    assert r["bytes_removed"] == 3 + 2  # canonical (min id 1) keeps its 4
+    assert r["cluster_size_hist"] == {3: 1, 1: 2}
+    assert r["top_clusters"][0] == {"component": 1, "size": 3}
+
+    r2 = dedup_report(docs, "doc_id", pairs)
+    assert r2["bytes_total"] is None and r2["bytes_saved_fraction"] is None
+    assert r2["n_dup_docs"] == 2
