@@ -1986,7 +1986,12 @@ def bitext_mine(
     if planes > 0:
         if probe not in (0, 1):
             raise ValueError(f"probe must be 0 or 1, got {probe}")
-        d = dim or len(src.select(vec_col).first()[0])
+        if dim is None:
+            row = src.select(vec_col).first()
+            if row is None:
+                raise ValueError("src is empty and dim was not given")
+            dim = len(row[0])
+        d = dim
         fam = _planes(d, planes, seed)
         a = a.withColumn("_bucket", lsh_bucket(F.col("_va"), fam))
         bb = b.withColumn("_b0", lsh_bucket(F.col("_vb"), fam))

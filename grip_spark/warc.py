@@ -56,6 +56,15 @@ def _gunzip_members(data: bytes) -> bytes:
     return b"".join(out)
 
 
+def _hdec(b: bytes) -> str:
+    """Header-value decode: UTF-8 (the WARC/1.0 header charset), with
+    Latin-1 as the never-fails fallback for legacy writers."""
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
 def _parse_headers(raw: bytes) -> dict:
     """Parse WARC/HTTP header lines into a lower-cased dict
     (continuation lines folded per RFC 822)."""
@@ -65,11 +74,11 @@ def _parse_headers(raw: bytes) -> dict:
         if not line:
             continue
         if line[:1] in (b" ", b"\t") and last is not None:
-            headers[last] += " " + line.strip().decode("latin-1")
+            headers[last] += " " + _hdec(line.strip())
             continue
         k, _, v = line.partition(b":")
-        last = k.strip().decode("latin-1").lower()
-        headers[last] = v.strip().decode("latin-1")
+        last = _hdec(k.strip()).lower()
+        headers[last] = _hdec(v.strip())
     return headers
 
 
@@ -301,7 +310,9 @@ def _warc_record(
         f"WARC-Target-URI: {uri}\r\n"
         "Content-Type: application/http; msgtype=response\r\n"
         f"Content-Length: {len(http)}\r\n\r\n"
-    ).encode("latin-1")
+        # WARC/1.0 headers are UTF-8 (ISO 28500 §4) — a unicode URI
+        # must not fail the writer; the reader decodes UTF-8 first
+    ).encode("utf-8")
     return head + http + b"\r\n\r\n"
 
 

@@ -204,3 +204,16 @@ def test_export_warc_fuzz_round_trip(spark):
         assert back == dict(rows)
 
     _run()
+
+
+def test_export_warc_unicode_uri(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "body", "http://例え.jp/ページ?q=ünïcode")],
+        "doc_id int, text string, url string",
+    )
+    d = str(tmp_path / "u")
+    export_warc(docs, "doc_id", d, n_shards=1, url_col="url").collect()
+    r = read_warc(spark, d).collect()[0]
+    # WARC/1.0 headers are UTF-8: the URI round-trips exactly
+    assert r["target_uri"] == "http://例え.jp/ページ?q=ünïcode"
+    assert r["text"] == "body" and r["err"] is None
