@@ -600,6 +600,35 @@ class GripGraph:
         self.edges.cache()
         return self
 
+    def subgraph(self, gids, name: str | None = None) -> "GripGraph":
+        """Vertex-induced subgraph: keep the vertices whose ``gid`` is
+        in ``gids`` (a DataFrame whose FIRST column holds gids — e.g.
+        a ``select("gid")`` off a traversal result or an analytics
+        output — or a plain python list) plus every edge with BOTH
+        endpoints retained.  The extraction step after any selection:
+        run a traversal / community detection / k-core, then carry on
+        querying the piece as a first-class graph.
+
+        Scale shape: the gid set is deduplicated once, then two
+        semi-joins (vertices; edges against src AND dst) — AQE
+        broadcasts a small selection, large selections hash-join;
+        nothing but gids travels.
+        """
+        spark = self.vertices.sparkSession
+        if isinstance(gids, DataFrame):
+            ids = gids.select(F.col(gids.columns[0]).alias("gid"))
+        else:
+            ids = spark.createDataFrame([(g,) for g in gids], "gid string")
+        ids = ids.distinct()
+        verts = self.vertices.join(ids, "gid", "left_semi")
+        edges = self.edges.join(
+            ids.withColumnRenamed("gid", "src"), "src", "left_semi"
+        ).join(ids.withColumnRenamed("gid", "dst"), "dst", "left_semi")
+        return GripGraph(
+            verts, edges.select(*self.edges.columns),
+            name=name or f"{self.name}_sub",
+        )
+
     # -- storage layout (the analog of kvgraph's label index + s|/d|
     # adjacency indexes, kvgraph/keys.go:33-134) ----------------------
 

@@ -430,3 +430,29 @@ def test_dangling_edges_report(spark):
     g = GripGraph(v, e)
     got = {r["gid"]: r["missing"] for r in g.dangling_edges().collect()}
     assert got == {"e2": "dst", "e3": "src", "e4": "both"}
+
+
+def test_subgraph_induced(swapi):
+    # select Characters + their homeworlds via a traversal, induce
+    chars = swapi.query().V().hasLabel("Character").to_df().select("gid")
+    planets = swapi.query().V().hasLabel("Planet").to_df().select("gid")
+    ids = chars.unionByName(planets)
+    sub = swapi.subgraph(ids)
+    labels = {r["label"] for r in sub.vertices.select("label").distinct().collect()}
+    assert labels == {"Character", "Planet"}
+    # every kept edge has both endpoints inside
+    v = {r["gid"] for r in sub.vertices.collect()}
+    for e in sub.edges.collect():
+        assert e["src"] in v and e["dst"] in v
+    # homeworld edges survive, starship pilots edges don't
+    elabels = {r["label"] for r in sub.edges.select("label").distinct().collect()}
+    assert "homeworld" in elabels and "pilots" not in elabels
+    # the piece is a first-class graph: traverse it — all 9 homeworld
+    # hops of the full graph survive (their endpoints are all kept)
+    full = swapi.query().V().hasLabel("Character").out("homeworld").count().execute()
+    n = sub.query().V().hasLabel("Character").out("homeworld").count().execute()
+    assert n[0]["count"] == full[0]["count"] == 9
+    # python-list form + name
+    sub2 = swapi.subgraph(["Character:1"], name="one")
+    assert sub2.name == "one"
+    assert sub2.vertices.count() == 1 and sub2.edges.count() == 0
