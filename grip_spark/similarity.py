@@ -2135,3 +2135,98 @@ def kcenter_select(
         )
         cur = cur.withColumn("_mind", F.least(F.col("_mind"), _dist(far["_v"])))
     return selected
+
+
+def procrustes_align(
+    df: DataFrame,
+    src_col: str,
+    tgt_col: str,
+    scale: bool = False,
+) -> dict:
+    """Orthogonal Procrustes alignment between two embedding spaces
+    (Schönemann 1966; the cross-lingual alignment step of
+    Mikolov 2013 / MUSE): given anchor rows carrying a vector in EACH
+    space, find the rotation ``W`` minimizing ``‖X·W − Y‖_F`` —
+    ``W = U·Vᵀ`` from the SVD of ``XᵀY``.  Returns ``{"w" (d_src ×
+    d_tgt row-major lists), "scale", "n"}``; apply with
+    :func:`apply_rotation`, then mine with :func:`bitext_mine` (align
+    first, mine after — the MUSE pipeline).  ``scale=True`` adds the
+    optimal uniform scale (Schönemann-Carroll).
+
+    Scale shape (the :func:`td_build` discipline): ``XᵀY`` (plus the
+    ``‖X‖²`` scalar for scaling) folds per partition in one Arrow
+    pass — numpy ``X.T @ Y`` per batch, state = one d×d matrix — and
+    the collect is partitions × d² doubles; the SVD is a d×d
+    driver-side numpy call.  Anchors with a NULL on either side are
+    skipped."""
+    import numpy as np
+
+    def _partials(batches):
+        import pandas as _pd
+
+        M = None
+        xsq = 0.0
+        for pdf in batches:
+            mask = pdf["_x"].notna() & pdf["_y"].notna()
+            if not mask.any():
+                continue
+            X = np.array([list(v) for v in pdf["_x"][mask]], dtype=float)
+            Y = np.array([list(v) for v in pdf["_y"][mask]], dtype=float)
+            M = X.T @ Y if M is None else M + X.T @ Y
+            xsq += float((X * X).sum())
+        if M is None:
+            return  # partition had no complete anchors: contribute nothing
+        yield _pd.DataFrame(
+            {
+                "i": list(range(M.shape[0])),
+                "vals": [list(r) for r in M],
+                "xsq": [xsq] + [0.0] * (M.shape[0] - 1),
+                "n": [float(M.shape[0])] * M.shape[0],
+            }
+        )
+
+    rows = (
+        df.select(
+            F.col(src_col).cast("array<double>").alias("_x"),
+            F.col(tgt_col).cast("array<double>").alias("_y"),
+        )
+        .mapInPandas(
+            _partials, schema="i int, vals array<double>, xsq double, n double"
+        )
+        .collect()
+    )
+    if not rows:
+        raise ValueError("no anchor rows with both vectors present")
+    d_src = int(max(r["i"] for r in rows)) + 1
+    M = np.zeros((d_src, len(rows[0]["vals"])))
+    xsq = 0.0
+    for r in rows:
+        M[r["i"]] += np.array(r["vals"])
+        xsq += r["xsq"]
+    U, S, Vt = np.linalg.svd(M, full_matrices=False)
+    W = U @ Vt
+    s = float(S.sum() / xsq) if scale and xsq > 0 else 1.0
+    return {
+        "w": [[float(x) for x in row] for row in (W * s)],
+        "scale": s,
+        "n": None,
+    }
+
+
+def apply_rotation(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "aligned",
+) -> DataFrame:
+    """Project vectors through a :func:`procrustes_align` matrix:
+    ``out[j] = dot(x, w[:, j])`` — the matrix rides the plan as
+    literals, one ``zip_with``+``aggregate`` dot product per output
+    dim (the :func:`pca_project` device: narrow codegen, no shuffle,
+    no Python)."""
+    W = model["w"]
+    v = F.col(vec_col).cast("array<double>")
+    cols = [
+        dot(v, _vec_lit([row[j] for row in W])) for j in range(len(W[0]))
+    ]
+    return df.withColumn(out_col, F.array(*cols))

@@ -1,0 +1,92 @@
+"""Orthogonal Procrustes alignment: rotation recovery, numpy-mirror
+equality of the cross-covariance fold, and the align→mine pipeline."""
+
+import numpy as np
+import pytest
+
+from grip_spark.similarity import apply_rotation, bitext_mine, procrustes_align
+
+DIM = 12
+
+
+def _rotation(rng, d):
+    Q, _ = np.linalg.qr(rng.normal(size=(d, d)))
+    return Q
+
+
+def _anchors(spark, X, Y):
+    return spark.createDataFrame(
+        [(i, [float(a) for a in x], [float(b) for b in y])
+         for i, (x, y) in enumerate(zip(X, Y))],
+        "id int, src array<double>, tgt array<double>",
+    )
+
+
+def test_procrustes_recovers_rotation(spark):
+    rng = np.random.default_rng(31)
+    X = rng.normal(size=(80, DIM))
+    R = _rotation(rng, DIM)
+    Y = X @ R + 0.01 * rng.normal(size=(80, DIM))
+    df = _anchors(spark, X, Y)
+    model = procrustes_align(df, "src", "tgt")
+    W = np.array(model["w"])
+    # orthogonal and close to the true rotation
+    assert np.allclose(W @ W.T, np.eye(DIM), atol=1e-6)
+    assert np.abs(W - R).max() < 0.05
+    # mirror: W from the same numpy SVD of X^T Y
+    U, _, Vt = np.linalg.svd(X.T @ Y, full_matrices=False)
+    assert np.allclose(W, U @ Vt, atol=1e-9)
+    # applying the rotation actually aligns
+    out = apply_rotation(df, model, "src", "aligned").collect()
+    for r in out:
+        err = np.linalg.norm(np.array(r["aligned"]) - Y[r["id"]])
+        raw = np.linalg.norm(X[r["id"]] - Y[r["id"]])
+        assert err < raw
+
+
+def test_procrustes_scale_and_nulls(spark):
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(50, DIM))
+    R = _rotation(rng, DIM)
+    Y = 2.5 * (X @ R)
+    rows = [(i, [float(a) for a in x], [float(b) for b in y])
+            for i, (x, y) in enumerate(zip(X, Y))]
+    rows.append((99, None, [0.0] * DIM))  # NULL side skipped
+    df = spark.createDataFrame(rows, "id int, src array<double>, tgt array<double>")
+    model = procrustes_align(df, "src", "tgt", scale=True)
+    assert model["scale"] == pytest.approx(2.5, rel=1e-6)
+    out = apply_rotation(df.filter("src is not null"), model, "src").collect()
+    for r in out:
+        assert np.linalg.norm(np.array(r["aligned"]) - Y[r["id"]]) < 1e-6
+
+    with pytest.raises(ValueError):
+        procrustes_align(df.filter("id = 99"), "src", "tgt")
+
+
+def test_align_then_mine(spark):
+    """MUSE pipeline: rotate a 'language', align on anchors, and
+    bitext-mine the held-out pairs — accuracy jumps vs unaligned."""
+    rng = np.random.default_rng(13)
+    X = rng.normal(size=(40, DIM))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    R = _rotation(rng, DIM)
+    Y = X @ R
+    anchors = _anchors(spark, X[:20], Y[:20])
+    model = procrustes_align(anchors, "src", "tgt")
+    held_src = spark.createDataFrame(
+        [(i, [float(a) for a in X[i]]) for i in range(20, 40)],
+        "vec_id int, embedding array<double>",
+    )
+    held_tgt = spark.createDataFrame(
+        [(i, [float(a) for a in Y[i]]) for i in range(20, 40)],
+        "vec_id int, embedding array<double>",
+    )
+    aligned = apply_rotation(held_src, model, "embedding", "embedding2").select(
+        "vec_id", F.col("embedding2").alias("embedding")
+    )
+    mined = bitext_mine(aligned, held_tgt, k=3, threshold=0.0).collect()
+    hits = sum(1 for r in mined if r["tgt_id"] == r["src_id"])
+    assert hits == 20  # exact rotation, exact recovery
+
+
+from pyspark.sql import functions as F  # noqa: E402  (used in test above)
