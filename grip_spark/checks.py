@@ -450,3 +450,42 @@ def k_anonymity(
         "examples": examples,
     }
     return report, violations
+
+
+def pass_at_k(
+    df: DataFrame,
+    task_col: str,
+    passed_col: str,
+    k: int,
+) -> DataFrame:
+    """Unbiased pass@k (Chen et al. 2021, Codex eq. 1) per task from
+    n sampled attempts with c successes: ``1 - C(n-c, k)/C(n, k)``,
+    the standard code-eval estimator (the naive "any of the first k"
+    is biased when n > k).  Input: one row per attempt with a boolean
+    ``passed_col``; output: ``(task, n, c, pass_at_k)``.  Tasks with
+    ``n < k`` yield NULL (the estimator is undefined there — filter
+    or resample).
+
+    Scale shape: one map-side-combined group-count, then the
+    combinatorial ratio as a JVM fold — ``prod_{i=0}^{k-1}
+    (n-c-i)/(n-i)`` via ``aggregate(sequence(...))`` — no Python, no
+    factorials to overflow."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    g = df.groupBy(F.col(task_col).alias("task")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col(passed_col).cast("boolean"), 1)).alias("c"),
+    )
+    n, c = F.col("n"), F.col("c")
+    # prod over i in [0, k): (n-c-i)/(n-i); zero as soon as n-c < k
+    ratio = F.aggregate(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        F.lit(1.0),
+        lambda acc, i: acc
+        * F.greatest((n - c - i).cast("double"), F.lit(0.0))
+        / (n - i).cast("double"),
+    )
+    return g.withColumn(
+        "pass_at_k",
+        F.when(n >= k, F.lit(1.0) - ratio).otherwise(F.lit(None).cast("double")),
+    )

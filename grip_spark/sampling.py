@@ -815,3 +815,70 @@ def read_webdataset(
     return files.mapInPandas(
         _untar, schema="shard_path string, key string, text string, meta string"
     )
+
+
+def unimax_shares(
+    df: DataFrame,
+    domain_col: str,
+    budget: float,
+    max_epochs: float = 4.0,
+    size_col: str | None = None,
+    domains: list[str] | None = None,
+) -> dict[str, float]:
+    """UniMax mixture weights (Chung et al. 2023): distribute a total
+    ``budget`` (tokens when ``size_col`` given, else documents) as
+    UNIFORMLY as possible across domains, subject to a per-domain cap
+    of ``max_epochs`` passes over its data — the epoch-capped
+    alternative to :func:`temperature_shares` (a temperature still
+    oversamples tiny languages into dozens of epochs; UniMax caps the
+    repetition and gives the reclaimed mass to the domains that can
+    absorb it).  Returns normalized shares for
+    :func:`mixture_rates` / :func:`mixture_sample`.
+
+    Water-filling: repeatedly grant every still-uncapped domain an
+    equal slice; domains whose cap (``mass·max_epochs``) is smaller
+    keep the cap and return the remainder to the pool.  Deterministic
+    (sorted-domain order), driver-side over the |domains|-row mass
+    table — one map-side-combined aggregate, like
+    :func:`temperature_shares`.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    base = df.filter(F.col(domain_col).isNotNull())
+    if domains is not None:
+        if not domains:
+            raise ValueError("domains must be non-empty when given")
+        base = base.filter(F.col(domain_col).isin(*domains))
+    mass_expr = (
+        F.sum(F.col(size_col).cast("double")) if size_col else F.count(F.lit(1))
+    )
+    rows = base.groupBy(F.col(domain_col).alias("_d")).agg(
+        mass_expr.alias("_m")
+    ).collect()
+    caps = {
+        r["_d"]: float(r["_m"]) * max_epochs
+        for r in sorted(rows, key=lambda r: str(r["_d"]))
+        if r["_m"] and r["_m"] > 0
+    }
+    if not caps:
+        raise ValueError("no domain mass found")
+    alloc = {d: 0.0 for d in caps}
+    remaining = float(budget)
+    open_set = sorted(caps)
+    while remaining > 1e-9 and open_set:
+        slice_ = remaining / len(open_set)
+        nxt = []
+        for d in open_set:
+            room = caps[d] - alloc[d]
+            take = min(slice_, room)
+            alloc[d] += take
+            remaining -= take
+            if caps[d] - alloc[d] > 1e-9:
+                nxt.append(d)
+        if len(nxt) == len(open_set):
+            break  # nobody capped: the uniform slice stands
+        open_set = nxt
+    total = sum(alloc.values())
+    return {d: a / total for d, a in alloc.items()}

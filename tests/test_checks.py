@@ -221,3 +221,27 @@ def test_k_anonymity(spark):
         k_anonymity(df, [], k=3)
     with _p.raises(ValueError):
         k_anonymity(df, ["zip"], k=1)
+
+
+def test_pass_at_k(spark):
+    from math import comb
+
+    from grip_spark.checks import pass_at_k
+
+    rows = []
+    #          n   c
+    cases = {"t1": (10, 3), "t2": (10, 0), "t3": (10, 10), "t4": (3, 1)}
+    for t, (n, c) in cases.items():
+        rows += [(t, i < c) for i in range(n)]
+    df = spark.createDataFrame(rows, "task string, passed boolean")
+    got = {r["task"]: r for r in pass_at_k(df, "task", "passed", k=5).collect()}
+    for t, (n, c) in cases.items():
+        if n < 5:
+            assert got[t]["pass_at_k"] is None
+        else:
+            want = 1.0 - comb(n - c, 5) / comb(n, 5)
+            assert got[t]["pass_at_k"] == pytest.approx(want, rel=1e-12), t
+        assert (got[t]["n"], got[t]["c"]) == (n, c)
+    import pytest as _p
+    with _p.raises(ValueError):
+        pass_at_k(df, "task", "passed", k=0)

@@ -2650,3 +2650,33 @@ def test_ngram_containment_denominators_after_max_df(spark):
     assert got[(10, 11)]["containment"] == pytest.approx(1.0)
     # boilerplate-only docs have no retained grams at all -> no pairs
     assert not any(k[0] < 6 or k[1] < 6 for k in got)
+
+
+def test_unimax_shares(spark):
+    import pytest as _p
+
+    from grip_spark.sampling import unimax_shares
+
+    # masses: big 1000, mid 100, tiny 10 (docs)
+    rows = (
+        [("big",)] * 1000 + [("mid",)] * 100 + [("tiny",)] * 10
+    )
+    df = spark.createDataFrame(rows, "lang string")
+    # budget 300, max 4 epochs: tiny caps at 40, mid at 400 -> water-fill
+    shares = unimax_shares(df, "lang", budget=300.0, max_epochs=4.0)
+    assert _p.approx(sum(shares.values())) == 1.0
+    got = {d: s * 300.0 for d, s in shares.items()}
+    # tiny capped at 40; remaining 260 split evenly between big and mid
+    assert got["tiny"] == _p.approx(40.0)
+    assert got["big"] == _p.approx(130.0)
+    assert got["mid"] == _p.approx(130.0)
+    # huge budget: everyone capped -> shares proportional to mass
+    shares2 = unimax_shares(df, "lang", budget=1e9, max_epochs=2.0)
+    assert shares2["big"] == _p.approx(1000 / 1110)
+    # small budget, nobody capped -> uniform
+    shares3 = unimax_shares(df, "lang", budget=30.0, max_epochs=4.0)
+    assert all(_p.approx(v) == 1 / 3 for v in shares3.values())
+    with _p.raises(ValueError):
+        unimax_shares(df, "lang", budget=0)
+    with _p.raises(ValueError):
+        unimax_shares(df, "lang", budget=10, max_epochs=0)
