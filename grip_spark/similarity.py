@@ -2230,3 +2230,91 @@ def apply_rotation(
         dot(v, _vec_lit([row[j] for row in W])) for j in range(len(W[0]))
     ]
     return df.withColumn(out_col, F.array(*cols))
+
+
+def ann_save(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 12,
+    seed: int = 7,
+    dim: int | None = None,
+) -> None:
+    """Persist an LSH ANN index: rows written as parquet PARTITIONED
+    BY the hyperplane bucket (+ the precomputed L2 norm carried as a
+    column), plane-family parameters in a JSON sidecar — the
+    :func:`ivfadc_save` layout for the uncompressed index, completing
+    the save/load story for every index family here.  A probe's
+    bucket ``isin`` then becomes partition PRUNING: only the
+    ``1 + planes·h``-ish probed directories are even listed at 100 TB
+    (plan-asserted in the tests)."""
+    import json
+
+    if dim is None:
+        row = df.select(vec_col).first()
+        if row is None:
+            raise ValueError("cannot infer dim from an empty DataFrame")
+        dim = len(row[0])
+    spark = df.sparkSession
+    idx = ann_index(
+        df, vec_col, planes=planes, seed=seed, dim=dim,
+        bucket_col="bucket", norm_col="vnorm",
+    )
+    idx.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    meta = json.dumps(
+        {"planes": planes, "seed": seed, "dim": dim,
+         "vec_col": vec_col, "id_col": id_col}
+    )
+    spark.createDataFrame([(meta,)], "v string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(path.rstrip("/") + "__ann_meta")
+
+
+def ann_load(spark, path: str):
+    """Re-attach a saved LSH index → ``(index_df, meta)`` for
+    :func:`ann_topk_saved`."""
+    import json
+
+    meta = json.loads(
+        spark.read.text(path.rstrip("/") + "__ann_meta").first()["value"]
+    )
+    return spark.read.parquet(path), meta
+
+
+def ann_topk_saved(
+    index_df: DataFrame,
+    meta: dict,
+    query_vec: list[float],
+    k: int = 10,
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k over a loaded :func:`ann_save` index: the
+    probe set (query bucket + hamming-``h`` neighbors) is computed
+    driver-side from the sidecar's seeded plane family and pushed as
+    a partition filter; candidates rank by ``dot/norm`` using the
+    STORED norm — the scan reads only probed directories and the
+    O(dim) work per candidate is one dot product."""
+    hp = _planes(meta["dim"], meta["planes"], meta["seed"])
+    qsig = 0
+    for i, p in enumerate(hp):
+        if sum(x * y for x, y in zip(query_vec, p)) >= 0:
+            qsig |= 1 << i
+    probe = {qsig}
+    frontier = {qsig}
+    for _ in range(multiprobe_hamming):
+        frontier = {s ^ (1 << i) for s in frontier for i in range(meta["planes"])}
+        probe |= frontier
+    qn = _py_norm(query_vec)
+    cand = index_df.filter(F.col("bucket").isin([int(x) for x in probe]))
+    return (
+        cand.select(
+            F.col(meta["id_col"]),
+            (
+                dot(F.col(meta["vec_col"]), _vec_lit(query_vec))
+                / (F.col("vnorm") * F.lit(qn))
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(meta["id_col"]))
+        .limit(k)
+    )

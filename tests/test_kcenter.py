@@ -67,3 +67,39 @@ def test_kcenter_early_stop_and_first_id(spark):
         kcenter_select(df, k=2, first_id=99)
     with pytest.raises(ValueError):
         kcenter_select(df, k=2, metric="manhattan")
+
+
+# ---------------------------------------------------- saved LSH index
+
+
+def test_ann_save_load_topk(spark, tmp_path):
+    import numpy as np
+
+    from grip_spark.similarity import (
+        ann_load, ann_lsh_topk, ann_save, ann_topk_saved,
+    )
+
+    rng = np.random.default_rng(41)
+    V = rng.normal(size=(300, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(V)],
+        "vec_id int, embedding array<double>",
+    )
+    p = str(tmp_path / "annidx")
+    ann_save(df, p, planes=5, seed=7)
+    idx, meta = ann_load(spark, p)
+    assert meta["planes"] == 5 and meta["dim"] == 16
+
+    q = [float(x) for x in V[17]]
+    got = ann_topk_saved(idx, meta, q, k=5, multiprobe_hamming=1)
+    live = ann_lsh_topk(df, "embedding", q, k=5, planes=5, seed=7,
+                        multiprobe_hamming=1).collect()
+    # identical results to the live-index path
+    assert [(r["vec_id"], round(r["cos_sim"], 9)) for r in got.collect()] == [
+        (r["vec_id"], round(r["cos_sim"], 9)) for r in live
+    ]
+    # the probe prunes PARTITIONS, not just rows: plan-asserted
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1)
