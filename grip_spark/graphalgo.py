@@ -2563,3 +2563,70 @@ def negative_edges(
         .join(real, [src_col, dst_col], "left_anti")
         .distinct()
     )
+
+
+def hits(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "gid",
+    iterations: int = 20,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) → ``(id, hub,
+    authority)``, each score vector L2-normalized per round (the
+    classic formulation; fixed ``iterations``, like the fixed-step
+    PageRank variant, so the recurrence is replicable).  The
+    link-analysis complement to :func:`pagerank`: a good HUB points
+    at good authorities, a good AUTHORITY is pointed at by good hubs
+    — on a web/host graph the pair separates directories from
+    destinations, which a single PageRank score conflates.  Isolated
+    vertices (when ``vertices`` is given) score 0 on both axes.
+    ``weight_col`` weights the mutual reinforcement (positive weights
+    only, the :func:`pagerank` rule).
+
+    Scale shape per round: two edge-sized equi-joins + two node-keyed
+    aggregates (auth from hubs over in-edges, then hubs from the NEW
+    auth over out-edges — the proper half-step ordering), two 1-row
+    norm aggregates folded as literals, node table checkpointed each
+    round (the PageRank loop discipline).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    _ckpt = _checkpointer(edges.sparkSession)
+    nodes, e = _node_edge_tables(
+        edges, vertices, src_col, dst_col, id_col, _ckpt, weight_col
+    )
+    w = F.col("_ew") if weight_col is not None else F.lit(1.0)
+    e = _ckpt(e.select("_src", "_dst", w.alias("_w")))
+    if nodes.isEmpty():
+        raise ValueError("hits: empty graph")
+    cur = _ckpt(
+        nodes.select("id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
+    )
+    for _ in range(iterations):
+        # authority update: weighted sum of in-neighbor hub scores
+        a_raw = (
+            e.join(cur.select(F.col("id").alias("_src"), "hub"), "_src")
+            .groupBy(F.col("_dst").alias("id"))
+            .agg(F.sum(F.col("hub") * F.col("_w")).alias("_a"))
+        )
+        a_all = nodes.join(a_raw, "id", "left").select(
+            "id", F.coalesce("_a", F.lit(0.0)).alias("_a")
+        )
+        an = a_all.agg(F.sqrt(F.sum(F.col("_a") * F.col("_a")))).first()[0] or 1.0
+        a_all = _ckpt(a_all.select("id", (F.col("_a") / F.lit(an)).alias("auth")))
+        # hub update from the NEW authorities
+        h_raw = (
+            e.join(a_all.select(F.col("id").alias("_dst"), "auth"), "_dst")
+            .groupBy(F.col("_src").alias("id"))
+            .agg(F.sum(F.col("auth") * F.col("_w")).alias("_h"))
+        )
+        h_all = nodes.join(h_raw, "id", "left").select(
+            "id", F.coalesce("_h", F.lit(0.0)).alias("_h")
+        )
+        hn = h_all.agg(F.sqrt(F.sum(F.col("_h") * F.col("_h")))).first()[0] or 1.0
+        h_all = h_all.select("id", (F.col("_h") / F.lit(hn)).alias("hub"))
+        cur = _ckpt(h_all.join(a_all, "id"))
+    return cur.select("id", "hub", F.col("auth").alias("authority"))

@@ -1418,3 +1418,69 @@ def test_negative_edges(spark, digraph):
     assert sorted(got_pairs) != sorted(other)
     with pytest.raises(ValueError, match="k must be"):
         graphalgo.negative_edges(e, k=0)
+
+
+# ----------------------------------------------------------------- HITS
+
+
+def _hits_mirror(edges, nodes, iters, weights=None):
+    import math
+
+    hub = {n: 1.0 for n in nodes}
+    auth = {n: 1.0 for n in nodes}
+    w = weights or {e: 1.0 for e in edges}
+    for _ in range(iters):
+        na = {n: 0.0 for n in nodes}
+        for (s, d) in edges:
+            na[d] += hub[s] * w[(s, d)]
+        z = math.sqrt(sum(v * v for v in na.values())) or 1.0
+        auth = {n: v / z for n, v in na.items()}
+        nh = {n: 0.0 for n in nodes}
+        for (s, d) in edges:
+            nh[s] += auth[d] * w[(s, d)]
+        z = math.sqrt(sum(v * v for v in nh.values())) or 1.0
+        hub = {n: v / z for n, v in nh.items()}
+    return hub, auth
+
+
+def test_hits_matches_replica(spark):
+    import random
+
+    from grip_spark.graphalgo import hits
+
+    rng = random.Random(9)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = sorted({(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)})
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["id"]: (r["hub"], r["authority"])
+           for r in hits(df, iterations=15).collect()}
+    hub, auth = _hits_mirror(edges, sorted({x for e in edges for x in e}), 15)
+    for n in hub:
+        assert got[n][0] == pytest.approx(hub[n], abs=1e-9)
+        assert got[n][1] == pytest.approx(auth[n], abs=1e-9)
+
+
+def test_hits_hub_vs_authority_and_weights(spark):
+    from grip_spark.graphalgo import hits
+
+    # a directory page pointing at three destinations
+    edges = [("dir", "a"), ("dir", "b"), ("dir", "c"), ("x", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["id"]: r for r in hits(df, iterations=10).collect()}
+    assert got["dir"]["hub"] > got["a"]["hub"]
+    assert got["a"]["authority"] > got["dir"]["authority"]
+    # isolated vertex scores zero on both axes
+    verts = spark.createDataFrame(
+        [("dir",), ("a",), ("b",), ("c",), ("x",), ("lonely",)], "gid string"
+    )
+    got2 = {r["id"]: r for r in hits(df, vertices=verts, iterations=5).collect()}
+    assert got2["lonely"]["hub"] == 0.0 and got2["lonely"]["authority"] == 0.0
+    # weights shift authority
+    wdf = spark.createDataFrame(
+        [("dir", "a", 1.0), ("dir", "b", 100.0)], "src string, dst string, w double"
+    )
+    got3 = {r["id"]: r for r in hits(wdf, iterations=5, weight_col="w").collect()}
+    assert got3["b"]["authority"] > got3["a"]["authority"]
+    with pytest.raises(ValueError):
+        hits(df, iterations=0)
