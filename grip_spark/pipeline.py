@@ -49,6 +49,7 @@ def build_corpus(
     redact: tuple[str, ...] | None = None,
     blocklist: list[str] | None = None,
     blocklist_max_hits: int = 0,
+    line_dedup_in_doc: bool = False,
     gopher: bool = False,
     min_quality: float | None = 0.3,
     calibrate_quality_by: str | None = None,
@@ -181,6 +182,15 @@ def build_corpus(
                 F.col("kw_hits") <= blocklist_max_hits
             ).drop("kw_hits", "kw_hits_distinct")
         mark("blocklist")
+    if line_dedup_in_doc:
+        from grip_spark.dedup import dedup_lines_in_doc
+
+        out = (
+            dedup_lines_in_doc(out, id_col=id_col, text_col=text_col)
+            .drop(text_col)
+            .withColumnRenamed("text_deduped", text_col)
+        )
+        mark("line_dedup_in_doc")
     if line_rules:
         out = text.line_filter(out, text_col=text_col)
         out = (

@@ -322,3 +322,21 @@ def test_build_corpus_redact_blocklist_calibrated_quality(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="unknown kinds"):
         pipeline.build_corpus(df, redact=("typo",))
+
+
+def test_build_corpus_line_dedup_in_doc(spark):
+    from grip_spark.pipeline import build_corpus
+
+    nav = "nav one two three four five"
+    body = "the quick brown fox jumps over the lazy dog again and again ok"
+    docs = spark.createDataFrame(
+        [(1, "\n".join([nav, body, nav, nav]), "web")],
+        "doc_id int, text string, source string",
+    )
+    out, rep = build_corpus(
+        docs, min_quality=None, languages=None, fuzzy_threshold=None,
+        line_rules=False, line_dedup_in_doc=True,
+    )
+    t = out.collect()[0]["text"]
+    assert t.count(nav) == 1 and body in t
+    assert any(s["stage"] == "line_dedup_in_doc" for s in rep)
