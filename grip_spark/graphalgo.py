@@ -2630,3 +2630,128 @@ def hits(
         h_all = h_all.select("id", (F.col("_h") / F.lit(hn)).alias("hub"))
         cur = _ckpt(h_all.join(a_all, "id"))
     return cur.select("id", "hub", F.col("auth").alias("authority"))
+
+
+def seeded_label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_id_col: str = "id",
+    seed_label_col: str = "label",
+    weight_col: str | None = None,
+    max_iterations: int = 10,
+) -> DataFrame:
+    """Graph-based semi-supervised label spreading (Zhu & Ghahramani
+    2002, hard-clamped): propagate KNOWN labels (``seeds``) to the
+    rest of the graph — each round an unlabeled node adopts the
+    weighted-majority label among its labeled neighbors (ties →
+    smallest label), seeds never change.  Returns ``(id, label,
+    is_seed)``; nodes no labeled region can reach keep ``NULL``.
+    The classification sibling of :func:`label_propagation` (which
+    discovers communities from self-labels): spread spam/quality/
+    topic labels over a host-link or near-dup graph from a small
+    audited seed set.
+
+    The graph is undirected; ``weight_col`` sums over parallel edges
+    (positive weights only — the :func:`pagerank` rule), unweighted
+    input collapses to the simple graph (one vote per neighbor, the
+    :func:`label_propagation` ADVICE-r5 rule).  Deterministic:
+    synchronous rounds + ordered tie-breaks; early-stops when a round
+    changes nothing.
+
+    Scale shape per round: one equi-join (labeled frontier ×
+    symmetric edges) + one (node, label) weight aggregate + one
+    node-keyed argmax window; the label table is node-sized and
+    checkpointed.
+    """
+    if max_iterations < 1:
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
+    from pyspark.sql.window import Window
+
+    _ckpt = _checkpointer(edges.sparkSession)
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    p = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+    ).filter(F.col("src") != F.col("dst"))
+    if weight_col:
+        p = p.filter(F.col("w") > 0)
+        canon = (
+            p.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+                "w",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("w").alias("w"))
+        )
+    else:
+        canon = (
+            p.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .distinct()
+            .withColumn("w", F.lit(1.0))
+        )
+    sym = _ckpt(
+        canon.select(F.col("a").alias("u"), F.col("b").alias("v"), "w").unionByName(
+            canon.select(F.col("b").alias("u"), F.col("a").alias("v"), "w")
+        )
+    )
+    sd = _ckpt(
+        seeds.select(
+            F.col(seed_id_col).alias("id"),
+            F.col(seed_label_col).cast("string").alias("_seed"),
+        ).distinct()
+    )
+    nodes = _ckpt(
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .unionByName(sd.select("id"))
+        .distinct()
+    )
+    cur = _ckpt(
+        nodes.join(sd, "id", "left").select("id", F.col("_seed").alias("lab"))
+    )
+    argmax = Window.partitionBy("_v").orderBy(F.col("_wsum").desc(), F.col("lab"))
+    for _ in range(max_iterations):
+        votes = (
+            sym.join(
+                cur.filter(F.col("lab").isNotNull()).withColumnRenamed("id", "u"),
+                "u",
+            )
+            .groupBy(F.col("v").alias("_v"), "lab")
+            .agg(F.sum("w").alias("_wsum"))
+        )
+        best = (
+            votes.withColumn("_rk", F.row_number().over(argmax))
+            .filter(F.col("_rk") == 1)
+            .select(F.col("_v").alias("id"), F.col("lab").alias("_new"))
+        )
+        nxt = _ckpt(
+            cur.join(sd, "id", "left")
+            .join(best, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("_seed"), F.col("_new"), F.col("lab")).alias(
+                    "lab"
+                ),
+                (~F.col("lab").eqNullSafe(
+                    F.coalesce(F.col("_seed"), F.col("_new"), F.col("lab"))
+                )).alias("_chg"),
+            )
+        )
+        changed = nxt.filter(F.col("_chg")).limit(1).count()
+        cur = nxt.drop("_chg")
+        if changed == 0:
+            break
+    return cur.join(sd, "id", "left").select(
+        "id",
+        F.col("lab").alias("label"),
+        F.col("_seed").isNotNull().alias("is_seed"),
+    )

@@ -1484,3 +1484,83 @@ def test_hits_hub_vs_authority_and_weights(spark):
     assert got3["b"]["authority"] > got3["a"]["authority"]
     with pytest.raises(ValueError):
         hits(df, iterations=0)
+
+
+# --------------------------------------------- seeded label propagation
+
+
+def _slp_mirror(edges_w, seeds, nodes, iters):
+    lab = {n: seeds.get(n) for n in nodes}
+    adj = {}
+    for (a, b), w in edges_w.items():
+        adj.setdefault(a, {})[b] = w
+        adj.setdefault(b, {})[a] = w
+    for _ in range(iters):
+        nxt = {}
+        changed = False
+        for n in nodes:
+            if n in seeds:
+                nxt[n] = seeds[n]
+                continue
+            votes = {}
+            for m, w in adj.get(n, {}).items():
+                if lab[m] is not None:
+                    votes[lab[m]] = votes.get(lab[m], 0.0) + w
+            if votes:
+                best = min(votes, key=lambda l: (-votes[l], l))
+                nxt[n] = best
+            else:
+                nxt[n] = lab[n]
+            changed = changed or nxt[n] != lab[n]
+        lab = nxt
+        if not changed:
+            break
+    return lab
+
+
+def test_seeded_label_propagation_matches_replica(spark):
+    import random
+
+    from grip_spark.graphalgo import seeded_label_propagation
+
+    rng = random.Random(17)
+    nodes = [f"n{i}" for i in range(40)]
+    edges_w = {}
+    for _ in range(90):
+        a, b = rng.sample(nodes, 2)
+        key = (min(a, b), max(a, b))
+        edges_w[key] = edges_w.get(key, 0.0) + float(rng.randint(1, 3))
+    rows = [(a, b, w) for (a, b), w in edges_w.items()]
+    df = spark.createDataFrame(rows, "src string, dst string, w double")
+    seeds = {"n0": "spam", "n1": "ham", "n2": "ham"}
+    sdf = spark.createDataFrame(list(seeds.items()), "id string, label string")
+    got = {
+        r["id"]: (r["label"], r["is_seed"])
+        for r in seeded_label_propagation(
+            df, sdf, weight_col="w", max_iterations=8
+        ).collect()
+    }
+    # the function's node set = edge endpoints ∪ seeds
+    graph_nodes = sorted({x for e in edges_w for x in e} | set(seeds))
+    want = _slp_mirror(edges_w, seeds, graph_nodes, 8)
+    assert set(got) == set(graph_nodes)
+    for n in graph_nodes:
+        assert got[n][0] == want[n], n
+    assert got["n0"] == ("spam", True)
+    assert all(not got[n][1] for n in graph_nodes if n not in seeds)
+
+
+def test_seeded_label_propagation_unreachable_and_clamp(spark):
+    from grip_spark.graphalgo import seeded_label_propagation
+
+    # two components; seeds only in the first — second stays NULL
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string"
+    )
+    sdf = spark.createDataFrame([("a", "good"), ("c", "bad")], "id string, label string")
+    got = {r["id"]: r["label"]
+           for r in seeded_label_propagation(df, sdf, max_iterations=5).collect()}
+    assert got["a"] == "good" and got["c"] == "bad"
+    assert got["b"] in ("bad", "good")  # tie -> smallest label = "bad"
+    assert got["b"] == "bad"
+    assert got["x"] is None and got["y"] is None
