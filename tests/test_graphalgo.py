@@ -1564,3 +1564,51 @@ def test_seeded_label_propagation_unreachable_and_clamp(spark):
     assert got["b"] in ("bad", "good")  # tie -> smallest label = "bad"
     assert got["b"] == "bad"
     assert got["x"] is None and got["y"] is None
+
+
+# ------------------------------------------------------------- coreness
+
+
+def _coreness_mirror(edges):
+    """Classic peeling core decomposition (pure python)."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    core = {}
+    deg = {n: len(vs) for n, vs in adj.items()}
+    alive = set(adj)
+    k = 0
+    while alive:
+        k += 1
+        while True:
+            peel = [n for n in alive if deg[n] < k]
+            if not peel:
+                break
+            for n in peel:
+                core[n] = k - 1
+                alive.discard(n)
+                for m in adj[n]:
+                    if m in alive:
+                        deg[m] -= 1
+    return core
+
+
+def test_coreness_matches_peeling(spark):
+    import random
+
+    from grip_spark.graphalgo import coreness
+
+    rng = random.Random(29)
+    nodes = [f"v{i}" for i in range(35)]
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(120)})
+    # plant a clique (coreness 5) on 6 nodes
+    cl = nodes[:6]
+    edges = sorted(set(edges) | {(a, b) for a in cl for b in cl if a < b})
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["id"]: r["core"] for r in coreness(df).collect()}
+    want = _coreness_mirror(edges)
+    assert got == want
+    assert all(got[n] >= 5 for n in cl)
