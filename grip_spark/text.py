@@ -4441,3 +4441,85 @@ def doc_keywords(
         .join(top, id_col, "left")
         .withColumn(out_col, F.coalesce(F.col(out_col), empty))
     )
+
+
+def platt_calibrate(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    iterations: int = 25,
+    tol: float = 1e-10,
+) -> dict:
+    """Platt scaling (Platt 1999): fit ``p = sigmoid(a·score + b)``
+    mapping a classifier's raw scores onto calibrated probabilities —
+    the quality-filter companion of :func:`train_linear_classifier`
+    (its decision scores order documents well but are NOT
+    probabilities; thresholding "keep the top p%" or mixing scores
+    across classifiers needs the calibrated scale).  Uses Platt's
+    target smoothing (``(n⁺+1)/(n⁺+2)`` / ``1/(n⁻+2)``) so the fit is
+    proper even on separable data.  Returns ``{"a", "b",
+    "iterations", "log_loss"}``; apply with one expression:
+    ``1 / (1 + exp(-(a·score + b)))``.
+
+    Fit: Newton-Raphson on the 2-parameter log-loss — each iteration
+    is ONE aggregate over the rows (five sufficient-statistic sums:
+    gradient and Hessian entries), the 2×2 solve is driver arithmetic.
+    Deterministic up to float addition order; NULL score/label rows
+    are excluded.  ``label_col`` is boolean/0-1.
+
+    Scale shape: ``iterations`` map-side-combined aggregates, nothing
+    else — no shuffle beyond the agg, no Python, no driver data."""
+    import math
+
+    base = df.select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("double").alias("_y"),
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    base = base.localCheckpoint(eager=True)
+    counts = base.agg(
+        F.count(F.when(F.col("_y") >= 0.5, 1)).alias("pos"),
+        F.count(F.when(F.col("_y") < 0.5, 1)).alias("neg"),
+    ).first()
+    n_pos, n_neg = int(counts["pos"]), int(counts["neg"])
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError("platt_calibrate: need both positive and negative rows")
+    t_pos = (n_pos + 1.0) / (n_pos + 2.0)
+    t_neg = 1.0 / (n_neg + 2.0)
+    t = F.when(F.col("_y") >= 0.5, F.lit(t_pos)).otherwise(F.lit(t_neg))
+
+    a, b = 0.0, math.log((n_neg + 1.0) / (n_pos + 1.0))
+    prev_ll = None
+    it = 0
+    for it in range(1, iterations + 1):
+        z = F.lit(a) * F.col("_s") + F.lit(b)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        w = p * (F.lit(1.0) - p)
+        stats = base.agg(
+            F.sum((p - t) * F.col("_s")).alias("ga"),
+            F.sum(p - t).alias("gb"),
+            F.sum(w * F.col("_s") * F.col("_s")).alias("haa"),
+            F.sum(w * F.col("_s")).alias("hab"),
+            F.sum(w).alias("hbb"),
+            F.sum(
+                -(t * F.log(F.greatest(p, F.lit(1e-300)))
+                  + (F.lit(1.0) - t)
+                  * F.log(F.greatest(F.lit(1.0) - p, F.lit(1e-300))))
+            ).alias("ll"),
+        ).first()
+        ga, gb = float(stats["ga"]), float(stats["gb"])
+        haa, hab, hbb = (
+            float(stats["haa"]) + 1e-12,
+            float(stats["hab"]),
+            float(stats["hbb"]) + 1e-12,
+        )
+        det = haa * hbb - hab * hab
+        if det <= 0:
+            break
+        a -= (hbb * ga - hab * gb) / det
+        b -= (haa * gb - hab * ga) / det
+        ll = float(stats["ll"])
+        if prev_ll is not None and abs(prev_ll - ll) < tol * max(1.0, abs(ll)):
+            prev_ll = ll
+            break
+        prev_ll = ll
+    return {"a": a, "b": b, "iterations": it, "log_loss": prev_ll}

@@ -1699,3 +1699,41 @@ def test_doc_keywords(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         text.doc_keywords(df, k=0)
+
+
+def test_platt_calibrate_recovers_sigmoid(spark):
+    import math
+    import random
+
+    from grip_spark.text import platt_calibrate
+
+    rng = random.Random(7)
+    rows = []
+    true_a, true_b = 2.0, -1.0
+    for _ in range(4000):
+        s = rng.uniform(-3, 3)
+        p = 1.0 / (1.0 + math.exp(-(true_a * s + true_b)))
+        rows.append((s, 1 if rng.random() < p else 0))
+    df = spark.createDataFrame(rows, "score double, y int")
+    fit = platt_calibrate(df, "score", "y")
+    assert abs(fit["a"] - true_a) < 0.25
+    assert abs(fit["b"] - true_b) < 0.25
+    # calibrated probabilities match empirical rates in buckets
+    buckets = {}
+    for s, y in rows:
+        buckets.setdefault(round(s), []).append(y)
+    for k, ys in buckets.items():
+        if len(ys) < 300:
+            continue
+        pred = 1.0 / (1.0 + math.exp(-(fit["a"] * k + fit["b"])))
+        assert abs(pred - sum(ys) / len(ys)) < 0.08, k
+
+
+def test_platt_calibrate_validation(spark):
+    import pytest as _p
+
+    from grip_spark.text import platt_calibrate
+
+    df = spark.createDataFrame([(1.0, 1), (2.0, 1)], "score double, y int")
+    with _p.raises(ValueError):
+        platt_calibrate(df, "score", "y")  # one class only
