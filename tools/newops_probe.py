@@ -1,0 +1,86 @@
+"""Round-9 session-2 probe: the new graph/event operators at
+widegraph/wide-event scale with a same-session pagerank5 yardstick —
+HITS (10 rounds), coreness (fixpoint), seeded label propagation
+(8 rounds), funnel + cohort retention over 50M events."""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession, functions as F
+
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.driver.memory", "100g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from grip_spark import graphalgo, temporal  # noqa: E402
+
+N_V, N_E = 1_000_000, 10_000_000
+edges = spark.range(N_E).select(
+    F.concat(
+        F.lit("v:"), F.pmod(F.xxhash64(F.col("id")), F.lit(N_V)).cast("string")
+    ).alias("src"),
+    F.concat(
+        F.lit("v:"),
+        F.pmod(F.xxhash64(F.col("id") + F.lit(N_E)), F.lit(N_V)).cast("string"),
+    ).alias("dst"),
+).localCheckpoint(eager=True)
+
+t0 = time.perf_counter()
+n = graphalgo.pagerank(edges, exact_iterations=5).count()
+print(f"pagerank5: {time.perf_counter() - t0:.1f}s -> {n}", flush=True)
+
+t0 = time.perf_counter()
+n = graphalgo.hits(edges, iterations=10).count()
+print(f"hits10: {time.perf_counter() - t0:.1f}s -> {n}", flush=True)
+
+t0 = time.perf_counter()
+top = (
+    graphalgo.coreness(edges)
+    .agg(F.max("core"), F.count(F.lit(1)))
+    .first()
+)
+print(f"coreness: {time.perf_counter() - t0:.1f}s -> max {top[0]} over {top[1]}",
+      flush=True)
+
+seeds = spark.range(1000).select(
+    F.concat(F.lit("v:"), F.col("id").cast("string")).alias("id"),
+    F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("label"),
+)
+t0 = time.perf_counter()
+n = (
+    graphalgo.seeded_label_propagation(edges, seeds, max_iterations=8)
+    .filter(F.col("label").isNotNull())
+    .count()
+)
+print(f"slp8 (1k seeds): {time.perf_counter() - t0:.1f}s -> {n} labeled",
+      flush=True)
+
+# 50M events / 5M users event stream
+N_EV, N_U = 50_000_000, 5_000_000
+ev = spark.range(N_EV).select(
+    F.pmod(F.xxhash64(F.col("id")), F.lit(N_U)).alias("user_id"),
+    F.element_at(
+        F.array(F.lit("view"), F.lit("view"), F.lit("cart"), F.lit("buy"),
+                F.lit("noise")),
+        (F.pmod(F.xxhash64(F.col("id") + 1), F.lit(5)) + 1).cast("int"),
+    ).alias("event_type"),
+    F.pmod(F.xxhash64(F.col("id") + 2), F.lit(1_000_000)).cast("double").alias("ts"),
+).localCheckpoint(eager=True)
+
+t0 = time.perf_counter()
+conv = (
+    temporal.funnel(ev, ["view", "cart", "buy"], within=100_000.0)
+    .groupBy("funnel_level").count().orderBy("funnel_level").collect()
+)
+print(f"funnel 50M ev/5M users: {time.perf_counter() - t0:.1f}s -> "
+      f"{[(r[0], r[1]) for r in conv]}", flush=True)
+
+t0 = time.perf_counter()
+n = temporal.cohort_retention(ev, period=100_000.0, horizon=9).count()
+print(f"cohort 50M ev: {time.perf_counter() - t0:.1f}s -> {n} cells", flush=True)
