@@ -1737,3 +1737,76 @@ def test_platt_calibrate_validation(spark):
     df = spark.createDataFrame([(1.0, 1), (2.0, 1)], "score double, y int")
     with _p.raises(ValueError):
         platt_calibrate(df, "score", "y")  # one class only
+
+
+def _mtld_mirror(toks, thresh=0.72):
+    def one_pass(seq):
+        f = 0.0
+        seen, cnt = set(), 0
+        for t in seq:
+            seen.add(t)
+            cnt += 1
+            if len(seen) / cnt <= thresh:
+                f += 1.0
+                seen, cnt = set(), 0
+        if cnt > 0:
+            f += (1 - len(seen) / cnt) / (1 - thresh)
+        return len(toks) / f if f > 0 else float(len(toks))
+
+    return (one_pass(toks) + one_pass(list(reversed(toks)))) / 2
+
+
+def _yule_mirror(toks):
+    from collections import Counter
+
+    n = len(toks)
+    if n <= 1:
+        return None
+    m2 = sum(c * c for c in Counter(toks).values())
+    return 1e4 * (m2 - n) / (n * n)
+
+
+def test_lexical_diversity_matches_mirror(spark):
+    import random
+
+    from grip_spark.text import lexical_diversity
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(25):
+        n = rng.randint(1, 120)
+        zipfy = rng.random() < 0.5
+        toks = [
+            vocab[min(int(rng.paretovariate(1.2)), 29)] if zipfy
+            else rng.choice(vocab)
+            for _ in range(n)
+        ]
+        docs.append((i, " ".join(toks), toks))
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in docs] + [(99, None), (98, "")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in lexical_diversity(df).collect()}
+    for i, _, toks in docs:
+        assert got[i]["mtld"] == pytest.approx(_mtld_mirror(toks), rel=1e-9), i
+        assert got[i]["yule_k"] == pytest.approx(_yule_mirror(toks), rel=1e-9) \
+            or (len(toks) <= 1 and got[i]["yule_k"] is None)
+        assert got[i]["ttr"] == pytest.approx(len(set(toks)) / len(toks))
+    assert got[99]["mtld"] is None and got[98]["yule_k"] is None
+
+
+def test_lexical_diversity_direction(spark):
+    from grip_spark.text import lexical_diversity
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["spam"] * 200)),
+         (2, " ".join(f"tok{i}" for i in range(200)))],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in lexical_diversity(df).collect()}
+    assert got[1]["mtld"] < got[2]["mtld"]  # repetitive vs diverse
+    assert got[1]["yule_k"] > got[2]["yule_k"]
+    import pytest as _p
+    with _p.raises(ValueError):
+        lexical_diversity(df, mtld_threshold=1.0)
