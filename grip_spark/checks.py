@@ -489,3 +489,63 @@ def pass_at_k(
         "pass_at_k",
         F.when(n >= k, F.lit(1.0) - ratio).otherwise(F.lit(None).cast("double")),
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top: int = 10,
+) -> dict:
+    """Key-distribution skew audit — the diagnostic to run BEFORE a
+    big join/groupBy on ``key_col`` decides whether it needs salting
+    or AQE skew handling: ``{"n_rows", "n_keys", "max_key_rows",
+    "top_share" (heaviest key's fraction), "p50"/"p99"/"max" group
+    sizes, "p99_over_p50", "gini" (0 = uniform, →1 = one key owns
+    everything), "top_keys" ([{key, rows}, ...])}``.  NULL keys count
+    as a key (they hash to one partition like any other value — the
+    classic silent hot key).
+
+    Scale shape: ONE map-side-combined group-count, then everything
+    else over the key-count table (key-cardinality-sized, not
+    corpus-sized): a percentile aggregate, a sum/max aggregate, one
+    ordered window pass for the exact Gini, and a ``top``-row
+    collect."""
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    from pyspark.sql.window import Window
+
+    g = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)
+    stats = g.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("keys"),
+        F.max("n").alias("mx"),
+        F.expr("percentile(n, 0.5)").alias("p50"),
+        F.expr("percentile(n, 0.99)").alias("p99"),
+    ).first()
+    total, keys = int(stats["total"] or 0), int(stats["keys"] or 0)
+    if keys == 0:
+        raise ValueError("skew_report: empty input")
+    # exact Gini over ascending group sizes: G = (2·Σ i·n_i)/(N·Σn) −
+    # (N+1)/N with i the 1-based ascending rank
+    w = Window.orderBy(F.col("n").asc(), F.col("_k"))
+    s = g.withColumn("_i", F.row_number().over(w)).agg(
+        F.sum(F.col("_i").cast("double") * F.col("n")).alias("iw")
+    ).first()
+    gini = (2.0 * float(s["iw"])) / (keys * total) - (keys + 1.0) / keys
+    tops = [
+        {"key": r["_k"], "rows": int(r["n"])}
+        for r in g.orderBy(F.col("n").desc(), "_k").limit(top).collect()
+    ]
+    return {
+        "n_rows": total,
+        "n_keys": keys,
+        "max_key_rows": int(stats["mx"]),
+        "top_share": int(stats["mx"]) / total,
+        "p50": float(stats["p50"]),
+        "p99": float(stats["p99"]),
+        "p99_over_p50": float(stats["p99"]) / max(float(stats["p50"]), 1e-300),
+        "gini": gini,
+        "top_keys": tops,
+    }

@@ -245,3 +245,27 @@ def test_pass_at_k(spark):
     import pytest as _p
     with _p.raises(ValueError):
         pass_at_k(df, "task", "passed", k=0)
+
+
+def test_skew_report(spark):
+    from grip_spark.checks import skew_report
+
+    rows = [("hot",)] * 80 + [("warm",)] * 15 + [(f"k{i}",) for i in range(5)]
+    rows += [(None,)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    r = skew_report(df, "k", top=3)
+    assert r["n_rows"] == 110 and r["n_keys"] == 8
+    assert r["max_key_rows"] == 80 and r["top_share"] == pytest.approx(80 / 110)
+    assert r["top_keys"][0] == {"key": "hot", "rows": 80}
+    assert {t["key"] for t in r["top_keys"]} == {"hot", "warm", None}
+    # gini replica over the sorted sizes
+    sizes = sorted([80, 15, 10, 1, 1, 1, 1, 1])
+    n, tot = len(sizes), sum(sizes)
+    gini = 2 * sum((i + 1) * v for i, v in enumerate(sizes)) / (n * tot) - (n + 1) / n
+    assert r["gini"] == pytest.approx(gini, rel=1e-12)
+    # uniform distribution -> gini ~ 0
+    u = spark.createDataFrame([(f"k{i % 10}",) for i in range(100)], "k string")
+    assert skew_report(u, "k")["gini"] == pytest.approx(0.0, abs=1e-12)
+    import pytest as _p
+    with _p.raises(ValueError):
+        skew_report(df.filter("k = 'nope'"), "k")
