@@ -4629,3 +4629,170 @@ def lexical_diversity(
         .withColumn("mtld", mtld)
         .withColumn("yule_k", yule)
     )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 5,
+) -> DataFrame:
+    """Windowed co-occurrence statistics → one row per ordered token
+    pair within ``window`` positions: ``(w1, w2, pair_count, pmi,
+    npmi)`` — the collocation/association table (Church & Hanks 1990
+    PMI; Bouma 2009 NPMI in [-1, 1], the standard phrase-quality
+    score).  Feeds phrase mining, topic labeling, and the
+    co-occurrence side of embedding sanity checks.
+
+    Probabilities are maximum-likelihood over PAIR events: ``p(w) =
+    count of pair slots with w on that side / total pairs`` — the
+    convention that makes PMI symmetric-marginal and NPMI exactly 1
+    for a pair that only ever occurs together.  ``min_count`` prunes
+    rare pairs BEFORE the join with marginals.
+
+    Scale shape: token positions explode once; pairs form by a
+    bounded self-join on (doc, position+offset) per offset 1..window
+    (equi-joins, never a within-doc cartesian); pair and marginal
+    counts are map-side-combined aggregates; the two marginal joins
+    run on the pruned pair table.  NULL/empty docs contribute
+    nothing.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    # assign the doc id BEFORE exploding (monotonically_increasing_id
+    # evaluated next to posexplode stamps each token row separately)
+    docs_ids = df.select(
+        F.monotonically_increasing_id().alias("_doc"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    toks = docs_ids.select(
+        "_doc", F.posexplode("_toks").alias("_pos", "_w")
+    ).localCheckpoint(eager=True)
+    parts = []
+    for off in range(1, window + 1):
+        l = toks.select("_doc", (F.col("_pos") + off).alias("_j"),
+                        F.col("_w").alias("w1"))
+        r = toks.select("_doc", F.col("_pos").alias("_j"),
+                        F.col("_w").alias("w2"))
+        parts.append(l.join(r, ["_doc", "_j"]).select("w1", "w2"))
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    total = pairs.count()
+    if total == 0:
+        return pc.withColumn("pmi", F.lit(None).cast("double")).withColumn(
+            "npmi", F.lit(None).cast("double")
+        )
+    m1 = pc.groupBy("w1").agg(F.sum("pair_count").alias("_c1"))
+    m2 = pc.groupBy("w2").agg(F.sum("pair_count").alias("_c2"))
+    kept = pc.filter(F.col("pair_count") >= min_count).join(m1, "w1").join(m2, "w2")
+    pxy = F.col("pair_count").cast("double") / F.lit(float(total))
+    px = F.col("_c1").cast("double") / F.lit(float(total))
+    py = F.col("_c2").cast("double") / F.lit(float(total))
+    pmi = F.log(pxy / (px * py))
+    npmi = F.when(pxy < 1.0, pmi / -F.log(pxy)).otherwise(F.lit(1.0))
+    return kept.select("w1", "w2", "pair_count", pmi.alias("pmi"),
+                       npmi.alias("npmi"))
+
+
+def word2phrase(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_phrased",
+    min_count: int = 5,
+    threshold: float = 10.0,
+    delta: float = 5.0,
+) -> DataFrame:
+    """Mikolov et al. 2013 word2phrase: score adjacent bigrams
+    ``(count(ab) − δ) · N / (count(a) · count(b))`` and JOIN the ones
+    above ``threshold`` with ``_`` — one merge pass producing the
+    phrased corpus (run twice for trigrams, per the paper).  The
+    pre-tokenizer step that turns "new york" into a vocabulary unit
+    before :func:`word2vec_train` / :func:`learn_bpe`.
+
+    Scale shape: bigram + unigram counts are two map-side-combined
+    aggregates; the accepted-phrase set (vocabulary-sized, usually
+    tiny) broadcasts into ONE array fold per document (merge walk —
+    no second explode, no join against the corpus).  Greedy
+    left-to-right, non-overlapping (a merged pair consumes both
+    tokens), matching the reference implementation.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = tokens(F.col(text_col))
+    base = df.select(F.explode(toks).alias("_w"))
+    uni = {r["_w"]: r["n"] for r in
+           base.groupBy("_w").agg(F.count(F.lit(1)).alias("n"))
+           .filter(F.col("n") >= min_count).collect()}
+    big_df = df.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_bg")
+    )
+    n_tokens = base.count()
+    bigs = (
+        big_df.groupBy("_bg").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .collect()
+    )
+    accepted = set()
+    for r in bigs:
+        a, b = r["_bg"].split(" ", 1)
+        ca, cb = uni.get(a), uni.get(b)
+        if ca and cb:
+            score = (r["n"] - delta) * n_tokens / (ca * cb)
+            if score > threshold:
+                accepted.add(r["_bg"])
+    if len(accepted) > 4096:
+        raise ValueError(
+            f"word2phrase: {len(accepted)} accepted phrases exceed the "
+            "literal-fold cap (4096) — raise threshold/min_count, or run "
+            "on a sampled corpus first (the paper's setting accepts "
+            "thousands, not millions)"
+        )
+    ph_arr = (
+        F.array(*[F.lit(p) for p in sorted(accepted)])
+        if accepted
+        else F.array().cast("array<string>")
+    )
+
+    # greedy non-overlapping merge walk as one fold
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("held"),
+    )
+
+    def step(st, w):
+        bg = F.concat(st["held"], F.lit(" "), w)
+        merge = st["held"].isNotNull() & (F.array_position(ph_arr, bg) > 0)
+        out_m = F.concat(
+            st["out"], F.array(F.concat(st["held"], F.lit("_"), w))
+        )
+        out_f = F.when(
+            st["held"].isNotNull(), F.concat(st["out"], F.array(st["held"]))
+        ).otherwise(st["out"])
+        return F.struct(
+            F.when(merge, out_m).otherwise(out_f).alias("out"),
+            F.when(merge, F.lit(None).cast("string")).otherwise(w).alias("held"),
+        )
+
+    def fin(st):
+        return F.when(
+            st["held"].isNotNull(), F.concat(st["out"], F.array(st["held"]))
+        ).otherwise(st["out"])
+
+    merged = F.aggregate(toks, init, step, fin)
+    return df.withColumn(
+        out_col,
+        F.when(F.col(text_col).isNotNull(), F.array_join(merged, " ")),
+    )

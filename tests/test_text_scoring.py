@@ -1810,3 +1810,72 @@ def test_lexical_diversity_direction(spark):
     import pytest as _p
     with _p.raises(ValueError):
         lexical_diversity(df, mtld_threshold=1.0)
+
+
+def test_collocations_matches_mirror(spark):
+    import math
+    from collections import Counter
+
+    from grip_spark.text import collocations
+
+    docs = [
+        (1, "new york is in new york state"),
+        (2, "san francisco and new york"),
+        (3, "the state of san francisco"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    window = 2
+    pairs = []
+    for _, t in docs:
+        ws = t.split()
+        for i, w1 in enumerate(ws):
+            for off in (1, 2):
+                if i + off < len(ws):
+                    pairs.append((w1, ws[i + off]))
+    pc = Counter(pairs)
+    total = len(pairs)
+    c1, c2 = Counter(p[0] for p in pairs), Counter(p[1] for p in pairs)
+    got = {
+        (r["w1"], r["w2"]): r
+        for r in collocations(df, window=2, min_count=2).collect()
+    }
+    want = {p: n for p, n in pc.items() if n >= 2}
+    assert set(got) == set(want)
+    for p, n in want.items():
+        pxy = n / total
+        pmi = math.log(pxy / ((c1[p[0]] / total) * (c2[p[1]] / total)))
+        assert got[p]["pair_count"] == n
+        assert got[p]["pmi"] == pytest.approx(pmi, rel=1e-9)
+        assert got[p]["npmi"] == pytest.approx(pmi / -math.log(pxy), rel=1e-9)
+    # the true collocation outranks a chance pair on npmi
+    assert got[("new", "york")]["npmi"] > 0.5
+
+
+def test_word2phrase_merges(spark):
+    from grip_spark.text import word2phrase
+
+    # "new york" / "san francisco" recur across VARIED contexts; the
+    # surrounding words pair with many different neighbors, so only
+    # the true phrases score above threshold
+    rows = [
+        (0, "we flew to new york to visit new york again"),
+        (1, "san francisco hosted the san francisco marathon"),
+        (2, "i left new york for san francisco yesterday"),
+        (3, "the new york office called san francisco twice"),
+        (4, "new york rain and san francisco fog"),
+        (5, "she compared new york with san francisco often"),
+        (99, "york new unrelated"),
+        (98, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r["text_phrased"]
+           for r in word2phrase(df, min_count=5, threshold=5.0, delta=1.0).collect()}
+    assert "new_york" in out[2] and "san_francisco" in out[2]
+    # greedy non-overlap: both occurrences in doc 0 merge
+    assert out[0].split().count("new_york") == 2
+    assert "york_new" not in out[99]  # reversed bigram not accepted
+    assert out[98] is None
+    # words outside phrases pass through untouched
+    assert out[4] == "new_york rain and san_francisco fog"
+    with pytest.raises(ValueError):
+        word2phrase(df, min_count=0)
