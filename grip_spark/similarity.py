@@ -2318,3 +2318,67 @@ def ann_topk_saved(
         .orderBy(F.col("cos_sim").desc(), F.col(meta["id_col"]))
         .limit(k)
     )
+
+
+def pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    mode: str = "mean",
+    weight_col: str | None = None,
+    normalize: bool = False,
+    out_col: str = "pooled",
+) -> DataFrame:
+    """Pool many vectors per group into one — the chunk→document (or
+    token→sentence) embedding step: ``mean`` (optionally
+    ``weight_col``-weighted), ``sum``, or ``max`` element-wise, with
+    ``normalize=True`` L2-normalizing the result (the retrieval
+    convention).  Returns ``(group, pooled, n_vecs)``.
+
+    Scale shape: dims explode once (rows × dim — the arrays were that
+    wide already), ONE map-side-combined (group, dim) aggregate, and
+    one group-keyed rebuild (sorted struct collect of exactly ``dim``
+    elements per group) — no per-group vector LIST is ever
+    materialized, so a 100k-chunk document costs what 100k rows cost.
+    NULL vectors are skipped; groups with only NULLs are absent.
+    """
+    if mode not in ("mean", "sum", "max"):
+        raise ValueError(f"unknown mode: {mode}")
+    if weight_col is not None and mode != "mean":
+        raise ValueError("weight_col only applies to mode='mean'")
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    ex = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(group_col).alias("_g"),
+            w.alias("_w"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("_d", "_x"),
+        )
+    )
+    if mode == "max":
+        per_dim = ex.groupBy("_g", "_d").agg(
+            F.max("_x").alias("_v"), F.count(F.lit(1)).alias("_n")
+        )
+    elif mode == "sum":
+        per_dim = ex.groupBy("_g", "_d").agg(
+            F.sum("_x").alias("_v"), F.count(F.lit(1)).alias("_n")
+        )
+    else:
+        per_dim = ex.groupBy("_g", "_d").agg(
+            (F.sum(F.col("_x") * F.col("_w")) / F.sum("_w")).alias("_v"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    pooled = per_dim.groupBy("_g").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_d", "_v"))), lambda s: s["_v"]
+        ).alias("_vec"),
+        F.max("_n").alias("n_vecs"),
+    )
+    if normalize:
+        pooled = pooled.withColumn("_n2", norm(F.col("_vec")))
+        out = F.transform(F.col("_vec"), lambda x: x / F.col("_n2"))
+    else:
+        out = F.col("_vec")
+    return pooled.select(
+        F.col("_g").alias(group_col), out.alias(out_col), "n_vecs"
+    )

@@ -90,3 +90,46 @@ def test_align_then_mine(spark):
 
 
 from pyspark.sql import functions as F  # noqa: E402  (used in test above)
+
+
+def test_pool_embeddings(spark):
+    import numpy as np
+
+    from grip_spark.similarity import pool_embeddings
+
+    rng = np.random.default_rng(2)
+    rows = []
+    V = {}
+    for g in ("a", "b"):
+        vs = rng.normal(size=(4, 6))
+        V[g] = vs
+        rows += [(g, [float(x) for x in v], float(i + 1)) for i, v in enumerate(vs)]
+    rows.append(("c", None, 1.0))  # NULL-only group absent
+    df = spark.createDataFrame(rows, "doc string, embedding array<double>, w double")
+
+    mean = {r["doc"]: r for r in pool_embeddings(df, "doc").collect()}
+    assert set(mean) == {"a", "b"}
+    assert np.allclose(mean["a"]["pooled"], V["a"].mean(axis=0))
+    assert mean["a"]["n_vecs"] == 4
+
+    wmean = {r["doc"]: r["pooled"]
+             for r in pool_embeddings(df, "doc", weight_col="w").collect()}
+    wts = np.array([1, 2, 3, 4.0])
+    assert np.allclose(wmean["b"], (V["b"] * wts[:, None]).sum(0) / wts.sum())
+
+    mx = {r["doc"]: r["pooled"]
+          for r in pool_embeddings(df, "doc", mode="max").collect()}
+    assert np.allclose(mx["a"], V["a"].max(axis=0))
+
+    nm = {r["doc"]: r["pooled"]
+          for r in pool_embeddings(df, "doc", normalize=True).collect()}
+    assert abs(np.linalg.norm(nm["a"]) - 1.0) < 1e-9
+    assert np.allclose(
+        nm["a"], V["a"].mean(0) / np.linalg.norm(V["a"].mean(0))
+    )
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        pool_embeddings(df, "doc", mode="median")
+    with _p.raises(ValueError):
+        pool_embeddings(df, "doc", mode="max", weight_col="w")
