@@ -509,7 +509,10 @@ def skew_report(
     else over the key-count table (key-cardinality-sized, not
     corpus-sized): a percentile aggregate, a sum/max aggregate, one
     ordered window pass for the exact Gini, and a ``top``-row
-    collect."""
+    collect.  The Gini rank is a global window (SinglePartition over
+    the KEY table — fine to ~10⁸ distinct keys; beyond that, skip
+    reading ``gini`` and judge on ``top_share``/``p99_over_p50``,
+    which stay fully distributed)."""
     if top < 1:
         raise ValueError(f"top must be >= 1, got {top}")
     from pyspark.sql.window import Window

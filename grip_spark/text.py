@@ -4680,8 +4680,13 @@ def collocations(
     pairs = parts[0]
     for p in parts[1:]:
         pairs = pairs.unionByName(p)
-    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
-    total = pairs.count()
+    pc = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("pair_count")
+    ).localCheckpoint(eager=True)
+    # total from the (small) pair-count table — the raw pair join is
+    # executed exactly once
+    row = pc.agg(F.sum("pair_count")).first()
+    total = int(row[0] or 0)
     if total == 0:
         return pc.withColumn("pmi", F.lit(None).cast("double")).withColumn(
             "npmi", F.lit(None).cast("double")
