@@ -571,3 +571,86 @@ def cohort_retention(
         "n_users",
         (F.col("n_users") / F.col("_size")).alias("retention"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    alpha: float = 0.2,
+    halflife=None,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average — the recursive
+    smoother SQL window functions cannot express (``s_t = α·x_t +
+    (1-α)·s_{t-1}``; each output depends on the previous OUTPUT):
+    returns the input rows plus ``out_col``, ordered semantics by
+    ``ts_col`` within each key (ties by value, deterministic).
+    ``halflife`` (in ``ts_col`` units) switches to the
+    irregular-spacing form ``α_t = 1 − 2^(−Δt/halflife)`` (pandas'
+    ``ewm(halflife=..., times=...)``), which is the one to use on
+    event streams with gaps — a reading after a long gap mostly
+    replaces the stale average.  NULL values carry the previous
+    average forward (gap-robust); leading NULLs yield NULL.
+
+    Scale shape: ONE key-group shuffle; each key's series folds in a
+    sorted-array aggregate (JVM, no Python) and explodes back — so a
+    key's whole history sits in one task (the per-entity time-series
+    regime; for million-point keys, window the input by
+    :func:`resample` first).  Composes with :func:`anomaly_flags`
+    (deviation-from-EWMA instead of deviation-from-median).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0,1], got {alpha}")
+    if halflife is not None and halflife <= 0:
+        raise ValueError(f"halflife must be > 0, got {halflife}")
+    per_key = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).cast("double").alias("t"),
+                    F.col(val_col).cast("double").alias("x"),
+                )
+            )
+        ).alias("_ser")
+    )
+    init = F.struct(
+        F.array().cast("array<double>").alias("out"),
+        F.lit(None).cast("double").alias("s"),
+        F.lit(None).cast("double").alias("pt"),
+    )
+
+    def step(st, e):
+        if halflife is not None:
+            dt = e["t"] - st["pt"]
+            a = F.lit(1.0) - F.pow(F.lit(2.0), -dt / F.lit(float(halflife)))
+            a = F.coalesce(a, F.lit(1.0))  # first point: full weight
+        else:
+            a = F.lit(float(alpha))
+        nxt = F.when(
+            e["x"].isNull(), st["s"]
+        ).otherwise(
+            F.when(st["s"].isNull(), e["x"]).otherwise(
+                a * e["x"] + (F.lit(1.0) - a) * st["s"]
+            )
+        )
+        return F.struct(
+            F.concat(st["out"], F.array(nxt)).alias("out"),
+            nxt.alias("s"),
+            F.when(e["x"].isNull(), st["pt"]).otherwise(e["t"]).alias("pt"),
+        )
+
+    folded = per_key.select(
+        "_k",
+        F.arrays_zip(
+            F.col("_ser"), F.aggregate(F.col("_ser"), init, step, lambda st: st["out"])
+        ).alias("_z"),
+    )
+    ex = folded.select("_k", F.explode("_z").alias("_e")).select(
+        F.col("_k").alias(key_col),
+        F.col("_e._ser.t").alias(ts_col),
+        F.col("_e._ser.x").alias(val_col),
+        F.col("_e.1").alias(out_col),
+    )
+    return ex

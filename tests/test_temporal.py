@@ -505,3 +505,57 @@ def test_cohort_retention_vs_duckdb(spark):
     want = {(int(r[0]), int(r[1])): (r[2], r[3]) for r in want_rows}
     assert got == want
     assert all(v[1] == 1.0 for k, v in got.items() if k[1] == 0)
+
+
+# --------------------------------------------------------------- ewma
+
+
+def test_ewma_matches_pandas(spark):
+    import pandas as pd
+
+    from grip_spark.temporal import ewma
+
+    rows = []
+    series = {}
+    import random
+    rng = random.Random(5)
+    for k in ("a", "b"):
+        vals = [round(rng.uniform(0, 10), 3) for _ in range(30)]
+        series[k] = vals
+        rows += [(k, float(i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, ts double, x double")
+    got = ewma(df, "k", "ts", "x", alpha=0.3).collect()
+    for k, vals in series.items():
+        want = pd.Series(vals).ewm(alpha=0.3, adjust=False).mean().tolist()
+        mine = [r["ewma"] for r in sorted(
+            (r for r in got if r["k"] == k), key=lambda r: r["ts"])]
+        assert mine == pytest.approx(want, rel=1e-12)
+
+
+def test_ewma_halflife_and_nulls(spark):
+    from grip_spark.temporal import ewma
+
+    # equal spacing == halflife -> alpha = 0.5 each step
+    rows = [("k", 0.0, 4.0), ("k", 10.0, 8.0), ("k", 20.0, 2.0)]
+    df = spark.createDataFrame(rows, "k string, ts double, x double")
+    got = sorted(ewma(df, "k", "ts", "x", halflife=10.0).collect(),
+                 key=lambda r: r["ts"])
+    assert [r["ewma"] for r in got] == pytest.approx([4.0, 6.0, 4.0])
+    # a long gap mostly replaces the stale average
+    rows2 = [("k", 0.0, 0.0), ("k", 1000.0, 10.0)]
+    df2 = spark.createDataFrame(rows2, "k string, ts double, x double")
+    g2 = sorted(ewma(df2, "k", "ts", "x", halflife=10.0).collect(),
+                key=lambda r: r["ts"])
+    assert g2[1]["ewma"] == pytest.approx(10.0, abs=1e-6)
+    # NULL values carry the previous average; leading NULL stays NULL
+    rows3 = [("k", 0.0, None), ("k", 1.0, 6.0), ("k", 2.0, None), ("k", 3.0, 6.0)]
+    df3 = spark.createDataFrame(rows3, "k string, ts double, x double")
+    g3 = sorted(ewma(df3, "k", "ts", "x", alpha=0.5).collect(),
+                key=lambda r: r["ts"])
+    assert g3[0]["ewma"] is None
+    assert g3[1]["ewma"] == 6.0 and g3[2]["ewma"] == 6.0 and g3[3]["ewma"] == 6.0
+    import pytest as _p
+    with _p.raises(ValueError):
+        ewma(df3, "k", "ts", "x", alpha=0.0)
+    with _p.raises(ValueError):
+        ewma(df3, "k", "ts", "x", halflife=-1)
