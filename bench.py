@@ -373,6 +373,14 @@ def main():
                 "sf": sf,
                 "load_sec": load_sec,
                 "samples": raw,
+                # explicit noise-robust statistics (r9 verdict ask):
+                # `queries` already holds per-query min-of-2, so the
+                # headline `value` IS sum-of-mins — name it so
+                # round-over-round comparison uses it, and record the
+                # first-sample sum (what a single-shot run would have
+                # reported) to bound host noise within the run
+                "sum_of_mins": round(sum(times.values()), 3),
+                "sum_first_sample": round(sum(v[0] for v in raw.values()), 3),
             }
         )
     )

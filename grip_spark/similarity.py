@@ -392,11 +392,34 @@ def ivf_index_seeded(
     salt: str = "ivf",
     cluster_col: str = "ivf_list",
     score_col: str | None = None,
+    coarse: str = "auto",
 ):
     """IVF coarse quantizer from hash-sampled corpus points (no Lloyd
     iterations): the ``n_lists`` vectors whose ids hash lowest become
     the cell centroids, and every vector joins the centroid it is most
     cosine-similar to (ties -> lower cell id).
+
+    ``coarse`` picks the assignment strategy:
+
+    * ``"flat"`` — exact argmax over all ``n_lists`` centroids
+      (``n_lists`` dot products per row).  This is the SQL-replicable
+      oracle mode; assignment is a pure function of ``(salt, corpus)``.
+    * ``"hier"`` — two-level assignment (the FAISS IMI / two-level
+      coarse-quantizer shape): the first ``ceil(sqrt(n_lists))`` seeds
+      in hash order serve as super-centroids; each centroid is grouped
+      under its nearest super-centroid driver-side, and a row first
+      argmaxes over the super-centroids, then only over its
+      super-cell's member centroids — ``O(sqrt(n_lists))`` dot
+      products per row instead of ``O(n_lists)``, which removes the
+      rows x n_lists quadratic term under the ``n_lists ~ rows/1e4``
+      constant-cell-size sizing rule.  Assignment is approximate in
+      the standard IVF sense (a row whose true nearest centroid lives
+      in a different super-cell lands in a near-optimal cell instead;
+      recall at query time comes from ``nprobe``), but remains a pure
+      deterministic function of ``(salt, corpus)``.
+    * ``"auto"`` (default) — ``"flat"`` when ``n_lists <= 64`` (small
+      quantizers pay nothing for exactness, and every value oracle
+      lives here), ``"hier"`` above.
 
     Why this exists next to :func:`ivf_index` (k-means): sampled-point
     quantizers are standard IVF practice when centroids just need to
@@ -409,15 +432,20 @@ def ivf_index_seeded(
     Scale shape: seed selection is a top-``n_lists`` by hash (driver
     collect of ~sqrt(corpus) rows — the same driver-side centroid
     scan ``ivf_topk`` documents); assignment is one narrow projection
-    with ``n_lists`` literal-centroid dot products, argmax via a
-    sorted struct array — no shuffle, no Python.  The per-vector norm
-    cancels in the argmax, so each cell costs one dot product by the
-    centroid's precomputed reciprocal norm.
+    of literal-centroid dot products (``n_lists`` of them flat,
+    ``~2*sqrt(n_lists)`` hier), argmax via a sorted struct array — no
+    shuffle, no Python.  The per-vector norm cancels in the argmax,
+    so each cell costs one dot product by the centroid's precomputed
+    reciprocal norm.  Both modes return the identical
+    ``(indexed, centroids)`` contract; ``ivf_probe_cells`` /
+    ``ivf_topk`` probe selection is unchanged.
     """
     from .dedup import md5_prefix_hash
 
     if n_lists <= 0:
         raise ValueError(f"n_lists must be > 0, got {n_lists}")
+    if coarse not in ("auto", "flat", "hier"):
+        raise ValueError(f"coarse must be auto|flat|hier, got {coarse!r}")
     idc = F.col(id_col)
     seeds = (
         # zero-norm vectors (empty-content embeddings) cannot serve as
@@ -440,21 +468,37 @@ def ivf_index_seeded(
     if not seeds:
         raise ValueError("no non-zero vectors to seed the quantizer")
     centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)]
-    scored = F.array(
-        *[
-            F.struct(
-                (-(dot(F.col(vec_col), _vec_lit(c)) / F.lit(_py_norm(c)))).alias(
-                    "negsim"
-                ),
-                F.lit(cid).alias("cell"),
-            )
-            for cid, c in centroids
-        ]
-    )
+
+    def _cell_struct(cid, c):
+        return F.struct(
+            (-(dot(F.col(vec_col), _vec_lit(c)) / F.lit(_py_norm(c)))).alias("negsim"),
+            F.lit(cid).alias("cell"),
+        )
+
     best = _fresh_name("_ivf_best", df.columns)
-    indexed = df.withColumn(best, F.array_sort(scored)[0]).withColumn(
-        cluster_col, F.col(best)["cell"]
-    )
+    use_hier = coarse == "hier" or (coarse == "auto" and len(centroids) > 64)
+    if use_hier:
+        groups = _hier_groups(centroids)
+        sup_best = F.array_sort(
+            F.array(*[_cell_struct(sid, dict(centroids)[sid]) for sid, _ in groups])
+        )[0]["cell"]
+        # materialize the super-cell id in its own projection: the
+        # branch values below are non-cheap, so CollapseProject will
+        # NOT inline this expression into every WHEN condition — per
+        # row the super argmax evaluates once, then exactly one
+        # branch's member argmax runs (CaseWhen is lazy)
+        supcol = _fresh_name("_ivf_sup", df.columns)
+        staged = df.withColumn(supcol, sup_best)
+        chain = None
+        for sid, members in groups:
+            branch = F.array_sort(F.array(*[_cell_struct(c, v) for c, v in members]))[0]
+            cond = F.col(supcol) == F.lit(sid)
+            chain = F.when(cond, branch) if chain is None else chain.when(cond, branch)
+        indexed = staged.withColumn(best, chain).drop(supcol)
+    else:
+        scored = F.array(*[_cell_struct(cid, c) for cid, c in centroids])
+        indexed = df.withColumn(best, F.array_sort(scored)[0])
+    indexed = indexed.withColumn(cluster_col, F.col(best)["cell"])
     if score_col is not None:
         # the winning centroid's norm-free score dot(v, c)/|c|; divide
         # by the vector's own norm (computed once elsewhere) to get the
@@ -462,6 +506,32 @@ def ivf_index_seeded(
         # pays nothing extra when the score isn't requested
         indexed = indexed.withColumn(score_col, -F.col(best)["negsim"])
     return indexed.drop(best), centroids
+
+
+def _hier_groups(centroids: list) -> list:
+    """Driver-side two-level grouping for :func:`ivf_index_seeded`'s
+    ``coarse="hier"`` mode: the first ``ceil(sqrt(n))`` centroids (hash
+    order — an unbiased sample) become super-centroids; every centroid
+    joins its nearest super-centroid by cosine (ties -> lower super
+    id, numpy argmax-first).  Returns ``[(super_id, [(cell_id, vec),
+    ...]), ...]`` for non-empty groups, super_id ascending.  Cost is
+    one ``n x sqrt(n)`` matmul over the already-collected centroid
+    list — driver-side and tiny relative to the corpus scan it saves.
+    """
+    import math
+
+    import numpy as np
+
+    n = len(centroids)
+    n_super = math.isqrt(n - 1) + 1 if n > 1 else 1
+    mat = np.array([c for _, c in centroids], dtype=np.float64)
+    # seeds exclude zero-norm vectors, so normalization is safe
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    assign = np.argmax(mn @ mn[:n_super].T, axis=1)
+    groups: dict[int, list] = {}
+    for (cid, vec), sid in zip(centroids, assign):
+        groups.setdefault(int(sid), []).append((cid, vec))
+    return sorted(groups.items())
 
 
 def ivf_probe_cells(
@@ -493,6 +563,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     cell_col: str = "sem_cell",
     keep_col: str = "sem_keep",
+    coarse: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate pruning over an embedding column — the seventh
@@ -516,7 +587,13 @@ def semantic_dedup(
     Scale: pair generation is an equi-join on the cell id — never a
     cartesian.  Cost is sum(cell_size^2) per cell pairs, the paper's
     own regime; size ``n_lists ~ corpus_rows / 10^4`` so cells hold
-    ~10^4 vectors, and AQE skew-join splits hot cells.  Norms and
+    ~10^4 vectors, and AQE skew-join splits hot cells.  Under that
+    sizing rule the coarse-assignment term itself would be quadratic
+    (rows x n_lists dot products), so ``coarse="auto"`` switches to
+    the two-level hierarchical assignment above 64 lists —
+    ``O(sqrt(n_lists))`` per row — keeping the whole pipeline linear
+    in the corpus; pass ``coarse="flat"`` to force the exact
+    SQL-replicable assignment (the value-oracle mode).  Norms and
     centroid scores are computed once per VECTOR before the join
     (eager-checkpointed against the two-sided recompute race), so the
     join stage evaluates one dot product per candidate pair.  Returns
@@ -534,6 +611,7 @@ def semantic_dedup(
         salt=salt,
         cluster_col=cell_col,
         score_col=c_score,
+        coarse=coarse,
     )
     b = (
         indexed.withColumn(c_norm, norm(F.col(vec_col)))
@@ -1917,7 +1995,7 @@ def bitext_mine(
     margin: str = "ratio",
     threshold: float = 1.0,
     strategy: str = "forward",
-    planes: int = 0,
+    planes: int | None = None,
     probe: int = 1,
     seed: int = 7,
     dim: int | None = None,
@@ -1941,8 +2019,15 @@ def bitext_mine(
     ``margin_score >= threshold`` (ratio scores hover around 1.0;
     published work mines at ~1.04-1.06).
 
-    Candidate generation: ``planes=0`` scores ALL cross pairs — the
-    exact oracle, quadratic, for evaluation corpora.  ``planes>0``
+    Candidate generation: ``planes=None`` (default) auto-sizes —
+    exact all-pairs scoring when the larger side holds <= 10k rows
+    (evaluation-corpus territory, where exactness is free), else
+    hyperplane buckets sized by the constant-bucket-occupancy rule
+    ``max(6, log2(rows/31))`` so in-bucket pair cost stays linear in
+    the corpus; the auto path pays one ``count()`` per side (pass
+    ``planes`` explicitly to skip it).  ``planes=0`` is the explicit
+    opt-in for the exact oracle — quadratic, never the default shape
+    a large corpus can stumble into.  ``planes>0``
     buckets BOTH sides with one seeded hyperplane family (same
     (dim, planes, seed) → same planes → an equi-join on bucket, the
     :func:`cosine_self_join_topk` discipline); ``probe=1`` (default)
@@ -1972,6 +2057,11 @@ def bitext_mine(
         raise ValueError(f"unknown strategy: {strategy}")
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
+    if planes is None:
+        import math as _math
+
+        n_rows = max(src.count(), tgt.count())
+        planes = 0 if n_rows <= 10_000 else max(6, int(_math.log2(n_rows / 31)))
 
     a = src.select(
         F.col(id_col).alias("src_id"),

@@ -139,3 +139,28 @@ def test_bitext_validation(spark):
         bitext_mine(s, t, strategy="nope")
     with pytest.raises(ValueError):
         bitext_mine(s, t, k=0)
+
+
+def test_bitext_default_never_cartesian_above_10k(spark):
+    """planes=None (default) must auto-size to LSH buckets on >10k-row
+    inputs — the plan may not contain a cartesian / nested-loop join
+    (the r9 verdict's scale-safe-default ask)."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(10_001).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.array(*[F.rand(seed=i) for i in range(8)]).alias("embedding"),
+    )
+    out = bitext_mine(big, big, k=2, threshold=0.0, dim=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # and the small-corpus default stays the exact oracle shape
+    small = spark.range(50).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.array(*[F.rand(seed=i) for i in range(8)]).alias("embedding"),
+    )
+    splan = bitext_mine(
+        small, small, k=2, threshold=0.0, dim=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "_bucket" not in splan, splan

@@ -253,6 +253,92 @@ def test_ivf_seeded_probe_recall(emb):
     assert len(got & true) >= 4  # 2/4 cells at random would give ~5
 
 
+# -- hierarchical (two-level) coarse assignment ------------------------------
+
+
+def _hier_replica_cell(cents, groups, v):
+    """Pure-python mirror of the two-level assignment rule: argmax over
+    super-centroids (cos desc, super id asc), then argmax within the
+    winning group (cos desc, cell id asc)."""
+    import math
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if not na or not nb:
+            return 0.0
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    by_id = dict(cents)
+    sup = max(groups, key=lambda g: (cos(v, by_id[g[0]]), -g[0]))[0]
+    members = dict(groups)[sup]
+    return max(members, key=lambda m: (cos(v, m[1]), -m[0]))[0]
+
+
+def test_ivf_hier_matches_two_level_replica(emb):
+    from grip_spark import similarity
+
+    idx, cents = similarity.ivf_index_seeded(emb, n_lists=16, salt="t", coarse="hier")
+    groups = similarity._hier_groups(cents)
+    assert sum(len(m) for _, m in groups) == 16
+    rows = idx.select("vec_id", "embedding", "ivf_list").collect()
+    for r in rows[:80]:
+        v = [float(x) for x in r.embedding]
+        assert r.ivf_list == _hier_replica_cell(cents, groups, v), r.vec_id
+
+
+def test_ivf_hier_deterministic_and_auto_threshold(emb):
+    from grip_spark import similarity
+
+    # auto == flat at n_lists <= 64 (the oracle regime): bit-equal cells
+    a, _ = similarity.ivf_index_seeded(emb, n_lists=8, coarse="auto")
+    f, _ = similarity.ivf_index_seeded(emb, n_lists=8, coarse="flat")
+    ga = sorted((r.vec_id, r.ivf_list) for r in a.select("vec_id", "ivf_list").collect())
+    gf = sorted((r.vec_id, r.ivf_list) for r in f.select("vec_id", "ivf_list").collect())
+    assert ga == gf
+    # auto > 64 lists -> hier, partition-invariant
+    h1, c1 = similarity.ivf_index_seeded(emb, n_lists=80, coarse="auto")
+    h2, c2 = similarity.ivf_index_seeded(emb.repartition(9), n_lists=80, coarse="auto")
+    assert c1 == c2
+    g1 = sorted((r.vec_id, r.ivf_list) for r in h1.select("vec_id", "ivf_list").collect())
+    g2 = sorted((r.vec_id, r.ivf_list) for r in h2.select("vec_id", "ivf_list").collect())
+    assert g1 == g2
+    assert {c for _, c in g1} <= set(range(80))
+    # hier with its own replica at 80 lists (spot sample)
+    groups = similarity._hier_groups(c1)
+    rows = h1.select("vec_id", "embedding", "ivf_list").collect()
+    for r in rows[:40]:
+        v = [float(x) for x in r.embedding]
+        assert r.ivf_list == _hier_replica_cell(c1, groups, v), r.vec_id
+
+
+def test_ivf_hier_zero_norm_lands_in_cell_zero(spark, emb):
+    from grip_spark import similarity
+
+    dim = len(emb.first()["embedding"])
+    zero = spark.createDataFrame(
+        [(999999, [0.0] * dim)], "vec_id: long, embedding: array<double>"
+    )
+    both = emb.select("vec_id", F.col("embedding").cast("array<double>")).union(zero)
+    for mode in ("flat", "hier"):
+        idx, _ = similarity.ivf_index_seeded(both, n_lists=16, coarse=mode)
+        got = idx.filter(F.col("vec_id") == 999999).first()["ivf_list"]
+        assert got == 0, mode
+
+
+def test_semantic_dedup_hier_runs_and_keeps_schema(emb):
+    from grip_spark import similarity
+
+    out = similarity.semantic_dedup(
+        emb, "embedding", "vec_id", n_lists=80, threshold=0.38, coarse="auto"
+    )
+    rows = out.select("vec_id", "sem_cell", "sem_keep").collect()
+    assert len(rows) == emb.count()
+    assert all(r.sem_keep in (True, False) for r in rows)
+    # dedup must actually drop something at this permissive threshold
+    assert any(not r.sem_keep for r in rows)
+
+
 # -- repetition stats -------------------------------------------------------
 
 

@@ -153,6 +153,13 @@ def test_ivf_assignment_is_shuffle_free(spark):
     # literal-centroid argmax: a projection, not a join — no Exchange,
     # and the embedding column itself is never shuffled anywhere
     assert n_exchanges(plan) == 0, plan
+    # hierarchical mode is still a pure projection (super argmax in
+    # one project, lazy CASE WHEN branch per super-cell in the next)
+    # with no Python eval
+    hidx, _ = similarity.ivf_index_seeded(emb, n_lists=80, coarse="hier")
+    hplan = df_plan(hidx.select("vec_id", "ivf_list"))
+    assert n_exchanges(hplan) == 0, hplan
+    assert "BatchEvalPython" not in hplan and "ArrowEvalPython" not in hplan
 
 
 def test_corpus_pipeline_prunes_and_bounds_shuffles(spark):
