@@ -765,8 +765,18 @@ def q_pii_redact(spark, sf_dir):
 
 
 def q_doc_text_profile(spark, sf_dir):
-    """The five text-analysis operators in one pass: token count, char
-    stats, quality score, language-ID, fingerprint — each a column."""
+    """The text-analysis operators as one per-doc matrix: token count,
+    char stats, quality score, language-ID, fingerprint — each a
+    column.  r10 folds (each was its own green slot; the host slot
+    still executes every folded operator): repetition stats
+    (`top_token_frac`/`dup_3gram_frac`), the Kneser-Ney bigram LM
+    (`n_transitions`/`kn_logprob`), per-lang percentile calibration
+    (`cal_pct`), PII redaction (`n_email`/`n_ssn`/`n_ipv4`/`red_tail`),
+    and the trained NB langid (`lang_pred`/`lang_score`) — freeing
+    five slots for the r10 rotation (funnel, cohort_retention, ewma,
+    graph_node_scores, collocations).  NEW under the oracle:
+    lexical-diversity `ttr` and Yule's K (text.lexical_diversity;
+    MTLD's sequential fold stays replica-pinned in pytest)."""
     d = _docs(spark, sf_dir)
     d = text.token_count(d)
     d = text.char_stats(d)
@@ -788,6 +798,26 @@ def q_doc_text_profile(spark, sf_dir):
         "doc_id", F.col("mean_logprob").alias("unigram_lp")
     )
     d = d.join(lp, "doc_id")
+    # r10 folds: the five freed slots ride here, each still executing
+    # its full operator pipeline (train + score where applicable)
+    d = d.join(q_doc_repetition(spark, sf_dir), "doc_id")
+    d = d.join(q_kn_bigram(spark, sf_dir), "doc_id")
+    d = d.join(
+        q_percentile_calibrate(spark, sf_dir).select(
+            "doc_id", F.col("pct").alias("cal_pct")
+        ),
+        "doc_id",
+    )
+    d = d.join(q_pii_redact(spark, sf_dir), "doc_id")
+    d = d.join(q_langid(spark, sf_dir), "doc_id")
+    # r10 new-under-oracle: lexical diversity (TTR + Yule's K; MTLD is
+    # a sequential fold — replica-pinned in tests/test_text_scoring.py)
+    lex = text.lexical_diversity(raw).select(
+        "doc_id",
+        F.round("ttr", 6).alias("ttr"),
+        F.round("yule_k", 6).alias("yule_k"),
+    )
+    d = d.join(lex, "doc_id")
     return d.select(
         "doc_id",
         "n_tokens",
@@ -804,6 +834,19 @@ def q_doc_text_profile(spark, sf_dir):
         "distinct_1",
         "distinct_2",
         "unigram_lp",
+        "top_token_frac",
+        "dup_3gram_frac",
+        "n_transitions",
+        "kn_logprob",
+        "cal_pct",
+        "n_email",
+        "n_ssn",
+        "n_ipv4",
+        "red_tail",
+        "lang_pred",
+        "lang_score",
+        "ttr",
+        "yule_k",
     )
 
 
@@ -1803,6 +1846,114 @@ def q_percentile_calibrate(spark, sf_dir):
     )
 
 
+# -- r10 rotation: round-9 session-2 operators under the value oracle -------
+
+_DAY_NS = 86400 * 10**9  # events ts is nanos-long after _events()
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered funnel (temporal.funnel, ClickHouse windowFunnel
+    semantics): deepest view→click→purchase chain per user with the
+    whole chain within 12 hours of its re-anchorable step-1 event (the
+    window that splits the fixture's users across levels 1/2/3).  The
+    engine folds per-user sorted events keeping the MAX step-1 anchor
+    per level; that greedy fold equals exists-any-chain (a later
+    anchor only gains slack), which is what the oracle's explicit
+    chain joins enumerate — so the window logic, re-anchoring, and
+    equal-timestamp step-order ties all sit under the value oracle."""
+    from grip_spark import temporal
+
+    ev = _events(spark, sf_dir)
+    out = temporal.funnel(
+        ev, ["view", "click", "purchase"], within=float(_DAY_NS // 2)
+    )
+    return out.select(F.col("user").alias("user_id"), "funnel_level")
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention (temporal.cohort_retention): users cohorted by
+    the DAY of their first purchase (the all-events weekly table is
+    degenerate — every user is active every week), one row per
+    (cohort, offset) with
+    the active-user count and retention fraction — plain min-agg +
+    join-back + distinct + group-count, fully SQL-expressible."""
+    from grip_spark import temporal
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    out = temporal.cohort_retention(ev, period=float(_DAY_NS), horizon=8)
+    return out.select(
+        "cohort",
+        "period_offset",
+        "n_users",
+        F.round("retention", 6).alias("retention"),
+    )
+
+
+def q_ewma(spark, sf_dir):
+    """Per-user EWMA over event values in the irregular-spacing
+    halflife form (temporal.ewma; pandas ewm(halflife, times)
+    semantics).  The engine's recursive fold s_t = a_t·x_t +
+    (1-a_t)·s_{t-1}, a_t = 1-2^(-Δt/hl) telescopes to the closed form
+    s_n = x_1·2^(-(t_n-t_1)/hl) + Σ a_i·x_i·2^(-(t_n-t_i)/hl), which
+    the oracle evaluates by a per-user self-join — rounded to 6dp on
+    both sides so summation-order ulps can't straddle the driver's
+    9-decimal hash (|value| <= 491 in the fixture)."""
+    from grip_spark import temporal
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    out = temporal.ewma(
+        ev, "user_id", "ts", "value", halflife=float(_DAY_NS)
+    )
+    return out.select(
+        "user_id", "ts", "value", F.round("ewma", 6).alias("ewma")
+    )
+
+
+def q_graph_node_scores(spark, sf_dir):
+    """HITS hubs/authorities (graphalgo.hits, Kleinberg 1999, 5 fixed
+    rounds — replicable like the fixed-step pagerank slot) and full
+    core decomposition (graphalgo.coreness, the Lü 2016 h-operator
+    fixpoint) over the customer→order→part DAG, as one labeled node
+    matrix.  The coreness oracle unrolls 12 h-operator rounds — the
+    sf0.01 fixpoint lands in 7 and extra rounds are no-ops at the
+    fixpoint (H is idempotent there), so the engine's early-stop and
+    the oracle's fixed unroll agree; HITS unrolls its 5 normalized
+    rounds, scores rounded to 6dp on both sides."""
+    from grip_spark import graphalgo
+
+    edges = _cop_edges(spark, sf_dir)
+    h = graphalgo.hits(edges, iterations=5).select(
+        F.lit("hits").alias("metric"),
+        "id",
+        F.round("hub", 6).alias("v1"),
+        F.round("authority", 6).alias("v2"),
+    )
+    c = graphalgo.coreness(edges).select(
+        F.lit("core").alias("metric"),
+        "id",
+        F.col("core").cast("double").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    return h.unionByName(c)
+
+
+def q_collocations(spark, sf_dir):
+    """Windowed co-occurrence collocations (text.collocations: Church
+    & Hanks 1990 PMI + Bouma 2009 NPMI, window=2, min_count=5):
+    offset equi-joins form the pair table (never a within-doc
+    cartesian), marginals over pair slots, NPMI's exactly-1.0 branch
+    for always-together pairs — all plain SQL over the shared
+    tokenizer."""
+    out = text.collocations(_docs(spark, sf_dir), window=2, min_count=5)
+    return out.select(
+        "w1",
+        "w2",
+        "pair_count",
+        F.round("pmi", 6).alias("pmi"),
+        F.round("npmi", 6).alias("npmi"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # never-verified-in-r2 + new (see module docstring: 50-cap hedge)
@@ -1819,7 +1970,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and betweenness joins harmonic in `centrality` — funding the
         # `langid` and `betweenness` value oracles under the 50 cap
         "jump_ops": q_jump_ops,
-        "langid": q_langid,
         # r7 session-2 folds: knn_lsh rides in sim_topk_ops and
         # mark_jump in jump_ops — funding dsir_sample + hybrid_search
         "dsir_sample": q_dsir_sample,
@@ -1838,21 +1988,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split": q_stratified_split,
         "ivf_cells": q_ivf_cells,
         "corpus_pipeline": q_corpus_pipeline,
-        "doc_repetition": q_doc_repetition,
         # new late-r4 pipeline operators (slots funded by the agg and
         # distinct matrix consolidations below); r9 folds:
         # minhash_between rides in dedup_pairs ('between' rows) and
         # doc_unigram_lp in doc_text_profile (`unigram_lp` column) —
         # funding the ir_eval + graph_pairs value-oracled slots
         "decontam_stats": q_decontam_stats,
-        "pii_redact": q_pii_redact,
         # r9 rotation: round-8 operators under the DuckDB value oracle
         # (VERDICT r8 missing #1 — slots funded by the four r9 folds)
         "ir_eval": q_ir_eval,
         "graph_pairs": q_graph_pairs,
         "resample": q_resample,
-        "percentile_calibrate": q_percentile_calibrate,
-        "kn_bigram": q_kn_bigram,  # funded by pagination -> scan_counts
+        # r10 rotation: round-9 session-2 operators under the DuckDB
+        # value oracle (VERDICT r9 ask #2) — slots funded by folding
+        # langid, doc_repetition, pii_redact, percentile_calibrate and
+        # kn_bigram into the doc_text_profile matrix (which also gains
+        # the NEW lexical-diversity ttr/yule_k columns)
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "ewma": q_ewma,
+        "graph_node_scores": q_graph_node_scores,
+        "collocations": q_collocations,
         # r2-green operator queries (hasLabel/hasKey now ride in
         # scan_counts; outE/inE/edge-out in adjacency_ops; outNull in
         # null_traversals — see those matrices)
@@ -2708,6 +2864,179 @@ def _semantic_dedup_oracle_sql() -> str:
     )
 
 
+# lexical diversity (r10): TTR + Yule's K over the shared tokenizer —
+# Yule's K from the per-doc token-count spectrum (sum of c² equals the
+# engine's incremental run² fold over the sorted array); MTLD is a
+# sequential fold and stays replica-pinned in pytest
+_LEX_SQL = (
+    f"WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents), "
+    "c AS (SELECT doc_id, tok, count(*) AS c FROM "
+    "(SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok), "
+    "a AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n, "
+    "CAST(sum(c * c) AS DOUBLE) AS m2, count(*) AS v FROM c GROUP BY doc_id) "
+    "SELECT t.doc_id, "
+    "round(CASE WHEN len(t.toks) > 0 THEN a.v * 1.0 / len(t.toks) END, 6) AS ttr, "
+    "round(CASE WHEN len(t.toks) > 1 THEN 1e4 * (a.m2 - a.n) / (a.n * a.n) END, 6) "
+    "AS yule_k "
+    "FROM t LEFT JOIN a USING (doc_id)"
+)
+
+# funnel (r10): exists-any-chain enumeration of the windowFunnel
+# semantics — equal to the engine's max-anchor greedy fold (a later
+# step-1 anchor only gains window slack); W = 2 days in nanos, applied
+# to the double-cast timestamps exactly as the engine casts them
+_FUNNEL_W = float(86400 * 10**9 // 2)
+_FUNNEL_SQL = (
+    "WITH e AS (SELECT user_id AS u, CAST(epoch_ns(ts) AS DOUBLE) AS t, "
+    "event_type AS s FROM events "
+    "WHERE event_type IN ('view', 'click', 'purchase')), "
+    "uu AS (SELECT DISTINCT u FROM e), "
+    "l1 AS (SELECT DISTINCT u FROM e WHERE s = 'view'), "
+    "l2 AS (SELECT DISTINCT a.u FROM e a JOIN e b ON b.u = a.u "
+    "AND a.s = 'view' AND b.s = 'click' AND b.t >= a.t "
+    f"AND b.t - a.t <= {_FUNNEL_W}), "
+    "l3 AS (SELECT DISTINCT a.u FROM e a JOIN e b ON b.u = a.u "
+    "AND a.s = 'view' AND b.s = 'click' AND b.t >= a.t "
+    f"AND b.t - a.t <= {_FUNNEL_W} "
+    "JOIN e c ON c.u = a.u AND c.s = 'purchase' AND c.t >= b.t "
+    f"AND c.t - a.t <= {_FUNNEL_W}) "
+    "SELECT uu.u AS user_id, "
+    "CASE WHEN l3.u IS NOT NULL THEN 3 WHEN l2.u IS NOT NULL THEN 2 "
+    "WHEN l1.u IS NOT NULL THEN 1 ELSE 0 END AS funnel_level "
+    "FROM uu LEFT JOIN l1 ON l1.u = uu.u LEFT JOIN l2 ON l2.u = uu.u "
+    "LEFT JOIN l3 ON l3.u = uu.u"
+)
+
+# cohort retention (r10): daily cohorts by first purchase
+_COHORT_P = float(86400 * 10**9)
+_COHORT_SQL = (
+    "WITH ev AS (SELECT user_id AS u, CAST(epoch_ns(ts) AS DOUBLE) AS t "
+    "FROM events WHERE event_type = 'purchase'), "
+    f"f AS (SELECT u, CAST(floor(min(t) / {_COHORT_P}) AS BIGINT) AS cohort "
+    "FROM ev GROUP BY u), "
+    "act AS (SELECT DISTINCT ev.u, f.cohort, "
+    f"CAST(floor(ev.t / {_COHORT_P}) AS BIGINT) - f.cohort AS period_offset "
+    "FROM ev JOIN f ON f.u = ev.u "
+    f"WHERE CAST(floor(ev.t / {_COHORT_P}) AS BIGINT) - f.cohort <= 8), "
+    "c AS (SELECT cohort, period_offset, count(*) AS n_users FROM act "
+    "GROUP BY 1, 2), "
+    "s AS (SELECT cohort, n_users AS sz FROM c WHERE period_offset = 0) "
+    "SELECT c.cohort, c.period_offset, c.n_users, "
+    "round(c.n_users * 1.0 / s.sz, 6) AS retention "
+    "FROM c JOIN s USING (cohort)"
+)
+
+# EWMA (r10): the engine's recursive halflife fold telescopes to
+# s_n = x_1·2^(-(t_n-t_1)/hl) + Σ_{i>=2} a_i·x_i·2^(-(t_n-t_i)/hl),
+# a_i = 1 - 2^(-(t_i-t_{i-1})/hl) — evaluated per output row by a
+# per-user self-join; 6dp rounding on both sides absorbs the
+# summation-order difference vs the sequential fold
+_EWMA_HL = float(86400 * 10**9)
+_EWMA_SQL = (
+    "WITH e AS (SELECT user_id AS u, CAST(epoch_ns(ts) AS DOUBLE) AS t, "
+    "value AS x FROM events), "
+    "r AS (SELECT u, t, x, "
+    "row_number() OVER (PARTITION BY u ORDER BY t, x) AS rn, "
+    "lag(t) OVER (PARTITION BY u ORDER BY t, x) AS pt FROM e), "
+    "w AS (SELECT u, rn, t, x, CASE WHEN rn = 1 THEN NULL "
+    f"ELSE 1.0 - pow(2.0, -(t - pt) / {_EWMA_HL}) END AS a FROM r) "
+    "SELECT o.u AS user_id, o.t AS ts, o.x AS value, "
+    f"round(sum(CASE WHEN i.rn = 1 THEN i.x * pow(2.0, -(o.t - i.t) / {_EWMA_HL}) "
+    f"ELSE i.a * i.x * pow(2.0, -(o.t - i.t) / {_EWMA_HL}) END), 6) AS ewma "
+    "FROM w o JOIN w i ON i.u = o.u AND i.rn <= o.rn "
+    "GROUP BY o.u, o.rn, o.t, o.x"
+)
+
+# collocations (r10): offset pairs -> pair counts -> pair-slot
+# marginals -> PMI/NPMI, mirroring text.collocations' arithmetic
+# grouping (pxy / (px * py), npmi 1.0 branch) operation-for-operation
+_COLLOC_SQL = (
+    f"WITH t AS (SELECT doc_id, {_TOKENS} AS tk FROM documents), "
+    "idx AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM t), "
+    "pairs AS ("
+    "SELECT tk[CAST(i AS INT)] AS w1, tk[CAST(i + 1 AS INT)] AS w2 "
+    "FROM idx WHERE i + 1 <= len(tk) "
+    "UNION ALL "
+    "SELECT tk[CAST(i AS INT)], tk[CAST(i + 2 AS INT)] "
+    "FROM idx WHERE i + 2 <= len(tk)), "
+    "pc AS (SELECT w1, w2, count(*) AS pair_count FROM pairs GROUP BY 1, 2), "
+    "tot AS (SELECT CAST(sum(pair_count) AS DOUBLE) AS s FROM pc), "
+    "m1 AS (SELECT w1, CAST(sum(pair_count) AS DOUBLE) AS c1 FROM pc GROUP BY w1), "
+    "m2 AS (SELECT w2, CAST(sum(pair_count) AS DOUBLE) AS c2 FROM pc GROUP BY w2) "
+    "SELECT pc.w1, pc.w2, pc.pair_count, "
+    "round(ln((pc.pair_count / s) / ((m1.c1 / s) * (m2.c2 / s))), 6) AS pmi, "
+    "round(CASE WHEN pc.pair_count / s < 1.0 "
+    "THEN ln((pc.pair_count / s) / ((m1.c1 / s) * (m2.c2 / s))) "
+    "/ -ln(pc.pair_count / s) ELSE 1.0 END, 6) AS npmi "
+    "FROM pc JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot "
+    "WHERE pc.pair_count >= 5"
+)
+
+
+def _graph_node_scores_oracle_sql(hits_rounds: int = 5, core_rounds: int = 12) -> str:
+    """HITS (unrolled normalized rounds) + coreness (unrolled
+    h-operator rounds; the sf0.01 fixpoint lands in 7 and H is
+    idempotent at the fixpoint, so 12 rounds with margin equals the
+    engine's early-stopped exact fixpoint) over the customer→order→
+    part DAG.  The h-index per round is ``max(least(rank, value))``
+    over neighbor values ranked descending — the engine's windowed
+    formulation verbatim."""
+    parts = [
+        "WITH edges AS MATERIALIZED ("
+        "SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS src, "
+        "'o:' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders "
+        "UNION ALL "
+        "SELECT 'o:' || CAST(l_orderkey AS VARCHAR), "
+        "'p:' || CAST(l_partkey AS VARCHAR) FROM lineitem), "
+        "n0 AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges), "
+        "h0 AS (SELECT id, 1.0 AS hub FROM n0)"
+    ]
+    for r in range(1, hits_rounds + 1):
+        # every per-round CTE is MATERIALIZED: aa/ha are referenced
+        # twice per round (norm + normalize), so inlining would nest
+        # the whole prior-round plan 4^r times
+        parts.append(
+            f", ar{r} AS MATERIALIZED (SELECT e.dst AS id, sum(h.hub * 1.0) AS a "
+            f"FROM edges e JOIN h{r - 1} h ON h.id = e.src GROUP BY e.dst)"
+            f", aa{r} AS MATERIALIZED (SELECT n0.id, coalesce(ar{r}.a, 0.0) AS a "
+            f"FROM n0 LEFT JOIN ar{r} USING (id))"
+            f", an{r} AS MATERIALIZED (SELECT CASE WHEN sqrt(sum(a * a)) = 0 THEN 1.0 "
+            f"ELSE sqrt(sum(a * a)) END AS nn FROM aa{r})"
+            f", a{r} AS MATERIALIZED (SELECT id, a / (SELECT nn FROM an{r}) AS auth FROM aa{r})"
+            f", hr{r} AS MATERIALIZED (SELECT e.src AS id, sum(a.auth * 1.0) AS h "
+            f"FROM edges e JOIN a{r} a ON a.id = e.dst GROUP BY e.src)"
+            f", ha{r} AS MATERIALIZED (SELECT n0.id, coalesce(hr{r}.h, 0.0) AS h "
+            f"FROM n0 LEFT JOIN hr{r} USING (id))"
+            f", hn{r} AS MATERIALIZED (SELECT CASE WHEN sqrt(sum(h * h)) = 0 THEN 1.0 "
+            f"ELSE sqrt(sum(h * h)) END AS nn FROM ha{r})"
+            f", h{r} AS MATERIALIZED (SELECT id, h / (SELECT nn FROM hn{r}) AS hub FROM ha{r})"
+        )
+    parts.append(
+        ", canon AS (SELECT DISTINCT least(src, dst) AS a, "
+        "greatest(src, dst) AS b FROM edges WHERE src != dst)"
+        ", sym AS MATERIALIZED (SELECT a AS u, b AS v FROM canon "
+        "UNION ALL SELECT b, a FROM canon)"
+        ", c0 AS (SELECT u, count(*) AS c FROM sym GROUP BY u)"
+    )
+    for r in range(1, core_rounds + 1):
+        parts.append(
+            f", c{r} AS MATERIALIZED (SELECT u, max(least(rk, cv)) AS c FROM "
+            f"(SELECT s.u, cp.c AS cv, row_number() OVER "
+            f"(PARTITION BY s.u ORDER BY cp.c DESC, s.v) AS rk "
+            f"FROM sym s JOIN c{r - 1} cp ON cp.u = s.v) GROUP BY u)"
+        )
+    parts.append(
+        f" SELECT 'hits' AS metric, h{hits_rounds}.id, "
+        f"round(h{hits_rounds}.hub, 6) AS v1, "
+        f"round(a{hits_rounds}.auth, 6) AS v2 "
+        f"FROM h{hits_rounds} JOIN a{hits_rounds} USING (id) "
+        "UNION ALL "
+        f"SELECT 'core', u, CAST(c AS DOUBLE), CAST(NULL AS DOUBLE) "
+        f"FROM c{core_rounds}"
+    )
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     lang_case = (
         "CASE WHEN greatest(en, es, fr, de) <= 0 THEN 'und' "
@@ -2716,7 +3045,7 @@ def oracle_sql() -> dict[str, str]:
         "WHEN fr = greatest(en, es, fr, de) THEN 'fr' "
         "ELSE 'de' END"
     )
-    return {
+    d = {
         # -- never-verified + new ------------------------------------------
         "events_agg": (
             "SELECT 'type' AS label, event_type AS key, count(*) AS n, "
@@ -3401,3 +3730,29 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_oracle_sql(),
         "dedup_simhash_pairs": _simhash_oracle_sql(),
     }
+    # r10 folds: the five freed slots' oracle SQL (each green on its
+    # own through r9) joins the doc_text_profile matrix on doc_id —
+    # the checker compares name-sorted columns, so the composed matrix
+    # hash-checks every folded column exactly as the standalone slots
+    # did.  The standalone keys are dropped from the dict (their
+    # queries() entries are gone; the SQL lives on inside the join).
+    d["doc_text_profile"] = (
+        "SELECT * FROM (" + d["doc_text_profile"] + ") base "
+        "JOIN (" + d.pop("doc_repetition") + ") rep USING (doc_id) "
+        "JOIN (" + d.pop("kn_bigram") + ") kn USING (doc_id) "
+        "JOIN (SELECT doc_id, pct AS cal_pct FROM ("
+        + d.pop("percentile_calibrate")
+        + ")) cal USING (doc_id) "
+        "JOIN (" + d.pop("pii_redact") + ") pii USING (doc_id) "
+        "JOIN (SELECT doc_id, lang_pred, lang_score FROM ("
+        + d.pop("langid")
+        + ")) lid USING (doc_id) "
+        "JOIN (" + _LEX_SQL + ") lex USING (doc_id)"
+    )
+    # r10 rotation slots
+    d["funnel"] = _FUNNEL_SQL
+    d["cohort_retention"] = _COHORT_SQL
+    d["ewma"] = _EWMA_SQL
+    d["graph_node_scores"] = _graph_node_scores_oracle_sql()
+    d["collocations"] = _COLLOC_SQL
+    return d
