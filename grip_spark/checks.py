@@ -507,12 +507,14 @@ def skew_report(
 
     Scale shape: ONE map-side-combined group-count, then everything
     else over the key-count table (key-cardinality-sized, not
-    corpus-sized): a percentile aggregate, a sum/max aggregate, one
-    ordered window pass for the exact Gini, and a ``top``-row
-    collect.  The Gini rank is a global window (SinglePartition over
-    the KEY table — fine to ~10⁸ distinct keys; beyond that, skip
-    reading ``gini`` and judge on ``top_share``/``p99_over_p50``,
-    which stay fully distributed)."""
+    corpus-sized): a percentile aggregate, a sum/max aggregate, a
+    distributed rank pass for the exact Gini, and a ``top``-row
+    collect.  The Gini rank never collapses to one partition (the r9
+    verdict fix): the key table is range-partitioned on ``(n, key)``,
+    each partition computes local ranks with a PARTITIONED window
+    plus its (count, Σn, Σlocal_rank·n) summary, and the global
+    Σrank·n re-assembles driver-side from the ≤num-partitions summary
+    rows via prefix offsets — exact at any key cardinality."""
     if top < 1:
         raise ValueError(f"top must be >= 1, got {top}")
     from pyspark.sql.window import Window
@@ -531,12 +533,37 @@ def skew_report(
     if keys == 0:
         raise ValueError("skew_report: empty input")
     # exact Gini over ascending group sizes: G = (2·Σ i·n_i)/(N·Σn) −
-    # (N+1)/N with i the 1-based ascending rank
-    w = Window.orderBy(F.col("n").asc(), F.col("_k"))
-    s = g.withColumn("_i", F.row_number().over(w)).agg(
-        F.sum(F.col("_i").cast("double") * F.col("n")).alias("iw")
-    ).first()
-    gini = (2.0 * float(s["iw"])) / (keys * total) - (keys + 1.0) / keys
+    # (N+1)/N with i the 1-based ascending rank.  The rank is computed
+    # DISTRIBUTED: range-partition by (n, _k) so partition p holds a
+    # contiguous slice of the global order, rank locally inside each
+    # partition (a partitioned window — no SinglePartition exchange),
+    # and add each partition's global offset (cumulative count of the
+    # partitions before it) driver-side over the tiny per-partition
+    # summary:  Σ i·n_i = Σ_p [Σ local_rank·n + offset_p · Σn].
+    npart = max(
+        2, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
+    ranked = (
+        g.repartitionByRange(npart, F.col("n").asc(), F.col("_k").asc())
+        .withColumn("_p", F.spark_partition_id())
+    )
+    wloc = Window.partitionBy("_p").orderBy(F.col("n").asc(), F.col("_k").asc())
+    per = (
+        ranked.withColumn("_lr", F.row_number().over(wloc))
+        .groupBy("_p")
+        .agg(
+            F.sum(F.col("_lr").cast("double") * F.col("n")).alias("liw"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n").alias("sn"),
+        )
+        .orderBy("_p")
+        .collect()
+    )
+    iw, offset = 0.0, 0
+    for row in per:
+        iw += float(row["liw"]) + offset * float(row["sn"])
+        offset += int(row["cnt"])
+    gini = (2.0 * iw) / (keys * total) - (keys + 1.0) / keys
     tops = [
         {"key": r["_k"], "rows": int(r["n"])}
         for r in g.orderBy(F.col("n").desc(), "_k").limit(top).collect()

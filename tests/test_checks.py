@@ -269,3 +269,46 @@ def test_skew_report(spark):
     import pytest as _p
     with _p.raises(ValueError):
         skew_report(df.filter("k = 'nope'"), "k")
+
+
+def test_skew_report_gini_distributed_exact(spark):
+    """The r10 distributed-rank Gini (range-partition + per-partition
+    prefix offsets) must equal the python replica exactly on a
+    many-partition input with heavy tie blocks, and its plan must
+    never collapse the key table to one partition."""
+    import random
+
+    from pyspark.sql import functions as F
+    from grip_spark.checks import skew_report
+
+    rng = random.Random(7)
+    # 5000 keys with zipf-ish counts and large tie blocks (count=1..5)
+    rows = []
+    for i in range(5000):
+        c = min(200, max(1, int(rng.paretovariate(1.2))))
+        rows += [(f"key{i}",)] * c
+    df = spark.createDataFrame(rows, "k string").repartition(24)
+    r = skew_report(df, "k")
+    from collections import Counter
+
+    sizes = sorted(Counter(k for (k,) in rows).values())
+    n, tot = len(sizes), sum(sizes)
+    gini = 2 * sum((i + 1) * v for i, v in enumerate(sizes)) / (n * tot) - (n + 1) / n
+    assert r["gini"] == pytest.approx(gini, rel=1e-12)
+    assert r["n_keys"] == 5000 and r["n_rows"] == tot
+    # plan audit: the rank pass is a PARTITIONED window over the
+    # range-partitioned key table — no SinglePartition exchange
+    from pyspark.sql.window import Window
+
+    g = df.groupBy(F.col("k").alias("_k")).agg(F.count(F.lit(1)).alias("n"))
+    ranked = g.repartitionByRange(24, F.col("n").asc(), F.col("_k").asc()).withColumn(
+        "_p", F.spark_partition_id()
+    )
+    wloc = Window.partitionBy("_p").orderBy(F.col("n").asc(), F.col("_k").asc())
+    per = (
+        ranked.withColumn("_lr", F.row_number().over(wloc))
+        .groupBy("_p")
+        .agg(F.sum(F.col("_lr").cast("double") * F.col("n")).alias("liw"))
+    )
+    plan = per._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
