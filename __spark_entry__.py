@@ -710,14 +710,14 @@ def q_decontam_stats(spark, sf_dir):
     return decontam.contamination_stats(corp, bench, n=13)
 
 
-def q_minhash_between(spark, sf_dir):
+def q_minhash_between(spark, sf_dir, docs=None):
     """Cross-corpus near-dup pairs (dedup.minhash_lsh_pairs_between):
     banded MinHash-LSH between the doc_id % 10 == 0 subset and the
     rest — the incremental-ingest shape (new batch vs existing corpus,
     no self-join on the big side).  Oracle is the exact 5-gram
     Jaccard >= 0.8 pair set between the two subsets, so LSH recall is
     verified, not assumed."""
-    docs = _docs(spark, sf_dir)
+    docs = docs if docs is not None else _docs(spark, sf_dir)
     a = docs.filter(F.col("doc_id") % 10 == 0)
     b = docs.filter(F.col("doc_id") % 10 != 0)
     return dedup.minhash_lsh_pairs_between(a, b, "doc_id", threshold=0.8)
@@ -1434,8 +1434,45 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.dedup_exact(_docs(spark, sf_dir), ["text"], "doc_id").select("doc_id")
 
 
-def q_dedup_ngram_pairs(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), "doc_id", n=3, threshold=0.8)
+def _contract_sample() -> int | None:
+    """CONTRACT_SAMPLE=K (env) shrinks the two quadratic-ORACLE slots
+    (`dedup_pairs` brute levenshtein cross join, `sim_topk_ops`
+    all-pairs exact kNN) to the deterministic md5 1/K subset of their
+    input table — on BOTH the Spark and the DuckDB side, via the
+    matched uniform_key / _md5_u01_sql pair — so the sf1 robustness
+    sweep value-checks thousands of rows instead of excluding the
+    slots for oracle cost (VERDICT r9 ask #8).  Unset (the driver's
+    sf0.01 gate): exact current behavior, full inputs."""
+    import os
+
+    v = os.environ.get("CONTRACT_SAMPLE")
+    return int(v) if v else None
+
+
+def _sample_docs(docs):
+    k = _contract_sample()
+    if not k:
+        return docs
+    from grip_spark.sampling import uniform_key
+
+    return docs.filter(uniform_key("doc_id", "csmp") < F.lit(1.0 / k))
+
+
+def _sample_emb_keep0(df):
+    k = _contract_sample()
+    if not k:
+        return df
+    from grip_spark.sampling import uniform_key
+
+    # vec 0 is the slot's query vector — always kept
+    return df.filter(
+        (uniform_key("vec_id", "csmp") < F.lit(1.0 / k)) | (F.col("vec_id") == 0)
+    )
+
+
+def q_dedup_ngram_pairs(spark, sf_dir, docs=None):
+    docs = docs if docs is not None else _docs(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.8)
 
 
 def q_dedup_pairs(spark, sf_dir):
@@ -1446,14 +1483,17 @@ def q_dedup_pairs(spark, sf_dir):
     oracle is the brute-force levenshtein cross join, so a recall gap
     in the segment-pigeonhole candidate generation surfaces as
     missing rows) as one labeled matrix — folded in r6/r8 under the
-    driver's 50-query cap."""
-    a = q_dedup_ngram_pairs(spark, sf_dir).select(
+    driver's 50-query cap.  CONTRACT_SAMPLE=K (sf1-sweep knob, see
+    _contract_sample) runs every variant on the md5 1/K doc subset —
+    identically on the oracle side."""
+    sampled = _sample_docs(_docs(spark, sf_dir))
+    a = q_dedup_ngram_pairs(spark, sf_dir, docs=sampled).select(
         F.lit("ngram3").alias("variant"), "a_id", "b_id"
     )
-    b = q_dedup_minhash_pairs(spark, sf_dir).select(
+    b = q_dedup_minhash_pairs(spark, sf_dir, docs=sampled).select(
         F.lit("minhash").alias("variant"), "a_id", "b_id"
     )
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _sample_docs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     c = dedup.edit_distance_pairs(
         docs.select(
             "doc_id", F.substring(F.coalesce("text", F.lit("")), 1, 40).alias("text")
@@ -1464,7 +1504,7 @@ def q_dedup_pairs(spark, sf_dir):
              F.col("id_a").alias("a_id"), F.col("id_b").alias("b_id"))
     # folded in r9 (was the standalone `minhash_between` slot, green
     # since late r4): cross-corpus LSH pairs ride as 'between' rows
-    d = q_minhash_between(spark, sf_dir).select(
+    d = q_minhash_between(spark, sf_dir, docs=sampled).select(
         F.lit("between").alias("variant"), "a_id", "b_id"
     )
     return a.unionByName(b).unionByName(c).unionByName(d)
@@ -1579,11 +1619,12 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
-def q_dedup_minhash_pairs(spark, sf_dir):
+def q_dedup_minhash_pairs(spark, sf_dir, docs=None):
     # LSH candidates verified by exact 5-gram jaccard; oracle is the
     # exact 5-gram pair set (recall gap would surface as missing rows)
+    docs = docs if docs is not None else _docs(spark, sf_dir)
     return dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), "doc_id", threshold=0.8, num_hashes=64, shingle_n=5
+        docs, "doc_id", threshold=0.8, num_hashes=64, shingle_n=5
     )
 
 
@@ -1612,8 +1653,10 @@ def q_sim_topk_ops(spark, sf_dir):
     LSH plane family is deterministic (seed=7), so the oracle
     replicates the bucket math with plane literals in SQL; for the
     `knn1` rows vec_id is the source vector and nn_id its exact
-    nearest neighbor (NULL for the top-k rows)."""
-    df = _emb(spark, sf_dir)
+    nearest neighbor (NULL for the top-k rows).  CONTRACT_SAMPLE=K
+    (sf1-sweep knob) runs every branch on the md5 1/K vector subset
+    (query vector 0 always kept) — identically on the oracle side."""
+    df = _sample_emb_keep0(_emb(spark, sf_dir))
     qvec = [float(x) for x in df.filter(F.col("vec_id") == 0).first()["embedding"]]
     nn = F.lit(None).cast("long")
     brute = (
@@ -3755,4 +3798,28 @@ def oracle_sql() -> dict[str, str]:
     d["ewma"] = _EWMA_SQL
     d["graph_node_scores"] = _graph_node_scores_oracle_sql()
     d["collocations"] = _COLLOC_SQL
+    # CONTRACT_SAMPLE=K (sf1-sweep knob): restrict the two
+    # quadratic-oracle slots to the same deterministic md5 1/K subset
+    # the Spark side uses (_sample_docs / _sample_emb_keep0) — the
+    # brute levenshtein cross join and the all-pairs exact kNN shrink
+    # by K², so the sf1 sweep value-checks them instead of excluding
+    k = _contract_sample()
+    if k:
+        q = chr(39)
+        docs_pred = (
+            f"{_md5_u01_sql(q + 'csmp' + q + ' || CAST(doc_id AS VARCHAR)')}"
+            f" < {1.0 / k!r}"
+        )
+        emb_pred = (
+            f"({_md5_u01_sql(q + 'csmp' + q + ' || CAST(vec_id AS VARCHAR)')}"
+            f" < {1.0 / k!r} OR vec_id = 0)"
+        )
+        d["dedup_pairs"] = d["dedup_pairs"].replace(
+            "FROM documents", f"FROM (SELECT * FROM documents WHERE {docs_pred})"
+        )
+        d["sim_topk_ops"] = d["sim_topk_ops"].replace(
+            "FROM embeddings", f"FROM (SELECT * FROM embeddings WHERE {emb_pred})"
+        ).replace(
+            "JOIN embeddings", f"JOIN (SELECT * FROM embeddings WHERE {emb_pred})"
+        )
     return d

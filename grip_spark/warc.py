@@ -141,7 +141,14 @@ def _parse_one_file(path: str, blob: bytes, want, with_text: bool, max_payload: 
     """Yield result-row dicts for one WARC file (plain or gzip)."""
     if blob[:2] == b"\x1f\x8b":
         blob = _gunzip_members(blob)
-    for wh, block in _iter_warc_records(blob):
+    yield from _rows_from_records(
+        path, _iter_warc_records(blob), want, with_text, max_payload
+    )
+
+
+def _rows_from_records(path: str, rec_iter, want, with_text: bool, max_payload: int):
+    """Shared record→row builder for the whole-file and ranged readers."""
+    for wh, block in rec_iter:
         wtype = wh.get("warc-type", "")
         if want is not None and wtype not in want:
             continue
@@ -259,31 +266,312 @@ def _parse_stage(
             rows = []
             for p, blob in zip(pdf["path"], pdf["content"]):
                 try:
-                    rows.extend(
-                        _parse_one_file(p, bytes(blob), want, with_text, max_payload)
-                    )
+                    # chunked yields: a 1 GB shard holds ~10⁵ records —
+                    # emitting bounded batches keeps worker memory at
+                    # O(batch), not O(file records)
+                    for row in _parse_one_file(
+                        p, bytes(blob), want, with_text, max_payload
+                    ):
+                        rows.append(row)
+                        if len(rows) >= _YIELD_ROWS:
+                            yield pd.DataFrame(rows, columns=_WARC_COLS)
+                            rows = []
                 except Exception as ex:  # noqa: BLE001 — per-file err tag
-                    rows.append(
-                        {
-                            "file_path": p, "record_id": None, "warc_type": None,
-                            "target_uri": None, "warc_date": None,
-                            "content_type": None, "http_status": None,
-                            "http_content_type": None, "charset": None,
-                            "payload": None, "text": None, "n_bytes": None,
-                            "err": f"file: {str(ex)[:200]}",
-                        }
-                    )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "file_path", "record_id", "warc_type", "target_uri",
-                    "warc_date", "content_type", "http_status",
-                    "http_content_type", "charset", "payload", "text",
-                    "n_bytes", "err",
-                ],
-            )
+                    rows.append(_err_row(p, f"file: {str(ex)[:200]}"))
+            yield pd.DataFrame(rows, columns=_WARC_COLS)
 
     return files.mapInPandas(_parse, schema=_WARC_SCHEMA)
+
+
+_YIELD_ROWS = 256
+
+_WARC_COLS = [
+    "file_path", "record_id", "warc_type", "target_uri", "warc_date",
+    "content_type", "http_status", "http_content_type", "charset",
+    "payload", "text", "n_bytes", "err",
+]
+
+
+def _err_row(path: str, msg: str) -> dict:
+    return {
+        "file_path": path, "record_id": None, "warc_type": None,
+        "target_uri": None, "warc_date": None, "content_type": None,
+        "http_status": None, "http_content_type": None, "charset": None,
+        "payload": None, "text": None, "n_bytes": None, "err": msg,
+    }
+
+
+def _local_path(uri: str) -> str:
+    """binaryFile paths arrive as ``file:/…`` URIs in local/YARN-local
+    deployments; anything else (s3://, hdfs://) needs a mounted or
+    fuse filesystem to be range-readable from Python workers."""
+    from urllib.parse import unquote, urlparse
+
+    if "://" in uri or uri.startswith("file:"):
+        u = urlparse(uri)
+        if u.scheme not in ("", "file"):
+            raise ValueError(
+                f"read_warc_ranged needs a locally readable path, got "
+                f"scheme {u.scheme!r} (mount the store or use read_warc)"
+            )
+        return unquote(u.path)
+    return uri
+
+
+_GZ_MAGIC = b"\x1f\x8b\x08"
+
+
+def _find_gz_member(f, start: int, end: int, probe: int = 1 << 16):
+    """First gzip-member offset in ``[start, end)``, validated by
+    decompressing a prefix and requiring the WARC version magic (a
+    payload byte-run can fake ``1f 8b 08``; it cannot also inflate to
+    ``WARC/``).  Returns -1 when the window holds no member start —
+    that split's bytes belong to a member owned by an earlier split."""
+    pos = start
+    buf = b""
+    buf_at = start
+    while pos < end:
+        if pos + 3 > buf_at + len(buf):
+            f.seek(pos)
+            buf = f.read(min(probe, end - pos + 3))
+            buf_at = pos
+            if len(buf) < 3:
+                return -1
+        hit = buf.find(_GZ_MAGIC, pos - buf_at)
+        if hit < 0:
+            pos = buf_at + len(buf) - 2  # keep a 2-byte overlap
+            continue
+        cand = buf_at + hit
+        if cand >= end:
+            return -1
+        f.seek(cand)
+        head = f.read(512)
+        try:
+            d = zlib.decompressobj(wbits=31)
+            if d.decompress(head, 16).startswith(b"WARC/"):
+                return cand
+        except zlib.error:
+            pass
+        pos = cand + 1
+    return -1
+
+
+def _iter_gz_members_from(f, offset: int, end: int, chunk: int = 1 << 20):
+    """Yield ``(member_start, decompressed_bytes)`` for every gzip
+    member whose FIRST byte lies in ``[offset, end)``, reading the
+    file incrementally — memory is O(chunk + one member's records),
+    never O(file).  The member that starts before ``end`` is fully
+    consumed even when its compressed bytes run past ``end`` (the
+    split-ownership rule)."""
+    pos = offset
+    f.seek(pos)
+    pending = b""
+    while pos < end:
+        d = zlib.decompressobj(wbits=31)
+        out = []
+        fed = 0
+        data = pending
+        pending = b""
+        try:
+            while True:
+                if not data:
+                    data = f.read(chunk)
+                    if not data:
+                        break
+                out.append(d.decompress(data))
+                fed += len(data)
+                data = b""
+                if d.eof:
+                    break
+            out.append(d.flush())
+        except zlib.error as ex:
+            raise ValueError(f"gzip member at {pos}: {ex}") from None
+        if not d.eof and fed == 0:
+            return
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at {pos}")
+        tail = d.unused_data
+        consumed = fed - len(tail)
+        yield pos, b"".join(out)
+        stripped = tail.lstrip(b"\x00")
+        pos += consumed + (len(tail) - len(stripped))
+        pending = stripped
+
+
+def _find_plain_record(f, start: int, end: int, probe: int = 1 << 16):
+    """First ``WARC/`` record offset in ``[start, end)`` of an
+    UNCOMPRESSED archive, validated by parsing the candidate's header
+    block (version line + a sane Content-Length) so payload bytes that
+    merely contain the magic are skipped."""
+    pat = b"\r\n\r\nWARC/"
+    if start == 0:
+        f.seek(0)
+        if f.read(5) == b"WARC/":
+            return 0
+    pos = max(0, start - len(pat))
+    while pos < end:
+        f.seek(pos)
+        buf = f.read(probe + len(pat))
+        if len(buf) <= len(pat):
+            return -1
+        hit = buf.find(pat)
+        while hit >= 0:
+            cand = pos + hit + 4
+            if cand >= end:
+                return -1
+            if cand >= start and _valid_plain_header(f, cand):
+                return cand
+            hit = buf.find(pat, hit + 1)
+        pos += probe
+    return -1
+
+
+def _valid_plain_header(f, offset: int) -> bool:
+    f.seek(offset)
+    head = f.read(1 << 14)
+    if not head.startswith(b"WARC/"):
+        return False
+    he = head.find(b"\r\n\r\n")
+    if he < 0:
+        return False
+    try:
+        hdr = _parse_headers(head[head.find(b"\r\n") + 2 : he])
+        int(hdr["content-length"])
+        return True
+    except (KeyError, ValueError):
+        return False
+
+
+def _iter_plain_records_from(f, offset: int, end: int):
+    """Yield ``(headers, block)`` for every record whose first byte
+    lies in ``[offset, end)`` of an uncompressed archive, reading
+    header + Content-Length-sized body per record (O(record) memory)."""
+    pos = offset
+    while pos < end:
+        f.seek(pos)
+        head = f.read(1 << 14)
+        i = 0
+        while i < len(head) and head[i : i + 1] in (b"\r", b"\n"):
+            i += 1
+        if i >= len(head):
+            return
+        pos += i
+        if not head.startswith(b"WARC/", i):
+            raise ValueError(f"expected WARC/ magic at offset {pos}")
+        he = head.find(b"\r\n\r\n", i)
+        if he < 0:
+            raise ValueError("unterminated WARC header")
+        headers = _parse_headers(head[i + head[i:he].find(b"\r\n") + 2 : he])
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("missing/invalid Content-Length") from None
+        body_start = pos + (he - i) + 4
+        f.seek(body_start)
+        block = f.read(clen)
+        if len(block) < clen:
+            raise ValueError("truncated WARC block")
+        yield headers, block
+        pos = body_start + clen
+
+
+def read_warc_ranged(
+    spark,
+    path: str,
+    types: tuple | None = ("response",),
+    with_text: bool = True,
+    max_payload: int = 0,
+    split_bytes: int = 256 * 1024 * 1024,
+) -> DataFrame:
+    """Range-split WARC reader for MULTI-GB archives — the scale path
+    past :func:`read_warc`'s two hard walls: Spark's ``binaryFile``
+    source refuses files over 2 GB (one row holds the whole file; a
+    JVM byte array caps at Int.MaxValue), and whole-file parsing makes
+    worker memory O(file).  Here each file becomes
+    ``ceil(length / split_bytes)`` independent tasks: a task seeks to
+    its byte range, finds the first record boundary at or after its
+    start (gzip-member magic validated by inflating to the ``WARC/``
+    prefix — record-per-member is the Common Crawl layout, ISO 28500
+    annex; uncompressed archives validate a parsed header instead),
+    and streams records whose first byte it owns, decompressing
+    incrementally — memory is O(chunk + one record), throughput scales
+    with cluster cores × split count, and a member straddling a split
+    boundary is read exactly once (by the split owning its first
+    byte).  Same schema and per-file/record ``err`` rows as
+    :func:`read_warc`.  Paths must be locally readable from workers
+    (``file:`` URIs — local mode, NFS, fuse mounts); object stores
+    without a mount should shard to ≤1 GB files and use
+    :func:`read_warc` (reference: CC shards are ~1 GB for exactly
+    this reason)."""
+    import pandas as pd
+
+    if split_bytes < 1 << 20:
+        raise ValueError(f"split_bytes must be >= 1 MiB, got {split_bytes}")
+    want = set(types) if types is not None else None
+    meta = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .filter(F.col("path").rlike(r"\.warc(\.gz)?$"))
+        .select("path", "length")
+    )
+    splits = meta.select(
+        "path",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.greatest(F.col("length") - 1, F.lit(0)).cast("long"),
+                F.lit(int(split_bytes)).cast("long"),
+            )
+        ).alias("start"),
+        F.col("length"),
+    ).select(
+        "path",
+        "start",
+        F.least(F.col("start") + int(split_bytes), F.col("length")).alias("end"),
+    )
+    splits = splits.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), "path", "start"
+    )
+
+    def _parse_ranges(batches):
+        for pdf in batches:
+            rows = []
+            for p, start, end in zip(pdf["path"], pdf["start"], pdf["end"]):
+                try:
+                    lp = _local_path(str(p))
+                    with open(lp, "rb") as f:
+                        head2 = f.read(2)
+                        gz = head2 == b"\x1f\x8b"
+                        if gz:
+                            first = _find_gz_member(f, int(start), int(end))
+                            if first < 0:
+                                continue
+                            rec_iter = (
+                                rec
+                                for _, member in _iter_gz_members_from(
+                                    f, first, int(end)
+                                )
+                                for rec in _iter_warc_records(member)
+                            )
+                        else:
+                            first = _find_plain_record(f, int(start), int(end))
+                            if first < 0:
+                                continue
+                            rec_iter = _iter_plain_records_from(
+                                f, first, int(end)
+                            )
+                        for row in _rows_from_records(
+                            str(p), rec_iter, want, with_text, max_payload
+                        ):
+                            rows.append(row)
+                            if len(rows) >= _YIELD_ROWS:
+                                yield pd.DataFrame(rows, columns=_WARC_COLS)
+                                rows = []
+                except Exception as ex:  # noqa: BLE001 — per-split err tag
+                    rows.append(_err_row(str(p), f"file: {str(ex)[:200]}"))
+            yield pd.DataFrame(rows, columns=_WARC_COLS)
+
+    return splits.mapInPandas(_parse_ranges, schema=_WARC_SCHEMA)
 
 
 def _uuid_urn(salt: str, key: str) -> str:

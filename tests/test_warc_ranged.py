@@ -1,0 +1,129 @@
+"""Range-split WARC reader (warc.read_warc_ranged): split-boundary
+ownership, false gzip-magic payloads, plain-archive splitting, and
+equality with the whole-file reader — the multi-GB scale path
+(binaryFile caps at 2 GB/file and parses whole-file in memory)."""
+
+import gzip
+import io
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from grip_spark.warc import (
+    _GZ_MAGIC,
+    _warc_record,
+    _uuid_urn,
+    read_warc,
+    read_warc_ranged,
+)
+
+MB = 1024 * 1024
+
+
+def _gz_member(raw: bytes) -> bytes:
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+        g.write(raw)
+    return buf.getvalue()
+
+
+def _build_archive(path, n=1200, body_kb=2, gz=True):
+    """n response records, each its own gzip member (the CC layout);
+    every third body embeds raw gzip magic + a 'WARC/' lure so the
+    boundary scan must reject in-payload false positives."""
+    import random
+
+    out = bytearray()
+    for i in range(n):
+        # incompressible filler so the gz archive really spans splits
+        filler = f"record {i} ".encode() + random.Random(i).randbytes(
+            body_kb * 1024
+        )
+        if i % 3 == 0:
+            body = filler[:100] + _GZ_MAGIC + b"WARC/1.0 fake " + filler[100:]
+        else:
+            body = filler
+        rec = _warc_record(
+            _uuid_urn("t", str(i)),
+            f"https://ex.com/{i}",
+            "2026-01-01T00:00:00Z",
+            body,
+            "text/plain",
+        )
+        out += _gz_member(rec) if gz else rec
+    path.write_bytes(bytes(out))
+    return len(out)
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_ranged_equals_whole_file(spark, tmp_path, gz):
+    p = tmp_path / ("a.warc.gz" if gz else "a.warc")
+    size = _build_archive(p, n=1200, gz=gz)
+    assert size > 2 * MB  # at least 3 splits at 1 MiB
+    whole = {
+        (r.record_id, r.n_bytes, bytes(r.payload))
+        for r in read_warc(spark, str(tmp_path)).collect()
+    }
+    ranged = [
+        (r.record_id, r.n_bytes, bytes(r.payload))
+        for r in read_warc_ranged(
+            spark, str(tmp_path), split_bytes=MB
+        ).collect()
+    ]
+    assert len(ranged) == 1200  # no split-boundary dup or loss
+    assert set(ranged) == whole
+
+
+def test_ranged_single_split_and_filters(spark, tmp_path):
+    p = tmp_path / "b.warc.gz"
+    _build_archive(p, n=40, gz=True)
+    out = read_warc_ranged(spark, str(tmp_path), split_bytes=64 * MB)
+    rows = out.collect()
+    assert len(rows) == 40
+    assert all(r.err is None and r.http_status == 200 for r in rows)
+    # text decode path intact through the ranged reader
+    assert any("record 7" in (r.text or "") for r in rows)
+
+
+def test_ranged_corrupt_member_err_row(spark, tmp_path):
+    p = tmp_path / "c.warc.gz"
+    _build_archive(p, n=30, gz=True)
+    blob = p.read_bytes()
+    p.write_bytes(blob[: len(blob) - 40])  # truncate the final member
+    rows = read_warc_ranged(spark, str(tmp_path), split_bytes=MB).collect()
+    errs = [r for r in rows if r.err is not None]
+    assert errs and any("gzip" in r.err or "truncated" in r.err for r in errs)
+    assert len([r for r in rows if r.err is None]) >= 28
+
+
+def test_ranged_rejects_tiny_split(spark, tmp_path):
+    with pytest.raises(ValueError):
+        read_warc_ranged(spark, str(tmp_path), split_bytes=1024)
+
+
+def test_member_straddling_boundary_read_once(spark, tmp_path):
+    """One huge record straddles every 1 MiB boundary: only the split
+    owning its first byte may emit it."""
+    p = tmp_path / "d.warc.gz"
+    big = b"Z" * (3 * MB)  # compresses poorly enough? no: repeats...
+    # make it incompressible so the member really spans splits
+    import random
+
+    rng = random.Random(5)
+    big = bytes(rng.getrandbits(8) for _ in range(3 * MB))
+    rec = _warc_record(
+        _uuid_urn("t", "big"), "https://ex.com/big",
+        "2026-01-01T00:00:00Z", big, "application/octet-stream",
+    )
+    small = _warc_record(
+        _uuid_urn("t", "small"), "https://ex.com/small",
+        "2026-01-01T00:00:00Z", b"tiny", "text/plain",
+    )
+    p.write_bytes(_gz_member(rec) + _gz_member(small))
+    rows = read_warc_ranged(
+        spark, str(tmp_path), split_bytes=MB, with_text=False
+    ).collect()
+    assert len(rows) == 2
+    got = {r.target_uri: r.n_bytes for r in rows}
+    assert got == {"https://ex.com/big": 3 * MB, "https://ex.com/small": 4}

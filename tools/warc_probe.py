@@ -1,0 +1,105 @@
+"""Round-10 probe (VERDICT r9 ask #5): a single >=4 GB .warc.gz.
+
+Generates one 4 GiB member-per-record archive (64 KiB incompressible
+bodies -> ~65k records), then:
+  1. confirms read_warc (binaryFile whole-file) REFUSES it — Spark's
+     binaryFile source caps at 2 GB/file (can't exceed Int.MaxValue),
+  2. reads it with read_warc_ranged (256 MiB splits -> 16 parallel
+     range tasks, O(chunk + record) memory) and reports wall/throughput.
+
+Usage: python tools/warc_probe.py [out_dir]  (default ./tmp_warc_probe;
+the archive is deleted on success).
+"""
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "./tmp_warc_probe"
+TARGET = 4 * 1024**3
+
+import gzip
+import io
+
+from grip_spark.warc import _uuid_urn, _warc_record
+
+
+def build(path):
+    body_sz = 64 * 1024
+    t0 = time.perf_counter()
+    n = 0
+    written = 0
+    with open(path, "wb") as out:
+        while written < TARGET:
+            body = os.urandom(body_sz)
+            rec = _warc_record(
+                _uuid_urn("probe", str(n)),
+                f"https://probe.example/{n}",
+                "2026-01-01T00:00:00Z",
+                body,
+                "application/octet-stream",
+            )
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                g.write(rec)
+            member = buf.getvalue()
+            out.write(member)
+            written += len(member)
+            n += 1
+    print(
+        f"generated {written / 1024**3:.2f} GiB, {n} records, "
+        f"{time.perf_counter() - t0:.0f}s",
+        flush=True,
+    )
+    return n
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    p = os.path.join(OUT, "big.warc.gz")
+    n = build(p)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from grip_spark.warc import read_warc, read_warc_ranged
+
+    try:
+        read_warc(spark, OUT).count()
+        print("read_warc (whole-file): UNEXPECTEDLY SUCCEEDED", flush=True)
+    except Exception as ex:
+        print(
+            f"read_warc (whole-file) refused as expected: "
+            f"{type(ex).__name__}: {str(ex)[:160]}",
+            flush=True,
+        )
+
+    t0 = time.perf_counter()
+    df = read_warc_ranged(spark, OUT, with_text=False, max_payload=64)
+    got = df.count()
+    errs = df.filter("err is not null").count()
+    dt = time.perf_counter() - t0
+    print(
+        f"read_warc_ranged: {got} rows ({errs} err) in {dt:.1f}s "
+        f"= {TARGET / 1024**3 / dt:.2f} GiB/s (expected {n} records)",
+        flush=True,
+    )
+    ok = got == n and errs == 0
+    print("PROBE", "PASS" if ok else "FAIL", flush=True)
+    spark.stop()
+    if ok:
+        shutil.rmtree(OUT)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
