@@ -1609,8 +1609,10 @@ def q_dedup_clusters(spark, sf_dir):
     oracle (recursive closure in SQL) checks the clustering step in
     isolation; the 100 TB path is identical with
     ``minhash_lsh_pairs`` as input (pytest
-    test_dedup_canonical_end_to_end runs that composition)."""
-    docs = _docs(spark, sf_dir)
+    test_dedup_canonical_end_to_end runs that composition).
+    CONTRACT_SAMPLE=K (sf1-sweep knob): md5 1/K doc subset, identical
+    on the oracle side."""
+    docs = _sample_docs(_docs(spark, sf_dir))
     near = dedup.ngram_jaccard_pairs(docs, "doc_id", n=5, threshold=0.8)
     return (
         dedup.attach_components(docs, "doc_id", near)
@@ -1733,9 +1735,11 @@ def q_semantic_dedup(spark, sf_dir):
     prototypical; id tie-break).  The fixture's within-cell sims top
     out at 0.4666 with no value within 1e-4 of the threshold, so the
     cross-engine comparison is stable.  Output: every vector's cell
-    and kept flag — recall AND the keep rule sit under the oracle."""
+    and kept flag — recall AND the keep rule sit under the oracle.
+    CONTRACT_SAMPLE=K (sf1-sweep knob): md5 1/K vector subset (vec 0
+    kept), identical on the oracle side."""
     return similarity.semantic_dedup(
-        _emb(spark, sf_dir), "embedding", "vec_id", n_lists=8,
+        _sample_emb_keep0(_emb(spark, sf_dir)), "embedding", "vec_id", n_lists=8,
         salt="semdedup", threshold=0.38,
     ).select("vec_id", F.col("sem_cell").cast("int").alias("cell"),
              F.col("sem_keep").cast("int").alias("keep"))
@@ -3814,12 +3818,17 @@ def oracle_sql() -> dict[str, str]:
             f"({_md5_u01_sql(q + 'csmp' + q + ' || CAST(vec_id AS VARCHAR)')}"
             f" < {1.0 / k!r} OR vec_id = 0)"
         )
-        d["dedup_pairs"] = d["dedup_pairs"].replace(
-            "FROM documents", f"FROM (SELECT * FROM documents WHERE {docs_pred})"
-        )
-        d["sim_topk_ops"] = d["sim_topk_ops"].replace(
-            "FROM embeddings", f"FROM (SELECT * FROM embeddings WHERE {emb_pred})"
-        ).replace(
-            "JOIN embeddings", f"JOIN (SELECT * FROM embeddings WHERE {emb_pred})"
-        )
+        for slot in ("dedup_pairs", "dedup_clusters"):
+            d[slot] = d[slot].replace(
+                "FROM documents",
+                f"FROM (SELECT * FROM documents WHERE {docs_pred})",
+            )
+        for slot in ("sim_topk_ops", "semantic_dedup"):
+            d[slot] = d[slot].replace(
+                "FROM embeddings",
+                f"FROM (SELECT * FROM embeddings WHERE {emb_pred})",
+            ).replace(
+                "JOIN embeddings",
+                f"JOIN (SELECT * FROM embeddings WHERE {emb_pred})",
+            )
     return d

@@ -340,6 +340,27 @@ def main():
                 avg_size=64,
             )
         ).collect(),
+        # r10 additions: the newly value-oracled temporal operators —
+        # funnel = one user-keyed shuffle + JVM fold, ewma = one
+        # key-group shuffle + sorted-array fold (see temporal.py)
+        "funnel_events": lambda: run_count(
+            temporal.funnel(
+                events,
+                ["view", "click", "purchase"],
+                within=float(86400 * 10**9 // 2),
+            )
+            .groupBy("funnel_level")
+            .count()
+        ),
+        "ewma_events": lambda: run_count(
+            temporal.ewma(
+                events.select("user_id", "ts", "value"),
+                "user_id",
+                "ts",
+                "value",
+                halflife=float(86400 * 10**9),
+            )
+        ),
     }
 
     # Best-of-2 per query (the scaling-probe pattern): the host VM has
