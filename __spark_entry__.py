@@ -1693,7 +1693,26 @@ def q_sim_topk_ops(spark, sf_dir):
         F.col("a_id").alias("vec_id"),
         F.col("b_id").alias("nn_id"),
     )
-    return brute.unionByName(ann).unionByName(knn).unionByName(knn_lsh)
+    # r10: greedy k-center coreset selection (similarity.kcenter_select,
+    # Gonzalez 1985) rides as 'kcenter' rows — vec_id = selected id,
+    # nn_id = selection rank.  Deterministic (min-id first center,
+    # farthest point next, min-id ties), so the DuckDB oracle unrolls
+    # the k argmax rounds with list_distance.
+    sel = similarity.kcenter_select(
+        # double-cast so the distance fold is float64 on both engines
+        df.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+        "embedding",
+        "vec_id",
+        k=6,
+    )
+    kc = spark.createDataFrame(
+        [("kcenter", int(s["id"]), i) for i, s in enumerate(sel)],
+        "method string, vec_id long, nn_id long",
+    )
+    return (
+        brute.unionByName(ann).unionByName(knn).unionByName(knn_lsh)
+        .unionByName(kc)
+    )
 
 
 def q_dup_spans(spark, sf_dir):
@@ -3020,6 +3039,37 @@ _COLLOC_SQL = (
 )
 
 
+def _kcenter_oracle_sql(k: int = 6) -> str:
+    """Greedy k-center (Gonzalez 1985) unrolled to k argmax rounds:
+    s0 = min id; each round picks the max nearest-center distance
+    (ties -> min id) and folds it into the running min-distance
+    column — `similarity.kcenter_select` verbatim.  Engine and oracle
+    both compute euclidean distance in float64 (the engine side
+    double-casts), so the argmax agrees except on exact ties, which
+    the min-id order resolves identically."""
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT vec_id AS id, "
+        "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "s0 AS (SELECT id, v FROM e ORDER BY id LIMIT 1), "
+        "d0 AS MATERIALIZED (SELECT e.id, e.v, "
+        "list_distance(e.v, s0.v) AS mind FROM e, s0)"
+    ]
+    for r in range(1, k):
+        parts.append(
+            f", s{r} AS (SELECT id, v FROM d{r - 1} WHERE mind > 0 "
+            f"ORDER BY mind DESC, id LIMIT 1)"
+            f", d{r} AS MATERIALIZED (SELECT d.id, d.v, "
+            f"least(d.mind, list_distance(d.v, s.v)) AS mind "
+            f"FROM d{r - 1} d, s{r} s)"
+        )
+    sels = " UNION ALL ".join(f"SELECT id, {i} AS rk FROM s{i}" for i in range(k))
+    parts.append(
+        f" SELECT 'kcenter' AS method, id AS vec_id, "
+        f"CAST(rk AS BIGINT) AS nn_id FROM ({sels})"
+    )
+    return "".join(parts)
+
+
 def _graph_node_scores_oracle_sql(hits_rounds: int = 5, core_rounds: int = 12) -> str:
     """HITS (unrolled normalized rounds) + coreness (unrolled
     h-operator rounds; the sf0.01 fixpoint lands in 7 and H is
@@ -3700,7 +3750,10 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY a.vec_id ORDER BY list_cosine_similarity("
             "CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id"
             ") AS rk FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id"
-            ") WHERE rk = 1"
+            ") WHERE rk = 1 "
+            "UNION ALL SELECT method, vec_id, nn_id FROM ("
+            + _kcenter_oracle_sql(6)
+            + ")"
         ),
         "dup_spans": (
             # gram STRINGS here vs xxhash64 in the engine (same deal as
