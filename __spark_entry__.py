@@ -1273,6 +1273,14 @@ def q_record_linkage(spark, sf_dir):
         F.col("s_nationkey").cast("int").alias("nationkey"),
         F.col("s_acctbal").alias("acctbal"),
     )
+    # CONTRACT_SAMPLE=K (sf1-sweep knob): md5 1/K customer subset —
+    # at sf1 the full 7M-row matched set exceeds what the checker's
+    # driver-side collect can hold; identical filter on the oracle
+    ksmp = _contract_sample()
+    if ksmp:
+        from grip_spark.sampling import uniform_key
+
+        cust = cust.filter(uniform_key("id", "csmp") < F.lit(1.0 / ksmp))
     pairs = linkage.block_candidates(
         cust,
         supp,
@@ -3870,6 +3878,12 @@ def oracle_sql() -> dict[str, str]:
         emb_pred = (
             f"({_md5_u01_sql(q + 'csmp' + q + ' || CAST(vec_id AS VARCHAR)')}"
             f" < {1.0 / k!r} OR vec_id = 0)"
+        )
+        d["record_linkage"] = d["record_linkage"].replace(
+            "FROM customer",
+            "FROM (SELECT * FROM customer WHERE "
+            + _md5_u01_sql(q + "csmp" + q + " || CAST(c_custkey AS VARCHAR)")
+            + f" < {1.0 / k!r})",
         )
         for slot in ("dedup_pairs", "dedup_clusters"):
             d[slot] = d[slot].replace(
