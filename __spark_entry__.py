@@ -2955,30 +2955,35 @@ _LEX_SQL = (
     "FROM t LEFT JOIN a USING (doc_id)"
 )
 
-# funnel (r10): exists-any-chain enumeration of the windowFunnel
-# semantics — equal to the engine's max-anchor greedy fold (a later
-# step-1 anchor only gains window slack); W = 2 days in nanos, applied
-# to the double-cast timestamps exactly as the engine casts them
+# funnel (r10): windowed max-anchor recurrence — per event, a1 =
+# running max step-1 time (a later anchor only gains window slack, so
+# max suffices — the windowFunnel argument); a click within W of its
+# a1 re-propagates that anchor (a2r), purchases test the running max
+# of a2r.  Sort (t, step) gives equal-timestamp events in step order,
+# the engine's sorted-struct order.  O(n log n) per user — the
+# first-draft exists-chain triple self-join was cubic per user and
+# OOM-killed the sf1 sweep at 86 GB RSS.  W = 12 hours in nanos,
+# applied to the double-cast timestamps exactly as the engine casts.
 _FUNNEL_W = float(86400 * 10**9 // 2)
 _FUNNEL_SQL = (
     "WITH e AS (SELECT user_id AS u, CAST(epoch_ns(ts) AS DOUBLE) AS t, "
-    "event_type AS s FROM events "
-    "WHERE event_type IN ('view', 'click', 'purchase')), "
-    "uu AS (SELECT DISTINCT u FROM e), "
-    "l1 AS (SELECT DISTINCT u FROM e WHERE s = 'view'), "
-    "l2 AS (SELECT DISTINCT a.u FROM e a JOIN e b ON b.u = a.u "
-    "AND a.s = 'view' AND b.s = 'click' AND b.t >= a.t "
-    f"AND b.t - a.t <= {_FUNNEL_W}), "
-    "l3 AS (SELECT DISTINCT a.u FROM e a JOIN e b ON b.u = a.u "
-    "AND a.s = 'view' AND b.s = 'click' AND b.t >= a.t "
-    f"AND b.t - a.t <= {_FUNNEL_W} "
-    "JOIN e c ON c.u = a.u AND c.s = 'purchase' AND c.t >= b.t "
-    f"AND c.t - a.t <= {_FUNNEL_W}) "
-    "SELECT uu.u AS user_id, "
-    "CASE WHEN l3.u IS NOT NULL THEN 3 WHEN l2.u IS NOT NULL THEN 2 "
-    "WHEN l1.u IS NOT NULL THEN 1 ELSE 0 END AS funnel_level "
-    "FROM uu LEFT JOIN l1 ON l1.u = uu.u LEFT JOIN l2 ON l2.u = uu.u "
-    "LEFT JOIN l3 ON l3.u = uu.u"
+    "CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 ELSE 3 END AS s "
+    "FROM events WHERE event_type IN ('view', 'click', 'purchase')), "
+    "w1 AS (SELECT u, t, s, max(CASE WHEN s = 1 THEN t END) OVER "
+    "(PARTITION BY u ORDER BY t, s ROWS UNBOUNDED PRECEDING) AS a1 FROM e), "
+    "w2 AS (SELECT u, t, s, a1, CASE WHEN s = 2 AND a1 IS NOT NULL "
+    f"AND t - a1 <= {_FUNNEL_W} THEN a1 END AS a2r FROM w1), "
+    "w3 AS (SELECT u, t, s, a1, max(a2r) OVER "
+    "(PARTITION BY u ORDER BY t, s ROWS UNBOUNDED PRECEDING) AS a2 FROM w2), "
+    "lv AS (SELECT u, "
+    "max(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS l1, "
+    f"max(CASE WHEN s = 2 AND a1 IS NOT NULL AND t - a1 <= {_FUNNEL_W} "
+    "THEN 1 ELSE 0 END) AS l2, "
+    f"max(CASE WHEN s = 3 AND a2 IS NOT NULL AND t - a2 <= {_FUNNEL_W} "
+    "THEN 1 ELSE 0 END) AS l3 "
+    "FROM w3 GROUP BY u) "
+    "SELECT u AS user_id, CASE WHEN l3 = 1 THEN 3 WHEN l2 = 1 THEN 2 "
+    "WHEN l1 = 1 THEN 1 ELSE 0 END AS funnel_level FROM lv"
 )
 
 # cohort retention (r10): daily cohorts by first purchase
