@@ -202,7 +202,12 @@ def main():
             ).filter(~F.col("sem_keep"))
         ),
         "winnow_fp": lambda: run_count(
-            text.winnow(docs).select(F.explode("fingerprints"))
+            # explode_outer + notnull == explode here, but the optimizer
+            # cannot duplicate the winnowing expression into the scan as
+            # an inferred size()>0 filter — 8.5x at sf1 (grip_spark/util.py)
+            text.winnow(docs)
+            .select(F.explode_outer("fingerprints").alias("fp"))
+            .filter(F.col("fp").isNotNull())
         ),
         "dup_spans": lambda: run_count(
             dedup.duplicate_ngram_spans(docs, "doc_id", "text", n=13)

@@ -71,9 +71,15 @@ def benchmark_grams(
     every training shard (callers doing repeated scans should persist
     or ``localCheckpoint`` the result)."""
     return (
+        # explode_outer + notnull: identical rows, but the optimizer
+        # cannot duplicate the gram-hash expression into the scan as
+        # an inferred size()>0 filter (grip_spark/util.py)
         benchmark.select(
-            F.explode(token_ngram_hashes(F.col(text_col), n, gram_hash)).alias("_g")
+            F.explode_outer(
+                token_ngram_hashes(F.col(text_col), n, gram_hash)
+            ).alias("_g")
         )
+        .filter(F.col("_g").isNotNull())
         .distinct()
     )
 
@@ -146,8 +152,8 @@ def contaminated_ids(
     bench = benchmark_grams(benchmark, bench_text_col or text_col, n, gram_hash)
     grams = corpus.select(
         F.col(id_col),
-        F.explode(token_ngram_hashes(F.col(text_col), n, gram_hash)).alias("_g"),
-    )
+        F.explode_outer(token_ngram_hashes(F.col(text_col), n, gram_hash)).alias("_g"),
+    ).filter(F.col("_g").isNotNull())
     return (
         grams.join(F.broadcast(bench), "_g", "left_semi").select(id_col).distinct()
     )
@@ -234,8 +240,8 @@ def bloom_contaminated_ids(
     if not exact_verify:
         return flagged.select(id_col).distinct()
     cand = flagged.select(
-        F.col(id_col), F.explode(grams).alias("_g")
-    )
+        F.col(id_col), F.explode_outer(grams).alias("_g")
+    ).filter(F.col("_g").isNotNull())
     return cand.join(bench, "_g", "left_semi").select(id_col).distinct()
 
 
@@ -405,8 +411,8 @@ def novelty_stats(
     )
     member = lambda g: SK.bloom_member(bits, g.cast("string"), salt, gram_hash)  # noqa: E731
     survivors = corpus.select(
-        F.explode(F.filter(cg, member)).alias("_g")
-    )
+        F.explode_outer(F.filter(cg, member)).alias("_g")
+    ).filter(F.col("_g").isNotNull())
     seen = (
         survivors.join(gset, "_g", "left_semi")
         .distinct()

@@ -231,8 +231,14 @@ def minhash_signatures_df(
     idx = F.sequence(F.lit(1), F.greatest(F.length(c) - (shingle_n - 1), F.lit(0)))
     exploded = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(F.transform(idx, lambda i: F.substring(c, i, shingle_n))).alias("_s"),
-    ).select("_id", F.xxhash64("_s").bitwiseAND(F.lit(0xFFFFFFFF)).alias("_h"))
+        # explode_outer + notnull: keeps the optimizer from copying
+        # the shingle transform into the scan as an inferred filter
+        F.explode_outer(
+            F.transform(idx, lambda i: F.substring(c, i, shingle_n))
+        ).alias("_s"),
+    ).filter(F.col("_s").isNotNull()).select(
+        "_id", F.xxhash64("_s").bitwiseAND(F.lit(0xFFFFFFFF)).alias("_h")
+    )
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_MINHASH_P))).alias(
             f"_mh{i}"
@@ -988,8 +994,9 @@ def ngram_jaccard_pairs(
     minhash_lsh_pairs as the scale path.
     """
     sh = df.select(
-        F.col(id_col).alias("_id"), F.explode(char_shingles(text_col, n)).alias("g")
-    )
+        F.col(id_col).alias("_id"),
+        F.explode_outer(char_shingles(text_col, n)).alias("g"),
+    ).filter(F.col("g").isNotNull())
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     l, r = sh.alias("l"), sh.alias("r")
     inter = (
@@ -1100,7 +1107,7 @@ def edit_distance_pairs(
     segs = long_side.select(
         "_id",
         F.col("_l").alias("_sl"),
-        F.explode(
+        F.explode_outer(
             F.transform(
                 F.sequence(F.lit(0), F.lit(tau)),
                 lambda i: F.struct(
@@ -1111,7 +1118,9 @@ def edit_distance_pairs(
                 ),
             )
         ).alias("s"),
-    ).select("_id", "_sl", F.col("s.i").alias("_si"), F.col("s.h").alias("_sh"))
+    ).filter(F.col("s").isNotNull()).select(
+        "_id", "_sl", F.col("s.i").alias("_si"), F.col("s.h").alias("_sh")
+    )
 
     def _probes_for(l: Column) -> Column:
         p_len, p_start = _seg_layout(l, tau)
@@ -1137,10 +1146,10 @@ def edit_distance_pairs(
     probes = long_side.select(
         F.col("_id").alias("_pid"),
         F.col("_l").alias("_pl"),
-        F.explode(
+        F.explode_outer(
             F.flatten(F.transform(lengths, _probes_for))
         ).alias("p"),
-    ).select("_pid", "_pl", "p.l", "p.i", "p.h")
+    ).filter(F.col("p").isNotNull()).select("_pid", "_pl", "p.l", "p.i", "p.h")
 
     cand = (
         segs.join(
@@ -1875,8 +1884,8 @@ def ngram_containment_pairs(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     sh = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(word_shingles(text_col, n)).alias("g"),
-    ).withColumn("g", F.xxhash64("g")).distinct()
+        F.explode_outer(word_shingles(text_col, n)).alias("g"),
+    ).filter(F.col("g").isNotNull()).withColumn("g", F.xxhash64("g")).distinct()
     if max_df is not None:
         hot = sh.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
         sh = sh.join(

@@ -89,11 +89,14 @@ def bm25_index(
         )
     nonempty = F.filter(tokens(text_col), lambda t: t != "")
     if positions:
+        # posexplode_outer + pos-notnull: identical rows, but the
+        # optimizer cannot copy the tokenize expression into the scan
+        # as an inferred size()>0 filter (grip_spark/util.py)
         base = df.select(
             F.col(id_col).alias("id"),
-            F.posexplode(nonempty).alias("pos", "token"),
+            F.posexplode_outer(nonempty).alias("pos", "token"),
             F.size(nonempty).alias("dl"),
-        )
+        ).filter(F.col("pos").isNotNull())
         postings = (
             base.groupBy("token", "id", "dl")
             .agg(
@@ -105,9 +108,9 @@ def bm25_index(
     else:
         base = df.select(
             F.col(id_col).alias("id"),
-            F.explode(nonempty).alias("token"),
+            F.explode_outer(nonempty).alias("token"),
             F.size(nonempty).alias("dl"),
-        )
+        ).filter(F.col("token").isNotNull())
         postings = (
             base.groupBy("token", "id", "dl")
             .agg(F.count(F.lit(1)).alias("tf"))

@@ -647,7 +647,12 @@ def ewma(
             F.col("_ser"), F.aggregate(F.col("_ser"), init, step, lambda st: st["out"])
         ).alias("_z"),
     )
-    ex = folded.select("_k", F.explode("_z").alias("_e")).select(
+    # explode_outer + notnull: keeps the optimizer from duplicating
+    # the whole EWMA fold into an inferred size()>0 filter below
+    # (grip_spark/util.py); zip elements are structs, never NULL
+    ex = folded.select("_k", F.explode_outer("_z").alias("_e")).filter(
+        F.col("_e").isNotNull()
+    ).select(
         F.col("_k").alias(key_col),
         F.col("_e._ser.t").alias(ts_col),
         F.col("_e._ser.x").alias(val_col),

@@ -201,11 +201,14 @@ def langid_model(
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     counts = (
+        # explode_outer + notnull: identical rows, but the optimizer
+        # cannot duplicate the gram expression into the scan as an
+        # inferred size()>0 filter (grip_spark/util.py)
         df.select(
             F.col(lang_col).alias("lang"),
-            F.explode(_char_grams_all(text_col, n)).alias("gram"),
+            F.explode_outer(_char_grams_all(text_col, n)).alias("gram"),
         )
-        .filter(F.col("lang").isNotNull())
+        .filter(F.col("lang").isNotNull() & F.col("gram").isNotNull())
         .groupBy("gram", "lang")
         .agg(F.count(F.lit(1)).alias("_c"))
         .localCheckpoint(eager=True)
@@ -284,8 +287,8 @@ def langid_score(
     """
     grams = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(_char_grams_all(text_col, int(model["n"]))).alias("gram"),
-    )
+        F.explode_outer(_char_grams_all(text_col, int(model["n"]))).alias("gram"),
+    ).filter(F.col("gram").isNotNull())
     per_lang = (
         grams.join(F.broadcast(model["grams"]), "gram")
         .groupBy("_id", "lang")
@@ -509,10 +512,10 @@ def winnow_overlap_pairs(
     # expression (regex normalize + per-gram hashing) computed twice
     fp = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(winnow_fingerprints(F.col(text_col), k, window, gram_hash)).alias(
-            "_fp"
-        ),
-    ).localCheckpoint(eager=True)
+        F.explode_outer(
+            winnow_fingerprints(F.col(text_col), k, window, gram_hash)
+        ).alias("_fp"),
+    ).filter(F.col("_fp").isNotNull()).localCheckpoint(eager=True)
     if max_df is not None:
         hot = (
             fp.groupBy("_fp")
@@ -596,8 +599,10 @@ def chunk_documents(
     # coalesce, size(NULL) is NULL and the when-branches fall through
     # to emit one bogus all-NULL chunk row)
     safe_toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
-    chunk = F.explode(_let(safe_toks, _chunks)).alias("_chunk")
-    return df.select(F.col(id_col), chunk).select(
+    chunk = F.explode_outer(_let(safe_toks, _chunks)).alias("_chunk")
+    return df.select(F.col(id_col), chunk).filter(
+        F.col("_chunk").isNotNull()
+    ).select(
         id_col,
         F.col("_chunk.ci").alias(chunk_col),
         F.size("_chunk.toks").alias("n_chunk_tokens"),
@@ -1385,7 +1390,7 @@ def gopher_rules(
     # one-element explode: a Generate node is a projection BARRIER —
     # the downstream field extractions reference its output attribute
     # instead of inlining (and so re-evaluating) the metric tree
-    out = df.select("*", F.explode(F.array(big)).alias("__g"))
+    out = df.select("*", F.explode_outer(F.array(big)).alias("__g"))
     reasons = F.when(
         c.isNull() | (F.trim(c) == ""), F.array(F.lit("empty"))
     ).otherwise(F.col("__g")["r"])
@@ -1450,7 +1455,7 @@ def unigram_model(
     if vocab_size <= 0:
         raise ValueError(f"vocab_size must be > 0, got {vocab_size}")
     counts = (
-        df.select(F.explode(tokens(text_col)).alias("token"))
+        df.select(F.explode_outer(tokens(text_col)).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1553,7 +1558,8 @@ def _vocab_mapped_pairs(
     merge into the start state; OOV tokens collapse to ``unk_token``
     after a broadcast left join against the vocabulary."""
     return (
-        df.select(F.explode(_transition_pairs(text_col)).alias("_p"))
+        df.select(F.explode_outer(_transition_pairs(text_col)).alias("_p"))
+        .filter(F.col("_p").isNotNull())
         .select(F.col("_p.prev").alias("_rp"), F.col("_p.cur").alias("_rc"))
         .join(F.broadcast(vocab.withColumnRenamed("token", "_vp")),
               F.col("_rp") == F.col("_vp"), "left")
@@ -1614,7 +1620,7 @@ def bigram_model(
     if vocab_size <= 0:
         raise ValueError(f"vocab_size must be > 0, got {vocab_size}")
     counts = (
-        df.select(F.explode(tokens(text_col)).alias("token"))
+        df.select(F.explode_outer(tokens(text_col)).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1800,7 +1806,7 @@ def kn_bigram_model(
     if discount is not None and not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
     counts = (
-        df.select(F.explode(tokens(text_col)).alias("token"))
+        df.select(F.explode_outer(tokens(text_col)).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -2424,8 +2430,10 @@ def hashed_linear_score_joined(
     if word_ngrams == 2:
         toks = _with_word_bigrams(toks)
     feats = df.select(
-        F.col(id_col), F.explode(toks).alias("_tok")
-    ).withColumn("_bucket", F.pmod(h(F.col("_tok")), F.lit(n_buckets)).cast("int"))
+        F.col(id_col), F.explode_outer(toks).alias("_tok")
+    ).filter(F.col("_tok").isNotNull()).withColumn(
+        "_bucket", F.pmod(h(F.col("_tok")), F.lit(n_buckets)).cast("int")
+    )
     w = F.broadcast(
         weights_df.select(F.col("bucket").alias("_bucket"), F.col("weight").alias("_w"))
     )
@@ -2469,7 +2477,8 @@ def _clf_features(base: DataFrame, token_hash, n_buckets: int) -> DataFrame:
     id that lets every later per-doc aggregation run exchange-free
     (plan-asserted in tests/test_plans.py)."""
     return (
-        base.select("__id", "__y", "__n", F.explode("__ts").alias("__t"))
+        base.select("__id", "__y", "__n", F.explode_outer("__ts").alias("__t"))
+        .filter(F.col("__t").isNotNull())
         .groupBy(
             "__id",
             "__y",

@@ -1,0 +1,38 @@
+"""Shared plan-shape helpers.
+
+`select_exploded` exists because of a Spark 4.x optimizer pathology
+this repo measured at 8.5x on real operators: for `SELECT
+explode(EXPR)`, `InferFiltersFromGenerate` infers `size(EXPR) > 0 AND
+isnotnull(EXPR)` and pushes it down — THROUGH projections and
+exchanges, substituting the full generator expression — until it lands
+in the file scan as a DataFilter.  An expensive EXPR (regex tokenize +
+per-gram hashing, winnowing folds, EWMA state folds, MinHash
+signatures) is then evaluated TWICE per row, and the scan-side copy
+runs at file-scan parallelism (often a handful of tasks on a
+small-file fixture), not at the downstream stage's width.  sf1
+measurement (50k docs, one parquet file): winnowing fingerprint
+explode 28.9 s via `explode` vs 3.4 s via this helper, identical
+output.
+
+The rewrite: `explode_outer` (which the rule does NOT infer filters
+from) + an `isnotnull` filter on the exploded value — row-for-row
+identical to `explode` as long as the ARRAY ELEMENTS themselves are
+never NULL (outer's extra row for empty/NULL arrays carries a NULL
+value, which the filter drops).  Every call site in this repo explodes
+arrays of non-null elements (hashes, grams, structs); a site that
+could hold NULL elements must use `posexplode_outer` and filter on the
+position instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def select_exploded(df: DataFrame, expr: Column | str, alias: str, *also) -> DataFrame:
+    """``df.select(*also, explode(expr).alias(alias))`` without the
+    InferFiltersFromGenerate expression duplication (see module
+    docstring).  ``also`` columns are selected alongside.  Only for
+    arrays whose ELEMENTS are never NULL."""
+    out = df.select(*also, F.explode_outer(expr).alias(alias))
+    return out.filter(F.col(alias).isNotNull())
