@@ -1224,10 +1224,14 @@ def _dup_gram_hits(df, id_col, text_col, n, min_count, gram_hash):
         _rebalance(df)
         .select(
             F.col(id_col).alias("_id"),
-            F.posexplode(
+            # posexplode_outer + pos-notnull: identical rows, but the
+            # optimizer cannot copy the gram-hash expression into the
+            # scan as an inferred size()>0 filter (grip_spark/util.py)
+            F.posexplode_outer(
                 token_ngram_hashes(F.col(text_col), n, gram_hash)
             ).alias("_pos", "_g"),
         )
+        .filter(F.col("_pos").isNotNull())
         .localCheckpoint(eager=True)
     )
     dup = (
@@ -1437,9 +1441,9 @@ def dedup_lines(
     from .text import normalize as _normalize
 
     c = F.col(text_col)
-    lines = (
-        df.select(F.col(id_col), F.posexplode(F.split(c, "\n")).alias("_pos", "_line"))
-    )
+    lines = df.select(
+        F.col(id_col), F.posexplode_outer(F.split(c, "\n")).alias("_pos", "_line")
+    ).filter(F.col("_pos").isNotNull())
     keysrc = _normalize(F.col("_line")) if normalize_lines else F.col("_line")
     keyed = lines.withColumn("_lk1", F.xxhash64(keysrc)).withColumn(
         "_lk2", F.xxhash64(F.lit(1), keysrc)
@@ -1506,8 +1510,8 @@ def dedup_lines_in_doc(
 
     c = F.col(text_col)
     lines = df.select(
-        F.col(id_col), F.posexplode(F.split(c, "\n")).alias("_pos", "_line")
-    )
+        F.col(id_col), F.posexplode_outer(F.split(c, "\n")).alias("_pos", "_line")
+    ).filter(F.col("_pos").isNotNull())
     keysrc = _normalize(F.col("_line")) if normalize_lines else F.col("_line")
     keyed = lines.withColumn("_lk1", F.xxhash64(keysrc)).withColumn(
         "_lk2", F.xxhash64(F.lit(1), keysrc)

@@ -1077,7 +1077,8 @@ def sq_train(
     through unnormalized, as in :func:`pq_train`."""
     unit = _unit_expr(vec_col, normalize)
     rows = (
-        df.select(F.posexplode(unit).alias("_d", "_x"))
+        df.select(F.posexplode_outer(unit).alias("_d", "_x"))
+        .filter(F.col("_d").isNotNull())
         .groupBy("_d")
         .agg(F.min("_x").alias("_lo"), F.max("_x").alias("_hi"))
         .collect()
@@ -1735,7 +1736,8 @@ def kmeans_train(
         best = _kmeans_best(vec, centroids, metric)
         sums = (
             upd_src.select(best["cell"].alias("_cell"), upd_vec.alias("_uv"))
-            .select("_cell", F.posexplode("_uv").alias("_pos", "_val"))
+            .select("_cell", F.posexplode_outer("_uv").alias("_pos", "_val"))
+            .filter(F.col("_pos").isNotNull())
             .groupBy("_cell", "_pos")
             .agg(F.sum("_val").alias("_sum"), F.count(F.lit(1)).alias("_n"))
             .collect()
@@ -2442,8 +2444,11 @@ def pool_embeddings(
         .select(
             F.col(group_col).alias("_g"),
             w.alias("_w"),
-            F.posexplode(F.col(vec_col).cast("array<double>")).alias("_d", "_x"),
+            F.posexplode_outer(F.col(vec_col).cast("array<double>")).alias(
+                "_d", "_x"
+            ),
         )
+        .filter(F.col("_d").isNotNull())
     )
     if mode == "max":
         per_dim = ex.groupBy("_g", "_d").agg(

@@ -3873,7 +3873,11 @@ def chunk_by_sentences(
     chunks = F.aggregate(sents, zero, step, finish)
     out = (
         df.filter(F.col(text_col).isNotNull())
-        .select(F.col(id_col).alias("id"), F.posexplode(chunks).alias("chunk_idx", "_c"))
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode_outer(chunks).alias("chunk_idx", "_c"),
+        )
+        .filter(F.col("chunk_idx").isNotNull())
         .select(
             "id",
             "chunk_idx",
@@ -4677,8 +4681,8 @@ def collocations(
         tokens(F.col(text_col)).alias("_toks"),
     )
     toks = docs_ids.select(
-        "_doc", F.posexplode("_toks").alias("_pos", "_w")
-    ).localCheckpoint(eager=True)
+        "_doc", F.posexplode_outer("_toks").alias("_pos", "_w")
+    ).filter(F.col("_pos").isNotNull()).localCheckpoint(eager=True)
     parts = []
     for off in range(1, window + 1):
         l = toks.select("_doc", (F.col("_pos") + off).alias("_j"),
