@@ -320,13 +320,65 @@ def _local_path(uri: str) -> str:
 
 _GZ_MAGIC = b"\x1f\x8b\x08"
 
+_WARC_VERSION_RE = re.compile(rb"^WARC/\d+\.\d+\r\n")
+
+
+def _valid_warc_header(head: bytes) -> bool:
+    """True when ``head`` starts a well-formed WARC record header:
+    version line (``WARC/x.y``), a terminated header block, and the
+    mandatory WARC-Record-ID / WARC-Type / Content-Length fields
+    (ISO 28500 §5.2-5.5).  Split resync validates the FULL header, not
+    just the 5-byte magic, so payload bytes that embed ``WARC/`` — or
+    even a small gzip member inflating to a ``WARC/``-prefixed string
+    (crawled ``.warc.gz`` responses do occur in Common Crawl) — are
+    rejected unless they carry a complete record header.  Residual
+    (documented) limit: a payload embedding a byte-exact full WARC
+    record passes; splits cannot cheaply cross-check against a prior
+    member's end without scanning from file start, so exact provenance
+    there needs the whole-file reader."""
+    if not _WARC_VERSION_RE.match(head):
+        return False
+    he = head.find(b"\r\n\r\n")
+    if he < 0:
+        return False
+    try:
+        hdr = _parse_headers(head[head.find(b"\r\n") + 2 : he])
+        int(hdr["content-length"])
+        return "warc-record-id" in hdr and "warc-type" in hdr
+    except (KeyError, ValueError):
+        return False
+
+
+def _inflate_upto(f, offset: int, limit: int = 1 << 16, chunk: int = 1 << 12):
+    """Inflate a gzip member at ``offset`` until the WARC header
+    terminator appears, ``limit`` bytes are produced, or the member /
+    file ends.  Returns the inflated prefix, or None when the bytes
+    are not a valid gzip stream."""
+    f.seek(offset)
+    d = zlib.decompressobj(wbits=31)
+    out = bytearray()
+    try:
+        while len(out) < limit:
+            data = f.read(chunk)
+            if not data:
+                break
+            out += d.decompress(data, limit - len(out))
+            if d.eof or b"\r\n\r\n" in out:
+                break
+    except zlib.error:
+        return None
+    return bytes(out)
+
 
 def _find_gz_member(f, start: int, end: int, probe: int = 1 << 16):
     """First gzip-member offset in ``[start, end)``, validated by
-    decompressing a prefix and requiring the WARC version magic (a
-    payload byte-run can fake ``1f 8b 08``; it cannot also inflate to
-    ``WARC/``).  Returns -1 when the window holds no member start —
-    that split's bytes belong to a member owned by an earlier split."""
+    inflating a prefix and requiring a complete well-formed WARC
+    record header (see :func:`_valid_warc_header` — a payload byte-run
+    can fake ``1f 8b 08``, and a nested gzip member can even inflate
+    to a ``WARC/`` prefix; it cannot also carry the mandatory header
+    fields unless it embeds a full record).  Returns -1 when the
+    window holds no member start — that split's bytes belong to a
+    member owned by an earlier split."""
     pos = start
     buf = b""
     buf_at = start
@@ -344,14 +396,9 @@ def _find_gz_member(f, start: int, end: int, probe: int = 1 << 16):
         cand = buf_at + hit
         if cand >= end:
             return -1
-        f.seek(cand)
-        head = f.read(512)
-        try:
-            d = zlib.decompressobj(wbits=31)
-            if d.decompress(head, 16).startswith(b"WARC/"):
-                return cand
-        except zlib.error:
-            pass
+        inflated = _inflate_upto(f, cand)
+        if inflated is not None and _valid_warc_header(inflated):
+            return cand
         pos = cand + 1
     return -1
 
@@ -428,18 +475,7 @@ def _find_plain_record(f, start: int, end: int, probe: int = 1 << 16):
 
 def _valid_plain_header(f, offset: int) -> bool:
     f.seek(offset)
-    head = f.read(1 << 14)
-    if not head.startswith(b"WARC/"):
-        return False
-    he = head.find(b"\r\n\r\n")
-    if he < 0:
-        return False
-    try:
-        hdr = _parse_headers(head[head.find(b"\r\n") + 2 : he])
-        int(hdr["content-length"])
-        return True
-    except (KeyError, ValueError):
-        return False
+    return _valid_warc_header(f.read(1 << 14))
 
 
 def _iter_plain_records_from(f, offset: int, end: int):
@@ -456,6 +492,13 @@ def _iter_plain_records_from(f, offset: int, end: int):
         if i >= len(head):
             return
         pos += i
+        # ownership is judged at the record's FIRST byte, not at the
+        # inter-record CRLF separator: a split boundary landing inside
+        # the 4-byte \r\n\r\n gap must leave the following record to
+        # the next split (which finds it — its first byte >= that
+        # split's start), else it is emitted twice
+        if pos >= end:
+            return
         if not head.startswith(b"WARC/", i):
             raise ValueError(f"expected WARC/ magic at offset {pos}")
         he = head.find(b"\r\n\r\n", i)

@@ -12,6 +12,9 @@ from pyspark.sql import functions as F
 
 from grip_spark.warc import (
     _GZ_MAGIC,
+    _find_gz_member,
+    _find_plain_record,
+    _iter_plain_records_from,
     _warc_record,
     _uuid_urn,
     read_warc,
@@ -100,6 +103,58 @@ def test_ranged_corrupt_member_err_row(spark, tmp_path):
 def test_ranged_rejects_tiny_split(spark, tmp_path):
     with pytest.raises(ValueError):
         read_warc_ranged(spark, str(tmp_path), split_bytes=1024)
+
+
+def test_plain_split_every_boundary_exactly_once():
+    """Exhaustive two-split sweep over EVERY byte boundary of a plain
+    archive: each record must be emitted exactly once.  Regression for
+    the separator-gap bug — a boundary landing inside the 4-byte
+    \\r\\n\\r\\n between records let the left split skip the gap and
+    emit a record whose first byte belonged to the right split (which
+    emitted it again)."""
+    recs = [
+        _warc_record(
+            _uuid_urn("t", str(i)), f"https://ex.com/{i}",
+            "2026-01-01T00:00:00Z", f"body {i} ".encode() * 7, "text/plain",
+        )
+        for i in range(4)
+    ]
+    blob = b"".join(recs)
+    f = io.BytesIO(blob)
+    n = len(blob)
+
+    def ids_in(start, end):
+        first = _find_plain_record(f, start, end)
+        if first < 0:
+            return []
+        return [
+            h["warc-record-id"]
+            for h, _ in _iter_plain_records_from(f, first, end)
+        ]
+
+    want = [_uuid_urn("t", str(i)) for i in range(4)]
+    for b in range(n + 1):
+        got = ids_in(0, b) + ids_in(b, n)
+        assert got == want, f"boundary {b}: {len(got)} records"
+
+
+def test_gz_resync_rejects_headerless_warc_member(tmp_path):
+    """A payload embedding an ACTUAL gzip member that inflates to a
+    'WARC/1.0'-prefixed string (but no complete record header) must
+    not be accepted as a member start during split resync."""
+    fake = _gz_member(b"WARC/1.0\r\nnot a real header block, no CRLFCRLF")
+    body = b"x" * 64 + fake + b"y" * 64
+    rec = _warc_record(
+        _uuid_urn("t", "r"), "https://ex.com/r",
+        "2026-01-01T00:00:00Z", body, "application/octet-stream",
+    )
+    blob = _gz_member(rec)
+    f = io.BytesIO(blob)
+    # resync window starting INSIDE the member: the nested fake is the
+    # only gz magic in range and must be rejected
+    assert _find_gz_member(f, 1, len(blob)) == -1
+    # from 0 the true member validates
+    assert _find_gz_member(f, 0, len(blob)) == 0
 
 
 def test_member_straddling_boundary_read_once(spark, tmp_path):
