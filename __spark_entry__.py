@@ -1988,10 +1988,11 @@ def q_graph_node_scores(spark, sf_dir):
     rounds — replicable like the fixed-step pagerank slot) and full
     core decomposition (graphalgo.coreness, the Lü 2016 h-operator
     fixpoint) over the customer→order→part DAG, as one labeled node
-    matrix.  The coreness oracle unrolls 12 h-operator rounds — the
+    matrix.  The coreness oracle unrolls 30 h-operator rounds — the
     sf0.01 fixpoint lands in 7 and extra rounds are no-ops at the
     fixpoint (H is idempotent there), so the engine's early-stop and
-    the oracle's fixed unroll agree; HITS unrolls its 5 normalized
+    the oracle's generously-unrolled fixed chain agree at any SF the
+    sweep runs; HITS unrolls its 5 normalized
     rounds, scores rounded to 6dp on both sides."""
     from grip_spark import graphalgo
 
@@ -3083,12 +3084,14 @@ def _kcenter_oracle_sql(k: int = 6) -> str:
     return "".join(parts)
 
 
-def _graph_node_scores_oracle_sql(hits_rounds: int = 5, core_rounds: int = 12) -> str:
+def _graph_node_scores_oracle_sql(hits_rounds: int = 5, core_rounds: int = 30) -> str:
     """HITS (unrolled normalized rounds) + coreness (unrolled
-    h-operator rounds; the sf0.01 fixpoint lands in 7 and H is
-    idempotent at the fixpoint, so 12 rounds with margin equals the
-    engine's early-stopped exact fixpoint) over the customer→order→
-    part DAG.  The h-index per round is ``max(least(rank, value))``
+    h-operator rounds; the engine iterates to the exact fixpoint —
+    sf0.01 lands in 7 — and H is idempotent at the fixpoint, so extra
+    unrolled rounds are no-ops.  30 rounds leaves generous margin for
+    larger/denser SFs where convergence needs more rounds; an
+    under-unrolled oracle would read as a false engine mismatch) over
+    the customer→order→part DAG.  The h-index per round is ``max(least(rank, value))``
     over neighbor values ranked descending — the engine's windowed
     formulation verbatim."""
     parts = [
@@ -3876,6 +3879,17 @@ def oracle_sql() -> dict[str, str]:
     k = _contract_sample()
     if k:
         q = chr(39)
+
+        def _must_replace(slot: str, old: str, new: str) -> None:
+            # a reworded oracle must FAIL here, at patch time, not as
+            # a confusing engine-sampled-vs-oracle-unsampled mismatch
+            if old not in d[slot]:
+                raise AssertionError(
+                    f"CONTRACT_SAMPLE patch: {old!r} not found in "
+                    f"oracle_sql()[{slot!r}] — sampling hook broken"
+                )
+            d[slot] = d[slot].replace(old, new)
+
         docs_pred = (
             f"{_md5_u01_sql(q + 'csmp' + q + ' || CAST(doc_id AS VARCHAR)')}"
             f" < {1.0 / k!r}"
@@ -3884,23 +3898,28 @@ def oracle_sql() -> dict[str, str]:
             f"({_md5_u01_sql(q + 'csmp' + q + ' || CAST(vec_id AS VARCHAR)')}"
             f" < {1.0 / k!r} OR vec_id = 0)"
         )
-        d["record_linkage"] = d["record_linkage"].replace(
+        _must_replace(
+            "record_linkage",
             "FROM customer",
             "FROM (SELECT * FROM customer WHERE "
             + _md5_u01_sql(q + "csmp" + q + " || CAST(c_custkey AS VARCHAR)")
             + f" < {1.0 / k!r})",
         )
         for slot in ("dedup_pairs", "dedup_clusters"):
-            d[slot] = d[slot].replace(
+            _must_replace(
+                slot,
                 "FROM documents",
                 f"FROM (SELECT * FROM documents WHERE {docs_pred})",
             )
         for slot in ("sim_topk_ops", "semantic_dedup"):
-            d[slot] = d[slot].replace(
+            _must_replace(
+                slot,
                 "FROM embeddings",
                 f"FROM (SELECT * FROM embeddings WHERE {emb_pred})",
-            ).replace(
-                "JOIN embeddings",
-                f"JOIN (SELECT * FROM embeddings WHERE {emb_pred})",
             )
+            if "JOIN embeddings" in d[slot]:
+                d[slot] = d[slot].replace(
+                    "JOIN embeddings",
+                    f"JOIN (SELECT * FROM embeddings WHERE {emb_pred})",
+                )
     return d
