@@ -810,12 +810,14 @@ def q_doc_text_profile(spark, sf_dir):
     )
     d = d.join(q_pii_redact(spark, sf_dir), "doc_id")
     d = d.join(q_langid(spark, sf_dir), "doc_id")
-    # r10 new-under-oracle: lexical diversity (TTR + Yule's K; MTLD is
-    # a sequential fold — replica-pinned in tests/test_text_scoring.py)
+    # r10 new-under-oracle: lexical diversity (TTR + Yule's K); r11:
+    # MTLD joins the oracle too — its sequential factor fold is
+    # replicated in DuckDB list_reduce (see _mtld_pass_sql)
     lex = text.lexical_diversity(raw).select(
         "doc_id",
         F.round("ttr", 6).alias("ttr"),
         F.round("yule_k", 6).alias("yule_k"),
+        F.round("mtld", 6).alias("mtld"),
     )
     d = d.join(lex, "doc_id")
     return d.select(
@@ -847,6 +849,7 @@ def q_doc_text_profile(spark, sf_dir):
         "lang_score",
         "ttr",
         "yule_k",
+        "mtld",
     )
 
 
@@ -1309,30 +1312,54 @@ def q_bitext_mine(spark, sf_dir):
     seeded hyperplane buckets (planes=4, replicated literally in the
     oracle — the embedding_pairs discipline, so LSH+multiprobe recall
     is value-checked too), k=4 neighborhood means, ratio margin,
-    mutual-best strategy, threshold 1.1 (fixture margins have a
-    ≥1e-4 gap around it; cross-engine float noise is ~1e-12).  Scores
-    rounded to 6dp."""
+    mutual-best strategy.  Two labeled branches over ONE mining pass:
+
+    - 'thr': margin >= 1.1 (fixture margins have a ≥1e-4 gap around
+      it; cross-engine float noise is ~1e-12) — the published
+      fixed-threshold recipe.
+    - 'topk': top-100 mutual-best pairs by (rounded margin desc, ids)
+      — a data-relative cut that mines >0 pairs at EVERY SF (the
+      fixed 1.1 threshold mines nothing on the sf1 margin
+      distribution, which made the sf1 sweep row vacuous), so the
+      large-SF sweep value-checks real rows.
+
+    Scores rounded to 6dp."""
     emb = _emb(spark, sf_dir)
-    out = similarity.bitext_mine(
+    base = similarity.bitext_mine(
         emb.filter(F.col("vec_id") % 2 == 0),
         emb.filter(F.col("vec_id") % 2 == 1),
         "embedding",
         "vec_id",
         k=4,
         margin="ratio",
-        threshold=1.1,
+        threshold=0.0,
         strategy="intersection",
         planes=4,
         probe=1,
         seed=7,
         dim=64,
-    )
-    return out.select(
+    ).select(
         "src_id",
         "tgt_id",
+        F.col("margin_score").alias("_m"),
         F.round("cos_sim", 6).alias("cos_r"),
         F.round("margin_score", 6).alias("margin_r"),
+    ).localCheckpoint(eager=False)
+    thr = base.filter(F.col("_m") >= 1.1).select(
+        F.lit("thr").alias("branch"), "src_id", "tgt_id", "cos_r", "margin_r"
     )
+    topk = (
+        base.orderBy(F.col("margin_r").desc(), "src_id", "tgt_id")
+        .limit(100)
+        .select(
+            F.lit("topk").alias("branch"),
+            "src_id",
+            "tgt_id",
+            "cos_r",
+            "margin_r",
+        )
+    )
+    return thr.unionByName(topk)
 
 
 def q_pagerank(spark, sf_dir):
@@ -2301,7 +2328,9 @@ FROM g
 def _bitext_oracle_sql() -> str:
     """DuckDB rendering of q_bitext_mine: literal plane family
     (seed=7), hamming-1 multiprobe via explicit xor list, k=4
-    neighborhood means, ratio margin, mutual best, threshold 1.1."""
+    neighborhood means, ratio margin, mutual best; 'thr' branch at
+    threshold 1.1 plus the always-nonvacuous 'topk' branch (top-100
+    by rounded margin, id tie-broken)."""
     from grip_spark.similarity import _planes
 
     hp = _planes(64, 4, 7)
@@ -2330,9 +2359,16 @@ cand AS (SELECT r.src_id, r.tgt_id, r.cos, r.cos / ((af.af + ab.ab) / 2.0) AS m
 best AS (SELECT *,
     row_number() OVER (PARTITION BY src_id ORDER BY m DESC, tgt_id) AS bf,
     row_number() OVER (PARTITION BY tgt_id ORDER BY m DESC, src_id) AS bb
-  FROM cand)
-SELECT src_id, tgt_id, round(cos, 6) AS cos_r, round(m, 6) AS margin_r
-FROM best WHERE bf = 1 AND bb = 1 AND m >= 1.1
+  FROM cand),
+mb AS (SELECT src_id, tgt_id, cos, m FROM best
+       WHERE bf = 1 AND bb = 1 AND m >= 0.0)
+SELECT 'thr' AS branch, src_id, tgt_id,
+       round(cos, 6) AS cos_r, round(m, 6) AS margin_r
+FROM mb WHERE m >= 1.1
+UNION ALL
+SELECT 'topk', src_id, tgt_id, round(cos, 6), round(m, 6)
+FROM (SELECT * FROM mb
+      ORDER BY round(m, 6) DESC, src_id, tgt_id LIMIT 100)
 """
 
 
@@ -2941,19 +2977,78 @@ def _semantic_dedup_oracle_sql() -> str:
 
 # lexical diversity (r10): TTR + Yule's K over the shared tokenizer —
 # Yule's K from the per-doc token-count spectrum (sum of c² equals the
-# engine's incremental run² fold over the sorted array); MTLD is a
-# sequential fold and stays replica-pinned in pytest
+# engine's incremental run² fold over the sorted array).  r11: MTLD
+# (the last replica-only operator) joins the oracle — the sequential
+# factor fold is replicated as a RECURSIVE CTE stepping all (doc,
+# direction) states one token per iteration, carrying the engine's
+# exact state (factor count, current factor's seen-token list, factor
+# length): membership probe on the seen-list, running TTR <= 0.72
+# closes the factor, the partial factor contributes its TTR shortfall
+# over (1 - threshold), forward/backward pass values average —
+# doubles mirrored operation-for-operation.  (A list_reduce lambda
+# rendering segfaults DuckDB 1.0 on real-data vectors, hence the
+# recursion.)
+_MTLD_T = 0.72
+_MTLD_INV = 1.0 - 0.72  # the engine's F.lit(1.0 - threshold) double
+
+_MTLD_SEEN2 = (
+    "CASE WHEN list_position(s.seen, k.tok) > 0 THEN s.seen "
+    "ELSE list_append(s.seen, k.tok) END"
+)
+_MTLD_FULL = (
+    f"(CAST(len({_MTLD_SEEN2}) AS DOUBLE) / CAST(s.cnt + 1 AS DOUBLE))"
+    f" <= {_MTLD_T!r}"
+)
+
+
+def _mtld_total_sql(f: str, seen: str, cnt: str) -> str:
+    return (
+        f"{f} + CASE WHEN {cnt} > 0 THEN "
+        f"(1.0 - CAST(len({seen}) AS DOUBLE) / CAST({cnt} AS DOUBLE))"
+        f" / {_MTLD_INV!r} ELSE 0.0 END"
+    )
+
+
 _LEX_SQL = (
-    f"WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents), "
+    f"WITH RECURSIVE t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents), "
     "c AS (SELECT doc_id, tok, count(*) AS c FROM "
     "(SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok), "
     "a AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n, "
-    "CAST(sum(c * c) AS DOUBLE) AS m2, count(*) AS v FROM c GROUP BY doc_id) "
+    "CAST(sum(c * c) AS DOUBLE) AS m2, count(*) AS v FROM c GROUP BY doc_id), "
+    # one (doc, dir, pos, tok) row per token per direction
+    "mk AS (SELECT doc_id, 'f' AS dir, "
+    "unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS tok FROM t "
+    "UNION ALL SELECT doc_id, 'b', unnest(range(1, len(toks) + 1)), "
+    "unnest(list_reverse(toks)) FROM t), "
+    "mn AS (SELECT doc_id, len(toks) AS n FROM t), "
+    "ms AS (SELECT doc_id, dir, 0 AS pos, CAST(0.0 AS DOUBLE) AS f, "
+    "CAST([] AS VARCHAR[]) AS seen, 0 AS cnt "
+    "FROM mn CROSS JOIN (SELECT unnest(['f', 'b']) AS dir) WHERE n > 0 "
+    "UNION ALL SELECT s.doc_id, s.dir, k.pos, "
+    f"CASE WHEN {_MTLD_FULL} THEN s.f + 1.0 ELSE s.f END, "
+    f"CASE WHEN {_MTLD_FULL} THEN CAST([] AS VARCHAR[]) "
+    f"ELSE {_MTLD_SEEN2} END, "
+    f"CASE WHEN {_MTLD_FULL} THEN 0 ELSE s.cnt + 1 END "
+    "FROM ms s JOIN mk k ON k.doc_id = s.doc_id AND k.dir = s.dir "
+    "AND k.pos = s.pos + 1), "
+    # final state per (doc, dir) = the row at pos = n_tokens
+    "mf AS (SELECT s.doc_id, s.dir, "
+    + _mtld_total_sql("s.f", "s.seen", "s.cnt")
+    + " AS tot FROM ms s JOIN mn ON mn.doc_id = s.doc_id "
+    "AND s.pos = mn.n), "
+    "mp AS (SELECT mn.doc_id, mn.n, "
+    "CASE WHEN ff.tot > 0 THEN CAST(mn.n AS DOUBLE) / ff.tot END AS pf, "
+    "CASE WHEN fb.tot > 0 THEN CAST(mn.n AS DOUBLE) / fb.tot END AS pb "
+    "FROM mn LEFT JOIN mf ff ON ff.doc_id = mn.doc_id AND ff.dir = 'f' "
+    "LEFT JOIN mf fb ON fb.doc_id = mn.doc_id AND fb.dir = 'b'), "
+    "mm AS (SELECT doc_id, CASE WHEN n > 0 THEN round((COALESCE(pf, "
+    "CAST(n AS DOUBLE)) + COALESCE(pb, CAST(n AS DOUBLE))) / 2.0, 6) END "
+    "AS mtld FROM mp) "
     "SELECT t.doc_id, "
     "round(CASE WHEN len(t.toks) > 0 THEN a.v * 1.0 / len(t.toks) END, 6) AS ttr, "
     "round(CASE WHEN len(t.toks) > 1 THEN 1e4 * (a.m2 - a.n) / (a.n * a.n) END, 6) "
-    "AS yule_k "
-    "FROM t LEFT JOIN a USING (doc_id)"
+    "AS yule_k, mm.mtld "
+    "FROM t LEFT JOIN a USING (doc_id) LEFT JOIN mm USING (doc_id)"
 )
 
 # funnel (r10): windowed max-anchor recurrence — per event, a1 =

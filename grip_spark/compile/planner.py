@@ -1122,6 +1122,7 @@ class Planner:
         return (
             one.filter(F.col("_lo").isNotNull())
             .select(
+                # gen-ok: cheap sequence generator over post-agg bounds
                 F.explode(F.sequence(lo_guarded, F.col("_hi"))).alias("_i"),
                 F.col("_m"),
             )
@@ -1169,6 +1170,7 @@ class Planner:
             F.array(*[F.lit(float(p)) for p in percents]).alias("p"),
             F.col("_q").alias("q"),
         )
+        # gen-ok: 1-row post-aggregation input
         return agg.select(F.explode(pairs).alias("_pq")).select(
             F.lit(name).alias("name"),
             F.col("_pq.p").cast("string").alias("key"),
@@ -1201,7 +1203,9 @@ class Planner:
         else:
             return _empty_agg(df, name)
         return (
-            df.select(F.explode(kv).alias("_k"))
+            # explode_outer + notnull: keeps InferFiltersFromGenerate
+            # from double-evaluating the json_object_keys branch
+            df.select(F.explode_outer(kv).alias("_k"))
             .filter(F.col("_k").isNotNull())
             .groupBy("_k")
             .agg(F.count(F.lit(1)).cast("double").alias("value"))

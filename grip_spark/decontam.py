@@ -333,6 +333,7 @@ def semantic_contamination(
     bench_exp = bb.select(
         F.col(bvec).alias(b_vec),
         F.col(b_norm),
+        # gen-ok: fixed-arity F.array constructor — size() folds, no inferred-filter tax
         F.explode(
             F.array(*[F.col("_bbucket").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias(c_bucket),

@@ -285,6 +285,7 @@ def _band_explode(sig: DataFrame, bands: int, r: int) -> DataFrame:
     two-corpus variants so both bucket identically."""
     return sig.select(
         "_id",
+        # gen-ok: fixed-arity F.array constructor — size() folds, no inferred-filter tax
         F.explode(
             F.array(
                 *[
@@ -662,6 +663,7 @@ def hamming_pairs(
     banded = sig.select(
         "_id",
         "_sim",
+        # gen-ok: fixed-arity F.array constructor — size() folds, no inferred-filter tax
         F.explode(
             F.array(
                 *[
@@ -1185,6 +1187,7 @@ def edit_distance_pairs(
         F.col("_id").alias("id_a"),
         F.col("_t").alias("_ta"),
         F.col("_l").alias("_la"),
+        # gen-ok: cheap sequence generator — double-eval is two integer ranges
         F.explode(F.sequence(F.col("_l"), F.col("_l") + tau)).alias("_m"),
     )
     medium = base.filter(F.col("_l") <= 2 * tau).select(

@@ -503,9 +503,9 @@ class GripGraph:
             )
             kv = sample.select(
                 "label",
-                F.explode(F.json_object_keys(F.to_json("data"))).alias("_k"),
+                F.explode_outer(F.json_object_keys(F.to_json("data"))).alias("_k"),
                 F.col("data").alias("_d"),
-            ).select(
+            ).filter(F.col("_k").isNotNull()).select(
                 "label",
                 "_k",
                 F.to_json(
@@ -839,6 +839,7 @@ def _sample_distinct_keys(spark: SparkSession, path: str, sample_n: int) -> int:
     sample = spark.read.text(path).limit(sample_n)
     n = (
         sample.select(
+            # gen-ok: bounded probe — limit(sample_n) rows, not corpus-scan
             F.explode(
                 F.coalesce(
                     F.json_object_keys(F.get_json_object("value", "$.data")),

@@ -469,6 +469,7 @@ def apply_mixture(
     return (
         df.withColumn(nc, whole + extra)
         .filter(F.col(nc) > 0)
+        # gen-ok: cheap sequence generator
         .withColumn(epoch_col, F.explode(F.sequence(F.lit(0), F.col(nc) - 1)))
         .drop(nc)
     )

@@ -554,6 +554,69 @@ def ivf_probe_cells(
     return [cid for cid, _ in ranked[:nprobe]]
 
 
+def _semdedup_drops_arrow(
+    b: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cell_col: str,
+    sim_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Within-cell SemDeDup drop set via blocked BLAS matmul — one
+    Arrow ``applyInPandas`` group per cell (the FAISS formulation of
+    the paper's step 2/3).  The SQL pair join materializes both
+    embedding arrays into every sum(cell²) candidate row; here each
+    cell computes its cosine matrix in ``blk x cell`` float64 blocks
+    (memory O(blk·cell), never cell²) and marks a row dropped iff a
+    same-cell neighbor with cosine >= threshold PRECEDES it in the
+    engine's keep order.  The keep order uses the (centroid_cosine,
+    id) values COMPUTED BY THE ENGINE and shipped into the group —
+    only the pair cosine is recomputed (float64 matmul; differs from
+    the JVM sequential fold only in last-ulp, which matters only for
+    a pair exactly at the threshold boundary).  Zero-norm vectors
+    (NULL centroid cosine) never enter a pair and are kept, matching
+    the SQL path.  Per-task memory is O(cell · dim) for the cell's
+    matrix — the ``n_lists ~ rows/1e4`` sizing keeps that ~5 MB at
+    dim 64."""
+    import pandas as pd  # noqa: F401 — worker-side
+
+    id_type = dict(b.dtypes)[id_col]
+    sel = b.select(cell_col, id_col, vec_col, sim_col)
+
+    def per_cell(pdf):
+        import numpy as np
+        import pandas as pd
+
+        csim = pdf[sim_col].to_numpy(dtype="float64", na_value=np.nan)
+        sub = pdf[~np.isnan(csim)]
+        m = len(sub)
+        if m < 2:
+            return pd.DataFrame({id_col: pdf[id_col][:0]})
+        X = np.stack(sub[vec_col].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(X, axis=1)
+        ids = sub[id_col].to_numpy()
+        ids_key = ids.astype(str) if ids.dtype == object else ids
+        cs = csim[~np.isnan(csim)]
+        # ascending (centroid_cosine, id) — numpy U-string comparison
+        # is code-point order = Spark's UTF8 byte order for the ids
+        order = np.lexsort((ids_key, cs))
+        pos = np.empty(m, dtype=np.int64)
+        pos[order] = np.arange(m)
+        dropped = np.zeros(m, dtype=bool)
+        blk = 2048
+        for s0 in range(0, m, blk):
+            s1 = min(s0 + blk, m)
+            C = X[s0:s1] @ X.T
+            C /= nrm[s0:s1, None] * nrm[None, :]
+            hit = (C >= threshold) & (pos[None, :] < pos[s0:s1, None])
+            dropped[s0:s1] |= hit.any(axis=1)
+        return pd.DataFrame({id_col: pd.Series(ids[dropped])})
+
+    return sel.groupBy(cell_col).applyInPandas(
+        per_cell, schema=f"`{id_col}` {id_type}"
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -564,6 +627,7 @@ def semantic_dedup(
     cell_col: str = "sem_cell",
     keep_col: str = "sem_keep",
     coarse: str = "auto",
+    pairs: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate pruning over an embedding column — the seventh
@@ -599,7 +663,27 @@ def semantic_dedup(
     join stage evaluates one dot product per candidate pair.  Returns
     ``df`` + cell/keep columns; zero-norm vectors never enter a pair
     (null cosine -> filtered) and are kept.
+
+    ``pairs`` picks the within-cell pair engine.  ``"sql"`` is the
+    cell equi-join above — exact, whole-stage-codegen, SQL-replicable
+    (the value-oracle mode), but each of the sum(cell²) candidate
+    rows MATERIALIZES both embedding arrays through the join (~0.5 KB
+    per candidate at dim 64: measured 175 s of a 178 s run at 100k
+    rows / 10k-vector cells).  ``"arrow"`` computes each cell's pair
+    cosines as blocked BLAS matmuls inside one ``applyInPandas``
+    group — the FAISS-style formulation; the keep ORDER still uses
+    the engine-computed (centroid_cosine, id) values shipped into the
+    group, so only the pair cosine itself is recomputed (float64
+    matmul vs the JVM's sequential fold — last-ulp differences matter
+    only for a pair EXACTLY at the threshold boundary).  ``"auto"``
+    (default) uses arrow above 64 lists — the same boundary as
+    ``coarse``, so the ≤64-list oracle regime stays byte-exact SQL
+    and the corpus regime gets the matmul path.
     """
+    if pairs not in ("auto", "sql", "arrow"):
+        raise ValueError(f"pairs must be auto|sql|arrow, got {pairs}")
+    if pairs == "auto":
+        pairs = "arrow" if n_lists > 64 else "sql"
     c_score = _fresh_name("_cscore", df.columns)
     c_norm = _fresh_name("_norm", df.columns)
     c_sim = _fresh_name("_csim", df.columns)
@@ -620,6 +704,15 @@ def semantic_dedup(
         .withColumn(c_sim, F.try_divide(F.col(c_score), F.col(c_norm)))
         .localCheckpoint(eager=True)
     )
+    if pairs == "arrow":
+        drops = _semdedup_drops_arrow(
+            b, vec_col, id_col, cell_col, c_sim, float(threshold)
+        )
+        return (
+            b.drop(c_norm, c_sim, c_score)
+            .join(drops.withColumn(keep_col, F.lit(False)), [id_col], "left")
+            .fillna({keep_col: True})
+        )
     l = b.select(
         F.col(id_col).alias("a_id"),
         F.col(vec_col).alias("_va"),
@@ -739,6 +832,7 @@ def hard_negatives(
         F.col(query_col),
         F.col(vec_col).alias("_qv"),
         "_qn",
+        # gen-ok: fixed-arity F.array constructor — size() folds
         F.explode(
             F.array(*[F.col("_qb").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("_hb"),
@@ -2092,6 +2186,7 @@ def bitext_mine(
                 F.col("_b0"),
                 *[F.col("_b0").bitwiseXOR(F.lit(1 << i)) for i in range(planes)],
             )
+            # gen-ok: fixed-arity F.array constructor — size() folds
             b = bb.withColumn("_bucket", F.explode(probes)).drop("_b0")
         else:
             b = bb.withColumnRenamed("_b0", "_bucket")

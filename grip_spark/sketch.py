@@ -74,6 +74,7 @@ def cm_build(
     )
     return (
         df.filter(key.isNotNull())
+        # gen-ok: fixed-arity F.array constructor — size() folds
         .select(F.explode(rows).alias("rb"), w.alias("_w"))
         .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
         .agg(F.sum("_w").alias("n"))
@@ -109,6 +110,7 @@ def cm_query(
     kdf = spark.createDataFrame([(k,) for k in keys], "key string")
     probes = kdf.select(
         "key",
+        # gen-ok: fixed-arity F.array constructor — size() folds
         F.explode(
             F.array(
                 *[
@@ -344,6 +346,7 @@ def bloom_build(
     )
     return (
         df.filter(key.isNotNull())
+        # gen-ok: fixed-arity F.array constructor — size() folds
         .select(F.explode(probes).alias("wm"))
         .groupBy(F.col("wm.word").alias("word"))
         .agg(F.bit_or(F.col("wm.mask")).alias("bits"))

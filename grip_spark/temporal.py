@@ -226,6 +226,7 @@ def _mean_width(df: DataFrame, s: str, e: str) -> float:
 def _explode_cells(df: DataFrame, s: str, e: str, bw) -> DataFrame:
     lo = F.floor(F.col(s).cast("double") / bw).cast("long")
     hi = F.floor(F.col(e).cast("double") / bw).cast("long")
+    # gen-ok: cheap sequence generator
     return df.withColumn("_cell", F.explode(F.sequence(lo, hi)))
 
 
@@ -338,10 +339,10 @@ def resample(
     )
     grid = span.select(
         *keys,
-        F.explode(
+        F.explode_outer(
             F.sequence(F.col("_lo"), F.col("_hi"), F.lit(int(every)))
         ).alias("_bucket"),
-    )
+    ).filter(F.col("_bucket").isNotNull())
     # null-safe on the keys: a NULL group key is its own series — a
     # plain equi-join would orphan its grid rows from its aggregates
     cond = F.col("g._bucket") == F.col("a._bucket")

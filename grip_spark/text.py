@@ -2724,7 +2724,8 @@ def learn_bpe(
     if scoring not in ("bpe", "wordpiece"):
         raise ValueError(f"scoring must be 'bpe' or 'wordpiece', got {scoring}")
     words = (
-        df.select(F.explode(_bpe_words(text_col, pre_tokenizer)).alias("__w"))
+        df.select(F.explode_outer(_bpe_words(text_col, pre_tokenizer)).alias("__w"))
+        .filter(F.col("__w").isNotNull())
         .groupBy("__w")
         .agg(F.count(F.lit(1)).alias("__n"))
     )
@@ -2740,8 +2741,8 @@ def learn_bpe(
             lambda a, b: F.struct(a.alias("a"), b.alias("b")),
         )
         pair_counts = (
-            cur.select(F.col("__n"), F.explode(pair_structs).alias("__p"))
-            .filter(F.col("__p.b").isNotNull())
+            cur.select(F.col("__n"), F.explode_outer(pair_structs).alias("__p"))
+            .filter(F.col("__p").isNotNull() & F.col("__p.b").isNotNull())
             .groupBy("__p")
             .agg(F.sum("__n").alias("__cnt"))
         )
@@ -2749,6 +2750,7 @@ def learn_bpe(
             # unit counts are alphabet+merges-sized: broadcast both
             # lookups into the pair table and rank by likelihood score
             sym = (
+                # gen-ok: bare column ref — inferred size(col)>0 has no recompute
                 cur.select(F.explode("__s").alias("__sym"), F.col("__n"))
                 .groupBy("__sym")
                 .agg(F.sum("__n").alias("__sn"))
@@ -2946,7 +2948,8 @@ def boilerplate_ngrams(
         raise ValueError("empty corpus")
     grams = word_shingles(text_col, n)
     counts = (
-        df.select(F.explode(grams).alias("ngram"))
+        df.select(F.explode_outer(grams).alias("ngram"))
+        .filter(F.col("ngram").isNotNull())
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(
@@ -3104,8 +3107,8 @@ def learn_unigram(
     spark = df.sparkSession
 
     words = (
-        df.select(F.explode(_bpe_words(text_col, pre_tokenizer)).alias("__w"))
-        .filter(F.col("__w") != "")
+        df.select(F.explode_outer(_bpe_words(text_col, pre_tokenizer)).alias("__w"))
+        .filter(F.col("__w").isNotNull() & (F.col("__w") != ""))
         .groupBy("__w")
         .agg(F.count(F.lit(1)).alias("__n"))
         .localCheckpoint(eager=True)
@@ -3126,7 +3129,8 @@ def learn_unigram(
         )
     )
     counts = (
-        words.select(F.col("__n"), F.explode(subs).alias("__p"))
+        words.select(F.col("__n"), F.explode_outer(subs).alias("__p"))
+        .filter(F.col("__p").isNotNull())
         .groupBy("__p")
         .agg(F.sum("__n").alias("__c"))
         .localCheckpoint(eager=True)
@@ -3350,7 +3354,8 @@ def dsir_model(
         grams = _dsir_grams(text_col, word_ngrams)
         rows = (
             df.filter(F.col(text_col).isNotNull())
-            .select(F.explode(grams).alias("_g"))
+            .select(F.explode_outer(grams).alias("_g"))
+            .filter(F.col("_g").isNotNull())
             .select(F.pmod(h(F.col("_g")), F.lit(n_buckets)).cast("int").alias("_b"))
             .groupBy("_b")
             .agg(F.count(F.lit(1)).alias("_n"))
@@ -3619,7 +3624,10 @@ def cluster_top_terms(
         raise ValueError(f"top must be > 0, got {top}")
     toks = F.filter(tokens(text_col), lambda t: t != "")
     tf = (
-        df.select(F.col(cluster_col).alias("cluster"), F.explode(toks).alias("term"))
+        df.select(
+            F.col(cluster_col).alias("cluster"), F.explode_outer(toks).alias("term")
+        )
+        .filter(F.col("term").isNotNull())
         .groupBy("cluster", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .filter(F.col("tf") >= F.lit(min_tf))
@@ -3951,12 +3959,12 @@ def corpus_ngram_diversity(
         tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != ""
     )
     g = df.select(
-        F.explode(
+        F.explode_outer(
             F.when(F.size(toks) >= n, _grams_of(toks, n)).otherwise(
                 F.array().cast("array<long>")
             )
         ).alias("_g")
-    )
+    ).filter(F.col("_g").isNotNull())
     distinct = (
         F.count_distinct("_g") if exact else F.approx_count_distinct("_g", rsd)
     )
@@ -4220,10 +4228,10 @@ def extract_links(
         F.lit(r"""(?i)\b(?:href|src)\s*=\s*["\']([^"\'<>\s]+)["\']"""),
         1,
     )
-    cols = [F.col(id_col), F.explode(raw).alias("_raw")]
+    cols = [F.col(id_col), F.explode_outer(raw).alias("_raw")]
     if base_url_col is not None:
         cols.append(url_host(F.col(base_url_col)).alias("_bh"))
-    out = df.select(*cols)
+    out = df.select(*cols).filter(F.col("_raw").isNotNull())
     u = F.col("_raw")
     root_rel = u.startswith("/") & ~u.startswith("//")
     if base_url_col is not None:
@@ -4406,7 +4414,9 @@ def doc_keywords(
     toks = F.filter(
         tokens(F.coalesce(F.col(text_col), F.lit(""))), lambda t: t != ""
     )
-    base = df.select(F.col(id_col), F.explode(toks).alias("_tok"))
+    base = df.select(F.col(id_col), F.explode_outer(toks).alias("_tok")).filter(
+        F.col("_tok").isNotNull()
+    )
     tf = base.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_n"))
     dl = tf.groupBy(id_col).agg(F.sum("_n").alias("_dl"))
     n_docs = df.select(id_col).distinct().count()
@@ -4741,12 +4751,14 @@ def word2phrase(
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     toks = tokens(F.col(text_col))
-    base = df.select(F.explode(toks).alias("_w"))
+    base = df.select(F.explode_outer(toks).alias("_w")).filter(
+        F.col("_w").isNotNull()
+    )
     uni = {r["_w"]: r["n"] for r in
            base.groupBy("_w").agg(F.count(F.lit(1)).alias("n"))
            .filter(F.col("n") >= min_count).collect()}
     big_df = df.select(
-        F.explode(
+        F.explode_outer(
             F.when(
                 F.size(toks) >= 2,
                 F.zip_with(
@@ -4756,7 +4768,7 @@ def word2phrase(
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("_bg")
-    )
+    ).filter(F.col("_bg").isNotNull())
     n_tokens = base.count()
     bigs = (
         big_df.groupBy("_bg").agg(F.count(F.lit(1)).alias("n"))

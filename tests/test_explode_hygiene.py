@@ -1,0 +1,43 @@
+"""Plain-explode hygiene: Spark 4.x's ``InferFiltersFromGenerate``
+duplicates a plain ``explode(EXPR)``'s generator expression into an
+inferred ``size(EXPR) > 0`` filter that sinks toward the scan — an
+expensive EXPR (tokenize, shingle, regex) is then evaluated twice per
+row (measured 8.5x on winnowing, see ``grip_spark/util.py``).  The
+repo-wide rule: every ``F.explode(`` / ``F.posexplode(`` call either
+uses the ``_outer`` + notnull rewrite (which the rule skips) or
+carries a ``# gen-ok: <reason>`` annotation within the two preceding
+lines certifying the generator is tax-free (fixed-arity ``F.array``
+constructors whose ``size()`` constant-folds, cheap ``sequence``
+ranges, bare column refs, bounded probe inputs).  This test fails on
+any unannotated plain explode, so the r10 class of regression cannot
+re-enter silently; the plan-fingerprint goldens
+(``test_plan_audit.py``) catch the same class at the plan level for
+the contract queries."""
+
+import re
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parent.parent
+FILES = (
+    sorted((PKG / "grip_spark").rglob("*.py"))
+    + [PKG / "__spark_entry__.py", PKG / "bench.py"]
+)
+
+PLAIN = re.compile(r"F\.(?:pos)?explode\(")
+
+
+def test_plain_explodes_annotated():
+    bad = []
+    for path in FILES:
+        lines = path.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if not PLAIN.search(line):
+                continue
+            window = "\n".join(lines[max(0, i - 2) : i + 1])
+            if "gen-ok:" not in window:
+                bad.append(f"{path.relative_to(PKG)}:{i + 1}: {line.strip()}")
+    assert not bad, (
+        "plain explode without a 'gen-ok:' annotation — convert to "
+        "explode_outer + notnull (see grip_spark/util.py) or annotate "
+        "with the tax-free argument:\n" + "\n".join(bad)
+    )

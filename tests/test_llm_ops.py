@@ -579,6 +579,53 @@ def test_semantic_dedup_python_oracle(spark):
         assert 1 <= len(kept) < 4
 
 
+def test_semantic_dedup_arrow_pairs_parity(spark):
+    """pairs='arrow' (blocked BLAS matmul per cell) must reproduce
+    pairs='sql' (the oracle equi-join) EXACTLY: same keep set, same
+    cells — on the real embeddings fixture, on a planted clump fixture
+    with a zero-norm vector (never pairs, always kept), and with
+    STRING ids (numpy U-string order must match Spark's UTF8 byte
+    order in the keep-order tie-break)."""
+    import random
+
+    from grip_spark import similarity
+
+    def both(df, **kw):
+        a = similarity.semantic_dedup(df, pairs="sql", **kw)
+        b = similarity.semantic_dedup(df, pairs="arrow", **kw)
+        ka = {(r[0], r[1], r[2]) for r in a.select("vec_id", "sem_cell", "sem_keep").collect()}
+        kb = {(r[0], r[1], r[2]) for r in b.select("vec_id", "sem_cell", "sem_keep").collect()}
+        return ka, kb
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    ka, kb = both(emb, vec_col="embedding", id_col="vec_id",
+                  n_lists=6, salt="ap", threshold=0.3)
+    assert ka == kb
+    assert any(not k for (_, _, k) in ka)  # threshold low enough to drop
+
+    rng = random.Random(11)
+    dim = 16
+    rows = []
+    vid = 0
+    for g in range(5):
+        b0 = [rng.gauss(0, 1) for _ in range(dim)]
+        for _ in range(3):
+            rows.append((vid, [float(x + rng.gauss(0, 0.01)) for x in b0]))
+            vid += 1
+    rows.append((vid, [0.0] * dim))  # zero-norm: kept, pairs with no one
+    zero_id = vid
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ka, kb = both(df, vec_col="embedding", id_col="vec_id",
+                  n_lists=3, salt="zp", threshold=0.95)
+    assert ka == kb
+    assert [k for (i, _, k) in ka if i == zero_id] == [True]
+
+    sdf = df.selectExpr("concat('id-', vec_id) AS vec_id", "embedding")
+    ka, kb = both(sdf, vec_col="embedding", id_col="vec_id",
+                  n_lists=3, salt="sp", threshold=0.95)
+    assert ka == kb
+
+
 def test_semantic_dedup_plan_no_cartesian(spark):
     """The within-cell pair stage must be an equi-join on the cell id,
     never a cartesian/broadcast-nested-loop product."""

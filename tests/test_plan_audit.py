@@ -1,14 +1,38 @@
 """Scale red-flag audit across the ENTIRE driver contract: every
 queries() entry must compile to a plan free of cartesian products,
-broadcast nested-loop joins, and row-at-a-time Python UDFs (Arrow
+broadcast nested-loop joins, row-at-a-time Python UDFs (Arrow
 mapInPandas stages are allowed — they are the sanctioned batch
-crossing).  Driver-loop queries (mark/jump BFS) execute their rounds
-while building; sf0.001 keeps that cheap."""
+crossing), and UNPARTITIONED window operators (a global window is a
+SinglePartition exchange — one task sorts the world; the named
+allow-list below carries the boundedness argument for each sanctioned
+site).  Driver-loop queries (mark/jump BFS) execute their rounds
+while building; sf0.001 keeps that cheap.
+
+Plan-fingerprint goldens: beyond the categorical red flags, every
+contract query's physical plan is pinned to a normalized fingerprint
+(operator multiset + per-scan DataFilters/PushedFilters/ReadSchema
+text with expr-ids and paths stripped) in ``plan_goldens.json``.  An
+optimizer regression that changes plan SHAPE without changing results
+— the r10 ``InferFiltersFromGenerate`` tax (a plain ``explode`` gets
+its generator expression duplicated into the scan's DataFilters and
+evaluated twice per row) sat undetected for rounds because results
+stayed correct — now fails the suite at the first changed plan.
+Regenerate after a DELIBERATE plan change with:
+
+    REGEN_PLAN_GOLDENS=1 python -m pytest tests/test_plan_audit.py \
+        -k fingerprints -q
+
+and review the golden diff like source."""
+
+import json
+import os
+import re
 
 import pytest
 
 
 SF_DIR = "/root/testdata/sf0.001"
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "plan_goldens.json")
 
 RED_FLAGS = (
     "CartesianProduct",
@@ -24,11 +48,114 @@ RED_FLAGS = (
 # not a regression
 ALLOW = {"sim_topk_ops": {"BroadcastNestedLoopJoin", "CartesianProduct"}}
 
+# Unpartitioned WindowExec allow-list — each entry must carry the
+# boundedness argument for why one task sorting the whole input is
+# fine AT ANY SCALE (the input is not corpus-sized by construction).
+# The fingerprint goldens below additionally pin the EXACT count of
+# unpartitioned windows per slot, so a new site inside an allow-listed
+# slot still fails the suite.
+#   search_ops — rrf_fuse's per-source rank runs over the UNION OF
+#     TOP-K RETRIEVAL LISTS (precondition documented on rrf_fuse:
+#     inputs are already-truncated top-k outputs, O(sources × k) rows);
+#     bm25/phrase/hybrid score-rank windows run over per-query
+#     candidate sets bounded the same way.
+#   ivf_cells — the entry query ranks the PROBE SET: nprobe × cell
+#     rows for one query vector, bounded by the probe budget.
+#   agg_matrix / mapped_graph_hop / rdf_graph_hop — the term-agg
+#     MAX_TERMS guard (compile/planner.py:1045): count(1) OVER () on
+#     POST-AGGREGATION per-term counts, whose size the guard itself
+#     caps at 100k tiny rows (beyond that the query is DEFINED to
+#     raise, matching the reference's maxTerms error).
+WINDOW_ALLOW = {
+    "search_ops",
+    "ivf_cells",
+    "agg_matrix",
+    "mapped_graph_hop",
+    "rdf_graph_hop",
+}
+
+_WINDOW_NODES = ("Window", "WindowGroupLimit", "WindowInPandas")
+
 
 def _queries():
     import __spark_entry__ as entry
 
     return sorted(entry.queries().items())
+
+
+def _walk(node):
+    """Physical-plan tree walk via py4j, descending through the AQE
+    wrapper (AdaptiveSparkPlanExec is a leaf whose current plan hangs
+    off .executedPlan(), not .children())."""
+    yield node
+    if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        yield from _walk(node.executedPlan())
+        return
+    ch = node.children()
+    for i in range(ch.length()):
+        yield from _walk(ch.apply(i))
+
+
+def _unpartitioned_windows(jplan):
+    return sum(
+        1
+        for n in _walk(jplan)
+        if n.nodeName().strip() in _WINDOW_NODES
+        and n.partitionSpec().isEmpty()
+    )
+
+
+_EXPR_ID = re.compile(r"#\d+L?")
+_PLAN_ID = re.compile(r"\[plan_id=\d+\]")
+_PATH = re.compile(r"(file|hdfs|s3a?|gs):[^\s\],]*")
+# lambda variables print as x_<N>/y_<N>/z_<N> where N is a
+# SESSION-GLOBAL counter — order-dependent across test runs
+_LAMBDA_VAR = re.compile(r"\b([xyz])_\d+\b")
+
+
+def _norm_scan(s: str) -> str:
+    """Normalize a scan node's one-line description: strip expr-ids,
+    plan-ids, and lambda-variable counters, reduce file paths to
+    basenames (goldens must not pin the test host's directory layout
+    or how many plans the session built before)."""
+    s = _EXPR_ID.sub("", s)
+    s = _PLAN_ID.sub("", s)
+    s = _LAMBDA_VAR.sub(r"\1_", s)
+    s = _PATH.sub(lambda m: m.group(0).rstrip("/").rsplit("/", 1)[-1], s)
+    return " ".join(s.split())
+
+
+def _fingerprint(df) -> dict:
+    """Normalized plan fingerprint: operator-name multiset + sorted
+    normalized scan descriptions (DataFilters / PushedFilters /
+    ReadSchema live in the scan text — a filter that stops reaching
+    the parquet scan, or a generator expression duplicated INTO the
+    scan, changes this string) + the unpartitioned-window count.
+
+    Metadata truncation must be OFF while rendering: the default
+    ~100-char `spark.sql.maxMetadataStringLength` cuts scan strings at
+    a RAW offset, and expr-id digit counts vary with how many plans
+    the session built before (`#123` vs `#4567`), so the truncation
+    point — and therefore the normalized string — would drift with
+    test ordering."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    jplan = df._jdf.queryExecution().executedPlan()
+    ops: dict = {}
+    scans = []
+    unpart = 0
+    for n in _walk(jplan):
+        name = n.nodeName().strip()
+        ops[name] = ops.get(name, 0) + 1
+        if name.startswith("Scan") or name == "InMemoryTableScan":
+            scans.append(_norm_scan(n.simpleString(100)))
+        if name in _WINDOW_NODES and n.partitionSpec().isEmpty():
+            unpart += 1
+    return {
+        "ops": dict(sorted(ops.items())),
+        "scans": sorted(scans),
+        "unpartitioned_windows": unpart,
+    }
 
 
 @pytest.fixture(scope="module", autouse=True)
@@ -52,3 +179,58 @@ def test_no_scale_red_flags(spark, name, fn):
         if flag in ALLOW.get(name, ()):
             continue
         assert flag not in plan, f"{name}: {flag} in plan\n{plan[:4000]}"
+    if name not in WINDOW_ALLOW:
+        n_unpart = _unpartitioned_windows(df._jdf.queryExecution().executedPlan())
+        assert n_unpart == 0, (
+            f"{name}: {n_unpart} unpartitioned Window operator(s) — a "
+            f"SinglePartition sort of the whole input; partition the "
+            f"window or add a WINDOW_ALLOW entry WITH a boundedness "
+            f"argument\n{plan[:4000]}"
+        )
+
+
+def test_plan_fingerprints(spark):
+    """All 50 contract plans vs the goldens, in one test: caches are
+    cleared first and queries built in sorted-name order, so the
+    cache-state-dependent plan shapes (InMemoryTableScan vs file scan)
+    are reproducible regardless of which tests ran before."""
+    import grip_spark.tpch as tpch
+
+    tpch._CACHE.clear()
+    spark.catalog.clearCache()
+    fps = {name: _fingerprint(fn(spark, SF_DIR)) for name, fn in _queries()}
+
+    if os.environ.get("REGEN_PLAN_GOLDENS"):
+        with open(GOLDEN_PATH, "w") as f:
+            json.dump(fps, f, indent=1, sort_keys=True)
+        print(f"\nwrote {len(fps)} plan goldens to {GOLDEN_PATH}")
+        return
+
+    assert os.path.exists(GOLDEN_PATH), (
+        f"missing {GOLDEN_PATH} — run REGEN_PLAN_GOLDENS=1 pytest "
+        f"tests/test_plan_audit.py -k fingerprints"
+    )
+    with open(GOLDEN_PATH) as f:
+        golden = json.load(f)
+
+    diffs = []
+    for name in sorted(set(fps) | set(golden)):
+        if name not in golden:
+            diffs.append(f"{name}: NEW query, no golden (regen to add)")
+            continue
+        if name not in fps:
+            diffs.append(f"{name}: golden exists but query is gone")
+            continue
+        g, got = golden[name], fps[name]
+        if g == got:
+            continue
+        for field in ("ops", "scans", "unpartitioned_windows"):
+            if g[field] != got[field]:
+                diffs.append(
+                    f"{name}.{field}:\n  golden: {g[field]}\n  got:    "
+                    f"{got[field]}"
+                )
+    assert not diffs, (
+        "plan fingerprint drift (review like source; regen ONLY for "
+        "deliberate plan changes):\n" + "\n".join(diffs)
+    )

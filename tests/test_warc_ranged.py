@@ -105,6 +105,40 @@ def test_ranged_rejects_tiny_split(spark, tmp_path):
         read_warc_ranged(spark, str(tmp_path), split_bytes=1024)
 
 
+@pytest.mark.parametrize("gz", [True, False])
+def test_ranged_pyarrow_filesystem(spark, tmp_path, gz):
+    """Object-store path: an explicit pyarrow filesystem with
+    SUBTREE-RELATIVE paths (which do not exist relative to any worker
+    cwd, so a stray local ``open()`` would fail) must match the
+    whole-file reader — listing, split resync, and ranged reads all go
+    through the fs API."""
+    from pyarrow import fs as pafs
+
+    p = tmp_path / ("fs.warc.gz" if gz else "fs.warc")
+    _build_archive(p, n=400, gz=gz)
+    shim = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    whole = {
+        (r.record_id, r.n_bytes)
+        for r in read_warc(spark, str(tmp_path)).collect()
+    }
+    ranged = [
+        (r.record_id, r.n_bytes)
+        for r in read_warc_ranged(
+            spark, ".", split_bytes=MB, filesystem=shim
+        ).collect()
+    ]
+    assert len(ranged) == 400
+    assert set(ranged) == whole
+
+
+def test_ranged_fs_missing_path(spark, tmp_path):
+    from pyarrow import fs as pafs
+
+    shim = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    with pytest.raises(FileNotFoundError):
+        read_warc_ranged(spark, "nope", filesystem=shim)
+
+
 def test_plain_split_every_boundary_exactly_once():
     """Exhaustive two-split sweep over EVERY byte boundary of a plain
     archive: each record must be emitted exactly once.  Regression for

@@ -1,0 +1,130 @@
+"""End-to-end SemDeDup probe at corpus sizing (r11, VERDICT r10 ask
+#2): the r10 A/B isolated the COARSE ASSIGNMENT at 200k vectors; this
+probe runs similarity.semantic_dedup END-TO-END at the documented
+``n_lists ~ rows / 1e4`` sizing (cells hold ~1e4 vectors — the
+SemDeDup paper's own regime, arXiv:2303.09540 §3) over synthetic
+corpora up to 2M vectors, recording stage-decomposed timings and the
+rows-ratio curve.  With n_lists scaled with rows, the in-cell pair
+term is ``n_lists x (1e4)^2`` = LINEAR in rows, and hier assignment
+is ``O(sqrt(n_lists))`` per row — so hier end-to-end should scale
+~linearly while flat assignment alone grows ``rows x n_lists`` =
+quadratically.
+
+Synthetic corpus: 64-dim vectors generated distributively from
+xxhash64 expressions (no driver materialization, no RNG — pure
+function of the row id); every 97th row duplicates its predecessor's
+vector exactly, so the dedup tail end (cosine filter + drops join) is
+exercised with a known ~1% duplicate rate.
+
+Usage: python tools/semdedup_probe.py [rows ...]   (default:
+500000 1000000 2000000; flat A/B runs at the largest size only).
+Prints one JSON line per measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def make_vectors(spark, rows: int):
+    from pyspark.sql import functions as F
+
+    base = spark.range(rows).withColumnRenamed("id", "vec_id")
+    seed = F.when(
+        (F.col("vec_id") % 97 == 0) & (F.col("vec_id") > 0),
+        F.col("vec_id") - 1,
+    ).otherwise(F.col("vec_id"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda d: (
+            (F.pmod(F.xxhash64(F.lit("sdp"), seed, d), F.lit(2001)) - 1000)
+            / 1000.0
+        ).cast("float"),
+    )
+    return base.withColumn("embedding", vec)
+
+
+def run_one(spark, rows: int, coarse: str, pairs: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from grip_spark import similarity
+
+    n_lists = max(8, rows // 10_000)
+    df = make_vectors(spark, rows).localCheckpoint(eager=True)
+
+    t0 = time.time()
+    indexed, _ = similarity.ivf_index_seeded(
+        df, "embedding", "vec_id", n_lists=n_lists, salt="semdedup",
+        coarse=coarse,
+    )
+    n_assigned = indexed.count()
+    t_assign = time.time() - t0
+
+    t1 = time.time()
+    out = similarity.semantic_dedup(
+        df, "embedding", "vec_id", n_lists=n_lists, threshold=0.95,
+        coarse=coarse, pairs=pairs,
+    )
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("sem_keep").cast("long")).alias("kept"),
+    ).collect()[0]
+    t_e2e = time.time() - t1
+    rec = {
+        "rows": rows,
+        "n_lists": n_lists,
+        "coarse": coarse,
+        "pairs": pairs,
+        "assign_sec": round(t_assign, 1),
+        "e2e_sec": round(t_e2e, 1),
+        "pair_term_sec": round(t_e2e - t_assign, 1),
+        "assigned": n_assigned,
+        "kept": int(agg["kept"]),
+        "dropped": int(agg["n"] - agg["kept"]),
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    sizes = [int(a) for a in sys.argv[1:]] or [500_000, 1_000_000, 2_000_000]
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS * 2, 64)))
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # the rows-ratio curve: hier assignment + arrow pair engine (the
+    # >64-list auto defaults at corpus sizing)
+    recs = [run_one(spark, r, "auto", "arrow") for r in sizes]
+    if len(recs) >= 2:
+        a, b = recs[0], recs[-1]
+        ratio_rows = b["rows"] / a["rows"]
+        ratio_time = b["e2e_sec"] / max(a["e2e_sec"], 1e-9)
+        print(json.dumps({
+            "curve": "hier+arrow e2e", "rows_ratio": ratio_rows,
+            "time_ratio": round(ratio_time, 2),
+            "linear_if_close_to": ratio_rows,
+        }), flush=True)
+    # pair-engine A/B at the smallest size (sql at 2M would be ~1 h:
+    # sum(cell^2) rows each materializing two 64-float arrays)
+    run_one(spark, sizes[0], "auto", "sql")
+    # flat-vs-hier assignment A/B at the largest size: the quadratic
+    # rows x n_lists term the two-level mode removes
+    run_one(spark, sizes[-1], "flat", "arrow")
+
+
+if __name__ == "__main__":
+    main()
