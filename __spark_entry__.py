@@ -1323,8 +1323,11 @@ def q_bitext_mine(spark, sf_dir):
       distribution, which made the sf1 sweep row vacuous), so the
       large-SF sweep value-checks real rows.
 
-    Scores rounded to 6dp."""
-    emb = _emb(spark, sf_dir)
+    Scores rounded to 6dp.  CONTRACT_SAMPLE=K (sf1-sweep knob): md5
+    1/K vector subset on both engines — the ORACLE's bucketed join +
+    per-pair list_dot_product is the quadratic cost (~200M candidate
+    pairs at sf1), the engine side is the fast JVM join."""
+    emb = _sample_emb_keep0(_emb(spark, sf_dir))
     base = similarity.bitext_mine(
         emb.filter(F.col("vec_id") % 2 == 0),
         emb.filter(F.col("vec_id") % 2 == 1),
@@ -4006,7 +4009,7 @@ def oracle_sql() -> dict[str, str]:
                 "FROM documents",
                 f"FROM (SELECT * FROM documents WHERE {docs_pred})",
             )
-        for slot in ("sim_topk_ops", "semantic_dedup"):
+        for slot in ("sim_topk_ops", "semantic_dedup", "bitext_mine"):
             _must_replace(
                 slot,
                 "FROM embeddings",

@@ -561,59 +561,144 @@ def _semdedup_drops_arrow(
     cell_col: str,
     sim_col: str,
     threshold: float,
+    block_rows: int = 10_000,
 ) -> DataFrame:
-    """Within-cell SemDeDup drop set via blocked BLAS matmul — one
-    Arrow ``applyInPandas`` group per cell (the FAISS formulation of
-    the paper's step 2/3).  The SQL pair join materializes both
-    embedding arrays into every sum(cell²) candidate row; here each
-    cell computes its cosine matrix in ``blk x cell`` float64 blocks
-    (memory O(blk·cell), never cell²) and marks a row dropped iff a
-    same-cell neighbor with cosine >= threshold PRECEDES it in the
-    engine's keep order.  The keep order uses the (centroid_cosine,
-    id) values COMPUTED BY THE ENGINE and shipped into the group —
-    only the pair cosine is recomputed (float64 matmul; differs from
-    the JVM sequential fold only in last-ulp, which matters only for
-    a pair exactly at the threshold boundary).  Zero-norm vectors
-    (NULL centroid cosine) never enter a pair and are kept, matching
-    the SQL path.  Per-task memory is O(cell · dim) for the cell's
-    matrix — the ``n_lists ~ rows/1e4`` sizing keeps that ~5 MB at
-    dim 64."""
+    """Within-cell SemDeDup drop set via blocked BLAS matmul over
+    Arrow ``applyInPandas`` groups — the FAISS formulation of the
+    paper's step 2/3.  The SQL pair join materializes both embedding
+    arrays into every sum(cell²) candidate row; here pair cosines are
+    float64 matmuls, and the keep rule compares the engine-computed
+    (centroid_cosine, id) keys directly (no recomputation), so a row
+    is dropped iff a same-cell neighbor with cosine >= threshold has
+    a strictly smaller key — exactly the SQL path (last-ulp matmul
+    differences matter only for a pair exactly at the threshold
+    boundary).  Zero-norm vectors (NULL centroid cosine) never enter
+    a pair and are kept.
+
+    SKEW-PROOF task shape: a cell bigger than ``block_rows`` is NOT
+    one task — its O(cell²) matmul on one core would be the stage's
+    straggler (measured: a hier-assigned 80k-row cell made the whole
+    stage 2.6x slower than balanced cells at 2M rows).  Each cell's
+    rows hash into ``ceil(cell / block_rows)`` blocks and every
+    unordered BLOCK PAIR (i <= j) becomes its own group: task (i, j)
+    scores only block-i x block-j pairs (rectangular matmul; i == j
+    scores within-block), so per-task work is bounded by block_rows²
+    and per-task memory by O(block_rows · dim) regardless of cell
+    skew.  Row replication is ceil(cell / block_rows) — corpus-sized
+    total, sum(cell²)/block_rows.  Dropped ids are OR'd across a
+    row's tasks by the final distinct — pair coverage is exactly the
+    within-cell pair set, nothing lost to the split."""
+    import math
+
     import pandas as pd  # noqa: F401 — worker-side
 
     id_type = dict(b.dtypes)[id_col]
     sel = b.select(cell_col, id_col, vec_col, sim_col)
+    # cell sizes -> block counts: one row per cell (<= n_lists),
+    # driver-safe, broadcast back onto the rows
+    sizes = sel.groupBy(cell_col).count().collect()
+    spark = b.sparkSession
+    nblk_df = spark.createDataFrame(
+        [(r[0], int(math.ceil(r[1] / block_rows))) for r in sizes],
+        f"`{cell_col}` {dict(b.dtypes)[cell_col]}, `_nblk` int",
+    )
+    withblk = (
+        sel.join(F.broadcast(nblk_df), [cell_col])
+        .withColumn(
+            "_blk",
+            F.pmod(F.xxhash64(F.lit("semblk"), F.col(id_col)), F.col("_nblk")).cast(
+                "int"
+            ),
+        )
+        .withColumn(
+            # gen-ok: cheap sequence over the per-cell block count
+            "_k",
+            F.explode(F.sequence(F.lit(0), F.col("_nblk") - 1)),
+        )
+        .select(
+            cell_col,
+            id_col,
+            vec_col,
+            sim_col,
+            "_blk",
+            # a row in block b joins task (min(b,k), max(b,k)) for
+            # every k — nblk DISTINCT unordered pairs per row, so no
+            # dedup shuffle is needed
+            F.least("_blk", "_k").alias("_bi"),
+            F.greatest("_blk", "_k").alias("_bj"),
+        )
+    )
 
-    def per_cell(pdf):
+    def per_task(pdf):
+        import os
+
+        # one BLAS thread per task: Spark already runs one python
+        # worker per core, so letting OpenBLAS spawn nproc threads in
+        # EACH worker oversubscribes cores² and the matmul wall stops
+        # tracking flops (best-effort — only binds before the
+        # worker's first numpy import; set OPENBLAS_NUM_THREADS=1 in
+        # the executor env for a hard guarantee)
+        os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+        os.environ.setdefault("OMP_NUM_THREADS", "1")
         import numpy as np
         import pandas as pd
 
         csim = pdf[sim_col].to_numpy(dtype="float64", na_value=np.nan)
         sub = pdf[~np.isnan(csim)]
-        m = len(sub)
-        if m < 2:
+        if len(sub) < 2:
             return pd.DataFrame({id_col: pdf[id_col][:0]})
+        bi = int(sub["_bi"].iloc[0])
+        bj = int(sub["_bj"].iloc[0])
+        blkcol = sub["_blk"].to_numpy()
+        cs = csim[~np.isnan(csim)]
         X = np.stack(sub[vec_col].to_numpy()).astype(np.float64)
         nrm = np.linalg.norm(X, axis=1)
         ids = sub[id_col].to_numpy()
         ids_key = ids.astype(str) if ids.dtype == object else ids
-        cs = csim[~np.isnan(csim)]
-        # ascending (centroid_cosine, id) — numpy U-string comparison
-        # is code-point order = Spark's UTF8 byte order for the ids
-        order = np.lexsort((ids_key, cs))
-        pos = np.empty(m, dtype=np.int64)
-        pos[order] = np.arange(m)
-        dropped = np.zeros(m, dtype=bool)
-        blk = 2048
-        for s0 in range(0, m, blk):
-            s1 = min(s0 + blk, m)
-            C = X[s0:s1] @ X.T
-            C /= nrm[s0:s1, None] * nrm[None, :]
-            hit = (C >= threshold) & (pos[None, :] < pos[s0:s1, None])
-            dropped[s0:s1] |= hit.any(axis=1)
-        return pd.DataFrame({id_col: pd.Series(ids[dropped])})
 
-    return sel.groupBy(cell_col).applyInPandas(
-        per_cell, schema=f"`{id_col}` {id_type}"
+        def drops(li, ri):
+            # rows of li dropped by neighbors in ri: cosine >= thr AND
+            # the neighbor's (csim, id) key is strictly smaller —
+            # numpy U-string order = Spark UTF8 byte order
+            out = np.zeros(len(li), dtype=bool)
+            if len(li) == 0 or len(ri) == 0:
+                return out
+            XL, XR = X[li], X[ri]
+            nL, nR = nrm[li], nrm[ri]
+            csL, csR = cs[li], cs[ri]
+            kL, kR = ids_key[li], ids_key[ri]
+            idL, idR = ids[li], ids[ri]
+            blk = 2048
+            for s0 in range(0, len(li), blk):
+                s1 = min(s0 + blk, len(li))
+                C = XL[s0:s1] @ XR.T
+                C /= nL[s0:s1, None] * nR[None, :]
+                smaller = (csR[None, :] < csL[s0:s1, None]) | (
+                    (csR[None, :] == csL[s0:s1, None])
+                    & (kR[None, :] < kL[s0:s1, None])
+                )
+                # self-pair guard (i == j tasks): same id never drops
+                notself = idR[None, :] != idL[s0:s1, None]
+                out[s0:s1] |= ((C >= threshold) & smaller & notself).any(
+                    axis=1
+                )
+            return out
+
+        if bi == bj:
+            li = np.arange(len(sub))
+            dropped = drops(li, li)
+            return pd.DataFrame({id_col: pd.Series(ids[dropped])})
+        li = np.flatnonzero(blkcol == bi)
+        ri = np.flatnonzero(blkcol == bj)
+        dl = drops(li, ri)
+        dr = drops(ri, li)
+        out = np.concatenate([ids[li][dl], ids[ri][dr]])
+        return pd.DataFrame({id_col: pd.Series(out)})
+
+    return (
+        withblk.groupBy(cell_col, "_bi", "_bj")
+        .applyInPandas(per_task, schema=f"`{id_col}` {id_type}")
+        .distinct()
     )
 
 
@@ -628,6 +713,7 @@ def semantic_dedup(
     keep_col: str = "sem_keep",
     coarse: str = "auto",
     pairs: str = "auto",
+    pairs_block_rows: int = 10_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate pruning over an embedding column — the seventh
@@ -678,7 +764,11 @@ def semantic_dedup(
     only for a pair EXACTLY at the threshold boundary).  ``"auto"``
     (default) uses arrow above 64 lists — the same boundary as
     ``coarse``, so the ≤64-list oracle regime stays byte-exact SQL
-    and the corpus regime gets the matmul path.
+    and the corpus regime gets the matmul path.  ``pairs_block_rows``
+    bounds per-task work in arrow mode: cells larger than it split
+    into block-PAIR tasks (see :func:`_semdedup_drops_arrow`), so a
+    skew-inflated cell cannot become the stage's single-core
+    straggler — identical drop semantics, bounded task size.
     """
     if pairs not in ("auto", "sql", "arrow"):
         raise ValueError(f"pairs must be auto|sql|arrow, got {pairs}")
@@ -706,7 +796,8 @@ def semantic_dedup(
     )
     if pairs == "arrow":
         drops = _semdedup_drops_arrow(
-            b, vec_col, id_col, cell_col, c_sim, float(threshold)
+            b, vec_col, id_col, cell_col, c_sim, float(threshold),
+            block_rows=int(pairs_block_rows),
         )
         return (
             b.drop(c_norm, c_sim, c_score)

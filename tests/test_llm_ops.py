@@ -625,6 +625,22 @@ def test_semantic_dedup_arrow_pairs_parity(spark):
                   n_lists=3, salt="sp", threshold=0.95)
     assert ka == kb
 
+    # multi-block path: block size 40 forces every fixture cell into
+    # several block-PAIR tasks (rectangular + diagonal) — the split
+    # must not lose or duplicate any within-cell pair
+    a = similarity.semantic_dedup(
+        emb, "embedding", "vec_id", n_lists=2, salt="bk", threshold=0.3,
+        pairs="sql",
+    )
+    b = similarity.semantic_dedup(
+        emb, "embedding", "vec_id", n_lists=2, salt="bk", threshold=0.3,
+        pairs="arrow", pairs_block_rows=40,
+    )
+    ka = {tuple(r) for r in a.select("vec_id", "sem_cell", "sem_keep").collect()}
+    kb = {tuple(r) for r in b.select("vec_id", "sem_cell", "sem_keep").collect()}
+    assert ka == kb
+    assert any(not k for (_, _, k) in ka)
+
 
 def test_semantic_dedup_plan_no_cartesian(spark):
     """The within-cell pair stage must be an equi-join on the cell id,

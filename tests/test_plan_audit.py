@@ -17,6 +17,12 @@ optimizer regression that changes plan SHAPE without changing results
 its generator expression duplicated into the scan's DataFilters and
 evaluated twice per row) sat undetected for rounds because results
 stayed correct — now fails the suite at the first changed plan.
+Verified live: reintroducing a plain explode at the winnowing site
+flips ``winnow_overlap``'s scan DataFilters and fails this test; a
+site shielded by a checkpoint/exchange (the minhash shingles behind
+``_rebalance``) keeps the same operator multiset — that class is
+caught by ``test_explode_hygiene``'s annotation grep instead (the
+two guards are deliberately complementary).
 Regenerate after a DELIBERATE plan change with:
 
     REGEN_PLAN_GOLDENS=1 python -m pytest tests/test_plan_audit.py \

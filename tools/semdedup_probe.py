@@ -19,6 +19,19 @@ exercised with a known ~1% duplicate rate.
 Usage: python tools/semdedup_probe.py [rows ...]   (default:
 500000 1000000 2000000; flat A/B runs at the largest size only).
 Prints one JSON line per measurement.
+
+What the first run of this probe found (r11, BASELINE rows):
+
+- the sql pair engine's cost is ROW MATERIALIZATION, not math — each
+  sum(cell²) candidate row carries both 64-float arrays through the
+  join (500k rows: sql 694 s vs arrow 134 s end-to-end);
+- hier coarse assignment wins its own stage 4.9x at 2M/200 lists
+  (38 s vs 186 s flat — and a bare count() silently column-prunes
+  the assignment, hence the groupBy in run_one), BUT its approximate
+  argmax skews cells (top cell 80,750 vs the 10k target, sum(cell²)
+  2.55x balanced) and the O(cell²) hot-cell task became the pair
+  stage's single-core straggler — hier LOST end-to-end until the
+  pair engine went skew-proof (block-pair tasks, pairs_block_rows).
 """
 
 from __future__ import annotations
@@ -64,7 +77,12 @@ def run_one(spark, rows: int, coarse: str, pairs: str) -> dict:
         df, "embedding", "vec_id", n_lists=n_lists, salt="semdedup",
         coarse=coarse,
     )
-    n_assigned = indexed.count()
+    # groupBy the CELL column: a bare count() lets Catalyst prune the
+    # assignment expression entirely (measured: "14 s" for a 186 s
+    # flat assignment) — aggregate on the assigned column to force it
+    n_assigned = indexed.groupBy("ivf_list").count().agg(
+        F.sum("count")
+    ).collect()[0][0]
     t_assign = time.time() - t0
 
     t1 = time.time()
