@@ -3013,17 +3013,21 @@ def _mtld_total_sql(f: str, seen: str, cnt: str) -> str:
 
 
 _LEX_SQL = (
-    f"WITH RECURSIVE t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents), "
+    # t/mk/mn MATERIALIZED: the recursive CTE below references them
+    # every iteration — inlined, DuckDB would re-tokenize the whole
+    # corpus per recursion step (~100+ times at sf1)
+    f"WITH RECURSIVE t AS MATERIALIZED (SELECT doc_id, {_TOKENS} AS toks "
+    "FROM documents), "
     "c AS (SELECT doc_id, tok, count(*) AS c FROM "
     "(SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok), "
     "a AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n, "
     "CAST(sum(c * c) AS DOUBLE) AS m2, count(*) AS v FROM c GROUP BY doc_id), "
     # one (doc, dir, pos, tok) row per token per direction
-    "mk AS (SELECT doc_id, 'f' AS dir, "
+    "mk AS MATERIALIZED (SELECT doc_id, 'f' AS dir, "
     "unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS tok FROM t "
     "UNION ALL SELECT doc_id, 'b', unnest(range(1, len(toks) + 1)), "
     "unnest(list_reverse(toks)) FROM t), "
-    "mn AS (SELECT doc_id, len(toks) AS n FROM t), "
+    "mn AS MATERIALIZED (SELECT doc_id, len(toks) AS n FROM t), "
     "ms AS (SELECT doc_id, dir, 0 AS pos, CAST(0.0 AS DOUBLE) AS f, "
     "CAST([] AS VARCHAR[]) AS seen, 0 AS cnt "
     "FROM mn CROSS JOIN (SELECT unnest(['f', 'b']) AS dir) WHERE n > 0 "
