@@ -4574,6 +4574,14 @@ def lexical_diversity(
     """
     if not 0.0 < mtld_threshold < 1.0:
         raise ValueError(f"mtld_threshold must be in (0,1), got {mtld_threshold}")
+    from .dedup import _rebalance
+
+    # the MTLD fold is the one expensive term here — O(factor²) array
+    # ops per doc when types rarely repeat (seen-list grows to the
+    # doc) — and a single-file corpus arrives as 1-2 scan splits that
+    # would pin 50k docs' folds to as many cores (measured: a 2-task
+    # stage held the sf1 sweep's doc_text_profile slot for 25+ min)
+    df = _rebalance(df)
     toks = tokens(F.col(text_col))
     n = F.size(toks)
 
