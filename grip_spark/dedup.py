@@ -994,8 +994,14 @@ def ngram_jaccard_pairs(
     intersections → Jaccard.  Quadratic only within a shingle's
     posting list — fine as a verifier / small-scale oracle; use
     minhash_lsh_pairs as the scale path.
+
+    Rebalanced up front: when the posting join's build side fits a
+    broadcast there is NO shuffle anywhere in the plan, so the
+    sum(freq²) pair enumeration would run at the raw scan's split
+    count (measured: a single-file 7k-doc input = 2 tasks grinding
+    the whole intersection count — the sf1 sweep's slowest stage).
     """
-    sh = df.select(
+    sh = _rebalance(df).select(
         F.col(id_col).alias("_id"),
         F.explode_outer(char_shingles(text_col, n)).alias("g"),
     ).filter(F.col("g").isNotNull())
