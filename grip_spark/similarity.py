@@ -593,6 +593,17 @@ def _semdedup_drops_arrow(
     import pandas as pd  # noqa: F401 — worker-side
 
     id_type = dict(b.dtypes)[id_col]
+    if id_type != "string" and id_type not in (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    ):
+        # the keep-order key falls back to ids.astype(str) for object
+        # dtype, which matches Spark ordering ONLY for strings (numpy
+        # UCS order == UTF8 byte order); decimal/binary/date ids would
+        # silently flip which duplicate is kept vs the sql path
+        raise TypeError(
+            f"semantic_dedup(pairs='arrow') supports string or numeric"
+            f" id columns; {id_col!r} is {id_type} — use pairs='sql'"
+        )
     sel = b.select(cell_col, id_col, vec_col, sim_col)
     # cell sizes -> block counts: one row per cell (<= n_lists),
     # driver-safe, broadcast back onto the rows

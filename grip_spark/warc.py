@@ -350,11 +350,23 @@ def _fs_list_warcs(fs, path: str) -> list:
         infos = fs.get_file_info(pafs.FileSelector(path, recursive=True))
     else:
         raise FileNotFoundError(f"read_warc_ranged: no such path {path!r}")
-    out = [
-        (i.path, int(i.size))
-        for i in infos
-        if i.type == pafs.FileType.File and re.search(r"\.warc(\.gz)?$", i.path)
-    ]
+    out = []
+    for i in infos:
+        if i.type != pafs.FileType.File or not re.search(r"\.warc(\.gz)?$", i.path):
+            continue
+        size = i.size
+        if size is None:
+            # fsspec-wrapped filesystems may omit size from listings;
+            # fall back to opening the file for its length (one extra
+            # driver-side metadata call per such archive)
+            with fs.open_input_file(i.path) as fh:
+                size = fh.size()
+        if size is None:
+            raise ValueError(
+                f"read_warc_ranged: filesystem reports no size for {i.path!r}"
+                " — ranged splitting needs file lengths"
+            )
+        out.append((i.path, int(size)))
     if not out:
         raise FileNotFoundError(
             f"read_warc_ranged: no .warc/.warc.gz files under {path!r}"
@@ -414,7 +426,7 @@ def _inflate_upto(f, offset: int, limit: int = 1 << 16, chunk: int = 1 << 12):
     return bytes(out)
 
 
-def _find_gz_member(f, start: int, end: int, probe: int = 1 << 16):
+def _find_gz_member(f, start: int, end: int, probe: int = 1 << 16, rejects=None):
     """First gzip-member offset in ``[start, end)``, validated by
     inflating a prefix and requiring a complete well-formed WARC
     record header (see :func:`_valid_warc_header` — a payload byte-run
@@ -422,7 +434,14 @@ def _find_gz_member(f, start: int, end: int, probe: int = 1 << 16):
     to a ``WARC/`` prefix; it cannot also carry the mandatory header
     fields unless it embeds a full record).  Returns -1 when the
     window holds no member start — that split's bytes belong to a
-    member owned by an earlier split."""
+    member owned by an earlier split.
+
+    A candidate that inflates to a ``WARC/`` version line but FAILS
+    full-header validation (spec-violating record: missing mandatory
+    fields, or header terminator beyond the 64 KiB inflate cap) is
+    skipped; its offset is appended to ``rejects`` when given, so the
+    caller can surface a per-split err row instead of silently
+    diverging from the whole-file reader on non-conformant archives."""
     pos = start
     buf = b""
     buf_at = start
@@ -443,6 +462,12 @@ def _find_gz_member(f, start: int, end: int, probe: int = 1 << 16):
         inflated = _inflate_upto(f, cand)
         if inflated is not None and _valid_warc_header(inflated):
             return cand
+        if (
+            rejects is not None
+            and inflated is not None
+            and inflated.startswith(b"WARC/")
+        ):
+            rejects.append(cand)
         pos = cand + 1
     return -1
 
@@ -489,11 +514,14 @@ def _iter_gz_members_from(f, offset: int, end: int, chunk: int = 1 << 20):
         pending = stripped
 
 
-def _find_plain_record(f, start: int, end: int, probe: int = 1 << 16):
+def _find_plain_record(f, start: int, end: int, probe: int = 1 << 16, rejects=None):
     """First ``WARC/`` record offset in ``[start, end)`` of an
     UNCOMPRESSED archive, validated by parsing the candidate's header
     block (version line + a sane Content-Length) so payload bytes that
-    merely contain the magic are skipped."""
+    merely contain the magic are skipped.  A candidate whose bytes
+    start a ``WARC/x.y`` version line but fail full-header validation
+    is appended to ``rejects`` when given (see :func:`_find_gz_member`
+    — same silent-skip divergence surface)."""
     pat = b"\r\n\r\nWARC/"
     if start == 0:
         f.seek(0)
@@ -510,8 +538,13 @@ def _find_plain_record(f, start: int, end: int, probe: int = 1 << 16):
             cand = pos + hit + 4
             if cand >= end:
                 return -1
-            if cand >= start and _valid_plain_header(f, cand):
-                return cand
+            if cand >= start:
+                if _valid_plain_header(f, cand):
+                    return cand
+                if rejects is not None:
+                    f.seek(cand)
+                    if _WARC_VERSION_RE.match(f.read(16)):
+                        rejects.append(cand)
             hit = buf.find(pat, hit + 1)
         pos += probe
     return -1
@@ -650,10 +683,34 @@ def read_warc_ranged(
                     with _open(str(p)) as f:
                         head2 = f.read(2)
                         gz = head2 == b"\x1f\x8b"
+                        rejects: list = []
                         if gz:
-                            first = _find_gz_member(f, int(start), int(end))
-                            if first < 0:
-                                continue
+                            first = _find_gz_member(
+                                f, int(start), int(end), rejects=rejects
+                            )
+                        else:
+                            first = _find_plain_record(
+                                f, int(start), int(end), rejects=rejects
+                            )
+                        if rejects:
+                            # a WARC/-prefixed candidate failed full-
+                            # header validation during resync: either a
+                            # payload embedding a near-record, or a
+                            # real spec-violating record this split
+                            # would otherwise silently skip (ADVICE
+                            # r11) — surface it, don't diverge quietly
+                            rows.append(_err_row(
+                                str(p),
+                                f"resync: split [{int(start)},{int(end)})"
+                                f" rejected {len(rejects)} WARC/-prefixed"
+                                f" candidate(s) lacking a complete header"
+                                f" (first at byte {rejects[0]}); a"
+                                f" non-conformant record starting there"
+                                f" is skipped by the ranged reader",
+                            ))
+                        if first < 0:
+                            continue
+                        if gz:
                             rec_iter = (
                                 rec
                                 for _, member in _iter_gz_members_from(
@@ -662,9 +719,6 @@ def read_warc_ranged(
                                 for rec in _iter_warc_records(member)
                             )
                         else:
-                            first = _find_plain_record(f, int(start), int(end))
-                            if first < 0:
-                                continue
                             rec_iter = _iter_plain_records_from(
                                 f, first, int(end)
                             )

@@ -2743,3 +2743,25 @@ def test_unimax_shares(spark):
         unimax_shares(df, "lang", budget=0)
     with _p.raises(ValueError):
         unimax_shares(df, "lang", budget=10, max_epochs=0)
+
+
+def test_semantic_dedup_arrow_rejects_nonorderable_ids(spark):
+    """pairs='arrow' orders object-dtype ids via astype(str), which
+    matches Spark ordering only for strings — decimal ids must be
+    rejected up front (ADVICE r11), not silently keep a different
+    duplicate than the sql path."""
+    import pytest as _pytest
+
+    from grip_spark import similarity
+
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(Decimal(1), [1.0, 0.0]), (Decimal(2), [1.0, 0.001])],
+        "vec_id decimal(10,0), embedding array<float>",
+    )
+    with _pytest.raises(TypeError, match="arrow"):
+        similarity.semantic_dedup(
+            df, "embedding", "vec_id", n_lists=1, salt="d",
+            threshold=0.9, pairs="arrow",
+        ).collect()

@@ -216,3 +216,89 @@ def test_member_straddling_boundary_read_once(spark, tmp_path):
     assert len(rows) == 2
     got = {r.target_uri: r.n_bytes for r in rows}
     assert got == {"https://ex.com/big": 3 * MB, "https://ex.com/small": 4}
+
+
+def test_gz_resync_records_reject_offsets():
+    """The headerless WARC/-prefixed nested member is not just skipped:
+    its offset lands in the rejects list so read_warc_ranged can emit a
+    per-split err row (ADVICE r11 — silent divergence surface)."""
+    fake = _gz_member(b"WARC/1.0\r\nnot a real header block, no CRLFCRLF")
+    # the fake member's bytes sit literally in the scanned stream (an
+    # uncompressed-payload / stored-block scenario)
+    blob = b"x" * 64 + fake + b"y" * 64
+    f = io.BytesIO(blob)
+    rejects = []
+    assert _find_gz_member(f, 0, len(blob), rejects=rejects) == -1
+    assert rejects == [64]
+    # raw (non-inflatable) magic lures do NOT count as rejects
+    f2 = io.BytesIO(b"A" * 32 + b"\x1f\x8b\x08" + b"WARC/1.0 lure" + b"B" * 32)
+    rejects2 = []
+    assert _find_gz_member(f2, 0, 80, rejects=rejects2) == -1
+    assert rejects2 == []
+
+
+def test_plain_resync_err_row_on_headerless_candidate(spark, tmp_path):
+    """An uncompressed archive whose payload embeds a WARC/ version
+    line WITHOUT a valid header: the split whose resync scans over it
+    emits an err row naming the rejected candidate, and every real
+    record is still read exactly once."""
+    lure = b"\r\n\r\nWARC/1.0\r\nno mandatory headers here, no terminator"
+    import random
+
+    rng = random.Random(9)
+    # big first record so a 1 MiB boundary lands inside it; lure in the
+    # second half so split 2's scan hits it before the next real record
+    big = bytes(rng.getrandbits(8) for _ in range(MB + 200_000))
+    body = big[:MB + 100_000] + lure + big[MB + 100_000:]
+    rec1 = _warc_record(
+        _uuid_urn("t", "one"), "https://ex.com/one",
+        "2026-01-01T00:00:00Z", body, "application/octet-stream",
+    )
+    rec2 = _warc_record(
+        _uuid_urn("t", "two"), "https://ex.com/two",
+        "2026-01-01T00:00:00Z", b"tail record", "text/plain",
+    )
+    p = tmp_path / "lure.warc"
+    p.write_bytes(rec1 + rec2)
+    rows = read_warc_ranged(
+        spark, str(tmp_path), split_bytes=MB, with_text=False,
+        types=None,
+    ).collect()
+    good = [r for r in rows if r.err is None]
+    errs = [r for r in rows if r.err is not None]
+    assert {r.target_uri for r in good} == {
+        "https://ex.com/one", "https://ex.com/two",
+    }
+    assert len(good) == 2
+    assert len(errs) == 1 and "resync" in errs[0].err
+
+
+def test_fs_list_warcs_none_size_fallback(tmp_path):
+    """fsspec-wrapped filesystems can return size=None from listings;
+    _fs_list_warcs must fall back to opening the file for its length
+    instead of raising an opaque TypeError (ADVICE r11)."""
+    from pyarrow import fs as pafs
+
+    from grip_spark.warc import _fs_list_warcs
+
+    p = tmp_path / "s.warc"
+    _build_archive(p, n=3, gz=False)
+    real = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+
+    class _NoSizeFS:
+        def get_file_info(self, sel):
+            infos = real.get_file_info(sel)
+            out = []
+            for i in infos if isinstance(infos, list) else [infos]:
+                out.append(
+                    type("FI", (), {
+                        "type": i.type, "path": i.path, "size": None,
+                    })()
+                )
+            return out if isinstance(infos, list) else out[0]
+
+        def open_input_file(self, path):
+            return real.open_input_file(path)
+
+    got = _fs_list_warcs(_NoSizeFS(), "s.warc")
+    assert got == [("s.warc", p.stat().st_size)]

@@ -102,7 +102,10 @@ def run_one(spark, rows: int, coarse: str, pairs: str) -> dict:
         "pairs": pairs,
         "assign_sec": round(t_assign, 1),
         "e2e_sec": round(t_e2e, 1),
-        "pair_term_sec": round(t_e2e - t_assign, 1),
+        # estimate: e2e redoes assignment internally (plus
+        # checkpointing), so this decomposition is approximate —
+        # clamped at 0 against timing noise
+        "pair_term_est_sec": round(max(t_e2e - t_assign, 0.0), 1),
         "assigned": n_assigned,
         "kept": int(agg["kept"]),
         "dropped": int(agg["n"] - agg["kept"]),
