@@ -80,13 +80,29 @@ def _parse_bytes(s: str) -> int:
         return 128 << 20
 
 
+def _fs_for_uri(uri: str):
+    """(pyarrow filesystem, fs-relative path) for a non-local URI —
+    factored out so tests can monkeypatch it with a shim filesystem.
+    Raises on schemes pyarrow cannot resolve (caller degrades to one
+    split)."""
+    from pyarrow import fs as pafs
+
+    return pafs.FileSystem.from_uri(uri)
+
+
 def _scan_splits(spark, files: list[str]) -> int:
-    """Estimated scan-split count for a file list: local files are
-    sized and divided by ``spark.sql.files.maxPartitionBytes`` (the
-    planner's actual split rule, modulo openCostInBytes packing);
-    any non-local/unstatable path degrades that file to one split —
-    an under-estimate, so the only cost of being wrong is one
-    redundant (never skipped-but-needed) shuffle."""
+    """Estimated scan-split count for a file list: files are sized and
+    divided by ``spark.sql.files.maxPartitionBytes`` (the planner's
+    actual split rule, modulo openCostInBytes packing).  Local files
+    stat via the OS; object-store / HDFS URIs stat via pyarrow.fs
+    driver-side — a corpus of few HUGE remote files (20 x 10 GB on a
+    64-slot cluster) is hundreds of scan splits, and degrading it to
+    file count would make every rebalanced operator pay a redundant
+    full-corpus shuffle (VERDICT r11).  Any unstatable path degrades
+    to one split — an under-estimate, so the only cost of being wrong
+    is one redundant (never skipped-but-needed) shuffle.  The caller
+    short-circuits on ``len(files) >= parallelism``, so at most
+    parallelism-1 driver stat calls ever happen."""
     import math
     import os
 
@@ -95,16 +111,30 @@ def _scan_splits(spark, files: list[str]) -> int:
     )
     splits = 0
     for f in files:
-        n = 1
+        size = None
         if f.startswith("file:"):
             path = f[len("file:"):]
             while path.startswith("//"):
                 path = path[1:]
             try:
-                n = max(1, math.ceil(os.path.getsize(path) / max_bytes))
+                size = os.path.getsize(path)
             except OSError:
-                n = 1
-        splits += n
+                size = None
+        elif "://" in f:
+            try:
+                # bounded by the caller's short-circuit to at most
+                # parallelism-1 from_uri+stat round-trips
+                fs, inner = _fs_for_uri(f)
+                size = fs.get_file_info(inner).size
+            except Exception:  # noqa: BLE001 — degrade, never fail
+                size = None
+        else:
+            # scheme-less path from inputFiles(): treat as local
+            try:
+                size = os.path.getsize(f)
+            except OSError:
+                size = None
+        splits += 1 if size is None else max(1, math.ceil(size / max_bytes))
     return splits
 
 

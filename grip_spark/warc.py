@@ -630,7 +630,16 @@ def read_warc_ranged(
     incl. fsspec-wrapped ones via ``PyFileSystem(FSSpecHandler(...))``;
     ``path`` is then filesystem-relative).  The filesystem object is
     shipped to workers inside the Arrow stage's closure; each task
-    opens ONE input file and reads only its byte range."""
+    opens ONE input file and reads only its byte range.
+
+    Failure contract: DATA-level problems (malformed gzip members,
+    truncated records, header violations) yield per-split ``err`` rows
+    and the stage succeeds; TRANSPORT-level problems (``OSError`` and
+    subclasses — object-store 5xx, socket resets, missing files) kill
+    the task so Spark's task retry re-reads the split.  There is no
+    in-task resume: a transient failure at byte 3 GB of a 4 GB split
+    re-reads the whole split on retry — tasks are idempotent (failed
+    output is discarded), so records are never duplicated."""
     import pandas as pd
 
     if split_bytes < 1 << 20:
@@ -729,6 +738,15 @@ def read_warc_ranged(
                             if len(rows) >= _YIELD_ROWS:
                                 yield pd.DataFrame(rows, columns=_WARC_COLS)
                                 rows = []
+                except OSError:
+                    # transport/IO failure (object-store 5xx, socket
+                    # reset, missing file — pyarrow raises OSError
+                    # subclasses for all of these): let the task DIE so
+                    # Spark retries it; a transient failure heals on
+                    # retry, while an err row here would silently lose
+                    # the rest of the split's records.  Data-level
+                    # corruption (parse errors) stays an err row below.
+                    raise
                 except Exception as ex:  # noqa: BLE001 — per-split err tag
                     rows.append(_err_row(str(p), f"file: {str(ex)[:200]}"))
             yield pd.DataFrame(rows, columns=_WARC_COLS)

@@ -1143,3 +1143,39 @@ def test_read_webdataset_roundtrip(spark, tmp_path):
     errs = [r for r in rows2 if r["key"] is None]
     assert len(errs) == 1 and "err" in json.loads(errs[0]["meta"])
     assert len([r for r in rows2 if r["key"] is not None]) == 30
+
+
+def test_scan_splits_stats_remote_uris(spark, tmp_path, monkeypatch):
+    """Non-local URIs stat through pyarrow.fs instead of degrading to
+    one split (VERDICT r11): a few-huge-remote-files corpus must probe
+    as many splits so _rebalance skips its redundant corpus shuffle.
+    A SubTreeFileSystem shim stands in for the object store; an
+    unresolvable scheme still degrades to 1 split per file."""
+    from pyarrow import fs as pafs
+
+    from grip_spark import dedup
+    from grip_spark.dedup import _scan_splits
+
+    p = tmp_path / "big.bin"
+    p.write_bytes(b"\x00" * 50_000)
+    shim = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    calls = []
+
+    def fake_fs_for_uri(uri):
+        calls.append(uri)
+        assert uri.startswith("mock://bucket/")
+        return shim, uri[len("mock://bucket/"):]
+
+    monkeypatch.setattr(dedup, "_fs_for_uri", fake_fs_for_uri)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096b")
+        # 50_000 / 4096 -> 13 splits for the one remote file
+        assert _scan_splits(spark, ["mock://bucket/big.bin"]) == 13
+        assert calls == ["mock://bucket/big.bin"]
+        # missing remote file / unresolvable scheme degrade to 1 split
+        assert _scan_splits(spark, ["mock://bucket/nope.bin"]) == 1
+        monkeypatch.setattr(dedup, "_fs_for_uri", lambda u: (_ for _ in ()).throw(OSError("no driver")))
+        assert _scan_splits(spark, ["weird://x/y.bin"]) == 1
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

@@ -302,3 +302,72 @@ def test_fs_list_warcs_none_size_fallback(tmp_path):
 
     got = _fs_list_warcs(_NoSizeFS(), "s.warc")
     assert got == [("s.warc", p.stat().st_size)]
+
+
+def test_ranged_transport_failure_is_retryable(spark, tmp_path):
+    """Fault injection (VERDICT r11 ask #4): an OSError mid-stream must
+    PROPAGATE (Spark task retry is the recovery path), not be swallowed
+    into an err row that silently loses the rest of the split.  The
+    shim classes live inside the test so cloudpickle ships them by
+    value to workers."""
+
+    class _FailAfterFile:
+        """File wrapper raising OSError after ``budget`` bytes read."""
+
+        def __init__(self, inner, budget):
+            self._f = inner
+            self._left = budget
+
+        def read(self, n=-1):
+            data = self._f.read(n)
+            self._left -= len(data)
+            if self._left < 0:
+                raise OSError("injected transport failure")
+            return data
+
+        def seek(self, *a):
+            return self._f.seek(*a)
+
+        def close(self):
+            return self._f.close()
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            self.close()
+            return False
+
+    class _FlakyFS:
+        """pyarrow-filesystem shim whose opened files fail mid-read."""
+
+        def __init__(self, root, budget):
+            self._root = root
+            self._budget = budget
+
+        def _real(self):
+            from pyarrow import fs as pafs
+
+            return pafs.SubTreeFileSystem(self._root, pafs.LocalFileSystem())
+
+        def get_file_info(self, sel):
+            return self._real().get_file_info(sel)
+
+        def open_input_file(self, path):
+            return _FailAfterFile(
+                self._real().open_input_file(path), self._budget
+            )
+
+    p = tmp_path / "flaky.warc.gz"
+    _build_archive(p, n=400, gz=True)  # ~1 MB+, several records/split
+    flaky = _FlakyFS(str(tmp_path), budget=300_000)
+    with pytest.raises(Exception, match="injected transport failure"):
+        read_warc_ranged(
+            spark, "flaky.warc.gz", split_bytes=MB, filesystem=flaky,
+        ).collect()
+    # sanity: same shim with an ample budget reads everything cleanly
+    ok = _FlakyFS(str(tmp_path), budget=1 << 30)
+    rows = read_warc_ranged(
+        spark, "flaky.warc.gz", split_bytes=MB, filesystem=ok,
+    ).collect()
+    assert len(rows) == 400 and all(r.err is None for r in rows)
