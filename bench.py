@@ -9,6 +9,16 @@ Queries cover the engine's hot shapes (scan, filtered scan, 1-hop,
 LLM-pipeline operators (minhash near-dup, cosine top-k, exact dedup,
 windowed events).  Run: python bench.py  (env: SPARK_GRAFT_SF_DIR,
 SPARK_GRAFT_CPUS).
+
+Structure: ``prepare()`` builds the shared inputs, ``build_queries()``
+returns ``{name: (df_thunk, action)}`` — the thunk constructs the
+DataFrame (driver-loop queries do their rounds here, so it stays
+inside the timed region) and the action is "count" or "collect".
+The split exists so ``tests/test_plan_audit.py`` can fingerprint every
+bench plan against goldens without executing the actions — a plan
+regression in a bench-only operator (gopher_rules, kmeans2, ...) is
+invisible to the 50 contract goldens and would otherwise only surface
+as a bench anomaly (VERDICT r11 ask #3).
 """
 
 from __future__ import annotations
@@ -31,11 +41,413 @@ def sf_tag(sf_dir: str):
         return "x"
 
 
-def main():
-    from pyspark.sql import SparkSession, functions as F
+def prepare(spark, sf_dir: str, cpus: int) -> dict:
+    """Shared bench inputs: cached tpch graph, bucketed-catalog copy,
+    repartitioned documents/embeddings, nanos-long events, SF-aware
+    ANN sizing.  Returns the context dict ``build_queries`` consumes."""
+    import math
 
-    from grip_spark import decontam, dedup, graphalgo, ops, sampling, search, similarity, temporal, text
+    from pyspark.sql import functions as F
+
+    from grip_spark.graph import GripGraph
     from grip_spark.tpch import tpch_graph
+
+    t_load = time.perf_counter()
+    g = tpch_graph(spark, sf_dir)
+    # materialize the cached graph once so per-query timings measure
+    # query execution, not first-touch cache population (BASELINE.md
+    # records load separately)
+    g.vertices.count()
+    g.edges.count()
+    load_sec = round(time.perf_counter() - t_load, 3)
+    # the sf0.1 tables are single parquet files → one input partition;
+    # a real corpus read arrives with thousands.  Model that (and stop
+    # narrow text/signature stages from pinning to one core) by
+    # spreading the small tables across the local cores once.
+    docs_raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = docs_raw.repartition(cpus)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(cpus)
+    # TIMESTAMP(NANOS) events: legacy builds honor nanosAsLong (raw
+    # long), Spark 4.1+ reads timestamp_ntz — normalize to nanos-long
+    # (timezone-independent; see __spark_entry__._events)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if not events.schema["ts"].dataType.typeName().startswith("long"):
+        events = events.withColumn(
+            "ts",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"
+            ),
+        )
+
+    # SF-aware ANN/SemDeDup sizing: hold the sf0.1 fixture's CELL and
+    # BUCKET sizes constant across SFs (~250 vectors/cell, ~31/bucket
+    # at 2k vectors) so in-cell / in-bucket pair cost stays linear in
+    # the corpus — the similarity.py sizing discipline; a fixed
+    # n_lists/planes made the r8 sf1 rows look super-linear.  Floors
+    # keep sf<=0.1 runs byte-identical to the historical rows.
+    emb_rows = emb.count()
+    emb_lists = max(8, emb_rows // 250)
+    emb_planes = max(6, int(math.log2(emb_rows / 31)) if emb_rows > 31 else 6)
+
+    # Bucketed-catalog copy of the graph (zero-Exchange adjacency
+    # joins — the scale layout).  Written once into spark-warehouse/
+    # and reused by every later bench run, so steady-state runs time
+    # only the query.
+    bname = f"bench_{str(sf_tag(sf_dir)).replace('.', '_')}"
+    try:
+        gb = GripGraph.from_tables(spark, bname)
+        gb.vertices.first()
+    except Exception:
+        g.save_tables(bname, buckets=cpus)
+        gb = GripGraph.from_tables(spark, bname)
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    # as-of inputs: latest "view" before each "purchase", per user
+    ev_a = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    ev_b = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    return {
+        "spark": spark, "cpus": cpus, "load_sec": load_sec,
+        "g": g, "gb": gb, "docs": docs, "docs_raw": docs_raw, "emb": emb,
+        "events": events, "ev_a": ev_a, "ev_b": ev_b, "qvec": qvec,
+        "emb_lists": emb_lists, "emb_planes": emb_planes,
+    }
+
+
+def build_queries(ctx: dict) -> dict:
+    """``{name: (df_thunk, action)}`` — thunk builds the DataFrame
+    (driver-loop rounds included), action is "count" or "collect"."""
+    from pyspark.sql import functions as F
+
+    from grip_spark import (
+        decontam, dedup, graphalgo, ops, sampling, search, similarity,
+        temporal, text,
+    )
+
+    g = ctx["g"]
+    gb = ctx["gb"]
+    docs = ctx["docs"]
+    docs_raw = ctx["docs_raw"]
+    emb = ctx["emb"]
+    events = ctx["events"]
+    ev_a, ev_b = ctx["ev_a"], ctx["ev_b"]
+    qvec = ctx["qvec"]
+    emb_lists = ctx["emb_lists"]
+    emb_planes = ctx["emb_planes"]
+    cpus = ctx["cpus"]
+
+    return {
+        "v_scan_count": (lambda: g.query().V().to_df(), "count"),
+        "label_filter_count": (
+            lambda: g.query().V().hasLabel("Order").has(
+                ops.gt("o_totalprice", 300000)
+            ).to_df(),
+            "count",
+        ),
+        "hop1_count": (
+            lambda: g.query().V().hasLabel("Customer").out("placed").to_df(),
+            "count",
+        ),
+        "hop1_bucketed": (
+            lambda: gb.query().V().hasLabel("Customer").out("placed").to_df(),
+            "count",
+        ),
+        "hop2_multi_agg": (
+            lambda: g.query()
+            .V()
+            .hasLabel("Customer")
+            .out("placed")
+            .outE("contains")
+            .aggregate(
+                [
+                    ops.term("rf", "l_returnflag"),
+                    ops.histogram("qty", "l_quantity", 10),
+                    ops.count("n"),
+                ]
+            )
+            .to_df(),
+            "collect",
+        ),
+        "distinct_count": (
+            lambda: g.query().V().hasLabel("Customer").distinct(
+                "c_mktsegment"
+            ).to_df(),
+            "count",
+        ),
+        "histogram_agg": (
+            lambda: g.query()
+            .V()
+            .hasLabel("Order")
+            .aggregate([ops.histogram("tp", "o_totalprice", 50000)])
+            .to_df(),
+            "collect",
+        ),
+        "repeat3_bfs": (
+            lambda: g.query()
+            .V()
+            .hasLabel("Nation")
+            .set("i", 0)
+            .as_("s")
+            .mark("a")
+            .increment("$s.i")
+            .has(ops.lt("$s.i", 4))
+            .out("in_region")
+            .in_("in_region")
+            .jump("a", None, True)
+            .to_df(),
+            "count",
+        ),
+        "minhash_pairs": (
+            lambda: dedup.minhash_lsh_pairs(docs, "doc_id", threshold=0.8),
+            "count",
+        ),
+        # raw scan, NOT the repartitioned handle: dedup_exact's own
+        # hash-aggregate shuffle redistributes the 16-byte keys anyway,
+        # so a full-text pre-shuffle is pure overhead (the r5 bench fed
+        # it the repartitioned docs and paid 1.9s vs r3's 0.73s) — at
+        # corpus scale you'd never pre-shuffle before a hash-agg either
+        "dedup_exact": (
+            lambda: dedup.dedup_exact(docs_raw, ["text"], "doc_id"),
+            "count",
+        ),
+        "text_quality_lang": (
+            lambda: text.detect_language(text.quality_score(docs)).filter(
+                (F.col("quality") > 0.5) & (F.col("lang_guess") == "en")
+            ),
+            "count",
+        ),
+        "cosine_topk": (
+            lambda: similarity.cosine_topk(emb, "embedding", qvec, k=10),
+            "collect",
+        ),
+        "dedup_clusters": (
+            lambda: dedup.attach_components(
+                docs, "doc_id",
+                dedup.minhash_lsh_pairs(docs, "doc_id", threshold=0.8),
+            ),
+            "count",
+        ),
+        "knn_lsh": (
+            lambda: similarity.cosine_self_join_topk(
+                emb, "embedding", "vec_id", k=1, planes=emb_planes, dim=64
+            ),
+            "count",
+        ),
+        "semantic_dedup": (
+            # n_lists sized by the documented rows/1e4 rule (floor 8:
+            # the paper's cell-size regime scaled down) so in-cell
+            # pair cost stays ~linear in the corpus across SFs — a
+            # fixed n_lists made the r8 sf1 row look super-linear
+            lambda: similarity.semantic_dedup(
+                emb, "embedding", "vec_id", n_lists=emb_lists, threshold=0.38
+            ).filter(~F.col("sem_keep")),
+            "count",
+        ),
+        "winnow_fp": (
+            # explode_outer + notnull == explode here, but the optimizer
+            # cannot duplicate the winnowing expression into the scan as
+            # an inferred size()>0 filter — 8.5x at sf1 (grip_spark/util.py)
+            lambda: text.winnow(docs)
+            .select(F.explode_outer("fingerprints").alias("fp"))
+            .filter(F.col("fp").isNotNull()),
+            "count",
+        ),
+        "dup_spans": (
+            lambda: dedup.duplicate_ngram_spans(docs, "doc_id", "text", n=13),
+            "count",
+        ),
+        # the removal ACTION on top of detection (keep-first canonical
+        # election + per-row token excision + text rebuild) — count of
+        # docs whose text actually changed forces the full rebuild
+        "dup_span_removal": (
+            lambda: dedup.remove_duplicate_spans(
+                docs, "doc_id", "text", n=13
+            ).filter(
+                # baseline = the same whitespace normalization the
+                # rebuild applies, so the count reflects actual
+                # excisions, not space-run cleanup
+                F.col("text_deduped")
+                != F.array_join(F.split(F.trim("text"), r"\s+"), " ")
+            ),
+            "count",
+        ),
+        "asof_user_events": (
+            lambda: temporal.asof_join(ev_a, ev_b, on="ts", by="user_id").filter(
+                F.col("view_value").isNotNull()
+            ),
+            "count",
+        ),
+        "bigram_train_score": (
+            lambda: text.bigram_logprob(
+                docs, text.bigram_model(docs, vocab_size=4096)
+            ),
+            "count",
+        ),
+        "events_window": (
+            lambda: events.groupBy(
+                F.expr("(ts DIV 3600000000000) * 3600").alias("h"), "event_type"
+            ).agg(F.count(F.lit(1)).alias("n")),
+            "count",
+        ),
+        "doc_chunks": (
+            lambda: text.chunk_documents(docs, size=32, stride=24),
+            "count",
+        ),
+        "corpus_pack": (
+            lambda: text.pack_sequences(
+                sampling.hash_sample(
+                    text.quality_score(docs).filter(F.col("quality") > 0.4),
+                    "doc_id",
+                    0.8,
+                    salt="corpus",
+                ),
+                capacity=1024,
+                num_groups=cpus,
+            ),
+            "count",
+        ),
+        # r5 additions: the three new operator families' hot shapes
+        "bm25_search": (
+            lambda: search.bm25_topk(
+                search.bm25_index(docs, "doc_id", "text"),
+                "vector join customer",
+                k=20,
+            ),
+            "collect",
+        ),
+        "pagerank5": (
+            lambda: graphalgo.pagerank(
+                g.edges.filter(F.col("label").isin("in_nation", "in_region")),
+                vertices=g.vertices.filter(
+                    F.col("label").isin("Customer", "Supplier", "Nation", "Region")
+                ).select("gid"),
+                id_col="gid",
+                exact_iterations=5,
+            ),
+            "count",
+        ),
+        "pca_project": (
+            lambda: similarity.pca_project(
+                emb, similarity.pca_train(emb, "embedding", k=16), "embedding"
+            ).agg(F.sum(F.col("pca")[0])),
+            "collect",
+        ),
+        # r7 session-2 additions: distributed full-corpus k-means (two
+        # Lloyd rounds = two scans + two k*dim-bounded aggs, then the
+        # assignment projection) and the DSIR selection chain (two
+        # bucket-model aggs + shuffle-free scoring + Gumbel TakeOrdered)
+        "kmeans2": (
+            lambda: similarity.kmeans_assign(
+                emb,
+                similarity.kmeans_train(
+                    emb, "embedding", "vec_id", k=8, iterations=2, salt="bench"
+                ),
+                "embedding",
+            ),
+            "count",
+        ),
+        "dsir_select": (
+            lambda: sampling.gumbel_topk(
+                text.dsir_logweight(
+                    docs,
+                    text.dsir_model(
+                        docs.filter(F.col("lang") == "en"), docs, n_buckets=4096
+                    ),
+                ),
+                "dsir_logw",
+                1000,
+                "doc_id",
+                salt="bench",
+            ),
+            "count",
+        ),
+        # r8 session-2 additions: the full Gopher rule pass (pure
+        # projection - 9 per-row gram sorts are the honest cost) and
+        # bloom-prefiltered decontamination (plan-folded literal probe
+        # + hit-sized exact verify; benchmark side = 100 docs)
+        "gopher_rules": (
+            lambda: text.gopher_rules(docs).filter(F.col("gopher_pass")),
+            "count",
+        ),
+        "bloom_decontam": (
+            lambda: decontam.bloom_contaminated_ids(
+                docs, docs.limit(100).select("text"), n=13
+            ),
+            "count",
+        ),
+        # r8 session-3 additions: the PassJoin edit-distance join on a
+        # short key (segment index + probe explode + hash equi-join +
+        # thresholded levenshtein verify) and content-defined chunking
+        # + chunk-hash dedup stats over the text bytes (one Arrow pass
+        # + two aggregates)
+        "editdist_pairs": (
+            lambda: dedup.edit_distance_pairs(
+                docs.select("doc_id", F.substring("text", 1, 96).alias("text")),
+                "doc_id",
+                max_dist=2,
+            ),
+            "count",
+        ),
+        # r9 session-2 addition: margin-based bitext mining between
+        # the two halves of the embedding table (bucket equi-join with
+        # hamming-1 multiprobe + two pair windows + key-sized penalty
+        # aggs + mutual-best filter)
+        "bitext_mine": (
+            lambda: similarity.bitext_mine(
+                emb.filter(F.col("vec_id") % 2 == 0),
+                emb.filter(F.col("vec_id") % 2 == 1),
+                "embedding",
+                "vec_id",
+                k=4,
+                strategy="intersection",
+                planes=emb_planes,
+                dim=64,
+            ),
+            "count",
+        ),
+        "cdc_dedup": (
+            lambda: dedup.cdc_dedup_stats(
+                dedup.cdc_chunks(
+                    docs.select("doc_id", F.encode("text", "utf-8").alias("data")),
+                    "doc_id",
+                    avg_size=64,
+                )
+            ),
+            "collect",
+        ),
+        # r10 additions: the newly value-oracled temporal operators —
+        # funnel = one user-keyed shuffle + JVM fold, ewma = one
+        # key-group shuffle + sorted-array fold (see temporal.py)
+        "funnel_events": (
+            lambda: temporal.funnel(
+                events,
+                ["view", "click", "purchase"],
+                within=float(86400 * 10**9 // 2),
+            )
+            .groupBy("funnel_level")
+            .count(),
+            "count",
+        ),
+        "ewma_events": (
+            lambda: temporal.ewma(
+                events.select("user_id", "ts", "value"),
+                "user_id",
+                "ts",
+                "value",
+                halflife=float(86400 * 10**9),
+            ),
+            "count",
+        ),
+    }
+
+
+def main():
+    from pyspark.sql import SparkSession
 
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -48,325 +460,8 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    t_load = time.perf_counter()
-    g = tpch_graph(spark, SF_DIR)
-    # materialize the cached graph once so per-query timings measure
-    # query execution, not first-touch cache population (BASELINE.md
-    # records load separately)
-    g.vertices.count()
-    g.edges.count()
-    load_sec = round(time.perf_counter() - t_load, 3)
-    # the sf0.1 tables are single parquet files → one input partition;
-    # a real corpus read arrives with thousands.  Model that (and stop
-    # narrow text/signature stages from pinning to one core) by
-    # spreading the small tables across the local cores once.
-    docs_raw = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    docs = docs_raw.repartition(CPUS)
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(CPUS)
-    # TIMESTAMP(NANOS) events: legacy builds honor nanosAsLong (raw
-    # long), Spark 4.1+ reads timestamp_ntz — normalize to nanos-long
-    # (timezone-independent; see __spark_entry__._events)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    if not events.schema["ts"].dataType.typeName().startswith("long"):
-        events = events.withColumn(
-            "ts",
-            F.expr(
-                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"
-            ),
-        )
-
-    def run_count(df):
-        return df.count()
-
-    # SF-aware ANN/SemDeDup sizing: hold the sf0.1 fixture's CELL and
-    # BUCKET sizes constant across SFs (~250 vectors/cell, ~31/bucket
-    # at 2k vectors) so in-cell / in-bucket pair cost stays linear in
-    # the corpus — the similarity.py sizing discipline; a fixed
-    # n_lists/planes made the r8 sf1 rows look super-linear.  Floors
-    # keep sf<=0.1 runs byte-identical to the historical rows.
-    import math
-
-    emb_rows = emb.count()
-    emb_lists = max(8, emb_rows // 250)
-    emb_planes = max(6, int(math.log2(emb_rows / 31)) if emb_rows > 31 else 6)
-
-    # Bucketed-catalog copy of the graph (zero-Exchange adjacency
-    # joins — the scale layout).  Written once into spark-warehouse/
-    # and reused by every later bench run, so steady-state runs time
-    # only the query.
-    from grip_spark.graph import GripGraph
-
-    bname = f"bench_{str(sf_tag(SF_DIR)).replace('.', '_')}"
-    try:
-        gb = GripGraph.from_tables(spark, bname)
-        gb.vertices.first()
-    except Exception:
-        g.save_tables(bname, buckets=CPUS)
-        gb = GripGraph.from_tables(spark, bname)
-
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-
-    # as-of inputs: latest "view" before each "purchase", per user
-    ev_a = events.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id"
-    )
-    ev_b = events.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", F.col("value").alias("view_value")
-    )
-
-    queries = {
-        "v_scan_count": lambda: run_count(g.query().V().to_df()),
-        "label_filter_count": lambda: run_count(
-            g.query().V().hasLabel("Order").has(ops.gt("o_totalprice", 300000)).to_df()
-        ),
-        "hop1_count": lambda: run_count(
-            g.query().V().hasLabel("Customer").out("placed").to_df()
-        ),
-        "hop1_bucketed": lambda: run_count(
-            gb.query().V().hasLabel("Customer").out("placed").to_df()
-        ),
-        "hop2_multi_agg": lambda: g.query()
-        .V()
-        .hasLabel("Customer")
-        .out("placed")
-        .outE("contains")
-        .aggregate(
-            [
-                ops.term("rf", "l_returnflag"),
-                ops.histogram("qty", "l_quantity", 10),
-                ops.count("n"),
-            ]
-        )
-        .to_df()
-        .collect(),
-        "distinct_count": lambda: run_count(
-            g.query().V().hasLabel("Customer").distinct("c_mktsegment").to_df()
-        ),
-        "histogram_agg": lambda: g.query()
-        .V()
-        .hasLabel("Order")
-        .aggregate([ops.histogram("tp", "o_totalprice", 50000)])
-        .to_df()
-        .collect(),
-        "repeat3_bfs": lambda: run_count(
-            g.query()
-            .V()
-            .hasLabel("Nation")
-            .set("i", 0)
-            .as_("s")
-            .mark("a")
-            .increment("$s.i")
-            .has(ops.lt("$s.i", 4))
-            .out("in_region")
-            .in_("in_region")
-            .jump("a", None, True)
-            .to_df()
-        ),
-        "minhash_pairs": lambda: run_count(
-            dedup.minhash_lsh_pairs(docs, "doc_id", threshold=0.8)
-        ),
-        # raw scan, NOT the repartitioned handle: dedup_exact's own
-        # hash-aggregate shuffle redistributes the 16-byte keys anyway,
-        # so a full-text pre-shuffle is pure overhead (the r5 bench fed
-        # it the repartitioned docs and paid 1.9s vs r3's 0.73s) — at
-        # corpus scale you'd never pre-shuffle before a hash-agg either
-        "dedup_exact": lambda: run_count(
-            dedup.dedup_exact(docs_raw, ["text"], "doc_id")
-        ),
-        "text_quality_lang": lambda: run_count(
-            text.detect_language(text.quality_score(docs)).filter(
-                (F.col("quality") > 0.5) & (F.col("lang_guess") == "en")
-            )
-        ),
-        "cosine_topk": lambda: similarity.cosine_topk(
-            emb, "embedding", qvec, k=10
-        ).collect(),
-        "dedup_clusters": lambda: run_count(
-            dedup.attach_components(
-                docs, "doc_id", dedup.minhash_lsh_pairs(docs, "doc_id", threshold=0.8)
-            )
-        ),
-        "knn_lsh": lambda: run_count(
-            similarity.cosine_self_join_topk(
-                emb, "embedding", "vec_id", k=1, planes=emb_planes, dim=64
-            )
-        ),
-        "semantic_dedup": lambda: run_count(
-            # n_lists sized by the documented rows/1e4 rule (floor 8:
-            # the paper's cell-size regime scaled down) so in-cell
-            # pair cost stays ~linear in the corpus across SFs — a
-            # fixed n_lists made the r8 sf1 row look super-linear
-            similarity.semantic_dedup(
-                emb, "embedding", "vec_id", n_lists=emb_lists, threshold=0.38
-            ).filter(~F.col("sem_keep"))
-        ),
-        "winnow_fp": lambda: run_count(
-            # explode_outer + notnull == explode here, but the optimizer
-            # cannot duplicate the winnowing expression into the scan as
-            # an inferred size()>0 filter — 8.5x at sf1 (grip_spark/util.py)
-            text.winnow(docs)
-            .select(F.explode_outer("fingerprints").alias("fp"))
-            .filter(F.col("fp").isNotNull())
-        ),
-        "dup_spans": lambda: run_count(
-            dedup.duplicate_ngram_spans(docs, "doc_id", "text", n=13)
-        ),
-        # the removal ACTION on top of detection (keep-first canonical
-        # election + per-row token excision + text rebuild) — count of
-        # docs whose text actually changed forces the full rebuild
-        "dup_span_removal": lambda: run_count(
-            dedup.remove_duplicate_spans(docs, "doc_id", "text", n=13).filter(
-                # baseline = the same whitespace normalization the
-                # rebuild applies, so the count reflects actual
-                # excisions, not space-run cleanup
-                F.col("text_deduped")
-                != F.array_join(F.split(F.trim("text"), r"\s+"), " ")
-            )
-        ),
-        "asof_user_events": lambda: run_count(
-            temporal.asof_join(ev_a, ev_b, on="ts", by="user_id").filter(
-                F.col("view_value").isNotNull()
-            )
-        ),
-        "bigram_train_score": lambda: run_count(
-            text.bigram_logprob(
-                docs, text.bigram_model(docs, vocab_size=4096)
-            )
-        ),
-        "events_window": lambda: run_count(
-            events.groupBy(
-                F.expr("(ts DIV 3600000000000) * 3600").alias("h"), "event_type"
-            ).agg(F.count(F.lit(1)).alias("n"))
-        ),
-        "doc_chunks": lambda: run_count(
-            text.chunk_documents(docs, size=32, stride=24)
-        ),
-        "corpus_pack": lambda: run_count(
-            text.pack_sequences(
-                sampling.hash_sample(
-                    text.quality_score(docs).filter(F.col("quality") > 0.4),
-                    "doc_id",
-                    0.8,
-                    salt="corpus",
-                ),
-                capacity=1024,
-                num_groups=CPUS,
-            )
-        ),
-        # r5 additions: the three new operator families' hot shapes
-        "bm25_search": lambda: search.bm25_topk(
-            search.bm25_index(docs, "doc_id", "text"), "vector join customer", k=20
-        ).collect(),
-        "pagerank5": lambda: run_count(
-            graphalgo.pagerank(
-                g.edges.filter(F.col("label").isin("in_nation", "in_region")),
-                vertices=g.vertices.filter(
-                    F.col("label").isin("Customer", "Supplier", "Nation", "Region")
-                ).select("gid"),
-                id_col="gid",
-                exact_iterations=5,
-            )
-        ),
-        "pca_project": lambda: similarity.pca_project(
-            emb, similarity.pca_train(emb, "embedding", k=16), "embedding"
-        ).agg(F.sum(F.col("pca")[0])).collect(),
-        # r7 session-2 additions: distributed full-corpus k-means (two
-        # Lloyd rounds = two scans + two k*dim-bounded aggs, then the
-        # assignment projection) and the DSIR selection chain (two
-        # bucket-model aggs + shuffle-free scoring + Gumbel TakeOrdered)
-        "kmeans2": lambda: run_count(
-            similarity.kmeans_assign(
-                emb,
-                similarity.kmeans_train(
-                    emb, "embedding", "vec_id", k=8, iterations=2, salt="bench"
-                ),
-                "embedding",
-            )
-        ),
-        "dsir_select": lambda: run_count(
-            sampling.gumbel_topk(
-                text.dsir_logweight(
-                    docs,
-                    text.dsir_model(
-                        docs.filter(F.col("lang") == "en"), docs, n_buckets=4096
-                    ),
-                ),
-                "dsir_logw",
-                1000,
-                "doc_id",
-                salt="bench",
-            )
-        ),
-        # r8 session-2 additions: the full Gopher rule pass (pure
-        # projection - 9 per-row gram sorts are the honest cost) and
-        # bloom-prefiltered decontamination (plan-folded literal probe
-        # + hit-sized exact verify; benchmark side = 100 docs)
-        "gopher_rules": lambda: run_count(
-            text.gopher_rules(docs).filter(F.col("gopher_pass"))
-        ),
-        "bloom_decontam": lambda: run_count(
-            decontam.bloom_contaminated_ids(
-                docs, docs.limit(100).select("text"), n=13
-            )
-        ),
-        # r8 session-3 additions: the PassJoin edit-distance join on a
-        # short key (segment index + probe explode + hash equi-join +
-        # thresholded levenshtein verify) and content-defined chunking
-        # + chunk-hash dedup stats over the text bytes (one Arrow pass
-        # + two aggregates)
-        "editdist_pairs": lambda: run_count(
-            dedup.edit_distance_pairs(
-                docs.select("doc_id", F.substring("text", 1, 96).alias("text")),
-                "doc_id",
-                max_dist=2,
-            )
-        ),
-        # r9 session-2 addition: margin-based bitext mining between
-        # the two halves of the embedding table (bucket equi-join with
-        # hamming-1 multiprobe + two pair windows + key-sized penalty
-        # aggs + mutual-best filter)
-        "bitext_mine": lambda: run_count(
-            similarity.bitext_mine(
-                emb.filter(F.col("vec_id") % 2 == 0),
-                emb.filter(F.col("vec_id") % 2 == 1),
-                "embedding",
-                "vec_id",
-                k=4,
-                strategy="intersection",
-                planes=emb_planes,
-                dim=64,
-            )
-        ),
-        "cdc_dedup": lambda: dedup.cdc_dedup_stats(
-            dedup.cdc_chunks(
-                docs.select("doc_id", F.encode("text", "utf-8").alias("data")),
-                "doc_id",
-                avg_size=64,
-            )
-        ).collect(),
-        # r10 additions: the newly value-oracled temporal operators —
-        # funnel = one user-keyed shuffle + JVM fold, ewma = one
-        # key-group shuffle + sorted-array fold (see temporal.py)
-        "funnel_events": lambda: run_count(
-            temporal.funnel(
-                events,
-                ["view", "click", "purchase"],
-                within=float(86400 * 10**9 // 2),
-            )
-            .groupBy("funnel_level")
-            .count()
-        ),
-        "ewma_events": lambda: run_count(
-            temporal.ewma(
-                events.select("user_id", "ts", "value"),
-                "user_id",
-                "ts",
-                "value",
-                halflife=float(86400 * 10**9),
-            )
-        ),
-    }
+    ctx = prepare(spark, SF_DIR, CPUS)
+    queries = build_queries(ctx)
 
     # Best-of-2 per query (the scaling-probe pattern): the host VM has
     # 10-20x noisy-neighbor episodes, and a single-shot run records one
@@ -376,11 +471,12 @@ def main():
     # for), so min-of-2 measures the engine, not the neighbors.
     times = {}
     raw = {}
-    for name, fn in queries.items():
+    for name, (thunk, action) in queries.items():
         samples = []
         for _ in range(2):
             t0 = time.perf_counter()
-            fn()
+            df = thunk()
+            df.count() if action == "count" else df.collect()
             samples.append(round(time.perf_counter() - t0, 3))
         raw[name] = samples
         times[name] = min(samples)
@@ -397,7 +493,7 @@ def main():
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
-                "load_sec": load_sec,
+                "load_sec": ctx["load_sec"],
                 "samples": raw,
                 # explicit noise-robust statistics (r9 verdict ask):
                 # `queries` already holds per-query min-of-2, so the

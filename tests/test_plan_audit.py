@@ -240,3 +240,82 @@ def test_plan_fingerprints(spark):
         "plan fingerprint drift (review like source; regen ONLY for "
         "deliberate plan changes):\n" + "\n".join(diffs)
     )
+
+
+BENCH_GOLDEN_PATH = os.path.join(
+    os.path.dirname(__file__), "bench_plan_goldens.json"
+)
+
+
+def test_bench_plan_fingerprints(spark):
+    """The 35 bench plans vs their own goldens (VERDICT r11 ask #3):
+    bench-only operators (gopher_rules, kmeans2, pca_project,
+    bloom_decontam, repeat3_bfs, ...) exercise code paths the 50
+    contract slots don't, so a plan regression there was previously
+    visible only as a bench-time anomaly — exactly how the r10
+    InferFiltersFromGenerate tax hid.  Same normalizer, same regen
+    protocol:
+
+        REGEN_PLAN_GOLDENS=1 python -m pytest tests/test_plan_audit.py \
+            -k bench_plan -q
+
+    Fingerprints are taken at sf0.001 under the shared test session
+    (matching the contract goldens' protocol); bench RUNS at sf0.1,
+    but the pinned artifact is the plan SHAPE, which the thunks build
+    identically at any SF (ANN sizing floors make emb_planes/emb_lists
+    constants below sf0.1)."""
+    import bench
+    import grip_spark.tpch as tpch
+
+    tpch._CACHE.clear()
+    spark.catalog.clearCache()
+    old_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    try:
+        ctx = bench.prepare(spark, SF_DIR, cpus=8)
+        queries = bench.build_queries(ctx)
+        fps = {
+            name: _fingerprint(thunk())
+            for name, (thunk, _action) in sorted(queries.items())
+        }
+    finally:
+        if old_nanos is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", old_nanos)
+        tpch._CACHE.clear()
+        spark.catalog.clearCache()
+
+    if os.environ.get("REGEN_PLAN_GOLDENS"):
+        with open(BENCH_GOLDEN_PATH, "w") as f:
+            json.dump(fps, f, indent=1, sort_keys=True)
+        print(f"\nwrote {len(fps)} bench plan goldens to {BENCH_GOLDEN_PATH}")
+        return
+
+    assert os.path.exists(BENCH_GOLDEN_PATH), (
+        f"missing {BENCH_GOLDEN_PATH} — run REGEN_PLAN_GOLDENS=1 pytest "
+        f"tests/test_plan_audit.py -k bench_plan"
+    )
+    with open(BENCH_GOLDEN_PATH) as f:
+        golden = json.load(f)
+
+    diffs = []
+    for name in sorted(set(fps) | set(golden)):
+        if name not in golden:
+            diffs.append(f"{name}: NEW bench query, no golden (regen to add)")
+            continue
+        if name not in fps:
+            diffs.append(f"{name}: golden exists but bench query is gone")
+            continue
+        g, got = golden[name], fps[name]
+        if g == got:
+            continue
+        for field in ("ops", "scans", "unpartitioned_windows"):
+            if g[field] != got[field]:
+                diffs.append(
+                    f"{name}.{field}:\n  golden: {g[field]}\n  got:    "
+                    f"{got[field]}"
+                )
+    assert not diffs, (
+        "bench plan fingerprint drift (review like source; regen ONLY "
+        "for deliberate plan changes):\n" + "\n".join(diffs)
+    )
