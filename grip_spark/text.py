@@ -2733,6 +2733,7 @@ def learn_bpe(
         "__s", F.concat(F.split(F.col("__w"), ""), F.array(F.lit(end_of_word)))
     ).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
+    merge_counts: list[int] = []
     since_ckpt = 0
     for _ in range(n_merges):
         pair_structs = F.zip_with(
@@ -2795,6 +2796,7 @@ def learn_bpe(
             break
         a, b = top["__p"]["a"], top["__p"]["b"]
         merges.append((a, b))
+        merge_counts.append(int(top["__cnt"]))
         merged = a + b
         cur = cur.withColumn(
             "__s",
@@ -2823,6 +2825,10 @@ def learn_bpe(
     # end-of-word marker the memo was built over
     return {
         "merges": merges,
+        # raw pair count of each selected merge, parallel to `merges`
+        # (the value an external oracle can re-derive — a wrong greedy
+        # application upstream shifts every later count)
+        "merge_counts": merge_counts,
         "segments": segments,
         "pre_tokenizer": pre_tokenizer,
         "end_of_word": end_of_word,
