@@ -51,6 +51,7 @@ from pyspark.sql.types import (
 from grip_spark.compile import fieldpath
 from grip_spark.compile.conditions import compile_has
 from grip_spark.compile.fieldpath import CURRENT_NS, ElementView, as_double, resolve
+from grip_spark.util import release_checkpoint
 
 VERTEX = "vertex"
 EDGE = "edge"
@@ -1266,9 +1267,18 @@ class Planner:
         mark_type = self.elem_type
         emitted: DataFrame | None = None
         emitted_rows = 0
+        # round N-1's checkpoints that nothing can reference once round
+        # N's first checkpoint has materialized (the frontier — filters
+        # over round N-1's outs — is consumed exactly there); released
+        # deterministically so a 50-round loop doesn't hold 50 dead
+        # frontier tables in executor storage (tools/deep_loop_probe.py).
+        # The LAST segment's out is excluded when the jump emits: the
+        # emitted union references it until the query runs.
+        pending_release: list[DataFrame] = []
         for _ in range(MAX_JUMP_ITERATIONS):
             seg_in = frontier
             backs: list[DataFrame] = []
+            round_outs: list[DataFrame] = []
             n_back = 0
             last_total = 0
             for body, jump in segments:
@@ -1282,6 +1292,11 @@ class Planner:
                     if use_reliable
                     else out.localCheckpoint(eager=True)
                 )
+                round_outs.append(out)
+                if pending_release:
+                    for d in pending_release:
+                        release_checkpoint(d)
+                    pending_release = []
                 cond_expr = jump.get("expression")
                 loop_c = (
                     F.lit(True)
@@ -1296,12 +1311,23 @@ class Planner:
                     n_back += stats["cont"]
                     backs.append(out.filter(loop_c))
                 last_total = stats["total"]
-                seg_in = out if jump.get("emit") else out.limit(0)
+                # non-emitting jump: a TRUE empty relation, not
+                # out.limit(0) — a limit(0) plan still references the
+                # checkpointed RDD, which would make every dead round
+                # unreleasable through the accumulated emitted union
+                seg_in = (
+                    out
+                    if jump.get("emit")
+                    else out.sparkSession.createDataFrame([], out.schema)
+                )
             down = seg_in
             emitted = (
                 down
                 if emitted is None
                 else emitted.unionByName(down, allowMissingColumns=True)
+            )
+            pending_release = (
+                round_outs[:-1] if emit_last else round_outs
             )
             if emit_last and limit_n is not None:
                 emitted_rows += last_total
@@ -1328,6 +1354,11 @@ class Planner:
                 raise CompileError(
                     f"jump loop exceeded {MAX_JUMP_ITERATIONS} iterations without terminating"
                 )
+        # loop over: the final round's pending (round N-1 leftovers that
+        # never saw a next-round checkpoint) are dead — the frontier
+        # they fed is obsolete and emitted never references them
+        for d in pending_release:
+            release_checkpoint(d)
         return emitted
 
 

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .util import release_checkpoint
+
 
 def _checkpointer(spark):
     """Per-round lineage cut: the RELIABLE checkpoint branch when a
@@ -183,6 +185,11 @@ def _power_loop(
                 )
             )
             if exact_iterations is not None:
+                # linear chain: round N-1's checkpoint is dead once
+                # `new` is eagerly materialized — release it, or a
+                # 50-round run holds 50 node-tables in executor
+                # storage until py4j GC (tools/deep_loop_probe.py)
+                release_checkpoint(ranks)
                 ranks = new
                 continue
             delta = (
@@ -191,6 +198,7 @@ def _power_loop(
                 .agg(F.sum(F.abs(F.col("n.pagerank") - F.col("o.pagerank"))))
                 .first()[0]
             )
+            release_checkpoint(ranks)
             ranks = new
             if delta < tol:
                 return ranks

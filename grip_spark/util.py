@@ -36,3 +36,33 @@ def select_exploded(df: DataFrame, expr: Column | str, alias: str, *also) -> Dat
     arrays whose ELEMENTS are never NULL."""
     out = df.select(*also, F.explode_outer(expr).alias(alias))
     return out.filter(F.col(alias).isNotNull())
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Deterministically free a ``localCheckpoint(eager=True)``'d
+    DataFrame's cached RDD blocks.
+
+    Spark's ContextCleaner releases a local checkpoint only after the
+    JVM Dataset object becomes weakly unreachable — which, from
+    Python, waits on py4j's periodic garbage collection.  A deep
+    driver loop (50-round PageRank, jump BFS) re-checkpoints a
+    node-sized table every round and can accumulate dozens of dead
+    round-tables in executor storage before that happens (measured:
+    50 rounds held 50 tables; tools/deep_loop_probe.py).  Loops whose
+    round chain is LINEAR (round N reads only round N-1, nothing else
+    ever re-reads an old round) call this on round N-1 once round N is
+    eagerly materialized.
+
+    DANGER: the released DataFrame is unusable afterwards — a local
+    checkpoint discards lineage, so the blocks cannot be recomputed
+    (Spark raises CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).  Only call this
+    on handles that are provably dead.  Reliable ``checkpoint()``
+    DataFrames (checkpoint-dir branch) are untouched — their blocks
+    live in the checkpoint directory, not executor memory, and stay
+    re-readable."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — best-effort release, never fail a loop
+        pass

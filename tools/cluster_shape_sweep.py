@@ -1,0 +1,263 @@
+"""Cluster-shape contract sweep (VERDICT r11 ask #1): every scale
+claim rests on local[32] plan shapes, so run the full 50-query
+contract under a CLUSTER-SHAPED configuration and verify the claims
+hold:
+
+  (a) 50/50 value correctness vs the DuckDB oracles,
+  (b) no plan grows a scale red-flag operator (cartesian product,
+      broadcast nested-loop join, row-at-a-time Python UDF) and no
+      slot grows an unpartitioned window beyond its golden count,
+  (c) ``_rebalance`` correctly NO-OPS on many-file inputs (the probe
+      short-circuits at len(files) >= parallelism without a single
+      driver stat call).
+
+Cluster shape means:
+  - ``spark.sql.shuffle.partitions = 2000`` (a 1000-executor cluster's
+    ballpark, not local[32]'s cozy 16-32) — AQE coalescing is ON at
+    defaults, as it would be on the cluster;
+  - ``spark.sql.autoBroadcastJoinThreshold = -1`` — every
+    planner-chosen broadcast becomes a shuffle join, the worst-case
+    path a 100 TB dim table forces; EXPLICIT ``F.broadcast()`` hints
+    still apply (hints outrank the threshold), which is exactly the
+    set of broadcasts the engine asserts are bounded by construction;
+  - inputs re-sharded to many files per table (the multi-TB layout),
+    so scan parallelism comes from the file list, not maxPartitionBytes
+    splitting of one file.
+
+events.parquet is copied VERBATIM (not re-sharded): it stores
+TIMESTAMP(NANOS), which neither Spark write path round-trips — the
+nanosAsLong read writes BIGINT (breaking the oracle's date_trunc) and
+the ntz read writes micros (truncating values for both engines).  The
+temporal operators are groupBy-shaped, not scan-parallelism-sensitive,
+so the many-file claim loses nothing.
+
+Usage:
+    python tools/cluster_shape_sweep.py [query ...]
+Env:
+    CONTRACT_SF_DIR   source tables   (default /root/testdata/sf0.1)
+    SWEEP_SHARD_DIR   re-shard cache  (default /root/repo/testdata_sharded_<sf>)
+    SWEEP_PARTITIONS  shuffle parts   (default 2000)
+
+Exit 0 only when every query passes correctness AND the plan audit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from check_contract import TABLES, norm_rows  # noqa: E402
+
+SRC_DIR = os.environ.get("CONTRACT_SF_DIR", "/root/testdata/sf0.1")
+SWEEP_PARTITIONS = int(os.environ.get("SWEEP_PARTITIONS", "2000"))
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# many-file layout: big fact/corpus tables get hundreds of files, the
+# tiny dims a few dozen (a 5-row region table in 200 files would test
+# nothing beyond empty-file handling)
+SHARDS = {
+    "lineitem": 200, "orders": 200, "documents": 200, "embeddings": 200,
+    "customer": 100, "part": 100, "supplier": 50,
+    "nation": 25, "region": 5,
+}
+
+RED_FLAGS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+# sim_topk_ops deliberately unions the labeled brute-force kNN oracle
+# (see tests/test_plan_audit.py); with broadcasts disabled its
+# all-pairs join may legitimately print as CartesianProduct
+ALLOW = {"sim_topk_ops": {"BroadcastNestedLoopJoin", "CartesianProduct"}}
+
+GOLDEN_PATH = os.path.join(
+    os.path.dirname(__file__), "..", "tests", "plan_goldens.json"
+)
+
+
+def reshard(spark, src: str, dst: str) -> None:
+    """Write the many-file copy of ``src`` into ``dst`` (idempotent:
+    a table that already exists in dst is kept)."""
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        out = os.path.join(dst, f"{t}.parquet")
+        if os.path.exists(out):
+            continue
+        srcp = os.path.join(src, f"{t}.parquet")
+        if t == "events":
+            shutil.copyfile(srcp, out)
+            print(f"  copied {t} verbatim (TIMESTAMP(NANOS))")
+            continue
+        n = SHARDS.get(t, 50)
+        spark.read.parquet(srcp).repartition(n).write.mode(
+            "overwrite"
+        ).parquet(out)
+        nf = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+        print(f"  re-sharded {t} -> {nf} files")
+
+
+def _walk(node):
+    yield node
+    if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        yield from _walk(node.executedPlan())
+        return
+    ch = node.children()
+    for i in range(ch.length()):
+        yield from _walk(ch.apply(i))
+
+
+def _plan_flags(df):
+    """(red-flag names present, unpartitioned-window count)."""
+    jplan = df._jdf.queryExecution().executedPlan()
+    text = jplan.toString()
+    flags = {f for f in RED_FLAGS if f in text}
+    unpart = sum(
+        1
+        for n in _walk(jplan)
+        if n.nodeName().strip() in ("Window", "WindowGroupLimit", "WindowInPandas")
+        and n.partitionSpec().isEmpty()
+    )
+    return flags, unpart
+
+
+def check_rebalance_noop(spark, shard_dir: str) -> bool:
+    """(c): on a many-file input the _rebalance probe must pass the
+    DataFrame through untouched — no spreading shuffle, and (because
+    len(files) >= parallelism short-circuits) no driver stat calls."""
+    import re as _re
+
+    from grip_spark.dedup import _rebalance
+
+    df = spark.read.parquet(os.path.join(shard_dir, "documents.parquet"))
+    nf = len(df.inputFiles())
+    out = _rebalance(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_ex = len(_re.findall(r"Exchange (?:hash|RoundRobin|range)", plan))
+    ok = nf >= spark.sparkContext.defaultParallelism and n_ex == 0
+    print(
+        f"_rebalance no-op on many-file input: files={nf} "
+        f"parallelism={spark.sparkContext.defaultParallelism} "
+        f"exchanges={n_ex} -> {'OK' if ok else 'FAIL'}"
+    )
+    return ok
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    sf_tag = SRC_DIR.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    shard_dir = os.environ.get(
+        "SWEEP_SHARD_DIR", f"/root/repo/testdata_sharded_{sf_tag}"
+    )
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("cluster-shape-sweep")
+        .config("spark.sql.shuffle.partitions", str(SWEEP_PARTITIONS))
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    print(f"re-shard cache: {shard_dir}")
+    reshard(spark, SRC_DIR, shard_dir)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(shard_dir, f"{t}.parquet")
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+
+    golden_windows = {}
+    if os.path.exists(GOLDEN_PATH):
+        with open(GOLDEN_PATH) as f:
+            golden_windows = {
+                k: v.get("unpartitioned_windows", 0)
+                for k, v in json.load(f).items()
+            }
+
+    rb_ok = check_rebalance_noop(spark, shard_dir)
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = set(sys.argv[1:])
+    n_pass = n_fail = n_rowsonly = 0
+    plan_fails = []
+    times = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, shard_dir)
+            flags, unpart = _plan_flags(df)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        times[name] = round(dt, 1)
+        bad_flags = flags - ALLOW.get(name, set())
+        gw = golden_windows.get(name, 0)
+        if bad_flags or unpart > gw:
+            plan_fails.append(
+                f"{name}: flags={sorted(bad_flags)} "
+                f"unpartitioned_windows={unpart} (golden {gw})"
+            )
+        if name not in oracles:
+            print(f"ROWS {name}: {len(rows)} rows (no oracle) [{dt:.1f}s]")
+            n_rowsonly += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if sorted(cols) != sorted(ocols):
+            print(f"FAIL {name}: columns {sorted(cols)} != oracle {sorted(ocols)}")
+            n_fail += 1
+            continue
+        a, b = norm_rows(cols, rows), norm_rows(ocols, orows)
+        if len(a) != len(b):
+            print(f"FAIL {name}: rowcount {len(a)} != oracle {len(b)} [{dt:.1f}s]")
+            n_fail += 1
+        elif a != b:
+            diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            print(f"FAIL {name}: value mismatch, e.g. {diff} [{dt:.1f}s]")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(a)} rows [{dt:.1f}s]")
+            n_pass += 1
+    print(
+        f"\n== cluster-shape (shuffle.partitions={SWEEP_PARTITIONS}, "
+        f"broadcast=-1, many-file): {n_pass} pass / {n_fail} fail / "
+        f"{n_rowsonly} rows-only =="
+    )
+    if plan_fails:
+        print("PLAN AUDIT FAILURES:")
+        for p in plan_fails:
+            print(f"  {p}")
+    else:
+        print("plan audit: no red flags, window counts within goldens")
+    print(f"rebalance no-op check: {'OK' if rb_ok else 'FAIL'}")
+    print(json.dumps({"sweep_times": times}))
+    spark.stop()
+    sys.exit(1 if (n_fail or plan_fails or not rb_ok) else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,191 @@
+"""Driver-loop depth probe (VERDICT r11 ask #7): 50+ iteration
+PageRank and a 50-round jump BFS at sf1, instrumented for the three
+failure modes a deep driver loop can hide:
+
+  - checkpoint-chain growth: every round localCheckpoints a node-sized
+    table; if old rounds' RDD blocks are not released, executor
+    storage grows linearly with depth (50 rounds x node-table);
+  - driver memory: py4j object churn + plan strings;
+  - per-round time drift: a growing plan or storage pressure shows up
+    as later rounds running slower than early ones.
+
+A monitor thread samples the JVM's RDD storage info (cached RDD
+count + memory) and the driver RSS every 0.5 s; the report prints the
+max and final values — "final cached RDDs ~ a small constant" is the
+cleanup evidence, "max" bounds the in-flight footprint.
+
+Usage: python tools/deep_loop_probe.py [pagerank|bfs] [rounds]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = os.environ.get("CONTRACT_SF_DIR", "/root/repo/testdata_sf1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+
+
+def _rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 1024
+    return 0.0
+
+
+class Monitor:
+    def __init__(self, spark):
+        self._sc = spark.sparkContext
+        self.samples = []
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        while not self._stop.is_set():
+            infos = self._sc._jsc.sc().getRDDStorageInfo()
+            n = len(infos)
+            mem = sum(i.memSize() for i in infos)
+            self.samples.append((time.time(), n, mem, _rss_mb()))
+            self._stop.wait(0.5)
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *a):
+        self._stop.set()
+        self._t.join()
+
+    def report(self, label, wall):
+        if not self.samples:
+            return {}
+        ns = [s[1] for s in self.samples]
+        mems = [s[2] for s in self.samples]
+        rss = [s[3] for s in self.samples]
+        rec = {
+            "probe": label,
+            "wall_sec": round(wall, 1),
+            "cached_rdds_max": max(ns),
+            "cached_rdds_final": ns[-1],
+            "storage_mb_max": round(max(mems) / 1e6, 1),
+            "storage_mb_final": round(mems[-1] / 1e6, 1),
+            "driver_rss_mb_start": round(rss[0], 0),
+            "driver_rss_mb_end": round(rss[-1], 0),
+        }
+        print(json.dumps(rec), flush=True)
+        return rec
+
+
+def probe_pagerank(spark, rounds: int):
+    from pyspark.sql import functions as F
+
+    from grip_spark import graphalgo
+    from grip_spark.tpch import tpch_graph
+
+    g = tpch_graph(spark, SF_DIR)
+    edges = g.edges.filter(F.col("label").isin("in_nation", "in_region"))
+    verts = g.vertices.filter(
+        F.col("label").isin("Customer", "Supplier", "Nation", "Region")
+    ).select("gid")
+    print(f"pagerank: {edges.count()} edges, {verts.count()} nodes, "
+          f"{rounds} exact rounds", flush=True)
+    with Monitor(spark) as m:
+        t0 = time.perf_counter()
+        out = graphalgo.pagerank(
+            edges, vertices=verts, id_col="gid", exact_iterations=rounds
+        )
+        n = out.count()
+        wall = time.perf_counter() - t0
+    print(f"rank rows: {n}", flush=True)
+    return m.report(f"pagerank{rounds}_sf1", wall)
+
+
+def probe_bfs(spark, rounds: int, n_nodes: int = 200_000, emit: bool = True):
+    """Jump-loop BFS on a synthetic RING graph: every node has exactly
+    one successor, so the frontier stays n_nodes-sized for all
+    ``rounds`` rounds — this isolates the planner's _loop checkpoint
+    chain (depth x frontier-table) from fan-out growth.
+
+    ``emit=True`` is the result-holding shape: every round's
+    checkpoint IS part of the emitted union, so storage grows with
+    depth BY DESIGN (rounds x frontier-table = the answer).
+    ``emit=False`` is the pure-iteration shape (converge-then-read):
+    old rounds are dead and the planner's deterministic
+    release_checkpoint must keep storage ~constant at any depth."""
+    from pyspark.sql import functions as F
+
+    from grip_spark import ops
+    from grip_spark.graph import GripGraph
+
+    ids = spark.range(n_nodes)
+    v = ids.select(
+        F.concat(F.lit("n"), "id").alias("gid"),
+        F.lit("N").alias("label"),
+        F.struct(F.col("id").alias("x")).alias("data"),
+    )
+    e = ids.select(
+        F.concat(F.lit("e"), "id").alias("gid"),
+        F.lit("next").alias("label"),
+        F.concat(F.lit("n"), "id").alias("src"),
+        F.concat(F.lit("n"), (F.col("id") + 1) % n_nodes).alias("dst"),
+        F.struct(F.col("id").alias("x")).alias("data"),
+    )
+    G = GripGraph(v, e, name="ring")
+    print(f"bfs: ring of {n_nodes} nodes, {rounds} jump rounds, "
+          f"emit={emit}", flush=True)
+    with Monitor(spark) as m:
+        t0 = time.perf_counter()
+        q = (
+            G.query()
+            .V()
+            .hasLabel("N")
+            .set("i", 0)
+            .as_("s")
+            .mark("a")
+            .increment("$s.i")
+            .has(ops.lt("$s.i", rounds + 1))
+            .out("next")
+            .jump("a", None, emit)
+        )
+        n = q.count().execute()[0]["count"]
+        wall = time.perf_counter() - t0
+    print(f"travelers out: {n}", flush=True)
+    # emit=True passes one copy downstream per completed round;
+    # emit=False drops the downstream stream entirely
+    assert n == (n_nodes * rounds if emit else 0), f"ring BFS emitted {n}"
+    tag = "" if emit else "_noemit"
+    return m.report(f"bfs{rounds}_ring{n_nodes}{tag}", wall)
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("deep-loop-probe")
+        .config("spark.sql.shuffle.partitions", str(CPUS * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if which in ("pagerank", "both"):
+        probe_pagerank(spark, rounds)
+    if which in ("bfs", "both"):
+        probe_bfs(spark, rounds)
+    if which in ("bfs_noemit", "both"):
+        probe_bfs(spark, rounds, emit=False)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
