@@ -230,6 +230,11 @@ def _has_agg_complete(df: DataFrame) -> bool:
 
 _STORE_SUBS = ("bands", "sigs", "accepted", "commits")
 _COMPACT_MARKER = "_COMPACT_READY"
+# declared by compact_store for its whole run; ingest REFUSES while it
+# exists — a batch appended into the original dirs mid-compaction
+# would be silently erased by the swap (delete original + rename),
+# with the caller having seen success
+_COMPACT_LOCK = "_COMPACT_RUNNING"
 
 
 def _store_fs(spark, store_path: str):
@@ -311,7 +316,12 @@ def compact_store(
     "files_after": k}``.
 
     Crash safety (requires EXCLUSIVE store access — no concurrent
-    ingest or readers): compacted tables are fully written to
+    ingest or readers; a ``_COMPACT_RUNNING`` lock file declares the
+    run and :func:`near_dedup_stream` REFUSES to ingest while it
+    exists, because an append between the committed-rows read and the
+    swap would be silently erased; a lock left by a crashed compaction
+    is cleared at the next ``compact_store`` entry): compacted tables
+    are fully written to
     ``<sub>__compact`` side dirs first, then the ``_COMPACT_READY``
     marker commits the swap; the swap itself (delete original, rename
     compacted into place) is idempotent and any later
@@ -332,78 +342,93 @@ def compact_store(
         c = p(sub + "__compact")
         if fs.exists(c):
             fs.delete(c, True)
+    # declare the compaction for its whole run: near_dedup_stream
+    # refuses to ingest while the lock exists (the one failure
+    # direction the swap can't survive — an append into the original
+    # dirs between the committed-rows read and the swap is erased).
+    # A lock left by a CRASHED compaction is cleared here: exclusivity
+    # is already this function's documented precondition, so a
+    # pre-existing lock at entry can only be stale debris.
+    fs.create(p(_COMPACT_LOCK), True).close()
     try:
         commits = spark.read.parquet(f"{store_path}/commits")
     except AnalysisException:
+        fs.delete(p(_COMPACT_LOCK), False)
         raise ValueError(
             f"compact_store: no commits table at {store_path!r} — nothing "
             "to compact (or a pre-commit-protocol store; see "
             "near_dedup_stream's migration note)"
         )
 
-    def _n_files(sub):
-        it, n = fs.listFiles(p(sub), True), 0
-        while it.hasNext():
-            f = it.next()
-            if f.getPath().getName().endswith(".parquet"):
-                n += 1
-        return n
+    try:
+        def _n_files(sub):
+            it, n = fs.listFiles(p(sub), True), 0
+            while it.hasNext():
+                f = it.next()
+                if f.getPath().getName().endswith(".parquet"):
+                    n += 1
+            return n
 
-    files_before = sum(_n_files(s) for s in _STORE_SUBS)
-    zero = F.lit(0).cast("long")
-    bands = (
-        spark.read.parquet(f"{store_path}/bands")
-        .join(commits, "_batch_id", "left_semi")
-        .select("band", "bh", "_id")
-        .distinct()  # replay appends are row-identical
-        .withColumn("_batch_id", zero)
-    )
-    sigs = (
-        spark.read.parquet(f"{store_path}/sigs")
-        .join(commits, "_batch_id", "left_semi")
-        .dropDuplicates(["_id"])
-        .withColumn("_batch_id", zero)
-    )
-    acc = (
-        spark.read.parquet(f"{store_path}/accepted")
-        .join(commits, "_batch_id", "left_semi")
-        .dropDuplicates([id_col])
-        .withColumn("_batch_id", zero)
-    )
-    if remove_ids:
-        # takedown/erasure (the bm25_remove analog for the dedup
-        # memory): the documents' text, signatures, AND band keys are
-        # all rewritten away — a later near-duplicate of a removed
-        # document is ADMITTED, which is exactly what erasure means
-        rid = spark.createDataFrame([(i,) for i in remove_ids], [id_col])
-        rid_b = rid.withColumnRenamed(id_col, "_id")
-        bands = bands.join(rid_b, "_id", "left_anti")
-        sigs = sigs.join(rid_b, "_id", "left_anti")
-        acc = acc.join(rid, id_col, "left_anti")
-    n_acc = acc.count()
-    # ~2M rows per file keeps files in the hundreds-of-MB range that
-    # parquet scans like; never zero partitions
-    n_files = max(1, -(-n_acc // 2_000_000))
-    bw = bands.repartition("band").sortWithinPartitions("band", "bh").write
-    if partition_by_band:
-        bw = bw.partitionBy("band")
-    bw.mode("overwrite").parquet(f"{store_path}/bands__compact")
-    sigs.repartition(n_files).write.mode("overwrite").parquet(
-        f"{store_path}/sigs__compact"
-    )
-    acc.repartition(n_files).write.mode("overwrite").parquet(
-        f"{store_path}/accepted__compact"
-    )
-    spark.createDataFrame([(0,)], "_batch_id long").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{store_path}/commits__compact")
-    fs.create(p(_COMPACT_MARKER), True).close()  # point of no return
-    finish_compaction_swap(spark, store_path)
-    return {
-        "accepted": n_acc,
-        "files_before": files_before,
-        "files_after": sum(_n_files(s) for s in _STORE_SUBS),
-    }
+        files_before = sum(_n_files(s) for s in _STORE_SUBS)
+        zero = F.lit(0).cast("long")
+        bands = (
+            spark.read.parquet(f"{store_path}/bands")
+            .join(commits, "_batch_id", "left_semi")
+            .select("band", "bh", "_id")
+            .distinct()  # replay appends are row-identical
+            .withColumn("_batch_id", zero)
+        )
+        sigs = (
+            spark.read.parquet(f"{store_path}/sigs")
+            .join(commits, "_batch_id", "left_semi")
+            .dropDuplicates(["_id"])
+            .withColumn("_batch_id", zero)
+        )
+        acc = (
+            spark.read.parquet(f"{store_path}/accepted")
+            .join(commits, "_batch_id", "left_semi")
+            .dropDuplicates([id_col])
+            .withColumn("_batch_id", zero)
+        )
+        if remove_ids:
+            # takedown/erasure (the bm25_remove analog for the dedup
+            # memory): the documents' text, signatures, AND band keys are
+            # all rewritten away — a later near-duplicate of a removed
+            # document is ADMITTED, which is exactly what erasure means
+            rid = spark.createDataFrame([(i,) for i in remove_ids], [id_col])
+            rid_b = rid.withColumnRenamed(id_col, "_id")
+            bands = bands.join(rid_b, "_id", "left_anti")
+            sigs = sigs.join(rid_b, "_id", "left_anti")
+            acc = acc.join(rid, id_col, "left_anti")
+        n_acc = acc.count()
+        # ~2M rows per file keeps files in the hundreds-of-MB range that
+        # parquet scans like; never zero partitions
+        n_files = max(1, -(-n_acc // 2_000_000))
+        bw = bands.repartition("band").sortWithinPartitions("band", "bh").write
+        if partition_by_band:
+            bw = bw.partitionBy("band")
+        bw.mode("overwrite").parquet(f"{store_path}/bands__compact")
+        sigs.repartition(n_files).write.mode("overwrite").parquet(
+            f"{store_path}/sigs__compact"
+        )
+        acc.repartition(n_files).write.mode("overwrite").parquet(
+            f"{store_path}/accepted__compact"
+        )
+        spark.createDataFrame([(0,)], "_batch_id long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{store_path}/commits__compact")
+        fs.create(p(_COMPACT_MARKER), True).close()  # point of no return
+        finish_compaction_swap(spark, store_path)
+        return {
+            "accepted": n_acc,
+            "files_before": files_before,
+            "files_after": sum(_n_files(s) for s in _STORE_SUBS),
+        }
+    finally:
+        # the swap (when reached) deleted+renamed dirs already; the
+        # lock outlives the marker so ingest stays blocked through
+        # the swap itself
+        fs.delete(p(_COMPACT_LOCK), False)
 
 
 def near_dedup_stream(
@@ -557,6 +582,21 @@ def near_dedup_stream(
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        fs, p = _store_fs(spark, store_path)
+        if fs.exists(p(_COMPACT_LOCK)):
+            # compact_store is (or crashed while) rewriting the store:
+            # an append now would land in the original dirs and be
+            # ERASED by the swap after the caller saw success — refuse
+            # loudly instead of losing the batch.  A lock left by a
+            # crashed compaction is cleared by the next compact_store
+            # run (exclusive access is its documented precondition).
+            raise RuntimeError(
+                f"near_dedup_stream: compaction in progress on "
+                f"{store_path!r} ({_COMPACT_LOCK} present) — ingest "
+                f"during compact_store loses batches; retry after it "
+                f"finishes, or re-run compact_store to clear a stale "
+                f"lock from a crashed compaction"
+            )
         dup = batch.agg(
             (F.count(F.lit(1)) - F.countDistinct(id_col)).alias("d")
         ).first()["d"]

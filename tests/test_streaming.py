@@ -792,3 +792,54 @@ def test_gopher_and_clean_text_stream_matches_batch(spark, tmp_path_factory):
         for r in spark.table("gopher_stream_test").collect()
     }
     assert got == want
+
+
+def test_compaction_lock_blocks_ingest(spark, tmp_path_factory):
+    """Ingest during compaction loses the batch (the swap erases
+    appends made into the original dirs), so near_dedup_stream must
+    REFUSE while the _COMPACT_RUNNING lock exists; compact_store
+    clears its own lock on success AND on failure, and treats a
+    pre-existing lock (crashed compaction) as stale debris."""
+    import pytest as _p
+
+    from grip_spark import streaming
+
+    root = tmp_path_factory.mktemp("lock")
+    store = str(root / "store")
+    schema = "doc_id long, text string"
+    streaming.near_dedup_stream(
+        spark.createDataFrame(
+            [(1, "one document of perfectly ordinary text content")], schema
+        ),
+        store,
+    )
+    # simulate a compaction in flight (or crashed mid-run)
+    lock = root / "store" / "_COMPACT_RUNNING"
+    lock.touch()
+    with _p.raises(Exception, match="compaction in progress"):
+        streaming.near_dedup_stream(
+            spark.createDataFrame([(2, "a second unrelated text")], schema),
+            store,
+        )
+    # the refused batch left nothing behind: accepted still has 1 row
+    assert spark.read.parquet(f"{store}/accepted").count() == 1
+    # a compact_store run clears the stale lock and relocks for itself
+    stats = streaming.compact_store(spark, store)
+    assert stats["accepted"] == 1
+    assert not lock.exists()
+    # ingest works again after the lock is gone (doc 2 was refused, so
+    # the store holds docs 1 and 3)
+    streaming.near_dedup_stream(
+        spark.createDataFrame([(3, "a third entirely different text")], schema),
+        store,
+    )
+    assert spark.read.parquet(f"{store}/accepted").count() == 2
+    # failure path also clears the lock: compacting a store with no
+    # commits table raises but must not leave _COMPACT_RUNNING behind
+    bad = str(root / "not_a_store")
+    import os
+
+    os.makedirs(bad, exist_ok=True)
+    with _p.raises(ValueError, match="no commits table"):
+        streaming.compact_store(spark, bad)
+    assert not os.path.exists(os.path.join(bad, "_COMPACT_RUNNING"))

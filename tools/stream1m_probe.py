@@ -32,9 +32,13 @@ spark.sparkContext.setLogLevel("ERROR")
 
 from grip_spark import streaming  # noqa: E402
 
-N_BATCHES = 40
-BATCH = 25_000
-COMPACT_EVERY = 10
+import os as _os
+
+# env-overridable scale knobs: the r9 run used 40 x 25k = 1M; the r12
+# 10M run uses N_BATCHES=100 BATCH=100000 COMPACT_EVERY=25
+N_BATCHES = int(_os.environ.get("STREAM_BATCHES", "40"))
+BATCH = int(_os.environ.get("STREAM_BATCH_DOCS", "25000"))
+COMPACT_EVERY = int(_os.environ.get("STREAM_COMPACT_EVERY", "10"))
 
 workdir = tempfile.mkdtemp(prefix="stream1m_")
 store = f"{workdir}/store"
