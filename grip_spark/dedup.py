@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .util import release_checkpoint
+
 
 def _rebalance(df: DataFrame) -> DataFrame:
     """Spread an under-partitioned input across the cluster before a
@@ -811,6 +813,7 @@ def connected_components(
                 .filter(F.col("n.component") != F.col("o.component"))
                 .count()
             )
+            release_checkpoint(labels)  # linear chain (loop discipline)
             labels = new
             if changed == 0:
                 return labels
@@ -902,6 +905,10 @@ def _two_phase_components(
             ) > 0
 
         changed = _differs(large, E) or _differs(small, E)
+        # old E and the intermediate large set are fully consumed
+        # (folded into small + compared) — release deterministically
+        release_checkpoint(E)
+        release_checkpoint(large)
         E = small
         if not changed:
             labeled = E.select(

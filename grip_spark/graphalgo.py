@@ -419,6 +419,7 @@ def katz_centrality(
                 .agg(F.sum(F.abs(F.col("n.katz") - F.col("o.katz"))))
                 .first()[0]
             )
+            release_checkpoint(x)  # linear chain (shared loop discipline)
             x = new
             if delta < tol:
                 break
@@ -577,6 +578,7 @@ def label_propagation(
                 .filter(F.col("n.community") != F.col("o.community"))
                 .count()
             )
+            release_checkpoint(labels)  # linear chain
             labels = new
             if changed == 0:
                 break
@@ -953,6 +955,7 @@ def random_walks(
                 )
             )
             done = finished if done is None else done.unionByName(finished)
+            old_frontier = frontier
             frontier = _ckpt(
                 stepped.filter(F.col("_pick").isNotNull()).select(
                     "walk_id",
@@ -961,6 +964,10 @@ def random_walks(
                     F.col("_pick.d").alias("_cur"),
                 )
             )
+            # old frontier is dead once BOTH stepped-derived
+            # checkpoints (finished, frontier) are materialized; done
+            # references only the finished checkpoints
+            release_checkpoint(old_frontier)
         out = frontier.select("walk_id", "start", "path")
         if done is not None:
             out = out.unionByName(done)
@@ -1101,6 +1108,7 @@ def node2vec_walks(
                 .groupBy("walk_id", "start", "path")
                 .agg(F.min("_next").alias("_next"))
             )
+            old_frontier = frontier
             frontier = _ckpt(
                 picked.select(
                     "walk_id",
@@ -1110,6 +1118,9 @@ def node2vec_walks(
                     F.col("_next").alias("_cur"),
                 )
             )
+            # dead once stranded + frontier checkpoints materialized
+            # (done references only the stranded checkpoints)
+            release_checkpoint(old_frontier)
         out = frontier.select("walk_id", "start", "path")
         if done is not None:
             out = out.unionByName(done)
@@ -1167,6 +1178,7 @@ def k_core(
             ).select("a", "b")
         )
         after = pruned.count()
+        release_checkpoint(cur)  # linear chain (peeling rounds)
         cur = pruned
         if after == before or after == 0:
             return cur
@@ -1282,7 +1294,16 @@ def _reach_levels(e, sources, max_depth: int, _ckpt):
             .withColumn("_depth", F.lit(float(depth)))
         )
         scores = level if scores is None else scores.unionByName(level)
+        # the visited chain is linear (each union is re-checkpointed —
+        # a materialized copy — and only this round's nxt anti-joined
+        # against the old one), so the previous visited checkpoint is
+        # dead; nxt checkpoints are NOT releasable — `scores`
+        # accumulates lazy references to every level.  Round 1's
+        # visited IS the frontier object — skip it.
+        old_visited = visited
         visited = _ckpt(visited.unionByName(nxt))
+        if old_visited is not frontier:
+            release_checkpoint(old_visited)
         frontier = nxt
     return scores
 
@@ -1438,7 +1459,14 @@ def betweenness_centrality(
             if nxt.isEmpty():
                 break
             levels.append(nxt)
+            # visited chain is linear (see _reach_levels); round 1's
+            # handle is a lazy projection over levels[0], for which
+            # release_checkpoint is a structural no-op.  The level
+            # checkpoints themselves are NOT releasable — the backward
+            # pass reads every one.
+            old_visited = visited
             visited = _ckpt(visited.unionByName(nxt.select("_s", "_v")))
+            release_checkpoint(old_visited)
             level = nxt
         # backward: deepest level has delta 0
         acc = None  # Σ_s delta(s, v) over interior nodes
@@ -1704,6 +1732,9 @@ def louvain(
         .distinct()
         .select("id", F.col("id").alias("rep"))
     )
+    # raw checkpoints behind adj (which becomes a filter over the
+    # contracted checkpoint after level 0) for deterministic release
+    adj_ckpt = adj
     for level in range(max_levels):
         comm, moved = _louvain_level(
             adj, loops, f"{salt}:{level}", max_rounds, _ckpt, min_round_gain
@@ -1715,12 +1746,14 @@ def louvain(
         relabel = _ckpt(
             comm.join(rep, "c").select("u", F.col("rep").alias("c"))
         )
+        old_mapping = mapping
         mapping = _ckpt(
             mapping.join(
                 relabel.withColumnRenamed("u", "rep2"),
                 mapping["rep"] == F.col("rep2"),
             ).select("id", F.col("c").alias("rep"))
         )
+        release_checkpoint(old_mapping)  # linear chain
         # contract: inter-community adjacency keeps both-ways form;
         # intra mass (both directions, hence /2 exact on longs) plus
         # member loops become the supernode's loop.  r10 fusion (the
@@ -1751,12 +1784,19 @@ def louvain(
             .groupBy(F.col("c").alias("u"))
             .agg(F.sum("lw").alias("lw"))
         )
+        prev_loops = loops
         loops = _ckpt(
             intra.unionByName(old_loops)
             .groupBy("u")
             .agg(F.sum("lw").alias("lw"))
         )
         adj = new_adj
+        # the previous level's adjacency/loops/relabel checkpoints are
+        # fully folded into contracted + the new loops + mapping
+        release_checkpoint(adj_ckpt)
+        release_checkpoint(prev_loops)
+        release_checkpoint(relabel)
+        adj_ckpt = contracted
         if adj.isEmpty():
             break
     return mapping.select("id", F.col("rep").alias("community"))
@@ -1801,6 +1841,7 @@ def _louvain_level(adj, loops, salt: str, max_rounds: int, _ckpt,
     bc = F.broadcast if n_nodes <= 8_000_000 else (lambda df: df)
     k_b = bc(k)
     comm = _ckpt(nodes.select("u", F.col("u").alias("c")))
+    comm_ckpt = comm  # raw checkpoint behind comm (see seeded LPA)
     any_move = False
     rounds_left = max_rounds
     gated = True
@@ -1909,7 +1950,9 @@ def _louvain_level(adj, loops, salt: str, max_rounds: int, _ckpt,
         ).first()
         moves = stats["m"]
         round_gain = int(stats["g"] or 0)
+        release_checkpoint(comm_ckpt)  # linear chain
         comm = staged.drop("_moved", "_gain")
+        comm_ckpt = staged
         if moves > 0:
             any_move = True
             # adversarial-input guard: ΔQ·(2m)² below the floor means
@@ -2153,7 +2196,9 @@ def hyperball(
             .agg(F.collect_list("regs").alias("_rs"))
             .select("id", _fold(F.col("_rs")).alias("regs"))
         )
+        old_regs = regs
         regs = ckpt(merged)
+        release_checkpoint(old_regs)  # linear chain
         cur_sum = _rho_sum(regs)
         if cur_sum == last_sum:
             break  # every counter stable: N(t) = N(t-1) = the limit
@@ -2644,7 +2689,10 @@ def hits(
         )
         hn = h_all.agg(F.sqrt(F.sum(F.col("_h") * F.col("_h")))).first()[0] or 1.0
         h_all = h_all.select("id", (F.col("_h") / F.lit(hn)).alias("hub"))
+        old_cur = cur
         cur = _ckpt(h_all.join(a_all, "id"))
+        release_checkpoint(old_cur)  # linear chain
+        release_checkpoint(a_all)  # folded into the new cur checkpoint
     return cur.select("id", "hub", F.col("auth").alias("authority"))
 
 
@@ -2734,6 +2782,9 @@ def seeded_label_propagation(
     cur = _ckpt(
         nodes.join(sd, "id", "left").select("id", F.col("_seed").alias("lab"))
     )
+    # the RAW checkpoint behind `cur` (cur itself becomes a projection
+    # over it after round 1, on which release_checkpoint no-ops)
+    cur_ckpt = cur
     argmax = Window.partitionBy("_v").orderBy(F.col("_wsum").desc(), F.col("lab"))
     for _ in range(max_iterations):
         votes = (
@@ -2763,7 +2814,9 @@ def seeded_label_propagation(
             )
         )
         changed = nxt.filter(F.col("_chg")).limit(1).count()
+        release_checkpoint(cur_ckpt)  # linear chain
         cur = nxt.drop("_chg")
+        cur_ckpt = nxt
         if changed == 0:
             break
     return cur.join(sd, "id", "left").select(
@@ -2837,6 +2890,7 @@ def coreness(
             .limit(1)
             .count()
         )
+        release_checkpoint(cur)  # linear chain
         cur = nxt
         if changed == 0:
             return cur.select(F.col("u").alias("id"), F.col("c").alias("core"))

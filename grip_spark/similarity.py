@@ -23,6 +23,8 @@ import random
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .util import release_checkpoint
+
 
 def _vec_lit(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
@@ -2413,8 +2415,12 @@ def kcenter_select(
             raise ValueError(f"first_id {first_id!r} not found")
     selected = [{"id": head["_id"], "vec": list(head["_v"]), "covered_radius": None}]
     cur = base.withColumn("_mind", _dist(selected[0]["vec"]))
+    _prev_ckpt = None
     for _ in range(1, k):
         cur = cur.localCheckpoint(eager=True)
+        if _prev_ckpt is not None:
+            release_checkpoint(_prev_ckpt)  # linear chain
+        _prev_ckpt = cur
         far = cur.orderBy(F.col("_mind").desc(), F.col("_id")).first()
         if far is None or far["_mind"] == 0.0:
             break  # fewer than k distinct points
