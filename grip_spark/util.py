@@ -56,13 +56,26 @@ def release_checkpoint(df: DataFrame) -> None:
     DANGER: the released DataFrame is unusable afterwards — a local
     checkpoint discards lineage, so the blocks cannot be recomputed
     (Spark raises CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).  Only call this
-    on handles that are provably dead.  Reliable ``checkpoint()``
-    DataFrames (checkpoint-dir branch) are untouched — their blocks
-    live in the checkpoint directory, not executor memory, and stay
-    re-readable."""
+    on handles that are provably dead.
+
+    Reliable ``checkpoint()`` DataFrames (checkpoint-dir branch): the
+    unpersist is a no-op (blocks live on disk, not in executor
+    memory), but the round's ``rdd-N`` checkpoint DIRECTORY is
+    deleted — Spark only cleans checkpoint files itself under the
+    non-default ``spark.cleaner.referenceTracking.cleanCheckpoints``,
+    so a 50-round loop would otherwise leave 50 node-table dirs until
+    the application exits.  Same provably-dead contract."""
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getSimpleName() == "LogicalRDD":
-            plan.rdd().unpersist(False)
+            jrdd = plan.rdd()
+            jrdd.unpersist(False)
+            f = jrdd.getCheckpointFile()
+            if f.isDefined():
+                spark = df.sparkSession
+                jvm = spark._jvm
+                path = jvm.org.apache.hadoop.fs.Path(f.get())
+                fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+                fs.delete(path, True)
     except Exception:  # noqa: BLE001 — best-effort release, never fail a loop
         pass

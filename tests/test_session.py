@@ -71,3 +71,37 @@ def test_jump_loop_takes_reliable_branch(spark, swapi):
     )
     assert n > 0
     assert _tree_size(local) > before
+
+
+def test_release_cleans_reliable_checkpoint_files(spark, tmp_path):
+    """A deep loop under RELIABLE checkpoints must not leave one
+    rdd-N directory per round: release_checkpoint deletes the dead
+    round's checkpoint dir (Spark itself only does this under the
+    non-default cleanCheckpoints flag)."""
+    import os
+
+    d = str(tmp_path / "rel_ckpt")
+    old = spark.sparkContext.getCheckpointDir()
+    spark.sparkContext.setCheckpointDir(d)
+    try:
+        # a 6-node path graph: hash-min needs ~5 rounds to converge
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], ["a_id", "b_id"]
+        )
+        comp = {
+            r["id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert set(comp.values()) == {0}
+        rdd_dirs = [
+            dd
+            for _, dirs, _ in os.walk(d)
+            for dd in dirs
+            if dd.startswith("rdd-")
+        ]
+        # >= 5 rounds ran; only the last round's table (plus at most
+        # the in-flight one) may remain
+        assert len(rdd_dirs) <= 2, rdd_dirs
+    finally:
+        if old:
+            spark.sparkContext.setCheckpointDir(old.replace("file:", ""))
