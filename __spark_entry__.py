@@ -2049,7 +2049,13 @@ def q_collocations(spark, sf_dir):
     form the pair table, never a within-doc cartesian); 'bpe' rows are
     the BPE tokenizer-TRAINER's merge sequence (text.learn_bpe,
     Sennrich et al. 2016 — 10 merges over the corpus vocabulary, one
-    row per merge: step, the merged pair, and its raw pair count).
+    row per merge: step, the merged pair, and its raw pair count);
+    'wp' rows are the same trainer under WordPiece likelihood scoring
+    (Schuster & Nakajima 2012 — merges ranked by
+    cnt/(count(a)*count(b)), the BERT trainer's rule; the oracle adds
+    a per-round symbol-count CTE and ranks score DESC, count DESC,
+    pair — exact-integer double division agrees bit-for-bit across
+    engines).
 
     The bpe rows put the last pytest-replica-only operator family
     under the DuckDB value oracle (VERDICT r11 ask #5): the oracle
@@ -2073,23 +2079,35 @@ def q_collocations(spark, sf_dir):
         F.round("pmi", 6).alias("pmi"),
         F.round("npmi", 6).alias("npmi"),
     )
-    fit = text.learn_bpe(docs, n_merges=10, min_pair_count=2)
-    rows = [
-        (i + 1, a, b, int(c))
-        for i, ((a, b), c) in enumerate(zip(fit["merges"], fit["merge_counts"]))
-    ]
-    bpe = spark.createDataFrame(
-        rows, "step int, w1 string, w2 string, pair_count bigint"
-    ).select(
-        F.lit("bpe").alias("label"),
-        "step",
-        "w1",
-        "w2",
-        "pair_count",
-        F.lit(None).cast("double").alias("pmi"),
-        F.lit(None).cast("double").alias("npmi"),
-    )
-    return colloc.unionByName(bpe)
+    # both trainer scoring modes under the oracle: 'bpe' = raw pair
+    # frequency, 'wp' = the WordPiece likelihood cnt/(count(a)count(b))
+    out = [colloc]
+    for label, scoring in (("bpe", "bpe"), ("wp", "wordpiece")):
+        fit = text.learn_bpe(docs, n_merges=10, min_pair_count=2,
+                             scoring=scoring)
+        rows = [
+            (i + 1, a, b, int(c))
+            for i, ((a, b), c) in enumerate(
+                zip(fit["merges"], fit["merge_counts"])
+            )
+        ]
+        out.append(
+            spark.createDataFrame(
+                rows, "step int, w1 string, w2 string, pair_count bigint"
+            ).select(
+                F.lit(label).alias("label"),
+                "step",
+                "w1",
+                "w2",
+                "pair_count",
+                F.lit(None).cast("double").alias("pmi"),
+                F.lit(None).cast("double").alias("npmi"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3188,7 +3206,9 @@ _COLLOC_SQL = (
 )
 
 
-def _bpe_oracle_sql(n_merges: int = 10, min_pair_count: int = 2) -> str:
+def _bpe_oracle_sql(
+    n_merges: int = 10, min_pair_count: int = 2, scoring: str = "bpe"
+) -> str:
     """text.learn_bpe's merge sequence, unrolled to ``n_merges`` CTE
     rounds (the coreness/HITS unrolled-chain pattern).  Per round k:
     ``pos_k`` explodes the symbol arrays with positions (unnest +
@@ -3204,7 +3224,14 @@ def _bpe_oracle_sql(n_merges: int = 10, min_pair_count: int = 2) -> str:
     merge at odd row_number within the match island (gaps-and-islands
     via i - row_number).  All state CTEs are MATERIALIZED — DuckDB
     inlines plain CTEs into every reference and would re-derive the
-    whole chain per round (the MTLD oracle lesson)."""
+    whole chain per round (the MTLD oracle lesson).
+
+    ``scoring="wordpiece"`` selects by the WordPiece likelihood score
+    ``cnt / (count(a)*count(b))`` (Schuster & Nakajima 2012): each
+    round adds one symbol-count CTE over the exploded positions and
+    ranks score DESC -> count DESC -> pair — the engine's exact
+    order; both engines compute the score as an exact-integer double
+    division, so the argmax agrees bit-for-bit."""
     ctes = [
         ("bwords", (
             "SELECT w AS word, count(*)::BIGINT AS n FROM ("
@@ -3229,11 +3256,33 @@ def _bpe_oracle_sql(n_merges: int = 10, min_pair_count: int = 2) -> str:
                 f"lead(sym) OVER (PARTITION BY word ORDER BY i) AS b "
                 f"FROM pos_{k}"
             )),
+            *(
+                [(f"sy_{k}", (
+                    f"SELECT sym, sum(n)::BIGINT AS sn FROM pos_{k} "
+                    f"GROUP BY sym"
+                ))]
+                if scoring == "wordpiece"
+                else []
+            ),
             (f"mg_{k}", (
-                f"SELECT a, b, sum(n)::BIGINT AS cnt FROM pr_{k} "
-                f"WHERE b IS NOT NULL GROUP BY a, b "
-                f"HAVING sum(n) >= {min_pair_count} "
-                f"ORDER BY cnt DESC, a ASC, b ASC LIMIT 1"
+                (
+                    f"SELECT a, b, cnt FROM ("
+                    f"SELECT pc.a, pc.b, pc.cnt, "
+                    f"pc.cnt / (sa.sn * sb.sn) AS score FROM ("
+                    f"SELECT a, b, sum(n)::BIGINT AS cnt FROM pr_{k} "
+                    f"WHERE b IS NOT NULL GROUP BY a, b "
+                    f"HAVING sum(n) >= {min_pair_count}) pc "
+                    f"JOIN sy_{k} sa ON pc.a = sa.sym "
+                    f"JOIN sy_{k} sb ON pc.b = sb.sym) "
+                    f"ORDER BY score DESC, cnt DESC, a ASC, b ASC LIMIT 1"
+                )
+                if scoring == "wordpiece"
+                else (
+                    f"SELECT a, b, sum(n)::BIGINT AS cnt FROM pr_{k} "
+                    f"WHERE b IS NOT NULL GROUP BY a, b "
+                    f"HAVING sum(n) >= {min_pair_count} "
+                    f"ORDER BY cnt DESC, a ASC, b ASC LIMIT 1"
+                )
             )),
             (f"isl_{k}", (
                 f"SELECT p.word, p.n, p.i, p.a AS sym, "
@@ -3259,8 +3308,9 @@ def _bpe_oracle_sql(n_merges: int = 10, min_pair_count: int = 2) -> str:
             )),
         ]
     body = ", ".join(f"{name} AS MATERIALIZED ({sql})" for name, sql in ctes)
+    tag = "bpe" if scoring == "bpe" else "wp"
     union = " UNION ALL ".join(
-        f"SELECT 'bpe' AS label, {k} AS step, a AS w1, b AS w2, "
+        f"SELECT '{tag}' AS label, {k} AS step, a AS w1, b AS w2, "
         f"cnt AS pair_count FROM mg_{k}"
         for k in range(1, n_merges + 1)
     )
@@ -3272,7 +3322,11 @@ _COLLOC_BPE_SQL = (
     f"pair_count, pmi, npmi FROM ({_COLLOC_SQL}) "
     f"UNION ALL "
     f"SELECT label, step, w1, w2, pair_count, CAST(NULL AS DOUBLE) AS pmi, "
-    f"CAST(NULL AS DOUBLE) AS npmi FROM ({_bpe_oracle_sql(10, 2)})"
+    f"CAST(NULL AS DOUBLE) AS npmi FROM ({_bpe_oracle_sql(10, 2)}) "
+    f"UNION ALL "
+    f"SELECT label, step, w1, w2, pair_count, CAST(NULL AS DOUBLE) AS pmi, "
+    f"CAST(NULL AS DOUBLE) AS npmi "
+    f"FROM ({_bpe_oracle_sql(10, 2, scoring='wordpiece')})"
 )
 
 
