@@ -2111,7 +2111,24 @@ def q_collocations(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    from grip_spark.util import disable_dataframe_debugging
+
+    def _w(fn):
+        # turn off PySpark's per-call debug-origin capture before
+        # building each query: 3 extra py4j round trips per Column op
+        # otherwise (pure driver overhead at any scale — see
+        # grip_spark.util.disable_dataframe_debugging)
+        def run(spark, sf_dir, _fn=fn):
+            disable_dataframe_debugging(spark)
+            return _fn(spark, sf_dir)
+
+        run.__name__ = getattr(fn, "__name__", "q")
+        return run
+
+    return {k: _w(v) for k, v in _QUERIES.items()}
+
+
+_QUERIES = {
         # never-verified-in-r2 + new (see module docstring: 50-cap hedge)
         "events_agg": q_events_agg,  # events_json_props rides here since r9
         "asof_events": q_asof_events,

@@ -456,6 +456,10 @@ def main():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
+        # per-call debug-origin capture costs 3 py4j round trips per
+        # Column op on the single-threaded driver — scale-independent
+        # overhead, off for measured runs (grip_spark.util docstring)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

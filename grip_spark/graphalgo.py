@@ -138,8 +138,10 @@ def _power_loop(
     extra columns (e.g. the seed indicator) that ``init_expr`` /
     ``base_expr_fn(dangling)`` reference; they are preserved across
     rounds and dropped by the callers.  ``base_expr_fn`` receives the
-    collected dangling mass each round and returns the teleport term
-    column — each variant keeps its exact float arithmetic."""
+    round's dangling-mass Column (a one-row broadcast folded into the
+    round's plan — no per-round driver collect) and returns the
+    teleport term column — each variant keeps its exact float
+    arithmetic."""
     if exact_iterations is not None and exact_iterations < 0:
         raise ValueError(f"exact_iterations must be >= 0, got {exact_iterations}")
     if exact_iterations is None and max_iterations < 1:
@@ -163,11 +165,15 @@ def _power_loop(
         delta = float("inf")
         rounds = exact_iterations if exact_iterations is not None else max_iterations
         for _ in range(rounds):
-            dangling = (
-                ranks.join(sinks, "id", "left_semi")
-                .agg(F.sum("pagerank"))
-                .first()[0]
-                or 0.0
+            # dangling mass folded INTO the round's plan as a one-row
+            # broadcast instead of a per-round driver first() — halves
+            # the driver-synchronized jobs per round (r12, guide §5:
+            # the driver should do almost no data work).  The sum is
+            # the same Spark aggregate as before; base_expr_fn applies
+            # the same float ops to it, so values are unchanged up to
+            # the already-documented float addition order.
+            dang = ranks.join(sinks, "id", "left_semi").agg(
+                F.coalesce(F.sum("pagerank"), F.lit(0.0)).alias("_dang")
             )
             contribs = (
                 wedges.join(ranks, wedges["_src"] == ranks["id"])
@@ -175,11 +181,13 @@ def _power_loop(
                 .agg(F.sum(F.col("pagerank") * F.col("_w")).alias("_c"))
             )
             new = _ckpt(
-                nodes.join(contribs, "id", "left").select(
+                nodes.join(contribs, "id", "left")
+                .crossJoin(F.broadcast(dang))
+                .select(
                     "id",
                     *extra,
                     (
-                        base_expr_fn(dangling)
+                        base_expr_fn(F.col("_dang"))
                         + F.lit(damping) * F.coalesce("_c", F.lit(0.0))
                     ).alias("pagerank"),
                 )
@@ -269,9 +277,14 @@ def pagerank(
     if n == 0:
         raise ValueError("pagerank: empty graph")
 
-    def base(dangling: float):
-        # python-side float math kept exactly as the SQL oracle unrolls it
-        return F.lit((1.0 - damping) / n + damping * dangling / n)
+    def base(dangling):
+        # same float ops the SQL oracle unrolls: (1-d)/n is a python
+        # constant; d*dangling/n applies multiply-then-divide to the
+        # distributed dangling sum (a Column since r12 — see _power_loop)
+        return (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping) * dangling / F.lit(float(n))
+        )
 
     return _power_loop(
         nodes,
@@ -335,9 +348,12 @@ def personalized_pagerank(
         )
     )
 
-    def base(dangling: float):
-        seed_base = (1.0 - damping) / n_seeds + damping * dangling / n_seeds
-        return F.when(F.col("_seed"), F.lit(seed_base)).otherwise(F.lit(0.0))
+    def base(dangling):
+        seed_base = (
+            F.lit((1.0 - damping) / n_seeds)
+            + F.lit(damping) * dangling / F.lit(float(n_seeds))
+        )
+        return F.when(F.col("_seed"), seed_base).otherwise(F.lit(0.0))
 
     init = F.when(F.col("_seed"), F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0))
     out = _power_loop(

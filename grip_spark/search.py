@@ -77,16 +77,12 @@ def bm25_index(
     """
     # count(*) not count(id): both count(id) and countDistinct skip
     # NULLs, so NULL-id rows (which the posting groupBy would weld
-    # into one phantom document) must surface here too
-    dup = df.agg(
-        (F.count(F.lit(1)) - F.countDistinct(id_col)).alias("d")
-    ).first()["d"]
-    if dup:
-        raise ValueError(
-            f"bm25_index: {id_col} values must be unique and non-NULL — "
-            f"{dup} duplicate/NULL id(s) found (dedup upstream, e.g. "
-            "dedup.dedup_exact)"
-        )
+    # into one phantom document) must surface here too.  The check
+    # rides the SAME driver action as the corpus scalars (one-row
+    # crossJoin inside _index_from_postings) instead of its own job —
+    # a duplicate-id corpus now pays the tokenize pass before raising,
+    # but a clean build pays one driver round trip less (r12).
+    dup_df = df.agg((F.count(F.lit(1)) - F.countDistinct(id_col)).alias("_dup"))
     nonempty = F.filter(tokens(text_col), lambda t: t != "")
     if positions:
         # posexplode_outer + pos-notnull: identical rows, but the
@@ -116,22 +112,42 @@ def bm25_index(
             .agg(F.count(F.lit(1)).alias("tf"))
             .localCheckpoint(eager=True)
         )
-    return _index_from_postings(postings, "bm25_index: no documents with tokens")
+    return _index_from_postings(
+        postings,
+        "bm25_index: no documents with tokens",
+        dup_df=dup_df,
+        id_col=id_col,
+    )
 
 
-def _index_from_postings(postings: DataFrame, empty_msg: str) -> Bm25Index:
+def _index_from_postings(
+    postings: DataFrame,
+    empty_msg: str,
+    dup_df: DataFrame | None = None,
+    id_col: str = "id",
+) -> Bm25Index:
     """Derive a complete :class:`Bm25Index` from a (token, id, tf, dl)
     postings table — THE single definition of how the term table and
     corpus scalars follow from postings, shared by the builder and
     :func:`bm25_remove` (so removal can never drift from the
-    must-equal-a-rebuild contract)."""
+    must-equal-a-rebuild contract).  ``dup_df`` (a one-row ``_dup``
+    count from the builder's uniqueness guard) is crossJoined into the
+    scalar collect so guard + scalars cost ONE driver action."""
     terms = postings.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
-    stats = (
+    stats_df = (
         postings.select("id", "dl")
         .distinct()
         .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
-        .first()
     )
+    if dup_df is not None:
+        stats_df = dup_df.crossJoin(stats_df)
+    stats = stats_df.first()
+    if dup_df is not None and stats["_dup"]:
+        raise ValueError(
+            f"bm25_index: {id_col} values must be unique and non-NULL — "
+            f"{stats['_dup']} duplicate/NULL id(s) found (dedup upstream, e.g. "
+            "dedup.dedup_exact)"
+        )
     n_docs = int(stats["n"] or 0)
     if n_docs == 0:
         raise ValueError(empty_msg)

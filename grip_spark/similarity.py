@@ -23,11 +23,14 @@ import random
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .util import release_checkpoint
+from .util import dbl_array_lit, dbl_matrix_lit, release_checkpoint
 
 
 def _vec_lit(vec: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
+    # one py4j round trip for the whole vector literal (identical
+    # CreateArray(Literal) tree — see util.dbl_array_lit); a 64-dim
+    # centroid built element-wise was ~80 driver↔JVM hops
+    return dbl_array_lit(vec)
 
 
 def _fresh_name(base: str, taken) -> str:
@@ -1237,7 +1240,7 @@ def _adc_score_expr(codebooks: list, q: list[float], code_col: str) -> Column:
         ]
         for s in range(m)
     ]
-    lutlit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    lutlit = dbl_matrix_lit(lut)
     code = F.col(code_col)
     return F.aggregate(
         F.sequence(F.lit(1), F.lit(m)),
@@ -1436,7 +1439,7 @@ def ivfadc_index(
     indexed = df.withColumn(
         cell_col, F.when(ok, _pq_code_expr(unit, [centroids])[0])
     )
-    cent_lit = F.array(*[_vec_lit(c) for c in centroids])
+    cent_lit = dbl_matrix_lit(centroids)
     resid = F.zip_with(
         unit,
         F.element_at(cent_lit, F.col(cell_col) + 1),
@@ -1497,7 +1500,7 @@ def ivfadc_topk(
     probed = sorted(
         range(len(cell_dots)), key=lambda i: (halfn2[i] - cell_dots[i], i)
     )[: max(1, nprobe)]
-    cell_lit = F.array(*[F.lit(v) for v in cell_dots])
+    cell_lit = dbl_array_lit(cell_dots)
     score = (
         F.element_at(cell_lit, F.col(cell_col) + 1)
         + _adc_score_expr(codebooks, q, code_col)
@@ -2175,7 +2178,7 @@ def random_projection(
         F.aggregate(
             F.zip_with(
                 v,
-                F.array(*[F.lit(x) for x in r]),
+                dbl_array_lit(r),
                 lambda a, b: a * b,
             ),
             F.lit(0.0),

@@ -17,6 +17,7 @@ import re as _re
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .dedup import md5_prefix_hash, word_shingles, xxhash64_py
+from .util import dbl_array_lit
 
 # Tiny built-in stopword lists for the language-ID heuristic.  The
 # n-gram/stopword-hit approach follows the classic langid heuristics
@@ -2334,7 +2335,7 @@ def hashed_linear_score(
         raise ValueError(f"word_ngrams must be 1 or 2, got {word_ngrams}")
     h = token_hash or F.xxhash64
     d = len(weights)
-    w = F.array(*[F.lit(float(x)) for x in weights])
+    w = dbl_array_lit(weights)
     # empty text splits to [""] — drop empty tokens so it takes the
     # bias-only path instead of scoring a phantom "" token
     toks = F.filter(tokens(text_col), lambda t: t != "")
@@ -2594,7 +2595,7 @@ def train_linear_classifier(
         losses = []
         eps = 1e-12
         for _ in range(epochs):
-            warr = F.array(*[F.lit(float(v)) for v in w])
+            warr = dbl_array_lit(w)
             margins = feats.groupBy("__id").agg(
                 F.first("__y").alias("__y"),
                 F.sum(
@@ -3356,27 +3357,42 @@ def dsir_model(
     h = token_hash or F.xxhash64
     import math as _math
 
-    def _log_probs(df: DataFrame) -> list[float]:
+    def _buckets(df: DataFrame, tag: int) -> DataFrame:
         grams = _dsir_grams(text_col, word_ngrams)
-        rows = (
+        return (
             df.filter(F.col(text_col).isNotNull())
             .select(F.explode_outer(grams).alias("_g"))
             .filter(F.col("_g").isNotNull())
-            .select(F.pmod(h(F.col("_g")), F.lit(n_buckets)).cast("int").alias("_b"))
-            .groupBy("_b")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .collect()
+            .select(
+                F.lit(tag).alias("_t"),
+                F.pmod(h(F.col("_g")), F.lit(n_buckets)).cast("int").alias("_b"),
+            )
         )
+
+    # both corpora counted in ONE action (union tagged by corpus,
+    # grouped by (corpus, bucket)) — the per-bucket counts are
+    # identical to two separate aggregations, and the driver pays one
+    # job instead of two (r12; the collect stays bounded at 2·B rows)
+    rows = (
+        _buckets(target_df, 0)
+        .unionByName(_buckets(raw_df, 1))
+        .groupBy("_t", "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+
+    def _log_probs(tag: int) -> list[float]:
         counts = [0] * n_buckets
         total = 0
         for r in rows:
-            counts[r["_b"]] = int(r["_n"])
-            total += int(r["_n"])
+            if r["_t"] == tag:
+                counts[r["_b"]] = int(r["_n"])
+                total += int(r["_n"])
         denom = _math.log(total + alpha * n_buckets)
         return [_math.log(c + alpha) - denom for c in counts]
 
-    lp_t = _log_probs(target_df)
-    lp_r = _log_probs(raw_df)
+    lp_t = _log_probs(0)
+    lp_r = _log_probs(1)
     return [t - r for t, r in zip(lp_t, lp_r)]
 
 
@@ -3409,7 +3425,7 @@ def dsir_logweight(
         raise ValueError("weights must be non-empty")
     h = token_hash or F.xxhash64
     d = len(weights)
-    w = F.array(*[F.lit(float(x)) for x in weights])
+    w = dbl_array_lit(weights)
     grams = _dsir_grams(text_col, word_ngrams)
 
     def _body(ts):

@@ -26,6 +26,8 @@ position instead.
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -79,3 +81,71 @@ def release_checkpoint(df: DataFrame) -> None:
                 fs.delete(path, True)
     except Exception:  # noqa: BLE001 — best-effort release, never fail a loop
         pass
+
+
+def dbl_array_lit(vals) -> Column:
+    """``F.array(*[F.lit(float(x)) for x in vals])`` built with ONE py4j
+    round trip instead of ``len(vals)+1``.
+
+    PySpark classic pays one driver↔JVM round trip per ``Column`` call;
+    a 4096-bucket weight table or a 64-dim centroid built element-wise
+    is thousands of synchronous socket hops (measured ~1 ms each here —
+    seconds per operator, on the single-threaded driver, at ANY data
+    scale).  Rendering the same expression as SQL text and parsing it
+    JVM-side yields the IDENTICAL analyzed tree — ``array(1.5D, ...)``
+    parses to the same ``CreateArray(Literal(double))`` the functions
+    API builds, and ``repr(float)`` is shortest-round-trip so
+    ``Double.parseDouble`` reproduces the exact IEEE bits (bitwise
+    equality is pinned by tests/test_exprtext.py).
+
+    Non-finite values (SQL text has no nan/inf double literal) and the
+    empty list fall back to the element-wise build.
+    """
+    vals = [float(x) for x in vals]
+    if not vals or not all(_math.isfinite(x) for x in vals):
+        return F.array(*[F.lit(x) for x in vals])
+    return F.expr("array(" + ",".join(repr(x) + "D" for x in vals) + ")")
+
+
+def dbl_matrix_lit(rows) -> Column:
+    """``F.array(*[dbl_array_lit(r) for r in rows])`` in one round trip
+    (array-of-array double literal, e.g. a PQ lookup table).  Same
+    exactness contract as :func:`dbl_array_lit`; falls back per-row on
+    non-finite values or empty input."""
+    rows = [[float(x) for x in r] for r in rows]
+    if not rows or not all(r and all(_math.isfinite(x) for x in r) for r in rows):
+        return F.array(*[dbl_array_lit(r) for r in rows])
+    return F.expr(
+        "array("
+        + ",".join("array(" + ",".join(repr(x) + "D" for x in r) + ")" for r in rows)
+        + ")"
+    )
+
+
+def disable_dataframe_debugging(spark) -> None:
+    """Turn off PySpark's per-call DataFrame debug-origin capture
+    (``spark.python.sql.dataFrameDebugging.enabled``).
+
+    When on (the default), EVERY decorated Column/DataFrame API call
+    pays a Python stack inspection plus three extra synchronous py4j
+    round trips (``conf.get`` + ``PySparkCurrentOrigin.set``/``clear``)
+    purely to enrich error messages with the user call site.  For
+    expression-heavy operators that is a 2-4x multiplier on driver-side
+    plan construction (measured: gopher_rules build 6.9 s → 2.6 s) at
+    ANY data scale — the driver builds the same tree at 100 TB.
+
+    The conf is STATIC (only settable at session build — our own
+    entry points do set it there), but the capture itself is purely
+    Python-client-side and memoized in
+    ``pyspark.errors.utils._enable_debugging_cache``; pinning the memo
+    to ``False`` disables it for sessions we did not build (e.g. the
+    driver harness's).  Error SEMANTICS are unchanged; only the
+    call-site annotation in error messages is dropped.
+    """
+    try:
+        import pyspark.errors.utils as _eu
+
+        _eu._enable_debugging_cache = False
+    except Exception:  # noqa: BLE001 — best-effort: missing private memo
+        pass  # just means the capture stays on (a perf, not a
+        # correctness, matter)

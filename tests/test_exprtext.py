@@ -1,0 +1,116 @@
+"""SQL-text expression builds must be IDENTICAL to the element-wise
+functions-API builds they replaced (r12 optimization: one py4j round
+trip instead of one per literal — see util.dbl_array_lit).
+
+Equality is pinned at the analyzed-plan level (same tree modulo expr
+ids) and at the value level (bitwise doubles through the parser
+round-trip), so the rewrite can never drift semantics or plan shape.
+"""
+
+import math
+import random
+import struct
+
+from pyspark.sql import functions as F
+
+from grip_spark.util import dbl_array_lit, dbl_matrix_lit
+
+
+def _norm_plan(df):
+    import re
+
+    s = df._jdf.queryExecution().analyzed().toString()
+    return re.sub(r"#\d+", "#N", s)
+
+
+def test_dbl_array_lit_matches_elementwise(spark):
+    rng = random.Random(7)
+    vals = [rng.gauss(0, 1) for _ in range(64)] + [0.0, -0.0, 1e-300, -1e300, 1.5e-7]
+    a = spark.range(1).select(dbl_array_lit(vals).alias("x"))
+    b = spark.range(1).select(F.array(*[F.lit(float(v)) for v in vals]).alias("x"))
+    assert _norm_plan(a) == _norm_plan(b)
+    ra, rb = a.first()["x"], b.first()["x"]
+    assert all(
+        struct.pack(">d", x) == struct.pack(">d", y) for x, y in zip(ra, rb)
+    ), "parser round-trip must reproduce exact IEEE bits"
+
+
+def test_dbl_array_lit_nonfinite_falls_back(spark):
+    vals = [1.0, float("nan"), float("inf")]
+    a = spark.range(1).select(dbl_array_lit(vals).alias("x"))
+    b = spark.range(1).select(F.array(*[F.lit(float(v)) for v in vals]).alias("x"))
+    ra, rb = a.first()["x"], b.first()["x"]
+    assert math.isnan(ra[1]) and math.isnan(rb[1]) and ra[2] == rb[2] == float("inf")
+    assert _norm_plan(a) == _norm_plan(b)
+
+
+def test_dbl_matrix_lit_matches_elementwise(spark):
+    rows = [[1.5, -2.25, 3.0], [0.0, -0.0, 1e-9]]
+    a = spark.range(1).select(dbl_matrix_lit(rows).alias("x"))
+    b = spark.range(1).select(
+        F.array(*[F.array(*[F.lit(float(v)) for v in r]) for r in rows]).alias("x")
+    )
+    assert _norm_plan(a) == _norm_plan(b)
+    assert a.first()["x"] == b.first()["x"]
+
+
+def test_minhash_agg_exprtext_matches_elementwise(spark):
+    from grip_spark.dedup import _MINHASH_COEFFS, _MINHASH_P
+
+    base = spark.range(10).select(
+        (F.col("id") % 3).alias("_id"), F.xxhash64("id").bitwiseAND(F.lit(0xFFFFFFFF)).alias("_h")
+    )
+    n = 8
+    new = base.groupBy("_id").agg(
+        *[
+            F.expr(f"min(pmod({a} * _h + {b}, {_MINHASH_P})) AS _mh{i}")
+            for i, (a, b) in enumerate(_MINHASH_COEFFS[:n])
+        ]
+    )
+    old = base.groupBy("_id").agg(
+        *[
+            F.min(
+                F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_MINHASH_P))
+            ).alias(f"_mh{i}")
+            for i, (a, b) in enumerate(_MINHASH_COEFFS[:n])
+        ]
+    )
+    assert _norm_plan(new) == _norm_plan(old)
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
+
+
+def test_band_struct_exprtext_matches_elementwise(spark):
+    bands, r = 4, 2
+    sig = spark.range(3).select(
+        F.col("id").alias("_id"),
+        F.array(*[F.xxhash64("id", F.lit(i)) for i in range(bands * r)]).alias("_sig"),
+    )
+    new = sig.select(
+        "_id",
+        F.explode(
+            F.expr(
+                "array("
+                + ",".join(
+                    f"struct({b} AS band, xxhash64({b}, slice(_sig, {b * r + 1}, {r})) AS bh)"
+                    for b in range(bands)
+                )
+                + ")"
+            )
+        ).alias("_b"),
+    ).select("_id", "_b.band", "_b.bh")
+    old = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.lit(b), F.slice("_sig", b * r + 1, r)).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_b.band", "_b.bh")
+    assert _norm_plan(new) == _norm_plan(old)
+    assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))

@@ -1,0 +1,106 @@
+"""Decompose every bench query's wall-clock into the three driver-visible
+phases, per guide §1 (measure first) and §7.3 (planning time):
+
+  t_thunk : build_queries thunk — DataFrame construction (driver-loop
+            queries run their rounds HERE, so it contains real jobs)
+  t_plan  : force analysis + optimization + physical planning
+            (queryExecution().executedPlan()) — single-threaded driver
+  t_exec  : the bench action (count/collect) after planning is forced
+
+Run twice per query (cold/warm) to see what re-planning costs on every
+invocation vs what the codegen cache absorbs.  Also dumps
+`.explain("formatted")` for each query into plans/r12/<name>_before.txt
+(override the suffix with PROFILE_TAG).
+
+Usage: python tools/profile_bench.py [name ...]   (env: SPARK_GRAFT_SF_DIR,
+SPARK_GRAFT_CPUS, PROFILE_TAG=before|after, PROFILE_PLANS=1 to dump plans)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+TAG = os.environ.get("PROFILE_TAG", "before")
+DUMP = os.environ.get("PROFILE_PLANS", "1") == "1"
+PLAN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "plans", "r12")
+
+
+def main():
+    from pyspark.sql import SparkSession
+
+    only = set(sys.argv[1:])
+    spark = (
+        SparkSession.builder.master(f"local[{bench.CPUS}]")
+        .appName("grip_spark-profile")
+        .config("spark.sql.shuffle.partitions", str(bench.CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ctx = bench.prepare(spark, bench.SF_DIR, bench.CPUS)
+    queries = bench.build_queries(ctx)
+    if DUMP:
+        os.makedirs(PLAN_DIR, exist_ok=True)
+
+    rows = []
+    for name, (thunk, action) in queries.items():
+        if only and name not in only:
+            continue
+        spark.sparkContext.setJobDescription(f"profile:{name}")
+        samples = []
+        for it in range(2):
+            t0 = time.perf_counter()
+            df = thunk()
+            t1 = time.perf_counter()
+            # force full planning without executing
+            df._jdf.queryExecution().executedPlan()
+            t2 = time.perf_counter()
+            df.count() if action == "count" else df.collect()
+            t3 = time.perf_counter()
+            samples.append(
+                {
+                    "thunk": round(t1 - t0, 3),
+                    "plan": round(t2 - t1, 3),
+                    "exec": round(t3 - t2, 3),
+                    "total": round(t3 - t0, 3),
+                }
+            )
+            if it == 0 and DUMP:
+                with open(os.path.join(PLAN_DIR, f"{name}_{TAG}.txt"), "w") as fh:
+                    fh.write(df._jdf.queryExecution().explainString(
+                        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        rows.append({"name": name, "runs": samples})
+        s = samples
+        print(
+            f"{name:22s} r0 thunk={s[0]['thunk']:6.2f} plan={s[0]['plan']:6.2f} "
+            f"exec={s[0]['exec']:6.2f} | r1 thunk={s[1]['thunk']:6.2f} "
+            f"plan={s[1]['plan']:6.2f} exec={s[1]['exec']:6.2f} "
+            f"tot_min={min(x['total'] for x in s):6.2f}",
+            flush=True,
+        )
+
+    tot = sum(min(x["total"] for x in r["runs"]) for r in rows)
+    p = sum(min(x["plan"] for x in r["runs"]) for r in rows)
+    e = sum(min(x["exec"] for x in r["runs"]) for r in rows)
+    t = sum(min(x["thunk"] for x in r["runs"]) for r in rows)
+    print(json.dumps({"sum_of_min_totals": round(tot, 2),
+                      "sum_min_thunk": round(t, 2),
+                      "sum_min_plan": round(p, 2),
+                      "sum_min_exec": round(e, 2)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
