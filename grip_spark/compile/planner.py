@@ -35,7 +35,7 @@ no step ever collects to the driver except the ``mark``/``jump`` loop
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Observation, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
@@ -1247,11 +1247,11 @@ class Planner:
         continue downstream — non-emitting jumps drop the downstream
         stream entirely.
 
-        Per iteration and segment: one checkpoint action (reliable
+        Per iteration and segment: ONE checkpoint action (reliable
         ``checkpoint()`` when a checkpoint dir is configured — survives
-        executor loss at scale — else ``localCheckpoint``) plus one
-        aggregate action computing jump-back/total counts in a single
-        pass.  The emitted stream accumulates as a union of
+        executor loss at scale — else ``localCheckpoint``); the
+        jump-back/total counts are observed during that same action
+        (``Dataset.observe``), not by a second per-round driver job.  The emitted stream accumulates as a union of
         checkpointed iterations.
         """
         last_jump = segments[-1][1]
@@ -1282,31 +1282,42 @@ class Planner:
             n_back = 0
             last_total = 0
             for body, jump in segments:
-                out = self._plan_seq(seg_in, body)
+                pre = self._plan_seq(seg_in, body)
                 if self.elem_type != mark_type:
                     raise CompileError(
                         "jump requires matching element types at the mark"
                     )
+                cond_expr = jump.get("expression")
+
+                def _loop_cond(over: DataFrame) -> Column:
+                    return (
+                        F.lit(True)
+                        if cond_expr is None
+                        else compile_has(self._viewer(over), cond_expr)
+                    )
+
+                # jump-back/total counts observed DURING the checkpoint
+                # materialization (Dataset.observe rides the same job)
+                # instead of a second per-round driver action — halves
+                # the driver-synchronized jobs per iteration (r12)
+                obs = Observation()
+                pre = pre.observe(
+                    obs,
+                    F.sum(F.when(_loop_cond(pre), 1).otherwise(0)).alias("cont"),
+                    F.count(F.lit(1)).alias("total"),
+                )
                 out = (
-                    out.checkpoint(eager=True)
+                    pre.checkpoint(eager=True)
                     if use_reliable
-                    else out.localCheckpoint(eager=True)
+                    else pre.localCheckpoint(eager=True)
                 )
                 round_outs.append(out)
                 if pending_release:
                     for d in pending_release:
                         release_checkpoint(d)
                     pending_release = []
-                cond_expr = jump.get("expression")
-                loop_c = (
-                    F.lit(True)
-                    if cond_expr is None
-                    else compile_has(self._viewer(out), cond_expr)
-                )
-                stats = out.select(
-                    F.sum(F.when(loop_c, 1).otherwise(0)).alias("cont"),
-                    F.count(F.lit(1)).alias("total"),
-                ).first()
+                loop_c = _loop_cond(out)
+                stats = obs.get
                 if (stats["cont"] or 0) > 0:
                     n_back += stats["cont"]
                     backs.append(out.filter(loop_c))

@@ -23,7 +23,7 @@ functions at all); this extends the LLM-data-pipeline pillar alongside
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Observation, functions as F
 
 from .text import _let, tokens
 
@@ -225,9 +225,14 @@ def bloom_contaminated_ids(
     from . import sketch as SK
 
     bench = benchmark_grams(benchmark, bench_text_col or text_col, n, gram_hash)
-    bench = bench.localCheckpoint(eager=True)
+    # distinct-gram count observed during the checkpoint action itself
+    # (sizes the Bloom) instead of a second count job (r12)
+    obs = Observation()
+    bench = bench.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=True
+    )
     if m_bits is None or k is None:
-        n_keys = bench.count()
+        n_keys = int(obs.get["n"] or 0)
         auto_m, auto_k = SK.bloom_params(max(1, n_keys), fpp)
         m_bits = m_bits or auto_m
         k = k or auto_k

@@ -20,7 +20,7 @@ verify LSH candidates or as the small-scale oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Observation, functions as F
 
 from .util import release_checkpoint
 
@@ -769,10 +769,10 @@ def connected_components(
     and its per-round cost is one join + one aggregate vs two of
     each.
 
-    Convergence is detected exactly: an id-equi-join of consecutive
-    label tables counting changed labels (both sides are materialized
-    checkpoints, so this costs one small shuffle on the already-tiny
-    label table).
+    Convergence is detected exactly: the changed-label count of the
+    id-equi-join against the previous round's checkpointed labels is
+    observed during the round's own checkpoint action
+    (``Dataset.observe``) — no separate per-round driver job.
     """
     # materialize the pair list once BEFORE the symmetric union: its
     # two branches would otherwise each evaluate the (potentially
@@ -808,17 +808,36 @@ def connected_components(
             msgs = labels.join(
                 edges, labels["id"] == edges["src"]
             ).select(F.col("dst").alias("id"), "component")
-            new = _ckpt(
+            # changed-label count observed DURING the round's
+            # checkpoint (join against the previous round's
+            # checkpointed labels rides the same action via
+            # Dataset.observe) — one driver job per round instead of
+            # two.  The id sets of consecutive rounds are equal (the
+            # symmetric edge union keeps every id a src), so the inner
+            # join drops nothing (r12).
+            obs = Observation()
+            pre = (
                 labels.unionByName(msgs)
                 .groupBy("id")
                 .agg(F.min("component").alias("component"))
+                .join(
+                    labels.select(
+                        "id", F.col("component").alias("_oldc")
+                    ),
+                    "id",
+                )
+                .observe(
+                    obs,
+                    F.sum(
+                        F.when(
+                            F.col("component") != F.col("_oldc"), 1
+                        ).otherwise(0)
+                    ).alias("changed"),
+                )
+                .select("id", "component")
             )
-            changed = (
-                new.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.component") != F.col("o.component"))
-                .count()
-            )
+            new = _ckpt(pre)
+            changed = obs.get["changed"] or 0
             release_checkpoint(labels)  # linear chain (loop discipline)
             labels = new
             if changed == 0:

@@ -1168,48 +1168,16 @@ def _group_char_stats(sorted_arr: Column) -> Column:
     )
 
 
-def gopher_rules(
-    df: DataFrame,
-    text_col: str = "text",
-    pass_col: str = "gopher_pass",
-    reasons_col: str = "gopher_reasons",
-    metrics_col: str | None = "gopher_metrics",
-) -> DataFrame:
-    """The published Gopher quality-filter rule set (Rae et al. 2021,
-    Appendix A1) as ONE shuffle-free column pass → ``pass_col``
-    (bool), ``reasons_col`` (array of failed rule names, empty on
-    pass) and optionally ``metrics_col`` (map of every measured
-    fraction, for threshold tuning / drift dashboards).
+def _gopher_big_column(text_col: str) -> Column:
+    """REFERENCE builder for the Gopher metric tree via the Column
+    functions API — kept as the differential oracle for
+    :func:`_gopher_big_sql` (tests/test_exprtext.py asserts row-level
+    equality of both builds over the nasty fixture corpus).  The SQL
+    generator is what production uses: this build costs one py4j round
+    trip per Column call (~1.5 s per invocation on the single-threaded
+    driver); the text build parses in one.  Keep the two in lockstep.
 
-    Quality rules: 50 ≤ word count ≤ 100k; 3 ≤ mean word length ≤ 10;
-    symbol-to-word ratio (# and ellipsis) ≤ 0.1; ≤ 90% of lines
-    bullet-led; ≤ 30% of lines ellipsis-ended; ≥ 80% of words contain
-    an alphabetic char; ≥ 2 of the paper's 8 stop words present.
-    Repetition rules: duplicate line fraction ≤ 0.30 and duplicate
-    line CHARACTER fraction ≤ 0.20 (same pair over ``\\n\\n``
-    paragraphs); top n-gram char fraction ≤ 0.20/0.18/0.16 for
-    n=2/3/4; duplicate n-gram char fraction ≤ 0.15..0.10 for n=5..10.
-
-    Faithfulness notes (documented deviations, matching the common
-    public reimplementations): "characters in duplicate n-grams" is
-    Σ count·gram_length over grams occurring twice or more — repeated
-    overlapping text can push the fraction past 1 (clamped), where
-    the paper's phrasing would count each original character once (an
-    exact-coverage bitmap doesn't fit a column fold); gram/line
-    lengths count the space-normalized form.  Words are whitespace
-    tokens of the lower-cased text (:func:`tokens`).
-
-    Scale shape: one narrow pass, no join, no shuffle, no Python —
-    per-row sorts of the token-gram arrays (9 gram passes + lines +
-    paragraphs, each the :func:`repetition_stats` fold) over (hash,
-    length) fingerprints rather than gram strings (the sorts dominate;
-    long comparisons are ~an order cheaper).  The whole metric tree
-    evaluates ONCE per row behind a one-element explode barrier —
-    without it Catalyst's extractor inlining clones the tree into
-    every threshold check (a measured 23× blow-up).  NULL text fails
-    with reason ``empty``.  Compose upstream of
-    :func:`hashed_linear_score`/perplexity gates exactly as the paper
-    orders its pipeline."""
+    Metric semantics are documented on :func:`gopher_rules`."""
     c = F.col(text_col)
 
     def _build(toks: Column) -> Column:
@@ -1385,9 +1353,250 @@ def gopher_rules(
 
     # tokens() trims spaces only (Java trim), so documents edged by
     # newlines would grow empty "words" — drop them (a word has chars)
-    big = _let(
-        F.filter(tokens(text_col), lambda t: t != ""), _build
+    return _let(F.filter(tokens(text_col), lambda t: t != ""), _build)
+
+
+def _gopher_big_sql(text_col: str) -> str:
+    """The Gopher metric tree rendered as ONE SQL expression string —
+    semantically identical to :func:`_gopher_big_column` (differential
+    test pins row equality) but parsed JVM-side in a single py4j round
+    trip instead of ~10k Column-call hops (measured ~1.5 s of
+    single-threaded driver time per build, at any data scale).
+
+    Every helper mirrors its Column-API twin 1:1; subexpressions that
+    the Column build re-uses as Python objects are INLINED here at
+    each use site, exactly as Catalyst sees them (a Column object
+    re-used twice duplicates its tree — there is no sharing to lose).
+    Double literals carry the ``D`` suffix (bare decimals parse as
+    DECIMAL in SQL), int literals stay bare; regex/string literals are
+    escaped for the backslash-escaping SQL string syntax."""
+    c = f"`{text_col}`"
+    mask = "cast(65535 as bigint)"  # _HL_LEN_MASK as long
+
+    def packed(w: str) -> str:
+        # _packed / _hl body: shiftleft(xxhash64(w),16) | least-len
+        return (
+            f"(shiftleft(xxhash64({w}), 16) | "
+            f"cast(least(length({w}), 65535) as bigint))"
+        )
+
+    def hl(x: str) -> str:
+        # _hl: let-bound packed fingerprint of an arbitrary expression
+        return f"transform(array({x}), g -> {packed('g')})[0]"
+
+    def group_char_stats(arr: str) -> str:
+        # _group_char_stats: run-length fold over a sorted fingerprint
+        # array; `mass`/`dup`/`better` inlined at each use like the
+        # Column build duplicates them
+        mass = f"(cast(acc.run as bigint) * (acc.prev & {mask}))"
+        dup = (
+            f"(acc.dup + (CASE WHEN (acc.run >= 2) THEN {mass} "
+            f"ELSE cast(0 as bigint) END))"
+        )
+        better = (
+            f"((acc.run > acc.bestr) OR ((acc.run = acc.bestr) "
+            f"AND ({mass} > acc.bestc)))"
+        )
+        bestr = f"(CASE WHEN {better} THEN acc.run ELSE acc.bestr END)"
+        bestc = f"(CASE WHEN {better} THEN {mass} ELSE acc.bestc END)"
+        same = "((acc.prev IS NOT NULL) AND (x = acc.prev))"
+        init = (
+            "struct(cast(null as bigint) AS prev, cast(0 as int) AS run, "
+            "cast(0 as bigint) AS dup, cast(0 as int) AS bestr, "
+            "cast(0 as bigint) AS bestc)"
+        )
+        step = (
+            f"struct(x AS prev, "
+            f"cast(CASE WHEN {same} THEN (acc.run + 1) ELSE 1 END as int) AS run, "
+            f"CASE WHEN {same} THEN acc.dup ELSE {dup} END AS dup, "
+            f"cast(CASE WHEN {same} THEN acc.bestr ELSE {bestr} END as int) AS bestr, "
+            f"CASE WHEN {same} THEN acc.bestc ELSE {bestc} END AS bestc)"
+        )
+        finish = f"struct({dup} AS dup, {bestc} AS top)"
+        return f"aggregate({arr}, {init}, (acc, x) -> {step}, acc -> {finish})"
+
+    def gram_fps(b: str, n: int) -> str:
+        # _gram_fps: unrolled xxhash64 fold over n packed-token gets
+        h = f"shiftright(get({b}, (i - 1)), 16)"
+        ln = f"(get({b}, (i - 1)) & {mask})"
+        for d in range(1, n):
+            h = f"xxhash64({h}, shiftright(get({b}, ((i - 1) + {d})), 16))"
+            ln = f"({ln} + (get({b}, ((i - 1) + {d})) & {mask}))"
+        fp = f"(shiftleft({h}, 16) | least(({ln} + {n - 1}), {mask}))"
+        return (
+            f"CASE WHEN (size({b}) >= {n}) THEN "
+            f"transform(sequence(1, ((size({b}) - {n}) + 1)), i -> {fp}) "
+            f"ELSE cast(array() as array<bigint>) END"
+        )
+
+    # ---- _build(toks) body with toks = lambda var T, re-used columns
+    # inlined at each use (mirrors the Column build's tree shapes)
+    nchars = f"cast(greatest(length({c}), 1) as double)"
+    nw = "cast(greatest(size(T), 1) as double)"
+    mean_wl = (
+        f"(aggregate(T, cast(0 as bigint), (acc, w) -> (acc + length(w))) "
+        f"/ {nw})"
     )
+    n_sym = f"regexp_count({c}, '#|\\\\.\\\\.\\\\.|…')"
+    alpha_words = "size(filter(T, w -> (w RLIKE '[a-z]')))"
+    stops = ",".join(f"'{t}'" for t in _GOPHER_STOPS)
+    n_stops = f"size(filter(array({stops}), s -> array_contains(T, s)))"
+    lines = f"split({c}, '\\n')"
+    n_lines = f"cast(greatest(size({lines}), 1) as double)"
+    bullet_re = "^(" + "|".join(_re.escape(b) for b in _GOPHER_BULLETS) + ")"
+    bullet_sql = bullet_re.replace("\\", "\\\\")
+    n_bullet = f"size(filter({lines}, l -> (trim(l) RLIKE '{bullet_sql}')))"
+    n_ellipsis = (
+        f"size(filter({lines}, l -> "
+        f"(rtrim(l) RLIKE '(\\\\.\\\\.\\\\.|…)$')))"
+    )
+    paras = f"filter(split({c}, '\\\\n{{2,}}'), p -> (trim(p) != ''))"
+    n_paras = f"cast(greatest(size({paras}), 1) as double)"
+
+    def frac_dup(arr: str, denom: str) -> str:
+        return (
+            f"(cast((size({arr}) - size(array_distinct({arr}))) as double) "
+            f"/ {denom})"
+        )
+
+    line_stats = group_char_stats(
+        f"array_sort(transform({lines}, w -> {packed('w')}))"
+    )
+    para_stats = group_char_stats(
+        f"array_sort(transform({paras}, p -> {hl('trim(p)')}))"
+    )
+    entries = [
+        ("word_count", "cast(size(T) as double)"),
+        ("mean_word_length", f"round({mean_wl}, 6)"),
+        ("symbol_word_ratio", f"round(({n_sym} / {nw}), 6)"),
+        ("bullet_line_frac", f"round(({n_bullet} / {n_lines}), 6)"),
+        ("ellipsis_line_frac", f"round(({n_ellipsis} / {n_lines}), 6)"),
+        ("alpha_word_frac", f"round(({alpha_words} / {nw}), 6)"),
+        ("stop_word_count", f"cast({n_stops} as double)"),
+        ("dup_line_frac", f"round({frac_dup(lines, n_lines)}, 6)"),
+        ("dup_para_frac", f"round({frac_dup(paras, n_paras)}, 6)"),
+        (
+            "dup_line_char_frac",
+            f"round(least(({line_stats}.dup / {nchars}), 1.0D), 6)",
+        ),
+        (
+            "dup_para_char_frac",
+            f"round(least(({para_stats}.dup / {nchars}), 1.0D), 6)",
+        ),
+    ]
+    top_thr = dict(_GOPHER_TOP_NGRAMS)
+    dup_thr = dict(_GOPHER_DUP_NGRAMS)
+    for n in sorted(top_thr):
+        st = group_char_stats(f"array_sort({gram_fps('B', n)})")
+        entries.append(
+            (
+                f"top_{n}gram_char_frac",
+                f"round(least(({st}.top / {nchars}), 1.0D), 6)",
+            )
+        )
+    for n in sorted(dup_thr):
+        st = group_char_stats(f"array_sort({gram_fps('B', n)})")
+        entries.append(
+            (
+                f"dup_{n}gram_char_frac",
+                f"round(least(({st}.dup / {nchars}), 1.0D), 6)",
+            )
+        )
+    mm = (
+        "map_from_arrays(array("
+        + ",".join(f"'{k}'" for k, _ in entries)
+        + "), array("
+        + ",".join(v for _, v in entries)
+        + "))"
+    )
+    # reasons inside the same let so the map evaluates once per row;
+    # check list and thresholds mirror _gopher_checks exactly
+    checks = [
+        ("word_count_low", "(m['word_count'] < 50)"),
+        ("word_count_high", "(m['word_count'] > 100000)"),
+        ("mean_word_length_low", "(m['mean_word_length'] < 3)"),
+        ("mean_word_length_high", "(m['mean_word_length'] > 10)"),
+        ("symbol_word_ratio", "(m['symbol_word_ratio'] > 0.1D)"),
+        ("bullet_lines", "(m['bullet_line_frac'] > 0.9D)"),
+        ("ellipsis_lines", "(m['ellipsis_line_frac'] > 0.3D)"),
+        ("alpha_words", "(m['alpha_word_frac'] < 0.8D)"),
+        ("stop_words", "(m['stop_word_count'] < 2)"),
+        ("dup_line_frac", "(m['dup_line_frac'] > 0.3D)"),
+        ("dup_para_frac", "(m['dup_para_frac'] > 0.3D)"),
+        ("dup_line_char_frac", "(m['dup_line_char_frac'] > 0.2D)"),
+        ("dup_para_char_frac", "(m['dup_para_char_frac'] > 0.2D)"),
+    ]
+    checks += [
+        (f"top_{n}gram_chars", f"(m['top_{n}gram_char_frac'] > {thr!r}D)")
+        for n, thr in _GOPHER_TOP_NGRAMS
+    ]
+    checks += [
+        (f"dup_{n}gram_chars", f"(m['dup_{n}gram_char_frac'] > {thr!r}D)")
+        for n, thr in _GOPHER_DUP_NGRAMS
+    ]
+    reason_arr = (
+        "filter(array("
+        + ",".join(
+            f"CASE WHEN {cond} THEN '{name}' ELSE NULL END"
+            for name, cond in checks
+        )
+        + "), r -> (r IS NOT NULL))"
+    )
+    finish = (
+        f"transform(array({mm}), m -> struct(m AS m, {reason_arr} AS r))[0]"
+    )
+    gram_tail = f"transform(array(transform(T, w -> {packed('w')})), B -> {finish})[0]"
+    toks = f"filter(split(lower(trim({c})), '\\\\s+'), t -> (t != ''))"
+    return f"transform(array({toks}), T -> {gram_tail})[0]"
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    pass_col: str = "gopher_pass",
+    reasons_col: str = "gopher_reasons",
+    metrics_col: str | None = "gopher_metrics",
+) -> DataFrame:
+    """The published Gopher quality-filter rule set (Rae et al. 2021,
+    Appendix A1) as ONE shuffle-free column pass → ``pass_col``
+    (bool), ``reasons_col`` (array of failed rule names, empty on
+    pass) and optionally ``metrics_col`` (map of every measured
+    fraction, for threshold tuning / drift dashboards).
+
+    Quality rules: 50 ≤ word count ≤ 100k; 3 ≤ mean word length ≤ 10;
+    symbol-to-word ratio (# and ellipsis) ≤ 0.1; ≤ 90% of lines
+    bullet-led; ≤ 30% of lines ellipsis-ended; ≥ 80% of words contain
+    an alphabetic char; ≥ 2 of the paper's 8 stop words present.
+    Repetition rules: duplicate line fraction ≤ 0.30 and duplicate
+    line CHARACTER fraction ≤ 0.20 (same pair over ``\\n\\n``
+    paragraphs); top n-gram char fraction ≤ 0.20/0.18/0.16 for
+    n=2/3/4; duplicate n-gram char fraction ≤ 0.15..0.10 for n=5..10.
+
+    Faithfulness notes (documented deviations, matching the common
+    public reimplementations): "characters in duplicate n-grams" is
+    Σ count·gram_length over grams occurring twice or more — repeated
+    overlapping text can push the fraction past 1 (clamped), where
+    the paper's phrasing would count each original character once (an
+    exact-coverage bitmap doesn't fit a column fold); gram/line
+    lengths count the space-normalized form.  Words are whitespace
+    tokens of the lower-cased text (:func:`tokens`).
+
+    Scale shape: one narrow pass, no join, no shuffle, no Python —
+    per-row sorts of the token-gram arrays (9 gram passes + lines +
+    paragraphs, each the :func:`repetition_stats` fold) over (hash,
+    length) fingerprints rather than gram strings (the sorts dominate;
+    long comparisons are ~an order cheaper).  The whole metric tree
+    evaluates ONCE per row behind a one-element explode barrier —
+    without it Catalyst's extractor inlining clones the tree into
+    every threshold check (a measured 23× blow-up).  NULL text fails
+    with reason ``empty``.  The tree is built as ONE parsed SQL string
+    (:func:`_gopher_big_sql`; the Column-API twin
+    :func:`_gopher_big_column` is differential-tested against it) —
+    element-wise construction cost ~1.5 s of driver time per call.
+    Compose upstream of :func:`hashed_linear_score`/perplexity gates
+    exactly as the paper orders its pipeline."""
+    c = F.col(text_col)
+    big = F.expr(_gopher_big_sql(text_col))
     # one-element explode: a Generate node is a projection BARRIER —
     # the downstream field extractions reference its output attribute
     # instead of inlining (and so re-evaluating) the metric tree
@@ -1395,12 +1604,16 @@ def gopher_rules(
     reasons = F.when(
         c.isNull() | (F.trim(c) == ""), F.array(F.lit("empty"))
     ).otherwise(F.col("__g")["r"])
-    out = out.withColumn(reasons_col, reasons).withColumn(
-        pass_col, F.size(F.col(reasons_col)) == 0
-    )
+    # one projection for every output column: each withColumn/drop is
+    # a full analysis pass over the (large) metric tree — 5 passes
+    # collapsed to 1 (the pass_col re-states the tiny reasons CASE
+    # over __g rather than referencing a sibling alias; same value)
+    final = [F.col(col) for col in df.columns]
+    final.append(reasons.alias(reasons_col))
+    final.append((F.size(reasons) == 0).alias(pass_col))
     if metrics_col is not None:
-        out = out.withColumn(metrics_col, F.col("__g")["m"])
-    return out.drop("__g")
+        final.append(F.col("__g")["m"].alias(metrics_col))
+    return out.select(*final)
 
 
 def _gopher_checks(m: Column) -> list:

@@ -114,3 +114,62 @@ def test_band_struct_exprtext_matches_elementwise(spark):
     ).select("_id", "_b.band", "_b.bh")
     assert _norm_plan(new) == _norm_plan(old)
     assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
+
+
+def test_gopher_sql_build_matches_column_build(spark):
+    """The SQL-text Gopher tree (production) must be row-identical to
+    the Column-API reference build over a nasty corpus: NULL/empty
+    text, unicode bullets, regex metachars, 70k-char docs, repeated
+    lines/paragraphs, random token soups."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from grip_spark import text as T
+
+    docs = [
+        "the be to of and that have with " * 20,
+        "• bullet\n• bullet\n• bullet",
+        "hello world... more text…\n\nhello world... more text…",
+        "",
+        None,
+        "short",
+        "a b " * 60,
+        "x" * 70000,
+        "line1\nline1\nline1\nline2\n\n\npara\n\npara",
+        "sym# sym# sym# ... … #",
+        "ünïcödé wörds " * 20,
+        "tab\tsep\ttokens and  double  spaces",
+        "- dash bullet\n* star bullet\n‣ tri\n▪ sq\n◦ circ",
+        "abc" * 30000,
+    ]
+    rng = random.Random(42)
+    words = ["alpha", "beta", "the", "of", "x1", "22", "...", "…", "#", "•"]
+    for _ in range(25):
+        docs.append(
+            " ".join(rng.choice(words) for _ in range(rng.randint(0, 300)))
+            + ("\n" * rng.randint(0, 3) + rng.choice(words)) * rng.randint(0, 4)
+        )
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id int, text string"
+    )
+    a = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", F.expr(T._gopher_big_sql("text")).alias("g")
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", T._gopher_big_column("text").alias("g")
+        ).collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        ga, gb = a[k], b[k]
+        if ga is None or gb is None:
+            assert ga == gb, f"doc {k}: NULL mismatch"
+            continue
+        assert dict(ga["m"]) == dict(gb["m"]), f"doc {k}: metric drift"
+        assert list(ga["r"]) == list(gb["r"]), f"doc {k}: reason drift"
