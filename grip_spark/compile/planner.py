@@ -40,10 +40,12 @@ from pyspark.sql.types import (
     ArrayType,
     BooleanType,
     DataType,
+    DoubleType,
     MapType,
     NullType,
     NumericType,
     StringType,
+    StructField,
     StructType,
     VariantType,
 )
@@ -910,6 +912,35 @@ class Planner:
             F.count(F.lit(1)).cast("double").alias("value"),
             *[F.grouping(alias).alias(f"_g{i}") for (i, _, alias, _) in keyed],
         )
+        # Per-aggregation shaping over the collected rows runs in plain
+        # Python (guards, desc-count size cap, empty-bucket fill) — the
+        # DataFrame shaping it replaces built N local-relation plans
+        # plus a second collect, whose driver-side analysis cost
+        # dwarfed the actual work on a handful of rows.  The key→string
+        # casts stay JVM-side (computed inside the SAME heavy job) so
+        # no Spark cast semantics are replicated here; only integral
+        # histogram intervals qualify because an EMPTY bucket's key has
+        # no JVM-computed string and long→string is the one cast Python
+        # reproduces exactly.
+        python_shape = all(
+            float(a["histogram"]["interval"]) == int(float(a["histogram"]["interval"]))
+            for a, k in zip(aggs, kinds)
+            if k == "histogram"
+        )
+        if python_shape:
+            strcols = []
+            for (i, kind, alias, _) in keyed:
+                if kind == "term":
+                    strcols.append(F.col(alias).cast("string").alias(f"_s{i}"))
+                else:
+                    interval = float(aggs[i]["histogram"]["interval"])
+                    strcols.append(
+                        (F.col(alias) * F.lit(interval))
+                        .cast("long")
+                        .cast("string")
+                        .alias(f"_s{i}")
+                    )
+            gs_plan = gs_plan.select("*", *strcols)
         # ONE heavy job, with the term cap enforced DISTRIBUTIVELY
         # before anything reaches the driver: `limit` caps the rows the
         # final stage emits, so a 10M-distinct term field fails here
@@ -929,6 +960,8 @@ class Planner:
                 "aggregation: collected more unique terms than allowed "
                 f"({self.MAX_TERMS} per aggregation)"
             )
+        if python_shape:
+            return self._shape_multi_agg_local(df, aggs, kinds, keyed, grows)
         gs = df.sparkSession.createDataFrame(grows, gs_plan.schema)
 
         def belongs(idx: int | None):
@@ -984,6 +1017,95 @@ class Planner:
         # eagerly so downstream callers get a plain local relation
         rows = out.collect()
         return df.sparkSession.createDataFrame(rows, out.schema)
+
+    def _shape_multi_agg_local(self, df, aggs, kinds, keyed, grows):
+        """Plain-Python shaping of the collected GROUPING SETS rows —
+        value-identical to the DataFrame shaping it replaces (the
+        randomized fused-vs-fallback differential in
+        tests/test_conformance.py pins it):
+
+        - belongs(i): a row is aggregation i's when its grouping flags
+          are 0 for i and 1 for every other keyed aggregation.
+        - term: null keys dropped, the _term_shape MAX_TERMS guard,
+          then optionally sort (count desc, key asc — UTF-8 byte order
+          == code-point order, so Python str comparison matches Spark's
+          string sort) and cap at `size`.
+        - histogram: empty buckets filled over [min,max] bucket index
+          with the _histogram_shape span guard; an empty bucket's key
+          is idx*interval cast long→string, exact in Python for the
+          integral intervals this path is gated on.
+        - schema nullability replicated from the union the old path
+          built: `name` was non-nullable lit unless a count branch's
+          createDataFrame (all-nullable) joined the union; `value` was
+          non-nullable only when every branch was a histogram
+          (coalesce(..., lit 0.0)); `key` always nullable (cast).
+        """
+        rows = []
+        for i, (a, kind) in enumerate(zip(aggs, kinds)):
+            name = a["name"]
+            if kind == "count":
+                self.agg_key_types[name] = StringType()
+                total = next(
+                    (
+                        float(r["value"])
+                        for r in grows
+                        if all(r[f"_g{j}"] == 1 for (j, _, _, _) in keyed)
+                    ),
+                    0.0,
+                )
+                rows.append((name, "count", total))
+                continue
+            alias = next(al for (j, _, al, _) in keyed if j == i)
+            dtype = next(dt for (j, _, _, dt) in keyed if j == i)
+            part = [
+                r
+                for r in grows
+                if all(
+                    r[f"_g{j}"] == (0 if j == i else 1) for (j, _, _, _) in keyed
+                )
+                and r[alias] is not None
+            ]
+            if kind == "term":
+                self.agg_key_types[name] = dtype
+                if len(part) > self.MAX_TERMS:
+                    raise RuntimeError(
+                        "term aggregation: collected more unique terms than "
+                        f"allowed ({self.MAX_TERMS})"
+                    )
+                terms = [(name, r[f"_s{i}"], float(r["value"])) for r in part]
+                size = a["term"].get("size")
+                if size:
+                    terms.sort(key=lambda t: (-t[2], t[1]))
+                    terms = terms[: int(size)]
+                rows.extend(terms)
+            else:
+                self.agg_key_types[name] = NumericType()
+                interval = float(a["histogram"]["interval"])
+                if not part:
+                    continue
+                by_idx = {r[alias]: (r[f"_s{i}"], float(r["value"])) for r in part}
+                lo, hi = min(by_idx), max(by_idx)
+                if hi - lo >= self.MAX_TERMS:
+                    raise RuntimeError(
+                        "histogram aggregation: bucket range wider than "
+                        f"allowed ({self.MAX_TERMS} buckets) — widen the interval"
+                    )
+                for idx in range(lo, hi + 1):
+                    hit = by_idx.get(idx)
+                    if hit is not None:
+                        rows.append((name, hit[0], hit[1]))
+                    else:
+                        rows.append((name, str(int(float(idx) * interval)), 0.0))
+        name_nullable = any(k == "count" for k in kinds)
+        value_nullable = any(k in ("term", "count") for k in kinds)
+        schema = StructType(
+            [
+                StructField("name", StringType(), name_nullable),
+                StructField("key", StringType(), True),
+                StructField("value", DoubleType(), value_nullable),
+            ]
+        )
+        return df.sparkSession.createDataFrame(rows, schema)
 
     def _one_agg(self, df: DataFrame, agg: dict, pre=None) -> DataFrame:
         """``pre``: optionally a pre-resolved (Column, DataType) for the

@@ -17,7 +17,7 @@ import re as _re
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .dedup import md5_prefix_hash, word_shingles, xxhash64_py
-from .util import dbl_array_lit
+from .util import dbl_array_lit, release_checkpoint
 
 # Tiny built-in stopword lists for the language-ID heuristic.  The
 # n-gram/stopword-hit approach follows the classic langid heuristics
@@ -1757,26 +1757,46 @@ def _transition_pairs(text_col: str) -> Column:
     return _let(nonempty, _body)
 
 
-def _vocab_mapped_pairs(
-    df: DataFrame,
-    text_col: str,
-    vocab: DataFrame,
-    start_token: str,
-    unk_token: str,
-) -> DataFrame:
-    """Vocab-mapped transition counts ``(is_start, prev, cur, n)`` —
-    the shared counting stage of :func:`bigram_model` and
-    :func:`kn_bigram_model`.  The start-of-document history is the
-    positional NULL sentinel (``prev`` displays as ``start_token``)
-    so a literal corpus token equal to ``start_token`` can never
-    merge into the start state; OOV tokens collapse to ``unk_token``
-    after a broadcast left join against the vocabulary."""
+def _raw_transition_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """``(_rp, _rc, n)`` — distinct RAW (pre-vocabulary) transition
+    pairs with occurrence counts, eagerly checkpointed.  The single
+    corpus pass both bigram trainers start from (r12): every non-empty
+    token occurs exactly once as ``_rc`` (the first as the cur of the
+    NULL-prev start transition), so per-token counts — the vocabulary
+    pass :func:`bigram_model` and :func:`kn_bigram_model` used to pay a
+    second corpus explode for — are the ``groupBy(_rc)`` of this table.
+    Size is the corpus' distinct-bigram count (Zipf-bounded, the same
+    class as the vocab-mapped pairs table both models already
+    materialize), traded for a whole corpus scan + token explode."""
     return (
         df.select(F.explode_outer(_transition_pairs(text_col)).alias("_p"))
         .filter(F.col("_p").isNotNull())
         .select(F.col("_p.prev").alias("_rp"), F.col("_p.cur").alias("_rc"))
-        .join(F.broadcast(vocab.withColumnRenamed("token", "_vp")),
-              F.col("_rp") == F.col("_vp"), "left")
+        .groupBy("_rp", "_rc")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _vocab_mapped_pairs(
+    raw: DataFrame,
+    vocab: DataFrame,
+    start_token: str,
+    unk_token: str,
+) -> DataFrame:
+    """Vocab-mapped transition counts ``(is_start, prev, cur, n)`` over
+    a :func:`_raw_transition_counts` table — the shared counting stage
+    of :func:`bigram_model` and :func:`kn_bigram_model`.  The
+    start-of-document history is the positional NULL sentinel (``prev``
+    displays as ``start_token``) so a literal corpus token equal to
+    ``start_token`` can never merge into the start state; OOV tokens
+    collapse to ``unk_token`` after a broadcast left join against the
+    vocabulary.  Mapping joins run over the distinct-pair table (with
+    counts summed through), not per occurrence — identical result, far
+    fewer probe rows."""
+    return (
+        raw.join(F.broadcast(vocab.withColumnRenamed("token", "_vp")),
+                 F.col("_rp") == F.col("_vp"), "left")
         .join(F.broadcast(vocab.withColumnRenamed("token", "_vc")),
               F.col("_rc") == F.col("_vc"), "left")
         .select(
@@ -1785,9 +1805,10 @@ def _vocab_mapped_pairs(
             .otherwise(F.coalesce(F.col("_vp"), F.lit(unk_token)))
             .alias("prev"),
             F.coalesce(F.col("_vc"), F.lit(unk_token)).alias("cur"),
+            F.col("n"),
         )
         .groupBy("is_start", "prev", "cur")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("n").alias("n"))
     )
 
 
@@ -1820,25 +1841,26 @@ def bigram_model(
       to 1.
 
     Ties at the vocabulary cut break (count desc, token asc) —
-    deterministic.  Scale shape: two corpus passes — the raw token
-    count (which also yields the vocabulary AND, via a vocab-sized
-    join over the distinct-token table, the unigram model: no third
-    corpus read) and the transition count — each one explode +
-    map-side-combined hash aggregate; the vocabulary mapping is a
-    broadcast join against the vocab-sized table, and the model tables
-    are eagerly checkpointed so scoring never re-reads the training
-    corpus.  Zipf keeps the bigram table ≈ corpus-token-count sized at
-    worst and far smaller in practice; it is keyed for a shuffle join
-    at scoring time (broadcast when small).
+    deterministic.  Scale shape: ONE corpus pass — the raw transition
+    count (one explode + map-side-combined hash aggregate,
+    :func:`_raw_transition_counts`), from which the token counts (its
+    per-``cur`` sums), the vocabulary, the unigram model and the
+    vocab-mapped bigram table all derive as small-table jobs; the
+    vocabulary mapping is a broadcast join against the distinct-pair
+    table, and the model tables are eagerly checkpointed so scoring
+    never re-reads the training corpus.  Zipf keeps the pair tables
+    ≈ corpus-token-count sized at worst and far smaller in practice;
+    the bigram table is keyed for a shuffle join at scoring time
+    (broadcast when small).
     """
     if vocab_size <= 0:
         raise ValueError(f"vocab_size must be > 0, got {vocab_size}")
-    counts = (
-        df.select(F.explode_outer(tokens(text_col)).alias("token"))
-        .filter(F.col("token") != "")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
+    # ONE corpus pass: raw transition counts; token counts (the old
+    # separate corpus explode) are its groupBy(_rc) — every non-empty
+    # token occurs exactly once as a transition's cur (r12)
+    raw = _raw_transition_counts(df, text_col)
+    counts = raw.groupBy(F.col("_rc").alias("token")).agg(
+        F.sum("n").alias("n")
     )
     vocab = (
         counts.orderBy(F.col("n").desc(), F.col("token").asc())
@@ -1883,7 +1905,7 @@ def bigram_model(
         .localCheckpoint(eager=True)
     )
 
-    pairs = _vocab_mapped_pairs(df, text_col, vocab, start_token, unk_token)
+    pairs = _vocab_mapped_pairs(raw, vocab, start_token, unk_token)
     hist = pairs.groupBy("is_start", "prev").agg(F.sum("n").alias("_hn"))
     bigrams = (
         pairs.join(hist, ["is_start", "prev"])
@@ -1893,6 +1915,8 @@ def bigram_model(
         )
         .localCheckpoint(eager=True)
     )
+    # every model table is materialized — the raw pair table is dead
+    release_checkpoint(raw)
     return {
         "unigrams": unigrams,
         "bigrams": bigrams,
@@ -2010,20 +2034,20 @@ def kn_bigram_model(
     Returns ``{"bigrams": (is_start, prev, cur, n, logp) for SEEN
     pairs, "histories": (is_start, prev, log_lambda), "continuation":
     (token, logp_cont), ...}`` — all eagerly checkpointed, built from
-    the same two corpus passes as :func:`bigram_model` (token counts
-    for the vocabulary, one transition count; everything downstream
-    aggregates the vocab-bounded pairs table).  Score with
+    the same SINGLE corpus pass as :func:`bigram_model`
+    (:func:`_raw_transition_counts`; everything downstream aggregates
+    the distinct-pair / vocab-bounded tables).  Score with
     :func:`kn_bigram_logprob`.
     """
     if vocab_size <= 0:
         raise ValueError(f"vocab_size must be > 0, got {vocab_size}")
     if discount is not None and not 0.0 < discount < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
-    counts = (
-        df.select(F.explode_outer(tokens(text_col)).alias("token"))
-        .filter(F.col("token") != "")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # ONE corpus pass (see _raw_transition_counts): the vocabulary's
+    # token counts are the raw pair table's groupBy(_rc) (r12)
+    raw = _raw_transition_counts(df, text_col)
+    counts = raw.groupBy(F.col("_rc").alias("token")).agg(
+        F.sum("n").alias("n")
     )
     vocab = (
         counts.orderBy(F.col("n").desc(), F.col("token").asc())
@@ -2032,7 +2056,7 @@ def kn_bigram_model(
         .localCheckpoint(eager=True)
     )
     pairs = _vocab_mapped_pairs(
-        df, text_col, vocab, start_token, unk_token
+        raw, vocab, start_token, unk_token
     ).localCheckpoint(eager=True)
 
     if discount is None:
@@ -2101,6 +2125,8 @@ def kn_bigram_model(
         )
         .localCheckpoint(eager=True)
     )
+    # every model table is materialized — the raw pair table is dead
+    release_checkpoint(raw)
     return {
         "bigrams": bigrams,
         "histories": histories,
