@@ -1638,12 +1638,20 @@ def pca_train(
         g = None
         dim = None
         for pdf in batches:
-            for vec in pdf[pdf.columns[0]]:
-                if vec is None:
-                    raise ValueError("pca_train: NULL vector (filter first)")
+            col = pdf[pdf.columns[0]]
+            # vectorized NULL check (Series.isna is False for ndarray
+            # elements) — the old per-row Python loop dominated the
+            # pass (guide §4.2: batch work belongs in numpy)
+            if col.isna().any():
+                raise ValueError("pca_train: NULL vector (filter first)")
             if len(pdf) == 0:
                 continue
-            X = _np.array([list(v) for v in pdf[pdf.columns[0]]], dtype=_np.float64)
+            try:
+                X = _np.vstack(col.to_numpy()).astype(_np.float64, copy=False)
+            except ValueError as exc:
+                raise ValueError(
+                    "pca_train: ragged embedding widths in corpus"
+                ) from exc
             if X.ndim != 2:
                 raise ValueError("pca_train: ragged embedding widths in corpus")
             if _np.isnan(X).any():
