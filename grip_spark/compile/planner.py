@@ -296,6 +296,12 @@ class Planner:
             F.col(here).alias("_h_here"), F.col(there).alias("_h_there")
         )
         how = "left" if null_ok else "inner"
+        # small-frontier jump rounds (_loop): broadcast the traveler side
+        # of both joins — the left of a LEFT OUTER join cannot be a
+        # broadcast build side, so only the inner-join hops hint
+        small = not null_ok and getattr(self, "_frontier_small", False)
+        if small:
+            df = F.broadcast(df)
         j = df.join(e, df["gid"] == e["_h_here"], how)
         v = self._vertices.select(
             F.col("gid").alias("_h_vg"),
@@ -303,6 +309,8 @@ class Planner:
             F.col("data").alias("_h_vd"),
             *[F.col(c).alias(f"_h{c}") for c in self._pk_v],
         )
+        if small:
+            j = F.broadcast(j)
         j = j.join(v, F.col("_h_there") == v["_h_vg"], how)
         cols = [
             F.col("_h_vg").alias("gid"),
@@ -329,6 +337,8 @@ class Planner:
             *[F.col(c).alias(f"_h{c}") for c in self._pk_e],
         )
         how = "left" if null_ok else "inner"
+        if not null_ok and getattr(self, "_frontier_small", False):
+            df = F.broadcast(df)
         j = df.join(e, df["gid"] == e["_h_e" + ("s" if forward else "d")], how)
         cols = [
             F.col("_h_eg").alias("gid"),
@@ -353,6 +363,8 @@ class Planner:
             F.col("data").alias("_h_vd"),
             *[F.col(c).alias(f"_h{c}") for c in self._pk_v],
         )
+        if getattr(self, "_frontier_small", False):
+            df = F.broadcast(df)
         j = df.join(v, df[endpoint] == v["_h_vg"], "inner")
         cols = [
             F.col("_h_vg").alias("gid"),
@@ -1386,6 +1398,24 @@ class Planner:
             limit_n = int(post[0]["limit"])
 
         use_reliable = frontier.sparkSession.sparkContext.getCheckpointDir() is not None
+        # Small-frontier rounds: once the OBSERVED jump-back count (exact,
+        # from the previous round's Dataset.observe) is under this row
+        # threshold, the next round's body hops hint the frontier side of
+        # their equi-joins as broadcast.  Without the hint the checkpointed
+        # frontier scans as an ExistingRDD with no size statistics, so the
+        # planner sort-merge-joins it against the full edge/vertex tables —
+        # shuffling BOTH big tables every round for a few-thousand-row
+        # frontier.  With it, a round is two shuffle-free narrow passes
+        # (edges, vertices).  Large frontiers (> threshold rows) keep the
+        # shuffle-join path, so cluster-scale BFS with wide frontiers is
+        # unaffected; the threshold is conf-tunable for row widths where
+        # 100k rows is too much to broadcast.
+        bcast_rows = int(
+            frontier.sparkSession.conf.get(
+                "spark.grip.jump.broadcastMaxRows", "100000"
+            )
+        )
+        self._frontier_small = False
         mark_type = self.elem_type
         emitted: DataFrame | None = None
         emitted_rows = 0
@@ -1478,6 +1508,7 @@ class Planner:
                 # coalesce on the checkpointed data, no shuffle) so the
                 # next iteration isn't dominated by task scheduling
                 frontier = frontier.coalesce(4)
+            self._frontier_small = 0 < n_back <= bcast_rows
         else:
             if not (emit_last and limit_n is not None):
                 # raise on iteration exhaustion unless the limit()
@@ -1490,6 +1521,7 @@ class Planner:
         # loop over: the final round's pending (round N-1 leftovers that
         # never saw a next-round checkpoint) are dead — the frontier
         # they fed is obsolete and emitted never references them
+        self._frontier_small = False
         for d in pending_release:
             release_checkpoint(d)
         return emitted

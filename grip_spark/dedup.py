@@ -780,9 +780,23 @@ def connected_components(
     p = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).localCheckpoint(eager=True)
-    edges = p.unionByName(
-        p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    # persisted PRE-PARTITIONED on the per-round join key: each round
+    # joins the (stats-less, checkpointed) label table against this edge
+    # list — without the explicit partitioning the sort-merge join
+    # re-shuffles the EDGE-sized side every round; with it the cached
+    # HashPartitioning(src) is reused and only the node-sized label side
+    # is exchanged per round (guide §2.4).  Explicit numPartitions so
+    # AQE cannot coalesce the cached layout below what the join needs.
+    n_shuf = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    edges = (
+        p.unionByName(
+            p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition(n_shuf, "src")
+        .persist()
+    )
     use_reliable = (
         pairs.sparkSession.sparkContext.getCheckpointDir() is not None
     )
@@ -885,13 +899,16 @@ def _two_phase_components(
     # with hash-min, which keeps them via the identity label)
     nodes = edges.select(F.col("src").alias("id")).distinct()
     # canonical directed form (hi → lo), self-loops dropped
+    obs_e = Observation()
     E = _ckpt(
         edges.select(
             F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .observe(obs_e, F.count(F.lit(1)).alias("n"))
     )
+    n_e = obs_e.get["n"] or 0
     for _ in range(max_iterations):
         # -- large-star: m(u) = min over symmetric neighborhood ∪ {u};
         # new edge (v, m) for neighbors v > u
@@ -901,40 +918,57 @@ def _two_phase_components(
             .agg(F.min("v").alias("_mv"))
             .select("u", F.least("_mv", "u").alias("m"))
         )
+        obs_l = Observation()
         large = _ckpt(
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
+            .observe(obs_l, F.count(F.lit(1)).alias("n"))
         )
+        n_large = obs_l.get["n"] or 0
         # -- small-star: edges already oriented hi → lo; connect the
         # smaller in-neighbors and u itself to the in-neighborhood min
         mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
         joined = large.join(mins2, "u")
+        obs_s = Observation()
         small = _ckpt(
             joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(joined.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
+            .observe(obs_s, F.count(F.lit(1)).alias("n"))
         )
+        n_small = obs_s.get["n"] or 0
         # exact fixpoint: BOTH steps leave the round's input unchanged
         # (the paper's condition — a star forest is invariant under
         # each step individually; cheaper conditions like
         # small == large can hold mid-collapse on non-star sets).
-        # All three sets are materialized checkpoints; each probe is
-        # an anti-join short-circuited at the first difference.
-        def _differs(a, b):
-            return (
-                a.exceptAll(b).limit(1).count() + b.exceptAll(a).limit(1).count()
-            ) > 0
+        # Cardinalities are observed during each set's own checkpoint
+        # action (zero extra jobs); while the edge set is still
+        # contracting the counts differ and the round pays NOTHING for
+        # the fixpoint probe.  Only when all three counts tie does the
+        # exact containment check run (one semi-join count per set —
+        # |A∩E| = |A| = |E| ⟺ A = E for distinct sets), replacing the
+        # old 4-job exceptAll probe that shuffled both sides every
+        # round.
 
-        changed = _differs(large, E) or _differs(small, E)
+        def _not_subset(a, n):
+            return a.join(E, ["u", "v"], "left_semi").count() != n
+
+        changed = (
+            n_large != n_e
+            or n_small != n_e
+            or _not_subset(large, n_large)
+            or _not_subset(small, n_small)
+        )
         # old E and the intermediate large set are fully consumed
         # (folded into small + compared) — release deterministically
         release_checkpoint(E)
         release_checkpoint(large)
         E = small
+        n_e = n_small
         if not changed:
             labeled = E.select(
                 F.col("u").alias("id"), F.col("v").alias("component")

@@ -28,7 +28,7 @@ and the jump-loop BFS):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from .util import release_checkpoint
 
@@ -154,14 +154,35 @@ def _power_loop(
     wsum = F.sum("_ew") if has_w else F.count(F.lit(1))
     outdeg = e.groupBy(F.col("_src").alias("id")).agg(wsum.alias("_deg"))
     share = (F.col("_ew") / F.col("_deg")) if has_w else (F.lit(1.0) / F.col("_deg"))
+    # persisted PRE-PARTITIONED on the per-round join key: a checkpointed
+    # rank table scans with no partitioning info, so without this the
+    # contribution join re-shuffles the EDGE-sized side every round; the
+    # cached HashPartitioning(_src) is reused by every round's join and
+    # only the node-sized rank side is exchanged (guide §2.4).  Explicit
+    # numPartitions so AQE cannot coalesce the cached layout away from
+    # what the join requires.
+    n_shuf = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     wedges = (
         e.join(outdeg, e["_src"] == outdeg["id"])
         .select(F.col("_src"), F.col("_dst"), share.alias("_w"))
+        .repartition(n_shuf, "_src")
         .persist()
     )
-    sinks = nodes.select("id").join(outdeg, "id", "left_anti").persist()
     try:
-        ranks = _ckpt(nodes.withColumn("pagerank", init_expr))
+        # sink flag folded into the rank table once: the per-round
+        # dangling mass is then a narrow scalar aggregate over the
+        # checkpointed ranks instead of a per-round semi-join against a
+        # persisted sink table (two fewer exchanges per round).  The
+        # summed values are the identical rank rows either way.
+        ranks = _ckpt(
+            nodes.join(
+                outdeg.select("id").withColumn("_o", F.lit(True)), "id", "left"
+            )
+            .withColumn("_sink", F.col("_o").isNull())
+            .drop("_o")
+            .withColumn("pagerank", init_expr)
+        )
+        extra = extra + ["_sink"]
         delta = float("inf")
         rounds = exact_iterations if exact_iterations is not None else max_iterations
         for _ in range(rounds):
@@ -172,7 +193,7 @@ def _power_loop(
             # the same Spark aggregate as before; base_expr_fn applies
             # the same float ops to it, so values are unchanged up to
             # the already-documented float addition order.
-            dang = ranks.join(sinks, "id", "left_semi").agg(
+            dang = ranks.filter(F.col("_sink")).agg(
                 F.coalesce(F.sum("pagerank"), F.lit(0.0)).alias("_dang")
             )
             contribs = (
@@ -180,45 +201,52 @@ def _power_loop(
                 .groupBy(F.col("_dst").alias("id"))
                 .agg(F.sum(F.col("pagerank") * F.col("_w")).alias("_c"))
             )
-            new = _ckpt(
-                nodes.join(contribs, "id", "left")
+            # rebuilt from the rank table (node-sized, carries the extras
+            # and the sink flag) rather than the original node table —
+            # one checkpointed node-sized scan either way
+            newrank = (
+                base_expr_fn(F.col("_dang"))
+                + F.lit(damping) * F.coalesce("_c", F.lit(0.0))
+            ).alias("pagerank")
+            body = (
+                ranks.withColumnRenamed("pagerank", "_prev")
+                .join(contribs, "id", "left")
                 .crossJoin(F.broadcast(dang))
-                .select(
-                    "id",
-                    *extra,
-                    (
-                        base_expr_fn(F.col("_dang"))
-                        + F.lit(damping) * F.coalesce("_c", F.lit(0.0))
-                    ).alias("pagerank"),
-                )
             )
             if exact_iterations is not None:
                 # linear chain: round N-1's checkpoint is dead once
                 # `new` is eagerly materialized — release it, or a
                 # 50-round run holds 50 node-tables in executor
                 # storage until py4j GC (tools/deep_loop_probe.py)
+                new = _ckpt(body.select("id", *extra, newrank))
                 release_checkpoint(ranks)
                 ranks = new
                 continue
-            delta = (
-                new.alias("n")
-                .join(ranks.alias("o"), "id")
-                .agg(F.sum(F.abs(F.col("n.pagerank") - F.col("o.pagerank"))))
-                .first()[0]
+            # L1 delta observed during the round's own checkpoint (the
+            # previous score rides the build plan) — no separate
+            # per-round delta join job.  Same float ops, same rows.
+            obs = Observation()
+            new = _ckpt(
+                body.select("id", *extra, F.col("_prev"), newrank)
+                .observe(
+                    obs,
+                    F.sum(F.abs(F.col("pagerank") - F.col("_prev"))).alias("d"),
+                )
+                .drop("_prev")
             )
+            delta = obs.get["d"]
             release_checkpoint(ranks)
             ranks = new
             if delta < tol:
-                return ranks
+                return ranks.drop("_sink")
         if exact_iterations is not None:
-            return ranks
+            return ranks.drop("_sink")
         raise RuntimeError(
             f"{name} did not converge in {max_iterations} iterations "
             f"(last L1 delta {delta:.3e}; raise max_iterations or tol)"
         )
     finally:
         wedges.unpersist()
-        sinks.unpersist()
 
 
 def pagerank(
@@ -411,7 +439,15 @@ def katz_centrality(
     )
     has_w = "_ew" in e.columns
     w = F.col("_ew") if has_w else F.lit(1.0)
-    wedges = e.select("_src", "_dst", w.alias("_w")).persist()
+    # pre-partitioned on the per-round join key so the cached layout is
+    # reused every round and only the node-sized score table is
+    # exchanged (see _power_loop; guide §2.4)
+    n_shuf = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    wedges = (
+        e.select("_src", "_dst", w.alias("_w"))
+        .repartition(n_shuf, "_src")
+        .persist()
+    )
     try:
         x = _ckpt(nodes.withColumn("katz", F.lit(float(beta))))
         for _ in range(max_iterations):
@@ -420,21 +456,29 @@ def katz_centrality(
                 .groupBy(F.col("_dst").alias("id"))
                 .agg(F.sum(F.col("katz") * F.col("_w")).alias("_c"))
             )
+            # L1 delta observed during the round's own checkpoint action
+            # (new built FROM x, which carries the previous score) — no
+            # separate per-round delta join job.  Same float ops over
+            # the same rows as the old join-based delta.
+            obs = Observation()
             new = _ckpt(
-                nodes.join(contribs, "id", "left").select(
+                x.withColumnRenamed("katz", "_prev")
+                .join(contribs, "id", "left")
+                .select(
                     "id",
+                    F.col("_prev"),
                     (
                         F.lit(float(beta))
                         + F.lit(float(alpha)) * F.coalesce("_c", F.lit(0.0))
                     ).alias("katz"),
                 )
+                .observe(
+                    obs,
+                    F.sum(F.abs(F.col("katz") - F.col("_prev"))).alias("d"),
+                )
+                .drop("_prev")
             )
-            delta = (
-                new.alias("n")
-                .join(x.alias("o"), "id")
-                .agg(F.sum(F.abs(F.col("n.katz") - F.col("o.katz"))))
-                .first()[0]
-            )
+            delta = obs.get["d"]
             release_checkpoint(x)  # linear chain (shared loop discipline)
             x = new
             if delta < tol:
@@ -552,11 +596,20 @@ def label_propagation(
         )
         .distinct()
     )
-    sym = canon.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionByName(
-        canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).persist()
+    # pre-partitioned on the per-round join key (see _power_loop;
+    # guide §2.4): the cached layout is reused by every round's vote
+    # join, so only the node-sized label table is exchanged per round
+    n_shuf = int(
+        canon.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    sym = (
+        canon.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .repartition(n_shuf, "src")
+        .persist()
+    )
     try:
         labels = _ckpt(
             p.select(F.col("src").alias("id"))
@@ -579,21 +632,31 @@ def label_propagation(
                 )["c"].alias("_best")
             )
             # left join: an isolated (self-loop-only) node gets no
-            # votes and keeps its current label
+            # votes and keeps its current label.  The changed-label
+            # count is observed during the round's own checkpoint
+            # action (the old label is already in the build plan) —
+            # no separate per-round count job.
+            obs = Observation()
             new = _ckpt(
-                labels.join(best, "id", "left").select(
+                labels.join(best, "id", "left")
+                .select(
                     "id",
+                    F.col("community").alias("_prev"),
                     F.coalesce(F.col("_best"), F.col("community")).alias(
                         "community"
                     ),
                 )
+                .observe(
+                    obs,
+                    F.sum(
+                        F.when(
+                            F.col("community") != F.col("_prev"), 1
+                        ).otherwise(0)
+                    ).alias("changed"),
+                )
+                .drop("_prev")
             )
-            changed = (
-                new.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.community") != F.col("o.community"))
-                .count()
-            )
+            changed = obs.get["changed"] or 0
             release_checkpoint(labels)  # linear chain
             labels = new
             if changed == 0:
