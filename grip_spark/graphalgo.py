@@ -28,6 +28,8 @@ and the jump-loop BFS):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Observation, functions as F
 
 from .util import release_checkpoint
@@ -2739,40 +2741,72 @@ def hits(
         edges, vertices, src_col, dst_col, id_col, _ckpt, weight_col
     )
     w = F.col("_ew") if weight_col is not None else F.lit(1.0)
-    e = _ckpt(e.select("_src", "_dst", w.alias("_w")))
     if nodes.isEmpty():
         raise ValueError("hits: empty graph")
-    cur = _ckpt(
-        nodes.select("id", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
+    # two persisted copies pre-partitioned on each half-step's join key
+    # (auth joins on _src, hub on _dst): the cached layouts are reused
+    # every round so neither half-step re-shuffles the edge table
+    # (guide §2.4); e_dst builds from the e_src cache, so the upstream
+    # edge pipeline still runs once.
+    n_shuf = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    e_src = (
+        e.select("_src", "_dst", w.alias("_w"))
+        .repartition(n_shuf, "_src")
+        .persist()
     )
-    for _ in range(iterations):
-        # authority update: weighted sum of in-neighbor hub scores
-        a_raw = (
-            e.join(cur.select(F.col("id").alias("_src"), "hub"), "_src")
-            .groupBy(F.col("_dst").alias("id"))
-            .agg(F.sum(F.col("hub") * F.col("_w")).alias("_a"))
+    e_dst = e_src.repartition(n_shuf, "_dst").persist()
+    hub_ck_prev = _ckpt(nodes.select("id", F.lit(1.0).alias("hub")))
+    hub_tbl = hub_ck_prev
+    a_ck = None
+    try:
+        for _ in range(iterations):
+            # authority update: weighted sum of in-neighbor hub scores.
+            # The half-step is checkpointed UN-normalized with its
+            # squared norm observed during the same action; the
+            # normalization rides as a lazy projection over the
+            # checkpoint (identical float ops — the division happens
+            # once per row either way, and JVM/IEEE sqrt of the same
+            # double is exact), so each half-step is ONE job instead of
+            # a norm job plus a re-evaluating checkpoint job.
+            a_raw = (
+                e_src.join(hub_tbl.select(F.col("id").alias("_src"), "hub"), "_src")
+                .groupBy(F.col("_dst").alias("id"))
+                .agg(F.sum(F.col("hub") * F.col("_w")).alias("_a"))
+            )
+            obs_a = Observation()
+            prev_a, a_ck = a_ck, _ckpt(
+                nodes.join(a_raw, "id", "left")
+                .select("id", F.coalesce("_a", F.lit(0.0)).alias("_a"))
+                .observe(obs_a, F.sum(F.col("_a") * F.col("_a")).alias("ss"))
+            )
+            an = math.sqrt(obs_a.get["ss"] or 0.0) or 1.0
+            a_all = a_ck.select("id", (F.col("_a") / F.lit(an)).alias("auth"))
+            # hub update from the NEW authorities
+            h_raw = (
+                e_dst.join(a_all.select(F.col("id").alias("_dst"), "auth"), "_dst")
+                .groupBy(F.col("_src").alias("id"))
+                .agg(F.sum(F.col("auth") * F.col("_w")).alias("_h"))
+            )
+            obs_h = Observation()
+            hub_ck = _ckpt(
+                nodes.join(h_raw, "id", "left")
+                .select("id", F.coalesce("_h", F.lit(0.0)).alias("_h"))
+                .observe(obs_h, F.sum(F.col("_h") * F.col("_h")).alias("ss"))
+            )
+            hn = math.sqrt(obs_h.get["ss"] or 0.0) or 1.0
+            hub_tbl = hub_ck.select("id", (F.col("_h") / F.lit(hn)).alias("hub"))
+            # linear chain: the previous round's half-step checkpoints
+            # are fully consumed once this round's are materialized
+            release_checkpoint(hub_ck_prev)
+            hub_ck_prev = hub_ck
+            if prev_a is not None:
+                release_checkpoint(prev_a)
+        return hub_tbl.join(
+            a_ck.select("id", (F.col("_a") / F.lit(an)).alias("authority")), "id"
         )
-        a_all = nodes.join(a_raw, "id", "left").select(
-            "id", F.coalesce("_a", F.lit(0.0)).alias("_a")
-        )
-        an = a_all.agg(F.sqrt(F.sum(F.col("_a") * F.col("_a")))).first()[0] or 1.0
-        a_all = _ckpt(a_all.select("id", (F.col("_a") / F.lit(an)).alias("auth")))
-        # hub update from the NEW authorities
-        h_raw = (
-            e.join(a_all.select(F.col("id").alias("_dst"), "auth"), "_dst")
-            .groupBy(F.col("_src").alias("id"))
-            .agg(F.sum(F.col("auth") * F.col("_w")).alias("_h"))
-        )
-        h_all = nodes.join(h_raw, "id", "left").select(
-            "id", F.coalesce("_h", F.lit(0.0)).alias("_h")
-        )
-        hn = h_all.agg(F.sqrt(F.sum(F.col("_h") * F.col("_h")))).first()[0] or 1.0
-        h_all = h_all.select("id", (F.col("_h") / F.lit(hn)).alias("hub"))
-        old_cur = cur
-        cur = _ckpt(h_all.join(a_all, "id"))
-        release_checkpoint(old_cur)  # linear chain
-        release_checkpoint(a_all)  # folded into the new cur checkpoint
-    return cur.select("id", "hub", F.col("auth").alias("authority"))
+    finally:
+        e_src.unpersist()
+        e_dst.unpersist()
 
 
 def seeded_label_propagation(
