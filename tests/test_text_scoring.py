@@ -1879,3 +1879,47 @@ def test_word2phrase_merges(spark):
     assert out[4] == "new_york rain and san_francisco fog"
     with pytest.raises(ValueError):
         word2phrase(df, min_count=0)
+
+
+def test_group_char_stats_boundary_fold_edges(spark):
+    """The r12 boundary-form repetition fold (group starts + packed
+    run<<40|mass longs) against a direct Python fold: empty array,
+    single element, all-equal, count-ties broken by char mass, and
+    interleaved groups — the cases a random corpus may miss."""
+    def pack(h, ln):
+        return (h << 16) | min(ln, text._HL_LEN_MASK)
+
+    cases = [
+        [],                                      # empty (short doc / no grams)
+        [pack(5, 3)],                            # single group, run 1
+        [pack(5, 3)] * 4,                        # one all-equal group
+        [pack(1, 2)] * 2 + [pack(2, 9)] * 2,     # count tie -> mass tie-break
+        [pack(1, 9)] * 2 + [pack(2, 2)] * 2,     # count tie, first is heavier
+        [pack(1, 1), pack(2, 2), pack(3, 3)],    # all unique
+        [pack(1, 4)] * 3 + [pack(2, 8)] * 2 + [pack(3, 1)],
+        [pack(7, 65535)] * 2 + [pack(8, 70000 & 0xFFFF)],  # clamped lengths
+    ]
+
+    def py_stats(arr):
+        c = Counter(arr)
+        dup = sum(n * (v & text._HL_LEN_MASK) for v, n in c.items() if n >= 2)
+        top = 0
+        best = (0, 0)
+        for v, n in c.items():
+            mass = n * (v & text._HL_LEN_MASK)
+            if (n, mass) > best:
+                best, top = (n, mass), mass
+        return dup, top
+
+    df = spark.createDataFrame(
+        [(i, sorted(a)) for i, a in enumerate(cases)],
+        "i int, arr array<long>",
+    )
+    got = {
+        r["i"]: (r["s"]["dup"], r["s"]["top"])
+        for r in df.select(
+            "i", text._group_char_stats(F.col("arr")).alias("s")
+        ).collect()
+    }
+    for i, a in enumerate(cases):
+        assert got[i] == py_stats(a), (i, got[i], py_stats(a))
