@@ -795,6 +795,7 @@ def connected_components(
             p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .repartition(n_shuf, "src")
+        .sortWithinPartitions("src")
         .persist()
     )
     use_reliable = (

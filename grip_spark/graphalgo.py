@@ -162,12 +162,16 @@ def _power_loop(
     # cached HashPartitioning(_src) is reused by every round's join and
     # only the node-sized rank side is exchanged (guide §2.4).  Explicit
     # numPartitions so AQE cannot coalesce the cached layout away from
-    # what the join requires.
+    # what the join requires.  Also pre-SORTED on the key (r12): the
+    # cached outputOrdering satisfies the SortMergeJoin's requirement,
+    # so no round re-sorts the edge-sized side either — the cache pays
+    # one sort at build, every round reads it back sorted.
     n_shuf = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     wedges = (
         e.join(outdeg, e["_src"] == outdeg["id"])
         .select(F.col("_src"), F.col("_dst"), share.alias("_w"))
         .repartition(n_shuf, "_src")
+        .sortWithinPartitions("_src")
         .persist()
     )
     try:
@@ -448,6 +452,7 @@ def katz_centrality(
     wedges = (
         e.select("_src", "_dst", w.alias("_w"))
         .repartition(n_shuf, "_src")
+        .sortWithinPartitions("_src")
         .persist()
     )
     try:
@@ -610,6 +615,7 @@ def label_propagation(
             canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
         )
         .repartition(n_shuf, "src")
+        .sortWithinPartitions("src")
         .persist()
     )
     try:
@@ -1253,12 +1259,16 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("_d"))
         )
         keep = deg.filter(F.col("_d") >= k).select("id")
+        # surviving-edge count observed during the round's own
+        # checkpoint action instead of a separate count job (r12)
+        obs = Observation()
         pruned = _ckpt(
             cur.join(keep.select(F.col("id").alias("a")), "a", "left_semi").join(
                 keep.select(F.col("id").alias("b")), "b", "left_semi"
             ).select("a", "b")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
         )
-        after = pruned.count()
+        after = obs.get["n"] or 0
         release_checkpoint(cur)  # linear chain (peeling rounds)
         cur = pruned
         if after == before or after == 0:
@@ -1306,9 +1316,18 @@ def harmonic_centrality(
     from .dedup import md5_prefix_hash
 
     _ckpt = _checkpointer(edges.sparkSession)
-    e = edges.select(
-        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-    ).distinct().persist()
+    # per-level join key layout cached pre-partitioned + pre-sorted
+    # (the _power_loop cache discipline, r12): each BFS level joins the
+    # frontier against this table on _src, so only the frontier side is
+    # exchanged/sorted per level
+    n_shuf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    e = (
+        edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+        .distinct()
+        .repartition(n_shuf, "_src")
+        .sortWithinPartitions("_src")
+        .persist()
+    )
     nodes = (
         e.select(F.col("_src").alias("id"))
         .unionByName(e.select(F.col("_dst").alias("id")))
@@ -1360,14 +1379,18 @@ def _reach_levels(e, sources, max_depth: int, _ckpt):
     visited = frontier
     scores = None
     for depth in range(1, max_depth + 1):
+        # level cardinality observed during the level's own checkpoint
+        # action instead of a separate isEmpty job per level (r12)
+        obs = Observation()
         nxt = (
             frontier.join(e, frontier["_v"] == e["_src"])
             .select("_s", F.col("_dst").alias("_v"))
             .distinct()
             .join(visited, ["_s", "_v"], "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
         )
         nxt = _ckpt(nxt)
-        if nxt.isEmpty():
+        if not (obs.get["n"] or 0):
             break
         level = (
             nxt.groupBy(F.col("_v").alias("id"))
@@ -1420,9 +1443,15 @@ def closeness_centrality(
     from .dedup import md5_prefix_hash
 
     _ckpt = _checkpointer(edges.sparkSession)
-    e = edges.select(
-        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-    ).distinct().persist()
+    # same cached per-level join layout as harmonic_centrality (r12)
+    n_shuf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    e = (
+        edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+        .distinct()
+        .repartition(n_shuf, "_src")
+        .sortWithinPartitions("_src")
+        .persist()
+    )
     nodes = (
         e.select(F.col("_src").alias("id"))
         .unionByName(e.select(F.col("_dst").alias("id")))
@@ -1495,9 +1524,16 @@ def betweenness_centrality(
     from .dedup import md5_prefix_hash
 
     _ckpt = _checkpointer(edges.sparkSession)
-    e = edges.select(
-        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-    ).distinct().persist()
+    # both sweeps join this table on _src — cached pre-partitioned +
+    # pre-sorted on it (the _power_loop cache discipline, r12)
+    n_shuf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    e = (
+        edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+        .distinct()
+        .repartition(n_shuf, "_src")
+        .sortWithinPartitions("_src")
+        .persist()
+    )
     nodes = (
         e.select(F.col("_src").alias("id"))
         .unionByName(e.select(F.col("_dst").alias("id")))
@@ -1530,14 +1566,18 @@ def betweenness_centrality(
         levels = [level]
         visited = level.select("_s", "_v")
         for _ in range(max_depth):
+            # level cardinality observed during the level's own
+            # checkpoint action instead of a separate isEmpty job (r12)
+            obs = Observation()
             nxt = (
                 level.join(e, level["_v"] == e["_src"])
                 .groupBy("_s", F.col("_dst").alias("_v"))
                 .agg(F.sum("_sig").alias("_sig"))
                 .join(visited, ["_s", "_v"], "left_anti")
+                .observe(obs, F.count(F.lit(1)).alias("n"))
             )
             nxt = _ckpt(nxt)
-            if nxt.isEmpty():
+            if not (obs.get["n"] or 0):
                 break
             levels.append(nxt)
             # visited chain is linear (see _reach_levels); round 1's
@@ -2187,9 +2227,19 @@ def hyperball(
     n_words = -(-m // _HB_REGS_PER_WORD)  # ceil
     spark = edges.sparkSession
     ckpt = _checkpointer(spark)
-    e = edges.select(
-        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-    ).distinct()
+    # loop-invariant edge list cached pre-partitioned + pre-sorted on
+    # the per-round join key (the _power_loop cache discipline, r12):
+    # the round join previously re-ran the full edge distinct SHUFFLE
+    # every radius; now only the node-sized counter table is exchanged.
+    # Unpersisted at every exit below (init raise + both returns).
+    n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    e = (
+        edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+        .distinct()
+        .repartition(n_shuf, "_dst")
+        .sortWithinPartitions("_dst")
+        .persist()
+    )
     nodes = (
         e.select(F.col("_src").alias("id"))
         .unionByName(e.select(F.col("_dst").alias("id")))
@@ -2212,7 +2262,25 @@ def hyperball(
         shifted = shifted.when(
             bucket % _HB_REGS_PER_WORD == k, F.shiftleft(rho.cast("long"), 6 * k)
         )
-    regs = ckpt(
+    dense = _hb_unpack(F.col("regs"), m)
+    # the three per-round driver reads (node count guard, N(t)
+    # estimate, rho-sum convergence probe) all observe the checkpoint
+    # action itself — one job per radius instead of three (r12); the
+    # expressions are the exact aggregates the standalone jobs ran
+    _nf_expr = F.sum(_hll_est_expr(dense, p)).alias("nf")
+    _rho_expr = F.sum(
+        F.aggregate(dense, F.lit(0).cast("long"), lambda a, x: a + x.cast("long"))
+    ).alias("rho")
+
+    def _obs_ckpt(df):
+        obs = Observation()
+        out = ckpt(
+            df.observe(obs, F.count(F.lit(1)).alias("n"), _nf_expr, _rho_expr)
+        )
+        got = obs.get
+        return out, int(got["n"] or 0), got["nf"], got["rho"]
+
+    regs, n_nodes, nf0, rho0 = _obs_ckpt(
         nodes.select(
             "id",
             F.transform(
@@ -2223,26 +2291,9 @@ def hyperball(
             ).alias("regs"),
         )
     )
-    if regs.limit(1).count() == 0:
+    if n_nodes == 0:
+        e.unpersist()
         raise ValueError("hyperball: empty edge table (no nodes)")
-
-    dense = _hb_unpack(F.col("regs"), m)
-
-    def _nf(r):
-        return float(
-            r.select(F.sum(_hll_est_expr(dense, p)).alias("s")).first()["s"]
-        )
-
-    def _rho_sum(r):
-        return int(
-            r.select(
-                F.sum(
-                    F.aggregate(
-                        dense, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
-                    )
-                ).alias("s")
-            ).first()["s"]
-        )
 
     zero = F.array(*[F.lit(0).cast("long") for _ in range(n_words)])
 
@@ -2251,8 +2302,8 @@ def hyperball(
             col, zero, lambda acc, r: F.zip_with(acc, r, _hb_word_max)
         )
 
-    nf = [(0, _nf(regs))]
-    last_sum = _rho_sum(regs)
+    nf = [(0, float(nf0))]
+    last_sum = int(rho0)
     for t in range(1, max_depth + 1):
         # ship dst counters to src, fold with own counter: one
         # equi-join + one node-keyed gather/fold
@@ -2278,13 +2329,13 @@ def hyperball(
             .select("id", _fold(F.col("_rs")).alias("regs"))
         )
         old_regs = regs
-        regs = ckpt(merged)
+        regs, _, nf_t, cur_sum = _obs_ckpt(merged)
         release_checkpoint(old_regs)  # linear chain
-        cur_sum = _rho_sum(regs)
-        if cur_sum == last_sum:
+        if int(cur_sum) == last_sum:
             break  # every counter stable: N(t) = N(t-1) = the limit
-        last_sum = cur_sum
-        nf.append((t, _nf(regs)))
+        last_sum = int(cur_sum)
+        nf.append((t, float(nf_t)))
+    e.unpersist()
     if node_estimates:
         return nf, regs.select("id", _hll_est_expr(dense, p).alias("est"))
     return nf
@@ -2328,13 +2379,17 @@ def _bfs_reach(e: DataFrame, seed: DataFrame, ckpt, max_depth: int,
     visited = ckpt(seed)
     frontier = visited
     for _d in range(max_depth):
+        # frontier cardinality observed during the checkpoint action
+        # instead of a separate limit-count job per round (r12)
+        obs = Observation()
         nxt = ckpt(
             e.join(frontier.withColumnRenamed("id", here), here, "left_semi")
             .select(F.col(there).alias("id"))
             .distinct()
             .join(visited, "id", "left_anti")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
         )
-        if nxt.limit(1).count() == 0:
+        if not (obs.get["n"] or 0):
             return visited
         visited = ckpt(visited.unionByName(nxt))
         frontier = nxt
@@ -2438,8 +2493,14 @@ def strongly_connected_components(
                 .distinct()
                 .join(e.select(F.col("_dst").alias("id")).distinct(), "id", "left_semi")
             )
-            trivial = ckpt(active.join(nontrivial, "id", "left_anti"))
-            if trivial.limit(1).count() == 0:
+            # peeled count observed during the checkpoint action (r12)
+            obs = Observation()
+            trivial = ckpt(
+                active.join(nontrivial, "id", "left_anti").observe(
+                    obs, F.count(F.lit(1)).alias("n")
+                )
+            )
+            if not (obs.get["n"] or 0):
                 break
             _append(trivial.select("id", F.col("id").alias("scc")))
             active = nontrivial
@@ -2484,13 +2545,16 @@ def strongly_connected_components(
                 .groupBy("id")
                 .agg(F.min("color").alias("color"))
             )
+            # delta cardinality observed during the checkpoint (r12)
+            obs = Observation()
             delta = ckpt(
                 new.join(colors.withColumnRenamed("color", "_old"), "id")
                 .filter(F.col("color") != F.col("_old"))
                 .select("id", "color")
+                .observe(obs, F.count(F.lit(1)).alias("n"))
             )
             colors = new
-            if delta.limit(1).count() == 0:
+            if not (obs.get["n"] or 0):
                 break
         else:
             raise ValueError(
@@ -2515,8 +2579,10 @@ def strongly_connected_components(
                 .join(member, "id", "left_anti")
                 .distinct()
             )
-            preds = ckpt(preds)
-            if preds.limit(1).count() == 0:
+            # frontier cardinality observed during the checkpoint (r12)
+            obs = Observation()
+            preds = ckpt(preds.observe(obs, F.count(F.lit(1)).alias("n")))
+            if not (obs.get["n"] or 0):
                 break
             member = ckpt(member.unionByName(preds))
             frontier = preds
@@ -2575,10 +2641,21 @@ def shortest_paths(
         cols.append(F.lit(1.0).alias("_w"))
     else:
         cols.append(F.col(weight_col).cast("double").alias("_w"))
-    e = ckpt(edges.select(*cols))
+    # loop-invariant edge list cached pre-partitioned + pre-sorted on
+    # the per-round relaxation join key (the _power_loop cache
+    # discipline, r12) — was a bare checkpoint, which scans with no
+    # partitioning info and re-shuffled the edge side every round.
+    n_shuf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    e = (
+        edges.select(*cols)
+        .repartition(n_shuf, "_src")
+        .sortWithinPartitions("_src")
+        .persist()
+    )
     if weight_col is not None:
         neg = e.filter(F.col("_w") < 0).limit(1).count()
         if neg:
+            e.unpersist()
             raise ValueError(
                 "shortest_paths: negative edge weights present — a negative "
                 "cycle would make shortest distances undefined"
@@ -2606,7 +2683,10 @@ def shortest_paths(
             .groupBy("id", "source")
             .agg(F.min("distance").alias("distance"))
         )
-        # the next frontier: (id, source) pairs whose distance improved
+        # the next frontier: (id, source) pairs whose distance improved;
+        # its cardinality is observed during the checkpoint action
+        # instead of a separate limit-count job per round (r12)
+        obs = Observation()
         frontier = ckpt(
             new.join(
                 dist.withColumnRenamed("distance", "_old"),
@@ -2615,10 +2695,13 @@ def shortest_paths(
             )
             .filter(F.col("_old").isNull() | (F.col("distance") < F.col("_old")))
             .select("id", "source", "distance")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
         )
         dist = new
-        if frontier.limit(1).count() == 0:
+        if not (obs.get["n"] or 0):
+            e.unpersist()
             return dist
+    e.unpersist()
     raise ValueError(
         f"shortest_paths: still relaxing after {max_iterations} rounds — "
         "raise max_iterations (the longest shortest path exceeds it)"
@@ -2752,9 +2835,10 @@ def hits(
     e_src = (
         e.select("_src", "_dst", w.alias("_w"))
         .repartition(n_shuf, "_src")
+        .sortWithinPartitions("_src")
         .persist()
     )
-    e_dst = e_src.repartition(n_shuf, "_dst").persist()
+    e_dst = e_src.repartition(n_shuf, "_dst").sortWithinPartitions("_dst").persist()
     hub_ck_prev = _ckpt(nodes.select("id", F.lit(1.0).alias("hub")))
     hub_tbl = hub_ck_prev
     a_ck = None
@@ -2875,10 +2959,18 @@ def seeded_label_propagation(
             .distinct()
             .withColumn("w", F.lit(1.0))
         )
-    sym = _ckpt(
+    # loop-invariant symmetric edge list cached pre-partitioned +
+    # pre-sorted on the per-round vote-join key (the _power_loop cache
+    # discipline, r12): only the node-sized label table is exchanged
+    # and sorted per round
+    n_shuf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    sym = (
         canon.select(F.col("a").alias("u"), F.col("b").alias("v"), "w").unionByName(
             canon.select(F.col("b").alias("u"), F.col("a").alias("v"), "w")
         )
+        .repartition(n_shuf, "u")
+        .sortWithinPartitions("u")
+        .persist()
     )
     sd = _ckpt(
         seeds.select(
@@ -2892,51 +2984,66 @@ def seeded_label_propagation(
         .unionByName(sd.select("id"))
         .distinct()
     )
-    cur = _ckpt(
-        nodes.join(sd, "id", "left").select("id", F.col("_seed").alias("lab"))
-    )
-    # the RAW checkpoint behind `cur` (cur itself becomes a projection
-    # over it after round 1, on which release_checkpoint no-ops)
-    cur_ckpt = cur
-    argmax = Window.partitionBy("_v").orderBy(F.col("_wsum").desc(), F.col("lab"))
-    for _ in range(max_iterations):
-        votes = (
-            sym.join(
-                cur.filter(F.col("lab").isNotNull()).withColumnRenamed("id", "u"),
-                "u",
+    try:
+        cur = _ckpt(
+            nodes.join(sd, "id", "left").select("id", F.col("_seed").alias("lab"))
+        )
+        # the RAW checkpoint behind `cur` (cur itself becomes a projection
+        # over it after round 1, on which release_checkpoint no-ops)
+        cur_ckpt = cur
+        argmax = Window.partitionBy("_v").orderBy(
+            F.col("_wsum").desc(), F.col("lab")
+        )
+        for _ in range(max_iterations):
+            votes = (
+                sym.join(
+                    cur.filter(F.col("lab").isNotNull()).withColumnRenamed(
+                        "id", "u"
+                    ),
+                    "u",
+                )
+                .groupBy(F.col("v").alias("_v"), "lab")
+                .agg(F.sum("w").alias("_wsum"))
             )
-            .groupBy(F.col("v").alias("_v"), "lab")
-            .agg(F.sum("w").alias("_wsum"))
-        )
-        best = (
-            votes.withColumn("_rk", F.row_number().over(argmax))
-            .filter(F.col("_rk") == 1)
-            .select(F.col("_v").alias("id"), F.col("lab").alias("_new"))
-        )
-        nxt = _ckpt(
-            cur.join(sd, "id", "left")
-            .join(best, "id", "left")
-            .select(
-                "id",
-                F.coalesce(F.col("_seed"), F.col("_new"), F.col("lab")).alias(
-                    "lab"
-                ),
-                (~F.col("lab").eqNullSafe(
-                    F.coalesce(F.col("_seed"), F.col("_new"), F.col("lab"))
-                )).alias("_chg"),
+            best = (
+                votes.withColumn("_rk", F.row_number().over(argmax))
+                .filter(F.col("_rk") == 1)
+                .select(F.col("_v").alias("id"), F.col("lab").alias("_new"))
             )
+            # changed count observed during the round's own checkpoint
+            # action (the _chg flag is already in the build plan) instead
+            # of a separate limit-count job per round (r12)
+            obs = Observation()
+            nxt = _ckpt(
+                cur.join(sd, "id", "left")
+                .join(best, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce(F.col("_seed"), F.col("_new"), F.col("lab")).alias(
+                        "lab"
+                    ),
+                    (~F.col("lab").eqNullSafe(
+                        F.coalesce(F.col("_seed"), F.col("_new"), F.col("lab"))
+                    )).alias("_chg"),
+                )
+                .observe(
+                    obs,
+                    F.sum(F.when(F.col("_chg"), 1).otherwise(0)).alias("changed"),
+                )
+            )
+            changed = obs.get["changed"] or 0
+            release_checkpoint(cur_ckpt)  # linear chain
+            cur = nxt.drop("_chg")
+            cur_ckpt = nxt
+            if changed == 0:
+                break
+        return cur.join(sd, "id", "left").select(
+            "id",
+            F.col("lab").alias("label"),
+            F.col("_seed").isNotNull().alias("is_seed"),
         )
-        changed = nxt.filter(F.col("_chg")).limit(1).count()
-        release_checkpoint(cur_ckpt)  # linear chain
-        cur = nxt.drop("_chg")
-        cur_ckpt = nxt
-        if changed == 0:
-            break
-    return cur.join(sd, "id", "left").select(
-        "id",
-        F.col("lab").alias("label"),
-        F.col("_seed").isNotNull().alias("is_seed"),
-    )
+    finally:
+        sym.unpersist()
 
 
 def coreness(
@@ -2977,37 +3084,59 @@ def coreness(
         )
         .distinct()
     )
-    sym = _ckpt(
-        canon.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
-            canon.select(F.col("b").alias("u"), F.col("a").alias("v"))
-        )
+    # loop-invariant symmetric edge list persisted PRE-PARTITIONED and
+    # PRE-SORTED on the per-round join key (the _power_loop cache
+    # discipline, r12): a checkpointed table scans with no partitioning
+    # or ordering info, so the old per-round join re-shuffled AND
+    # re-sorted the edge-sized side every round; the cached layout is
+    # reused and only the node-sized value table is exchanged.
+    n_shuf = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    sym = (
+        canon.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(canon.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .repartition(n_shuf, "v")
+        .sortWithinPartitions("v")
+        .persist()
     )
-    cur = _ckpt(
-        sym.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
-    )
-    w = Window.partitionBy("u").orderBy(F.col("_cv").desc(), F.col("v"))
-    for it in range(max_iterations):
-        nbr = sym.join(
-            cur.select(F.col("u").alias("v"), F.col("c").alias("_cv")), "v"
+    try:
+        cur = _ckpt(
+            sym.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
         )
-        # h-index without a list: rank neighbor values desc, then
-        # h = max over rows of min(rank, value)
-        nxt = _ckpt(
-            nbr.withColumn("_rk", F.row_number().over(w))
-            .groupBy("u")
-            .agg(F.max(F.least(F.col("_rk"), F.col("_cv"))).alias("c"))
+        w = Window.partitionBy("u").orderBy(F.col("_cv").desc(), F.col("v"))
+        for it in range(max_iterations):
+            nbr = sym.join(
+                cur.select(F.col("u").alias("v"), F.col("c").alias("_cv")), "v"
+            )
+            # h-index without a list: rank neighbor values desc, then
+            # h = max over rows of min(rank, value).  The change count
+            # is observed during the round's own checkpoint action (the
+            # previous value rides the build plan via a node-sized
+            # equi-join — the id sets of consecutive rounds are equal,
+            # every u keeps >= 1 edge in the fixed sym, so the inner
+            # join drops nothing) instead of a separate per-round
+            # join-and-count job (r12).
+            obs = Observation()
+            nxt = _ckpt(
+                nbr.withColumn("_rk", F.row_number().over(w))
+                .groupBy("u")
+                .agg(F.max(F.least(F.col("_rk"), F.col("_cv"))).alias("c"))
+                .join(cur.select("u", F.col("c").alias("_old")), "u")
+                .observe(
+                    obs,
+                    F.sum(
+                        F.when(F.col("c") != F.col("_old"), 1).otherwise(0)
+                    ).alias("changed"),
+                )
+                .select("u", "c")
+            )
+            changed = obs.get["changed"] or 0
+            release_checkpoint(cur)  # linear chain
+            cur = nxt
+            if changed == 0:
+                return cur.select(F.col("u").alias("id"), F.col("c").alias("core"))
+        raise RuntimeError(
+            f"coreness: no fixpoint in {max_iterations} rounds (monotone "
+            "decrease guarantees termination within max degree — raise the cap)"
         )
-        changed = (
-            nxt.join(cur.withColumnRenamed("c", "_old"), "u")
-            .filter(F.col("c") != F.col("_old"))
-            .limit(1)
-            .count()
-        )
-        release_checkpoint(cur)  # linear chain
-        cur = nxt
-        if changed == 0:
-            return cur.select(F.col("u").alias("id"), F.col("c").alias("core"))
-    raise RuntimeError(
-        f"coreness: no fixpoint in {max_iterations} rounds (monotone "
-        "decrease guarantees termination within max degree — raise the cap)"
-    )
+    finally:
+        sym.unpersist()
