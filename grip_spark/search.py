@@ -76,42 +76,115 @@ def bm25_index(
     instead of silently skewing every idf/tf normalization.
     """
     # count(*) not count(id): both count(id) and countDistinct skip
-    # NULLs, so NULL-id rows (which the posting groupBy would weld
-    # into one phantom document) must surface here too.  The check
-    # rides the SAME driver action as the corpus scalars (one-row
-    # crossJoin inside _index_from_postings) instead of its own job —
-    # a duplicate-id corpus now pays the tokenize pass before raising,
+    # NULLs, so NULL-id rows must surface here too.  The check rides
+    # the SAME driver action as the corpus scalars (one-row crossJoin
+    # inside _index_from_postings) instead of its own job — a
+    # duplicate-id corpus now pays the tokenize pass before raising,
     # but a clean build pays one driver round trip less (r12).
     dup_df = df.agg((F.count(F.lit(1)) - F.countDistinct(id_col)).alias("_dup"))
+    # Boundary-form tf (r12, guide §2.4 remove shuffles outright): the
+    # old build exploded every token OCCURRENCE into a corpus-wide
+    # groupBy(token, id, dl) — a full shuffle of the tokenized corpus
+    # purely to count within-document tf.  tf is a PER-DOCUMENT fold:
+    # sort the token array, find group starts by neighbor compare, and
+    # each (start, next-start) gap IS the tf — a narrow projection, no
+    # exchange at all (the postings checkpoint partitions stay
+    # doc-aligned; every consumer re-keys for its own join anyway).
+    # Row-for-row identical output: array_sort groups equal strings
+    # (UTF8 binary order) exactly as groupBy equality did, tf/dl keep
+    # their long/int types, docs with no tokens are dropped by the
+    # dl > 0 filter as before.
     nonempty = F.filter(tokens(text_col), lambda t: t != "")
     if positions:
-        # posexplode_outer + pos-notnull: identical rows, but the
-        # optimizer cannot copy the tokenize expression into the scan
-        # as an inferred size()>0 filter (grip_spark/util.py)
-        base = df.select(
-            F.col(id_col).alias("id"),
-            F.posexplode_outer(nonempty).alias("pos", "token"),
-            F.size(nonempty).alias("dl"),
-        ).filter(F.col("pos").isNotNull())
+        # sort (token, original-position) structs: lexicographic struct
+        # order groups tokens with positions ascending inside each
+        # group, so the per-group slice reproduces the old
+        # sort_array(collect_list(pos)) exactly
+        # positions index the FILTERED token array (the old posexplode
+        # ran over `nonempty`), so the struct build must enumerate the
+        # filtered array, not the raw split
+        base = (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.array_sort(
+                    F.transform(
+                        nonempty,
+                        lambda t, i: F.struct(
+                            t.alias("token"), i.alias("pos")
+                        ),
+                    )
+                ).alias("_stp"),
+            )
+            .select("id", "_stp", F.size("_stp").alias("dl"))
+            .filter(F.col("dl") > 0)
+        )
+        groups = F.expr(
+            "zip_with(_starts, concat(slice(_starts, 2, size(_starts)),"
+            " array(dl)), (s, e) -> struct(_stp[s].token AS token,"
+            " CAST(e - s AS BIGINT) AS tf,"
+            " transform(sequence(s, e - 1), j -> _stp[j].pos) AS pos))"
+        )
+        staged = base.select(
+            "id",
+            "_stp",
+            "dl",
+            F.expr(
+                "filter(sequence(0, size(_stp) - 1), i -> i = 0 OR"
+                " _stp[i].token != _stp[i-1].token)"
+            ).alias("_starts"),
+        ).select("id", "dl", groups.alias("_groups"))
         postings = (
-            base.groupBy("token", "id", "dl")
-            .agg(
-                F.count(F.lit(1)).alias("tf"),
-                F.sort_array(F.collect_list("pos")).alias("pos"),
+            staged.select(
+                "id", "dl", F.explode_outer("_groups").alias("_g")
+            )
+            .filter(F.col("_g").isNotNull())
+            .select(
+                F.col("_g.token").alias("token"),
+                "id",
+                "dl",
+                F.col("_g.tf").alias("tf"),
+                F.col("_g.pos").alias("pos"),
             )
             .localCheckpoint(eager=True)
         )
+        postings = _coalesced_view(postings)
     else:
-        base = df.select(
-            F.col(id_col).alias("id"),
-            F.explode_outer(nonempty).alias("token"),
-            F.size(nonempty).alias("dl"),
-        ).filter(F.col("token").isNotNull())
+        base = (
+            df.select(
+                F.col(id_col).alias("id"),
+                F.array_sort(nonempty).alias("_st"),
+            )
+            .select("id", "_st", F.size("_st").alias("dl"))
+            .filter(F.col("dl") > 0)
+        )
+        groups = F.expr(
+            "zip_with(_starts, concat(slice(_starts, 2, size(_starts)),"
+            " array(dl)), (s, e) -> struct(_st[s] AS token,"
+            " CAST(e - s AS BIGINT) AS tf))"
+        )
+        staged = base.select(
+            "id",
+            "_st",
+            "dl",
+            F.expr(
+                "filter(sequence(0, size(_st) - 1), i -> i = 0 OR"
+                " _st[i] != _st[i-1])"
+            ).alias("_starts"),
+        ).select("id", "dl", groups.alias("_groups"))
         postings = (
-            base.groupBy("token", "id", "dl")
-            .agg(F.count(F.lit(1)).alias("tf"))
+            staged.select(
+                "id", "dl", F.explode_outer("_groups").alias("_g")
+            )
+            .filter(F.col("_g").isNotNull())
+            .select(
+                F.col("_g.token").alias("token"),
+                "id",
+                "dl",
+                F.col("_g.tf").alias("tf"),
+            )
             .localCheckpoint(eager=True)
         )
+        postings = _coalesced_view(postings)
     return _index_from_postings(
         postings,
         "bm25_index: no documents with tokens",
@@ -152,6 +225,49 @@ def _index_from_postings(
     if n_docs == 0:
         raise ValueError(empty_msg)
     return Bm25Index(postings, terms, n_docs, float(stats["avgdl"]))
+
+
+def _coalesced_view(ckpt: DataFrame) -> DataFrame:
+    """A partition-count-right VIEW over an eagerly checkpointed
+    table: coalesce the (already materialized, block-manager-cached)
+    partitions down to ``ceil(cached_bytes / advisory)`` for every
+    downstream job.
+
+    Why: the narrow postings build keeps the input's partition count
+    (parallel build — good), but downstream index jobs then schedule
+    that many tasks over what may be a few MB; the old shuffle-based
+    build got this for free because AQE coalesced the post-exchange
+    partitions.  Coalesce over a checkpoint is a narrow merge of cached
+    blocks — no shuffle, no recompute — and the target is derived from
+    the MEASURED cached size (scale-adaptive: a 100 TB postings table
+    keeps thousands of partitions; an sf0.1 fixture collapses to 1).
+    Falls back to the raw handle when storage info is unavailable."""
+    spark = ckpt.sparkSession
+    try:
+        n = ckpt.rdd.getNumPartitions()
+        rdd_id = ckpt._jdf.queryExecution().analyzed().rdd().id()
+        size = None
+        for info in spark.sparkContext._jsc.sc().getRDDStorageInfo():
+            if info.id() == rdd_id:
+                size = info.memSize() + info.diskSize()
+                break
+        if size is None:
+            return ckpt
+        raw = spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m"
+        ).strip().lower()
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+        if raw.endswith("b"):
+            raw = raw[:-1]
+        advisory = (
+            int(raw[:-1]) * units[raw[-1]] if raw[-1] in units else int(raw)
+        )
+        target = max(1, -(-int(size) // max(advisory, 1)))
+        if target < n:
+            return ckpt.coalesce(target)
+        return ckpt
+    except Exception:  # noqa: BLE001 — sizing is best-effort, never fail a build
+        return ckpt
 
 
 _JAVA_WS = "\t\n\x0b\f\r "  # Java regex \s is ASCII-only

@@ -477,3 +477,53 @@ def test_ir_eval_perfect_run(spark):
     assert row["mrr"] == 1.0 and row["recall"] == 1.0
     assert row["ap"] == pytest.approx(1.0)
     assert row["ndcg"] == pytest.approx(1.0)
+
+
+def test_bm25_boundary_form_postings_match_groupby(spark):
+    """The r12 narrow postings build (sorted-array boundary scan, no
+    corpus shuffle) must reproduce the classic explode + groupBy build
+    row for row — including tf counts, dl over the FILTERED token
+    list, and (positions=True) position arrays indexed into the
+    filtered list — on a corpus with the tricky shapes: leading/multi
+    whitespace (empty split tokens), duplicate tokens, a
+    single-token doc, an empty doc, a NULL doc, and unicode."""
+    from pyspark.sql import functions as F
+
+    from grip_spark.text import tokens
+
+    rows = [
+        (1, "  the cat  the CAT the"),
+        (2, "solo"),
+        (3, ""),
+        (4, None),
+        (5, "z a z a z b\tb\nb  b"),
+        (6, "été été café"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string").repartition(3)
+    nonempty = F.filter(tokens("text"), lambda t: t != "")
+    for positions in (False, True):
+        idx = search.bm25_index(df, "doc_id", "text", positions=positions)
+        if positions:
+            base = df.select(
+                F.col("doc_id").alias("id"),
+                F.posexplode_outer(nonempty).alias("pos", "token"),
+                F.size(nonempty).alias("dl"),
+            ).filter(F.col("pos").isNotNull())
+            ref = base.groupBy("token", "id", "dl").agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.sort_array(F.collect_list("pos")).alias("pos"),
+            )
+        else:
+            base = df.select(
+                F.col("doc_id").alias("id"),
+                F.explode_outer(nonempty).alias("token"),
+                F.size(nonempty).alias("dl"),
+            ).filter(F.col("token").isNotNull())
+            ref = base.groupBy("token", "id", "dl").agg(
+                F.count(F.lit(1)).alias("tf")
+            )
+        cols = idx.postings.columns
+        got = sorted(map(tuple, idx.postings.select(cols).collect()))
+        want = sorted(map(tuple, ref.select(cols).collect()))
+        assert got == want, (positions, got, want)
+        assert idx.n_docs == 4  # empty/NULL text has no tokens
