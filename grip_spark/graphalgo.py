@@ -175,12 +175,33 @@ def _power_loop(
         .persist()
     )
     try:
+        # Fixed-round runs defer every intermediate round's
+        # materialization (r12): each round still cuts lineage through
+        # its own localCheckpoint — identical per-round physical plans,
+        # so identical float addition order — but with eager=False the
+        # checkpoint RDD materializes (and caches) only when the FINAL
+        # round's eager checkpoint pulls on it, collapsing K per-round
+        # scan jobs into the one job the last round runs anyway (guide
+        # §5: fewer driver-synchronized actions per query).  Convergence
+        # runs can't defer (each round's delta gates the next), reliable
+        # checkpointing can't either (.checkpoint() re-runs lineage in a
+        # separate job unless the round was already materialized), and a
+        # deep run would hold every round's node table cached at once —
+        # so the lazy chain is gated to short fixed-round runs.
+        lazy_max = int(
+            e.sparkSession.conf.get("spark.grip.pagerank.maxLazyRounds", "16")
+        )
+        lazy = (
+            exact_iterations is not None
+            and 1 <= exact_iterations <= lazy_max
+            and e.sparkSession.sparkContext.getCheckpointDir() is None
+        )
         # sink flag folded into the rank table once: the per-round
         # dangling mass is then a narrow scalar aggregate over the
         # checkpointed ranks instead of a per-round semi-join against a
         # persisted sink table (two fewer exchanges per round).  The
         # summed values are the identical rank rows either way.
-        ranks = _ckpt(
+        ranks0 = (
             nodes.join(
                 outdeg.select("id").withColumn("_o", F.lit(True)), "id", "left"
             )
@@ -188,10 +209,12 @@ def _power_loop(
             .drop("_o")
             .withColumn("pagerank", init_expr)
         )
+        ranks = ranks0.localCheckpoint(eager=False) if lazy else _ckpt(ranks0)
+        lazies = [ranks] if lazy else []
         extra = extra + ["_sink"]
         delta = float("inf")
         rounds = exact_iterations if exact_iterations is not None else max_iterations
-        for _ in range(rounds):
+        for _r in range(rounds):
             # dangling mass folded INTO the round's plan as a one-row
             # broadcast instead of a per-round driver first() — halves
             # the driver-synchronized jobs per round (r12, guide §5:
@@ -220,11 +243,26 @@ def _power_loop(
                 .crossJoin(F.broadcast(dang))
             )
             if exact_iterations is not None:
+                sel = body.select("id", *extra, newrank)
+                if lazy:
+                    # intermediate rounds chain lazily; the last round's
+                    # eager checkpoint is the single job that computes
+                    # (and caches) the whole chain, after which every
+                    # deferred round's blocks are released at once
+                    if _r < rounds - 1:
+                        new = sel.localCheckpoint(eager=False)
+                        lazies.append(new)
+                    else:
+                        new = _ckpt(sel)
+                        for df in lazies:
+                            release_checkpoint(df)
+                    ranks = new
+                    continue
                 # linear chain: round N-1's checkpoint is dead once
                 # `new` is eagerly materialized — release it, or a
                 # 50-round run holds 50 node-tables in executor
                 # storage until py4j GC (tools/deep_loop_probe.py)
-                new = _ckpt(body.select("id", *extra, newrank))
+                new = _ckpt(sel)
                 release_checkpoint(ranks)
                 ranks = new
                 continue

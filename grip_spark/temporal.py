@@ -574,6 +574,14 @@ def cohort_retention(
     )
 
 
+# ewma fold chunk size: total copy cost is O(L·B + (L/B)²) per L-point
+# key, so B≈256 keeps both terms small from hundreds of points (one
+# chunk — the monolithic fold's plan shape, tiny constant overhead) up
+# through the documented per-entity regime (~10⁵ points); beyond that
+# the docstring already directs callers through resample() first
+_EWMA_CHUNK = 256
+
+
 def ewma(
     df: DataFrame,
     key_col: str,
@@ -601,6 +609,17 @@ def ewma(
     regime; for million-point keys, window the input by
     :func:`resample` first).  Composes with :func:`anomaly_flags`
     (deviation-from-EWMA instead of deviation-from-median).
+
+    The fold runs chunked (r12): a monolithic ``concat(out,
+    array(nxt))`` fold copies the whole accumulated output array per
+    element — O(L²) bytes for an L-point key.  Instead the series is
+    cut into ``_EWMA_CHUNK``-element chunks, the (s, pt) state at each
+    chunk boundary is folded with a scalar-only accumulator (linear),
+    and every chunk then folds independently from its boundary state
+    (arrays never exceed the chunk size) — O(L·B + (L/B)²) with the
+    per-element arithmetic applied in the identical order, so the
+    output is bit-for-bit the monolithic fold's
+    (tests/test_temporal.py pins equality).
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0,1], got {alpha}")
@@ -616,38 +635,77 @@ def ewma(
             )
         ).alias("_ser")
     )
-    init = F.struct(
-        F.array().cast("array<double>").alias("out"),
-        F.lit(None).cast("double").alias("s"),
-        F.lit(None).cast("double").alias("pt"),
-    )
-
-    def step(st, e):
+    def _next_s(st, e):
         if halflife is not None:
             dt = e["t"] - st["pt"]
             a = F.lit(1.0) - F.pow(F.lit(2.0), -dt / F.lit(float(halflife)))
             a = F.coalesce(a, F.lit(1.0))  # first point: full weight
         else:
             a = F.lit(float(alpha))
-        nxt = F.when(
+        return F.when(
             e["x"].isNull(), st["s"]
         ).otherwise(
             F.when(st["s"].isNull(), e["x"]).otherwise(
                 a * e["x"] + (F.lit(1.0) - a) * st["s"]
             )
         )
+
+    def _next_pt(st, e):
+        return F.when(e["x"].isNull(), st["pt"]).otherwise(e["t"])
+
+    def step(st, e):
         return F.struct(
-            F.concat(st["out"], F.array(nxt)).alias("out"),
-            nxt.alias("s"),
-            F.when(e["x"].isNull(), st["pt"]).otherwise(e["t"]).alias("pt"),
+            F.concat(st["out"], F.array(_next_s(st, e))).alias("out"),
+            _next_s(st, e).alias("s"),
+            _next_pt(st, e).alias("pt"),
         )
 
-    folded = per_key.select(
-        "_k",
-        F.arrays_zip(
-            F.col("_ser"), F.aggregate(F.col("_ser"), init, step, lambda st: st["out"])
-        ).alias("_z"),
+    def scalar_step(st, e):
+        return F.struct(_next_s(st, e).alias("s"), _next_pt(st, e).alias("pt"))
+
+    ser = F.col("_ser")
+    b = F.lit(_EWMA_CHUNK)
+    # a group always holds >= 1 row and struct(t, x) elements are never
+    # NULL, so size(_ser) >= 1 and the chunk count is >= 1 — sequence()
+    # never sees a descending range
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(ser) / b).cast("int") - F.lit(1)),
+        lambda i: F.slice(ser, i * b + F.lit(1), b),
     )
+    # state BEFORE each chunk, folded with scalar-only state: the same
+    # per-element (s, pt) recurrence, no output array in the accumulator
+    bounds = F.aggregate(
+        chunks,
+        F.struct(
+            F.array().cast("array<struct<s:double,pt:double>>").alias("sts"),
+            F.struct(
+                F.lit(None).cast("double").alias("s"),
+                F.lit(None).cast("double").alias("pt"),
+            ).alias("cur"),
+        ),
+        lambda st, ch: F.struct(
+            F.concat(st["sts"], F.array(st["cur"])).alias("sts"),
+            F.aggregate(ch, st["cur"], scalar_step).alias("cur"),
+        ),
+        lambda st: st["sts"],
+    )
+    fold = F.flatten(
+        F.zip_with(
+            chunks,
+            bounds,
+            lambda ch, b0: F.aggregate(
+                ch,
+                F.struct(
+                    F.array().cast("array<double>").alias("out"),
+                    b0["s"].alias("s"),
+                    b0["pt"].alias("pt"),
+                ),
+                step,
+                lambda st: st["out"],
+            ),
+        )
+    )
+    folded = per_key.select("_k", F.arrays_zip(ser, fold).alias("_z"))
     # explode_outer + notnull: keeps the optimizer from duplicating
     # the whole EWMA fold into an inferred size()>0 filter below
     # (grip_spark/util.py); zip elements are structs, never NULL

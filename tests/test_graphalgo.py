@@ -121,6 +121,36 @@ def test_pagerank_exact_iterations(spark, digraph):
             assert abs(got[x] - expect[x]) < 1e-12, (k, x)
 
 
+def test_pagerank_lazy_unroll_bitexact_vs_eager(spark, digraph):
+    """The r12 lazy-checkpoint chain for fixed-round runs must
+    reproduce the eager per-round-checkpoint path BIT-FOR-BIT: each
+    round keeps its own localCheckpoint (identical physical plans),
+    only the materialization job structure differs.  Eager is forced
+    by zeroing the lazy-round cap."""
+    import struct as _struct
+
+    nodes, edges, v, e = digraph
+    key = "spark.grip.pagerank.maxLazyRounds"
+
+    def run():
+        return {
+            r["id"]: r["pagerank"]
+            for r in graphalgo.pagerank(
+                e, vertices=v, exact_iterations=5
+            ).collect()
+        }
+
+    lazy = run()
+    spark.conf.set(key, "0")
+    try:
+        eager = run()
+    finally:
+        spark.conf.unset(key)
+    assert lazy.keys() == eager.keys()
+    for x in lazy:
+        assert _struct.pack("d", lazy[x]) == _struct.pack("d", eager[x]), x
+
+
 def test_pagerank_drops_out_of_set_edges(spark, digraph):
     """Edges to/from ids outside the vertex table must not leak rank
     mass (they're removed before out-degree counting)."""

@@ -559,3 +559,99 @@ def test_ewma_halflife_and_nulls(spark):
         ewma(df3, "k", "ts", "x", alpha=0.0)
     with _p.raises(ValueError):
         ewma(df3, "k", "ts", "x", halflife=-1)
+
+
+def test_ewma_chunked_fold_bitexact_vs_monolithic(spark, monkeypatch):
+    """The r12 chunked fold (linear-ish copy cost) must reproduce the
+    monolithic quadratic fold BIT-FOR-BIT — same per-element float ops
+    in the same order, only the array assembly differs.  Chunk size is
+    pinned to 7 so series of every shape (shorter, exact multiple, one
+    over, many chunks) cross boundaries."""
+    import struct as _struct
+
+    from grip_spark.temporal import ewma
+
+    monkeypatch.setattr(temporal, "_EWMA_CHUNK", 7)
+    rng = random.Random(11)
+    rows = []
+    for k, n in [("a", 1), ("b", 6), ("c", 7), ("d", 8), ("e", 21), ("f", 50)]:
+        t = 0.0
+        for _ in range(n):
+            t += rng.choice([1.0, 3.5, 80.0])
+            x = None if rng.random() < 0.2 else rng.uniform(-9, 9)
+            rows.append((k, t, x))
+    # tied timestamps within a key (sorted deterministically by value)
+    rows += [("g", 1.0, 2.0), ("g", 1.0, -3.0), ("g", 1.0, None), ("g", 2.0, 5.0)]
+    df = spark.createDataFrame(rows, "k string, ts double, x double")
+
+    def monolithic(halflife, alpha):
+        # the pre-r12 single-aggregate fold, kept as the reference
+        per_key = df.groupBy(F.col("k").alias("_k")).agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts").cast("double").alias("t"),
+                        F.col("x").cast("double").alias("x"),
+                    )
+                )
+            ).alias("_ser")
+        )
+        init = F.struct(
+            F.array().cast("array<double>").alias("out"),
+            F.lit(None).cast("double").alias("s"),
+            F.lit(None).cast("double").alias("pt"),
+        )
+
+        def step(st, e):
+            if halflife is not None:
+                dt = e["t"] - st["pt"]
+                a = F.coalesce(
+                    F.lit(1.0) - F.pow(F.lit(2.0), -dt / F.lit(float(halflife))),
+                    F.lit(1.0),
+                )
+            else:
+                a = F.lit(float(alpha))
+            nxt = F.when(e["x"].isNull(), st["s"]).otherwise(
+                F.when(st["s"].isNull(), e["x"]).otherwise(
+                    a * e["x"] + (F.lit(1.0) - a) * st["s"]
+                )
+            )
+            return F.struct(
+                F.concat(st["out"], F.array(nxt)).alias("out"),
+                nxt.alias("s"),
+                F.when(e["x"].isNull(), st["pt"]).otherwise(e["t"]).alias("pt"),
+            )
+
+        folded = per_key.select(
+            "_k",
+            F.arrays_zip(
+                F.col("_ser"),
+                F.aggregate(F.col("_ser"), init, step, lambda st: st["out"]),
+            ).alias("_z"),
+        )
+        ex = folded.select("_k", F.explode_outer("_z").alias("_e")).filter(
+            F.col("_e").isNotNull()
+        )
+        return ex.select(
+            F.col("_k").alias("k"),
+            F.col("_e._ser.t").alias("ts"),
+            F.col("_e._ser.x").alias("x"),
+            F.col("_e.1").alias("ewma"),
+        )
+
+    def keyed(rows_):
+        return sorted(
+            ((r["k"], r["ts"], r["x"], r["ewma"]) for r in rows_),
+            key=lambda r: (r[0], r[1], r[2] if r[2] is not None else float("-inf")),
+        )
+
+    for hl, al in [(None, 0.2), (40.0, None)]:
+        got = keyed(ewma(df, "k", "ts", "x", alpha=al or 0.2, halflife=hl).collect())
+        want = keyed(monolithic(hl, al).collect())
+        assert len(got) == len(want) == len(rows)
+        for g, w in zip(got, want):
+            assert g[:3] == w[:3]
+            if w[3] is None:
+                assert g[3] is None
+            else:
+                assert _struct.pack("d", g[3]) == _struct.pack("d", w[3])

@@ -1,0 +1,153 @@
+"""Prototype: chunked ewma fold == monolithic quadratic fold, bit-exact.
+
+Runs on local[2] so it can share the box with a pytest run.
+"""
+from __future__ import annotations
+
+import random
+import sys
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+B = 256
+
+
+def build(per_key, halflife, alpha, chunked: bool):
+    init = F.struct(
+        F.array().cast("array<double>").alias("out"),
+        F.lit(None).cast("double").alias("s"),
+        F.lit(None).cast("double").alias("pt"),
+    )
+
+    def alpha_of(st, e):
+        if halflife is not None:
+            dt = e["t"] - st["pt"]
+            a = F.lit(1.0) - F.pow(F.lit(2.0), -dt / F.lit(float(halflife)))
+            return F.coalesce(a, F.lit(1.0))
+        return F.lit(float(alpha))
+
+    def next_s(st, e):
+        a = alpha_of(st, e)
+        return F.when(e["x"].isNull(), st["s"]).otherwise(
+            F.when(st["s"].isNull(), e["x"]).otherwise(
+                a * e["x"] + (F.lit(1.0) - a) * st["s"]
+            )
+        )
+
+    def next_pt(st, e):
+        return F.when(e["x"].isNull(), st["pt"]).otherwise(e["t"])
+
+    def step(st, e):
+        return F.struct(
+            F.concat(st["out"], F.array(next_s(st, e))).alias("out"),
+            next_s(st, e).alias("s"),
+            next_pt(st, e).alias("pt"),
+        )
+
+    def scalar_step(st, e):
+        return F.struct(next_s(st, e).alias("s"), next_pt(st, e).alias("pt"))
+
+    if not chunked:
+        folded = F.aggregate(F.col("_ser"), init, step, lambda st: st["out"])
+    else:
+        ser = F.col("_ser")
+        nc = F.greatest(F.lit(1), F.ceil(F.size(ser) / F.lit(B))).cast("int")
+        chunks = F.transform(
+            F.sequence(F.lit(0), nc - F.lit(1)),
+            lambda i: F.slice(ser, i * F.lit(B) + F.lit(1), F.lit(B)),
+        )
+        st0 = F.struct(
+            F.array().cast("array<struct<s:double,pt:double>>").alias("sts"),
+            F.struct(
+                F.lit(None).cast("double").alias("s"),
+                F.lit(None).cast("double").alias("pt"),
+            ).alias("cur"),
+        )
+        bounds = F.aggregate(
+            chunks,
+            st0,
+            lambda st, ch: F.struct(
+                F.concat(st["sts"], F.array(st["cur"])).alias("sts"),
+                F.aggregate(ch, st["cur"], scalar_step).alias("cur"),
+            ),
+            lambda st: st["sts"],
+        )
+        folded = F.flatten(
+            F.zip_with(
+                chunks,
+                bounds,
+                lambda ch, b: F.aggregate(
+                    ch,
+                    F.struct(
+                        F.array().cast("array<double>").alias("out"),
+                        b["s"].alias("s"),
+                        b["pt"].alias("pt"),
+                    ),
+                    step,
+                    lambda st: st["out"],
+                ),
+            )
+        )
+    return per_key.select("_k", folded.alias("_out"))
+
+
+def main():
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName("ewma-chunk-proto")
+        .config("spark.ui.enabled", "false")
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rng = random.Random(7)
+    rows = []
+    # keys exercising: < B, == B, == B+1, multiple of B, long, NULLs, ties
+    for k, n in [("a", 3), ("b", B), ("c", B + 1), ("d", 4 * B), ("e", 1), ("f", 1000)]:
+        t = 0.0
+        for i in range(n):
+            t += rng.choice([1.0, 2.5, 60.0])
+            x = None if rng.random() < 0.15 else rng.uniform(-5, 5)
+            # occasional tied timestamps
+            tt = t if rng.random() > 0.05 else t - 0.0
+            rows.append((k, tt, x))
+    df = spark.createDataFrame(rows, "k string, t double, x double")
+    per_key = df.groupBy(F.col("k").alias("_k")).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("t").alias("t"), F.col("x").alias("x")))
+        ).alias("_ser")
+    )
+    for hl, al in [(None, 0.2), (50.0, None)]:
+        old = build(per_key, hl, al, chunked=False).collect()
+        new = build(per_key, hl, al, chunked=True).collect()
+        od = {r["_k"]: r["_out"] for r in old}
+        nd = {r["_k"]: r["_out"] for r in new}
+        assert od.keys() == nd.keys()
+        for k in od:
+            assert len(od[k]) == len(nd[k]), (k, len(od[k]), len(nd[k]))
+            for i, (a, b) in enumerate(zip(od[k], nd[k])):
+                if a is None or b is None:
+                    assert a is b, (k, i, a, b)
+                else:
+                    import struct as _s
+                    assert _s.pack("d", a) == _s.pack("d", b), (k, i, a, b)
+        print(f"halflife={hl} alpha={al}: bit-exact over {sum(len(v) for v in od.values())} values")
+
+    # quick asymptotic check: single 20k-point key, old vs new wall time
+    longrows = [("z", float(i), float(i % 17)) for i in range(20000)]
+    ldf = spark.createDataFrame(longrows, "k string, t double, x double")
+    lper = ldf.groupBy(F.col("k").alias("_k")).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("t").alias("t"), F.col("x").alias("x")))
+        ).alias("_ser")
+    )
+    for label, ch in [("old", False), ("new", True)]:
+        t0 = time.perf_counter()
+        build(lper, 50.0, None, chunked=ch).collect()
+        print(f"20k-point key, {label}: {time.perf_counter()-t0:.2f}s")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Prototype: flat codegen'd comparison sum vs interpreted
+zip_with+aggregate HOF in estimated_jaccard.  Interleaved A/B on the
+bench's minhash_pairs + exact pair-set equality.
+
+Run: python tools/jaccard_unroll_probe.py [rounds]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from grip_spark import dedup  # noqa: E402
+
+
+def unrolled_estimated_jaccard(sig_a, sig_b, num_hashes: int):
+    # column-name variant: one SQL-text flat sum, whole-stage codegen
+    a, b = "_siga", "_sigb"
+    terms = "+".join(
+        f"cast((try_element_at({a},{i + 1})=try_element_at({b},{i + 1})) as int)"
+        for i in range(num_hashes)
+    )
+    return F.expr(f"({terms}) / {float(num_hashes)}D")
+
+
+def main():
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{bench.CPUS}]")
+        .appName("jaccard-unroll-probe")
+        .config("spark.sql.shuffle.partitions", str(bench.CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ctx = bench.prepare(spark, bench.SF_DIR, bench.CPUS)
+    queries = bench.build_queries(ctx)
+    thunk, action = queries["minhash_pairs"]
+    orig = dedup.estimated_jaccard
+
+    pairs_a = {tuple(r) for r in thunk().collect()}
+    dedup.estimated_jaccard = unrolled_estimated_jaccard
+    pairs_b = {tuple(r) for r in thunk().collect()}
+    dedup.estimated_jaccard = orig
+    print(f"pairs: {len(pairs_a)} vs {len(pairs_b)}, equal={pairs_a == pairs_b}",
+          flush=True)
+
+    samples = {"A": [], "B": []}
+    for variant in ("A", "B") * (rounds + 1):
+        dedup.estimated_jaccard = orig if variant == "A" else unrolled_estimated_jaccard
+        spark.sparkContext.setJobDescription(f"minhash_pairs:{variant}")
+        t0 = time.perf_counter()
+        df = thunk()
+        df.count() if action == "count" else df.collect()
+        samples[variant].append(round(time.perf_counter() - t0, 3))
+    dedup.estimated_jaccard = orig
+    a, b = samples["A"][1:], samples["B"][1:]
+    print(json.dumps({
+        "A_min": min(a), "B_min": min(b), "A": a, "B": b,
+        "speedup_min": round(min(a) / min(b), 3),
+        "pairs_equal": pairs_a == pairs_b,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Prototype probe: does shrinking shuffle partitions below the core
+count cut driver-loop round latency at sf0.1, or are the loops
+job-count bound (the r12 measurement lesson)?
+
+Interleaved one-JVM A/B over the driver-loop bench queries:
+  A = bench config (spark.sql.shuffle.partitions = CPUS)
+  B = spark.sql.shuffle.partitions = N_SMALL scoped to the query call
+      (bounds the win of a size-adaptive loop-cache partition count:
+      it shrinks BOTH the cached layouts and every per-round exchange)
+
+Run:  python tools/loop_shrink_probe.py [rounds] [n_small]
+Prints one JSON line per query with per-variant samples and mins.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+QUERIES = ["pagerank5", "repeat3_bfs", "dedup_clusters", "minhash_pairs"]
+
+
+def main():
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    n_small = sys.argv[2] if len(sys.argv) > 2 else "4"
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{bench.CPUS}]")
+        .appName("loop-shrink-probe")
+        .config("spark.sql.shuffle.partitions", str(bench.CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ctx = bench.prepare(spark, bench.SF_DIR, bench.CPUS)
+    queries = bench.build_queries(ctx)
+
+    results = {}
+    for name in QUERIES:
+        thunk, action = queries[name]
+        samples = {"A": [], "B": []}
+        # warm both variants once (uncounted) so neither pays first-run JIT
+        for variant in ("A", "B", "A", "B") + ("A", "B") * rounds:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(bench.CPUS) if variant == "A" else n_small,
+            )
+            spark.sparkContext.setJobDescription(f"{name}:{variant}")
+            t0 = time.perf_counter()
+            df = thunk()
+            df.count() if action == "count" else df.collect()
+            dt = round(time.perf_counter() - t0, 3)
+            if len(samples["A"]) + len(samples["B"]) >= 4 or True:
+                samples[variant].append(dt)
+        spark.conf.set("spark.sql.shuffle.partitions", str(bench.CPUS))
+        # drop the two warmup samples per variant
+        a, b = samples["A"][2:], samples["B"][2:]
+        results[name] = {
+            "A_min": min(a), "B_min": min(b), "A": a, "B": b,
+            "speedup_min": round(min(a) / min(b), 3),
+        }
+        print(json.dumps({name: results[name]}), flush=True)
+
+    print(json.dumps({"n_small": n_small, "summary": {
+        k: {"A_min": v["A_min"], "B_min": v["B_min"], "x": v["speedup_min"]}
+        for k, v in results.items()
+    }}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""Prototype: lazy localCheckpoint unrolling of the exact_iterations
+power loop — all K rounds in one final materialization instead of one
+eager checkpoint job per round.  Interleaved A/B on the bench's
+pagerank5 inputs + bit-exact result comparison.
+
+Run: python tools/pagerank_unroll_probe.py [rounds]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct as _struct
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from grip_spark import graphalgo  # noqa: E402
+from grip_spark.util import release_checkpoint  # noqa: E402
+
+
+def lazy_power_loop(
+    nodes, e, init_expr, base_expr_fn, damping,
+    max_iterations, tol, exact_iterations, _ckpt, name,
+):
+    assert exact_iterations is not None and exact_iterations >= 1
+    extra = [c for c in nodes.columns if c != "id"]
+    has_w = "_ew" in e.columns
+    wsum = F.sum("_ew") if has_w else F.count(F.lit(1))
+    outdeg = e.groupBy(F.col("_src").alias("id")).agg(wsum.alias("_deg"))
+    share = (F.col("_ew") / F.col("_deg")) if has_w else (F.lit(1.0) / F.col("_deg"))
+    n_shuf = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    wedges = (
+        e.join(outdeg, e["_src"] == outdeg["id"])
+        .select(F.col("_src"), F.col("_dst"), share.alias("_w"))
+        .repartition(n_shuf, "_src")
+        .sortWithinPartitions("_src")
+        .persist()
+    )
+    try:
+        ranks = (
+            nodes.join(
+                outdeg.select("id").withColumn("_o", F.lit(True)), "id", "left"
+            )
+            .withColumn("_sink", F.col("_o").isNull())
+            .drop("_o")
+            .withColumn("pagerank", init_expr)
+            .localCheckpoint(eager=False)
+        )
+        lazies = [ranks]
+        extra = extra + ["_sink"]
+        for k in range(exact_iterations):
+            dang = ranks.filter(F.col("_sink")).agg(
+                F.coalesce(F.sum("pagerank"), F.lit(0.0)).alias("_dang")
+            )
+            contribs = (
+                wedges.join(ranks, wedges["_src"] == ranks["id"])
+                .groupBy(F.col("_dst").alias("id"))
+                .agg(F.sum(F.col("pagerank") * F.col("_w")).alias("_c"))
+            )
+            newrank = (
+                base_expr_fn(F.col("_dang"))
+                + F.lit(damping) * F.coalesce("_c", F.lit(0.0))
+            ).alias("pagerank")
+            body = (
+                ranks.withColumnRenamed("pagerank", "_prev")
+                .join(contribs, "id", "left")
+                .crossJoin(F.broadcast(dang))
+            )
+            sel = body.select("id", *extra, newrank)
+            if k == exact_iterations - 1:
+                new = _ckpt(sel)
+            else:
+                new = sel.localCheckpoint(eager=False)
+                lazies.append(new)
+            ranks = new
+        for df in lazies:
+            release_checkpoint(df)
+        return ranks.drop("_sink")
+    finally:
+        wedges.unpersist()
+
+
+def main():
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{bench.CPUS}]")
+        .appName("pagerank-unroll-probe")
+        .config("spark.sql.shuffle.partitions", str(bench.CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ctx = bench.prepare(spark, bench.SF_DIR, bench.CPUS)
+    queries = bench.build_queries(ctx)
+    thunk, action = queries["pagerank5"]
+    orig = graphalgo._power_loop
+
+    # bit-exact result check first (deterministic inputs)
+    rows_a = {r["id"]: r["pagerank"] for r in thunk().collect()}
+    graphalgo._power_loop = lazy_power_loop
+    rows_b = {r["id"]: r["pagerank"] for r in thunk().collect()}
+    graphalgo._power_loop = orig
+    assert rows_a.keys() == rows_b.keys()
+    ndiff = sum(
+        1
+        for k in rows_a
+        if _struct.pack("d", rows_a[k]) != _struct.pack("d", rows_b[k])
+    )
+    print(f"values: {len(rows_a)} ids, {ndiff} bit-different", flush=True)
+
+    samples = {"A": [], "B": []}
+    for variant in ("A", "B") * (rounds + 1):
+        graphalgo._power_loop = orig if variant == "A" else lazy_power_loop
+        spark.sparkContext.setJobDescription(f"pagerank5:{variant}")
+        t0 = time.perf_counter()
+        df = thunk()
+        df.count()
+        samples[variant].append(round(time.perf_counter() - t0, 3))
+    graphalgo._power_loop = orig
+    a, b = samples["A"][1:], samples["B"][1:]
+    print(json.dumps({
+        "A_min": min(a), "B_min": min(b), "A": a, "B": b,
+        "speedup_min": round(min(a) / min(b), 3), "bit_diff_ids": ndiff,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
