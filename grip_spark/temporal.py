@@ -673,9 +673,15 @@ def ewma(
         lambda i: F.slice(ser, i * b + F.lit(1), b),
     )
     # state BEFORE each chunk, folded with scalar-only state: the same
-    # per-element (s, pt) recurrence, no output array in the accumulator
+    # per-element (s, pt) recurrence, no output array in the accumulator.
+    # Only chunks[:-1] are scalar-folded — the state AFTER the last
+    # chunk is needed by nothing, and at single-chunk keys (any series
+    # up to _EWMA_CHUNK points: the bench/common case) skipping it
+    # removes the entire scalar pass, so short keys pay exactly the
+    # monolithic fold's arithmetic.  slice(chunks, 1, 0) is [] for a
+    # one-chunk key, so bounds degrades to [initial state].
     bounds = F.aggregate(
-        chunks,
+        F.slice(chunks, 1, F.size(chunks) - 1),
         F.struct(
             F.array().cast("array<struct<s:double,pt:double>>").alias("sts"),
             F.struct(
@@ -687,7 +693,7 @@ def ewma(
             F.concat(st["sts"], F.array(st["cur"])).alias("sts"),
             F.aggregate(ch, st["cur"], scalar_step).alias("cur"),
         ),
-        lambda st: st["sts"],
+        lambda st: F.concat(st["sts"], F.array(st["cur"])),
     )
     fold = F.flatten(
         F.zip_with(
