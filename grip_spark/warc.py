@@ -639,7 +639,22 @@ def read_warc_ranged(
     the task so Spark's task retry re-reads the split.  There is no
     in-task resume: a transient failure at byte 3 GB of a 4 GB split
     re-reads the whole split on retry — tasks are idempotent (failed
-    output is discarded), so records are never duplicated."""
+    output is discarded), so records are never duplicated.
+
+    Documented divergence from :func:`read_warc` on NON-CONFORMANT
+    archives: split resync requires a complete ISO 28500 record header
+    (mandatory ``WARC-Record-ID`` / ``WARC-Type`` / parseable
+    ``Content-Length``, terminator within the 64 KB inflate cap) so
+    payload bytes that merely embed ``WARC/`` cannot hijack a split.
+    The flip side: a spec-violating-but-readable record (missing a
+    mandatory field, or a pathological >64 KB header) whose member
+    happens to START a split is skipped by resync WITHOUT an ``err``
+    row — the preceding split does not own its first byte either, so
+    the record is silently absent from the ranged result while
+    :func:`read_warc` (whole-file, no resync) would emit it.
+    Conformant archives are unaffected; if an archive's provenance is
+    untrusted, diff ``count()`` against :func:`read_warc` on a sample
+    file before committing to the ranged path."""
     import pandas as pd
 
     if split_bytes < 1 << 20:
