@@ -771,8 +771,17 @@ class GripGraph:
             # external tables (explicit path): dropping the catalog
             # entry — or losing the in-memory catalog at JVM exit —
             # never deletes the data files
+            #
+            # repartition on the bucket key first: HashPartitioning
+            # and the bucket-id expression share Murmur3-pmod, so each
+            # writer task holds exactly one bucket and every bucket is
+            # ONE file.  Without it each of the N upstream partitions
+            # opens a writer per bucket it touches — N x buckets tiny
+            # files whose open/footer cost dominates every cold read
+            # (the sf0.1 bench tables were ~27 KB x 2,400 files).
             (
-                df.write.mode(mode)
+                df.repartition(buckets, F.col(key))
+                .write.mode(mode)
                 .option("path", os.path.join(wh, tbl))
                 .bucketBy(buckets, key).sortBy(key)
                 .format("parquet").saveAsTable(tbl)

@@ -83,6 +83,27 @@ def test_register_tables_reattaches_without_rewrite(warehouse_graph, spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_save_tables_writes_one_file_per_bucket(warehouse_graph, spark):
+    """The bucketed write repartitions on the bucket key first, so the
+    writer produces AT MOST one data file per bucket (HashPartitioning
+    and the bucket-id expression share Murmur3-pmod).  Without the
+    repartition each upstream partition opens a writer per bucket it
+    touches — upstream x buckets tiny files whose open/footer cost
+    dominates every cold read of the table."""
+    import os
+
+    from grip_spark.graph import _warehouse_dir
+
+    wh = _warehouse_dir(spark)
+    for t in ("swtest_v", "swtest_e_src", "swtest_e_dst"):
+        files = [
+            f
+            for f in os.listdir(os.path.join(wh, t))
+            if f.endswith(".parquet")
+        ]
+        assert 0 < len(files) <= 8, (t, len(files), files[:12])
+
+
 def test_label_partition_pruning(swapi, tmp_path, spark):
     from grip_spark import GripGraph
 
