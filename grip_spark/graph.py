@@ -755,6 +755,12 @@ class GripGraph:
         analog of the reference's ``s|``/``d|`` KV index pair).  A hop
         join on co-bucketed keys needs no Exchange at any scale.
 
+        The write repartitions on the bucket key first so each writer
+        task holds exactly one bucket and every bucket is ONE file —
+        size ``buckets`` so a bucket is a sane task/file size
+        (128 MB–1 GB of parquet): a 100 TB table wants thousands of
+        buckets, not the default 32.
+
         Also writes a ``{prefix}_meta.json`` manifest next to the
         table dirs so a LATER SparkSession can re-attach the layout
         without rewriting data (the default in-memory catalog forgets
