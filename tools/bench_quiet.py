@@ -1,0 +1,88 @@
+"""Run ``python bench.py`` while sampling /proc/stat CPU steal, so a
+bench number carries its own noise evidence (BASELINE.md documents
+10-20x noisy-neighbor outliers on this host; sessions have discarded
+entire runs after the fact because nothing recorded the host state).
+
+The child's stdout passes through verbatim (the bench contract: ONE
+JSON line); the steal summary goes to STDERR as one JSON line:
+
+    {"steal_avg_pct": .., "steal_max_pct": .., "windows": N,
+     "quiet": true|false, "rc": ..}
+
+``quiet`` is false when avg steal > QUIET_AVG_PCT (default 2) or any
+2-second window exceeds QUIET_MAX_PCT (default 10) — the thresholds
+the session logs show separating believable runs from discarded ones.
+Exit code: bench's own rc if nonzero, else 0 when quiet, else 3 — so
+a measurement script can retry instead of recording a noise-window
+floor.
+
+Usage: python tools/bench_quiet.py [-- extra bench args]
+Env:   QUIET_AVG_PCT, QUIET_MAX_PCT, plus bench.py's own
+       SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+
+AVG_PCT = float(os.environ.get("QUIET_AVG_PCT", "2"))
+MAX_PCT = float(os.environ.get("QUIET_MAX_PCT", "10"))
+
+
+def _cpu_times() -> list[int]:
+    with open("/proc/stat") as fh:
+        return [int(x) for x in fh.readline().split()[1:]]
+
+
+def _sample(stop: threading.Event, out: list[float]) -> None:
+    prev = _cpu_times()
+    while not stop.wait(2.0):
+        cur = _cpu_times()
+        delta = [c - p for c, p in zip(cur, prev)]
+        prev = cur
+        total = sum(delta)
+        if total > 0 and len(delta) > 7:
+            out.append(100.0 * delta[7] / total)  # field 8 = steal
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    if args[:1] == ["--"]:
+        args = args[1:]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stop = threading.Event()
+    samples: list[float] = []
+    t = threading.Thread(target=_sample, args=(stop, samples), daemon=True)
+    t.start()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py"), *args]
+    )
+    stop.set()
+    t.join(timeout=5)
+    avg = sum(samples) / len(samples) if samples else 0.0
+    mx = max(samples) if samples else 0.0
+    quiet = avg <= AVG_PCT and mx <= MAX_PCT
+    print(
+        json.dumps(
+            {
+                "steal_avg_pct": round(avg, 2),
+                "steal_max_pct": round(mx, 2),
+                "windows": len(samples),
+                "quiet": quiet,
+                "rc": proc.returncode,
+            }
+        ),
+        file=sys.stderr,
+    )
+    if proc.returncode != 0:
+        return proc.returncode
+    return 0 if quiet else 3
+
+
+if __name__ == "__main__":
+    sys.exit(main())
