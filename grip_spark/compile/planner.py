@@ -35,6 +35,7 @@ no step ever collects to the driver except the ``mark``/``jump`` loop
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Observation, functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -91,6 +92,9 @@ class Planner:
         self.agg_key_types: dict[str, DataType] = {}
         self.render_template = None
         self.persisted: list[DataFrame] = []
+        # Per-jump-loop memo of label-filtered edge views (see _edges):
+        # None outside a loop; a dict while one is being planned.
+        self._loop_edge_memo: dict | None = None
 
     # ------------------------------------------------------------------
     def plan(self, stmts: list[dict]) -> DataFrame:
@@ -143,7 +147,28 @@ class Planner:
                 for j in jidxs:
                     segments.append((stmts[prev + 1 : j], stmts[j]["jump"]))
                     prev = j
-                df = self._loop(df, segments, stmts[jidxs[-1] + 1 :])
+                # scope the loop-invariant edge-view memo (see _edges) to
+                # this loop; every exit (return, CompileError, job failure)
+                # drops the persists — they back only round plans that the
+                # loop already materialized through eager checkpoints.
+                # Conf-gated (default on): MEMORY_ONLY caching is never
+                # worse than the per-round recompute it replaces, but the
+                # knob lets a memory-starved deployment opt out.
+                prev_memo = self._loop_edge_memo
+                cache_edges = (
+                    df.sparkSession.conf.get(
+                        "spark.grip.jump.cacheEdges", "true"
+                    ).lower()
+                    == "true"
+                )
+                self._loop_edge_memo = {} if cache_edges else None
+                try:
+                    df = self._loop(df, segments, stmts[jidxs[-1] + 1 :])
+                finally:
+                    if self._loop_edge_memo:
+                        for cached in self._loop_edge_memo.values():
+                            cached.unpersist()
+                    self._loop_edge_memo = prev_memo
                 i = jidxs[-1] + 1
                 continue
             if key == "jump":
@@ -278,10 +303,30 @@ class Planner:
         # has one (GripGraph.from_tables) — both directions then join
         # without a shuffle
         e = self._edges_fwd
-        if not forward and self._edges_rev is not None:
+        rev = not forward and self._edges_rev is not None
+        if rev:
             e = self._edges_rev
         if labels:
             e = e.filter(F.col("label").isin(labels))
+            # Inside a jump loop the label-filtered edge view is
+            # loop-invariant, but every round's body re-plans (and every
+            # round's job re-scans) the FULL edge table to rebuild it —
+            # at N rounds that is N full scans for one filter result
+            # (guide §2.4/§5: cache what is reused).  Memo-persist each
+            # distinct (direction, labels) view for the loop's duration;
+            # MEMORY_ONLY so a filter too big for memory degrades to
+            # exactly today's recompute (no surprise disk copy of an
+            # edge-scale table), and the memo only covers label-filtered
+            # views — an unfiltered hop would just duplicate the base
+            # table.  Unpersisted by _plan_seq when the loop ends; the
+            # loop result is a union of eagerly checkpointed rounds, so
+            # nothing references the view afterwards.
+            memo = self._loop_edge_memo
+            if memo is not None:
+                key = (rev, tuple(labels))
+                if key not in memo:
+                    memo[key] = e.persist(StorageLevel.MEMORY_ONLY)
+                e = memo[key]
         return e
 
     def _hop_v2v(self, df: DataFrame, labels, forward: bool, null_ok: bool) -> DataFrame:

@@ -29,8 +29,9 @@ import bench  # noqa: E402
 
 TAG = os.environ.get("PROFILE_TAG", "before")
 DUMP = os.environ.get("PROFILE_PLANS", "1") == "1"
+ROUND = os.environ.get("PROFILE_ROUND", "r13")
 PLAN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "plans", "r12")
+                        "plans", ROUND)
 
 
 def main():
